@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local runs use ``local[N]`` with shuffle partitions matched to cores; on a
+real cluster the same knobs (AQE, adaptive coalescing, skew-join handling)
+are what keep a 100 TB job healthy. UTC session timezone keeps timestamp
+semantics identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+
+
+def get_spark(
+    app_name: str = "econdatapipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    AQE is on so runtime stats re-plan skewed joins and coalesce small
+    shuffle partitions — at 100 TB this is the difference between a
+    balanced stage and a straggler. Arrow is enabled for the (rare)
+    Pandas-UDF paths and fast toPandas in tests.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS * 4
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,150 @@
+"""Parquet warehouse: the engine's storage layer.
+
+Replaces Azure Table Storage (reference: core_local/azure_connector.py)
+with a directory of Parquet tables:
+
+    <root>/<dataset>/            one table per dataset (date, value...)
+    <root>/datarevisions/        append-only audit log
+    <root>/scrapermetadata/      per-dataset ingestion watermark
+
+Design notes for scale: dataset tables are rewritten atomically per
+merge (datasets are independent, as in the reference where each is its
+own Azure table); the revision log is append-only so the audit path
+never does read-modify-write; reads go through ``spark.read.parquet``
+so Catalyst pushes predicates into row-group stats (the Spark analog of
+the reference's server-side OData filters, azure_connector.py:244-266).
+At 100 TB a dataset table would additionally be partitioned by year —
+``write_dataset`` accepts ``partition_cols`` for that.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.registry import (
+    METADATA_SCHEMA,
+    METADATA_TABLE,
+    REVISIONS_SCHEMA,
+    REVISIONS_TABLE,
+)
+
+
+class Warehouse:
+    """Filesystem-backed Parquet catalog (local dir, HDFS, or object store)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths / catalog -------------------------------------------------
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    def initialize(self, tables: list[str]) -> None:
+        """Idempotent catalog init (== initialize_tables, azure_connector.py:427-451)."""
+        for t in tables:
+            os.makedirs(self.path(t), exist_ok=True)
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self.path(table), ignore_errors=True)
+
+    # -- reads -----------------------------------------------------------
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def read_or_empty(self, table: str, schema) -> DataFrame:
+        if self.exists(table):
+            return self.read(table)
+        return self.spark.createDataFrame([], schema)
+
+    def point_lookup(self, table: str, date) -> DataFrame:
+        """Single-row fetch by key (== get_entity, azure_connector.py:219-242).
+
+        An equality filter on the table's sort key: Parquet min/max
+        row-group stats skip everything else.
+        """
+        return self.read(table).filter(F.col("date") == F.lit(date))
+
+    # -- writes ----------------------------------------------------------
+    def write_dataset(
+        self, df: DataFrame, table: str, partition_cols: list[str] | None = None
+    ) -> None:
+        """Atomic overwrite of one dataset table.
+
+        Writes to a staging dir then swaps, so a failed job never leaves
+        a half-written table (Azure batch transactions gave the reference
+        per-100-row atomicity; file swap gives whole-table atomicity).
+        """
+        final = self.path(table)
+        staging = final + "__staging"
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(staging)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        """Blind append (revision log path — no read-modify-write)."""
+        df.write.mode("append").parquet(self.path(table))
+
+    def apply_merge(self, result, table: str,
+                    partition_cols: list[str] | None = None) -> dict[str, int]:
+        """Commit one smart_update batch: revisions, then table swap.
+
+        Ordering matters: every DataFrame in ``result`` is a lazy plan
+        over the *current* table files, so counts and the revision
+        append must execute before the directory swap invalidates them
+        (Spark caches the file listing per path; after the swap the old
+        part files are gone). Returns the reference-shaped counts dict.
+        """
+        counts = result.counts()
+        if counts["revisions"]:
+            self.append_revisions(result.revisions)
+        self.write_dataset(result.merged, table, partition_cols)
+        return counts
+
+    # -- revisions (== datarevisions table) ------------------------------
+    def append_revisions(self, revisions: DataFrame) -> None:
+        self.append(revisions.select(*[f.name for f in REVISIONS_SCHEMA.fields]), REVISIONS_TABLE)
+
+    def revisions(self) -> DataFrame:
+        return self.read_or_empty(REVISIONS_TABLE, REVISIONS_SCHEMA)
+
+    # -- watermarks (== scrapermetadata, azure_connector.py:552-617) -----
+    def update_last_run(self, dataset: str, ts: datetime | None = None) -> None:
+        ts = ts or datetime.utcnow()
+        current = self.read_or_empty(METADATA_TABLE, METADATA_SCHEMA)
+        updated = current.filter(F.col("dataset") != dataset).unionByName(
+            self.spark.createDataFrame([(dataset, ts)], METADATA_SCHEMA)
+        )
+        # Tiny KV table: materialize to driver to rewrite safely over its own input.
+        rows = updated.collect()
+        self.write_dataset(self.spark.createDataFrame(rows, METADATA_SCHEMA), METADATA_TABLE)
+
+    def get_last_run(self, dataset: str) -> datetime | None:
+        meta = self.read_or_empty(METADATA_TABLE, METADATA_SCHEMA)
+        row = meta.filter(F.col("dataset") == dataset).select("last_run").limit(1).collect()
+        return row[0][0] if row else None
+
+    def should_update(self, dataset: str, update_frequency_hours: float = 24.0,
+                      now: datetime | None = None) -> bool:
+        """24h freshness gate (== should_update, azure_connector.py:598-617)."""
+        last = self.get_last_run(dataset)
+        if last is None:
+            return True
+        now = now or datetime.utcnow()
+        return (now - last) >= timedelta(hours=update_frequency_hours)
