@@ -1,0 +1,111 @@
+"""End-to-end pipeline orchestration tests (C1-C3, S9, F13)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from econdatapipeline_spark.pipeline import (
+    FAILED,
+    NO_UPDATE_NEEDED,
+    UPDATED,
+    run_pipeline,
+    save_run_summary,
+)
+from econdatapipeline_spark.registry import EDB_SPECS, FRED_SPECS, NYU_SPEC
+from econdatapipeline_spark.sources.warehouse import Warehouse
+
+RUN1 = dt.datetime(2025, 6, 1, 2, 0, 0)
+RUN2 = dt.datetime(2025, 6, 1, 12, 0, 0)  # same day: inside 24h gate
+RUN3 = dt.datetime(2025, 6, 2, 3, 0, 0)   # > 24h later
+
+
+def edb_fetcher(spec):
+    grid = [["", 2024, 2025]]
+    months = ["July", "August", "September", "October", "November", "December",
+              "January", "February", "March", "April", "May", "June"]
+    for i, m in enumerate(months):
+        grid.append([m, str(100 + i), str(200 + i)])
+    return grid
+
+
+def fred_fetcher(spec):
+    return {"observations": [
+        {"date": "2024-01-01", "value": "1.5"},
+        {"date": "2024-02-01", "value": "2.5"},
+    ]}
+
+
+def nyu_fetcher(spec):
+    return [
+        {"Start of month": "2025-01-01", "T.Bond Rate": "4.0%",
+         "ERP (T12m)": "5.0%", "Expected Return": "9.0%"},
+    ]
+
+
+def failing_fetcher(spec):
+    raise RuntimeError("upstream 503")
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "warehouse"))
+
+
+def test_full_run_and_gate(spark, wh):
+    specs = (EDB_SPECS[0], FRED_SPECS[0], NYU_SPEC)
+    fetchers = {"edb_monthly": edb_fetcher, "fred": fred_fetcher, "nyu_stern": nyu_fetcher}
+
+    s1 = run_pipeline(spark, wh, fetchers, specs=specs, run_ts=RUN1)
+    assert s1["updated"] == 3 and s1["failed"] == 0
+    edb_detail = s1["details"][0]
+    assert edb_detail["new"] == 24 and edb_detail["updated"] == 0
+
+    # Within 24h: the freshness gate skips everything.
+    s2 = run_pipeline(spark, wh, fetchers, specs=specs, run_ts=RUN2)
+    assert s2["no_update_needed"] == 3 and s2["updated"] == 0
+
+    # After 24h: runs again; identical data -> zero changes, still 'updated'.
+    s3 = run_pipeline(spark, wh, fetchers, specs=specs, run_ts=RUN3)
+    assert s3["updated"] == 3
+    assert all(d.get("new", 0) == 0 and d.get("updated", 0) == 0 for d in s3["details"])
+
+
+def test_failure_isolation(spark, wh):
+    specs = (EDB_SPECS[0], FRED_SPECS[0])
+    fetchers = {"edb_monthly": failing_fetcher, "fred": fred_fetcher}
+    s = run_pipeline(spark, wh, fetchers, specs=specs, run_ts=RUN1)
+    assert s["failed"] == 1 and s["updated"] == 1
+    failed = next(d for d in s["details"] if d["status"] == FAILED)
+    assert "upstream 503" in failed["error"]
+
+
+def test_run_summary_sink(spark, wh):
+    s = run_pipeline(spark, wh, {"fred": fred_fetcher}, specs=(FRED_SPECS[0],), run_ts=RUN1)
+    path = save_run_summary(wh, s)
+    assert os.path.exists(path)
+    loaded = json.load(open(path))
+    assert loaded["updated"] == 1
+    assert loaded["details"][0]["dataset"] == "federalfundsrate"
+
+
+def test_revision_on_changed_refetch(spark, wh):
+    spec = FRED_SPECS[0]
+    run_pipeline(spark, wh, {"fred": fred_fetcher}, specs=(spec,), run_ts=RUN1)
+
+    def revised(spec):
+        return {"observations": [
+            {"date": "2024-01-01", "value": "1.5"},
+            {"date": "2024-02-01", "value": "9.9"},   # changed
+            {"date": "2024-03-01", "value": "3.5"},   # new
+        ]}
+
+    s = run_pipeline(spark, wh, {"fred": revised}, specs=(spec,), run_ts=RUN3)
+    d = s["details"][0]
+    assert d["new"] == 1 and d["updated"] == 1 and d["revisions"] == 1
+    revs = wh.revisions().filter("dataset = 'federalfundsrate'").collect()
+    assert len(revs) == 1
+    assert revs[0]["old_value"] == 2.5 and revs[0]["new_value"] == 9.9
