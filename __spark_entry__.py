@@ -1,38 +1,790 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps one entry per implemented operator family from
+SURVEY.md §2 (plus the training-data operators) to a (spark, sf_dir) ->
+DataFrame callable; ``oracle_sql()`` provides the DuckDB-equivalent SQL.
+Column names are aliased identically on both sides; floating aggregates
+go through exact DECIMAL sums (order-independent, engine-identical)
+before a final cast to double, so value hashes match bit-for-bit.
+
+Entries without an oracle (genuinely non-SQL-expressible): the
+mapInPandas multimodal kernel and the SimHash block-LSH pair search
+(bit-level ops DuckDB expresses differently); the driver records
+rows-only checks for those.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from econdatapipeline_spark.functions import text as TX
+from econdatapipeline_spark.functions import vectors as VX
+from econdatapipeline_spark.operators import dedup as DD
+from econdatapipeline_spark.operators import similarity as SIM
+from econdatapipeline_spark.operators.merge import smart_update
+from econdatapipeline_spark.operators.unpivot import melt
+from econdatapipeline_spark.sources.tables import load_events, load_table
+from econdatapipeline_spark.streaming import windows as SW
+
+RUN_TS = dt.datetime(2025, 6, 1, 0, 0, 0)
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col, scale: int = 6):
+    """Order-independent exact sum: double -> decimal -> sum -> double."""
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.1-2.8 over the star schema)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan+filter+groupBy+aggregate (S4, P2, A, F7/F8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_filter_project(spark, sf_dir):
+    """Pushed-down predicate + projection + row expression (S4/P1/P3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        & (F.col("l_quantity") < 5)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+         ).cast("decimal(28,6)").cast("double").alias("revenue"),
+    )
+
+
+def q_point_lookup(spark, sf_dir):
+    """Point lookup by key (S5): equality filter on the sort key."""
+    return _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 42).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def q_topk(spark, sf_dir):
+    """Sort desc + limit -> TakeOrderedAndProject (O2)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def q_filter_topk(spark, sf_dir):
+    """EP3 shape: conjunctive equality filter + sort desc + limit."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(15)
+        .select("event_id", "ts", "user_id", "value")
+    )
+
+
+def q_join_agg(spark, sf_dir):
+    """Multiway broadcast join + aggregate (TPC-H Q5 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """Fact x small-dim broadcast join + aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_distinct_counts(spark, sf_dir):
+    """Distinct aggregation per group."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_setop_intersect(spark, sf_dir):
+    """INTERSECT: building-segment customers who placed a big order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+def q_setop_except(spark, sf_dir):
+    """EXCEPT: customers with no order at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.select(F.col("c_custkey").alias("custkey")).exceptAll(
+        o.select(F.col("o_custkey").alias("custkey"))
+    ).distinct()
+
+
+def q_window_lag(spark, sf_dir):
+    """Window functions: lag + running sum per customer (SURVEY §2.5)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def q_resample_last(spark, sf_dir):
+    """Period resample: last order per (customer, month) — plans/queries
+    resample_last applied to the orders fact."""
+    o = _t(spark, sf_dir, "orders")
+    period = F.date_trunc("month", F.col("o_orderdate"))
+    w = Window.partitionBy("o_custkey", period).orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("period", period)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "period", F.col("o_totalprice").alias("last_total"))
+    )
+
+
+def q_unpivot(spark, sf_dir):
+    """Wide->long melt (T1/T2) over customer numeric columns."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return melt(
+        c, id_vars=["c_custkey"], value_vars=["acctbal", "nationkey"],
+        var_name="metric", value_name="value",
+    ).withColumn("value", F.col("value").cast("double"))
+
+
+def q_pivot_export(spark, sf_dir):
+    """Long->wide date-aligned pivot (J2) over events by day x type."""
+    ev = load_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    wide = ev.groupBy(day).pivot("event_type", EVENT_TYPES).count()
+    return wide.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+def q_fiscal_calendar(spark, sf_dir):
+    """Fiscal-calendar expressions (F1-F3): PR fiscal year + quarter label
+    for each order date (inverse of the ingest-side mapping)."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.month("o_orderdate")
+    y = F.year("o_orderdate")
+    fiscal_year = F.when(m >= 7, y + 1).otherwise(y)
+    qlabel = (
+        F.when(m.isin(7, 8, 9), "Jul-Sep")
+        .when(m.isin(10, 11, 12), "Oct-Dec")
+        .when(m.isin(1, 2, 3), "Jan-Mar")
+        .otherwise("Apr-Jun")
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("cal_date"),
+        fiscal_year.alias("fiscal_year"),
+        qlabel.alias("fiscal_quarter"),
+        F.add_months(F.date_trunc("quarter", "o_orderdate"), 3).cast("date").alias("quarter_rollover"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# smart_update / revision audit (J1) exercised at volume over orders
+# ---------------------------------------------------------------------------
+
+def _merge_frames(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    existing = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("total")
+    )
+    incoming = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("total"),
+    )
+    return existing, incoming
+
+
+def q_merge_inserts(spark, sf_dir):
+    """J1 insert branch: left-anti keys of the incoming batch."""
+    existing, incoming = _merge_frames(spark, sf_dir)
+    res = smart_update(existing, incoming, ["okey"], ["total"], "orders_sim", run_ts=RUN_TS)
+    return res.inserts
+
+
+def q_merge_revisions(spark, sf_dir):
+    """J1 update branch: per-field revision rows beyond tolerance."""
+    existing, incoming = _merge_frames(spark, sf_dir)
+    res = smart_update(existing, incoming, ["okey"], ["total"], "orders_sim", run_ts=RUN_TS)
+    return res.revisions
+
+
+# ---------------------------------------------------------------------------
+# Streaming window shapes (batch form == streaming logic, SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+def q_tumbling_window(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    out = SW.tumbling_counts(ev, "1 hour")
+    return out.select("window_start", "event_type", "n_events", "sum_value")
+
+
+def q_sliding_window(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    out = SW.sliding_avg(ev, "1 hour", "30 minutes")
+    return out.select("window_start", "event_type", "n_events")
+
+
+def q_session_window(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    out = SW.session_counts(ev, gap="30 minutes")
+    return out.select("session_start", "session_end", "user_id", "n_events")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.char_count(F.col("text")).alias("n_chars_actual"),
+        F.round(TX.avg_word_length(F.col("text")), 6).alias("avg_word_len"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(F.col("text"), "en"), 6).alias("stopword_ratio"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", *TX.langid_scores(F.col("text")), TX.langid(F.col("text")).alias("pred_lang"))
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup(d)
+
+
+def q_minhash_signature(spark, sf_dir):
+    """First four MinHash values per document (engine-portable md5 min)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = TX.shingles(F.col("text"), 3)
+    return d.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(sh, (lambda p: (lambda s: F.md5(F.concat(p, s))))(F.lit(f"{i}_")))).alias(f"mh{i}")
+            for i in range(4)
+        ],
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs above 0.2 (explode-join, never all-pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (rows-only: DuckDB lacks the same bit kernel)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash(d, bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def q_vector_norms(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(VX.norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.round(VX.dot(F.col("embedding"), F.col("embedding")), 6).alias("self_dot"),
+    )
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3)
+    return SIM.brute_force_topk(e, queries, k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3)
+    return SIM.lsh_topk(e, queries, k=5)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dups(e, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only: mapInPandas kernel is not SQL)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction via Arrow-batched mapInPandas.
+
+    Media payloads are synthesized deterministically from document text
+    (the container has no codecs — operators/multimodal.py documents the
+    stubbed decode); the Spark-side plumbing is the real thing.
+    """
+    from econdatapipeline_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.struct(
+            F.lit(64).alias("width"), F.lit(64).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("png").alias("codec"),
+        ).alias("meta"),
+    )
+    return extract_features(media, dim=8).select("media_id", "n_bytes", "digest")
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "filter_project": q_filter_project,
+        "point_lookup": q_point_lookup,
+        "topk": q_topk,
+        "filter_topk": q_filter_topk,
+        "join_agg": q_join_agg,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "distinct_counts": q_distinct_counts,
+        "setop_intersect": q_setop_intersect,
+        "setop_except": q_setop_except,
+        "window_lag": q_window_lag,
+        "resample_last": q_resample_last,
+        "unpivot": q_unpivot,
+        "pivot_export": q_pivot_export,
+        "fiscal_calendar": q_fiscal_calendar,
+        "merge_inserts": q_merge_inserts,
+        "merge_revisions": q_merge_revisions,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "vector_norms": q_vector_norms,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_en = "['the','a','of','and','to','in','is','that','it','for']"
+    langs = {
+        "en": "['the','a','of','and','to','in','is','that','it','for']",
+        "es": "['el','la','de','que','y','en','un','una','los','por']",
+        "fr": "['le','la','de','et','un','une','les','des','en','que']",
+        "de": "['der','die','das','und','ein','eine','zu','den','von','mit']",
+    }
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    shingle = (
+        f"CASE WHEN len({toks}) >= 3 THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+    bucket_expr = (
+        "concat("
+        "CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,"
+        "CASE WHEN embedding[8] > 0 THEN '1' ELSE '0' END,"
+        "CASE WHEN embedding[20] > 0 THEN '1' ELSE '0' END,"
+        "CASE WHEN embedding[34] > 0 THEN '1' ELSE '0' END,"
+        "CASE WHEN embedding[52] > 0 THEN '1' ELSE '0' END)"
+    )
+    cos = (
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        " CAST(c.embedding AS DOUBLE[])), 6)"
+    )
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1995-04-01'
+              AND l_quantity < 5
+        """,
+        "point_lookup": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey = 42
+        """,
+        "topk": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "filter_topk": """
+            SELECT event_id, ts, user_id, value
+            FROM events WHERE event_type = 'click'
+            ORDER BY ts DESC, event_id ASC LIMIT 15
+        """,
+        "join_agg": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "broadcast_dim_join": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "distinct_counts": """
+            SELECT c_mktsegment,
+                   COUNT(DISTINCT o_custkey) AS n_customers,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "setop_intersect": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        """,
+        "setop_except": """
+            SELECT DISTINCT custkey FROM (
+              SELECT c_custkey AS custkey FROM customer
+              EXCEPT ALL
+              SELECT o_custkey AS custkey FROM orders
+            )
+        """,
+        "window_lag": """
+            SELECT o_orderkey, o_custkey,
+                   LAG(o_totalprice) OVER w AS prev_total,
+                   ROW_NUMBER() OVER w AS order_seq
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "resample_last": """
+            SELECT o_custkey, CAST(period AS TIMESTAMP) AS period, last_total FROM (
+              SELECT o_custkey, date_trunc('month', o_orderdate) AS period,
+                     o_totalprice AS last_total,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1
+        """,
+        "unpivot": """
+            SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value FROM customer
+            UNION ALL
+            SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+        """,
+        "pivot_export": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(*) FILTER (event_type = 'click') AS click,
+                   COUNT(*) FILTER (event_type = 'error') AS error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS signup,
+                   COUNT(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY 1
+        """,
+        "fiscal_calendar": """
+            SELECT o_orderkey,
+                   CAST(o_orderdate AS DATE) AS cal_date,
+                   CASE WHEN month(o_orderdate) >= 7
+                        THEN year(o_orderdate) + 1 ELSE year(o_orderdate) END AS fiscal_year,
+                   CASE WHEN month(o_orderdate) IN (7,8,9) THEN 'Jul-Sep'
+                        WHEN month(o_orderdate) IN (10,11,12) THEN 'Oct-Dec'
+                        WHEN month(o_orderdate) IN (1,2,3) THEN 'Jan-Mar'
+                        ELSE 'Apr-Jun' END AS fiscal_quarter,
+                   CAST(date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH AS DATE) AS quarter_rollover
+            FROM orders
+        """,
+        "merge_inserts": """
+            WITH existing AS (
+              SELECT o_orderkey AS okey, o_totalprice AS total FROM orders WHERE o_orderkey % 3 = 0),
+            incoming AS (
+              SELECT o_orderkey AS okey,
+                     CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS total
+              FROM orders WHERE o_orderkey % 2 = 0)
+            SELECT i.okey, i.total FROM incoming i
+            WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.okey = i.okey)
+        """,
+        "merge_revisions": """
+            WITH existing AS (
+              SELECT o_orderkey AS okey, o_totalprice AS total FROM orders WHERE o_orderkey % 3 = 0),
+            incoming AS (
+              SELECT o_orderkey AS okey,
+                     CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS total
+              FROM orders WHERE o_orderkey % 2 = 0)
+            SELECT 'orders_sim' AS dataset,
+                   CAST(i.okey AS VARCHAR) AS data_date,
+                   'total' AS value_field,
+                   e.total AS old_value,
+                   i.total AS new_value,
+                   TIMESTAMP '2025-06-01 00:00:00' AS revision_date
+            FROM incoming i JOIN existing e ON i.okey = e.okey
+            WHERE abs(i.total - e.total) > 0.001
+        """,
+        "tumbling_window": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sliding_window": """
+            WITH starts AS (
+              SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, event_type FROM events
+              UNION ALL
+              SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type FROM events)
+            SELECT window_start, event_type, COUNT(*) AS n_events
+            FROM starts GROUP BY 1, 2
+        """,
+        "session_window": """
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE OR
+                               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events),
+            sessions AS (
+              SELECT user_id, ts, value,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked)
+            SELECT MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id, COUNT(*) AS n_events
+            FROM sessions GROUP BY user_id, session_id
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END AS n_tokens,
+                   length(text) AS n_chars_actual,
+                   round(list_sum(list_transform({toks}, x -> length(x)))
+                         / greatest(len({toks}), 1), 6) AS avg_word_len
+            FROM documents
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter({toks}, x -> list_contains({stop_en}, x)))
+                         / greatest(len({toks}), 1), 6) AS stopword_ratio,
+                   round(
+                     (CASE WHEN (CASE WHEN trim(text)='' THEN 0 ELSE len({toks}) END)
+                            BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                     + least(2.0 * len(list_filter({toks}, x -> list_contains({stop_en}, x)))
+                             / greatest(len({toks}), 1), 0.4)
+                     + (0.2 - least(2.0 * length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                                    / greatest(length(text), 1), 0.2)), 6) AS quality
+            FROM documents
+        """,
+        "langid": f"""
+            SELECT doc_id,
+                   len(list_filter({toks}, x -> list_contains({langs['en']}, x))) AS score_en,
+                   len(list_filter({toks}, x -> list_contains({langs['es']}, x))) AS score_es,
+                   len(list_filter({toks}, x -> list_contains({langs['fr']}, x))) AS score_fr,
+                   len(list_filter({toks}, x -> list_contains({langs['de']}, x))) AS score_de,
+                   CASE
+                     WHEN len(list_filter({toks}, x -> list_contains({langs['de']}, x))) >
+                          greatest(len(list_filter({toks}, x -> list_contains({langs['en']}, x))),
+                                   len(list_filter({toks}, x -> list_contains({langs['es']}, x))),
+                                   len(list_filter({toks}, x -> list_contains({langs['fr']}, x))), 0)
+                       THEN 'de'
+                     WHEN len(list_filter({toks}, x -> list_contains({langs['fr']}, x))) >
+                          greatest(len(list_filter({toks}, x -> list_contains({langs['en']}, x))),
+                                   len(list_filter({toks}, x -> list_contains({langs['es']}, x))), 0)
+                       THEN 'fr'
+                     WHEN len(list_filter({toks}, x -> list_contains({langs['es']}, x))) >
+                          greatest(len(list_filter({toks}, x -> list_contains({langs['en']}, x))), 0)
+                       THEN 'es'
+                     WHEN len(list_filter({toks}, x -> list_contains({langs['en']}, x))) > 0
+                       THEN 'en'
+                     ELSE 'und'
+                   END AS pred_lang
+            FROM documents
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fp FROM documents
+        """,
+        "exact_dedup": f"""
+            SELECT md5(array_to_string({toks}, ' ')) AS fp,
+                   MIN(doc_id) AS doc_id,
+                   COUNT(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "minhash_signature": f"""
+            SELECT doc_id,
+                   list_min(list_transform({shingle}, s -> md5(concat('0_', s)))) AS mh0,
+                   list_min(list_transform({shingle}, s -> md5(concat('1_', s)))) AS mh1,
+                   list_min(list_transform({shingle}, s -> md5(concat('2_', s)))) AS mh2,
+                   list_min(list_transform({shingle}, s -> md5(concat('3_', s)))) AS mh3
+            FROM documents
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT doc_id, {shingle} AS grams, len({shingle}) AS sh_size FROM documents),
+            exploded AS (SELECT doc_id, sh_size, unnest(grams) AS gram FROM sh),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.sh_size AS size_a, b.sh_size AS size_b,
+                     COUNT(*) AS common
+              FROM exploded a JOIN exploded b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b,
+                   round(common / (size_a + size_b - common), 6) AS jaccard
+            FROM common
+            WHERE round(common / (size_a + size_b - common), 6) >= 0.2
+        """,
+        "vector_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+                   round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6) AS self_dot
+            FROM embeddings
+        """,
+        "ann_bruteforce": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 3),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+        """,
+        "ann_lsh": f"""
+            WITH b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+              WHERE q.vec_id < 3),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+        """,
+        "embedding_near_dups": f"""
+            WITH b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings)
+            SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
+            FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+            WHERE {cos} >= 0.2
+        """,
+        # simhash + multimodal_features intentionally omitted: rows-only checks.
+    }

@@ -1,0 +1,63 @@
+"""Benchmark harness: runs the headline queries and prints ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 8)
+
+Each query is executed to completion (count() drives the full plan);
+the JSON line reports per-query seconds and the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import __spark_entry__ as entry
+from econdatapipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+
+    timings: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        start = time.monotonic()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.monotonic() - start, 4)
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            timings[name] = -1.0
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Text-analysis expressions for large-scale document pipelines.
+
+Everything here is built-in column expressions (split / transform /
+aggregate / md5) so the hot path stays JVM-side and codegen'd — at
+100 TB of documents a Python-per-row tokenizer would be the bottleneck;
+these are narrow map-only transforms that scale linearly.
+
+Hash choice: md5 (hex string) rather than xxhash64, because md5 is
+bit-identical across engines (Spark, DuckDB, Python) — which makes
+MinHash signatures and fingerprints independently checkable by any
+SQL oracle. At cluster scale swap HASH_FN to xxhash64 for ~3x cheaper
+hashing; the operators only require determinism, not a specific hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately tiny and alphabetical: the operator contract
+# is "deterministic scoring against fixed lists", not linguistic truth.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "fr": ("le", "la", "de", "et", "un", "une", "les", "des", "en", "que"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "zu", "den", "von", "mit"),
+}
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text -> array<string>."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish sub-word split: words, numbers, and punctuation runs as
+    separate tokens (a regex approximation of byte-pair pretokenizers).
+    """
+    return F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"), 0
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the 'how many tokens is this corpus' query)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_word_length(text: Column) -> Column:
+    toks = tokenize(text)
+    return F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+    ) / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokenize(text)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    hits = F.size(F.array_intersect(toks, stops))
+    distinct_hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    _ = hits  # array_intersect dedups; ratio wants every occurrence
+    return distinct_hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    - punctuation noise. Mirrors common pretraining quality filters
+    (C4-style): too-short or punctuation-heavy documents score low.
+    """
+    n_tok = token_count(text)
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 0.4).otherwise(0.0)
+    stop = stopword_ratio(text, "en")
+    stop_component = F.least(stop * F.lit(2.0), F.lit(0.4))
+    punct_penalty = F.least(punct_ratio(text) * F.lit(2.0), F.lit(0.2))
+    return F.round(length_ok + stop_component + (0.2 - punct_penalty), 6)
+
+
+def langid_scores(text: Column) -> list[Column]:
+    """Per-language stopword-hit counts (the n-gram-heuristic family)."""
+    toks = tokenize(text)
+    out = []
+    for lang, words in STOPWORDS.items():
+        stops = F.array(*[F.lit(s) for s in words])
+        out.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).alias(f"score_{lang}")
+        )
+    return out
+
+
+def langid(text: Column) -> Column:
+    """Predicted language = argmax stopword hits, 'und' if all zero.
+
+    Deterministic tie-break: language order as declared in STOPWORDS.
+    """
+    toks = tokenize(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, words in STOPWORDS.items():
+        stops = F.array(*[F.lit(s) for s in words])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over the normalized token stream.
+
+    Whitespace/case-insensitive exact-dup key (the 'rolling hash'
+    family collapsed to its order-sensitive digest form).
+    """
+    return F.md5(F.array_join(tokenize(text), " "))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) -> array<string>."""
+    toks = tokenize(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: array of per-seed minima of md5(seed || shingle).
+
+    min over hex strings == min over the corresponding 128-bit ints, so
+    string ordering is a valid (and engine-portable) hash ordering.
+    """
+    # NB: the lambda must be single-argument — F.transform interprets a
+    # two-argument lambda as (element, index), so a default-arg seed
+    # (lambda s, i=i: ...) silently binds the seed to the array index.
+    def seeded(i: int):
+        prefix = F.lit(f"{i}_")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    sigs = [
+        F.array_min(F.transform(shingle_col, seeded(i))) for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_bands(signature: Column, bands: int, rows: int) -> Column:
+    """LSH banding: hash each band of `rows` signature values -> array<string>."""
+    return F.array(
+        *[
+            F.md5(F.array_join(F.slice(signature, b * rows + 1, rows), "|"))
+            for b in range(bands)
+        ]
+    )

@@ -1,0 +1,50 @@
+"""Embedding-vector math as built-in array expressions.
+
+``zip_with`` + ``aggregate`` keep dot products and norms inside the
+JVM (no Python). Arithmetic is done in double even when the stored
+column is array<float>, so results agree with any double-precision
+oracle to ~1e-12 relative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bucket(a: Column, dims: tuple[int, ...] = (0, 7, 19, 33, 51)) -> Column:
+    """Coordinate-sign LSH bucket: concat of sign bits at fixed dims.
+
+    The simplest random-hyperplane LSH family (hyperplanes = coordinate
+    axes). Vectors in the same bucket agree on the signs of the probed
+    coordinates, so near (cosine) neighbors usually collide. At cluster
+    scale, replace the axes with seeded random hyperplanes and more
+    bits; the bucketing/join topology is identical.
+    """
+    bits = [
+        F.when(F.element_at(a, d + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    return F.concat(*bits)

@@ -1,0 +1,218 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families over a document table (doc_id, text, ...):
+
+- exact:        hash-groupBy on a normalized fingerprint (one shuffle)
+- minhash_lsh:  shingle -> MinHash signature -> band buckets ->
+                bucket-join candidates -> Jaccard verify
+- simhash:      64-bit near-dup fingerprint via per-token hash bit votes
+- ngram_jaccard: token-overlap Jaccard on candidate pairs
+- embedding near-dup lives in operators.similarity (cosine threshold)
+
+Scale design: every operator is shuffle-bounded by its key (fingerprint
+/ band bucket / token), never all-pairs. The LSH band join is the
+canonical 100 TB pattern: candidates are generated only within buckets,
+so cost is sum of squares of bucket sizes, not n^2. Hashes are md5
+(engine-portable, see functions.text) — swap to xxhash64 on a cluster
+for throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.functions.text import (
+    fingerprint,
+    minhash_bands,
+    minhash_signature,
+    shingles,
+    tokenize,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per normalized-text fingerprint.
+
+    One hash-aggregate (map-side combine first), no join: the 100 TB
+    shape of 'drop exact duplicates'.
+    """
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fingerprints that occur more than once (the duplicate report)."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Pipeline: shingle set -> num_hashes MinHash values -> `bands` band
+    digests -> explode -> self-join on (band_idx, digest) with id< id.
+    Docs sharing any band are candidates; estimated Jaccard is the
+    fraction of agreeing signature positions.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.posexplode(minhash_bands(F.col("sig"), bands, rows)).alias("band_idx", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(agree / F.lit(float(len(range(num_hashes)))), 6).alias("est_jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard for pairs sharing at least one shingle.
+
+    explode + equi-join on the shingle (shuffle keyed by shingle, never
+    all-pairs), then |intersection| / (|A| + |B| - |intersection|).
+    """
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    exploded = sh.select(id_col, "sh_size", F.explode("sh").alias("gram"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh_size").alias("size_a"),
+            F.col("b.sh_size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return common.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """SimHash near-dup fingerprint, pure column expressions.
+
+    Per token: a `bits`-wide hash (md5 prefix as int). Per bit: vote
+    +1/-1 across tokens; fingerprint bit = sign of the vote sum.
+    Documents differing in a few tokens land within small Hamming
+    distance. Implemented as explode -> per-bit conditional sums (one
+    aggregation, `bits` columns) — no UDF.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).withColumn(
+        # 60-bit token hash from the md5 hex prefix (fits in a long).
+        "h",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else (fp + bit)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id",
+                       max_hamming: int = 3, bits: int = 32,
+                       blocks: int = 4) -> DataFrame:
+    """Hamming-near pairs over simhash fingerprints via block LSH.
+
+    Pigeonhole: if two fingerprints differ in <= max_hamming bits and we
+    split into blocks > max_hamming blocks, they agree on at least one
+    block — join on any equal block, then verify exact Hamming distance
+    with bit_count(xor).
+    """
+    width = bits // blocks
+    mask = (1 << width) - 1
+    blocked = sim.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -106,7 +106,9 @@ def smart_update(
                 F.abs(F.col(f"new_{c}") - F.col(f"old_{c}")) > F.lit(tolerance)
             ).select(
                 F.lit(dataset).alias("dataset"),
-                F.col(date_key).cast("date").alias("data_date"),
+                # String key: ISO 'yyyy-MM-dd' for date keys (matching the
+                # reference's stored format), str(key) otherwise.
+                F.col(date_key).cast("string").alias("data_date"),
                 F.lit(c).alias("value_field"),
                 F.col(f"old_{c}").cast("double").alias("old_value"),
                 F.col(f"new_{c}").cast("double").alias("new_value"),

@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+- brute-force cosine top-k: the exact baseline. Cross-join queries x
+  corpus with the query side broadcast — at 100 TB the corpus stays
+  partitioned and each executor scores its shard; cost is linear in
+  corpus size per query.
+- sign-bucket LSH ANN: coordinate-sign (random-hyperplane family)
+  bucketing; queries only score candidates in their bucket. The scale
+  path: bucket cardinality ~2^bits bounds each join group.
+- embedding near-dup: same LSH topology, pair output filtered by a
+  cosine threshold (the embedding flavor of dedup).
+
+All math is zip_with/aggregate column expressions (functions.vectors):
+JVM-side, no UDFs, double precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.functions.vectors import cosine, sign_bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for every query vector.
+
+    Output: (query_id, neighbor_id, cos) with rank <= k, neighbors
+    exclude the query itself; deterministic tie-break on neighbor id.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (0, 7, 19, 33, 51),
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing the sign bucket.
+
+    Same output shape as brute_force_topk; recall < 1 by construction
+    (that is the trade). The join is an equi-join on the bucket key, so
+    the shuffle is keyed and bounded — no cross join anywhere.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (0, 7, 19, 33, 51),
+) -> DataFrame:
+    """Near-duplicate vector pairs: same sign bucket AND cosine >= threshold."""
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

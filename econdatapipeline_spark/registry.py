@@ -122,10 +122,14 @@ SPECS_BY_NAME: dict[str, DatasetSpec] = {s.name: s for s in ALL_SPECS}
 REVISIONS_TABLE = "datarevisions"
 METADATA_TABLE = "scrapermetadata"
 
+# data_date is a string key (ISO date for time-series datasets): the
+# reference stores it exactly so (azure_data_tracker.py:77-80,119), and a
+# string key lets the same audit table serve non-date merge keys (e.g.
+# the streaming event_id upsert).
 REVISIONS_SCHEMA = T.StructType(
     [
         T.StructField("dataset", T.StringType(), False),
-        T.StructField("data_date", T.DateType(), False),
+        T.StructField("data_date", T.StringType(), False),
         T.StructField("value_field", T.StringType(), False),
         T.StructField("old_value", T.DoubleType(), True),
         T.StructField("new_value", T.DoubleType(), True),

@@ -1,0 +1,133 @@
+"""Streaming windowed aggregation + late-data upsert.
+
+The reference is strictly batch (SURVEY §2.11): its closest streaming
+concepts are the per-dataset last_run watermark and smart_update's
+handling of revised ('late') values. This module is the Structured
+Streaming generalization for the ``events`` table:
+
+- tumbling / sliding / session windows with an event-time watermark
+  (late rows beyond the watermark are dropped by Spark; within it they
+  update the window — the streaming analog of the 24h gate + revision
+  capture);
+- ``foreachBatch`` upsert applying the same smart_update MERGE per
+  micro-batch, so late corrections generate revision rows exactly as
+  the batch pipeline does.
+
+Every builder also accepts a *batch* DataFrame: the window expressions
+are identical (Spark's unified model), which is how the DuckDB oracle
+checks these operators (CORRECTNESS gate runs the batch form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.operators.merge import smart_update
+from econdatapipeline_spark.sources.warehouse import Warehouse
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(window, event_type) count + value sum, tumbling windows."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), window_size).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window average value per event_type."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window_size, slide).alias("w"), "event_type"
+        )
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user: a session closes after `gap` of silence."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_upsert_sink(
+    stream: DataFrame,
+    wh: Warehouse,
+    table: str,
+    key_cols: list[str],
+    value_cols: list[str],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """writeStream -> foreachBatch MERGE (the streaming J1).
+
+    Each micro-batch applies smart_update against the current table
+    state: new keys insert, changed keys update + revision rows. This is
+    how late/corrected events reconcile instead of being dropped —
+    exactly the reference's revision semantics, per micro-batch.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        schema_df = batch_df.select(*key_cols, *value_cols)
+        existing = wh.read_or_empty(table, schema_df.schema)
+        res = smart_update(
+            existing,
+            schema_df,
+            key_cols=key_cols,
+            value_cols=value_cols,
+            dataset=table,
+        )
+        wh.apply_merge(res, table)
+
+    writer = stream.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,69 @@
+"""Dedup operator tests on synthetic + sf0.001 documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.operators import dedup as D
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "The quick  brown fox jumps over the lazy dog today"),  # exact dup (norm)
+            (3, "the quick brown fox jumps over the lazy cat today"),   # near dup
+            (4, "spark engines shuffle parquet files across big clusters"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(spark, docs):
+    kept = D.exact_dedup(docs)
+    assert kept.count() == 3
+    row = kept.filter(F.col("dup_count") == 2).collect()[0]
+    assert row["doc_id"] == 1  # lowest id survives
+
+
+def test_exact_dup_groups(spark, docs):
+    groups = D.exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["keep_id"] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    cand = D.minhash_lsh_candidates(docs, num_hashes=16, bands=8).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cand}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after normalization
+    assert (1, 3) in pairs or (2, 3) in pairs        # near dup caught by some band
+    assert all(p != (1, 4) and p != (2, 4) and p != (3, 4) for p in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.0 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs  # no shared shingle -> no candidate at all
+
+
+def test_simhash_near_pairs(spark, docs):
+    sim = D.simhash(docs, bits=32)
+    fps = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert fps[1] == fps[2]  # normalized-identical docs -> identical fingerprint
+    near = D.simhash_near_pairs(sim, max_hamming=6, bits=32, blocks=8).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in near}
+    assert pairs[(1, 2)] == 0
+    # unrelated doc 4 must not be near-anything at hamming<=6
+    assert all(4 not in p for p in pairs)
+
+
+def test_exact_dedup_on_sf_documents(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kept = D.exact_dedup(docs)
+    assert kept.count() <= docs.count()
+    assert kept.agg(F.sum("dup_count")).collect()[0][0] == docs.count()

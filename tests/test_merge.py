@@ -50,8 +50,8 @@ def test_update_with_revisions(spark):
         (r["data_date"], r["value_field"], r["old_value"], r["new_value"], r["revision_date"])
         for r in res.revisions.collect()
     }
-    assert (dt.date(2025, 1, 1), "value", 100.0, 110.0, RUN_TS) in revs
-    assert (dt.date(2025, 3, 1), "value", 300.0, 310.0, RUN_TS) in revs
+    assert ("2025-01-01", "value", 100.0, 110.0, RUN_TS) in revs
+    assert ("2025-03-01", "value", 300.0, 310.0, RUN_TS) in revs
 
     merged = {(r["date"], r["value"]) for r in res.merged.collect()}
     assert merged == {
@@ -74,7 +74,7 @@ def test_tolerance_boundary(spark):
     res = smart_update(existing, incoming, ["date"], ["value"], "ds", run_ts=RUN_TS)
     assert res.counts() == {"new": 0, "updated": 1, "revisions": 1}
     rev = res.revisions.collect()[0]
-    assert rev["data_date"] == dt.date(2025, 2, 1)
+    assert rev["data_date"] == "2025-02-01"
 
 
 def test_multi_value_field(spark):

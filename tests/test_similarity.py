@@ -1,0 +1,64 @@
+"""Similarity-search operator tests on sf0.001 embeddings."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_brute_force_topk_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = S.brute_force_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+        cosines = [r["cos"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    q = 0
+    sims = {
+        i: float(vecs[q] @ v / (np.linalg.norm(vecs[q]) * np.linalg.norm(v)))
+        for i, v in vecs.items() if i != q
+    }
+    expected_top = max(sims, key=lambda i: (sims[i], -i))
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") == q), k=1).collect()[0]
+    assert out["neighbor_id"] == expected_top
+    assert math.isclose(out["cos"], sims[expected_top], abs_tol=1e-5)
+
+
+def test_lsh_topk_subset_of_bucket(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = S.lsh_topk(emb, queries, k=5)
+    # Approximate: every returned neighbor must share the query's bucket,
+    # scores must be valid cosines.
+    rows = out.collect()
+    assert rows, "LSH returned nothing — buckets degenerate?"
+    assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)
+
+
+def test_embedding_near_dups_symmetric_pairs(spark, emb):
+    pairs = S.embedding_near_dups(emb, threshold=0.9).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos"] >= 0.9

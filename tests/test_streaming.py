@@ -1,0 +1,117 @@
+"""Structured Streaming tests: windows, watermark, foreachBatch upsert."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.sources.tables import load_events
+from econdatapipeline_spark.sources.warehouse import Warehouse
+from econdatapipeline_spark.streaming import windows as W
+
+SF_DIR = "/root/testdata/sf0.001"
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_tumbling_counts_batch_form(spark):
+    events = load_events(spark, SF_DIR)
+    out = W.tumbling_counts(events, "1 hour")
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+    row = out.collect()[0]
+    assert (row["window_end"] - row["window_start"]) == dt.timedelta(hours=1)
+
+
+def test_sliding_avg_batch_form(spark):
+    events = load_events(spark, SF_DIR)
+    out = W.sliding_avg(events, "1 hour", "30 minutes")
+    # Each event lands in 2 overlapping windows.
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 2 * events.count()
+
+
+def test_session_counts_batch_form(spark):
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0), 7, "c", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 10, 10), 7, "c", 1.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 12, 0), 7, "c", 1.0, "{}"),  # new session
+            (4, dt.datetime(2024, 1, 1, 10, 5), 9, "c", 1.0, "{}"),
+        ],
+        EVENT_SCHEMA,
+    )
+    out = W.session_counts(events, gap="30 minutes").collect()
+    user7 = sorted([r for r in out if r["user_id"] == 7], key=lambda r: r["session_start"])
+    assert len(user7) == 2
+    assert user7[0]["n_events"] == 2 and user7[1]["n_events"] == 1
+    assert len([r for r in out if r["user_id"] == 9]) == 1
+
+
+def test_streaming_tumbling_with_watermark(spark, tmp_path):
+    """Real readStream -> windowed agg -> availableNow -> memory sink."""
+    src_dir = str(tmp_path / "stream_src")
+    events = load_events(spark, SF_DIR).limit(500)
+    events.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
+    agg = W.tumbling_counts(stream, "1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    result = spark.sql("select sum(n_events) n from tumbling_test").collect()[0]["n"]
+    # Append mode emits only windows closed by the watermark; with
+    # availableNow the final watermark closes all but the trailing
+    # window(s), so we expect most rows accounted for.
+    assert result is not None and result > 0
+
+
+def test_stream_upsert_sink_revisions(spark, tmp_path):
+    """foreachBatch MERGE: late correction produces a revision row."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src_dir = str(tmp_path / "src")
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10), 7, "c", 10.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 11), 8, "c", 20.0, "{}"),
+        ],
+        EVENT_SCHEMA,
+    )
+    batch1.write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
+    q = W.stream_upsert_sink(
+        stream, wh, "events_state", ["event_id"], ["value"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    assert wh.read("events_state").count() == 2
+
+    # Late correction for event 1 arrives in a second micro-batch.
+    batch2 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), 7, "c", 99.0, "{}")], EVENT_SCHEMA
+    )
+    batch2.write.mode("append").parquet(src_dir)
+    stream2 = spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
+    q2 = W.stream_upsert_sink(
+        stream2, wh, "events_state", ["event_id"], ["value"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+
+    state = {r["event_id"]: r["value"] for r in wh.read("events_state").collect()}
+    assert state == {1: 99.0, 2: 20.0}
+    revs = wh.revisions().collect()
+    assert len(revs) == 1
+    assert revs[0]["old_value"] == 10.0 and revs[0]["new_value"] == 99.0

@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry at a given sf_dir and
+compares against oracle_sql() via DuckDB: row count, sorted column
+names, and an order-insensitive exact value comparison (NaN-safe).
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from econdatapipeline_spark.session import get_spark
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="parity", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(exc).__name__}: {exc}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only)")
+            if not srows:
+                failures.append(name)
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error {type(exc).__name__}: {exc}")
+            continue
+        if sorted(scols) != sorted(ocols):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            continue
+        if len(srows) != len(orows):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
+            continue
+        sn = norm_rows(scols, [tuple(r) for r in srows])
+        on = norm_rows(ocols, orows)
+        if sn != on:
+            failures.append(name)
+            ndiff = sum(1 for a, b in zip(sn, on) if a != b)
+            print(f"FAIL  {name}: {ndiff}/{len(sn)} rows differ")
+            for a, b in zip(sn, on):
+                if a != b:
+                    print(f"      spark : {a}")
+                    print(f"      oracle: {b}")
+                    break
+        else:
+            print(f"ok    {name}: {len(srows)} rows")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
