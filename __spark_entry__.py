@@ -27,7 +27,7 @@ from econdatapipeline_spark.operators import dedup as DD
 from econdatapipeline_spark.operators import similarity as SIM
 from econdatapipeline_spark.operators.merge import smart_update
 from econdatapipeline_spark.operators.unpivot import melt
-from econdatapipeline_spark.sources.tables import load_events, load_table
+from econdatapipeline_spark.sources.tables import fan_out, load_events, load_table
 from econdatapipeline_spark.streaming import windows as SW
 
 RUN_TS = dt.datetime(2025, 6, 1, 0, 0, 0)
@@ -346,7 +346,7 @@ def q_exact_dedup(spark, sf_dir):
 
 def q_minhash_signature(spark, sf_dir):
     """First four MinHash values per document (engine-portable md5 min)."""
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"))
     sh = TX.shingles(F.col("text"), 3)
     return d.select(
         "doc_id",

@@ -33,6 +33,21 @@ def main() -> None:
         shuffle_partitions=cpus * 2,
     )
 
+    # Untimed warmup: JVM/codegen init, Python/Arrow worker spin-up, and
+    # parquet footer reads, so the first timed query measures the query,
+    # not session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as pd  # noqa: PLC0415
+
+    spark.range(cpus * 2, numPartitions=cpus).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+        try:
+            entry.load_table(spark, sf_dir, t).count()
+        except Exception:  # noqa: BLE001
+            pass
+
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
         start = time.monotonic()

@@ -29,6 +29,7 @@ from econdatapipeline_spark.functions.text import (
     shingles,
     tokenize,
 )
+from econdatapipeline_spark.sources.tables import fan_out
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -38,7 +39,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     shape of 'drop exact duplicates'.
     """
     return (
-        df.withColumn("fp", fingerprint(F.col(text_col)))
+        fan_out(df).withColumn("fp", fingerprint(F.col(text_col)))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias(id_col),
@@ -73,7 +74,7 @@ def minhash_lsh_candidates(
     fraction of agreeing signature positions.
     """
     rows = num_hashes // bands
-    sig = df.select(
+    sig = fan_out(df).select(
         F.col(id_col),
         minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
     )
@@ -122,11 +123,15 @@ def ngram_jaccard_pairs(
 
     explode + equi-join on the shingle (shuffle keyed by shingle, never
     all-pairs), then |intersection| / (|A| + |B| - |intersection|).
+    The join key is xxhash64(gram), not the gram string: 8-byte shuffle
+    keys and integer compares instead of multi-word string keys.
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
     ).withColumn("sh_size", F.size("sh"))
-    exploded = sh.select(id_col, "sh_size", F.explode("sh").alias("gram"))
+    exploded = sh.select(
+        id_col, "sh_size", F.explode("sh").alias("gram")
+    ).select(id_col, "sh_size", F.xxhash64("gram").alias("gram"))
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -154,7 +159,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     distance. Implemented as explode -> per-bit conditional sums (one
     aggregation, `bits` columns) — no UDF.
     """
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
     ).withColumn(
         # 60-bit token hash from the md5 hex prefix (fits in a long).

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from econdatapipeline_spark.functions.vectors import cosine, sign_bucket
+from econdatapipeline_spark.sources.tables import fan_out
 
 
 def brute_force_topk(
@@ -39,7 +40,7 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -76,7 +77,7 @@ def lsh_topk(
         F.col(vec_col).alias("qv"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
@@ -106,7 +107,7 @@ def embedding_near_dups(
     dims: tuple[int, ...] = (0, 7, 19, 33, 51),
 ) -> DataFrame:
     """Near-duplicate vector pairs: same sign bucket AND cosine >= threshold."""
-    b = df.select(
+    b = fan_out(df).select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),

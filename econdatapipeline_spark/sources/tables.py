@@ -39,3 +39,20 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Spread a few-partition input across all cores before a compute-heavy
+    narrow transform (shingling, hashing, vector math).
+
+    A small table often arrives as ONE parquet split, which would serialize
+    an expensive map stage onto a single core. Repartitioning a KB..MB-sized
+    input is a trivial shuffle; the 8-32x map parallelism it buys dominates.
+    No-op when the scan already has >= cores splits — the 100 TB case, where
+    reshuffling the input would be the bug, not the fix.
+    """
+    spark = df.sparkSession
+    target = parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
