@@ -8,9 +8,10 @@ go through exact DECIMAL sums (order-independent, engine-identical)
 before a final cast to double, so value hashes match bit-for-bit.
 
 Entries without an oracle (genuinely non-SQL-expressible): the
-mapInPandas multimodal kernel and the SimHash block-LSH pair search
-(bit-level ops DuckDB expresses differently); the driver records
-rows-only checks for those.
+mapInPandas multimodal kernel, the SimHash block-LSH pair search
+(bit-level ops DuckDB expresses differently), and the HLL
+approx_count_distinct sketch (estimates are engine-specific); the
+driver records rows-only checks for those.
 """
 
 from __future__ import annotations
@@ -25,7 +26,9 @@ from econdatapipeline_spark.functions import text as TX
 from econdatapipeline_spark.functions import vectors as VX
 from econdatapipeline_spark.operators import dedup as DD
 from econdatapipeline_spark.operators import similarity as SIM
+from econdatapipeline_spark.operators.asof import asof_join, range_join_bucketed
 from econdatapipeline_spark.operators.merge import smart_update
+from econdatapipeline_spark.operators.skew import salted_join
 from econdatapipeline_spark.operators.unpivot import melt
 from econdatapipeline_spark.sources.tables import fan_out, load_events, load_table
 from econdatapipeline_spark.streaming import windows as SW
@@ -251,6 +254,132 @@ def q_fiscal_calendar(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent prior
+    click (union + last_value window — one keyed shuffle, no range blowup)."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    res = asof_join(
+        purchases, clicks, on="ts", by=["user_id"],
+        right_cols=["event_id", "value"], seq_col="event_id",
+    )
+    return res.select(
+        "event_id", "ts", "user_id",
+        F.col("ts_asof").alias("click_ts"),
+        F.col("event_id_asof").alias("click_id"),
+        F.round(F.col("value_asof"), 6).alias("click_value"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Interval containment join via bucketing: event value -> overlapping
+    price bands (equi-join on (bucket), never a theta cross product)."""
+    ev = load_events(spark, sf_dir).select("event_id", "value")
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50.0).alias("lo"),
+        (F.col("id") * 50.0 + 75.0).alias("hi"),
+    )
+    res = range_join_bucketed(
+        ev, F.broadcast(bands), left_point="value",
+        right_lo="lo", right_hi="hi", bucket_width=F.lit(50.0),
+    )
+    return res.select("event_id", "value", "band_id")
+
+
+def q_rolling_avg(spark, sf_dir):
+    """Rolling frame window: moving average over the 3 preceding orders
+    per customer (SURVEY §2.5 time-series resampling family)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.avg("o_totalprice").over(w), 6).alias("moving_avg"),
+        F.count("*").over(w).alias("frame_size"),
+    )
+
+
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP hierarchy totals: (region, nation) -> region -> grand total."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dsum(F.col("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    """Left-semi join: customers having at least one 300k+ order (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_percentile_agg(spark, sf_dir):
+    """Exact interpolated percentiles per group (median/p90)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_salted_join_agg(spark, sf_dir):
+    """Skew-resistant salted join (operators.skew): result provably equals
+    the plain join, so the oracle is the unsalted SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = salted_join(li, p, "l_partkey", "p_partkey", num_salts=8)
+    return joined.groupBy("p_type").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_revision_topk(spark, sf_dir):
+    """EP3 end-to-end: revision log -> equality filter -> sort desc -> top-k
+    (Catalyst plans TakeOrderedAndProject, no global sort)."""
+    existing, incoming = _merge_frames(spark, sf_dir)
+    res = smart_update(existing, incoming, ["okey"], ["total"], "orders_sim", run_ts=RUN_TS)
+    return (
+        res.revisions.filter(
+            (F.col("dataset") == "orders_sim") & (F.col("value_field") == "total")
+        )
+        .orderBy(F.desc("revision_date"), F.desc("data_date"))
+        .limit(20)
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL sketch aggregation (rows-only: approx values are engine-specific;
+    the exact companion column is what a correctness reader checks)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # smart_update / revision audit (J1) exercised at volume over orders
 # ---------------------------------------------------------------------------
@@ -452,8 +581,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "pivot_export": q_pivot_export,
         "fiscal_calendar": q_fiscal_calendar,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "rolling_avg": q_rolling_avg,
+        "rollup_agg": q_rollup_agg,
+        "semi_join": q_semi_join,
+        "percentile_agg": q_percentile_agg,
+        "salted_join_agg": q_salted_join_agg,
         "merge_inserts": q_merge_inserts,
         "merge_revisions": q_merge_revisions,
+        "revision_topk": q_revision_topk,
+        "approx_distinct": q_approx_distinct,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
@@ -610,6 +748,84 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Apr-Jun' END AS fiscal_quarter,
                    CAST(date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH AS DATE) AS quarter_rollover
             FROM orders
+        """,
+        "asof_join": """
+            WITH u AS (
+              SELECT user_id, ts, 0 AS side, event_id AS seq,
+                     {'ts': ts, 'event_id': event_id, 'value': value} AS r,
+                     NULL::BIGINT AS pid
+              FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id, ts, 1, 0, NULL, event_id
+              FROM events WHERE event_type = 'purchase'),
+            w AS (
+              SELECT *, last_value(r IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, side, seq
+                ROWS UNBOUNDED PRECEDING) AS m
+              FROM u)
+            SELECT pid AS event_id, ts, user_id,
+                   m.ts AS click_ts, m.event_id AS click_id,
+                   round(m.value, 6) AS click_value
+            FROM w WHERE side = 1
+        """,
+        "range_join": """
+            SELECT event_id, value, band_id
+            FROM events
+            JOIN (SELECT i AS band_id, i * 50.0 AS lo, i * 50.0 + 75.0 AS hi
+                  FROM range(0, 10) t(i)) bands
+              ON lo <= value AND value < hi
+        """,
+        "rolling_avg": """
+            SELECT o_orderkey, o_custkey,
+                   round(AVG(o_totalprice) OVER w, 6) AS moving_avg,
+                   COUNT(*) OVER w AS frame_size
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "rollup_agg": """
+            SELECT r_name, n_name, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        """,
+        "percentile_agg": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+                   COUNT(*) AS n
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "salted_join_agg": """
+            SELECT p_type,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type
+        """,
+        "revision_topk": """
+            WITH existing AS (
+              SELECT o_orderkey AS okey, o_totalprice AS total FROM orders WHERE o_orderkey % 3 = 0),
+            incoming AS (
+              SELECT o_orderkey AS okey,
+                     CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS total
+              FROM orders WHERE o_orderkey % 2 = 0)
+            SELECT 'orders_sim' AS dataset,
+                   CAST(i.okey AS VARCHAR) AS data_date,
+                   'total' AS value_field,
+                   e.total AS old_value,
+                   i.total AS new_value,
+                   TIMESTAMP '2025-06-01 00:00:00' AS revision_date
+            FROM incoming i JOIN existing e ON i.okey = e.okey
+            WHERE abs(i.total - e.total) > 0.001
+            ORDER BY revision_date DESC, data_date DESC LIMIT 20
         """,
         "merge_inserts": """
             WITH existing AS (

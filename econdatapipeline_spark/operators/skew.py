@@ -1,0 +1,67 @@
+"""Skew-mitigation join strategies for hot keys.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime by splitting oversized partitions. Salting is the explicit,
+planner-independent fallback for the pathological case: one key holding
+a double-digit percentage of a 100 TB fact table, where even a split
+partition re-concentrates on the same reducer set.
+
+``salted_join``: the fact side gets a deterministic per-row salt in
+[0, n); the dim side is exploded n-fold with every salt value. The join
+key becomes (key, salt), spreading each hot key over n reducers. Result
+set is provably identical to the unsalted join (each fact row meets
+exactly the one dim replica carrying its salt). Cost: dim side x n —
+only ever salt against a small-to-medium dim side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_salts: int = 8,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the hot-key shuffle spread over ``num_salts`` reducers.
+
+    salt_source: fact column whose hash drives the salt (defaults to the
+    join key itself XOR'd through xxhash64 with a row-varying component
+    is NOT possible without a unique column — pass a unique/quasi-unique
+    column for real spreading; key-only salting is a no-op spread).
+    """
+    src = F.col(salt_source) if salt_source else F.spark_partition_id()
+    f = fact.withColumn("__salt", F.pmod(F.xxhash64(src), F.lit(num_salts)))
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(num_salts)]))
+    )
+    joined = f.join(
+        d,
+        (f["__salt"] == d["__salt"]) & (F.col(fact_key) == F.col(dim_key)),
+        how,
+    )
+    return joined.drop("__salt")
+
+
+def top_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:
+    """Hot-key diagnostic: the n heaviest join keys and their share.
+
+    Run this before choosing num_salts — salt count should roughly match
+    (hot key rows) / (target partition rows).
+    """
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+        .orderBy(F.desc("n_rows"), F.asc(key))
+        .limit(n)
+    )
