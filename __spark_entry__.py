@@ -523,6 +523,19 @@ def q_ann_lsh(spark, sf_dir):
     return SIM.lsh_topk(e, queries, k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (rows-only: k-means cell boundaries aren't SQL-portable;
+    tests/test_ivf.py proves exhaustive-probe == brute force exactly and
+    recall@5 > 0.5 at nprobe=nlist/2)."""
+    from econdatapipeline_spark.operators.ivf import build_index, ivf_topk, train_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3)
+    cents = train_centroids(e, nlist=8, iterations=2)
+    idx = build_index(e, cents)
+    return ivf_topk(idx, cents, queries, k=5, nprobe=4)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dups(e, threshold=0.2)
@@ -606,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norms": q_vector_norms,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
     }

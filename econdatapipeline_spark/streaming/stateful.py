@@ -1,0 +1,71 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+Where windows.py covers the declarative window surface (tumbling /
+sliding / session + watermark), this module is the escape hatch for
+state machines Spark's built-ins can't express: arbitrary per-key state
+carried across micro-batches, updated by an Arrow-batched Python
+kernel. The canonical training-data-pipeline uses: running per-user
+aggregates for rate limiting / quota tracking, and custom sessionizers
+whose close conditions aren't a fixed gap.
+
+Scale notes: state lives in the state store keyed by the grouping
+columns — one shuffle per batch on the key, state size O(distinct
+keys), not O(events). Kernels receive whole per-key pandas chunks
+(Arrow transfer), so the Python boundary is batch-granular, never
+per-row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _running_totals_kernel(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n, total) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user lifetime (n_events, total_value), updated every batch.
+
+    State: one (count, sum) pair per user, carried across micro-batches
+    — the streaming generalization of the reference's per-dataset
+    watermark bookkeeping (azure_connector.py:552-617), where the
+    'state' is whatever the pipeline must remember between runs.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_kernel,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,52 @@
+"""Tests: IVF ANN — index shape, determinism, recall vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.operators.ivf import build_index, ivf_topk, train_centroids
+from econdatapipeline_spark.operators.similarity import brute_force_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_centroid_table_shape(spark):
+    e = _embeddings(spark)
+    cents = train_centroids(e, nlist=8, iterations=1)
+    rows = cents.collect()
+    assert {r["cluster"] for r in rows} <= set(range(8))
+    dim = len(rows[0]["centroid"])
+    assert all(len(r["centroid"]) == dim for r in rows)
+
+
+def test_index_covers_corpus_and_is_deterministic(spark):
+    e = _embeddings(spark)
+    cents = train_centroids(e, nlist=8, iterations=2)
+    idx1 = build_index(e, cents)
+    idx2 = build_index(e, cents)
+    n = e.count()
+    assert idx1.count() == n
+    a = sorted((r["vec_id"], r["cluster"]) for r in idx1.select("vec_id", "cluster").collect())
+    b = sorted((r["vec_id"], r["cluster"]) for r in idx2.select("vec_id", "cluster").collect())
+    assert a == b
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    e = _embeddings(spark)
+    queries = e.filter(F.col("vec_id") < 5)
+    cents = train_centroids(e, nlist=8, iterations=2)
+    idx = build_index(e, cents)
+    # probing every cell == exhaustive: must exactly match brute force
+    exact = ivf_topk(idx, cents, queries, k=5, nprobe=8)
+    bf = brute_force_topk(e, queries, k=5)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, bf.collect()))
+    # probing half the cells: recall@5 should stay useful (> 0.5)
+    approx = ivf_topk(idx, cents, queries, k=5, nprobe=4)
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    ap_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(bf_pairs & ap_pairs) / len(bf_pairs)
+    assert recall > 0.5

@@ -1,0 +1,73 @@
+"""applyInPandasWithState: state must accumulate across micro-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+from econdatapipeline_spark.streaming.stateful import running_user_totals
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def dirs():
+    src = tempfile.mkdtemp()
+    ckpt = tempfile.mkdtemp()
+    yield src, ckpt
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _write_batch(spark, src_dir: str, rows, name: str):
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, name))
+
+
+def _run_once(spark, src_dir: str, ckpt: str):
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(src_dir)
+    collected: list = []
+
+    def sink(batch_df, _batch_id):
+        collected.extend(batch_df.collect())
+
+    q = (
+        running_user_totals(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return collected
+
+
+def test_state_accumulates_across_batches(spark, dirs):
+    src, ckpt = dirs
+    t0 = dt.datetime(2024, 1, 1)
+    _write_batch(spark, src, [(1, t0, 10.0), (1, t0, 5.0), (2, t0, 1.0)], "b0")
+    out1 = _run_once(spark, src, ckpt)
+    got1 = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out1}
+    assert got1 == {1: (2, 15.0), 2: (1, 1.0)}
+
+    # second batch: new file, same checkpoint -> state carries over
+    _write_batch(spark, src, [(1, t0, 2.5), (3, t0, 7.0)], "b1")
+    out2 = _run_once(spark, src, ckpt)
+    got2 = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out2}
+    assert got2[1] == (3, 17.5)  # accumulated across batches
+    assert got2[3] == (1, 7.0)
+    assert 2 not in got2  # update mode: untouched keys not re-emitted
