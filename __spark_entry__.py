@@ -36,6 +36,53 @@ from econdatapipeline_spark.streaming import windows as SW
 RUN_TS = dt.datetime(2025, 6, 1, 0, 0, 0)
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
+# ---------------------------------------------------------------------------
+# Literal source fixtures for the ingestion normalizers (S1-S3, T1-T5,
+# F1-F9). The oracle SQL is generated from the SAME constants, so both
+# engines re-derive dates/values from identical raw cells.
+# ---------------------------------------------------------------------------
+EDB_MONTHS = [
+    "July", "August", "September", "October", "November", "December",
+    "January", "February", "March", "April", "May", "June",
+]
+EDB_YEARS = list(range(2016, 2026))
+
+
+def _edb_cell(i: int, j: int) -> str:
+    if (i, j) == (3, 2):
+        return "N/A"  # junk cell -> coerced to null -> dropped
+    return f"{100 + i * 7 + j * 13}.25"
+
+
+def _edb_grid() -> list[list[str]]:
+    rows: list[list[str]] = [["Month"] + [str(y) for y in EDB_YEARS]]
+    for i, m in enumerate(EDB_MONTHS):
+        rows.append([m] + [_edb_cell(i, j) for j in range(len(EDB_YEARS))])
+    rows.append(["Total"] + ["999"] * len(EDB_YEARS))  # junk label row
+    return rows
+
+
+FRED_OBSERVATIONS = {
+    "observations": [
+        {"date": "2023-01-01", "value": "1204.6"},
+        {"date": "2023-04-01", "value": "."},      # missing sentinel
+        {"date": "2023-07-01", "value": "1310.2"},
+        {"date": "2023-10-01", "value": "junk"},   # coercion failure
+        {"date": "2024-01-01", "value": "1412.9"},
+    ]
+}
+
+NYU_ROWS = [
+    {"Start of month": "2024-01-01", "T.Bond Rate": "4.2%",
+     "ERP (T12m)": "0.0456", "Expected Return": "8.66"},
+    {"Start of month": "2024-02-01", "T.Bond Rate": "0.0411",
+     "ERP (T12m)": "4.7%", "Expected Return": "0.0851"},
+    {"Start of month": "2024-03-01", "T.Bond Rate": "junk",
+     "ERP (T12m)": "0.05", "Expected Return": "0.09"},  # dropped (null)
+    {"Start of month": "2024-04-01", "T.Bond Rate": "0.198",
+     "ERP (T12m)": "0.21", "Expected Return": "5.0%"},
+]
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
@@ -252,6 +299,43 @@ def q_fiscal_calendar(spark, sf_dir):
         qlabel.alias("fiscal_quarter"),
         F.add_months(F.date_trunc("quarter", "o_orderdate"), 3).cast("date").alias("quarter_rollover"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingestion normalizers under the oracle gate (S1-S3, T1-T5, F1-F9)
+# ---------------------------------------------------------------------------
+
+def q_edb_normalize(spark, sf_dir):
+    """EDB fiscal grid -> long table: header promotion, melt, month-name
+    map, fiscal->calendar shift, coerce, dropna (the reference's main
+    ingestion vertical, azure_common_scrapers.py:117-140)."""
+    from econdatapipeline_spark.registry import DatasetSpec
+    from econdatapipeline_spark.sources.excel_grid import normalize_edb_grid
+
+    spec = DatasetSpec(name="autosales", source="edb_monthly", value_columns=("sales",))
+    return normalize_edb_grid(spark, _edb_grid(), spec)
+
+
+def q_fred_normalize(spark, sf_dir):
+    """FRED quarterly int series: '.' sentinel, coerce-or-null, +3-month
+    quarter adjust, round-to-long (azure_fred_scraper.py:62-156)."""
+    from econdatapipeline_spark.registry import DatasetSpec
+    from econdatapipeline_spark.sources.fred import normalize_fred_observations
+
+    spec = DatasetSpec(
+        name="gdp_now", source="fred", value_columns=("gdp_now",),
+        value_type="long", frequency="q",
+    )
+    return normalize_fred_observations(spark, FRED_OBSERVATIONS, spec)
+
+
+def q_nyu_normalize(spark, sf_dir):
+    """NYU ERP sheet: fuzzy headers + mixed percent-format heuristic
+    ('4.2%' strip-divide; bare >0.2 treated as percent;
+    azure_nyu_scraper.py:94-152)."""
+    from econdatapipeline_spark.sources.nyu import normalize_nyu_sheet
+
+    return normalize_nyu_sheet(spark, NYU_ROWS)
 
 
 def q_asof_join(spark, sf_dir):
@@ -579,6 +663,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "edb_normalize": q_edb_normalize,
+        "fred_normalize": q_fred_normalize,
+        "nyu_normalize": q_nyu_normalize,
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
         "point_lookup": q_point_lookup,
@@ -652,7 +739,71 @@ def oracle_sql() -> dict[str, str]:
         "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
         " CAST(c.embedding AS DOUBLE[])), 6)"
     )
+    month_num = {
+        "January": 1, "February": 2, "March": 3, "April": 4, "May": 5,
+        "June": 6, "July": 7, "August": 8, "September": 9, "October": 10,
+        "November": 11, "December": 12,
+    }
+    edb_cells = [
+        f"('{m}', {y}, '{_edb_cell(i, j)}')"
+        for i, m in enumerate(EDB_MONTHS)
+        for j, y in enumerate(EDB_YEARS)
+    ] + [f"('Total', {y}, '999')" for y in EDB_YEARS]
+    month_case = (
+        "CASE m "
+        + " ".join(f"WHEN '{m}' THEN {n}" for m, n in month_num.items())
+        + " END"
+    )
+    fred_cells = [
+        f"('{o['date']}', '{o['value']}')" for o in FRED_OBSERVATIONS["observations"]
+    ]
+    nyu_cells = [
+        "('{}', '{}', '{}', '{}')".format(
+            r["Start of month"], r["T.Bond Rate"], r["ERP (T12m)"], r["Expected Return"]
+        )
+        for r in NYU_ROWS
+    ]
+
+    def pp(c: str) -> str:
+        t = f"trim({c})"
+        return (
+            f"CASE WHEN contains({t}, '%') THEN TRY_CAST(replace({t}, '%', '') AS DOUBLE) / 100.0 "
+            f"WHEN TRY_CAST({t} AS DOUBLE) > 0.2 THEN TRY_CAST({t} AS DOUBLE) / 100.0 "
+            f"ELSE TRY_CAST({t} AS DOUBLE) END"
+        )
+
     return {
+        "edb_normalize": f"""
+            WITH raw(m, fy, v) AS (VALUES {", ".join(edb_cells)}),
+            typed AS (
+              SELECT {month_case} AS mn, fy, TRY_CAST(v AS DOUBLE) AS sales
+              FROM raw)
+            SELECT make_date(CASE WHEN mn >= 7 THEN fy - 1 ELSE fy END, mn, 1) AS date,
+                   sales
+            FROM typed WHERE mn IS NOT NULL AND sales IS NOT NULL
+        """,
+        "fred_normalize": f"""
+            WITH raw(d, v) AS (VALUES {", ".join(fred_cells)}),
+            typed AS (
+              SELECT CAST(d AS DATE) AS d0,
+                     TRY_CAST(CASE WHEN v = '.' THEN NULL ELSE v END AS DOUBLE) AS val
+              FROM raw)
+            SELECT CAST(d0 + INTERVAL 3 MONTH AS DATE) AS date,
+                   CAST(round(val) AS BIGINT) AS gdp_now
+            FROM typed WHERE d0 IS NOT NULL AND val IS NOT NULL
+        """,
+        "nyu_normalize": f"""
+            WITH raw(d, tb, erp, er) AS (VALUES {", ".join(nyu_cells)})
+            SELECT CAST(d AS DATE) AS date,
+                   {pp('tb')} AS tbond_rate,
+                   {pp('erp')} AS erp_t12m,
+                   {pp('er')} AS expected_return
+            FROM raw
+            WHERE CAST(d AS DATE) IS NOT NULL
+              AND {pp('tb')} IS NOT NULL
+              AND {pp('erp')} IS NOT NULL
+              AND {pp('er')} IS NOT NULL
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
