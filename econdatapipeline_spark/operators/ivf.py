@@ -75,6 +75,8 @@ def train_centroids(
         (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cluster"),
     )
     centroids = seeds.select("cluster", "centroid")
+    spark = corpus.sparkSession
+    schema = "cluster int, centroid array<float>"
     for _ in range(iterations):
         assigned = _assign(corpus, centroids, id_col, vec_col)
         dims = assigned.select(
@@ -83,13 +85,19 @@ def train_centroids(
         means = dims.groupBy("cluster", "pos").agg(
             F.avg(F.col("x").cast("double")).alias("m")
         )
-        centroids = (
+        updated = (
             means.groupBy("cluster")
             .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
                 "cluster",
                 F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias("centroid"),
             )
+        )
+        # Materialize the (nlist x dim) state each round — the standard
+        # iterative-algorithm pattern: without it, iteration k's lazy plan
+        # re-executes iterations 1..k-1, and plan depth grows linearly.
+        centroids = spark.createDataFrame(
+            [(r["cluster"], r["centroid"]) for r in updated.collect()], schema
         )
     return centroids
 
