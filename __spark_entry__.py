@@ -62,6 +62,19 @@ def _edb_grid() -> list[list[str]]:
     return rows
 
 
+EDB_QUARTERS = ["Jul-Sep", "Oct-Dec", "Jan-Mar", "Apr-Jun"]
+
+
+def _edb_qgrid() -> list[list[str]]:
+    rows: list[list[str]] = [["Quarter"] + [str(y) for y in EDB_YEARS]]
+    for i, q in enumerate(EDB_QUARTERS):
+        rows.append(
+            [f" {q} "]  # label with stray whitespace (trimmed by the engine)
+            + [f"{50 + i * 11 + j * 3}.5" for j in range(len(EDB_YEARS))]
+        )
+    return rows
+
+
 FRED_OBSERVATIONS = {
     "observations": [
         {"date": "2023-01-01", "value": "1204.6"},
@@ -314,6 +327,17 @@ def q_edb_normalize(spark, sf_dir):
 
     spec = DatasetSpec(name="autosales", source="edb_monthly", value_columns=("sales",))
     return normalize_edb_grid(spark, _edb_grid(), spec)
+
+
+def q_edb_quarterly_normalize(spark, sf_dir):
+    """EDB quarterly grid: fiscal quarter label -> first of the month
+    after quarter end, Jul-Sep belonging to the prior calendar year
+    (azure_common_scrapers.py:239-265)."""
+    from econdatapipeline_spark.registry import DatasetSpec
+    from econdatapipeline_spark.sources.excel_grid import normalize_edb_grid
+
+    spec = DatasetSpec(name="imports", source="edb_quarterly", value_columns=("value",))
+    return normalize_edb_grid(spark, _edb_qgrid(), spec, quarterly=True)
 
 
 def q_fred_normalize(spark, sf_dir):
@@ -576,6 +600,64 @@ def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.2)
 
 
+def q_minhash_lsh(spark, sf_dir):
+    """Full MinHash+LSH near-dup pipeline: 16-hash signature -> 4 band
+    digests -> band-bucket self-join -> estimated Jaccard per candidate
+    pair (md5-based by design so any SQL oracle can replay it)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_candidates(d, num_hashes=16, bands=4, shingle_n=3)
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish subword pretokenizer: words / numbers / punctuation runs
+    as separate tokens (regex approximation of byte-pair pretokenizers)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.bpe_ish_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.element_at(toks, 1).alias("first_token"),
+    )
+
+
+def q_resize_meta(spark, sf_dir):
+    """Multimodal resize planning: aspect-preserving geometry from typed
+    metadata, no decode (operators/multimodal.resize_meta)."""
+    from econdatapipeline_spark.operators.multimodal import resize_meta
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.struct(
+            F.when(F.col("doc_id") % 2 == 0, 512).otherwise(200).cast("int").alias("width"),
+            ((F.col("doc_id") % 8) * 64 + 64).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("png").alias("codec"),
+        ).alias("meta"),
+    )
+    return resize_meta(media, max_side=256)
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: one row per sampled frame timestamp via
+    sequence+explode on metadata duration (multimodal.frame_sample_plan)."""
+    from econdatapipeline_spark.operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 5) * 2500).cast("long").alias("duration_ms"),
+            F.lit("h264").alias("codec"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints (rows-only: DuckDB lacks the same bit kernel)."""
     d = _t(spark, sf_dir, "documents")
@@ -664,6 +746,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edb_normalize": q_edb_normalize,
+        "edb_quarterly_normalize": q_edb_quarterly_normalize,
         "fred_normalize": q_fred_normalize,
         "nyu_normalize": q_nyu_normalize,
         "pricing_summary": q_pricing_summary,
@@ -701,8 +784,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
+        "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "bpe_tokens": q_bpe_tokens,
+        "resize_meta": q_resize_meta,
+        "frame_sample": q_frame_sample,
         "vector_norms": q_vector_norms,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -754,6 +841,11 @@ def oracle_sql() -> dict[str, str]:
         + " ".join(f"WHEN '{m}' THEN {n}" for m, n in month_num.items())
         + " END"
     )
+    edb_qcells = [
+        f"(' {q} ', {y}, '{50 + i * 11 + j * 3}.5')"
+        for i, q in enumerate(EDB_QUARTERS)
+        for j, y in enumerate(EDB_YEARS)
+    ]
     fred_cells = [
         f"('{o['date']}', '{o['value']}')" for o in FRED_OBSERVATIONS["observations"]
     ]
@@ -781,6 +873,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT make_date(CASE WHEN mn >= 7 THEN fy - 1 ELSE fy END, mn, 1) AS date,
                    sales
             FROM typed WHERE mn IS NOT NULL AND sales IS NOT NULL
+        """,
+        "edb_quarterly_normalize": f"""
+            WITH raw(q, fy, v) AS (VALUES {", ".join(edb_qcells)})
+            SELECT make_date(
+                     fy + CASE trim(q) WHEN 'Jul-Sep' THEN -1 ELSE 0 END,
+                     CASE trim(q) WHEN 'Jul-Sep' THEN 10 WHEN 'Oct-Dec' THEN 1
+                                  WHEN 'Jan-Mar' THEN 4 ELSE 7 END,
+                     1) AS date,
+                   TRY_CAST(v AS DOUBLE) AS value
+            FROM raw
+            WHERE TRY_CAST(v AS DOUBLE) IS NOT NULL
         """,
         "fred_normalize": f"""
             WITH raw(d, v) AS (VALUES {", ".join(fred_cells)}),
@@ -1114,6 +1217,59 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform({shingle}, s -> md5(concat('1_', s)))) AS mh1,
                    list_min(list_transform({shingle}, s -> md5(concat('2_', s)))) AS mh2,
                    list_min(list_transform({shingle}, s -> md5(concat('3_', s)))) AS mh3
+            FROM documents
+        """,
+        "minhash_lsh": f"""
+            WITH sig AS (
+              SELECT doc_id,
+                     list_transform(range(0, 16), i ->
+                       list_min(list_transform({shingle}, s -> md5(concat(i, '_', s))))) AS sig
+              FROM documents),
+            banded AS (
+              SELECT doc_id, sig, b AS band_idx,
+                     md5(array_to_string(list_slice(sig, b*4+1, b*4+4), '|')) AS band_key
+              FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   round(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0, 6)
+                     AS est_jaccard
+            FROM pairs
+        """,
+        "bpe_tokens": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   len(toks) AS n_subtokens,
+                   len(list_distinct(toks)) AS n_unique,
+                   toks[1] AS first_token
+            FROM t
+        """,
+        "resize_meta": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 512 ELSE 200 END AS w,
+                     (doc_id % 8) * 64 + 64 AS h
+              FROM documents),
+            s AS (
+              SELECT media_id, w, h,
+                     CASE WHEN greatest(w, h) > 256
+                          THEN 256.0 / greatest(w, h) ELSE 1.0 END AS scale
+              FROM m)
+            SELECT media_id, 'image' AS media_type,
+                   CAST(round(w * scale) AS INTEGER) AS out_width,
+                   CAST(round(h * scale) AS INTEGER) AS out_height
+            FROM s
+        """,
+        "frame_sample": """
+            SELECT doc_id AS media_id,
+                   unnest(range(0, (doc_id % 5) * 2500 + 1, 1000)) AS frame_ts_ms
             FROM documents
         """,
         "ngram_jaccard": f"""
