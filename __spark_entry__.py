@@ -1220,14 +1220,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_lsh": f"""
-            WITH sig AS (
+            WITH hashed AS (
+              SELECT doc_id,
+                     list_transform({shingle}, s ->
+                       CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h1,
+                     list_transform({shingle}, s ->
+                       CAST('0x' || substr(md5(s), 17, 14) AS BIGINT)) AS h2
+              FROM documents),
+            sig AS (
               SELECT doc_id,
                      list_transform(range(0, 16), i ->
-                       list_min(list_transform({shingle}, s -> md5(concat(i, '_', s))))) AS sig
-              FROM documents),
+                       list_min(list_transform(range(1, len(h1) + 1), j ->
+                         (h1[j] + i * h2[j]) % 2305843009213693951))) AS sig
+              FROM hashed),
             banded AS (
               SELECT doc_id, sig, b AS band_idx,
-                     md5(array_to_string(list_slice(sig, b*4+1, b*4+4), '|')) AS band_key
+                     array_to_string(list_transform(
+                       list_slice(sig, b*4+1, b*4+4), x -> CAST(x AS VARCHAR)), '|') AS band_key
               FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
             pairs AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

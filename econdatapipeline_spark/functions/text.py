@@ -143,30 +143,44 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+MERSENNE61 = (1 << 61) - 1
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: array of per-seed minima of md5(seed || shingle).
+    """MinHash signature as array<long>: one md5 base hash per shingle,
+    expanded into an affine family h_i(x) = (h1 + i*h2) mod (2^61 - 1).
 
-    min over hex strings == min over the corresponding 128-bit ints, so
-    string ordering is a valid (and engine-portable) hash ordering.
+    The standard one-hash trick: num_hashes seeded md5 calls per shingle
+    would dominate the operator (md5 is the expensive part; the affine
+    expansion is integer math). h1 is the first 60 bits of the md5, h2
+    the next 56, so (h1 + 15*h2) < 2^61 never overflows int64 — and the
+    identical arithmetic runs in any SQL engine ('0x'||substr cast), so
+    signatures stay oracle-checkable.
     """
-    # NB: the lambda must be single-argument — F.transform interprets a
-    # two-argument lambda as (element, index), so a default-arg seed
-    # (lambda s, i=i: ...) silently binds the seed to the array index.
-    def seeded(i: int):
-        prefix = F.lit(f"{i}_")
-        return lambda s: F.md5(F.concat(prefix, s))
+    hs = F.transform(shingle_col, F.md5)
+    h1 = F.transform(hs, lambda m: F.conv(F.substring(m, 1, 15), 16, 10).cast("long"))
+    h2 = F.transform(hs, lambda m: F.conv(F.substring(m, 17, 14), 16, 10).cast("long"))
 
-    sigs = [
-        F.array_min(F.transform(shingle_col, seeded(i))) for i in range(num_hashes)
-    ]
+    def affine(i: int):
+        return lambda a, b: (a + F.lit(i) * b) % F.lit(MERSENNE61)
+
+    sigs = [F.array_min(F.zip_with(h1, h2, affine(i))) for i in range(num_hashes)]
     return F.array(*sigs)
 
 
 def minhash_bands(signature: Column, bands: int, rows: int) -> Column:
-    """LSH banding: hash each band of `rows` signature values -> array<string>."""
+    """LSH banding: join each band of `rows` signature values into one
+    equality key -> array<string>. Plain concatenation — the band key
+    only needs determinism and equality, not another hash pass."""
     return F.array(
         *[
-            F.md5(F.array_join(F.slice(signature, b * rows + 1, rows), "|"))
+            F.array_join(
+                F.transform(
+                    F.slice(signature, b * rows + 1, rows),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            )
             for b in range(bands)
         ]
     )

@@ -23,9 +23,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from econdatapipeline_spark.functions.text import (
+    MERSENNE61,
     fingerprint,
     minhash_bands,
-    minhash_signature,
     shingles,
     tokenize,
 )
@@ -58,6 +58,43 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures via explode + aggregate.
+
+    Same affine family as functions.text.minhash_signature — one md5
+    base hash per shingle, h_i = (h1 + i*h2) mod (2^61 - 1) — but
+    computed as ordinary row expressions + one grouped aggregation with
+    num_hashes MIN columns. Everything stays inside whole-stage codegen
+    (higher-order array lambdas are interpreted; at 4M+ hash evaluations
+    that is the difference), and the shuffle is one keyed agg of
+    (id, h1, h2) rows with map-side partial MINs.
+    """
+    ex = fan_out(df).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    m = F.md5("s")
+    hashed = ex.select(
+        id_col,
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 17, 14), 16, 10).cast("long").alias("h2"),
+    )
+    mins = [
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MERSENNE61)).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*mins)
+        .select(id_col, F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -74,10 +111,7 @@ def minhash_lsh_candidates(
     fraction of agreeing signature positions.
     """
     rows = num_hashes // bands
-    sig = fan_out(df).select(
-        F.col(id_col),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = sig.select(
         id_col,
         "sig",
