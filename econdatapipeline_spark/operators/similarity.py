@@ -58,6 +58,65 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k with an Arrow-batched numpy kernel.
+
+    The cluster-scale form of brute force: the query block (small by
+    contract) ships to every task as a dense normalized matrix; each
+    Arrow batch of the corpus is scored as one BLAS matmul and reduced
+    to a per-batch top-k, so the shuffle carries at most
+    (partitions x queries x k) candidate rows into the final global
+    top-k window. Column-expression cosine (brute_force_topk) keeps
+    everything JVM-side but evaluates interpreted per element;
+    numpy-over-Arrow trades one Python boundary for vectorized math —
+    the right side of the trade once vectors x dims dominate.
+
+    Same output contract as brute_force_topk (ties broken by neighbor
+    id); cos values agree to float rounding (sum order differs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    schema = "query_id long, neighbor_id long, cos double"
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qm.T  # (corpus_batch, n_queries)
+            top = min(k + 1, len(ids))  # +1 absorbs a potential self-match
+            part = np.argpartition(-sims, top - 1, axis=0)[:top]
+            out = {
+                "query_id": np.repeat(q_ids, top),
+                "neighbor_id": ids[part].T.ravel(),
+                "cos": np.round(np.take_along_axis(sims, part, axis=0).T.ravel(), 6),
+            }
+            yield pd.DataFrame(out)
+
+    cand = fan_out(corpus).select(id_col, vec_col).mapInPandas(kernel, schema)
+    cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

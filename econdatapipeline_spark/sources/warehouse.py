@@ -101,6 +101,34 @@ class Warehouse:
         """Blind append (revision log path — no read-modify-write)."""
         df.write.mode("append").parquet(self.path(table))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        num_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Bucketed (hash-clustered) external table for co-located joins.
+
+        Two tables bucketed by the same key with the same bucket count
+        join with ZERO exchange — each task reads matching bucket files
+        from both sides. At 100 TB this is how the fact-to-fact joins
+        (e.g. lineitem x orders on orderkey) avoid reshuffling the big
+        side on every query: the shuffle is paid once at write time.
+        Read back via ``spark.table(table)`` — bucket metadata lives in
+        the catalog, not the files.
+        """
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, *bucket_cols)
+            .option("path", self.path(table))
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+
     def apply_merge(self, result, table: str,
                     partition_cols: list[str] | None = None) -> dict[str, int]:
         """Commit one smart_update batch: revisions, then table swap.

@@ -109,3 +109,31 @@ def test_revision_on_changed_refetch(spark, wh):
     revs = wh.revisions().filter("dataset = 'federalfundsrate'").collect()
     assert len(revs) == 1
     assert revs[0]["old_value"] == 2.5 and revs[0]["new_value"] == 9.9
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed tables must sort-merge-join with zero shuffle."""
+    from econdatapipeline_spark.sources.warehouse import Warehouse
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path))
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    wh.write_bucketed(left, "bjoin_left", ["k"], num_buckets=8, sort_cols=["k"])
+    wh.write_bucketed(right, "bjoin_right", ["k"], num_buckets=8, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bjoin_left").join(spark.table("bjoin_right"), "k")
+        assert joined.count() == 5_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bjoin_left")
+        spark.sql("DROP TABLE IF EXISTS bjoin_right")

@@ -62,3 +62,17 @@ def test_embedding_near_dups_symmetric_pairs(spark, emb):
     for r in pairs:
         assert r["id_a"] < r["id_b"]
         assert r["cos"] >= 0.9
+
+
+def test_arrow_bruteforce_matches_expression_form(spark):
+    from econdatapipeline_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 4)
+    expr = brute_force_topk(e, queries, k=5).collect()
+    arrow = brute_force_topk_arrow(e, queries, k=5).collect()
+    assert sorted(map(tuple, expr)) == sorted(map(tuple, arrow))
