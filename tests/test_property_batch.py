@@ -1,0 +1,147 @@
+"""Batched property tests: column expressions vs pure-Python references.
+
+Each test generates a few thousand deterministic cases (seeded RNG),
+evaluates the engine's column expression over the whole batch in ONE
+Spark job, and compares against an independent Python implementation of
+the reference semantics. This covers the combinatorial input space the
+golden fixtures can't (every month x year, every percent format branch,
+junk strings), while staying fast (no per-example Spark round trips).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.functions.dates import (
+    MONTH_NUMBERS,
+    QUARTER_MAP,
+    fiscal_monthly_date,
+    fiscal_quarterly_date,
+    fred_quarterly_adjust,
+)
+from econdatapipeline_spark.functions.parsing import coerce_numeric, parse_percent
+
+
+def test_fiscal_monthly_exhaustive(spark):
+    cases = [
+        (m, y) for m in [*MONTH_NUMBERS, "Total", "garbage"] for y in range(1990, 2031)
+    ]
+    df = spark.createDataFrame(cases, "m string, fy int")
+    got = {
+        (r["m"], r["fy"]): r["d"]
+        for r in df.select("m", "fy", fiscal_monthly_date(F.col("m"), F.col("fy")).alias("d")).collect()
+    }
+    for m, y in cases:
+        if m in MONTH_NUMBERS:
+            num = MONTH_NUMBERS[m]
+            expect = dt.date(y - 1 if num >= 7 else y, num, 1)
+        else:
+            expect = None
+        assert got[(m, y)] == expect, (m, y)
+
+
+def test_fiscal_quarterly_exhaustive(spark):
+    cases = [(q, y) for q in [*QUARTER_MAP, "Jul-Aug", ""] for y in range(1990, 2031)]
+    df = spark.createDataFrame(cases, "q string, fy int")
+    got = {
+        (r["q"], r["fy"]): r["d"]
+        for r in df.select(
+            "q", "fy", fiscal_quarterly_date(F.col("q"), F.col("fy")).alias("d")
+        ).collect()
+    }
+    for q, y in cases:
+        if q in QUARTER_MAP:
+            month, offset = QUARTER_MAP[q]
+            expect = dt.date(y + offset, month, 1)
+        else:
+            expect = None
+        assert got[(q, y)] == expect, (q, y)
+
+
+def test_fred_quarterly_adjust_all_quarters(spark):
+    dates = [dt.date(y, m, 1) for y in range(1990, 2031) for m in (1, 4, 7, 10)]
+    df = spark.createDataFrame([(d,) for d in dates], "d date")
+    got = dict(
+        (r["d"], r["adj"])
+        for r in df.select("d", fred_quarterly_adjust(F.col("d")).alias("adj")).collect()
+    )
+    for d in dates:
+        # first day of quarter -> first day of month after quarter end
+        ny, nm = (d.year + 1, 1) if d.month == 10 else (d.year, d.month + 3)
+        assert got[d] == dt.date(ny, nm, 1), d
+
+
+def _python_parse_percent(s):
+    """Reference semantics (azure_nyu_scraper.py:131-152)."""
+    if s is None:
+        return None
+    t = str(s).strip()
+    if "%" in t:
+        try:
+            return float(t.replace("%", "")) / 100.0
+        except ValueError:
+            return None
+    try:
+        v = float(t)
+    except ValueError:
+        return None
+    return v / 100.0 if v > 0.2 else v
+
+
+def test_parse_percent_generated(spark):
+    rng = random.Random(42)
+    cases = []
+    for _ in range(2000):
+        pick = rng.random()
+        if pick < 0.3:
+            cases.append(f"{rng.uniform(-20, 20):.4f}%")
+        elif pick < 0.6:
+            cases.append(f"{rng.uniform(-1, 30):.6f}")
+        elif pick < 0.7:
+            cases.append(f"  {rng.uniform(0, 1):.3f}  ")
+        elif pick < 0.8:
+            cases.append(rng.choice(["N/A", "", "junk", "%", "--", "0.2", "0.2001"]))
+        else:
+            cases.append(str(rng.choice([0.2, 0.21, 0.19, 100, -5, 0])))
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, v string")
+    got = {
+        r["i"]: r["p"]
+        for r in df.select("i", parse_percent(F.col("v")).alias("p")).collect()
+    }
+    for i, c in enumerate(cases):
+        expect = _python_parse_percent(c)
+        if expect is None:
+            assert got[i] is None, (i, c, got[i])
+        else:
+            assert got[i] is not None and abs(got[i] - expect) < 1e-12, (i, c)
+
+
+def test_coerce_numeric_generated(spark):
+    rng = random.Random(7)
+    cases = ["1", "-3.5", "1e3", " 42 ", "nan", "abc", "", None, "12.499", "12.5", "-12.5"]
+    cases += [f"{rng.uniform(-1e6, 1e6):.3f}" for _ in range(500)]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, v string")
+    out = df.select(
+        "i",
+        coerce_numeric(F.col("v"), "double").alias("d"),
+        coerce_numeric(F.col("v"), "long").alias("l"),
+    )
+    got = {r["i"]: (r["d"], r["l"]) for r in out.collect()}
+    for i, c in enumerate(cases):
+        try:
+            expect = float(c)
+        except (TypeError, ValueError):
+            expect = None
+        d, l = got[i]  # noqa: E741
+        if expect is None or expect != expect:  # None or NaN input
+            if c is not None and c.strip().lower() == "nan":
+                assert d != d  # try_cast('nan') -> NaN double
+            else:
+                assert d is None, (i, c, d)
+        else:
+            assert d == expect, (i, c)
+            # long path: reference round-half-up via Spark HALF_UP round
+            assert l is not None
