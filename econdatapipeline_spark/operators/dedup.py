@@ -36,10 +36,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Keep the lowest-id document per normalized-text fingerprint.
 
     One hash-aggregate (map-side combine first), no join: the 100 TB
-    shape of 'drop exact duplicates'.
+    shape of 'drop exact duplicates'. One md5 per document is cheap
+    enough that no fan_out is warranted — the aggregation's shuffle is
+    the only exchange.
     """
     return (
-        fan_out(df).withColumn("fp", fingerprint(F.col(text_col)))
+        df.withColumn("fp", fingerprint(F.col(text_col)))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias(id_col),

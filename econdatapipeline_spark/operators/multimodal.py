@@ -71,14 +71,11 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """binary payloads -> fixed-width feature vectors via mapInPandas.
 
     Arrow-batched: each Python invocation receives a pandas chunk of a
-    partition, emits one row per input row. A few-partition input is
-    fanned out first so the Python workers run on every core; a
-    many-split input (the 100 TB case) keeps its partitioning — no
-    shuffle is introduced by feature extraction itself.
+    partition, emits one row per input row. Partitioning is preserved —
+    no shuffle is introduced by feature extraction itself. When the
+    decode kernel is a real codec (expensive per row), fan_out the input
+    first; the stub digest is too cheap to justify the extra shuffle.
     """
-    from econdatapipeline_spark.sources.tables import fan_out
-
-    media = fan_out(media)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -165,7 +165,12 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     dims: tuple[int, ...] = (0, 7, 19, 33, 51),
 ) -> DataFrame:
-    """Near-duplicate vector pairs: same sign bucket AND cosine >= threshold."""
+    """Near-duplicate vector pairs: same sign bucket AND cosine >= threshold.
+
+    fan_out matters here: the per-pair cosine over in-bucket candidates
+    is interpreted higher-order math — orders of magnitude more work per
+    input row than a hash, so it must not run on one core.
+    """
     b = fan_out(df).select(
         F.col(id_col),
         F.col(vec_col).alias("v"),

@@ -42,17 +42,24 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
-    """Spread a few-partition input across all cores before a compute-heavy
+    """Spread a few-partition input across cores before a compute-heavy
     narrow transform (shingling, hashing, vector math).
 
     A small table often arrives as ONE parquet split, which would serialize
     an expensive map stage onto a single core. Repartitioning a KB..MB-sized
-    input is a trivial shuffle; the 8-32x map parallelism it buys dominates.
-    No-op when the scan already has >= cores splits — the 100 TB case, where
-    reshuffling the input would be the bug, not the fix.
+    input is a trivial shuffle; the 8-16x map parallelism it buys dominates.
+    No-op when the scan already has >= target splits — the 100 TB case,
+    where reshuffling the input would be the bug, not the fix.
+
+    The default target is capped at 16: a few-partition input is by
+    definition small (Spark splits big splittable files by
+    maxPartitionBytes on its own), and beyond ~16 tasks the per-task
+    scheduling overhead outweighs extra parallelism on KB..MB inputs.
+    Reserve fan_out for operators whose per-row work is heavy; for cheap
+    kernels the extra shuffle is pure overhead.
     """
     spark = df.sparkSession
-    target = parallelism or spark.sparkContext.defaultParallelism
+    target = parallelism or min(spark.sparkContext.defaultParallelism, 16)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
