@@ -433,6 +433,48 @@ def q_rollup_agg(spark, sf_dir):
     )
 
 
+def q_cube_agg(spark, sf_dir):
+    """CUBE: all grouping-set combinations of (status, priority)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_range_frame(spark, sf_dir):
+    """Time-based window frame: per-user rolling 1-hour event value sum
+    (RANGE BETWEEN interval PRECEDING — frame bounded by time, not rows)."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("hour_sum"),
+        F.count("*").over(w).alias("hour_n"),
+    )
+
+
+def q_align_outer(spark, sf_dir):
+    """J2 date alignment via full-outer join: two derived monthly series
+    merged into one calendar, nulls where a series has no observation."""
+    o = _t(spark, sf_dir, "orders")
+    ev = load_events(spark, sf_dir)
+    a = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        _dsum(F.col("o_totalprice"), 2).alias("order_revenue")
+    )
+    b = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.count("*").alias("n_events")
+    )
+    return a.join(b, "month", "full_outer").select(
+        "month", "order_revenue", "n_events"
+    )
+
+
 def q_semi_join(spark, sf_dir):
     """Left-semi join: customers having at least one 300k+ order (EXISTS)."""
     c = _t(spark, sf_dir, "customer")
@@ -768,6 +810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "rolling_avg": q_rolling_avg,
         "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "range_frame": q_range_frame,
+        "align_outer": q_align_outer,
         "semi_join": q_semi_join,
         "percentile_agg": q_percentile_agg,
         "salted_join_agg": q_salted_join_agg,
@@ -1058,6 +1103,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "cube_agg": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "range_frame": """
+            SELECT event_id, user_id,
+                   round(SUM(value) OVER w, 6) AS hour_sum,
+                   COUNT(*) OVER w AS hour_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "align_outer": """
+            WITH a AS (
+              SELECT date_trunc('month', o_orderdate) AS month,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS order_revenue
+              FROM orders GROUP BY 1),
+            b AS (
+              SELECT date_trunc('month', ts) AS month, COUNT(*) AS n_events
+              FROM events GROUP BY 1)
+            SELECT CAST(COALESCE(a.month, b.month) AS TIMESTAMP) AS month,
+                   order_revenue, n_events
+            FROM a FULL OUTER JOIN b ON a.month = b.month
         """,
         "semi_join": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer
