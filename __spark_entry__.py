@@ -776,6 +776,148 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, dim=8).select("media_id", "n_bytes", "digest")
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective filters on all three inputs, two joins,
+    aggregate, global top-k. Catalyst pushes each filter to its scan and
+    AQE picks broadcast for the filtered customer side; the final
+    orderBy+limit plans as TakeOrderedAndProject (no full sort)."""
+    cutoff = F.lit("1995-03-15")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """NOT EXISTS as a left-anti join (the read-side complement of the
+    merge operator's insert branch, SURVEY §2.3 J1): parts that never
+    shipped in a high-quantity lineitem. Anti joins never materialize
+    the match — at 100 TB the probe side streams against the built
+    hash/broadcast side and emits only misses."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_brand", "p_type")
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS: per-(flag,status) cells plus per-flag subtotals
+    plus grand total in ONE pass (partial aggregation expands the
+    grouping-id locally; one shuffle keyed by (group-id, keys) — the
+    same cost profile as rollup/cube at any scale)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gsets")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON property-bag access (SURVEY §2.9 F16): extract a typed field
+    from the events props column and aggregate. get_json_object runs
+    JVM-side; at scale prefer from_json with an explicit schema once the
+    bag's shape is known (single parse, columnar access thereafter)."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """Scalar string surface (F10/F11/F15): composite-key synthesis via
+    concat_ws, case normalization, regexp strip, length/substring — all
+    whole-stage-codegen expressions."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("_", F.lower("c_mktsegment"), F.col("c_custkey")).alias("composite_key"),
+        F.upper(F.trim(F.col("c_name"))).alias("name_upper"),
+        F.regexp_replace("c_name", "[0-9]", "").alias("name_alpha"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+    )
+
+
+def q_date_arith(spark, sf_dir):
+    """Scalar date surface (F4/F5/F6): ISO formatting at the API edge,
+    the FRED quarterly +3-month shift, month-end/quarter-start
+    alignment, day distances — pure column expressions."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+        F.add_months(d, 3).alias("quarter_adjusted"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+        F.datediff(F.to_date(F.lit("1998-12-31")), d).alias("days_to_end"),
+    )
+
+
+def q_above_avg(spark, sf_dir):
+    """Correlated-subquery shape (orders above their customer's average)
+    decorrelated into a single window pass — one shuffle on the
+    correlation key instead of a self-join; the sum runs through exact
+    decimals so the boundary comparison is engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        o.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.round("cust_avg", 6).alias("cust_avg"),
+        )
+    )
+
+
+def q_union_all(spark, sf_dir):
+    """unionByName stack (SURVEY §2.7): customer + supplier balances as
+    one tall (src, key, acctbal) table, aggregated per source. Union is
+    a zero-shuffle operator — partitions concatenate; only the final
+    2-group aggregate exchanges."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n_accounts"),
+            _dsum(F.col("acctbal")).alias("total_bal"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -841,6 +983,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
+        "shipping_priority": q_shipping_priority,
+        "anti_join": q_anti_join,
+        "grouping_sets": q_grouping_sets,
+        "json_extract": q_json_extract,
+        "string_funcs": q_string_funcs,
+        "date_arith": q_date_arith,
+        "above_avg": q_above_avg,
+        "union_all": q_union_all,
     }
 
 
@@ -1402,6 +1552,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
             FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
             WHERE {cos} >= 0.2
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "anti_join": """
+            SELECT p_partkey, p_brand, p_type
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "string_funcs": """
+            SELECT c_custkey,
+                   concat_ws('_', lower(c_mktsegment), CAST(c_custkey AS VARCHAR)) AS composite_key,
+                   upper(trim(c_name)) AS name_upper,
+                   regexp_replace(c_name, '[0-9]', '', 'g') AS name_alpha,
+                   length(c_name) AS name_len,
+                   substring(c_name, 1, 9) AS name_prefix
+            FROM customer
+        """,
+        "date_arith": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+                   CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS quarter_adjusted,
+                   last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                   CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start,
+                   datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end
+            FROM orders
+        """,
+        "above_avg": """
+            WITH w AS (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                            OVER (PARTITION BY o_custkey) AS DOUBLE)
+                       / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+              FROM orders)
+            SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 6) AS cust_avg
+            FROM w WHERE o_totalprice > cust_avg
+        """,
+        "union_all": """
+            WITH tall AS (
+              SELECT 'customer' AS src, c_custkey AS key, c_acctbal AS acctbal FROM customer
+              UNION ALL
+              SELECT 'supplier' AS src, s_suppkey AS key, s_acctbal AS acctbal FROM supplier)
+            SELECT src, COUNT(*) AS n_accounts,
+                   CAST(SUM(CAST(acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal,
+                   MIN(key) AS min_key, MAX(key) AS max_key
+            FROM tall GROUP BY src
         """,
         # simhash + multimodal_features intentionally omitted: rows-only checks.
     }
