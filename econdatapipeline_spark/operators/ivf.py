@@ -44,19 +44,41 @@ def _sq_dist(a, b):
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Nearest-centroid assignment: broadcast centroid join + min_by argmin."""
-    c = F.broadcast(centroids.select(
-        F.col("cluster"), F.col("centroid")
-    ))
-    scored = vectors.join(c).select(
-        F.col(id_col), F.col(vec_col), F.col("cluster"),
-        _sq_dist(F.col(vec_col), F.col("centroid")).alias("d2"),
-    )
-    # min_by on a struct makes the argmin tie-break total (d2, cluster).
-    return scored.groupBy(id_col).agg(
-        F.min_by(F.col("cluster"), F.struct(F.col("d2"), F.col("cluster"))).alias("cluster"),
-        F.first(vec_col).alias(vec_col),
-    )
+    """Nearest-centroid assignment: Arrow-batched numpy argmin.
+
+    The centroid table is tiny by construction (nlist rows), so it ships
+    to every task inside the kernel closure — the numpy analog of a
+    broadcast join. Each Arrow batch is scored as one (batch x nlist)
+    distance matrix and reduced with argmin: a narrow, shuffle-free pass
+    over the corpus, where the column-expression form (join + zip_with
+    sq-dist + min_by) evaluated interpreted per (vector, centroid) pair
+    and needed a grouped argmin shuffle. Ties break to the lowest
+    cluster id (argmin returns the first minimum over the sorted
+    cluster axis), matching the struct(d2, cluster) min_by tie-break.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.select("cluster", "centroid").collect()
+    rows.sort(key=lambda r: r["cluster"])
+    cl = np.array([r["cluster"] for r in rows], dtype=np.int32)
+    cm = np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+    schema = f"{id_col} long, cluster int, {vec_col} array<float>"
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # |v-c|^2 = |v|^2 - 2 v.c + |c|^2; |v|^2 is constant per row,
+            # so argmin needs only the cross term and the centroid norms.
+            d2 = (cm * cm).sum(axis=1)[None, :] - 2.0 * (vm @ cm.T)
+            idx = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cluster": cl[idx], vec_col: pdf[vec_col]}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
 def train_centroids(
