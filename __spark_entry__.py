@@ -919,6 +919,248 @@ def q_union_all(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-class analytics widening the SQL surface (exceeds the reference's
+# query language the way SURVEY §2.4/§7-M4 calls for; every shape is a
+# standard Catalyst plan: semi/anti joins from EXISTS, broadcast dims,
+# conditional aggregation, window top-n, decorrelated scalar subqueries).
+# ---------------------------------------------------------------------------
+
+def q_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then a
+    per-priority count. The semi join probe side carries only l_orderkey."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: nation-pair trade volume per ship year. Nation keys
+    are pre-filtered to the two partners BEFORE the fact joins, so the big
+    join inputs shrink first; both nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(1, 2))
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey").isin(1, 2))
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's share of supplier revenue to ASIA
+    customers per order year — conditional aggregation ratio over a
+    5-way join with both dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("c_nk")
+    )
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                _dsum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
+                / _dsum(rev),
+                6,
+            ).alias("mkt_share"),
+            _dsum(rev).alias("total_rev"),
+        )
+    )
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share per ship month — a broadcast
+    dim join feeding a conditional-aggregation ratio."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(
+            F.round(
+                _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / _dsum(rev) * 100.0,
+                6,
+            ).alias("promo_share"),
+            _dsum(rev).alias("total_rev"),
+        )
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: the correlated scalar subquery (per-part 20%-of-avg
+    quantity threshold) decorrelated into a per-part aggregate joined back
+    to the facts. Quantities are small integers in doubles, so the avg is
+    fp-exact and the threshold compare is deterministic."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresh = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(thresh), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(_dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+def q_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose summed quantity clears a HAVING
+    threshold, joined back to orders+customer, top-20. The heavy groupBy
+    runs on the narrow (orderkey, quantity) projection first."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+def q_or_predicate_join(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands — Catalyst pushes the common l_partkey equi-key to a broadcast
+    hash join and evaluates the OR as a post-join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 15)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 25)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(band).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the max —
+    the scalar MAX subquery becomes a dense_rank over the tiny (one row
+    per supplier) aggregate, so no second scan of lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    ranked = rev.withColumn(
+        "rk", F.dense_rank().over(Window.orderBy(F.desc("total_revenue")))
+    ).filter(F.col("rk") == 1)
+    return (
+        ranked.join(s, ranked.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_revenue", 6).alias("total_revenue"))
+    )
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer in a quarter,
+    top-20 — fact filter first, then joins, then TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_wealthy_inactive(spark, sf_dir):
+    """TPC-H Q22 shape: customers above the (positive-balance) average with
+    no large order — scalar subquery as a broadcast cross join, NOT EXISTS
+    as a left-anti join. The average is derived from an exact decimal sum
+    so both engines threshold on the identical double."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (_dsum(F.col("c_acctbal")) / F.count("*")).alias("avg_bal")
+    )
+    big = o.filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+def q_topn_per_group(spark, sf_dir):
+    """Top-3 orders per market segment: partitioned row_number top-n —
+    the per-group analog of TakeOrdered (each segment ranks inside its
+    own shuffle partition; no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -991,6 +1233,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_arith": q_date_arith,
         "above_avg": q_above_avg,
         "union_all": q_union_all,
+        "order_priority": q_order_priority,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "promo_revenue": q_promo_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_volume_customer": q_large_volume_customer,
+        "or_predicate_join": q_or_predicate_join,
+        "top_supplier": q_top_supplier,
+        "returned_items": q_returned_items,
+        "wealthy_inactive": q_wealthy_inactive,
+        "topn_per_group": q_topn_per_group,
     }
 
 
@@ -1625,6 +1878,142 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal,
                    MIN(key) AS min_key, MAX(key) AS max_key
             FROM tall GROUP BY src
+        """,
+        "order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+            GROUP BY o_orderpriority
+        """,
+        "volume_shipping": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+               OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "market_share": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   round(
+                     CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+                     6) AS mkt_share,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY 1
+        """,
+        "promo_revenue": """
+            SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+                   round(
+                     CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+                     * 100.0, 6) AS promo_share,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "small_qty_revenue": """
+            SELECT round(
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0,
+                     6) AS avg_yearly
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p_brand = 'Brand#1'
+              AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "large_volume_customer": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY 1
+              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 200)
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 20
+        """,
+        "or_predicate_join": """
+            SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 15
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 25
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "wealthy_inactive": """
+            WITH avg_bal AS (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+              FROM customer WHERE c_acctbal > 0)
+            SELECT c_nationkey, COUNT(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+            FROM customer, avg_bal
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c_custkey AND o.o_totalprice > 250000)
+            GROUP BY 1
+        """,
+        "topn_per_group": """
+            WITH ranked AS (
+              SELECT c_mktsegment, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders JOIN customer ON o_custkey = c_custkey)
+            SELECT c_mktsegment, rn, o_orderkey, o_totalprice
+            FROM ranked WHERE rn <= 3
         """,
         # simhash + multimodal_features intentionally omitted: rows-only checks.
     }
