@@ -88,40 +88,69 @@ def train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic Lloyd k-means -> (cluster, centroid) table."""
-    corpus = fan_out(corpus)
+    """Deterministic Lloyd k-means -> (cluster, centroid) table.
+
+    Each iteration is ONE narrow, shuffle-free job: an Arrow-batched
+    kernel assigns every vector to its nearest current centroid (the
+    centroid matrix ships in the task closure) and emits per-batch
+    partial sums — at most nlist rows of (cluster, count, vector-sum)
+    per batch. The driver reduces the partials (nlist x partitions
+    rows, trivially small) into the next centroid matrix. This is the
+    classic map-side-combine formulation of Lloyd's update: the only
+    cross-node traffic per round is the partial-sum table, independent
+    of corpus size — the structure that holds at 100 TB, where the
+    previous posexplode -> per-(cluster, dim) mean shuffled the entire
+    corpus twice per iteration.
+    """
+    import numpy as np
+    import pandas as pd
+
+    corpus = fan_out(corpus).select(id_col, vec_col)
+    spark = corpus.sparkSession
     # Seeds: the nlist lowest-id vectors (tiny, deterministic; collected
     # via limit so the driver never sees more than nlist rows).
-    seeds = corpus.orderBy(id_col).limit(nlist).select(
-        F.col(vec_col).alias("centroid"),
-        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cluster"),
-    )
-    centroids = seeds.select("cluster", "centroid")
-    spark = corpus.sparkSession
-    schema = "cluster int, centroid array<float>"
+    seed_rows = corpus.orderBy(id_col).limit(nlist).collect()
+    cm = np.array([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+
     for _ in range(iterations):
-        assigned = _assign(corpus, centroids, id_col, vec_col)
-        dims = assigned.select(
-            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
-        )
-        means = dims.groupBy("cluster", "pos").agg(
-            F.avg(F.col("x").cast("double")).alias("m")
-        )
-        updated = (
-            means.groupBy("cluster")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "cluster",
-                F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias("centroid"),
-            )
-        )
-        # Materialize the (nlist x dim) state each round — the standard
-        # iterative-algorithm pattern: without it, iteration k's lazy plan
-        # re-executes iterations 1..k-1, and plan depth grows linearly.
-        centroids = spark.createDataFrame(
-            [(r["cluster"], r["centroid"]) for r in updated.collect()], schema
-        )
-    return centroids
+        frozen = cm  # bind by value; the closure must not see later updates
+
+        def partial_kernel(batches, cm=frozen):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                d2 = (cm * cm).sum(axis=1)[None, :] - 2.0 * (vm @ cm.T)
+                idx = d2.argmin(axis=1)
+                clusters, inverse = np.unique(idx, return_inverse=True)
+                sums = np.zeros((len(clusters), cm.shape[1]))
+                np.add.at(sums, inverse, vm)
+                counts = np.bincount(inverse)
+                yield pd.DataFrame(
+                    {
+                        "cluster": clusters.astype("int32"),
+                        "cnt": counts.astype("int64"),
+                        "vsum": list(sums),
+                    }
+                )
+
+        partials = corpus.mapInPandas(
+            partial_kernel, "cluster int, cnt long, vsum array<double>"
+        ).collect()
+        sums = np.zeros_like(cm)
+        counts = np.zeros(len(cm))
+        for r in partials:
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+            counts[r["cluster"]] += r["cnt"]
+        # Empty cells keep their previous centroid (counts == 0).
+        nonempty = counts > 0
+        cm = cm.copy()
+        cm[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    return spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in row]) for i, row in enumerate(cm)],
+        "cluster int, centroid array<float>",
+    )
 
 
 def build_index(
@@ -156,7 +185,11 @@ def ivf_topk(
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "qv", "cluster")
     )
-    cand = probes.join(
+    # Broadcast the (queries x nprobe)-row probe table: the candidate
+    # join becomes a map-side hash probe over the index — the inverted
+    # file is scanned once, never shuffled, and cells outside every
+    # probe list are filtered at the scan.
+    cand = F.broadcast(probes).join(
         index.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cluster"),
         "cluster",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
