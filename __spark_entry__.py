@@ -1145,6 +1145,34 @@ def q_wealthy_inactive(spark, sf_dir):
     )
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join, batch form (streaming/joins.py):
+    purchases within 30 minutes after a click by the same user. The
+    time-bound condition is what lets the streaming form expire join
+    state; here it runs as a range-predicate join the oracle can check."""
+    from econdatapipeline_spark.streaming.joins import interval_join
+
+    ev = load_events(spark, sf_dir)
+    return interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        within="30 minutes",
+    )
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming dedup, batch form: exact-duplicate events (the table
+    unioned with itself) collapse to one row per event_id —
+    dropDuplicatesWithinWatermark's bounded-state streaming twin is
+    exercised in tests/test_stream_joins.py."""
+    from econdatapipeline_spark.streaming.joins import dedup_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    return dedup_events(ev.unionByName(ev))
+
+
 def q_topn_per_group(spark, sf_dir):
     """Top-3 orders per market segment: partitioned row_number top-n —
     the per-group analog of TakeOrdered (each segment ranks inside its
@@ -1244,6 +1272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "wealthy_inactive": q_wealthy_inactive,
         "topn_per_group": q_topn_per_group,
+        "stream_interval_join": q_stream_interval_join,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -2005,6 +2035,19 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c_custkey AND o.o_totalprice > 250000)
             GROUP BY 1
+        """,
+        "stream_interval_join": """
+            SELECT c.user_id AS user_id, c.event_id AS left_id, c.ts AS left_ts,
+                   p.event_id AS right_id, p.ts AS right_ts,
+                   datediff('second', c.ts, p.ts) AS lag_seconds
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        """,
+        "stream_dedup": """
+            SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+            FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
         """,
         "topn_per_group": """
             WITH ranked AS (

@@ -1,0 +1,84 @@
+"""Stream-stream interval join and streaming deduplication.
+
+Two more Structured Streaming operators the reference's batch world has
+no analog for (SURVEY §2.11), completing the streaming surface next to
+windows.py / stateful.py / rollup.py:
+
+- **interval_join**: correlate two event streams on a key within an
+  event-time bound (purchase within N minutes of the click). In
+  streaming form both sides carry watermarks and the time-bound join
+  condition lets Spark expire state — without the bound, stream-stream
+  join state grows forever. In batch form the identical expressions
+  run as a plain range-predicate join (how the DuckDB oracle checks
+  it).
+- **dedup_events**: drop duplicate events by key. Streaming form uses
+  ``dropDuplicatesWithinWatermark`` so the dedup state is bounded by
+  the watermark horizon (the 100 TB requirement: state that survives
+  exactly as long as a duplicate can still arrive); batch form is
+  ``dropDuplicates``.
+
+Both builders accept a batch OR streaming DataFrame (Spark's unified
+model), mirroring windows.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Rows of `right` following a `left` row on `key` within `within`.
+
+    Output: (key, left event id/ts, right event id/ts, lag_seconds).
+    Expects both inputs to carry (event_id, ts, key) columns.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(ts_col, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(ts_col, watermark)
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col("event_id").alias("left_id"),
+        F.col(ts_col).alias("left_ts"),
+    )
+    r = right.select(
+        F.col(key).alias("rk"),
+        F.col("event_id").alias("right_id"),
+        F.col(ts_col).alias("right_ts"),
+    )
+    cond = (
+        (F.col("k") == F.col("rk"))
+        & (F.col("right_ts") > F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return (
+        l.join(r, cond)
+        .select(
+            F.col("k").alias(key),
+            "left_id",
+            "left_ts",
+            "right_id",
+            "right_ts",
+            (F.unix_timestamp("right_ts") - F.unix_timestamp("left_ts")).alias("lag_seconds"),
+        )
+    )
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Duplicate-drop by key with watermark-bounded state when streaming."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+    return events.dropDuplicates(list(keys))

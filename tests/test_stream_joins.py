@@ -1,0 +1,87 @@
+"""Stream-stream interval join + streaming dedup (streaming/joins.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.sources.tables import load_events
+from econdatapipeline_spark.streaming import joins as SJ
+
+SF_DIR = "/root/testdata/sf0.001"
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_interval_join_batch_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    clicks = spark.createDataFrame(
+        [(1, t0, 7, "click", 0.0, "{}"), (2, t0, 8, "click", 0.0, "{}")], EVENT_SCHEMA
+    )
+    purchases = spark.createDataFrame(
+        [
+            (10, t0 + dt.timedelta(minutes=10), 7, "purchase", 5.0, "{}"),  # in window
+            (11, t0 + dt.timedelta(minutes=40), 7, "purchase", 5.0, "{}"),  # too late
+            (12, t0, 8, "purchase", 5.0, "{}"),                             # not strictly after
+            (13, t0 + dt.timedelta(minutes=5), 9, "purchase", 5.0, "{}"),   # other user
+        ],
+        EVENT_SCHEMA,
+    )
+    out = SJ.interval_join(clicks, purchases, within="30 minutes").collect()
+    assert [(r["left_id"], r["right_id"], r["lag_seconds"]) for r in out] == [(1, 10, 600)]
+
+
+def test_interval_join_streaming_matches_batch(spark, tmp_path):
+    """Real readStream both sides; availableNow result == batch result."""
+    ev = load_events(spark, SF_DIR)
+    clicks_dir, purch_dir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    ev.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(purch_dir)
+
+    batch = SJ.interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    sc = spark.readStream.schema(EVENT_SCHEMA).parquet(clicks_dir)
+    sp = spark.readStream.schema(EVENT_SCHEMA).parquet(purch_dir)
+    q = (
+        SJ.interval_join(sc, sp)
+        .writeStream.format("memory")
+        .queryName("ij_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in spark.sql("select left_id, right_id from ij_test").collect()
+    }
+    want = {(r["left_id"], r["right_id"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_dedup_within_watermark_streaming(spark, tmp_path):
+    """Duplicate event_ids across files collapse to one row each."""
+    src = str(tmp_path / "src")
+    ev = load_events(spark, SF_DIR).limit(200)
+    ev.write.mode("append").parquet(src)
+    ev.write.mode("append").parquet(src)  # exact duplicates
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        SJ.dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_test").collect()[0]
+    assert n["n"] == 200 and n["c"] == 200
