@@ -749,6 +749,17 @@ def q_embedding_near_dups(spark, sf_dir):
     return SIM.embedding_near_dups(e, threshold=0.2)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate clusters via iterative min-label
+    connected components (operators/dedup.py). The oracle computes the
+    same clusters with a recursive-CTE transitive closure — a strong
+    cross-check that a distributed iterative algorithm converged to the
+    exact graph answer."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dups(e, threshold=0.2)
+    return DD.connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only: mapInPandas kernel is not SQL)
 # ---------------------------------------------------------------------------
@@ -1173,6 +1184,45 @@ def q_stream_dedup(spark, sf_dir):
     return dedup_events(ev.unionByName(ev))
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/valid/test split — the training-data staple.
+    The split key is an md5-derived bucket of the document id (stable
+    across engines, runs, and partitionings — never rand()), so the
+    same document lands in the same split everywhere. Verified by
+    recomputing the identical bucketing in the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            _dsum(F.col("n_chars").cast("double"), 0).alias("total_chars"),
+        )
+    )
+
+
+def q_balanced_sample(spark, sf_dir):
+    """Class-balanced sampling: k rows per label via partitioned
+    row_number (deterministic tie-break on id) — builds a balanced
+    training subset without a global sort or rand()."""
+    e = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(F.asc("vec_id"))
+    return (
+        e.select("vec_id", "label")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+    )
+
+
 def q_topn_per_group(spark, sf_dir):
     """Top-3 orders per market segment: partitioned row_number top-n —
     the per-group analog of TakeOrdered (each segment ranks inside its
@@ -1274,6 +1324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_per_group": q_topn_per_group,
         "stream_interval_join": q_stream_interval_join,
         "stream_dedup": q_stream_dedup,
+        "dup_clusters": q_dup_clusters,
+        "hash_split": q_hash_split,
+        "balanced_sample": q_balanced_sample,
     }
 
 
@@ -1836,6 +1889,23 @@ def oracle_sql() -> dict[str, str]:
             FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
             WHERE {cos} >= 0.2
         """,
+        "dup_clusters": f"""
+            WITH RECURSIVE
+            b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS id_a, c.vec_id AS id_b
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+              WHERE {cos} >= 0.2),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs),
+            walk(node, reached) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reached)
+            SELECT node, MIN(reached) AS cluster FROM walk GROUP BY node
+        """,
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate,
                    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
@@ -2048,6 +2118,29 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             SELECT DISTINCT event_id, ts, user_id, event_type, value, props
             FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        """,
+        "hash_split": """
+            WITH s AS (
+              SELECT doc_id, n_chars,
+                     CASE
+                       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
+                         THEN 'train'
+                       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+                         THEN 'valid'
+                       ELSE 'test'
+                     END AS split
+              FROM documents)
+            SELECT split, COUNT(*) AS n_docs,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) AS total_chars
+            FROM s GROUP BY split
+        """,
+        "balanced_sample": """
+            WITH r AS (
+              SELECT vec_id, label,
+                     ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id ASC) AS rn
+              FROM embeddings)
+            SELECT vec_id, label, rn FROM r WHERE rn <= 20
         """,
         "topn_per_group": """
             WITH ranked AS (

@@ -185,6 +185,65 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: (node, cluster) where
+    cluster is the minimum node id reachable through the pair graph.
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round joins labels across edges (both directions) and
+    keeps the per-node minimum. Each round is one shuffle keyed by
+    node; the label table is localCheckpoint'ed so the plan stays flat
+    (the iterative-state pattern — without it round k replays rounds
+    1..k-1). Rounds needed = graph diameter, which for near-dup
+    clusters is tiny (dup groups are cliques or near-cliques from LSH
+    banding, so 2-3 rounds converge). At 100 TB the same loop holds —
+    state is one (node, label) table partitioned by node — with the
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") as the path-compression
+    upgrade if diameters grow.
+
+    Convergence is detected by an aggregate over the changed-label
+    count (a cheap second job per round), stopping early; max_iter
+    bounds the worst case.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("new_label") != F.col("old_label")).limit(1).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """SimHash near-dup fingerprint, pure column expressions.

@@ -67,3 +67,19 @@ def test_exact_dedup_on_sf_documents(spark):
     kept = D.exact_dedup(docs)
     assert kept.count() <= docs.count()
     assert kept.agg(F.sum("dup_count")).collect()[0][0] == docs.count()
+
+
+def test_connected_components_chain_and_island(spark):
+    """A 5-node chain (needs multiple label rounds) + a 2-node island."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["cluster"] for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_early(spark):
+    """max_iter far above diameter must not change the result."""
+    pairs = spark.createDataFrame([(7, 3), (3, 9)], "id_a long, id_b long")
+    out = {r["node"]: r["cluster"] for r in D.connected_components(pairs, max_iter=50).collect()}
+    assert out == {3: 3, 7: 3, 9: 3}
