@@ -1223,6 +1223,40 @@ def q_balanced_sample(spark, sf_dir):
     )
 
 
+def q_corpus_prep(spark, sf_dir):
+    """End-to-end training-corpus preparation — the composition the
+    whole text surface exists for: quality gate (stopword ratio) ->
+    language gate (predicted English) -> exact dedup (keep lowest id
+    per fingerprint) -> deterministic md5 train/valid/test split ->
+    per-split stats. One pipeline of narrow filters, one dedup
+    aggregation, one split aggregation; every stage is the same
+    column-expression machinery the individual queries check."""
+    d = _t(spark, sf_dir, "documents")
+    gated = d.filter(
+        (TX.stopword_ratio(F.col("text"), "en") > 0.05)
+        & (TX.langid(F.col("text")) == "en")
+    )
+    kept = (
+        gated.withColumn("fp", TX.fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("n_chars").alias("n_chars"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    return (
+        kept.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _dsum(F.col("n_chars").cast("double"), 0).alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
+
+
 def q_topn_per_group(spark, sf_dir):
     """Top-3 orders per market segment: partitioned row_number top-n —
     the per-group analog of TakeOrdered (each segment ranks inside its
@@ -1327,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "hash_split": q_hash_split,
         "balanced_sample": q_balanced_sample,
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -2118,6 +2153,49 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             SELECT DISTINCT event_id, ts, user_id, event_type, value, props
             FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        """,
+        "corpus_prep": f"""
+            WITH toks_t AS (
+              SELECT doc_id, n_chars, {toks} AS toks FROM documents),
+            gated AS (
+              SELECT doc_id, n_chars, md5(array_to_string(toks, ' ')) AS fp
+              FROM toks_t
+              WHERE len(list_filter(toks, x -> list_contains({stop_en}, x)))
+                      / greatest(len(toks), 1) > 0.05
+                AND (CASE
+                     WHEN len(list_filter(toks, x -> list_contains({langs['de']}, x))) >
+                          greatest(len(list_filter(toks, x -> list_contains({langs['en']}, x))),
+                                   len(list_filter(toks, x -> list_contains({langs['es']}, x))),
+                                   len(list_filter(toks, x -> list_contains({langs['fr']}, x))), 0)
+                       THEN 'de'
+                     WHEN len(list_filter(toks, x -> list_contains({langs['fr']}, x))) >
+                          greatest(len(list_filter(toks, x -> list_contains({langs['en']}, x))),
+                                   len(list_filter(toks, x -> list_contains({langs['es']}, x))), 0)
+                       THEN 'fr'
+                     WHEN len(list_filter(toks, x -> list_contains({langs['es']}, x))) >
+                          greatest(len(list_filter(toks, x -> list_contains({langs['en']}, x))), 0)
+                       THEN 'es'
+                     WHEN len(list_filter(toks, x -> list_contains({langs['en']}, x))) > 0
+                       THEN 'en'
+                     ELSE 'und'
+                     END) = 'en'),
+            kept AS (
+              SELECT fp, MIN(doc_id) AS doc_id, MIN(n_chars) AS n_chars
+              FROM gated GROUP BY fp),
+            s AS (
+              SELECT doc_id, n_chars,
+                     CASE
+                       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
+                         THEN 'train'
+                       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+                         THEN 'valid'
+                       ELSE 'test'
+                     END AS split
+              FROM kept)
+            SELECT split, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) AS total_chars,
+                   MIN(doc_id) AS min_id
+            FROM s GROUP BY split
         """,
         "hash_split": """
             WITH s AS (
