@@ -1223,6 +1223,35 @@ def q_balanced_sample(spark, sf_dir):
     )
 
 
+def q_sorted_export(spark, sf_dir):
+    """Global total-order export (no limit, so Catalyst plans a
+    RangePartitioning exchange + per-partition sort, not TakeOrdered —
+    the sampled-boundary distributed sort that scales to 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-06-01"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    )
+
+
+def q_props_map(spark, sf_dir):
+    """Map-typed column surface: JSON props -> map<string,long> ->
+    explode -> per-(event_type, key) aggregate."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.explode(F.from_json("props", "map<string,long>")).alias("k", "v"),
+        )
+        .groupBy("event_type", "k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+    )
+
+
 def q_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation — the composition the
     whole text surface exists for: quality gate (stopword ratio) ->
@@ -1362,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "balanced_sample": q_balanced_sample,
         "corpus_prep": q_corpus_prep,
+        "sorted_export": q_sorted_export,
+        "props_map": q_props_map,
     }
 
 
@@ -2153,6 +2184,21 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             SELECT DISTINCT event_id, ts, user_id, event_type, value, props
             FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        """,
+        "sorted_export": """
+            SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+              AND l_shipdate < TIMESTAMP '1997-07-01'
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+        """,
+        "props_map": """
+            WITH kv AS (
+              SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
+            SELECT event_type, k,
+                   COUNT(*) AS n,
+                   SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS sum_v
+            FROM kv GROUP BY 1, 2
         """,
         "corpus_prep": f"""
             WITH toks_t AS (

@@ -215,6 +215,12 @@ def connected_components(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # Materialize once: the edge list is joined every round, and the
+        # upstream pair generation (e.g. an LSH bucket join) must not be
+        # re-executed per iteration. On a cluster this is persist(DISK);
+        # localCheckpoint also truncates the lineage the loop would
+        # otherwise drag along.
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -226,14 +232,26 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "mid_label"
+            ),
+            F.col("label").alias("old_label"),
+        )
+        # Pointer doubling (path compression): jump each node's label to
+        # its label's label. Combined with the neighbor step this
+        # converges in O(log diameter) rounds instead of O(diameter) —
+        # fewer synchronization barriers, the scarce resource at scale.
+        jump = stepped.select(
+            F.col("node").alias("jnode"), F.col("mid_label").alias("jlabel")
+        )
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(jump, stepped.mid_label == jump.jnode, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                F.col("label").alias("old_label"),
+                F.coalesce(F.col("jlabel"), F.col("mid_label")).alias("new_label"),
+                "old_label",
             )
             .localCheckpoint(eager=True)
         )
