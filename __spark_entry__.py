@@ -1223,6 +1223,54 @@ def q_balanced_sample(spark, sf_dir):
     )
 
 
+def q_yoy_growth(spark, sf_dir):
+    """Year-over-year growth per calendar month — the economic-indicator
+    analytic the reference's docs promise (SURVEY §2.4 note). Partitioning
+    the window by month-of-year makes lag(1 year) a within-partition lag:
+    no global single-partition window."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("m_start"))
+        .agg(_dsum(F.col("o_totalprice")).alias("total"))
+    )
+    w = Window.partitionBy(F.month("m_start")).orderBy(F.year("m_start"))
+    prev = F.lag("total").over(w)
+    return m.select(
+        "m_start",
+        "total",
+        F.round((F.col("total") - prev) / prev, 6).alias("yoy_growth"),
+    )
+
+
+def q_ewma(spark, sf_dir):
+    """Exponentially weighted moving average per order priority: daily
+    totals folded in date order (s_t = 0.3 x_t + 0.7 s_{t-1}). The
+    recursion is a left fold over the sorted per-group series —
+    collect_list + aggregate (per-group arrays are bounded by the date
+    range, not the fact count, so they stay driver-safe at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            "o_orderpriority", F.col("o_orderdate").cast("date").alias("d")
+        )
+        .agg(_dsum(F.col("o_totalprice")).alias("total"))
+    )
+    series = daily.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_list(F.struct("d", "total"))).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda x: x["total"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return series.select(
+        "o_orderpriority",
+        F.size("s").alias("n_days"),
+        F.round(ewma, 6).alias("ewma_final"),
+    )
+
+
 def q_sorted_export(spark, sf_dir):
     """Global total-order export (no limit, so Catalyst plans a
     RangePartitioning exchange + per-partition sort, not TakeOrdered —
@@ -1393,6 +1441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "sorted_export": q_sorted_export,
         "props_map": q_props_map,
+        "yoy_growth": q_yoy_growth,
+        "ewma": q_ewma,
     }
 
 
@@ -2184,6 +2234,31 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             SELECT DISTINCT event_id, ts, user_id, event_type, value, props
             FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        """,
+        "yoy_growth": """
+            WITH m AS (
+              SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m_start,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+              FROM orders GROUP BY 1)
+            SELECT m_start, total,
+                   round((total - LAG(total) OVER w) / LAG(total) OVER w, 6) AS yoy_growth
+            FROM m
+            WINDOW w AS (PARTITION BY month(m_start) ORDER BY year(m_start))
+        """,
+        "ewma": """
+            WITH daily AS (
+              SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+              FROM orders GROUP BY 1, 2),
+            series AS (
+              SELECT o_orderpriority,
+                     list_transform(
+                       list_sort(list({'d': d, 'total': total})), r -> r.total) AS vals
+              FROM daily GROUP BY 1)
+            SELECT o_orderpriority,
+                   len(vals) AS n_days,
+                   round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma_final
+            FROM series
         """,
         "sorted_export": """
             SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
