@@ -701,7 +701,10 @@ def q_frame_sample(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (rows-only: DuckDB lacks the same bit kernel)."""
+    """SimHash fingerprints — oracle-checked: the md5-prefix token hash,
+    per-bit +1/-1 votes, and sign-bit assembly are all reproduced in
+    portable SQL (bit shifts + conditional sums), so the 32-bit
+    fingerprints must match DuckDB exactly."""
     d = _t(spark, sf_dir, "documents")
     return DD.simhash(d, bits=32)
 
@@ -2350,5 +2353,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, rn, o_orderkey, o_totalprice
             FROM ranked WHERE rn <= 3
         """,
-        # simhash + multimodal_features intentionally omitted: rows-only checks.
+        "simhash": f"""
+            WITH t AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+            h AS (SELECT doc_id,
+                         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+                  FROM t),
+            v AS (SELECT doc_id,
+                         {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32))}
+                  FROM h GROUP BY doc_id)
+            SELECT doc_id,
+                   {" + ".join(f"(CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)" for b in range(32))}
+                     AS simhash
+            FROM v
+        """,
+        # multimodal_features / approx_distinct / ann_ivf intentionally
+        # omitted: mapInPandas kernel, HLL estimate, k-means cells.
     }

@@ -75,6 +75,12 @@ def test_aggregates_have_map_side_partials(spark):
     assert "WholeStageCodegen" in plan_of(E.q_pricing_summary(spark, SF_DIR), "codegen")
 
 
+def test_global_sort_is_range_partitioned(spark):
+    plan = plan_of(E.q_sorted_export(spark, SF_DIR), "simple")
+    assert "rangepartitioning" in plan.lower()
+    assert "TakeOrdered" not in plan  # a real distributed sort, not top-k
+
+
 def test_point_lookup_pushes_equality(spark):
     plan = plan_of(E.q_point_lookup(spark, SF_DIR))
     assert "PushedFilters: [" in plan
