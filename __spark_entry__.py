@@ -329,6 +329,23 @@ def q_edb_normalize(spark, sf_dir):
     return normalize_edb_grid(spark, _edb_grid(), spec)
 
 
+def q_xlsx_normalize(spark, sf_dir):
+    """EDB vertical from actual workbook BYTES: the stdlib xlsx scan
+    (zip+XML parse, sheet resolution, A1-range slice — reference
+    azure_common_scrapers.py:35-79) feeds the same grid normalizer, so
+    the whole S1 path is oracle-checked end-to-end. The workbook is
+    fabricated from the same literal fixture the oracle re-derives."""
+    from econdatapipeline_spark.registry import DatasetSpec
+    from econdatapipeline_spark.sources.excel_grid import normalize_edb_grid
+    from econdatapipeline_spark.sources.xlsx import extract_data, write_xlsx
+
+    pad = [[None] * 11] * 5  # title/blank rows above the grid, as in EDB files
+    content = write_xlsx({"DATA": pad + _edb_grid()})
+    rows = extract_data(content, "DATA", "A6:K19")
+    spec = DatasetSpec(name="autosales", source="edb_monthly", value_columns=("sales",))
+    return normalize_edb_grid(spark, rows, spec)
+
+
 def q_edb_quarterly_normalize(spark, sf_dir):
     """EDB quarterly grid: fiscal quarter label -> first of the month
     after quarter end, Jul-Sep belonging to the prior calendar year
@@ -1364,6 +1381,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edb_normalize": q_edb_normalize,
+        "xlsx_normalize": q_xlsx_normalize,
         "edb_quarterly_normalize": q_edb_quarterly_normalize,
         "fred_normalize": q_fred_normalize,
         "nyu_normalize": q_nyu_normalize,
@@ -1514,7 +1532,7 @@ def oracle_sql() -> dict[str, str]:
             f"ELSE TRY_CAST({t} AS DOUBLE) END"
         )
 
-    return {
+    sql = {
         "edb_normalize": f"""
             WITH raw(m, fy, v) AS (VALUES {", ".join(edb_cells)}),
             typed AS (
@@ -2369,3 +2387,7 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features / approx_distinct / ann_ivf intentionally
         # omitted: mapInPandas kernel, HLL estimate, k-means cells.
     }
+    # The xlsx byte-scan feeds the identical literal grid into the same
+    # normalizer, so it shares edb_normalize's oracle.
+    sql["xlsx_normalize"] = sql["edb_normalize"]
+    return sql

@@ -44,8 +44,15 @@ def melt(
     value_vars = value_vars or [c for c in df.columns if c not in id_vars]
     # unpivot requires a common type across value columns; go through string
     # and let the caller coerce (mirrors the untyped spreadsheet cells).
+    # df[c] (not F.col) so header values containing dots ('110.5') are
+    # resolved as literal names, not struct paths.
     casted = df.select(
-        *[F.col(c) for c in id_vars],
-        *[F.col(c).cast("string").alias(c) for c in value_vars],
+        *[df[c] for c in id_vars],
+        *[df[c].cast("string").alias(c) for c in value_vars],
     )
-    return casted.unpivot(id_vars, value_vars, var_name, value_name)
+    return casted.unpivot(
+        [casted[c] for c in id_vars],
+        [casted[c] for c in value_vars],
+        var_name,
+        value_name,
+    )
