@@ -680,6 +680,53 @@ def q_bpe_tokens(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing: documents laid out contiguously per
+    source shard, running token pre-sum, seq = floor(before / budget)
+    (operators/packing.pack_sequences). The window partitions by the
+    shard column, so packing never needs a global sort."""
+    from econdatapipeline_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=2048, shard_col="source")
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (embedding-context prep):
+    sequence + explode + slice, all built-ins
+    (operators/packing.chunk_documents)."""
+    from econdatapipeline_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=64, overlap=16)
+
+
+def q_scrub_pii(spark, sf_dir):
+    """PII redaction: emails / SSNs / phone numbers regex-replaced in a
+    single codegen'd projection (operators/packing.scrub_pii). The
+    fixture plants deterministic PII derived from doc_id so the
+    redaction is exercised, not a no-op passthrough."""
+    from econdatapipeline_spark.operators.packing import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or (787) 555-01"),
+            F.lpad(F.col("doc_id") % 100, 2, "0"),
+            F.lit(" ssn 123-45-"),
+            F.lpad(F.col("doc_id") % 10000, 4, "0"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return scrub_pii(planted).select(
+        "doc_id", F.col("text").alias("scrubbed")
+    )
+
+
 def q_resize_meta(spark, sf_dir):
     """Multimodal resize planning: aspect-preserving geometry from typed
     metadata, no decode (operators/multimodal.resize_meta)."""
@@ -1427,6 +1474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "bpe_tokens": q_bpe_tokens,
+        "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
+        "scrub_pii": q_scrub_pii,
         "resize_meta": q_resize_meta,
         "frame_sample": q_frame_sample,
         "vector_norms": q_vector_norms,
@@ -2383,6 +2433,52 @@ def oracle_sql() -> dict[str, str]:
                    {" + ".join(f"(CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)" for b in range(32))}
                      AS simhash
             FROM v
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT source, doc_id,
+                     CAST(len({toks}) AS BIGINT) AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT source, doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS before
+              FROM t)
+            SELECT source, doc_id, n_tokens,
+                   CAST(floor(before / 2048.0) AS BIGINT) AS seq_id,
+                   CAST(before % 2048 AS BIGINT) AS seq_offset
+            FROM s
+        """,
+        "chunk_documents": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+            c AS (SELECT doc_id, tk, n,
+                         unnest(range(CASE WHEN n <= 0 THEN 0
+                           ELSE GREATEST(1, CAST(ceil((n - 16) / 48.0) AS BIGINT))
+                           END)) AS chunk_id
+                  FROM n)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   array_to_string(list_slice(tk, chunk_id * 48 + 1,
+                                              chunk_id * 48 + 64), ' ')
+                     AS chunk_text,
+                   CAST(LEAST(n - chunk_id * 48, 64) AS BIGINT) AS chunk_tokens
+            FROM c
+        """,
+        "scrub_pii": r"""
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(
+                text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or (787) 555-01'
+                     || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                     || ' ssn 123-45-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.',
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                '(?:\+?1[-. ])?(?:\([0-9]{3}\)[-. ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b',
+                '<PHONE>', 'g') AS scrubbed
+            FROM documents
         """,
         # multimodal_features / approx_distinct / ann_ivf intentionally
         # omitted: mapInPandas kernel, HLL estimate, k-means cells.
