@@ -1238,6 +1238,22 @@ def q_stream_interval_join(spark, sf_dir):
     )
 
 
+def q_stream_outer_join(spark, sf_dir):
+    """Left-outer interval join, batch form: every click, converted or
+    not (null purchase columns when no conversion within 30 minutes).
+    The streaming form emits the null-extended row once the watermark
+    passes the bound — same state horizon as the inner join."""
+    from econdatapipeline_spark.streaming.joins import interval_join
+
+    ev = load_events(spark, sf_dir)
+    return interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        within="30 minutes",
+        how="left_outer",
+    )
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming dedup, batch form: exact-duplicate events (the table
     unioned with itself) collapse to one row per event_id —
@@ -1505,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wealthy_inactive": q_wealthy_inactive,
         "topn_per_group": q_topn_per_group,
         "stream_interval_join": q_stream_interval_join,
+        "stream_outer_join": q_stream_outer_join,
         "stream_dedup": q_stream_dedup,
         "dup_clusters": q_dup_clusters,
         "hash_split": q_hash_split,
@@ -2300,6 +2317,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events c JOIN events p
               ON c.user_id = p.user_id
              AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        """,
+        "stream_outer_join": """
+            SELECT c.user_id AS user_id, c.event_id AS left_id, c.ts AS left_ts,
+                   p.event_id AS right_id, p.ts AS right_ts,
+                   datediff('second', c.ts, p.ts) AS lag_seconds
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
              AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         """,
         "stream_dedup": """

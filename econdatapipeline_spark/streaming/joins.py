@@ -34,12 +34,23 @@ def interval_join(
     ts_col: str = "ts",
     within: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Rows of `right` following a `left` row on `key` within `within`.
 
     Output: (key, left event id/ts, right event id/ts, lag_seconds).
     Expects both inputs to carry (event_id, ts, key) columns.
+
+    ``how="left_outer"`` keeps unmatched left rows with null right
+    columns (the funnel question: which clicks did NOT convert). In
+    streaming form Spark emits the null-extended row only once the
+    watermark proves no match can still arrive — which is why outer
+    stream-stream joins REQUIRE both the watermark and the event-time
+    bound in the join condition; state stays bounded by the same
+    horizon as the inner join.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r}")
     if left.isStreaming:
         left = left.withWatermark(ts_col, watermark)
     if right.isStreaming:
@@ -60,7 +71,7 @@ def interval_join(
         & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}"))
     )
     return (
-        l.join(r, cond)
+        l.join(r, cond, how)
         .select(
             F.col("k").alias(key),
             "left_id",

@@ -85,3 +85,61 @@ def test_dedup_within_watermark_streaming(spark, tmp_path):
     q.awaitTermination(120)
     n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_test").collect()[0]
     assert n["n"] == 200 and n["c"] == 200
+
+
+def test_outer_interval_join_batch_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    clicks = spark.createDataFrame(
+        [(1, t0, 7, "click", 0.0, "{}"), (2, t0, 8, "click", 0.0, "{}")], EVENT_SCHEMA
+    )
+    purchases = spark.createDataFrame(
+        [(10, t0 + dt.timedelta(minutes=10), 7, "purchase", 5.0, "{}")], EVENT_SCHEMA
+    )
+    out = {
+        r["left_id"]: r["right_id"]
+        for r in SJ.interval_join(
+            clicks, purchases, within="30 minutes", how="left_outer"
+        ).collect()
+    }
+    assert out == {1: 10, 2: None}  # user 8's click kept, null-extended
+
+
+def test_outer_interval_join_streaming_emits_unmatched(spark, tmp_path):
+    """Unmatched clicks surface once the watermark passes their bound."""
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    clicks_dir, purch_dir = str(tmp_path / "c"), str(tmp_path / "p")
+    spark.createDataFrame(
+        [(1, t0, 7, "click", 0.0, "{}"), (2, t0, 8, "click", 0.0, "{}")], EVENT_SCHEMA
+    ).write.parquet(clicks_dir)
+    # user 7 converts; a far-future event on BOTH sides pushes the
+    # watermark far enough for the engine to close user 8's window
+    far = t0 + dt.timedelta(days=30)
+    spark.createDataFrame(
+        [
+            (10, t0 + dt.timedelta(minutes=10), 7, "purchase", 5.0, "{}"),
+            (99, far, 1, "purchase", 0.0, "{}"),
+        ],
+        EVENT_SCHEMA,
+    ).write.parquet(purch_dir)
+    spark.createDataFrame(
+        [(98, far, 1, "click", 0.0, "{}")], EVENT_SCHEMA
+    ).write.mode("append").parquet(clicks_dir)
+
+    sc = spark.readStream.schema(EVENT_SCHEMA).parquet(clicks_dir)
+    sp = spark.readStream.schema(EVENT_SCHEMA).parquet(purch_dir)
+    q = (
+        SJ.interval_join(sc, sp, within="30 minutes", how="left_outer")
+        .writeStream.format("memory")
+        .queryName("oij_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in spark.sql("select left_id, right_id from oij_test").collect()
+    }
+    assert (1, 10) in got        # converted click
+    assert (2, None) in got      # unmatched click emitted after watermark
