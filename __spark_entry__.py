@@ -727,6 +727,51 @@ def q_scrub_pii(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Corpus mixing weights: per-source deterministic Bernoulli keep
+    via md5 bucketing (operators/sampling.mixture_sample) — the domain
+    up/down-sampling step of corpus assembly. The oracle replays the
+    identical bucket arithmetic."""
+    from econdatapipeline_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    weights = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.0}
+    return mixture_sample(d, weights, default_weight=0.1).select(
+        "doc_id", "source"
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top tokens by occurrence with doc frequency
+    (operators/sampling.vocab_topk). Map-side partial aggregation
+    carries one row per distinct token per partition into the shuffle."""
+    from econdatapipeline_spark.operators.sampling import vocab_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_topk(d, k=200)
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (functions/vectors.quantize):
+    per-vector scale = max|x|/127, q = floor(x/scale + 0.5) — exploded
+    to (vec_id, pos, qval) so every quantized element is value-checked
+    against the oracle, not just an aggregate."""
+    from econdatapipeline_spark.functions.vectors import quantize, quantize_scale
+
+    e = _t(spark, sf_dir, "embeddings")
+    scaled = e.select(
+        "vec_id",
+        # raw double: max/divide are single IEEE ops, identical on any
+        # engine — no round(), whose half-way rule is engine-specific
+        quantize_scale(F.col("embedding")).alias("scale"),
+        F.posexplode(quantize(F.col("embedding"), quantize_scale(F.col("embedding"))))
+        .alias("pos", "qval"),
+    )
+    return scaled.select(
+        "vec_id", "scale", F.col("pos").cast("long").alias("pos"), "qval"
+    )
+
+
 def q_resize_meta(spark, sf_dir):
     """Multimodal resize planning: aspect-preserving geometry from typed
     metadata, no decode (operators/multimodal.resize_meta)."""
@@ -1493,6 +1538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
         "scrub_pii": q_scrub_pii,
+        "mixture_sample": q_mixture_sample,
+        "vocab_topk": q_vocab_topk,
+        "embedding_quantize": q_embedding_quantize,
         "resize_meta": q_resize_meta,
         "frame_sample": q_frame_sample,
         "vector_norms": q_vector_norms,
@@ -2505,6 +2553,40 @@ def oracle_sql() -> dict[str, str]:
                 '(?:\+?1[-. ])?(?:\([0-9]{3}\)[-. ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b',
                 '<PHONE>', 'g') AS scrubbed
             FROM documents
+        """,
+        "mixture_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % 10000
+                  < CAST(CASE source
+                           WHEN 'src4' THEN 0.0 WHEN 'src3' THEN 0.25
+                           WHEN 'src2' THEN 0.5 WHEN 'src1' THEN 0.75
+                           WHEN 'src0' THEN 1.0 ELSE 0.1
+                         END * 10000 AS BIGINT)
+        """,
+        "vocab_topk": f"""
+            WITH t AS (
+              SELECT doc_id, unnest({toks}) AS token FROM documents),
+            c AS (
+              SELECT token,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     CAST(COUNT(*) AS BIGINT) AS n_occurrences
+              FROM t WHERE token <> '' GROUP BY token)
+            SELECT token, n_docs, n_occurrences
+            FROM c ORDER BY n_occurrences DESC, token ASC LIMIT 200
+        """,
+        "embedding_quantize": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings)
+            SELECT vec_id, scale,
+                   unnest(range(len(embedding))) AS pos,
+                   unnest(list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                                    AS BIGINT))) AS qval
+            FROM s
         """,
         # multimodal_features / approx_distinct / ann_ivf intentionally
         # omitted: mapInPandas kernel, HLL estimate, k-means cells.

@@ -48,3 +48,23 @@ def sign_bucket(a: Column, dims: tuple[int, ...] = (0, 7, 19, 33, 51)) -> Column
         for d in dims
     ]
     return F.concat(*bits)
+
+
+def quantize_scale(a: Column) -> Column:
+    """Per-vector int8 quantization scale: max(|x_i|) / 127.
+
+    Order-independent (max), so identical on any engine/partitioning.
+    """
+    return F.array_max(F.transform(a, lambda x: F.abs(x.cast("double")))) / 127.0
+
+
+def quantize(a: Column, scale: Column) -> Column:
+    """Symmetric int8 quantization: q_i = floor(x_i / scale + 0.5).
+
+    floor(x + 0.5) is round-half-up toward +inf — a single IEEE
+    operation chain (cast, divide, add, floor) that any engine
+    reproduces bit-for-bit, unlike round() whose half-way rule differs
+    between implementations. Emitted as long for portable comparison;
+    the storage cast to tinyint is the writer's concern.
+    """
+    return F.transform(a, lambda x: F.floor(x.cast("double") / scale + 0.5))

@@ -1,0 +1,86 @@
+"""Corpus composition operators: mixture sampling and vocabulary build.
+
+Training corpora are assembled from heterogeneous sources with target
+mixing weights (web 0.6, code 0.25, reference 0.15, ...) and need a
+token vocabulary for tokenizer training / coverage checks. The
+reference's world has neither (SURVEY §2.4: no aggregations at all);
+both are canonical map-reduce shapes in Spark:
+
+- ``mixture_sample``: per-source Bernoulli keep-decisions driven by an
+  md5 bucket of the document id — never ``rand()``. Deterministic
+  across engines, runs, retries, and partitionings, which is what makes
+  a 100 TB sampling job resumable and auditable; the weight lookup is a
+  literal CASE, so the whole filter pushes into the scan stage.
+- ``vocab_topk``: explode tokens -> count -> top-k. Map-side partial
+  aggregation does the heavy lifting (the shuffle carries one row per
+  distinct token per partition, not one per token occurrence); the
+  final top-k is a TakeOrdered over the aggregated table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.functions.text import tokenize
+
+
+def _md5_bucket(col, modulus: int):
+    """Stable [0, modulus) bucket from any key — portable across engines
+    (DuckDB: CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) % modulus)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % modulus
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its source's target probability, deterministically.
+
+    ``weights`` maps source value -> keep fraction in [0, 1]. Sources
+    absent from the map keep ``default_weight``. The decision is
+    ``md5_bucket(id) % 10000 < frac * 10000`` — the same document is
+    kept or dropped identically everywhere, so downstream joins against
+    a re-run of the sampler line up row-for-row.
+    """
+    for s, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {s!r} must be in [0, 1], got {w}")
+    frac = F.lit(default_weight)
+    for s, w in weights.items():
+        frac = F.when(F.col(source_col) == s, F.lit(w)).otherwise(frac)
+    bucket = _md5_bucket(F.col(id_col), 10000)
+    return df.filter(bucket < (frac * 10000).cast("long"))
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Top-k corpus vocabulary: (token, n_docs, n_occurrences).
+
+    Deterministic order: count desc, token asc. ``n_docs`` uses a
+    distinct count per token — the expensive exact form; swap for
+    ``approx_count_distinct`` when 2% error is acceptable at scale.
+    """
+    toks = (
+        df.select(F.col("doc_id"), F.explode(tokenize(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+    )
+    return (
+        counts.filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )

@@ -1,0 +1,57 @@
+"""Mixture sampling, vocabulary build, int8 quantization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.functions.vectors import quantize, quantize_scale
+from econdatapipeline_spark.operators.sampling import mixture_sample, vocab_topk
+
+
+def test_mixture_sample_extremes_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(df, {"keep": 1.0, "drop": 0.0})
+    rows = out.collect()
+    assert {r["source"] for r in rows} == {"keep"}
+    assert len(rows) == 100  # weight 1.0 keeps every row
+    # deterministic: second run identical row set
+    again = mixture_sample(df, {"keep": 1.0, "drop": 0.0}).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again)
+
+
+def test_mixture_sample_fraction_approx(spark):
+    df = spark.createDataFrame([(i, "s") for i in range(2000)], "doc_id long, source string")
+    kept = mixture_sample(df, {"s": 0.3}).count()
+    assert 0.25 < kept / 2000 < 0.35  # md5 buckets are uniform-ish
+
+
+def test_mixture_sample_default_weight_and_validation(spark):
+    df = spark.createDataFrame([(1, "unknown")], "doc_id long, source string")
+    assert mixture_sample(df, {"x": 0.5}, default_weight=1.0).count() == 1
+    assert mixture_sample(df, {"x": 0.5}).count() == 0
+    with pytest.raises(ValueError):
+        mixture_sample(df, {"x": 1.5})
+
+
+def test_vocab_topk_order_and_min_count(spark):
+    df = spark.createDataFrame(
+        [(1, "a b b c c"), (2, "b c z")], "doc_id long, text string"
+    )
+    out = vocab_topk(df, k=10).collect()
+    assert [(r["token"], r["n_docs"], r["n_occurrences"]) for r in out] == [
+        ("b", 2, 3), ("c", 2, 3), ("a", 1, 1), ("z", 1, 1),
+    ]
+    assert [r["token"] for r in vocab_topk(df, k=10, min_count=2).collect()] == ["b", "c"]
+
+
+def test_quantize_known_values(spark):
+    df = spark.createDataFrame([(1, [127.0, -63.5, 0.0, 1.0])], "vec_id long, v array<double>")
+    out = df.select(
+        quantize_scale(F.col("v")).alias("s"),
+        quantize(F.col("v"), quantize_scale(F.col("v"))).alias("q"),
+    ).collect()[0]
+    assert out["s"] == 1.0
+    # floor(x + 0.5): -63.5 -> floor(-63.0) = -63 (round half toward +inf)
+    assert out["q"] == [127, -63, 0, 1]
