@@ -4,8 +4,11 @@ Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[N] parallelism (default 8)
 
-Each query is executed to completion (count() drives the full plan);
-the JSON line reports per-query seconds and the total.
+Each query is executed to completion through the `noop` sink, which
+materializes every output column and discards the rows — unlike
+count(), which lets Catalyst prune projection-only work (a regex-scrub
+query would otherwise be timed as a bare scan). The JSON line reports
+per-query seconds and the total.
 """
 
 from __future__ import annotations
@@ -52,7 +55,7 @@ def main() -> None:
     for name, fn in entry.queries().items():
         start = time.monotonic()
         try:
-            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.monotonic() - start, 4)
         except Exception as exc:  # noqa: BLE001 — record, keep benching
             timings[name] = -1.0
