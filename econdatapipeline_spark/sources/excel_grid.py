@@ -27,7 +27,7 @@ from econdatapipeline_spark.functions.dates import (
     fiscal_quarterly_date,
 )
 from econdatapipeline_spark.functions.parsing import coerce_numeric
-from econdatapipeline_spark.operators.unpivot import melt, promote_header
+from econdatapipeline_spark.operators.unpivot import melt
 from econdatapipeline_spark.registry import DatasetSpec
 
 
@@ -54,8 +54,17 @@ def normalize_edb_grid(
     (null date / null value), matching errors='coerce' + dropna.
     """
     id_col = "Quarter" if quarterly else "Month"
-    raw = grid_to_dataframe(spark, grid)
-    headed = promote_header(raw, id_column_name=id_col)
+    # Header promotion happens driver-side: the grid is already a local
+    # list (the reference does the same in pandas,
+    # azure_common_scrapers.py:117-121), so round-tripping row 0 through
+    # a Spark collect job (operators.unpivot.promote_header — kept for
+    # distributed inputs) would cost a job per ingested dataset.
+    if len(grid) < 2:
+        return spark.createDataFrame([], spec.spark_schema())
+    header, body = grid[0], grid[1:]
+    headed = grid_to_dataframe(spark, body).toDF(
+        id_col, *[str(v) for v in header[1:]]
+    )
     long = melt(headed, id_vars=[id_col], var_name="Year", value_name="raw_value")
 
     if quarterly:
