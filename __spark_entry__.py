@@ -1312,6 +1312,35 @@ def q_stream_dedup(spark, sf_dir):
     return dedup_events(ev.unionByName(ev))
 
 
+def q_stream_full_outer_join(spark, sf_dir):
+    """Full-outer interval join, batch form: clicks that never converted
+    AND purchases with no preceding click, in one pass. Streaming form
+    null-extends each side only after the watermark passes the bound."""
+    from econdatapipeline_spark.streaming.joins import interval_join
+
+    ev = load_events(spark, sf_dir)
+    return interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        within="30 minutes",
+        how="full_outer",
+    )
+
+
+def q_stream_static_enrich(spark, sf_dir):
+    """Stream-static broadcast join, batch form (streaming/joins.py):
+    events decorated with customer-dimension columns. The static side
+    broadcasts, so the streaming form shuffles nothing and keeps no
+    state store; tests/test_stream_joins.py runs the readStream twin."""
+    from econdatapipeline_spark.streaming.joins import enrich_stream
+
+    ev = load_events(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer")
+    return enrich_stream(ev, c).select(
+        "event_id", "user_id", "event_type", "value", "c_name", "c_nationkey"
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/valid/test split — the training-data staple.
     The split key is an md5-derived bucket of the document id (stable
@@ -1570,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_per_group": q_topn_per_group,
         "stream_interval_join": q_stream_interval_join,
         "stream_outer_join": q_stream_outer_join,
+        "stream_full_outer_join": q_stream_full_outer_join,
+        "stream_static_enrich": q_stream_static_enrich,
         "stream_dedup": q_stream_dedup,
         "dup_clusters": q_dup_clusters,
         "hash_split": q_hash_split,
@@ -2375,6 +2406,21 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
               ON c.user_id = p.user_id
              AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        """,
+        "stream_full_outer_join": """
+            SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                   c.event_id AS left_id, c.ts AS left_ts,
+                   p.event_id AS right_id, p.ts AS right_ts,
+                   datediff('second', c.ts, p.ts) AS lag_seconds
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        """,
+        "stream_static_enrich": """
+            SELECT e.event_id, e.user_id, e.event_type, e.value,
+                   c.c_name, c.c_nationkey
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         """,
         "stream_dedup": """
             SELECT DISTINCT event_id, ts, user_id, event_type, value, props

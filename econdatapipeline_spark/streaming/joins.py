@@ -47,9 +47,12 @@ def interval_join(
     watermark proves no match can still arrive — which is why outer
     stream-stream joins REQUIRE both the watermark and the event-time
     bound in the join condition; state stays bounded by the same
-    horizon as the inner join.
+    horizon as the inner join. ``how="full_outer"`` additionally keeps
+    unmatched right rows (both funnels at once: clicks that never
+    converted AND purchases with no preceding click), with the same
+    watermark-gated null emission on both sides.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported join type {how!r}")
     if left.isStreaming:
         left = left.withWatermark(ts_col, watermark)
@@ -73,7 +76,8 @@ def interval_join(
     return (
         l.join(r, cond, how)
         .select(
-            F.col("k").alias(key),
+            # full_outer: the key survives whichever side is present.
+            F.coalesce(F.col("k"), F.col("rk")).alias(key),
             "left_id",
             "left_ts",
             "right_id",
@@ -81,6 +85,35 @@ def interval_join(
             (F.unix_timestamp("right_ts") - F.unix_timestamp("left_ts")).alias("lag_seconds"),
         )
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_name", "c_nationkey"),
+    how: str = "left_outer",
+) -> DataFrame:
+    """Stream-static join: decorate an event stream with dimension columns.
+
+    The static side is broadcast (``F.broadcast``): every micro-batch
+    joins map-side against the replicated dimension with ZERO stream
+    shuffle and ZERO state store — unlike a stream-stream join there is
+    nothing to watermark, because the static side is complete by
+    definition. This is THE 100 TB enrichment shape (events × customer
+    profile): the stream stays partitioned as it arrives, and a
+    dimension of millions of rows still broadcasts in MBs. Spark
+    re-reads the static side per micro-batch, so a slowly-changing
+    dimension picks up updates between batches.
+
+    Works identically on a batch frame (the unified model) — which is
+    how the DuckDB oracle checks it.
+    """
+    d = F.broadcast(
+        dim.select(F.col(dim_key).alias("__dk"), *[F.col(c) for c in dim_cols])
+    )
+    return events.join(d, events[key] == d["__dk"], how).drop("__dk")
 
 
 def dedup_events(

@@ -143,3 +143,55 @@ def test_outer_interval_join_streaming_emits_unmatched(spark, tmp_path):
     }
     assert (1, 10) in got        # converted click
     assert (2, None) in got      # unmatched click emitted after watermark
+
+
+def test_full_outer_interval_join_batch_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    clicks = spark.createDataFrame(
+        [(1, t0, 7, "click", 0.0, "{}"), (2, t0, 8, "click", 0.0, "{}")], EVENT_SCHEMA
+    )
+    purchases = spark.createDataFrame(
+        [
+            (10, t0 + dt.timedelta(minutes=10), 7, "purchase", 5.0, "{}"),
+            (11, t0 + dt.timedelta(minutes=5), 9, "purchase", 5.0, "{}"),  # no click
+        ],
+        EVENT_SCHEMA,
+    )
+    out = {
+        (r["left_id"], r["right_id"]): r["user_id"]
+        for r in SJ.interval_join(
+            clicks, purchases, within="30 minutes", how="full_outer"
+        ).collect()
+    }
+    # converted click, unmatched click, AND orphan purchase (key from right side)
+    assert out == {(1, 10): 7, (2, None): 8, (None, 11): 9}
+
+
+def test_enrich_stream_static_broadcast(spark, tmp_path):
+    """readStream x static dim == batch join; no watermark, no state."""
+    ev = load_events(spark, SF_DIR).limit(300)
+    dim = spark.createDataFrame(
+        [(int(r["user_id"]), f"name_{r['user_id']}", 7) for r in
+         ev.select("user_id").distinct().limit(20).collect()],
+        "c_custkey long, c_name string, c_nationkey long",
+    )
+    batch = SJ.enrich_stream(ev, dim).select("event_id", "c_name").collect()
+
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        SJ.enrich_stream(stream, dim)
+        .select("event_id", "c_name")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["c_name"]) for r in spark.sql("select * from enrich_test").collect()}
+    want = {(r["event_id"], r["c_name"]) for r in batch}
+    assert got == want and len(want) == 300
+    assert any(n is not None for _, n in want)  # some events actually enriched
