@@ -50,6 +50,20 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Runtime row-level filtering: when one join side is selective,
+        # inject a bloom filter of its join keys into the other side's
+        # scan (and a semi-join pre-filter where cheaper). At 100 TB this
+        # prunes most of the big fact scan before the shuffle — the
+        # runtime analog of static partition pruning. Threshold lowered
+        # so mid-sized creation sides (a filtered dimension) still
+        # qualify.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # (runtimeFilter.semiJoinReduction deliberately left at default:
+        # enabling it stalls session startup on this Spark build.)
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -85,3 +85,32 @@ def test_point_lookup_pushes_equality(spark):
     plan = plan_of(E.q_point_lookup(spark, SF_DIR))
     assert "PushedFilters: [" in plan
     assert "EqualTo(o_orderkey,42)" in plan.replace(" ", "").replace("`", "")
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """A selective build side injects a bloom filter into the fact scan.
+
+    The application-side size threshold is production-sane (10 GB) in
+    the session defaults, so the injection is exercised here by
+    lowering it for this plan only — what matters is that the rule is
+    ON and fires: at 100 TB the might_contain pre-filter drops most of
+    the fact rows before the join shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr, old_bcast = spark.conf.get(thr), spark.conf.get(bcast)
+    try:
+        spark.conf.set(thr, "0")
+        spark.conf.set(bcast, "-1")  # shuffle join, where the filter pays
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set(thr, old_thr)
+        spark.conf.set(bcast, old_bcast)
