@@ -741,6 +741,31 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (sampleBy without rand()):
+    cap dominant languages, keep all of the rare ones — the rebalancing
+    step before corpus mixing (operators/sampling.stratified_sample).
+    One scan-stage CASE filter; the oracle replays the md5 bucket."""
+    from econdatapipeline_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.3, "es": 0.8, "de": 1.0}
+    return stratified_sample(d, fractions, strata_col="lang", default_fraction=0.05).select(
+        "doc_id", "lang"
+    )
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (operators/tfidf.py): explode -> TF/DF aggregations -> broadcast
+    corpus size -> per-doc row_number ranking, ties broken
+    lexicographically so the oracle matches row-for-row."""
+    from econdatapipeline_spark.operators.tfidf import top_terms_per_doc
+
+    d = _t(spark, sf_dir, "documents")
+    return top_terms_per_doc(d, k=3)
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: top tokens by occurrence with doc frequency
     (operators/sampling.vocab_topk). Map-side partial aggregation
@@ -1568,6 +1593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "scrub_pii": q_scrub_pii,
         "mixture_sample": q_mixture_sample,
+        "stratified_sample": q_stratified_sample,
+        "tfidf_topterms": q_tfidf_topterms,
         "vocab_topk": q_vocab_topk,
         "embedding_quantize": q_embedding_quantize,
         "resize_meta": q_resize_meta,
@@ -2609,6 +2636,38 @@ def oracle_sql() -> dict[str, str]:
                            WHEN 'src2' THEN 0.5 WHEN 'src1' THEN 0.75
                            WHEN 'src0' THEN 1.0 ELSE 0.1
                          END * 10000 AS BIGINT)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % 10000
+                  < CAST(CASE lang
+                           WHEN 'en' THEN 0.3 WHEN 'es' THEN 0.8 WHEN 'de' THEN 1.0
+                           ELSE 0.05
+                         END * 10000 AS BIGINT)
+        """,
+        "tfidf_topterms": f"""
+            WITH t AS (
+              SELECT doc_id, unnest({toks}) AS token FROM documents),
+            tok AS (SELECT doc_id, token FROM t WHERE token <> ''),
+            tf AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, token),
+            dfreq AS (
+              SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY token),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                     round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1), 6) AS tfidf
+              FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, token, tf, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, token ASC) AS rank
+              FROM scored)
+            SELECT doc_id, rank, token, tf, tfidf
+            FROM ranked WHERE rank <= 3
         """,
         "vocab_topk": f"""
             WITH t AS (

@@ -84,3 +84,33 @@ def vocab_topk(
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(k)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` without rand()).
+
+    Same md5-bucket decision rule as ``mixture_sample`` but keyed on an
+    arbitrary stratum column — the rebalancing shape (cap the dominant
+    language, keep all of the rare one) that precedes corpus mixing.
+    Kept separate from ``mixture_sample`` because strata are usually a
+    *property* (lang, quality band) while mixture sources are a
+    *provenance* label; pipelines chain both. The whole operator is one
+    scan-stage filter: the stratum->fraction lookup is a literal CASE,
+    the bucket an md5 of the id, so Catalyst keeps it inside the scan's
+    WholeStageCodegen span — no shuffle, no sampling pass, reproducible
+    at any scale and under any partitioning.
+    """
+    for s, w in fractions.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0, 1], got {w}")
+    frac = F.lit(default_fraction)
+    for s, w in fractions.items():
+        frac = F.when(F.col(strata_col) == s, F.lit(w)).otherwise(frac)
+    bucket = _md5_bucket(F.col(id_col), 10000)
+    return df.filter(bucket < (frac * 10000).cast("long"))

@@ -1,0 +1,76 @@
+"""TF-IDF term weighting over a document corpus.
+
+The classic corpus-analysis operator the reference's world never needed
+(SURVEY §2.4: zero aggregations) but any text pipeline at scale does:
+per-(doc, term) weights for keyword extraction, near-dup triage, and
+quality filters.
+
+Shuffle shape: one explode -> groupBy (doc_id, token) for TF, one
+groupBy token for DF (map-side partials carry one row per distinct
+token per partition), and the corpus size N joins in as a broadcast
+1-row aggregate — no window over the full corpus, no driver-side
+count() baked into the plan as a literal (the plan stays valid when the
+input grows). The per-doc top-k uses a row_number window partitioned by
+doc_id, which shuffles one row per (doc, distinct term) — already the
+smallest thing that can rank terms.
+
+IDF uses the smoothed form ln((N + 1) / (df + 1)) + 1 (scikit-learn's
+smooth_idf) so unseen/ubiquitous terms stay finite and positive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.functions.text import tokenize
+
+
+def tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, token, tf, df, tfidf) for every term occurrence set."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    n = df.select(F.countDistinct(id_col).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+def top_terms_per_doc(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Deterministic rank: tfidf desc, token asc (ties broken
+    lexicographically so reruns and the oracle agree row-for-row).
+    """
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        tfidf_terms(df, text_col, id_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tf", "tfidf")
+    )

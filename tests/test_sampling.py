@@ -55,3 +55,30 @@ def test_quantize_known_values(spark):
     assert out["s"] == 1.0
     # floor(x + 0.5): -63.5 -> floor(-63.0) = -63 (round half toward +inf)
     assert out["q"] == [127, -63, 0, 1]
+
+
+def test_stratified_sample_fraction_extremes_and_determinism(spark):
+    from econdatapipeline_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(df, {"en": 0.0, "de": 1.0}, strata_col="lang")
+    rows = out.collect()
+    assert all(r["lang"] == "de" for r in rows) and len(rows) == 50
+    # deterministic: identical result set on rerun
+    again = stratified_sample(df, {"en": 0.0, "de": 1.0}, strata_col="lang").collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again)
+    # mid fraction keeps roughly the asked share of the stratum
+    mid = stratified_sample(df, {"en": 0.5}, strata_col="lang").count()
+    assert 10 <= mid <= 40
+
+
+def test_stratified_sample_rejects_bad_fraction(spark):
+    import pytest
+    from econdatapipeline_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        stratified_sample(df, {"en": 1.5})
