@@ -1424,6 +1424,25 @@ def q_yoy_growth(spark, sf_dir):
     )
 
 
+def q_gap_fill(spark, sf_dir):
+    """Monthly calendar gap-fill + forward fill + linear interpolation
+    (operators/timeseries.py): monthly order totals per priority with
+    every third month removed, then repaired on the dense calendar.
+    Scaffold = per-key sequence(); repair = two windows on one sort."""
+    from econdatapipeline_spark.operators.timeseries import gap_fill_monthly
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("dataset"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+        )
+        .agg(_dsum(F.col("o_totalprice")).alias("value"))
+        .filter(F.month("date") % 3 != 0)  # punch holes to repair
+    )
+    return gap_fill_monthly(monthly)
+
+
 def q_ewma(spark, sf_dir):
     """Exponentially weighted moving average per order priority: daily
     totals folded in date order (s_t = 0.3 x_t + 0.7 s_{t-1}). The
@@ -1636,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_export": q_sorted_export,
         "props_map": q_props_map,
         "yoy_growth": q_yoy_growth,
+        "gap_fill": q_gap_fill,
         "ewma": q_ewma,
     }
 
@@ -2462,6 +2482,45 @@ def oracle_sql() -> dict[str, str]:
                    round((total - LAG(total) OVER w) / LAG(total) OVER w, 6) AS yoy_growth
             FROM m
             WINDOW w AS (PARTITION BY month(m_start) ORDER BY year(m_start))
+        """,
+        "gap_fill": """
+            WITH monthly AS (
+              SELECT o_orderpriority AS dataset,
+                     CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS value
+              FROM orders GROUP BY 1, 2),
+            holes AS (SELECT * FROM monthly WHERE month(date) % 3 <> 0),
+            bounds AS (
+              SELECT dataset, min(date) AS d0, max(date) AS d1
+              FROM holes GROUP BY dataset),
+            scaffold AS (
+              SELECT dataset, CAST(unnest(generate_series(d0, d1, INTERVAL 1 MONTH)) AS DATE) AS date
+              FROM bounds),
+            j AS (
+              SELECT s.dataset, s.date, h.value AS v
+              FROM scaffold s LEFT JOIN holes h USING (dataset, date)),
+            w AS (
+              SELECT dataset, date, v,
+                     last_value(v IGNORE NULLS) OVER back AS prev_v,
+                     last_value(CASE WHEN v IS NOT NULL THEN date END IGNORE NULLS) OVER back AS prev_d,
+                     first_value(v IGNORE NULLS) OVER fwd AS next_v,
+                     first_value(CASE WHEN v IS NOT NULL THEN date END IGNORE NULLS) OVER fwd AS next_d
+              FROM j
+              WINDOW back AS (PARTITION BY dataset ORDER BY date
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     fwd AS (PARTITION BY dataset ORDER BY date
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT dataset, date, v IS NOT NULL AS is_observed,
+                   round(prev_v, 6) AS ffill,
+                   round(CASE
+                     WHEN v IS NOT NULL THEN v
+                     WHEN next_v IS NULL THEN prev_v
+                     WHEN prev_v IS NULL THEN next_v
+                     ELSE prev_v + (next_v - prev_v)
+                          * date_diff('month', prev_d, date)
+                          / date_diff('month', prev_d, next_d)
+                   END, 6) AS interpolated
+            FROM w
         """,
         "ewma": """
             WITH daily AS (

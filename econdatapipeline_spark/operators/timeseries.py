@@ -1,0 +1,84 @@
+"""Time-series repair: calendar gap-fill, forward fill, interpolation.
+
+The reference stores monthly/quarterly economic series but leaves holes
+where a source skipped a period (its export layer "merges with date
+alignment" — documentation/economic_indicators.md:71 — which silently
+drops or nulls missing months). An engine over the same data needs the
+explicit repair operator: materialize the full period calendar per
+series, carry the last observation forward, and linearly interpolate
+interior gaps.
+
+Shuffle shape: one tiny per-key MIN/MAX aggregate builds the calendar
+scaffold via ``sequence()`` + ``explode`` (rows = periods, never more),
+one left join back to the observations (broadcast when the scaffold is
+small, shuffle-on-key at scale), and two windows partitioned by the
+series key — the same partitioning, so a single sort serves both
+directions. No driver-side date loops; the scaffold is plan-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_monthly(
+    df: DataFrame,
+    key_col: str = "dataset",
+    date_col: str = "date",
+    value_col: str = "value",
+) -> DataFrame:
+    """(key, date, is_observed, ffill, interpolated) on a dense monthly
+    calendar spanning each key's observed range.
+
+    - ``ffill``: last non-null observation at or before the period
+      (what a point-in-time query should see).
+    - ``interpolated``: linear in month-distance between the bracketing
+      observations; equals the observation where one exists, and falls
+      back to the nearer side at the edges.
+
+    Dates are expected month-aligned (the engine's resample operators
+    emit ``date_trunc('month', ...)``); interpolation weights are whole
+    month counts via ``months_between``.
+    """
+    bounds = df.groupBy(key_col).agg(
+        F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1")
+    )
+    scaffold = bounds.select(
+        key_col,
+        F.explode(F.expr("sequence(__d0, __d1, interval 1 month)")).alias(date_col),
+    )
+    obs = df.select(key_col, date_col, F.col(value_col).alias("__v"))
+    j = scaffold.join(obs, [key_col, date_col], "left")
+
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(date_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_date = F.when(F.col("__v").isNotNull(), F.col(date_col))
+    prev_v = F.last("__v", ignorenulls=True).over(back)
+    prev_d = F.last(obs_date, ignorenulls=True).over(back)
+    next_v = F.first("__v", ignorenulls=True).over(fwd)
+    next_d = F.first(obs_date, ignorenulls=True).over(fwd)
+
+    pos = F.months_between(F.col(date_col), prev_d)
+    gap = F.months_between(next_d, prev_d)
+    interp = (
+        F.when(F.col("__v").isNotNull(), F.col("__v"))
+        .when(next_v.isNull(), prev_v)
+        .when(prev_v.isNull(), next_v)
+        .otherwise(prev_v + (next_v - prev_v) * pos / gap)
+    )
+    return j.select(
+        key_col,
+        date_col,
+        F.col("__v").isNotNull().alias("is_observed"),
+        F.round(prev_v, 6).alias("ffill"),
+        F.round(interp, 6).alias("interpolated"),
+    )
