@@ -755,6 +755,16 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-10 documents for a bag-of-words query
+    (operators/tfidf.bm25_search): postings filtered to query terms
+    before any aggregation, corpus stats broadcast, TakeOrdered top-k."""
+    from econdatapipeline_spark.operators.tfidf import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_search(d, ["spark", "shuffle", "broadcast"], k=10)
+
+
 def q_tfidf_topterms(spark, sf_dir):
     """Top-3 characteristic terms per document by smoothed TF-IDF
     (operators/tfidf.py): explode -> TF/DF aggregations -> broadcast
@@ -1613,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "mixture_sample": q_mixture_sample,
         "stratified_sample": q_stratified_sample,
+        "bm25_search": q_bm25_search,
         "tfidf_topterms": q_tfidf_topterms,
         "vocab_topk": q_vocab_topk,
         "embedding_quantize": q_embedding_quantize,
@@ -2704,6 +2715,34 @@ def oracle_sql() -> dict[str, str]:
                            WHEN 'en' THEN 0.3 WHEN 'es' THEN 0.8 WHEN 'de' THEN 1.0
                            ELSE 0.05
                          END * 10000 AS BIGINT)
+        """,
+        "bm25_search": f"""
+            WITH tok AS (
+              SELECT doc_id, len({toks}) AS dl, unnest({toks}) AS token
+              FROM documents),
+            m AS (SELECT * FROM tok
+                  WHERE token IN ('spark', 'shuffle', 'broadcast')),
+            tf AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf,
+                     first(dl) AS dl
+              FROM m GROUP BY doc_id, token),
+            dfreq AS (
+              SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM m GROUP BY token),
+            stats AS (
+              SELECT COUNT(DISTINCT doc_id) AS n_docs, avg(dl) AS avgdl
+              FROM (SELECT doc_id, len({toks}) AS dl FROM documents)),
+            scored AS (
+              SELECT tf.doc_id,
+                     ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                       AS contrib
+              FROM tf JOIN dfreq USING (token) CROSS JOIN stats s)
+            SELECT doc_id, round(SUM(contrib), 6) AS bm25,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 10
         """,
         "tfidf_topterms": f"""
             WITH t AS (

@@ -74,3 +74,55 @@ def top_terms_per_doc(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "token", "tf", "tfidf")
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query by Okapi BM25.
+
+    score(d) = sum over query terms t of
+        idf(t) * tf(t,d) * (k1 + 1) / (tf(t,d) + k1 * (1 - b + b * |d|/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)) (the standard
+    non-negative Okapi form).
+
+    Plan shape: the token explode is filtered to the query terms
+    *before* any aggregation — at 100 TB the scan emits only matching
+    postings (the predicate pushes into the explode's generator stage),
+    so the TF aggregation shuffles rows proportional to query-term
+    frequency, not corpus size. Corpus stats (N, avgdl) and per-term
+    document frequencies ride along as broadcast aggregates. Output is
+    a TakeOrdered top-k, never a global sort.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokenize(F.col(text_col))).alias("dl"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    )
+    matches = toks.filter(F.col("token").isin(terms))
+    tf = matches.groupBy(id_col, "token").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = matches.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    stats = df.select(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.avg(F.size(tokenize(F.col(text_col)))).alias("avgdl"),
+    )
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1) / norm
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"), F.count("*").alias("n_terms_hit"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -33,3 +33,35 @@ def test_top_terms_rank_and_tiebreak(spark):
     assert sorted(by_doc[1]) == [(1, "a"), (2, "b")]
     # x and y tie on tfidf -> lexicographic tiebreak
     assert sorted(by_doc[2]) == [(1, "x"), (2, "y")]
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    import math
+
+    from econdatapipeline_spark.operators.tfidf import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),      # dense in the query term
+            (2, "spark join filter"),      # one hit
+            (3, "join filter agg"),        # no hit
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_search(df, ["spark"], k=10).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]  # doc 3 absent, dense doc first
+    # hand-check doc 2: tf=1, df=2, N=3, dl=3, avgdl=3
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    expected = idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0))
+    assert abs(rows[1]["bm25"] - round(expected, 6)) < 1e-9
+    assert rows[0]["n_terms_hit"] == 1
+
+
+def test_bm25_multi_term_accumulates(spark):
+    from econdatapipeline_spark.operators.tfidf import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a a"), (3, "b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["n_terms_hit"] for r in bm25_search(df, ["a", "b"]).collect()}
+    assert rows == {1: 2, 2: 1, 3: 1}
