@@ -1242,8 +1242,11 @@ def q_or_predicate_join(spark, sf_dir):
 
 def q_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: quarterly revenue per supplier, keep the max —
-    the scalar MAX subquery becomes a dense_rank over the tiny (one row
-    per supplier) aggregate, so no second scan of lineitem."""
+    the scalar MAX subquery becomes a broadcast 1-row aggregate joined
+    back on equality (ties survive, as with dense_rank()=1, but with no
+    single-partition global window and no second scan of lineitem).
+    Exact equality is safe: the max of the aggregated doubles is
+    bit-identical to the row it came from."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
@@ -1251,9 +1254,10 @@ def q_top_supplier(spark, sf_dir):
     rev = li.groupBy("l_suppkey").agg(
         _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
     )
-    ranked = rev.withColumn(
-        "rk", F.dense_rank().over(Window.orderBy(F.desc("total_revenue")))
-    ).filter(F.col("rk") == 1)
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    ranked = rev.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("max_rev")
+    ).drop("max_rev")
     return (
         ranked.join(s, ranked.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", F.round("total_revenue", 6).alias("total_revenue"))

@@ -114,3 +114,20 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         spark.conf.set(thr, old_thr)
         spark.conf.set(bcast, old_bcast)
+
+
+def test_no_cartesian_or_row_python_anywhere(spark):
+    """Sweep every declared query's plan for scale anti-patterns.
+
+    CartesianProduct = an unbounded all-pairs join slipped in;
+    BatchEvalPython = a row-at-a-time Python UDF on the hot path
+    (Arrow paths show as ArrowEvalPython / MapInPandas and are
+    allowed). Cheap at sf0.001 because explain only plans.
+    """
+    offenders = {}
+    for name, fn in E.queries().items():
+        plan = plan_of(fn(spark, SF_DIR), "extended")
+        flags = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if flags:
+            offenders[name] = flags
+    assert offenders == {}
