@@ -97,6 +97,34 @@ class Warehouse:
             shutil.rmtree(final)
         os.rename(staging, final)
 
+    def compact(self, table: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Rewrite a table's small files into ~target-sized ones.
+
+        Append-heavy tables (the revision log; streaming rollup sinks)
+        accumulate one file per micro-batch or merge — at scale the
+        file-listing and per-file open costs come to dominate reads
+        long before data size does. Compaction reads the table, sizes
+        the output file count from the on-disk bytes (never fewer than
+        one), and atomically swaps via the staging-dir path that
+        ``write_dataset`` uses. Returns the new file count.
+
+        Sort order within files is preserved per-partition only (Spark
+        coalesce does not merge-sort); tables that rely on row-group
+        min/max skipping should be written sorted by their filter key
+        afterwards, or compact rarely enough that the tail is small.
+        """
+        p = self.path(table)
+        on_disk = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-on_disk // target_file_bytes))  # ceil div
+        df = self.read(table)
+        self.write_dataset(df.coalesce(n_files), table)
+        return n_files
+
     def append(self, df: DataFrame, table: str) -> None:
         """Blind append (revision log path — no read-modify-write)."""
         df.write.mode("append").parquet(self.path(table))

@@ -103,3 +103,27 @@ def test_mixed_insert_update(spark):
     res = smart_update(existing, incoming, ["date"], ["value"], "ds", run_ts=RUN_TS)
     assert res.counts() == {"new": 1, "updated": 1, "revisions": 1}
     assert res.merged.count() == 2
+
+
+def test_compact_collapses_small_files(spark, tmp_path):
+    from econdatapipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+    for _ in range(5):
+        wh.append(df.repartition(4), "log")
+    import os
+
+    files_before = [
+        f for f in os.listdir(wh.path("log")) if f.endswith(".parquet")
+    ]
+    assert len(files_before) >= 20
+    n = wh.compact("log")
+    files_after = [
+        f for f in os.listdir(wh.path("log")) if f.endswith(".parquet")
+    ]
+    assert n == 1 and len(files_after) == 1
+    got = wh.read("log").groupBy().agg(
+        __import__("pyspark.sql.functions", fromlist=["sum"]).sum("v")
+    ).collect()[0][0]
+    assert got == 5 * sum(2 * i for i in range(100))
