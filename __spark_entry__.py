@@ -1438,6 +1438,50 @@ def q_yoy_growth(spark, sf_dir):
     )
 
 
+def q_validate(spark, sf_dir):
+    """Declarative data-quality report (operators/quality.py): all
+    expectations compile into ONE aggregate pass — one scan, one row,
+    however many checks."""
+    from econdatapipeline_spark.operators.quality import (
+        in_range,
+        matches,
+        not_null,
+        one_of,
+        validate,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return validate(
+        o,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 400000),
+            one_of("o_orderstatus", ["F", "O", "P"]),
+            matches("o_orderpriority", "^[1-5]-[A-Z ]+$"),
+        ],
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Two-snapshot CDC classification (operators/diff.py): orders
+    before/after a simulated reload (drop some rows, bump some prices)
+    -> inserted/deleted/updated/unchanged per key via one full-outer
+    join; numeric change uses the reference's 0.001 tolerance."""
+    from econdatapipeline_spark.operators.diff import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    old = o.filter(F.col("o_orderkey") % 10 != 0)  # "yesterday" misses some
+    new = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 5.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snapshot_diff(
+        old, new, key_cols=["o_orderkey"], value_cols=["o_totalprice", "o_orderstatus"]
+    )
+
+
 def q_gap_fill(spark, sf_dir):
     """Monthly calendar gap-fill + forward fill + linear interpolation
     (operators/timeseries.py): monthly order totals per priority with
@@ -1670,6 +1714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_export": q_sorted_export,
         "props_map": q_props_map,
         "yoy_growth": q_yoy_growth,
+        "validate": q_validate,
+        "snapshot_diff": q_snapshot_diff,
         "gap_fill": q_gap_fill,
         "ewma": q_ewma,
     }
@@ -2497,6 +2543,47 @@ def oracle_sql() -> dict[str, str]:
                    round((total - LAG(total) OVER w) / LAG(total) OVER w, 6) AS yoy_growth
             FROM m
             WINDOW w AS (PARTITION BY month(m_start) ORDER BY year(m_start))
+        """,
+        "validate": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS o_custkey_not_null_violations,
+                   CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice BETWEEN 0 AND 400000, FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS o_totalprice_in_range_violations,
+                   CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O','P'), FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS o_orderstatus_one_of_violations,
+                   CAST(SUM(CASE WHEN NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$'), FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS o_orderpriority_matches_violations
+            FROM orders
+        """,
+        "snapshot_diff": """
+            WITH base AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+            old AS (SELECT *, TRUE AS in_old FROM base WHERE o_orderkey % 10 <> 0),
+            new AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderstatus, TRUE AS in_new
+              FROM base WHERE o_orderkey % 7 <> 0)
+            SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+                   CASE
+                     WHEN old.in_old IS NULL THEN 'inserted'
+                     WHEN new.in_new IS NULL THEN 'deleted'
+                     WHEN abs(new.o_totalprice - old.o_totalprice) > 0.001
+                          OR (old.o_totalprice IS NULL) <> (new.o_totalprice IS NULL)
+                          OR NOT (old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus)
+                       THEN 'updated'
+                     ELSE 'unchanged'
+                   END AS change,
+                   old.o_totalprice AS old_o_totalprice,
+                   old.o_orderstatus AS old_o_orderstatus,
+                   new.o_totalprice AS new_o_totalprice,
+                   new.o_orderstatus AS new_o_orderstatus
+            FROM old FULL JOIN new USING (o_orderkey)
         """,
         "gap_fill": """
             WITH monthly AS (

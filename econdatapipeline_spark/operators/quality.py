@@ -1,0 +1,71 @@
+"""Data-quality validation: declarative expectations over a DataFrame.
+
+The reference's only "validation" is pd.to_numeric(errors='coerce') +
+dropna — bad cells vanish silently (azure_common_scrapers.py:133-138).
+A pipeline feeding model training needs the opposite: declared
+expectations, counted violations, and a machine-readable report that
+can gate promotion of a batch (the Deequ/Great-Expectations shape,
+rebuilt as one Spark aggregation).
+
+Scale design: every check compiles to a conditional-count column in a
+SINGLE aggregate pass over the table — one scan, one 1-row result, no
+per-check jobs. Uniqueness, the only check that needs a shuffle, is an
+optional second aggregate (count vs distinct count on the key).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One expectation: name + row-level predicate that should hold."""
+
+    name: str
+    predicate: Column
+
+
+def not_null(col: str) -> Check:
+    return Check(f"{col}_not_null", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> Check:
+    return Check(f"{col}_in_range", F.col(col).between(lo, hi))
+
+
+def matches(col: str, pattern: str) -> Check:
+    return Check(f"{col}_matches", F.col(col).rlike(pattern))
+
+
+def one_of(col: str, values: list) -> Check:
+    return Check(f"{col}_one_of", F.col(col).isin(values))
+
+
+def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """One-row violation report: (total_rows, <check>_violations...).
+
+    A violation is a row where the predicate is NOT satisfied (null
+    predicate results count as violations — an unparseable value is a
+    failure, not a pass; use not_null explicitly when nulls are legal).
+    """
+    aggs = [F.count(F.lit(1)).alias("total_rows")]
+    for c in checks:
+        holds = F.coalesce(c.predicate, F.lit(False))
+        aggs.append(
+            F.sum(F.when(~holds, 1).otherwise(0)).alias(f"{c.name}_violations")
+        )
+    return df.agg(*aggs)
+
+
+def check_unique(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(n_keys, n_dup_keys, n_dup_rows) uniqueness report for a key."""
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+        F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0)).alias("n_dup_rows"),
+    )

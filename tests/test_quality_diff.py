@@ -1,0 +1,85 @@
+"""Data-quality validation (operators/quality.py) and snapshot diff
+(operators/diff.py)."""
+
+from __future__ import annotations
+
+from econdatapipeline_spark.operators.diff import snapshot_diff
+from econdatapipeline_spark.operators.quality import (
+    Check,
+    check_unique,
+    in_range,
+    matches,
+    not_null,
+    one_of,
+    validate,
+)
+from pyspark.sql import functions as F
+
+
+def test_validate_counts_each_violation_kind(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "ok", "a-1"),
+            (None, -5.0, "bad", "zz"),   # violates all four
+            (3, None, "ok", "b-2"),      # null range value counts as violation
+        ],
+        "id long, v double, status string, code string",
+    )
+    row = validate(
+        df,
+        [
+            not_null("id"),
+            in_range("v", 0, 100),
+            one_of("status", ["ok"]),
+            matches("code", "^[a-z]-[0-9]$"),
+        ],
+    ).collect()[0]
+    assert row["total_rows"] == 3
+    assert row["id_not_null_violations"] == 1
+    assert row["v_in_range_violations"] == 2
+    assert row["status_one_of_violations"] == 1
+    assert row["code_matches_violations"] == 1
+
+
+def test_validate_custom_check_and_single_pass_plan(spark):
+    df = spark.createDataFrame([(1, 2.0)], "a long, b double")
+    rep = validate(df, [Check("a_lt_b", F.col("a") < F.col("b"))])
+    assert rep.collect()[0]["a_lt_b_violations"] == 0
+    # one aggregate over one scan: no joins, no extra exchanges
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rep.explain()
+    assert "Join" not in buf.getvalue()
+
+
+def test_check_unique(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "k long, v string"
+    )
+    row = check_unique(df, ["k"]).collect()[0]
+    assert (row["n_keys"], row["n_dup_keys"], row["n_dup_rows"]) == (2, 1, 2)
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, None, "d")],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0005, "b"),          # within tolerance -> unchanged
+         (3, 30.1, "c"),             # value moved -> updated
+         (4, None, "D"),             # string changed, null value stable -> updated
+         (5, 50.0, "e")],            # new key -> inserted
+        "k long, v double, s string",
+    )
+    out = {r["k"]: r["change"] for r in
+           snapshot_diff(old, new, ["k"], ["v", "s"]).collect()}
+    assert out == {1: "deleted", 2: "unchanged", 3: "updated", 4: "updated", 5: "inserted"}
+
+
+def test_snapshot_diff_null_transitions_are_updates(spark):
+    old = spark.createDataFrame([(1, None)], "k long, v double")
+    new = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    out = snapshot_diff(old, new, ["k"], ["v"]).collect()[0]
+    assert out["change"] == "updated" and out["old_v"] is None and out["new_v"] == 5.0
