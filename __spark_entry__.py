@@ -1438,6 +1438,29 @@ def q_yoy_growth(spark, sf_dir):
     )
 
 
+def q_sql_surface(spark, sf_dir):
+    """The same engine through the pure SQL surface: tables registered
+    as temp views, the query is a SQL string planned by Catalyst
+    exactly like its DataFrame twins (TPC-H Q12 shape: per-flag
+    priority split). Demonstrates that every DataFrame operator here
+    is reachable from spark.sql()."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM v_orders JOIN v_lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1997-01-01'
+          AND l_quantity < 25
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
 def q_validate(spark, sf_dir):
     """Declarative data-quality report (operators/quality.py): all
     expectations compile into ONE aggregate pass — one scan, one row,
@@ -1714,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_export": q_sorted_export,
         "props_map": q_props_map,
         "yoy_growth": q_yoy_growth,
+        "sql_surface": q_sql_surface,
         "validate": q_validate,
         "snapshot_diff": q_snapshot_diff,
         "gap_fill": q_gap_fill,
@@ -2543,6 +2567,19 @@ def oracle_sql() -> dict[str, str]:
                    round((total - LAG(total) OVER w) / LAG(total) OVER w, 6) AS yoy_growth
             FROM m
             WINDOW w AS (PARTITION BY month(m_start) ORDER BY year(m_start))
+        """,
+        "sql_surface": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate <  DATE '1997-01-01'
+              AND l_quantity < 25
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "validate": """
             SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
