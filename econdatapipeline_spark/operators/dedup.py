@@ -154,6 +154,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard for pairs sharing at least one shingle.
 
@@ -161,6 +162,14 @@ def ngram_jaccard_pairs(
     all-pairs), then |intersection| / (|A| + |B| - |intersection|).
     The join key is xxhash64(gram), not the gram string: 8-byte shuffle
     keys and integer compares instead of multi-word string keys.
+
+    ``max_doc_freq`` is the scale guard: a gram occurring in c docs
+    contributes c^2 join rows, so one boilerplate shingle shared by a
+    million documents is a 10^12-row hot key. Capping document
+    frequency drops those stop-grams from CANDIDATE GENERATION only —
+    an approximation (pairs sharing nothing but stop-grams are missed;
+    intersections omit them) that is standard practice for web-corpus
+    dedup, and exact (None) stays the default.
     """
     sh = fan_out(df).select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
@@ -168,6 +177,17 @@ def ngram_jaccard_pairs(
     exploded = sh.select(
         id_col, "sh_size", F.explode("sh").alias("gram")
     ).select(id_col, "sh_size", F.xxhash64("gram").alias("gram"))
+    if max_doc_freq is not None:
+        hot = (
+            exploded.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("gram")
+        )
+        # Broadcast anti-join: the stop-gram list is tiny by definition
+        # (heavy hitters), so the filter costs no extra shuffle of the
+        # exploded table.
+        exploded = exploded.join(F.broadcast(hot), "gram", "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

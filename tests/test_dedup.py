@@ -83,3 +83,24 @@ def test_connected_components_converges_early(spark):
     pairs = spark.createDataFrame([(7, 3), (3, 9)], "id_a long, id_b long")
     out = {r["node"]: r["cluster"] for r in D.connected_components(pairs, max_iter=50).collect()}
     assert out == {3: 3, 7: 3, 9: 3}
+
+
+def test_ngram_jaccard_stop_gram_cap(spark):
+    # docs 1+2 share a unique bigram-rich text; every doc shares 'the end'
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma the end"),
+            (2, "alpha beta gamma the end"),
+            (3, "unrelated words here the end"),
+            (4, "other totally distinct text the end"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = D.ngram_jaccard_pairs(df, shingle_n=3, threshold=0.05)
+    assert {(r["id_a"], r["id_b"]) for r in exact.collect()} >= {(1, 2)}
+    # cap at df<=2: 'the end'-only pairs vanish, the true dup pair stays
+    capped = D.ngram_jaccard_pairs(df, shingle_n=3, threshold=0.05, max_doc_freq=2)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert (1, 2) in got
+    # pairs that only shared the ubiquitous shingle are gone
+    assert all(a in (1, 2) and b in (1, 2) for a, b in got)

@@ -83,3 +83,48 @@ def test_snapshot_diff_null_transitions_are_updates(spark):
     new = spark.createDataFrame([(1, 5.0)], "k long, v double")
     out = snapshot_diff(old, new, ["k"], ["v"]).collect()[0]
     assert out["change"] == "updated" and out["old_v"] is None and out["new_v"] == 5.0
+
+
+def test_snapshot_diff_agrees_with_smart_update(spark):
+    """Cross-validation of two independent change-detection paths.
+
+    smart_update (the write-side MERGE) and snapshot_diff (the
+    read-side CDC classifier) implement the same 0.001-tolerance
+    semantics; on a seeded random pair of snapshots their counts must
+    agree exactly: new==inserted, updated==updated, and unchanged
+    matches keys present on both sides minus updates.
+    """
+    import datetime as dt
+    import random
+
+    from econdatapipeline_spark.operators.merge import smart_update
+
+    rng = random.Random(7)
+    base = dt.date(2020, 1, 1)
+    old_rows, new_rows = [], []
+    for i in range(400):
+        d = base + dt.timedelta(days=i)
+        v = round(rng.uniform(0, 100), 3)
+        in_old, in_new = rng.random() < 0.8, rng.random() < 0.8
+        if in_old:
+            old_rows.append((d, v))
+        if in_new:
+            # nudge some values: below tolerance, above, or unchanged
+            delta = rng.choice([0.0, 0.0005, 0.5, -2.0])
+            new_rows.append((d, round(v + delta, 4)))
+    old = spark.createDataFrame(old_rows, "date date, value double")
+    new = spark.createDataFrame(new_rows, "date date, value double")
+
+    mr = smart_update(old, new, key_cols=["date"], value_cols=["value"], dataset="x")
+    counts = mr.counts()
+
+    diff = {
+        r["change"]: r["n"]
+        for r in __import__("econdatapipeline_spark.operators.diff", fromlist=["snapshot_diff"])
+        .snapshot_diff(old, new, ["date"], ["value"])
+        .groupBy("change").agg(F.count("*").alias("n")).collect()
+    }
+    assert diff.get("inserted", 0) == counts["new"]
+    assert diff.get("updated", 0) == counts["updated"] == counts["revisions"]
+    assert diff.get("inserted", 0) > 0 and diff.get("updated", 0) > 0
+    assert diff.get("deleted", 0) > 0  # smart_update keeps these; diff reports them
