@@ -98,22 +98,44 @@ def run_pipeline(
     specs: tuple[DatasetSpec, ...] = ALL_SPECS,
     run_ts: datetime | None = None,
     force: bool = False,
+    max_workers: int = 1,
 ) -> dict:
     """Full run over all specs with a run-summary dict (C3 + S9).
 
     ``fetchers`` maps source type -> fetcher; specs with no fetcher are
     skipped (e.g. a FRED-only refresh).
+
+    ``max_workers > 1`` runs datasets concurrently from a driver thread
+    pool: each dataset is an independent table (as in the reference,
+    where each is its own Azure table), so their Spark jobs interleave
+    freely on the cluster scheduler — the win is overlapping one
+    dataset's fetch/plan latency with another's execution, exactly what
+    the reference's serial ~26-dataset loop leaves on the table. The
+    two shared tables (watermarks, revision log) are serialized inside
+    Warehouse by a write lock. Result order matches spec order either
+    way, and per-dataset failures stay isolated (C2 status taxonomy).
     """
     run_ts = run_ts or datetime.utcnow()
     start = time.monotonic()
     wh.initialize([s.name for s in specs])
-    details = []
-    for spec in specs:
-        if spec.source not in fetchers:
-            continue
-        details.append(
+    todo = [s for s in specs if s.source in fetchers]
+    if max_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            details = list(
+                pool.map(
+                    lambda spec: run_dataset(
+                        spark, wh, spec, fetchers[spec.source], run_ts=run_ts, force=force
+                    ),
+                    todo,
+                )
+            )
+    else:
+        details = [
             run_dataset(spark, wh, spec, fetchers[spec.source], run_ts=run_ts, force=force)
-        )
+            for spec in todo
+        ]
     statuses = [d["status"] for d in details]
     summary = {
         "run_ts": run_ts.isoformat(),

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +42,13 @@ class Warehouse:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # Serializes writers of SHARED tables (watermarks, revision log)
+        # when datasets run concurrently (pipeline.run_pipeline
+        # max_workers > 1). Two concurrent Spark writes into the same
+        # directory race on its _temporary staging dir, and the
+        # watermark table is read-modify-write; per-dataset tables need
+        # no lock — each dataset owns its directory.
+        self._shared_write_lock = threading.RLock()
 
     # -- paths / catalog -------------------------------------------------
     def path(self, table: str) -> str:
@@ -175,7 +183,8 @@ class Warehouse:
 
     # -- revisions (== datarevisions table) ------------------------------
     def append_revisions(self, revisions: DataFrame) -> None:
-        self.append(revisions.select(*[f.name for f in REVISIONS_SCHEMA.fields]), REVISIONS_TABLE)
+        with self._shared_write_lock:
+            self.append(revisions.select(*[f.name for f in REVISIONS_SCHEMA.fields]), REVISIONS_TABLE)
 
     def revisions(self) -> DataFrame:
         return self.read_or_empty(REVISIONS_TABLE, REVISIONS_SCHEMA)
@@ -183,6 +192,10 @@ class Warehouse:
     # -- watermarks (== scrapermetadata, azure_connector.py:552-617) -----
     def update_last_run(self, dataset: str, ts: datetime | None = None) -> None:
         ts = ts or datetime.utcnow()
+        with self._shared_write_lock:
+            self._update_last_run_locked(dataset, ts)
+
+    def _update_last_run_locked(self, dataset: str, ts) -> None:
         current = self.read_or_empty(METADATA_TABLE, METADATA_SCHEMA)
         updated = current.filter(F.col("dataset") != dataset).unionByName(
             self.spark.createDataFrame([(dataset, ts)], METADATA_SCHEMA)

@@ -137,3 +137,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bjoin_left")
         spark.sql("DROP TABLE IF EXISTS bjoin_right")
+
+
+def test_parallel_run_matches_serial(spark, wh):
+    """max_workers>1: same statuses, same warehouse contents, watermarks
+    for every dataset despite concurrent writers of the shared table."""
+    specs = tuple(EDB_SPECS[:4]) + (FRED_SPECS[0], NYU_SPEC)
+    fetchers = {"edb_monthly": edb_fetcher, "fred": fred_fetcher, "nyu_stern": nyu_fetcher}
+    s = run_pipeline(spark, wh, fetchers, specs=specs, run_ts=RUN1, max_workers=4)
+    assert s["updated"] == len(specs) and s["failed"] == 0
+    # order of details follows spec order even under the pool
+    assert [d["dataset"] for d in s["details"]] == [sp.name for sp in specs]
+    for sp in specs:
+        assert wh.get_last_run(sp.name) is not None
+        assert wh.read(sp.name).count() > 0
+    # re-run inside the gate: all skipped, still correct under the pool
+    s2 = run_pipeline(spark, wh, fetchers, specs=specs, run_ts=RUN2, max_workers=4)
+    assert s2["no_update_needed"] == len(specs)
+
+
+def test_parallel_run_isolates_failures(spark, wh):
+    specs = (EDB_SPECS[0], EDB_SPECS[1], FRED_SPECS[0])
+    fetchers = {"edb_monthly": edb_fetcher, "fred": failing_fetcher}
+    s = run_pipeline(spark, wh, fetchers, specs=specs, run_ts=RUN1, max_workers=3)
+    assert s["updated"] == 2 and s["failed"] == 1
