@@ -1438,6 +1438,40 @@ def q_yoy_growth(spark, sf_dir):
     )
 
 
+def q_histogram(spark, sf_dir):
+    """Equal-width histogram as one aggregation (operators/stats.py);
+    fixed bounds so the binning is a pure scan-stage expression."""
+    from econdatapipeline_spark.operators.stats import histogram
+
+    o = _t(spark, sf_dir, "orders")
+    return histogram(o, "o_totalprice", bins=20, lo=0.0, hi=500000.0)
+
+
+def q_corr_matrix(spark, sf_dir):
+    """All pairwise Pearson correlations of the lineitem measures in ONE
+    aggregate pass (operators/stats.corr_pairs) — the input to the VIF
+    multicollinearity check the reference documents but never shipped
+    (economic_indicators.md:123-126,136)."""
+    from econdatapipeline_spark.operators.stats import corr_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_pairs(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Trailing-window z-score anomaly flags over monthly order totals
+    (operators/timeseries.rolling_zscore): the current row is excluded
+    from its own baseline; one window per series key."""
+    from econdatapipeline_spark.operators.timeseries import rolling_zscore
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(_dsum(F.col("o_totalprice")).alias("value"))
+    return rolling_zscore(monthly, window_rows=6, z_threshold=2.0)
+
+
 def q_sql_surface(spark, sf_dir):
     """The same engine through the pure SQL surface: tables registered
     as temp views, the query is a SQL string planned by Catalyst
@@ -1737,6 +1771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_export": q_sorted_export,
         "props_map": q_props_map,
         "yoy_growth": q_yoy_growth,
+        "histogram": q_histogram,
+        "corr_matrix": q_corr_matrix,
+        "anomaly_zscore": q_anomaly_zscore,
         "sql_surface": q_sql_surface,
         "validate": q_validate,
         "snapshot_diff": q_snapshot_diff,
@@ -2567,6 +2604,51 @@ def oracle_sql() -> dict[str, str]:
                    round((total - LAG(total) OVER w) / LAG(total) OVER w, 6) AS yoy_growth
             FROM m
             WINDOW w AS (PARTITION BY month(m_start) ORDER BY year(m_start))
+        """,
+        "histogram": """
+            WITH b AS (
+              SELECT LEAST(GREATEST(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 0), 19) AS bin
+              FROM orders WHERE o_totalprice IS NOT NULL)
+            SELECT bin,
+                   CAST(round(bin * 25000.0, 6) AS DOUBLE) AS bin_lo,
+                   CAST(round((bin + 1) * 25000.0, 6) AS DOUBLE) AS bin_hi,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY bin
+        """,
+        "corr_matrix": """
+            SELECT col_a, col_b, corr FROM (
+              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                     round(corr(l_quantity, l_extendedprice), 6) AS corr, 1 AS ord FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 6), 2 FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 6), 3 FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 6), 4 FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 6), 5 FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 6), 6 FROM lineitem
+            ) ORDER BY ord
+        """,
+        "anomaly_zscore": """
+            WITH monthly AS (
+              SELECT o_orderpriority AS dataset,
+                     CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS value
+              FROM orders GROUP BY 1, 2),
+            w AS (
+              SELECT dataset, date, value,
+                     avg(value) OVER t AS m,
+                     nullif(stddev_samp(value) OVER t, 0.0) AS sd
+              FROM monthly
+              WINDOW t AS (PARTITION BY dataset ORDER BY date
+                           ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+            SELECT dataset, date, value,
+                   round(m, 6) AS trailing_mean,
+                   round((value - m) / sd, 6) AS zscore,
+                   abs((value - m) / sd) > 2.0 AS is_anomaly
+            FROM w
         """,
         "sql_surface": """
             SELECT l_returnflag,

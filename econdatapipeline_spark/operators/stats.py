@@ -1,0 +1,96 @@
+"""Statistical analysis the reference documents but never shipped.
+
+documentation/economic_indicators.md:123-126,136 describes a
+forecasting layer with VIF multicollinearity checks over the merged
+indicator table; the repo contains no such code. Here it is as engine
+operators:
+
+- ``histogram``: equal-width binning as one aggregation (width from a
+  broadcast min/max pass or caller-fixed bounds).
+- ``corr_pairs``: all pairwise Pearson correlations of a wide table in
+  ONE aggregate pass (k*(k-1)/2 corr() expressions — Spark computes
+  all of them in a single scan with map-side partials).
+- ``vif``: variance inflation factors via the precision-matrix
+  identity VIF_i = [inv(R)]_ii where R is the correlation matrix. The
+  k x k matrix collects to the driver (k = number of indicator
+  columns, tens at most) and inverts in numpy — the canonical hybrid:
+  distributed pass for the O(n) scan, driver math for the O(k^3)
+  linear algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """(bin, bin_lo, bin_hi, n) equal-width histogram.
+
+    Bounds default to the column's observed min/max (one tiny extra
+    aggregate). The max value lands in the last bin (right-closed
+    there, right-open elsewhere) — the standard convention.
+    """
+    if lo is None or hi is None:
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+        lo = lo if lo is not None else float(row["lo"])
+        hi = hi if hi is not None else float(row["hi"])
+    width = (hi - lo) / bins or 1.0
+    bin_idx = F.least(
+        F.greatest(F.floor((F.col(col) - lo) / width), F.lit(0)), F.lit(bins - 1)
+    ).cast("long")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(lo + F.col("bin") * width, 6).alias("bin_lo"),
+            F.round(lo + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def corr_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
+    """All pairwise Pearson correlations in one aggregate pass."""
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"{a}__{b}"))
+            names.append((a, b))
+    wide = df.agg(*aggs).collect()[0]
+    rows = [(a, b, wide[f"{a}__{b}"]) for a, b in names]
+    return df.sparkSession.createDataFrame(rows, "col_a string, col_b string, corr double")
+
+
+def vif(df: DataFrame, cols: list[str]) -> dict[str, float]:
+    """Variance inflation factor per column (driver-side k x k inverse).
+
+    VIF_i = 1 / (1 - R_i^2) of regressing column i on the others,
+    computed as the diagonal of the inverse correlation matrix. Values
+    above ~10 are the usual multicollinearity alarm the reference's
+    documentation calls for.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    k = len(cols)
+    aggs = [
+        F.corr(cols[i], cols[j]).alias(f"c_{i}_{j}")
+        for i in range(k)
+        for j in range(i + 1, k)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    r = np.eye(k)
+    for i in range(k):
+        for j in range(i + 1, k):
+            r[i, j] = r[j, i] = row[f"c_{i}_{j}"]
+    diag = np.diag(np.linalg.inv(r))
+    return {c: float(round(d, 6)) for c, d in zip(cols, diag)}

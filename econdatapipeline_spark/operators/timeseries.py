@@ -82,3 +82,40 @@ def gap_fill_monthly(
         F.round(prev_v, 6).alias("ffill"),
         F.round(interp, 6).alias("interpolated"),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str = "dataset",
+    date_col: str = "date",
+    value_col: str = "value",
+    window_rows: int = 12,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window anomaly score per observation.
+
+    z = (x - mean(trailing w)) / stddev(trailing w), flagged when |z|
+    exceeds the threshold. The trailing window EXCLUDES the current row
+    (an observation should not vote on its own baseline). One window
+    partitioned by series key — the same single-sort shape as gap-fill;
+    at 100 TB state per task is the w-row frame, nothing more.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(date_col)
+        .rowsBetween(-window_rows, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    # nullif: a flat window has zero variance — the z-score is undefined
+    # there, and ANSI mode (Spark 4 default) would otherwise raise on
+    # the division instead of yielding null.
+    sd = F.nullif(F.stddev_samp(value_col).over(w), F.lit(0.0))
+    z = (F.col(value_col) - mean) / sd
+    return df.select(
+        key_col,
+        date_col,
+        F.col(value_col),
+        F.round(mean, 6).alias("trailing_mean"),
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) > z_threshold).alias("is_anomaly"),
+    )

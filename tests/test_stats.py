@@ -1,0 +1,58 @@
+"""Statistical operators (operators/stats.py, rolling_zscore)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from econdatapipeline_spark.operators.stats import corr_pairs, histogram, vif
+from econdatapipeline_spark.operators.timeseries import rolling_zscore
+
+
+def test_histogram_binning_and_edges(spark):
+    df = spark.createDataFrame([(float(x),) for x in [0, 5, 9.99, 10, 95, 100]], "v double")
+    out = {r["bin"]: (r["bin_lo"], r["bin_hi"], r["n"]) for r in
+           histogram(df, "v", bins=10, lo=0.0, hi=100.0).collect()}
+    assert out[0] == (0.0, 10.0, 3)       # 0, 5, 9.99
+    assert out[1] == (10.0, 20.0, 1)      # 10 -> right-open
+    assert out[9] == (90.0, 100.0, 2)     # 95 and the max value 100
+
+
+def test_histogram_auto_bounds(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    out = histogram(df, "v", bins=2).collect()
+    assert sum(r["n"] for r in out) == 3
+
+
+def test_corr_pairs_and_vif_on_constructed_collinearity(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(500):
+        x = rng.gauss(0, 1)
+        z = rng.gauss(0, 1)
+        y = 2 * x + 0.01 * rng.gauss(0, 1)   # y ~ collinear with x
+        rows.append((x, y, z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    corr = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_pairs(df, ["x", "y", "z"]).collect()}
+    assert corr[("x", "y")] > 0.999
+    assert abs(corr[("x", "z")]) < 0.2
+    factors = vif(df, ["x", "y", "z"])
+    assert factors["x"] > 10 and factors["y"] > 10   # collinear pair blows up
+    assert factors["z"] < 2                           # independent stays ~1
+
+
+def test_rolling_zscore_flags_spike_not_self_influenced(spark):
+    base = dt.date(2024, 1, 1)
+    # baseline oscillates 9/11 (variance > 0), then spikes
+    rows = [("a", base.replace(month=m), 9.0 + 2 * (m % 2)) for m in range(1, 9)]
+    rows.append(("a", base.replace(month=9), 1000.0))  # spike
+    # second, perfectly flat series: z undefined (null), never flagged
+    rows += [("flat", base.replace(month=m), 5.0) for m in range(1, 4)]
+    df = spark.createDataFrame(rows, "dataset string, date date, value double")
+    out = {(r["dataset"], r["date"].month): r
+           for r in rolling_zscore(df, window_rows=6).collect()}
+    assert out[("a", 9)]["is_anomaly"] is True
+    # the spike did not contaminate its own baseline (trailing mean ~10)
+    assert out[("a", 9)]["trailing_mean"] == 10.0
+    assert out[("flat", 3)]["zscore"] is None and not out[("flat", 3)]["is_anomaly"]
