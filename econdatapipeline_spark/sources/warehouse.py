@@ -100,7 +100,14 @@ class Warehouse:
         writer = df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.parquet(staging)
+        try:
+            writer.parquet(staging)
+        except BaseException:
+            # A failed job must leave no trace: the current table stays
+            # untouched and the half-written staging dir is removed so
+            # a retry starts clean.
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.rename(staging, final)

@@ -127,3 +127,23 @@ def test_compact_collapses_small_files(spark, tmp_path):
         __import__("pyspark.sql.functions", fromlist=["sum"]).sum("v")
     ).collect()[0][0]
     assert got == 5 * sum(2 * i for i in range(100))
+
+
+def test_failed_write_leaves_table_intact_and_no_staging(spark, tmp_path):
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from econdatapipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.write_dataset(spark.range(10).selectExpr("id", "id * 2 as v"), "t")
+    before = sorted(r["id"] for r in wh.read("t").collect())
+
+    # a plan that fails mid-job (ANSI division by zero on some rows)
+    bad = spark.range(10).select("id", (F.lit(1) / (F.col("id") - 5)).alias("v"))
+    with pytest.raises(Exception):
+        wh.write_dataset(bad, "t")
+
+    assert sorted(r["id"] for r in wh.read("t").collect()) == before
+    assert not os.path.isdir(wh.path("t") + "__staging")
