@@ -1438,6 +1438,20 @@ def q_yoy_growth(spark, sf_dir):
     )
 
 
+def q_fuzzy_match(spark, sf_dir):
+    """Entity resolution: DISTINCT part names within Levenshtein
+    distance 1 via the symmetric-delete join (operators/fuzzy.py).
+    Exact duplicates collapse to counts first — pairwise output over
+    raw rows is quadratic in duplicate count — and the symdelete keys
+    make candidate generation output-bounded (no prefix/q-gram hot
+    blocks). The oracle brute-forces distinct-name pairs, so the
+    efficient plan is checked against the exhaustive definition."""
+    from econdatapipeline_spark.operators.fuzzy import fuzzy_name_pairs
+
+    p = _t(spark, sf_dir, "part")
+    return fuzzy_name_pairs(p, name_col="p_name")
+
+
 def q_histogram(spark, sf_dir):
     """Equal-width histogram as one aggregation (operators/stats.py);
     fixed bounds so the binning is a pure scan-stage expression."""
@@ -1771,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_export": q_sorted_export,
         "props_map": q_props_map,
         "yoy_growth": q_yoy_growth,
+        "fuzzy_match": q_fuzzy_match,
         "histogram": q_histogram,
         "corr_matrix": q_corr_matrix,
         "anomaly_zscore": q_anomaly_zscore,
@@ -2604,6 +2619,15 @@ def oracle_sql() -> dict[str, str]:
                    round((total - LAG(total) OVER w) / LAG(total) OVER w, 6) AS yoy_growth
             FROM m
             WINDOW w AS (PARTITION BY month(m_start) ORDER BY year(m_start))
+        """,
+        "fuzzy_match": """
+            WITH names AS (
+              SELECT lower(trim(p_name)) AS name, CAST(COUNT(*) AS BIGINT) AS n
+              FROM part GROUP BY 1)
+            SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b,
+                   CAST(levenshtein(a.name, b.name) AS INT) AS distance
+            FROM names a JOIN names b ON a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 1
         """,
         "histogram": """
             WITH b AS (
