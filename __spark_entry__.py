@@ -1438,6 +1438,17 @@ def q_yoy_growth(spark, sf_dir):
     )
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the embedding near-dup graph via
+    the degree-oriented wedge join (operators/dedup.triangle_count,
+    Suri & Vassilvitskii): wedges bounded by min-degree^2, every
+    triangle found once. Oracle: three-way self-join on the
+    canonicalized edge list."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dups(e, threshold=0.2)
+    return DD.triangle_count(pairs)
+
+
 def q_fuzzy_match(spark, sf_dir):
     """Entity resolution: DISTINCT part names within Levenshtein
     distance 1 via the symmetric-delete join (operators/fuzzy.py).
@@ -1785,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_export": q_sorted_export,
         "props_map": q_props_map,
         "yoy_growth": q_yoy_growth,
+        "triangle_count": q_triangle_count,
         "fuzzy_match": q_fuzzy_match,
         "histogram": q_histogram,
         "corr_matrix": q_corr_matrix,
@@ -2355,6 +2367,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
             FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
             WHERE {cos} >= 0.2
+        """,
+        "triangle_count": f"""
+            WITH
+            b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS id_a, c.vec_id AS id_b
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+              WHERE {cos} >= 0.2),
+            e AS (SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+                  FROM pairs WHERE id_a <> id_b),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+              FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+              SELECT a AS node FROM tri
+              UNION ALL SELECT b2 FROM tri
+              UNION ALL SELECT c FROM tri)
+            GROUP BY node
         """,
         "dup_clusters": f"""
             WITH RECURSIVE

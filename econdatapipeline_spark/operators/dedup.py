@@ -419,3 +419,64 @@ def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id",
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def triangle_count(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Triangles per node over an undirected pair graph -> (node, triangles).
+
+    The MapReduce-classic degree-ordering algorithm: orient every edge
+    from the lower-degree endpoint to the higher (ties by id), join the
+    oriented list with itself on the source to enumerate wedges
+    (u->v, u->w), then semi-join wedges against the edge set to keep
+    closed ones. Orientation bounds the wedge count by sum of
+    min-degree^2 — on power-law graphs orders of magnitude below the
+    naive sum of degree^2, which is what makes this the 100 TB
+    formulation (Suri & Vassilvitskii, "Counting Triangles and the
+    Curse of the Last Reducer"). Every triangle is found exactly once;
+    each corner node gets credit via one explode.
+    """
+    edges = (
+        pairs.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    with_deg = edges.join(du, "u").join(dv, "v")
+    oriented = with_deg.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .alias("e")
+    ).select("e.s", "e.t")
+
+    a, b = oriented.alias("a"), oriented.alias("b")
+    wedges = a.join(
+        b, (F.col("a.s") == F.col("b.s")) & (F.col("a.t") < F.col("b.t"))
+    ).select(
+        F.col("a.s").alias("w0"), F.col("a.t").alias("w1"), F.col("b.t").alias("w2")
+    )
+    closing = edges.select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
+    )
+    triangles = wedges.join(closing, ["w1", "w2"], "left_semi")
+    return (
+        triangles.select(
+            F.explode(F.array("w0", "w1", "w2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

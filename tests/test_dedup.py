@@ -104,3 +104,19 @@ def test_ngram_jaccard_stop_gram_cap(spark):
     assert (1, 2) in got
     # pairs that only shared the ubiquitous shingle are gone
     assert all(a in (1, 2) and b in (1, 2) for a, b in got)
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant edge 4-5
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["node"]: r["triangles"] for r in D.triangle_count(pairs).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # node 5 in no triangle -> absent
+
+
+def test_triangle_count_direction_and_dup_insensitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["triangles"] for r in D.triangle_count(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
