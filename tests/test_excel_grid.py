@@ -89,3 +89,18 @@ def test_sorted_by_date(spark):
     out = normalize_edb_grid(spark, monthly_grid(), MONTHLY_SPEC)
     dates = [r["date"] for r in out.collect()]
     assert dates == sorted(dates)
+
+
+def test_promote_header_distributed_form(spark):
+    """The Spark-side header promotion kept for genuinely distributed
+    inputs (normalize_edb_grid promotes driver-side since the grid is
+    already local)."""
+    from econdatapipeline_spark.operators.unpivot import promote_header
+
+    raw = spark.createDataFrame(
+        [("Month", "2023", "2024"), ("July", "1", "2"), ("August", "3", "4")],
+        "_c0 string, _c1 string, _c2 string",
+    )
+    out = promote_header(raw, id_column_name="Month")
+    assert out.columns == ["Month", "2023", "2024"]
+    assert sorted(r["Month"] for r in out.collect()) == ["August", "July"]
