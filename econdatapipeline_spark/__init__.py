@@ -22,7 +22,9 @@ in hot paths; Python only at Arrow-vectorized boundaries where built-in
 expressions genuinely cannot express the semantics.
 """
 
+from econdatapipeline_spark.registry import ALL_SPECS, DatasetSpec
 from econdatapipeline_spark.session import get_spark
+from econdatapipeline_spark.sources.warehouse import Warehouse
 
-__all__ = ["get_spark"]
+__all__ = ["ALL_SPECS", "DatasetSpec", "Warehouse", "get_spark"]
 __version__ = "0.1.0"
