@@ -3056,8 +3056,18 @@ def oracle_sql() -> dict[str, str]:
                                     AS BIGINT))) AS qval
             FROM s
         """,
-        # multimodal_features / approx_distinct / ann_ivf intentionally
-        # omitted: mapInPandas kernel, HLL estimate, k-means cells.
+        # The mapInPandas kernel's byte/digest outputs are deterministic,
+        # so even the Arrow path gets a full value-hash oracle (DuckDB's
+        # sha256 matches hashlib); only the stubbed feature vector is
+        # excluded from the query's projection.
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS digest
+            FROM documents
+        """,
+        # approx_distinct / ann_ivf intentionally omitted: HLL estimate,
+        # k-means cells.
     }
     # The xlsx byte-scan feeds the identical literal grid into the same
     # normalizer, so it shares edb_normalize's oracle.
