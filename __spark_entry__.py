@@ -1564,6 +1564,34 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_rebase_index(spark, sf_dir):
+    """Index presentation (base period = 100) of monthly order totals:
+    base values broadcast back onto the series, no window
+    (operators/timeseries.rebase_index)."""
+    from econdatapipeline_spark.operators.timeseries import rebase_index
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(_dsum(F.col("o_totalprice")).alias("value"))
+    return rebase_index(monthly, "1996-01-01")
+
+
+def q_seasonal_adjust(spark, sf_dir):
+    """Ratio-to-moving-average seasonal adjustment (X-11 first pass,
+    operators/timeseries.seasonal_adjust_monthly): 2x12 centered MA
+    trend, per-month factors normalized to mean 1, adjusted series."""
+    from econdatapipeline_spark.operators.timeseries import seasonal_adjust_monthly
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(_dsum(F.col("o_totalprice")).alias("value"))
+    return seasonal_adjust_monthly(monthly)
+
+
 def q_gap_fill(spark, sf_dir):
     """Monthly calendar gap-fill + forward fill + linear interpolation
     (operators/timeseries.py): monthly order totals per priority with
@@ -1804,6 +1832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface": q_sql_surface,
         "validate": q_validate,
         "snapshot_diff": q_snapshot_diff,
+        "rebase_index": q_rebase_index,
+        "seasonal_adjust": q_seasonal_adjust,
         "gap_fill": q_gap_fill,
         "ewma": q_ewma,
     }
@@ -2758,6 +2788,57 @@ def oracle_sql() -> dict[str, str]:
                    new.o_totalprice AS new_o_totalprice,
                    new.o_orderstatus AS new_o_orderstatus
             FROM old FULL JOIN new USING (o_orderkey)
+        """,
+        "rebase_index": """
+            WITH monthly AS (
+              SELECT o_orderpriority AS dataset,
+                     CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS value
+              FROM orders GROUP BY 1, 2),
+            base AS (
+              SELECT dataset, value AS base_v FROM monthly
+              WHERE date = DATE '1996-01-01')
+            SELECT m.dataset, m.date, m.value,
+                   round(m.value / nullif(b.base_v, 0.0) * 100, 6) AS index_value
+            FROM monthly m LEFT JOIN base b USING (dataset)
+        """,
+        "seasonal_adjust": """
+            WITH monthly AS (
+              SELECT o_orderpriority AS dataset,
+                     CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS value
+              FROM orders GROUP BY 1, 2),
+            t AS (
+              SELECT dataset, date, value,
+                     (0.5 * lag(value, 6) OVER w
+                      + lag(value, 5) OVER w + lag(value, 4) OVER w
+                      + lag(value, 3) OVER w + lag(value, 2) OVER w
+                      + lag(value, 1) OVER w + value
+                      + lead(value, 1) OVER w + lead(value, 2) OVER w
+                      + lead(value, 3) OVER w + lead(value, 4) OVER w
+                      + lead(value, 5) OVER w
+                      + 0.5 * lead(value, 6) OVER w) / 12.0 AS trend
+              FROM monthly
+              WINDOW w AS (PARTITION BY dataset ORDER BY date)),
+            f AS (
+              SELECT dataset, month(date) AS m,
+                     CAST(SUM(CAST(value / nullif(trend, 0.0) AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(value / nullif(trend, 0.0)) AS raw_factor
+              FROM t WHERE trend IS NOT NULL
+              GROUP BY 1, 2),
+            n AS (
+              SELECT dataset,
+                     CAST(SUM(CAST(raw_factor AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(raw_factor) AS norm
+              FROM f GROUP BY dataset),
+            fn AS (
+              SELECT f.dataset, f.m, f.raw_factor / n.norm AS factor
+              FROM f JOIN n USING (dataset))
+            SELECT t.dataset, t.date, t.value,
+                   floor(t.trend * 100 + 0.5) / 100 AS trend,
+                   floor(fn.factor * 1000000 + 0.5) / 1000000 AS seasonal_factor,
+                   floor(t.value / fn.factor * 100 + 0.5) / 100 AS adjusted
+            FROM t LEFT JOIN fn ON t.dataset = fn.dataset AND month(t.date) = fn.m
         """,
         "gap_fill": """
             WITH monthly AS (

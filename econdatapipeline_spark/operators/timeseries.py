@@ -119,3 +119,115 @@ def rolling_zscore(
         F.round(z, 6).alias("zscore"),
         (F.abs(z) > z_threshold).alias("is_anomaly"),
     )
+
+
+def rebase_index(
+    df: DataFrame,
+    base_date,
+    key_col: str = "dataset",
+    date_col: str = "date",
+    value_col: str = "value",
+) -> DataFrame:
+    """Express each series as an index with base period = 100.
+
+    The standard econ presentation ("2020-01 = 100"): every value is
+    divided by its series' value at ``base_date``. The base values are
+    one equality-filtered scan broadcast back onto the series — no
+    window, no shuffle of the big side. Series with no observation at
+    the base date yield null indexes (they cannot be rebased honestly).
+    """
+    base = df.filter(F.col(date_col) == F.lit(base_date)).select(
+        key_col, F.col(value_col).alias("__base")
+    )
+    return (
+        df.join(F.broadcast(base), key_col, "left")
+        .select(
+            key_col,
+            date_col,
+            F.col(value_col),
+            F.round(F.col(value_col) / F.nullif(F.col("__base"), F.lit(0.0)) * 100, 6).alias(
+                "index_value"
+            ),
+        )
+    )
+
+
+def seasonal_adjust_monthly(
+    df: DataFrame,
+    key_col: str = "dataset",
+    date_col: str = "date",
+    value_col: str = "value",
+) -> DataFrame:
+    """Ratio-to-moving-average seasonal adjustment (multiplicative).
+
+    The X-11 family's first pass, as pure window/aggregate algebra:
+
+    1. trend: 2x12 centered moving average (13-tap window, half weight
+       on the end taps) — one window per series key.
+    2. seasonal ratio: value / trend where the full window exists.
+    3. seasonal factor: mean ratio per (series, calendar month),
+       normalized so the 12 factors average to 1 (one tiny aggregate,
+       broadcast back).
+    4. adjusted = value / factor.
+
+    Two shuffles total (the per-month factor aggregate and its join
+    back; the trend window rides the series-key partitioning). At 100 TB
+    the state per task is the 13-row frame — nothing grows with series
+    count.
+    """
+    w = Window.partitionBy(key_col).orderBy(date_col)
+    taps = (
+        [F.lag(value_col, 6).over(w) * 0.5]
+        + [F.lag(value_col, i).over(w) for i in range(5, 0, -1)]
+        + [F.col(value_col)]
+        + [F.lead(value_col, i).over(w) for i in range(1, 6)]
+        + [F.lead(value_col, 6).over(w) * 0.5]
+    )
+    trend = sum(taps[1:], taps[0]) / 12.0
+    with_trend = df.withColumn("__trend", trend)
+    ratio = F.col(value_col) / F.nullif(F.col("__trend"), F.lit(0.0))
+
+    # Means computed as exact-decimal sums divided by counts: a plain
+    # double avg() accumulates in partial-aggregation order, which is
+    # nondeterministic across engines AND across runs; the decimal sum
+    # is order-independent, so the factor doubles are bit-reproducible.
+    dec = "decimal(28,12)"
+    factors = (
+        with_trend.filter(F.col("__trend").isNotNull())
+        .groupBy(key_col, F.month(date_col).alias("__m"))
+        .agg(
+            (F.sum(ratio.cast(dec)).cast("double") / F.count(ratio)).alias("__raw_factor")
+        )
+    )
+    norm = factors.groupBy(key_col).agg(
+        (
+            F.sum(F.col("__raw_factor").cast(dec)).cast("double")
+            / F.count("__raw_factor")
+        ).alias("__norm")
+    )
+    factors = factors.join(norm, key_col).select(
+        key_col, "__m", (F.col("__raw_factor") / F.col("__norm")).alias("__factor")
+    )
+
+    # floor(x*s + 0.5)/s instead of round(): money-shaped sums land
+    # exactly on .005 boundaries where Spark (decimal-string HALF_UP)
+    # and other engines (binary-double rounding) disagree; floor-based
+    # rounding is a pure function of the identical double.
+    def r2(c):
+        return F.floor(c * 100 + F.lit(0.5)) / 100
+
+    def r6(c):
+        return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    return (
+        with_trend.withColumn("__m", F.month(date_col))
+        .join(F.broadcast(factors), [key_col, "__m"], "left")
+        .select(
+            key_col,
+            date_col,
+            F.col(value_col),
+            r2(F.col("__trend")).alias("trend"),
+            r6(F.col("__factor")).alias("seasonal_factor"),
+            r2(F.col(value_col) / F.col("__factor")).alias("adjusted"),
+        )
+    )

@@ -47,3 +47,41 @@ def test_gap_fill_leading_hole_backfills_from_next(spark):
     assert out[_d(2024, 1)] == (None, 9.0)
     assert out[_d(2024, 2)] == (None, 9.0)
     assert out[_d(2024, 3)] == (9.0, 9.0)
+
+
+def test_rebase_index_base_100(spark):
+    from econdatapipeline_spark.operators.timeseries import rebase_index
+
+    df = spark.createDataFrame(
+        [("a", _d(2024, 1), 50.0), ("a", _d(2024, 2), 75.0),
+         ("b", _d(2024, 2), 9.0)],  # no base observation
+        "dataset string, date date, value double",
+    )
+    out = {(r["dataset"], r["date"]): r["index_value"]
+           for r in rebase_index(df, _d(2024, 1)).collect()}
+    assert out[("a", _d(2024, 1))] == 100.0
+    assert out[("a", _d(2024, 2))] == 150.0
+    assert out[("b", _d(2024, 2))] is None
+
+
+def test_seasonal_adjust_recovers_flat_trend(spark):
+    """A series that is exactly flat x seasonal pattern: the adjusted
+    series must recover the flat level and factors must mirror the
+    pattern (normalized to mean 1)."""
+    from econdatapipeline_spark.operators.timeseries import seasonal_adjust_monthly
+
+    pattern = [1.2 if m % 2 == 0 else 0.8 for m in range(1, 13)]
+    rows = []
+    for year in (2022, 2023, 2024):
+        for m in range(1, 13):
+            rows.append(("a", _d(year, m), 100.0 * pattern[m - 1]))
+    df = spark.createDataFrame(rows, "dataset string, date date, value double")
+    out = {(r["date"].year, r["date"].month): r
+           for r in seasonal_adjust_monthly(df).collect()}
+    mid = out[(2023, 6)]
+    assert mid["trend"] == 100.0          # alternating 0.8/1.2 averages out
+    assert abs(mid["seasonal_factor"] - 1.2) < 1e-6
+    assert abs(mid["adjusted"] - 100.0) < 0.01
+    # edges: no full 13-tap window -> no trend, factor still applied
+    assert out[(2022, 1)]["trend"] is None
+    assert abs(out[(2022, 1)]["adjusted"] - 100.0) < 0.01
