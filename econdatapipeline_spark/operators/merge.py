@@ -48,12 +48,17 @@ class MergeResult:
         """{'new': n, 'updated': m, 'revisions': k} — triggers execution.
 
         Mirrors the reference's result dict (azure_data_tracker.py:136-165).
+        One Spark job, not three: the branches are unioned under a tag
+        and counted in a single aggregate, so the shared scans and the
+        broadcast of the incoming batch execute once.
         """
-        return {
-            "new": self.inserts.count(),
-            "updated": self.updates.count(),
-            "revisions": self.revisions.count(),
-        }
+        u = (
+            self.inserts.select(F.lit("new").alias("__branch"))
+            .unionAll(self.updates.select(F.lit("updated").alias("__branch")))
+            .unionAll(self.revisions.select(F.lit("revisions").alias("__branch")))
+        )
+        got = {r["__branch"]: r["n"] for r in u.groupBy("__branch").agg(F.count(F.lit(1)).alias("n")).collect()}
+        return {k: int(got.get(k, 0)) for k in ("new", "updated", "revisions")}
 
 
 def smart_update(
