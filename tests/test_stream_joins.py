@@ -195,3 +195,47 @@ def test_enrich_stream_static_broadcast(spark, tmp_path):
     want = {(r["event_id"], r["c_name"]) for r in batch}
     assert got == want and len(want) == 300
     assert any(n is not None for _, n in want)  # some events actually enriched
+
+
+def test_full_outer_interval_join_streaming_emits_both_unmatched(spark, tmp_path):
+    """Watermark-gated null extension on BOTH sides in the real
+    streaming engine (availableNow run over file sources)."""
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    far = t0 + dt.timedelta(days=30)
+    clicks_dir, purch_dir = str(tmp_path / "c"), str(tmp_path / "p")
+    spark.createDataFrame(
+        [
+            (1, t0, 7, "click", 0.0, "{}"),          # converts
+            (2, t0, 8, "click", 0.0, "{}"),          # never converts
+            (98, far, 1, "click", 0.0, "{}"),        # watermark pusher
+        ],
+        EVENT_SCHEMA,
+    ).write.parquet(clicks_dir)
+    spark.createDataFrame(
+        [
+            (10, t0 + dt.timedelta(minutes=10), 7, "purchase", 5.0, "{}"),
+            (11, t0 + dt.timedelta(minutes=5), 9, "purchase", 5.0, "{}"),  # orphan
+            (99, far, 1, "purchase", 0.0, "{}"),     # watermark pusher
+        ],
+        EVENT_SCHEMA,
+    ).write.parquet(purch_dir)
+
+    sc = spark.readStream.schema(EVENT_SCHEMA).parquet(clicks_dir)
+    sp = spark.readStream.schema(EVENT_SCHEMA).parquet(purch_dir)
+    q = (
+        SJ.interval_join(sc, sp, within="30 minutes", how="full_outer")
+        .writeStream.format("memory")
+        .queryName("foij_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in spark.sql("select left_id, right_id from foij_test").collect()
+    }
+    assert (1, 10) in got       # matched pair
+    assert (2, None) in got     # unmatched left, null-extended
+    assert (None, 11) in got    # unmatched right, null-extended
