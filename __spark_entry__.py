@@ -1438,6 +1438,16 @@ def q_yoy_growth(spark, sf_dir):
     )
 
 
+def q_exact_dedup_best(spark, sf_dir):
+    """Quality-aware canonicalization: among exact duplicates keep the
+    highest-quality copy (longest text here), lower id on ties — one
+    max_by hash aggregate (operators/dedup.exact_dedup_best)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup_best(d, F.col("n_chars").cast("double")).select(
+        "doc_id", "best_score", "dup_count"
+    )
+
+
 def q_triangle_count(spark, sf_dir):
     """Per-node triangle counts over the embedding near-dup graph via
     the degree-oriented wedge join (operators/dedup.triangle_count,
@@ -1771,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
+        "exact_dedup_best": q_exact_dedup_best,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2276,6 +2287,17 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS doc_id,
                    COUNT(*) AS dup_count
             FROM documents GROUP BY 1
+        """,
+        "exact_dedup_best": f"""
+            WITH ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY md5(array_to_string({toks}, ' '))
+                                        ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rn,
+                     MAX(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY md5(array_to_string({toks}, ' '))) AS best_score,
+                     COUNT(*) OVER (PARTITION BY md5(array_to_string({toks}, ' '))) AS dup_count
+              FROM documents)
+            SELECT doc_id, best_score, CAST(dup_count AS BIGINT) AS dup_count
+            FROM ranked WHERE rn = 1
         """,
         "minhash_signature": f"""
             SELECT doc_id,

@@ -480,3 +480,30 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def exact_dedup_best(
+    df: DataFrame,
+    score,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the best-scoring document per normalized-text fingerprint.
+
+    The canonicalization policy real corpora want: among exact
+    duplicates, keep the highest-quality copy (longest, best source,
+    highest quality score) rather than the lowest id. One hash
+    aggregate with ``max_by`` (and a deterministic id tiebreak folded
+    into the ordering struct) — same single-shuffle shape as
+    ``exact_dedup``. ``score`` is any numeric Column.
+    """
+    ord_key = F.struct(score.alias("s"), (-F.col(id_col)).alias("neg_id"))
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.max_by(F.col(id_col), ord_key).alias(id_col),
+            F.max(score).alias("best_score"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )

@@ -120,3 +120,20 @@ def test_triangle_count_direction_and_dup_insensitive(spark):
     )
     out = {r["node"]: r["triangles"] for r in D.triangle_count(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_exact_dedup_best_keeps_highest_score_with_id_tiebreak(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 0.5),
+            (2, "same text", 0.9),   # best copy
+            (3, "same text", 0.9),   # tie -> lower id wins
+            (4, "other", 0.1),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    out = {r["doc_id"]: (r["best_score"], r["dup_count"])
+           for r in D.exact_dedup_best(df, F.col("quality")).collect()}
+    assert out == {2: (0.9, 3), 4: (0.1, 1)}
