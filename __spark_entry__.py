@@ -640,6 +640,27 @@ def q_exact_dedup(spark, sf_dir):
     return DD.exact_dedup(d)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 17 == 0 stand in for
+    the held-out eval suite; every other doc is scored for n-gram overlap
+    with it (broadcast of the hashed eval-gram set; corpus side map-only).
+    n=4 here — the synthetic corpus has a tiny vocabulary, so 4-grams give
+    the collision density that 8-13-grams give on real web text."""
+    from econdatapipeline_spark.operators.contamination import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") % 17 != 0), d.filter(F.col("doc_id") % 17 == 0), n=4
+    )
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style duplicate-n-gram quality signals per document."""
+    from econdatapipeline_spark.operators.contamination import repetition_scores
+
+    return repetition_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_minhash_signature(spark, sf_dir):
     """First four MinHash values per document (engine-portable md5 min)."""
     d = fan_out(_t(spark, sf_dir, "documents"))
@@ -1781,6 +1802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
         "exact_dedup_best": q_exact_dedup_best,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh": q_minhash_lsh,
@@ -2368,6 +2391,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    unnest(range(0, (doc_id % 5) * 2500 + 1, 1000)) AS frame_ts_ms
             FROM documents
+        """,
+        "decontaminate": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len({toks}) >= 4 THEN
+                       list_distinct(list_transform(range(1, len({toks}) - 2),
+                         i -> array_to_string(list_slice({toks}, i, i + 3), ' ')))
+                     ELSE [array_to_string({toks}, ' ')] END AS grams
+              FROM documents),
+            ev AS (SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 17 = 0),
+            tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+                   FROM sh WHERE doc_id % 17 <> 0)
+            SELECT tr.doc_id, n_grams, COUNT(*) AS hit_grams,
+                   round(COUNT(*)::DOUBLE / n_grams, 6) AS contamination
+            FROM tr JOIN ev USING (gram)
+            GROUP BY 1, 2
+        """,
+        "repetition": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN len({toks}) >= 2 THEN
+                       list_transform(range(1, len({toks})),
+                         i -> array_to_string(list_slice({toks}, i, i + 1), ' '))
+                     ELSE [array_to_string({toks}, ' ')] END AS g2,
+                     CASE WHEN len({toks}) >= 3 THEN
+                       list_transform(range(1, len({toks}) - 1),
+                         i -> array_to_string(list_slice({toks}, i, i + 2), ' '))
+                     ELSE [array_to_string({toks}, ' ')] END AS g3
+              FROM documents),
+            ex AS (
+              SELECT doc_id, len(g2) AS t2, len(list_distinct(g2)) AS d2,
+                     len(g3) AS t3, len(list_distinct(g3)) AS d3,
+                     unnest(g2) AS gram
+              FROM g),
+            cnt AS (SELECT doc_id, t2, d2, t3, d3, gram, COUNT(*) AS c
+                    FROM ex GROUP BY ALL),
+            top AS (SELECT doc_id, t2, d2, t3, d3, MAX(c) AS topc
+                    FROM cnt GROUP BY ALL)
+            SELECT doc_id,
+                   round((t2 - d2)::DOUBLE / t2, 6) AS dup_bigram_frac,
+                   round((t3 - d3)::DOUBLE / t3, 6) AS dup_trigram_frac,
+                   round(topc::DOUBLE / t2, 6) AS top_bigram_frac
+            FROM top
         """,
         "ngram_jaccard": f"""
             WITH sh AS (
