@@ -1145,6 +1145,57 @@ def q_volume_shipping(spark, sf_dir):
     )
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue by nation where the customer and supplier
+    share a nation, scoped to one region and one order year. The
+    region-restricted nation dim broadcasts; the order-year filter prunes
+    the fact side before any shuffle; customer-supplier co-nationality is
+    folded into the supplier join condition so no extra shuffle or
+    post-join filter stage is needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the symmetrized customer-supplier
+    trade graph (distinct pairs from lineitem x orders). Iterative join +
+    aggregate — the idiomatic pure-DataFrame graph shape; decimal-summed
+    contributions keep ranks order-independent and oracle-checkable."""
+    from econdatapipeline_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iterations=3)
+
+
 def q_market_share(spark, sf_dir):
     """TPC-H Q8 shape: NATION_3's share of supplier revenue to ASIA
     customers per order year — conditional aggregation ratio over a
@@ -1837,6 +1888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all": q_union_all,
         "order_priority": q_order_priority,
         "volume_shipping": q_volume_shipping,
+        "local_supplier_volume": q_local_supplier_volume,
+        "pagerank": q_pagerank,
         "market_share": q_market_share,
         "promo_revenue": q_promo_revenue,
         "small_qty_revenue": q_small_qty_revenue,
@@ -1900,6 +1953,24 @@ def oracle_sql() -> dict[str, str]:
         "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
         " CAST(c.embedding AS DOUBLE[])), 6)"
     )
+    # PageRank: 3 unrolled power iterations as chained CTEs. The teleport
+    # term is written as (1 - d) in DOUBLE arithmetic, not a 0.15 literal —
+    # IEEE 1.0-0.85 != nearest-double(0.15), and Spark computes the former.
+    pr_prev, pr_iters = "r0", []
+    for i in (1, 2, 3):
+        pr_iters.append(
+            f"""it{i} AS (
+              SELECT n.node,
+                     (1.0::DOUBLE - 0.85::DOUBLE)
+                       + 0.85::DOUBLE * COALESCE(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(CAST(r.rank / e.out_deg AS DECIMAL(28,12))) AS DOUBLE) AS s
+                FROM ed e JOIN {pr_prev} r ON e.src = r.node
+                GROUP BY e.dst) c ON n.node = c.node)"""
+        )
+        pr_prev = f"it{i}"
+    pr_ctes = ",\n            ".join(pr_iters)
     month_num = {
         "January": 1, "February": 2, "March": 3, "April": 4, "May": 5,
         "June": 6, "July": 7, "August": 8, "September": 9, "October": 10,
@@ -2617,6 +2688,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
             GROUP BY 1, 2, 3
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name
+        """,
+        "pagerank": f"""
+            WITH pairs AS (
+              SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            edges AS (SELECT c AS src, s AS dst FROM pairs
+                      UNION ALL SELECT s, c FROM pairs),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+            ed AS (SELECT e.src, e.dst, d.out_deg
+                   FROM edges e JOIN deg d ON e.src = d.src),
+            r0 AS (SELECT node, CAST(1 AS DOUBLE) AS rank FROM nodes),
+            {pr_ctes}
+            SELECT node, round(rank, 6) AS rank FROM it3
         """,
         "market_share": """
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,

@@ -1,0 +1,87 @@
+"""Graph operators expressed as DataFrame joins.
+
+The reference has no graph surface; this module covers the iterative-
+algorithm class a large-scale pipeline needs (influence/centrality over
+entity graphs mined from relational data — e.g. the customer-supplier
+trade graph, or the near-duplicate document graph from
+``operators.dedup``).
+
+Scale stance: fixed-iteration PageRank as repeated join + aggregate is
+the idiomatic pure-DataFrame shape (GraphX/Pregel is JVM-only and
+GraphFrames is an external package). Each iteration shuffles
+contributions by destination node; the static edge+degree relation is
+cached and, on a real cluster, should be pre-partitioned by ``src`` so
+every iteration reuses one shuffle layout instead of re-exchanging the
+edge list. Ranks are decimal-summed so the result is independent of
+partial-aggregation order (bit-identical across engines and retries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Out/in degree per node from a directed edge list."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return out_d.join(in_d, "node", "full_outer").select(
+        "node",
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank -> (node, rank).
+
+    Unnormalized form (rank_0 = 1, teleport = 1 - damping), the classic
+    power-iteration recurrence: each round ships rank/out_deg along every
+    edge and sums per destination. Dangling-node mass is dropped, so pass
+    a symmetrized edge list for undirected semantics (every node then has
+    out-degree >= 1). Iteration count is fixed — a deterministic plan,
+    checkable by any SQL engine via chained CTEs — rather than
+    convergence-tested, which is the right contract for an oracle-
+    verified batch operator.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = (
+        edges.join(deg, src)
+        .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "out_deg")
+        .cache()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed.e_src == ranks.node)
+            .select(
+                F.col("e_dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("c").cast("decimal(28,12)")).cast("double").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
