@@ -1173,6 +1173,26 @@ def q_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_rank_funcs(spark, sf_dir):
+    """Ranking-window family (ntile / percent_rank / cume_dist) over
+    customers by account balance within market segment. Rounding uses
+    floor(x*1e6+0.5)/1e6 — a pure function of identical doubles — because
+    percent_rank lands on exact binary ties (k/2^n) where engine round()
+    implementations may disagree."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    fl6 = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        fl6(F.percent_rank().over(w)).alias("pct_rank"),
+        fl6(F.cume_dist().over(w)).alias("cum_dist"),
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the symmetrized customer-supplier
     trade graph (distinct pairs from lineitem x orders). Iterative join +
@@ -1890,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         "local_supplier_volume": q_local_supplier_volume,
         "pagerank": q_pagerank,
+        "rank_funcs": q_rank_funcs,
         "market_share": q_market_share,
         "promo_revenue": q_promo_revenue,
         "small_qty_revenue": q_small_qty_revenue,
@@ -2702,6 +2723,15 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate < DATE '1997-01-01'
             GROUP BY n_name
+        """,
+        "rank_funcs": """
+            SELECT c_custkey, c_mktsegment,
+                   ntile(4) OVER w AS quartile,
+                   floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+                   floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cum_dist
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal ASC, c_custkey ASC)
         """,
         "pagerank": f"""
             WITH pairs AS (
