@@ -1173,6 +1173,31 @@ def q_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_table_checksum(spark, sf_dir):
+    """Order-independent per-partition content digest of lineitem (the
+    anti-entropy replica-verification primitive). Floats are canonicalized
+    to decimal(12,2) first — double->string rendering is engine-specific."""
+    from econdatapipeline_spark.operators.quality import table_checksum
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_qty_c", F.col("l_quantity").cast("decimal(12,2)")
+    )
+    return table_checksum(
+        li,
+        [
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            "l_qty_c",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ],
+        group_by=["l_returnflag"],
+    )
+
+
 def q_rank_funcs(spark, sf_dir):
     """Ranking-window family (ntile / percent_rank / cume_dist) over
     customers by account balance within market segment. Rounding uses
@@ -1911,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "pagerank": q_pagerank,
         "rank_funcs": q_rank_funcs,
+        "table_checksum": q_table_checksum,
         "market_share": q_market_share,
         "promo_revenue": q_promo_revenue,
         "small_qty_revenue": q_small_qty_revenue,
@@ -2723,6 +2749,20 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate < DATE '1997-01-01'
             GROUP BY n_name
+        """,
+        "table_checksum": """
+            WITH c AS (
+              SELECT l_returnflag,
+                     CAST('0x' || substr(md5(concat_ws('|',
+                        CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                        CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+                        CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR),
+                        l_returnflag, l_linestatus,
+                        CAST(l_shipdate AS VARCHAR))), 1, 15) AS BIGINT) AS h
+              FROM lineitem)
+            SELECT l_returnflag, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+            FROM c GROUP BY l_returnflag
         """,
         "rank_funcs": """
             SELECT c_custkey, c_mktsegment,

@@ -69,3 +69,35 @@ def check_unique(df: DataFrame, key_cols: list[str]) -> DataFrame:
         F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).alias("n_dup_keys"),
         F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0)).alias("n_dup_rows"),
     )
+
+
+def table_checksum(
+    df: DataFrame, cols: list[str], group_by: list[str] | None = None
+) -> DataFrame:
+    """Order-independent content checksum: the anti-entropy primitive for
+    verifying replicas / migrations / re-partitions hold identical data.
+
+    Each row is canonicalized to ``v1|v2|...`` (nulls as ``\\N``),
+    md5-hashed, the first 15 hex digits taken as a 60-bit integer, and
+    SUMMED as decimal(38,0) — addition commutes, so the digest is
+    invariant under row order, partitioning, and engine, and any single
+    changed cell changes it. One scan, map-side partial sums, a 1-row
+    (or per-group) result; at 100 TB this is the cheapest whole-table
+    equality test that exists, and grouping by a partition column yields
+    per-partition digests for incremental reconciliation.
+
+    Float columns must be canonicalized by the caller (cast to a fixed-
+    scale decimal first): raw double->string rendering is engine- and
+    locale-specific, ints / strings / dates / decimals are not.
+    """
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols]
+    row_h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    agg = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_h.cast("decimal(38,0)")).cast("string").alias("checksum"),
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*agg)
+    return df.agg(*agg)

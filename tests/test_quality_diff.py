@@ -128,3 +128,29 @@ def test_snapshot_diff_agrees_with_smart_update(spark):
     assert diff.get("updated", 0) == counts["updated"] == counts["revisions"]
     assert diff.get("inserted", 0) > 0 and diff.get("updated", 0) > 0
     assert diff.get("deleted", 0) > 0  # smart_update keeps these; diff reports them
+
+
+def test_table_checksum_order_and_partition_invariant(spark):
+    from econdatapipeline_spark.operators.quality import table_checksum
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, 3.5)],
+        "k long, s string, v double",
+    ).withColumn("v_c", F.col("v").cast("decimal(12,2)"))
+    cols = ["k", "s", "v_c"]
+    base = table_checksum(df, cols).collect()[0]
+    assert base["n_rows"] == 3
+
+    shuffled = table_checksum(
+        df.repartition(7).sortWithinPartitions(F.desc("k")), cols
+    ).collect()[0]
+    assert shuffled["checksum"] == base["checksum"]
+
+    changed = table_checksum(
+        df.withColumn("v_c", F.when(F.col("k") == 2, F.lit(9.99).cast("decimal(12,2)")).otherwise(F.col("v_c"))),
+        cols,
+    ).collect()[0]
+    assert changed["checksum"] != base["checksum"]
+
+    grouped = {r["k"]: r for r in table_checksum(df, cols, group_by=["k"]).collect()}
+    assert len(grouped) == 3 and all(r["n_rows"] == 1 for r in grouped.values())
