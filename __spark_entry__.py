@@ -1227,18 +1227,28 @@ def q_pagerank(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
+    # Node ids stay bigint through every shuffle (customer 2k, supplier
+    # 2k+1); the human-readable label is minted only on the |nodes|-sized
+    # final output — 8-byte join/agg keys, not strings, on the hot path.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank(edges, iterations=3)
+    pr = pagerank(edges, iterations=3, symmetric=True)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("C"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("S"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
+    return pr.select(label.alias("node"), "rank")
 
 
 def q_market_share(spark, sf_dir):
@@ -2775,7 +2785,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": f"""
             WITH pairs AS (
-              SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+              SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
             edges AS (SELECT c AS src, s AS dst FROM pairs
                       UNION ALL SELECT s, c FROM pairs),
@@ -2785,7 +2795,10 @@ def oracle_sql() -> dict[str, str]:
                    FROM edges e JOIN deg d ON e.src = d.src),
             r0 AS (SELECT node, CAST(1 AS DOUBLE) AS rank FROM nodes),
             {pr_ctes}
-            SELECT node, round(rank, 6) AS rank FROM it3
+            SELECT CASE WHEN node % 2 = 0 THEN 'C' || (node // 2)
+                        ELSE 'S' || ((node - 1) // 2) END AS node,
+                   round(rank, 6) AS rank
+            FROM it3
         """,
         "market_share": """
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,

@@ -43,6 +43,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank -> (node, rank).
 
@@ -55,21 +56,32 @@ def pagerank(
     convergence-tested, which is the right contract for an oracle-
     verified batch operator.
     """
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
     ed = (
         edges.join(deg, src)
         .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "out_deg")
         .cache()
     )
+    # When the caller guarantees a symmetrized edge list, every node has
+    # out-degree, so deg's key set IS the node set — no distinct over the
+    # edge list to build the node relation.
+    if symmetric:
+        nodes = deg.select(F.col(src).alias("node")).cache()
+    else:
+        nodes = (
+            ed.select(F.col("e_src").alias("node"))
+            .union(ed.select(F.col("e_dst").alias("node")))
+            .distinct()
+            .cache()
+        )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
+        # The rank relation is |nodes|-sized — broadcast it so each round
+        # is a map-side probe of the cached edge relation plus one keyed
+        # aggregation, never a re-shuffle of the edges. (At billion-node
+        # scale flip to co-partitioning edges and ranks by src instead.)
         contrib = (
-            ed.join(ranks, ed.e_src == ranks.node)
+            ed.join(F.broadcast(ranks), ed.e_src == ranks.node)
             .select(
                 F.col("e_dst").alias("node"),
                 (F.col("rank") / F.col("out_deg")).alias("c"),
