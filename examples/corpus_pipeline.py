@@ -1,0 +1,117 @@
+"""Training-corpus preparation: the full hygiene funnel end-to-end.
+
+Run from the repo root:  python examples/corpus_pipeline.py
+
+Composes the corpus operators the way a pre-training data pipeline
+would, over the benchmark documents table:
+
+  1. quality + language gates         (functions.text, column exprs)
+  2. repetition filter                (operators.contamination)
+  3. benchmark decontamination        (operators.contamination)
+  4. exact dedup, best copy kept      (operators.dedup)
+  5. near-dup candidate pruning       (operators.dedup, MinHash LSH)
+  6. deterministic train/valid split  (operators.sampling)
+  7. per-split token accounting       (functions.text)
+
+Every stage is a lazy DataFrame transform; the funnel executes as a
+handful of Spark jobs only at the final action — at 100 TB the same
+composition runs unchanged, with the gates applied map-side during the
+initial scan and only survivors ever reaching a shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark import get_spark
+from econdatapipeline_spark.functions import text as TX
+from econdatapipeline_spark.operators.contamination import (
+    decontaminate,
+    repetition_scores,
+)
+from econdatapipeline_spark.operators.dedup import (
+    exact_dedup_best,
+    minhash_lsh_candidates,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="corpus_pipeline", master="local[4]", shuffle_partitions=4
+    )
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n0 = docs.count()
+
+    # 1. Quality + language gates: pure column expressions, applied in the scan stage.
+    gated = docs.filter(
+        (TX.stopword_ratio(F.col("text"), "en") > 0.01)
+        & (F.length("text") >= 50)
+    )
+
+    # 2. Repetition filter: drop documents dominated by repeated bigrams.
+    rep = repetition_scores(gated)
+    gated = gated.join(
+        rep.filter(F.col("top_bigram_frac") <= 0.5).select("doc_id"), "doc_id"
+    )
+    n1 = gated.count()
+
+    # 3. Decontamination: docs sharing 4-grams with the held-out slice are dropped.
+    holdout = docs.filter(F.col("doc_id") % 17 == 0)
+    train_pool = gated.filter(F.col("doc_id") % 17 != 0)
+    contaminated = decontaminate(train_pool, holdout, n=4).select("doc_id")
+    clean = train_pool.join(contaminated, "doc_id", "left_anti")
+    n2 = clean.count()
+
+    # 4. Exact dedup keeping the best copy per fingerprint group
+    #    (exact_dedup_best returns the winning ids; join back for text).
+    winners = exact_dedup_best(clean, score=F.col("n_chars")).select("doc_id")
+    deduped = clean.join(winners, "doc_id")
+    n3 = deduped.count()
+
+    # 5. Near-dup candidates (MinHash LSH) — report, then prune the worse side.
+    cand = minhash_lsh_candidates(deduped, num_hashes=16, bands=8)
+    n_cand = cand.count()
+    deduped = deduped.join(
+        cand.filter(F.col("est_jaccard") >= 0.8).select(
+            F.col("id_b").alias("doc_id")
+        ).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+
+    # 6-7. Deterministic md5-bucket split (never rand()) + token accounting.
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = deduped.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
+    )
+    stats = (
+        split.withColumn("n_tokens", F.size(TX.tokenize(F.col("text"))))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .orderBy("split")
+    )
+
+    print(f"corpus funnel: {n0} raw -> {n1} gated -> {n2} clean -> {n3} deduped")
+    print(f"near-dup candidate pairs: {n_cand}")
+    for r in stats.collect():
+        print(f"  split={r['split']:<6} docs={r['docs']:<6} tokens={r['tokens']}")
+    print("corpus pipeline done")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,3 +14,18 @@ def test_quickstart_runs(spark, capsys):
     out = capsys.readouterr().out
     assert "'updated': 3" in out
     assert "revision history" in out
+
+
+def test_corpus_pipeline_runs(spark, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import corpus_pipeline
+
+    corpus_pipeline.main()
+    out = capsys.readouterr().out
+    assert "corpus funnel: 500 raw" in out
+    assert "corpus pipeline done" in out
+    # the funnel only ever shrinks
+    import re
+    n0, n1, n2, n3 = map(int, re.search(
+        r"(\d+) raw -> (\d+) gated -> (\d+) clean -> (\d+) deduped", out).groups())
+    assert n0 >= n1 >= n2 >= n3 > 0
