@@ -1198,6 +1198,25 @@ def q_table_checksum(spark, sf_dir):
     )
 
 
+def q_graph_degrees(spark, sf_dir):
+    """Out/in degree per node of the directed customer->supplier trade
+    graph (distinct pairs from lineitem x orders) — the first profiling
+    pass any graph workload runs."""
+    from econdatapipeline_spark.operators.graph import degrees
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return degrees(pairs)
+
+
 def q_rank_funcs(spark, sf_dir):
     """Ranking-window family (ntile / percent_rank / cume_dist) over
     customers by account balance within market segment. Rounding uses
@@ -1945,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         "local_supplier_volume": q_local_supplier_volume,
         "pagerank": q_pagerank,
+        "graph_degrees": q_graph_degrees,
         "rank_funcs": q_rank_funcs,
         "table_checksum": q_table_checksum,
         "market_share": q_market_share,
@@ -2773,6 +2793,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(*) AS n_rows,
                    CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
             FROM c GROUP BY l_returnflag
+        """,
+        "graph_degrees": """
+            WITH pairs AS (
+              SELECT DISTINCT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            o AS (SELECT src AS node, COUNT(*) AS out_deg FROM pairs GROUP BY src),
+            i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM pairs GROUP BY dst)
+            SELECT COALESCE(o.node, i.node) AS node,
+                   COALESCE(out_deg, 0) AS out_deg,
+                   COALESCE(in_deg, 0) AS in_deg
+            FROM o FULL OUTER JOIN i ON o.node = i.node
         """,
         "rank_funcs": """
             SELECT c_custkey, c_mktsegment,
