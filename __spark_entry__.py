@@ -1198,6 +1198,14 @@ def q_table_checksum(spark, sf_dir):
     )
 
 
+def q_pmi_bigrams(spark, sf_dir):
+    """Collocation extraction: PMI of adjacent word pairs with exact
+    corpus counts; threshold membership (never a float-rank cut)."""
+    from econdatapipeline_spark.operators.tfidf import pmi_bigrams
+
+    return pmi_bigrams(_t(spark, sf_dir, "documents"))
+
+
 def q_graph_degrees(spark, sf_dir):
     """Out/in degree per node of the directed customer->supplier trade
     graph (distinct pairs from lineitem x orders) — the first profiling
@@ -1965,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "pagerank": q_pagerank,
         "graph_degrees": q_graph_degrees,
+        "pmi_bigrams": q_pmi_bigrams,
         "rank_funcs": q_rank_funcs,
         "table_checksum": q_table_checksum,
         "market_share": q_market_share,
@@ -2793,6 +2802,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(*) AS n_rows,
                    CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
             FROM c GROUP BY l_returnflag
+        """,
+        "pmi_bigrams": f"""
+            WITH g AS (
+              SELECT CASE WHEN len({toks}) >= 2 THEN
+                       list_transform(range(1, len({toks})),
+                         i -> array_to_string(list_slice({toks}, i, i + 1), ' '))
+                     ELSE [array_to_string({toks}, ' ')] END AS g2
+              FROM documents),
+            ex AS (SELECT unnest(g2) AS g FROM g),
+            bc_all AS (SELECT g, COUNT(*) AS c_xy FROM ex
+                       WHERE contains(g, ' ') GROUP BY g),
+            nb AS (SELECT SUM(c_xy) AS n_big FROM bc_all),
+            t AS (SELECT unnest({toks}) AS w FROM documents),
+            uni AS (SELECT w, COUNT(*) AS c_w FROM t WHERE w <> '' GROUP BY w),
+            nu AS (SELECT SUM(c_w) AS n_uni FROM uni),
+            j AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+                         c_xy
+                  FROM bc_all WHERE c_xy >= 5),
+            p AS (SELECT w1, w2, c_xy,
+                         floor(ln((c_xy::DOUBLE * n_uni::DOUBLE * n_uni::DOUBLE)
+                                  / (n_big::DOUBLE * u1.c_w::DOUBLE * u2.c_w::DOUBLE))
+                               * 1000000.0 + 0.5) / 1000000.0 AS pmi
+                  FROM j, nb, nu
+                  JOIN uni u1 ON j.w1 = u1.w
+                  JOIN uni u2 ON j.w2 = u2.w)
+            SELECT w1, w2, c_xy, pmi FROM p WHERE pmi >= 0.1
         """,
         "graph_degrees": """
             WITH pairs AS (

@@ -126,3 +126,64 @@ def bm25_search(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    min_pmi: float = 0.1,
+) -> DataFrame:
+    """Corpus collocations: pointwise mutual information of adjacent
+    word pairs -> (w1, w2, c_xy, pmi).
+
+    PMI(x,y) = ln( (c_xy / N_bigram) / ((c_x / N_token)^ * (c_y / N_token)) )
+    computed from exact corpus counts: one explode of word bigrams and
+    one of tokens, each a map-side-combinable groupBy; the two corpus
+    totals join in as broadcast 1-row aggregates and the unigram table
+    broadcasts (a vocabulary is MBs even for a 100 TB corpus).
+
+    Membership is threshold-based (count >= min_count AND rounded
+    pmi >= min_pmi), never top-k: a rank cut on an unrounded float is
+    where two engines disagree by one ulp and return different row
+    sets; thresholds on the floor-rounded value are engine-exact.
+    """
+    from econdatapipeline_spark.functions.text import word_ngrams
+    from econdatapipeline_spark.sources.tables import fan_out
+
+    txt = F.col(text_col)
+    toks = (
+        fan_out(df)
+        .select(F.explode(tokenize(txt)).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    n_uni = uni.agg(F.sum("c_w").alias("n_uni"))
+    bigrams = (
+        fan_out(df)
+        .select(F.explode(word_ngrams(txt, 2)).alias("g"))
+        .filter(F.col("g").contains(" "))
+    )
+    bc_all = bigrams.groupBy("g").agg(F.count(F.lit(1)).alias("c_xy"))
+    n_big = bc_all.agg(F.sum("c_xy").alias("n_big"))
+    j = (
+        bc_all.filter(F.col("c_xy") >= min_count)
+        .select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c_xy",
+        )
+        .join(F.broadcast(uni.selectExpr("w AS w1", "c_w AS c_x")), "w1")
+        .join(F.broadcast(uni.selectExpr("w AS w2", "c_w AS c_y")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+    )
+    pmi = F.log(
+        (F.col("c_xy").cast("double") * F.col("n_uni").cast("double") * F.col("n_uni").cast("double"))
+        / (F.col("n_big").cast("double") * F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+    )
+    pmi6 = F.floor(pmi * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return j.select("w1", "w2", "c_xy", pmi6.alias("pmi")).filter(
+        F.col("pmi") >= min_pmi
+    )

@@ -65,3 +65,33 @@ def test_bm25_multi_term_accumulates(spark):
     )
     rows = {r["doc_id"]: r["n_terms_hit"] for r in bm25_search(df, ["a", "b"]).collect()}
     assert rows == {1: 2, 2: 1, 3: 1}
+
+
+def test_pmi_bigrams_finds_collocation(spark):
+    from econdatapipeline_spark.operators.tfidf import pmi_bigrams
+
+    # "strong coffee" always adjacent; other words shuffled independently.
+    rows = []
+    fillers = ["a", "b", "c", "d"]
+    for i in range(20):
+        f1, f2 = fillers[i % 4], fillers[(i + 1) % 4]
+        rows.append((i, f"{f1} strong coffee {f2} {f1} {f2}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r for r in pmi_bigrams(df, min_count=5, min_pmi=0.1).collect()}
+    assert ("strong", "coffee") in out
+    row = out[("strong", "coffee")]
+    assert row["c_xy"] == 20
+    # perfectly coupled pair must dominate independent fillers
+    assert all(row["pmi"] >= r["pmi"] for r in out.values())
+
+
+def test_pmi_thresholds_drop_rare_pairs(spark):
+    from econdatapipeline_spark.operators.tfidf import pmi_bigrams
+
+    df = spark.createDataFrame(
+        [(1, "rare pair here"), (2, "x y x y x y x y x y")],
+        "doc_id long, text string",
+    )
+    out = pmi_bigrams(df, min_count=5, min_pmi=0.1)
+    pairs = {(r["w1"], r["w2"]) for r in out.collect()}
+    assert ("rare", "pair") not in pairs  # c_xy = 1 < 5
