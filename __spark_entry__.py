@@ -2824,9 +2824,11 @@ def oracle_sql() -> dict[str, str]:
                          floor(ln((c_xy::DOUBLE * n_uni::DOUBLE * n_uni::DOUBLE)
                                   / (n_big::DOUBLE * u1.c_w::DOUBLE * u2.c_w::DOUBLE))
                                * 1000000.0 + 0.5) / 1000000.0 AS pmi
-                  FROM j, nb, nu
+                  FROM j
                   JOIN uni u1 ON j.w1 = u1.w
-                  JOIN uni u2 ON j.w2 = u2.w)
+                  JOIN uni u2 ON j.w2 = u2.w
+                  CROSS JOIN nb
+                  CROSS JOIN nu)
             SELECT w1, w2, c_xy, pmi FROM p WHERE pmi >= 0.1
         """,
         "graph_degrees": """

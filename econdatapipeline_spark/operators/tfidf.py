@@ -131,14 +131,13 @@ def bm25_search(
 def pmi_bigrams(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_count: int = 5,
     min_pmi: float = 0.1,
 ) -> DataFrame:
     """Corpus collocations: pointwise mutual information of adjacent
     word pairs -> (w1, w2, c_xy, pmi).
 
-    PMI(x,y) = ln( (c_xy / N_bigram) / ((c_x / N_token)^ * (c_y / N_token)) )
+    PMI(x,y) = ln( (c_xy / N_bigram) / ((c_x / N_token) * (c_y / N_token)) )
     computed from exact corpus counts: one explode of word bigrams and
     one of tokens, each a map-side-combinable groupBy; the two corpus
     totals join in as broadcast 1-row aggregates and the unigram table
@@ -147,7 +146,10 @@ def pmi_bigrams(
     Membership is threshold-based (count >= min_count AND rounded
     pmi >= min_pmi), never top-k: a rank cut on an unrounded float is
     where two engines disagree by one ulp and return different row
-    sets; thresholds on the floor-rounded value are engine-exact.
+    sets. Thresholding the floor-rounded value shrinks (but cannot
+    fully eliminate) that risk: ln() itself may differ by 1 ulp
+    between JVM Math.log and C libm, which could still flip the
+    rounding at an exact boundary.
     """
     from econdatapipeline_spark.functions.text import word_ngrams
     from econdatapipeline_spark.sources.tables import fan_out
