@@ -1265,9 +1265,17 @@ def q_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # Symmetrize with one explode instead of a self-union: a union of
+    # two projections of `pairs` plans the expensive join + distinct
+    # once per branch, an inline explode scans it once.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = pagerank(edges, iterations=3, symmetric=True)
     label = F.when(
         F.col("node") % 2 == 0,

@@ -56,17 +56,38 @@ def pagerank(
     convergence-tested, which is the right contract for an oracle-
     verified batch operator.
     """
+    # deg is |nodes|-sized (the same size class as the broadcast rank
+    # relation below), so ship it map-side rather than shuffling the
+    # edge list; the per-iteration probe then never reshuffles.
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
-    ed = (
-        edges.join(deg, src)
-        .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "out_deg")
-        .cache()
+    ed = edges.join(F.broadcast(deg), src).select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "out_deg"
     )
-    # When the caller guarantees a symmetrized edge list, every node has
-    # out-degree, so deg's key set IS the node set — no distinct over the
-    # edge list to build the node relation.
+    # Right-size the cached working set: the caller's edge derivation
+    # often unions shuffle outputs (e.g. 2 x shuffle.partitions for a
+    # symmetrized list), and an iterative operator re-scans its cache
+    # every round — per-task launch overhead on hundreds of near-empty
+    # partitions then dominates the actual compute. coalesce never
+    # grows a partition count, so this only ever shrinks to the
+    # cluster's core count.
+    ed = ed.coalesce(ed.sparkSession.sparkContext.defaultParallelism)
+    # Persist the degree-annotated edge relation and materialize it
+    # EAGERLY. Spark executes broadcast-exchange subtrees as concurrent
+    # async jobs, so without the barrier every iteration's broadcast job
+    # races the others to populate the cache and each recomputes the
+    # caller's (often expensive: join + distinct) edge derivation from
+    # scratch — profiled at ~8 full recomputations for a 3-iteration
+    # run. One count() turns that into a single computation every later
+    # stage reads from memory; this is the standard materialization
+    # step of any iterative Spark algorithm.
+    ed = ed.persist()
+    ed.count()
+    # Build the node relation from the cached relation so no plan ever
+    # reaches back to the caller's raw edges. When the caller guarantees
+    # a symmetrized edge list, every node appears as a source — no union
+    # with the destination side needed.
     if symmetric:
-        nodes = deg.select(F.col(src).alias("node")).cache()
+        nodes = ed.select(F.col("e_src").alias("node")).distinct().cache()
     else:
         nodes = (
             ed.select(F.col("e_src").alias("node"))
@@ -89,7 +110,11 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum(F.col("c").cast("decimal(28,12)")).cast("double").alias("s"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        # contrib is an aggregate output whose stats Catalyst can't see
+        # pre-AQE, so hint the broadcast: without it this |nodes|-sized
+        # left join plans as a sort-merge join with one more exchange
+        # per iteration.
+        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
             "node",
             (
                 F.lit(1.0 - damping)
