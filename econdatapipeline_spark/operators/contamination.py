@@ -78,10 +78,13 @@ def repetition_scores(
     ``dup_bigram_frac`` / ``dup_trigram_frac`` = fraction of n-gram
     OCCURRENCES that are repeats (1 - distinct/total), computed as pure
     array expressions; ``top_bigram_frac`` = share of the single most
-    frequent bigram, computed as a (doc, gram) count followed by a
-    per-doc max — the mode-by-two-aggregations shape, both stages
-    map-side combinable. Documents shorter than n tokens score 0 (their
-    gram list collapses to one whole-text gram).
+    frequent bigram, computed as the longest run of equal neighbors in
+    the SORTED gram array — a per-row O(n log n) expression. Per-doc
+    statistics never need a shuffle: the earlier (doc, gram) count +
+    per-doc max shape shipped every gram occurrence through an
+    exchange; this form is one narrow projection, which is the shape
+    that survives a 100 TB corpus. Documents shorter than n tokens
+    score 0 (their gram list collapses to one whole-text gram).
     """
     txt = F.col(text_col)
     base = fan_out(df).select(
@@ -89,23 +92,34 @@ def repetition_scores(
         word_ngrams(txt, 2).alias("g2"),
         word_ngrams(txt, 3).alias("g3"),
     )
-    ex = base.select(
-        id_col,
-        F.size("g2").alias("t2"),
-        F.size(F.array_distinct("g2")).alias("d2"),
-        F.size("g3").alias("t3"),
-        F.size(F.array_distinct("g3")).alias("d3"),
-        F.explode("g2").alias("gram"),
+
+    def run_step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    mode_count = F.aggregate(
+        F.array_sort("g2"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        run_step,
+        lambda acc: acc.getField("best"),
     )
-    top = (
-        ex.groupBy(id_col, "t2", "d2", "t3", "d3", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col, "t2", "d2", "t3", "d3")
-        .agg(F.max("c").alias("topc"))
-    )
-    return top.select(
+    return base.select(
         id_col,
-        F.round((F.col("t2") - F.col("d2")) / F.col("t2"), 6).alias("dup_bigram_frac"),
-        F.round((F.col("t3") - F.col("d3")) / F.col("t3"), 6).alias("dup_trigram_frac"),
-        F.round(F.col("topc") / F.col("t2"), 6).alias("top_bigram_frac"),
+        F.round(
+            (F.size("g2") - F.size(F.array_distinct("g2"))) / F.size("g2"), 6
+        ).alias("dup_bigram_frac"),
+        F.round(
+            (F.size("g3") - F.size(F.array_distinct("g3"))) / F.size("g3"), 6
+        ).alias("dup_trigram_frac"),
+        F.round(mode_count / F.size("g2"), 6).alias("top_bigram_frac"),
     )
