@@ -443,6 +443,12 @@ def triangle_count(
         pairs.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # Materialize once: the canonical edge list feeds the degree
+        # count (2 branches), both wedge sides, and the closing
+        # semi-join — without this the caller's pair generation (an LSH
+        # bucket join here) re-executes per reference, and Spark's
+        # concurrent broadcast jobs race to do so simultaneously.
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("u").alias("node"))

@@ -94,10 +94,26 @@ def table_checksum(
     row_h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast(
         "long"
     )
-    agg = [
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(row_h.cast("decimal(38,0)")).cast("string").alias("checksum"),
+    # Sum the 60-bit hashes exactly WITHOUT per-row BigDecimal: split
+    # each hash into four 15-bit limbs, sum each limb as a long (pure
+    # codegen arithmetic — benches ~2x faster than summing
+    # decimal(38,0) rows), and recombine the four partial sums into the
+    # exact big integer once per output group. A limb sum stays below
+    # 2^63 up to 2^48 rows per group — beyond any real partition.
+    limbs = [
+        F.sum(F.shiftright(row_h, 45)).alias("_s3"),
+        F.sum(F.shiftright(row_h, 30).bitwiseAND(0x7FFF)).alias("_s2"),
+        F.sum(F.shiftright(row_h, 15).bitwiseAND(0x7FFF)).alias("_s1"),
+        F.sum(row_h.bitwiseAND(0x7FFF)).alias("_s0"),
     ]
-    if group_by:
-        return df.groupBy(*group_by).agg(*agg)
-    return df.agg(*agg)
+    agg = [F.count(F.lit(1)).alias("n_rows"), *limbs]
+    out = df.groupBy(*group_by).agg(*agg) if group_by else df.agg(*agg)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    checksum = (
+        dec("_s3") * F.lit(2**45).cast("decimal(38,0)")
+        + dec("_s2") * F.lit(2**30).cast("decimal(38,0)")
+        + dec("_s1") * F.lit(2**15).cast("decimal(38,0)")
+        + dec("_s0")
+    )
+    keep = [*(group_by or []), "n_rows"]
+    return out.select(*keep, checksum.cast("decimal(38,0)").cast("string").alias("checksum"))
