@@ -160,8 +160,13 @@ def ngram_jaccard_pairs(
 
     explode + equi-join on the shingle (shuffle keyed by shingle, never
     all-pairs), then |intersection| / (|A| + |B| - |intersection|).
-    The join key is xxhash64(gram), not the gram string: 8-byte shuffle
-    keys and integer compares instead of multi-word string keys.
+    The join key is xxhash64 over the shingle's token tuple, not a
+    concatenated gram string: 8-byte shuffle keys and integer compares,
+    and the tuple is hashed straight out of the zipped token slices so
+    the whole shingling pipeline stays in whole-stage codegen (the
+    string form pays an interpreted transform() lambda plus a string
+    allocation per gram). Tokens are whitespace-split, so tuple
+    equality and joined-string equality agree exactly.
 
     ``max_doc_freq`` is the scale guard: a gram occurring in c docs
     contributes c^2 join rows, so one boilerplate shingle shared by a
@@ -171,12 +176,34 @@ def ngram_jaccard_pairs(
     intersections omit them) that is standard practice for web-corpus
     dedup, and exact (None) stays the default.
     """
-    sh = fan_out(df).select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
-    ).withColumn("sh_size", F.size("sh"))
+    toks = tokenize(F.col(text_col))
+    cnt = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, k + 1, cnt).alias(f"t{k}") for k in range(shingle_n)]
+    )
+    # Documents shorter than n tokens collapse to one whole-text gram
+    # (same contract as functions.text.word_ngrams); tokens never
+    # contain whitespace, so the fallback tuple cannot collide with a
+    # real n-token gram.
+    short = F.array(
+        F.struct(
+            F.array_join(toks, " ").alias("t0"),
+            *[F.lit("").alias(f"t{k}") for k in range(1, shingle_n)],
+        )
+    )
+    sh_arr = F.array_distinct(
+        F.when(F.size(toks) >= shingle_n, zipped).otherwise(short)
+    )
+    sh = fan_out(df).select(F.col(id_col), sh_arr.alias("sh")).withColumn(
+        "sh_size", F.size("sh")
+    )
     exploded = sh.select(
-        id_col, "sh_size", F.explode("sh").alias("gram")
-    ).select(id_col, "sh_size", F.xxhash64("gram").alias("gram"))
+        id_col, "sh_size", F.explode("sh").alias("g")
+    ).select(
+        id_col,
+        "sh_size",
+        F.xxhash64(*[F.col(f"g.t{k}") for k in range(shingle_n)]).alias("gram"),
+    )
     if max_doc_freq is not None:
         hot = (
             exploded.groupBy("gram")
