@@ -1891,6 +1891,233 @@ def q_topn_per_group(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SCD2 / time travel over the revision log (reference: the audit table
+# core_local/azure_data_tracker.py:116-127, which the reference can only
+# list newest-first; these answer what the log exists for)
+# ---------------------------------------------------------------------------
+
+RUN_TS2 = dt.datetime(2025, 6, 2, 0, 0, 0)
+ASOF_MID = dt.datetime(2025, 6, 1, 12, 0, 0)
+
+
+def _two_batch_log(spark, sf_dir):
+    """Two smart_update batches over orders -> (final state, revision log).
+
+    Batch 2 perturbs a different key set than batch 1 (including value
+    reverts on keys batch 1 changed), so the log holds multi-epoch
+    histories — the shape SCD2 and as-of reconstruction exist for.
+    """
+    o = _t(spark, sf_dir, "orders")
+    existing, incoming = _merge_frames(spark, sf_dir)
+    res1 = smart_update(existing, incoming, ["okey"], ["total"], "orders_sim", run_ts=RUN_TS)
+    incoming2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 25.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("total"),
+    )
+    # Chained merges are the iterative-state pattern: materialize batch
+    # 1's output once (it feeds batch 2's anti join, inner join, AND
+    # merged union) instead of replanning the first merge per branch.
+    m1 = res1.merged.localCheckpoint(eager=True)
+    res2 = smart_update(m1, incoming2, ["okey"], ["total"], "orders_sim", run_ts=RUN_TS2)
+    return res2.merged, res1.revisions.unionByName(res2.revisions)
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """SCD2 build: the revision log of two merge batches -> half-open
+    validity intervals per changed key (operators/scd.py) — one window
+    pass keyed on the log's natural partition key."""
+    from econdatapipeline_spark.operators.scd import scd2_intervals
+
+    _, revlog = _two_batch_log(spark, sf_dir)
+    return scd2_intervals(revlog)
+
+
+def q_value_asof(spark, sf_dir):
+    """Time travel: reconstruct the merged table as it stood between the
+    two batches — earliest-later-revision old_value via min_by, no
+    window, left-joined onto current state (operators/scd.py)."""
+    from econdatapipeline_spark.operators.scd import value_asof
+
+    merged, revlog = _two_batch_log(spark, sf_dir)
+    rev = revlog.withColumn("okey", F.col("data_date").cast("long"))
+    return value_asof(
+        merged, rev, F.lit(ASOF_MID), key_cols=["okey"], value_col="total"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted similarity + class prototypes (corpus/embedding analytics)
+# ---------------------------------------------------------------------------
+
+def q_tfidf_cosine(spark, sf_dir):
+    """Sparse TF-IDF cosine pairs via posting-list self-join (the
+    weighted-set sibling of ngram_jaccard; operators/tfidf.py) —
+    candidates from shared terms, exact-decimal dot products."""
+    from econdatapipeline_spark.operators.tfidf import tfidf_cosine_pairs
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return tfidf_cosine_pairs(d, threshold=0.8)
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding in long (label, pos, centroid) form —
+    posexplode + map-side-combinable exact-decimal mean
+    (operators/similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_centroids(e)
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H query shapes, adapted to the available star schema
+# ---------------------------------------------------------------------------
+
+def q_cust_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers — left outer join + two-level
+    aggregate (the join must not drop the empty groups)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per part (in a size band), the supplier offering
+    the minimal observed unit price — the correlated min subquery
+    decorrelated into one window over the correlation key; ties broken
+    by supplier id inside the same window, so no second join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size").between(10, 20)) & (F.col("p_type") == "PROMO")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    offers = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_partkey", "p_brand", "l_suppkey", unit
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("unit_price"), F.asc("l_suppkey")
+    )
+    best = (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.round("unit_price", 6).alias("unit_price"),
+        )
+    )
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose revenue exceeds a fixed fraction of
+    total revenue — HAVING against a scalar subquery, planned as one
+    reused aggregate broadcast-cross-joined onto the per-part rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(_dsum(rev).alias("part_value"))
+    total = per_part.agg(_dsum(F.col("part_value")).alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * 0.0005)
+        .select("l_partkey", F.round("part_value", 6).alias("part_value"))
+    )
+
+
+def q_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per (brand, size band),
+    excluding one brand at the scan and a complaint-list of suppliers
+    via NOT IN -> broadcast left-anti join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    band = (F.floor(F.col("p_size") / 10) * 10).alias("size_band")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .select("p_brand", band, "l_suppkey")
+        .groupBy("p_brand", "size_band")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_excess_volume_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped more than 0.8x the average
+    per-supplier volume of 'red' parts — an IN-chain (part -> lineitem
+    rollup -> threshold) ending in a semi-join against supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_quantity"), 2).alias("qty"))
+    )
+    avg_vol = vol.agg((_dsum(F.col("qty"), 6) / F.count("*")).alias("avg_qty"))
+    heavy = (
+        vol.join(F.broadcast(avg_vol))
+        .filter(F.col("qty") > F.col("avg_qty") * 0.8)
+        .select("l_suppkey", "qty")
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey)
+        .select("s_suppkey", "s_name", F.round("qty", 2).alias("part_qty"))
+    )
+
+
+def q_late_multi_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers late on a multi-supplier order where
+    NO other supplier was late — EXISTS as a distinct-preserving
+    semi-join and NOT EXISTS as an anti-join, both on the order key."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select("l_orderkey", "l_suppkey").distinct()
+    multi = l1.alias("a").join(
+        others.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    other_late = l1.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    sole_late = multi.alias("a").join(
+        other_late.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.o_key"))
+        & (F.col("a.l_suppkey") != F.col("b.o_supp")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(F.col("s_name").alias("supplier"), "numwait")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -2017,6 +2244,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_adjust": q_seasonal_adjust,
         "gap_fill": q_gap_fill,
         "ewma": q_ewma,
+        "scd2_intervals": q_scd2_intervals,
+        "value_asof": q_value_asof,
+        "tfidf_cosine": q_tfidf_cosine,
+        "embedding_centroids": q_embedding_centroids,
+        "cust_order_distribution": q_cust_order_distribution,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_parts": q_important_parts,
+        "supplier_counts": q_supplier_counts,
+        "excess_volume_suppliers": q_excess_volume_suppliers,
+        "late_multi_supplier": q_late_multi_supplier,
     }
 
 
@@ -3495,6 +3732,228 @@ def oracle_sql() -> dict[str, str]:
         """,
         # approx_distinct / ann_ivf intentionally omitted: HLL estimate,
         # k-means cells.
+        "scd2_intervals": """
+            WITH existing AS (
+              SELECT o_orderkey AS okey, o_totalprice AS total
+              FROM orders WHERE o_orderkey % 3 = 0),
+            inc1 AS (
+              SELECT o_orderkey AS okey,
+                     CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                          ELSE o_totalprice END AS total
+              FROM orders WHERE o_orderkey % 2 = 0),
+            rev1 AS (
+              SELECT 'orders_sim' AS dataset, CAST(i.okey AS VARCHAR) AS data_date,
+                     'total' AS value_field, e.total AS old_value,
+                     i.total AS new_value,
+                     TIMESTAMP '2025-06-01 00:00:00' AS revision_date
+              FROM inc1 i JOIN existing e ON i.okey = e.okey
+              WHERE abs(i.total - e.total) > 0.001),
+            merged1 AS (
+              SELECT COALESCE(i.okey, e.okey) AS okey,
+                     COALESCE(i.total, e.total) AS total
+              FROM inc1 i FULL OUTER JOIN existing e ON i.okey = e.okey),
+            inc2 AS (
+              SELECT o_orderkey AS okey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 25.0
+                          ELSE o_totalprice END AS total
+              FROM orders WHERE o_orderkey % 2 = 0),
+            rev2 AS (
+              SELECT 'orders_sim' AS dataset, CAST(i.okey AS VARCHAR) AS data_date,
+                     'total' AS value_field, m.total AS old_value,
+                     i.total AS new_value,
+                     TIMESTAMP '2025-06-02 00:00:00' AS revision_date
+              FROM inc2 i JOIN merged1 m ON i.okey = m.okey
+              WHERE abs(i.total - m.total) > 0.001),
+            revlog AS (SELECT * FROM rev1 UNION ALL SELECT * FROM rev2),
+            ann AS (
+              SELECT *, row_number() OVER w AS rn,
+                     lead(revision_date) OVER w AS next_ts
+              FROM revlog
+              WINDOW w AS (PARTITION BY dataset, data_date, value_field
+                           ORDER BY revision_date, new_value))
+            SELECT dataset, data_date, value_field, old_value AS value,
+                   CAST(NULL AS TIMESTAMP) AS valid_from,
+                   revision_date AS valid_to, FALSE AS is_current
+            FROM ann WHERE rn = 1
+            UNION ALL
+            SELECT dataset, data_date, value_field, new_value AS value,
+                   revision_date AS valid_from, next_ts AS valid_to,
+                   next_ts IS NULL AS is_current
+            FROM ann
+        """,
+        "value_asof": """
+            WITH existing AS (
+              SELECT o_orderkey AS okey, o_totalprice AS total
+              FROM orders WHERE o_orderkey % 3 = 0),
+            inc1 AS (
+              SELECT o_orderkey AS okey,
+                     CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                          ELSE o_totalprice END AS total
+              FROM orders WHERE o_orderkey % 2 = 0),
+            rev1 AS (
+              SELECT CAST(i.okey AS BIGINT) AS okey, e.total AS old_value,
+                     TIMESTAMP '2025-06-01 00:00:00' AS revision_date
+              FROM inc1 i JOIN existing e ON i.okey = e.okey
+              WHERE abs(i.total - e.total) > 0.001),
+            merged1 AS (
+              SELECT COALESCE(i.okey, e.okey) AS okey,
+                     COALESCE(i.total, e.total) AS total
+              FROM inc1 i FULL OUTER JOIN existing e ON i.okey = e.okey),
+            inc2 AS (
+              SELECT o_orderkey AS okey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 25.0
+                          ELSE o_totalprice END AS total
+              FROM orders WHERE o_orderkey % 2 = 0),
+            rev2 AS (
+              SELECT CAST(i.okey AS BIGINT) AS okey, m.total AS old_value,
+                     TIMESTAMP '2025-06-02 00:00:00' AS revision_date
+              FROM inc2 i JOIN merged1 m ON i.okey = m.okey
+              WHERE abs(i.total - m.total) > 0.001),
+            revlog AS (SELECT * FROM rev1 UNION ALL SELECT * FROM rev2),
+            later AS (
+              SELECT okey, arg_min(old_value, revision_date) AS asof_value
+              FROM revlog
+              WHERE revision_date > TIMESTAMP '2025-06-01 12:00:00'
+              GROUP BY okey),
+            merged2 AS (
+              SELECT COALESCE(i.okey, m.okey) AS okey,
+                     COALESCE(i.total, m.total) AS total
+              FROM inc2 i FULL OUTER JOIN merged1 m ON i.okey = m.okey)
+            SELECT m.okey, COALESCE(l.asof_value, m.total) AS total
+            FROM merged2 m LEFT JOIN later l ON m.okey = l.okey
+        """,
+        "tfidf_cosine": f"""
+            WITH t AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+            tok AS (SELECT doc_id, token FROM t WHERE token <> ''),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            dfreq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                      FROM tok GROUP BY token),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+            w AS (
+              SELECT tf.doc_id, tf.token,
+                     round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1), 6) AS w
+              FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+            norms AS (
+              SELECT doc_id,
+                     sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+              FROM w GROUP BY doc_id),
+            dots AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(SUM(CAST(a.w * b.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
+              FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   round(dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots
+            JOIN norms na ON dots.id_a = na.doc_id
+            JOIN norms nb ON dots.id_b = nb.doc_id
+            WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.8
+        """,
+        "embedding_centroids": """
+            WITH ex AS (
+              SELECT label,
+                     unnest(list_transform(range(1, len(embedding) + 1),
+                       i -> struct_pack(pos := i - 1,
+                                        x := CAST(embedding[i] AS DOUBLE)))) AS u
+              FROM embeddings)
+            SELECT label, CAST(u.pos AS INT) AS pos,
+                   round(CAST(SUM(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE)
+                         / COUNT(*), 6) AS centroid
+            FROM ex GROUP BY label, pos
+        """,
+        "cust_order_distribution": """
+            WITH o AS (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'),
+            counts AS (
+              SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN o ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM counts GROUP BY c_count
+        """,
+        "min_cost_supplier": """
+            WITH p AS (
+              SELECT * FROM part
+              WHERE p_size BETWEEN 10 AND 20 AND p_type = 'PROMO'),
+            offers AS (
+              SELECT p_partkey, p_brand, l_suppkey,
+                     l_extendedprice / l_quantity AS unit_price
+              FROM lineitem JOIN p ON l_partkey = p_partkey),
+            best AS (
+              SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                           ORDER BY unit_price ASC,
+                                                    l_suppkey ASC) AS rn
+              FROM offers)
+            SELECT p_partkey, p_brand, s_name AS supplier, n_name AS nation,
+                   round(unit_price, 6) AS unit_price
+            FROM best
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE rn = 1
+        """,
+        "important_parts": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,6))) AS DOUBLE) AS part_value
+              FROM lineitem GROUP BY l_partkey),
+            total AS (
+              SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE)
+                     AS total_value
+              FROM per_part)
+            SELECT l_partkey, round(part_value, 6) AS part_value
+            FROM per_part CROSS JOIN total
+            WHERE part_value > total_value * 0.0005
+        """,
+        "supplier_counts": """
+            WITH p AS (SELECT * FROM part WHERE p_brand <> 'Brand#5'),
+            bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            SELECT p_brand,
+                   CAST(floor(p_size / 10.0) * 10 AS BIGINT) AS size_band,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN p ON l_partkey = p_partkey
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+            GROUP BY p_brand, size_band
+        """,
+        "excess_volume_suppliers": """
+            WITH p AS (SELECT * FROM part WHERE contains(p_name, 'red')),
+            vol AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+              FROM lineitem JOIN p ON l_partkey = p_partkey
+              GROUP BY l_suppkey),
+            avg_vol AS (
+              SELECT CAST(SUM(CAST(qty AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(*) AS avg_qty
+              FROM vol)
+            SELECT s_suppkey, s_name, round(qty, 2) AS part_qty
+            FROM supplier
+            JOIN vol ON s_suppkey = vol.l_suppkey
+            CROSS JOIN avg_vol
+            WHERE qty > avg_qty * 0.8
+        """,
+        "late_multi_supplier": """
+            WITH o AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+            l1 AS (
+              SELECT DISTINCT l_orderkey, l_suppkey
+              FROM lineitem JOIN o ON l_orderkey = o_orderkey
+              WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+            others AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+            multi AS (
+              SELECT * FROM l1 a
+              WHERE EXISTS (SELECT 1 FROM others b
+                            WHERE b.l_orderkey = a.l_orderkey
+                              AND b.l_suppkey <> a.l_suppkey)),
+            sole AS (
+              SELECT * FROM multi a
+              WHERE NOT EXISTS (SELECT 1 FROM l1 b
+                                WHERE b.l_orderkey = a.l_orderkey
+                                  AND b.l_suppkey <> a.l_suppkey))
+            SELECT s_name AS supplier, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM sole JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+        """,
     }
     # The xlsx byte-scan feeds the identical literal grid into the same
     # normalizer, so it shares edb_normalize's oracle.

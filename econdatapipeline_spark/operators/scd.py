@@ -1,0 +1,111 @@
+"""SCD2 intervals and point-in-time reconstruction over the revision log.
+
+The reference stores an append-only audit of every changed value
+(reference: core_local/azure_data_tracker.py:116-127 — rows of
+``(dataset, data_date, value_field, old_value, new_value,
+revision_date)``) but offers only a flat newest-first listing of it
+(``get_revision_history``, reference: azure_data_tracker.py:167-233).
+These operators answer the two questions such a log exists for and the
+reference cannot:
+
+- ``scd2_intervals``  — "over which time ranges did each value hold?"
+  (the slowly-changing-dimension type-2 build)
+- ``value_asof``      — "what did the table say at time T?"
+  (time travel / audit reconstruction)
+
+Both are single-window-pass shapes partitioned by the revision key, so
+they scale with the log: no self-joins, no per-key driver loops. At
+100 TB the log is append-only Parquet partitioned by dataset — the
+window shuffle is keyed on exactly that partition layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+REV_KEY = ["dataset", "data_date", "value_field"]
+
+
+def scd2_intervals(revisions: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Build SCD2 validity intervals from an append-only revision log.
+
+    For every key that ever changed, emits one row per value epoch:
+    ``(*key, value, valid_from, valid_to, is_current)`` where
+    ``valid_from`` is NULL for the key's original value (held since
+    before auditing began), ``valid_to`` is NULL for the value in
+    effect now, and half-open ``[valid_from, valid_to)`` intervals
+    tile the timeline with no gaps.
+
+    One shuffle: a window over the key ordered by ``revision_date``
+    derives each revision's epoch via ``lead``; the initial epoch is
+    the ``old_value`` of the key's first revision (a ``row_number = 1``
+    branch of the same window, so no second shuffle). Ties on
+    ``revision_date`` within a key are broken by ``new_value`` for a
+    deterministic chain regardless of partitioning.
+    """
+    key = key_cols or REV_KEY
+    w = Window.partitionBy(*key).orderBy("revision_date", "new_value")
+    annotated = revisions.select(
+        *key,
+        "old_value",
+        "new_value",
+        "revision_date",
+        F.row_number().over(w).alias("__rn"),
+        F.lead("revision_date").over(w).alias("__next_ts"),
+    )
+    current_epochs = annotated.select(
+        *key,
+        F.col("new_value").alias("value"),
+        F.col("revision_date").alias("valid_from"),
+        F.col("__next_ts").alias("valid_to"),
+        F.col("__next_ts").isNull().alias("is_current"),
+    )
+    initial_epoch = annotated.filter(F.col("__rn") == 1).select(
+        *key,
+        F.col("old_value").alias("value"),
+        F.lit(None).cast("timestamp").alias("valid_from"),
+        F.col("revision_date").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    return initial_epoch.unionByName(current_epochs)
+
+
+def value_asof(
+    current: DataFrame,
+    revisions: DataFrame,
+    ts: Column,
+    key_cols: list[str],
+    value_col: str,
+    rev_key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reconstruct ``current`` as it stood at time ``ts``.
+
+    A key's as-of value is the ``old_value`` of its EARLIEST revision
+    strictly after ``ts`` (that revision overwrote what was in effect);
+    keys with no later revision still hold their current value. Keys
+    inserted after ``ts`` cannot be detected from the revision log
+    alone (the reference logs updates only, not inserts) and are
+    reported with their current value — callers needing insert
+    awareness should also filter on an ingestion-date column.
+
+    Plan: filter the log to ``revision_date > ts`` (a pushed-down scan
+    predicate on the append-only log), take ``min_by(old_value,
+    revision_date)`` per key — one map-side-combinable aggregate, no
+    window — and left-join onto ``current``.
+    """
+    rev_key = rev_key_cols or key_cols
+    later = (
+        revisions.filter(F.col("revision_date") > ts)
+        .groupBy(*rev_key)
+        .agg(F.min_by("old_value", "revision_date").alias("__asof_value"))
+    )
+    joined = current.join(
+        later,
+        [current[k] == later[rk] for k, rk in zip(key_cols, rev_key)],
+        "left",
+    )
+    return joined.select(
+        *[current[k] for k in current.columns if k != value_col],
+        F.coalesce(F.col("__asof_value"), current[value_col]).alias(value_col),
+    )

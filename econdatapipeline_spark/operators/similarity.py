@@ -190,3 +190,34 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding in long form -> (label, pos, centroid).
+
+    The class-prototype aggregate (nearest-centroid classification,
+    cluster summaries, drift monitoring): posexplode each vector and
+    take one exact-decimal mean per (label, dimension). The shuffle
+    carries rows proportional to corpus x dim but aggregates map-side
+    (partial sums per partition), and the output is |labels| x dim —
+    tiny at any corpus size. Long form avoids re-assembling arrays
+    whose element order an engine-portable hash check would depend on.
+
+    Float inputs widen exactly to double (IEEE subset), and the mean is
+    an exact decimal(28,12) sum divided by the count — identical in any
+    engine; rounded to 6 decimals at the edge.
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("centroid")
+    )

@@ -189,3 +189,74 @@ def pmi_bigrams(
     return j.select("w1", "w2", "c_xy", pmi6.alias("pmi")).filter(
         F.col("pmi") >= min_pmi
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Document-pair cosine similarity over TF-IDF term vectors
+    -> (id_a, id_b, cosine) for pairs sharing at least one term.
+
+    The weighted-set sibling of ngram_jaccard_pairs: a posting-list
+    self-join keyed on xxhash64(token) computes the sparse dot product
+    (sum of weight products per pair) — candidate pairs come from
+    shared terms, never an all-pairs cross join. Norms are one
+    map-side-combinable aggregate per document.
+
+    Determinism across engines: TF-IDF weights are pre-rounded to 6
+    decimals, and both the dot product and the squared norms accumulate
+    through exact decimal(28,12) sums, so the final double division is
+    a pure function of identical inputs in any engine.
+
+    ``max_doc_freq`` is the same scale guard as in ngram_jaccard_pairs:
+    a term in c documents contributes c^2 join rows, so ubiquitous
+    terms (stopwords) dominate the shuffle at corpus scale. Capping
+    drops them from candidate generation AND the dot product (an
+    approximation; None = exact remains the default).
+    """
+    w = tfidf_terms(df, text_col, id_col).select(
+        F.col(id_col), F.xxhash64("token").alias("tok"), F.col("tfidf").alias("w")
+    )
+    # Materialize the posting table once: it feeds the norm aggregate
+    # and BOTH sides of the pair join, and each reference would replan
+    # the full tokenize -> TF -> DF -> IDF pipeline (and Spark's
+    # concurrent broadcast jobs would race to execute it). One eager
+    # checkpoint keeps the plan linear in corpus size.
+    w = w.localCheckpoint(eager=True)
+    if max_doc_freq is not None:
+        hot = (
+            w.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("tok")
+        )
+        w = w.join(F.broadcast(hot), "tok", "left_anti")
+    dsum12 = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(dsum12(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(dsum12(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("n_a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("n_b"))
+    cos = F.round(F.col("dot") / (F.col("n_a") * F.col("n_b")), 6)
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

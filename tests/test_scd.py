@@ -1,0 +1,79 @@
+"""SCD2 intervals and as-of reconstruction (operators/scd.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from econdatapipeline_spark.operators.scd import scd2_intervals, value_asof
+
+T1 = dt.datetime(2025, 1, 1)
+T2 = dt.datetime(2025, 2, 1)
+T3 = dt.datetime(2025, 3, 1)
+
+REV_SCHEMA = (
+    "dataset string, data_date string, value_field string, "
+    "old_value double, new_value double, revision_date timestamp"
+)
+
+
+def _revlog(spark):
+    rows = [
+        # key A: 10 -> 20 -> 30 (three epochs)
+        ("d", "A", "v", 10.0, 20.0, T1),
+        ("d", "A", "v", 20.0, 30.0, T2),
+        # key B: 5 -> 7 (two epochs)
+        ("d", "B", "v", 5.0, 7.0, T2),
+    ]
+    return spark.createDataFrame(rows, REV_SCHEMA)
+
+
+def test_scd2_intervals_tile_the_timeline(spark):
+    out = scd2_intervals(_revlog(spark)).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["data_date"], []).append(r)
+    a = sorted(by_key["A"], key=lambda r: (r["valid_from"] is not None, r["valid_from"]))
+    assert [r["value"] for r in a] == [10.0, 20.0, 30.0]
+    assert a[0]["valid_from"] is None and a[0]["valid_to"] == T1
+    assert a[1]["valid_from"] == T1 and a[1]["valid_to"] == T2
+    assert a[2]["valid_from"] == T2 and a[2]["valid_to"] is None
+    assert [r["is_current"] for r in a] == [False, False, True]
+    b = sorted(by_key["B"], key=lambda r: (r["valid_from"] is not None,))
+    assert [r["value"] for r in b] == [5.0, 7.0]
+    assert len(out) == 5
+
+
+def test_value_asof_reconstructs_each_epoch(spark):
+    rev = _revlog(spark).withColumn("key", F.col("data_date"))
+    current = spark.createDataFrame(
+        [("A", 30.0), ("B", 7.0), ("C", 1.0)], "key string, val double"
+    )
+
+    def asof(ts):
+        out = value_asof(
+            current, rev, F.lit(ts), key_cols=["key"], value_col="val"
+        )
+        return {r["key"]: r["val"] for r in out.collect()}
+
+    # before any revision: original values; C (never revised) = current
+    assert asof(dt.datetime(2024, 12, 1)) == {"A": 10.0, "B": 5.0, "C": 1.0}
+    # between T1 and T2: A has had its first revision applied
+    assert asof(dt.datetime(2025, 1, 15)) == {"A": 20.0, "B": 5.0, "C": 1.0}
+    # after all revisions: current state
+    assert asof(T3) == {"A": 30.0, "B": 7.0, "C": 1.0}
+
+
+def test_value_asof_boundary_is_exclusive(spark):
+    # a revision AT ts is already in effect (filter is revision_date > ts)
+    rev = _revlog(spark)
+    current = spark.createDataFrame([("A", 30.0)], "key string, val double")
+    out = value_asof(
+        current,
+        rev.withColumn("key", F.col("data_date")),
+        F.lit(T1),
+        key_cols=["key"],
+        value_col="val",
+    ).collect()
+    assert out[0]["val"] == 20.0

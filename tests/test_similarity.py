@@ -76,3 +76,17 @@ def test_arrow_bruteforce_matches_expression_form(spark):
     expr = brute_force_topk(e, queries, k=5).collect()
     arrow = brute_force_topk_arrow(e, queries, k=5).collect()
     assert sorted(map(tuple, expr)) == sorted(map(tuple, arrow))
+
+
+def test_embedding_centroids_exact_means(spark):
+    from econdatapipeline_spark.operators.similarity import embedding_centroids
+
+    df = spark.createDataFrame(
+        [("x", [1.0, 2.0]), ("x", [3.0, 6.0]), ("y", [10.0, 0.0])],
+        "label string, embedding array<double>",
+    )
+    out = {(r["label"], r["pos"]): r["centroid"]
+           for r in embedding_centroids(df).collect()}
+    assert out[("x", 0)] == 2.0 and out[("x", 1)] == 4.0
+    assert out[("y", 0)] == 10.0 and out[("y", 1)] == 0.0
+    assert len(out) == 4

@@ -95,3 +95,33 @@ def test_pmi_thresholds_drop_rare_pairs(spark):
     out = pmi_bigrams(df, min_count=5, min_pmi=0.1)
     pairs = {(r["w1"], r["w2"]) for r in out.collect()}
     assert ("rare", "pair") not in pairs  # c_xy = 1 < 5
+
+
+def test_tfidf_cosine_pairs_identical_docs(spark):
+    from econdatapipeline_spark.operators.tfidf import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in tfidf_cosine_pairs(df, threshold=0.0).collect()}
+    # identical term vectors -> cosine 1; disjoint docs share no term -> absent
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_tfidf_cosine_threshold_and_symmetry(spark):
+    from econdatapipeline_spark.operators.tfidf import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "a q r s")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(df, threshold=0.0).collect()
+    # every pair appears once with id_a < id_b
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows}) == 3
+    # raising the threshold can only shrink the set
+    hi = tfidf_cosine_pairs(df, threshold=0.9).collect()
+    assert len(hi) <= len(rows)
