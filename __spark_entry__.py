@@ -1954,11 +1954,14 @@ def q_value_asof(spark, sf_dir):
 def q_tfidf_cosine(spark, sf_dir):
     """Sparse TF-IDF cosine pairs via posting-list self-join (the
     weighted-set sibling of ngram_jaccard; operators/tfidf.py) —
-    candidates from shared terms, exact-decimal dot products."""
+    candidates from shared terms, exact-decimal dot products. The 10%
+    document-frequency cap is the mandatory quadratic-blowup guard:
+    without it one stopword in most documents alone contributes
+    ~n_docs^2/2 join rows. The oracle replays the cap exactly."""
     from econdatapipeline_spark.operators.tfidf import tfidf_cosine_pairs
 
     d = fan_out(_t(spark, sf_dir, "documents"))
-    return tfidf_cosine_pairs(d, threshold=0.8)
+    return tfidf_cosine_pairs(d, threshold=0.8, max_doc_ratio=0.1)
 
 
 def q_embedding_centroids(spark, sf_dir):
@@ -3833,7 +3836,8 @@ def oracle_sql() -> dict[str, str]:
             w AS (
               SELECT tf.doc_id, tf.token,
                      round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1), 6) AS w
-              FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+              FROM tf JOIN dfreq USING (token) CROSS JOIN n
+              WHERE dfreq.df <= n.n_docs * 0.1),
             norms AS (
               SELECT doc_id,
                      sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm

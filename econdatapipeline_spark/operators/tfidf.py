@@ -197,6 +197,7 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    max_doc_ratio: float | None = None,
 ) -> DataFrame:
     """Document-pair cosine similarity over TF-IDF term vectors
     -> (id_a, id_b, cosine) for pairs sharing at least one term.
@@ -212,13 +213,25 @@ def tfidf_cosine_pairs(
     through exact decimal(28,12) sums, so the final double division is
     a pure function of identical inputs in any engine.
 
-    ``max_doc_freq`` is the same scale guard as in ngram_jaccard_pairs:
-    a term in c documents contributes c^2 join rows, so ubiquitous
-    terms (stopwords) dominate the shuffle at corpus scale. Capping
-    drops them from candidate generation AND the dot product (an
-    approximation; None = exact remains the default).
+    ``max_doc_freq`` / ``max_doc_ratio`` are the scale guard this pair
+    join REQUIRES in practice: a term in c documents contributes c^2
+    join rows, so one stopword in most of an n-doc corpus alone costs
+    ~n^2/2 rows — quadratic blowup from candidate generation that the
+    post-join threshold cannot undo. Capping document frequency
+    (absolute, or as a fraction of corpus size — the form that means
+    the same thing at every scale) drops those terms from candidates
+    AND the dot product. The dropped terms are exactly the ones TF-IDF
+    weights near zero (idf -> 1 as df -> N), so high-cosine pairs are
+    barely perturbed; the cap is part of the operator's spec and an
+    oracle replays it exactly.
     """
-    w = tfidf_terms(df, text_col, id_col).select(
+    terms = tfidf_terms(df, text_col, id_col)
+    if max_doc_ratio is not None:
+        n = df.select(F.countDistinct(id_col).alias("n_docs"))
+        terms = terms.join(F.broadcast(n)).filter(
+            F.col("df") <= F.col("n_docs") * max_doc_ratio
+        )
+    w = terms.select(
         F.col(id_col), F.xxhash64("token").alias("tok"), F.col("tfidf").alias("w")
     )
     # Materialize the posting table once: it feeds the norm aggregate
