@@ -60,6 +60,11 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record, keep benching
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
+        # Iterative queries persist working sets; dropping them between
+        # queries keeps every measurement independent of which queries
+        # ran before (storage-memory eviction under accumulation was
+        # measurable as multi-second noise on the tail of the run).
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(

@@ -131,3 +131,30 @@ def test_no_cartesian_or_row_python_anywhere(spark):
         if flags:
             offenders[name] = flags
     assert offenders == {}
+
+
+def test_value_asof_pushes_timestamp_predicate(spark):
+    # The revision_date > ts filter must reach the scan side of the
+    # later-revisions aggregate (at scale: row-group pruning on the
+    # append-only log's monotone timestamp column).
+    plan = plan_of(E.q_value_asof(spark, SF_DIR))
+    assert "min_by" in plan or "minby" in plan.lower()
+
+
+def test_scd2_single_window_pass(spark):
+    # Both interval branches derive from ONE window (rn + lead share
+    # the same partition/order), so the plan carries exactly one
+    # window-sort per revision-log branch, not one per output column.
+    plan = plan_of(E.q_scd2_intervals(spark, SF_DIR))
+    assert plan.count("Window") <= 4
+
+
+def test_q21_shape_uses_semi_and_anti(spark):
+    plan = plan_of(E.q_late_multi_supplier(spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q13_left_join_preserves_zero_groups(spark):
+    plan = plan_of(E.q_cust_order_distribution(spark, SF_DIR))
+    # the outer join must survive optimization (no inner-join rewrite)
+    assert "LeftOuter" in plan or "RightOuter" in plan
