@@ -2120,6 +2120,51 @@ def q_late_multi_supplier(spark, sf_dir):
     )
 
 
+def q_rollup_two_level(spark, sf_dir):
+    """Hierarchical continuous-aggregate reaggregation: daily totals
+    derived FROM the hourly rollup (streaming/rollup.bucket_aggregate),
+    not from raw events — the hypertable pattern where each coarser
+    granularity reads the finer materialization (at 100 TB: thousands
+    of hourly rows per day instead of millions of events). The oracle
+    recomputes the same two-level chain, proving reaggregation is
+    lossless."""
+    from econdatapipeline_spark.streaming.rollup import bucket_aggregate
+
+    ev = load_events(spark, sf_dir)
+    hourly = bucket_aggregate(ev, every="hour")
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket")).alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(_dsum(F.col("sum_value")), 6).alias("sum_value"),
+        )
+    )
+
+
+def q_window_navigation(spark, sf_dir):
+    """Frame-navigation window functions over each customer's order
+    history: first/last order date across the full partition frame and
+    the second order's total via nth_value — one window sort serves all
+    four outputs (deterministic order: date then key)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderdate").over(w).alias("first_order"),
+        F.last("o_orderdate").over(w).alias("last_order"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_total"),
+        F.count("*").over(w).alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2257,6 +2302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_counts": q_supplier_counts,
         "excess_volume_suppliers": q_excess_volume_suppliers,
         "late_multi_supplier": q_late_multi_supplier,
+        "rollup_two_level": q_rollup_two_level,
+        "window_navigation": q_window_navigation,
     }
 
 
@@ -3957,6 +4004,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_name AS supplier, CAST(COUNT(*) AS BIGINT) AS numwait
             FROM sole JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
+        """,
+        "rollup_two_level": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS bucket, event_type,
+                     CAST(COUNT(*) AS DOUBLE) AS n_events,
+                     round(SUM(value), 6) AS sum_value
+              FROM events GROUP BY 1, 2)
+            SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   round(CAST(SUM(CAST(sum_value AS DECIMAL(28,6))) AS DOUBLE), 6)
+                     AS sum_value
+            FROM hourly GROUP BY 1, 2
+        """,
+        "window_navigation": """
+            SELECT o_orderkey, o_custkey,
+                   first_value(o_orderdate) OVER w AS first_order,
+                   last_value(o_orderdate) OVER w AS last_order,
+                   nth_value(o_totalprice, 2) OVER w AS second_total,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_orders
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
         """,
     }
     # The xlsx byte-scan feeds the identical literal grid into the same
