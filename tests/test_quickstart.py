@@ -29,3 +29,13 @@ def test_corpus_pipeline_runs(spark, capsys):
     n0, n1, n2, n3 = map(int, re.search(
         r"(\d+) raw -> (\d+) gated -> (\d+) clean -> (\d+) deduped", out).groups())
     assert n0 >= n1 >= n2 >= n3 > 0
+
+
+def test_audit_timeline_runs(spark, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import audit_timeline
+
+    audit_timeline.main()
+    out = capsys.readouterr().out
+    assert "SCD2 timeline" in out
+    assert "time travel matches the actual batch-2 state: True" in out
