@@ -77,3 +77,44 @@ def test_value_asof_boundary_is_exclusive(spark):
         value_col="val",
     ).collect()
     assert out[0]["val"] == 20.0
+
+
+def test_scd2_invariants_random_log(spark):
+    """Property: for any revision log, each key's intervals tile the
+    timeline — start open-ended, end with exactly one is_current row,
+    connect end-to-start with no gaps, and chain old->new values."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for key in range(40):
+        v = float(rng.randint(0, 50))
+        n_revs = rng.randint(1, 6)
+        ts_days = sorted(rng.sample(range(1, 300), n_revs))
+        for d in ts_days:
+            nv = v + float(rng.randint(1, 9))
+            rows.append(
+                ("d", f"K{key}", "v", v, nv, dt.datetime(2024, 1, 1) + dt.timedelta(days=d))
+            )
+            v = nv
+    log = spark.createDataFrame(rows, REV_SCHEMA)
+    out = scd2_intervals(log).collect()
+
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["data_date"], []).append(r)
+    for key, ivs in by_key.items():
+        ivs.sort(key=lambda r: (r["valid_from"] is not None, r["valid_from"]))
+        assert ivs[0]["valid_from"] is None                      # open start
+        assert sum(r["is_current"] for r in ivs) == 1            # one current
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+        for prev, nxt in zip(ivs, ivs[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]         # no gaps
+        # value chain: each epoch's value carries into the next revision's old
+        revs = sorted(
+            (r for r in log.collect() if r["data_date"] == key),
+            key=lambda r: r["revision_date"],
+        )
+        assert [iv["value"] for iv in ivs] == [revs[0]["old_value"]] + [
+            r["new_value"] for r in revs
+        ]
