@@ -626,8 +626,14 @@ def q_quality_scores(spark, sf_dir):
 
 
 def q_langid(spark, sf_dir):
+    """Stopword-hit language ID; the argmax reuses the score columns
+    instead of re-running the token filters (halves the passes)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", *TX.langid_scores(F.col("text")), TX.langid(F.col("text")).alias("pred_lang"))
+    scored = d.select("doc_id", *TX.langid_scores(F.col("text")))
+    pred = TX.langid_from_scores(
+        {lang: F.col(f"score_{lang}") for lang in TX.STOPWORDS}
+    )
+    return scored.withColumn("pred_lang", pred)
 
 
 def q_fingerprint(spark, sf_dir):

@@ -99,21 +99,32 @@ def langid_scores(text: Column) -> list[Column]:
     return out
 
 
-def langid(text: Column) -> Column:
-    """Predicted language = argmax stopword hits, 'und' if all zero.
+def langid_from_scores(scores: dict[str, Column]) -> Column:
+    """argmax over per-language score columns, 'und' if all zero.
 
     Deterministic tie-break: language order as declared in STOPWORDS.
+    Use this when the scores are already materialized as columns —
+    recomputing them inside the argmax doubles the (interpreted)
+    token-filter passes for nothing.
     """
-    toks = tokenize(text)
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    for lang, words in STOPWORDS.items():
-        stops = F.array(*[F.lit(s) for s in words])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    for lang in STOPWORDS:
+        score = scores[lang]
         is_better = score > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)
     return best_lang
+
+
+def langid(text: Column) -> Column:
+    """Predicted language = argmax stopword hits, 'und' if all zero."""
+    toks = tokenize(text)
+    scores = {}
+    for lang, words in STOPWORDS.items():
+        stops = F.array(*[F.lit(s) for s in words])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return langid_from_scores(scores)
 
 
 def fingerprint(text: Column) -> Column:
@@ -146,6 +157,40 @@ def word_ngrams(text: Column, n: int = 2) -> Column:
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct) -> array<string>."""
     return F.array_distinct(word_ngrams(text, n))
+
+
+def shingle_structs(text: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram shingles as an array of n-field token
+    structs (t0..t{n-1}) — the hash-ready form: explode, then feed the
+    fields to a multi-argument xxhash64 (``shingle_struct_hash``) so
+    the whole shingling pipeline stays in whole-stage codegen. The
+    string form (``shingles``) pays an interpreted transform() lambda
+    plus one string allocation per gram; use it only where the gram
+    STRING itself is part of the contract (e.g. md5-based MinHash,
+    which an SQL oracle must replay).
+
+    Tokens are whitespace-split, so tuple equality and joined-string
+    equality agree exactly; documents shorter than n tokens collapse to
+    one whole-text tuple whose empty tail fields cannot collide with a
+    real n-token gram.
+    """
+    toks = tokenize(text)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, k + 1, cnt).alias(f"t{k}") for k in range(n)]
+    )
+    short = F.array(
+        F.struct(
+            F.array_join(toks, " ").alias("t0"),
+            *[F.lit("").alias(f"t{k}") for k in range(1, n)],
+        )
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, zipped).otherwise(short))
+
+
+def shingle_struct_hash(gram: Column, n: int = 3) -> Column:
+    """8-byte join/probe key from one exploded shingle struct."""
+    return F.xxhash64(*[gram.getField(f"t{k}") for k in range(n)])
 
 
 MERSENNE61 = (1 << 61) - 1

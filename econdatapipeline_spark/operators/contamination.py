@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from econdatapipeline_spark.functions.text import shingles, word_ngrams
+from econdatapipeline_spark.functions.text import (
+    shingle_struct_hash,
+    shingle_structs,
+    word_ngrams,
+)
 from econdatapipeline_spark.sources.tables import fan_out
 
 
@@ -43,20 +47,22 @@ def decontaminate(
     ratio. Clean documents are absent (inner join) — the caller
     anti-joins on the result to drop or audit contaminated docs.
 
-    The join key is xxhash64(gram): 8-byte shuffle-free broadcast probes
-    instead of multi-word string compares.
+    The join key is an 8-byte xxhash64 over the shingle's token tuple,
+    hashed straight out of the zipped token slices on both sides so the
+    shingling stays in whole-stage codegen (no per-gram string concat)
+    and the broadcast probes compare longs, not multi-word strings.
     """
     ev = (
-        holdout.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
-        .select(F.xxhash64("gram").alias("gram"))
+        holdout.select(F.explode(shingle_structs(F.col(text_col), n)).alias("g"))
+        .select(shingle_struct_hash(F.col("g"), n).alias("gram"))
         .distinct()
     )
     tr = fan_out(train).select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("sh")
+        F.col(id_col), shingle_structs(F.col(text_col), n).alias("sh")
     )
     tr = tr.select(
-        id_col, F.size("sh").alias("n_grams"), F.explode("sh").alias("gram")
-    ).select(id_col, "n_grams", F.xxhash64("gram").alias("gram"))
+        id_col, F.size("sh").alias("n_grams"), F.explode("sh").alias("g")
+    ).select(id_col, "n_grams", shingle_struct_hash(F.col("g"), n).alias("gram"))
     hits = (
         tr.join(F.broadcast(ev), "gram")
         .groupBy(id_col, "n_grams")

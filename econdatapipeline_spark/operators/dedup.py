@@ -26,6 +26,8 @@ from econdatapipeline_spark.functions.text import (
     MERSENNE61,
     fingerprint,
     minhash_bands,
+    shingle_struct_hash,
+    shingle_structs,
     shingles,
     tokenize,
 )
@@ -176,33 +178,15 @@ def ngram_jaccard_pairs(
     intersections omit them) that is standard practice for web-corpus
     dedup, and exact (None) stays the default.
     """
-    toks = tokenize(F.col(text_col))
-    cnt = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(1))
-    zipped = F.arrays_zip(
-        *[F.slice(toks, k + 1, cnt).alias(f"t{k}") for k in range(shingle_n)]
-    )
-    # Documents shorter than n tokens collapse to one whole-text gram
-    # (same contract as functions.text.word_ngrams); tokens never
-    # contain whitespace, so the fallback tuple cannot collide with a
-    # real n-token gram.
-    short = F.array(
-        F.struct(
-            F.array_join(toks, " ").alias("t0"),
-            *[F.lit("").alias(f"t{k}") for k in range(1, shingle_n)],
-        )
-    )
-    sh_arr = F.array_distinct(
-        F.when(F.size(toks) >= shingle_n, zipped).otherwise(short)
-    )
-    sh = fan_out(df).select(F.col(id_col), sh_arr.alias("sh")).withColumn(
-        "sh_size", F.size("sh")
-    )
+    sh = fan_out(df).select(
+        F.col(id_col), shingle_structs(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
     exploded = sh.select(
         id_col, "sh_size", F.explode("sh").alias("g")
     ).select(
         id_col,
         "sh_size",
-        F.xxhash64(*[F.col(f"g.t{k}") for k in range(shingle_n)]).alias("gram"),
+        shingle_struct_hash(F.col("g"), shingle_n).alias("gram"),
     )
     if max_doc_freq is not None:
         hot = (
