@@ -20,7 +20,7 @@ aggregation is map-side combinable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from econdatapipeline_spark.functions.text import (
