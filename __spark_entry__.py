@@ -1925,7 +1925,10 @@ def _two_batch_log(spark, sf_dir):
     # Chained merges are the iterative-state pattern: materialize batch
     # 1's output once (it feeds batch 2's anti join, inner join, AND
     # merged union) instead of replanning the first merge per branch.
-    m1 = res1.merged.localCheckpoint(eager=True)
+    # persist + count keeps the merge's logical plan visible to
+    # explain()/plan tooling (localCheckpoint would blind it).
+    m1 = res1.merged.persist()
+    m1.count()
     res2 = smart_update(m1, incoming2, ["okey"], ["total"], "orders_sim", run_ts=RUN_TS2)
     return res2.merged, res1.revisions.unionByName(res2.revisions)
 

@@ -136,20 +136,27 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(tokenize(text), " "))
 
 
+def _gram_slices(toks: Column, n: int) -> Column:
+    """arrays_zip of n shifted token slices — one (t0..t{n-1}) struct
+    per gram window. The shared core of word_ngrams / shingle_structs:
+    n slices per document instead of one slice per gram position, so
+    any fix to the windowing lands in exactly one place."""
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.arrays_zip(*[F.slice(toks, k + 1, cnt).alias(f"t{k}") for k in range(n)])
+
+
 def word_ngrams(text: Column, n: int = 2) -> Column:
     """Word n-grams WITH multiplicity -> array<string>.
 
-    Built as arrays_zip of n shifted token slices + one concat pass —
-    n slices per document instead of one slice per shingle position.
-    Higher-order array functions are interpreted (not codegen'd), so
-    trimming per-element work is what makes shingling cheap: this form
-    benches ~5x faster than the transform(sequence, slice) equivalent.
+    One concat pass over the zipped slices (_gram_slices). Higher-order
+    array functions are interpreted (not codegen'd), so trimming
+    per-element work is what makes shingling cheap: this form benches
+    ~5x faster than the transform(sequence, slice) equivalent.
     Documents shorter than n tokens collapse to one whole-text gram so
     downstream set math never divides by an empty gram list.
     """
     toks = tokenize(text)
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    z = F.arrays_zip(*[F.slice(toks, k + 1, cnt).alias(f"t{k}") for k in range(n)])
+    z = _gram_slices(toks, n)
     grams = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"t{k}"] for k in range(n)]))
     return F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
 
@@ -175,10 +182,7 @@ def shingle_structs(text: Column, n: int = 3) -> Column:
     real n-token gram.
     """
     toks = tokenize(text)
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    zipped = F.arrays_zip(
-        *[F.slice(toks, k + 1, cnt).alias(f"t{k}") for k in range(n)]
-    )
+    zipped = _gram_slices(toks, n)
     short = F.array(
         F.struct(
             F.array_join(toks, " ").alias("t0"),

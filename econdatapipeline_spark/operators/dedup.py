@@ -459,8 +459,14 @@ def triangle_count(
         # semi-join — without this the caller's pair generation (an LSH
         # bucket join here) re-executes per reference, and Spark's
         # concurrent broadcast jobs race to do so simultaneously.
-        .localCheckpoint(eager=True)
+        # persist + count rather than localCheckpoint: same barrier,
+        # but the logical plan (and its pushdown/join evidence) stays
+        # visible to explain()/plan tests, and the blocks are freed by
+        # clearCache. localCheckpoint is reserved for LOOP state where
+        # lineage truncation is the point (connected_components).
+        .persist()
     )
+    edges.count()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))

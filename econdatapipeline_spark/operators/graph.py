@@ -82,6 +82,9 @@ def pagerank(
     # step of any iterative Spark algorithm.
     ed = ed.persist()
     ed.count()
+    if iterations < 1:
+        raise ValueError("pagerank needs iterations >= 1")
+
     def rank_update(summed: Column) -> Column:
         return F.lit(1.0 - damping) + F.lit(damping) * summed
 
@@ -90,7 +93,10 @@ def pagerank(
     if symmetric:
         # Symmetric graph: every node has in-edges, so each round's
         # contribution aggregate already covers the whole node set — no
-        # node relation, no per-round left join. Round 1 is cheaper
+        # node relation, no per-round left join. This RELIES on the
+        # caller's symmetry guarantee: if some edge lacks its reverse,
+        # source-only nodes would silently vanish from the output (use
+        # symmetric=False for any list that is not provably mirrored). Round 1 is cheaper
         # still: with rank_0 = 1 everywhere, the probe of the rank
         # relation is the identity, so the first round collapses to a
         # pure aggregate of 1/out_deg over the cached edges. Each later

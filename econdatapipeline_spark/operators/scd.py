@@ -40,9 +40,15 @@ def scd2_intervals(revisions: DataFrame, key_cols: list[str] | None = None) -> D
     One shuffle: a window over the key ordered by ``revision_date``
     derives each revision's epoch via ``lead``; the initial epoch is
     the ``old_value`` of the key's first revision (a ``row_number = 1``
-    branch of the same window, so no second shuffle). Ties on
-    ``revision_date`` within a key are broken by ``new_value`` for a
-    deterministic chain regardless of partitioning.
+    branch of the same window, so no second shuffle).
+
+    Two same-timestamp revisions of one key have NO well-defined order
+    (the log does not record intra-timestamp sequence), so the timeline
+    of such a key is inherently ambiguous; ties are broken by
+    ``new_value`` purely so reruns stay deterministic. ``smart_update``
+    stamps one ``run_ts`` per batch and changes a (key, field) at most
+    once per batch, so ties only arise from caller error (two batches
+    merged with an identical run_ts).
     """
     key = key_cols or REV_KEY
     w = Window.partitionBy(*key).orderBy("revision_date", "new_value")
@@ -89,16 +95,35 @@ def value_asof(
     reported with their current value — callers needing insert
     awareness should also filter on an ingestion-date column.
 
+    ``revisions`` must be keyed uniquely by ``rev_key_cols`` per
+    logical value: the shared audit table keys rows by (dataset,
+    data_date, value_field), so PRE-FILTER it to one dataset and one
+    value field before passing it here — an unfiltered log would let
+    another dataset's or field's old_value win the min_by and silently
+    corrupt the reconstruction.
+
     Plan: filter the log to ``revision_date > ts`` (a pushed-down scan
     predicate on the append-only log), take ``min_by(old_value,
     revision_date)`` per key — one map-side-combinable aggregate, no
-    window — and left-join onto ``current``.
+    window — and left-join onto ``current``. The min_by ordering key
+    includes ``old_value`` so same-timestamp ties resolve
+    deterministically (same caveat as scd2_intervals: such ties mean
+    the log itself is ambiguous).
     """
     rev_key = rev_key_cols or key_cols
+    if len(rev_key) != len(key_cols):
+        raise ValueError(
+            f"rev_key_cols has {len(rev_key)} columns but key_cols has "
+            f"{len(key_cols)} — the join would silently drop keys"
+        )
     later = (
         revisions.filter(F.col("revision_date") > ts)
         .groupBy(*rev_key)
-        .agg(F.min_by("old_value", "revision_date").alias("__asof_value"))
+        .agg(
+            F.min_by(
+                "old_value", F.struct("revision_date", "old_value")
+            ).alias("__asof_value")
+        )
     )
     joined = current.join(
         later,

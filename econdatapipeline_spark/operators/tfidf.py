@@ -31,7 +31,10 @@ def tfidf_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, token, tf, df, tfidf) for every term occurrence set."""
+    """(doc_id, token, tf, df, n_docs, tfidf) for every term occurrence
+    set. The corpus size rides along as a column so downstream caps
+    (e.g. tfidf_cosine_pairs' document-frequency ratio) never re-scan
+    the corpus for an aggregate this pass already computed."""
     toks = df.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
@@ -49,6 +52,7 @@ def tfidf_terms(
             "token",
             "tf",
             "df",
+            "n_docs",
             F.round(F.col("tf") * idf, 6).alias("tfidf"),
         )
     )
@@ -227,19 +231,18 @@ def tfidf_cosine_pairs(
     """
     terms = tfidf_terms(df, text_col, id_col)
     if max_doc_ratio is not None:
-        n = df.select(F.countDistinct(id_col).alias("n_docs"))
-        terms = terms.join(F.broadcast(n)).filter(
-            F.col("df") <= F.col("n_docs") * max_doc_ratio
-        )
+        terms = terms.filter(F.col("df") <= F.col("n_docs") * max_doc_ratio)
     w = terms.select(
         F.col(id_col), F.xxhash64("token").alias("tok"), F.col("tfidf").alias("w")
     )
     # Materialize the posting table once: it feeds the norm aggregate
     # and BOTH sides of the pair join, and each reference would replan
     # the full tokenize -> TF -> DF -> IDF pipeline (and Spark's
-    # concurrent broadcast jobs would race to execute it). One eager
-    # checkpoint keeps the plan linear in corpus size.
-    w = w.localCheckpoint(eager=True)
+    # concurrent broadcast jobs would race to execute it). persist +
+    # count (not localCheckpoint) so the logical plan stays visible to
+    # explain()/plan tests and clearCache frees the blocks.
+    w = w.persist()
+    w.count()
     if max_doc_freq is not None:
         hot = (
             w.groupBy("tok")

@@ -67,7 +67,13 @@ def main() -> None:
 
     asof_ts = dt.datetime(2025, 6, 2, 12, 0)  # between batches 2 and 3
     print(f"table as of {asof_ts:%Y-%m-%d %H:%M} (after batch 2, before 3):")
-    rev = wh.revisions().withColumn("date", F.to_date("data_date"))
+    # The shared audit table holds every dataset and value field —
+    # value_asof's contract requires narrowing to exactly one of each.
+    rev = (
+        wh.revisions()
+        .filter((F.col("dataset") == name) & (F.col("value_field") == "value"))
+        .withColumn("date", F.to_date("data_date"))
+    )
     reconstructed = value_asof(
         wh.read(name), rev, F.lit(asof_ts), key_cols=["date"], value_col="value"
     )

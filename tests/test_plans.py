@@ -133,12 +133,17 @@ def test_no_cartesian_or_row_python_anywhere(spark):
     assert offenders == {}
 
 
-def test_value_asof_pushes_timestamp_predicate(spark):
-    # The revision_date > ts filter must reach the scan side of the
-    # later-revisions aggregate (at scale: row-group pruning on the
-    # append-only log's monotone timestamp column).
+def test_value_asof_prunes_earlier_revisions(spark):
+    # The revision_date > ts predicate must reach the log derivation.
+    # Here both batches stamp literal run_ts values, so the proof is
+    # constant folding: the batch-1 branch (T1 < asof ts) is eliminated
+    # from the plan entirely while batch 2 survives — the plan-time
+    # analog of row-group pruning on a real append-only log. The
+    # aggregate must stay the no-window min_by shape.
     plan = plan_of(E.q_value_asof(spark, SF_DIR))
-    assert "min_by" in plan or "minby" in plan.lower()
+    assert "min_by" in plan
+    assert "2025-06-02 00:00:00" in plan        # later batch feeds min_by
+    assert "2025-06-01 00:00:00" not in plan    # earlier batch pruned away
 
 
 def test_scd2_single_window_pass(spark):
