@@ -2174,6 +2174,78 @@ def q_window_navigation(spark, sf_dir):
     )
 
 
+def q_order_sessions(spark, sf_dir):
+    """Batch sessionization: per-customer order runs split where the
+    gap exceeds 30 days — the lag -> boundary-flag -> running-sum
+    session-id chain (both windows share one partition sort), then one
+    aggregate per session."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+    )
+    new_sess = F.when(gap.isNull() | (gap > 30), 1).otherwise(0)
+    sess = (
+        o.withColumn("session_id", F.sum(new_sess).over(w))
+    )
+    return sess.groupBy("o_custkey", "session_id").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+        _dsum(F.col("o_totalprice")).alias("session_total"),
+    )
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Link prediction on the high-volume customer-supplier graph:
+    Adamic-Adar score for customer pairs sharing suppliers — the
+    posting-list pair join again (candidates from shared suppliers,
+    never all-pairs), with 1/ln(deg) weights summed exactly in decimal
+    and the ln floor-rounded for engine parity. The qty > 48 edge
+    filter is the sparsity guard: a hub supplier with c customers
+    costs c^2 pair rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.filter(F.col("l_quantity") > 48)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
+    # 1/ln(deg) per supplier, floor-rounded once so both engines sum
+    # identical addends; deg=1 suppliers (ln=0) cannot co-occur in a
+    # pair anyway and are dropped to keep the division total.
+    wgt = deg.filter(F.col("deg") >= 2).select(
+        "supp",
+        (
+            F.floor(
+                (F.lit(1.0) / F.log(F.col("deg").cast("double")))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("w"),
+    )
+    ew = edges.join(F.broadcast(wgt), "supp")
+    a, b = ew.alias("a"), ew.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.supp") == F.col("b.supp"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared_suppliers"),
+            F.sum(F.col("a.w").cast("decimal(28,12)")).cast("double").alias("aa_score"),
+        )
+        .filter(F.col("shared_suppliers") >= 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2313,6 +2385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_multi_supplier": q_late_multi_supplier,
         "rollup_two_level": q_rollup_two_level,
         "window_navigation": q_window_navigation,
+        "order_sessions": q_order_sessions,
+        "adamic_adar": q_adamic_adar,
     }
 
 
@@ -4038,6 +4112,48 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND UNBOUNDED FOLLOWING)
+        """,
+        "order_sessions": """
+            WITH marked AS (
+              SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                     CASE WHEN lag(o_orderdate) OVER w IS NULL
+                            OR date_diff('day', lag(o_orderdate) OVER w,
+                                         o_orderdate) > 30
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)),
+            sess AS (
+              SELECT *, CAST(SUM(new_sess) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ) AS BIGINT) AS session_id
+              FROM marked)
+            SELECT o_custkey, session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   MIN(o_orderdate) AS first_date,
+                   MAX(o_orderdate) AS last_date,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                     AS session_total
+            FROM sess GROUP BY o_custkey, session_id
+        """,
+        "adamic_adar": """
+            WITH edges AS (
+              SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_quantity > 48),
+            deg AS (SELECT supp, COUNT(*) AS deg FROM edges GROUP BY supp),
+            wgt AS (
+              SELECT supp,
+                     floor((1.0 / ln(CAST(deg AS DOUBLE))) * 1000000.0 + 0.5)
+                       / 1000000.0 AS w
+              FROM deg WHERE deg >= 2),
+            ew AS (SELECT e.cust, e.supp, w.w FROM edges e JOIN wgt w USING (supp))
+            SELECT a.cust AS cust_a, b.cust AS cust_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_suppliers,
+                   CAST(SUM(CAST(a.w AS DECIMAL(28,12))) AS DOUBLE) AS aa_score
+            FROM ew a JOIN ew b ON a.supp = b.supp AND a.cust < b.cust
+            GROUP BY a.cust, b.cust
+            HAVING COUNT(*) >= 2
         """,
     }
     # The xlsx byte-scan feeds the identical literal grid into the same

@@ -459,14 +459,15 @@ def triangle_count(
         # semi-join — without this the caller's pair generation (an LSH
         # bucket join here) re-executes per reference, and Spark's
         # concurrent broadcast jobs race to do so simultaneously.
-        # persist + count rather than localCheckpoint: same barrier,
-        # but the logical plan (and its pushdown/join evidence) stays
-        # visible to explain()/plan tests, and the blocks are freed by
-        # clearCache. localCheckpoint is reserved for LOOP state where
-        # lineage truncation is the point (connected_components).
-        .persist()
+        # localCheckpoint (not persist): persist keeps the caller's
+        # full logical subtree inside every one of the ~6 references,
+        # and Catalyst re-analyzes that tree per reference — measured
+        # 4x wall-time on the near-dup graph from driver planning
+        # alone. The truncated lineage also blinds explain(); the
+        # upstream plan shape is covered by the standalone
+        # embedding_near_dups query, which keeps full lineage.
+        .localCheckpoint(eager=True)
     )
-    edges.count()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
