@@ -2246,6 +2246,77 @@ def q_adamic_adar(spark, sf_dir):
     )
 
 
+def q_winsorize(spark, sf_dir):
+    """Per-group outlier clipping: order totals clipped to their
+    priority group's exact [p05, p95] band — one percentile aggregate
+    per group broadcast back onto the rows (clip bounds are
+    |groups|-sized), then clamp via greatest/least. The round-trip
+    stats prove the clip: per group, min >= p05 and max <= p95."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.05).alias("lo"),
+        F.percentile("o_totalprice", 0.95).alias("hi"),
+    )
+    clipped = o.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("o_totalprice"))).alias(
+            "clipped"
+        ),
+    )
+    return clipped.groupBy("o_orderpriority").agg(
+        F.round(F.min("clipped"), 6).alias("min_clipped"),
+        F.round(F.max("clipped"), 6).alias("max_clipped"),
+        _dsum(F.col("clipped")).alias("sum_clipped"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_orphan_check(spark, sf_dir):
+    """Referential-integrity audit: per foreign key, how many lineitem
+    rows point at a missing parent — three broadcast anti joins unioned
+    under a tag, each map-side (the parent key sets broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    checks = [
+        ("orderkey->orders", "l_orderkey",
+         _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))),
+        ("partkey->part", "l_partkey",
+         _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))),
+        ("suppkey->supplier", "l_suppkey",
+         _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))),
+    ]
+    parts = []
+    for tag, fk, parent in checks:
+        orphans = li.select(F.col(fk).alias("k")).join(
+            F.broadcast(parent), "k", "left_anti"
+        )
+        parts.append(
+            orphans.agg(
+                F.lit(tag).alias("fk"), F.count("*").alias("n_orphans")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_latest_order_per_customer(spark, sf_dir):
+    """Latest order per customer via one max_by aggregate on a struct
+    ordering key (date, then key for determinism) — the no-window,
+    map-side-combinable form of 'top 1 per group'."""
+    o = _t(spark, sf_dir, "orders")
+    latest = F.max_by(
+        F.struct("o_orderkey", "o_orderdate", "o_totalprice"),
+        F.struct("o_orderdate", "o_orderkey"),
+    )
+    return o.groupBy("o_custkey").agg(
+        latest.getField("o_orderkey").alias("last_orderkey"),
+        latest.getField("o_orderdate").alias("last_orderdate"),
+        latest.getField("o_totalprice").alias("last_total"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2387,6 +2458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_navigation": q_window_navigation,
         "order_sessions": q_order_sessions,
         "adamic_adar": q_adamic_adar,
+        "winsorize": q_winsorize,
+        "orphan_check": q_orphan_check,
+        "latest_order_per_customer": q_latest_order_per_customer,
     }
 
 
@@ -4154,6 +4228,52 @@ def oracle_sql() -> dict[str, str]:
             FROM ew a JOIN ew b ON a.supp = b.supp AND a.cust < b.cust
             GROUP BY a.cust, b.cust
             HAVING COUNT(*) >= 2
+        """,
+        "winsorize": """
+            WITH bounds AS (
+              SELECT o_orderpriority,
+                     quantile_cont(o_totalprice, 0.05) AS lo,
+                     quantile_cont(o_totalprice, 0.95) AS hi
+              FROM orders GROUP BY o_orderpriority),
+            clipped AS (
+              SELECT o.o_orderpriority,
+                     greatest(b.lo, least(b.hi, o.o_totalprice)) AS clipped
+              FROM orders o JOIN bounds b USING (o_orderpriority))
+            SELECT o_orderpriority,
+                   round(MIN(clipped), 6) AS min_clipped,
+                   round(MAX(clipped), 6) AS max_clipped,
+                   CAST(SUM(CAST(clipped AS DECIMAL(28,6))) AS DOUBLE)
+                     AS sum_clipped,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM clipped GROUP BY o_orderpriority
+        """,
+        "orphan_check": """
+            SELECT 'orderkey->orders' AS fk,
+                   CAST(COUNT(*) AS BIGINT) AS n_orphans
+            FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            UNION ALL
+            SELECT 'partkey->part',
+                   CAST(COUNT(*) AS BIGINT)
+            FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+            UNION ALL
+            SELECT 'suppkey->supplier',
+                   CAST(COUNT(*) AS BIGINT)
+            FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        """,
+        "latest_order_per_customer": """
+            WITH ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC,
+                                                 o_orderkey DESC) AS rn,
+                     COUNT(*) OVER (PARTITION BY o_custkey) AS n_cust
+              FROM orders)
+            SELECT o_custkey,
+                   o_orderkey AS last_orderkey,
+                   o_orderdate AS last_orderdate,
+                   o_totalprice AS last_total,
+                   CAST(n_cust AS BIGINT) AS n_orders
+            FROM ranked WHERE rn = 1
         """,
     }
     # The xlsx byte-scan feeds the identical literal grid into the same
