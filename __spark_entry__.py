@@ -2211,6 +2211,11 @@ def q_adamic_adar(spark, sf_dir):
         .join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
+        # No barrier: the broadcast weight subtree and both pair-join
+        # sides end in the IDENTICAL distinct exchange, and AQE stage
+        # reuse shares it across all three within this one action —
+        # an eager persist barrier here measured 3x slower (same
+        # lesson as degrees(); see SCALE.md's materialization ledger).
     )
     deg = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
     # 1/ln(deg) per supplier, floor-rounded once so both engines sum
@@ -4248,17 +4253,24 @@ def oracle_sql() -> dict[str, str]:
             FROM clipped GROUP BY o_orderpriority
         """,
         "orphan_check": """
+            -- NOT EXISTS, not NOT IN: NOT IN's three-valued NULL logic
+            -- diverges from Spark's left_anti if a key is ever NULL;
+            -- NOT EXISTS with an equality predicate matches anti-join
+            -- semantics exactly.
             SELECT 'orderkey->orders' AS fk,
                    CAST(COUNT(*) AS BIGINT) AS n_orphans
-            FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)
             UNION ALL
             SELECT 'partkey->part',
                    CAST(COUNT(*) AS BIGINT)
-            FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+            FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM part WHERE p_partkey = l.l_partkey)
             UNION ALL
             SELECT 'suppkey->supplier',
                    CAST(COUNT(*) AS BIGINT)
-            FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+            FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM supplier WHERE s_suppkey = l.l_suppkey)
         """,
         "latest_order_per_customer": """
             WITH ranked AS (

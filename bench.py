@@ -64,9 +64,10 @@ def main() -> None:
         # queries keeps every measurement independent of which queries
         # ran before (storage-memory eviction under accumulation was
         # measurable as multi-second noise on the tail of the run).
-        # localCheckpoint blocks (connected_components loop state) are
-        # NOT covered — those are freed by the ContextCleaner when the
-        # per-query DataFrames are garbage collected.
+        # localCheckpoint blocks (connected_components loop state, the
+        # triangle edge list, TF-IDF posting tables) are NOT covered —
+        # those are freed by the ContextCleaner when the per-query
+        # DataFrames are garbage collected.
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
