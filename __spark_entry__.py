@@ -1490,6 +1490,21 @@ def q_stream_interval_join(spark, sf_dir):
     )
 
 
+def q_stream_semi_join(spark, sf_dir):
+    """Left-semi interval join, batch form: clicks that converted at
+    all — existence, not pairs, so a multi-purchase user emits each
+    click once (no join fan-out reaches the sink)."""
+    from econdatapipeline_spark.streaming.joins import interval_join
+
+    ev = load_events(spark, sf_dir)
+    return interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        within="30 minutes",
+        how="left_semi",
+    )
+
+
 def q_stream_outer_join(spark, sf_dir):
     """Left-outer interval join, batch form: every click, converted or
     not (null purchase columns when no conversion within 30 minutes).
@@ -2426,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wealthy_inactive": q_wealthy_inactive,
         "topn_per_group": q_topn_per_group,
         "stream_interval_join": q_stream_interval_join,
+        "stream_semi_join": q_stream_semi_join,
         "stream_outer_join": q_stream_outer_join,
         "stream_full_outer_join": q_stream_full_outer_join,
         "stream_static_enrich": q_stream_static_enrich,
@@ -3437,6 +3453,16 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND c.event_type = 'click' AND p.event_type = 'purchase'
              AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        """,
+        "stream_semi_join": """
+            SELECT c.user_id AS user_id, c.event_id AS left_id, c.ts AS left_ts
+            FROM events c
+            WHERE c.event_type = 'click'
+              AND EXISTS (SELECT 1 FROM events p
+                          WHERE p.event_type = 'purchase'
+                            AND p.user_id = c.user_id
+                            AND p.ts > c.ts
+                            AND p.ts <= c.ts + INTERVAL 30 MINUTE)
         """,
         "stream_outer_join": """
             SELECT c.user_id AS user_id, c.event_id AS left_id, c.ts AS left_ts,

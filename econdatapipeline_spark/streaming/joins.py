@@ -52,7 +52,7 @@ def interval_join(
     converted AND purchases with no preceding click), with the same
     watermark-gated null emission on both sides.
     """
-    if how not in ("inner", "left_outer", "full_outer"):
+    if how not in ("inner", "left_outer", "full_outer", "left_semi"):
         raise ValueError(f"unsupported join type {how!r}")
     if left.isStreaming:
         left = left.withWatermark(ts_col, watermark)
@@ -73,6 +73,14 @@ def interval_join(
         & (F.col("right_ts") > F.col("left_ts"))
         & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}"))
     )
+    if how == "left_semi":
+        # Existence-only funnel (which clicks converted at all): each
+        # left row emits at most once, so no pair fan-out reaches the
+        # sink and the streaming form keeps the same bounded state as
+        # the inner join without its output amplification.
+        return l.join(r, cond, "left_semi").select(
+            F.col("k").alias(key), "left_id", "left_ts"
+        )
     return (
         l.join(r, cond, how)
         .select(

@@ -239,3 +239,54 @@ def test_full_outer_interval_join_streaming_emits_both_unmatched(spark, tmp_path
     assert (1, 10) in got       # matched pair
     assert (2, None) in got     # unmatched left, null-extended
     assert (None, 11) in got    # unmatched right, null-extended
+
+
+def test_semi_interval_join_batch_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    clicks = spark.createDataFrame(
+        [(1, t0, 7, "click", 0.0, "{}"), (2, t0, 8, "click", 0.0, "{}")], EVENT_SCHEMA
+    )
+    purchases = spark.createDataFrame(
+        [
+            # user 7: TWO purchases in window -> click 1 emits ONCE
+            (10, t0 + dt.timedelta(minutes=5), 7, "purchase", 5.0, "{}"),
+            (11, t0 + dt.timedelta(minutes=10), 7, "purchase", 5.0, "{}"),
+            # user 8: only a too-late purchase -> click 2 absent
+            (12, t0 + dt.timedelta(minutes=40), 8, "purchase", 5.0, "{}"),
+        ],
+        EVENT_SCHEMA,
+    )
+    out = SJ.interval_join(
+        clicks, purchases, within="30 minutes", how="left_semi"
+    ).collect()
+    assert [(r["user_id"], r["left_id"]) for r in out] == [(7, 1)]
+    assert set(out[0].asDict()) == {"user_id", "left_id", "left_ts"}
+
+
+def test_semi_interval_join_streaming_matches_batch(spark, tmp_path):
+    ev = load_events(spark, SF_DIR)
+    clicks_dir, purch_dir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    ev.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(purch_dir)
+
+    batch = SJ.interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="left_semi",
+    )
+    sc = spark.readStream.schema(EVENT_SCHEMA).parquet(clicks_dir)
+    sp = spark.readStream.schema(EVENT_SCHEMA).parquet(purch_dir)
+    q = (
+        SJ.interval_join(sc, sp, how="left_semi")
+        .writeStream.format("memory")
+        .queryName("semi_ij_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_semi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM semi_ij_test")
+    assert sorted(r["left_id"] for r in got.collect()) == sorted(
+        r["left_id"] for r in batch.collect()
+    )
