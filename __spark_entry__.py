@@ -2337,6 +2337,16 @@ def q_latest_order_per_customer(spark, sf_dir):
     )
 
 
+def q_profile_stats(spark, sf_dir):
+    """One-pass numeric profiling of lineitem: count / exact-decimal
+    mean and population variance / min / max for three columns out of
+    a single aggregate + stack (operators/quality.profile_stats)."""
+    from econdatapipeline_spark.operators.quality import profile_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2482,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "orphan_check": q_orphan_check,
         "latest_order_per_customer": q_latest_order_per_customer,
+        "profile_stats": q_profile_stats,
     }
 
 
@@ -4312,6 +4323,38 @@ def oracle_sql() -> dict[str, str]:
                    o_totalprice AS last_total,
                    CAST(n_cust AS BIGINT) AS n_orders
             FROM ranked WHERE rn = 1
+        """,
+        "profile_stats": """
+            WITH a AS (
+              SELECT CAST(COUNT(l_quantity) AS BIGINT) AS n_1,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s_1,
+                     CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS q_1,
+                     MIN(CAST(l_quantity AS DOUBLE)) AS min_1,
+                     MAX(CAST(l_quantity AS DOUBLE)) AS max_1,
+                     CAST(COUNT(l_extendedprice) AS BIGINT) AS n_2,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s_2,
+                     CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS q_2,
+                     MIN(l_extendedprice) AS min_2,
+                     MAX(l_extendedprice) AS max_2,
+                     CAST(COUNT(l_discount) AS BIGINT) AS n_3,
+                     CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS s_3,
+                     CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS q_3,
+                     MIN(l_discount) AS min_3,
+                     MAX(l_discount) AS max_3
+              FROM lineitem)
+            SELECT 'l_quantity' AS "column", n_1 AS n,
+                   round(s_1 / n_1, 6) AS mean,
+                   round((q_1 - s_1 * s_1 / n_1) / n_1, 6) AS variance,
+                   min_1 AS min, max_1 AS max
+            FROM a
+            UNION ALL
+            SELECT 'l_extendedprice', n_2, round(s_2 / n_2, 6),
+                   round((q_2 - s_2 * s_2 / n_2) / n_2, 6), min_2, max_2
+            FROM a
+            UNION ALL
+            SELECT 'l_discount', n_3, round(s_3 / n_3, 6),
+                   round((q_3 - s_3 * s_3 / n_3) / n_3, 6), min_3, max_3
+            FROM a
         """,
     }
     # The xlsx byte-scan feeds the identical literal grid into the same

@@ -117,3 +117,48 @@ def table_checksum(
     )
     keep = [*(group_by or []), "n_rows"]
     return out.select(*keep, checksum.cast("decimal(38,0)").cast("string").alias("checksum"))
+
+
+def profile_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass numeric profile -> (column, n, mean, variance, min, max).
+
+    The data-profiling primitive (schema drift checks, feature sanity,
+    migration validation): every statistic for every column comes out
+    of ONE aggregate over one scan — count, exact-decimal sum and sum
+    of squares, min, max per column — then the long output is a stack
+    of the single result row, so profiling k columns costs one job and
+    no shuffle beyond the final 1-row aggregate.
+
+    Mean and population variance are derived from the exact decimal
+    sums in one double-arithmetic chain (var = sumsq/n - (sum/n)^2
+    rearranged as (sumsq - sum^2/n) / n), so any engine computing the
+    same chain over the same exact sums reproduces them bit-for-bit;
+    both are rounded to 6 decimals at the edge.
+    """
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.count(col).alias(f"__n_{c}"),
+            F.sum(col.cast("decimal(38,6)")).cast("double").alias(f"__s_{c}"),
+            F.sum((col * col).cast("decimal(38,6)")).cast("double").alias(f"__q_{c}"),
+            F.min(col).alias(f"__min_{c}"),
+            F.max(col).alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        n = F.col(f"__n_{c}")
+        s = F.col(f"__s_{c}")
+        q = F.col(f"__q_{c}")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                n.alias("n"),
+                F.round(s / n, 6).alias("mean"),
+                F.round((q - s * s / n) / n, 6).alias("variance"),
+                F.col(f"__min_{c}").alias("min"),
+                F.col(f"__max_{c}").alias("max"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -154,3 +154,17 @@ def test_table_checksum_order_and_partition_invariant(spark):
 
     grouped = {r["k"]: r for r in table_checksum(df, cols, group_by=["k"]).collect()}
     assert len(grouped) == 3 and all(r["n_rows"] == 1 for r in grouped.values())
+
+
+def test_profile_stats_exact(spark):
+    from econdatapipeline_spark.operators.quality import profile_stats
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 10.0), (3.0, None), (4.0, 10.0)], "a double, b double"
+    )
+    out = {r["column"]: r for r in profile_stats(df, ["a", "b"]).collect()}
+    a = out["a"]
+    assert (a["n"], a["mean"], a["min"], a["max"]) == (4, 2.5, 1.0, 4.0)
+    assert a["variance"] == 1.25  # population variance of 1..4
+    b = out["b"]
+    assert (b["n"], b["mean"], b["variance"]) == (3, 10.0, 0.0)  # nulls excluded
