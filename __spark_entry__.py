@@ -2347,6 +2347,20 @@ def q_profile_stats(spark, sf_dir):
     return profile_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
 
 
+def q_holt_forecast(spark, sf_dir):
+    """Holt double-exponential smoothing of daily order totals per
+    priority (operators/timeseries.holt_linear): distributed exact
+    pre-aggregation, then a per-group sorted left fold whose recurrence
+    the oracle replays via a recursive CTE."""
+    from econdatapipeline_spark.operators.timeseries import holt_linear
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("d")
+    ).agg(_dsum(F.col("o_totalprice")).alias("total"))
+    return holt_linear(daily, "o_orderpriority", "d", "total")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2493,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_check": q_orphan_check,
         "latest_order_per_customer": q_latest_order_per_customer,
         "profile_stats": q_profile_stats,
+        "holt_forecast": q_holt_forecast,
     }
 
 
@@ -4355,6 +4370,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_discount', n_3, round(s_3 / n_3, 6),
                    round((q_3 - s_3 * s_3 / n_3) / n_3, 6), min_3, max_3
             FROM a
+        """,
+        "holt_forecast": """
+            WITH RECURSIVE daily AS (
+              SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS d,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                       AS total
+              FROM orders GROUP BY 1, 2),
+            series AS (
+              SELECT g, total AS v,
+                     row_number() OVER (PARTITION BY g ORDER BY d) AS rn
+              FROM daily),
+            hw AS (
+              SELECT g, rn, v AS l, CAST(0.0 AS DOUBLE) AS b FROM series WHERE rn = 1
+              UNION ALL
+              SELECT s.g, s.rn,
+                     0.5 * s.v + 0.5 * (h.l + h.b),
+                     0.25 * ((0.5 * s.v + 0.5 * (h.l + h.b)) - h.l)
+                       + 0.75 * h.b
+              FROM hw h JOIN series s ON s.g = h.g AND s.rn = h.rn + 1)
+            SELECT g AS o_orderpriority,
+                   CAST(MAX(rn) AS INT) AS n_points,
+                   round(arg_max(l, rn), 6) AS level,
+                   round(arg_max(b, rn), 6) AS trend,
+                   round(arg_max(l, rn) + arg_max(b, rn), 6) AS forecast_1
+            FROM hw GROUP BY g
         """,
     }
     # The xlsx byte-scan feeds the identical literal grid into the same

@@ -231,3 +231,62 @@ def seasonal_adjust_monthly(
             r2(F.col(value_col) / F.col("__factor")).alias("adjusted"),
         )
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per group ->
+    (group, n_points, level, trend, forecast_1).
+
+        l_t = alpha * x_t + (1 - alpha) * (l_{t-1} + b_{t-1})
+        b_t = beta * (l_t - l_{t-1}) + (1 - beta) * b_{t-1}
+
+    seeded l_1 = x_1, b_1 = 0; the one-step-ahead forecast is
+    l_T + b_T. Like ewma, the recursion is a left fold over the sorted
+    per-group series (collect_list + aggregate) — per-group arrays are
+    bounded by the series length (dates), not the fact count, so they
+    stay executor-safe at any fact-table scale while the heavy
+    pre-aggregation runs distributed.
+
+    Cross-engine determinism: keep alpha/beta dyadic (defaults 0.5 and
+    0.25 — their 1-complements 0.5 and 0.75 are exact doubles), and an
+    oracle must evaluate the recurrences through the identical
+    expression tree; outputs round to 6 decimals at the edge.
+    """
+    a, one_a = F.lit(alpha), F.lit(1.0 - alpha)
+    b_, one_b = F.lit(beta), F.lit(1.0 - beta)
+
+    def step(acc, x):
+        l_upd = a * x + one_a * (acc.getField("l") + acc.getField("b"))
+        l_new = F.when(acc.getField("i") == 0, x).otherwise(l_upd)
+        b_new = F.when(acc.getField("i") == 0, F.lit(0.0)).otherwise(
+            b_ * (l_upd - acc.getField("l")) + one_b * acc.getField("b")
+        )
+        return F.struct(
+            l_new.alias("l"), b_new.alias("b"), (acc.getField("i") + 1).alias("i")
+        )
+
+    series = df.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("v")))
+        ).alias("s")
+    )
+    acc0 = F.struct(
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("b"), F.lit(0).alias("i")
+    )
+    fold = F.aggregate(
+        F.transform(F.col("s"), lambda r: r.getField("v")), acc0, step
+    )
+    return series.select(
+        group_col,
+        F.size("s").alias("n_points"),
+        F.round(fold.getField("l"), 6).alias("level"),
+        F.round(fold.getField("b"), 6).alias("trend"),
+        F.round(fold.getField("l") + fold.getField("b"), 6).alias("forecast_1"),
+    )

@@ -85,3 +85,28 @@ def test_seasonal_adjust_recovers_flat_trend(spark):
     # edges: no full 13-tap window -> no trend, factor still applied
     assert out[(2022, 1)]["trend"] is None
     assert abs(out[(2022, 1)]["adjusted"] - 100.0) < 0.01
+
+
+def test_holt_linear_hand_computed(spark):
+    from econdatapipeline_spark.operators.timeseries import holt_linear
+
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 12.0), ("g", 3, 14.0)],
+        "grp string, t int, v double",
+    )
+    out = holt_linear(df, "grp", "t", "v").collect()[0]
+    # l1=10, b1=0
+    # l2 = .5*12 + .5*(10+0) = 11 ; b2 = .25*(11-10) + .75*0 = 0.25
+    # l3 = .5*14 + .5*(11.25) = 12.625 ; b3 = .25*(12.625-11) + .75*.25 = 0.59375
+    assert out["n_points"] == 3
+    assert out["level"] == 12.625
+    assert out["trend"] == 0.59375
+    assert out["forecast_1"] == 12.625 + 0.59375
+
+
+def test_holt_linear_single_point(spark):
+    from econdatapipeline_spark.operators.timeseries import holt_linear
+
+    df = spark.createDataFrame([("g", 1, 7.0)], "grp string, t int, v double")
+    out = holt_linear(df, "grp", "t", "v").collect()[0]
+    assert (out["level"], out["trend"], out["forecast_1"]) == (7.0, 0.0, 7.0)
