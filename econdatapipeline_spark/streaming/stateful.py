@@ -69,3 +69,65 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+
+QUOTA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("spent_after", T.DoubleType()),
+    ]
+)
+
+_QUOTA_STATE_SCHEMA = T.StructType([T.StructField("spent", T.DoubleType())])
+
+
+def quota_filter(events: DataFrame, budget: float = 50.0) -> DataFrame:
+    """Per-user value-budget gate: emit events (in event_id order within
+    each batch) only while cumulative value stays within the budget;
+    an event that would overshoot is dropped, later smaller ones may
+    still fit. The classic rate-limit/quota state machine — the spent
+    counter is per-key state carried across micro-batches.
+
+    Same state-store scale shape as running_user_totals: one shuffle on
+    the key per batch, state O(distinct users), Arrow-batched kernel.
+    (Spark 4's transformWithStateInPandas expresses this with typed
+    ValueState handles, but its driver worker needs google.protobuf,
+    absent in this environment — the GroupState form below is
+    semantically identical and runs everywhere.)
+    """
+
+    def kernel(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        spent = state.get[0] if state.exists else 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_id")
+            keep_ids, keep_vals, keep_spent = [], [], []
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                if spent + float(val) > budget:
+                    continue
+                spent += float(val)
+                keep_ids.append(int(eid))
+                keep_vals.append(float(val))
+                keep_spent.append(round(spent, 6))
+            if keep_ids:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(keep_ids),
+                        "event_id": keep_ids,
+                        "value": keep_vals,
+                        "spent_after": keep_spent,
+                    }
+                )
+        state.update((spent,))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        kernel,
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType=_QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -71,3 +71,59 @@ def test_state_accumulates_across_batches(spark, dirs):
     assert got2[1] == (3, 17.5)  # accumulated across batches
     assert got2[3] == (1, 7.0)
     assert 2 not in got2  # update mode: untouched keys not re-emitted
+
+
+def test_quota_filter_enforces_budget_across_batches(spark, dirs):
+    """transformWithStateInPandas: the spent ValueState must gate events
+    across micro-batches (Spark 4 typed-state API)."""
+    from pyspark.sql import types as TT
+
+    from econdatapipeline_spark.streaming.stateful import quota_filter
+
+    schema = TT.StructType(
+        [
+            TT.StructField("user_id", TT.LongType()),
+            TT.StructField("event_id", TT.LongType()),
+            TT.StructField("value", TT.DoubleType()),
+        ]
+    )
+    src, ckpt = dirs
+
+    def write(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        collected: list = []
+
+        def sink(batch_df, _batch_id):
+            collected.extend(batch_df.collect())
+
+        q = (
+            quota_filter(stream, budget=20.0)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return collected
+
+    # batch 0: user 1 spends 15 of 20; the 10.0 event would overshoot
+    # and is dropped, but the later 4.0 still fits (gate is per event)
+    write([(1, 1, 10.0), (1, 2, 5.0), (1, 3, 10.0), (1, 4, 4.0)], "b0")
+    out0 = run_once()
+    assert [(r["event_id"], r["spent_after"]) for r in sorted(out0, key=lambda r: r["event_id"])] == [
+        (1, 10.0), (2, 15.0), (4, 19.0)
+    ]
+
+    # batch 1: state carries — only 1.0 of budget remains
+    write([(1, 5, 0.5), (1, 6, 2.0), (2, 7, 3.0)], "b1")
+    out1 = run_once()
+    got = {r["event_id"]: r["spent_after"] for r in out1}
+    assert got == {5: 19.5, 7: 3.0}  # 6 dropped (over budget); user 2 fresh
