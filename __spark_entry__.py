@@ -2361,6 +2361,27 @@ def q_holt_forecast(spark, sf_dir):
     return holt_linear(daily, "o_orderpriority", "d", "total")
 
 
+def q_budget_cap(spark, sf_dir):
+    """Batch form of the quota gate (streaming/stateful.quota_filter
+    holds the sequential variant): keep each user's events while the
+    running value total stays within budget — prefix-sum window +
+    filter, then one aggregate. The truncate-at-first-overshoot
+    semantics are what a window CAN express; the skip-and-continue
+    variant is inherently sequential state."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
+    kept = ev.withColumn("running", running).filter(F.col("running") <= 200.0)
+    return kept.groupBy("user_id").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.max("running"), 6).alias("spent"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2508,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_order_per_customer": q_latest_order_per_customer,
         "profile_stats": q_profile_stats,
         "holt_forecast": q_holt_forecast,
+        "budget_cap": q_budget_cap,
     }
 
 
@@ -4395,6 +4417,21 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(b, rn), 6) AS trend,
                    round(arg_max(l, rn) + arg_max(b, rn), 6) AS forecast_1
             FROM hw GROUP BY g
+        """,
+        "budget_cap": """
+            WITH running AS (
+              SELECT user_id,
+                     CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS DOUBLE) AS running
+              FROM events)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   round(MAX(running), 6) AS spent
+            FROM running
+            WHERE running <= 200.0
+            GROUP BY user_id
         """,
     }
     # The xlsx byte-scan feeds the identical literal grid into the same
