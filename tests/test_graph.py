@@ -45,3 +45,61 @@ def test_pagerank_isolated_source_gets_teleport_only(spark):
     r = {row["node"]: row["rank"] for row in pagerank(edges, iterations=1).collect()}
     assert r["B"] == pytest.approx(0.15, abs=1e-6)
     assert r["A"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_adamic_adar_matches_python_reference(spark):
+    """The shared-supplier posting join + floor-rounded 1/ln(deg)
+    weights vs a direct Python computation on a small random bipartite
+    graph (mirrors q_adamic_adar's shape without the TPC-H upstream)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randint(0, 15), rng.randint(100, 112)) for _ in range(80)})
+    df = spark.createDataFrame(edges, "cust long, supp long")
+
+    deg = df.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
+    wgt = deg.filter(F.col("deg") >= 2).select(
+        "supp",
+        (
+            F.floor((F.lit(1.0) / F.log(F.col("deg").cast("double"))) * 1e6 + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("w"),
+    )
+    ew = df.join(F.broadcast(wgt), "supp")
+    a, b = ew.alias("a"), ew.alias("b")
+    got = {
+        (r["cust_a"], r["cust_b"]): (r["shared"], r["aa"])
+        for r in a.join(
+            b, (F.col("a.supp") == F.col("b.supp")) & (F.col("a.cust") < F.col("b.cust"))
+        )
+        .groupBy(F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.sum(F.col("a.w").cast("decimal(28,12)")).cast("double").alias("aa"),
+        )
+        .collect()
+    }
+
+    # python reference
+    from collections import defaultdict
+
+    custs_of = defaultdict(set)
+    for c, s in edges:
+        custs_of[s].add(c)
+    want = defaultdict(lambda: [0, 0.0])
+    for s, cs in custs_of.items():
+        if len(cs) < 2:
+            continue
+        w = math.floor((1.0 / math.log(len(cs))) * 1e6 + 0.5) / 1e6
+        for x in cs:
+            for y in cs:
+                if x < y:
+                    want[(x, y)][0] += 1
+                    want[(x, y)][1] = round(want[(x, y)][1] + w, 12)
+    assert set(got) == set(want)
+    for k, (n, aa) in got.items():
+        assert n == want[k][0]
+        assert abs(aa - want[k][1]) < 1e-9, (k, aa, want[k][1])
