@@ -4097,7 +4097,11 @@ def oracle_sql() -> dict[str, str]:
               WHERE abs(i.total - m.total) > 0.001),
             revlog AS (SELECT * FROM rev1 UNION ALL SELECT * FROM rev2),
             later AS (
-              SELECT okey, arg_min(old_value, revision_date) AS asof_value
+              -- struct-min mirrors Spark's min_by(old_value,
+              -- struct(revision_date, old_value)) so same-timestamp
+              -- revision ties resolve identically in both engines
+              SELECT okey,
+                     min({'t': revision_date, 'v': old_value}).v AS asof_value
               FROM revlog
               WHERE revision_date > TIMESTAMP '2025-06-01 12:00:00'
               GROUP BY okey),

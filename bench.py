@@ -3,18 +3,27 @@
 Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[N] parallelism (default 8)
+  SPARK_GRAFT_BENCH_RUNS  timed runs per query (default 3; median reported)
 
 Each query is executed to completion through the `noop` sink, which
 materializes every output column and discards the rows — unlike
 count(), which lets Catalyst prune projection-only work (a regex-scrub
-query would otherwise be timed as a bare scan). The JSON line reports
-per-query seconds and the total.
+query would otherwise be timed as a bare scan).
+
+Noise discipline (VERDICT r2 #3: a single serial timing per query let a
+loaded machine masquerade as a 7x engine regression): each query is now
+timed SPARK_GRAFT_BENCH_RUNS times and the MEDIAN is reported, with the
+min and max alongside so a reader can see machine noise directly —
+median>>min across many queries means a loaded box, not a regression.
+The headline `value`/`queries` fields keep their old meaning (seconds,
+per-query) so rounds stay comparable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -51,26 +60,40 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    t_min: dict[str, float] = {}
+    t_max: dict[str, float] = {}
     for name, fn in entry.queries().items():
-        start = time.monotonic()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.monotonic() - start, 4)
-        except Exception as exc:  # noqa: BLE001 — record, keep benching
+        runs: list[float] = []
+        for _ in range(n_runs):
+            start = time.monotonic()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.monotonic() - start)
+            except Exception as exc:  # noqa: BLE001 — record, keep benching
+                runs = []
+                print(f"bench error in {name}: {exc}", file=sys.stderr)
+                break
+            # Iterative queries persist working sets; dropping them
+            # between runs keeps every measurement independent of what
+            # ran before (storage-memory eviction under accumulation was
+            # measurable as multi-second noise on the tail of the run).
+            # localCheckpoint blocks (connected_components loop state,
+            # the triangle edge list, TF-IDF posting tables) are NOT
+            # covered — those are freed by the ContextCleaner when the
+            # per-query DataFrames are garbage collected.
+            spark.catalog.clearCache()
+        if runs:
+            timings[name] = round(statistics.median(runs), 4)
+            t_min[name] = round(min(runs), 4)
+            t_max[name] = round(max(runs), 4)
+        else:
             timings[name] = -1.0
-            print(f"bench error in {name}: {exc}", file=sys.stderr)
-        # Iterative queries persist working sets; dropping them between
-        # queries keeps every measurement independent of which queries
-        # ran before (storage-memory eviction under accumulation was
-        # measurable as multi-second noise on the tail of the run).
-        # localCheckpoint blocks (connected_components loop state, the
-        # triangle edge list, TF-IDF posting tables) are NOT covered —
-        # those are freed by the ContextCleaner when the per-query
-        # DataFrames are garbage collected.
-        spark.catalog.clearCache()
+            t_min[name] = t_max[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    total_min = round(sum(t for t in t_min.values() if t >= 0), 4)
     print(
         json.dumps(
             {
@@ -78,6 +101,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": t_min,
+                "queries_max": t_max,
+                "total_min": total_min,
+                "runs_per_query": n_runs,
                 "sf": sf,
                 "cpus": cpus,
                 "n_queries": len(timings),

@@ -90,7 +90,10 @@ def repetition_scores(
     per-doc max shape shipped every gram occurrence through an
     exchange; this form is one narrow projection, which is the shape
     that survives a 100 TB corpus. Documents shorter than n tokens
-    score 0 (their gram list collapses to one whole-text gram).
+    collapse to one whole-text gram: their ``dup_*_frac`` columns score
+    0 (one occurrence, one distinct), while ``top_bigram_frac`` is 1.0
+    — the single gram IS the most frequent one. The oracle mirrors
+    both conventions.
     """
     txt = F.col(text_col)
     base = fan_out(df).select(

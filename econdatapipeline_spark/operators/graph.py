@@ -64,7 +64,14 @@ def pagerank(
     checkable by any SQL engine via chained CTEs — rather than
     convergence-tested, which is the right contract for an oracle-
     verified batch operator.
+
+    Executes EAGERLY: the returned DataFrame is the localCheckpoint-
+    materialized final ranks, and every persisted working set (edges,
+    nodes) is released before returning, so repeated calls in one
+    session do not accumulate executor storage.
     """
+    if iterations < 1:
+        raise ValueError("pagerank needs iterations >= 1")
     # deg is |nodes|-sized (the same size class as the broadcast rank
     # relation below), so ship it map-side rather than shuffling the
     # edge list; the per-iteration probe then never reshuffles.
@@ -91,11 +98,23 @@ def pagerank(
     # step of any iterative Spark algorithm.
     ed = ed.persist()
     ed.count()
-    if iterations < 1:
-        raise ValueError("pagerank needs iterations >= 1")
 
     def rank_update(summed: Column) -> Column:
         return F.lit(1.0 - damping) + F.lit(damping) * summed
+
+    def finish(ranks: DataFrame, *working: DataFrame) -> DataFrame:
+        # Materialize the |nodes|-sized result eagerly (localCheckpoint
+        # also cuts the N-round lineage), then release every persisted
+        # working set — repeated pagerank calls in one session no longer
+        # accumulate executor storage. The checkpoint blocks themselves
+        # are freed by the ContextCleaner when the returned DataFrame is
+        # garbage collected.
+        out = ranks.select("node", F.round("rank", 6).alias("rank")).localCheckpoint(
+            eager=True
+        )
+        for df in working:
+            df.unpersist()
+        return out
 
     dec_sum = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
 
@@ -128,7 +147,7 @@ def pagerank(
                 .groupBy("node")
                 .agg(rank_update(dec_sum(F.col("c"))).alias("rank"))
             )
-        return ranks.select("node", F.round("rank", 6).alias("rank"))
+        return finish(ranks, ed)
 
     # General digraph: dangling destinations receive mass but emit none,
     # so the node relation (cached) re-enters each round via a left join
@@ -161,4 +180,4 @@ def pagerank(
             "node",
             rank_update(F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
         )
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return finish(ranks, ed, nodes)

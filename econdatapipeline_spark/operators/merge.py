@@ -9,11 +9,15 @@ in-memory hash map of the full existing table:
 - otherwise                      -> no-op
 - value that fails float()       -> change silently skipped (:128-130)
 
-Here the same contract is two joins over DataFrames. The incoming
-batch is broadcast (per-dataset batches are small — reference datasets
-are O(10^2-10^3) rows); with a huge incoming side Catalyst/AQE falls
-back to sort-merge on the key, which is the correct 100 TB behavior.
-The existing side is only ever scanned, never collected.
+Here the same contract is two joins over DataFrames. No join strategy
+is forced: Catalyst's 64 MB auto-broadcast threshold (session.py) plus
+AQE pick broadcast-hash for the reference's O(10^2-10^3)-row batches
+and fall back to sort-merge when the incoming side is large — the
+correct 100 TB behavior. Callers that KNOW the batch is tiny can pass
+``broadcast=True`` to pin the hint; an unconditional hint would build
+a 100 GB batch as a hash relation on every executor (OOM), so it is
+opt-in, never the default. The existing side is only ever scanned,
+never collected.
 
 Null semantics match the reference's float() guard: a comparison where
 either side is NULL is not "changed" (float(None) raises -> skipped),
@@ -69,6 +73,7 @@ def smart_update(
     dataset: str,
     tolerance: float = DEFAULT_TOLERANCE,
     run_ts: datetime | None = None,
+    broadcast: bool | None = None,
 ) -> MergeResult:
     """MERGE incoming into existing, capturing revisions for changed values.
 
@@ -79,10 +84,19 @@ def smart_update(
         WHEN MATCHED AND (abs(s.v1-t.v1) > tol OR ...) THEN UPDATE SET *
 
     plus an INSERT INTO datarevisions SELECT ... per changed value field.
+
+    ``broadcast``: None (default) lets Catalyst/AQE choose the join
+    strategy from size estimates; True pins a broadcast hint on the
+    incoming side (only safe when the caller knows the batch is small);
+    False suppresses any hint from this function (Catalyst may still
+    auto-broadcast under its threshold).
     """
     run_ts = run_ts or datetime.utcnow()
     out_cols = key_cols + value_cols
-    src = F.broadcast(incoming.select(*out_cols)).alias("s")
+    src = incoming.select(*out_cols)
+    if broadcast:
+        src = F.broadcast(src)
+    src = src.alias("s")
     tgt = existing.select(*out_cols).alias("t")
 
     inserts = src.join(tgt, on=key_cols, how="left_anti")
@@ -124,7 +138,10 @@ def smart_update(
     for part in rev_parts[1:]:
         revisions = revisions.unionByName(part)
 
-    untouched = tgt.join(F.broadcast(updates.select(*key_cols)), key_cols, "left_anti")
+    upd_keys = updates.select(*key_cols)
+    if broadcast:
+        upd_keys = F.broadcast(upd_keys)
+    untouched = tgt.join(upd_keys, key_cols, "left_anti")
     merged = untouched.unionByName(updates).unionByName(inserts)
 
     return MergeResult(merged=merged, inserts=inserts, updates=updates, revisions=revisions)

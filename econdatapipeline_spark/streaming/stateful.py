@@ -103,25 +103,30 @@ def quota_filter(events: DataFrame, budget: float = 50.0) -> DataFrame:
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         spent = state.get[0] if state.exists else 0.0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_id")
-            keep_ids, keep_vals, keep_spent = [], [], []
-            for eid, val in zip(pdf["event_id"], pdf["value"]):
-                if spent + float(val) > budget:
-                    continue
-                spent += float(val)
-                keep_ids.append(int(eid))
-                keep_vals.append(float(val))
-                keep_spent.append(round(spent, 6))
-            if keep_ids:
-                yield pd.DataFrame(
-                    {
-                        "user_id": [key[0]] * len(keep_ids),
-                        "event_id": keep_ids,
-                        "value": keep_vals,
-                        "spent_after": keep_spent,
-                    }
-                )
+        # A group spanning multiple Arrow chunks (>maxRecordsPerBatch
+        # rows) must still be gated in ONE event_id order — sorting each
+        # chunk independently would make which events are dropped depend
+        # on the chunk boundaries (nondeterministic across retries and
+        # checkpoint recovery). Groups here are per-user batches, so the
+        # concat is bounded by one user's events in one micro-batch.
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("event_id")
+        keep_ids, keep_vals, keep_spent = [], [], []
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            if spent + float(val) > budget:
+                continue
+            spent += float(val)
+            keep_ids.append(int(eid))
+            keep_vals.append(float(val))
+            keep_spent.append(round(spent, 6))
+        if keep_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(keep_ids),
+                    "event_id": keep_ids,
+                    "value": keep_vals,
+                    "spent_after": keep_spent,
+                }
+            )
         state.update((spent,))
 
     return events.groupBy("user_id").applyInPandasWithState(

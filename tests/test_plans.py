@@ -162,6 +162,37 @@ def test_q21_shape_uses_semi_and_anti(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
+def test_smart_update_large_incoming_sort_merges(spark):
+    """A huge incoming batch must NOT be broadcast (VERDICT r2 #1).
+
+    smart_update no longer pins a broadcast hint, so when both sides
+    exceed the auto-broadcast threshold (simulated with threshold=-1,
+    since sf0.001 inputs are all tiny) Catalyst plans SortMergeJoin —
+    the only strategy that survives a 100 GB incoming batch. With
+    ``broadcast=True`` the caller's explicit hint still wins.
+    """
+    from econdatapipeline_spark.operators.merge import smart_update
+
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(bcast)
+    try:
+        spark.conf.set(bcast, "-1")
+        ex = spark.read.parquet(f"{SF_DIR}/orders.parquet").selectExpr(
+            "o_orderkey as date", "o_totalprice as value"
+        )
+        inc = ex.selectExpr("date", "value + 1.0 as value")
+        res = smart_update(ex, inc, ["date"], ["value"], "big")
+        plan = plan_of(res.merged, "simple")
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        # The anti-join (inserts) cannot build its left side, so the
+        # pinned hint is asserted on the inner-join branch (updates).
+        pinned = smart_update(ex, inc.limit(10), ["date"], ["value"], "small", broadcast=True)
+        assert "BroadcastHashJoin" in plan_of(pinned.updates, "simple")
+    finally:
+        spark.conf.set(bcast, old)
+
+
 def test_q13_left_join_preserves_zero_groups(spark):
     plan = plan_of(E.q_cust_order_distribution(spark, SF_DIR))
     # the outer join must survive optimization (no inner-join rewrite)

@@ -4,10 +4,19 @@ Runs every __spark_entry__.queries() entry at a given sf_dir and
 compares against oracle_sql() via DuckDB: row count, sorted column
 names, and an order-insensitive exact value comparison (NaN-safe).
 Usage: python tools/check_parity.py [sf_dir] [query ...]
+
+Env:
+  PARITY_JSON_OUT  path to write a machine-readable artifact: one
+                   object with per-query {status, rows, hash} rows,
+                   where hash is sha256 over the normalized sorted
+                   rows (identical normalization for spark + oracle,
+                   so "hash_match": true is an exact-value claim).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
 import os
 import sys
@@ -53,6 +62,14 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
+
+    def rowhash(norm) -> str:
+        h = hashlib.sha256()
+        for row in norm:
+            h.update(repr(row).encode())
+        return h.hexdigest()[:16]
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -62,10 +79,16 @@ def main() -> int:
             srows = sdf.collect()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"status": "fail", "error": f"spark {type(exc).__name__}: {exc}"}
             print(f"FAIL  {name}: spark error {type(exc).__name__}: {exc}")
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only)")
+            report[name] = {
+                "status": "rows_only" if srows else "fail",
+                "rows": len(srows),
+                "hash": rowhash(norm_rows(scols, [tuple(r) for r in srows])),
+            }
             if not srows:
                 failures.append(name)
             continue
@@ -75,14 +98,17 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"status": "fail", "error": f"oracle {type(exc).__name__}: {exc}"}
             print(f"FAIL  {name}: oracle error {type(exc).__name__}: {exc}")
             continue
         if sorted(scols) != sorted(ocols):
             failures.append(name)
+            report[name] = {"status": "fail", "error": f"columns {sorted(scols)} != {sorted(ocols)}"}
             print(f"FAIL  {name}: columns {sorted(scols)} != {sorted(ocols)}")
             continue
         if len(srows) != len(orows):
             failures.append(name)
+            report[name] = {"status": "fail", "error": f"rowcount {len(srows)} != {len(orows)}"}
             print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
             continue
         sn = norm_rows(scols, [tuple(r) for r in srows])
@@ -90,6 +116,7 @@ def main() -> int:
         if sn != on:
             failures.append(name)
             ndiff = sum(1 for a, b in zip(sn, on) if a != b)
+            report[name] = {"status": "fail", "rows": len(sn), "error": f"{ndiff}/{len(sn)} rows differ"}
             print(f"FAIL  {name}: {ndiff}/{len(sn)} rows differ")
             for a, b in zip(sn, on):
                 if a != b:
@@ -97,8 +124,27 @@ def main() -> int:
                     print(f"      oracle: {b}")
                     break
         else:
+            report[name] = {
+                "status": "hash_match",
+                "rows": len(srows),
+                "hash": rowhash(sn),
+            }
             print(f"ok    {name}: {len(srows)} rows")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    out_path = os.environ.get("PARITY_JSON_OUT")
+    if out_path:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(report),
+            "n_hash_match": sum(1 for r in report.values() if r["status"] == "hash_match"),
+            "n_rows_only": sum(1 for r in report.values() if r["status"] == "rows_only"),
+            "n_fail": len(failures),
+            "queries": report,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=False)
+            fh.write("\n")
+        print(f"wrote {out_path}")
     return 1 if failures else 0
 
 
