@@ -19,9 +19,11 @@ parsing is driver-side by design; the *output* grid feeds
 huge spreadsheet corpus the same functions run per-file inside
 ``mapInPandas`` over a binaryFile scan (see ``read_xlsx_corpus``).
 
-Legacy binary ``.XLS`` (BIFF8) is NOT implemented — the environment has
-no parser for it and hand-rolling BIFF is out of scope; ``extract_data``
-raises with a clear message so callers can cache-convert upstream.
+Legacy binary ``.XLS`` (BIFF8) — the format the reference's EDB site
+actually serves — is handled by the sibling ``sources.xls`` module
+(minimal OLE2 + BIFF8 record parser); ``extract_data`` dispatches on
+the file magic so both formats feed the same ``slice_range`` /
+``normalize_edb_grid`` path.
 """
 
 from __future__ import annotations
@@ -167,13 +169,14 @@ def extract_data(
 ) -> list[list]:
     """Byte-for-byte analog of ``BaseEDBScraper.extract_data``:
     workbook bytes + sheet + A1 range -> headerless grid rows, ready
-    for ``normalize_edb_grid``. Raises on legacy BIFF .XLS content.
+    for ``normalize_edb_grid``. Dispatches on the file magic: zip ->
+    .xlsx, OLE2 -> legacy BIFF8 .xls (the format the EDB site serves,
+    reference azure_common_scrapers.py:35-79).
     """
     if content[:2] == b"\xd0\xcf":  # OLE2 magic = legacy .xls
-        raise NotImplementedError(
-            ".xls (BIFF) workbooks need xlrd, which is not installed; "
-            "convert to .xlsx upstream (the reference's blob cache layer)"
-        )
+        from econdatapipeline_spark.sources.xls import read_sheet_xls
+
+        return slice_range(read_sheet_xls(content, sheet_name), data_location)
     return slice_range(read_sheet(content, sheet_name), data_location)
 
 

@@ -81,9 +81,11 @@ def test_slice_range_pads_outside_used_area():
         slice_range(grid, "2B:C3")
 
 
-def test_extract_data_rejects_legacy_xls():
-    with pytest.raises(NotImplementedError, match="BIFF"):
-        extract_data(b"\xd0\xcf\x11\xe0junk", "Sheet1", "A1:B2")
+def test_extract_data_rejects_corrupt_ole():
+    # OLE2-prefixed but invalid bytes -> clear error from the .xls path
+    # (valid BIFF8 dispatch is covered in test_xls.py)
+    with pytest.raises(ValueError, match="magic"):
+        extract_data(b"\xd0\xcf\x11\xe0junkjunk", "Sheet1", "A1:B2")
 
 
 def _edb_workbook() -> bytes:
