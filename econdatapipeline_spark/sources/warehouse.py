@@ -188,6 +188,67 @@ class Warehouse:
         self.write_dataset(result.merged, table, partition_cols)
         return counts
 
+    # -- raw byte blobs (== upload/download/list/delete_blob, -----------
+    #    azure_connector.py:317-423) — the landing-zone cache for raw
+    #    downloads (workbook bytes, FRED JSON) before any normalization.
+    def _blob_path(self, container: str, name: str) -> str:
+        # blobs live beside the Parquet tables, never inside one
+        p = os.path.normpath(os.path.join(self.root, "blobs", container, name))
+        base = os.path.normpath(os.path.join(self.root, "blobs"))
+        if not p.startswith(base + os.sep):
+            raise ValueError(f"blob name escapes the container: {name!r}")
+        return p
+
+    def create_container(self, container: str) -> None:
+        """Idempotent (== create_container, azure_connector.py:293-315)."""
+        os.makedirs(os.path.join(self.root, "blobs", container), exist_ok=True)
+
+    def put_blob(self, container: str, name: str, data: bytes | str) -> None:
+        """Overwrite-put of a raw byte object (upload_blob semantics).
+
+        Atomic via temp-file + rename so a concurrent get never reads a
+        half-written blob. str payloads are UTF-8 encoded, matching the
+        reference's json.dumps upload path.
+        """
+        if isinstance(data, str):
+            data = data.encode("utf-8")
+        path = self._blob_path(container, name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".__tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def get_blob(self, container: str, name: str) -> bytes | None:
+        """None when absent (download_blob returns None on miss)."""
+        try:
+            with open(self._blob_path(container, name), "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def list_blobs(self, container: str, name_starts_with: str = "") -> list[str]:
+        base = os.path.join(self.root, "blobs", container)
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for dirpath, _dirs, files in os.walk(base):
+            for f in files:
+                if f.endswith(".__tmp"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, f), base)
+                rel = rel.replace(os.sep, "/")
+                if rel.startswith(name_starts_with):
+                    out.append(rel)
+        return sorted(out)
+
+    def delete_blob(self, container: str, name: str) -> bool:
+        try:
+            os.remove(self._blob_path(container, name))
+            return True
+        except FileNotFoundError:
+            return False
+
     # -- revisions (== datarevisions table) ------------------------------
     def append_revisions(self, revisions: DataFrame) -> None:
         with self._shared_write_lock:
@@ -197,24 +258,50 @@ class Warehouse:
         return self.read_or_empty(REVISIONS_TABLE, REVISIONS_SCHEMA)
 
     # -- watermarks (== scrapermetadata, azure_connector.py:552-617) -----
+    #
+    # The watermark table is hive-partitioned by dataset
+    # (scrapermetadata/dataset=<name>/), so an update touches ONLY that
+    # dataset's directory — no full-table read-modify-write, no shared
+    # lock. A 10^5-dataset registry updates watermarks embarrassingly
+    # in parallel; the previous whole-KV rewrite under a lock
+    # serialized every concurrent runner through one table swap.
+    def _watermark_path(self, dataset: str) -> str:
+        return os.path.join(self.path(METADATA_TABLE), f"dataset={dataset}")
+
     def update_last_run(self, dataset: str, ts: datetime | None = None) -> None:
         ts = ts or datetime.utcnow()
-        with self._shared_write_lock:
-            self._update_last_run_locked(dataset, ts)
-
-    def _update_last_run_locked(self, dataset: str, ts) -> None:
-        current = self.read_or_empty(METADATA_TABLE, METADATA_SCHEMA)
-        updated = current.filter(F.col("dataset") != dataset).unionByName(
-            self.spark.createDataFrame([(dataset, ts)], METADATA_SCHEMA)
-        )
-        # Tiny KV table: materialize to driver to rewrite safely over its own input.
-        rows = updated.collect()
-        self.write_dataset(self.spark.createDataFrame(rows, METADATA_SCHEMA), METADATA_TABLE)
+        final = self._watermark_path(dataset)
+        staging = final + "__staging"
+        df = self.spark.createDataFrame([(ts,)], "last_run timestamp")
+        try:
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
 
     def get_last_run(self, dataset: str) -> datetime | None:
-        meta = self.read_or_empty(METADATA_TABLE, METADATA_SCHEMA)
-        row = meta.filter(F.col("dataset") == dataset).select("last_run").limit(1).collect()
+        """Point read of one partition directory — never lists the
+        whole registry (the reference's get_entity point lookup,
+        azure_connector.py:580-596)."""
+        p = self._watermark_path(dataset)
+        if not os.path.isdir(p):
+            return None
+        row = self.spark.read.parquet(p).select("last_run").limit(1).collect()
         return row[0][0] if row else None
+
+    def watermarks(self) -> DataFrame:
+        """Full registry view (dataset, last_run) via partition discovery."""
+        p = self.path(METADATA_TABLE)
+        if not os.path.isdir(p) or not any(
+            e.startswith("dataset=") for e in os.listdir(p)
+        ):
+            return self.spark.createDataFrame([], METADATA_SCHEMA)
+        return self.spark.read.parquet(p).select(
+            F.col("dataset").cast("string"), "last_run"
+        )
 
     def should_update(self, dataset: str, update_frequency_hours: float = 24.0,
                       now: datetime | None = None) -> bool:
