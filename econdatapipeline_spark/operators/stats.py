@@ -33,26 +33,41 @@ def histogram(
 ) -> DataFrame:
     """(bin, bin_lo, bin_hi, n) equal-width histogram.
 
-    Bounds default to the column's observed min/max (one tiny extra
-    aggregate). The max value lands in the last bin (right-closed
-    there, right-open elsewhere) — the standard convention.
+    Bounds default to the column's observed min/max, computed INSIDE
+    the plan: the 1-row bounds aggregate broadcast-joins onto the scan,
+    so the whole histogram is one lazy job with no driver sync (the
+    earlier form collected min/max first — a second job — which at
+    cluster scale serializes two full scan latencies). The max value
+    lands in the last bin (right-closed there, right-open elsewhere) —
+    the standard convention.
     """
-    if lo is None or hi is None:
-        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
-        lo = lo if lo is not None else float(row["lo"])
-        hi = hi if hi is not None else float(row["hi"])
-    width = (hi - lo) / bins or 1.0
+    data = df.filter(F.col(col).isNotNull())
+    if lo is not None and hi is not None:
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+        binned = data
+    else:
+        bounds = data.agg(
+            (F.lit(float(lo)) if lo is not None else F.min(col).cast("double")).alias("__lo"),
+            (F.lit(float(hi)) if hi is not None else F.max(col).cast("double")).alias("__hi"),
+        )
+        binned = data.join(F.broadcast(bounds))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    width = (hi_c - lo_c) / bins
+    width = F.when(width == 0, F.lit(1.0)).otherwise(width)
     bin_idx = F.least(
-        F.greatest(F.floor((F.col(col) - lo) / width), F.lit(0)), F.lit(bins - 1)
+        F.greatest(F.floor((F.col(col) - lo_c) / width), F.lit(0)), F.lit(bins - 1)
     ).cast("long")
     return (
-        df.filter(F.col(col).isNotNull())
-        .groupBy(bin_idx.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        binned.groupBy(bin_idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(lo_c).alias("__lo_v"),
+            F.first(width).alias("__w_v"),
+        )
         .select(
             "bin",
-            F.round(lo + F.col("bin") * width, 6).alias("bin_lo"),
-            F.round(lo + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+            F.round(F.col("__lo_v") + F.col("bin") * F.col("__w_v"), 6).alias("bin_lo"),
+            F.round(F.col("__lo_v") + (F.col("bin") + 1) * F.col("__w_v"), 6).alias("bin_hi"),
             "n",
         )
     )
