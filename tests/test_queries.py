@@ -77,3 +77,20 @@ def test_resample_and_stats(spark, wh):
 def test_revision_history_plan_is_topk(spark, wh):
     plan = Q.get_revision_history(wh, dataset="autosales", limit=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_approx_distinct_error_bound(spark):
+    """The quantitative bound that replaces the missing SQL oracle for
+    approx_distinct (mirror of the IVF recall bound): every group's HLL
+    estimate at rsd=0.02 must be within 5% of the exact count the same
+    row carries. Deterministic: Spark's HLL++ is a pure function of the
+    value set."""
+    import __spark_entry__ as E
+
+    rows = E.q_approx_distinct(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_customers"]
+        assert abs(r["approx_customers"] - exact) <= max(1, 0.05 * exact), (
+            r["o_orderpriority"], r["approx_customers"], exact,
+        )
