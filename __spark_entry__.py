@@ -934,6 +934,19 @@ def q_dup_clusters(spark, sf_dir):
     return DD.connected_components(pairs)
 
 
+def q_cc_star(spark, sf_dir):
+    """Same duplicate-cluster contract as dup_clusters, computed by the
+    alternating large-star/small-star edge contraction (Kiveris et al.)
+    instead of min-label propagation — the O(log^2 n)-round scale path
+    for high-diameter / high-degree graphs (operators/dedup.py
+    star_components). Sharing the recursive-CTE oracle with
+    dup_clusters means BOTH distributed CC algorithms are certified
+    against the same exact transitive closure."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dups(e, threshold=0.2)
+    return DD.star_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only: mapInPandas kernel is not SQL)
 # ---------------------------------------------------------------------------
@@ -2522,6 +2535,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "stream_static_enrich": q_stream_static_enrich,
         "stream_dedup": q_stream_dedup,
         "dup_clusters": q_dup_clusters,
+        "cc_star": q_cc_star,
         "hash_split": q_hash_split,
         "balanced_sample": q_balanced_sample,
         "corpus_prep": q_corpus_prep,
@@ -3214,6 +3228,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY node
         """,
         "dup_clusters": f"""
+            WITH RECURSIVE
+            b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS id_a, c.vec_id AS id_b
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+              WHERE {cos} >= 0.2),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs),
+            walk(node, reached) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reached)
+            SELECT node, MIN(reached) AS cluster FROM walk GROUP BY node
+        """,
+        # Same exact transitive closure certifies BOTH distributed CC
+        # algorithms (min-label loop and large/small-star contraction).
+        "cc_star": f"""
             WITH RECURSIVE
             b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
             pairs AS (

@@ -358,6 +358,108 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every neighbor strictly larger than u is
+    re-attached to m = min(N(u) + {u}).
+
+    ``edges`` must hold both directions of every undirected edge. The
+    emitted set again excludes self-loops (m < u < v always) and is
+    returned UNDIRECTED-canonical (small, large) — the caller re-mirrors.
+    """
+    mins = edges.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+    return (
+        edges.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("u"), F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges_canon: DataFrame) -> DataFrame:
+    """One small-star round over canonical (smaller, larger) edges.
+
+    Grouping by the LARGER endpoint, every smaller neighbor (and the
+    node itself) is attached to the minimum of that set. Output is again
+    canonical (m <= v for every emitted (m, v)).
+    """
+    # Orient each edge toward its larger endpoint: rows (big, small).
+    es = edges_canon.select(F.col("v").alias("big"), F.col("u").alias("small"))
+    mins = es.groupBy("big").agg(F.min("small").alias("m"))
+    reattach = (
+        es.join(mins, "big")
+        .where(F.col("small") != F.col("m"))
+        .select(F.col("m").alias("u"), F.col("small").alias("v"))
+    )
+    selfedge = mins.select(F.col("m").alias("u"), F.col("big").alias("v"))
+    return reattach.unionByName(selfedge).distinct()
+
+
+def star_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — (node, cluster) with cluster = component min id.
+
+    This is the scale path past min-label propagation
+    (`connected_components`): each round is two keyed shuffles whose
+    reduce state is one MIN per node (never a neighbor list in memory),
+    and the edge set provably shrinks toward stars centered at component
+    minima in O(log^2 n) rounds regardless of graph diameter. Where the
+    min-label loop ships a |nodes|-sized label relation through a join
+    per round, star contraction rewrites the EDGE set itself, so hot
+    high-degree nodes collapse into their centers instead of being
+    rejoined every round — the property that matters at 10^9 nodes.
+
+    Convergence: the small-star output is compared to the previous
+    round's edge set by (count, xxhash64 checksum) — two scalar
+    aggregates, no extra shuffle — and the loop stops on a fixed point.
+    Each round's edge set is localCheckpoint'ed (persist(DISK) on a
+    cluster) to keep the plan flat, and superseded sets are unpersisted.
+
+    Result contract is identical to `connected_components`: one row per
+    non-isolated node, cluster = min reachable id (stars centered at the
+    component minimum mean every node's final edge partner IS that
+    minimum).
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        mirrored = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nxt = _small_star(_large_star(mirrored)).localCheckpoint(eager=True)
+        row = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sig"),
+        ).collect()[0]
+        sig = (row["n"], row["sig"])
+        edges.unpersist()
+        edges = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Fixed point = disjoint stars: (u=center, v=member). Members label
+    # with their center; centers label themselves.
+    members = edges.select(F.col("v").alias("node"), F.col("u").alias("cluster"))
+    centers = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster")
+    )
+    return members.unionByName(centers)
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """SimHash near-dup fingerprint, pure column expressions.

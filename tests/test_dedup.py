@@ -85,6 +85,30 @@ def test_connected_components_converges_early(spark):
     assert out == {3: 3, 7: 3, 9: 3}
 
 
+def test_star_components_matches_min_label(spark):
+    """Large-star/small-star contraction must agree with the min-label
+    loop on a random multi-component graph (fixed seed)."""
+    import random
+
+    random.seed(11)
+    n = 300
+    edges = [(random.randrange(n), random.randrange(n)) for _ in range(260)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    via_labels = {(r["node"], r["cluster"]) for r in D.connected_components(pairs).collect()}
+    via_stars = {(r["node"], r["cluster"]) for r in D.star_components(pairs).collect()}
+    assert via_stars == via_labels
+
+
+def test_star_components_long_chain(spark):
+    """A 150-hop chain: diameter >> round count, the case star
+    contraction exists for (O(log^2 n) rounds vs O(diameter))."""
+    chain = [(i, i + 1) for i in range(150)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    out = {r["node"]: r["cluster"] for r in D.star_components(pairs).collect()}
+    assert out == {i: 0 for i in range(151)}
+
+
 def test_ngram_jaccard_stop_gram_cap(spark):
     # docs 1+2 share a unique bigram-rich text; every doc shares 'the end'
     df = spark.createDataFrame(
