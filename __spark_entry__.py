@@ -782,6 +782,51 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Importance sampling: keep probability proportional to document
+    length (operators/sampling.weighted_sample), md5-deterministic, one
+    scan-stage filter. ref_weight is an explicit scalar (corpus mean
+    from a prior profile pass) so the decision is bit-stable across
+    engines and partitionings; the oracle replays the arithmetic."""
+    from econdatapipeline_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        d, weight_col="n_chars", target_fraction=0.3, ref_weight=400.0
+    ).select("doc_id", "n_chars")
+
+
+def q_rollup_maintain(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/increment.py): a
+    rollup materialized over historical orders absorbs a delta batch's
+    partial aggregates — broadcast-delta joins only, the rollup side
+    never shuffles. The oracle is a plain GROUP BY over ALL orders:
+    maintained(partial(hist), partial(delta)) must equal the from-
+    scratch aggregate exactly, certifying SUM/COUNT decomposability."""
+    from econdatapipeline_spark.operators.increment import maintain_rollup, partial_agg
+
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01")
+    keys = ["o_orderpriority", "o_orderstatus"]
+    hist = partial_agg(
+        o.filter(F.col("o_orderdate") < cutoff), keys, ["o_totalprice"], "n_orders"
+    )
+    delta = partial_agg(
+        o.filter(F.col("o_orderdate") >= cutoff), keys, ["o_totalprice"], "n_orders"
+    )
+    out = maintain_rollup(hist, delta, keys, ["o_totalprice"], "n_orders")
+    return out.select(
+        *keys,
+        F.col("o_totalprice").cast("double").alias("sum_total"),
+        F.col("n_orders"),
+        # double-divide (not decimal-divide) so the oracle's IEEE result
+        # matches bit-for-bit — decimal division scales differ per engine
+        (
+            F.col("o_totalprice").cast("double") / F.col("n_orders").cast("double")
+        ).alias("avg_total"),
+    )
+
+
 def q_bm25_search(spark, sf_dir):
     """Okapi BM25 top-10 documents for a bag-of-words query
     (operators/tfidf.bm25_search): postings filtered to query terms
@@ -2490,6 +2535,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "chunk_documents": q_chunk_documents,
         "scrub_pii": q_scrub_pii,
         "mixture_sample": q_mixture_sample,
+        "weighted_sample": q_weighted_sample,
+        "rollup_maintain": q_rollup_maintain,
         "stratified_sample": q_stratified_sample,
         "bm25_search": q_bm25_search,
         "tfidf_topterms": q_tfidf_topterms,
@@ -3984,6 +4031,21 @@ def oracle_sql() -> dict[str, str]:
                            WHEN 'src2' THEN 0.5 WHEN 'src1' THEN 0.75
                            WHEN 'src0' THEN 1.0 ELSE 0.1
                          END * 10000 AS BIGINT)
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % 10000
+                  < CAST(least(0.3 * CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 10000
+                         AS BIGINT)
+        """,
+        "rollup_maintain": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_total,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS avg_total
+            FROM orders GROUP BY o_orderpriority, o_orderstatus
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

@@ -86,6 +86,44 @@ def vocab_topk(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    target_fraction: float,
+    ref_weight: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-proportional deterministic sampling: row i is kept with
+    probability min(1, target_fraction * w_i / ref_weight).
+
+    The importance-sampling shape (oversample long/high-quality
+    documents, undersample boilerplate) with the same md5-bucket
+    determinism as ``mixture_sample`` — no rand(), so retries and
+    engine swaps reproduce the exact row set. Expected kept fraction is
+    ``target_fraction`` when ``ref_weight`` is the corpus mean weight
+    and no weight saturates the min(1, .) clamp.
+
+    ``ref_weight`` is an explicit caller-supplied scalar (take it from
+    ``profile_stats`` on a prior pass) rather than an inline AVG on
+    purpose: a float mean computed by the engine depends on summation
+    order, and a keep decision derived from it would not be bit-stable
+    across partitionings or engines — the property this whole family
+    exists to provide. With the scalar a literal, the entire operator is
+    one scan-stage filter inside WholeStageCodegen: no shuffle, no
+    second pass, reproducible at any scale.
+    """
+    if not 0.0 <= target_fraction <= 1.0:
+        raise ValueError(f"target_fraction must be in [0, 1], got {target_fraction}")
+    if ref_weight <= 0:
+        raise ValueError(f"ref_weight must be positive, got {ref_weight}")
+    p = F.least(
+        F.lit(target_fraction) * F.col(weight_col).cast("double") / F.lit(ref_weight),
+        F.lit(1.0),
+    )
+    bucket = _md5_bucket(F.col(id_col), 10000)
+    return df.filter(bucket < (p * 10000).cast("long"))
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

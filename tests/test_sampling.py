@@ -82,3 +82,35 @@ def test_stratified_sample_rejects_bad_fraction(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     with pytest.raises(ValueError):
         stratified_sample(df, {"en": 1.5})
+
+
+def test_weighted_sample_proportionality_and_clamp(spark):
+    from econdatapipeline_spark.operators.sampling import weighted_sample
+
+    # weights 1 and 9 around ref 5: light rows kept ~ f*1/5, heavy ~ f*9/5
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 2000 else 9.0) for i in range(4000)],
+        "doc_id long, w double",
+    )
+    out = weighted_sample(df, "w", target_fraction=0.5, ref_weight=5.0)
+    rows = out.collect()
+    light = sum(1 for r in rows if r["w"] == 1.0)
+    heavy = sum(1 for r in rows if r["w"] == 9.0)
+    assert 0.05 < light / 2000 < 0.15  # p = 0.1
+    assert 0.85 < heavy / 2000 <= 1.0  # p = 0.9
+    # clamp: weight so large p saturates at 1.0 -> every row kept
+    big = spark.createDataFrame([(i, 100.0) for i in range(50)], "doc_id long, w double")
+    assert weighted_sample(big, "w", 0.5, ref_weight=5.0).count() == 50
+    # deterministic across runs
+    again = weighted_sample(df, "w", 0.5, ref_weight=5.0).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again)
+
+
+def test_weighted_sample_validation(spark):
+    from econdatapipeline_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 2.0)], "doc_id long, w double")
+    with pytest.raises(ValueError):
+        weighted_sample(df, "w", 1.5, ref_weight=1.0)
+    with pytest.raises(ValueError):
+        weighted_sample(df, "w", 0.5, ref_weight=0.0)
