@@ -992,6 +992,41 @@ def q_cc_star(spark, sf_dir):
     return DD.star_components(pairs)
 
 
+def q_cluster_canonical(spark, sf_dir):
+    """The final step of fuzzy dedup: one canonical document per
+    near-dup cluster. Embedding near-dup pairs -> star-contraction
+    clusters -> left join back to documents (isolated docs are their own
+    cluster) -> per-cluster arg-max by (n_chars desc, doc_id asc) via a
+    single min_by aggregate — one hash-agg shuffle, no sort window, the
+    shape that survives a 100 TB corpus. The oracle replays the closure
+    with a recursive CTE and a ROW_NUMBER pick over the same total
+    order."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents")
+    labels = DD.star_components(SIM.embedding_near_dups(e, threshold=0.2))
+    lab = d.join(labels, d.doc_id == labels.node, "left").select(
+        d.doc_id,
+        F.coalesce(labels.cluster, d.doc_id).alias("cluster"),
+        d.n_chars,
+    )
+    return (
+        lab.groupBy("cluster")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "n_chars"),
+                F.struct((-F.col("n_chars")).alias("o1"), F.col("doc_id").alias("o2")),
+            ).alias("kept"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster",
+            F.col("kept.doc_id").alias("doc_id"),
+            F.col("kept.n_chars").alias("n_chars"),
+            "n_members",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only: mapInPandas kernel is not SQL)
 # ---------------------------------------------------------------------------
@@ -2405,6 +2440,17 @@ def q_profile_stats(spark, sf_dir):
     return profile_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
 
 
+def q_category_drift(spark, sf_dir):
+    """Corpus-monitoring drift: per-source language-mix divergence from
+    the corpus-wide mix, KL + exact total-variation, from one
+    (source, lang) count pass (operators/stats.category_drift). The
+    per-batch alarm a 100 TB ingestion pipeline runs on every drop."""
+    from econdatapipeline_spark.operators.stats import category_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return category_drift(d, "source", "lang")
+
+
 def q_holt_forecast(spark, sf_dir):
     """Holt double-exponential smoothing of daily order totals per
     priority (operators/timeseries.holt_linear): distributed exact
@@ -2583,6 +2629,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "stream_dedup": q_stream_dedup,
         "dup_clusters": q_dup_clusters,
         "cc_star": q_cc_star,
+        "cluster_canonical": q_cluster_canonical,
         "hash_split": q_hash_split,
         "balanced_sample": q_balanced_sample,
         "corpus_prep": q_corpus_prep,
@@ -2619,6 +2666,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "orphan_check": q_orphan_check,
         "latest_order_per_customer": q_latest_order_per_customer,
         "profile_stats": q_profile_stats,
+        "category_drift": q_category_drift,
         "holt_forecast": q_holt_forecast,
         "budget_cap": q_budget_cap,
     }
@@ -3309,6 +3357,33 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reached)
             SELECT node, MIN(reached) AS cluster FROM walk GROUP BY node
+        """,
+        "cluster_canonical": f"""
+            WITH RECURSIVE
+            b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS id_a, c.vec_id AS id_b
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+              WHERE {cos} >= 0.2),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs),
+            walk(node, reached) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reached),
+            lab AS (SELECT node, MIN(reached) AS cluster FROM walk GROUP BY node),
+            alldocs AS (
+              SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster, d.n_chars
+              FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+            ranked AS (
+              SELECT cluster, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY cluster
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY cluster) AS n_members
+              FROM alldocs)
+            SELECT cluster, doc_id, n_chars, n_members FROM ranked WHERE rn = 1
         """,
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate,
@@ -4489,6 +4564,27 @@ def oracle_sql() -> dict[str, str]:
                    o_totalprice AS last_total,
                    CAST(n_cust AS BIGINT) AS n_orders
             FROM ranked WHERE rn = 1
+        """,
+        "category_drift": """
+            WITH joint AS (
+              SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY source, lang),
+            totals AS (SELECT source, SUM(n) AS n_group FROM joint GROUP BY source),
+            corpus AS (SELECT lang, SUM(n) AS n_cat FROM joint GROUP BY lang),
+            grand AS (SELECT SUM(n_cat) AS n_all FROM corpus),
+            terms AS (
+              SELECT j.source,
+                     CAST(j.n AS DOUBLE) / CAST(t.n_group AS DOUBLE) AS p,
+                     CAST(c.n_cat AS DOUBLE) / CAST(g.n_all AS DOUBLE) AS q
+              FROM joint j
+              JOIN totals t ON j.source = t.source
+              JOIN corpus c ON j.lang = c.lang
+              CROSS JOIN grand g)
+            SELECT source,
+                   ROUND(SUM(p * ln(p / q)), 6) AS kl_divergence,
+                   ROUND(0.5 * (SUM(ABS(p - q)) + (1.0 - SUM(q))), 6)
+                     AS total_variation
+            FROM terms GROUP BY source
         """,
         "profile_stats": """
             WITH a AS (

@@ -109,3 +109,57 @@ def vif(df: DataFrame, cols: list[str]) -> dict[str, float]:
             r[i, j] = r[j, i] = row[f"c_{i}_{j}"]
     diag = np.diag(np.linalg.inv(r))
     return {c: float(round(d, 6)) for c, d in zip(cols, diag)}
+
+
+def category_drift(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Per-group categorical distribution drift vs the corpus-wide
+    distribution: KL(P_group || P_corpus) and total variation distance.
+
+    The corpus-monitoring shape for training-data pipelines: "does the
+    language (or quality-band, or domain) mix of source X diverge from
+    the corpus?" — run per ingestion batch and alert on drift. Both
+    divergences come from ONE pass over (group, category) counts:
+
+    - counts:   groupBy(group, cat) — the only data-sized shuffle;
+    - P_corpus: a second aggregate over those counts (category-sized),
+      broadcast back onto the joint table;
+    - KL/TVD:   per-group SUM over the category-sized joint table.
+
+    KL is computed over the categories PRESENT in the group (P=0 terms
+    contribute 0 by the 0*log(0)=0 convention; categories absent from a
+    group simply have no row). Q > 0 always holds because Q is the
+    corpus mix — every category present anywhere is present in Q. TVD
+    adds the mass of categories MISSING from the group (|0 - q| summed)
+    via the group-total join, so it is the exact 0.5*L1 distance.
+    """
+    joint = df.groupBy(group_col, cat_col).agg(F.count(F.lit(1)).alias("n"))
+    totals = joint.groupBy(group_col).agg(F.sum("n").alias("n_group"))
+    corpus = joint.groupBy(cat_col).agg(F.sum("n").alias("n_cat"))
+    grand = corpus.agg(F.sum("n_cat").alias("n_all"))
+    p = F.col("n").cast("double") / F.col("n_group").cast("double")
+    q = F.col("n_cat").cast("double") / F.col("n_all").cast("double")
+    per_cat = (
+        joint.join(totals, group_col)
+        .join(F.broadcast(corpus), cat_col)
+        .join(F.broadcast(grand))
+        .select(
+            group_col,
+            (p * F.log(p / q)).alias("kl_term"),
+            F.abs(p - q).alias("tv_term"),
+            q.alias("q_present"),
+        )
+    )
+    return (
+        per_cat.groupBy(group_col)
+        .agg(
+            F.round(F.sum("kl_term"), 6).alias("kl_divergence"),
+            # categories absent from the group contribute |0 - q|
+            F.round(
+                0.5 * (F.sum("tv_term") + (F.lit(1.0) - F.sum("q_present"))), 6
+            ).alias("total_variation"),
+        )
+    )

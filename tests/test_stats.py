@@ -56,3 +56,28 @@ def test_rolling_zscore_flags_spike_not_self_influenced(spark):
     # the spike did not contaminate its own baseline (trailing mean ~10)
     assert out[("a", 9)]["trailing_mean"] == 10.0
     assert out[("flat", 3)]["zscore"] is None and not out[("flat", 3)]["is_anomaly"]
+
+
+def test_category_drift_known_distributions(spark):
+    from econdatapipeline_spark.operators.stats import category_drift
+
+    # corpus: 10 docs, en 8, es 2 -> Q = (0.8, 0.2)
+    # src_mix: P = (2/3, 1/3); src_skew: all-en, P = (1, 0)
+    rows = (
+        [("src_mix", "en")] * 4 + [("src_mix", "es")] * 2
+        + [("src_skew", "en")] * 4
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {r["source"]: r for r in category_drift(df, "source", "lang").collect()}
+    import math
+
+    p_en, p_es = 2 / 3, 1 / 3
+    kl_mix = p_en * math.log(p_en / 0.8) + p_es * math.log(p_es / 0.2)
+    assert out["src_mix"]["kl_divergence"] == round(kl_mix, 6)
+    assert out["src_mix"]["total_variation"] == round(
+        0.5 * (abs(p_en - 0.8) + abs(p_es - 0.2)), 6
+    )
+    # es is absent from src_skew: KL sums present categories only,
+    # TVD picks up the missing |0 - q_es| mass
+    assert out["src_skew"]["kl_divergence"] == round(math.log(1 / 0.8), 6)
+    assert out["src_skew"]["total_variation"] == round(0.5 * (abs(1 - 0.8) + 0.2), 6)
