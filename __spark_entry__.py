@@ -694,6 +694,33 @@ def q_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_candidates(d, num_hashes=16, bands=4, shingle_n=3)
 
 
+def q_minhash_cross(spark, sf_dir):
+    """Incremental cross-corpus dedup: the src0 'crawl increment'
+    LSH-probed against the rest of the corpus
+    (operators/dedup.minhash_lsh_cross) — candidates only BETWEEN the
+    two banded tables, never within either, the shape that lets a
+    standing 100 TB corpus keep its banded index materialized."""
+    d = _t(spark, sf_dir, "documents")
+    newc = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    return DD.minhash_lsh_cross(newc, corpus, num_hashes=16, bands=4, shingle_n=3)
+
+
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe train/test split (operators/sampling.cluster_split):
+    near-dup clusters from star contraction are the assignment unit, so
+    no near-duplicate pair ever straddles the split. The oracle replays
+    the closure (recursive CTE) and the md5 bucket arithmetic."""
+    from econdatapipeline_spark.operators.sampling import cluster_split
+
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents")
+    labels = DD.star_components(SIM.embedding_near_dups(e, threshold=0.2))
+    return cluster_split(d, labels, test_fraction=0.2).select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
 def q_bpe_tokens(spark, sf_dir):
     """BPE-ish subword pretokenizer: words / numbers / punctuation runs
     as separate tokens (regex approximation of byte-pair pretokenizers)."""
@@ -2574,6 +2601,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "exact_dedup_best": q_exact_dedup_best,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_cross": q_minhash_cross,
+        "cluster_split": q_cluster_split,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "bpe_tokens": q_bpe_tokens,
@@ -3176,6 +3205,61 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0, 6)
                      AS est_jaccard
             FROM pairs
+        """,
+        "minhash_cross": f"""
+            WITH hashed AS (
+              SELECT doc_id, source,
+                     list_transform({shingle}, s ->
+                       CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h1,
+                     list_transform({shingle}, s ->
+                       CAST('0x' || substr(md5(s), 17, 14) AS BIGINT)) AS h2
+              FROM documents),
+            sig AS (
+              SELECT doc_id, source,
+                     list_transform(range(0, 16), i ->
+                       list_min(list_transform(range(1, len(h1) + 1), j ->
+                         (h1[j] + i * h2[j]) % 2305843009213693951))) AS sig
+              FROM hashed),
+            banded AS (
+              SELECT doc_id, source, sig, b AS band_idx,
+                     array_to_string(list_transform(
+                       list_slice(sig, b*4+1, b*4+4), x -> CAST(x AS VARCHAR)), '|') AS band_key
+              FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_left, b.doc_id AS id_right,
+                              a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              WHERE a.source = 'src0' AND b.source <> 'src0')
+            SELECT id_left, id_right,
+                   round(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0, 6)
+                     AS est_jaccard
+            FROM pairs
+        """,
+        "cluster_split": f"""
+            WITH RECURSIVE
+            b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+            prs AS (
+              SELECT q.vec_id AS id_a, c.vec_id AS id_b
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+              WHERE {cos} >= 0.2),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM prs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM prs),
+            walk(node, reached) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reached),
+            lab AS (SELECT node, MIN(reached) AS cluster FROM walk GROUP BY node),
+            assigned AS (
+              SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)
+            SELECT doc_id, cluster_id,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 10000 < 2000
+                        THEN 'test' ELSE 'train' END AS split
+            FROM assigned
         """,
         "bpe_tokens": """
             WITH t AS (

@@ -150,6 +150,65 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_cross(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-corpus near-dup candidates: (id_left, id_right, est_jaccard).
+
+    The incremental-dedup shape: a new crawl (``left``) is checked
+    against the existing corpus (``right``) WITHOUT re-pairing the
+    existing corpus against itself — the candidate join is strictly
+    between the two banded tables, so cost is Σ (left-bucket ×
+    right-bucket), never either corpus squared. At 100 TB the standing
+    corpus's banded table is computed once and materialized (it is an
+    append-only function of the docs); each crawl increment only
+    shingles itself and probes the bucket join. Same md5 affine hash
+    family as ``minhash_lsh_candidates`` so the two stay composable and
+    SQL-replayable.
+    """
+    rows = num_hashes // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+        return sig.select(
+            id_col,
+            "sig",
+            F.posexplode(minhash_bands(F.col("sig"), bands, rows)).alias(
+                "band_idx", "band_key"
+            ),
+        )
+
+    a, b = banded(left).alias("a"), banded(right).alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_left"),
+            F.col(f"b.{id_col}").alias("id_right"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return pairs.select(
+        "id_left",
+        "id_right",
+        F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -124,6 +124,45 @@ def weighted_sample(
     return df.filter(bucket < (p * 10000).cast("long"))
 
 
+def cluster_split(
+    df: DataFrame,
+    labels: DataFrame,
+    test_fraction: float = 0.2,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Leakage-safe train/test split: the unit of assignment is the
+    NEAR-DUP CLUSTER, not the document.
+
+    A hash split on doc_id puts two near-identical documents on
+    opposite sides of the split — the classic train/test contamination
+    that inflates eval numbers. Here every member of a connected
+    component (``labels`` from ``connected_components`` /
+    ``star_components``: (node, cluster) rows) inherits its CLUSTER's
+    md5-bucket decision; documents in no cluster are their own
+    singleton cluster. Deterministic (no rand()), so the split is
+    reproducible across runs, engines, and partitionings.
+
+    One left join against the label table (delta-sized: only docs that
+    near-dup anything have a row — broadcastable in practice, and AQE
+    picks that at runtime) plus a scan-stage bucket filter.
+    """
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError(f"test_fraction must be in [0, 1], got {test_fraction}")
+    lab = df.join(labels, df[id_col] == labels[node_col], "left").select(
+        df["*"],
+        F.coalesce(labels[cluster_col], df[id_col]).alias("cluster_id"),
+    )
+    bucket = _md5_bucket(F.col("cluster_id"), 10000)
+    return lab.withColumn(
+        "split",
+        F.when(bucket < F.lit(int(test_fraction * 10000)), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -161,3 +161,23 @@ def test_exact_dedup_best_keeps_highest_score_with_id_tiebreak(spark):
     out = {r["doc_id"]: (r["best_score"], r["dup_count"])
            for r in D.exact_dedup_best(df, F.col("quality")).collect()}
     assert out == {2: (0.9, 3), 4: (0.1, 1)}
+
+
+def test_minhash_cross_finds_cross_corpus_dup_only(spark):
+    """The crawl's duplicate of a corpus doc is found; duplicates
+    WITHIN either side are never paired."""
+    text_dup = "the quick brown fox jumps over the lazy dog again and again"
+    crawl = spark.createDataFrame(
+        [(1, text_dup), (2, text_dup), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(100, text_dup), (101, "nothing like the others at all in any way")],
+        "doc_id long, text string",
+    )
+    out = D.minhash_lsh_cross(crawl, corpus).collect()
+    got = {(r["id_left"], r["id_right"]) for r in out}
+    # both crawl copies hit the corpus copy; the intra-crawl pair (1,2)
+    # and intra-corpus pairs are absent by construction
+    assert got == {(1, 100), (2, 100)}
+    assert all(r["est_jaccard"] == 1.0 for r in out)

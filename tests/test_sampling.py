@@ -114,3 +114,32 @@ def test_weighted_sample_validation(spark):
         weighted_sample(df, "w", 1.5, ref_weight=1.0)
     with pytest.raises(ValueError):
         weighted_sample(df, "w", 0.5, ref_weight=0.0)
+
+
+def test_cluster_split_no_leakage(spark):
+    from econdatapipeline_spark.operators.dedup import star_components
+    from econdatapipeline_spark.operators.sampling import cluster_split
+
+    # chain 0-1-2, pair 10-11, singletons 20..29
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 10, 11] + list(range(20, 30))], "doc_id long"
+    )
+    labels = star_components(pairs)
+    out = cluster_split(docs, labels, test_fraction=0.5).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    # the leakage invariant: every cluster lands entirely on ONE side
+    assert all(len(sides) == 1 for sides in by_cluster.values())
+    # chain members share cluster 0; pair shares cluster 10
+    c = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert c[0] == c[1] == c[2] == 0 and c[10] == c[11] == 10
+    assert all(c[i] == i for i in range(20, 30))
+    # fraction 0 -> everything train; fraction 1 -> everything test
+    all_train = cluster_split(docs, labels, test_fraction=0.0).collect()
+    assert {r["split"] for r in all_train} == {"train"}
+    all_test = cluster_split(docs, labels, test_fraction=1.0).collect()
+    assert {r["split"] for r in all_test} == {"test"}
