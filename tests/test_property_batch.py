@@ -205,3 +205,61 @@ def test_sessionization_matches_python_reference(spark):
             prev = d
         want[(cust, sid)] = (len(bucket), min(bucket), max(bucket))
     assert got == want
+
+
+def test_star_components_vs_python_union_find_many_graphs(spark):
+    """Both distributed CC algorithms vs an independent pure-Python
+    union-find, over 12 seeded random graphs of varying density packed
+    into ONE Spark job per algorithm (graph id as an extra key is not
+    supported by the operators, so graphs run through a shared edge
+    list with disjoint node ranges — components never cross ranges)."""
+    from econdatapipeline_spark.operators.dedup import (
+        connected_components,
+        star_components,
+    )
+
+    rng = random.Random(99)
+    edges: list[tuple[int, int]] = []
+    base = 0
+    for g in range(12):
+        n = rng.randrange(5, 40)
+        m = rng.randrange(0, 2 * n)
+        for _ in range(m):
+            a, b = base + rng.randrange(n), base + rng.randrange(n)
+            if a != b:
+                edges.append((a, b))
+        base += 1000
+    if not edges:
+        edges = [(0, 1)]
+
+    # pure-Python reference: min-id component labels
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for e in edges for v in e}
+    # one more pass: path-compress to true roots (min ids by union rule)
+    expect = {}
+    for v in nodes:
+        r = find(v)
+        # the union rule keeps the min id as root only per-merge; take
+        # the min over each final component to get the canonical label
+        expect.setdefault(r, []).append(v)
+    truth = {}
+    for comp in expect.values():
+        lbl = min(comp)
+        for v in comp:
+            truth[v] = lbl
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    for algo in (connected_components, star_components):
+        got = {r["node"]: r["cluster"] for r in algo(pairs).collect()}
+        assert got == truth, algo.__name__
