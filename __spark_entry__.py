@@ -2331,6 +2331,75 @@ def q_order_sessions(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase: a user
+    reaches stage k only via an event AFTER their first stage-(k-1)
+    event. Three chained per-user MIN aggregates — each stage's
+    relation shrinks, so the joins broadcast and the only data-sized
+    shuffle is the first per-user aggregate. The product-analytics
+    shape missing from the reference's surface entirely."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.select(F.lit(1).alias("stage"), F.lit("view").alias("event_type"), "user_id")
+        .unionByName(
+            c.select(F.lit(2).alias("stage"), F.lit("click").alias("event_type"), "user_id")
+        )
+        .unionByName(
+            p.select(
+                F.lit(3).alias("stage"), F.lit("purchase").alias("event_type"), "user_id"
+            )
+        )
+        .groupBy("stage", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted distinct in each later week they return. Two keyed
+    aggregates (first-seen per user; distinct user-weeks) and one join
+    that broadcasts the |users|-sized cohort relation — the standard
+    retention triangle, fully oracle-checkable."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        weeks.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def q_adamic_adar(spark, sf_dir):
     """Link prediction on the high-volume customer-supplier graph:
     Adamic-Adar score for customer pairs sharing suppliers — the
@@ -2690,6 +2759,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "rollup_two_level": q_rollup_two_level,
         "window_navigation": q_window_navigation,
         "order_sessions": q_order_sessions,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "adamic_adar": q_adamic_adar,
         "winsorize": q_winsorize,
         "orphan_check": q_orphan_check,
@@ -4553,6 +4624,40 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND UNBOUNDED FOLLOWING)
+        """,
+        "funnel": """
+            WITH v AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+              SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts >= v.t1
+              GROUP BY e.user_id),
+            p AS (
+              SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+              GROUP BY e.user_id)
+            SELECT stage, event_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+              SELECT 1 AS stage, 'view' AS event_type, user_id FROM v
+              UNION ALL SELECT 2, 'click', user_id FROM c
+              UNION ALL SELECT 3, 'purchase', user_id FROM p)
+            GROUP BY stage, event_type
+        """,
+        "cohort_retention": """
+            WITH first AS (
+              SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+              FROM events GROUP BY user_id),
+            weeks AS (
+              SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+              FROM events)
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, w.active_week) / 7 AS INTEGER)
+                     AS week_offset,
+                   COUNT(DISTINCT w.user_id) AS n_users
+            FROM weeks w JOIN first f ON w.user_id = f.user_id
+            GROUP BY 1, 2
         """,
         "order_sessions": """
             WITH marked AS (
