@@ -2095,6 +2095,33 @@ def q_value_asof(spark, sf_dir):
 # Weighted similarity + class prototypes (corpus/embedding analytics)
 # ---------------------------------------------------------------------------
 
+def q_scd2_join(spark, sf_dir):
+    """Event-time dimension lookup (operators/scd.scd2_join): every
+    changed key probed at three timestamps (before batch 1, between
+    the batches, after batch 2) picks the epoch in effect at that
+    instant — the fact-to-SCD2 join of warehouse modeling. Inner form:
+    every probe on a tracked key hits exactly one epoch because the
+    intervals tile the timeline."""
+    from econdatapipeline_spark.operators.scd import scd2_intervals, scd2_join
+
+    _, revlog = _two_batch_log(spark, sf_dir)
+    iv = scd2_intervals(revlog)
+    probes = (
+        revlog.select("dataset", "data_date", "value_field")
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame(
+                [(dt.datetime(2025, 5, 31, 0, 0, 0),), (ASOF_MID,),
+                 (dt.datetime(2025, 6, 3, 0, 0, 0),)],
+                "ts timestamp",
+            )
+        )
+    )
+    out = scd2_join(probes, iv, ["dataset", "data_date", "value_field"], "ts",
+                    how="inner")
+    return out.select("data_date", "ts", "value", "is_current")
+
+
 def q_tfidf_cosine(spark, sf_dir):
     """Sparse TF-IDF cosine pairs via posting-list self-join (the
     weighted-set sibling of ngram_jaccard; operators/tfidf.py) —
@@ -2748,6 +2775,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "ewma": q_ewma,
         "scd2_intervals": q_scd2_intervals,
         "value_asof": q_value_asof,
+        "scd2_join": q_scd2_join,
         "tfidf_cosine": q_tfidf_cosine,
         "embedding_centroids": q_embedding_centroids,
         "cust_order_distribution": q_cust_order_distribution,
@@ -4421,6 +4449,68 @@ def oracle_sql() -> dict[str, str]:
                    revision_date AS valid_from, next_ts AS valid_to,
                    next_ts IS NULL AS is_current
             FROM ann
+        """,
+        "scd2_join": """
+            WITH existing AS (
+              SELECT o_orderkey AS okey, o_totalprice AS total
+              FROM orders WHERE o_orderkey % 3 = 0),
+            inc1 AS (
+              SELECT o_orderkey AS okey,
+                     CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                          ELSE o_totalprice END AS total
+              FROM orders WHERE o_orderkey % 2 = 0),
+            rev1 AS (
+              SELECT 'orders_sim' AS dataset, CAST(i.okey AS VARCHAR) AS data_date,
+                     'total' AS value_field, e.total AS old_value,
+                     i.total AS new_value,
+                     TIMESTAMP '2025-06-01 00:00:00' AS revision_date
+              FROM inc1 i JOIN existing e ON i.okey = e.okey
+              WHERE abs(i.total - e.total) > 0.001),
+            merged1 AS (
+              SELECT COALESCE(i.okey, e.okey) AS okey,
+                     COALESCE(i.total, e.total) AS total
+              FROM inc1 i FULL OUTER JOIN existing e ON i.okey = e.okey),
+            inc2 AS (
+              SELECT o_orderkey AS okey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 25.0
+                          ELSE o_totalprice END AS total
+              FROM orders WHERE o_orderkey % 2 = 0),
+            rev2 AS (
+              SELECT 'orders_sim' AS dataset, CAST(i.okey AS VARCHAR) AS data_date,
+                     'total' AS value_field, m.total AS old_value,
+                     i.total AS new_value,
+                     TIMESTAMP '2025-06-02 00:00:00' AS revision_date
+              FROM inc2 i JOIN merged1 m ON i.okey = m.okey
+              WHERE abs(i.total - m.total) > 0.001),
+            revlog AS (SELECT * FROM rev1 UNION ALL SELECT * FROM rev2),
+            ann AS (
+              SELECT *, row_number() OVER w AS rn,
+                     lead(revision_date) OVER w AS next_ts
+              FROM revlog
+              WINDOW w AS (PARTITION BY dataset, data_date, value_field
+                           ORDER BY revision_date, new_value)),
+            iv AS (
+              SELECT dataset, data_date, value_field, old_value AS value,
+                     CAST(NULL AS TIMESTAMP) AS valid_from,
+                     revision_date AS valid_to, FALSE AS is_current
+              FROM ann WHERE rn = 1
+              UNION ALL
+              SELECT dataset, data_date, value_field, new_value,
+                     revision_date, next_ts, next_ts IS NULL
+              FROM ann),
+            probes AS (
+              SELECT DISTINCT dataset, data_date, value_field FROM revlog),
+            pts AS (
+              SELECT unnest([TIMESTAMP '2025-05-31 00:00:00',
+                             TIMESTAMP '2025-06-01 12:00:00',
+                             TIMESTAMP '2025-06-03 00:00:00']) AS ts)
+            SELECT i.data_date, pts.ts, i.value, i.is_current
+            FROM probes p CROSS JOIN pts
+            JOIN iv i
+              ON i.dataset = p.dataset AND i.data_date = p.data_date
+             AND i.value_field = p.value_field
+             AND (i.valid_from IS NULL OR pts.ts >= i.valid_from)
+             AND (i.valid_to IS NULL OR pts.ts < i.valid_to)
         """,
         "value_asof": """
             WITH existing AS (

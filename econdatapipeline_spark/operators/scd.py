@@ -77,6 +77,51 @@ def scd2_intervals(revisions: DataFrame, key_cols: list[str] | None = None) -> D
     return initial_epoch.unionByName(current_epochs)
 
 
+def scd2_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """Event-time dimension lookup: each fact row picks the SCD2 epoch
+    in effect at its own timestamp.
+
+    The third member of the SCD family: ``scd2_intervals`` builds the
+    timeline, ``value_asof`` reconstructs ONE point in time for the
+    whole table, this joins EVERY fact to its own point in time — the
+    fact-to-dimension pattern of warehouse modeling (what price/rate/
+    status did this key have when this event happened?).
+
+    Join condition: key equality plus containment in the half-open
+    epoch ``[valid_from, valid_to)``, with NULL ends open (the initial
+    epoch reaches back forever, the current epoch forward). Because
+    the intervals tile each key's timeline with no gaps, every fact on
+    a tracked key matches EXACTLY one epoch; untracked keys survive via
+    the left join with NULL dimension columns.
+
+    Plan shape: an equi-join on the key (broadcast or sort-merge as
+    sizes dictate) with the range containment as a post-join filter —
+    epochs per key are few (one per revision), so the filter scans a
+    handful of rows per fact. No window, no explode.
+    """
+    f, d = facts.alias("__f"), intervals.alias("__d")
+    ts = F.col(f"__f.{ts_col}")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(f"__f.{k}") == F.col(f"__d.{k}"))
+    cond = (
+        cond
+        & (F.col("__d.valid_from").isNull() | (ts >= F.col("__d.valid_from")))
+        & (F.col("__d.valid_to").isNull() | (ts < F.col("__d.valid_to")))
+    )
+    dim_cols = [c for c in intervals.columns if c not in key_cols]
+    return f.join(d, cond, how).select(
+        *[F.col(f"__f.{c}") for c in facts.columns],
+        *[F.col(f"__d.{c}").alias(c) for c in dim_cols],
+    )
+
+
 def value_asof(
     current: DataFrame,
     revisions: DataFrame,

@@ -118,3 +118,40 @@ def test_scd2_invariants_random_log(spark):
         assert [iv["value"] for iv in ivs] == [revs[0]["old_value"]] + [
             r["new_value"] for r in revs
         ]
+
+
+def test_scd2_join_event_time_lookup(spark):
+    """Each fact picks its own epoch; NULL ends are open; untracked
+    keys survive the left join with NULL dimension columns."""
+    import datetime as dt
+
+    from econdatapipeline_spark.operators.scd import scd2_intervals, scd2_join
+
+    t1, t2 = dt.datetime(2025, 6, 1), dt.datetime(2025, 6, 2)
+    revs = spark.createDataFrame(
+        [
+            ("d", "k1", "v", 1.0, 2.0, t1),
+            ("d", "k1", "v", 2.0, 3.0, t2),
+        ],
+        "dataset string, data_date string, value_field string, "
+        "old_value double, new_value double, revision_date timestamp",
+    )
+    iv = scd2_intervals(revs)
+    facts = spark.createDataFrame(
+        [
+            ("d", "k1", "v", dt.datetime(2025, 5, 1)),   # initial epoch
+            ("d", "k1", "v", t1),                        # boundary: epoch starts AT t1
+            ("d", "k1", "v", dt.datetime(2025, 6, 1, 12)),
+            ("d", "k1", "v", dt.datetime(2025, 7, 1)),   # current epoch
+            ("d", "k9", "v", t1),                        # untracked key
+        ],
+        "dataset string, data_date string, value_field string, ts timestamp",
+    )
+    out = scd2_join(facts, iv, ["dataset", "data_date", "value_field"], "ts")
+    got = {(r["data_date"], r["ts"]): (r["value"], r["is_current"]) for r in out.collect()}
+    assert len(got) == 5  # exactly one row per fact
+    assert got[("k1", dt.datetime(2025, 5, 1))] == (1.0, False)
+    assert got[("k1", t1)] == (2.0, False)               # half-open: [from, to)
+    assert got[("k1", dt.datetime(2025, 6, 1, 12))] == (2.0, False)
+    assert got[("k1", dt.datetime(2025, 7, 1))] == (3.0, True)
+    assert got[("k9", t1)] == (None, None)               # left join survivor
