@@ -150,9 +150,21 @@ def cluster_split(
     """
     if not 0.0 <= test_fraction <= 1.0:
         raise ValueError(f"test_fraction must be in [0, 1], got {test_fraction}")
-    lab = df.join(labels, df[id_col] == labels[node_col], "left").select(
-        df["*"],
-        F.coalesce(labels[cluster_col], df[id_col]).alias("cluster_id"),
+    # alias-qualified join: resolves by name, so callers may reuse the
+    # SAME label table elsewhere in df's lineage (canonical pick + split
+    # is the normal pipeline) without tripping ambiguous-self-join
+    # resolution on dataset identity
+    f = df.alias("__cs_f")
+    l = labels.select(
+        F.col(node_col).alias("__cs_node"), F.col(cluster_col).alias("__cs_cluster")
+    ).alias("__cs_l")
+    lab = f.join(
+        l, F.col(f"__cs_f.{id_col}") == F.col("__cs_l.__cs_node"), "left"
+    ).select(
+        *[F.col(f"__cs_f.{c}") for c in df.columns],
+        F.coalesce(F.col("__cs_l.__cs_cluster"), F.col(f"__cs_f.{id_col}")).alias(
+            "cluster_id"
+        ),
     )
     bucket = _md5_bucket(F.col("cluster_id"), 10000)
     return lab.withColumn(

@@ -9,8 +9,9 @@ would, over the benchmark documents table:
   2. repetition filter                (operators.contamination)
   3. benchmark decontamination        (operators.contamination)
   4. exact dedup, best copy kept      (operators.dedup)
-  5. near-dup candidate pruning       (operators.dedup, MinHash LSH)
-  6. deterministic train/valid split  (operators.sampling)
+  5. near-dup clustering + canonical  (operators.dedup: MinHash LSH ->
+                                       star-contraction CC -> min_by pick)
+  6. leakage-safe cluster split       (operators.sampling.cluster_split)
   7. per-split token accounting       (functions.text)
 
 Every stage is a lazy DataFrame transform; the funnel executes as a
@@ -37,7 +38,9 @@ from econdatapipeline_spark.operators.contamination import (
 from econdatapipeline_spark.operators.dedup import (
     exact_dedup_best,
     minhash_lsh_candidates,
+    star_components,
 )
+from econdatapipeline_spark.operators.sampling import cluster_split
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
@@ -75,27 +78,37 @@ def main() -> None:
     deduped = clean.join(winners, "doc_id")
     n3 = deduped.count()
 
-    # 5. Near-dup candidates (MinHash LSH) — report, then prune the worse side.
+    # 5. Near-dup clustering: LSH candidates -> star-contraction
+    #    connected components -> ONE canonical doc per cluster (longest
+    #    copy wins, id tiebreak) via a single min_by aggregate.
     cand = minhash_lsh_candidates(deduped, num_hashes=16, bands=8)
     n_cand = cand.count()
-    deduped = deduped.join(
-        cand.filter(F.col("est_jaccard") >= 0.8).select(
-            F.col("id_b").alias("doc_id")
-        ).distinct(),
-        "doc_id",
-        "left_anti",
+    # materialize once: the label table feeds the canonical pick AND the
+    # split below; checkpointing also severs the lineage so the reuse
+    # is not an ambiguous self-join
+    labels = star_components(
+        cand.filter(F.col("est_jaccard") >= 0.8)
+    ).localCheckpoint(eager=True)
+    with_cluster = deduped.join(labels, deduped.doc_id == labels.node, "left").select(
+        deduped["*"], F.coalesce(labels.cluster, deduped.doc_id).alias("cluster_id")
     )
+    canonical = (
+        with_cluster.groupBy("cluster_id")
+        .agg(
+            F.min_by(
+                F.col("doc_id"),
+                F.struct((-F.col("n_chars")).alias("o1"), F.col("doc_id").alias("o2")),
+            ).alias("doc_id")
+        )
+        .select("doc_id")
+    )
+    deduped = deduped.join(canonical, "doc_id")
 
-    # 6-7. Deterministic md5-bucket split (never rand()) + token accounting.
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
-    split = deduped.withColumn(
-        "split",
-        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
-    )
+    # 6-7. LEAKAGE-SAFE deterministic split: assignment by near-dup
+    #    cluster, so surviving docs whose near-dups were removed still
+    #    land on the side their cluster hashes to — no near-duplicate
+    #    content ever straddles train/test. Then token accounting.
+    split = cluster_split(deduped, labels, test_fraction=0.2)
     stats = (
         split.withColumn("n_tokens", F.size(TX.tokenize(F.col("text"))))
         .groupBy("split")
