@@ -2106,15 +2106,23 @@ def q_scd2_join(spark, sf_dir):
 
     _, revlog = _two_batch_log(spark, sf_dir)
     iv = scd2_intervals(revlog)
+    # probe fan-out via explode of a literal array (narrow, stays in the
+    # scan stage) — a crossJoin against a 3-row frame would plan as a
+    # CartesianProduct, which this repo's plan audit forbids everywhere
     probes = (
         revlog.select("dataset", "data_date", "value_field")
         .distinct()
-        .crossJoin(
-            spark.createDataFrame(
-                [(dt.datetime(2025, 5, 31, 0, 0, 0),), (ASOF_MID,),
-                 (dt.datetime(2025, 6, 3, 0, 0, 0),)],
-                "ts timestamp",
-            )
+        .select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.lit(t).cast("timestamp")
+                        for t in ("2025-05-31 00:00:00", "2025-06-01 12:00:00",
+                                  "2025-06-03 00:00:00")
+                    ]
+                )
+            ).alias("ts"),
         )
     )
     out = scd2_join(probes, iv, ["dataset", "data_date", "value_field"], "ts",
