@@ -2435,6 +2435,59 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+def q_abc_analysis(spark, sf_dir):
+    """Revenue concentration (ABC/Pareto): customers ranked by revenue,
+    banded A/B/C at 50%/80% cumulative share. One aggregate + one
+    window over the customer-sized relation (facts already reduced), so
+    the sort is over customers, not orders. Exact-decimal revenue sums;
+    the share division is IEEE double on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(_dsum(F.col("o_totalprice")).alias("rev"))
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    total = rev.agg(_dsum(F.col("rev")).alias("total"))
+    banded = (
+        rev.join(F.broadcast(total))
+        .withColumn(
+            "cum_share",
+            F.sum(F.col("rev").cast("decimal(28,6)")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("double")
+            / F.col("total").cast("double"),
+        )
+        .withColumn(
+            "band",
+            F.when(F.col("cum_share") <= 0.5, "A")
+            .when(F.col("cum_share") <= 0.8, "B")
+            .otherwise("C"),
+        )
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dsum(F.col("rev")).alias("band_revenue"),
+    )
+
+
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: parts ordered together, reduced to
+    the support histogram (support level -> number of part pairs). The
+    pair join is keyed by orderkey, so cost is Σ basket², bounded by
+    TPC-H's ≤7-line orders — the same posting-list discipline as every
+    other pair generator in this repo; at 100 TB a basket-size cap is
+    the hot-key guard."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+    )
+    support = pairs.groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("support"))
+    return support.groupBy("support").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 def q_adamic_adar(spark, sf_dir):
     """Link prediction on the high-volume customer-supplier graph:
     Adamic-Adar score for customer pairs sharing suppliers — the
@@ -2796,6 +2849,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "window_navigation": q_window_navigation,
         "order_sessions": q_order_sessions,
         "funnel": q_funnel,
+        "abc_analysis": q_abc_analysis,
+        "basket_pairs": q_basket_pairs,
         "cohort_retention": q_cohort_retention,
         "adamic_adar": q_adamic_adar,
         "winsorize": q_winsorize,
@@ -4742,6 +4797,40 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 2, 'click', user_id FROM c
               UNION ALL SELECT 3, 'purchase', user_id FROM p)
             GROUP BY stage, event_type
+        """,
+        "abc_analysis": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS rev
+              FROM orders GROUP BY o_custkey),
+            tot AS (
+              SELECT CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS total
+              FROM rev),
+            cum AS (
+              SELECT o_custkey, rev,
+                     CAST(SUM(CAST(rev AS DECIMAL(28,6)))
+                            OVER (ORDER BY rev DESC, o_custkey ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS DOUBLE) / (SELECT total FROM tot) AS cum_share
+              FROM rev)
+            SELECT CASE WHEN cum_share <= 0.5 THEN 'A'
+                        WHEN cum_share <= 0.8 THEN 'B'
+                        ELSE 'C' END AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS band_revenue
+            FROM cum GROUP BY 1
+        """,
+        "basket_pairs": """
+            WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            sup AS (
+              SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS support
+              FROM pairs GROUP BY pa, pb)
+            SELECT support, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM sup GROUP BY support
         """,
         "cohort_retention": """
             WITH first AS (
