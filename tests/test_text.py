@@ -70,3 +70,34 @@ def test_minhash_similarity_ordering(spark):
     agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
     assert agree_12 > agree_13
     assert agree_13 == 0
+
+
+def test_minhash_hof_and_agg_forms_agree(spark):
+    """The row-expression (HOF) MinHash used by streaming and the
+    explode+aggregate MinHash used by batch LSH must produce IDENTICAL
+    signatures — their composability (a stream probing a batch-built
+    index) depends on it."""
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.functions.text import minhash_signature, shingles
+    from econdatapipeline_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "spark engines shuffle parquet files across clusters"),
+            (3, "a b c d e f g h i j k l m n o p"),
+        ],
+        "doc_id long, text string",
+    )
+    hof = {
+        r["doc_id"]: list(r["sig"])
+        for r in docs.select(
+            "doc_id", minhash_signature(shingles(F.col("text")), 16).alias("sig")
+        ).collect()
+    }
+    agg = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(docs, num_hashes=16).collect()
+    }
+    assert hof == agg
