@@ -2435,6 +2435,51 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the pure scan-kernel query — three pushed range
+    predicates, zero joins, one decimal-exact aggregate. The baseline
+    every scan optimization is measured against: at 100 TB this is
+    row-group pruning on l_shipdate plus codegen over one projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_nation_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: the benchmark schema carries no
+    partsupp, so profit is revenue-only): green-part revenue by
+    supplier nation and order year. The join tree is the Q9 skeleton —
+    a selective part filter broadcast into lineitem, supplier->nation
+    broadcast dims, orders joined only for the year — and the aggregate
+    is decimal-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dsum(rev).alias("profit"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
 def q_abc_analysis(spark, sf_dir):
     """Revenue concentration (ABC/Pareto): customers ranked by revenue,
     banded A/B/C at 50%/80% cumulative share. One aggregate + one
@@ -2850,6 +2895,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "order_sessions": q_order_sessions,
         "funnel": q_funnel,
         "abc_analysis": q_abc_analysis,
+        "forecast_revenue": q_forecast_revenue,
+        "nation_product_profit": q_nation_product_profit,
         "basket_pairs": q_basket_pairs,
         "cohort_retention": q_cohort_retention,
         "adamic_adar": q_adamic_adar,
@@ -4797,6 +4844,30 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 2, 'click', user_id FROM c
               UNION ALL SELECT 3, 'purchase', user_id FROM p)
             GROUP BY stage, event_type
+        """,
+        "forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+                        AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.03 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "nation_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS profit,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, year(o_orderdate)
         """,
         "abc_analysis": """
             WITH rev AS (
