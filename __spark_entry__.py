@@ -990,6 +990,80 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(idx, cents, queries, k=5, nprobe=4)
 
 
+def q_ann_ivf_exact(spark, sf_dir):
+    """IVF ANN with a FULL value oracle: the float k-means of ann_ivf is
+    engine-specific (summation order), so this variant certifies the
+    same IVF structure — Voronoi cell assignment, nprobe probe
+    selection, cell-bounded candidate join, ranked top-k — with
+    integer-exact arithmetic instead: embeddings quantized to a 2^16
+    grid, cells = Voronoi regions around the 8 lowest-id vectors,
+    squared distances in pure int64 (order-independent, bit-equal in
+    any engine). Final scores are the same round-6 cosine the other
+    similarity oracles hash-match on. Plan shape is identical to
+    ivf_topk: tiny seed relation broadcast, one argmin aggregate per
+    vector, candidates only from probed cells."""
+    from econdatapipeline_spark.functions.vectors import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    scale = 65536
+    iv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    base = e.select("vec_id", "embedding", iv.alias("iv"))
+    wseed = Window.orderBy("seed_id")
+    seeds = (
+        base.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("seed_id"), F.col("iv").alias("sv"))
+        .withColumn("cell", F.row_number().over(wseed) - 1)
+        .drop("seed_id")
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dist = base.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cell", d2(F.col("iv"), F.col("sv")).alias("d2")
+    )
+    wmin = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    assign = (
+        dist.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    probes = (
+        dist.filter(F.col("vec_id") < 3)
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") <= 4)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    cand = (
+        F.broadcast(probes)
+        .join(assign.select(F.col("vec_id").alias("neighbor_id"), "cell"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dups(e, threshold=0.2)
@@ -2825,6 +2899,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_exact": q_ann_ivf_exact,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
         "shipping_priority": q_shipping_priority,
@@ -4844,6 +4919,50 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 2, 'click', user_id FROM c
               UNION ALL SELECT 3, 'purchase', user_id FROM p)
             GROUP BY stage, event_type
+        """,
+        "ann_ivf_exact": """
+            WITH base AS (
+              SELECT vec_id, embedding,
+                     list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * 65536 + 0.5) AS BIGINT)) AS iv
+              FROM embeddings),
+            seeds AS (
+              SELECT iv AS sv,
+                     CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cell
+              FROM base ORDER BY vec_id LIMIT 8),
+            dist AS (
+              SELECT b.vec_id, s.cell,
+                     list_sum(list_transform(range(1, len(b.iv) + 1),
+                       j -> (b.iv[j] - s.sv[j]) * (b.iv[j] - s.sv[j]))) AS d2
+              FROM base b CROSS JOIN seeds s),
+            assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS rn
+                FROM dist) WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS rn
+                FROM dist WHERE vec_id < 3) WHERE rn <= 4),
+            cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])), 6) AS cos
+              FROM probes p
+              JOIN assign a ON p.cell = a.cell
+              JOIN embeddings q ON q.vec_id = p.query_id
+              JOIN embeddings c ON c.vec_id = a.vec_id
+              WHERE p.query_id <> a.vec_id)
+            SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM cand)
+            WHERE rank <= 5
         """,
         "forecast_revenue": """
             SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
