@@ -69,8 +69,20 @@ class Warehouse:
         shutil.rmtree(self.path(table), ignore_errors=True)
 
     # -- reads -----------------------------------------------------------
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+    def read(self, table: str, merge_schema: bool = False) -> DataFrame:
+        """Read a table; ``merge_schema=True`` unions the schemas of all
+        parquet files (schema evolution on append-only tables: files
+        written before a column existed read it back as NULL).
+
+        Off by default because schema merging footer-scans every file —
+        at 100 TB pay that only on tables that actually evolve (the
+        revision log when a new audit column lands), and compact after
+        an evolution so the steady state is single-schema again.
+        """
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(self.path(table))
 
     def read_or_empty(self, table: str, schema) -> DataFrame:
         if self.exists(table):
@@ -111,6 +123,36 @@ class Warehouse:
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.rename(staging, final)
+
+    def delete_rows(self, table: str, predicate) -> int:
+        """Targeted hard delete (right-to-be-forgotten): rewrite the
+        table WITHOUT rows matching ``predicate``; returns the number
+        of rows removed.
+
+        The compliance primitive a 100 TB corpus store needs: opted-out
+        user ids / flagged documents must be physically removed, not
+        tombstoned — a filter view still holds the bytes. The rewrite
+        keeps the whole-table atomic-swap guarantee (no reader ever
+        sees a half-deleted table). At scale, partition the table on
+        the deletion key (`write_dataset(partition_cols=...)` /
+        `write_clustered`) so the rewrite touches only the partitions
+        holding matches; the count query prunes the same way.
+
+        ``predicate`` is a Column (e.g. ``F.col("user_id").isin(ids)``
+        or a join-free expression); for id-list deletes beyond literal
+        size, pass an anti-join result to ``write_dataset`` directly.
+        """
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        df = self.read(table)
+        # Three-valued logic guard: a NULL-evaluating predicate must
+        # KEEP the row (it did not match), but bare ~predicate is also
+        # NULL there and the filter would silently drop it.
+        matches = F.coalesce(predicate, F.lit(False))
+        n = df.filter(matches).count()
+        if n:
+            self.write_dataset(df.filter(~matches), table)
+        return n
 
     def compact(self, table: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Rewrite a table's small files into ~target-sized ones.

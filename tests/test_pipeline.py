@@ -231,3 +231,42 @@ def test_clustered_write_yields_disjoint_file_ranges(spark, tmp_path):
     assert len(touching) == 1
     # correctness: the table reads back complete
     assert wh.read("clustered").count() == 40_000
+
+
+def test_delete_rows_hard_delete_and_null_semantics(spark, tmp_path):
+    """Matching rows are physically removed; a NULL-evaluating
+    predicate keeps the row (it did not match)."""
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "uid long, v double"
+    )
+    wh.write_dataset(df, "t")
+    removed = wh.delete_rows("t", F.col("v") > 15.0)
+    assert removed == 2  # rows 2 and 4
+    left = {r["uid"] for r in wh.read("t").collect()}
+    assert left == {1, 3}  # NULL row survives
+    # no matches -> zero removed, table untouched (no rewrite)
+    assert wh.delete_rows("t", F.col("v") > 999.0) == 0
+    assert {r["uid"] for r in wh.read("t").collect()} == {1, 3}
+
+
+def test_read_merge_schema_unions_appended_columns(spark, tmp_path):
+    """An append-only table whose later files carry a new column reads
+    back with the union schema; pre-evolution rows get NULL."""
+    from econdatapipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    v1 = spark.createDataFrame([(1, 10.0)], "uid long, v double")
+    wh.write_dataset(v1, "log")
+    v2 = spark.createDataFrame(
+        [(2, 20.0, "batch7")], "uid long, v double, src string"
+    )
+    wh.append(v2, "log")
+    merged = wh.read("log", merge_schema=True)
+    assert set(merged.columns) == {"uid", "v", "src"}
+    rows = {r["uid"]: r["src"] for r in merged.collect()}
+    assert rows == {1: None, 2: "batch7"}
