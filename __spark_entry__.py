@@ -2509,6 +2509,70 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: lag window keyed by user (one sort), bigram counts, and
+    an exact-decimal row-normalized probability. The sequence-model
+    fitting shape — at scale the window shuffle is keyed by user, and
+    everything after the bigram count is state-space-sized."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("next"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = bigrams.groupBy("prev").agg(F.sum("n").alias("n_prev"))
+    return (
+        bigrams.join(F.broadcast(totals), "prev")
+        .select(
+            "prev",
+            "next",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_prev").cast("double"), 6
+            ).alias("p"),
+        )
+    )
+
+
+def q_robust_zscore(spark, sf_dir):
+    """Median/MAD outlier detection on customer order totals — the
+    robust twin of anomaly_zscore (mean/stddev blow up under the very
+    outliers being hunted). Two exact-percentile aggregates (median,
+    then median absolute deviation) broadcast back as scalars; the
+    ranking is a TakeOrdered top-k, never a full sort. Output: the 20
+    most extreme orders by |robust_z| — a fixed threshold gate would be
+    empty on this uniform benchmark data; top-k is the always-
+    meaningful report."""
+    o = _t(spark, sf_dir, "orders")
+    med = o.agg(F.expr("percentile(o_totalprice, 0.5)").alias("med"))
+    dev = o.join(F.broadcast(med)).select(
+        "o_orderkey",
+        "o_totalprice",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    scored = dev.join(F.broadcast(mad)).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(
+            (F.col("o_totalprice") - F.col("med"))
+            / (F.lit(1.4826) * F.col("mad")),
+            6,
+        ).alias("robust_z"),
+    )
+    return scored.orderBy(
+        F.abs(F.col("robust_z")).desc(), F.col("o_orderkey").asc()
+    ).limit(20)
+
+
 def q_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: the pure scan-kernel query — three pushed range
     predicates, zero joins, one decimal-exact aggregate. The baseline
@@ -2971,6 +3035,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "funnel": q_funnel,
         "abc_analysis": q_abc_analysis,
         "forecast_revenue": q_forecast_revenue,
+        "event_transitions": q_event_transitions,
+        "robust_zscore": q_robust_zscore,
         "nation_product_profit": q_nation_product_profit,
         "basket_pairs": q_basket_pairs,
         "cohort_retention": q_cohort_retention,
@@ -4963,6 +5029,35 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY cos DESC, neighbor_id ASC) AS rank
               FROM cand)
             WHERE rank <= 5
+        """,
+        "event_transitions": """
+            WITH seq AS (
+              SELECT user_id,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev,
+                     event_type AS next
+              FROM events),
+            bigrams AS (
+              SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS n
+              FROM seq WHERE prev IS NOT NULL GROUP BY prev, next),
+            totals AS (SELECT prev, SUM(n) AS n_prev FROM bigrams GROUP BY prev)
+            SELECT b.prev, b.next, b.n,
+                   round(CAST(b.n AS DOUBLE) / CAST(t.n_prev AS DOUBLE), 6) AS p
+            FROM bigrams b JOIN totals t ON b.prev = t.prev
+        """,
+        "robust_zscore": """
+            WITH med AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
+            dev AS (
+              SELECT o_orderkey, o_totalprice, med,
+                     abs(o_totalprice - med) AS adev
+              FROM orders CROSS JOIN med),
+            mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+            SELECT o_orderkey, o_totalprice,
+                   round((o_totalprice - med) / (1.4826 * mad), 6) AS robust_z
+            FROM dev CROSS JOIN mad
+            ORDER BY abs(round((o_totalprice - med) / (1.4826 * mad), 6)) DESC,
+                     o_orderkey ASC
+            LIMIT 20
         """,
         "forecast_revenue": """
             SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
