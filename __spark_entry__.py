@@ -2885,10 +2885,38 @@ _DRIVER_RECORDED = {
 }
 
 
+def _driver_recorded() -> set:
+    """Every query name with a row in ANY committed driver correctness
+    artifact (CORRECTNESS_r*.json in the repo root) — self-maintaining:
+    each round's newly recorded window automatically rotates to the
+    back next round, no manual set edits. Falls back to the static
+    round-2 snapshot if the artifacts are unreadable."""
+    import glob  # noqa: PLC0415
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    recorded = set(_DRIVER_RECORDED)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            data = json.load(open(path))
+        except Exception:  # noqa: BLE001 — artifact formats may evolve
+            continue
+        items = data.get("queries", data) if isinstance(data, dict) else data
+        if isinstance(items, dict):
+            recorded.update(k for k in items if isinstance(k, str))
+        elif isinstance(items, list):
+            for it in items:
+                if isinstance(it, dict) and isinstance(it.get("name"), str):
+                    recorded.add(it["name"])
+    return recorded
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_in_declaration_order()
-    rotated = {k: v for k, v in base.items() if k not in _DRIVER_RECORDED}
-    rotated.update({k: v for k, v in base.items() if k in _DRIVER_RECORDED})
+    recorded = _driver_recorded()
+    rotated = {k: v for k, v in base.items() if k not in recorded}
+    rotated.update({k: v for k, v in base.items() if k in recorded})
     return rotated
 
 
