@@ -686,6 +686,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.2)
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric containment pairs (|A∩B|/|A| per direction, either
+    side >= 0.4): the subset-duplication detector — a short doc quoted
+    whole inside a long one scores near 1.0 here but low Jaccard
+    (operators/dedup.ngram_containment_pairs; same shingle-keyed join
+    as ngram_jaccard, only the scoring differs)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_containment_pairs(d, shingle_n=3, threshold=0.4)
+
+
 def q_minhash_lsh(spark, sf_dir):
     """Full MinHash+LSH near-dup pipeline: 16-hash signature -> 4 band
     digests -> band-bucket self-join -> estimated Jaccard per candidate
@@ -2972,6 +2982,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "minhash_cross": q_minhash_cross,
         "cluster_split": q_cluster_split,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
         "simhash": q_simhash,
         "bpe_tokens": q_bpe_tokens,
         "pack_sequences": q_pack_sequences,
@@ -3729,6 +3740,24 @@ def oracle_sql() -> dict[str, str]:
                    round(common / (size_a + size_b - common), 6) AS jaccard
             FROM common
             WHERE round(common / (size_a + size_b - common), 6) >= 0.2
+        """,
+        "ngram_containment": f"""
+            WITH sh AS (
+              SELECT doc_id, {shingle} AS grams, len({shingle}) AS sh_size FROM documents),
+            exploded AS (SELECT doc_id, sh_size, unnest(grams) AS gram FROM sh),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.sh_size AS size_a, b.sh_size AS size_b,
+                     COUNT(*) AS common
+              FROM exploded a JOIN exploded b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b,
+                   round(common / size_a, 6) AS containment_a,
+                   round(common / size_b, 6) AS containment_b
+            FROM common
+            WHERE round(common / size_a, 6) >= 0.4
+               OR round(common / size_b, 6) >= 0.4
         """,
         "vector_norms": """
             SELECT vec_id,

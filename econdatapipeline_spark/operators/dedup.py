@@ -237,6 +237,21 @@ def ngram_jaccard_pairs(
     intersections omit them) that is standard practice for web-corpus
     dedup, and exact (None) stays the default.
     """
+    common = _shingle_overlap(df, text_col, id_col, shingle_n, max_doc_freq)
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return common.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _shingle_overlap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """(id_a, id_b, size_a, size_b, common) for pairs sharing a shingle."""
     sh = fan_out(df).select(
         F.col(id_col), shingle_structs(F.col(text_col), shingle_n).alias("sh")
     ).withColumn("sh_size", F.size("sh"))
@@ -259,7 +274,7 @@ def ngram_jaccard_pairs(
         # exploded table.
         exploded = exploded.join(F.broadcast(hot), "gram", "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
-    common = (
+    return (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -269,10 +284,42 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("common"))
     )
-    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
-    return common.select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment: |A∩B| / |A| per direction, kept
+    when EITHER direction clears the threshold.
+
+    The subset-duplication detector Jaccard misses: a short document
+    quoted whole inside a long one (reply chains, boilerplate wrappers,
+    excerpted articles) has near-1.0 containment of the short side but
+    a low Jaccard because the union is dominated by the long side.
+    Same shingle-keyed candidate join and ``max_doc_freq`` hot-gram
+    guard as ``ngram_jaccard_pairs`` — only the final scoring differs,
+    so cost and scale behavior are identical.
+    """
+    common = _shingle_overlap(df, text_col, id_col, shingle_n, max_doc_freq)
+    c_a = F.col("common") / F.col("size_a")
+    c_b = F.col("common") / F.col("size_b")
+    return (
+        common.select(
+            "id_a",
+            "id_b",
+            F.round(c_a, 6).alias("containment_a"),
+            F.round(c_b, 6).alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    )
 
 
 def _local_union_find_labels(edges: DataFrame) -> DataFrame:

@@ -181,3 +181,26 @@ def test_minhash_cross_finds_cross_corpus_dup_only(spark):
     # and intra-corpus pairs are absent by construction
     assert got == {(1, 100), (2, 100)}
     assert all(r["est_jaccard"] == 1.0 for r in out)
+
+
+def test_ngram_containment_catches_subset_duplication(spark):
+    """A short doc quoted whole inside a long one: containment of the
+    short side is 1.0 while Jaccard stays low."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " plus a very long unrelated tail " + " ".join(
+        f"filler{i}" for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "entirely different content here now")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in D.ngram_containment_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)][0] == 1.0  # short fully contained
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.2  # Jaccard misses it
