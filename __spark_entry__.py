@@ -1496,6 +1496,39 @@ def q_pagerank(spark, sf_dir):
     return pr.select(label.alias("node"), "rank")
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from a 5-customer seed set over the same
+    symmetrized trade graph as q_pagerank — proximity-to-seeds ranking,
+    the related-entities / recommender primitive
+    (operators/graph.personalized_pagerank). Teleport mass lands only
+    on seeds ((1-d)*p + d*sum form); the oracle unrolls the 3 rounds as
+    chained CTEs with the seed indicator carried per node."""
+    from econdatapipeline_spark.operators.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    seeds = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 5).select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+    return personalized_pagerank(edges, seeds, iterations=3)
+
+
 def q_market_share(spark, sf_dir):
     """TPC-H Q8 shape: NATION_3's share of supplier revenue to ASIA
     customers per order year — conditional aggregation ratio over a
@@ -3017,6 +3050,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "volume_shipping": q_volume_shipping,
         "local_supplier_volume": q_local_supplier_volume,
         "pagerank": q_pagerank,
+        "personalized_pagerank": q_personalized_pagerank,
         "graph_degrees": q_graph_degrees,
         "pmi_bigrams": q_pmi_bigrams,
         "rank_funcs": q_rank_funcs,
@@ -4064,6 +4098,50 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'S' || ((node - 1) // 2) END AS node,
                    round(rank, 6) AS rank
             FROM it3
+        """,
+        "personalized_pagerank": """
+            WITH pairs AS (
+              SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            edges AS (SELECT c AS src, s AS dst FROM pairs
+                      UNION ALL SELECT s, c FROM pairs),
+            np AS (
+              SELECT DISTINCT src AS node,
+                     CASE WHEN src % 2 = 0 AND src // 2 < 5
+                          THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS p
+              FROM edges),
+            deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+            ed AS (SELECT e.src, e.dst, d.out_deg
+                   FROM edges e JOIN deg d ON e.src = d.src),
+            r0 AS (SELECT node, p AS rank FROM np),
+            pit1 AS (
+              SELECT n.node,
+                     (1.0::DOUBLE - 0.85::DOUBLE) * n.p
+                       + 0.85::DOUBLE * COALESCE(c.s, 0.0::DOUBLE) AS rank
+              FROM np n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(CAST(r.rank / e.out_deg AS DECIMAL(28,12))) AS DOUBLE) AS s
+                FROM ed e JOIN r0 r ON e.src = r.node
+                GROUP BY e.dst) c ON n.node = c.node),
+            pit2 AS (
+              SELECT n.node,
+                     (1.0::DOUBLE - 0.85::DOUBLE) * n.p
+                       + 0.85::DOUBLE * COALESCE(c.s, 0.0::DOUBLE) AS rank
+              FROM np n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(CAST(r.rank / e.out_deg AS DECIMAL(28,12))) AS DOUBLE) AS s
+                FROM ed e JOIN pit1 r ON e.src = r.node
+                GROUP BY e.dst) c ON n.node = c.node),
+            pit3 AS (
+              SELECT n.node,
+                     (1.0::DOUBLE - 0.85::DOUBLE) * n.p
+                       + 0.85::DOUBLE * COALESCE(c.s, 0.0::DOUBLE) AS rank
+              FROM np n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(CAST(r.rank / e.out_deg AS DECIMAL(28,12))) AS DOUBLE) AS s
+                FROM ed e JOIN pit2 r ON e.src = r.node
+                GROUP BY e.dst) c ON n.node = c.node)
+            SELECT node, round(rank, 6) AS rank FROM pit3
         """,
         "market_share": """
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,

@@ -158,13 +158,88 @@ def pagerank(
         .distinct()
         .cache()
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    return _power_iterate(ed, nodes, None, iterations, damping, rank_update, finish)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PERSONALIZED PageRank: teleport mass lands only
+    on ``seeds`` -> (node, rank), rank measuring proximity to the seed
+    set (the recommender / related-entities primitive).
+
+    Unnormalized to match `pagerank`'s conventions: p(node) = 1 on
+    seeds, 0 elsewhere; rank_0 = p; each round computes
+    (1-d)*p + d*Σ contributions. Nodes unreachable from the seed set
+    finish at exactly 0. Same plan skeleton as the general `pagerank`
+    path — degree relation broadcast map-side, eager edge persist, one
+    |nodes|-sized broadcast per round — with the seed indicator carried
+    as a column of the cached node relation, so personalization adds
+    zero extra joins per round. Same eager-execute/unpersist contract.
+    """
+    if iterations < 1:
+        raise ValueError("personalized_pagerank needs iterations >= 1")
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = edges.join(F.broadcast(deg), src).select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "out_deg"
+    )
+    ed = ed.coalesce(ed.sparkSession.sparkContext.defaultParallelism)
+    ed = ed.persist()
+    ed.count()
+
+    def rank_update(summed: Column) -> Column:
+        return (
+            F.lit(1.0 - damping) * F.col("p") + F.lit(damping) * summed
+        )
+
+    def finish(ranks: DataFrame, *working: DataFrame) -> DataFrame:
+        out = ranks.select("node", F.round("rank", 6).alias("rank")).localCheckpoint(
+            eager=True
+        )
+        for df in working:
+            df.unpersist()
+        return out
+
+    nodes = (
+        ed.select(F.col("e_src").alias("node"))
+        .union(ed.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .join(
+            F.broadcast(
+                seeds.select(F.col(seed_col).alias("node")).withColumn(
+                    "__seed", F.lit(1.0)
+                )
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("__seed"), F.lit(0.0)).alias("p"))
+        .cache()
+    )
+    return _power_iterate(ed, nodes, "p", iterations, damping, rank_update, finish)
+
+
+def _power_iterate(ed, nodes, p_col, iterations, damping, rank_update, finish):
+    """Shared general-path loop: per round, broadcast the |nodes|-sized
+    rank relation, probe the cached edges, aggregate per destination,
+    left-join back onto the node relation."""
+    dec_sum = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    keep = ["node"] + ([p_col] if p_col else [])
+    init = F.col(p_col) if p_col else F.lit(1.0)
+    ranks = nodes.select(*keep, init.alias("rank"))
     for _ in range(iterations):
         # The rank relation is |nodes|-sized — broadcast it so each round
         # is a map-side probe of the cached edge relation plus one keyed
         # aggregation, never a re-shuffle of the edges.
+        rel = ranks.select("node", "rank")
         contrib = (
-            ed.join(F.broadcast(ranks), ed.e_src == ranks.node)
+            ed.join(F.broadcast(rel), ed.e_src == rel.node)
             .select(
                 F.col("e_dst").alias("node"),
                 (F.col("rank") / F.col("out_deg")).alias("c"),
@@ -177,7 +252,7 @@ def pagerank(
         # left join plans as a sort-merge join with one more exchange
         # per iteration.
         ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
-            "node",
+            *keep,
             rank_update(F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
         )
-    return finish(ranks, ed, nodes)
+    return finish(ranks.select("node", "rank"), ed, nodes)

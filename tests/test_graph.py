@@ -103,3 +103,34 @@ def test_adamic_adar_matches_python_reference(spark):
     for k, (n, aa) in got.items():
         assert n == want[k][0]
         assert abs(aa - want[k][1]) < 1e-9, (k, aa, want[k][1])
+
+
+def test_personalized_pagerank_seed_proximity(spark):
+    """Two disconnected components; teleport to a seed in one of them:
+    the other component finishes at exactly 0, and within the seeded
+    component the seed outranks its neighbors."""
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.operators.graph import personalized_pagerank
+
+    # component A: 1-2-3 path (symmetrized); component B: 10-11
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (10, 11), (11, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["rank"] for r in personalized_pagerank(e, seeds).collect()}
+    assert out[10] == 0.0 and out[11] == 0.0
+    # replicate the exact recurrence in Python (3 bipartite-path rounds
+    # oscillate by design — fixed-iteration PPR is a deterministic
+    # contract, not a converged one)
+    d, p = 0.85, {1: 1.0, 2: 0.0, 3: 0.0}
+    deg = {1: 1, 2: 2, 3: 1}
+    r = dict(p)
+    for _ in range(3):
+        contrib = {1: r[2] / 2, 2: r[1] + r[3], 3: r[2] / 2}
+        r = {n: (1 - d) * p[n] + d * contrib[n] for n in r}
+    import math
+
+    for n in (1, 2, 3):
+        # floor-based half-up: Spark round() is HALF_UP, Python round()
+        # is banker's — 0.0541875 sits exactly on the boundary
+        assert out[n] == math.floor(r[n] * 1e6 + 0.5) / 1e6, n
