@@ -236,8 +236,14 @@ def _power_iterate(ed, nodes, p_col, iterations, damping, rank_update, finish):
     for _ in range(iterations):
         # The rank relation is |nodes|-sized — broadcast it so each round
         # is a map-side probe of the cached edge relation plus one keyed
-        # aggregation, never a re-shuffle of the edges.
+        # aggregation, never a re-shuffle of the edges. In the
+        # personalized case most ranks start (and, outside the seeds'
+        # reach, stay) exactly 0 and contribute exactly 0 — dropping
+        # them shrinks the broadcast to the nonzero frontier without
+        # changing any sum.
         rel = ranks.select("node", "rank")
+        if p_col:
+            rel = rel.filter(F.col("rank") != 0.0)
         contrib = (
             ed.join(F.broadcast(rel), ed.e_src == rel.node)
             .select(
