@@ -100,3 +100,30 @@ def refresh_rollup(
         wh.append_revisions(res.revisions)
     wh.write_dataset(merged, table)
     return counts
+
+
+def refresh_rollup_once(
+    wh: Warehouse,
+    new_events: DataFrame,
+    batch_id: int,
+    table: str = "events_rollup_1h",
+    every: str = "hour",
+    run_ts: datetime | None = None,
+) -> dict[str, int]:
+    """Replay-safe refresh: the additive fold in ``refresh_rollup``
+    DOUBLE-COUNTS a redelivered batch (foreachBatch is at-least-once —
+    a crash between the side effect and the checkpoint commit replays
+    the batch), so production sinks must guard with a batch-id commit
+    ledger, the same pattern as corpus_dedup.idempotent_append_sink.
+    The marker is written strictly AFTER the refresh commits, through
+    the blob store's atomic rename.
+    """
+    from econdatapipeline_spark.streaming.corpus_dedup import COMMITS_CONTAINER
+
+    wh.create_container(COMMITS_CONTAINER)
+    marker = f"rollup_{table}/batch_{batch_id}"
+    if wh.get_blob(COMMITS_CONTAINER, marker) is not None:
+        return {"new": 0, "updated": 0, "revisions": 0}
+    counts = refresh_rollup(wh, new_events, table=table, every=every, run_ts=run_ts)
+    wh.put_blob(COMMITS_CONTAINER, marker, b"committed")
+    return counts

@@ -58,3 +58,29 @@ def test_idempotent_on_empty_batch(spark):
     c = refresh_rollup(wh, _events(spark, []), run_ts=RUN_TS)
     assert c == {"new": 0, "updated": 0, "revisions": 0}
     assert wh.read("events_rollup_1h").count() == 1
+
+
+def test_replayed_batch_needs_the_ledger(spark):
+    """The additive fold double-counts a redelivered batch BY DESIGN
+    (it cannot distinguish a replay from genuinely new events in the
+    same bucket); refresh_rollup_once's batch-id ledger is what makes
+    foreachBatch's at-least-once delivery exactly-once."""
+    from econdatapipeline_spark.streaming.rollup import refresh_rollup_once
+
+    t = dt.datetime(2024, 1, 1, 10, 15)
+    batch = [(1, t, "click", 2.0), (2, t, "view", 1.0)]
+
+    # unguarded: replay double-counts (documents the hazard)
+    wh = Warehouse(spark, tempfile.mkdtemp())
+    refresh_rollup(wh, _events(spark, batch), run_ts=RUN_TS)
+    replay = refresh_rollup(wh, _events(spark, batch), run_ts=RUN_TS)
+    assert replay["updated"] == 2  # buckets restated = double count
+
+    # guarded: the replayed batch id is a no-op
+    wh2 = Warehouse(spark, tempfile.mkdtemp())
+    first = refresh_rollup_once(wh2, _events(spark, batch), batch_id=0, run_ts=RUN_TS)
+    assert first["new"] == 2
+    again = refresh_rollup_once(wh2, _events(spark, batch), batch_id=0, run_ts=RUN_TS)
+    assert again == {"new": 0, "updated": 0, "revisions": 0}
+    n = wh2.read("events_rollup_1h").agg(F.sum("n_events")).collect()[0][0]
+    assert n == 2.0  # counts unchanged by the replay
