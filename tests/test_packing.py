@@ -87,3 +87,27 @@ def test_scrub_pii_patterns(spark, text, expect):
     df = _docs(spark, [(1, text, "s")])
     got = scrub_pii(df).collect()[0]["text"]
     assert got == expect
+
+
+def test_pack_sequences_invariants_random_corpus(spark):
+    """Property check over a seeded random corpus: every document
+    packed exactly once, offsets equal the running pre-sum, and a
+    document always starts inside its assigned sequence
+    (seq_id * budget <= tokens_before < (seq_id + 1) * budget)."""
+    import random
+
+    random.seed(5)
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(random.randrange(1, 30))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        pack_sequences(df, budget=64).collect(), key=lambda r: r["doc_id"]
+    )
+    assert [r["doc_id"] for r in out] == list(range(200))  # exactly once
+    running = 0
+    for r in out:
+        assert r["seq_offset"] == running % 64
+        assert r["seq_id"] == running // 64
+        running += r["n_tokens"]
