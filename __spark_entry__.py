@@ -2896,6 +2896,110 @@ def q_budget_cap(spark, sf_dir):
     )
 
 
+def q_kcore(spark, sf_dir):
+    """2-core of the embedding near-dup graph (operators/graph.kcore):
+    iterative peeling — one degree aggregate + two anti-joins per
+    round, live edges localCheckpoint'ed. The k-core is unique, so the
+    oracle's unrolled fixed-round peel reaches the identical fixpoint;
+    both sides cap at the same round count so even a non-converged
+    graph state matches."""
+    from econdatapipeline_spark.operators.graph import kcore
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dups(e, threshold=0.2)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return kcore(edges, k=2, max_rounds=12)
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """Two-sided CUSUM level-shift detection on monthly order revenue
+    per priority (operators/timeseries.cusum_changepoint): the
+    sequential Page recursion rewritten as prefix-sum minus running
+    prefix-extreme — two codegen window frames over one sort, decimal-
+    exact so the oracle replays the identical closed form."""
+    from econdatapipeline_spark.operators.timeseries import cusum_changepoint
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("value"))
+    out = cusum_changepoint(monthly, "dataset", "date", "value", threshold=2.0e6)
+    return out.select(
+        "dataset",
+        "date",
+        F.col("value").cast("double").alias("value"),
+        "cusum_pos",
+        "cusum_neg",
+        "alarm",
+    )
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle + equal sharding of
+    the corpus (operators/sampling.corpus_shuffle): order by
+    md5(seed || doc_id) — the hash IS the permutation, so a restarted
+    100 TB job reproduces the exact order already consumed; NTILE
+    shards for data-parallel readers."""
+    from econdatapipeline_spark.operators.sampling import corpus_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return corpus_shuffle(d, n_shards=8)
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain frequency capping (operators/sampling.domain_cap):
+    keep the 30 highest-n_chars documents per source (doc_id
+    tie-break) — the CCNet/RefinedWeb mega-domain rebalancing step as
+    one ranked window with partial top-k pushdown."""
+    from econdatapipeline_spark.operators.sampling import domain_cap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return domain_cap(d, max_per_domain=30)
+
+
+def q_quantile_filter(spark, sf_dir):
+    """Data-driven quality gate (operators/quality.quantile_filter):
+    drop the bottom quartile by n_chars where the cutoff is an exact
+    global percentile broadcast back onto the scan; per-language
+    survivor report proves the gate applied identically."""
+    from econdatapipeline_spark.operators.quality import quantile_filter
+
+    d = _t(spark, sf_dir, "documents")
+    kept = quantile_filter(d, "n_chars", 0.25)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_chars").cast("decimal(28,0)")).cast("long").alias("sum_chars"),
+        F.round(F.min("cutoff"), 6).alias("cutoff"),
+    )
+
+
+def q_prefix_dups(spark, sf_dir):
+    """Truncation-duplicate detection (operators/dedup.prefix_dup_pairs):
+    documents that are strict prefixes of longer documents — the
+    partial-crawl dup class Jaccard under-scores. Candidates block on
+    the first-40-char key (hashed Spark-side, raw substring in the
+    oracle — identical pairs modulo xxhash64 collisions, and the
+    startswith verify makes any collision harmless). The probe corpus
+    is the table plus deterministic half-length truncations of every
+    97th document, derived identically in both engines."""
+    from econdatapipeline_spark.operators.dedup import prefix_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = d.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) div 2)").alias("text"),
+    )
+    return prefix_dup_pairs(d.unionByName(trunc))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3121,6 +3225,12 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "category_drift": q_category_drift,
         "holt_forecast": q_holt_forecast,
         "budget_cap": q_budget_cap,
+        "kcore": q_kcore,
+        "cusum_changepoint": q_cusum_changepoint,
+        "corpus_shuffle": q_corpus_shuffle,
+        "domain_cap": q_domain_cap,
+        "quantile_filter": q_quantile_filter,
+        "prefix_dups": q_prefix_dups,
     }
 
 
@@ -3206,6 +3316,22 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN TRY_CAST({t} AS DOUBLE) > 0.2 THEN TRY_CAST({t} AS DOUBLE) / 100.0 "
             f"ELSE TRY_CAST({t} AS DOUBLE) END"
         )
+
+    # k-core peel unrolled to the SAME round cap as the Spark loop
+    # (graph.kcore max_rounds=12): round r keeps edges whose both
+    # endpoints have degree >= k in round r-1's subgraph — identical
+    # intermediate states, so the twins agree even pre-convergence.
+    # MATERIALIZED: each round references the previous one 3x; inlined
+    # CTEs would expand 3^12 ways back to the base scan.
+    kcore_rounds = ""
+    for r in range(12):
+        kcore_rounds += f"""
+            d{r} AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM r{r} GROUP BY u),
+            r{r + 1} AS MATERIALIZED (
+              SELECT r.u, r.v FROM r{r} r
+              JOIN d{r} du ON du.u = r.u JOIN d{r} dv ON dv.u = r.v
+              WHERE du.deg >= 2 AND dv.deg >= 2),"""
+    kcore_rounds = kcore_rounds.rstrip(",")
 
     sql = {
         "edb_normalize": f"""
@@ -5453,6 +5579,102 @@ def oracle_sql() -> dict[str, str]:
             FROM running
             WHERE running <= 200.0
             GROUP BY user_id
+        """,
+        "kcore": f"""
+            WITH
+            b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS id_a, c.vec_id AS id_b
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+              WHERE {cos} >= 0.2),
+            r0 AS MATERIALIZED (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs),{kcore_rounds}
+            SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+            FROM r12 GROUP BY u
+        """,
+        "cusum_changepoint": """
+            WITH monthly AS (
+              SELECT o_orderpriority AS dataset,
+                     CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                     SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS value
+              FROM orders GROUP BY 1, 2),
+            d AS (
+              SELECT dataset, date, value,
+                     CAST(value AS DECIMAL(28,6))
+                       - first_value(CAST(value AS DECIMAL(28,6))) OVER t AS dd
+              FROM monthly
+              WINDOW t AS (PARTITION BY dataset ORDER BY date
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            p AS (
+              SELECT dataset, date, value, SUM(dd) OVER t AS p
+              FROM d
+              WINDOW t AS (PARTITION BY dataset ORDER BY date
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            s AS (
+              SELECT dataset, date, value,
+                     p - LEAST(CAST(0 AS DECIMAL(38,6)), MIN(p) OVER t) AS s_pos,
+                     GREATEST(CAST(0 AS DECIMAL(38,6)), MAX(p) OVER t) - p AS s_neg
+              FROM p
+              WINDOW t AS (PARTITION BY dataset ORDER BY date
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT dataset, date, round(CAST(value AS DOUBLE), 6) AS value,
+                   round(CAST(s_pos AS DOUBLE), 6) AS cusum_pos,
+                   round(CAST(s_neg AS DOUBLE), 6) AS cusum_neg,
+                   (s_pos > 2000000.0 OR s_neg > 2000000.0) AS alarm
+            FROM s
+        """,
+        "corpus_shuffle": """
+            WITH k AS (
+              SELECT doc_id, source,
+                     md5('seed0:' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents),
+            o AS (
+              SELECT doc_id, source,
+                     CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) AS global_pos,
+                     CAST(NTILE(8) OVER (ORDER BY h) AS INT) AS shard_id
+              FROM k)
+            SELECT doc_id, source, global_pos, shard_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
+                        ORDER BY global_pos) AS INT) AS shard_pos
+            FROM o
+        """,
+        "domain_cap": """
+            WITH ranked AS (
+              SELECT doc_id, source, n_chars,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id ASC) AS INT) AS domain_rank
+              FROM documents)
+            SELECT doc_id, source, n_chars, domain_rank
+            FROM ranked WHERE domain_rank <= 30
+        """,
+        "quantile_filter": """
+            WITH cut AS (SELECT quantile_cont(n_chars, 0.25) AS cutoff FROM documents)
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS BIGINT) AS sum_chars,
+                   round(MIN(cutoff), 6) AS cutoff
+            FROM documents, cut
+            WHERE n_chars >= cutoff
+            GROUP BY lang
+        """,
+        "prefix_dups": """
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     substr(text, 1, length(text) // 2) AS text
+              FROM documents WHERE doc_id % 97 = 0),
+            probe AS (
+              SELECT doc_id AS id, text AS txt,
+                     CAST(length(text) AS INT) AS len,
+                     substr(text, 1, 40) AS pk
+              FROM aug)
+            SELECT a.id AS short_id, b.id AS long_id,
+                   a.len AS short_len, b.len AS long_len
+            FROM probe a JOIN probe b ON a.pk = b.pk
+            WHERE a.len < b.len AND starts_with(b.txt, a.txt)
         """,
     }
     # The xlsx byte-scan feeds the identical literal grid into the same

@@ -739,3 +739,56 @@ def exact_dedup_best(
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+
+
+def prefix_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_chars: int = 40,
+) -> DataFrame:
+    """Exact-prefix containment duplicates -> (short_id, long_id,
+    short_len, long_len).
+
+    Scraped corpora are full of truncation duplicates: one crawl of a
+    page cut off mid-document, another complete — near-dup metrics
+    (Jaccard over shingles) under-score these when the length ratio is
+    extreme, so the prefix relation is its own detector. A pair is
+    emitted when the shorter text is a strict prefix of the longer one
+    (ties on equal text are exact duplicates, exact_dedup's job, and
+    are excluded).
+
+    Candidate generation never compares all pairs: documents join on
+    the hash of their first ``probe_chars`` characters — any strict
+    prefix pair shares that block (both texts at least probe_chars
+    long), so the join is an equi-join on an 8-byte key with cost
+    sum(block^2), the same containment bound as the LSH family.
+    Documents shorter than ``probe_chars`` block on their full text
+    hash instead, handled by the same key expression. The
+    ``startswith`` verify runs only inside blocks.
+
+    At 100 TB: block sizes are bounded by boilerplate-heavy prefixes
+    (site headers); raise ``probe_chars`` to sharpen blocks the same
+    way shingle width sharpens Jaccard blocks.
+    """
+    key = F.xxhash64(F.substring(F.col(text_col), 1, probe_chars))
+    probe = df.select(
+        key.alias("pk"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).alias("len"),
+    )
+    a, b = probe.alias("a"), probe.alias("b")
+    return (
+        a.join(b, F.col("a.pk") == F.col("b.pk"))
+        .filter(
+            (F.col("a.len") < F.col("b.len"))
+            & F.col("b.txt").startswith(F.col("a.txt"))
+        )
+        .select(
+            F.col("a.id").alias("short_id"),
+            F.col("b.id").alias("long_id"),
+            F.col("a.len").alias("short_len"),
+            F.col("b.len").alias("long_len"),
+        )
+    )

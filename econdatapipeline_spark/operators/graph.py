@@ -262,3 +262,59 @@ def _power_iterate(ed, nodes, p_col, iterations, damping, rank_update, finish):
             rank_update(F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
         )
     return finish(ranks.select("node", "rank"), ed, nodes)
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling -> (node, core_deg).
+
+    The k-core is the maximal subgraph in which every node has degree
+    >= k — the standard "dense, well-connected region" filter for
+    entity and near-duplicate graphs (Seidman 1983, "Network structure
+    and minimum degree"). Input is a symmetrized directed edge list
+    (each undirected edge in both orientations, the same contract as
+    ``pagerank(symmetric=True)``); output is every surviving node with
+    its degree inside the k-core subgraph.
+
+    Shape per round: ONE hash aggregate (degrees over the live edge
+    list) and TWO anti-joins (drop edges touching sub-k nodes); the
+    live edge relation is localCheckpoint'ed so round r does not replay
+    rounds 1..r-1 (the iterative-state pattern, same as
+    ``dedup.connected_components``). Convergence is an aggregate
+    emptiness probe on the peel set — peeling strictly shrinks the edge
+    set, so at most |V| rounds, in practice O(log) on power-law graphs.
+    At 100 TB each round is a shuffle keyed by node id; the peel set is
+    usually tiny after round 1 and broadcasts, which AQE decides from
+    runtime sizes (no forced hint — round 1 can peel most of a sparse
+    graph).
+
+    The result is deterministic (peeling order never affects the final
+    core — the k-core is unique), so an unrolled fixed-round SQL twin
+    reaches the identical fixpoint.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    live = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        peel = deg.filter(F.col("deg") < k).select(F.col("u").alias("gone"))
+        if peel.limit(1).count() == 0:
+            break
+        live = (
+            live.join(peel, live.u == peel.gone, "left_anti")
+            .join(peel, live.v == peel.gone, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        live.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )

@@ -162,3 +162,34 @@ def profile_stats(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def quantile_filter(
+    df: DataFrame,
+    score_col: str,
+    min_quantile: float,
+) -> DataFrame:
+    """Drop the bottom ``min_quantile`` fraction by ``score_col`` ->
+    surviving rows + the global ``cutoff`` they cleared.
+
+    The canonical corpus-hygiene gate ("drop the worst 25% by quality
+    score") needs the threshold computed from the DATA, not hard-coded
+    — an absolute threshold tuned on one crawl is wrong on the next.
+    One exact-percentile aggregate produces the scalar cutoff; it
+    broadcasts back onto the scan as a join-free filter (a 1-row
+    cross-joined relation Catalyst folds into a BroadcastNestedLoopJoin
+    over a single row — effectively a literal).
+
+    Exact percentile at 100 TB is a full-pass sort-based aggregate; if
+    that pass ever dominates, ``approx_percentile`` with a 1e-4
+    relative error is the drop-in (the cutoff moves by less than the
+    score noise) — kept exact here so the cross-engine oracle matches
+    bit-for-bit (linear interpolation on the sorted column is the same
+    formula as DuckDB's quantile_cont).
+    """
+    if not 0.0 <= min_quantile < 1.0:
+        raise ValueError(f"min_quantile must be in [0, 1), got {min_quantile}")
+    cut = df.agg(
+        F.expr(f"percentile({score_col}, {min_quantile!r})").alias("cutoff")
+    )
+    return df.join(F.broadcast(cut)).filter(F.col(score_col) >= F.col("cutoff"))

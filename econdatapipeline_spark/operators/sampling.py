@@ -203,3 +203,84 @@ def stratified_sample(
         frac = F.when(F.col(strata_col) == s, F.lit(w)).otherwise(frac)
     bucket = _md5_bucket(F.col(id_col), 10000)
     return df.filter(bucket < (frac * 10000).cast("long"))
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "seed0",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding ->
+    input columns + (global_pos, shard_id, shard_pos).
+
+    Training runs need the corpus in a fixed pseudorandom order, split
+    into equal shards for data-parallel readers — and the order must be
+    reproducible bit-for-bit across reruns, engines, and partition
+    layouts (restarting a crashed 100 TB shuffle job must not reorder
+    the data a half-trained model already consumed). ``rand()`` gives
+    none of that; ordering by ``md5(seed || id)`` gives all of it: the
+    hash is the permutation, the seed picks which permutation.
+
+    ``global_pos`` is the 1-based position in the shuffled order,
+    ``shard_id`` = NTILE(n_shards) over that order (equal-sized
+    contiguous shards), ``shard_pos`` the position within the shard.
+
+    Scale: one total-order sort (Spark range-partitions it by sampled
+    hash boundaries). The row_number/ntile frames ride the same sort.
+    For 100 TB, write the result with
+    ``Warehouse.write_dataset(partition_cols=["shard_id"])`` so each
+    training reader scans exactly one shard directory.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = Window.orderBy(key.asc())
+    return df.select(
+        "*",
+        F.row_number().over(w).alias("global_pos"),
+        F.ntile(n_shards).over(w).alias("shard_id"),
+    ).withColumn(
+        "shard_pos",
+        F.row_number().over(
+            Window.partitionBy("shard_id").orderBy(F.col("global_pos").asc())
+        ),
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    max_per_domain: int,
+    domain_col: str = "source",
+    rank_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain frequency capping -> the kept rows + their rank.
+
+    Web corpora are dominated by a few mega-domains; capping documents
+    per domain is the standard rebalancing step (CCNet, RefinedWeb
+    keep at most N pages per registered domain). Keeps the top
+    ``max_per_domain`` documents per ``domain_col``, ranked by
+    ``rank_col`` DESC (quality proxy) with ``id_col`` as the
+    deterministic tie-break.
+
+    Shape: one window keyed by domain — a single shuffle; the
+    row_number filter is rank-pushdown-eligible (Spark plans it as a
+    partial top-k per partition before the shuffle when the limit is
+    selective), so the exchange carries at most
+    ``max_per_domain`` x partitions rows per domain, not the domain's
+    whole long tail.
+    """
+    if max_per_domain < 1:
+        raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(rank_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= max_per_domain)
+    )

@@ -290,3 +290,73 @@ def holt_linear(
         F.round(fold.getField("b"), 6).alias("trend"),
         F.round(fold.getField("l") + fold.getField("b"), 6).alias("forecast_1"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Two-sided CUSUM level-shift detection per series ->
+    (group, order, value, cusum_pos, cusum_neg, alarm).
+
+    Classic CUSUM recursions against the series' own starting level
+    (Page 1954):
+
+        S+_t = max(0, S+_{t-1} + (x_t - x_1))
+        S-_t = max(0, S-_{t-1} - (x_t - x_1))
+
+    with an alarm when either side exceeds ``threshold``. The
+    recursion looks sequential, but both sides have a closed window
+    form: with P_t the prefix sum of d_t = x_t - x_1,
+
+        S+_t = P_t - min(0, min_{j<=t} P_j)
+        S-_t = max(0, max_{j<=t} P_j) - P_t
+
+    so the whole detector is TWO running-extreme frames over ONE sort
+    per series — pure whole-stage-codegen window work, no fold, no UDF.
+    At scale this is one shuffle keyed by series; frames never
+    materialize the series in memory.
+
+    Cross-engine determinism: deviations accumulate in DECIMAL, so the
+    prefix sums are exact and order-independent; the baseline x_1 is
+    the value at the series' minimum ``order_col`` (assumed unique per
+    series, e.g. a date).
+    """
+    w_all = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Three chained selects — window functions can't nest inside one
+    # another's arguments; all three frames share one sort (a single
+    # Window physical node after the shuffle by group).
+    with_d = df.select(
+        group_col,
+        order_col,
+        value_col,
+        (
+            F.col(value_col).cast("decimal(28,6)")
+            - F.first(F.col(value_col).cast("decimal(28,6)")).over(w_all)
+        ).alias("d"),
+    )
+    with_p = with_d.select(
+        group_col,
+        order_col,
+        value_col,
+        F.sum("d").over(w_all).alias("p"),
+    )
+    w_p = w_all
+    zero = F.lit(0).cast("decimal(38,6)")
+    s_pos = F.col("p") - F.least(zero, F.min("p").over(w_p))
+    s_neg = F.greatest(zero, F.max("p").over(w_p)) - F.col("p")
+    return with_p.select(
+        group_col,
+        order_col,
+        value_col,
+        F.round(s_pos.cast("double"), 6).alias("cusum_pos"),
+        F.round(s_neg.cast("double"), 6).alias("cusum_neg"),
+        ((s_pos > threshold) | (s_neg > threshold)).alias("alarm"),
+    )

@@ -204,3 +204,37 @@ def test_ngram_containment_catches_subset_duplication(spark):
         for r in D.ngram_jaccard_pairs(df, threshold=0.0).collect()
     }
     assert jac[(1, 2)] < 0.2  # Jaccard misses it
+
+
+def test_prefix_dup_pairs_finds_truncations_not_equals(spark):
+    from econdatapipeline_spark.operators.dedup import prefix_dup_pairs
+
+    long_a = "a" * 60 + " tail of document one"
+    df = spark.createDataFrame(
+        [
+            (1, long_a),
+            (2, long_a[:50]),          # strict prefix of 1
+            (3, long_a),               # exact duplicate of 1 -> excluded
+            (4, "b" * 80),             # unrelated
+            (5, "short one"),          # < probe_chars, prefix of nobody
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["short_id"], r["long_id"]) for r in prefix_dup_pairs(df).collect()}
+    assert pairs == {(2, 1), (2, 3)}
+
+
+def test_prefix_dup_pairs_short_block(spark):
+    """Documents shorter than probe_chars block on their own full text:
+    a short doc IS found when the long doc shares its exact first
+    probe_chars... only if lengths reach the probe — the documented
+    blocking bound."""
+    from econdatapipeline_spark.operators.dedup import prefix_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, "xy" * 30), (2, "xy" * 5)], "doc_id long, text string"
+    )
+    # short doc (10 chars) < probe 40: blocks differ, pair missed by design
+    assert prefix_dup_pairs(df, probe_chars=40).count() == 0
+    # with a probe inside the short doc, the pair is found
+    assert {(r["short_id"], r["long_id"]) for r in prefix_dup_pairs(df, probe_chars=10).collect()} == {(2, 1)}

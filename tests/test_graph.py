@@ -134,3 +134,38 @@ def test_personalized_pagerank_seed_proximity(spark):
         # floor-based half-up: Spark round() is HALF_UP, Python round()
         # is banker's — 0.0541875 sits exactly on the boundary
         assert out[n] == math.floor(r[n] * 1e6 + 0.5) / 1e6, n
+
+
+def test_kcore_path_peels_triangle_survives(spark):
+    """A triangle with a pendant path: k=2 peels the whole path (chain
+    peeling needs one round per hop — the iterative part) and keeps
+    exactly the triangle,every node at core degree 2."""
+    from econdatapipeline_spark.operators.graph import kcore
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    out = {r["node"]: r["core_deg"] for r in kcore(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_k3_empty_and_k1_keeps_all(spark):
+    from econdatapipeline_spark.operators.graph import kcore
+
+    und = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    assert kcore(edges, k=3).count() == 0  # triangle has no 3-core
+    assert kcore(edges, k=1).count() == 3
+
+
+def test_kcore_validates_k(spark):
+    import pytest
+
+    from econdatapipeline_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        kcore(edges, k=0)

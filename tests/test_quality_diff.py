@@ -168,3 +168,26 @@ def test_profile_stats_exact(spark):
     assert a["variance"] == 1.25  # population variance of 1..4
     b = out["b"]
     assert (b["n"], b["mean"], b["variance"]) == (3, 10.0, 0.0)  # nulls excluded
+
+
+def test_quantile_filter_drops_bottom_fraction(spark):
+    from econdatapipeline_spark.operators.quality import quantile_filter
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id long, score double"
+    )
+    out = quantile_filter(df, "score", 0.25)
+    rows = out.collect()
+    # exact percentile(1..100, .25) = 1 + 0.25*99 = 25.75 -> keep 26..100
+    assert {r["cutoff"] for r in rows} == {25.75}
+    assert sorted(r["id"] for r in rows) == list(range(26, 101))
+
+
+def test_quantile_filter_validates_fraction(spark):
+    import pytest
+
+    from econdatapipeline_spark.operators.quality import quantile_filter
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, score double")
+    with pytest.raises(ValueError):
+        quantile_filter(df, "score", 1.0)

@@ -143,3 +143,39 @@ def test_cluster_split_no_leakage(spark):
     assert {r["split"] for r in all_train} == {"train"}
     all_test = cluster_split(docs, labels, test_fraction=1.0).collect()
     assert {r["split"] for r in all_test} == {"test"}
+
+
+def test_corpus_shuffle_is_a_permutation_and_deterministic(spark):
+    from econdatapipeline_spark.operators.sampling import corpus_shuffle
+
+    df = spark.createDataFrame([(i, "s") for i in range(40)], "doc_id long, source string")
+    out = corpus_shuffle(df, n_shards=4).collect()
+    assert sorted(r["global_pos"] for r in out) == list(range(1, 41))
+    # equal shards, contiguous in global order
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["global_pos"])
+    assert {len(v) for v in by_shard.values()} == {10}
+    for shard, poss in by_shard.items():
+        poss.sort()
+        assert poss == list(range(min(poss), min(poss) + 10))
+    # shard_pos is 1..n within each shard following global order
+    for r in out:
+        assert r["shard_pos"] == r["global_pos"] - (r["shard_id"] - 1) * 10
+    # deterministic across re-runs; different seed -> different permutation
+    again = {r["doc_id"]: r["global_pos"] for r in corpus_shuffle(df, 4).collect()}
+    assert again == {r["doc_id"]: r["global_pos"] for r in out}
+    other = {r["doc_id"]: r["global_pos"] for r in corpus_shuffle(df, 4, seed="x").collect()}
+    assert other != again
+
+
+def test_domain_cap_keeps_topn_per_domain(spark):
+    from econdatapipeline_spark.operators.sampling import domain_cap
+
+    rows = [(i, "big", 100 + i) for i in range(10)] + [(100, "small", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    out = domain_cap(df, max_per_domain=3).collect()
+    kept = {r["source"]: sorted(r2["doc_id"] for r2 in out if r2["source"] == r["source"]) for r in out}
+    assert kept["big"] == [7, 8, 9]  # highest n_chars win
+    assert kept["small"] == [100]
+    assert all(1 <= r["domain_rank"] <= 3 for r in out)

@@ -110,3 +110,34 @@ def test_holt_linear_single_point(spark):
     df = spark.createDataFrame([("g", 1, 7.0)], "grp string, t int, v double")
     out = holt_linear(df, "grp", "t", "v").collect()[0]
     assert (out["level"], out["trend"], out["forecast_1"]) == (7.0, 0.0, 7.0)
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The prefix-sum/prefix-extreme closed form must equal Page's
+    sequential recursion replayed in Python."""
+    from econdatapipeline_spark.operators.timeseries import cusum_changepoint
+
+    vals = [10.0, 10.0, 14.0, 15.0, 13.0, 6.0, 5.0, 12.0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "grp string, t int, v double"
+    )
+    out = {
+        r["t"]: (r["cusum_pos"], r["cusum_neg"], r["alarm"])
+        for r in cusum_changepoint(df, "grp", "t", "v", threshold=5.0).collect()
+    }
+    base, sp, sn = vals[0], 0.0, 0.0
+    for i, x in enumerate(vals):
+        sp = max(0.0, sp + (x - base))
+        sn = max(0.0, sn - (x - base))
+        assert out[i] == (sp, sn, sp > 5.0 or sn > 5.0), i
+
+
+def test_cusum_flat_series_never_alarms(spark):
+    from econdatapipeline_spark.operators.timeseries import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [("g", i, 7.5) for i in range(5)], "grp string, t int, v double"
+    )
+    rows = cusum_changepoint(df, "grp", "t", "v", threshold=0.001).collect()
+    assert all(r["cusum_pos"] == 0.0 and r["cusum_neg"] == 0.0 for r in rows)
+    assert not any(r["alarm"] for r in rows)
