@@ -5632,7 +5632,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             o AS (
               SELECT doc_id, source,
-                     CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) AS global_pos,
+                     ROW_NUMBER() OVER (ORDER BY h) AS global_pos,
                      CAST(NTILE(8) OVER (ORDER BY h) AS INT) AS shard_id
               FROM k)
             SELECT doc_id, source, global_pos, shard_id,

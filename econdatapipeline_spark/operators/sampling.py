@@ -223,12 +223,27 @@ def corpus_shuffle(
     hash is the permutation, the seed picks which permutation.
 
     ``global_pos`` is the 1-based position in the shuffled order,
-    ``shard_id`` = NTILE(n_shards) over that order (equal-sized
-    contiguous shards), ``shard_pos`` the position within the shard.
+    ``shard_id`` follows NTILE(n_shards) semantics over that order
+    (equal-sized contiguous shards, the first ``n mod s`` shards one
+    longer), ``shard_pos`` the position within the shard.
 
-    Scale: one total-order sort (Spark range-partitions it by sampled
-    hash boundaries). The row_number/ntile frames ride the same sort.
-    For 100 TB, write the result with
+    Scale: a global ``Window.orderBy`` would funnel every row through
+    ONE task — the classic rank scale-killer. Instead the rank is
+    assembled from bounded pieces (the zipWithIndex discipline, but
+    deterministic and declarative):
+
+    1. the first two hex chars of the hash split the data into 256
+       uniform buckets whose lexicographic order IS hash order;
+    2. per-bucket counts (a 256-row aggregate) turn into cumulative
+       start offsets with one window over those 256 rows;
+    3. ``global_pos`` = bucket offset (broadcast back) + row_number
+       within the bucket — the only big-data window is partitioned by
+       bucket, so each task sorts 1/256th of the data.
+
+    ``shard_id``/``shard_pos`` are then ARITHMETIC on global_pos and
+    the total count (NTILE's fill rule written out), not a second
+    global window. Widen the prefix (3 hex chars -> 4096 buckets) as
+    the per-bucket slice grows. For 100 TB, write the result with
     ``Warehouse.write_dataset(partition_cols=["shard_id"])`` so each
     training reader scans exactly one shard directory.
     """
@@ -237,16 +252,49 @@ def corpus_shuffle(
     from pyspark.sql import Window
 
     key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
-    w = Window.orderBy(key.asc())
-    return df.select(
-        "*",
-        F.row_number().over(w).alias("global_pos"),
-        F.ntile(n_shards).over(w).alias("shard_id"),
-    ).withColumn(
-        "shard_pos",
-        F.row_number().over(
-            Window.partitionBy("shard_id").orderBy(F.col("global_pos").asc())
-        ),
+    keyed = df.select("*", key.alias("__h"), F.substring(key, 1, 2).alias("__b"))
+    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__b",
+        (
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("__off"),
+        F.sum("__n").over(
+            Window.orderBy("__b").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    w_bucket = Window.partitionBy("__b").orderBy("__h")
+    ranked = keyed.join(F.broadcast(offsets), "__b").select(
+        *df.columns,
+        (F.row_number().over(w_bucket) + F.col("__off")).alias("global_pos"),
+        F.col("__total").alias("__total"),
+    )
+    # NTILE(s) fill rule over n rows: the first r = n % s shards hold
+    # q+1 rows (q = n div s), the rest q. Pure arithmetic on the rank.
+    q = (F.col("__total") / n_shards).cast("long")
+    r = F.col("__total") % n_shards
+    p0 = F.col("global_pos") - 1
+    big_span = r * (q + 1)
+    shard = F.when(
+        (q > 0) & (p0 >= big_span), r + F.floor((p0 - big_span) / q) + 1
+    ).otherwise(F.floor(p0 / (q + 1)) + 1)
+    shard_start = F.when(
+        (q > 0) & (shard > r), big_span + (shard - 1 - r) * q
+    ).otherwise((shard - 1) * (q + 1))
+    return ranked.select(
+        *df.columns,
+        "global_pos",
+        shard.cast("int").alias("shard_id"),
+        (p0 - shard_start + 1).cast("int").alias("shard_pos"),
     )
 
 
