@@ -3000,6 +3000,28 @@ def q_prefix_dups(spark, sf_dir):
     return prefix_dup_pairs(d.unionByName(trunc))
 
 
+def q_kfold(spark, sf_dir):
+    """Deterministic 5-fold CV assignment
+    (operators/sampling.kfold_assign): fold = md5(seed||id) % 5, a
+    pure scan-stage expression — zero shuffles, so each fold's
+    train/val filter pushes into the parquet scan."""
+    from econdatapipeline_spark.operators.sampling import kfold_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return kfold_assign(d, k=5)
+
+
+def q_negative_sample(spark, sf_dir):
+    """Hash-ring negative sampling for contrastive training
+    (operators/sampling.negative_sample): 3 negatives per anchor from
+    bucket representatives probed at coprime stride — one tiny
+    aggregate + one broadcast join, no rand(), no corpus shuffle."""
+    from econdatapipeline_spark.operators.sampling import negative_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return negative_sample(d, k=3, n_buckets=64)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3231,6 +3253,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "domain_cap": q_domain_cap,
         "quantile_filter": q_quantile_filter,
         "prefix_dups": q_prefix_dups,
+        "kfold": q_kfold,
+        "negative_sample": q_negative_sample,
     }
 
 
@@ -5675,6 +5699,27 @@ def oracle_sql() -> dict[str, str]:
                    a.len AS short_len, b.len AS long_len
             FROM probe a JOIN probe b ON a.pk = b.pk
             WHERE a.len < b.len AND starts_with(b.txt, a.txt)
+        """,
+        "kfold": """
+            SELECT doc_id, lang,
+                   CAST(CAST('0x' || substr(md5('fold0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 5 AS INT) AS fold
+            FROM documents
+        """,
+        "negative_sample": """
+            WITH b AS (
+              SELECT doc_id AS id,
+                     CAST('0x' || substr(md5('neg0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 64 AS b,
+                     md5('neg0:' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents),
+            reps AS (SELECT b, arg_min(id, h) AS rep_id FROM b GROUP BY b),
+            probes AS (
+              SELECT id AS anchor_id, r AS neg_rank, (b + r * 33) % 64 AS pb
+              FROM b, (SELECT unnest([1, 2, 3]) AS r))
+            SELECT anchor_id, neg_rank, rep_id AS neg_id
+            FROM probes JOIN reps ON probes.pb = reps.b
+            WHERE rep_id != anchor_id
         """,
     }
     # The xlsx byte-scan feeds the identical literal grid into the same

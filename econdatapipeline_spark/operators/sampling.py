@@ -332,3 +332,91 @@ def domain_cap(
         df.withColumn("domain_rank", F.row_number().over(w))
         .filter(F.col("domain_rank") <= max_per_domain)
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "fold0",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment -> input
+    columns + ``fold`` in [0, k).
+
+    The fold is ``md5(seed || id) % k`` — a pure scan-stage expression
+    (no shuffle at all): every engine, run, and retry agrees on each
+    row's fold, so fold i's train/val sets can be re-derived on demand
+    instead of materialized k times. Changing ``seed`` re-deals the
+    folds; at 100 TB the k training jobs each push ``fold != i`` (or
+    ``== i``) down into the parquet scan.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    key = F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    return df.select("*", _md5_bucket(key, k).cast("int").alias("fold"))
+
+
+def negative_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: str = "neg0",
+) -> DataFrame:
+    """Deterministic hash-ring negative sampling for contrastive
+    training -> (anchor_id, neg_rank, neg_id).
+
+    Each anchor document gets ``k`` pseudo-random negatives drawn from
+    the corpus — reproducibly, with no ``rand()`` and no per-anchor
+    corpus scan. Construction:
+
+    1. every document hashes onto a ring of ``n_buckets`` buckets;
+    2. each bucket elects a deterministic representative (min md5 in
+       bucket — itself a hash-random choice);
+    3. anchor a's i-th negative is the representative of bucket
+       ``(bucket(a) + i * stride) % n_buckets`` with stride coprime to
+       the ring so the k probes hit k distinct buckets.
+
+    Shape: one tiny aggregate (n_buckets rows) for the representatives,
+    one explode of a k-literal array, one equi-join against the
+    broadcast representative table — per-anchor cost O(k), total cost
+    one scan + one broadcast join, no shuffle of the corpus. Probes
+    that land on the anchor's own document or an empty bucket are
+    dropped (ring occupancy at scale makes both vanishingly rare).
+
+    At 100 TB raise ``n_buckets`` so representatives stay a broadcast
+    relation while negatives stay diverse; for in-batch-hard-negative
+    mining, feed these as the easy tier and let ``ann_*`` supply the
+    hard tier.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    key = F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    h = F.md5(key)
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        _md5_bucket(key, n_buckets).alias("b"),
+        h.alias("h"),
+    )
+    reps = bucketed.groupBy("b").agg(
+        F.min_by("id", F.struct(F.col("h"), F.col("id"))).alias("rep_id")
+    )
+    stride = 2 * (n_buckets // (k + 1)) + 1  # odd -> coprime with 2^m rings
+    probes = bucketed.select(
+        F.col("id").alias("anchor_id"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, k + 1)])
+        ).alias("neg_rank"),
+        F.col("b"),
+    ).select(
+        "anchor_id",
+        "neg_rank",
+        ((F.col("b") + F.col("neg_rank") * stride) % n_buckets).alias("pb"),
+    )
+    return (
+        probes.join(F.broadcast(reps), probes.pb == reps.b)
+        .filter(F.col("rep_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_rank", F.col("rep_id").alias("neg_id"))
+    )

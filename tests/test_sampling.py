@@ -179,3 +179,46 @@ def test_domain_cap_keeps_topn_per_domain(spark):
     assert kept["big"] == [7, 8, 9]  # highest n_chars win
     assert kept["small"] == [100]
     assert all(1 <= r["domain_rank"] <= 3 for r in out)
+
+
+def test_kfold_assign_partition_and_determinism(spark):
+    from econdatapipeline_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = kfold_assign(df, k=5).collect()
+    folds = {r["doc_id"]: r["fold"] for r in out}
+    assert set(folds.values()) <= set(range(5))
+    # every fold non-trivially populated on 200 uniform ids
+    from collections import Counter
+
+    sizes = Counter(folds.values())
+    assert len(sizes) == 5 and min(sizes.values()) > 10
+    # deterministic; new seed re-deals
+    again = {r["doc_id"]: r["fold"] for r in kfold_assign(df, k=5).collect()}
+    assert again == folds
+    other = {r["doc_id"]: r["fold"] for r in kfold_assign(df, 5, seed="z").collect()}
+    assert other != folds
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kfold_assign(df, k=1)
+
+
+def test_negative_sample_shape_and_no_self(spark):
+    from econdatapipeline_spark.operators.sampling import negative_sample
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    out = negative_sample(df, k=3, n_buckets=16).collect()
+    by_anchor: dict = {}
+    for r in out:
+        assert r["neg_id"] != r["anchor_id"]
+        by_anchor.setdefault(r["anchor_id"], set()).add(r["neg_rank"])
+    # each anchor gets at most k negatives, ranks within 1..k
+    assert all(ranks <= {1, 2, 3} for ranks in by_anchor.values())
+    # dense ring: nearly every anchor gets all k
+    assert sum(len(v) == 3 for v in by_anchor.values()) >= 95
+    # deterministic
+    again = sorted((r["anchor_id"], r["neg_rank"], r["neg_id"]) for r in
+                   negative_sample(df, k=3, n_buckets=16).collect())
+    assert again == sorted((r["anchor_id"], r["neg_rank"], r["neg_id"]) for r in out)
