@@ -10,8 +10,9 @@ before a final cast to double, so value hashes match bit-for-bit.
 Entries without an oracle (genuinely non-SQL-expressible): the
 mapInPandas multimodal kernel, the SimHash block-LSH pair search
 (bit-level ops DuckDB expresses differently), and the HLL
-approx_count_distinct sketch (estimates are engine-specific); the
-driver records rows-only checks for those.
+approx_count_distinct sketch and the Datasketches hll_rollup
+(estimates are engine-specific); the driver records rows-only checks
+for those.
 """
 
 from __future__ import annotations
@@ -3011,6 +3012,18 @@ def q_kfold(spark, sf_dir):
     return kfold_assign(d, k=5)
 
 
+def q_sketch_rollup(spark, sf_dir):
+    """Mergeable HLL distinct rollup (operators/stats.hll_rollup):
+    per-source sketches plus their union — the only re-aggregatable
+    form of COUNT DISTINCT at 100 TB. Rows-only driver check
+    (Datasketches estimates are engine-specific); the 2% accuracy
+    bound is pinned by tests/test_stats.py against exact counts."""
+    from econdatapipeline_spark.operators.stats import hll_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    return hll_rollup(d, "doc_id", "source")
+
+
 def q_negative_sample(spark, sf_dir):
     """Hash-ring negative sampling for contrastive training
     (operators/sampling.negative_sample): 3 negatives per anchor from
@@ -3255,6 +3268,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "prefix_dups": q_prefix_dups,
         "kfold": q_kfold,
         "negative_sample": q_negative_sample,
+        "sketch_rollup": q_sketch_rollup,
     }
 
 

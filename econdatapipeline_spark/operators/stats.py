@@ -163,3 +163,41 @@ def category_drift(
             ).alias("total_variation"),
         )
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count rollup via Datasketches HLL ->
+    (group, approx_distinct) per group plus an '__all__' row whose
+    sketch is the UNION of the group sketches — never a re-scan.
+
+    The 100 TB pattern for distinct users/documents per dimension:
+    exact distinct counts don't roll up (distinct-per-source can't be
+    summed into distinct-overall), but HLL sketches merge losslessly.
+    One scan builds the per-group sketches; every coarser total —
+    all-sources here, or any GROUPING SETS level — is sketch algebra
+    on the aggregate outputs (bytes-sized relations). Store the binary
+    sketch column in the warehouse and tomorrow's increment merges
+    into it without touching today's data.
+
+    lg_k=12 -> 4 KiB sketches, ~1.6% relative standard error
+    (accuracy pinned by tests/test_stats.py against the exact count).
+    Estimates are engine-specific: the driver records a rows-only
+    check; the accuracy bound is the pytest contract.
+    """
+    sketches = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("__sk")
+    )
+    per_group = sketches.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.hll_sketch_estimate("__sk").alias("approx_distinct"),
+    )
+    merged = sketches.agg(F.hll_union_agg("__sk").alias("__sk")).select(
+        F.lit("__all__").alias("group"),
+        F.hll_sketch_estimate("__sk").alias("approx_distinct"),
+    )
+    return per_group.unionByName(merged)

@@ -136,3 +136,82 @@ def quota_filter(events: DataFrame, budget: float = 50.0) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("cusum_pos", T.DoubleType()),
+        T.StructField("cusum_neg", T.DoubleType()),
+        T.StructField("alarm", T.BooleanType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("base", T.DoubleType()),
+        T.StructField("s_pos", T.DoubleType()),
+        T.StructField("s_neg", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def cusum_monitor(events: DataFrame, threshold: float = 100.0) -> DataFrame:
+    """Streaming two-sided CUSUM drift alarm per key: the live twin of
+    ``operators.timeseries.cusum_changepoint``.
+
+    Page's recursions run natively here — streaming state IS the
+    sequential accumulator the batch operator had to rewrite in closed
+    window form:
+
+        S+ := max(0, S+ + (x - base)) ; S- := max(0, S- - (x - base))
+
+    with ``base`` pinned to the key's first-ever observation (carried
+    in the state store, so restarts and late batches keep the same
+    reference level). One (base, S+, S-, n) tuple per key; each batch
+    emits the key's updated detector and alarm flag.
+
+    Events are processed in (ts, value) order after a single
+    per-group-batch concat — chunk-local sorts would make the
+    intermediate S trajectories depend on Arrow chunk boundaries
+    (same determinism rule as quota_filter). The FINAL S after the
+    batch is order-independent only in the batch twin's closed form;
+    the trajectory (and thus when the alarm first fires) is not, so
+    the order contract matters.
+    """
+
+    def kernel(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            base, s_pos, s_neg, n = state.get
+        else:
+            base, s_pos, s_neg, n = None, 0.0, 0.0, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "value"])
+        for x in pdf["value"]:
+            v = float(x)
+            if base is None:
+                base = v
+            s_pos = max(0.0, s_pos + (v - base))
+            s_neg = max(0.0, s_neg - (v - base))
+            n += 1
+        state.update((base, s_pos, s_neg, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n],
+                "cusum_pos": [round(s_pos, 6)],
+                "cusum_neg": [round(s_neg, 6)],
+                "alarm": [s_pos > threshold or s_neg > threshold],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        kernel,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -197,3 +197,31 @@ def test_q13_left_join_preserves_zero_groups(spark):
     plan = plan_of(E.q_cust_order_distribution(spark, SF_DIR))
     # the outer join must survive optimization (no inner-join rewrite)
     assert "LeftOuter" in plan or "RightOuter" in plan
+
+
+def test_corpus_shuffle_has_no_global_window(spark):
+    """The training-order rank must come from bucket-partitioned
+    windows — a Window over the whole input (empty partition spec)
+    funnels 100 TB through one task."""
+    plan = plan_of(E.q_corpus_shuffle(spark, SF_DIR), "extended")
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        # every big-side window is keyed; the only unkeyed windows are
+        # over the 256-row bucket-offset relation, whose spec contains
+        # the tiny __b ordering, never the row hash __h alone
+        if "__h" in spec:
+            assert "__b" in spec.split("__h")[0], spec
+
+
+def test_domain_cap_rank_filter_prunes_before_shuffle(spark):
+    """row_number <= N must plan a WindowGroupLimit (partial top-k per
+    partition) so the exchange never carries a domain's full tail."""
+    plan = plan_of(E.q_domain_cap(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_negative_sample_broadcasts_representatives(spark):
+    plan = plan_of(E.q_negative_sample(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -127,3 +127,59 @@ def test_quota_filter_enforces_budget_across_batches(spark, dirs):
     out1 = run_once()
     got = {r["event_id"]: r["spent_after"] for r in out1}
     assert got == {5: 19.5, 7: 3.0}  # 6 dropped (over budget); user 2 fresh
+
+
+def test_cusum_monitor_matches_batch_closed_form(spark, dirs):
+    """The streaming recursion across TWO micro-batches must equal the
+    batch operator's closed window form over the concatenated series."""
+    from econdatapipeline_spark.streaming.stateful import cusum_monitor
+    from econdatapipeline_spark.operators.timeseries import cusum_changepoint
+
+    src, ckpt = dirs
+    t = dt.datetime(2024, 1, 1)
+    b0 = [(1, t + dt.timedelta(seconds=i), v) for i, v in enumerate([10.0, 11.0, 9.0])]
+    b1 = [
+        (1, t + dt.timedelta(seconds=3 + i), v)
+        for i, v in enumerate([20.0, 22.0, 25.0])
+    ]
+
+    def run(src_dir, ckpt_dir):
+        stream = spark.readStream.schema(EVENT_SCHEMA).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src_dir)
+        got: list = []
+
+        def sink(batch_df, _bid):
+            got.extend(batch_df.collect())
+
+        q = (
+            cusum_monitor(stream, threshold=15.0)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    _write_batch(spark, src, b0, "b0")
+    out1 = run(src, ckpt)
+    assert len(out1) == 1 and out1[0]["n_seen"] == 3 and not out1[0]["alarm"]
+
+    _write_batch(spark, src, b1, "b1")
+    out2 = run(src, ckpt)
+    assert len(out2) == 1
+    r = out2[0]
+    assert r["n_seen"] == 6
+
+    # batch twin over the full series: final S+/S- must agree
+    allrows = [(1, i, v) for i, (_, _, v) in enumerate(b0 + b1)]
+    df = spark.createDataFrame(allrows, "k long, t int, v double")
+    last = (
+        cusum_changepoint(df, "k", "t", "v", threshold=15.0)
+        .orderBy("t")
+        .collect()[-1]
+    )
+    assert (r["cusum_pos"], r["cusum_neg"]) == (last["cusum_pos"], last["cusum_neg"])
+    assert r["alarm"] == last["alarm"] is True

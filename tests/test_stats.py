@@ -81,3 +81,19 @@ def test_category_drift_known_distributions(spark):
     # TVD picks up the missing |0 - q_es| mass
     assert out["src_skew"]["kl_divergence"] == round(math.log(1 / 0.8), 6)
     assert out["src_skew"]["total_variation"] == round(0.5 * (abs(1 - 0.8) + 0.2), 6)
+
+
+def test_hll_rollup_merges_instead_of_rescanning(spark):
+    """Per-group estimates and the union-merged total must each land
+    within 2% of the exact distinct counts; the merged row must NOT be
+    the sum of per-group counts (overlapping keys collapse)."""
+    from econdatapipeline_spark.operators.stats import hll_rollup
+
+    # 3 sources, heavy overlap: global distinct 3000, per-source 2000
+    rows = [(k, f"s{g}") for g in range(3) for k in range(g * 500, g * 500 + 2000)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    out = {r["group"]: r["approx_distinct"] for r in hll_rollup(df, "k", "src").collect()}
+    for g in range(3):
+        assert abs(out[f"s{g}"] - 2000) / 2000 < 0.02
+    assert abs(out["__all__"] - 3000) / 3000 < 0.02
+    assert out["__all__"] < 6000 * 0.98  # merged, not summed
