@@ -270,3 +270,48 @@ def test_read_merge_schema_unions_appended_columns(spark, tmp_path):
     assert set(merged.columns) == {"uid", "v", "src"}
     rows = {r["uid"]: r["src"] for r in merged.collect()}
     assert rows == {1: None, 2: "batch7"}
+
+
+def test_zordered_write_prunes_both_dimensions(spark, tmp_path):
+    """Morton interleaving must give every file a narrow min/max window
+    on BOTH columns; lexicographic clustering on (x, y) leaves y at
+    nearly full range in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    # two independent uniform dims derived from id (decorrelated)
+    df = spark.range(0, 65_536).select(
+        (F.col("id") % 256).alias("x"),
+        ((F.col("id") * 131) % 256).alias("y"),
+    )
+
+    def file_spans(table, col_idx):
+        spans = []
+        for f in glob.glob(f"{wh.path(table)}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = md.row_group(rg).column(col_idx)
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    wh.write_zordered(df, "zorder", "x", "y", num_files=16, bits=8)
+    zx, zy = file_spans("zorder", 0), file_spans("zorder", 1)
+    assert len(zx) > 4
+    # both dims narrow: average file window well under half the domain
+    assert sum(zx) / len(zx) < 128 and sum(zy) / len(zy) < 128, (zx, zy)
+
+    wh.write_clustered(df, "lex", ["x", "y"], num_files=16)
+    ly = file_spans("lex", 1)
+    # lexicographic: y's average file window is far wider than z-order's
+    assert sum(ly) / len(ly) > 2 * sum(zy) / len(zy), (ly, zy)
+
+    # completeness + determinism of the layout
+    assert wh.read("zorder").count() == 65_536
