@@ -3012,6 +3012,18 @@ def q_kfold(spark, sf_dir):
     return kfold_assign(d, k=5)
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-document token Shannon entropy
+    (operators/contamination.token_entropy): H = ln n - (Σ c·ln c)/n
+    over two map-side-combinable hash aggregates keyed by document;
+    each c·ln c addend floor-rounded then decimal-summed so both
+    engines add identical terms in any order."""
+    from econdatapipeline_spark.operators.contamination import token_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return token_entropy(d)
+
+
 def q_sketch_rollup(spark, sf_dir):
     """Mergeable HLL distinct rollup (operators/stats.hll_rollup):
     per-source sketches plus their union — the only re-aggregatable
@@ -3268,6 +3280,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "prefix_dups": q_prefix_dups,
         "kfold": q_kfold,
         "negative_sample": q_negative_sample,
+        "token_entropy": q_token_entropy,
         "sketch_rollup": q_sketch_rollup,
     }
 
@@ -5734,6 +5747,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT anchor_id, neg_rank, rep_id AS neg_id
             FROM probes JOIN reps ON probes.pb = reps.b
             WHERE rep_id != anchor_id
+        """,
+        "token_entropy": f"""
+            WITH t AS (
+              SELECT doc_id AS id, unnest({toks}) AS tok FROM documents),
+            c AS (
+              SELECT id, tok, COUNT(*) AS c
+              FROM t WHERE tok <> '' GROUP BY id, tok),
+            d AS (
+              SELECT id,
+                     CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(SUM(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                                         * 1e6 + 0.5) / 1e6
+                              AS DECIMAL(28,6))) AS DOUBLE) AS clnc
+              FROM c GROUP BY id)
+            SELECT id AS doc_id, n_tokens, n_distinct,
+                   round(ln(CAST(n_tokens AS DOUBLE)) - clnc / n_tokens, 6)
+                     AS entropy
+            FROM d
         """,
     }
     # The xlsx byte-scan feeds the identical literal grid into the same

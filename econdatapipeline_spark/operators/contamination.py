@@ -132,3 +132,53 @@ def repetition_scores(
         ).alias("dup_trigram_frac"),
         F.round(mode_count / F.size("g2"), 6).alias("top_bigram_frac"),
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token Shannon entropy -> (id, n_tokens, n_distinct,
+    entropy) in nats — the gibberish / boilerplate detector that
+    complements the repetition fractions: keyboard-mash scores HIGH
+    (every token unique -> entropy = ln n), template spam scores LOW
+    (one token dominates -> entropy -> 0); natural prose sits in a
+    band between them, so corpus filters gate on BOTH tails.
+
+    Algebra: H = ln(n) - (Σ c·ln c)/n over per-token counts c, so the
+    whole operator is two hash aggregates keyed by document (token
+    counts, then the per-doc reduction) — both with map-side partials,
+    state O(distinct tokens per doc), never O(corpus vocabulary).
+
+    Cross-engine determinism: each c·ln(c) term is floor-rounded at
+    1e-6 BEFORE the sum and the sum runs in decimal, so engines add
+    identical addends in any order (the ``adamic_adar`` ln discipline);
+    the final entropy rounds to 6 at the edge.
+    """
+    from econdatapipeline_spark.functions.text import tokenize
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    term = (
+        F.floor(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double")) * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(term.cast("decimal(28,6)")).cast("double").alias("__clnc"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("__clnc") / F.col("n_tokens")
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "n_distinct",
+        F.round(h, 6).alias("entropy"),
+    )

@@ -81,3 +81,23 @@ def test_repetition_scores(spark):
     assert rows[2]["top_bigram_frac"] == pytest.approx(0.25)
     assert rows[3]["dup_bigram_frac"] == 0.0
     assert rows[3]["top_bigram_frac"] == pytest.approx(1.0)
+
+
+def test_token_entropy_known_values(spark):
+    import math
+
+    from econdatapipeline_spark.operators.contamination import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one token: H = 0
+            (2, "a b c d"),          # uniform: H = ln 4
+            (3, "a a b b"),          # two tokens evenly: H = ln 2
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
+    assert abs(out[2]["entropy"] - math.log(4)) < 1e-5
+    assert abs(out[3]["entropy"] - math.log(2)) < 1e-5
+    assert out[3]["n_tokens"] == 4 and out[3]["n_distinct"] == 2
