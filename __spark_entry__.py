@@ -3024,6 +3024,23 @@ def q_token_entropy(spark, sf_dir):
     return token_entropy(d)
 
 
+def q_psi_drift(spark, sf_dir):
+    """PSI distribution-shift monitor (operators/stats.psi_drift):
+    1995 vs 1996 order totals over fixed bins — two scan-stage binned
+    aggregates, no data-sized join; per-bin terms floor-rounded for
+    engine parity."""
+    from econdatapipeline_spark.operators.stats import psi_drift
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    target = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    return psi_drift(base, target, "o_totalprice", bins=10, lo=0.0, hi=500000.0)
+
+
 def q_sketch_rollup(spark, sf_dir):
     """Mergeable HLL distinct rollup (operators/stats.hll_rollup):
     per-source sketches plus their union — the only re-aggregatable
@@ -3281,6 +3298,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "kfold": q_kfold,
         "negative_sample": q_negative_sample,
         "token_entropy": q_token_entropy,
+        "psi_drift": q_psi_drift,
         "sketch_rollup": q_sketch_rollup,
     }
 
@@ -5766,6 +5784,43 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(CAST(n_tokens AS DOUBLE)) - clnc / n_tokens, 6)
                      AS entropy
             FROM d
+        """,
+        "psi_drift": """
+            WITH base AS (
+              SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+              WHERE o_orderdate >= DATE '1995-01-01'
+                AND o_orderdate <  DATE '1996-01-01'),
+            tgt AS (
+              SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+              WHERE o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate <  DATE '1997-01-01'),
+            ab AS (
+              SELECT CASE WHEN x < 0.0 THEN -1 WHEN x >= 500000.0 THEN 10
+                          ELSE CAST(floor((x - 0.0) / 50000.0) AS INT) END AS bin,
+                     COUNT(*) AS n_base
+              FROM base GROUP BY 1),
+            tb AS (
+              SELECT CASE WHEN x < 0.0 THEN -1 WHEN x >= 500000.0 THEN 10
+                          ELSE CAST(floor((x - 0.0) / 50000.0) AS INT) END AS bin,
+                     COUNT(*) AS n_target
+              FROM tgt GROUP BY 1),
+            j AS (
+              SELECT COALESCE(ab.bin, tb.bin) AS bin,
+                     CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+                     CAST(COALESCE(n_target, 0) AS BIGINT) AS n_target
+              FROM ab FULL OUTER JOIN tb ON ab.bin = tb.bin),
+            s AS (
+              SELECT bin, n_base, n_target,
+                     greatest(CAST(n_base AS DOUBLE)
+                              / (SELECT CAST(COUNT(*) AS DOUBLE) FROM base),
+                              1e-6) AS p,
+                     greatest(CAST(n_target AS DOUBLE)
+                              / (SELECT CAST(COUNT(*) AS DOUBLE) FROM tgt),
+                              1e-6) AS q
+              FROM j)
+            SELECT bin, n_base, n_target,
+                   floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 AS psi_term
+            FROM s
         """,
     }
     # The xlsx byte-scan feeds the identical literal grid into the same

@@ -201,3 +201,59 @@ def hll_rollup(
         F.hll_sketch_estimate("__sk").alias("approx_distinct"),
     )
     return per_group.unionByName(merged)
+
+
+def psi_drift(
+    base: DataFrame,
+    target: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Population stability index between two snapshots of a numeric
+    column -> (bin, n_base, n_target, psi_term) per bin, underflow and
+    overflow inclusive.
+
+    PSI = Σ_bins (p_i - q_i)·ln(p_i/q_i) — the standard "did this
+    feature's distribution move between training and serving / last
+    month and this month" alarm (PSI > 0.2 is the conventional
+    retrain trigger). Fixed caller-supplied bounds make the binning a
+    pure scan-stage expression on both snapshots (same contract as
+    ``histogram``); each side reduces to ONE bins-sized count
+    aggregate, so the comparison costs two scans and no join of
+    data-sized relations. Empty bins are ε-smoothed (1e-6) so the log
+    is total — the textbook PSI convention.
+
+    Engine parity: fractions are exact IEEE divisions of bigint
+    counts, each bin's term floor-rounds at 1e-6 (the ``adamic_adar``
+    ln discipline), so the per-bin rows hash identically; the total is
+    the caller's one-line SUM over bins+2 rows.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    width = (hi - lo) / bins
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        c = F.col(col).cast("double")
+        b = (
+            F.when(c < lo, F.lit(-1))
+            .when(c >= hi, F.lit(bins))
+            .otherwise(F.floor((c - lo) / F.lit(width)).cast("int"))
+        )
+        return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias(out))
+
+    a = binned(base, "n_base")
+    t = binned(target, "n_target")
+    j = a.join(t, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_target", F.lit(0)).alias("n_target"),
+    )
+    tot_a = base.count()
+    tot_t = target.count()
+    eps = F.lit(1e-6)
+    p = F.greatest(F.col("n_base").cast("double") / F.lit(float(tot_a)), eps)
+    q = F.greatest(F.col("n_target").cast("double") / F.lit(float(tot_t)), eps)
+    term = F.floor((p - q) * F.log(p / q) * 1e6 + F.lit(0.5)) / 1e6
+    return j.select("bin", "n_base", "n_target", term.alias("psi_term"))

@@ -97,3 +97,20 @@ def test_hll_rollup_merges_instead_of_rescanning(spark):
         assert abs(out[f"s{g}"] - 2000) / 2000 < 0.02
     assert abs(out["__all__"] - 3000) / 3000 < 0.02
     assert out["__all__"] < 6000 * 0.98  # merged, not summed
+
+
+def test_psi_drift_zero_on_identical_and_positive_on_shift(spark):
+    from econdatapipeline_spark.operators.stats import psi_drift
+
+    a = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "x double")
+    same = psi_drift(a, a, "x", bins=10, lo=0.0, hi=100.0).collect()
+    assert sum(r["psi_term"] for r in same) == 0.0
+    # shifted distribution -> strictly positive PSI, every term >= 0
+    b = spark.createDataFrame([(float(i % 100) + 30.0,) for i in range(1000)], "x double")
+    rows = psi_drift(a, b, "x", bins=10, lo=0.0, hi=100.0).collect()
+    total = sum(r["psi_term"] for r in rows)
+    assert total > 0.2
+    assert all(r["psi_term"] >= 0.0 for r in rows)
+    # overflow bucket captured the shifted mass
+    over = {r["bin"]: r["n_target"] for r in rows}[10]
+    assert over == 300
