@@ -6,13 +6,17 @@ Composes the corpus operators the way a pre-training data pipeline
 would, over the benchmark documents table:
 
   1. quality + language gates         (functions.text, column exprs)
-  2. repetition filter                (operators.contamination)
-  3. benchmark decontamination        (operators.contamination)
-  4. exact dedup, best copy kept      (operators.dedup)
-  5. near-dup clustering + canonical  (operators.dedup: MinHash LSH ->
+  2. data-driven quantile gate +      (operators.quality.quantile_filter,
+     domain frequency cap              operators.sampling.domain_cap)
+  3. repetition filter                (operators.contamination)
+  4. benchmark decontamination        (operators.contamination)
+  5. exact dedup, best copy kept      (operators.dedup)
+  6. near-dup clustering + canonical  (operators.dedup: MinHash LSH ->
                                        star-contraction CC -> min_by pick)
-  6. leakage-safe cluster split       (operators.sampling.cluster_split)
-  7. per-split token accounting       (functions.text)
+  7. leakage-safe cluster split       (operators.sampling.cluster_split)
+  8. per-split token accounting +     (functions.text,
+     sketch-based distinct audit       operators.stats.hll_rollup)
+  9. training-order shuffle + shards  (operators.sampling.corpus_shuffle)
 
 Every stage is a lazy DataFrame transform; the funnel executes as a
 handful of Spark jobs only at the final action — at 100 TB the same
@@ -58,7 +62,15 @@ def main() -> None:
         & (F.length("text") >= 50)
     )
 
-    # 2. Repetition filter: drop documents dominated by repeated bigrams.
+    # 2. Data-driven quality gate (cutoff from the corpus, not a magic
+    #    number) + mega-domain cap (top copies per source).
+    from econdatapipeline_spark.operators.quality import quantile_filter
+    from econdatapipeline_spark.operators.sampling import domain_cap
+
+    gated = quantile_filter(gated, "n_chars", 0.05).drop("cutoff")
+    gated = domain_cap(gated, max_per_domain=200).drop("domain_rank")
+
+    # 3. Repetition filter: drop documents dominated by repeated bigrams.
     rep = repetition_scores(gated)
     gated = gated.join(
         rep.filter(F.col("top_bigram_frac") <= 0.5).select("doc_id"), "doc_id"
@@ -119,10 +131,30 @@ def main() -> None:
         .orderBy("split")
     )
 
+    # 8b. Sketch audit: per-source approx distinct + union-merged total
+    #     (the re-aggregatable COUNT DISTINCT — increments merge in).
+    from econdatapipeline_spark.operators.stats import hll_rollup
+
+    audit = hll_rollup(split.filter(F.col("split") == "train"), "doc_id", "source")
+
+    # 9. Deterministic training order + equal shards for the train side.
+    from econdatapipeline_spark.operators.sampling import corpus_shuffle
+
+    train = split.filter(F.col("split") == "train")
+    sharded = corpus_shuffle(train.select("doc_id", "source"), n_shards=4)
+    shard_sizes = (
+        sharded.groupBy("shard_id").agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("shard_id")
+    )
+
     print(f"corpus funnel: {n0} raw -> {n1} gated -> {n2} clean -> {n3} deduped")
     print(f"near-dup candidate pairs: {n_cand}")
     for r in stats.collect():
         print(f"  split={r['split']:<6} docs={r['docs']:<6} tokens={r['tokens']}")
+    merged = {r["group"]: r["approx_distinct"] for r in audit.collect()}
+    print(f"train distinct-doc sketch (union-merged): ~{merged['__all__']:.0f}")
+    for r in shard_sizes.collect():
+        print(f"  shard={r['shard_id']} docs={r['docs']}")
     print("corpus pipeline done")
 
 
