@@ -11,8 +11,9 @@ Entries without an oracle (genuinely non-SQL-expressible): the
 mapInPandas multimodal kernel, the SimHash block-LSH pair search
 (bit-level ops DuckDB expresses differently), and the HLL
 approx_count_distinct sketch and the Datasketches hll_rollup
-(estimates are engine-specific); the driver records rows-only checks
-for those.
+(estimates are engine-specific), and the iterative BPE-training argmax
+loop (no SQL twin; pinned against a pure-Python reference in pytest);
+the driver records rows-only checks for those.
 """
 
 from __future__ import annotations
@@ -3024,6 +3025,20 @@ def q_token_entropy(spark, sf_dir):
     return token_entropy(d)
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.bpe_train):
+    the corpus collapses once to a word histogram, then each merge
+    round is one pair-count aggregate + a 1-row argmax; ties break
+    (count DESC, left ASC, right ASC) so the learned merge sequence is
+    fully deterministic. Rows-only driver check (the iterative argmax
+    loop has no SQL twin); exactness is pinned by tests/test_bpe.py
+    against a pure-Python reference implementation."""
+    from econdatapipeline_spark.operators.bpe import bpe_train, merges_df
+
+    d = _t(spark, sf_dir, "documents")
+    return merges_df(spark, bpe_train(d, num_merges=6))
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI distribution-shift monitor (operators/stats.psi_drift):
     1995 vs 1996 order totals over fixed bins — two scan-stage binned
@@ -3299,6 +3314,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "negative_sample": q_negative_sample,
         "token_entropy": q_token_entropy,
         "psi_drift": q_psi_drift,
+        "bpe_train": q_bpe_train,
         "sketch_rollup": q_sketch_rollup,
     }
 

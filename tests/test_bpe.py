@@ -1,0 +1,93 @@
+"""Distributed BPE training must match a pure-Python reference exactly."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from econdatapipeline_spark.operators.bpe import bpe_encode, bpe_train
+
+PRETOKEN_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]+")
+
+
+def _ref_pretokens(text: str) -> list[str]:
+    return PRETOKEN_RE.findall(text.lower())
+
+
+def _ref_merge(word: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
+    out: list[str] = []
+    for s in word:
+        if out and out[-1] == left and s == right:
+            out[-1] = left + right
+        else:
+            out.append(s)
+    return tuple(out)
+
+
+def _ref_bpe_train(texts: list[str], num_merges: int, min_pair_count: int = 2):
+    words = Counter()
+    for t in texts:
+        words.update(_ref_pretokens(t))
+    syms = {w: tuple(w) for w in words}
+    merges = []
+    for _ in range(num_merges):
+        pair_counts: Counter = Counter()
+        for w, freq in words.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pair_counts[(a, b)] += freq
+        if not pair_counts:
+            break
+        # count DESC, then (left, right) ASC — the engine's tie-break
+        (left, right), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((left, right, n))
+        syms = {w: _ref_merge(s, left, right) for w, s in syms.items()}
+    return merges, syms
+
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the lazy dog sleeps while the quick fox runs",
+    "pack my box with five dozen liquor jugs 42 times!",
+    "quick quick quick lazy lazy the the the thequick",
+]
+
+
+def test_bpe_train_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    got = bpe_train(df, num_merges=8)
+    want, _ = _ref_bpe_train(CORPUS, num_merges=8)
+    assert got == want
+    # merges are learned in strictly non-increasing count order only
+    # within equal alphabets — but counts never increase round-over-
+    # round for the SAME pair; just sanity-check structure here
+    assert len(got) == 8 and all(n >= 2 for _, _, n in got)
+
+
+def test_bpe_encode_matches_reference_segmentation(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, num_merges=6)
+    _, ref_syms = _ref_bpe_train(CORPUS, num_merges=6)
+    out = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(CORPUS):
+        want_tokens = [p for w in _ref_pretokens(t) for p in ref_syms[w]]
+        assert list(out[i]["tokens"]) == want_tokens, i
+        assert out[i]["n_pretokens"] == len(_ref_pretokens(t))
+        assert out[i]["n_bpe_tokens"] == len(want_tokens)
+    # compression: learned merges shorten the token stream vs chars
+    chars = sum(len(w) for w in _ref_pretokens(CORPUS[0]))
+    assert out[0]["n_bpe_tokens"] < chars
+
+
+def test_bpe_train_early_stop_on_rare_pairs(spark):
+    df = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
+    # every pair occurs once: below min_pair_count=2 -> no merges
+    assert bpe_train(df, num_merges=5) == []
