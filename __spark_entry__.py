@@ -3025,6 +3025,88 @@ def q_token_entropy(spark, sf_dir):
     return token_entropy(d)
 
 
+def q_random_projection(spark, sf_dir):
+    """JL sign random projection 64 -> 8 dims
+    (operators/similarity.random_projection): the ±1 matrix is derived
+    from a seed (projection_signs) and folds into the plan as array
+    literals, so the whole reduction is scan-stage zip_with/aggregate
+    with decimal-exact per-dim sums — no shuffle, no fitting pass."""
+    from econdatapipeline_spark.operators.similarity import (
+        projection_signs,
+        random_projection,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = random_projection(e, projection_signs(8, 64))
+    return out.select(
+        "vec_id",
+        *[F.round(F.element_at("proj", j + 1), 6).alias(f"p{j}") for j in range(8)],
+    )
+
+
+def q_ann_project(spark, sf_dir):
+    """Projected-prefilter ANN: score every candidate in the CHEAP
+    8-dim projected space (JL transform preserves cosine order
+    approximately), keep a 20-deep shortlist per query, then re-rank
+    ONLY the shortlist with exact 64-dim cosine — the two-stage
+    retrieve-then-rerank shape that makes brute force affordable at
+    100 TB (full-dim math touches 20 rows per query, not the corpus).
+    Shortlist recall depends on embedding structure: high on clustered
+    real-world embeddings (tests/test_similarity.py, recall >= 0.8 on
+    clusters), necessarily low on this benchmark's near-uniform noise
+    vectors, whose cosine gaps sit below JL distortion — the parity
+    gate checks the two-stage plan's exact semantics either way."""
+    from econdatapipeline_spark.functions.vectors import cosine
+    from econdatapipeline_spark.operators.similarity import (
+        projection_signs,
+        random_projection,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    proj = random_projection(e, projection_signs(8, 64))
+    qp = F.broadcast(
+        proj.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("proj").alias("qp")
+        )
+    )
+    scored = (
+        qp.crossJoin(proj.select(F.col("vec_id").alias("neighbor_id"), F.col("proj").alias("cp")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qp"), F.col("cp")), 6).alias("cos_p"),
+        )
+    )
+    w_p = Window.partitionBy("query_id").orderBy(F.desc("cos_p"), F.asc("neighbor_id"))
+    shortlist = scored.withColumn("prank", F.row_number().over(w_p)).filter(
+        F.col("prank") <= 20
+    )
+    qv = F.broadcast(
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    ev = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    rer = (
+        shortlist.join(qv, "query_id")
+        .join(ev, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.bpe_train):
     the corpus collapses once to a word histogram, then each merge
@@ -3315,6 +3397,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "token_entropy": q_token_entropy,
         "psi_drift": q_psi_drift,
         "bpe_train": q_bpe_train,
+        "random_projection": q_random_projection,
+        "ann_project": q_ann_project,
         "sketch_rollup": q_sketch_rollup,
     }
 
@@ -3406,6 +3490,28 @@ def oracle_sql() -> dict[str, str]:
     # (graph.kcore max_rounds=12): round r keeps edges whose both
     # endpoints have degree >= k in round r-1's subgraph — identical
     # intermediate states, so the twins agree even pre-convergence.
+    # JL projection: the SAME seed-derived ±1 matrix the Spark side
+    # folds into its plan, as SQL list literals; per-dim sums in
+    # decimal so both engines add identical addends in any order.
+    from econdatapipeline_spark.operators.similarity import projection_signs
+
+    _signs = projection_signs(8, 64)
+
+    def _psum(j: int) -> str:
+        lits = "[" + ", ".join(str(v) for v in _signs[j]) + "]"
+        return f"CAST(SUM(CAST(x AS DECIMAL(28,12)) * ({lits})[i]) AS DOUBLE)"
+
+    proj_base = """
+            e AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x
+              FROM embeddings),
+            proj AS (
+              SELECT vec_id, {plist} AS pl
+              FROM e GROUP BY vec_id)""".format(
+        plist="list_value(" + ", ".join(_psum(j) for j in range(8)) + ")"
+    )
+
     # MATERIALIZED: each round references the previous one 3x; inlined
     # CTEs would expand 3^12 ways back to the base scan.
     kcore_rounds = ""
@@ -5837,6 +5943,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, n_base, n_target,
                    floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 AS psi_term
             FROM s
+        """,
+        "random_projection": f"""
+            WITH {proj_base}
+            SELECT vec_id,
+                   {", ".join(f"round(pl[{j + 1}], 6) AS p{j}" for j in range(8))}
+            FROM proj
+        """,
+        "ann_project": f"""
+            WITH {proj_base},
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.pl, c.pl), 6) AS cos_p
+              FROM proj q JOIN proj c
+                ON q.vec_id < 3 AND q.vec_id != c.vec_id),
+            shortlist AS (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_p DESC, neighbor_id ASC) AS prank
+              FROM scored),
+            rer AS (
+              SELECT s.query_id, s.neighbor_id,
+                     round(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])), 6) AS cos
+              FROM shortlist s
+              JOIN embeddings q ON q.vec_id = s.query_id
+              JOIN embeddings c ON c.vec_id = s.neighbor_id
+              WHERE s.prank <= 20)
+            SELECT query_id, neighbor_id, cos,
+                   CAST(rnk AS INT) AS rank
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rnk
+              FROM rer)
+            WHERE rnk <= 5
         """,
     }
     # The xlsx byte-scan feeds the identical literal grid into the same

@@ -221,3 +221,64 @@ def embedding_centroids(
             6,
         ).alias("centroid")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    signs: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection -> (id, proj).
+
+    Projects d-dim embeddings to len(signs)-dim via y_j = Σ_i x_i·s_ji
+    with s_ji ∈ {−1,+1} (Achlioptas 2003: a ±1 matrix preserves
+    pairwise distances within (1±ε) like a Gaussian one). ``signs`` is
+    the caller-supplied literal matrix — derive it deterministically
+    from a seed (see ``projection_signs``) so every engine, run, and
+    partition projects identically; the matrix folds into the plan as
+    array literals, making the whole operator one scan-stage
+    ``zip_with``/``aggregate`` expression per output dim. No shuffle,
+    no UDF, no fitting pass.
+
+    The 100 TB role: a 1536-dim corpus projected to 16 dims makes the
+    exact-re-rank ANN pattern affordable — score ALL candidates in the
+    cheap projected space, keep a shortlist, re-rank the shortlist
+    with full-dimension cosine (see ``q_ann_project``).
+    """
+    dims = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(s)) for s in row]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0).cast("decimal(28,12)"),
+            # re-cast: decimal + decimal widens to (29,12), which would
+            # mismatch the accumulator type on the next fold step
+            lambda acc, v: (acc + v.cast("decimal(28,12)")).cast("decimal(28,12)"),
+        )
+        .cast("double")
+        .alias(f"p{j}")
+        for j, row in enumerate(signs)
+    ]
+    return df.select(
+        F.col(id_col).alias("id"), F.array(*dims).alias(out_col)
+    ).select(F.col("id").alias(id_col), out_col)
+
+
+def projection_signs(out_dim: int, in_dim: int, seed: str = "proj0") -> list[list[int]]:
+    """Deterministic ±1 projection matrix from a seed: sign(j,i) from
+    the md5 of 'seed:j:i' — reproducible everywhere with no RNG state,
+    so the projection is part of the dataset's spec, not a fitted
+    artifact."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]

@@ -90,3 +90,63 @@ def test_embedding_centroids_exact_means(spark):
     assert out[("x", 0)] == 2.0 and out[("x", 1)] == 4.0
     assert out[("y", 0)] == 10.0 and out[("y", 1)] == 0.0
     assert len(out) == 4
+
+
+def test_random_projection_preserves_neighborhoods(spark):
+    """JL property where there IS structure to preserve: clustered
+    vectors (5 noisy copies per center). Exact top-4 = the cluster
+    mates; the 8-dim projected top-10 must recover most of them.
+    (The benchmark embeddings table is near-uniform noise — cosine
+    gaps there sit below JL distortion at any useful dim, which is the
+    documented honest limit, not a bug.)"""
+    import math
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.functions.vectors import cosine
+    from econdatapipeline_spark.operators.similarity import (
+        projection_signs,
+        random_projection,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(40):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for m in range(5):
+            v = [x + rng.gauss(0, 0.15) for x in center]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((c * 5 + m, [x / n for x in v]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    signs = projection_signs(8, 64)
+    proj = random_projection(e, signs)
+    first = proj.first()
+    assert first["proj"] is not None and len(first["proj"]) == 8
+    # determinism
+    a = {r["vec_id"]: tuple(r["proj"]) for r in proj.collect()}
+    b = {r["vec_id"]: tuple(r["proj"]) for r in random_projection(e, signs).collect()}
+    assert a == b
+
+    # cluster mates (true top-4) must appear in the projected top-10
+    pq = proj.selectExpr("vec_id as qid", "proj as qp")
+    pc = proj.selectExpr("vec_id as nid", "proj as cp")
+    scored = (
+        pq.crossJoin(pc)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("qp"), F.col("cp")).alias("c"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("nid"))
+    top10 = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 10)
+    got: dict = {}
+    for r in top10.collect():
+        got.setdefault(r["qid"], set()).add(r["nid"])
+    hits = total = 0
+    for qid in range(200):
+        mates = {qid // 5 * 5 + m for m in range(5)} - {qid}
+        hits += len(mates & got[qid])
+        total += len(mates)
+    recall = hits / total
+    assert recall >= 0.8, recall  # chance at 10/199 would be ~0.05
