@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Python DataSource API pushdown (sources/fred_source.py): lets
+        # a custom source's pushFilters() prune input partitions.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Runtime row-level filtering: when one join side is selective,
         # inject a bloom filter of its join keys into the other side's
         # scan (and a semi-join pre-filter where cheaper). At 100 TB this
