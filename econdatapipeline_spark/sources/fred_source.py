@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -97,3 +98,57 @@ class FredReplayDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return FredReplayReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return FredReplayStreamReader(self.options)
+
+
+class FredReplayStreamReader(SimpleDataSourceStreamReader):
+    """Incremental polling of the FRED cache as a STREAMING source.
+
+    FRED observation lists only ever grow (new periods append; the
+    reference re-downloads the whole payload each run,
+    azure_fred_scraper.py:72-104). That monotonicity is exactly a
+    streaming offset: per series, the count of observations already
+    consumed. Each micro-batch emits only observations past the
+    offset, so downstream windows/MERGE see one row per NEW period —
+    the streaming twin of the batch gate-and-merge pipeline.
+
+    Offsets are plain dicts (checkpoint-serializable);
+    ``readBetweenOffsets`` replays any [start, end) slice
+    deterministically from the files for exactly-once recovery.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fred_replay requires .option('path', <dir>)")
+
+    def _payloads(self):
+        out = {}
+        for name in sorted(os.listdir(self.path)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.path, name), "rb") as fh:
+                    out[name[: -len(".json")]] = json.load(fh).get(
+                        "observations", []
+                    )
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"counts": {}}
+
+    def read(self, start: dict):
+        counts = dict(start.get("counts", {}))
+        rows = []
+        for sid, obs in self._payloads().items():
+            seen = counts.get(sid, 0)
+            for o in obs[seen:]:
+                rows.append((sid, o.get("date"), o.get("value")))
+            counts[sid] = max(seen, len(obs))
+        return iter(rows), {"counts": counts}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        s, e = start.get("counts", {}), end.get("counts", {})
+        for sid, obs in self._payloads().items():
+            for o in obs[s.get(sid, 0) : e.get(sid, 0)]:
+                yield (sid, o.get("date"), o.get("value"))

@@ -83,3 +83,45 @@ def test_fred_replay_feeds_the_normalizer(spark, cache_dir):
     ).orderBy("date")
     rows = typed.collect()
     assert [r["value"] for r in rows] == [3.5, None, 3.8]
+
+
+def test_fred_replay_streams_only_new_observations(spark, cache_dir, tmp_path):
+    """readStream over the cache: batch 1 sees everything, appending a
+    new observation + re-running the same checkpoint emits ONLY the
+    new row (per-series observation-count offsets)."""
+    import json as _json
+
+    from econdatapipeline_spark.sources.fred_source import FredReplayDataSource
+
+    spark.dataSource.register(FredReplayDataSource)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        got: list = []
+
+        def sink(batch_df, _bid):
+            got.extend(batch_df.collect())
+
+        q = (
+            spark.readStream.format("fred_replay").option("path", cache_dir).load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    first = run_once()
+    assert len(first) == 6  # all observations on the initial batch
+
+    # append one new GDP observation (FRED payloads only grow)
+    p = os.path.join(cache_dir, "GDP.json")
+    payload = _json.load(open(p))
+    payload["observations"].append({"date": "2023-07-01", "value": "1222.9"})
+    open(p, "w").write(_json.dumps(payload))
+
+    second = run_once()
+    assert [(r["series_id"], r["obs_date"], r["value_raw"]) for r in second] == [
+        ("GDP", "2023-07-01", "1222.9")
+    ]
