@@ -263,3 +263,90 @@ def test_star_components_vs_python_union_find_many_graphs(spark):
     for algo in (connected_components, star_components):
         got = {r["node"]: r["cluster"] for r in algo(pairs).collect()}
         assert got == truth, algo.__name__
+
+
+def test_corpus_shuffle_ntile_rule_many_sizes(spark):
+    """The arithmetic shard rule must equal SQL NTILE semantics for
+    every (n, shards) combination: first n%s shards one longer, shards
+    contiguous in global order."""
+    from econdatapipeline_spark.operators.sampling import corpus_shuffle
+
+    for n, shards in [(1, 1), (5, 8), (7, 3), (40, 4), (100, 7), (97, 13)]:
+        df = spark.createDataFrame([(i, "s") for i in range(n)], "doc_id long, source string")
+        rows = corpus_shuffle(df, n_shards=shards).collect()
+        assert sorted(r["global_pos"] for r in rows) == list(range(1, n + 1))
+        q, r_ = divmod(n, shards)
+        want_sizes = [q + 1] * r_ + [q] * (shards - r_)
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r["shard_id"], []).append(r["global_pos"])
+        got_sizes = [len(by_shard.get(s, [])) for s in range(1, shards + 1)]
+        assert got_sizes == [w for w in want_sizes], (n, shards, got_sizes)
+        # contiguity + shard_pos correctness
+        expect_start = 1
+        for s in range(1, shards + 1):
+            poss = sorted(by_shard.get(s, []))
+            if not poss:
+                continue
+            assert poss == list(range(expect_start, expect_start + len(poss)))
+            expect_start += len(poss)
+        for r in rows:
+            assert r["shard_pos"] == r["global_pos"] - min(by_shard[r["shard_id"]]) + 1
+
+
+def test_cusum_closed_form_random_series(spark):
+    """Closed window form == Page's recursion on 50 random series."""
+    from econdatapipeline_spark.operators.timeseries import cusum_changepoint
+
+    rng = random.Random(11)
+    rows, want = [], {}
+    for g in range(50):
+        vals = [round(rng.uniform(-50, 50), 2) for _ in range(rng.randint(1, 30))]
+        base, sp, sn = vals[0], 0.0, 0.0
+        for t, x in enumerate(vals):
+            rows.append((f"g{g}", t, x))
+            sp = max(0.0, sp + (x - base))
+            sn = max(0.0, sn - (x - base))
+            want[(f"g{g}", t)] = (round(sp, 6), round(sn, 6))
+    df = spark.createDataFrame(rows, "grp string, t int, v double")
+    out = cusum_changepoint(df, "grp", "t", "v", threshold=10.0).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert (r["cusum_pos"], r["cusum_neg"]) == want[(r["grp"], r["t"])], r
+
+
+def test_kcore_vs_python_peeling_many_graphs(spark):
+    """Distributed peel == reference Python peel on 15 random graphs,
+    for k in {2, 3}."""
+    from econdatapipeline_spark.operators.graph import kcore
+
+    rng = random.Random(23)
+    for trial in range(15):
+        n = rng.randint(4, 25)
+        m = rng.randint(n // 2, n * 2)
+        und = {tuple(sorted((rng.randrange(n), rng.randrange(n))))
+               for _ in range(m)}
+        und = {(a, b) for a, b in und if a != b}
+        if not und:
+            continue
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in und] + [(b, a) for a, b in und],
+            "src long, dst long",
+        )
+        for k in (2, 3):
+            # reference peel
+            adj: dict = {}
+            for a, b in und:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            changed = True
+            while changed:
+                changed = False
+                for v in list(adj):
+                    if len(adj[v]) < k:
+                        for u in adj.pop(v):
+                            adj[u].discard(v)
+                        changed = True
+            want = {v: len(nb) for v, nb in adj.items() if nb}
+            got = {r["node"]: r["core_deg"] for r in kcore(edges, k=k).collect()}
+            assert got == want, (trial, k)
