@@ -11,6 +11,9 @@ on a temp warehouse:
   4. hard delete                  (right-to-be-forgotten rewrite)
   5. schema-evolution read        (append-only tables growing columns)
   6. compaction                   (small-file repair after appends)
+  7. z-order write                (data skipping on TWO filter columns)
+  8. custom Python DataSource     (blob cache as queryable + streaming
+                                   source with pushdown)
 """
 
 from __future__ import annotations
@@ -90,6 +93,31 @@ def main() -> None:
     # 6. Compaction: repair the small-file tail the append left.
     n_files = wh.compact("events")
     print(f"6. compacted to {n_files} file(s)")
+
+    # 7. Z-order: one layout that prunes on BOTH day and user_id.
+    wh.write_zordered(
+        wh.read("events", merge_schema=True).select("day", "user_id", "value"),
+        "events_z", "day", "user_id", num_files=8, bits=8,
+    )
+    print(f"7. z-ordered: {wh.read('events_z').count()} rows laid out on "
+          "the (day, user_id) Morton curve")
+
+    # 8. The FRED blob cache as a REAL source: equality filters prune
+    #    whole files; readStream emits only new observations.
+    import json
+
+    from econdatapipeline_spark.sources.fred_source import FredReplayDataSource
+
+    cache = tempfile.mkdtemp(prefix="fred_cache_")
+    for sid, vals in {"GDP": ["1.1", "1.2"], "UNRATE": ["3.5", "3.6"]}.items():
+        obs = [{"date": f"2023-0{i+1}-01", "value": v} for i, v in enumerate(vals)]
+        with open(os.path.join(cache, f"{sid}.json"), "w") as fh:
+            json.dump({"observations": obs}, fh)
+    spark.dataSource.register(FredReplayDataSource)
+    src = spark.read.format("fred_replay").option("path", cache).load()
+    gdp = src.filter(F.col("series_id") == "GDP")
+    print(f"8. datasource: {src.count()} cached observations; "
+          f"series filter reads {gdp.count()} (partition-pruned)")
 
     spark.stop()
     print("warehouse ops tour done")
