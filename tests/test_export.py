@@ -1,0 +1,70 @@
+"""Python DataSource write API: exactly-once JSONL export sink."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+
+def test_jsonl_export_round_trip_and_success_marker(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.sources.export import JsonlExportDataSource
+
+    spark.dataSource.register(JsonlExportDataSource)
+    out = str(tmp_path / "export")
+    df = spark.range(0, 100).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    df.write.format("jsonl_export").option("path", out).mode("append").save()
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    rows = []
+    for f in sorted(glob.glob(os.path.join(out, "part-*.jsonl"))):
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert len(rows) == 100
+    assert {r["id"] for r in rows} == set(range(100))
+    assert all(r["name"] == f"n{r['id']}" for r in rows)
+    # no temp debris after commit
+    assert not glob.glob(os.path.join(out, ".tmp-*"))
+    # the export reads back through Spark's own json reader
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 100
+
+
+def test_jsonl_export_overwrite_replaces_previous(spark, tmp_path):
+    from econdatapipeline_spark.sources.export import JsonlExportDataSource
+
+    spark.dataSource.register(JsonlExportDataSource)
+    out = str(tmp_path / "export")
+    spark.range(0, 10).write.format("jsonl_export").option("path", out).mode(
+        "append"
+    ).save()
+    spark.range(100, 103).write.format("jsonl_export").option("path", out).mode(
+        "overwrite"
+    ).save()
+    rows = []
+    for f in glob.glob(os.path.join(out, "part-*.jsonl")):
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["id"] for r in rows) == [100, 101, 102]
+
+
+def test_jsonl_export_abort_leaves_no_partial_files(spark, tmp_path):
+    """A failing task must not leave committed-looking output."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.sources.export import JsonlExportDataSource
+
+    spark.dataSource.register(JsonlExportDataSource)
+    out = str(tmp_path / "export")
+    bad = spark.range(0, 10).select(
+        (F.lit(1) / (F.col("id") - 5)).alias("boom")  # div-by-zero at id=5 (ANSI)
+    )
+    with pytest.raises(Exception):
+        bad.write.format("jsonl_export").option("path", out).mode("append").save()
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not glob.glob(os.path.join(out, "part-*.jsonl"))
