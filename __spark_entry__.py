@@ -3025,6 +3025,37 @@ def q_token_entropy(spark, sf_dir):
     return token_entropy(d)
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase attributed to
+    the user's latest click at or before it, within a 2-day lookback —
+    the as-of join (operators/asof.asof_join: union + ONE keyed window
+    pass, no range-candidate blowup) applied to the events stream; the
+    oracle replays it as a correlated LATERAL top-1."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    att = asof_join(
+        purchases.withColumnRenamed("purchase_id", "event_id"),
+        clicks,
+        on="ts",
+        by=["user_id"],
+        right_cols=["click_id"],
+        seq_col="click_id",
+        tolerance=F.expr("INTERVAL 2 DAYS"),
+    )
+    return att.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("click_id_asof").alias("click_id"),
+        F.expr("timestampdiff(SECOND, ts_asof, ts)").alias("gap_seconds"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
 def q_random_projection(spark, sf_dir):
     """JL sign random projection 64 -> 8 dims
     (operators/similarity.random_projection): the ±1 matrix is derived
@@ -3397,6 +3428,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "token_entropy": q_token_entropy,
         "psi_drift": q_psi_drift,
         "bpe_train": q_bpe_train,
+        "attribution": q_attribution,
         "random_projection": q_random_projection,
         "ann_project": q_ann_project,
         "sketch_rollup": q_sketch_rollup,
@@ -5943,6 +5975,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, n_base, n_target,
                    floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 AS psi_term
             FROM s
+        """,
+        "attribution": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, user_id, ts, value
+              FROM events WHERE event_type = 'purchase'),
+            c AS (
+              SELECT user_id, ts, event_id AS click_id
+              FROM events WHERE event_type = 'click')
+            SELECT p.purchase_id, p.user_id,
+                   cc.click_id,
+                   -- Spark timestampdiff truncates the DURATION
+                   -- (9.2s -> 9); DuckDB date_diff counts boundary
+                   -- crossings (0.9s..10.1s -> 10). Mirror the former.
+                   CASE WHEN cc.click_id IS NULL THEN NULL
+                        ELSE CAST(floor(epoch(p.ts - cc.click_ts)) AS BIGINT) END
+                     AS gap_seconds,
+                   round(p.value, 6) AS value
+            FROM p LEFT JOIN LATERAL (
+              SELECT c.click_id, c.ts AS click_ts
+              FROM c
+              WHERE c.user_id = p.user_id
+                AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL 2 DAY
+              ORDER BY c.ts DESC, c.click_id DESC LIMIT 1) cc ON TRUE
         """,
         "random_projection": f"""
             WITH {proj_base}
