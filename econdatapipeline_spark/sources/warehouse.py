@@ -393,6 +393,41 @@ class Warehouse:
     def revisions(self) -> DataFrame:
         return self.read_or_empty(REVISIONS_TABLE, REVISIONS_SCHEMA)
 
+    def vacuum_revisions(
+        self, cutoff: datetime, archive_path: str | None = None
+    ) -> int:
+        """Retention for the audit log: archive-then-delete revisions
+        older than ``cutoff`` -> number of rows removed.
+
+        The append-only log grows forever by design; compliance
+        retention bounds it WITHOUT losing auditability: expired rows
+        are first exported to ``archive_path`` as JSONL via the
+        exactly-once sink (`sources/export.py` — ``_SUCCESS`` is
+        stamped only after every archive file is in place), and only
+        then removed via the atomic staged rewrite that ``delete_rows``
+        uses. A crash between the two phases leaves the log intact
+        plus a complete archive — re-running is idempotent, never
+        lossy. Pair with ``compact`` afterwards: retention deletes old
+        ROWS, compaction repairs the small-FILE tail.
+        """
+        expired = F.col("revision_date") < F.lit(cutoff)
+        if archive_path:
+            from econdatapipeline_spark.sources.export import (
+                JsonlExportDataSource,
+            )
+
+            self.spark.dataSource.register(JsonlExportDataSource)
+            (
+                self.revisions()
+                .filter(expired)
+                .write.format("jsonl_export")
+                .option("path", archive_path)
+                .mode("append")
+                .save()
+            )
+        with self._shared_write_lock:
+            return self.delete_rows(REVISIONS_TABLE, expired)
+
     # -- watermarks (== scrapermetadata, azure_connector.py:552-617) -----
     #
     # The watermark table is hive-partitioned by dataset

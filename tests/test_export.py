@@ -68,3 +68,41 @@ def test_jsonl_export_abort_leaves_no_partial_files(spark, tmp_path):
         bad.write.format("jsonl_export").option("path", out).mode("append").save()
     assert not os.path.exists(os.path.join(out, "_SUCCESS"))
     assert not glob.glob(os.path.join(out, "part-*.jsonl"))
+
+
+def test_vacuum_revisions_archives_then_deletes(spark, tmp_path):
+    import datetime as dt
+    import glob
+    import json
+
+    from econdatapipeline_spark.registry import REVISIONS_SCHEMA
+    from econdatapipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    old_ts = dt.datetime(2024, 1, 1)
+    new_ts = dt.datetime(2025, 6, 1)
+    rows = [
+        ("ds1", "2023-01-01", "value", 1.0, 2.0, old_ts),
+        ("ds1", "2023-02-01", "value", 2.0, 3.0, old_ts),
+        ("ds2", "2023-01-01", "value", 5.0, 6.0, new_ts),
+    ]
+    wh.append_revisions(spark.createDataFrame(rows, REVISIONS_SCHEMA))
+
+    arch = str(tmp_path / "archive")
+    removed = wh.vacuum_revisions(dt.datetime(2025, 1, 1), archive_path=arch)
+    assert removed == 2
+    # live log keeps only the fresh row
+    live = wh.revisions().collect()
+    assert len(live) == 1 and live[0]["dataset"] == "ds2"
+    # archive holds exactly the expired rows, committed
+    assert os.path.exists(os.path.join(arch, "_SUCCESS"))
+    archived = []
+    for f in glob.glob(os.path.join(arch, "part-*.jsonl")):
+        with open(f) as fh:
+            archived += [json.loads(line) for line in fh]
+    assert {(r["dataset"], r["data_date"]) for r in archived} == {
+        ("ds1", "2023-01-01"),
+        ("ds1", "2023-02-01"),
+    }
+    # idempotent: nothing left to vacuum
+    assert wh.vacuum_revisions(dt.datetime(2025, 1, 1)) == 0
