@@ -60,3 +60,25 @@ def normalize_fred_observations(
         .filter(F.col("date").isNotNull() & F.col(value_col).isNotNull())
         .orderBy("date")
     )
+
+
+def normalize_fred_rows(df: DataFrame, spec: DatasetSpec) -> DataFrame:
+    """Row-relation twin of ``normalize_fred_observations``: normalize
+    a (obs_date string, value_raw string) DataFrame — e.g. the
+    ``fred_replay`` data source's output — into (date, <value_col>).
+
+    Same semantics as the payload path: '.' missing sentinel, tolerant
+    numeric coercion, quarterly +3-month adjustment; pure column
+    expressions so it runs identically inside a foreachBatch sink."""
+    value_col = spec.value_column
+    date_expr = F.to_date("obs_date")
+    if spec.frequency == "q":
+        date_expr = fred_quarterly_adjust(date_expr)
+    return (
+        df.withColumn("value", replace_missing_sentinel(F.col("value_raw")))
+        .select(
+            date_expr.alias("date"),
+            coerce_numeric(F.col("value"), spec.value_type).alias(value_col),
+        )
+        .filter(F.col("date").isNotNull() & F.col(value_col).isNotNull())
+    )
