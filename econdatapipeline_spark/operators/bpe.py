@@ -75,7 +75,6 @@ def bpe_train(
     """
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
-    spark = df.sparkSession
     words = (
         word_histogram(df, text_col)
         .select("word", "freq", F.split("word", "").alias("syms"))
@@ -111,7 +110,6 @@ def bpe_train(
         words = words.select(
             "word", "freq", _merge_fold(F.col("syms"), left, right).alias("syms")
         ).localCheckpoint(eager=True)
-    spark.catalog.clearCache()
     return merges
 
 
