@@ -38,9 +38,12 @@ from econdatapipeline_spark.registry import (
 class Warehouse:
     """Filesystem-backed Parquet catalog (local dir, HDFS, or object store)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, history_depth: int = 0):
         self.spark = spark
         self.root = root
+        # snapshots retained per table on overwrite (0 = off, the
+        # reference behavior); see the table-snapshots section below
+        self.history_depth = history_depth
         os.makedirs(root, exist_ok=True)
         # Serializes writers of SHARED tables (watermarks, revision log)
         # when datasets run concurrently (pipeline.run_pipeline
@@ -121,8 +124,62 @@ class Warehouse:
             shutil.rmtree(staging, ignore_errors=True)
             raise
         if os.path.isdir(final):
-            shutil.rmtree(final)
+            # exists() and not bare isdir: initialize() pre-creates
+            # empty table dirs — an empty placeholder is not a version
+            if self.history_depth > 0 and self.exists(table):
+                self._snapshot_current(table)
+                shutil.rmtree(final, ignore_errors=True)
+            else:
+                shutil.rmtree(final)
         os.rename(staging, final)
+
+    # -- table snapshots (storage-level time travel) ---------------------
+    #
+    # The revision log answers "what VALUES changed, when" (SCD2 / EP3);
+    # snapshots answer "re-run yesterday's query against yesterday's
+    # PLAN INPUT" — the lakehouse time-travel contract. Each overwrite
+    # (with history_depth > 0 on the Warehouse) renames the outgoing
+    # table directory into <root>/_history/<table>/v<k>/ before the
+    # staged swap: two metadata renames, no data copied, and the live
+    # read path is untouched (readers never look under _history).
+
+    def _history_dir(self, table: str) -> str:
+        return os.path.join(self.root, "_history", table)
+
+    def _snapshot_current(self, table: str) -> None:
+        versions = self.list_snapshots(table)
+        nxt = (versions[-1] + 1) if versions else 1
+        dst = os.path.join(self._history_dir(table), f"v{nxt}")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(self.path(table), dst)
+        keep = self.history_depth
+        for v in versions[: max(0, len(versions) + 1 - keep)]:
+            shutil.rmtree(
+                os.path.join(self._history_dir(table), f"v{v}"),
+                ignore_errors=True,
+            )
+
+    def list_snapshots(self, table: str) -> list[int]:
+        """Retained snapshot versions, oldest first."""
+        d = self._history_dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(n[1:]) for n in os.listdir(d)
+            if n.startswith("v") and n[1:].isdigit()
+        )
+
+    def read_snapshot(self, table: str, version: int) -> DataFrame:
+        """Time travel: the table exactly as it was before the overwrite
+        that created snapshot ``version``. Pair with
+        ``operators.diff.snapshot_diff`` for storage-level CDC between
+        any two versions."""
+        p = os.path.join(self._history_dir(table), f"v{version}")
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"no snapshot v{version} for {table!r}; have {self.list_snapshots(table)}"
+            )
+        return self.spark.read.parquet(p)
 
     def delete_rows(self, table: str, predicate) -> int:
         """Targeted hard delete (right-to-be-forgotten): rewrite the

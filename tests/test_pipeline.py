@@ -315,3 +315,45 @@ def test_zordered_write_prunes_both_dimensions(spark, tmp_path):
 
     # completeness + determinism of the layout
     assert wh.read("zorder").count() == 65_536
+
+
+def test_table_snapshots_time_travel_and_retention(spark, tmp_path):
+    """history_depth=2: each overwrite snapshots the outgoing table;
+    read_snapshot time-travels; retention prunes beyond depth; the
+    default warehouse (depth 0) keeps no history."""
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.operators.diff import snapshot_diff
+    from econdatapipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), history_depth=2)
+
+    def gen(n):
+        return spark.range(0, n).select(
+            F.col("id"), (F.col("id") * 10.0).alias("v")
+        )
+
+    for n in (3, 4, 5, 6):  # 4 writes -> 3 snapshots -> pruned to 2
+        wh.write_dataset(gen(n), "t")
+    assert wh.read("t").count() == 6
+    assert wh.list_snapshots("t") == [2, 3]  # v1 pruned by retention
+    assert wh.read_snapshot("t", 2).count() == 4
+    assert wh.read_snapshot("t", 3).count() == 5
+
+    # storage-level CDC between a snapshot and the live table
+    d = snapshot_diff(
+        wh.read_snapshot("t", 3), wh.read("t"), key_cols=["id"], value_cols=["v"]
+    )
+    kinds = {r["id"]: r["change"] for r in d.collect()}
+    assert kinds[5] == "inserted" and kinds[0] == "unchanged"
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        wh.read_snapshot("t", 1)
+
+    # depth 0 (default): overwrites keep no history
+    wh0 = Warehouse(spark, str(tmp_path / "wh0"))
+    wh0.write_dataset(gen(2), "t")
+    wh0.write_dataset(gen(3), "t")
+    assert wh0.list_snapshots("t") == []
