@@ -2903,8 +2903,8 @@ def q_kcore(spark, sf_dir):
     iterative peeling — one degree aggregate + two anti-joins per
     round, live edges localCheckpoint'ed. The k-core is unique, so the
     oracle's unrolled fixed-round peel reaches the identical fixpoint;
-    both sides cap at the same round count so even a non-converged
-    graph state matches."""
+    both sides cap at the same round count (allow_partial pins the
+    fixed-round contract) so even a non-converged state matches."""
     from econdatapipeline_spark.operators.graph import kcore
 
     e = _t(spark, sf_dir, "embeddings")
@@ -2917,7 +2917,7 @@ def q_kcore(spark, sf_dir):
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    return kcore(edges, k=2, max_rounds=12)
+    return kcore(edges, k=2, max_rounds=12, allow_partial=True)
 
 
 def q_cusum_changepoint(spark, sf_dir):
@@ -5949,12 +5949,14 @@ def oracle_sql() -> dict[str, str]:
               WHERE o_orderdate >= DATE '1996-01-01'
                 AND o_orderdate <  DATE '1997-01-01'),
             ab AS (
-              SELECT CASE WHEN x < 0.0 THEN -1 WHEN x >= 500000.0 THEN 10
+              SELECT CASE WHEN x IS NULL THEN -2
+                          WHEN x < 0.0 THEN -1 WHEN x >= 500000.0 THEN 10
                           ELSE CAST(floor((x - 0.0) / 50000.0) AS INT) END AS bin,
                      COUNT(*) AS n_base
               FROM base GROUP BY 1),
             tb AS (
-              SELECT CASE WHEN x < 0.0 THEN -1 WHEN x >= 500000.0 THEN 10
+              SELECT CASE WHEN x IS NULL THEN -2
+                          WHEN x < 0.0 THEN -1 WHEN x >= 500000.0 THEN 10
                           ELSE CAST(floor((x - 0.0) / 50000.0) AS INT) END AS bin,
                      COUNT(*) AS n_target
               FROM tgt GROUP BY 1),
@@ -5966,10 +5968,10 @@ def oracle_sql() -> dict[str, str]:
             s AS (
               SELECT bin, n_base, n_target,
                      greatest(CAST(n_base AS DOUBLE)
-                              / (SELECT CAST(COUNT(*) AS DOUBLE) FROM base),
+                              / CAST(SUM(n_base) OVER () AS DOUBLE),
                               1e-6) AS p,
                      greatest(CAST(n_target AS DOUBLE)
-                              / (SELECT CAST(COUNT(*) AS DOUBLE) FROM tgt),
+                              / CAST(SUM(n_target) OVER () AS DOUBLE),
                               1e-6) AS q
               FROM j)
             SELECT bin, n_base, n_target,

@@ -143,18 +143,22 @@ def bpe_encode(
     per_word = df.select(
         F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "w")
     ).select("id", "pos", encode_word.alias("pieces"))
-    return (
-        per_word.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_pretokens"),
-            F.sum(F.size("pieces")).alias("n_bpe_tokens"),
-            F.flatten(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("pieces")))
-                ).getField("pieces")
-            ).alias("tokens"),
-        )
-        .select(
-            F.col("id").alias(id_col), "n_pretokens", "n_bpe_tokens", "tokens"
-        )
+    encoded = per_word.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_pretokens"),
+        F.sum(F.size("pieces")).alias("n_bpe_tokens"),
+        F.flatten(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("pieces")))
+            ).getField("pieces")
+        ).alias("tokens"),
+    )
+    # documents with ZERO pretokens (empty/whitespace text) produce no
+    # posexplode rows; a left join from the id skeleton keeps them in
+    # the output so token accounting matches the input row count
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(encoded, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_pretokens", F.lit(0)).alias("n_pretokens"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+        F.coalesce("tokens", F.array().cast("array<string>")).alias("tokens"),
     )

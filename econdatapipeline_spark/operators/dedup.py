@@ -760,12 +760,17 @@ def prefix_dup_pairs(
 
     Candidate generation never compares all pairs: documents join on
     the hash of their first ``probe_chars`` characters — any strict
-    prefix pair shares that block (both texts at least probe_chars
-    long), so the join is an equi-join on an 8-byte key with cost
-    sum(block^2), the same containment bound as the LSH family.
-    Documents shorter than ``probe_chars`` block on their full text
-    hash instead, handled by the same key expression. The
-    ``startswith`` verify runs only inside blocks.
+    prefix pair whose SHORTER side has at least ``probe_chars``
+    characters shares that block, so the join is an equi-join on an
+    8-byte key with cost sum(block^2), the same containment bound as
+    the LSH family. The ``startswith`` verify runs only inside blocks.
+
+    Detection bound (explicit): a pair whose shorter document is
+    shorter than ``probe_chars`` blocks on different keys (the short
+    doc's whole text vs the long doc's first probe_chars) and is NOT
+    found — lower ``probe_chars`` to catch shorter truncations, at the
+    cost of coarser blocks. tests/test_dedup.py pins both sides of
+    this bound.
 
     At 100 TB: block sizes are bounded by boilerplate-heavy prefixes
     (site headers); raise ``probe_chars`` to sharpen blocks the same

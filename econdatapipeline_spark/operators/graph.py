@@ -269,7 +269,8 @@ def kcore(
     k: int,
     src: str = "src",
     dst: str = "dst",
-    max_rounds: int = 30,
+    max_rounds: int = 100,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling -> (node, core_deg).
 
@@ -304,15 +305,28 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_rounds):
         deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         peel = deg.filter(F.col("deg") < k).select(F.col("u").alias("gone"))
         if peel.limit(1).count() == 0:
+            converged = True
             break
         live = (
             live.join(peel, live.u == peel.gone, "left_anti")
             .join(peel, live.v == peel.gone, "left_anti")
             .localCheckpoint(eager=True)
+        )
+    if not converged and not allow_partial:
+        # a silent partial answer would fabricate a dense region:
+        # long-chain graphs peel one hop per round, so the cap CAN be
+        # hit. allow_partial=True opts into the fixed-round state (the
+        # unrolled-SQL-twin contract, where both engines stop at the
+        # same round and agree exactly).
+        raise RuntimeError(
+            f"kcore did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds or pass allow_partial=True for the "
+            "fixed-round contract"
         )
     return (
         live.groupBy(F.col("u").alias("node"))

@@ -403,7 +403,15 @@ def negative_sample(
     reps = bucketed.groupBy("b").agg(
         F.min_by("id", F.struct(F.col("h"), F.col("id"))).alias("rep_id")
     )
-    stride = 2 * (n_buckets // (k + 1)) + 1  # odd -> coprime with 2^m rings
+    # stride must be coprime with the ring so k probes hit k distinct
+    # buckets on ANY ring size (an odd stride only guarantees that for
+    # power-of-two rings; e.g. n_buckets=63, k=1 gives stride 63 == 0
+    # mod ring — every probe would land on the anchor's own bucket)
+    import math
+
+    stride = 2 * (n_buckets // (k + 1)) + 1
+    while math.gcd(stride, n_buckets) != 1:
+        stride += 2
     probes = bucketed.select(
         F.col("id").alias("anchor_id"),
         F.explode(

@@ -232,12 +232,18 @@ def psi_drift(
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
+    from pyspark.sql import Window
+
     width = (hi - lo) / bins
 
     def binned(df: DataFrame, out: str) -> DataFrame:
         c = F.col(col).cast("double")
+        # NULL values get their own bin (-2): a NULL join key would
+        # produce one unmatched NULL row PER SIDE in the full outer
+        # join, double-counting the epsilon terms
         b = (
-            F.when(c < lo, F.lit(-1))
+            F.when(c.isNull(), F.lit(-2))
+            .when(c < lo, F.lit(-1))
             .when(c >= hi, F.lit(bins))
             .otherwise(F.floor((c - lo) / F.lit(width)).cast("int"))
         )
@@ -250,10 +256,13 @@ def psi_drift(
         F.coalesce("n_base", F.lit(0)).alias("n_base"),
         F.coalesce("n_target", F.lit(0)).alias("n_target"),
     )
-    tot_a = base.count()
-    tot_t = target.count()
+    # totals from the bins-sized relation itself — no second scan of
+    # either input; the unkeyed window runs over bins+3 rows, not data
+    w_all = Window.partitionBy(F.lit(1))
+    tot_a = F.sum("n_base").over(w_all).cast("double")
+    tot_t = F.sum("n_target").over(w_all).cast("double")
     eps = F.lit(1e-6)
-    p = F.greatest(F.col("n_base").cast("double") / F.lit(float(tot_a)), eps)
-    q = F.greatest(F.col("n_target").cast("double") / F.lit(float(tot_t)), eps)
+    p = F.greatest(F.col("n_base").cast("double") / tot_a, eps)
+    q = F.greatest(F.col("n_target").cast("double") / tot_t, eps)
     term = F.floor((p - q) * F.log(p / q) * 1e6 + F.lit(0.5)) / 1e6
     return j.select("bin", "n_base", "n_target", term.alias("psi_term"))

@@ -79,9 +79,19 @@ class JsonlExportWriter(DataSourceWriter):
         for i, m in enumerate(messages):
             if m is None:
                 continue
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            # final name carries the attempt uuid: append commits to the
+            # same directory accumulate instead of clobbering an earlier
+            # export's part-<i> (the retention archive depends on this)
+            uid = os.path.basename(m.tmp_path)[len(".tmp-"):]
+            final = os.path.join(self.path, f"part-{i:05d}-{uid}")
             os.replace(m.tmp_path, final)
             total += m.rows
+        # losing task attempts (retries, speculation) left .tmp files no
+        # commit message names; after the winners are renamed, anything
+        # still .tmp-* is debris by definition
+        for name in os.listdir(self.path):
+            if name.startswith(".tmp-"):
+                os.remove(os.path.join(self.path, name))
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write(str(total))
 

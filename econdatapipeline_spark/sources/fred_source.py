@@ -63,12 +63,17 @@ class FredReplayReader(DataSourceReader):
     def pushFilters(self, filters: list[Filter]):
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("series_id",):
-                self._keep = {str(f.value)}
+                keep = {str(f.value)}
             elif isinstance(f, In) and f.attribute == ("series_id",):
-                self._keep = {str(v) for v in f.value}
+                keep = {str(v) for v in f.value}
             else:
                 # not handled here -> Spark evaluates it after the scan
                 yield f
+                continue
+            # conjunctive filters INTERSECT: consuming two series_id
+            # predicates and applying only the last would return rows
+            # the query excluded
+            self._keep = keep if self._keep is None else self._keep & keep
 
     def partitions(self):
         parts = []
@@ -82,6 +87,11 @@ class FredReplayReader(DataSourceReader):
         return parts
 
     def read(self, partition: _SeriesFile):
+        if partition is None:
+            # an empty partitions() (everything pruned, e.g. two
+            # contradictory pushed filters) still gets one read() call
+            # with no partition — the correct result is no rows
+            return
         with open(partition.path, "rb") as fh:
             payload = json.load(fh)
         for obs in payload.get("observations", []):

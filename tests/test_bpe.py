@@ -91,3 +91,14 @@ def test_bpe_train_early_stop_on_rare_pairs(spark):
     df = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
     # every pair occurs once: below min_pair_count=2 -> no merges
     assert bpe_train(df, num_merges=5) == []
+
+
+def test_bpe_encode_keeps_empty_documents(spark):
+    df = spark.createDataFrame(
+        [(0, "hello hello"), (1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    merges = bpe_train(df, num_merges=2)
+    out = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[1]["n_pretokens"] == 0 and list(out[1]["tokens"]) == []
+    assert out[2]["n_bpe_tokens"] == 0

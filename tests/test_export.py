@@ -106,3 +106,24 @@ def test_vacuum_revisions_archives_then_deletes(spark, tmp_path):
     }
     # idempotent: nothing left to vacuum
     assert wh.vacuum_revisions(dt.datetime(2025, 1, 1)) == 0
+
+
+def test_jsonl_export_append_accumulates(spark, tmp_path):
+    """Regression: a second mode('append') commit must ADD files, not
+    clobber the first export's part names (the retention archive's
+    'never lossy' contract depends on it)."""
+    from econdatapipeline_spark.sources.export import JsonlExportDataSource
+
+    spark.dataSource.register(JsonlExportDataSource)
+    out = str(tmp_path / "export")
+    spark.range(0, 10).write.format("jsonl_export").option("path", out).mode(
+        "append"
+    ).save()
+    spark.range(100, 105).write.format("jsonl_export").option("path", out).mode(
+        "append"
+    ).save()
+    rows = []
+    for f in glob.glob(os.path.join(out, "part-*.jsonl")):
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["id"] for r in rows) == list(range(10)) + list(range(100, 105))

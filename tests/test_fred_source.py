@@ -125,3 +125,23 @@ def test_fred_replay_streams_only_new_observations(spark, cache_dir, tmp_path):
     assert [(r["series_id"], r["obs_date"], r["value_raw"]) for r in second] == [
         ("GDP", "2023-07-01", "1222.9")
     ]
+
+
+def test_fred_replay_conjunctive_filters_intersect(spark, cache_dir):
+    """Regression: two pushed series_id predicates must INTERSECT —
+    applying only the last (and consuming both) returned rows the
+    query excluded."""
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.sources.fred_source import FredReplayDataSource
+
+    spark.dataSource.register(FredReplayDataSource)
+    df = spark.read.format("fred_replay").option("path", cache_dir).load()
+    contradictory = df.filter(F.col("series_id") == "GDP").filter(
+        F.col("series_id").isin("CPI", "UNRATE")
+    )
+    assert contradictory.count() == 0
+    overlapping = df.filter(F.col("series_id").isin("GDP", "CPI")).filter(
+        F.col("series_id").isin("GDP", "UNRATE")
+    )
+    assert {r["series_id"] for r in overlapping.collect()} == {"GDP"}

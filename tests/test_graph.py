@@ -169,3 +169,22 @@ def test_kcore_validates_k(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         kcore(edges, k=0)
+
+
+def test_kcore_raises_on_round_cap_unless_partial(spark):
+    """A 2-core of a long path is EMPTY but peels one hop per round:
+    hitting max_rounds must raise, not fabricate a dense region;
+    allow_partial opts into the fixed-round state."""
+    import pytest
+
+    from econdatapipeline_spark.operators.graph import kcore
+
+    und = [(i, i + 1) for i in range(20)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(edges, k=2, max_rounds=3)
+    partial = kcore(edges, k=2, max_rounds=3, allow_partial=True)
+    assert partial.count() > 0  # the documented fixed-round state
+    assert kcore(edges, k=2).count() == 0  # default cap converges

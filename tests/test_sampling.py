@@ -222,3 +222,18 @@ def test_negative_sample_shape_and_no_self(spark):
     again = sorted((r["anchor_id"], r["neg_rank"], r["neg_id"]) for r in
                    negative_sample(df, k=3, n_buckets=16).collect())
     assert again == sorted((r["anchor_id"], r["neg_rank"], r["neg_id"]) for r in out)
+
+
+def test_negative_sample_odd_ring_still_leaves_own_bucket(spark):
+    """Regression: on a non-power-of-two ring the stride must stay
+    coprime — k=1 on 63 buckets previously probed the anchor's OWN
+    bucket for every row."""
+    from econdatapipeline_spark.operators.sampling import negative_sample
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = negative_sample(df, k=1, n_buckets=63).collect()
+    assert len(out) > 250  # nearly every anchor got a negative
+    assert all(r["neg_id"] != r["anchor_id"] for r in out)
+    # negatives are not simply the anchor's own-bucket representative:
+    # many distinct (anchor bucket -> neg) mappings must appear
+    assert len({r["neg_id"] for r in out}) > 20

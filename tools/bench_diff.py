@@ -40,6 +40,9 @@ def main() -> int:
     qa, qb = a, b
     shared = sorted(set(qa) & set(qb))
     sa, sb = sum(qa[q] for q in shared), sum(qb[q] for q in shared)
+    if not shared or sa == 0:
+        print("artifacts share no comparable queries — nothing to diff")
+        return 2
     print(f"shared {len(shared)} queries: {sa:.1f}s -> {sb:.1f}s "
           f"(aggregate {sb / sa:.3f}x)")
     for tag, names in (("only in A", set(qa) - set(qb)),
