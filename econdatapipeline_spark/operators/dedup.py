@@ -189,7 +189,12 @@ def minhash_lsh_cross(
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            # a recrawled doc present in BOTH tables under one id must
+            # not be reported as its own duplicate (and then pruned) —
+            # the cross variant needs the self-guard the a<b self-join
+            # form gets for free
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_left"),

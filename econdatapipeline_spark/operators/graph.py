@@ -212,9 +212,12 @@ def personalized_pagerank(
         .distinct()
         .join(
             F.broadcast(
-                seeds.select(F.col(seed_col).alias("node")).withColumn(
-                    "__seed", F.lit(1.0)
-                )
+                # distinct: a duplicated seed row would multiply node
+                # rows through this join and double-count every
+                # contribution downstream
+                seeds.select(F.col(seed_col).alias("node"))
+                .distinct()
+                .withColumn("__seed", F.lit(1.0))
             ),
             "node",
             "left",

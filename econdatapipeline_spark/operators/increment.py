@@ -86,7 +86,10 @@ def maintain_rollup(
         *key_cols,
         *[
             (
-                F.col(c)
+                # BOTH sides need the null guard: a rollup key whose
+                # stored sum is NULL (all-NULL measures in history)
+                # must not swallow the delta
+                F.coalesce(F.col(c), F.lit(0).cast("decimal(28,6)"))
                 + F.coalesce(F.col(f"__d_{c}"), F.lit(0).cast("decimal(28,6)"))
             ).cast("decimal(28,6)").alias(c)
             for c in sum_cols

@@ -105,6 +105,16 @@ def scd2_join(
     epochs per key are few (one per revision), so the filter scans a
     handful of rows per fact. No window, no explode.
     """
+    dim_out = [c for c in intervals.columns if c not in key_cols]
+    clash = sorted(set(dim_out) & set(facts.columns))
+    if clash:
+        # emitting both sides' columns under one name would succeed
+        # here and then fail far away with AMBIGUOUS_REFERENCE; fail
+        # fast with the cause instead
+        raise ValueError(
+            f"fact and dimension share non-key column name(s) {clash}; "
+            "rename one side before scd2_join"
+        )
     f, d = facts.alias("__f"), intervals.alias("__d")
     ts = F.col(f"__f.{ts_col}")
     cond = F.lit(True)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import shutil
 import threading
+import uuid
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,13 +103,22 @@ class Warehouse:
 
     # -- writes ----------------------------------------------------------
     def write_dataset(
-        self, df: DataFrame, table: str, partition_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        table: str,
+        partition_cols: list[str] | None = None,
+        extra_files: dict[str, bytes] | None = None,
     ) -> None:
         """Atomic overwrite of one dataset table.
 
         Writes to a staging dir then swaps, so a failed job never leaves
         a half-written table (Azure batch transactions gave the reference
         per-100-row atomicity; file swap gives whole-table atomicity).
+
+        ``extra_files``: {name: bytes} written INTO the staging dir
+        before the swap — metadata that must commit atomically WITH the
+        data (e.g. a streaming batch-id marker). Names must start with
+        ``_`` so Spark's parquet reader ignores them.
         """
         final = self.path(table)
         staging = final + "__staging"
@@ -117,6 +127,13 @@ class Warehouse:
             writer = writer.partitionBy(*partition_cols)
         try:
             writer.parquet(staging)
+            for name, data in (extra_files or {}).items():
+                if not name.startswith("_"):
+                    raise ValueError(
+                        f"extra_files names must start with '_': {name!r}"
+                    )
+                with open(os.path.join(staging, name), "wb") as fh:
+                    fh.write(data)
         except BaseException:
             # A failed job must leave no trace: the current table stays
             # untouched and the half-written staging dir is removed so
@@ -169,6 +186,15 @@ class Warehouse:
             if n.startswith("v") and n[1:].isdigit()
         )
 
+    def table_file(self, table: str, name: str) -> bytes | None:
+        """Read a ``_``-prefixed sidecar file committed with the table
+        via ``write_dataset(extra_files=...)``; None if absent."""
+        p = os.path.join(self.path(table), name)
+        if not os.path.isfile(p):
+            return None
+        with open(p, "rb") as fh:
+            return fh.read()
+
     def read_snapshot(self, table: str, version: int) -> DataFrame:
         """Time travel: the table exactly as it was before the overwrite
         that created snapshot ``version``. Pair with
@@ -201,7 +227,9 @@ class Warehouse:
         """
         from pyspark.sql import functions as F  # noqa: PLC0415
 
-        df = self.read(table)
+        # merge_schema: rewriting an EVOLVED table from one footer's
+        # schema would silently drop appended columns
+        df = self.read(table, merge_schema=True)
         # Three-valued logic guard: a NULL-evaluating predicate must
         # KEEP the row (it did not match), but bare ~predicate is also
         # NULL there and the filter would silently drop it.
@@ -235,7 +263,9 @@ class Warehouse:
             if f.endswith(".parquet")
         )
         n_files = max(1, -(-on_disk // target_file_bytes))  # ceil div
-        df = self.read(table)
+        # merge_schema: compaction after a schema-evolving append must
+        # preserve the new column, whichever footer is read first
+        df = self.read(table, merge_schema=True)
         self.write_dataset(df.coalesce(n_files), table)
         return n_files
 
@@ -366,7 +396,8 @@ class Warehouse:
         self.write_dataset(out, table)
 
     def apply_merge(self, result, table: str,
-                    partition_cols: list[str] | None = None) -> dict[str, int]:
+                    partition_cols: list[str] | None = None,
+                    extra_files: dict[str, bytes] | None = None) -> dict[str, int]:
         """Commit one smart_update batch: revisions, then table swap.
 
         Ordering matters: every DataFrame in ``result`` is a lazy plan
@@ -378,7 +409,7 @@ class Warehouse:
         counts = result.counts()
         if counts["revisions"]:
             self.append_revisions(result.revisions)
-        self.write_dataset(result.merged, table, partition_cols)
+        self.write_dataset(result.merged, table, partition_cols, extra_files)
         return counts
 
     # -- raw byte blobs (== upload/download/list/delete_blob, -----------
@@ -499,16 +530,22 @@ class Warehouse:
     def update_last_run(self, dataset: str, ts: datetime | None = None) -> None:
         ts = ts or datetime.utcnow()
         final = self._watermark_path(dataset)
-        staging = final + "__staging"
+        # unique staging per writer: concurrent updaters of the SAME
+        # dataset must not share a staging dir; the metadata-only
+        # rmtree+rename swap is serialized by the lock (different
+        # datasets still proceed fully in parallel — the parquet write
+        # stays outside the lock)
+        staging = f"{final}__staging-{uuid.uuid4().hex}"
         df = self.spark.createDataFrame([(ts,)], "last_run timestamp")
         try:
             df.coalesce(1).write.mode("overwrite").parquet(staging)
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.rename(staging, final)
+        with self._shared_write_lock:
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.rename(staging, final)
 
     def get_last_run(self, dataset: str) -> datetime | None:
         """Point read of one partition directory — never lists the

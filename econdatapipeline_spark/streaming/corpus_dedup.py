@@ -88,8 +88,13 @@ def stream_near_dup_candidates(
         F.col(ts_col).alias("ts"),
         F.posexplode(minhash_bands(sig, bands, rows)).alias("band_idx", "band_key"),
     )
+    # the index id column is whatever banded_corpus_index was built
+    # with (its id_col param) — the single non-band column
+    corpus_id = [
+        c for c in corpus_index.columns if c not in ("band_idx", "band_key")
+    ][0]
     idx = corpus_index.select(
-        F.col("doc_id").alias("id_right"), "band_idx", "band_key"
+        F.col(corpus_id).alias("id_right"), "band_idx", "band_key"
     )
     cands = banded.join(idx, ["band_idx", "band_key"]).select(
         "id_left", "id_right", "ts"
@@ -111,19 +116,39 @@ def idempotent_append_sink(
     """writeStream -> exactly-once appends via a batch-id commit ledger.
 
     foreachBatch replays a batch when a crash lands between the side
-    effect and the checkpoint write; the ledger (one marker blob per
-    committed batch id) makes the replay a no-op. Marker writes go
-    through ``Warehouse.put_blob``'s atomic rename, so a half-written
-    marker can never mask a half-written append — the append happens
-    strictly before its marker.
+    effect and the checkpoint write. The append is made IDEMPOTENT
+    rather than merely marked: each batch's files land under
+    deterministic batch-prefixed names via replace (never blind
+    append), and a replay first clears that batch's files — so a crash
+    at ANY point (mid-write, pre-marker) replays to the identical
+    final state with no duplicated rows. The marker blob then only
+    short-circuits the recompute.
     """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
     wh.create_container(COMMITS_CONTAINER)
 
     def append_once(batch_df: DataFrame, batch_id: int) -> None:
         marker = f"{table}/batch_{batch_id}"
         if wh.get_blob(COMMITS_CONTAINER, marker) is not None:
             return
-        wh.append(batch_df, table)
+        dest = wh.path(table)
+        staging = f"{dest}__batch{batch_id}"
+        batch_df.write.mode("overwrite").parquet(staging)
+        os.makedirs(dest, exist_ok=True)
+        prefix = f"batch{batch_id}-"
+        # a replay of a half-moved batch starts clean
+        for name in os.listdir(dest):
+            if name.startswith(prefix):
+                os.remove(os.path.join(dest, name))
+        for name in sorted(os.listdir(staging)):
+            if name.endswith(".parquet"):
+                os.replace(
+                    os.path.join(staging, name),
+                    os.path.join(dest, prefix + name),
+                )
+        shutil.rmtree(staging, ignore_errors=True)
         wh.put_blob(COMMITS_CONTAINER, marker, b"committed")
 
     writer = stream.writeStream.foreachBatch(append_once).option(

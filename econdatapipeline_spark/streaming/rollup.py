@@ -54,6 +54,7 @@ def refresh_rollup(
     table: str = "events_rollup_1h",
     every: str = "hour",
     run_ts: datetime | None = None,
+    extra_files: dict[str, bytes] | None = None,
 ) -> dict[str, int]:
     """Incrementally fold a batch of events into the rollup table.
 
@@ -98,7 +99,7 @@ def refresh_rollup(
     }
     if counts["revisions"]:
         wh.append_revisions(res.revisions)
-    wh.write_dataset(merged, table)
+    wh.write_dataset(merged, table, extra_files=extra_files)
     return counts
 
 
@@ -113,17 +114,22 @@ def refresh_rollup_once(
     """Replay-safe refresh: the additive fold in ``refresh_rollup``
     DOUBLE-COUNTS a redelivered batch (foreachBatch is at-least-once —
     a crash between the side effect and the checkpoint commit replays
-    the batch), so production sinks must guard with a batch-id commit
-    ledger, the same pattern as corpus_dedup.idempotent_append_sink.
-    The marker is written strictly AFTER the refresh commits, through
-    the blob store's atomic rename.
-    """
-    from econdatapipeline_spark.streaming.corpus_dedup import COMMITS_CONTAINER
+    the batch). The batch-id marker therefore rides INSIDE the rollup
+    table's atomic directory swap (``write_dataset(extra_files=...)``)
+    — there is no instant where the folded data exists without its
+    marker, so a replayed batch is detected from the table itself and
+    skipped. foreachBatch replays only the latest uncommitted batch,
+    so one ``_last_batch`` sidecar suffices.
 
-    wh.create_container(COMMITS_CONTAINER)
-    marker = f"rollup_{table}/batch_{batch_id}"
-    if wh.get_blob(COMMITS_CONTAINER, marker) is not None:
+    Residual at-least-once surface (documented, not hidden): the
+    revision-log append for restated buckets happens before the swap;
+    a crash in between replays the batch and appends the same audit
+    rows again. The fold itself can never double-count.
+    """
+    marker = wh.table_file(table, "_last_batch")
+    if marker is not None and marker.decode() == str(batch_id):
         return {"new": 0, "updated": 0, "revisions": 0}
-    counts = refresh_rollup(wh, new_events, table=table, every=every, run_ts=run_ts)
-    wh.put_blob(COMMITS_CONTAINER, marker, b"committed")
-    return counts
+    return refresh_rollup(
+        wh, new_events, table=table, every=every, run_ts=run_ts,
+        extra_files={"_last_batch": str(batch_id).encode()},
+    )

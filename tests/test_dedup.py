@@ -238,3 +238,17 @@ def test_prefix_dup_pairs_short_block(spark):
     assert prefix_dup_pairs(df, probe_chars=40).count() == 0
     # with a probe inside the short doc, the pair is found
     assert {(r["short_id"], r["long_id"]) for r in prefix_dup_pairs(df, probe_chars=10).collect()} == {(2, 1)}
+
+
+def test_minhash_cross_ignores_same_id_recrawl(spark):
+    """Regression: a doc present in both the increment and the corpus
+    under the SAME id must not be reported as its own duplicate."""
+    from econdatapipeline_spark.operators.dedup import minhash_lsh_cross
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    new = spark.createDataFrame([(7, text), (8, text)], "doc_id long, text string")
+    corpus = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    pairs = {(r["id_left"], r["id_right"])
+             for r in minhash_lsh_cross(new, corpus, num_hashes=16, bands=4, shingle_n=3).collect()}
+    assert (7, 7) not in pairs
+    assert (8, 7) in pairs  # the genuine cross-dup is still found

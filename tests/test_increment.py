@@ -63,3 +63,26 @@ def test_rollup_side_never_shuffles(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_maintain_rollup_null_history_sum_absorbs_delta(spark):
+    """Regression: a stored NULL sum (all-NULL measures in history)
+    must not swallow the delta's values."""
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.operators.increment import (
+        maintain_rollup,
+        partial_agg,
+    )
+
+    hist = spark.createDataFrame([("k", None)], "g string, v double")
+    delta = spark.createDataFrame([("k", 5.0)], "g string, v double")
+    rolled = maintain_rollup(
+        partial_agg(hist, ["g"], ["v"], "n"),
+        partial_agg(delta, ["g"], ["v"], "n"),
+        ["g"], ["v"], "n",
+    )
+    scratch = partial_agg(hist.unionByName(delta), ["g"], ["v"], "n")
+    got = {(r["g"], float(r["v"]), r["n"]) for r in rolled.collect()}
+    want = {(r["g"], float(r["v"]), r["n"]) for r in scratch.collect()}
+    assert got == want

@@ -357,3 +357,45 @@ def test_table_snapshots_time_travel_and_retention(spark, tmp_path):
     wh0.write_dataset(gen(2), "t")
     wh0.write_dataset(gen(3), "t")
     assert wh0.list_snapshots("t") == []
+
+
+def test_same_dataset_watermark_update_is_race_free(spark, wh):
+    """Regression: concurrent updates of the SAME dataset previously
+    shared one staging dir and raced on the swap."""
+    from concurrent.futures import ThreadPoolExecutor
+    from datetime import datetime
+
+    stamps = [datetime(2025, 6, 1, h) for h in range(8)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda t: wh.update_last_run("hot", t), stamps))
+    # exactly one writer won, and the dir is a clean readable parquet
+    assert wh.get_last_run("hot") in stamps
+    import glob
+    import os
+
+    assert not glob.glob(wh._watermark_path("hot") + "__staging*")
+
+
+def test_compact_and_delete_preserve_evolved_schema(spark, tmp_path):
+    """Regression: compact()/delete_rows() on a schema-evolved table
+    must keep the appended column (previously could drop it)."""
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.write_dataset(
+        spark.range(0, 50).select(F.col("id"), (F.col("id") * 1.0).alias("v")),
+        "t",
+    )
+    wh.append(
+        spark.createDataFrame([(100, 1.0, "late")], "id long, v double, src string"),
+        "t",
+    )
+    wh.compact("t")
+    cols = set(wh.read("t").columns)
+    assert "src" in cols, cols
+    n = wh.delete_rows("t", F.col("id") == 100)
+    assert n == 1
+    assert "src" in set(wh.read("t").columns)
+    assert wh.read("t").count() == 50

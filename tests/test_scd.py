@@ -155,3 +155,18 @@ def test_scd2_join_event_time_lookup(spark):
     assert got[("k1", dt.datetime(2025, 6, 1, 12))] == (2.0, False)
     assert got[("k1", dt.datetime(2025, 7, 1))] == (3.0, True)
     assert got[("k9", t1)] == (None, None)               # left join survivor
+
+
+def test_scd2_join_rejects_colliding_column_names(spark):
+    import pytest
+
+    from econdatapipeline_spark.operators.scd import scd2_join
+
+    facts = spark.createDataFrame(
+        [(1, 10, 99.0)], "k long, ts long, value double"
+    )
+    dims = spark.createDataFrame(
+        [(1, 0, None, 5.0)], "k long, valid_from long, valid_to long, value double"
+    )
+    with pytest.raises(ValueError, match="share non-key column"):
+        scd2_join(facts, dims, key_cols=["k"], ts_col="ts")
