@@ -4288,7 +4288,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                    COUNT(*) AS n_events
@@ -4878,7 +4878,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
             SELECT event_type, k,
                    COUNT(*) AS n,
-                   SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS sum_v
+                   CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v
             FROM kv GROUP BY 1, 2
         """,
         "corpus_prep": f"""
@@ -5949,13 +5949,13 @@ def oracle_sql() -> dict[str, str]:
               WHERE o_orderdate >= DATE '1996-01-01'
                 AND o_orderdate <  DATE '1997-01-01'),
             ab AS (
-              SELECT CASE WHEN x IS NULL THEN -2
+              SELECT CASE WHEN x IS NULL OR isnan(x) THEN -2
                           WHEN x < 0.0 THEN -1 WHEN x >= 500000.0 THEN 10
                           ELSE CAST(floor((x - 0.0) / 50000.0) AS INT) END AS bin,
                      COUNT(*) AS n_base
               FROM base GROUP BY 1),
             tb AS (
-              SELECT CASE WHEN x IS NULL THEN -2
+              SELECT CASE WHEN x IS NULL OR isnan(x) THEN -2
                           WHEN x < 0.0 THEN -1 WHEN x >= 500000.0 THEN 10
                           ELSE CAST(floor((x - 0.0) / 50000.0) AS INT) END AS bin,
                      COUNT(*) AS n_target

@@ -393,6 +393,14 @@ def negative_sample(
         raise ValueError(f"k must be >= 1, got {k}")
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if k >= n_buckets:
+        # k probes on an n_buckets ring can only hit k DISTINCT buckets
+        # when k < n_buckets; wrapping would re-emit the same bucket
+        # representative under multiple neg_rank values per anchor
+        raise ValueError(
+            f"k must be < n_buckets for k distinct negatives, "
+            f"got k={k}, n_buckets={n_buckets}"
+        )
     key = F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
     h = F.md5(key)
     bucketed = df.select(

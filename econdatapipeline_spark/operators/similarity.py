@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from econdatapipeline_spark.functions.vectors import cosine, sign_bucket
+from econdatapipeline_spark.functions.vectors import dot, norm, sign_bucket
 from econdatapipeline_spark.sources.tables import fan_out
 
 
@@ -37,17 +37,31 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cos) with rank <= k, neighbors
     exclude the query itself; deterministic tie-break on neighbor id.
     """
+    # norms are per-ROW quantities: computing them once before the join
+    # (instead of inside cosine() per PAIR) drops two of the three
+    # 128-element folds from the pair stage, bit-identically — the fold
+    # order of dot(a,b)/(norm(a)*norm(b)) is unchanged
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+        )
     )
-    c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -131,14 +145,18 @@ def lsh_topk(
     (that is the trade). The join is an equi-join on the bucket key, so
     the shuffle is keyed and bounded — no cross join anywhere.
     """
+    # per-row norms computed pre-join (see brute_force_topk): one fold
+    # per candidate pair instead of three, bit-identical result
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     scored = (
@@ -147,7 +165,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -171,9 +191,13 @@ def embedding_near_dups(
     is interpreted higher-order math — orders of magnitude more work per
     input row than a hash, so it must not run on one core.
     """
+    # per-row norms ride the bucketed relation: the pair stage folds
+    # each candidate's 128 dims ONCE (dot) instead of three times
+    # (dot + both norms) — bit-identical, ~3x less pair-stage math
     b = fan_out(df).select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     x, y = b.alias("x"), b.alias("y")
@@ -186,7 +210,10 @@ def embedding_near_dups(
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+            F.round(
+                dot(F.col("x.v"), F.col("y.v")) / (F.col("x.n") * F.col("y.n")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

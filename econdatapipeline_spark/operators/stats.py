@@ -232,17 +232,23 @@ def psi_drift(
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
+    if hi <= lo:
+        # a zero/negative width makes floor((c-lo)/width) NULL or wrong
+        # silently; fail fast instead
+        raise ValueError(f"hi must be > lo, got lo={lo}, hi={hi}")
     from pyspark.sql import Window
 
     width = (hi - lo) / bins
 
     def binned(df: DataFrame, out: str) -> DataFrame:
         c = F.col(col).cast("double")
-        # NULL values get their own bin (-2): a NULL join key would
-        # produce one unmatched NULL row PER SIDE in the full outer
-        # join, double-counting the epsilon terms
+        # NULL and NaN values share the sentinel bin (-2): a NULL join
+        # key would produce one unmatched NULL row PER SIDE in the full
+        # outer join, double-counting the epsilon terms, and Spark
+        # orders NaN GREATER than any number, which would silently land
+        # NaN in the overflow bin as if it were a real reading
         b = (
-            F.when(c.isNull(), F.lit(-2))
+            F.when(c.isNull() | F.isnan(c), F.lit(-2))
             .when(c < lo, F.lit(-1))
             .when(c >= hi, F.lit(bins))
             .otherwise(F.floor((c - lo) / F.lit(width)).cast("int"))

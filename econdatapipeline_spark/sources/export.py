@@ -53,10 +53,18 @@ class JsonlExportWriter(DataSourceWriter):
             raise ValueError("jsonl_export requires .option('path', <dir>)")
         self.fields = schema.fieldNames()
         self.overwrite = overwrite
+        # One uuid per WRITE JOB, minted on the driver and shipped to
+        # every task in the pickled writer: commit-time debris cleanup
+        # matches on it, so two concurrent exports into the same
+        # directory (e.g. two vacuum_revisions archives) can never
+        # delete each other's in-flight temps.
+        self.job_id = uuid.uuid4().hex
 
     def write(self, iterator) -> _Part:
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        tmp = os.path.join(
+            self.path, f".tmp-{self.job_id}-{uuid.uuid4().hex}.jsonl"
+        )
         n = 0
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -88,12 +96,26 @@ class JsonlExportWriter(DataSourceWriter):
             total += m.rows
         # losing task attempts (retries, speculation) left .tmp files no
         # commit message names; after the winners are renamed, anything
-        # still .tmp-* is debris by definition
+        # still .tmp-<this job's id>-* is debris by definition. Temps
+        # from OTHER in-flight jobs sharing the directory are theirs to
+        # clean (or rename) at their own commit.
+        prefix = f".tmp-{self.job_id}-"
         for name in os.listdir(self.path):
-            if name.startswith(".tmp-"):
+            if name.startswith(prefix):
                 os.remove(os.path.join(self.path, name))
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            fh.write(str(total))
+        # _SUCCESS carries the directory's ACCUMULATED row count: append
+        # commits add to the prior stamp (overwrite mode deleted it
+        # above, so the count restarts with this job's rows).
+        success = os.path.join(self.path, "_SUCCESS")
+        prior = 0
+        if os.path.exists(success):
+            try:
+                with open(success) as fh:
+                    prior = int(fh.read().strip() or 0)
+            except (OSError, ValueError):
+                prior = 0
+        with open(success, "w") as fh:
+            fh.write(str(prior + total))
 
     def abort(self, messages) -> None:
         for m in messages or []:

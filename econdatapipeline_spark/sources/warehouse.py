@@ -53,6 +53,17 @@ class Warehouse:
         # watermark table is read-modify-write; per-dataset tables need
         # no lock — each dataset owns its directory.
         self._shared_write_lock = threading.RLock()
+        # Reclaim watermark staging debris from a writer that crashed
+        # between its parquet write and the locked swap. Staging dirs
+        # start with '_' so Spark's partition discovery never sees them
+        # (a live writer racing this sweep is safe: its staging dir is
+        # uuid-unique and it re-creates on retry).
+        meta = self.path(METADATA_TABLE)
+        if os.path.isdir(meta):
+            for entry in os.listdir(meta):
+                if entry.startswith("_staging-"):
+                    shutil.rmtree(os.path.join(meta, entry),
+                                  ignore_errors=True)
 
     # -- paths / catalog -------------------------------------------------
     def path(self, table: str) -> str:
@@ -534,8 +545,14 @@ class Warehouse:
         # dataset must not share a staging dir; the metadata-only
         # rmtree+rename swap is serialized by the lock (different
         # datasets still proceed fully in parallel — the parquet write
-        # stays outside the lock)
-        staging = f"{final}__staging-{uuid.uuid4().hex}"
+        # stays outside the lock). The leading '_' keeps the dir
+        # invisible to Spark's 'dataset=' partition discovery, so a
+        # crash mid-write can never surface a phantom dataset row or a
+        # half-written footer to watermarks(); init sweeps stale ones.
+        staging = os.path.join(
+            self.path(METADATA_TABLE),
+            f"_staging-{dataset}-{uuid.uuid4().hex}",
+        )
         df = self.spark.createDataFrame([(ts,)], "last_run timestamp")
         try:
             df.coalesce(1).write.mode("overwrite").parquet(staging)

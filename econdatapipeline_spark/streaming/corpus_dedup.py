@@ -123,21 +123,43 @@ def idempotent_append_sink(
     at ANY point (mid-write, pre-marker) replays to the identical
     final state with no duplicated rows. The marker blob then only
     short-circuits the recompute.
+
+    Markers are scoped by the streaming QUERY ID read from the
+    checkpoint's ``metadata`` file: a genuine crash-replay restarts
+    from the same checkpoint (same query id, same batch id — marker
+    hits, batch skipped), while a deleted-and-recreated checkpoint
+    mints a new query id, so its restarted batch 0 — which carries NEW
+    data — is never mistaken for the old run's batch 0 (that mistake
+    is silent data loss).
     """
+    import json  # noqa: PLC0415
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
     wh.create_container(COMMITS_CONTAINER)
 
+    def query_id() -> str:
+        # written by Spark at query start, before the first batch runs;
+        # stable for the checkpoint's lifetime, regenerated with it
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+                return json.load(fh).get("id", "")
+        except (OSError, ValueError):
+            return ""
+
     def append_once(batch_df: DataFrame, batch_id: int) -> None:
-        marker = f"{table}/batch_{batch_id}"
+        marker = f"{table}/run_{query_id()}_batch_{batch_id}"
         if wh.get_blob(COMMITS_CONTAINER, marker) is not None:
             return
         dest = wh.path(table)
-        staging = f"{dest}__batch{batch_id}"
+        # staging and final names carry the run id too: a recreated
+        # checkpoint's batch 0 must never clear or collide with the
+        # old incarnation's batch-0 files
+        run_tag = f"run{query_id()}-batch{batch_id}"
+        staging = f"{dest}__{run_tag}"
         batch_df.write.mode("overwrite").parquet(staging)
         os.makedirs(dest, exist_ok=True)
-        prefix = f"batch{batch_id}-"
+        prefix = f"{run_tag}-"
         # a replay of a half-moved batch starts clean
         for name in os.listdir(dest):
             if name.startswith(prefix):

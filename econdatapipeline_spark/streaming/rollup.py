@@ -110,6 +110,7 @@ def refresh_rollup_once(
     table: str = "events_rollup_1h",
     every: str = "hour",
     run_ts: datetime | None = None,
+    run_id: str = "",
 ) -> dict[str, int]:
     """Replay-safe refresh: the additive fold in ``refresh_rollup``
     DOUBLE-COUNTS a redelivered batch (foreachBatch is at-least-once —
@@ -121,15 +122,23 @@ def refresh_rollup_once(
     skipped. foreachBatch replays only the latest uncommitted batch,
     so one ``_last_batch`` sidecar suffices.
 
+    ``run_id`` scopes the marker to one streaming query incarnation —
+    pass the stream's query id or checkpoint path. Batch ids restart at
+    0 when a checkpoint is deleted and recreated; a bare-id marker from
+    the old run would then silently SKIP the new run's first real batch
+    (data loss). With the run id in the marker, a stale sidecar from a
+    different incarnation never matches.
+
     Residual at-least-once surface (documented, not hidden): the
     revision-log append for restated buckets happens before the swap;
     a crash in between replays the batch and appends the same audit
     rows again. The fold itself can never double-count.
     """
+    stamp = f"{run_id}:{batch_id}" if run_id else str(batch_id)
     marker = wh.table_file(table, "_last_batch")
-    if marker is not None and marker.decode() == str(batch_id):
+    if marker is not None and marker.decode() == stamp:
         return {"new": 0, "updated": 0, "revisions": 0}
     return refresh_rollup(
         wh, new_events, table=table, every=every, run_ts=run_ts,
-        extra_files={"_last_batch": str(batch_id).encode()},
+        extra_files={"_last_batch": stamp.encode()},
     )

@@ -64,19 +64,45 @@ def test_streaming_matches_batch(spark, tmp_path):
 
 
 def test_idempotent_sink_skips_replayed_batch(spark, tmp_path):
-    """A replayed foreachBatch batch id must append exactly once."""
+    """A genuine crash-replay (same checkpoint, uncommitted batch)
+    appends exactly once; a RECREATED checkpoint is a new query
+    incarnation whose batch 0 carries new data and must land."""
+    import os
+    import shutil
+
     wh = Warehouse(spark, str(tmp_path / "wh"))
     docs = spark.createDataFrame([(1, T0, DUP)], DOC_SCHEMA)
     src = str(tmp_path / "in")
     docs.write.parquet(src)
+    ck = str(tmp_path / "ck1")
     stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
-    q = CD.idempotent_append_sink(stream, wh, "landed", str(tmp_path / "ck1"))
+    q = CD.idempotent_append_sink(stream, wh, "landed", ck)
     q.awaitTermination(120)
+    q.stop()
     assert wh.read("landed").count() == 1
 
-    # simulate the crash-replay: re-run the same source with a FRESH
-    # checkpoint so Spark re-delivers batch 0; the ledger must skip it
+    # crash-replay: drop the commit record (as if the crash landed
+    # between the side effect and the checkpoint commit) and restart
+    # from the SAME checkpoint — Spark re-delivers batch 0 under the
+    # same query id; the ledger must skip it
+    os.remove(os.path.join(ck, "commits", "0"))
+    crc = os.path.join(ck, "commits", ".0.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar of the commit
+        os.remove(crc)
     stream2 = spark.readStream.schema(DOC_SCHEMA).parquet(src)
-    q2 = CD.idempotent_append_sink(stream2, wh, "landed", str(tmp_path / "ck2"))
+    q2 = CD.idempotent_append_sink(stream2, wh, "landed", ck)
     q2.awaitTermination(120)
+    q2.stop()
     assert wh.read("landed").count() == 1
+
+    # checkpoint deleted + recreated: batch ids restart at 0 but the
+    # query id is new, so this incarnation's batch 0 (NEW data) must
+    # NOT be mistaken for the old batch 0 and silently dropped
+    shutil.rmtree(ck)
+    spark.createDataFrame([(2, T0, "fresh doc two")], DOC_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    stream3 = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    q3 = CD.idempotent_append_sink(stream3, wh, "landed", ck)
+    q3.awaitTermination(120)
+    assert wh.read("landed").count() == 3

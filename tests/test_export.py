@@ -127,3 +127,31 @@ def test_jsonl_export_append_accumulates(spark, tmp_path):
         with open(f) as fh:
             rows += [json.loads(line) for line in fh]
     assert sorted(r["id"] for r in rows) == list(range(10)) + list(range(100, 105))
+
+
+def test_jsonl_export_scoped_debris_and_accumulated_success(spark, tmp_path):
+    from econdatapipeline_spark.sources.export import JsonlExportDataSource
+
+    spark.dataSource.register(JsonlExportDataSource)
+    out = str(tmp_path / "export")
+    os.makedirs(out)
+    # a temp file from a DIFFERENT in-flight job must survive this
+    # job's commit-time debris sweep
+    foreign = os.path.join(out, ".tmp-otherjob-deadbeef.jsonl")
+    with open(foreign, "w") as fh:
+        fh.write('{"id": 1}\n')
+
+    spark.range(0, 10).write.format("jsonl_export").option("path", out).mode(
+        "append"
+    ).save()
+    assert os.path.exists(foreign)
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert fh.read().strip() == "10"
+
+    # append mode accumulates the _SUCCESS row count
+    spark.range(0, 5).write.format("jsonl_export").option("path", out).mode(
+        "append"
+    ).save()
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert fh.read().strip() == "15"
+    os.remove(foreign)

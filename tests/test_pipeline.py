@@ -373,7 +373,35 @@ def test_same_dataset_watermark_update_is_race_free(spark, wh):
     import glob
     import os
 
-    assert not glob.glob(wh._watermark_path("hot") + "__staging*")
+    meta_dir = os.path.dirname(wh._watermark_path("hot"))
+    assert not glob.glob(os.path.join(meta_dir, "_staging-*"))
+
+
+def test_watermark_staging_is_invisible_and_swept(spark, wh):
+    """A crashed writer's staging dir must be ignored by partition
+    discovery (leading '_') and reclaimed on the next Warehouse init."""
+    import os
+
+    from datetime import datetime
+
+    from econdatapipeline_spark.registry import METADATA_TABLE
+    from econdatapipeline_spark.sources.warehouse import Warehouse
+
+    wh.update_last_run("real", datetime(2025, 6, 1))
+    # simulate a crash between the parquet write and the locked swap:
+    # a stale staging dir with a half-written footer
+    stale = os.path.join(
+        wh.path(METADATA_TABLE), "_staging-ghost-deadbeef"
+    )
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"PAR1garbage")  # torn file: unreadable footer
+    # partition discovery must not surface a phantom dataset or crash
+    rows = {r["dataset"] for r in wh.watermarks().collect()}
+    assert rows == {"real"}
+    # re-init sweeps the debris
+    Warehouse(spark, wh.root)
+    assert not os.path.isdir(stale)
 
 
 def test_compact_and_delete_preserve_evolved_schema(spark, tmp_path):

@@ -84,3 +84,29 @@ def test_replayed_batch_needs_the_ledger(spark):
     assert again == {"new": 0, "updated": 0, "revisions": 0}
     n = wh2.read("events_rollup_1h").agg(F.sum("n_events")).collect()[0][0]
     assert n == 2.0  # counts unchanged by the replay
+
+
+def test_refresh_rollup_once_run_id_scopes_the_marker(spark):
+    """A stale marker from an old query incarnation (checkpoint deleted,
+    batch ids restarted at 0) must not swallow the new run's batch 0."""
+    from econdatapipeline_spark.streaming.rollup import refresh_rollup_once
+
+    t = dt.datetime(2024, 3, 1, 9, 10)
+    wh = Warehouse(spark, tempfile.mkdtemp())
+    batch = [(1, t, "click", 2.0)]
+    first = refresh_rollup_once(
+        wh, _events(spark, batch), batch_id=0, run_ts=RUN_TS, run_id="runA"
+    )
+    assert first["new"] == 1
+    # same incarnation replays batch 0 -> skipped
+    again = refresh_rollup_once(
+        wh, _events(spark, batch), batch_id=0, run_ts=RUN_TS, run_id="runA"
+    )
+    assert again == {"new": 0, "updated": 0, "revisions": 0}
+    # new incarnation's batch 0 carries new data -> must fold
+    batch_b = [(2, dt.datetime(2024, 3, 1, 11, 5), "view", 1.0)]
+    fresh = refresh_rollup_once(
+        wh, _events(spark, batch_b), batch_id=0, run_ts=RUN_TS, run_id="runB"
+    )
+    assert fresh["new"] == 1
+    assert wh.read("events_rollup_1h").count() == 2

@@ -237,3 +237,17 @@ def test_negative_sample_odd_ring_still_leaves_own_bucket(spark):
     # negatives are not simply the anchor's own-bucket representative:
     # many distinct (anchor bucket -> neg) mappings must appear
     assert len({r["neg_id"] for r in out}) > 20
+
+
+def test_negative_sample_rejects_k_not_below_ring(spark):
+    from econdatapipeline_spark.operators.sampling import negative_sample
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    with pytest.raises(ValueError, match="k must be < n_buckets"):
+        negative_sample(df, k=4, n_buckets=4)
+    # one below the ring size still yields k distinct negatives per anchor
+    out = negative_sample(df, k=3, n_buckets=4).collect()
+    per_anchor = {}
+    for r in out:
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["neg_id"])
+    assert all(len(v) <= 3 for v in per_anchor.values())

@@ -114,3 +114,22 @@ def test_psi_drift_zero_on_identical_and_positive_on_shift(spark):
     # overflow bucket captured the shifted mass
     over = {r["bin"]: r["n_target"] for r in rows}[10]
     assert over == 300
+
+
+def test_psi_drift_validates_bounds_and_routes_nan(spark):
+    import math
+
+    import pytest
+
+    from econdatapipeline_spark.operators.stats import psi_drift
+
+    base = spark.createDataFrame([(0.5,), (float("nan"),), (None,)], "v double")
+    tgt = spark.createDataFrame([(0.5,)], "v double")
+    with pytest.raises(ValueError, match="hi must be > lo"):
+        psi_drift(base, tgt, "v", bins=4, lo=1.0, hi=1.0)
+    out = {r["bin"]: (r["n_base"], r["n_target"])
+           for r in psi_drift(base, tgt, "v", bins=4, lo=0.0, hi=1.0).collect()}
+    # NaN and NULL share the sentinel bin; NaN must NOT land in overflow
+    assert out[-2] == (2, 0)
+    assert 4 not in out or out[4][0] == 0
+    assert out[2] == (1, 1)  # 0.5 in [0.5, 0.75)
