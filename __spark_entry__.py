@@ -1457,18 +1457,17 @@ def q_rank_funcs(spark, sf_dir):
     )
 
 
-def q_pagerank(spark, sf_dir):
-    """Fixed-iteration PageRank over the symmetrized customer-supplier
-    trade graph (distinct pairs from lineitem x orders). Iterative join +
-    aggregate — the idiomatic pure-DataFrame graph shape; decimal-summed
-    contributions keep ranks order-independent and oracle-checkable."""
-    from econdatapipeline_spark.operators.graph import pagerank
-
+def _trade_edges(spark, sf_dir):
+    """Symmetrized customer-supplier trade graph (distinct pairs from
+    lineitem x orders) shared by the pagerank family. Node ids stay
+    bigint through every shuffle (customer 2k, supplier 2k+1); the
+    human-readable label is minted only on the |nodes|-sized final
+    output — 8-byte join/agg keys, not strings, on the hot path.
+    Symmetrize with one explode instead of a self-union: a union of
+    two projections of `pairs` plans the expensive join + distinct
+    once per branch, an inline explode scans it once."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    # Node ids stay bigint through every shuffle (customer 2k, supplier
-    # 2k+1); the human-readable label is minted only on the |nodes|-sized
-    # final output — 8-byte join/agg keys, not strings, on the hot path.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -1477,10 +1476,7 @@ def q_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    # Symmetrize with one explode instead of a self-union: a union of
-    # two projections of `pairs` plans the expensive join + distinct
-    # once per branch, an inline explode scans it once.
-    edges = pairs.select(
+    return pairs.select(
         F.explode(
             F.array(
                 F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
@@ -1488,14 +1484,43 @@ def q_pagerank(spark, sf_dir):
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    pr = pagerank(edges, iterations=3, symmetric=True)
-    label = F.when(
+
+
+def _node_label():
+    return F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("C"), (F.col("node") / 2).cast("long").cast("string")),
     ).otherwise(
         F.concat(F.lit("S"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
     )
-    return pr.select(label.alias("node"), "rank")
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the symmetrized customer-supplier
+    trade graph (distinct pairs from lineitem x orders). Iterative join +
+    aggregate — the idiomatic pure-DataFrame graph shape; decimal-summed
+    contributions keep ranks order-independent and oracle-checkable."""
+    from econdatapipeline_spark.operators.graph import pagerank
+
+    pr = pagerank(_trade_edges(spark, sf_dir), iterations=3, symmetric=True)
+    return pr.select(_node_label().alias("node"), "rank")
+
+
+def q_pagerank_partitioned(spark, sf_dir):
+    """The same PageRank contract as q_pagerank computed on the
+    partitioned=True path (graph.py _edge_relation): the rank relation
+    SHUFFLES onto the edge relation's pinned hash layout each round
+    instead of broadcasting — the billion-node mode with no
+    |nodes|-sized broadcast anywhere. Sharing q_pagerank's oracle
+    certifies both transports against one exact unrolled-CTE answer
+    (the decimal contribution sum makes them bit-identical)."""
+    from econdatapipeline_spark.operators.graph import pagerank
+
+    pr = pagerank(
+        _trade_edges(spark, sf_dir), iterations=3, symmetric=True,
+        partitioned=True,
+    )
+    return pr.select(_node_label().alias("node"), "rank")
 
 
 def q_personalized_pagerank(spark, sf_dir):
@@ -1507,24 +1532,7 @@ def q_personalized_pagerank(spark, sf_dir):
     chained CTEs with the seed indicator carried per node."""
     from econdatapipeline_spark.operators.graph import personalized_pagerank
 
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
-                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    edges = _trade_edges(spark, sf_dir)
     seeds = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 5).select(
         (F.col("c_custkey") * 2).alias("node")
     )
@@ -3346,6 +3354,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "volume_shipping": q_volume_shipping,
         "local_supplier_volume": q_local_supplier_volume,
         "pagerank": q_pagerank,
+        "pagerank_partitioned": q_pagerank_partitioned,
         "personalized_pagerank": q_personalized_pagerank,
         "graph_degrees": q_graph_degrees,
         "pmi_bigrams": q_pmi_bigrams,
@@ -6041,4 +6050,7 @@ def oracle_sql() -> dict[str, str]:
     # The xlsx byte-scan feeds the identical literal grid into the same
     # normalizer, so it shares edb_normalize's oracle.
     sql["xlsx_normalize"] = sql["edb_normalize"]
+    # Both rank transports (broadcast and partitioned shuffle) must
+    # reach the identical unrolled-CTE fixpoint.
+    sql["pagerank_partitioned"] = sql["pagerank"]
     return sql

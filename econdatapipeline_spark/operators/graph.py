@@ -46,6 +46,149 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     )
 
 
+def _edge_relation(
+    edges: DataFrame, src: str, dst: str, partitioned: bool
+) -> DataFrame:
+    """Degree-annotated, cached, eagerly-materialized edge relation.
+
+    Broadcast mode (default, honest to ~10^8 nodes): the |nodes|-sized
+    degree relation ships map-side, so the edges are never shuffled.
+
+    Partitioned mode (the billion-node path): degrees and edges shuffle
+    ONCE, keyed by source, and the relation persists hash-partitioned
+    on ``e_src``. Every iteration's rank join then reuses that layout —
+    Catalyst sees the cached side already partitioned on the join key
+    and exchanges only the |nodes|-sized rank relation, never the
+    edges. Nothing |nodes|-sized is ever broadcast, which removes the
+    driver/executor memory ceiling of broadcast mode at the price of
+    one rank shuffle per round.
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
+    parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    if partitioned:
+        ed = (
+            edges.join(deg, src)
+            .select(
+                F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "out_deg"
+            )
+            # one explicit setup shuffle pins the layout every round reuses
+            .repartition(parallelism, "e_src")
+        )
+    else:
+        # deg is |nodes|-sized (the same size class as the broadcast rank
+        # relation in the loop), so ship it map-side rather than
+        # shuffling the edge list; the per-iteration probe then never
+        # reshuffles.
+        ed = edges.join(F.broadcast(deg), src).select(
+            F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "out_deg"
+        )
+        # Right-size the cached working set: the caller's edge derivation
+        # often unions shuffle outputs (e.g. 2 x shuffle.partitions for a
+        # symmetrized list), and an iterative operator re-scans its cache
+        # every round — per-task launch overhead on hundreds of near-empty
+        # partitions then dominates the actual compute. coalesce never
+        # grows a partition count, so this only ever shrinks to the
+        # cluster's core count.
+        ed = ed.coalesce(parallelism)
+    # Persist the degree-annotated edge relation and materialize it
+    # EAGERLY. Spark executes broadcast-exchange subtrees as concurrent
+    # async jobs, so without the barrier every iteration's broadcast job
+    # races the others to populate the cache and each recomputes the
+    # caller's (often expensive: join + distinct) edge derivation from
+    # scratch — profiled at ~8 full recomputations for a 3-iteration
+    # run. One count() turns that into a single computation every later
+    # stage reads from memory; this is the standard materialization
+    # step of any iterative Spark algorithm.
+    ed = ed.persist()
+    ed.count()
+    return ed
+
+
+def _finish(ranks: DataFrame, *working: DataFrame) -> DataFrame:
+    # Materialize the |nodes|-sized result eagerly (localCheckpoint
+    # also cuts the N-round lineage), then release every persisted
+    # working set — repeated pagerank calls in one session no longer
+    # accumulate executor storage. The checkpoint blocks themselves
+    # are freed by the ContextCleaner when the returned DataFrame is
+    # garbage collected.
+    out = ranks.select("node", F.round("rank", 6).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for df in working:
+        df.unpersist()
+    return out
+
+
+def _build_pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int,
+    damping: float,
+    symmetric: bool,
+    partitioned: bool,
+):
+    """Lazy N-round PageRank plan -> (ranks DataFrame, working sets).
+
+    Split from :func:`pagerank` so plan tests can assert the physical
+    shape of the full unrolled loop before execution.
+    """
+    if iterations < 1:
+        raise ValueError("pagerank needs iterations >= 1")
+    ed = _edge_relation(edges, src, dst, partitioned)
+    # broadcast the |nodes|-sized rank relation per round, or leave it
+    # to the shuffle layout pinned by _edge_relation (partitioned mode)
+    mb = (lambda df: df) if partitioned else F.broadcast
+
+    def rank_update(summed: Column) -> Column:
+        return F.lit(1.0 - damping) + F.lit(damping) * summed
+
+    dec_sum = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+
+    if symmetric:
+        # Symmetric graph: every node has in-edges, so each round's
+        # contribution aggregate already covers the whole node set — no
+        # node relation, no per-round left join. This RELIES on the
+        # caller's symmetry guarantee: if some edge lacks its reverse,
+        # source-only nodes would silently vanish from the output (use
+        # symmetric=False for any list that is not provably mirrored).
+        # Round 1 is cheaper still: with rank_0 = 1 everywhere, the
+        # probe of the rank relation is the identity, so the first
+        # round collapses to a pure aggregate of 1/out_deg over the
+        # cached edges. Each later round is one movement of the
+        # |nodes|-sized rank relation (broadcast, or shuffle onto the
+        # pinned edge layout in partitioned mode) + one keyed
+        # aggregation.
+        ranks = ed.groupBy(F.col("e_dst").alias("node")).agg(
+            rank_update(dec_sum(F.lit(1.0) / F.col("out_deg"))).alias("rank")
+        )
+        for _ in range(iterations - 1):
+            ranks = (
+                ed.join(mb(ranks), ed.e_src == ranks.node)
+                .select(
+                    F.col("e_dst").alias("node"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(rank_update(dec_sum(F.col("c"))).alias("rank"))
+            )
+        return ranks, (ed,)
+
+    # General digraph: dangling destinations receive mass but emit none,
+    # so the node relation (cached) re-enters each round via a left join
+    # to keep rankless nodes at the teleport floor.
+    nodes = ed.select(F.col("e_src").alias("node")).union(
+        ed.select(F.col("e_dst").alias("node"))
+    ).distinct()
+    if partitioned:
+        nodes = nodes.repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "node"
+        )
+    nodes = nodes.cache()
+    ranks = _power_iterate(ed, nodes, None, iterations, damping, rank_update, mb)
+    return ranks, (ed, nodes)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -53,6 +196,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     symmetric: bool = False,
+    partitioned: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank -> (node, rank).
 
@@ -65,100 +209,76 @@ def pagerank(
     convergence-tested, which is the right contract for an oracle-
     verified batch operator.
 
+    ``partitioned=False`` (default) broadcasts the |nodes|-sized rank
+    relation each round — the fastest shape while ranks fit in executor
+    memory (honest to ~10^8 nodes). ``partitioned=True`` is the
+    billion-node path: the edge relation persists hash-partitioned by
+    source and each round SHUFFLES the rank relation onto that pinned
+    layout instead of broadcasting it — nothing |nodes|-sized is ever
+    broadcast, so the only per-round cost that grows with the graph is
+    a keyed exchange of the ranks. Both modes produce identical output
+    (the decimal contribution sum is order-independent).
+
     Executes EAGERLY: the returned DataFrame is the localCheckpoint-
     materialized final ranks, and every persisted working set (edges,
     nodes) is released before returning, so repeated calls in one
     session do not accumulate executor storage.
     """
-    if iterations < 1:
-        raise ValueError("pagerank needs iterations >= 1")
-    # deg is |nodes|-sized (the same size class as the broadcast rank
-    # relation below), so ship it map-side rather than shuffling the
-    # edge list; the per-iteration probe then never reshuffles.
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
-    ed = edges.join(F.broadcast(deg), src).select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "out_deg"
+    ranks, working = _build_pagerank(
+        edges, src, dst, iterations, damping, symmetric, partitioned
     )
-    # Right-size the cached working set: the caller's edge derivation
-    # often unions shuffle outputs (e.g. 2 x shuffle.partitions for a
-    # symmetrized list), and an iterative operator re-scans its cache
-    # every round — per-task launch overhead on hundreds of near-empty
-    # partitions then dominates the actual compute. coalesce never
-    # grows a partition count, so this only ever shrinks to the
-    # cluster's core count.
-    ed = ed.coalesce(ed.sparkSession.sparkContext.defaultParallelism)
-    # Persist the degree-annotated edge relation and materialize it
-    # EAGERLY. Spark executes broadcast-exchange subtrees as concurrent
-    # async jobs, so without the barrier every iteration's broadcast job
-    # races the others to populate the cache and each recomputes the
-    # caller's (often expensive: join + distinct) edge derivation from
-    # scratch — profiled at ~8 full recomputations for a 3-iteration
-    # run. One count() turns that into a single computation every later
-    # stage reads from memory; this is the standard materialization
-    # step of any iterative Spark algorithm.
-    ed = ed.persist()
-    ed.count()
+    return _finish(ranks, *working)
+
+
+def _build_personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str,
+    dst: str,
+    seed_col: str,
+    iterations: int,
+    damping: float,
+    partitioned: bool,
+):
+    """Lazy plan for :func:`personalized_pagerank` (see _build_pagerank)."""
+    if iterations < 1:
+        raise ValueError("personalized_pagerank needs iterations >= 1")
+    ed = _edge_relation(edges, src, dst, partitioned)
+    mb = (lambda df: df) if partitioned else F.broadcast
 
     def rank_update(summed: Column) -> Column:
-        return F.lit(1.0 - damping) + F.lit(damping) * summed
-
-    def finish(ranks: DataFrame, *working: DataFrame) -> DataFrame:
-        # Materialize the |nodes|-sized result eagerly (localCheckpoint
-        # also cuts the N-round lineage), then release every persisted
-        # working set — repeated pagerank calls in one session no longer
-        # accumulate executor storage. The checkpoint blocks themselves
-        # are freed by the ContextCleaner when the returned DataFrame is
-        # garbage collected.
-        out = ranks.select("node", F.round("rank", 6).alias("rank")).localCheckpoint(
-            eager=True
+        return (
+            F.lit(1.0 - damping) * F.col("p") + F.lit(damping) * summed
         )
-        for df in working:
-            df.unpersist()
-        return out
 
-    dec_sum = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
-
-    if symmetric:
-        # Symmetric graph: every node has in-edges, so each round's
-        # contribution aggregate already covers the whole node set — no
-        # node relation, no per-round left join. This RELIES on the
-        # caller's symmetry guarantee: if some edge lacks its reverse,
-        # source-only nodes would silently vanish from the output (use
-        # symmetric=False for any list that is not provably mirrored). Round 1 is cheaper
-        # still: with rank_0 = 1 everywhere, the probe of the rank
-        # relation is the identity, so the first round collapses to a
-        # pure aggregate of 1/out_deg over the cached edges. Each later
-        # round is one broadcast of the |nodes|-sized rank relation +
-        # one keyed aggregation — the broadcast levels are what
-        # serialize a fixed-iteration plan, so removing two of them
-        # (node join, round-1 probe) is a direct wall-clock win. (At
-        # billion-node scale flip to co-partitioning edges and ranks
-        # by src instead of broadcasting.)
-        ranks = ed.groupBy(F.col("e_dst").alias("node")).agg(
-            rank_update(dec_sum(F.lit(1.0) / F.col("out_deg"))).alias("rank")
-        )
-        for _ in range(iterations - 1):
-            ranks = (
-                ed.join(F.broadcast(ranks), ed.e_src == ranks.node)
-                .select(
-                    F.col("e_dst").alias("node"),
-                    (F.col("rank") / F.col("out_deg")).alias("c"),
-                )
-                .groupBy("node")
-                .agg(rank_update(dec_sum(F.col("c"))).alias("rank"))
-            )
-        return finish(ranks, ed)
-
-    # General digraph: dangling destinations receive mass but emit none,
-    # so the node relation (cached) re-enters each round via a left join
-    # to keep rankless nodes at the teleport floor.
     nodes = (
         ed.select(F.col("e_src").alias("node"))
         .union(ed.select(F.col("e_dst").alias("node")))
         .distinct()
-        .cache()
+        .join(
+            # the SEED relation stays broadcast in both modes: seeds
+            # are query-sized (a handful of anchors), never |nodes|-
+            # sized — only the rank/contribution relations change
+            # transport in partitioned mode. distinct: a duplicated
+            # seed row would multiply node rows through this join and
+            # double-count every contribution downstream.
+            F.broadcast(
+                seeds.select(F.col(seed_col).alias("node"))
+                .distinct()
+                .withColumn("__seed", F.lit(1.0))
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("__seed"), F.lit(0.0)).alias("p"))
     )
-    return _power_iterate(ed, nodes, None, iterations, damping, rank_update, finish)
+    if partitioned:
+        nodes = nodes.repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "node"
+        )
+    nodes = nodes.cache()
+    ranks = _power_iterate(ed, nodes, "p", iterations, damping, rank_update, mb)
+    return ranks, (ed, nodes)
 
 
 def personalized_pagerank(
@@ -169,6 +289,7 @@ def personalized_pagerank(
     seed_col: str = "node",
     iterations: int = 3,
     damping: float = 0.85,
+    partitioned: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PERSONALIZED PageRank: teleport mass lands only
     on ``seeds`` -> (node, rank), rank measuring proximity to the seed
@@ -178,77 +299,44 @@ def personalized_pagerank(
     seeds, 0 elsewhere; rank_0 = p; each round computes
     (1-d)*p + d*Σ contributions. Nodes unreachable from the seed set
     finish at exactly 0. Same plan skeleton as the general `pagerank`
-    path — degree relation broadcast map-side, eager edge persist, one
-    |nodes|-sized broadcast per round — with the seed indicator carried
-    as a column of the cached node relation, so personalization adds
-    zero extra joins per round. Same eager-execute/unpersist contract.
+    path — eager edge persist, one |nodes|-sized rank movement per
+    round (broadcast by default; shuffled onto the pinned edge layout
+    with ``partitioned=True``, the billion-node path) — with the seed
+    indicator carried as a column of the cached node relation, so
+    personalization adds zero extra joins per round. Same
+    eager-execute/unpersist contract; both modes produce identical
+    output.
     """
-    if iterations < 1:
-        raise ValueError("personalized_pagerank needs iterations >= 1")
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
-    ed = edges.join(F.broadcast(deg), src).select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "out_deg"
+    ranks, working = _build_personalized_pagerank(
+        edges, seeds, src, dst, seed_col, iterations, damping, partitioned
     )
-    ed = ed.coalesce(ed.sparkSession.sparkContext.defaultParallelism)
-    ed = ed.persist()
-    ed.count()
-
-    def rank_update(summed: Column) -> Column:
-        return (
-            F.lit(1.0 - damping) * F.col("p") + F.lit(damping) * summed
-        )
-
-    def finish(ranks: DataFrame, *working: DataFrame) -> DataFrame:
-        out = ranks.select("node", F.round("rank", 6).alias("rank")).localCheckpoint(
-            eager=True
-        )
-        for df in working:
-            df.unpersist()
-        return out
-
-    nodes = (
-        ed.select(F.col("e_src").alias("node"))
-        .union(ed.select(F.col("e_dst").alias("node")))
-        .distinct()
-        .join(
-            F.broadcast(
-                # distinct: a duplicated seed row would multiply node
-                # rows through this join and double-count every
-                # contribution downstream
-                seeds.select(F.col(seed_col).alias("node"))
-                .distinct()
-                .withColumn("__seed", F.lit(1.0))
-            ),
-            "node",
-            "left",
-        )
-        .select("node", F.coalesce(F.col("__seed"), F.lit(0.0)).alias("p"))
-        .cache()
-    )
-    return _power_iterate(ed, nodes, "p", iterations, damping, rank_update, finish)
+    return _finish(ranks, *working)
 
 
-def _power_iterate(ed, nodes, p_col, iterations, damping, rank_update, finish):
-    """Shared general-path loop: per round, broadcast the |nodes|-sized
-    rank relation, probe the cached edges, aggregate per destination,
-    left-join back onto the node relation."""
+def _power_iterate(ed, nodes, p_col, iterations, damping, rank_update, mb):
+    """Shared general-path loop: per round, move the |nodes|-sized rank
+    relation (``mb`` = broadcast hint, or identity in partitioned mode,
+    where the shuffle lands on the cached edges' pinned layout), probe
+    the cached edges, aggregate per destination, left-join back onto
+    the node relation."""
     dec_sum = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
     keep = ["node"] + ([p_col] if p_col else [])
     init = F.col(p_col) if p_col else F.lit(1.0)
     ranks = nodes.select(*keep, init.alias("rank"))
     for _ in range(iterations):
-        # The rank relation is |nodes|-sized — broadcast it so each round
-        # is a map-side probe of the cached edge relation plus one keyed
-        # aggregation, never a re-shuffle of the edges. In the
+        # The rank relation is |nodes|-sized — in broadcast mode each
+        # round is a map-side probe of the cached edge relation plus one
+        # keyed aggregation, never a re-shuffle of the edges; in
+        # partitioned mode the ranks exchange by node id instead. In the
         # personalized case most ranks start (and, outside the seeds'
         # reach, stay) exactly 0 and contribute exactly 0 — dropping
-        # them shrinks the broadcast to the nonzero frontier without
-        # changing any sum.
+        # them shrinks the per-round movement to the nonzero frontier
+        # without changing any sum.
         rel = ranks.select("node", "rank")
         if p_col:
             rel = rel.filter(F.col("rank") != 0.0)
         contrib = (
-            ed.join(F.broadcast(rel), ed.e_src == rel.node)
+            ed.join(mb(rel), ed.e_src == rel.node)
             .select(
                 F.col("e_dst").alias("node"),
                 (F.col("rank") / F.col("out_deg")).alias("c"),
@@ -257,14 +345,16 @@ def _power_iterate(ed, nodes, p_col, iterations, damping, rank_update, finish):
             .agg(dec_sum(F.col("c")).alias("s"))
         )
         # contrib is an aggregate output whose stats Catalyst can't see
-        # pre-AQE, so hint the broadcast: without it this |nodes|-sized
-        # left join plans as a sort-merge join with one more exchange
-        # per iteration.
-        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
+        # pre-AQE, so hint the broadcast in broadcast mode: without it
+        # this |nodes|-sized left join plans as a sort-merge join with
+        # one more exchange per iteration. In partitioned mode both
+        # sides are keyed by node (nodes is cached pre-partitioned), so
+        # only contrib moves.
+        ranks = nodes.join(mb(contrib), "node", "left").select(
             *keep,
             rank_update(F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
         )
-    return finish(ranks.select("node", "rank"), ed, nodes)
+    return ranks.select("node", "rank")
 
 
 def kcore(

@@ -188,3 +188,34 @@ def test_kcore_raises_on_round_cap_unless_partial(spark):
     partial = kcore(edges, k=2, max_rounds=3, allow_partial=True)
     assert partial.count() > 0  # the documented fixed-round state
     assert kcore(edges, k=2).count() == 0  # default cap converges
+
+
+def test_partitioned_pagerank_matches_broadcast_exactly(spark):
+    """partitioned=True (rank shuffle onto the pinned edge layout) and
+    the default broadcast transport must be bit-identical — the decimal
+    contribution sum is order-independent."""
+    import random
+
+    from econdatapipeline_spark.operators.graph import personalized_pagerank
+
+    rng = random.Random(11)
+    edges = spark.createDataFrame(
+        [(rng.randrange(120), rng.randrange(120)) for _ in range(900)],
+        "src long, dst long",
+    ).filter("src != dst").distinct()
+    sym = edges.union(edges.selectExpr("dst as src", "src as dst")).distinct()
+
+    for kw in ({"symmetric": False}, {"symmetric": True}):
+        base = pagerank(sym if kw["symmetric"] else edges, iterations=3, **kw)
+        part = pagerank(
+            sym if kw["symmetric"] else edges, iterations=3, partitioned=True,
+            **kw,
+        )
+        assert sorted(map(tuple, base.collect())) == sorted(
+            map(tuple, part.collect())
+        )
+
+    seeds = spark.createDataFrame([(3,), (7,)], "node long")
+    a = personalized_pagerank(edges, seeds, iterations=3)
+    b = personalized_pagerank(edges, seeds, iterations=3, partitioned=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -225,3 +225,39 @@ def test_negative_sample_broadcasts_representatives(spark):
     plan = plan_of(E.q_negative_sample(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_partitioned_pagerank_never_broadcasts(spark):
+    """partitioned=True is the billion-node mode: with the auto-broadcast
+    threshold off, the full unrolled 3-round plan must contain NO
+    BroadcastExchange (no forced |nodes|-sized broadcast anywhere),
+    while the default mode broadcasts the rank relation by design."""
+    import random
+
+    from econdatapipeline_spark.operators import graph as G
+
+    rng = random.Random(5)
+    edges = spark.createDataFrame(
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(300)],
+        "src long, dst long",
+    ).filter("src != dst").distinct()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ranks, working = G._build_pagerank(
+            edges, "src", "dst", 3, 0.85, False, True
+        )
+        part_plan = plan_of(ranks)
+        for df in working:
+            df.unpersist()
+        ranks_b, working_b = G._build_pagerank(
+            edges, "src", "dst", 3, 0.85, False, False
+        )
+        bcast_plan = plan_of(ranks_b)
+        for df in working_b:
+            df.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in part_plan
+    assert "BroadcastExchange" in bcast_plan
