@@ -51,3 +51,120 @@ def test_resize_meta(spark, media):
     assert out[1] == (256, 192)       # 640x480 scaled by 256/640
     assert out[2] == (256, 144)       # 1920x1080
     assert out[4] == (100, 50)        # under max: untouched
+
+
+# -- real PNG decode path (stdlib zlib + unfilter) ----------------------
+
+def _encode_png(pixels, width, height, channels, filters):
+    """Minimal PNG writer for the tests: applies the given per-row
+    filter types (the inverse transform of decoding) and emits real
+    chunks with CRCs — an independent implementation of the spec the
+    decoder is checked against."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, f in zip(range(height), filters):
+        line = bytes(pixels[y * stride:(y + 1) * stride])
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (enc[i] - line[i - channels]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_roundtrip_all_filters(spark):
+    """Every PNG scanline filter (None/Sub/Up/Average/Paeth) must undo
+    to the original pixels."""
+    import random
+
+    rng = random.Random(42)
+    w, h, ch = 6, 5, 3
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h,
+                    [0, 1, 2, 3, 4]):
+        png = _encode_png(pixels, w, h, ch, filters)
+        got = M._png_pixels(png)
+        assert got is not None, filters
+        gw, gh, gch, gpx = got
+        assert (gw, gh, gch) == (w, h, ch)
+        assert gpx == pixels, f"filters {filters}"
+
+
+def test_png_features_are_pixel_statistics(spark):
+    """extract_features emits REAL pixel stats for a PNG payload —
+    checked against an independently computed reference — and the
+    digest fallback for a non-PNG payload."""
+    w, h, ch = 4, 3, 1
+    pixels = bytes([0, 51, 102, 153, 204, 255, 0, 51, 102, 153, 204, 255])
+    png = _encode_png(pixels, w, h, ch, [0, 2, 4])
+    rows = [(1, png, "image", (w, h, None, "png")),
+            (2, b"JFIF not a png", "image", (9, 9, None, "jpeg"))]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"]
+             for r in M.extract_features(media, dim=8).collect()}
+
+    n = len(pixels)
+    mean = sum(pixels) / n
+    var = sum(b * b for b in pixels) / n - mean * mean
+    expect = [float(w), float(h), float(ch), mean / 255.0,
+              var ** 0.5 / 255.0, mean / 255.0, mean / 255.0,
+              sum(1 for b in pixels if b) / n]
+    assert feats[1] == pytest.approx(expect, abs=1e-12)
+    assert feats[2] == M._decode_image_stub(b"JFIF not a png", 8)
+
+
+def test_png_decoder_rejects_unsupported_shapes(spark):
+    """Palette/16-bit/interlaced/truncated payloads route to the digest
+    fallback (None), never crash."""
+    import struct
+    import zlib
+
+    w, h = 2, 2
+    pixels = bytes(range(w * h))
+    good = _encode_png(pixels, w, h, 1, [0, 0])
+    assert M._png_pixels(good) is not None
+    assert M._png_pixels(good[:20]) is None          # truncated
+    assert M._png_pixels(b"") is None                # empty
+    assert M._png_pixels(None) is None               # null payload
+    assert M._png_pixels(b"\x89PNG fake bytes") is None  # bad magic tail
+    # palette color type (3) unsupported
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    body = b"IHDR" + ihdr
+    pal = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + body
+           + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+    assert M._png_pixels(pal) is None
