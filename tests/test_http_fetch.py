@@ -175,3 +175,64 @@ def test_fred_url_contract():
     url = fred_url(spec, api_key="k123")
     assert "series_id=GDPC1" in url and "frequency=q" in url
     assert "file_type=json" in url and "api_key=k123" in url
+
+
+def test_cached_fetcher_against_real_local_sockets(spark, tmp_path):
+    """End-to-end over real HTTP: stdlib http.server on a loopback
+    port exercises default_http_get -> cache-miss GET -> blob store ->
+    cache-hit replay with zero further requests, plus the HTTP-error
+    propagation path. No network egress: 127.0.0.1 only."""
+    import http.server
+    import threading
+
+    from econdatapipeline_spark.sources.http_fetch import (
+        CachedHttpFetcher,
+        default_http_get,
+    )
+    from econdatapipeline_spark.sources.warehouse import Warehouse
+
+    hits = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(self.path)
+            if self.path.startswith("/missing"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = f"payload-for:{self.path}".encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet test output
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        fetcher = CachedHttpFetcher(wh, http_get=default_http_get)
+
+        # cache miss -> real GET over the socket
+        got = fetcher.fetch(f"{base}/series/a.xls", "a.xls")
+        assert got == f"payload-for:/series/a.xls".encode()
+        assert hits == ["/series/a.xls"]
+
+        # cache hit -> served from the blob store, no second request
+        again = fetcher.fetch(f"{base}/series/a.xls", "a.xls")
+        assert again == got
+        assert hits == ["/series/a.xls"]
+        assert wh.get_blob("raw-files", "a.xls") == got
+
+        # HTTP error propagates (pipeline turns it into status=failed)
+        with pytest.raises(OSError):
+            fetcher.fetch(f"{base}/missing.xls", "missing.xls")
+        # the failed fetch must NOT poison the cache
+        assert wh.get_blob("raw-files", "missing.xls") is None
+    finally:
+        srv.shutdown()
+        thread.join(timeout=5)
