@@ -3189,6 +3189,21 @@ def q_sketch_rollup(spark, sf_dir):
     return hll_rollup(d, "doc_id", "source")
 
 
+def q_distinct_rollup(spark, sf_dir):
+    """Exact structural twin of q_sketch_rollup
+    (operators/stats.distinct_rollup): same rollup topology — one scan
+    builds the deduplicated (group, key) aggregate, per-group counts
+    AND the '__all__' total derive from that aggregate output, never a
+    re-scan — with integer-exact counts in place of HLL registers, so
+    the driver hash-certifies the merge topology that the sketch
+    variant shares (rows-only by necessity there; the 2% accuracy
+    bound stays pinned in tests/test_stats.py)."""
+    from econdatapipeline_spark.operators.stats import distinct_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    return distinct_rollup(d, "doc_id", "source")
+
+
 def q_negative_sample(spark, sf_dir):
     """Hash-ring negative sampling for contrastive training
     (operators/sampling.negative_sample): 3 negatives per anchor from
@@ -3441,6 +3456,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "random_projection": q_random_projection,
         "ann_project": q_ann_project,
         "sketch_rollup": q_sketch_rollup,
+        "distinct_rollup": q_distinct_rollup,
     }
 
 
@@ -6053,4 +6069,12 @@ def oracle_sql() -> dict[str, str]:
     # Both rank transports (broadcast and partitioned shuffle) must
     # reach the identical unrolled-CTE fixpoint.
     sql["pagerank_partitioned"] = sql["pagerank"]
+    sql["distinct_rollup"] = """
+        SELECT CAST(source AS VARCHAR) AS "group",
+               COUNT(DISTINCT doc_id) AS n_distinct
+        FROM documents GROUP BY source
+        UNION ALL
+        SELECT '__all__' AS "group", COUNT(DISTINCT doc_id) AS n_distinct
+        FROM documents
+    """
     return sql

@@ -203,6 +203,42 @@ def hll_rollup(
     return per_group.unionByName(merged)
 
 
+def distinct_rollup(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+) -> DataFrame:
+    """EXACT structural twin of :func:`hll_rollup` -> (group, n_distinct)
+    per group plus an '__all__' row.
+
+    Identical rollup topology: ONE data-sized shuffle builds the
+    deduplicated (group, key) pair relation, per-group counts and the
+    overall total both derive from THAT AGGREGATE OUTPUT — the total
+    never re-scans the input, exactly like the sketch union in
+    hll_rollup. The difference is the carrier: distinct pairs instead
+    of HLL registers, so every number is integer-exact and the whole
+    rollup is oracle-checkable (the ann_ivf_exact pattern: hash-certify
+    the topology with an exact twin, bound the approximate variant with
+    a pytest accuracy contract).
+
+    Cost honesty: the pair relation is |distinct(group, key)|-sized;
+    exact distinct rollups pay that by definition. hll_rollup exists
+    precisely to cap it at kilobytes per group — use it when key
+    cardinality is web-scale, this twin when exactness matters more.
+    """
+    pairs = df.groupBy(group_col, key_col).agg(F.count(F.lit(1)).alias("__n"))
+    per_group = pairs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    ).select(F.col(group_col).cast("string").alias("group"), "n_distinct")
+    merged = (
+        pairs.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__dup"))
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .select(F.lit("__all__").alias("group"), "n_distinct")
+    )
+    return per_group.unionByName(merged)
+
+
 def psi_drift(
     base: DataFrame,
     target: DataFrame,

@@ -133,3 +133,15 @@ def test_psi_drift_validates_bounds_and_routes_nan(spark):
     assert out[-2] == (2, 0)
     assert 4 not in out or out[4][0] == 0
     assert out[2] == (1, 1)  # 0.5 in [0.5, 0.75)
+
+
+def test_distinct_rollup_exact_twin(spark):
+    from econdatapipeline_spark.operators.stats import distinct_rollup
+
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 2), ("b", 3), ("c", 1)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = {r["group"]: r["n_distinct"]
+           for r in distinct_rollup(df, "doc_id", "source").collect()}
+    # per-group exact distincts plus the merged total: distinct overall
+    # is 3 (ids 1,2,3), NOT the sum of per-group counts (2+2+1=5)
+    assert out == {"a": 2, "b": 2, "c": 1, "__all__": 3}
