@@ -211,15 +211,16 @@ def distinct_rollup(
     """EXACT structural twin of :func:`hll_rollup` -> (group, n_distinct)
     per group plus an '__all__' row.
 
-    Identical rollup topology: ONE data-sized shuffle builds the
-    deduplicated (group, key) pair relation, per-group counts and the
-    overall total both derive from THAT AGGREGATE OUTPUT — the total
-    never re-scans the input, exactly like the sketch union in
-    hll_rollup. The difference is the carrier: distinct pairs instead
-    of HLL registers, so every number is integer-exact and the whole
-    rollup is oracle-checkable (the ann_ivf_exact pattern: hash-certify
-    the topology with an exact twin, bound the approximate variant with
-    a pytest accuracy contract).
+    Same OUTPUT contract as hll_rollup (per-group rows + merged total)
+    with integer-exact counts in place of HLL registers, so the rollup
+    is oracle-checkable (the ann_ivf_exact pattern: hash-certify the
+    contract with an exact twin, bound the approximate variant with a
+    pytest accuracy contract). Logically both output rows derive from
+    one deduplicated (group, key) pair relation; physically Catalyst
+    prunes the '__all__' branch to a single-column scan + distinct
+    (checked in tests/test_plans.py) — for an EXACT total that pruned
+    re-scan is the cheaper plan, and the sketch variant exists for when
+    even one more scan (or a web-scale distinct) is unaffordable.
 
     Cost honesty: the pair relation is |distinct(group, key)|-sized;
     exact distinct rollups pay that by definition. hll_rollup exists

@@ -261,3 +261,15 @@ def test_partitioned_pagerank_never_broadcasts(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastExchange" not in part_plan
     assert "BroadcastExchange" in bcast_plan
+
+
+def test_distinct_rollup_total_branch_is_column_pruned(spark):
+    """The '__all__' branch of the exact rollup twin must plan as a
+    single-column scan (Catalyst prunes the group column entirely), not
+    a second full-width pass."""
+    from econdatapipeline_spark.operators.stats import distinct_rollup
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    plan = plan_of(distinct_rollup(docs, "doc_id", "source"))
+    schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    assert any("doc_id" in s and "source" not in s for s in schemas), schemas
