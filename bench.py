@@ -91,6 +91,20 @@ def main() -> None:
         else:
             timings[name] = -1.0
             t_min[name] = t_max[name] = -1.0
+        # Between QUERIES (untimed): collect both heaps so the next
+        # query doesn't pay the previous one's garbage. localCheckpoint
+        # blocks are freed by the ContextCleaner only after the Python
+        # DataFrames are collected — without the nudge, the iterative
+        # queries early in the rotation leave executor storage + heap
+        # pressure that inflates unrelated queries minutes later
+        # (measured: ngram family 1.4x slower mid-run vs isolated).
+        import gc  # noqa: PLC0415
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        except Exception:  # noqa: BLE001 — hygiene only, never fail bench
+            pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     total_min = round(sum(t for t in t_min.values() if t >= 0), 4)
