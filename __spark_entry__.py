@@ -3189,6 +3189,21 @@ def q_sketch_rollup(spark, sf_dir):
     return hll_rollup(d, "doc_id", "source")
 
 
+def q_bloom_new_docs(spark, sf_dir):
+    """Bloom-pruned incremental dedup (operators/bloom.py): which rows
+    of a re-delivered batch are NEW vs the standing corpus. The probe
+    is a one-row broadcast + scan-stage bit tests (zero shuffle of the
+    batch); only the maybe-seen residue pays the exact anti-join, so
+    the result is EXACTLY the anti-join answer (no false negatives)
+    and hash-certifies against a plain NOT EXISTS oracle while the
+    Bloom only governs how much work the join sees."""
+    from econdatapipeline_spark.operators.bloom import new_rows
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    history = d.filter(F.col("doc_id") % 4 != 0)
+    return new_rows(d, history, "doc_id")
+
+
 def q_distinct_rollup(spark, sf_dir):
     """Exact structural twin of q_sketch_rollup
     (operators/stats.distinct_rollup): same rollup topology — one scan
@@ -3457,6 +3472,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "ann_project": q_ann_project,
         "sketch_rollup": q_sketch_rollup,
         "distinct_rollup": q_distinct_rollup,
+        "bloom_new_docs": q_bloom_new_docs,
     }
 
 
@@ -6076,5 +6092,13 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT '__all__' AS "group", COUNT(DISTINCT doc_id) AS n_distinct
         FROM documents
+    """
+    # Bloom pruning must never change the answer — the oracle is the
+    # plain anti-join the operator is an optimization of.
+    sql["bloom_new_docs"] = """
+        SELECT doc_id, source, n_chars FROM documents d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM documents h
+            WHERE h.doc_id % 4 != 0 AND h.doc_id = d.doc_id)
     """
     return sql
