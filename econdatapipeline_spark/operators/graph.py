@@ -63,18 +63,25 @@ def _edge_relation(
     driver/executor memory ceiling of broadcast mode at the price of
     one rank shuffle per round.
     """
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
     parallelism = edges.sparkSession.sparkContext.defaultParallelism
     if partitioned:
-        ed = (
-            edges.join(deg, src)
-            .select(
-                F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "out_deg"
-            )
-            # one explicit setup shuffle pins the layout every round reuses
-            .repartition(parallelism, "e_src")
+        # ONE explicit shuffle of the edges pins the hash(src) layout;
+        # the degree aggregate and the degree join both derive from
+        # that same layout, so neither adds an exchange — and because
+        # the STREAMED side carries the partitioning, the layout
+        # survives whatever join strategy AQE picks for the (small
+        # here, |nodes|-sized at scale) degree side. The partition
+        # COUNT is deliberately left at spark.sql.shuffle.partitions:
+        # the per-round rank exchanges use that count, and a cached
+        # layout with a DIFFERENT count would fail EnsureRequirements'
+        # co-partitioning check and re-exchange the edges every round.
+        edges_r = edges.repartition(F.col(src))
+        deg_r = edges_r.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
+        ed = edges_r.join(deg_r, src).select(
+            F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "out_deg"
         )
     else:
+        deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
         # deg is |nodes|-sized (the same size class as the broadcast rank
         # relation in the loop), so ship it map-side rather than
         # shuffling the edge list; the per-iteration probe then never
