@@ -215,3 +215,104 @@ def cusum_monitor(events: DataFrame, threshold: float = 100.0) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HEAVY_HITTERS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("min_count", T.LongType()),
+        T.StructField("n_shard", T.LongType()),
+    ]
+)
+
+_HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def heavy_hitters(
+    events: DataFrame,
+    item_col: str,
+    capacity: int = 16,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters (trending tokens/domains) with BOUNDED
+    state: a sharded Misra-Gries summary maintained across micro-batches
+    -> (shard, item, min_count, n_shard) per surviving counter.
+
+    Exact running top-k over an unbounded stream needs O(distinct)
+    state; Misra-Gries keeps ``capacity`` counters with the guarantee
+
+        true_count - n/(capacity+1)  <=  min_count  <=  true_count
+
+    (n = items seen), so every item with frequency > n/(capacity+1) is
+    GUARANTEED present — the deterministic sketch the mergeable-
+    summaries literature builds on (Misra & Gries 1982; Agarwal et al.
+    2012 for the merge rule used here: sum counters, then subtract the
+    (capacity+1)-th largest and drop non-positive).
+
+    Sharding makes it distributed: items route to a shard by hash, so
+    each shard's summary covers a DISJOINT item set — the global
+    answer is the plain union of shard outputs (no cross-shard merge),
+    state is capacity x shards counters total, and each shard's error
+    bound tightens to ITS n. One shuffle per batch on the shard key;
+    the kernel processes items in sorted order so the surviving set is
+    deterministic for a given batch partitioning (the bound holds
+    regardless).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+
+    def kernel(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, n = state.get
+            summary = dict(zip(list(items), [int(c) for c in counts]))
+            n = int(n)
+        else:
+            summary, n = {}, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        vc = batch["__hh_item"].value_counts()
+        n += int(vc.sum())
+        # mergeable-summaries combine: add, then decrement by the
+        # (capacity+1)-th largest count and drop the non-positive
+        for item in sorted(vc.index):
+            summary[item] = summary.get(item, 0) + int(vc[item])
+        if len(summary) > capacity:
+            cut = sorted(summary.values(), reverse=True)[capacity]
+            summary = {i: c - cut for i, c in summary.items() if c > cut}
+        state.update((list(summary.keys()), list(summary.values()), n))
+        if summary:
+            ordered = sorted(summary.items())
+            yield pd.DataFrame(
+                {
+                    "shard": [key[0]] * len(ordered),
+                    "item": [i for i, _ in ordered],
+                    "min_count": [c for _, c in ordered],
+                    "n_shard": [n] * len(ordered),
+                }
+            )
+
+    keyed = events.select(
+        F.col(item_col).cast("string").alias("__hh_item"),
+        F.pmod(F.xxhash64(F.col(item_col).cast("string")), F.lit(shards)).alias(
+            "__hh_shard"
+        ),
+    )
+    return keyed.groupBy("__hh_shard").applyInPandasWithState(
+        kernel,
+        outputStructType=HEAVY_HITTERS_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -183,3 +183,89 @@ def test_cusum_monitor_matches_batch_closed_form(spark, dirs):
     )
     assert (r["cusum_pos"], r["cusum_neg"]) == (last["cusum_pos"], last["cusum_neg"])
     assert r["alarm"] == last["alarm"] is True
+
+
+def test_heavy_hitters_bound_and_cross_batch_state(spark, dirs):
+    """Misra-Gries guarantees: (a) every item with true frequency >
+    n_shard/(capacity+1) survives, (b) min_count never exceeds the true
+    count and undershoots by at most n_shard/(capacity+1) — held across
+    TWO micro-batches with state carried between them."""
+    import collections
+
+    from pyspark.sql import types as TT
+
+    from econdatapipeline_spark.streaming.stateful import heavy_hitters
+
+    src, ckpt = dirs
+    schema = TT.StructType([TT.StructField("word", TT.StringType())])
+
+    # skewed vocabulary: a few heavy items + a long tail
+    batch1 = [("alpha",)] * 60 + [("beta",)] * 40 + [
+        (f"tail{i}",) for i in range(50)
+    ]
+    batch2 = [("alpha",)] * 50 + [("gamma",)] * 45 + [
+        (f"tail{i}",) for i in range(50, 100)
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "b1"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        rows: list = []
+
+        def sink(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        q = (
+            heavy_hitters(stream, "word", capacity=8, shards=4)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    run()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "b2"))
+    rows = run()  # second incarnation resumes from the checkpoint
+
+    # keep the LAST emission per (shard, item)
+    latest = {}
+    for r in rows:
+        latest[(r["shard"], r["item"])] = r
+    by_item = {item: r for (_s, item), r in latest.items()}
+
+    truth = collections.Counter(w for w, in batch1 + batch2)
+    # per-shard n and per-shard truth (items are hash-disjoint by shard)
+    shard_n = {}
+    for (s, _i), r in latest.items():
+        shard_n[s] = max(shard_n.get(s, 0), r["n_shard"])
+
+    for item, r in by_item.items():
+        true = truth[item]
+        assert r["min_count"] <= true, item
+        assert true - r["min_count"] <= r["n_shard"] / (8 + 1) + 1e-9, item
+    # alpha appears 110 times across both batches — far above any
+    # shard's n/(capacity+1) — it MUST be present with a tight count
+    assert "alpha" in by_item
+    assert by_item["alpha"]["min_count"] >= 110 - by_item["alpha"]["n_shard"] / 9
+    assert "beta" in by_item and "gamma" in by_item
+
+
+def test_heavy_hitters_validates_params(spark):
+    from econdatapipeline_spark.streaming.stateful import heavy_hitters
+
+    df = spark.createDataFrame([("x",)], "word string")
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(df, "word", capacity=0)
+    with pytest.raises(ValueError, match="shards"):
+        heavy_hitters(df, "word", shards=0)
