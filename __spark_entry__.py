@@ -3189,6 +3189,21 @@ def q_sketch_rollup(spark, sf_dir):
     return hll_rollup(d, "doc_id", "source")
 
 
+def q_quantile_rollup(spark, sf_dir):
+    """Mergeable quantile rollup (operators/stats.quantile_rollup):
+    per-priority p50/p90/p99 of order value from additive histogram
+    bins, plus an '__all__' row merged from the GROUP BINS (never a
+    re-scan) — the rollup-safe quantile shape, and unlike a t-digest
+    fully deterministic, so the oracle hash-certifies it outright."""
+    from econdatapipeline_spark.operators.stats import quantile_rollup
+
+    o = _t(spark, sf_dir, "orders")
+    return quantile_rollup(
+        o, "o_totalprice", "o_orderpriority",
+        quantiles=(0.5, 0.9, 0.99), bins=64, lo=0.0, hi=500000.0,
+    )
+
+
 def q_bloom_new_docs(spark, sf_dir):
     """Bloom-pruned incremental dedup (operators/bloom.py): which rows
     of a re-delivered batch are NEW vs the standing corpus. The probe
@@ -3473,6 +3488,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "sketch_rollup": q_sketch_rollup,
         "distinct_rollup": q_distinct_rollup,
         "bloom_new_docs": q_bloom_new_docs,
+        "quantile_rollup": q_quantile_rollup,
     }
 
 
@@ -6100,5 +6116,35 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (
             SELECT 1 FROM documents h
             WHERE h.doc_id % 4 != 0 AND h.doc_id = d.doc_id)
+    """
+    sql["quantile_rollup"] = """
+        WITH src AS (
+          SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+                 CAST(o_totalprice AS DOUBLE) AS x
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+        binned AS (
+          SELECT g AS "group",
+                 CASE WHEN x < 0.0 THEN -1 WHEN x >= 500000.0 THEN 64
+                      ELSE CAST(floor((x - 0.0) / 7812.5) AS INT) END AS bin,
+                 COUNT(*) AS cnt
+          FROM src GROUP BY 1, 2),
+        merged AS (
+          SELECT '__all__' AS "group", bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM binned GROUP BY bin),
+        allb AS (SELECT * FROM binned UNION ALL SELECT * FROM merged),
+        cum AS (
+          SELECT "group", bin,
+                 CAST(SUM(cnt) OVER (PARTITION BY "group" ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER (PARTITION BY "group") AS BIGINT) AS n
+          FROM allb),
+        qq AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        SELECT "group", CAST(q AS DOUBLE) AS q, CAST(any_value(n) AS BIGINT) AS n,
+               round(0.0 + CAST(MIN(bin) AS DOUBLE) * 7812.5, 6) AS est
+        FROM cum, qq
+        WHERE cum >= ceil(CAST(q AS DOUBLE) * n)
+        GROUP BY "group", q
     """
     return sql

@@ -240,6 +240,79 @@ def distinct_rollup(
     return per_group.unionByName(merged)
 
 
+def quantile_rollup(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 64,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Mergeable quantile estimates -> (group, q, n, est) per group plus
+    an '__all__' row whose bins are the SUM of the group bins.
+
+    The rollup-safe quantile shape: exact percentiles don't re-aggregate
+    (p99-per-source can't combine into p99-overall), but fixed-boundary
+    histogram BINS are additive, so every coarser total derives from
+    the group aggregate outputs — the same increment-not-rescan
+    discipline as hll_rollup/merge_blooms, and (unlike a t-digest)
+    fully deterministic: est is the lower edge of the first bin whose
+    cumulative count reaches ceil(q*n), which any engine reproduces
+    bit-for-bit (hash-certifiable oracle, no accuracy bound needed —
+    the approximation error is the declared bin width itself).
+
+    Cost: ONE data-sized shuffle (group, bin) with map-side combine;
+    everything after is bins-sized. Values below ``lo`` land in bin -1
+    (est = lo - width), at/above ``hi`` in bin ``bins`` (est = hi);
+    NULL/NaN rows are excluded from n (they have no order position).
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if hi <= lo:
+        raise ValueError(f"hi must be > lo, got lo={lo}, hi={hi}")
+    if not quantiles or any(not (0.0 < q <= 1.0) for q in quantiles):
+        raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    c = F.col(value_col).cast("double")
+    b = (
+        F.when(c < lo, F.lit(-1))
+        .when(c >= hi, F.lit(bins))
+        .otherwise(F.floor((c - lo) / F.lit(width)).cast("int"))
+    )
+    binned = (
+        df.filter(c.isNotNull() & ~F.isnan(c))
+        .groupBy(F.col(group_col).cast("string").alias("group"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = binned.groupBy(F.lit("__all__").alias("group"), "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    allb = binned.unionByName(merged)
+    wcum = (
+        Window.partitionBy("group").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("group")
+    cum = allb.select(
+        "group", "bin", F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    est = F.lit(lo) + F.col("bin").cast("double") * F.lit(width)
+    return (
+        cum.select("group", "bin", "cum", "n", qs)
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("group", "q")
+        .agg(F.min("bin").alias("bin"), F.first("n").alias("n"))
+        .select(
+            "group", "q", "n", F.round(est, 6).alias("est"),
+        )
+    )
+
+
 def psi_drift(
     base: DataFrame,
     target: DataFrame,

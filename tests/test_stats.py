@@ -145,3 +145,44 @@ def test_distinct_rollup_exact_twin(spark):
     # per-group exact distincts plus the merged total: distinct overall
     # is 3 (ids 1,2,3), NOT the sum of per-group counts (2+2+1=5)
     assert out == {"a": 2, "b": 2, "c": 1, "__all__": 3}
+
+
+def test_quantile_rollup_exact_and_merged(spark):
+    from econdatapipeline_spark.operators.stats import quantile_rollup
+
+    # group a: 0..9 (uniform); group b: all mass at 5
+    rows = [("a", float(i)) for i in range(10)] + [("b", 5.0)] * 10
+    df = spark.createDataFrame(rows, "source string, v double")
+    out = {(r["group"], r["q"]): (r["n"], r["est"])
+           for r in quantile_rollup(df, "v", "source",
+                                    quantiles=(0.5, 1.0),
+                                    bins=10, lo=0.0, hi=10.0).collect()}
+    # a: median = ceil(0.5*10)=5th value of 0..9 -> bin 4 -> est 4.0
+    assert out[("a", 0.5)] == (10, 4.0)
+    assert out[("a", 1.0)] == (10, 9.0)
+    assert out[("b", 0.5)] == (10, 5.0)
+    # merged: 20 values; cum through bin 4 is only 5 (group a's 0..4),
+    # bin 5 adds a's one + b's ten -> cum 16 >= ceil(0.5*20)=10 -> est 5
+    assert out[("__all__", 0.5)] == (20, 5.0)
+    assert out[("__all__", 1.0)] == (20, 9.0)
+
+
+def test_quantile_rollup_edge_bins_and_validation(spark):
+    import pytest
+
+    from econdatapipeline_spark.operators.stats import quantile_rollup
+
+    df = spark.createDataFrame(
+        [("s", -5.0), ("s", 100.0), ("s", float("nan")), ("s", None)],
+        "source string, v double",
+    )
+    out = {(r["group"], r["q"]): (r["n"], r["est"])
+           for r in quantile_rollup(df, "v", "source", quantiles=(0.5, 1.0),
+                                    bins=4, lo=0.0, hi=8.0).collect()}
+    # NaN/NULL excluded -> n=2; median is the underflow bin (est lo-width)
+    assert out[("s", 0.5)] == (2, -2.0)
+    assert out[("s", 1.0)] == (2, 8.0)  # overflow bin est = hi
+    with pytest.raises(ValueError, match="quantiles"):
+        quantile_rollup(df, "v", "source", quantiles=(0.0,))
+    with pytest.raises(ValueError, match="hi must be"):
+        quantile_rollup(df, "v", "source", lo=1.0, hi=1.0)
