@@ -3189,6 +3189,19 @@ def q_sketch_rollup(spark, sf_dir):
     return hll_rollup(d, "doc_id", "source")
 
 
+def q_priority_sample(spark, sf_dir):
+    """Exactly-k weighted sample without replacement
+    (operators/sampling.priority_sample, Efraimidis-Spirakis with
+    md5-derived uniforms): 200 documents drawn proportionally to
+    length, reproducible with no rand() — the fixed-budget counterpart
+    of weighted_sample's expected-fraction coin flips. Top-k plans as
+    TakeOrderedAndProject."""
+    from econdatapipeline_spark.operators.sampling import priority_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return priority_sample(d, k=200, weight_col="n_chars")
+
+
 def q_quantile_rollup(spark, sf_dir):
     """Mergeable quantile rollup (operators/stats.quantile_rollup):
     per-priority p50/p90/p99 of order value from additive histogram
@@ -3489,6 +3502,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "distinct_rollup": q_distinct_rollup,
         "bloom_new_docs": q_bloom_new_docs,
         "quantile_rollup": q_quantile_rollup,
+        "priority_sample": q_priority_sample,
     }
 
 
@@ -6116,6 +6130,17 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (
             SELECT 1 FROM documents h
             WHERE h.doc_id % 4 != 0 AND h.doc_id = d.doc_id)
+    """
+    sql["priority_sample"] = """
+        WITH pr AS (
+          SELECT doc_id, source, n_chars,
+                 floor(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                AS BIGINT) % 1000000 + 0.5) / 1000000.0)
+                       / CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0 AS priority
+          FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
+        SELECT doc_id, source, n_chars, priority
+        FROM pr ORDER BY priority DESC, doc_id ASC LIMIT 200
     """
     sql["quantile_rollup"] = """
         WITH src AS (

@@ -124,6 +124,46 @@ def weighted_sample(
     return df.filter(bucket < (p * 10000).cast("long"))
 
 
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY-k weighted sample without replacement -> input rows +
+    ``priority``, the k highest-priority rows.
+
+    Efraimidis-Spirakis A-ES: each row draws priority u^(1/w) with u
+    uniform, and the global top-k is a weighted sample without
+    replacement. Here u derives from the id's md5 (the family's
+    no-rand() determinism: retries, engines, partitionings all pick
+    the SAME rows) and the ordering key is the monotone-equivalent
+    ln(u)/w, floor-rounded at 1e-6 (the adamic_adar ln discipline —
+    libm last-ulp differences can't flip the order) with an id
+    tie-break. Rows with non-positive weight are excluded (they have
+    no sampling mass).
+
+    Scale: priority is a scan-stage expression; top-k plans as
+    TakeOrderedAndProject — per-partition heaps of k rows, never a
+    global sort (same shape as every top-k in this repo). Contrast
+    with ``weighted_sample``, which keeps an EXPECTED fraction by
+    independent coin flips; this form pins the exact output size.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (
+        _md5_bucket(F.col(id_col), 1_000_000).cast("double") + F.lit(0.5)
+    ) / 1_000_000.0
+    w = F.col(weight_col).cast("double")
+    pr = F.floor(F.log(u) / w * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", pr)
+        .orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cluster_split(
     df: DataFrame,
     labels: DataFrame,

@@ -251,3 +251,25 @@ def test_negative_sample_rejects_k_not_below_ring(spark):
     for r in out:
         per_anchor.setdefault(r["anchor_id"], set()).add(r["neg_id"])
     assert all(len(v) <= 3 for v in per_anchor.values())
+
+
+def test_priority_sample_exact_k_weighted_and_deterministic(spark):
+    from econdatapipeline_spark.operators.sampling import priority_sample
+
+    rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = priority_sample(df, k=100, weight_col="w")
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == 100
+    # heavy rows (weight 1000, 5% of ids) must dominate the sample
+    heavy = sum(1 for i in got if i < 50)
+    assert heavy >= 40  # nearly all 50 heavy rows selected
+    # deterministic across runs
+    again = [r["doc_id"] for r in priority_sample(df, k=100, weight_col="w").collect()]
+    assert sorted(got) == sorted(again)
+    # non-positive weights are excluded entirely
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 1.0)],
+                                "doc_id long, w double")
+    assert [r["doc_id"] for r in priority_sample(df2, 5, "w").collect()] == [3]
+    with pytest.raises(ValueError, match="k must be"):
+        priority_sample(df, 0, "w")
