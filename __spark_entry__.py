@@ -3202,6 +3202,20 @@ def q_priority_sample(spark, sf_dir):
     return priority_sample(d, k=200, weight_col="n_chars")
 
 
+def q_stratified_priority_sample(spark, sf_dir):
+    """Exactly-k-per-source weighted sampling
+    (operators/sampling.stratified_priority_sample): 40 documents per
+    source drawn length-weighted without replacement via one keyed
+    window — the mixture-construction primitive (weighted-random
+    diversity where domain_cap keeps the deterministic top)."""
+    from econdatapipeline_spark.operators.sampling import (
+        stratified_priority_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return stratified_priority_sample(d, k_per_group=40, weight_col="n_chars")
+
+
 def q_quantile_rollup(spark, sf_dir):
     """Mergeable quantile rollup (operators/stats.quantile_rollup):
     per-priority p50/p90/p99 of order value from additive histogram
@@ -3503,6 +3517,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "bloom_new_docs": q_bloom_new_docs,
         "quantile_rollup": q_quantile_rollup,
         "priority_sample": q_priority_sample,
+        "stratified_priority_sample": q_stratified_priority_sample,
     }
 
 
@@ -6141,6 +6156,21 @@ def oracle_sql() -> dict[str, str]:
           FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
         SELECT doc_id, source, n_chars, priority
         FROM pr ORDER BY priority DESC, doc_id ASC LIMIT 200
+    """
+    sql["stratified_priority_sample"] = """
+        WITH pr AS (
+          SELECT doc_id, source, n_chars,
+                 floor(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                AS BIGINT) % 1000000 + 0.5) / 1000000.0)
+                       / CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0 AS priority
+          FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY priority DESC, doc_id ASC) AS INT) AS rank
+          FROM pr)
+        SELECT doc_id, source, n_chars, priority, rank
+        FROM ranked WHERE rank <= 40
     """
     sql["quantile_rollup"] = """
         WITH src AS (

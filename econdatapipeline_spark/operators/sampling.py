@@ -338,6 +338,50 @@ def corpus_shuffle(
     )
 
 
+def stratified_priority_sample(
+    df: DataFrame,
+    k_per_group: int,
+    weight_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY k rows PER GROUP, drawn weighted without replacement ->
+    kept rows + (priority, rank).
+
+    The mixture-construction primitive: "k documents from every
+    domain, length/quality-weighted, reproducibly". Same A-ES priority
+    as :func:`priority_sample` (md5 uniform, ln(u)/w floor-rounded,
+    id tie-break), ranked INSIDE each group by one keyed window —
+    where ``domain_cap`` keeps the deterministic quality TOP (rank by
+    the raw column), this draws a weighted RANDOM subset, so
+    high-weight rows are favored but the tail still appears (the
+    diversity a pure top-k cap destroys).
+
+    Shape: single shuffle keyed by group; the rank<=k filter is
+    WindowGroupLimit-eligible, so each exchange carries at most
+    k x partitions rows per group. Groups smaller than k keep all
+    their (positive-weight) rows.
+    """
+    if k_per_group < 1:
+        raise ValueError(f"k_per_group must be >= 1, got {k_per_group}")
+    from pyspark.sql import Window
+
+    u = (
+        _md5_bucket(F.col(id_col), 1_000_000).cast("double") + F.lit(0.5)
+    ) / 1_000_000.0
+    w = F.col(weight_col).cast("double")
+    pr = F.floor(F.log(u) / w * 1e6 + F.lit(0.5)) / 1e6
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("priority"), F.asc(id_col)
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", pr)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k_per_group)
+    )
+
+
 def domain_cap(
     df: DataFrame,
     max_per_domain: int,

@@ -273,3 +273,27 @@ def test_priority_sample_exact_k_weighted_and_deterministic(spark):
     assert [r["doc_id"] for r in priority_sample(df2, 5, "w").collect()] == [3]
     with pytest.raises(ValueError, match="k must be"):
         priority_sample(df, 0, "w")
+
+
+def test_stratified_priority_sample_k_per_group(spark):
+    from econdatapipeline_spark.operators.sampling import (
+        stratified_priority_sample,
+    )
+
+    rows = [(i, "big", 10.0) for i in range(100)] + [
+        (1000 + i, "small", 5.0) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = stratified_priority_sample(df, k_per_group=10, weight_col="w",
+                                     group_col="source").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+    assert len(by_group["big"]) == 10          # exactly k
+    assert len(by_group["small"]) == 3         # undersized group keeps all
+    assert {r["rank"] for r in by_group["big"]} == set(range(1, 11))
+    # deterministic
+    again = stratified_priority_sample(df, 10, "w", "source").collect()
+    assert sorted((r["doc_id"]) for r in out) == sorted(r["doc_id"] for r in again)
+    with pytest.raises(ValueError, match="k_per_group"):
+        stratified_priority_sample(df, 0, "w")
