@@ -3202,6 +3202,19 @@ def q_priority_sample(spark, sf_dir):
     return priority_sample(d, k=200, weight_col="n_chars")
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Alpha-temperature mixture rebalancing
+    (operators/sampling.temperature_mixture): keep rates
+    r_s = f*(n_s/N)^(alpha-1) upsample small sources and downsample
+    mega-sources (the multilingual alpha-sampling recipe); rates become
+    integer md5-bucket thresholds so the kept row set is deterministic
+    on any engine. alpha=0.5, f=0.1 over documents by source."""
+    from econdatapipeline_spark.operators.sampling import temperature_mixture
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return temperature_mixture(d, alpha=0.5, target_fraction=0.1)
+
+
 def q_stratified_priority_sample(spark, sf_dir):
     """Exactly-k-per-source weighted sampling
     (operators/sampling.stratified_priority_sample): 40 documents per
@@ -3518,6 +3531,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "quantile_rollup": q_quantile_rollup,
         "priority_sample": q_priority_sample,
         "stratified_priority_sample": q_stratified_priority_sample,
+        "temperature_mixture": q_temperature_mixture,
     }
 
 
@@ -6156,6 +6170,24 @@ def oracle_sql() -> dict[str, str]:
           FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
         SELECT doc_id, source, n_chars, priority
         FROM pr ORDER BY priority DESC, doc_id ASC LIMIT 200
+    """
+    sql["temperature_mixture"] = """
+        WITH counts AS (
+          SELECT CAST(source AS VARCHAR) AS s, COUNT(*) AS n
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+        thr AS (
+          SELECT s,
+                 CAST(floor(
+                   floor(least(1.0,
+                         0.1 * pow(CAST(n AS DOUBLE) / CAST(total AS DOUBLE),
+                                   0.5 - 1.0)) * 1000000.0 + 0.5)
+                   / 1000000.0 * 10000.0 + 0.5) AS BIGINT) AS t
+          FROM counts, tot)
+        SELECT doc_id, source, n_chars
+        FROM documents d JOIN thr ON CAST(d.source AS VARCHAR) = thr.s
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 10000 < thr.t
     """
     sql["stratified_priority_sample"] = """
         WITH pr AS (

@@ -59,6 +59,60 @@ def mixture_sample(
     return df.filter(bucket < (frac * 10000).cast("long"))
 
 
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float,
+    target_fraction: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-rebalanced mixture sampling (multilingual alpha
+    sampling): per-source keep rate r_s = target_fraction *
+    (n_s/N)^(alpha-1), clamped to [0, 1].
+
+    With ``alpha < 1`` small sources are UPSAMPLED relative to their
+    natural share and mega-sources downsampled — the standard
+    alpha-temperature recipe for balancing language/domain mixes
+    (mBERT/XLM-R style). alpha=1 is natural sampling at the target
+    fraction; alpha=0 aims at equal expected counts per source.
+
+    Determinism end to end: the source histogram is a tiny aggregate
+    collected to the driver (sources-sized — the mixture's definition
+    is per-source, so this relation is small by construction); rates
+    become integer bucket thresholds (floor(r*10000 + 0.5) on a rate
+    pre-rounded at 1e-6, so libm pow ulp differences can't flip a
+    threshold), and the keep decision is the family's md5-bucket
+    filter — one scan-stage predicate, no shuffle of the data, the
+    same rows kept on every engine/retry/partitioning.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if not 0.0 <= target_fraction <= 1.0:
+        raise ValueError(
+            f"target_fraction must be in [0, 1], got {target_fraction}"
+        )
+    import math
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(F.col(source_col).cast("string"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    thresholds: dict[str, int] = {}
+    for s, n in counts.items():
+        r = target_fraction * math.pow(n / total, alpha - 1.0)
+        r = min(1.0, r)
+        r = math.floor(r * 1e6 + 0.5) / 1e6
+        thresholds[s] = int(math.floor(r * 10000 + 0.5))
+    thr = F.lit(0)
+    for s, t in thresholds.items():
+        thr = F.when(F.col(source_col).cast("string") == s, F.lit(t)).otherwise(thr)
+    bucket = _md5_bucket(F.col(id_col), 10000)
+    return df.filter(bucket < thr)
+
+
 def vocab_topk(
     df: DataFrame,
     k: int = 1000,

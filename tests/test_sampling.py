@@ -297,3 +297,30 @@ def test_stratified_priority_sample_k_per_group(spark):
     assert sorted((r["doc_id"]) for r in out) == sorted(r["doc_id"] for r in again)
     with pytest.raises(ValueError, match="k_per_group"):
         stratified_priority_sample(df, 0, "w")
+
+
+def test_temperature_mixture_rebalances_and_validates(spark):
+    from econdatapipeline_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "big") for i in range(2000)] + [
+        (10_000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, alpha=0.5, target_fraction=0.5).collect()
+    kept = {}
+    for r in out:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    # alpha<1: the small source keeps a HIGHER fraction than the big one
+    assert kept["small"] / 100 > kept["big"] / 2000
+    # small source rate: 0.5 * (100/2100)^-0.5 ~ 2.29 -> clamped to 1.0
+    assert kept["small"] == 100
+    # alpha=1 degenerates to uniform target_fraction
+    out1 = temperature_mixture(df, alpha=1.0, target_fraction=0.5).count()
+    assert 0.4 < out1 / 2100 < 0.6
+    # deterministic
+    again = temperature_mixture(df, alpha=0.5, target_fraction=0.5).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture(df, alpha=-1.0)
+    with pytest.raises(ValueError, match="target_fraction"):
+        temperature_mixture(df, alpha=0.5, target_fraction=1.5)
