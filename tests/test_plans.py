@@ -273,3 +273,11 @@ def test_distinct_rollup_total_branch_is_column_pruned(spark):
     plan = plan_of(distinct_rollup(docs, "doc_id", "source"))
     schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
     assert any("doc_id" in s and "source" not in s for s in schemas), schemas
+
+
+def test_stratified_priority_sample_uses_window_group_limit(spark):
+    """The per-group rank<=k filter must push a partial top-k below the
+    exchange (WindowGroupLimit), so shuffles carry at most k x
+    partitions rows per group — not every group's full tail."""
+    plan = plan_of(E.q_stratified_priority_sample(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
