@@ -3202,6 +3202,19 @@ def q_priority_sample(spark, sf_dir):
     return priority_sample(d, k=200, weight_col="n_chars")
 
 
+def q_line_dedup(spark, sf_dir):
+    """Cross-document span dedup (operators/dedup.line_dedup, the
+    C4/RefinedWeb boilerplate-removal step) applied at sentence
+    granularity: every '. '-separated span of >= 20 chars that repeats
+    across the corpus survives at exactly one (doc, position) site;
+    documents reassemble in original order. Three bounded shuffles
+    (line hash-agg, join back, per-doc reassembly), no corpus window."""
+    from econdatapipeline_spark.operators.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return line_dedup(d.select("doc_id", "text"), sep=". ", min_chars=20)
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Alpha-temperature mixture rebalancing
     (operators/sampling.temperature_mixture): keep rates
@@ -3532,6 +3545,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "priority_sample": q_priority_sample,
         "stratified_priority_sample": q_stratified_priority_sample,
         "temperature_mixture": q_temperature_mixture,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -6170,6 +6184,25 @@ def oracle_sql() -> dict[str, str]:
           FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
         SELECT doc_id, source, n_chars, priority
         FROM pr ORDER BY priority DESC, doc_id ASC LIMIT 200
+    """
+    sql["line_dedup"] = """
+        WITH lines AS (
+          SELECT doc_id,
+                 unnest(range(len(string_split(text, '. ')))) AS pos,
+                 unnest(string_split(text, '. ')) AS line
+          FROM documents),
+        canon AS (
+          SELECT md5(line) AS h,
+                 MIN(ROW(doc_id, pos)) AS first_site
+          FROM lines WHERE length(line) >= 20 GROUP BY 1),
+        kept AS (
+          SELECT l.doc_id, l.pos, l.line
+          FROM lines l LEFT JOIN canon c
+            ON length(l.line) >= 20 AND md5(l.line) = c.h
+          WHERE c.h IS NULL
+             OR (c.first_site = ROW(l.doc_id, l.pos)))
+        SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id
     """
     sql["temperature_mixture"] = """
         WITH counts AS (

@@ -802,3 +802,79 @@ def prefix_dup_pairs(
             F.col("b.len").alias("long_len"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    sep: str = "\n",
+    min_chars: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document LINE deduplication (the C4/RefinedWeb cleaning
+    step) -> (id, text) with every repeated line kept at exactly ONE
+    site.
+
+    Boilerplate repeats at line granularity — nav bars, cookie
+    banners, license headers — inside documents that are NOT
+    near-duplicates as wholes, so document-level dedup never sees it.
+    Split on ``sep``, and for every line of at least ``min_chars``
+    characters that occurs at multiple (doc, position) sites keep only
+    the first site (MIN over (doc_id, pos) — deterministic, engine-
+    independent); shorter lines pass through untouched (deduping "the"
+    or empty spacer lines would shred unrelated documents). Documents
+    reassemble in original line order; a document whose every line was
+    deduplicated away drops out of the output entirely (the downstream
+    min-length gate would drop it anyway).
+
+    Shape: explode to lines (narrow), ONE hash aggregate keyed by the
+    line's md5 for the canonical site, one join back keyed the same,
+    one reassembly aggregate keyed by doc — three bounded shuffles,
+    no window over the corpus. The md5 key (not the raw line) keeps
+    shuffle rows small and is the same portable key the sampler family
+    uses.
+    """
+    if min_chars < 1:
+        raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    import re
+
+    # Spark's split() takes a REGEX; the separator contract here is a
+    # LITERAL (matching DuckDB string_split), so escape it
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), F.lit(re.escape(sep)), -1)
+        ).alias("pos", "line"),
+    )
+    eligible = F.length("line") >= min_chars
+    canon = (
+        lines.filter(eligible)
+        .groupBy(F.md5("line").alias("h"))
+        .agg(
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+                "first_site"
+            )
+        )
+    )
+    kept = (
+        lines.withColumn("h", F.when(eligible, F.md5("line")))
+        .join(canon, "h", "left")
+        .filter(
+            F.col("first_site").isNull()
+            | (
+                (F.col("first_site.d") == F.col(id_col))
+                & (F.col("first_site.p") == F.col("pos"))
+            )
+        )
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda x: x.getField("line"),
+            ),
+            sep,
+        ).alias(text_col)
+    )

@@ -252,3 +252,43 @@ def test_minhash_cross_ignores_same_id_recrawl(spark):
              for r in minhash_lsh_cross(new, corpus, num_hashes=16, bands=4, shingle_n=3).collect()}
     assert (7, 7) not in pairs
     assert (8, 7) in pairs  # the genuine cross-dup is still found
+
+
+def test_line_dedup_removes_repeated_boilerplate_once(spark):
+    from econdatapipeline_spark.operators.dedup import line_dedup
+
+    banner = "accept our cookie policy to continue"
+    rows = [
+        (1, f"unique first article text\n{banner}\nshort"),
+        (2, f"{banner}\nanother unique body paragraph"),
+        (3, "totally unrelated document body here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in line_dedup(df, sep="\n", min_chars=20).collect()}
+    # the banner survives only at its first site (doc 1, pos 1)
+    assert out[1] == f"unique first article text\n{banner}\nshort"
+    assert out[2] == "another unique body paragraph"
+    assert out[3] == "totally unrelated document body here"
+    # short lines are never deduped even when repeated
+    rows2 = [(1, "short\nbody one has enough chars"),
+             (2, "short\nbody two has enough chars")]
+    out2 = {r["doc_id"]: r["text"]
+            for r in line_dedup(spark.createDataFrame(
+                rows2, "doc_id long, text string"), min_chars=20).collect()}
+    assert out2[1].startswith("short\n") and out2[2].startswith("short\n")
+
+
+def test_line_dedup_drops_fully_duplicated_doc(spark):
+    from econdatapipeline_spark.operators.dedup import line_dedup
+
+    long_line = "this single long line is the entire document body"
+    df = spark.createDataFrame(
+        [(1, long_line), (2, long_line)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["text"] for r in line_dedup(df).collect()}
+    assert out == {1: long_line}  # doc 2 reduced to nothing -> dropped
+    import pytest
+
+    with pytest.raises(ValueError, match="min_chars"):
+        line_dedup(df, min_chars=0)
