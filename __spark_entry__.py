@@ -1081,6 +1081,20 @@ def q_embedding_near_dups(spark, sf_dir):
     return SIM.embedding_near_dups(e, threshold=0.2)
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval (operators/retrieval.hybrid_search): BM25 top-50
+    and exact-cosine top-50 fused by reciprocal rank (RRF, c=60). Both
+    candidate lists are bounded before fusion, so the fuse join is
+    depth-sized regardless of corpus size."""
+    from econdatapipeline_spark.operators.retrieval import hybrid_search
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return hybrid_search(
+        d, e, ["spark", "shuffle", "broadcast"], query_vec_id=0, k=10, depth=50
+    )
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-dup pairs -> duplicate clusters via iterative min-label
     connected components (operators/dedup.py). The oracle computes the
@@ -3439,6 +3453,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "ann_ivf": q_ann_ivf,
         "ann_ivf_exact": q_ann_ivf_exact,
         "embedding_near_dups": q_embedding_near_dups,
+        "hybrid_search": q_hybrid_search,
         "multimodal_features": q_multimodal_features,
         "shipping_priority": q_shipping_priority,
         "anti_join": q_anti_join,
@@ -5190,6 +5205,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
             FROM scored GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+        """,
+        # Hybrid retrieval: the lexical CTE is the bm25_search oracle at
+        # depth 50; the dense CTE ranks the ROUNDED cosine (the Spark
+        # side rounds before ranking too, so rank ties agree); fusion is
+        # pure-double 1/(60+rank) sums — IEEE-identical on both engines.
+        "hybrid_search": f"""
+            WITH tok AS (
+              SELECT doc_id, len({toks}) AS dl, unnest({toks}) AS token
+              FROM documents),
+            m AS (SELECT * FROM tok
+                  WHERE token IN ('spark', 'shuffle', 'broadcast')),
+            tf AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf,
+                     first(dl) AS dl
+              FROM m GROUP BY doc_id, token),
+            dfreq AS (
+              SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM m GROUP BY token),
+            stats AS (
+              SELECT COUNT(DISTINCT doc_id) AS n_docs, avg(dl) AS avgdl
+              FROM (SELECT doc_id, len({toks}) AS dl FROM documents)),
+            scored AS (
+              SELECT tf.doc_id,
+                     ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                       AS contrib
+              FROM tf JOIN dfreq USING (token) CROSS JOIN stats s),
+            bmtop AS (
+              SELECT doc_id, round(SUM(contrib), 6) AS bm25
+              FROM scored GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
+            lex AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                       AS lex_rank
+              FROM bmtop),
+            sem0 AS (
+              SELECT c.vec_id AS doc_id, {cos} AS cos
+              FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+              WHERE q.vec_id = 0),
+            sem AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC)
+                       AS sem_rank
+              FROM sem0
+              QUALIFY sem_rank <= 50),
+            fused AS (
+              SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                     round(
+                       COALESCE(1.0::DOUBLE / (60.0::DOUBLE + l.lex_rank), 0.0::DOUBLE)
+                       + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + s.sem_rank), 0.0::DOUBLE),
+                       6) AS rrf,
+                     CAST(l.lex_rank AS BIGINT) AS lex_rank,
+                     CAST(s.sem_rank AS BIGINT) AS sem_rank
+              FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+            SELECT doc_id, rrf, lex_rank, sem_rank FROM fused
+            ORDER BY rrf DESC, doc_id ASC LIMIT 10
         """,
         "tfidf_topterms": f"""
             WITH t AS (
