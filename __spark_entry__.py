@@ -1081,6 +1081,17 @@ def q_embedding_near_dups(spark, sf_dir):
     return SIM.embedding_near_dups(e, threshold=0.2)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/semdedup.semantic_dedup):
+    sign-LSH clusters -> decimal-exact centroids -> keep the member of
+    each near-dup group least similar to its centroid. The oracle
+    replays the exact dominance set-logic in SQL."""
+    from econdatapipeline_spark.operators.semdedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, tau=0.2)
+
+
 def q_hybrid_search(spark, sf_dir):
     """Hybrid retrieval (operators/retrieval.hybrid_search): BM25 top-50
     and exact-cosine top-50 fused by reciprocal rank (RRF, c=60). Both
@@ -3453,6 +3464,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "ann_ivf": q_ann_ivf,
         "ann_ivf_exact": q_ann_ivf_exact,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "hybrid_search": q_hybrid_search,
         "multimodal_features": q_multimodal_features,
         "shipping_priority": q_shipping_priority,
@@ -4305,6 +4317,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
             FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
             WHERE {cos} >= 0.2
+        """,
+        # SemDeDup: centroids are decimal-exact per-dim means rounded to
+        # 6 (identical to the Spark side), centroid_cos ranks the keeps,
+        # and the dominance EXISTS reproduces the anti-join set logic.
+        "semantic_dedup": f"""
+            WITH b AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+                     {bucket_expr} AS cluster
+              FROM embeddings),
+            ex AS (
+              SELECT cluster,
+                     unnest(list_transform(range(1, len(v) + 1),
+                       i -> struct_pack(pos := i - 1, x := v[i]))) AS u
+              FROM b),
+            means AS (
+              SELECT cluster, u.pos AS pos,
+                     round(CAST(SUM(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE)
+                           / COUNT(*), 6) AS m
+              FROM ex GROUP BY cluster, pos),
+            cents AS (
+              SELECT cluster, list(m ORDER BY pos) AS centroid
+              FROM means GROUP BY cluster),
+            scored AS (
+              SELECT b.cluster, b.id, b.v,
+                     round(list_cosine_similarity(b.v, c.centroid), 6)
+                       AS centroid_cos
+              FROM b JOIN cents c USING (cluster)),
+            dom AS (
+              SELECT DISTINCT y.id
+              FROM scored x JOIN scored y
+                ON x.cluster = y.cluster AND x.id != y.id
+               AND (x.centroid_cos < y.centroid_cos
+                    OR (x.centroid_cos = y.centroid_cos AND x.id < y.id))
+              WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.2)
+            SELECT s.id, s.cluster, s.centroid_cos, d.id IS NULL AS kept
+            FROM scored s LEFT JOIN dom d ON s.id = d.id
         """,
         "triangle_count": f"""
             WITH
