@@ -1081,6 +1081,26 @@ def q_embedding_near_dups(spark, sf_dir):
     return SIM.embedding_near_dups(e, threshold=0.2)
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact substring-span dedup, Lee et al. 2021 re-expressed as hash
+    grouping (operators/spans.substring_dup_stats): per-doc fraction of
+    tokens covered by 8-token windows shared verbatim across docs."""
+    from econdatapipeline_spark.operators.spans import substring_dup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return substring_dup_stats(d, k=8, min_docs=2, flag_frac=0.3)
+
+
+def q_dup_spans(spark, sf_dir):
+    """Merged duplicated-token intervals per document
+    (operators/spans.duplicate_spans): gaps-and-islands over the
+    cross-document 8-token window coverage."""
+    from econdatapipeline_spark.operators.spans import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, k=8, min_docs=2)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/semdedup.semantic_dedup):
     sign-LSH clusters -> decimal-exact centroids -> keep the member of
@@ -3465,6 +3485,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "ann_ivf_exact": q_ann_ivf_exact,
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
+        "substring_dedup": q_substring_dedup,
+        "dup_spans": q_dup_spans,
         "hybrid_search": q_hybrid_search,
         "multimodal_features": q_multimodal_features,
         "shipping_priority": q_shipping_priority,
@@ -4317,6 +4339,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
             FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
             WHERE {cos} >= 0.2
+        """,
+        # Substring-span dedup: the window inventory (8-token slides,
+        # whole-doc collapse under 8 tokens) replays word_ngrams exactly;
+        # duplicate test is content equality (Spark keys by xxhash64 of
+        # the same strings); coverage counts distinct covered positions.
+        "substring_dedup": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            base AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+            w AS (
+              SELECT doc_id, n_tokens,
+                     unnest(CASE WHEN n_tokens >= 8 THEN
+                        list_transform(range(1, n_tokens - 6), i ->
+                          struct_pack(pos := i - 1,
+                            win := array_to_string(list_slice(toks, i, i + 7), ' ')))
+                     ELSE [struct_pack(pos := 0,
+                            win := array_to_string(toks, ' '))] END) AS u
+              FROM base),
+            wins AS (SELECT doc_id, n_tokens, u.pos AS pos, u.win AS win FROM w),
+            dup AS (SELECT win FROM wins GROUP BY win
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT w2.doc_id, COUNT(DISTINCT w2.pos + o.off) AS dup_tokens
+              FROM wins w2 JOIN dup USING (win)
+              CROSS JOIN (SELECT unnest(range(8)) AS off) o
+              WHERE w2.pos + o.off < w2.n_tokens
+              GROUP BY w2.doc_id)
+            SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   round(COALESCE(c.dup_tokens, 0) / CAST(b.n_tokens AS DOUBLE), 6)
+                     AS dup_frac,
+                   COALESCE(c.dup_tokens, 0) / CAST(b.n_tokens AS DOUBLE) >= 0.3
+                     AS flagged
+            FROM base b LEFT JOIN cov c USING (doc_id)
+        """,
+        "dup_spans": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            base AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+            w AS (
+              SELECT doc_id, n_tokens,
+                     unnest(CASE WHEN n_tokens >= 8 THEN
+                        list_transform(range(1, n_tokens - 6), i ->
+                          struct_pack(pos := i - 1,
+                            win := array_to_string(list_slice(toks, i, i + 7), ' ')))
+                     ELSE [struct_pack(pos := 0,
+                            win := array_to_string(toks, ' '))] END) AS u
+              FROM base),
+            wins AS (SELECT doc_id, n_tokens, u.pos AS pos, u.win AS win FROM w),
+            dup AS (SELECT win FROM wins GROUP BY win
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT DISTINCT w2.doc_id, w2.pos + o.off AS tk
+              FROM wins w2 JOIN dup USING (win)
+              CROSS JOIN (SELECT unnest(range(8)) AS off) o
+              WHERE w2.pos + o.off < w2.n_tokens),
+            isl AS (
+              SELECT doc_id, tk,
+                     tk - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tk)
+                       AS island
+              FROM cov)
+            SELECT doc_id, CAST(MIN(tk) AS BIGINT) AS span_start,
+                   CAST(MAX(tk) AS BIGINT) AS span_end,
+                   CAST(COUNT(*) AS BIGINT) AS span_len
+            FROM isl GROUP BY doc_id, island
         """,
         # SemDeDup: centroids are decimal-exact per-dim means rounded to
         # 6 (identical to the Spark side), centroid_cos ranks the keeps,
