@@ -1081,6 +1081,17 @@ def q_embedding_near_dups(spark, sf_dir):
     return SIM.embedding_near_dups(e, threshold=0.2)
 
 
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM cross-entropy quality scoring (operators/lm.lm_score):
+    add-one-smoothed word-bigram model trained on the corpus, per-doc
+    mean negative log-likelihood with decimal-quantized terms so the
+    mean is summation-order-free."""
+    from econdatapipeline_spark.operators.lm import lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_score(d)
+
+
 def q_substring_dedup(spark, sf_dir):
     """Exact substring-span dedup, Lee et al. 2021 re-expressed as hash
     grouping (operators/spans.substring_dup_stats): per-doc fraction of
@@ -3487,6 +3498,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "semantic_dedup": q_semantic_dedup,
         "substring_dedup": q_substring_dedup,
         "dup_spans": q_dup_spans,
+        "lm_score": q_lm_score,
         "hybrid_search": q_hybrid_search,
         "multimodal_features": q_multimodal_features,
         "shipping_priority": q_shipping_priority,
@@ -4339,6 +4351,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
             FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
             WHERE {cos} >= 0.2
+        """,
+        # Bigram-LM scoring: counts are exact integers; each occurrence's
+        # ln P is quantized to DECIMAL(18,9) before the per-doc sum, so
+        # the mean is order-free; ppl = exp of the ROUNDED xent.
+        "lm_score": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)), i ->
+                       array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+              FROM t WHERE len(toks) >= 2),
+            c2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY g),
+            c1 AS (SELECT split_part(g, ' ', 1) AS w1,
+                          CAST(COUNT(*) AS BIGINT) AS c1
+                   FROM bg GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT w) AS vocab FROM (
+                    SELECT unnest({toks}) AS w FROM documents) WHERE w <> ''),
+            terms AS (
+              SELECT bg.doc_id,
+                     CAST(ln((c2.c2 + 1.0) / CAST(c1.c1 + v.vocab AS DOUBLE))
+                          AS DECIMAL(18,9)) AS term
+              FROM bg
+              JOIN c2 USING (g)
+              JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1
+              CROSS JOIN v),
+            per_doc AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     round(-(CAST(SUM(term) AS DOUBLE)) / COUNT(*), 6) AS xent
+              FROM terms GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_bigrams, 0) AS n_bigrams,
+                   p.xent,
+                   round(exp(p.xent), 6) AS ppl
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         # Substring-span dedup: the window inventory (8-token slides,
         # whole-doc collapse under 8 tokens) replays word_ngrams exactly;
