@@ -1081,6 +1081,52 @@ def q_embedding_near_dups(spark, sf_dir):
     return SIM.embedding_near_dups(e, threshold=0.2)
 
 
+def _scored_embeddings(spark, sf_dir):
+    """Deterministic binary-classification fixture over embeddings:
+    label = class id < 5, score = (vec_id % 97) / 96 — purely rational
+    doubles, so score GROUP KEYS are bit-identical on any engine."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        (F.col("label") < 5).alias("label"),
+        ((F.col("vec_id") % 97) / F.lit(96.0)).alias("score"),
+    )
+
+
+def q_roc_auc(spark, sf_dir):
+    """Tie-corrected Mann-Whitney AUC (operators/evaluation.roc_auc):
+    one hash-aggregate to distinct scores + one window over that small
+    relation. Every contribution is an exact half-integer in double,
+    so the sum is EXACT regardless of partition order."""
+    from econdatapipeline_spark.operators.evaluation import roc_auc
+
+    return roc_auc(_scored_embeddings(spark, sf_dir))
+
+
+def q_pr_curve(spark, sf_dir):
+    """Precision/recall/F1 at every distinct score threshold
+    (operators/evaluation.pr_curve): cumulative integer counts over the
+    score-grouped relation; floats only in the final divisions."""
+    from econdatapipeline_spark.operators.evaluation import pr_curve
+
+    return pr_curve(_scored_embeddings(spark, sf_dir))
+
+
+def q_confusion_matrix(spark, sf_dir):
+    """Single-threshold confusion matrix + derived rates
+    (operators/evaluation.confusion_at), one conditional aggregate."""
+    from econdatapipeline_spark.operators.evaluation import confusion_at
+
+    return confusion_at(_scored_embeddings(spark, sf_dir), threshold=0.5)
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability diagram (operators/evaluation.calibration_bins):
+    equal-width score bins, decimal-exact mean score vs positive rate."""
+    from econdatapipeline_spark.operators.evaluation import calibration_bins
+
+    return calibration_bins(_scored_embeddings(spark, sf_dir), bins=10)
+
+
 def q_lm_score(spark, sf_dir):
     """Bigram-LM cross-entropy quality scoring (operators/lm.lm_score):
     add-one-smoothed word-bigram model trained on the corpus, per-doc
@@ -3499,6 +3545,10 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "substring_dedup": q_substring_dedup,
         "dup_spans": q_dup_spans,
         "lm_score": q_lm_score,
+        "roc_auc": q_roc_auc,
+        "pr_curve": q_pr_curve,
+        "confusion_matrix": q_confusion_matrix,
+        "calibration_bins": q_calibration_bins,
         "hybrid_search": q_hybrid_search,
         "multimodal_features": q_multimodal_features,
         "shipping_priority": q_shipping_priority,
@@ -4351,6 +4401,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
             FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
             WHERE {cos} >= 0.2
+        """,
+        # Evaluation metrics: the scored fixture is purely rational
+        # ((vec_id % 97) / 96.0 — identical doubles on any engine); AUC
+        # contributions are exact half-integers so their sum is exact.
+        "roc_auc": """
+            WITH s AS (
+              SELECT (label < 5) AS lbl, (vec_id % 97) / 96.0 AS score
+              FROM embeddings),
+            g AS (
+              SELECT score,
+                     SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS n_pos,
+                     SUM(CASE WHEN lbl THEN 0 ELSE 1 END) AS n_neg
+              FROM s GROUP BY score),
+            c AS (
+              SELECT n_pos * (CAST(COALESCE(SUM(n_neg) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS DOUBLE) + 0.5 * n_neg) AS c,
+                     n_pos, n_neg
+              FROM g)
+            SELECT round(SUM(c) / CAST(SUM(n_pos) * SUM(n_neg) AS DOUBLE), 6)
+                     AS auc,
+                   CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(n_neg) AS BIGINT) AS n_neg
+            FROM c
+        """,
+        "pr_curve": """
+            WITH s AS (
+              SELECT (label < 5) AS lbl, (vec_id % 97) / 96.0 AS score
+              FROM embeddings),
+            g AS (
+              SELECT score,
+                     SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS n_pos,
+                     SUM(CASE WHEN lbl THEN 0 ELSE 1 END) AS n_neg
+              FROM s GROUP BY score),
+            cum AS (
+              SELECT score AS threshold,
+                     SUM(n_pos) OVER (ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                     SUM(n_neg) OVER (ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+                     SUM(n_pos) OVER ()
+                       - SUM(n_pos) OVER (ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fn
+              FROM g),
+            rates AS (
+              SELECT threshold, tp, fp, fn,
+                     tp / CAST(tp + fp AS DOUBLE) AS p,
+                     tp / CAST(tp + fn AS DOUBLE) AS r
+              FROM cum)
+            SELECT threshold, CAST(tp AS BIGINT) AS tp,
+                   CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+                   round(p, 6) AS precision, round(r, 6) AS recall,
+                   round(2 * p * r / (p + r), 6) AS f1
+            FROM rates
+        """,
+        "confusion_matrix": """
+            WITH s AS (
+              SELECT (label < 5) AS lbl, (vec_id % 97) / 96.0 AS score
+              FROM embeddings),
+            agg AS (
+              SELECT
+                CAST(SUM(CASE WHEN lbl AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN NOT lbl AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN NOT lbl AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                CAST(SUM(CASE WHEN lbl AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              FROM s),
+            rates AS (
+              SELECT *, tp / CAST(tp + fp AS DOUBLE) AS p,
+                        tp / CAST(tp + fn AS DOUBLE) AS r
+              FROM agg)
+            SELECT tp, fp, tn, fn,
+                   round(p, 6) AS precision, round(r, 6) AS recall,
+                   round(2 * p * r / (p + r), 6) AS f1,
+                   round((tp + tn) / CAST(tp + fp + tn + fn AS DOUBLE), 6)
+                     AS accuracy
+            FROM rates
+        """,
+        "calibration_bins": """
+            WITH s AS (
+              SELECT (label < 5) AS lbl, (vec_id % 97) / 96.0 AS score
+              FROM embeddings)
+            SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   round(CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+                         / COUNT(*), 6) AS mean_score,
+                   round(SUM(CASE WHEN lbl THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos
+            FROM s GROUP BY 1
         """,
         # Bigram-LM scoring: counts are exact integers; each occurrence's
         # ln P is quantized to DECIMAL(18,9) before the per-doc sum, so

@@ -1,0 +1,162 @@
+"""Classifier evaluation metrics as distributed aggregates.
+
+A curation pipeline ends in model-in-the-loop filters (quality
+classifiers, contamination detectors, langid) whose thresholds must be
+chosen from metrics computed over the full corpus — billions of scored
+rows, so the metrics themselves must be shuffle-light aggregates, not
+sklearn on a driver collect.
+
+Every metric here reduces the corpus ONCE by score (or bin) into a
+distinct-score-sized relation, then finishes with a window over that
+small relation:
+
+- ``roc_auc``: Mann-Whitney form with tie correction —
+  AUC = Σ_g  n_pos(g) · (N_neg below g + ½ n_neg(g)) / (P·N)
+  over score groups g. One hash-aggregate + one window over distinct
+  scores. No per-row ranking, no global sort of the corpus.
+- ``pr_curve``: precision/recall/F1 at every distinct score treated as
+  a >=-threshold, from the same grouped relation via a cumulative
+  window (descending scores).
+- ``confusion_at``: single-pass conditional aggregate at one threshold.
+- ``calibration_bins``: equal-width reliability diagram — per-bin mean
+  score vs empirical positive rate (one groupBy).
+
+All counts are exact integers; the only floats are final divisions,
+rounded at the edge, so a SQL oracle certifies every metric exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _score_groups(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """(score, n_pos, n_neg) — the corpus reduced to distinct scores."""
+    lbl = F.col(label_col).cast("boolean")
+    return df.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(F.when(lbl, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(lbl, 0).otherwise(1)).alias("n_neg"),
+    )
+
+
+def roc_auc(
+    df: DataFrame, label_col: str = "label", score_col: str = "score"
+) -> DataFrame:
+    """One-row (auc, n_pos, n_neg) — tie-corrected Mann-Whitney AUC.
+
+    The window runs over DISTINCT scores only; a 100 TB corpus with a
+    6-decimal score column reduces to <= 2e6 rows before the window.
+    """
+    g = _score_groups(df, label_col, score_col)
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = F.col("n_pos") * (
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("double")
+        + 0.5 * F.col("n_neg")
+    )
+    return (
+        g.select(
+            contrib.alias("c"), F.col("n_pos").alias("p"), F.col("n_neg").alias("n")
+        )
+        .agg(
+            F.round(
+                F.sum("c") / (F.sum("p") * F.sum("n")).cast("double"), 6
+            ).alias("auc"),
+            F.sum("p").cast("long").alias("n_pos"),
+            F.sum("n").cast("long").alias("n_neg"),
+        )
+    )
+
+
+def pr_curve(
+    df: DataFrame, label_col: str = "label", score_col: str = "score"
+) -> DataFrame:
+    """(threshold, tp, fp, fn, precision, recall, f1) at every distinct
+    score, predicting positive when score >= threshold."""
+    g = _score_groups(df, label_col, score_col)
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_pos = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        F.col("score").alias("threshold"),
+        F.sum("n_pos").over(w).alias("tp"),
+        F.sum("n_neg").over(w).alias("fp"),
+        (F.sum("n_pos").over(tot_pos) - F.sum("n_pos").over(w)).alias("fn"),
+    )
+    prec = F.col("tp") / (F.col("tp") + F.col("fp")).cast("double")
+    rec = F.col("tp") / (F.col("tp") + F.col("fn")).cast("double")
+    return cum.select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec / (prec + rec), 6).alias("f1"),
+    )
+
+
+def confusion_at(
+    df: DataFrame,
+    threshold: float,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """One-row confusion matrix + derived rates at a fixed threshold."""
+    lbl = F.col(label_col).cast("boolean")
+    pred = F.col(score_col) >= threshold
+    agg = df.agg(
+        F.sum(F.when(lbl & pred, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(~lbl & pred, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~lbl & ~pred, 1).otherwise(0)).cast("long").alias("tn"),
+        F.sum(F.when(lbl & ~pred, 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    prec = F.col("tp") / (F.col("tp") + F.col("fp")).cast("double")
+    rec = F.col("tp") / (F.col("tp") + F.col("fn")).cast("double")
+    return agg.select(
+        "tp", "fp", "tn", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec / (prec + rec), 6).alias("f1"),
+        F.round(
+            (F.col("tp") + F.col("tn"))
+            / (F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")).cast(
+                "double"
+            ),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    bins: int = 10,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reliability diagram: (bin, n, mean_score, frac_pos) over
+    equal-width score bins on [0, 1]; scores at exactly 1.0 land in
+    the top bin. A well-calibrated scorer has mean_score ≈ frac_pos
+    per bin; the gap is the per-bin calibration error."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * bins).cast("long"), F.lit(bins - 1))
+    lbl = F.col(label_col).cast("boolean")
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(s.cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.sum(F.when(lbl, 1).otherwise(0)) / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("frac_pos"),
+        )
+    )

@@ -1,0 +1,92 @@
+"""Evaluation-metric operator tests (operators/evaluation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from econdatapipeline_spark.operators.evaluation import (
+    calibration_bins,
+    confusion_at,
+    pr_curve,
+    roc_auc,
+)
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "label boolean, score double")
+
+
+def test_auc_perfect_and_inverted(spark):
+    perfect = _scored(
+        spark, [(True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1)]
+    )
+    assert roc_auc(perfect).collect()[0]["auc"] == 1.0
+    inverted = _scored(
+        spark, [(True, 0.1), (True, 0.2), (False, 0.8), (False, 0.9)]
+    )
+    assert roc_auc(inverted).collect()[0]["auc"] == 0.0
+
+
+def test_auc_ties_half_credit(spark):
+    # all scores equal -> AUC must be exactly 0.5 via the tie term
+    df = _scored(spark, [(True, 0.5), (True, 0.5), (False, 0.5), (False, 0.5)])
+    r = roc_auc(df).collect()[0]
+    assert r["auc"] == 0.5 and r["n_pos"] == 2 and r["n_neg"] == 2
+
+
+def test_auc_matches_pairwise_definition(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.random() < 0.4, round(rng.random(), 2)) for _ in range(60)]
+    df = _scored(spark, rows)
+    got = roc_auc(df).collect()[0]["auc"]
+    pos = [s for l, s in rows if l]
+    neg = [s for l, s in rows if not l]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    assert abs(got - round(wins / (len(pos) * len(neg)), 6)) < 1e-9
+
+
+def test_pr_curve_monotone_recall(spark):
+    df = _scored(
+        spark,
+        [(True, 0.9), (False, 0.8), (True, 0.7), (False, 0.3), (True, 0.2)],
+    )
+    rows = sorted(pr_curve(df).collect(), key=lambda r: -r["threshold"])
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)  # recall grows as threshold drops
+    assert rows[-1]["recall"] == 1.0
+    # at the top threshold only the 0.9 positive is predicted
+    assert rows[0]["tp"] == 1 and rows[0]["fp"] == 0 and rows[0]["precision"] == 1.0
+
+
+def test_confusion_at_manual(spark):
+    df = _scored(
+        spark,
+        [(True, 0.9), (True, 0.4), (False, 0.6), (False, 0.1)],
+    )
+    r = confusion_at(df, threshold=0.5).collect()[0]
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (1, 1, 1, 1)
+    assert r["precision"] == 0.5 and r["recall"] == 0.5 and r["accuracy"] == 0.5
+
+
+def test_calibration_bins_edges(spark):
+    df = _scored(
+        spark,
+        [(True, 0.0), (False, 0.05), (True, 1.0), (False, 0.95), (True, 0.55)],
+    )
+    rows = {r["bin"]: r for r in calibration_bins(df, bins=10).collect()}
+    assert rows[0]["n"] == 2 and rows[0]["frac_pos"] == 0.5
+    assert rows[9]["n"] == 2  # 1.0 lands in the top bin, not bin 10
+    assert rows[5]["n"] == 1 and rows[5]["frac_pos"] == 1.0
+    assert abs(rows[9]["mean_score"] - 0.975) < 1e-9
+
+
+def test_calibration_bins_validates(spark):
+    df = _scored(spark, [(True, 0.5)])
+    with pytest.raises(ValueError):
+        calibration_bins(df, bins=0)
