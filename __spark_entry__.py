@@ -3017,9 +3017,16 @@ def q_kcore(spark, sf_dir):
     fixed-round contract) so even a non-converged state matches."""
     from econdatapipeline_spark.operators.graph import kcore
 
+    return kcore(_neardup_edges(spark, sf_dir), k=2, max_rounds=12,
+                 allow_partial=True)
+
+
+def _neardup_edges(spark, sf_dir):
+    """Symmetrized embedding near-dup graph shared by kcore / LPA /
+    modularity — both orientations of every >= 0.2-cosine pair."""
     e = _t(spark, sf_dir, "embeddings")
     pairs = SIM.embedding_near_dups(e, threshold=0.2)
-    edges = pairs.select(
+    return pairs.select(
         F.explode(
             F.array(
                 F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
@@ -3027,7 +3034,30 @@ def q_kcore(spark, sf_dir):
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    return kcore(edges, k=2, max_rounds=12, allow_partial=True)
+
+
+def q_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation, 4 rounds
+    (operators/graph.label_propagation): per-round neighbor-label mode
+    with smallest-label tie-break; the oracle unrolls the identical
+    rounds, so the full community assignment hash-matches."""
+    from econdatapipeline_spark.operators.graph import label_propagation
+
+    return label_propagation(_neardup_edges(spark, sf_dir), rounds=4)
+
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the LPA partition
+    (operators/graph.modularity): exact integer edge/degree counts per
+    community, decimal-quantized term sum — one row (q,
+    n_communities) certifying partition quality end-to-end."""
+    from econdatapipeline_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    edges = _neardup_edges(spark, sf_dir)
+    return modularity(edges, label_propagation(edges, rounds=4))
 
 
 def q_cusum_changepoint(spark, sf_dir):
@@ -3636,6 +3666,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "holt_forecast": q_holt_forecast,
         "budget_cap": q_budget_cap,
         "kcore": q_kcore,
+        "label_propagation": q_label_propagation,
+        "modularity": q_modularity,
         "cusum_changepoint": q_cusum_changepoint,
         "corpus_shuffle": q_corpus_shuffle,
         "domain_cap": q_domain_cap,
@@ -3780,6 +3812,23 @@ def oracle_sql() -> dict[str, str]:
               JOIN d{r} du ON du.u = r.u JOIN d{r} dv ON dv.u = r.v
               WHERE du.deg >= 2 AND dv.deg >= 2),"""
     kcore_rounds = kcore_rounds.rstrip(",")
+
+    # Label propagation: 4 unrolled synchronous rounds; l0 = own id,
+    # each round adopts the neighbor-label mode (count desc, label asc).
+    lpa_rounds = """
+            l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM r0),"""
+    for r in range(4):
+        lpa_rounds += f"""
+            c{r} AS MATERIALIZED (
+              SELECT e.u AS node, l.lbl, COUNT(*) AS c
+              FROM r0 e JOIN l{r} l ON e.v = l.node GROUP BY e.u, l.lbl),
+            l{r + 1} AS MATERIALIZED (
+              SELECT node, lbl FROM (
+                SELECT node, lbl,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                         ORDER BY c DESC, lbl ASC) AS rn
+                FROM c{r}) WHERE rn = 1),"""
+    lpa_rounds = lpa_rounds.rstrip(",")
 
     sql = {
         "edb_normalize": f"""
@@ -6321,6 +6370,48 @@ def oracle_sql() -> dict[str, str]:
               SELECT id_b AS u, id_a AS v FROM pairs),{kcore_rounds}
             SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
             FROM r12 GROUP BY u
+        """,
+        "label_propagation": f"""
+            WITH
+            b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS id_a, c.vec_id AS id_b
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+              WHERE {cos} >= 0.2),
+            r0 AS MATERIALIZED (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs),{lpa_rounds}
+            SELECT node, lbl AS community FROM l4
+        """,
+        "modularity": f"""
+            WITH
+            b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS id_a, c.vec_id AS id_b
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+              WHERE {cos} >= 0.2),
+            r0 AS MATERIALIZED (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs),{lpa_rounds},
+            e2 AS (
+              SELECT e.u, e.v, cu.lbl AS cu, cv.lbl AS cv
+              FROM r0 e JOIN l4 cu ON e.u = cu.node
+                        JOIN l4 cv ON e.v = cv.node),
+            perc AS (
+              SELECT cu AS cm,
+                     SUM(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS rows_c,
+                     COUNT(*) AS deg_c
+              FROM e2 GROUP BY cu),
+            tot AS (SELECT COUNT(*) AS rows_all FROM e2)
+            SELECT round(CAST(SUM(CAST(
+                     rows_c / CAST(rows_all AS DOUBLE)
+                     - (deg_c / CAST(rows_all AS DOUBLE))
+                       * (deg_c / CAST(rows_all AS DOUBLE))
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS q,
+                   CAST(COUNT(*) AS BIGINT) AS n_communities
+            FROM perc CROSS JOIN tot
         """,
         "cusum_changepoint": """
             WITH monthly AS (

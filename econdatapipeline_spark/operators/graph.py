@@ -18,7 +18,7 @@ partial-aggregation order (bit-identical across engines and retries).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -431,4 +431,116 @@ def kcore(
     return (
         live.groupBy(F.col("u").alias("node"))
         .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities -> (node, community).
+
+    Raghavan et al. 2007 ("Near linear time algorithm to detect
+    community structures"): every node starts in its own community and
+    repeatedly adopts the most frequent label among its neighbors.
+    This is the deterministic synchronous variant: a FIXED number of
+    rounds, all nodes update together from the previous round's
+    labels, and frequency ties break to the smallest label — no
+    randomized visit order, so two runs (and the unrolled SQL twin)
+    agree exactly. Synchronous LPA can oscillate on bipartite-ish
+    structures instead of converging; the fixed-round contract makes
+    that a defined answer rather than a hang, and in curation practice
+    (duplicate-family detection over near-dup graphs) 3-5 rounds is
+    where the partition stabilizes.
+
+    Input is a symmetrized edge list (both orientations present — the
+    ``pagerank(symmetric=True)`` / ``kcore`` contract). Shape per
+    round: one join of edges to the |V|-sized label relation keyed by
+    neighbor, one (node, label) count aggregate, one per-node
+    row_number over its distinct neighbor labels (bounded by degree).
+    Labels localCheckpoint each round so round r never replays rounds
+    1..r-1 — the same iterative-state discipline as kcore and
+    connected_components. At 100 TB every stage is keyed by node id;
+    nothing broadcasts the full graph.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    ed = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = ed.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(rounds):
+        counts = (
+            ed.join(labels, ed.v == labels.node)
+            .groupBy(F.col("u").alias("n2"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumnRenamed("n2", "node")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a partition -> one row (q, n_communities).
+
+    Q = Σ_c [ m_c / m  −  (d_c / 2m)² ] over communities c, where m is
+    the undirected edge count, m_c the intra-community edge count, and
+    d_c the total degree inside c. Input edges are symmetrized (both
+    orientations), so m = |rows|/2 and every intra-community edge is
+    seen twice — the formula below works directly on directed-row
+    counts, which keeps every term an exact integer ratio:
+
+        Q = Σ_c [ rows_c / rows  −  (deg_c / rows)² ]
+
+    One edge join to the community map (twice, per endpoint) and two
+    small aggregates; the per-community relation is |communities|-sized
+    before the final reduce. Degree sums stay integers until the final
+    double divisions, so the oracle certifies Q exactly.
+    """
+    cmap = communities.select(
+        F.col(node_col).alias("node"), F.col(community_col).alias("cm")
+    )
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .join(cmap.withColumnRenamed("node", "u").withColumnRenamed("cm", "cu"), "u")
+        .join(cmap.withColumnRenamed("node", "v").withColumnRenamed("cm", "cv"), "v")
+    )
+    per_c = e.groupBy(F.col("cu").alias("cm")).agg(
+        F.sum(F.when(F.col("cu") == F.col("cv"), 1).otherwise(0)).alias("rows_c"),
+        F.count(F.lit(1)).alias("deg_c"),
+    )
+    total = e.agg(F.count(F.lit(1)).alias("rows_all"))
+    return (
+        per_c.crossJoin(F.broadcast(total))
+        .select(
+            (
+                F.col("rows_c") / F.col("rows_all").cast("double")
+                - (F.col("deg_c") / F.col("rows_all").cast("double"))
+                * (F.col("deg_c") / F.col("rows_all").cast("double"))
+            ).alias("term")
+        )
+        .agg(
+            F.round(F.sum(F.col("term").cast("decimal(28,12)")).cast("double"), 6)
+            .alias("q"),
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+        )
     )
