@@ -3036,6 +3036,20 @@ def _neardup_edges(spark, sf_dir):
     ).select("e.src", "e.dst")
 
 
+def q_target_encode(spark, sf_dir):
+    """Leakage-safe k-fold target encoding
+    (operators/encoding.target_encode): out-of-fold smoothed category
+    means of order value by priority, md5-dealt folds, decimal-exact
+    sums — row-level output so the per-row fold join is certified."""
+    from econdatapipeline_spark.operators.encoding import target_encode
+
+    o = _t(spark, sf_dir, "orders")
+    return target_encode(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey",
+        folds=5, smoothing=20.0,
+    )
+
+
 def q_label_propagation(spark, sf_dir):
     """Deterministic synchronous label propagation, 4 rounds
     (operators/graph.label_propagation): per-round neighbor-label mode
@@ -3668,6 +3682,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "kcore": q_kcore,
         "label_propagation": q_label_propagation,
         "modularity": q_modularity,
+        "target_encode": q_target_encode,
         "cusum_changepoint": q_cusum_changepoint,
         "corpus_shuffle": q_corpus_shuffle,
         "domain_cap": q_domain_cap,
@@ -6370,6 +6385,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT id_b AS u, id_a AS v FROM pairs),{kcore_rounds}
             SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
             FROM r12 GROUP BY u
+        """,
+        # Target encoding: md5 fold deal replayed verbatim; sums are
+        # exact decimals; the (S - Sf + m*prior)/(n - nf + m) arithmetic
+        # is the same IEEE op sequence on both engines.
+        "target_encode": """
+            WITH base AS (
+              SELECT o_orderkey AS id, o_orderpriority AS cat,
+                     CAST(o_totalprice AS DECIMAL(28,6)) AS t,
+                     CAST(CAST('0x' || substr(md5('te0:' ||
+                       CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 5
+                       AS INT) AS fold
+              FROM orders),
+            cat_tot AS (
+              SELECT cat, SUM(t) AS s, COUNT(*) AS n
+              FROM base GROUP BY cat),
+            fold_tot AS (
+              SELECT cat, fold, SUM(t) AS sf, COUNT(*) AS nf
+              FROM base GROUP BY cat, fold),
+            prior AS (
+              SELECT CAST(SUM(t) AS DOUBLE) / COUNT(*) AS prior FROM base),
+            enc AS (
+              SELECT f.cat, f.fold,
+                     round((CAST(c.s AS DOUBLE) - CAST(f.sf AS DOUBLE)
+                            + 20.0 * p.prior)
+                           / (CAST(c.n - f.nf AS DOUBLE) + 20.0), 6) AS enc
+              FROM fold_tot f JOIN cat_tot c USING (cat) CROSS JOIN prior p)
+            SELECT b.id AS o_orderkey, b.cat, b.fold, e.enc
+            FROM base b JOIN enc e ON b.cat = e.cat AND b.fold = e.fold
         """,
         "label_propagation": f"""
             WITH
