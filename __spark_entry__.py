@@ -3036,6 +3036,31 @@ def _neardup_edges(spark, sf_dir):
     ).select("e.src", "e.dst")
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the sign-LSH ANN against exact brute force
+    (operators/evaluation.topk_overlap) — the ANN quality gate as a
+    first-class query: both k-bounded lists join on (query, neighbor)
+    and survivors are counted per query."""
+    from econdatapipeline_spark.operators.evaluation import topk_overlap
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 3)
+    approx = SIM.lsh_topk(e, queries_df, k=5)
+    exact = SIM.brute_force_topk(e, queries_df, k=5)
+    return topk_overlap(approx, exact, k=5)
+
+
+def q_mutual_info(spark, sf_dir):
+    """Mutual information between return flag and line status
+    (operators/stats.mutual_information): exact contingency counts,
+    decimal-quantized per-cell terms — the dependence screen for
+    feature selection and fold-leakage audits."""
+    from econdatapipeline_spark.operators.stats import mutual_information
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mutual_information(li, "l_returnflag", "l_linestatus")
+
+
 def q_target_encode(spark, sf_dir):
     """Leakage-safe k-fold target encoding
     (operators/encoding.target_encode): out-of-fold smoothed category
@@ -3683,6 +3708,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "label_propagation": q_label_propagation,
         "modularity": q_modularity,
         "target_encode": q_target_encode,
+        "ann_recall": q_ann_recall,
+        "mutual_info": q_mutual_info,
         "cusum_changepoint": q_cusum_changepoint,
         "corpus_shuffle": q_corpus_shuffle,
         "domain_cap": q_domain_cap,
@@ -6385,6 +6412,61 @@ def oracle_sql() -> dict[str, str]:
               SELECT id_b AS u, id_a AS v FROM pairs),{kcore_rounds}
             SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
             FROM r12 GROUP BY u
+        """,
+        # ANN recall: both candidate lists replayed exactly (the same
+        # CTEs as the ann_lsh / ann_bruteforce oracles), intersected per
+        # query; rounded-cos ranking keeps the two engines' lists equal.
+        "ann_recall": f"""
+            WITH b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket
+                       FROM embeddings),
+            lsh_scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+              WHERE q.vec_id < 3),
+            lsh AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM lsh_scored) WHERE rank <= 5),
+            bf_scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 3),
+            bf AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM bf_scored) WHERE rank <= 5),
+            hits AS (
+              SELECT e.query_id, COUNT(*) AS n_overlap
+              FROM bf e JOIN lsh a USING (query_id, neighbor_id)
+              GROUP BY e.query_id)
+            SELECT q.query_id,
+                   CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   round(COALESCE(h.n_overlap, 0) / 5.0, 6) AS recall
+            FROM (SELECT DISTINCT query_id FROM bf) q
+            LEFT JOIN hits h USING (query_id)
+        """,
+        "mutual_info": """
+            WITH joint AS (
+              SELECT l_returnflag AS x, l_linestatus AS y,
+                     COUNT(*) AS nxy
+              FROM lineitem GROUP BY 1, 2),
+            mx AS (SELECT l_returnflag AS x, COUNT(*) AS nx
+                   FROM lineitem GROUP BY 1),
+            my AS (SELECT l_linestatus AS y, COUNT(*) AS ny
+                   FROM lineitem GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM lineitem),
+            terms AS (
+              SELECT CAST((nxy / CAST(n.n AS DOUBLE))
+                       * ln((CAST(nxy AS DOUBLE) * CAST(n.n AS DOUBLE))
+                            / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+                     AS DECIMAL(28,12)) AS t, n.n
+              FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n)
+            SELECT round(CAST(SUM(t) AS DOUBLE), 6) AS mi,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(first(n) AS BIGINT) AS n
+            FROM terms
         """,
         # Target encoding: md5 fold deal replayed verbatim; sums are
         # exact decimals; the (S - Sf + m*prior)/(n - nf + m) arithmetic

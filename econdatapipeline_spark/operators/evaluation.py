@@ -160,3 +160,40 @@ def calibration_bins(
             ).alias("frac_pos"),
         )
     )
+
+
+def topk_overlap(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k against ground truth.
+
+    The ANN quality gate: join the approximate result to the exact one
+    on (query, neighbor) and count survivors — recall@k = |A ∩ E| / k.
+    Both inputs are already k-bounded per query, so the join is
+    (queries × k)-sized however large the corpus that produced them.
+    Output: (query_id, n_overlap, recall) for every query in the exact
+    set (queries the approximate index missed entirely score 0).
+    """
+    a = approx.select(
+        F.col(query_col).alias("q"), F.col(id_col).alias("n")
+    )
+    e = exact.select(
+        F.col(query_col).alias("q"), F.col(id_col).alias("n")
+    )
+    hits = (
+        e.join(a, ["q", "n"], "left_semi")
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    qs = e.select("q").distinct()
+    return qs.join(hits, "q", "left").select(
+        F.col("q").alias(query_col),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(float(k)), 6
+        ).alias("recall"),
+    )

@@ -382,3 +382,46 @@ def psi_drift(
     q = F.greatest(F.col("n_target").cast("double") / tot_t, eps)
     term = F.floor((p - q) * F.log(p / q) * 1e6 + F.lit(0.5)) / 1e6
     return j.select("bin", "n_base", "n_target", term.alias("psi_term"))
+
+
+def mutual_information(
+    df: DataFrame, col_x: str, col_y: str
+) -> DataFrame:
+    """Mutual information between two categorical columns -> one row
+    (mi, n_cells, n). MI = Σ_xy p(x,y) · ln( p(x,y) / (p(x)p(y)) ) over
+    observed cells, in nats.
+
+    The dependence screen for feature selection and leakage audits
+    (does a "random" fold correlate with the label?): three exact
+    hash aggregates (joint, two marginals — each map-side combinable,
+    |distinct|-sized outputs that broadcast back), floats only in the
+    final per-cell term, each quantized to decimal(28,12) before the
+    sum so the total is summation-order-free.
+    """
+    joint = df.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    mx = df.groupBy(F.col(col_x).alias("x")).agg(
+        F.count(F.lit(1)).alias("nx")
+    )
+    my = df.groupBy(F.col(col_y).alias("y")).agg(
+        F.count(F.lit(1)).alias("ny")
+    )
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    term = (
+        F.col("nxy") / F.col("n").cast("double")
+    ) * F.log(
+        (F.col("nxy").cast("double") * F.col("n").cast("double"))
+        / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+    )
+    return (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .select(term.cast("decimal(28,12)").alias("t"), "n")
+        .agg(
+            F.round(F.sum("t").cast("double"), 6).alias("mi"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.first("n").cast("long").alias("n"),
+        )
+    )

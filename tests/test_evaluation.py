@@ -90,3 +90,39 @@ def test_calibration_bins_validates(spark):
     df = _scored(spark, [(True, 0.5)])
     with pytest.raises(ValueError):
         calibration_bins(df, bins=0)
+
+
+def test_topk_overlap_manual(spark):
+    from econdatapipeline_spark.operators.evaluation import topk_overlap
+
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 7), (1, 8), (1, 9)],
+        "query_id int, neighbor_id int",
+    )
+    approx = spark.createDataFrame(
+        [(0, 2), (0, 3), (0, 99), (1, 5), (1, 6), (1, 4)],
+        "query_id int, neighbor_id int",
+    )
+    out = {r["query_id"]: r for r in
+           topk_overlap(approx, exact, k=3).collect()}
+    assert out[0]["n_overlap"] == 2 and abs(out[0]["recall"] - round(2/3, 6)) < 1e-9
+    assert out[1]["n_overlap"] == 0 and out[1]["recall"] == 0.0
+
+
+def test_mutual_information_independent_and_identical(spark):
+    from econdatapipeline_spark.operators.stats import mutual_information
+    import math
+
+    # independent columns -> MI = 0
+    indep = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(5)],
+        "x string, y string",
+    )
+    assert mutual_information(indep, "x", "y").collect()[0]["mi"] == 0.0
+    # perfectly dependent binary -> MI = ln 2
+    dep = spark.createDataFrame(
+        [("a", "c")] * 5 + [("b", "d")] * 5, "x string, y string"
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert abs(r["mi"] - round(math.log(2), 6)) < 1e-9
+    assert r["n_cells"] == 2
