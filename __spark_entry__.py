@@ -3036,6 +3036,28 @@ def _neardup_edges(spark, sf_dir):
     ).select("e.src", "e.dst")
 
 
+def q_ab_ztest(spark, sf_dir):
+    """Two-sample z-test on order value, urgent vs low priority
+    (operators/stats.two_sample_ztest): one conditional aggregate of
+    exact decimal sums / sums-of-squares; sqrt is IEEE-exact so the
+    statistic is engine-portable."""
+    from econdatapipeline_spark.operators.stats import two_sample_ztest
+
+    o = _t(spark, sf_dir, "orders")
+    return two_sample_ztest(o, "o_orderpriority", "o_totalprice",
+                            "1-URGENT", "5-LOW")
+
+
+def q_chi_square(spark, sf_dir):
+    """Pearson chi-square independence of return flag x line status
+    (operators/stats.chi_square_test): full level-cross cell grid with
+    zero-observed cells contributing expected counts."""
+    from econdatapipeline_spark.operators.stats import chi_square_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    return chi_square_test(li, "l_returnflag", "l_linestatus")
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@5 of the sign-LSH ANN against exact brute force
     (operators/evaluation.topk_overlap) — the ANN quality gate as a
@@ -3710,6 +3732,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "target_encode": q_target_encode,
         "ann_recall": q_ann_recall,
         "mutual_info": q_mutual_info,
+        "ab_ztest": q_ab_ztest,
+        "chi_square": q_chi_square,
         "cusum_changepoint": q_cusum_changepoint,
         "corpus_shuffle": q_corpus_shuffle,
         "domain_cap": q_domain_cap,
@@ -6446,6 +6470,70 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(h.n_overlap, 0) / 5.0, 6) AS recall
             FROM (SELECT DISTINCT query_id FROM bf) q
             LEFT JOIN hits h USING (query_id)
+        """,
+        # z-test: v2 squares the DOUBLE value (not the decimal) then
+        # quantizes — the exact op order of the Spark column expression.
+        "ab_ztest": """
+            WITH f AS (
+              SELECT o_orderpriority AS g,
+                     CAST(o_totalprice AS DECIMAL(28,6)) AS v,
+                     CAST(CAST(o_totalprice AS DOUBLE)
+                          * CAST(o_totalprice AS DOUBLE)
+                          AS DECIMAL(38,6)) AS v2
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+            agg AS (
+              SELECT SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS n_a,
+                     SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS n_b,
+                     CAST(SUM(CASE WHEN g = '1-URGENT' THEN v END) AS DOUBLE) AS s_a,
+                     CAST(SUM(CASE WHEN g = '5-LOW' THEN v END) AS DOUBLE) AS s_b,
+                     CAST(SUM(CASE WHEN g = '1-URGENT' THEN v2 END) AS DOUBLE) AS ss_a,
+                     CAST(SUM(CASE WHEN g = '5-LOW' THEN v2 END) AS DOUBLE) AS ss_b
+              FROM f),
+            m AS (
+              SELECT *, s_a / n_a AS mean_a, s_b / n_b AS mean_b FROM agg),
+            vr AS (
+              SELECT *,
+                     (ss_a - n_a * mean_a * mean_a) / (n_a - 1) AS var_a,
+                     (ss_b - n_b * mean_b * mean_b) / (n_b - 1) AS var_b
+              FROM m)
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+                   round((mean_a - mean_b)
+                         / sqrt(var_a / n_a + var_b / n_b), 6) AS z
+            FROM vr
+        """,
+        "chi_square": """
+            WITH joint AS (
+              SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS nxy
+              FROM lineitem GROUP BY 1, 2),
+            mx AS (SELECT l_returnflag AS x, COUNT(*) AS nx
+                   FROM lineitem GROUP BY 1),
+            my AS (SELECT l_linestatus AS y, COUNT(*) AS ny
+                   FROM lineitem GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM lineitem),
+            kx AS (SELECT COUNT(*) AS kx FROM mx),
+            ky AS (SELECT COUNT(*) AS ky FROM my),
+            cells AS (
+              SELECT mx.x, my.y, mx.nx, my.ny, COALESCE(j.nxy, 0) AS nxy
+              FROM mx CROSS JOIN my
+              LEFT JOIN joint j ON j.x = mx.x AND j.y = my.y),
+            terms AS (
+              SELECT CAST(
+                       (CAST(nxy AS DOUBLE)
+                        - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                          / CAST(n.n AS DOUBLE))
+                       * (CAST(nxy AS DOUBLE)
+                          - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                            / CAST(n.n AS DOUBLE))
+                       / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                          / CAST(n.n AS DOUBLE))
+                     AS DECIMAL(28,12)) AS t, n.n
+              FROM cells CROSS JOIN n)
+            SELECT round(CAST(SUM(t) AS DOUBLE), 6) AS chi2,
+                   CAST((first(kx.kx) - 1) * (first(ky.ky) - 1) AS BIGINT) AS dof,
+                   CAST(first(n) AS BIGINT) AS n
+            FROM terms CROSS JOIN kx CROSS JOIN ky
         """,
         "mutual_info": """
             WITH joint AS (

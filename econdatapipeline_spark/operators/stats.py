@@ -425,3 +425,111 @@ def mutual_information(
             F.first("n").cast("long").alias("n"),
         )
     )
+
+
+def two_sample_ztest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample z-test for a difference in means -> one row
+    (n_a, n_b, mean_a, mean_b, z).
+
+    The A/B-comparison primitive over experiment logs: per-group count,
+    sum, and sum-of-squares in ONE conditional aggregate pass (exact
+    decimals, so results are partition-order-free), then
+
+        z = (mean_a − mean_b) / sqrt(s²_a/n_a + s²_b/n_b)
+
+    with the unbiased variance s² = (SS − n·mean²)/(n − 1). sqrt is
+    IEEE-correctly-rounded, so the statistic is engine-portable; the
+    p-value needs erf and is left to the caller's significance table
+    (|z| > 1.96 ≈ 5%).
+    """
+    v = F.col(value_col).cast("decimal(28,6)")
+    v2 = (
+        F.col(value_col).cast("double") * F.col(value_col).cast("double")
+    ).cast("decimal(38,6)")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    agg = df.filter(in_a | in_b).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(in_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(in_a, v)).cast("double").alias("s_a"),
+        F.sum(F.when(in_b, v)).cast("double").alias("s_b"),
+        F.sum(F.when(in_a, v2)).cast("double").alias("ss_a"),
+        F.sum(F.when(in_b, v2)).cast("double").alias("ss_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("n_a") * mean_a * mean_a) / (F.col("n_a") - 1)
+    var_b = (F.col("ss_b") - F.col("n_b") * mean_b * mean_b) / (F.col("n_b") - 1)
+    z = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def chi_square_test(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Pearson chi-square independence statistic -> one row
+    (chi2, dof, n).
+
+    chi² = Σ_cells (observed − expected)² / expected with
+    expected = n_x · n_y / n — the categorical companion to
+    ``mutual_information`` (same three exact hash aggregates), used to
+    flag dependent dimensions before stratifying or splitting on them.
+    Per-cell terms are decimal-quantized before the sum
+    (order-free); dof = (|x|−1)(|y|−1). The cell grid is the FULL
+    cross of observed levels — a zero-observed cell still contributes
+    its expected count (the textbook definition; summing observed
+    cells only would understate the statistic).
+    """
+    joint = df.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    mx = df.groupBy(F.col(col_x).alias("x")).agg(
+        F.count(F.lit(1)).alias("nx")
+    )
+    my = df.groupBy(F.col(col_y).alias("y")).agg(
+        F.count(F.lit(1)).alias("ny")
+    )
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    nx_levels = mx.agg(F.count(F.lit(1)).alias("kx"))
+    ny_levels = my.agg(F.count(F.lit(1)).alias("ky"))
+    cells = (
+        mx.crossJoin(F.broadcast(my))
+        .join(joint, ["x", "y"], "left")
+        .withColumn("nxy", F.coalesce(F.col("nxy"), F.lit(0)))
+    )
+    expected = (
+        F.col("nx").cast("double")
+        * F.col("ny").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (
+        (F.col("nxy").cast("double") - expected)
+        * (F.col("nxy").cast("double") - expected)
+        / expected
+    )
+    return (
+        cells.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(nx_levels))
+        .crossJoin(F.broadcast(ny_levels))
+        .select(
+            term.cast("decimal(28,12)").alias("t"),
+            "n", "kx", "ky",
+        )
+        .agg(
+            F.round(F.sum("t").cast("double"), 6).alias("chi2"),
+            ((F.first("kx") - 1) * (F.first("ky") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.first("n").cast("long").alias("n"),
+        )
+    )

@@ -186,3 +186,55 @@ def test_quantile_rollup_edge_bins_and_validation(spark):
         quantile_rollup(df, "v", "source", quantiles=(0.0,))
     with pytest.raises(ValueError, match="hi must be"):
         quantile_rollup(df, "v", "source", lo=1.0, hi=1.0)
+
+
+def test_two_sample_ztest_manual(spark):
+    from econdatapipeline_spark.operators.stats import two_sample_ztest
+    import statistics
+
+    a = [10.0, 12.0, 11.0, 13.0, 9.0, 10.5]
+    b = [20.0, 22.0, 19.0, 21.0, 23.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = two_sample_ztest(df, "g", "v", "a", "b").collect()[0]
+    assert r["n_a"] == 6 and r["n_b"] == 5
+    ma, mb = statistics.mean(a), statistics.mean(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    z = (ma - mb) / (va / 6 + vb / 5) ** 0.5
+    assert abs(r["mean_a"] - round(ma, 6)) < 1e-9
+    assert abs(r["z"] - round(z, 6)) < 1e-5
+    assert r["z"] < -5  # clearly separated samples
+
+
+def test_two_sample_ztest_identical_groups_zero(spark):
+    from econdatapipeline_spark.operators.stats import two_sample_ztest
+
+    rows = [("a", float(v)) for v in (1, 2, 3)] + [
+        ("b", float(v)) for v in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    assert two_sample_ztest(df, "g", "v", "a", "b").collect()[0]["z"] == 0.0
+
+
+def test_chi_square_independent_and_dof(spark):
+    from econdatapipeline_spark.operators.stats import chi_square_test
+
+    # perfectly proportional table -> chi2 = 0; dof = (2-1)(2-1) = 1
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 20 + [("b", "y")] * 40
+    )
+    df = spark.createDataFrame(rows, "c1 string, c2 string")
+    r = chi_square_test(df, "c1", "c2").collect()[0]
+    assert r["chi2"] == 0.0 and r["dof"] == 1 and r["n"] == 90
+
+
+def test_chi_square_counts_zero_cells(spark):
+    from econdatapipeline_spark.operators.stats import chi_square_test
+
+    # diagonal-only 2x2: the two zero cells still contribute expected;
+    # chi2 for [[5,0],[0,5]] is n = 10
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "c1 string, c2 string")
+    r = chi_square_test(df, "c1", "c2").collect()[0]
+    assert r["chi2"] == 10.0 and r["dof"] == 1
