@@ -3036,6 +3036,35 @@ def _neardup_edges(spark, sf_dir):
     ).select("e.src", "e.dst")
 
 
+def q_trend_fit(spark, sf_dir):
+    """Per-priority OLS trend of order value over order-date day index
+    (operators/stats.grouped_ols): five exact sufficient statistics in
+    one grouped aggregate, closed-form slope/intercept/R²."""
+    from econdatapipeline_spark.operators.stats import grouped_ols
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day_idx"),
+        "o_totalprice",
+    )
+    return grouped_ols(o, "o_orderpriority", "day_idx", "o_totalprice")
+
+
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space benchmark decontamination
+    (operators/contamination.semantic_decontaminate): every tenth
+    vector plays the eval set; corpus rows near-dup to any of them
+    (in-bucket cosine >= 0.2) are flagged."""
+    from econdatapipeline_spark.operators.contamination import (
+        semantic_decontaminate,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 10 == 0)
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    return semantic_decontaminate(corpus, bench, tau=0.2)
+
+
 def q_ab_ztest(spark, sf_dir):
     """Two-sample z-test on order value, urgent vs low priority
     (operators/stats.two_sample_ztest): one conditional aggregate of
@@ -3734,6 +3763,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "mutual_info": q_mutual_info,
         "ab_ztest": q_ab_ztest,
         "chi_square": q_chi_square,
+        "trend_fit": q_trend_fit,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "cusum_changepoint": q_cusum_changepoint,
         "corpus_shuffle": q_corpus_shuffle,
         "domain_cap": q_domain_cap,
@@ -6470,6 +6501,57 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(h.n_overlap, 0) / 5.0, 6) AS recall
             FROM (SELECT DISTINCT query_id FROM bf) q
             LEFT JOIN hits h USING (query_id)
+        """,
+        # OLS trend: sufficient statistics are exact (long x, decimal y,
+        # decimal xy/y²); slope/intercept/R² replay the identical IEEE
+        # expression tree.
+        "trend_fit": """
+            WITH base AS (
+              SELECT o_orderpriority AS grp,
+                     CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                          AS BIGINT) AS x,
+                     CAST(o_totalprice AS DECIMAL(28,6)) AS y,
+                     CAST(CAST(o_totalprice AS DOUBLE)
+                          * CAST(o_totalprice AS DOUBLE)
+                          AS DECIMAL(38,6)) AS y2
+              FROM orders),
+            agg AS (
+              SELECT grp, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+                     CAST(SUM(y) AS DOUBLE) AS sy,
+                     CAST(SUM(y2) AS DOUBLE) AS syy,
+                     CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+              FROM base GROUP BY grp),
+            d AS (
+              SELECT grp, n,
+                     CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov_n,
+                     CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x,
+                     CAST(n AS DOUBLE) * syy - sy * sy AS var_y,
+                     sy, CAST(sx AS DOUBLE) AS sxd, CAST(n AS DOUBLE) AS nd
+              FROM agg)
+            SELECT grp AS o_orderpriority, CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN var_x > 0 THEN cov_n / var_x END, 6)
+                     AS slope,
+                   round(CASE WHEN var_x > 0
+                         THEN (sy - (cov_n / var_x) * sxd) / nd END, 6)
+                     AS intercept,
+                   round(CASE WHEN var_x > 0 AND var_y > 0
+                         THEN cov_n * cov_n / (var_x * var_y) END, 6) AS r2
+            FROM d
+        """,
+        "semantic_decontaminate": f"""
+            WITH b AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     {bucket_expr} AS bucket
+              FROM embeddings),
+            corpus AS (SELECT * FROM b WHERE vec_id % 10 != 0),
+            bench AS (SELECT * FROM b WHERE vec_id % 10 = 0),
+            hits AS (
+              SELECT DISTINCT c.vec_id AS id
+              FROM corpus c JOIN bench e ON c.bucket = e.bucket
+              WHERE round(list_cosine_similarity(c.v, e.v), 6) >= 0.2)
+            SELECT c.vec_id AS id, h.id IS NOT NULL AS contaminated
+            FROM corpus c LEFT JOIN hits h ON c.vec_id = h.id
         """,
         # z-test: v2 squares the DOUBLE value (not the decimal) then
         # quantizes — the exact op order of the Spark column expression.

@@ -182,3 +182,60 @@ def token_entropy(
         "n_distinct",
         F.round(h, 6).alias("entropy"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    tau: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (0, 7, 19, 33, 51),
+) -> DataFrame:
+    """Embedding-space benchmark decontamination -> (id, contaminated).
+
+    ``decontaminate`` catches verbatim n-gram overlap; paraphrased or
+    translated eval leakage survives it. The embedding-space
+    complement flags every corpus document whose vector is
+    near-duplicate (cosine >= tau) to ANY benchmark vector — the
+    semantic-contamination screen run before training (same spirit as
+    the SemDeDup near-dup topology in operators/semdedup.py).
+
+    Scale shape: both sides bucket by sign-LSH (functions.vectors.
+    sign_bucket), so each benchmark vector only scores in-bucket
+    candidates; the benchmark side is tiny by definition (an eval set)
+    and broadcasts. Output keeps EVERY corpus row with a flag so the
+    kill-list and the survivor set are both one filter away.
+    """
+    from econdatapipeline_spark.functions.vectors import dot, norm, sign_bucket
+    from econdatapipeline_spark.sources.tables import fan_out
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        norm(F.col(vec_col).cast("array<double>")).alias("cn"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    b = F.broadcast(
+        benchmark.select(
+            F.col(id_col).alias("bid"),
+            F.col(vec_col).cast("array<double>").alias("bv"),
+            norm(F.col(vec_col).cast("array<double>")).alias("bn"),
+            sign_bucket(F.col(vec_col), dims).alias("bucket"),
+        )
+    )
+    hits = (
+        c.join(b, "bucket")
+        .filter(
+            F.round(
+                dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 6
+            )
+            >= tau
+        )
+        .select("id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return c.join(hits, "id", "left").select(
+        "id", F.coalesce(F.col("hit"), F.lit(False)).alias("contaminated")
+    )

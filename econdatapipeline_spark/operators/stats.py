@@ -533,3 +533,59 @@ def chi_square_test(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             F.first("n").cast("long").alias("n"),
         )
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression -> (group, n, slope,
+    intercept, r2), closed-form from one aggregate pass.
+
+    The per-dataset trend fit (is this indicator drifting? which
+    domain's quality is decaying?) at any scale: OLS needs only the
+    five sufficient statistics Σx, Σy, Σxy, Σx², Σy² — all exact
+    (integer x, decimal-quantized y products), map-side combinable,
+    one shuffle keyed by group. Slope/intercept/R² are then pure
+    arithmetic on exact components:
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        r²    = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+
+    x must be integral (a day/month index); y is quantized to
+    decimal(28,6). Groups with zero x-variance emit null slope/r2.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("decimal(28,6)")
+    y2 = (
+        F.col(y_col).cast("double") * F.col(y_col).cast("double")
+    ).cast("decimal(38,6)")
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y2).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    cov_n = nd * F.col("sxy") - sxd * F.col("sy")
+    var_x = nd * sxxd - sxd * sxd
+    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(var_x > 0, slope), 6).alias("slope"),
+        F.round(
+            F.when(var_x > 0, (F.col("sy") - slope * sxd) / nd), 6
+        ).alias("intercept"),
+        F.round(
+            F.when((var_x > 0) & (var_y > 0), cov_n * cov_n / (var_x * var_y)),
+            6,
+        ).alias("r2"),
+    )

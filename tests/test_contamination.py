@@ -101,3 +101,32 @@ def test_token_entropy_known_values(spark):
     assert abs(out[2]["entropy"] - math.log(4)) < 1e-5
     assert abs(out[3]["entropy"] - math.log(2)) < 1e-5
     assert out[3]["n_tokens"] == 4 and out[3]["n_distinct"] == 2
+
+
+def test_semantic_decontaminate_flags_self(spark):
+    from econdatapipeline_spark.operators.contamination import (
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter("vec_id % 10 = 0")
+    # a corpus CONTAINING benchmark vectors must flag them (cos = 1)
+    out = {r["id"]: r["contaminated"] for r in
+           semantic_decontaminate(emb, bench, tau=0.99).collect()}
+    assert all(out[i] for i in out if i % 10 == 0)
+
+
+def test_semantic_decontaminate_threshold_monotone(spark):
+    from econdatapipeline_spark.operators.contamination import (
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter("vec_id % 10 = 0")
+    corpus = emb.filter("vec_id % 10 != 0")
+    loose = semantic_decontaminate(corpus, bench, tau=0.1)
+    tight = semantic_decontaminate(corpus, bench, tau=0.9)
+    n_loose = loose.filter("contaminated").count()
+    n_tight = tight.filter("contaminated").count()
+    assert n_tight <= n_loose
+    assert loose.count() == corpus.count()

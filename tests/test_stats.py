@@ -238,3 +238,38 @@ def test_chi_square_counts_zero_cells(spark):
     df = spark.createDataFrame(rows, "c1 string, c2 string")
     r = chi_square_test(df, "c1", "c2").collect()[0]
     assert r["chi2"] == 10.0 and r["dof"] == 1
+
+
+def test_grouped_ols_exact_line(spark):
+    from econdatapipeline_spark.operators.stats import grouped_ols
+
+    # y = 3x + 2 exactly -> slope 3, intercept 2, r2 = 1
+    rows = [("g", x, 3.0 * x + 2.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "grp string, x long, y double")
+    r = grouped_ols(df, "grp", "x", "y").collect()[0]
+    assert r["slope"] == 3.0 and r["intercept"] == 2.0 and r["r2"] == 1.0
+
+
+def test_grouped_ols_constant_x_null(spark):
+    from econdatapipeline_spark.operators.stats import grouped_ols
+
+    rows = [("g", 5, float(v)) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "grp string, x long, y double")
+    r = grouped_ols(df, "grp", "x", "y").collect()[0]
+    assert r["slope"] is None and r["r2"] is None
+
+
+def test_grouped_ols_matches_numpy(spark):
+    import numpy as np
+    from econdatapipeline_spark.operators.stats import grouped_ols
+
+    rng = np.random.RandomState(3)
+    xs = np.arange(50)
+    ys = 1.5 * xs + 4 + rng.randn(50).round(3)
+    rows = [("g", int(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "grp string, x long, y double")
+    r = grouped_ols(df, "grp", "x", "y").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(r["slope"] - slope) < 1e-5
+    assert abs(r["intercept"] - intercept) < 1e-4
+    assert r["r2"] > 0.99
