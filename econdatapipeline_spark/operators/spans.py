@@ -90,10 +90,22 @@ def substring_dup_stats(
     base = df.select(
         F.col(id_col), F.size(tokenize(F.col(text_col))).alias("n_tokens")
     )
+    # countDistinct (not distinct + count): one shuffle with map-side
+    # partial dedup instead of a distinct exchange followed by a
+    # count exchange
+    dup_wins = _dup_windows(df, k, min_docs, text_col, id_col)
     cov = (
-        _coverage(_dup_windows(df, k, min_docs, text_col, id_col), k, id_col)
+        dup_wins.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.least(F.col("pos") + (k - 1), F.col("n_tokens") - 1),
+                )
+            ).alias("t"),
+        )
         .groupBy(id_col)
-        .agg(F.count("*").alias("dup_tokens"))
+        .agg(F.countDistinct("t").alias("dup_tokens"))
     )
     frac = F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens").cast(
         "double"
