@@ -1269,6 +1269,21 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, dim=8).select("media_id", "n_bytes", "digest")
 
 
+def q_audio_features(spark, sf_dir):
+    """Real WAV decode end-to-end (operators/multimodal): a formula-
+    defined PCM corpus is ENCODED to RIFF bytes, parsed back by the
+    stdlib RIFF/WAVE chunk walker, and reduced to audio statistics —
+    the oracle recomputes every statistic from the generating formula,
+    certifying the whole encode -> parse -> aggregate path."""
+    from econdatapipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        synth_wav_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_audio_features(synth_wav_corpus(d))
+
+
 def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective filters on all three inputs, two joins,
     aggregate, global top-k. Catalyst pushes each filter to its scan and
@@ -3671,6 +3686,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "calibration_bins": q_calibration_bins,
         "hybrid_search": q_hybrid_search,
         "multimodal_features": q_multimodal_features,
+        "audio_features": q_audio_features,
         "shipping_priority": q_shipping_priority,
         "anti_join": q_anti_join,
         "grouping_sets": q_grouping_sets,
@@ -4547,6 +4563,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
             FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
             WHERE {cos} >= 0.2
+        """,
+        # Audio features: the WAV corpus is generated by an integer
+        # formula, so the oracle recomputes the decoder's outputs from
+        # first principles — if the RIFF parser misreads a chunk, the
+        # hashes diverge.
+        "audio_features": """
+            WITH p AS (
+              SELECT doc_id, 1 + doc_id % 2 AS n_ch,
+                     8000 + (doc_id % 3) * 4000 AS rate,
+                     100 + doc_id % 50 AS nf
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_ch, rate, nf,
+                     unnest(range(nf * n_ch)) AS j
+              FROM p),
+            v AS (
+              SELECT doc_id, n_ch, rate, nf,
+                     ((doc_id * 7919 + j * 104729) % 65536) - 32768 AS smp
+              FROM s),
+            agg AS (
+              SELECT doc_id, first(n_ch) AS n_ch, first(rate) AS rate,
+                     first(nf) AS nf, SUM(smp * smp) AS s2,
+                     COUNT(*) AS n, MAX(ABS(smp)) AS peak
+              FROM v GROUP BY doc_id)
+            SELECT doc_id AS media_id,
+                   CAST(44 + n * 2 AS BIGINT) AS n_bytes,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(n_ch AS INT) AS n_channels,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST((nf * 1000) // rate AS BIGINT) AS duration_ms,
+                   round(sqrt(CAST(s2 AS DOUBLE) / n), 6) AS rms,
+                   CAST(peak AS BIGINT) AS peak
+            FROM agg
         """,
         # Evaluation metrics: the scored fixture is purely rational
         # ((vec_id % 97) / 96.0 — identical doubles on any engine); AUC

@@ -20,6 +20,7 @@ codec changes one function body and nothing in the plan.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -249,3 +250,155 @@ def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
         (F.round(w * scale)).cast("int").alias("out_width"),
         (F.round(h * scale)).cast("int").alias("out_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — real stdlib codec, written from the public RIFF/WAVE
+# format specification (Microsoft/IBM Multimedia Programming Interface
+# and Data Specifications 1.0; the canonical 44-byte PCM layout).
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.LongType(), True),
+    ]
+)
+
+
+def encode_wav(samples: list[int], sample_rate: int, n_channels: int) -> bytes:
+    """16-bit little-endian PCM WAV bytes from interleaved samples."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, block_align, 16
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def _wav_pcm(payload: bytes):
+    """RIFF chunk walk -> (n_channels, sample_rate, samples) for 16-bit
+    PCM WAV; None for anything else (truncated, compressed, non-WAV),
+    which routes to the caller's fallback. Chunks may appear in any
+    order and carry odd-length padding per the RIFF spec."""
+    if not payload or len(payload) < 12 or payload[:4] != b"RIFF":
+        return None
+    if payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # odd chunks pad to word boundary
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+        return None
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return n_ch, rate, samples
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """binary WAV payloads -> real audio statistics via mapInPandas.
+
+    For 16-bit PCM WAV: sample rate, channel count, frame count,
+    duration, RMS amplitude and absolute peak — integer sums + one
+    final sqrt, so values are batch-order-independent and exactly
+    reproducible (parity-hashable). Non-WAV payloads emit null stats
+    with the byte count only (the honest fallback — no audio codecs
+    beyond PCM exist in this container). Partitioning is preserved;
+    decode parallelizes per Arrow batch.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_bytes": [], "sample_rate": [],
+                "n_channels": [], "n_frames": [], "duration_ms": [],
+                "rms": [], "peak": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(b))
+                decoded = _wav_pcm(b)
+                if decoded is None:
+                    for k in ("sample_rate", "n_channels", "n_frames",
+                              "duration_ms", "rms", "peak"):
+                        out[k].append(None)
+                    continue
+                n_ch, rate, samples = decoded
+                n_frames = len(samples) // n_ch
+                s2 = sum(s * s for s in samples)
+                rms = round(math.sqrt(s2 / len(samples)), 6) if samples else 0.0
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["n_frames"].append(n_frames)
+                out["duration_ms"].append(n_frames * 1000 // rate)
+                out["rms"].append(rms)
+                out["peak"].append(max(abs(s) for s in samples) if samples else 0)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, AUDIO_FEATURE_SCHEMA
+    )
+
+
+def synth_wav_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM test corpus: one WAV payload per input row,
+    samples defined by the integer formula
+
+        s_i = ((id * 7919 + i * 104729) mod 65536) − 32768
+
+    over n_frames = 100 + id % 50 frames, 1 + id % 2 channels,
+    8000 + (id % 3) * 4000 Hz. Because the waveform IS a formula, an
+    SQL oracle can recompute every statistic the real decoder emits —
+    certifying the full encode -> RIFF parse -> aggregate path, not a
+    fixture hash."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                i = int(did)
+                n_ch = 1 + i % 2
+                rate = 8000 + (i % 3) * 4000
+                n = (100 + i % 50) * n_ch
+                samples = [
+                    ((i * 7919 + j * 104729) % 65536) - 32768 for j in range(n)
+                ]
+                ids.append(i)
+                payloads.append(encode_wav(samples, rate, n_ch))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return df.select(id_col).mapInPandas(kernel, schema)

@@ -168,3 +168,65 @@ def test_png_decoder_rejects_unsupported_shapes(spark):
     pal = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + body
            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
     assert M._png_pixels(pal) is None
+
+
+def test_wav_roundtrip_stats(spark):
+    from econdatapipeline_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+    import math
+
+    samples = [0, 100, -100, 32767, -32768, 50]
+    payload = encode_wav(samples, sample_rate=8000, n_channels=2)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "media_id long, payload binary")
+    r = extract_audio_features(df).collect()[0]
+    assert r["sample_rate"] == 8000 and r["n_channels"] == 2
+    assert r["n_frames"] == 3  # 6 samples / 2 channels
+    assert r["peak"] == 32768
+    expected_rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    assert abs(r["rms"] - round(expected_rms, 6)) < 1e-9
+    assert r["duration_ms"] == 3 * 1000 // 8000
+
+
+def test_wav_parser_handles_extra_chunks(spark):
+    """RIFF chunks may appear in any order with padding; a LIST chunk
+    before fmt/data must not break the walk."""
+    from econdatapipeline_spark.operators.multimodal import (
+        _wav_pcm,
+        encode_wav,
+    )
+    import struct
+
+    base = encode_wav([1, 2, 3], 16000, 1)
+    # splice an odd-sized LIST chunk right after the WAVE tag
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    patched = base[:12] + junk + base[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    got = _wav_pcm(patched)
+    assert got == (1, 16000, [1, 2, 3])
+
+
+def test_wav_fallback_on_garbage(spark):
+    from econdatapipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav")), (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert rows[1]["sample_rate"] is None and rows[1]["n_bytes"] == 9
+    assert rows[2]["rms"] is None and rows[2]["n_bytes"] == 0
+
+
+def test_wav_truncated_data_rejected(spark):
+    from econdatapipeline_spark.operators.multimodal import (
+        _wav_pcm,
+        encode_wav,
+    )
+
+    payload = encode_wav([1, 2, 3, 4], 8000, 1)
+    assert _wav_pcm(payload[:-3]) is None  # truncated data chunk
