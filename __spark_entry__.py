@@ -1269,6 +1269,16 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, dim=8).select("media_id", "n_bytes", "digest")
 
 
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnosis (operators/skew.skew_report): count
+    distribution shape of events.user_id — max load, top-1 share, and
+    normalized entropy — the decide-before-salting probe."""
+    from econdatapipeline_spark.operators.skew import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, "user_id")
+
+
 def q_audio_features(spark, sf_dir):
     """Real WAV decode end-to-end (operators/multimodal): a formula-
     defined PCM corpus is ENCODED to RIFF bytes, parsed back by the
@@ -3687,6 +3697,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "hybrid_search": q_hybrid_search,
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
+        "skew_report": q_skew_report,
         "shipping_priority": q_shipping_priority,
         "anti_join": q_anti_join,
         "grouping_sets": q_grouping_sets,
@@ -4563,6 +4574,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
             FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
             WHERE {cos} >= 0.2
+        """,
+        "skew_report": """
+            WITH counts AS (
+              SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+            tot AS (SELECT SUM(c) AS n FROM counts),
+            terms AS (
+              SELECT c, n,
+                     CAST(-(c / CAST(n AS DOUBLE))
+                          * ln(c / CAST(n AS DOUBLE))
+                          AS DECIMAL(28,12)) AS h
+              FROM counts CROSS JOIN tot)
+            SELECT CAST(first(n) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(c) AS BIGINT) AS max_n,
+                   round(MAX(c) / CAST(first(n) AS DOUBLE), 6) AS top1_share,
+                   round(CAST(SUM(h) AS DOUBLE), 6) AS entropy,
+                   round(CASE WHEN COUNT(*) > 1 THEN
+                     CAST(SUM(h) AS DOUBLE) / ln(CAST(COUNT(*) AS DOUBLE))
+                   END, 6) AS balance
+            FROM terms
         """,
         # Audio features: the WAV corpus is generated by an integer
         # formula, so the oracle recomputes the decoder's outputs from

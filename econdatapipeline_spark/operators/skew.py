@@ -65,3 +65,43 @@ def top_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc(key))
         .limit(n)
     )
+
+
+def skew_report(df: DataFrame, key: str) -> DataFrame:
+    """One-row key-distribution diagnosis -> (n, n_keys, max_n,
+    top1_share, entropy, balance).
+
+    The pre-join planning probe: whether a key needs salting is a
+    property of its count distribution — max partition load is
+    proportional to max_n, and ``balance`` = H / ln(n_keys) (normalized
+    Shannon entropy) is 1.0 for perfectly uniform keys and tends to 0
+    as one key dominates. Two hash aggregates: the (key, count)
+    relation (the only data-sized shuffle, map-side combinable) and a
+    |keys|-sized reduce. Per-key entropy terms quantize to
+    decimal(28,12) so the sum is partition-order-free.
+    """
+    counts = df.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "n",
+        (-p * F.log(p)).cast("decimal(28,12)").alias("h"),
+    )
+    return terms.agg(
+        F.first("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_n"),
+        F.round(F.max("c") / F.first("n").cast("double"), 6).alias("top1_share"),
+        F.round(F.sum("h").cast("double"), 6).alias("entropy"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) > 1,
+                F.sum("h").cast("double")
+                / F.log(F.count(F.lit(1)).cast("double")),
+            ),
+            6,
+        ).alias("balance"),
+    )

@@ -98,3 +98,29 @@ def test_top_keys_diagnostic(spark):
     )
     top = top_keys(fact, "k", n=1).collect()[0]
     assert top["k"] == 1 and top["n_rows"] == 80 and abs(top["share"] - 0.8) < 1e-9
+
+
+def test_skew_report_uniform_vs_skewed(spark):
+    from econdatapipeline_spark.operators.skew import skew_report
+    import math
+
+    uniform = spark.createDataFrame(
+        [(i % 10,) for i in range(100)], "k long"
+    )
+    r = skew_report(uniform, "k").collect()[0]
+    assert r["n"] == 100 and r["n_keys"] == 10 and r["max_n"] == 10
+    assert r["balance"] == 1.0 and abs(r["entropy"] - round(math.log(10), 6)) < 1e-9
+    skewed = spark.createDataFrame(
+        [(0,)] * 91 + [(i,) for i in range(1, 10)], "k long"
+    )
+    s = skew_report(skewed, "k").collect()[0]
+    assert s["top1_share"] == 0.91
+    assert s["balance"] < 0.3  # heavily dominated
+
+
+def test_skew_report_single_key_null_balance(spark):
+    from econdatapipeline_spark.operators.skew import skew_report
+
+    one = spark.createDataFrame([(7,)] * 5, "k long")
+    r = skew_report(one, "k").collect()[0]
+    assert r["n_keys"] == 1 and r["entropy"] == 0.0 and r["balance"] is None
