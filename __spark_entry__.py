@@ -706,6 +706,14 @@ def q_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_candidates(d, num_hashes=16, bands=4, shingle_n=3)
 
 
+def q_minhash_error(spark, sf_dir):
+    """Sketch-quality audit (operators/dedup.minhash_estimate_error):
+    MinHash Jaccard estimate vs exact shingle-set Jaccard for every
+    LSH candidate pair — the estimator-error companion to ann_recall."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_estimate_error(d, num_hashes=16, bands=4, shingle_n=3)
+
+
 def q_minhash_cross(spark, sf_dir):
     """Incremental cross-corpus dedup: the src0 'crawl increment'
     LSH-probed against the rest of the corpus
@@ -3661,6 +3669,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "exact_dedup_best": q_exact_dedup_best,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_error": q_minhash_error,
         "minhash_cross": q_minhash_cross,
         "cluster_split": q_cluster_split,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3831,6 +3840,17 @@ def oracle_sql() -> dict[str, str]:
         f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))) "
         f"ELSE [array_to_string({toks}, ' ')] END"
     )
+    # MinHash: per-slot literal coefficients (functions.text.
+    # minhash_coeffs) over a 32-bit md5 base — the pairwise-independent
+    # family; hx is the per-shingle base-hash list each oracle builds.
+    mh_sig = "[" + ", ".join(
+        f"list_min(list_transform(hx, x -> ({a} * x + {b}) % 2147483647))"
+        for a, b in TX.minhash_coeffs(16)
+    ) + "]"
+    mh_base = (
+        "list_transform({sh}, s -> "
+        "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % 2147483647)"
+    ).format(sh=shingle)
     bucket_expr = (
         "concat("
         "CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,"
@@ -4348,18 +4368,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh": f"""
             WITH hashed AS (
-              SELECT doc_id,
-                     list_transform({shingle}, s ->
-                       CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h1,
-                     list_transform({shingle}, s ->
-                       CAST('0x' || substr(md5(s), 17, 14) AS BIGINT)) AS h2
-              FROM documents),
+              SELECT doc_id, {mh_base} AS hx FROM documents),
             sig AS (
-              SELECT doc_id,
-                     list_transform(range(0, 16), i ->
-                       list_min(list_transform(range(1, len(h1) + 1), j ->
-                         (h1[j] + i * h2[j]) % 2305843009213693951))) AS sig
-              FROM hashed),
+              SELECT doc_id, {mh_sig} AS sig FROM hashed),
             banded AS (
               SELECT doc_id, sig, b AS band_idx,
                      array_to_string(list_transform(
@@ -4376,20 +4387,43 @@ def oracle_sql() -> dict[str, str]:
                      AS est_jaccard
             FROM pairs
         """,
-        "minhash_cross": f"""
+        "minhash_error": f"""
             WITH hashed AS (
-              SELECT doc_id, source,
-                     list_transform({shingle}, s ->
-                       CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h1,
-                     list_transform({shingle}, s ->
-                       CAST('0x' || substr(md5(s), 17, 14) AS BIGINT)) AS h2
+              SELECT doc_id, {shingle} AS sh, {mh_base} AS hx
               FROM documents),
             sig AS (
-              SELECT doc_id, source,
-                     list_transform(range(0, 16), i ->
-                       list_min(list_transform(range(1, len(h1) + 1), j ->
-                         (h1[j] + i * h2[j]) % 2305843009213693951))) AS sig
-              FROM hashed),
+              SELECT doc_id, sh, {mh_sig} AS sig FROM hashed),
+            banded AS (
+              SELECT doc_id, sh, sig, b AS band_idx,
+                     array_to_string(list_transform(
+                       list_slice(sig, b*4+1, b*4+4), x -> CAST(x AS VARCHAR)), '|') AS band_key
+              FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.sig AS sig_a, b.sig AS sig_b,
+                              a.sh AS sh_a, b.sh AS sh_b
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            scored AS (
+              SELECT id_a, id_b,
+                     round(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0, 6)
+                       AS est_jaccard,
+                     len(list_intersect(sh_a, sh_b))
+                       / CAST(len(sh_a) + len(sh_b)
+                              - len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                       AS exact
+              FROM pairs)
+            SELECT id_a, id_b, est_jaccard,
+                   round(exact, 6) AS exact_jaccard,
+                   round(abs(est_jaccard - exact), 6) AS abs_err
+            FROM scored
+        """,
+        "minhash_cross": f"""
+            WITH hashed AS (
+              SELECT doc_id, source, {mh_base} AS hx FROM documents),
+            sig AS (
+              SELECT doc_id, source, {mh_sig} AS sig FROM hashed),
             banded AS (
               SELECT doc_id, source, sig, b AS band_idx,
                      array_to_string(list_transform(

@@ -71,26 +71,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures via explode + aggregate.
 
-    Same affine family as functions.text.minhash_signature — one md5
-    base hash per shingle, h_i = (h1 + i*h2) mod (2^61 - 1) — but
-    computed as ordinary row expressions + one grouped aggregation with
-    num_hashes MIN columns. Everything stays inside whole-stage codegen
-    (higher-order array lambdas are interpreted; at 4M+ hash evaluations
-    that is the difference), and the shuffle is one keyed agg of
-    (id, h1, h2) rows with map-side partial MINs.
+    Same pairwise-independent family as functions.text.minhash_signature
+    — one md5 base hash per shingle, h_i = (a_i·x + b_i) mod (2^31 − 1)
+    with per-slot literal coefficients (text.minhash_coeffs; see those
+    docstrings for why both the per-slot multipliers AND the wrap count
+    are load-bearing — the shared-base h1 + i·h2 form flooded LSH with
+    Jaccard≈0.01 candidates) — but computed as ordinary row expressions
+    + one grouped aggregation with num_hashes MIN columns. Everything
+    stays inside whole-stage codegen (higher-order array lambdas are
+    interpreted; at 4M+ hash evaluations that is the difference), and
+    the shuffle is one keyed agg of (id, x) rows with map-side partial
+    MINs.
     """
+    from econdatapipeline_spark.functions.text import MERSENNE31, minhash_coeffs
+
     ex = fan_out(df).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
     )
-    m = F.md5("s")
     hashed = ex.select(
         id_col,
-        F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(m, 17, 14), 16, 10).cast("long").alias("h2"),
+        (F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+         % F.lit(MERSENNE31)).alias("x"),
     )
     mins = [
-        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MERSENNE61)).alias(f"m{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return (
         hashed.groupBy(id_col)
@@ -877,4 +882,49 @@ def line_dedup(
             ),
             sep,
         ).alias(text_col)
+    )
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Sketch-quality audit: MinHash Jaccard estimate vs EXACT Jaccard
+    for every LSH candidate pair -> (id_a, id_b, est_jaccard,
+    exact_jaccard, abs_err).
+
+    The sketch analog of evaluation.topk_overlap (which audits the ANN
+    index): before trusting a signature width at a new corpus, measure
+    its estimator error on the candidate pairs it actually surfaces.
+    The exact side joins each pair back to its (distinct) shingle
+    arrays and computes |A∩B| / |A∪B| with array expressions — per-pair
+    work proportional to document shingle counts, so this is the AUDIT
+    path (run on a sample or one corpus slice), while the estimate stays
+    the production path. E[abs_err] ~ sqrt(J(1-J)/k) for k hashes.
+    """
+    pairs = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    exact = inter / union.cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+        )
     )

@@ -292,3 +292,33 @@ def test_line_dedup_drops_fully_duplicated_doc(spark):
 
     with pytest.raises(ValueError, match="min_chars"):
         line_dedup(df, min_chars=0)
+
+
+def test_minhash_estimate_error_bounds(spark):
+    from econdatapipeline_spark.operators import dedup as DD
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = DD.minhash_estimate_error(d, num_hashes=16, bands=4).collect()
+    assert out, "LSH should surface candidate pairs at sf0.001"
+    for r in out:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - round(abs(r["est_jaccard"] - r["exact_jaccard"]), 6)) < 2e-6
+    # 16-hash estimator: mean |error| should sit well under 0.25
+    mean_err = sum(r["abs_err"] for r in out) / len(out)
+    assert mean_err < 0.25
+
+
+def test_minhash_estimate_exact_on_identical_docs(spark):
+    from econdatapipeline_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = DD.minhash_estimate_error(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["est_jaccard"] == 1.0 and r["exact_jaccard"] == 1.0
+    assert r["abs_err"] == 0.0
