@@ -39,3 +39,13 @@ def test_audit_timeline_runs(spark, capsys):
     out = capsys.readouterr().out
     assert "SCD2 timeline" in out
     assert "time travel matches the actual batch-2 state: True" in out
+
+
+def test_semantic_curation_runs(spark, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import semantic_curation
+
+    semantic_curation.main()
+    out = capsys.readouterr().out
+    assert "minhash audit" in out and "ANN recall@5" in out
+    assert "classifier AUC" in out
