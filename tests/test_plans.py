@@ -281,3 +281,20 @@ def test_stratified_priority_sample_uses_window_group_limit(spark):
     partitions rows per group — not every group's full tail."""
     plan = plan_of(E.q_stratified_priority_sample(spark, SF_DIR))
     assert "WindowGroupLimit" in plan
+
+
+def test_lm_score_model_joins_broadcast(spark):
+    """The bigram-LM model relations are vocabulary-sized by
+    construction; scoring must broadcast them onto the occurrence scan
+    (no sort-merge join shuffles the corpus by bigram key)."""
+    plan = plan_of(E.queries()["lm_score"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_target_encode_table_broadcasts(spark):
+    """The (category x fold) encoding table broadcasts onto the row
+    scan — the row side must never shuffle on the category key."""
+    plan = plan_of(E.queries()["target_encode"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
