@@ -1277,6 +1277,26 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, dim=8).select("media_id", "n_bytes", "digest")
 
 
+def q_validate_samples(spark, sf_dir):
+    """Expectation violations WITH deterministic evidence
+    (operators/quality.validate_samples): per-rule failure count plus
+    the k smallest offending keys — failures-only explode, so a
+    healthy table contributes nothing to the shuffle."""
+    from econdatapipeline_spark.operators.quality import (
+        in_range,
+        one_of,
+        validate_samples,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return validate_samples(
+        o,
+        [in_range("o_totalprice", 0, 300000), one_of("o_orderstatus", ["O", "F"])],
+        id_col="o_orderkey",
+        k=3,
+    )
+
+
 def q_skew_report(spark, sf_dir):
     """Join-key skew diagnosis (operators/skew.skew_report): count
     distribution shape of events.user_id — max load, top-1 share, and
@@ -3707,6 +3727,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
         "skew_report": q_skew_report,
+        "validate_samples": q_validate_samples,
         "shipping_priority": q_shipping_priority,
         "anti_join": q_anti_join,
         "grouping_sets": q_grouping_sets,
@@ -4608,6 +4629,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
             FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
             WHERE {cos} >= 0.2
+        """,
+        "validate_samples": """
+            WITH fails AS (
+              SELECT 'o_totalprice_in_range' AS check_name,
+                     o_orderkey AS id
+              FROM orders
+              WHERE NOT COALESCE(o_totalprice BETWEEN 0 AND 300000, FALSE)
+              UNION ALL
+              SELECT 'o_orderstatus_one_of', o_orderkey
+              FROM orders
+              WHERE NOT COALESCE(o_orderstatus IN ('O', 'F'), FALSE)),
+            ranked AS (
+              SELECT check_name, id,
+                     ROW_NUMBER() OVER (PARTITION BY check_name
+                                        ORDER BY id ASC) AS rn
+              FROM fails)
+            SELECT check_name AS "check",
+                   CAST(COUNT(*) AS BIGINT) AS n_violations,
+                   list_sort(list(id) FILTER (WHERE rn <= 3)) AS sample_ids
+            FROM ranked GROUP BY check_name
         """,
         "skew_report": """
             WITH counts AS (

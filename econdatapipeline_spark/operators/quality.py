@@ -193,3 +193,52 @@ def quantile_filter(
         F.expr(f"percentile({score_col}, {min_quantile!r})").alias("cutoff")
     )
     return df.join(F.broadcast(cut)).filter(F.col(score_col) >= F.col("cutoff"))
+
+
+def validate_samples(
+    df: DataFrame,
+    checks: list[Check],
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Violation report WITH evidence: (check, n_violations, sample_ids).
+
+    ``validate`` answers "how many rows fail each rule"; triage needs
+    "show me some". One pass: each failing row emits one row per rule
+    it breaks (a bounded explode — ≤ |checks| per input row), then a
+    per-rule aggregate counts violations and keeps the k SMALLEST
+    offending ids (min-k via sorted array slice of a collect_set that
+    the per-rule row_number window bounds first). Deterministic: the
+    sample is the k smallest ids, not "any k", so reruns and the SQL
+    oracle agree exactly.
+
+    Scale shape: the explode emits rows only for FAILURES (a healthy
+    table contributes nothing); the per-rule top-k window shuffles one
+    row per failure, partitioned by rule — bounded by failure volume,
+    never table size.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    fails = []
+    for c in checks:
+        holds = F.coalesce(c.predicate, F.lit(False))
+        fails.append(
+            F.when(~holds, F.struct(F.lit(c.name).alias("check")))
+        )
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(F.array(*fails), lambda x: x.isNotNull())
+        ).alias("f"),
+    ).select(F.col("f.check").alias("check"), "_id")
+    w = Window.partitionBy("check").orderBy(F.asc("_id"))
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("check")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("rn") <= k, F.col("_id")))
+            ).alias("sample_ids"),
+        )
+    )

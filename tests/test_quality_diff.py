@@ -191,3 +191,34 @@ def test_quantile_filter_validates_fraction(spark):
     df = spark.createDataFrame([(1, 1.0)], "id long, score double")
     with pytest.raises(ValueError):
         quantile_filter(df, "score", 1.0)
+
+
+def test_validate_samples_evidence(spark):
+    from econdatapipeline_spark.operators.quality import (
+        in_range,
+        not_null,
+        validate_samples,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, None), (4, 99.0), (5, 120.0), (6, 150.0)],
+        "id long, v double",
+    )
+    out = {r["check"]: r for r in validate_samples(
+        df, [in_range("v", 0, 100), not_null("v")], id_col="id", k=2
+    ).collect()}
+    # in_range fails: id 3 (null -> violation), 5, 120? v=120 and 150
+    assert out["v_in_range"]["n_violations"] == 3  # ids 3, 5, 6
+    assert out["v_in_range"]["sample_ids"] == [3, 5]  # k smallest
+    assert out["v_not_null"]["n_violations"] == 1
+    assert out["v_not_null"]["sample_ids"] == [3]
+
+
+def test_validate_samples_healthy_rule_absent(spark):
+    from econdatapipeline_spark.operators.quality import (
+        not_null,
+        validate_samples,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    assert validate_samples(df, [not_null("v")], id_col="id").count() == 0
