@@ -1277,6 +1277,20 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, dim=8).select("media_id", "n_bytes", "digest")
 
 
+def q_psi_monitor(spark, sf_dir):
+    """Windowed PSI drift monitor, batch form (streaming/drift.
+    psi_monitor — the same builder runs on a readStream frame): hourly
+    event-value histograms scored against a fixed 4-bin baseline via a
+    one-hot array sum inside one aggregation."""
+    from econdatapipeline_spark.streaming.drift import psi_monitor
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_monitor(
+        ev, [400.0, 300.0, 200.0, 100.0], window="1 hour",
+        lo=0.0, hi=500.0, threshold=0.2,
+    )
+
+
 def q_validate_samples(spark, sf_dir):
     """Expectation violations WITH deterministic evidence
     (operators/quality.validate_samples): per-rule failure count plus
@@ -3728,6 +3742,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "audio_features": q_audio_features,
         "skew_report": q_skew_report,
         "validate_samples": q_validate_samples,
+        "psi_monitor": q_psi_monitor,
         "shipping_priority": q_shipping_priority,
         "anti_join": q_anti_join,
         "grouping_sets": q_grouping_sets,
@@ -4629,6 +4644,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos
             FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
             WHERE {cos} >= 0.2
+        """,
+        "psi_monitor": f"""
+            WITH binned AS (
+              SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+                     LEAST(GREATEST(FLOOR(CAST(value AS DOUBLE) / 125.0), 0), 3)
+                       AS b
+              FROM events),
+            counts AS (
+              SELECT ws, COUNT(*) AS n,
+                     SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS c0,
+                     SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS c1,
+                     SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS c2,
+                     SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS c3
+              FROM binned GROUP BY ws),
+            scored AS (
+              SELECT ws, n,
+                     ((((c0 + 0.5) / (n + 2.0) - {(400.5 / 1002.0)!r})
+                        * ln(((c0 + 0.5) / (n + 2.0)) / {(400.5 / 1002.0)!r})
+                       + ((c1 + 0.5) / (n + 2.0) - {(300.5 / 1002.0)!r})
+                         * ln(((c1 + 0.5) / (n + 2.0)) / {(300.5 / 1002.0)!r}))
+                      + ((c2 + 0.5) / (n + 2.0) - {(200.5 / 1002.0)!r})
+                        * ln(((c2 + 0.5) / (n + 2.0)) / {(200.5 / 1002.0)!r}))
+                     + ((c3 + 0.5) / (n + 2.0) - {(100.5 / 1002.0)!r})
+                       * ln(((c3 + 0.5) / (n + 2.0)) / {(100.5 / 1002.0)!r})
+                       AS psi
+              FROM counts)
+            SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+                   CAST(n AS BIGINT) AS n, round(psi, 6) AS psi,
+                   psi > 0.2 AS drifted
+            FROM scored
         """,
         "validate_samples": """
             WITH fails AS (
