@@ -1277,6 +1277,23 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, dim=8).select("media_id", "n_bytes", "digest")
 
 
+def q_forecast_backtest(spark, sf_dir):
+    """Out-of-sample Holt backtest per priority
+    (operators/timeseries.holt_backtest): fit on daily order totals
+    through 1997-06-30, score 7 forecast steps vs actuals — MAPE +
+    signed bias, decimal-quantized means."""
+    from econdatapipeline_spark.operators.timeseries import holt_backtest
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("d")
+    ).agg(_dsum(F.col("o_totalprice")).alias("total"))
+    return holt_backtest(
+        daily, "o_orderpriority", "d", "total",
+        cutoff="1997-06-30", horizon=7,
+    )
+
+
 def q_psi_monitor(spark, sf_dir):
     """Windowed PSI drift monitor, batch form (streaming/drift.
     psi_monitor — the same builder runs on a readStream frame): hourly
@@ -3743,6 +3760,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "skew_report": q_skew_report,
         "validate_samples": q_validate_samples,
         "psi_monitor": q_psi_monitor,
+        "forecast_backtest": q_forecast_backtest,
         "shipping_priority": q_shipping_priority,
         "anti_join": q_anti_join,
         "grouping_sets": q_grouping_sets,
@@ -6638,6 +6656,51 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(b, rn), 6) AS trend,
                    round(arg_max(l, rn) + arg_max(b, rn), 6) AS forecast_1
             FROM hw GROUP BY g
+        """,
+        # Holt backtest: the recursive-CTE fit is the holt_forecast
+        # oracle restricted to the cutoff; evaluation joins the ROUNDED
+        # level/trend (the fit's public contract) to the first 7 post-
+        # cutoff actuals per group.
+        "forecast_backtest": """
+            WITH RECURSIVE daily AS (
+              SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS d,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                       AS total
+              FROM orders GROUP BY 1, 2),
+            series AS (
+              SELECT g, total AS v,
+                     row_number() OVER (PARTITION BY g ORDER BY d) AS rn
+              FROM daily WHERE d <= DATE '1997-06-30'),
+            hw AS (
+              SELECT g, rn, v AS l, CAST(0.0 AS DOUBLE) AS b FROM series WHERE rn = 1
+              UNION ALL
+              SELECT s.g, s.rn,
+                     0.5 * s.v + 0.5 * (h.l + h.b),
+                     0.25 * ((0.5 * s.v + 0.5 * (h.l + h.b)) - h.l)
+                       + 0.75 * h.b
+              FROM hw h JOIN series s ON s.g = h.g AND s.rn = h.rn + 1),
+            fit AS (
+              SELECT g, round(arg_max(l, rn), 6) AS level,
+                     round(arg_max(b, rn), 6) AS trend
+              FROM hw GROUP BY g),
+            test AS (
+              SELECT g, total, h FROM (
+                SELECT g, d, total,
+                       row_number() OVER (PARTITION BY g ORDER BY d) AS h
+                FROM daily WHERE d > DATE '1997-06-30')
+              WHERE h <= 7),
+            scored AS (
+              SELECT t.g,
+                     CAST(abs(f.level + t.h * f.trend - t.total)
+                          / abs(t.total) AS DECIMAL(28,12)) AS ape,
+                     CAST(f.level + t.h * f.trend - t.total
+                          AS DECIMAL(28,12)) AS err
+              FROM test t JOIN fit f ON t.g = f.g)
+            SELECT g AS o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_eval,
+                   round(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 6) AS mape,
+                   round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) AS mean_err
+            FROM scored GROUP BY g
         """,
         "budget_cap": """
             WITH running AS (

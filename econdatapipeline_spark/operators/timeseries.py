@@ -360,3 +360,64 @@ def cusum_changepoint(
         F.round(s_neg.cast("double"), 6).alias("cusum_neg"),
         ((s_pos > threshold) | (s_neg > threshold)).alias("alarm"),
     )
+
+
+def holt_backtest(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    cutoff,
+    horizon: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Out-of-sample forecast evaluation per series -> (group, n_eval,
+    mape, mean_err).
+
+    The backtest loop every forecasting deployment needs: fit Holt's
+    linear smoothing on observations at or before ``cutoff``, project
+    h-step-ahead forecasts l_T + h·b_T for h = 1..horizon, and score
+    them against the actuals after the cutoff — MAPE (mean |err|/|y|)
+    and signed mean error (bias) per group.
+
+    Shape: the fit is holt_linear's distributed pre-aggregation + per-
+    group bounded fold; the evaluation joins the horizon rows (at most
+    |groups|·horizon of them) to the |groups|-sized fit — broadcast.
+    Error terms quantize to decimal(28,12) before the mean so results
+    are partition-order-free. Uses the fit's ROUNDED level/trend (its
+    public contract), so an oracle replays the identical arithmetic.
+    """
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    train = df.filter(F.col(order_col) <= cutoff)
+    fit = holt_linear(train, group_col, order_col, value_col, alpha, beta)
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    test = (
+        df.filter(F.col(order_col) > cutoff)
+        .withColumn("h", F.row_number().over(w))
+        .filter(F.col("h") <= horizon)
+    )
+    j = test.join(
+        F.broadcast(fit.select(group_col, "level", "trend")), group_col
+    )
+    fc = F.col("level") + F.col("h") * F.col("trend")
+    err = fc - F.col(value_col).cast("double")
+    ape = F.abs(err) / F.abs(F.col(value_col).cast("double"))
+    return (
+        j.select(
+            group_col,
+            ape.cast("decimal(28,12)").alias("ape"),
+            err.cast("decimal(28,12)").alias("err"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.round(
+                F.sum("ape").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mape"),
+            F.round(
+                F.sum("err").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_err"),
+        )
+    )

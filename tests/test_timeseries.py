@@ -141,3 +141,34 @@ def test_cusum_flat_series_never_alarms(spark):
     rows = cusum_changepoint(df, "grp", "t", "v", threshold=0.001).collect()
     assert all(r["cusum_pos"] == 0.0 and r["cusum_neg"] == 0.0 for r in rows)
     assert not any(r["alarm"] for r in rows)
+
+
+def test_holt_backtest_perfect_linear_series(spark):
+    from econdatapipeline_spark.operators.timeseries import holt_backtest
+
+    # y = 10 + 2t: Holt with a long train window converges to
+    # trend ~2, so short-horizon forecasts are near-exact
+    rows = [("g", t, 10.0 + 2.0 * t) for t in range(1, 61)]
+    df = spark.createDataFrame(rows, "grp string, t int, y double")
+    out = holt_backtest(df, "grp", "t", "y", cutoff=50, horizon=5).collect()[0]
+    assert out["n_eval"] == 5
+    assert out["mape"] < 0.02
+    assert abs(out["mean_err"]) < 3.0
+
+
+def test_holt_backtest_horizon_caps_eval(spark):
+    from econdatapipeline_spark.operators.timeseries import holt_backtest
+
+    rows = [("g", t, float(t)) for t in range(1, 21)]
+    df = spark.createDataFrame(rows, "grp string, t int, y double")
+    out = holt_backtest(df, "grp", "t", "y", cutoff=10, horizon=3).collect()[0]
+    assert out["n_eval"] == 3  # 10 post-cutoff points, only 3 scored
+
+
+def test_holt_backtest_validates(spark):
+    import pytest as _pytest
+    from econdatapipeline_spark.operators.timeseries import holt_backtest
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "grp string, t int, y double")
+    with _pytest.raises(ValueError):
+        holt_backtest(df, "grp", "t", "y", cutoff=0, horizon=0)
