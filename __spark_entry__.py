@@ -1277,6 +1277,30 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, dim=8).select("media_id", "n_bytes", "digest")
 
 
+def q_conformal_width(spark, sf_dir):
+    """Split-conformal 90% interval half-widths per priority
+    (operators/evaluation.conformal_width): the predictor is the odd-
+    orderkey training half's decimal-exact category mean; calibration
+    residuals come from the even half; width is the exact k-th order
+    statistic with k = ceil((n+1)·0.9)."""
+    from econdatapipeline_spark.operators.evaluation import conformal_width
+
+    o = _t(spark, sf_dir, "orders")
+    train = o.filter(F.col("o_orderkey") % 2 == 1)
+    cal = o.filter(F.col("o_orderkey") % 2 == 0)
+    means = train.groupBy("o_orderpriority").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    resid = cal.join(F.broadcast(means), "o_orderpriority").select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("double") - F.col("mu")).alias("resid"),
+    )
+    return conformal_width(resid, "o_orderpriority", "resid", alpha=0.1)
+
+
 def q_forecast_backtest(spark, sf_dir):
     """Out-of-sample Holt backtest per priority
     (operators/timeseries.holt_backtest): fit on daily order totals
@@ -3761,6 +3785,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "validate_samples": q_validate_samples,
         "psi_monitor": q_psi_monitor,
         "forecast_backtest": q_forecast_backtest,
+        "conformal_width": q_conformal_width,
         "shipping_priority": q_shipping_priority,
         "anti_join": q_anti_join,
         "grouping_sets": q_grouping_sets,
@@ -6656,6 +6681,31 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(b, rn), 6) AS trend,
                    round(arg_max(l, rn) + arg_max(b, rn), 6) AS forecast_1
             FROM hw GROUP BY g
+        """,
+        "conformal_width": """
+            WITH train AS (
+              SELECT o_orderpriority AS g,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(*) AS mu
+              FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+            resid AS (
+              SELECT o.o_orderpriority AS g,
+                     abs(CAST(o.o_totalprice AS DOUBLE) - t.mu) AS r
+              FROM orders o JOIN train t ON o.o_orderpriority = t.g
+              WHERE o.o_orderkey % 2 = 0),
+            counts AS (
+              SELECT g, COUNT(*) AS n,
+                     CAST(CEIL((COUNT(*) + 1) * 0.9) AS BIGINT) AS k
+              FROM resid GROUP BY g),
+            ranked AS (
+              SELECT g, r,
+                     ROW_NUMBER() OVER (PARTITION BY g ORDER BY r) AS rn
+              FROM resid)
+            SELECT rk.g AS o_orderpriority,
+                   CAST(c.n AS BIGINT) AS n, c.k,
+                   CASE WHEN c.k <= c.n THEN round(rk.r, 6) END AS width
+            FROM ranked rk JOIN counts c ON rk.g = c.g
+            WHERE rk.rn = LEAST(c.k, c.n)
         """,
         # Holt backtest: the recursive-CTE fit is the holt_forecast
         # oracle restricted to the cutoff; evaluation joins the ROUNDED

@@ -197,3 +197,50 @@ def topk_overlap(
             F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(float(k)), 6
         ).alias("recall"),
     )
+
+
+def conformal_width(
+    df: DataFrame,
+    group_col: str,
+    resid_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal interval half-width per group -> (group, n, k,
+    width).
+
+    Split conformal prediction (Vovk et al.; Lei et al. 2018): given a
+    calibration set's residuals, the (1 − α) prediction interval is
+    ŷ ± width where width is the k-th smallest |residual| with
+    k = ⌈(n + 1)(1 − α)⌉ — a finite-sample coverage guarantee with no
+    distributional assumptions. Groups too small for the guarantee
+    (k > n) emit null width: the honest answer, not the max residual.
+
+    Shape: one per-group count, one rank window over the calibration
+    rows (shuffles calibration residuals only — the set a deployment
+    can size), and an exact order statistic: ties in |residual| share a
+    value, so the k-th smallest VALUE is deterministic regardless of
+    tie order.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    a = df.select(
+        F.col(group_col).alias("g"), F.abs(F.col(resid_col)).alias("r")
+    )
+    counts = a.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    k = F.ceil((F.col("n") + 1) * F.lit(1.0 - alpha)).cast("long")
+    w = Window.partitionBy("g").orderBy("r")
+    ranked = a.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(counts.withColumn("k", k)), "g")
+        .filter(F.col("rn") == F.least(F.col("k"), F.col("n")))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").cast("long").alias("n"),
+            F.col("k").alias("k"),
+            F.when(F.col("k") <= F.col("n"), F.round(F.col("r"), 6)).alias(
+                "width"
+            ),
+        )
+    )

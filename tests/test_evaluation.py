@@ -126,3 +126,45 @@ def test_mutual_information_independent_and_identical(spark):
     r = mutual_information(dep, "x", "y").collect()[0]
     assert abs(r["mi"] - round(math.log(2), 6)) < 1e-9
     assert r["n_cells"] == 2
+
+
+def test_conformal_width_exact_order_statistic(spark):
+    from econdatapipeline_spark.operators.evaluation import conformal_width
+
+    # residuals 1..10, alpha=0.2 -> k = ceil(11*0.8) = 9 -> width = 9
+    rows = [("g", float(v)) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "grp string, resid double")
+    out = conformal_width(df, "grp", "resid", alpha=0.2).collect()[0]
+    assert out["n"] == 10 and out["k"] == 9 and out["width"] == 9.0
+
+
+def test_conformal_width_small_group_null(spark):
+    from econdatapipeline_spark.operators.evaluation import conformal_width
+
+    # n=3, alpha=0.1 -> k = ceil(4*0.9) = 4 > n -> no guarantee
+    rows = [("g", 1.0), ("g", 2.0), ("g", 3.0)]
+    df = spark.createDataFrame(rows, "grp string, resid double")
+    out = conformal_width(df, "grp", "resid", alpha=0.1).collect()[0]
+    assert out["k"] == 4 and out["width"] is None
+
+
+def test_conformal_width_coverage_empirical(spark):
+    """The returned width must cover >= (1-alpha) of the calibration
+    residuals themselves (finite-sample property)."""
+    import random
+    from econdatapipeline_spark.operators.evaluation import conformal_width
+
+    rng = random.Random(11)
+    resids = [rng.gauss(0, 5) for _ in range(200)]
+    df = spark.createDataFrame([("g", r) for r in resids], "grp string, resid double")
+    out = conformal_width(df, "grp", "resid", alpha=0.1).collect()[0]
+    covered = sum(1 for r in resids if abs(r) <= out["width"]) / len(resids)
+    assert covered >= 0.9
+
+
+def test_conformal_width_validates(spark):
+    from econdatapipeline_spark.operators.evaluation import conformal_width
+
+    df = spark.createDataFrame([("g", 1.0)], "grp string, resid double")
+    with pytest.raises(ValueError):
+        conformal_width(df, "grp", "resid", alpha=1.5)
