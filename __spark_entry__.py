@@ -1277,6 +1277,17 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, dim=8).select("media_id", "n_bytes", "digest")
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-domain score alignment (operators/stats.quantile_normalize):
+    event values mapped onto the corpus distribution via matched
+    quantile buckets — per-type percent_rank into 20 buckets, replaced
+    by the corpus bucket's decimal-exact mean."""
+    from econdatapipeline_spark.operators.stats import quantile_normalize
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_normalize(ev, "event_type", "value", "event_id", bins=20)
+
+
 def q_conformal_width(spark, sf_dir):
     """Split-conformal 90% interval half-widths per priority
     (operators/evaluation.conformal_width): the predictor is the odd-
@@ -3786,6 +3797,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "psi_monitor": q_psi_monitor,
         "forecast_backtest": q_forecast_backtest,
         "conformal_width": q_conformal_width,
+        "quantile_normalize": q_quantile_normalize,
         "shipping_priority": q_shipping_priority,
         "anti_join": q_anti_join,
         "grouping_sets": q_grouping_sets,
@@ -6681,6 +6693,30 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(b, rn), 6) AS trend,
                    round(arg_max(l, rn) + arg_max(b, rn), 6) AS forecast_1
             FROM hw GROUP BY g
+        """,
+        "quantile_normalize": """
+            WITH corpus AS (
+              SELECT CAST(value AS DOUBLE) AS v,
+                     LEAST(CAST(FLOOR(
+                       PERCENT_RANK() OVER (ORDER BY CAST(value AS DOUBLE),
+                                            event_id) * 20) AS BIGINT), 19)
+                       AS bin
+              FROM events),
+            ref AS (
+              SELECT bin,
+                     round(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                           / COUNT(*), 6) AS norm_value
+              FROM corpus GROUP BY bin),
+            rows_b AS (
+              SELECT event_id, event_type,
+                     LEAST(CAST(FLOOR(
+                       PERCENT_RANK() OVER (PARTITION BY event_type
+                                            ORDER BY CAST(value AS DOUBLE),
+                                            event_id) * 20) AS BIGINT), 19)
+                       AS bin
+              FROM events)
+            SELECT r.event_id, r.event_type, r.bin, f.norm_value
+            FROM rows_b r JOIN ref f ON r.bin = f.bin
         """,
         "conformal_width": """
             WITH train AS (

@@ -589,3 +589,58 @@ def grouped_ols(
             6,
         ).alias("r2"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    bins: int = 100,
+) -> DataFrame:
+    """Map each group's values onto the corpus distribution ->
+    input ids + (bin, norm_value).
+
+    The cross-domain score alignment step: a quality score of 0.7 from
+    a lenient domain and 0.7 from a strict one mean different things;
+    before gating on a single global threshold, replace each value with
+    the corpus value at the same within-group quantile. Discretized to
+    ``bins`` quantile buckets: a row's bucket is floor(percent_rank
+    within its group · bins), its normalized value is the corpus-wide
+    decimal-exact mean of that same bucket (computed over corpus-wide
+    percent_rank).
+
+    Shape: two rank windows (one per-group, one corpus-wide — the
+    corpus one shuffles once) + a bins-sized broadcast join. Ranks are
+    exact rationals, products of identical doubles, so bucket edges
+    agree across engines (the percent_rank caveat in ORACLE_PARITY.md
+    applies to hashing raw ratios, not to floor-bucketing them).
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    v = F.col(value_col).cast("double")
+    gw = Window.partitionBy(group_col).orderBy(v, F.col(id_col))
+    cw = Window.orderBy(v, F.col(id_col))
+    bucket = lambda pr: F.least(  # noqa: E731
+        F.floor(pr * bins).cast("long"), F.lit(bins - 1)
+    )
+    corpus = df.select(
+        v.alias("__v"), bucket(F.percent_rank().over(cw)).alias("bin")
+    )
+    ref = corpus.groupBy("bin").agg(
+        F.round(
+            F.sum(F.col("__v").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("norm_value")
+    )
+    rows = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        bucket(F.percent_rank().over(gw)).alias("bin"),
+    )
+    return rows.join(F.broadcast(ref), "bin").select(
+        id_col, group_col, "bin", "norm_value"
+    )

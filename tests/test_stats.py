@@ -273,3 +273,34 @@ def test_grouped_ols_matches_numpy(spark):
     assert abs(r["slope"] - slope) < 1e-5
     assert abs(r["intercept"] - intercept) < 1e-4
     assert r["r2"] > 0.99
+
+
+def test_quantile_normalize_aligns_shifted_groups(spark):
+    from econdatapipeline_spark.operators.stats import quantile_normalize
+
+    # group b = group a shifted by +100: after normalization the i-th
+    # ranked member of each group maps to the SAME corpus bucket value
+    rows = [("a", i, float(i)) for i in range(50)]
+    rows += [("b", 100 + i, float(i) + 100.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = quantile_normalize(df, "grp", "v", "id", bins=10).collect()
+    by_group = {}
+    for r in out:
+        g = r["grp"]
+        by_group.setdefault(g, []).append((r["id"] % 100, r["norm_value"]))
+    a = dict(by_group["a"])
+    b = dict(by_group["b"])
+    assert a == b  # identical within-group ranks -> identical mapping
+
+
+def test_quantile_normalize_output_complete(spark):
+    from econdatapipeline_spark.operators.stats import quantile_normalize
+    import pytest as _pytest
+
+    rows = [("a", i, float(i * i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = quantile_normalize(df, "grp", "v", "id", bins=5)
+    assert out.count() == 30
+    assert out.select("bin").distinct().count() == 5
+    with _pytest.raises(ValueError):
+        quantile_normalize(df, "grp", "v", "id", bins=1)
