@@ -1277,6 +1277,22 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, dim=8).select("media_id", "n_bytes", "digest")
 
 
+def q_k_anonymity(spark, sf_dir):
+    """Release-gate anonymity audit (operators/quality.k_anonymity +
+    anonymity_summary): customer (nation, mktsegment) quasi-identifier
+    classes with an l-diversity distinct count on account balance sign,
+    rolled up to the one-row release verdict."""
+    from econdatapipeline_spark.operators.quality import anonymity_summary
+
+    c = _t(spark, sf_dir, "customer")
+    quasi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") >= 0).alias("bal_sign"),
+    )
+    return anonymity_summary(quasi, ["c_nationkey", "c_mktsegment"], k=5)
+
+
 def q_quantile_normalize(spark, sf_dir):
     """Cross-domain score alignment (operators/stats.quantile_normalize):
     event values mapped onto the corpus distribution via matched
@@ -3798,6 +3814,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "forecast_backtest": q_forecast_backtest,
         "conformal_width": q_conformal_width,
         "quantile_normalize": q_quantile_normalize,
+        "k_anonymity": q_k_anonymity,
         "shipping_priority": q_shipping_priority,
         "anti_join": q_anti_join,
         "grouping_sets": q_grouping_sets,
@@ -6693,6 +6710,21 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(b, rn), 6) AS trend,
                    round(arg_max(l, rn) + arg_max(b, rn), 6) AS forecast_1
             FROM hw GROUP BY g
+        """,
+        "k_anonymity": """
+            WITH classes AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(COUNT(*) AS BIGINT) AS class_size
+              FROM customer GROUP BY 1, 2)
+            SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(MIN(class_size) AS BIGINT) AS min_class,
+                   CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_at_risk_classes,
+                   CAST(SUM(CASE WHEN class_size < 5 THEN class_size
+                            ELSE 0 END) AS BIGINT) AS n_at_risk_rows,
+                   MIN(class_size) >= 5 AS k_anonymous
+            FROM classes
         """,
         "quantile_normalize": """
             WITH corpus AS (

@@ -242,3 +242,61 @@ def validate_samples(
             ).alias("sample_ids"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Re-identification risk report per quasi-identifier class ->
+    (quasi_cols..., class_size, at_risk[, n_sensitive]).
+
+    A release is k-anonymous when every combination of quasi-
+    identifiers (the columns an attacker can link externally) appears
+    at least k times (Sweeney 2002). One hash aggregate over the
+    quasi-identifier tuple; ``at_risk`` marks classes smaller than k —
+    the rows a suppression/generalization pass must treat before
+    export. With ``sensitive_col``, ``n_sensitive`` adds the class's
+    distinct sensitive-value count (l-diversity, Machanavajjhala 2007):
+    a k-anonymous class with one sensitive value still leaks it.
+
+    Shape: one groupBy on the quasi tuple (map-side combinable; the
+    distinct-count for l-diversity is the only addition) — the report
+    is |classes|-sized however large the table.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    aggs = [F.count(F.lit(1)).cast("long").alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(sensitive_col).cast("long").alias("n_sensitive")
+        )
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    return out.withColumn("at_risk", F.col("class_size") < k)
+
+
+def anonymity_summary(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """One-row rollup of k_anonymity: (n_rows, n_classes, min_class,
+    n_at_risk_classes, n_at_risk_rows, k_anonymous) — the release gate
+    a pipeline can assert on without materializing the class report."""
+    classes = k_anonymity(df, quasi_cols, k)
+    return classes.agg(
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("class_size").cast("long").alias("min_class"),
+        F.sum(F.when(F.col("at_risk"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_at_risk_classes"),
+        F.sum(F.when(F.col("at_risk"), F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("n_at_risk_rows"),
+        (F.min("class_size") >= k).alias("k_anonymous"),
+    )

@@ -222,3 +222,41 @@ def test_validate_samples_healthy_rule_absent(spark):
 
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
     assert validate_samples(df, [not_null("v")], id_col="id").count() == 0
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from econdatapipeline_spark.operators.quality import k_anonymity
+
+    rows = [("us", "a")] * 5 + [("us", "b")] * 2 + [("fr", "a")] * 7
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    out = {(r["nation"], r["seg"]): r for r in
+           k_anonymity(df, ["nation", "seg"], k=5).collect()}
+    assert not out[("us", "a")]["at_risk"]
+    assert out[("us", "b")]["at_risk"] and out[("us", "b")]["class_size"] == 2
+    assert not out[("fr", "a")]["at_risk"]
+
+
+def test_k_anonymity_l_diversity_counts(spark):
+    from econdatapipeline_spark.operators.quality import k_anonymity
+
+    rows = [("us", "flu"), ("us", "flu"), ("us", "cold"), ("fr", "flu")]
+    df = spark.createDataFrame(rows, "nation string, dx string")
+    out = {r["nation"]: r for r in
+           k_anonymity(df, ["nation"], k=2, sensitive_col="dx").collect()}
+    assert out["us"]["n_sensitive"] == 2
+    assert out["fr"]["n_sensitive"] == 1  # k-anonymity fails AND no diversity
+
+
+def test_anonymity_summary_gate(spark):
+    from econdatapipeline_spark.operators.quality import anonymity_summary
+    import pytest as _pytest
+
+    good = spark.createDataFrame([("a",)] * 5 + [("b",)] * 6, "q string")
+    r = anonymity_summary(good, ["q"], k=5).collect()[0]
+    assert r["k_anonymous"] and r["n_at_risk_rows"] == 0
+    bad = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "q string")
+    r2 = anonymity_summary(bad, ["q"], k=5).collect()[0]
+    assert not r2["k_anonymous"]
+    assert r2["n_at_risk_rows"] == 2 and r2["min_class"] == 2
+    with _pytest.raises(ValueError):
+        anonymity_summary(good, [], k=5)
