@@ -1277,6 +1277,17 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, dim=8).select("media_id", "n_bytes", "digest")
 
 
+def q_spearman(spark, sf_dir):
+    """Tie-corrected Spearman rank correlation of lineitem quantity vs
+    extended price (operators/stats.spearman_corr): average ranks from
+    distinct-value windows, Pearson on ranks — every statistic an exact
+    quarter-integer sum, so the result is partition-order exact."""
+    from econdatapipeline_spark.operators.stats import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
 def q_k_anonymity(spark, sf_dir):
     """Release-gate anonymity audit (operators/quality.k_anonymity +
     anonymity_summary): customer (nation, mktsegment) quasi-identifier
@@ -3815,6 +3826,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "conformal_width": q_conformal_width,
         "quantile_normalize": q_quantile_normalize,
         "k_anonymity": q_k_anonymity,
+        "spearman": q_spearman,
         "shipping_priority": q_shipping_priority,
         "anti_join": q_anti_join,
         "grouping_sets": q_grouping_sets,
@@ -6710,6 +6722,45 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(b, rn), 6) AS trend,
                    round(arg_max(l, rn) + arg_max(b, rn), 6) AS forecast_1
             FROM hw GROUP BY g
+        """,
+        "spearman": """
+            WITH ca AS (
+              SELECT l_quantity AS v, COUNT(*) AS c FROM lineitem GROUP BY 1),
+            ra AS (
+              SELECT v,
+                     CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS DOUBLE) + (c + 1) / 2.0 AS rx
+              FROM ca),
+            cb AS (
+              SELECT l_extendedprice AS v, COUNT(*) AS c
+              FROM lineitem GROUP BY 1),
+            rb AS (
+              SELECT v,
+                     CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS DOUBLE) + (c + 1) / 2.0 AS ry
+              FROM cb),
+            j AS (
+              SELECT ra.rx, rb.ry
+              FROM lineitem l
+              JOIN ra ON l.l_quantity = ra.v
+              JOIN rb ON l.l_extendedprice = rb.v),
+            agg AS (
+              SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+                     SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+                     SUM(rx * ry) AS sxy
+              FROM j),
+            d AS (
+              SELECT n,
+                     CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+                     CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+                     CAST(n AS DOUBLE) * syy - sy * sy AS vy
+              FROM agg)
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN vx > 0 AND vy > 0
+                         THEN cov / sqrt(vx * vy) END, 6) AS rho
+            FROM d
         """,
         "k_anonymity": """
             WITH classes AS (

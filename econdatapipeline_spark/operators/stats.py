@@ -644,3 +644,55 @@ def quantile_normalize(
     return rows.join(F.broadcast(ref), "bin").select(
         id_col, group_col, "bin", "norm_value"
     )
+
+
+def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation -> one row (n, rho).
+
+    The robust companion to corr_pairs' Pearson: monotone association
+    free of outlier leverage. Each column reduces to its distinct values
+    (one hash aggregate), average ranks come from a window over that
+    small relation — avg_rank = cum_before + (cnt + 1)/2, an exact
+    half-integer — and rho is Pearson on the rank columns. Every
+    sufficient statistic is a sum of quarter-integers below 2^53, so
+    the computation is EXACT in double regardless of partition order
+    (no decimal quantization needed); sqrt is IEEE-exact.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    def ranks(col: str, out: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return counts.select(
+            "v",
+            (
+                F.coalesce(F.sum("c").over(w), F.lit(0)).cast("double")
+                + (F.col("c") + 1) / 2.0
+            ).alias(out),
+        )
+    ra, rb = ranks(col_a, "rx"), ranks(col_b, "ry")
+    joined = (
+        df.select(F.col(col_a).alias("va"), F.col(col_b).alias("vb"))
+        .join(F.broadcast(ra.withColumnRenamed("v", "va")), "va")
+        .join(F.broadcast(rb.withColumnRenamed("v", "vb")), "vb")
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
+        ).alias("rho"),
+    )

@@ -304,3 +304,52 @@ def test_quantile_normalize_output_complete(spark):
     assert out.select("bin").distinct().count() == 5
     with _pytest.raises(ValueError):
         quantile_normalize(df, "grp", "v", "id", bins=1)
+
+
+def test_spearman_monotone_and_ties(spark):
+    from econdatapipeline_spark.operators.stats import spearman_corr
+
+    # perfectly monotone (nonlinear) -> rho = 1
+    rows = [(float(x), float(x * x * x)) for x in range(1, 20)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    assert spearman_corr(df, "a", "b").collect()[0]["rho"] == 1.0
+    # reversed -> -1
+    rows = [(float(x), float(-x)) for x in range(1, 20)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    assert spearman_corr(df, "a", "b").collect()[0]["rho"] == -1.0
+
+
+def test_spearman_matches_scipy_formula(spark):
+    from econdatapipeline_spark.operators.stats import spearman_corr
+    import random
+
+    rng = random.Random(5)
+    rows = [(round(rng.random(), 2), round(rng.random(), 2)) for _ in range(80)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = spearman_corr(df, "a", "b").collect()[0]["rho"]
+
+    # reference: Pearson on average ranks (tie-corrected)
+    def avg_ranks(vals):
+        s = sorted(vals)
+        pos = {}
+        for i, v in enumerate(s, 1):
+            pos.setdefault(v, []).append(i)
+        return [sum(pos[v]) / len(pos[v]) for v in vals]
+
+    xs = avg_ranks([a for a, _ in rows])
+    ys = avg_ranks([b for _, b in rows])
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    rho = (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    assert abs(got - round(rho, 6)) < 1e-9
+
+
+def test_spearman_constant_column_null(spark):
+    from econdatapipeline_spark.operators.stats import spearman_corr
+
+    rows = [(1.0, float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    assert spearman_corr(df, "a", "b").collect()[0]["rho"] is None
