@@ -1277,6 +1277,31 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, dim=8).select("media_id", "n_bytes", "digest")
 
 
+def q_gini(spark, sf_dir):
+    """Revenue concentration across customers
+    (operators/stats.gini_coefficient): closed-form tie-group rank
+    sums over distinct per-customer totals, decimal-quantized
+    rank-weighted products."""
+    from econdatapipeline_spark.operators.stats import gini_coefficient
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        _dsum(F.col("o_totalprice")).alias("revenue")
+    )
+    return gini_coefficient(per_cust, "revenue")
+
+
+def q_ks_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic, urgent vs low
+    priority order values (operators/stats.ks_test): the unbinned
+    companion to psi_drift — max ECDF gap over distinct values."""
+    from econdatapipeline_spark.operators.stats import ks_test
+
+    o = _t(spark, sf_dir, "orders")
+    return ks_test(o, "o_orderpriority", "o_totalprice",
+                   "1-URGENT", "5-LOW")
+
+
 def q_spearman(spark, sf_dir):
     """Tie-corrected Spearman rank correlation of lineitem quantity vs
     extended price (operators/stats.spearman_corr): average ranks from
@@ -3827,6 +3852,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "quantile_normalize": q_quantile_normalize,
         "k_anonymity": q_k_anonymity,
         "spearman": q_spearman,
+        "gini": q_gini,
+        "ks_test": q_ks_test,
         "shipping_priority": q_shipping_priority,
         "anti_join": q_anti_join,
         "grouping_sets": q_grouping_sets,
@@ -6722,6 +6749,57 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(b, rn), 6) AS trend,
                    round(arg_max(l, rn) + arg_max(b, rn), 6) AS forecast_1
             FROM hw GROUP BY g
+        """,
+        "gini": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                       AS revenue
+              FROM orders GROUP BY 1),
+            counts AS (
+              SELECT revenue AS x, COUNT(*) AS c FROM per_cust GROUP BY 1),
+            terms AS (
+              SELECT c,
+                     CAST(x * (c * COALESCE(SUM(c) OVER (ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + c * (c + 1) / 2) AS DECIMAL(38,6)) AS xr,
+                     CAST(x * c AS DECIMAL(38,6)) AS xs
+              FROM counts),
+            agg AS (
+              SELECT SUM(c) AS n, CAST(SUM(xr) AS DOUBLE) AS sxr,
+                     CAST(SUM(xs) AS DOUBLE) AS total
+              FROM terms)
+            SELECT CAST(n AS BIGINT) AS n, round(total, 6) AS total,
+                   round(CASE WHEN total > 0 THEN
+                     2.0 * sxr / (CAST(n AS DOUBLE) * total)
+                       - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+                   END, 6) AS gini
+            FROM agg
+        """,
+        "ks_test": """
+            WITH f AS (
+              SELECT CAST(o_totalprice AS DOUBLE) AS x,
+                     o_orderpriority = '1-URGENT' AS ia,
+                     o_orderpriority = '5-LOW' AS ib
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+            counts AS (
+              SELECT x, SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS ca,
+                        SUM(CASE WHEN ib THEN 1 ELSE 0 END) AS cb
+              FROM f GROUP BY x),
+            steps AS (
+              SELECT SUM(ca) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(SUM(ca) OVER () AS DOUBLE) AS fa,
+                     SUM(cb) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(SUM(cb) OVER () AS DOUBLE) AS fb,
+                     SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+              FROM counts)
+            SELECT CAST(first(na) AS BIGINT) AS n_a,
+                   CAST(first(nb) AS BIGINT) AS n_b,
+                   round(MAX(abs(fa - fb)), 6) AS d_stat
+            FROM steps
         """,
         "spearman": """
             WITH ca AS (

@@ -696,3 +696,90 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
         ).alias("rho"),
     )
+
+
+def gini_coefficient(df: DataFrame, value_col: str) -> DataFrame:
+    """Concentration of a nonnegative quantity -> one row (n, total,
+    gini).
+
+    Gini = (2·Σ i·x_(i)) / (n·Σx) − (n + 1)/n over ascending-sorted
+    values — 0 when mass is uniform, → 1 when one key holds
+    everything. The rank-weighted sum distributes exactly like
+    spearman_corr's machinery: reduce to distinct values (one hash
+    aggregate), a window over that small relation yields each tie
+    group's rank-sum in closed form (ranks cum+1..cum+c sum to
+    c·cum + c(c+1)/2 — exact integers), and value·ranksum products
+    quantize to decimal(38,6) for an order-free total.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    v = F.col(value_col).cast("double")
+    counts = df.select(v.alias("x")).groupBy("x").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    cum = F.coalesce(F.sum("c").over(w), F.lit(0))
+    ranksum = F.col("c") * cum + F.col("c") * (F.col("c") + 1) / 2
+    terms = counts.select(
+        F.col("c"),
+        (F.col("x") * ranksum).cast("decimal(38,6)").alias("xr"),
+        (F.col("x") * F.col("c")).cast("decimal(38,6)").alias("xs"),
+    )
+    agg = terms.agg(
+        F.sum("c").alias("n"),
+        F.sum("xr").cast("double").alias("sxr"),
+        F.sum("xs").cast("double").alias("total"),
+    )
+    nd = F.col("n").cast("double")
+    gini = 2.0 * F.col("sxr") / (nd * F.col("total")) - (nd + 1.0) / nd
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("total"), 6).alias("total"),
+        F.round(F.when(F.col("total") > 0, gini), 6).alias("gini"),
+    )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic -> one row (n_a, n_b,
+    d_stat).
+
+    D = max over values of |F_a(x) − F_b(x)| — the exact, unbinned
+    distribution-shift test (the companion to psi_drift's binned
+    monitor: PSI for dashboards, KS when the answer must not depend on
+    a bin grid). One hash aggregate to per-(value) counts for both
+    groups at once, one cumulative window over the distinct values,
+    one max. ECDF steps are exact rationals k/n — identical doubles on
+    any engine. Significance: D > c(α)·sqrt((n_a+n_b)/(n_a·n_b)),
+    c(0.05) ≈ 1.358.
+    """
+    v = F.col(value_col).cast("double")
+    in_a, in_b = F.col(group_col) == group_a, F.col(group_col) == group_b
+    counts = (
+        df.filter(in_a | in_b)
+        .groupBy(v.alias("x"))
+        .agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(in_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    steps = counts.select(
+        (F.sum("ca").over(w) / F.sum("ca").over(tot).cast("double")).alias("fa"),
+        (F.sum("cb").over(w) / F.sum("cb").over(tot).cast("double")).alias("fb"),
+        F.sum("ca").over(tot).alias("na"),
+        F.sum("cb").over(tot).alias("nb"),
+    )
+    return steps.agg(
+        F.first("na").cast("long").alias("n_a"),
+        F.first("nb").cast("long").alias("n_b"),
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("d_stat"),
+    )

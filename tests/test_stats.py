@@ -353,3 +353,52 @@ def test_spearman_constant_column_null(spark):
     rows = [(1.0, float(i)) for i in range(5)]
     df = spark.createDataFrame(rows, "a double, b double")
     assert spearman_corr(df, "a", "b").collect()[0]["rho"] is None
+
+
+def test_gini_uniform_and_concentrated(spark):
+    from econdatapipeline_spark.operators.stats import gini_coefficient
+
+    uniform = spark.createDataFrame([(10.0,)] * 20, "v double")
+    g = gini_coefficient(uniform, "v").collect()[0]
+    assert g["gini"] == 0.0 and g["n"] == 20 and g["total"] == 200.0
+    # one holder of everything: gini -> (n-1)/n
+    conc = spark.createDataFrame([(0.0,)] * 19 + [(100.0,)], "v double")
+    g2 = gini_coefficient(conc, "v").collect()[0]
+    assert abs(g2["gini"] - round(19 / 20, 6)) < 1e-9
+
+
+def test_gini_matches_sorted_formula(spark):
+    from econdatapipeline_spark.operators.stats import gini_coefficient
+    import random
+
+    rng = random.Random(9)
+    vals = [round(rng.random() * 100, 2) for _ in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = gini_coefficient(df, "v").collect()[0]["gini"]
+    s = sorted(vals)
+    n = len(s)
+    expected = 2 * sum((i + 1) * x for i, x in enumerate(s)) / (n * sum(s)) - (n + 1) / n
+    assert abs(got - round(expected, 6)) < 1e-6
+
+
+def test_ks_identical_and_disjoint(spark):
+    from econdatapipeline_spark.operators.stats import ks_test
+
+    same = [("a", float(v)) for v in range(10)] + [("b", float(v)) for v in range(10)]
+    df = spark.createDataFrame(same, "g string, v double")
+    assert ks_test(df, "g", "v", "a", "b").collect()[0]["d_stat"] == 0.0
+    disj = [("a", float(v)) for v in range(10)] + [("b", float(v + 100)) for v in range(10)]
+    df2 = spark.createDataFrame(disj, "g string, v double")
+    r = ks_test(df2, "g", "v", "a", "b").collect()[0]
+    assert r["d_stat"] == 1.0 and r["n_a"] == 10 and r["n_b"] == 10
+
+
+def test_ks_partial_shift(spark):
+    from econdatapipeline_spark.operators.stats import ks_test
+
+    # b = a shifted by half the support: D should be ~0.5
+    a = [("a", float(v)) for v in range(100)]
+    b = [("b", float(v) + 50.0) for v in range(100)]
+    df = spark.createDataFrame(a + b, "g string, v double")
+    d = ks_test(df, "g", "v", "a", "b").collect()[0]["d_stat"]
+    assert abs(d - 0.5) < 0.02
