@@ -3283,6 +3283,27 @@ def q_mutual_info(spark, sf_dir):
     return mutual_information(li, "l_returnflag", "l_linestatus")
 
 
+def q_bfs_distances(spark, sf_dir):
+    """Multi-source BFS over the near-dup graph
+    (operators/graph.bfs_distances): hop distances from seeds
+    {0, 1, 2}, frontier expansion with kcore's iterative discipline;
+    the oracle unrolls the same capped rounds as a recursive min-dist
+    closure."""
+    from econdatapipeline_spark.operators.graph import bfs_distances
+
+    return bfs_distances(_neardup_edges(spark, sf_dir), [0, 1, 2], max_hops=4)
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity of the near-dup graph
+    (operators/graph.degree_assortativity): Pearson of end-point
+    degrees over the symmetrized edge list, exact integer sufficient
+    statistics."""
+    from econdatapipeline_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_neardup_edges(spark, sf_dir))
+
+
 def q_target_encode(spark, sf_dir):
     """Leakage-safe k-fold target encoding
     (operators/encoding.target_encode): out-of-fold smoothed category
@@ -3941,6 +3962,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "kcore": q_kcore,
         "label_propagation": q_label_propagation,
         "modularity": q_modularity,
+        "bfs_distances": q_bfs_distances,
+        "assortativity": q_assortativity,
         "target_encode": q_target_encode,
         "ann_recall": q_ann_recall,
         "mutual_info": q_mutual_info,
@@ -4120,6 +4143,25 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY c DESC, lbl ASC) AS rn
                 FROM c{r}) WHERE rn = 1),"""
     lpa_rounds = lpa_rounds.rstrip(",")
+
+    # BFS: 4 unrolled frontier expansions; v_h accumulates (node, dist),
+    # f_h is the new frontier (neighbors not yet visited).
+    bfs_rounds = """
+            v0 AS MATERIALIZED (
+              SELECT node, 0 AS dist FROM (SELECT unnest([0, 1, 2]) AS node)),
+            f0 AS MATERIALIZED (SELECT node FROM v0),"""
+    for h in range(1, 5):
+        bfs_rounds += f"""
+            f{h} AS MATERIALIZED (
+              SELECT DISTINCT e.v AS node
+              FROM r0 e JOIN f{h - 1} p ON e.u = p.node
+              LEFT JOIN v{h - 1} vis ON e.v = vis.node
+              WHERE vis.node IS NULL),
+            v{h} AS MATERIALIZED (
+              SELECT node, dist FROM v{h - 1}
+              UNION ALL
+              SELECT node, {h} AS dist FROM f{h}),"""
+    bfs_rounds = bfs_rounds.rstrip(",")
 
     sql = {
         "edb_normalize": f"""
@@ -7188,6 +7230,50 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT id_b AS u, id_a AS v FROM pairs),{lpa_rounds}
             SELECT node, lbl AS community FROM l4
+        """,
+        "bfs_distances": f"""
+            WITH
+            b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS id_a, c.vec_id AS id_b
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+              WHERE {cos} >= 0.2),
+            r0 AS MATERIALIZED (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs),{bfs_rounds}
+            SELECT node, CAST(dist AS INT) AS dist FROM v4
+        """,
+        "assortativity": f"""
+            WITH
+            b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS id_a, c.vec_id AS id_b
+              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+              WHERE {cos} >= 0.2),
+            r0 AS MATERIALIZED (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs),
+            deg AS (SELECT u, COUNT(*) AS d FROM r0 GROUP BY u),
+            j AS (
+              SELECT da.d AS dx, db.d AS dy
+              FROM r0 e JOIN deg da ON e.u = da.u JOIN deg db ON e.v = db.u),
+            agg AS (
+              SELECT COUNT(*) AS m, SUM(dx) AS sx, SUM(dy) AS sy,
+                     SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy,
+                     SUM(dx * dy) AS sxy
+              FROM j),
+            d AS (
+              SELECT m,
+                     CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,
+                     CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+                     CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy
+              FROM agg)
+            SELECT CAST(m AS BIGINT) AS n_edges,
+                   round(CASE WHEN vx > 0 AND vy > 0
+                         THEN cov / sqrt(vx * vy) END, 6) AS r
+            FROM d
         """,
         "modularity": f"""
             WITH

@@ -544,3 +544,104 @@ def modularity(
             F.count(F.lit(1)).cast("long").alias("n_communities"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list[int],
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS -> (node, dist) for every node within
+    ``max_hops`` of any source.
+
+    The reachability/radius primitive (how far does contamination
+    spread through a near-dup graph; which accounts sit within k hops
+    of a flagged seed set). Frontier expansion with the same iterative
+    discipline as kcore: per round ONE join (frontier -> neighbors) and
+    ONE anti-join (drop already-visited), both keyed by node id;
+    visited and frontier localCheckpoint so round r never replays
+    rounds 1..r-1. Rounds are bounded by ``max_hops``, so the unrolled
+    SQL twin reaches the identical state even on graphs with longer
+    shortest paths (both engines stop at the same cap). Input is the
+    symmetrized edge contract shared by pagerank/kcore/LPA.
+
+    Early-exits when a frontier empties: the emptiness probe is a
+    1-row aggregate, the same convergence pattern as kcore's peel.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    spark = edges.sparkSession
+    ed = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed = spark.createDataFrame(
+        [(int(s),) for s in sources], "node long"
+    ).distinct()
+    visited = seed.select("node", F.lit(0).alias("dist")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            ed.join(frontier, ed.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient -> one row (n_edges, r).
+
+    Newman 2002: the Pearson correlation of the degrees at either end
+    of every edge — positive when hubs link to hubs (social graphs),
+    negative when hubs link to leaves (hub-and-spoke). Input is the
+    symmetrized edge list, which IS the standard convention: each
+    undirected edge contributes both (deg_u, deg_v) orderings, making
+    the statistic symmetric without special-casing. One degree
+    aggregate, two broadcast joins onto the edge list, exact integer
+    sufficient statistics (degree products bounded well inside 2^63),
+    so r is partition-order exact; only the final divisions and sqrt
+    are floating point.
+    """
+    ed = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        ed.join(F.broadcast(deg.withColumnRenamed("u", "__a")), ed.u == F.col("__a"))
+        .withColumnRenamed("d", "dx")
+        .drop("__a")
+        .join(F.broadcast(deg.withColumnRenamed("u", "__b")), ed.v == F.col("__b"))
+        .withColumnRenamed("d", "dy")
+        .drop("__b")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    cov = md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = md * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return agg.select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
+        ).alias("r"),
+    )

@@ -219,3 +219,62 @@ def test_partitioned_pagerank_matches_broadcast_exactly(spark):
     a = personalized_pagerank(edges, seeds, iterations=3)
     b = personalized_pagerank(edges, seeds, iterations=3, partitioned=True)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bfs_distances_chain(spark):
+    from econdatapipeline_spark.operators.graph import bfs_distances
+
+    # path 0-1-2-3-4-5, seeds {0}: dist = node index, capped at 3 hops
+    pairs = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    out = {r["node"]: r["dist"] for r in
+           bfs_distances(edges, [0], max_hops=3).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}  # 4, 5 beyond the cap
+
+
+def test_bfs_multi_source_takes_min(spark):
+    from econdatapipeline_spark.operators.graph import bfs_distances
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    out = {r["node"]: r["dist"] for r in
+           bfs_distances(edges, [0, 4], max_hops=4).collect()}
+    assert out[2] == 2 and out[3] == 1 and out[1] == 1
+
+
+def test_bfs_disconnected_and_early_exit(spark):
+    from econdatapipeline_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (10, 11), (11, 10)], "src long, dst long"
+    )
+    out = {r["node"]: r["dist"] for r in
+           bfs_distances(edges, [0], max_hops=6).collect()}
+    assert out == {0: 0, 1: 1}  # frontier empties after hop 1
+
+
+def test_assortativity_star_negative(spark):
+    from econdatapipeline_spark.operators.graph import degree_assortativity
+
+    # star: hub 0 to leaves 1..6 — hubs link only to leaves -> r = -1
+    pairs = [(0, i) for i in range(1, 7)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r["r"] == -1.0 and r["n_edges"] == 12
+
+
+def test_assortativity_regular_graph_null(spark):
+    from econdatapipeline_spark.operators.graph import degree_assortativity
+
+    # cycle: every degree equal -> zero variance -> null r
+    pairs = [(i, (i + 1) % 5) for i in range(5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    assert degree_assortativity(edges).collect()[0]["r"] is None
