@@ -3283,6 +3283,23 @@ def q_mutual_info(spark, sf_dir):
     return mutual_information(li, "l_returnflag", "l_linestatus")
 
 
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID audit: declared lang column vs the stopword
+    classifier's prediction as a confusion table (declared, predicted,
+    n) — the per-class error surface that picks the langid threshold
+    before gating a corpus on it."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("lang", *TX.langid_scores(F.col("text")))
+    pred = TX.langid_from_scores(
+        {lang: F.col(f"score_{lang}") for lang in TX.STOPWORDS}
+    )
+    return (
+        scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def q_bfs_distances(spark, sf_dir):
     """Multi-source BFS over the near-dup graph
     (operators/graph.bfs_distances): hop distances from seeds
@@ -3964,6 +3981,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "modularity": q_modularity,
         "bfs_distances": q_bfs_distances,
         "assortativity": q_assortativity,
+        "langid_confusion": q_langid_confusion,
         "target_encode": q_target_encode,
         "ann_recall": q_ann_recall,
         "mutual_info": q_mutual_info,
@@ -4501,6 +4519,30 @@ def oracle_sql() -> dict[str, str]:
                      + (0.2 - least(2.0 * length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                                     / greatest(length(text), 1), 0.2)), 6) AS quality
             FROM documents
+        """,
+        "langid_confusion": f"""
+            WITH pred AS (
+              SELECT lang,
+                     CASE
+                       WHEN len(list_filter({toks}, x -> list_contains({langs['de']}, x))) >
+                            greatest(len(list_filter({toks}, x -> list_contains({langs['en']}, x))),
+                                     len(list_filter({toks}, x -> list_contains({langs['es']}, x))),
+                                     len(list_filter({toks}, x -> list_contains({langs['fr']}, x))), 0)
+                         THEN 'de'
+                       WHEN len(list_filter({toks}, x -> list_contains({langs['fr']}, x))) >
+                            greatest(len(list_filter({toks}, x -> list_contains({langs['en']}, x))),
+                                     len(list_filter({toks}, x -> list_contains({langs['es']}, x))), 0)
+                         THEN 'fr'
+                       WHEN len(list_filter({toks}, x -> list_contains({langs['es']}, x))) >
+                            greatest(len(list_filter({toks}, x -> list_contains({langs['en']}, x))), 0)
+                         THEN 'es'
+                       WHEN len(list_filter({toks}, x -> list_contains({langs['en']}, x))) > 0
+                         THEN 'en'
+                       ELSE 'und'
+                     END AS pred_lang
+              FROM documents)
+            SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pred GROUP BY lang, pred_lang
         """,
         "langid": f"""
             SELECT doc_id,
