@@ -48,11 +48,16 @@ def roc_auc(
     The window runs over DISTINCT scores only; a 100 TB corpus with a
     6-decimal score column reduces to <= 2e6 rows before the window.
     """
-    g = _score_groups(df, label_col, score_col)
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    from econdatapipeline_spark.operators.stats import ordered_cumsum
+
+    g = ordered_cumsum(
+        _score_groups(df, label_col, score_col),
+        "score",
+        ["n_neg"],
+        exclusive=True,
+    )
     contrib = F.col("n_pos") * (
-        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("double")
-        + 0.5 * F.col("n_neg")
+        F.col("cum_n_neg").cast("double") + 0.5 * F.col("n_neg")
     )
     return (
         g.select(
@@ -73,18 +78,16 @@ def pr_curve(
 ) -> DataFrame:
     """(threshold, tp, fp, fn, precision, recall, f1) at every distinct
     score, predicting positive when score >= threshold."""
+    from econdatapipeline_spark.operators.stats import ordered_cumsum
+
     g = _score_groups(df, label_col, score_col)
-    w = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    tot_pos = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = g.select(
+    cums = ordered_cumsum(g, "score", ["n_pos", "n_neg"], descending=True)
+    tot = g.agg(F.sum("n_pos").alias("tot_pos"))
+    cum = cums.crossJoin(F.broadcast(tot)).select(
         F.col("score").alias("threshold"),
-        F.sum("n_pos").over(w).alias("tp"),
-        F.sum("n_neg").over(w).alias("fp"),
-        (F.sum("n_pos").over(tot_pos) - F.sum("n_pos").over(w)).alias("fn"),
+        F.col("cum_n_pos").alias("tp"),
+        F.col("cum_n_neg").alias("fp"),
+        (F.col("tot_pos") - F.col("cum_n_pos")).alias("fn"),
     )
     prec = F.col("tp") / (F.col("tp") + F.col("fp")).cast("double")
     rec = F.col("tp") / (F.col("tp") + F.col("fn")).cast("double")

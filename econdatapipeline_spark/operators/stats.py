@@ -610,11 +610,13 @@ def quantile_normalize(
     decimal-exact mean of that same bucket (computed over corpus-wide
     percent_rank).
 
-    Shape: two rank windows (one per-group, one corpus-wide — the
-    corpus one shuffles once) + a bins-sized broadcast join. Ranks are
-    exact rationals, products of identical doubles, so bucket edges
-    agree across engines (the percent_rank caveat in ORACLE_PARITY.md
-    applies to hashing raw ratios, not to floor-bucketing them).
+    Shape: the per-group rank window is partitioned (distributed); the
+    corpus-wide rank uses ``ordered_cumsum``'s two-pass distributed
+    prefix count instead of a single-partition window, then a
+    bins-sized broadcast join. Ranks are exact rationals, products of
+    identical doubles, so bucket edges agree across engines (the
+    percent_rank caveat in ORACLE_PARITY.md applies to hashing raw
+    ratios, not to floor-bucketing them).
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
@@ -622,12 +624,26 @@ def quantile_normalize(
 
     v = F.col(value_col).cast("double")
     gw = Window.partitionBy(group_col).orderBy(v, F.col(id_col))
-    cw = Window.orderBy(v, F.col(id_col))
     bucket = lambda pr: F.least(  # noqa: E731
         F.floor(pr * bins).cast("long"), F.lit(bins - 1)
     )
-    corpus = df.select(
-        v.alias("__v"), bucket(F.percent_rank().over(cw)).alias("bin")
+    # corpus-wide percent_rank WITHOUT a single-partition window:
+    # rows keyed by the (value, id) sort struct get an exclusive
+    # distributed prefix count; pr = preceding / (n - 1) is exactly
+    # percent_rank's arithmetic since (value, id) is unique per row
+    base = df.select(
+        v.alias("__v"),
+        F.struct(v.alias("v"), F.col(id_col).alias("i")).alias("__ord"),
+        F.lit(1).alias("__c"),
+    )
+    n_tot = df.count()
+    pr = (
+        F.col("cum___c").cast("double") / F.lit(float(max(n_tot - 1, 1)))
+        if n_tot > 1
+        else F.lit(0.0)
+    )
+    corpus = ordered_cumsum(base, "__ord", ["__c"], exclusive=True).select(
+        "__v", bucket(pr).alias("bin")
     )
     ref = corpus.groupBy("bin").agg(
         F.round(
@@ -664,12 +680,13 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         counts = df.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).alias("c")
         )
-        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-        return counts.select(
+        # distributed prefix sum — no single-partition window even when
+        # the column is continuous (distinct values ~ row count)
+        cum = ordered_cumsum(counts, "v", ["c"], exclusive=True)
+        return cum.select(
             "v",
             (
-                F.coalesce(F.sum("c").over(w), F.lit(0)).cast("double")
-                + (F.col("c") + 1) / 2.0
+                F.col("cum_c").cast("double") + (F.col("c") + 1) / 2.0
             ).alias(out),
         )
     ra, rb = ranks(col_a, "rx"), ranks(col_b, "ry")
@@ -711,16 +728,15 @@ def gini_coefficient(df: DataFrame, value_col: str) -> DataFrame:
     c·cum + c(c+1)/2 — exact integers), and value·ranksum products
     quantize to decimal(38,6) for an order-free total.
     """
-    from pyspark.sql import Window  # noqa: PLC0415
-
     v = F.col(value_col).cast("double")
     counts = df.select(v.alias("x")).groupBy("x").agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    cum = F.coalesce(F.sum("c").over(w), F.lit(0))
-    ranksum = F.col("c") * cum + F.col("c") * (F.col("c") + 1) / 2
-    terms = counts.select(
+    cumdf = ordered_cumsum(counts, "x", ["c"], exclusive=True)
+    ranksum = (
+        F.col("c") * F.col("cum_c") + F.col("c") * (F.col("c") + 1) / 2
+    )
+    terms = cumdf.select(
         F.col("c"),
         (F.col("x") * ranksum).cast("decimal(38,6)").alias("xr"),
         (F.col("x") * F.col("c")).cast("decimal(38,6)").alias("xs"),
@@ -768,18 +784,102 @@ def ks_test(
             F.sum(F.when(in_b, 1).otherwise(0)).alias("cb"),
         )
     )
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    steps = counts.select(
-        (F.sum("ca").over(w) / F.sum("ca").over(tot).cast("double")).alias("fa"),
-        (F.sum("cb").over(w) / F.sum("cb").over(tot).cast("double")).alias("fb"),
-        F.sum("ca").over(tot).alias("na"),
-        F.sum("cb").over(tot).alias("nb"),
+    cum = ordered_cumsum(counts, "x", ["ca", "cb"])
+    tots = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    steps = cum.crossJoin(F.broadcast(tots)).select(
+        (F.col("cum_ca") / F.col("na").cast("double")).alias("fa"),
+        (F.col("cum_cb") / F.col("nb").cast("double")).alias("fb"),
+        "na",
+        "nb",
     )
     return steps.agg(
         F.first("na").cast("long").alias("n_a"),
         F.first("nb").cast("long").alias("n_b"),
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("d_stat"),
     )
+
+
+def ordered_cumsum(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    descending: bool = False,
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact cumulative sums in global order WITHOUT a single-partition
+    window -> input columns + ``cum_<col>`` per requested column.
+
+    The scale-correct prefix-sum: Window.orderBy() with no partition
+    key funnels the whole relation through ONE task — harmless for a
+    dozen rows, a cluster-wide serialization point for millions. This
+    is the classic two-pass form instead:
+
+    1. ``repartitionByRange(order_col)`` + in-partition sort — equal
+       keys land in one partition, partitions tile the key order;
+    2. per-partition running sums via a window PARTITIONED BY the
+       physical partition id (parallel);
+    3. per-partition totals (|partitions| rows) collect to the driver,
+       turn into exclusive offsets, and broadcast-join back.
+
+    Sums must be exactly representable under addition (integer counts,
+    decimals) — the intended inputs are the count columns of ECDF/rank
+    machinery (roc_auc, ks_test, spearman_corr, gini_coefficient), for
+    which the result is bit-identical to the single-window form.
+    ``exclusive=True`` yields the sum over STRICTLY-preceding rows.
+    Ties: rows with equal keys are cumulated in partition-local sort
+    order, so pass a RELATION ALREADY REDUCED to distinct keys (as all
+    the rank/ECDF callers do) whenever per-row tie order would matter.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    key = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    # localCheckpoint pins the range layout AND the partition ids: the
+    # totals pass and the final pass must see the IDENTICAL physical
+    # partitioning (AQE may re-coalesce a re-executed range shuffle
+    # differently per job, which would misalign the offset table)
+    part = (
+        df.repartitionByRange(n_parts, key)
+        .sortWithinPartitions(key)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("__pid").orderBy(key).rowsBetween(
+        Window.unboundedPreceding, -1 if exclusive else 0
+    )
+    local = part
+    for c in sum_cols:
+        local = local.withColumn(
+            f"cum_{c}", F.coalesce(F.sum(c).over(w), F.lit(0))
+        )
+    totals = (
+        local.groupBy("__pid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    offsets = {}
+    running = {c: 0 for c in sum_cols}
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = dict(running)
+        for c in sum_cols:
+            running[c] += row[c] or 0
+    if offsets:
+        off_rows = [
+            tuple([pid] + [offsets[pid][c] for c in sum_cols])
+            for pid in offsets
+        ]
+        schema = ", ".join(
+            ["__pid int"] + [f"__off_{c} long" for c in sum_cols]
+        )
+        off_df = spark.createDataFrame(off_rows, schema)
+        local = local.join(F.broadcast(off_df), "__pid", "left")
+        for c in sum_cols:
+            local = local.withColumn(
+                f"cum_{c}",
+                F.col(f"cum_{c}") + F.coalesce(F.col(f"__off_{c}"), F.lit(0)),
+            ).drop(f"__off_{c}")
+    return local.drop("__pid")

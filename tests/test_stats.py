@@ -402,3 +402,47 @@ def test_ks_partial_shift(spark):
     df = spark.createDataFrame(a + b, "g string, v double")
     d = ks_test(df, "g", "v", "a", "b").collect()[0]["d_stat"]
     assert abs(d - 0.5) < 0.02
+
+
+def test_ordered_cumsum_matches_naive_window(spark):
+    import random
+    from econdatapipeline_spark.operators.stats import ordered_cumsum
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(31)
+    rows = [(round(rng.random() * 1000, 1), rng.randint(1, 5)) for _ in range(500)]
+    # distinct keys (the contract): reduce first
+    df = spark.createDataFrame(rows, "k double, c int").groupBy("k").agg(
+        F.sum("c").alias("c")
+    )
+    for desc in (False, True):
+        for excl in (False, True):
+            got = {
+                r["k"]: r["cum_c"]
+                for r in ordered_cumsum(
+                    df, "k", ["c"], descending=desc, exclusive=excl,
+                    num_partitions=7,
+                ).collect()
+            }
+            key = F.col("k").desc() if desc else F.col("k").asc()
+            w = Window.orderBy(key).rowsBetween(
+                Window.unboundedPreceding, -1 if excl else 0
+            )
+            want = {
+                r["k"]: r["cum"]
+                for r in df.select(
+                    "k", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum")
+                ).collect()
+            }
+            assert got == want, (desc, excl)
+
+
+def test_ordered_cumsum_empty_and_single(spark):
+    from econdatapipeline_spark.operators.stats import ordered_cumsum
+
+    empty = spark.createDataFrame([], "k int, c int")
+    assert ordered_cumsum(empty, "k", ["c"]).count() == 0
+    one = spark.createDataFrame([(5, 3)], "k int, c int")
+    r = ordered_cumsum(one, "k", ["c"], num_partitions=4).collect()[0]
+    assert r["cum_c"] == 3
