@@ -3646,6 +3646,56 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(d.select("doc_id", "text"), sep=". ", min_chars=20)
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher quality-rule battery (operators/quality.gopher_rules,
+    Rae et al. 2021 §A1.1): the seven repetition-independent document
+    filters — word-count band, mean word length, symbol ratio, bullet
+    and ellipsis line fractions, alphabetic-word fraction, required
+    stopwords — as one map-only codegen pass; per-language pass and
+    per-rule violation counts. No reference analog (the reference has
+    no text-quality surface)."""
+    from econdatapipeline_spark.operators.quality import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    flags = gopher_rules(d).join(d.select("doc_id", "lang"), "doc_id")
+    fails = [
+        ("n_fail_words", "ok_words"),
+        ("n_fail_word_len", "ok_word_len"),
+        ("n_fail_symbol", "ok_symbol"),
+        ("n_fail_bullet", "ok_bullet"),
+        ("n_fail_ellipsis", "ok_ellipsis"),
+        ("n_fail_alpha", "ok_alpha"),
+        ("n_fail_stops", "ok_stops"),
+    ]
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        *[
+            F.sum(F.when(~F.col(ok), 1).otherwise(0)).cast("long").alias(out)
+            for out, ok in fails
+        ],
+    )
+
+
+def q_nb_langid(spark, sf_dir):
+    """Trainable language classifier (operators/classify): multinomial
+    Naive Bayes fit on the even-doc_id half (label = declared lang),
+    evaluated on the odd half — held-out confusion cells with exact
+    decimal-quantized log scores so the argmax decisions are
+    engine-portable. The learned counterpart of the fixed-list langid
+    heuristic; training is two hash aggregates, scoring one broadcast
+    model join."""
+    from econdatapipeline_spark.operators.classify import nb_evaluate, nb_train
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    model = nb_train(train, label_col="lang")
+    return nb_evaluate(test, model, label_col="lang")
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Alpha-temperature mixture rebalancing
     (operators/sampling.temperature_mixture): keep rates
@@ -4010,6 +4060,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "stratified_priority_sample": q_stratified_priority_sample,
         "temperature_mixture": q_temperature_mixture,
         "line_dedup": q_line_dedup,
+        "gopher_filter": q_gopher_filter,
+        "nb_langid": q_nb_langid,
     }
 
 
@@ -7681,5 +7733,132 @@ def oracle_sql() -> dict[str, str]:
         FROM cum, qq
         WHERE cum >= ceil(CAST(q AS DOUBLE) * n)
         GROUP BY "group", q
+    """
+    # Multinomial NB language classifier: replays train (even half) +
+    # held-out scoring (odd half) with the same add-one closed form;
+    # per-term ln() quantized to decimal(18,9) before summation (the
+    # lm_score discipline) so the argmax over exact decimal scores is
+    # identical in both engines; ties break label-ascending.
+    sql["nb_langid"] = f"""
+        WITH train AS (
+          SELECT doc_id, lang, {toks} AS toks
+          FROM documents WHERE doc_id % 2 = 0),
+        test AS (
+          SELECT doc_id, lang, {toks} AS toks
+          FROM documents WHERE doc_id % 2 = 1),
+        ttok AS (
+          SELECT doc_id, lang AS label, unnest(toks) AS w FROM train),
+        wc AS (SELECT w, label, CAST(COUNT(*) AS BIGINT) AS c
+               FROM ttok WHERE w <> '' GROUP BY 1, 2),
+        cs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS tot
+               FROM ttok WHERE w <> '' GROUP BY 1),
+        docs AS (SELECT lang AS label, COUNT(*) AS n_docs
+                 FROM train GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT w) AS vocab FROM ttok WHERE w <> ''),
+        td AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM docs),
+        classes AS (
+          SELECT cs.label, cs.tot, v.vocab,
+                 CAST(ln(CAST(d.n_docs AS DOUBLE) / td.total_docs)
+                      AS DECIMAL(18,9)) AS prior
+          FROM cs JOIN docs d USING (label) CROSS JOIN v CROSS JOIN td),
+        stok AS (SELECT doc_id, unnest(toks) AS w FROM test),
+        terms AS (
+          SELECT s.doc_id, c.label,
+                 CAST(ln((COALESCE(wc.c, 0) + 1.0)
+                         / CAST(c.tot + c.vocab AS DOUBLE))
+                      AS DECIMAL(18,9)) AS term
+          FROM stok s CROSS JOIN classes c
+          LEFT JOIN wc ON wc.w = s.w AND wc.label = c.label
+          WHERE s.w <> ''),
+        ll AS (SELECT doc_id, label, SUM(term) AS ll
+               FROM terms GROUP BY 1, 2),
+        fullsc AS (
+          SELECT t.doc_id, c.label,
+                 CAST(c.prior AS DECIMAL(28,9))
+                   + COALESCE(CAST(ll.ll AS DECIMAL(28,9)), 0) AS score
+          FROM (SELECT doc_id FROM test) t CROSS JOIN classes c
+          LEFT JOIN ll USING (doc_id, label)),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, label ASC) AS rk
+          FROM fullsc),
+        best AS (SELECT doc_id, label AS predicted, score AS best
+                 FROM ranked WHERE rk = 1),
+        runner AS (SELECT doc_id, score AS second FROM ranked WHERE rk = 2),
+        pred AS (
+          SELECT b.doc_id, b.predicted,
+                 round(CAST(b.best - COALESCE(r.second, b.best) AS DOUBLE), 6)
+                   AS margin
+          FROM best b LEFT JOIN runner r USING (doc_id))
+        SELECT t.lang AS actual, p.predicted,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(CAST(p.margin AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_margin
+        FROM pred p JOIN test t USING (doc_id) GROUP BY 1, 2
+    """
+    # Gopher rule battery: replays the seven filters with DuckDB list
+    # lambdas; all outputs are exact integer counts so the comparison
+    # carries no float-rounding surface (divisions only feed BETWEEN /
+    # <= predicates computed identically as int/int -> IEEE double).
+    sql["gopher_filter"] = """
+        WITH t0 AS (
+          SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+        d AS (
+          SELECT doc_id, lang, t,
+                 regexp_split_to_array(t, '\\s+') AS toks,
+                 list_transform(regexp_split_to_array(t, '\\n'),
+                                l -> trim(l)) AS lines
+          FROM t0),
+        r AS (
+          SELECT doc_id, lang,
+                 len(toks) AS n_words,
+                 greatest(len(toks), 1) AS nw,
+                 CAST(list_sum(list_transform(toks, w -> length(w)))
+                      AS BIGINT) AS sum_len,
+                 length(t) - length(replace(t, '#', '')) AS n_hash,
+                 len(regexp_extract_all(t, '\\.\\.\\.|…')) AS n_ell,
+                 greatest(len(lines), 1) AS n_lines,
+                 len(list_filter(lines,
+                     l -> regexp_matches(l, '^[-*•]'))) AS n_bullet,
+                 len(list_filter(lines,
+                     l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS n_ell_end,
+                 len(list_filter(toks,
+                     w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                 len(list_intersect(toks,
+                     ['the','be','to','of','and','that','have','with']))
+                   AS n_stops
+          FROM d),
+        f AS (
+          SELECT lang,
+                 n_words BETWEEN 50 AND 100000 AS ok_words,
+                 (CAST(sum_len AS DOUBLE) / nw) >= 3.0
+                   AND (CAST(sum_len AS DOUBLE) / nw) <= 10.0 AS ok_word_len,
+                 (CAST(n_hash + n_ell AS DOUBLE) / nw) <= 0.1 AS ok_symbol,
+                 (CAST(n_bullet AS DOUBLE) / n_lines) <= 0.9 AS ok_bullet,
+                 (CAST(n_ell_end AS DOUBLE) / n_lines) <= 0.3 AS ok_ellipsis,
+                 (CAST(n_alpha AS DOUBLE) / nw) >= 0.8 AS ok_alpha,
+                 n_stops >= 2 AS ok_stops
+          FROM r)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN ok_words AND ok_word_len AND ok_symbol
+                              AND ok_bullet AND ok_ellipsis AND ok_alpha
+                              AND ok_stops THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pass,
+               CAST(SUM(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fail_words,
+               CAST(SUM(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fail_word_len,
+               CAST(SUM(CASE WHEN NOT ok_symbol THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fail_symbol,
+               CAST(SUM(CASE WHEN NOT ok_bullet THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fail_bullet,
+               CAST(SUM(CASE WHEN NOT ok_ellipsis THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fail_ellipsis,
+               CAST(SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fail_alpha,
+               CAST(SUM(CASE WHEN NOT ok_stops THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fail_stops
+        FROM f GROUP BY lang
     """
     return sql

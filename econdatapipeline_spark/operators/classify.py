@@ -1,0 +1,192 @@
+"""Distributed multinomial Naive Bayes over token counts.
+
+The fastText-style quality/language classifier used throughout LLM
+data curation (GPT-3's quality filter, CCNet's language routing) —
+re-expressed as pure relational algebra: training is two hash
+aggregates over one token explode, scoring is a broadcast model join
+plus one per-(doc, class) aggregate. No gradient loop, no Python in
+the hot path, and every number is exactly reproducible by any SQL
+engine (the add-one-smoothed closed form):
+
+    score(doc, k) = ln P(k) + sum over token occurrences w of
+                    ln( (c(w, k) + 1) / (tot(k) + V) )
+
+where c(w, k) counts occurrences of w in class-k training docs,
+tot(k) counts all token occurrences in class k, V is the training
+vocabulary size, and P(k) = n_docs(k) / n_docs. Tokens unseen in a
+class fall back to the smoothed floor 1 / (tot(k) + V); per-term logs
+are quantized to decimal(18,9) before the per-doc sum (the lm.py
+discipline) so scores — and therefore argmax decisions — are
+summation-order-free and engine-portable.
+
+Scale shape: the model is vocab x classes rows (MB-scale; broadcast);
+scoring shuffles (doc x classes) rows once for the score aggregate and
+once more for the docs-partitioned argmax window. Cross-corpus reuse
+(train trusted, score raw) is the intended deployment, same as
+lm.train_bigram_lm.
+
+No reference analog: the reference pipeline has no ML surface; this
+implements the public multinomial-NB formulation (McCallum & Nigam
+1998) on the Spark relational stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from econdatapipeline_spark.functions.text import tokenize
+from econdatapipeline_spark.sources.tables import fan_out
+
+
+def _token_occurrences(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w) — one row per token occurrence, empty tokens dropped."""
+    return (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(tokenize(F.col(text_col))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+
+
+def nb_train(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fit the model -> (word_class_counts, class_stats, vocab).
+
+    - word_class_counts: (w, label, c) token-occurrence counts per class
+    - class_stats: (label, tot_tokens, n_docs) one row per class
+    - vocab: 1-row (vocab) distinct-token count over the training corpus
+
+    All three stay relational (no collect) so the model composes into
+    scoring plans as broadcast joins — and can be persisted as tables
+    for cross-corpus reuse.
+    """
+    tok = _token_occurrences(df, text_col, id_col).join(
+        df.select(F.col(id_col), F.col(label_col).alias("label")), id_col
+    )
+    wc = tok.groupBy("w", "label").agg(F.count(F.lit(1)).alias("c"))
+    totals = tok.groupBy("label").agg(F.count(F.lit(1)).alias("tot_tokens"))
+    docs = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    class_stats = totals.join(docs, "label")
+    vocab = (
+        tok.agg(F.countDistinct("w").alias("vocab"))
+    )
+    return wc, class_stats, vocab
+
+
+def nb_score(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against every class and pick the argmax ->
+    (id, predicted, margin) where margin = best - runner-up log score
+    (a calibration-free confidence; 0 margin = tie, broken by label
+    ascending so the decision is total-ordered and engine-portable).
+
+    Documents with no tokens score only the prior term — the argmax is
+    then the majority class, which is the correct NB degenerate case.
+    """
+    wc, class_stats, vocab = model
+    total_docs = class_stats.agg(
+        F.sum("n_docs").cast("long").alias("total_docs")
+    )
+    classes = (
+        class_stats.crossJoin(F.broadcast(total_docs))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            "tot_tokens",
+            "vocab",
+            F.log(F.col("n_docs") / F.col("total_docs").cast("double"))
+            .cast("decimal(18,9)")
+            .alias("prior"),
+        )
+    )
+    tok = _token_occurrences(df, text_col, id_col)
+    terms = (
+        tok.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(wc), ["w", "label"], "left")
+        .select(
+            F.col(id_col),
+            F.col("label"),
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tot_tokens") + F.col("vocab")).cast("double")
+            )
+            .cast("decimal(18,9)")
+            .alias("term"),
+        )
+    )
+    scored = terms.groupBy(id_col, "label").agg(
+        F.sum("term").alias("ll")
+    )
+    base = df.select(F.col(id_col)).crossJoin(
+        F.broadcast(classes.select("label", "prior"))
+    )
+    full = base.join(scored, [id_col, "label"], "left").select(
+        F.col(id_col),
+        F.col("label"),
+        (
+            F.col("prior").cast("decimal(28,9)")
+            + F.coalesce(F.col("ll"), F.lit(0)).cast("decimal(28,9)")
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    ranked = full.withColumn("rk", F.row_number().over(w))
+    best = ranked.filter(F.col("rk") == 1).select(
+        F.col(id_col),
+        F.col("label").alias("predicted"),
+        F.col("score").alias("best"),
+    )
+    second = ranked.filter(F.col("rk") == 2).select(
+        F.col(id_col), F.col("score").alias("second")
+    )
+    return best.join(second, id_col, "left").select(
+        F.col(id_col),
+        "predicted",
+        F.round(
+            (F.col("best") - F.coalesce(F.col("second"), F.col("best")))
+            .cast("double"),
+            6,
+        ).alias("margin"),
+    )
+
+
+def nb_evaluate(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Held-out confusion report -> (actual, predicted, n, mean_margin).
+
+    The held-out evaluation shape: score ``df`` (which carries true
+    labels) under a model trained elsewhere and aggregate the confusion
+    cells; accuracy is sum(n where actual = predicted) / sum(n).
+    """
+    pred = nb_score(df, model, text_col=text_col, id_col=id_col)
+    joined = pred.join(
+        df.select(F.col(id_col), F.col(label_col).alias("actual")), id_col
+    )
+    return joined.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("margin").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_margin"),
+    )

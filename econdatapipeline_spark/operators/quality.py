@@ -300,3 +300,91 @@ def anonymity_summary(
         .alias("n_at_risk_rows"),
         (F.min("class_size") >= k).alias("k_anonymous"),
     )
+
+
+GOPHER_REQUIRED_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_required_stops: int = 2,
+) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021, §A1.1) as one
+    map-only pass of column expressions -> per-doc rule flags.
+
+    The published repetition-independent document filters, each a
+    boolean column (True = rule SATISFIED):
+
+    - ``ok_words``:     word count in [min_words, max_words]
+    - ``ok_word_len``:  mean word length in [min_word_len, max_word_len]
+    - ``ok_symbol``:    (# '#' chars + # ellipses) / words <= 0.1
+    - ``ok_bullet``:    <= 90% of lines start with a bullet (-, *, •)
+    - ``ok_ellipsis``:  <= 30% of lines end with an ellipsis
+    - ``ok_alpha``:     >= 80% of words contain an [a-z] character
+    - ``ok_stops``:     >= 2 distinct required stopwords present
+    - ``gopher_pass``:  AND of all seven
+
+    The alphabetic and stopword rules are English-biased exactly as
+    published — CJK text fails them by design; run the battery after a
+    language split (langid) as Gopher does. No reference analog (the
+    reference has no text-quality surface); the repetition half of
+    Gopher's filters lives in contamination.repetition_scores.
+
+    Scale: narrow map-only transform, whole-stage codegen, no shuffle —
+    the aggregate report is the caller's groupBy.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
+    mean_len = sum_len / F.greatest(n_words, F.lit(1))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\.|…"), 0))
+    symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1))
+    lines = F.transform(F.split(t, r"\n"), lambda l: F.trim(l))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^[-*•]"))
+    )
+    n_ell_end = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    stops = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+    n_stops = F.size(F.array_intersect(toks, stops))
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        (n_words.between(min_words, max_words)).alias("ok_words"),
+        (
+            (mean_len >= min_word_len) & (mean_len <= max_word_len)
+        ).alias("ok_word_len"),
+        (symbol_ratio <= max_symbol_ratio).alias("ok_symbol"),
+        (n_bullet / n_lines <= max_bullet_frac).alias("ok_bullet"),
+        (n_ell_end / n_lines <= max_ellipsis_frac).alias("ok_ellipsis"),
+        (
+            n_alpha_words / F.greatest(n_words, F.lit(1)) >= min_alpha_frac
+        ).alias("ok_alpha"),
+        (n_stops >= min_required_stops).alias("ok_stops"),
+    ).withColumn(
+        "gopher_pass",
+        F.col("ok_words")
+        & F.col("ok_word_len")
+        & F.col("ok_symbol")
+        & F.col("ok_bullet")
+        & F.col("ok_ellipsis")
+        & F.col("ok_alpha")
+        & F.col("ok_stops"),
+    )
