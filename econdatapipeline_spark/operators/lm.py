@@ -121,3 +121,163 @@ def lm_score(
         F.col("xent"),
         F.round(F.exp(F.col("xent")), 6).alias("ppl"),
     )
+
+
+def dsir_log_ratio(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") -> (id, n_bigrams,
+    log_ratio): per-document log importance weight
+
+        log w(x) = log p_target(x) - log p_raw(x)
+                 = sum over bigram occurrences of ln P_t(g) - ln P_r(g)
+
+    under two add-one-smoothed bigram LMs — p_target fit on the trusted
+    ``target`` corpus, p_raw fit on ``df`` itself. The weight is the
+    SUM over the document's features exactly as published (so longer
+    documents can carry larger magnitudes); callers wanting a
+    length-free signal can divide by n_bigrams. Documents with fewer
+    than two tokens get log_ratio = 0 (no evidence either way).
+
+    Both models' per-occurrence log terms are decimal(18,9)-quantized
+    before summation, so log_ratio is an exact decimal difference —
+    summation-order-free, hash-certifiable, and safely usable as a
+    deterministic ORDER BY key (dsir_select).
+
+    Scale shape: ONE bigram explode of the raw corpus scored against
+    both broadcast models in the same projection — the second model
+    adds two broadcast joins, not a second scan.
+    """
+    c2t, c1t, vt = train_bigram_lm(target, text_col, id_col)
+    c2r, c1r, vr = train_bigram_lm(df, text_col, id_col)
+    bg = _bigram_occurrences(df, text_col, id_col).withColumn(
+        "w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1))
+    )
+    def term(c2col, c1col, vcol):
+        return (
+            F.log(
+                (F.coalesce(F.col(c2col), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col(c1col), F.lit(0)) + F.col(vcol)).cast(
+                    "double"
+                )
+            )
+            .cast("decimal(18,9)")
+        )
+    scored = (
+        bg.join(F.broadcast(c2t.withColumnRenamed("c2", "c2_t")), "g", "left")
+        .join(
+            F.broadcast(c1t.withColumnRenamed("c1", "c1_t")), "w1", "left"
+        )
+        .crossJoin(F.broadcast(vt.withColumnRenamed("vocab", "v_t")))
+        .join(F.broadcast(c2r.withColumnRenamed("c2", "c2_r")), "g", "left")
+        .join(
+            F.broadcast(c1r.withColumnRenamed("c1", "c1_r")), "w1", "left"
+        )
+        .crossJoin(F.broadcast(vr.withColumnRenamed("vocab", "v_r")))
+        .select(
+            F.col(id_col),
+            term("c2_t", "c1_t", "v_t").alias("t_t"),
+            term("c2_r", "c1_r", "v_r").alias("t_r"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("t_t") - F.sum("t_r")).alias("log_ratio"),
+    )
+    base = df.select(F.col(id_col))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+            "n_bigrams"
+        ),
+        F.coalesce(
+            F.col("log_ratio"), F.lit(0).cast("decimal(28,9)")
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic top-k DSIR selection: the k documents of ``df``
+    whose importance weight under the trusted ``target`` corpus is
+    largest -> (id, n_bigrams, log_ratio double).
+
+    Selection orders by the EXACT decimal log_ratio (ties by id
+    ascending), so the kept set is identical on every engine and
+    cluster layout; the paper's Gumbel-resampling variant replaces the
+    argmax with noisy keys — deliberately not used here because IEEE
+    double Gumbel noise is not portably reproducible across engines.
+    Plan: TakeOrderedAndProject (per-partition top-k + driver merge of
+    k-sized heads), never a global sort.
+    """
+    w = dsir_log_ratio(df, target, text_col, id_col)
+    return (
+        w.orderBy(F.col("log_ratio").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(F.col("log_ratio").cast("double"), 6).alias("log_ratio"),
+        )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): per
+    ``group_col`` (language), rank documents by LM cross-entropy and
+    split into ``n_buckets`` equal-count tiles -> one row per
+    (group, bucket): n_docs, min/max/mean xent. Bucket 1 = head
+    (most fluent), bucket n = tail; downstream mixtures keep the head
+    and subsample the tail.
+
+    ``model`` defaults to self-trained; pass train_bigram_lm(trusted)
+    for the published shape (score raw crawl under a Wikipedia LM).
+    Documents with undefined xent (< 2 tokens) are excluded — they
+    carry no perplexity evidence.
+
+    Determinism: ntile runs over the total order (xent, id) — xent is
+    the decimal-quantized rounded score from lm_score, so tile
+    boundaries are engine-portable; mean aggregates decimal(18,6)
+    casts, not raw doubles, to stay summation-order-free.
+
+    Scale: the ntile window shuffles once by group (languages are
+    few but document counts are huge; the window sorts within each
+    group — at extreme scale swap to quantile_rollup bins for the
+    boundary estimate, same discipline as stats.quantile_rollup).
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    scored = lm_score(df, model, text_col, id_col).join(
+        df.select(F.col(id_col), F.col(group_col)), id_col
+    )
+    ok = scored.filter(F.col("xent").isNotNull())
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("xent").asc(), F.col(id_col).asc()
+    )
+    tiled = ok.withColumn("bucket", F.ntile(n_buckets).over(w))
+    return tiled.groupBy(group_col, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("xent").alias("min_xent"),
+        F.max("xent").alias("max_xent"),
+        F.round(
+            F.sum(F.col("xent").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_xent"),
+    )

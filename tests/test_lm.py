@@ -59,3 +59,64 @@ def test_cross_corpus_unseen_floor(spark):
     v = 4
     expected = -math.log(1 / v)
     assert abs(out["xent"] - expected) < 1e-6
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    # target corpus speaks "alpha beta"; raw corpus mixes target-like
+    # and off-distribution docs — top-2 selection must pick the
+    # target-like pair.
+    target = _docs(spark, ["alpha beta alpha beta", "alpha beta gamma"])
+    raw = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha beta"),
+            (1, "zz qq zz qq"),
+            (2, "alpha beta gamma"),
+            (3, "yy ww yy ww"),
+        ],
+        "doc_id int, text string",
+    )
+    from econdatapipeline_spark.operators.lm import dsir_select
+
+    kept = dsir_select(raw, target, k=2).collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 2]
+    assert all(r["log_ratio"] > 0 for r in kept)
+
+
+def test_dsir_short_docs_zero_ratio(spark):
+    from econdatapipeline_spark.operators.lm import dsir_log_ratio
+
+    target = _docs(spark, ["alpha beta"])
+    raw = spark.createDataFrame(
+        [(0, "single"), (1, "")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in dsir_log_ratio(raw, target).collect()}
+    assert out[0]["n_bigrams"] == 0 and float(out[0]["log_ratio"]) == 0.0
+    assert out[1]["n_bigrams"] == 0 and float(out[1]["log_ratio"]) == 0.0
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark):
+    from econdatapipeline_spark.operators.lm import perplexity_buckets
+
+    # 9 docs in one group: common phrasing scores lower xent than rare.
+    rows = [(i, "the cat sat on the mat", "g") for i in range(6)]
+    rows += [(i, "qq zz %d yy ww" % i, "g") for i in range(6, 9)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = sorted(
+        perplexity_buckets(df, n_buckets=3).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["n_docs"] for r in out] == [3, 3, 3]
+    # tiles are contiguous in xent: max of bucket i <= min of bucket i+1
+    for a, b in zip(out, out[1:]):
+        assert a["max_xent"] <= b["min_xent"]
+    # the rare-vocab docs land in the tail tile
+    assert out[0]["mean_xent"] < out[2]["mean_xent"]
+
+
+def test_perplexity_buckets_excludes_undefined(spark):
+    from econdatapipeline_spark.operators.lm import perplexity_buckets
+
+    rows = [(0, "a b a b", "g"), (1, "a b c", "g"), (2, "solo", "g")]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = perplexity_buckets(df, n_buckets=2).collect()
+    assert sum(r["n_docs"] for r in out) == 2  # doc 2 has no bigrams
