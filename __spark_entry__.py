@@ -3696,6 +3696,59 @@ def q_nb_langid(spark, sf_dir):
     return nb_evaluate(test, model, label_col="lang")
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/lm.dsir_select, Xie et al. 2023):
+    log importance weight of every document under a trusted-corpus
+    bigram LM (here the English subset) vs the raw-corpus LM, then the
+    deterministic top-100 by exact decimal weight. One bigram explode
+    scored against both broadcast models; selection is
+    TakeOrderedAndProject, never a global sort."""
+    from econdatapipeline_spark.operators.lm import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    return dsir_select(d, target, k=100)
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing
+    (operators/lm.perplexity_buckets, Wenzek et al. 2020): per-language
+    ntile(3) over the bigram-LM cross-entropy ranking; per-tile doc
+    counts and xent extents. The tile boundaries are engine-portable
+    because the ranking runs over (decimal-quantized xent, doc_id)."""
+    from econdatapipeline_spark.operators.lm import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(d, group_col="lang", n_buckets=3)
+
+
+def q_zorder_extents(spark, sf_dir):
+    """Z-order layout audit (operators/layout.zorder_extents): Morton-
+    interleave (l_partkey, l_suppkey) at 16 bits each, carve the key
+    space into 16 top-bit ranges (stand-ins for output files) and
+    report each range's row count + per-dimension extents — the
+    multi-dimensional data-skipping rectangle the layout buys. Bounds
+    come from one 4-scalar aggregate (driver-sized, the stats.py
+    bounds discipline); the key itself is 32 unrolled shift/mask
+    terms, pure codegen."""
+    from econdatapipeline_spark.operators.layout import zorder_extents
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    return zorder_extents(
+        li,
+        [
+            ("l_partkey", float(b[0]), float(b[1])),
+            ("l_suppkey", float(b[2]), float(b[3])),
+        ],
+        bits=16,
+        bucket_bits=4,
+    )
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Alpha-temperature mixture rebalancing
     (operators/sampling.temperature_mixture): keep rates
@@ -4062,6 +4115,9 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "line_dedup": q_line_dedup,
         "gopher_filter": q_gopher_filter,
         "nb_langid": q_nb_langid,
+        "dsir_select": q_dsir_select,
+        "ccnet_buckets": q_ccnet_buckets,
+        "zorder_extents": q_zorder_extents,
     }
 
 
@@ -7733,6 +7789,141 @@ def oracle_sql() -> dict[str, str]:
         FROM cum, qq
         WHERE cum >= ceil(CAST(q AS DOUBLE) * n)
         GROUP BY "group", q
+    """
+    # Z-order extents: the Morton interleave unrolls to the same 32
+    # shift/mask terms the Spark expression builds (bit b of partkey at
+    # position 2b, suppkey at 2b+1); grid scaling replays the exact
+    # clamp-then-affine double arithmetic; bucket = top 4 bits.
+    z_terms = " + ".join(
+        f"((((gx >> {b}) & 1) << {2 * b}) + (((gy >> {b}) & 1) << {2 * b + 1}))"
+        for b in range(16)
+    )
+    sql["zorder_extents"] = f"""
+        WITH bounds AS (
+          SELECT CAST(MIN(l_partkey) AS DOUBLE) AS lox,
+                 CAST(MAX(l_partkey) AS DOUBLE) AS hix,
+                 CAST(MIN(l_suppkey) AS DOUBLE) AS loy,
+                 CAST(MAX(l_suppkey) AS DOUBLE) AS hiy
+          FROM lineitem),
+        g AS (
+          SELECT l_partkey, l_suppkey,
+                 CASE WHEN CAST(l_partkey AS DOUBLE) <= lox THEN 0
+                      WHEN CAST(l_partkey AS DOUBLE) >= hix THEN 65535
+                      ELSE CAST(floor((CAST(l_partkey AS DOUBLE) - lox)
+                                      / (hix - lox) * 65536.0) AS BIGINT)
+                 END AS gx,
+                 CASE WHEN CAST(l_suppkey AS DOUBLE) <= loy THEN 0
+                      WHEN CAST(l_suppkey AS DOUBLE) >= hiy THEN 65535
+                      ELSE CAST(floor((CAST(l_suppkey AS DOUBLE) - loy)
+                                      / (hiy - loy) * 65536.0) AS BIGINT)
+                 END AS gy
+          FROM lineitem, bounds),
+        zt AS (SELECT l_partkey, l_suppkey, ({z_terms}) AS z FROM g)
+        SELECT CAST(z >> 28 AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(l_partkey) AS min_l_partkey,
+               MAX(l_partkey) AS max_l_partkey,
+               MIN(l_suppkey) AS min_l_suppkey,
+               MAX(l_suppkey) AS max_l_suppkey
+        FROM zt GROUP BY 1
+    """
+    # DSIR top-k selection: two add-one bigram-LM replays (target = en
+    # subset, raw = whole corpus) scored on one bigram inventory; the
+    # top-100 orders by the EXACT decimal weight (round only in the
+    # projection) so the kept set is boundary-tie-proof.
+    sql["dsir_select"] = f"""
+        WITH t0 AS (SELECT doc_id, {toks} AS toks FROM documents),
+        tgt AS (SELECT doc_id, {toks} AS toks FROM documents
+                WHERE lang = 'en'),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)), i ->
+                   array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+          FROM t0 WHERE len(toks) >= 2),
+        bgt AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)), i ->
+                   array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+          FROM tgt WHERE len(toks) >= 2),
+        c2r AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY g),
+        c1r AS (SELECT split_part(g, ' ', 1) AS w1,
+                       CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        vr AS (SELECT COUNT(DISTINCT w) AS vocab FROM (
+                 SELECT unnest({toks}) AS w FROM documents) WHERE w <> ''),
+        c2t AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM bgt GROUP BY g),
+        c1t AS (SELECT split_part(g, ' ', 1) AS w1,
+                       CAST(COUNT(*) AS BIGINT) AS c1 FROM bgt GROUP BY 1),
+        vt AS (SELECT COUNT(DISTINCT w) AS vocab FROM (
+                 SELECT unnest({toks}) AS w FROM documents
+                 WHERE lang = 'en') WHERE w <> ''),
+        terms AS (
+          SELECT bg.doc_id,
+                 CAST(ln((COALESCE(c2t.c2, 0) + 1.0)
+                         / CAST(COALESCE(c1t.c1, 0) + vt.vocab AS DOUBLE))
+                      AS DECIMAL(18,9)) AS tt,
+                 CAST(ln((c2r.c2 + 1.0)
+                         / CAST(c1r.c1 + vr.vocab AS DOUBLE))
+                      AS DECIMAL(18,9)) AS tr
+          FROM bg
+          LEFT JOIN c2t USING (g)
+          LEFT JOIN c1t ON split_part(bg.g, ' ', 1) = c1t.w1
+          JOIN c2r USING (g)
+          JOIN c1r ON split_part(bg.g, ' ', 1) = c1r.w1
+          CROSS JOIN vt CROSS JOIN vr),
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 SUM(tt) - SUM(tr) AS lr
+          FROM terms GROUP BY 1),
+        allc AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                 COALESCE(p.lr, 0) AS lr
+          FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+        top AS (
+          SELECT doc_id, n_bigrams, lr FROM allc
+          ORDER BY lr DESC, doc_id ASC LIMIT 100)
+        SELECT doc_id, n_bigrams,
+               round(CAST(lr AS DOUBLE), 6) AS log_ratio
+        FROM top
+    """
+    # CCNet perplexity tiles: replays the self-trained lm_score xent,
+    # then ntile(3) per language over the (xent, doc_id) total order;
+    # per-tile mean aggregates decimal(18,6) casts of the rounded
+    # per-doc scores, never raw doubles.
+    sql["ccnet_buckets"] = f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)), i ->
+                   array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+          FROM t WHERE len(toks) >= 2),
+        c2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY g),
+        c1 AS (SELECT split_part(g, ' ', 1) AS w1,
+                      CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT w) AS vocab FROM (
+                SELECT unnest({toks}) AS w FROM documents) WHERE w <> ''),
+        terms AS (
+          SELECT bg.doc_id,
+                 CAST(ln((c2.c2 + 1.0) / CAST(c1.c1 + v.vocab AS DOUBLE))
+                      AS DECIMAL(18,9)) AS term
+          FROM bg JOIN c2 USING (g)
+          JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1
+          CROSS JOIN v),
+        per_doc AS (
+          SELECT doc_id,
+                 round(-(CAST(SUM(term) AS DOUBLE)) / COUNT(*), 6) AS xent
+          FROM terms GROUP BY doc_id),
+        tiled AS (
+          SELECT d.lang, p.xent, d.doc_id,
+                 ntile(3) OVER (PARTITION BY d.lang
+                                ORDER BY p.xent ASC, d.doc_id ASC) AS bucket
+          FROM per_doc p JOIN documents d USING (doc_id))
+        SELECT lang, CAST(bucket AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(xent) AS min_xent, MAX(xent) AS max_xent,
+               round(CAST(SUM(CAST(xent AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_xent
+        FROM tiled GROUP BY 1, 2
     """
     # Multinomial NB language classifier: replays train (even half) +
     # held-out scoring (odd half) with the same add-one closed form;
