@@ -20,9 +20,11 @@ per table rewrite. The range exchange samples the z-key distribution
 files; bits=16 per dimension keeps the key in one BIGINT for up to 4
 dimensions.
 
-No reference analog (the reference stores CSVs in blob storage); this
-is the layout layer a warehouse at scale needs under
-sources/warehouse.py.
+This module is the single Morton implementation: the warehouse IO
+path (sources/warehouse.Warehouse.write_zordered) delegates here for
+its key, and zorder_extents is the k-dimensional audit/contract
+surface. No reference analog (the reference stores CSVs in blob
+storage).
 """
 
 from __future__ import annotations

@@ -301,9 +301,15 @@ class Warehouse:
         side on every query: the shuffle is paid once at write time.
         Read back via ``spark.table(table)`` — bucket metadata lives in
         the catalog, not the files.
+
+        The pre-repartition matters at scale: bucketBy splits every
+        write TASK's rows across all buckets, so N tasks x B buckets
+        would emit N*B files; shuffling by the bucket key first makes
+        it one file per bucket.
         """
         writer = (
-            df.write.mode("overwrite")
+            df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+            .write.mode("overwrite")
             .format("parquet")
             .bucketBy(num_buckets, *bucket_cols)
             .option("path", self.path(table))
@@ -373,33 +379,24 @@ class Warehouse:
         the key + an in-file sort, the same machinery as
         ``write_clustered``.
         """
+        # Single Morton implementation: operators/layout owns the key
+        # (scale_to_grid + zvalue); this method is only the bounds scan
+        # + the IO. A dimension whose min == max carries no information
+        # — substitute hi = lo + 1 so every row grids to 0 (the clamp
+        # branch), i.e. the key degrades to the other dimension alone.
+        from econdatapipeline_spark.operators.layout import (  # noqa: PLC0415
+            zorder_key,
+        )
+
         lo_a, hi_a, lo_b, hi_b = df.agg(
             F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
         ).first()
-        top = (1 << bits) - 1
-
-        def scaled(col: str, lo, hi):
-            if hi == lo:
-                return F.lit(0).cast("long")
-            return F.least(
-                F.lit(top).cast("long"),
-                F.floor(
-                    (F.col(col).cast("double") - F.lit(float(lo)))
-                    / F.lit(float(hi) - float(lo))
-                    * (top + 1)
-                ).cast("long"),
-            )
-
-        a, b = scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b)
-        key = F.lit(0).cast("long")
-        for i in range(bits):
-            key = (
-                key
-                .bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
-                .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
-            )
+        bounds = []
+        for col, lo, hi in ((col_a, lo_a, hi_a), (col_b, lo_b, hi_b)):
+            lo, hi = float(lo), float(hi)
+            bounds.append((col, lo, hi if hi > lo else lo + 1.0))
         out = (
-            df.withColumn("__z", key)
+            zorder_key(df, bounds, bits, out_col="__z")
             .repartitionByRange(num_files, "__z")
             .sortWithinPartitions("__z")
             .drop("__z")

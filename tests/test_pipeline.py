@@ -133,6 +133,14 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
         assert "Exchange hashpartitioning" not in plan
+        # aggregation on the bucket key reuses the layout too
+        agg = spark.table("bjoin_left").groupBy("k").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan
+        # pre-repartitioned write: one file per bucket, not tasks*buckets
+        import glob as _g
+        files = _g.glob(f"{wh.path('bjoin_left')}/*.parquet")
+        assert len(files) == 8, files
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bjoin_left")
