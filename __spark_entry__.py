@@ -3749,6 +3749,34 @@ def q_zorder_extents(spark, sf_dir):
     )
 
 
+def q_curation_funnel(spark, sf_dir):
+    """Three-stage corpus curation funnel (operators/curation):
+    relaxed Gopher rules (40-word floor, 1 required stopword so the
+    synthetic corpus exercises every stage) -> exact best-copy dedup
+    -> bigram-LM tail cut at the exact 80th xent percentile of the
+    survivors. Returns the per-stage (n_in, n_out) funnel — the
+    composed pipeline every pretraining curation run reports."""
+    from econdatapipeline_spark.operators.curation import curation_funnel
+
+    d = _t(spark, sf_dir, "documents")
+    _, report = curation_funnel(
+        d, lm_keep_frac=0.8, min_words=40, min_required_stops=1
+    )
+    return report
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Corpus rank-frequency diagnostic (operators/tfidf.zipf_fit):
+    closed-form OLS of ln(freq) on ln(rank) over the vocabulary, logs
+    decimal-quantized before the sufficient-statistic sums so the fit
+    is engine-portable. Natural corpora slope near -1; template/
+    generated text bends the curve."""
+    from econdatapipeline_spark.operators.tfidf import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d)
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Alpha-temperature mixture rebalancing
     (operators/sampling.temperature_mixture): keep rates
@@ -4118,6 +4146,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "dsir_select": q_dsir_select,
         "ccnet_buckets": q_ccnet_buckets,
         "zorder_extents": q_zorder_extents,
+        "zipf_fit": q_zipf_fit,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -7789,6 +7819,149 @@ def oracle_sql() -> dict[str, str]:
         FROM cum, qq
         WHERE cum >= ceil(CAST(q AS DOUBLE) * n)
         GROUP BY "group", q
+    """
+    # Curation funnel: replays the three stages with the relaxed
+    # thresholds (40-word floor, >= 1 required stopword), min-id-per-
+    # md5 dedup, and the exact interpolated 80th percentile of the
+    # survivor-trained LM xent (quantile_cont = Spark percentile).
+    sql["curation_funnel"] = f"""
+        WITH t0 AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        d0 AS (
+          SELECT doc_id, t,
+                 regexp_split_to_array(t, '\\s+') AS toks,
+                 list_transform(regexp_split_to_array(t, '\\n'),
+                                l -> trim(l)) AS lines
+          FROM t0),
+        r0 AS (
+          SELECT doc_id, t,
+                 len(toks) AS n_words,
+                 greatest(len(toks), 1) AS nw,
+                 CAST(list_sum(list_transform(toks, w -> length(w)))
+                      AS BIGINT) AS sum_len,
+                 length(t) - length(replace(t, '#', '')) AS n_hash,
+                 len(regexp_extract_all(t, '\\.\\.\\.|…')) AS n_ell,
+                 greatest(len(lines), 1) AS n_lines,
+                 len(list_filter(lines,
+                     l -> regexp_matches(l, '^[-*•]'))) AS n_bullet,
+                 len(list_filter(lines,
+                     l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS n_ell_end,
+                 len(list_filter(toks,
+                     w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                 len(list_intersect(toks,
+                     ['the','be','to','of','and','that','have','with']))
+                   AS n_stops
+          FROM d0),
+        s1 AS (
+          SELECT doc_id, t FROM r0
+          WHERE n_words BETWEEN 40 AND 100000
+            AND (CAST(sum_len AS DOUBLE) / nw) >= 3.0
+            AND (CAST(sum_len AS DOUBLE) / nw) <= 10.0
+            AND (CAST(n_hash + n_ell AS DOUBLE) / nw) <= 0.1
+            AND (CAST(n_bullet AS DOUBLE) / n_lines) <= 0.9
+            AND (CAST(n_ell_end AS DOUBLE) / n_lines) <= 0.3
+            AND (CAST(n_alpha AS DOUBLE) / nw) >= 0.8
+            AND n_stops >= 1),
+        best AS (
+          SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY md5(t)),
+        s2 AS (
+          SELECT d.doc_id, {toks} AS toks
+          FROM documents d JOIN best USING (doc_id)),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)), i ->
+                   array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+          FROM s2 WHERE len(toks) >= 2),
+        c2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY g),
+        c1 AS (SELECT split_part(g, ' ', 1) AS w1,
+                      CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT w) AS vocab FROM (
+                SELECT unnest(toks) AS w FROM s2) WHERE w <> ''),
+        terms AS (
+          SELECT bg.doc_id,
+                 CAST(ln((c2.c2 + 1.0) / CAST(c1.c1 + v.vocab AS DOUBLE))
+                      AS DECIMAL(18,9)) AS term
+          FROM bg JOIN c2 USING (g)
+          JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1
+          CROSS JOIN v),
+        per_doc AS (
+          SELECT doc_id,
+                 round(-(CAST(SUM(term) AS DOUBLE)) / COUNT(*), 6) AS xent
+          FROM terms GROUP BY doc_id),
+        scored AS (
+          SELECT s2.doc_id, p.xent
+          FROM s2 LEFT JOIN per_doc p USING (doc_id)),
+        cut AS (SELECT quantile_cont(xent, 0.8) AS cutoff
+                FROM scored WHERE xent IS NOT NULL),
+        s3 AS (
+          SELECT doc_id FROM scored, cut
+          WHERE xent IS NULL OR xent <= cutoff),
+        n AS (
+          SELECT (SELECT COUNT(*) FROM documents) AS n0,
+                 (SELECT COUNT(*) FROM s1) AS n1,
+                 (SELECT COUNT(*) FROM s2) AS n2,
+                 (SELECT COUNT(*) FROM s3) AS n3)
+        SELECT 'gopher' AS stage, CAST(n0 AS BIGINT) AS n_in,
+               CAST(n1 AS BIGINT) AS n_out FROM n
+        UNION ALL
+        SELECT 'exact_dedup', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT) FROM n
+        UNION ALL
+        SELECT 'lm_tail', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT) FROM n
+    """
+    # Zipf fit: identical quantize-then-sum OLS; rank via the same
+    # (freq desc, token asc) total order.
+    sql["zipf_fit"] = f"""
+        WITH tok AS (
+          SELECT unnest({toks}) AS w FROM documents),
+        freq AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok WHERE w <> '' GROUP BY w),
+        ranked AS (
+          SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rank
+          FROM freq),
+        terms AS (
+          SELECT c,
+                 CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+                 CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,9)) AS y
+          FROM ranked),
+        s AS (
+          SELECT COUNT(*) AS n,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM terms)
+        SELECT CAST(n AS BIGINT) AS n_types, n_tokens,
+               round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 END, 6) AS slope,
+               round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 THEN (CAST(sy AS DOUBLE)
+                       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                 END, 6) AS intercept,
+               round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                      AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                 THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 END, 6) AS r2
+        FROM s
     """
     # Z-order extents: the Morton interleave unrolls to the same 32
     # shift/mask terms the Spark expression builds (bit b of partkey at

@@ -278,3 +278,78 @@ def tfidf_cosine_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve -> one row
+    (n_types, n_tokens, slope, intercept, r2).
+
+    The standard corpus-health diagnostic (natural language shows
+    ln(freq) ~ intercept + slope * ln(rank) with slope near -1;
+    machine-generated or template-heavy corpora bend the curve):
+    count token frequencies, rank by (freq desc, token asc), then OLS
+    over (ln rank, ln freq) in closed form from five sufficient sums.
+
+    Determinism discipline: both logs are quantized to decimal(18,9)
+    BEFORE the products, so Σx, Σy, Σxy, Σx², Σy² are exact decimal
+    sums (summation-order-free, engine-portable); slope/intercept/R²
+    are then pure double arithmetic on exact components — the
+    grouped_ols recipe extended to non-integral x.
+
+    Scale shape: one token explode + hash-agg collapses the corpus to
+    its vocabulary; the rank window and the fit run on vocab-sized
+    data (millions of rows at web scale — a single-partition window is
+    acceptable there, and the rank ordering is a total order so a
+    two-pass prefix-rank swap-in stays bit-identical if vocab ever
+    outgrows one partition).
+    """
+    tok = df.select(
+        F.explode(tokenize(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    x = F.log(F.col("rank").cast("double")).cast("decimal(18,9)")
+    y = F.log(F.col("c").cast("double")).cast("decimal(18,9)")
+    terms = ranked.select(
+        x.alias("x"),
+        y.alias("y"),
+        F.col("c"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    cov_n = nd * sxyd - sxd * syd
+    var_x = nd * sxxd - sxd * sxd
+    var_y = nd * syyd - syd * syd
+    slope = cov_n / var_x
+    return agg.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.col("n_tokens"),
+        F.round(F.when(var_x > 0, slope), 6).alias("slope"),
+        F.round(
+            F.when(var_x > 0, (syd - slope * sxd) / nd), 6
+        ).alias("intercept"),
+        F.round(
+            F.when(
+                (var_x > 0) & (var_y > 0), cov_n * cov_n / (var_x * var_y)
+            ),
+            6,
+        ).alias("r2"),
+    )

@@ -125,3 +125,34 @@ def test_tfidf_cosine_threshold_and_symmetry(spark):
     # raising the threshold can only shrink the set
     hi = tfidf_cosine_pairs(df, threshold=0.9).collect()
     assert len(hi) <= len(rows)
+
+
+def test_zipf_fit_matches_numpy_reference(spark):
+    import math
+
+    from econdatapipeline_spark.operators.tfidf import zipf_fit
+
+    # frequencies 8,4,2,1 for tokens a,b,c,d -> exact log-log OLS
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    row = zipf_fit(df).first()
+    assert row["n_types"] == 4 and row["n_tokens"] == 15
+    xs = [round(math.log(r), 9) for r in (1, 2, 3, 4)]
+    ys = [round(math.log(f), 9) for f in (8, 4, 2, 1)]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(row["slope"] - slope) < 1e-5
+    assert row["slope"] < 0  # frequency falls with rank
+    assert 0.9 < row["r2"] <= 1.0
+
+
+def test_zipf_fit_degenerate_single_type(spark):
+    from econdatapipeline_spark.operators.tfidf import zipf_fit
+
+    df = spark.createDataFrame([(0, "same same same")], "doc_id int, text string")
+    row = zipf_fit(df).first()
+    assert row["n_types"] == 1 and row["n_tokens"] == 3
+    assert row["slope"] is None and row["r2"] is None
