@@ -3207,6 +3207,19 @@ def _neardup_edges(spark, sf_dir):
     ).select("e.src", "e.dst")
 
 
+def q_hyperball(spark, sf_dir):
+    """HyperBall neighborhood function over the near-dup graph
+    (operators/graph.hyperball, Boldi & Vigna 2013): one mergeable HLL
+    sketch per node, per-round edge join + sketch-union aggregate —
+    the |V|-BFS-runs question answered in O(diameter) PageRank-shaped
+    rounds. Estimates are Datasketches registers, so the driver check
+    is rows-only by design; the accuracy bound vs exact closure is the
+    pytest contract (tests/test_graph.py, 32-cycle within 2%)."""
+    from econdatapipeline_spark.operators.graph import hyperball
+
+    return hyperball(_neardup_edges(spark, sf_dir), max_radius=4)
+
+
 def q_trend_fit(spark, sf_dir):
     """Per-priority OLS trend of order value over order-date day index
     (operators/stats.grouped_ols): five exact sufficient statistics in
@@ -4148,6 +4161,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "zorder_extents": q_zorder_extents,
         "zipf_fit": q_zipf_fit,
         "curation_funnel": q_curation_funnel,
+        "hyperball": q_hyperball,
     }
 
 

@@ -645,3 +645,98 @@ def degree_assortativity(
             F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
         ).alias("r"),
     )
+
+
+def hyperball(
+    edges: DataFrame,
+    max_radius: int = 6,
+    lg_k: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperBall approximate neighborhood function (Boldi & Vigna
+    2013) -> one row per radius r: (radius, reachable_pairs,
+    delta_pairs, frac_of_final).
+
+    N(r) = sum over nodes v of |B(v, r)| — how many (source, target)
+    pairs lie within distance r. The exact computation is |V| BFS runs
+    (hopeless at scale); HyperBall keeps ONE mergeable HLL sketch per
+    node and runs the Pregel-shaped update
+
+        S_v(r) = S_v(r-1)  UNION  S_u(r-1) for every neighbor u
+
+    so a round is one edge join + one sketch-union hash aggregate —
+    the identical shuffle shape as a PageRank iteration, with HLL
+    union replacing the decimal sum. delta_pairs(r) = N(r) - N(r-1)
+    is the (approximate) count of pairs at distance exactly r, and the
+    smallest r with frac_of_final >= 0.9 is the standard effective-
+    diameter estimate.
+
+    Sketch state is |V| x 2^lg_k bytes (4 KiB at the default — ~4 GB
+    per 10^6 nodes, spill-friendly since it lives in the aggregate,
+    not the driver); per-round convergence probes are 1-row
+    aggregates, the kcore discipline. Iteration state localCheckpoints
+    each round so round r never replays rounds 1..r-1.
+
+    Estimates are engine-specific (Datasketches registers): the driver
+    contract records rows-only; the accuracy bound vs the exact
+    closure is pinned in tests/test_graph.py. Input is the symmetrized
+    edge contract shared by pagerank/kcore/bfs_distances.
+    """
+    if max_radius < 0:
+        raise ValueError(f"max_radius must be >= 0, got {max_radius}")
+    spark = edges.sparkSession
+    ed = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = ed.select(F.col("u").alias("node")).union(
+        ed.select(F.col("v").alias("node"))
+    ).distinct()
+    state = (
+        nodes.groupBy("node")
+        .agg(F.hll_sketch_agg("node", F.lit(lg_k)).alias("sk"))
+        .localCheckpoint(eager=True)
+    )
+
+    def total(st: DataFrame) -> float:
+        return float(
+            st.agg(
+                F.sum(F.hll_sketch_estimate("sk")).alias("t")
+            ).first()["t"]
+        )
+
+    sums = [total(state)]
+    for _ in range(1, max_radius + 1):
+        contrib = ed.join(state, ed.v == state.node).select(
+            F.col("u").alias("node"), "sk"
+        )
+        merged = (
+            state.unionByName(contrib)
+            .groupBy("node")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .localCheckpoint(eager=True)
+        )
+        state.unpersist()
+        state = merged
+        t = total(state)
+        sums.append(t)
+        if t == sums[-2]:  # no ball grew: every sketch is stable
+            break
+    state.unpersist()
+    final = sums[-1]
+    rows = [
+        (
+            r,
+            round(s, 2),
+            round(s - (sums[r - 1] if r else 0.0), 2),
+            round(s / final, 6) if final > 0 else None,
+        )
+        for r, s in enumerate(sums)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "radius int, reachable_pairs double, delta_pairs double, "
+        "frac_of_final double",
+    )

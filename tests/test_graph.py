@@ -278,3 +278,48 @@ def test_assortativity_regular_graph_null(spark):
         pairs + [(b, a) for a, b in pairs], "src long, dst long"
     )
     assert degree_assortativity(edges).collect()[0]["r"] is None
+
+
+def test_hyperball_cycle_matches_exact_counts(spark):
+    # 32-cycle: |B(v, r)| = min(2r + 1, 32) for every v, so
+    # N(r) = 32 * min(2r + 1, 32) exactly. Small cardinalities sit in
+    # the sketch's exact (sparse) regime -> tight tolerance.
+    from econdatapipeline_spark.operators.graph import hyperball
+
+    n = 32
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(b, a) for a, b in edges]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["radius"]: r for r in hyperball(df, max_radius=4).collect()}
+    for r in range(5):
+        exact = n * min(2 * r + 1, n)
+        assert abs(out[r]["reachable_pairs"] - exact) / exact < 0.02, (
+            r, out[r]["reachable_pairs"], exact)
+    assert out[4]["frac_of_final"] == 1.0
+    # delta telescopes back to the totals
+    assert abs(sum(out[r]["delta_pairs"] for r in out) -
+               out[4]["reachable_pairs"]) < 1e-6
+
+
+def test_hyperball_converges_and_stops_early(spark):
+    # two disjoint triangles saturate at radius 1; the loop must stop
+    # well before max_radius and report a stable final count (~18).
+    from econdatapipeline_spark.operators.graph import hyperball
+
+    tri = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    tri += [(b, a) for a, b in tri]
+    df = spark.createDataFrame(tri, "src long, dst long")
+    rows = hyperball(df, max_radius=8).collect()
+    assert len(rows) <= 4  # 0, 1, and one confirming stable round
+    final = rows[-1]["reachable_pairs"]
+    assert abs(final - 18) / 18 < 0.02  # 2 components x 3 nodes x 3
+
+
+def test_hyperball_validates_radius(spark):
+    import pytest
+
+    from econdatapipeline_spark.operators.graph import hyperball
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hyperball(df, max_radius=-1)
