@@ -3220,6 +3220,18 @@ def q_hyperball(spark, sf_dir):
     return hyperball(_neardup_edges(spark, sf_dir), max_radius=4)
 
 
+def q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus generation
+    (operators/graph.random_walks): one 4-step uniform walk per node of
+    the near-dup graph, the neighbor choice derandomized to
+    md5(walk ':' step) % degree over the id-ranked adjacency — same
+    walks on any engine/layout/retry, so the oracle replays them
+    exactly."""
+    from econdatapipeline_spark.operators.graph import random_walks
+
+    return random_walks(_neardup_edges(spark, sf_dir), walk_len=4)
+
+
 def q_trend_fit(spark, sf_dir):
     """Per-priority OLS trend of order value over order-date day index
     (operators/stats.grouped_ols): five exact sufficient statistics in
@@ -4162,6 +4174,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "zipf_fit": q_zipf_fit,
         "curation_funnel": q_curation_funnel,
         "hyperball": q_hyperball,
+        "random_walks": q_random_walks,
     }
 
 
@@ -7833,6 +7846,45 @@ def oracle_sql() -> dict[str, str]:
         FROM cum, qq
         WHERE cum >= ceil(CAST(q AS DOUBLE) * n)
         GROUP BY "group", q
+    """
+    # Random walks: replays the id-ranked adjacency and the
+    # md5(walk ':' step) % degree neighbor picks, one CTE per step.
+    rw_steps, rw_prev = [], "f0"
+    for r in (1, 2, 3, 4):
+        rw_steps.append(f"""
+            s{r} AS (
+              SELECT f.walk_id, a.v AS node
+              FROM {rw_prev} f JOIN adj a ON f.node = a.u
+              WHERE a.idx = (CAST('0x' || substr(md5(
+                       concat(CAST(f.walk_id AS VARCHAR), ':', '{r}')), 1, 8)
+                     AS BIGINT) % 1000003) % a.deg),""")
+        rw_prev = f"s{r}"
+    rw_cte = "".join(rw_steps)
+    sql["random_walks"] = f"""
+        WITH
+        b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket
+              FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS id_a, c.vec_id AS id_b
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+          WHERE {cos} >= 0.2),
+        r0 AS MATERIALIZED (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs),
+        adj AS (
+          SELECT u, v,
+                 ROW_NUMBER() OVER (PARTITION BY u ORDER BY v ASC) - 1 AS idx,
+                 COUNT(*) OVER (PARTITION BY u) AS deg
+          FROM r0),
+        f0 AS (SELECT DISTINCT u AS walk_id, u AS node FROM r0),{rw_cte}
+        all_steps AS (
+          SELECT walk_id, 0 AS step, node FROM f0
+          UNION ALL SELECT walk_id, 1, node FROM s1
+          UNION ALL SELECT walk_id, 2, node FROM s2
+          UNION ALL SELECT walk_id, 3, node FROM s3
+          UNION ALL SELECT walk_id, 4, node FROM s4)
+        SELECT walk_id, CAST(step AS INT) AS step, node FROM all_steps
     """
     # Curation funnel: replays the three stages with the relaxed
     # thresholds (40-word floor, >= 1 required stopword), min-id-per-

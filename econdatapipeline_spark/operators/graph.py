@@ -740,3 +740,67 @@ def hyperball(
         "radius int, reachable_pairs double, delta_pairs double, "
         "frac_of_final double",
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic uniform random walks, one per node -> tidy rows
+    (walk_id, step, node) with step 0 = the start node.
+
+    The DeepWalk/node2vec corpus-generation primitive: walks become
+    "sentences" for a skip-gram embedding of the graph. The "random"
+    choice is derandomized the way every sampler in this engine is
+    (operators/sampling's md5-bucket rule): at step r, walk w moves to
+    neighbor index  md5(w ':' r) % degree(cur)  over the neighbor list
+    ranked by destination id. Same walks on any engine, any cluster
+    layout, any retry — which makes the generated corpus cacheable and
+    the oracle replayable, where rand()-based walks are neither.
+
+    Scale shape: the ranked adjacency (one row_number window keyed by
+    source node — degree-bounded partitions, no global window) is
+    built once and localCheckpointed; each step is ONE equi-join of
+    the |V|-sized frontier against it, keyed by current node. Walks
+    ending at a sink (out-degree 0 after symmetrization: impossible;
+    in directed graphs: possible) simply stop — shorter rows, no
+    nulls. Biased second-order walks (node2vec's p/q) would carry
+    (prev, cur) as the join key against a (prev, cur)-ranked edge
+    table — same shape, square the state.
+    """
+    if walk_len < 0:
+        raise ValueError(f"walk_len must be >= 0, got {walk_len}")
+    from econdatapipeline_spark.operators.sampling import (  # noqa: PLC0415
+        _md5_bucket,
+    )
+
+    ed = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    w_rank = Window.partitionBy("u").orderBy(F.col("v").asc())
+    adj = (
+        ed.withColumn("idx", F.row_number().over(w_rank) - 1)
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("u")))
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        ed.select(F.col("u").alias("walk_id")).distinct()
+        .select("walk_id", F.col("walk_id").alias("node"))
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).alias("step"), "node"
+    )
+    for r in range(1, walk_len + 1):
+        pick = _md5_bucket(
+            F.concat_ws(":", F.col("walk_id"), F.lit(str(r))), 1_000_003
+        )
+        nxt = (
+            frontier.join(adj, frontier.node == adj.u)
+            .filter(F.col("idx") == pick % F.col("deg"))
+            .select("walk_id", F.col("v").alias("node"))
+        )
+        out = out.unionByName(
+            nxt.select("walk_id", F.lit(r).alias("step"), "node")
+        )
+        frontier = nxt
+    return out

@@ -323,3 +323,44 @@ def test_hyperball_validates_radius(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         hyperball(df, max_radius=-1)
+
+
+def test_random_walks_structure_and_determinism(spark):
+    from econdatapipeline_spark.operators.graph import random_walks
+
+    n = 16
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(b, a) for a, b in edges]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = random_walks(df, walk_len=3).collect()
+    walks = {}
+    for r in out:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert len(walks) == n
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    for wid, steps in walks.items():
+        assert steps[0] == wid            # walks start at their node
+        assert sorted(steps) == [0, 1, 2, 3]
+        for s in range(1, 4):             # every hop follows an edge
+            assert steps[s] in adj[steps[s - 1]]
+    # byte-identical on a second run (derandomized choice)
+    again = random_walks(df, walk_len=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_random_walks_sink_stops_short(spark):
+    from econdatapipeline_spark.operators.graph import random_walks
+
+    # directed chain 0 -> 1 -> 2: the walk from 2 has no outgoing edge
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = random_walks(df, walk_len=3).collect()
+    by_walk = {}
+    for r in out:
+        by_walk.setdefault(r["walk_id"], []).append((r["step"], r["node"]))
+    assert sorted(by_walk[0]) == [(0, 0), (1, 1), (2, 2)]  # stops at sink
+    assert sorted(by_walk[1]) == [(0, 1), (1, 2)]
+    # walk_id 2 never starts: node 2 has no outgoing edge, and walks
+    # launch from source nodes only
+    assert 2 not in by_walk
