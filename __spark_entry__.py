@@ -3220,6 +3220,45 @@ def q_hyperball(spark, sf_dir):
     return hyperball(_neardup_edges(spark, sf_dir), max_radius=4)
 
 
+def q_fs_linkage(spark, sf_dir):
+    """Fellegi-Sunter record linkage with EM (operators/linkage):
+    customers vs a deterministically-perturbed copy (last name char
+    swapped, balance rounded to 10s, every 3rd segment scrambled),
+    blocked by nation; three EM sweeps learn per-field m/u
+    reliabilities from the unlabeled pairs, then the summary row
+    reports learned params + resolved match count. Responsibilities
+    decimal-quantize before the sufficient sums and M-step params
+    floor-quantize to 9 decimals, so the whole EM trajectory is
+    engine-portable."""
+    from econdatapipeline_spark.operators.linkage import fs_linkage_summary
+
+    c = _t(spark, sf_dir, "customer")
+    dirty = c.select(
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("x")
+        ).alias("d_name"),
+        F.col("c_nationkey").alias("d_nationkey"),
+        (F.floor(F.col("c_acctbal") / 10) * 10).cast("double").alias(
+            "d_acctbal"
+        ),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("OTHER"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_seg"),
+    )
+    pairs = (
+        c.join(dirty, F.col("c_nationkey") == F.col("d_nationkey"))
+        .select(
+            (F.levenshtein("c_name", "d_name") <= 1).alias("g_name"),
+            (F.abs(F.col("c_acctbal") - F.col("d_acctbal")) <= 5.0).alias(
+                "g_bal"
+            ),
+            (F.col("c_mktsegment") == F.col("d_seg")).alias("g_seg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return fs_linkage_summary(pairs, ["g_name", "g_bal", "g_seg"], iters=3)
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic DeepWalk corpus generation
     (operators/graph.random_walks): one 4-step uniform walk per node of
@@ -4175,6 +4214,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "curation_funnel": q_curation_funnel,
         "hyperball": q_hyperball,
         "random_walks": q_random_walks,
+        "fs_linkage": q_fs_linkage,
     }
 
 
@@ -7846,6 +7886,101 @@ def oracle_sql() -> dict[str, str]:
         FROM cum, qq
         WHERE cum >= ceil(CAST(q AS DOUBLE) * n)
         GROUP BY "group", q
+    """
+    # Fellegi-Sunter EM: three unrolled E/M sweeps. Iteration-1 params
+    # are the exact Python-float literals the engine folds in (repr
+    # keeps 1.0-0.9's full 0.09999... mantissa); later rounds compute
+    # params in SQL with the identical (p*t0)*t1)*t2 paren order and
+    # the same floor(x*1e9+0.5)/1e9 quantization.
+    def _fs_post(pexpr: str, ms: list[str], us: list[str],
+                 one_minus_lit: bool) -> str:
+        # literals go through CAST(.. AS DOUBLE): DuckDB types bare
+        # numeric literals as DECIMAL, whose scales ADD under the
+        # product chain (scale 52 > max 38); Spark folds them as
+        # doubles — the cast makes both engines run IEEE arithmetic.
+        def lit(v: str) -> str:
+            return f"CAST({v} AS DOUBLE)"
+
+        if one_minus_lit:
+            num, den = f"({lit(pexpr)})", f"({lit(repr(1.0 - float(pexpr)))})"
+        else:
+            num, den = f"({pexpr})", f"(1.0 - {pexpr})"
+        for k in range(3):
+            mk = lit(ms[k]) if one_minus_lit else ms[k]
+            uk = lit(us[k]) if one_minus_lit else us[k]
+            om_m = (lit(repr(1.0 - float(ms[k])))
+                    if one_minus_lit else f"(1.0 - {ms[k]})")
+            om_u = (lit(repr(1.0 - float(us[k])))
+                    if one_minus_lit else f"(1.0 - {us[k]})")
+            num = f"({num} * (CASE WHEN g{k} = 1 THEN {mk} ELSE {om_m} END))"
+            den = f"({den} * (CASE WHEN g{k} = 1 THEN {uk} ELSE {om_u} END))"
+        return f"CAST({num} / ({num} + {den}) AS DECIMAL(18,9))"
+
+    def _fs_mstep(src: str, out: str) -> str:
+        cols = ["floor(CAST(sr AS DOUBLE) / n * 1000000000.0 + 0.5)"
+                " / 1000000000.0 AS p"]
+        for k in range(3):
+            cols.append(
+                f"floor(CAST(srg{k} AS DOUBLE) / CAST(sr AS DOUBLE)"
+                f" * 1000000000.0 + 0.5) / 1000000000.0 AS m{k}")
+            cols.append(
+                f"floor(CAST(cg{k} - srg{k} AS DOUBLE)"
+                f" / CAST(n - sr AS DOUBLE)"
+                f" * 1000000000.0 + 0.5) / 1000000000.0 AS u{k}")
+        return f"{out} AS (SELECT n, {', '.join(cols)} FROM {src})"
+
+    def _fs_sums(r_expr: str, extra: str, out: str) -> str:
+        cols = ["COUNT(*) AS n", "SUM(r) AS sr"]
+        for k in range(3):
+            cols.append(f"SUM(r * g{k}) AS srg{k}")
+            cols.append(f"CAST(SUM(g{k}) AS BIGINT) AS cg{k}")
+        return (f"{out} AS (SELECT {', '.join(cols)} FROM "
+                f"(SELECT {r_expr} AS r, g0, g1, g2 FROM gx{extra}))")
+
+    fs1 = _fs_sums(_fs_post("0.1", ["0.9"] * 3, ["0.1"] * 3, True), "", "s1")
+    fs2 = _fs_sums(
+        _fs_post("p", ["m0", "m1", "m2"], ["u0", "u1", "u2"], False),
+        " CROSS JOIN p1", "s2")
+    fs3 = _fs_sums(
+        _fs_post("p", ["m0", "m1", "m2"], ["u0", "u1", "u2"], False),
+        " CROSS JOIN p2", "s3")
+    fs_final_post = _fs_post(
+        "p", ["m0", "m1", "m2"], ["u0", "u1", "u2"], False)
+    sql["fs_linkage"] = f"""
+        WITH dirty AS (
+          SELECT substr(c_name, 1, length(c_name) - 1) || 'x' AS d_name,
+                 c_nationkey AS d_nationkey,
+                 CAST(floor(c_acctbal / 10) * 10 AS DOUBLE) AS d_acctbal,
+                 CASE WHEN c_custkey % 3 = 0 THEN 'OTHER'
+                      ELSE c_mktsegment END AS d_seg
+          FROM customer),
+        gx AS MATERIALIZED (
+          SELECT CASE WHEN levenshtein(c.c_name, d.d_name) <= 1
+                      THEN 1 ELSE 0 END AS g0,
+                 CASE WHEN abs(c.c_acctbal - d.d_acctbal) <= 5.0
+                      THEN 1 ELSE 0 END AS g1,
+                 CASE WHEN c.c_mktsegment = d.d_seg THEN 1 ELSE 0 END AS g2
+          FROM customer c JOIN dirty d ON c.c_nationkey = d.d_nationkey),
+        {fs1},
+        {_fs_mstep("s1", "p1")},
+        {fs2},
+        {_fs_mstep("s2", "p2")},
+        {fs3},
+        {_fs_mstep("s3", "p3")},
+        scored AS (
+          SELECT CAST({fs_final_post} AS DOUBLE) AS post
+          FROM gx CROSS JOIN p3)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN post >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_match,
+               round(MIN(p3.p), 6) AS p,
+               round(MIN(p3.m0), 6) AS m_g_name,
+               round(MIN(p3.u0), 6) AS u_g_name,
+               round(MIN(p3.m1), 6) AS m_g_bal,
+               round(MIN(p3.u1), 6) AS u_g_bal,
+               round(MIN(p3.m2), 6) AS m_g_seg,
+               round(MIN(p3.u2), 6) AS u_g_seg
+        FROM scored CROSS JOIN p3
     """
     # Random walks: replays the id-ranked adjacency and the
     # md5(walk ':' step) % degree neighbor picks, one CTE per step.
