@@ -101,6 +101,12 @@ def nb_score(
     total_docs = class_stats.agg(
         F.sum("n_docs").cast("long").alias("total_docs")
     )
+    # The classes relation (K rows) is referenced by both the term
+    # scoring and the argmax base; localCheckpoint collapses the
+    # repeated train-side aggregation subtree to one execution —
+    # without it the plan re-derives the training explode per
+    # reference (measured: 88 exchange nodes -> 8 on the contract
+    # query).
     classes = (
         class_stats.crossJoin(F.broadcast(total_docs))
         .crossJoin(F.broadcast(vocab))
@@ -112,6 +118,7 @@ def nb_score(
             .cast("decimal(18,9)")
             .alias("prior"),
         )
+        .localCheckpoint(eager=True)
     )
     tok = _token_occurrences(df, text_col, id_col)
     terms = (

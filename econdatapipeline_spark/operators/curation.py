@@ -8,13 +8,16 @@ existing operators into ONE declarative plan and reports the funnel —
 per-stage in/out counts — which is the number a curation run is
 actually judged by ("where did my corpus go?").
 
-Spark shape: the stages stay lazy and compose into a single DAG; the
-report is four 1-row aggregates cross-joined (driver-sized) and
-exploded into tidy rows, so the whole funnel is one action. Each
-stage's cut is deterministic and engine-portable: gopher_rules is
-pure column arithmetic, the dedup canonical is min-id-per-content-
-hash, and the LM cutoff is the exact interpolated percentile of
-decimal-quantized cross-entropies (the quantile_filter discipline).
+Spark shape: each stage's surviving ID set (8 bytes/doc, never the
+text) materializes via localCheckpoint, because the funnel both
+CHAINS the stages and AGGREGATES every one of them for the report —
+lazy composition would re-run the stage-1 rules four times. The
+report is then four 1-row aggregates cross-joined (driver-sized) and
+exploded into tidy rows. Each stage's cut is deterministic and
+engine-portable: gopher_rules is pure column arithmetic, the dedup
+canonical is min-id-per-content-hash, and the LM cutoff is the exact
+interpolated percentile of decimal-quantized cross-entropies (the
+quantile_filter discipline).
 
 At 100 TB the stage ORDER is the cost model: rules are a map-only
 scan over everything; dedup's hash-agg shuffle runs on rule
@@ -59,18 +62,31 @@ def curation_funnel(
     "fluent".
     """
     if not 0.0 < lm_keep_frac <= 1.0:
-        raise ValueError(f"lm_keep_frac must be in (0, 1], got {lm_keep_frac}")
+        raise ValueError(f"lm_keep_frac must be (0, 1], got {lm_keep_frac}")
+    # Stage survivor IDS localCheckpoint (ids only — never the text):
+    # the funnel report aggregates every stage AND chains them, so
+    # without the barrier each reference re-derives the whole prefix
+    # (stage-1 rules would run four times). Ids are 8 bytes/doc; the
+    # text re-joins lazily from the scan.
     flags = gopher_rules(df, text_col, id_col, **gopher_overrides)
-    s1 = df.join(
-        flags.filter(F.col("gopher_pass")).select(id_col), id_col, "semi"
+    s1_ids = (
+        flags.filter(F.col("gopher_pass"))
+        .select(id_col)
+        .localCheckpoint(eager=True)
     )
+    s1 = df.join(s1_ids, id_col, "semi")
     key = F.md5(F.lower(F.trim(F.col(text_col))))
     best = (
         s1.select(F.col(id_col), key.alias("k"))
         .groupBy("k")
         .agg(F.min(id_col).alias(id_col))
     )
-    s2 = s1.join(best.select(id_col), id_col, "semi")
+    s2_ids = (
+        s1.join(best.select(id_col), id_col, "semi")
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+    s2 = df.join(s2_ids, id_col, "semi")
     scored = lm_score(s2, None, text_col, id_col)
     cut = scored.filter(F.col("xent").isNotNull()).agg(
         F.expr(f"percentile(xent, {lm_keep_frac!r})").alias("cutoff")
@@ -79,14 +95,15 @@ def curation_funnel(
         scored.join(F.broadcast(cut))
         .filter(F.col("xent").isNull() | (F.col("xent") <= F.col("cutoff")))
         .select(id_col)
+        .localCheckpoint(eager=True)
     )
-    s3 = s2.join(keep_ids, id_col, "semi")
+    s3 = df.join(keep_ids, id_col, "semi")
 
     counts = (
         df.agg(F.count(F.lit(1)).alias("n0"))
-        .crossJoin(s1.agg(F.count(F.lit(1)).alias("n1")))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n3")))
+        .crossJoin(s1_ids.agg(F.count(F.lit(1)).alias("n1")))
+        .crossJoin(s2_ids.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(keep_ids.agg(F.count(F.lit(1)).alias("n3")))
     )
     report = counts.select(
         F.explode(
