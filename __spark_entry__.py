@@ -3220,6 +3220,49 @@ def q_hyperball(spark, sf_dir):
     return hyperball(_neardup_edges(spark, sf_dir), max_radius=4)
 
 
+def q_text_hygiene(spark, sf_dir):
+    """Checksum-gated PII + encoding-damage audit: inject one
+    synthetic 16-digit card per document (Luhn check digit computed in
+    the plan via functions/text.luhn_check_digit; every 3rd doc gets
+    the VALID digit, the rest an offset one) and mojibake-corrupt
+    every 5th doc, then run operators/packing.scrub_cards (redacts
+    only Luhn-valid runs — the precision gate real scrubbers use) and
+    functions/text.mojibake_score. Per-language counts prove exactly
+    the valid third was redacted and the corrupted fifth flagged."""
+    from econdatapipeline_spark.functions.text import (
+        luhn_check_digit,
+        mojibake_score,
+    )
+    from econdatapipeline_spark.operators.packing import scrub_cards
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.lpad(
+        ((F.col("doc_id") * 7919) % 1000000000).cast("string"), 15, "4"
+    )
+    chk = luhn_check_digit(base)
+    digit = F.when(F.col("doc_id") % 3 == 0, chk).otherwise((chk + 5) % 10)
+    t1 = F.concat(
+        F.col("text"), F.lit(" card "), base, digit.cast("string")
+    )
+    t2 = F.when(
+        F.col("doc_id") % 5 == 0, F.replace(t1, F.lit("e"), F.lit("Ã©"))
+    ).otherwise(t1)
+    aug = d.select("doc_id", "lang", t2.alias("text"))
+    # encoding audit runs on the PRE-scrub text (damage assessment
+    # before redaction mutates lengths); the redaction flag on the
+    # scrubbed output column
+    scrubbed = scrub_cards(aug, out_col="clean")
+    return scrubbed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("clean").contains("<CARD>"), 1).otherwise(0)
+        ).cast("long").alias("n_redacted"),
+        F.sum(
+            F.when(mojibake_score(F.col("text")) > 0.01, 1).otherwise(0)
+        ).cast("long").alias("n_mojibake"),
+    )
+
+
 def q_fs_linkage(spark, sf_dir):
     """Fellegi-Sunter record linkage with EM (operators/linkage):
     customers vs a deterministically-perturbed copy (last name char
@@ -4229,6 +4272,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "hyperball": q_hyperball,
         "random_walks": q_random_walks,
         "fs_linkage": q_fs_linkage,
+        "text_hygiene": q_text_hygiene,
     }
 
 
@@ -7900,6 +7944,67 @@ def oracle_sql() -> dict[str, str]:
         FROM cum, qq
         WHERE cum >= ceil(CAST(q AS DOUBLE) * n)
         GROUP BY "group", q
+    """
+    # Text hygiene: replays the synthetic card injection (same Luhn
+    # check-digit list arithmetic), the Luhn-gated redaction decision
+    # (counts only — a doc is redacted iff any regex candidate
+    # validates), and the mojibake artifact fraction. DuckDB
+    # regexp_replace needs the 'g' flag Spark applies implicitly.
+    def _luhn_sum_sql(digits: str, double_even_index: bool) -> str:
+        par = 0 if double_even_index else 1
+        ch = f"string_split(reverse({digits}), '')"
+        return (
+            f"list_sum(list_transform(range(1, len({ch}) + 1), i -> "
+            f"CASE WHEN (i - 1) % 2 = {par} THEN "
+            f"CASE WHEN CAST(({ch})[i] AS INT) * 2 > 9 "
+            f"THEN CAST(({ch})[i] AS INT) * 2 - 9 "
+            f"ELSE CAST(({ch})[i] AS INT) * 2 END "
+            f"ELSE CAST(({ch})[i] AS INT) END))"
+        )
+
+    luhn_valid_sql = (
+        "len(regexp_replace(c, '[^0-9]', '', 'g')) BETWEEN 13 AND 19 AND "
+        + _luhn_sum_sql("regexp_replace(c, '[^0-9]', '', 'g')", False)
+        + " % 10 = 0"
+    )
+    sql["text_hygiene"] = f"""
+        WITH base AS (
+          SELECT doc_id, lang, text,
+                 lpad(CAST((doc_id * 7919) % 1000000000 AS VARCHAR),
+                      15, '4') AS b15
+          FROM documents),
+        card AS (
+          SELECT doc_id, lang, text, b15,
+                 (10 - ({_luhn_sum_sql("b15", True)} % 10)) % 10 AS chk
+          FROM base),
+        aug AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN replace(text || ' card ' || b15 ||
+                           CAST(CASE WHEN doc_id % 3 = 0 THEN chk
+                                ELSE (chk + 5) % 10 END AS VARCHAR),
+                           'e', 'Ã©')
+                      ELSE text || ' card ' || b15 ||
+                           CAST(CASE WHEN doc_id % 3 = 0 THEN chk
+                                ELSE (chk + 5) % 10 END AS VARCHAR)
+                 END AS text
+          FROM card),
+        flags AS (
+          SELECT lang,
+                 len(list_filter(
+                   regexp_extract_all(text,
+                     '\\b(?:[0-9][ -]?){{12,18}}[0-9]\\b'),
+                   c -> {luhn_valid_sql})) > 0 AS redacted,
+                 CAST(length(text) - length(regexp_replace(text,
+                      '[ÃÂâ�]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) > 0.01 AS moji
+          FROM aug)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN redacted THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_redacted,
+               CAST(SUM(CASE WHEN moji THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mojibake
+        FROM flags GROUP BY lang
     """
     # Fellegi-Sunter EM: three unrolled E/M sweeps. Iteration-1 params
     # are the exact Python-float literals the engine folds in (repr

@@ -281,3 +281,60 @@ def minhash_bands(signature: Column, bands: int, rows: int) -> Column:
             for b in range(bands)
         ]
     )
+
+
+def luhn_sum(digits: Column) -> Column:
+    """Luhn checksum of a digit string (ISO/IEC 7812) as a pure column
+    expression: reverse, then from the right double every second digit
+    with a 9-cap carry. Whole-stage codegen — no UDF."""
+    chars = F.split(F.reverse(digits), "")
+    terms = F.transform(
+        chars,
+        lambda c, i: F.when(
+            i % 2 == 1,
+            F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9).otherwise(
+                c.cast("int") * 2
+            ),
+        ).otherwise(c.cast("int")),
+    )
+    return F.aggregate(terms, F.lit(0), lambda a, x: a + F.coalesce(x, F.lit(0)))
+
+
+def luhn_valid(candidate: Column) -> Column:
+    """True iff the digits of ``candidate`` (separators stripped) form
+    a Luhn-valid number of plausible card length (13-19 digits). The
+    checksum is what separates real card numbers from arbitrary digit
+    runs — the precision gate PII scrubbers need before redacting."""
+    digits = F.regexp_replace(candidate, r"[^0-9]", "")
+    n = F.length(digits)
+    return (n >= 13) & (n <= 19) & (luhn_sum(digits) % 10 == 0)
+
+
+def luhn_check_digit(base: Column) -> Column:
+    """The check digit that makes ``base || digit`` Luhn-valid —
+    synthetic-fixture generation and issuer-side validation both need
+    it. Computed by Luhn-summing the base with every second digit
+    (from the right, starting immediately) doubled."""
+    chars = F.split(F.reverse(base), "")
+    terms = F.transform(
+        chars,
+        lambda c, i: F.when(
+            i % 2 == 0,
+            F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9).otherwise(
+                c.cast("int") * 2
+            ),
+        ).otherwise(c.cast("int")),
+    )
+    s = F.aggregate(terms, F.lit(0), lambda a, x: a + F.coalesce(x, F.lit(0)))
+    return (F.lit(10) - (s % 10)) % 10
+
+
+def mojibake_score(text: Column) -> Column:
+    """Fraction of characters that are UTF-8-as-Latin-1 artifacts
+    ('Ã', 'Â', 'â€¦'-style runs, U+FFFD) — the standard crawl-corpus
+    encoding-damage signal. 0 on clean text; anything above ~0.01
+    marks a document whose bytes were decoded with the wrong charset."""
+    artifacts = F.length(text) - F.length(
+        F.regexp_replace(text, "[ÃÂâ�]", "")
+    )
+    return artifacts / F.greatest(F.length(text), F.lit(1))

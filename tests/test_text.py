@@ -101,3 +101,77 @@ def test_minhash_hof_and_agg_forms_agree(spark):
         for r in minhash_signatures(docs, num_hashes=16).collect()
     }
     assert hof == agg
+
+
+def test_luhn_valid_known_numbers(spark):
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.functions.text import luhn_valid
+
+    rows = [
+        ("4532015112830366", True),   # visa test number
+        ("378282246310005", True),    # amex test number
+        ("4532015112830367", False),  # bad check digit
+        ("1234567890123", False),
+        ("123", False),               # too short
+        ("4532 0151 1283 0366", True),  # separators stripped
+    ]
+    df = spark.createDataFrame(rows, "c string, expect boolean")
+    out = df.select("c", "expect", luhn_valid(F.col("c")).alias("got"))
+    for r in out.collect():
+        assert r["got"] == r["expect"], r["c"]
+
+
+def test_luhn_check_digit_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.functions.text import (
+        luhn_check_digit,
+        luhn_valid,
+    )
+
+    # for arbitrary 15-digit bases, base || check_digit must validate
+    df = spark.createDataFrame(
+        [(str(444000000000000 + i * 7919),) for i in range(50)], "b string"
+    )
+    out = df.select(
+        luhn_valid(
+            F.concat(F.col("b"), luhn_check_digit(F.col("b")).cast("string"))
+        ).alias("ok")
+    )
+    assert all(r["ok"] for r in out.collect())
+
+
+def test_scrub_cards_redacts_only_valid(spark):
+    from econdatapipeline_spark.operators.packing import scrub_cards
+
+    rows = [
+        (0, "pay 4532 0151 1283 0366 now"),
+        (1, "ref 4532015112830367 invalid"),
+        (2, "two cards 378282246310005 and 4532015112830366 here"),
+        (3, "no digits at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["text"] for r in scrub_cards(df).collect()}
+    assert out[0] == "pay <CARD> now"
+    assert out[1] == "ref 4532015112830367 invalid"
+    assert out[2] == "two cards <CARD> and <CARD> here"
+    assert out[3] == "no digits at all"
+
+
+def test_mojibake_score_flags_damage(spark):
+    from pyspark.sql import functions as F
+
+    from econdatapipeline_spark.functions.text import mojibake_score
+
+    rows = [("clean text here",), ("brÃ©ken tÃªxt Ã©verywhere",), ("",)]
+    df = spark.createDataFrame(rows, "t string")
+    out = [
+        r["m"]
+        for r in df.select(
+            F.round(mojibake_score(F.col("t")), 4).alias("m")
+        ).collect()
+    ]
+    assert out[0] == 0.0
+    assert out[1] > 0.05
+    assert out[2] == 0.0  # empty text: guarded denominator
