@@ -3220,6 +3220,19 @@ def q_hyperball(spark, sf_dir):
     return hyperball(_neardup_edges(spark, sf_dir), max_radius=4)
 
 
+def q_source_influence(spark, sf_dir):
+    """Per-source data valuation (operators/lm.loo_source_influence):
+    probe = every 10th doc, held out of ALL training; for each of the
+    20 sources the ablated LM is count-table algebra (c_total - c_s),
+    never a retrain, so 20 leave-one-out ablations cost one grouped
+    aggregate + one probe-scoring join. influence = probe xent under
+    the ablated model minus under the full model."""
+    from econdatapipeline_spark.operators.lm import loo_source_influence
+
+    d = _t(spark, sf_dir, "documents")
+    return loo_source_influence(d)
+
+
 def q_text_hygiene(spark, sf_dir):
     """Checksum-gated PII + encoding-damage audit: inject one
     synthetic 16-digit card per document (Luhn check digit computed in
@@ -3260,6 +3273,20 @@ def q_text_hygiene(spark, sf_dir):
         F.sum(
             F.when(mojibake_score(F.col("text")) > 0.01, 1).otherwise(0)
         ).cast("long").alias("n_mojibake"),
+    )
+
+
+def q_node2vec_walks(spark, sf_dir):
+    """Second-order biased walks (operators/graph.random_walks_biased,
+    node2vec): transition out of (prev -> cur) weights return /
+    common-neighbor / far candidates 1:4:2 with INTEGER cumulative
+    intervals, picked by md5(walk ':' step) % total — exact integer
+    arithmetic end-to-end, so the oracle unrolls the identical steps."""
+    from econdatapipeline_spark.operators.graph import random_walks_biased
+
+    return random_walks_biased(
+        _neardup_edges(spark, sf_dir), walk_len=4,
+        w_return=1, w_common=4, w_far=2,
     )
 
 
@@ -4273,6 +4300,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "random_walks": q_random_walks,
         "fs_linkage": q_fs_linkage,
         "text_hygiene": q_text_hygiene,
+        "source_influence": q_source_influence,
+        "node2vec_walks": q_node2vec_walks,
     }
 
 
@@ -7945,6 +7974,83 @@ def oracle_sql() -> dict[str, str]:
         WHERE cum >= ceil(CAST(q AS DOUBLE) * n)
         GROUP BY "group", q
     """
+    # Source influence: replays the count-table LOO algebra — totals
+    # and per-source counts from the same bigram inventory, ablated
+    # model = subtraction, vocab survival = wc_total > wc_source.
+    sql["source_influence"] = f"""
+        WITH train AS (
+          SELECT doc_id, source AS src, {toks} AS toks
+          FROM documents WHERE doc_id % 10 != 0),
+        probe AS (
+          SELECT doc_id, {toks} AS toks
+          FROM documents WHERE doc_id % 10 = 0),
+        bg_t AS (
+          SELECT doc_id, src,
+                 unnest(list_transform(range(1, len(toks)), i ->
+                   array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+          FROM train WHERE len(toks) >= 2),
+        c2_tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2_t
+                   FROM bg_t GROUP BY g),
+        c2_src AS (SELECT g, src, CAST(COUNT(*) AS BIGINT) AS c2_s
+                   FROM bg_t GROUP BY g, src),
+        c1_tot AS (SELECT split_part(g, ' ', 1) AS w1,
+                          CAST(COUNT(*) AS BIGINT) AS c1_t
+                   FROM bg_t GROUP BY 1),
+        c1_src AS (SELECT split_part(g, ' ', 1) AS w1, src,
+                          CAST(COUNT(*) AS BIGINT) AS c1_s
+                   FROM bg_t GROUP BY 1, 2),
+        wc_t AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS wc_t FROM (
+            SELECT unnest(toks) AS w FROM train) WHERE w <> '' GROUP BY w),
+        wc_s AS (
+          SELECT w, src, CAST(COUNT(*) AS BIGINT) AS wc_s FROM (
+            SELECT src, unnest(toks) AS w FROM train)
+          WHERE w <> '' GROUP BY w, src),
+        v_full AS (SELECT COUNT(*) AS v_full FROM wc_t),
+        v_loo AS (
+          SELECT s.src,
+                 MIN(v_full.v_full)
+                   - SUM(CASE WHEN t.wc_t > s.wc_s THEN 0 ELSE 1 END)
+                   AS v_loo
+          FROM wc_s s JOIN wc_t t USING (w) CROSS JOIN v_full
+          GROUP BY s.src),
+        srcs AS (
+          SELECT d.src, COALESCE(v.v_loo, f.v_full) AS v_loo, f.v_full
+          FROM (SELECT DISTINCT src FROM train) d
+          LEFT JOIN v_loo v USING (src) CROSS JOIN v_full f),
+        bg_p AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)), i ->
+                   array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+          FROM probe WHERE len(toks) >= 2),
+        terms AS (
+          SELECT s.src,
+                 CAST(ln((COALESCE(c2_tot.c2_t, 0) + 1.0)
+                      / CAST(COALESCE(c1_tot.c1_t, 0) + s.v_full AS DOUBLE))
+                      AS DECIMAL(18,9)) AS t_full,
+                 CAST(ln((COALESCE(c2_tot.c2_t, 0)
+                          - COALESCE(c2_src.c2_s, 0) + 1.0)
+                      / CAST(COALESCE(c1_tot.c1_t, 0)
+                             - COALESCE(c1_src.c1_s, 0)
+                             + s.v_loo AS DOUBLE))
+                      AS DECIMAL(18,9)) AS t_loo
+          FROM bg_p b CROSS JOIN srcs s
+          LEFT JOIN c2_tot ON b.g = c2_tot.g
+          LEFT JOIN c1_tot ON split_part(b.g, ' ', 1) = c1_tot.w1
+          LEFT JOIN c2_src ON b.g = c2_src.g AND s.src = c2_src.src
+          LEFT JOIN c1_src ON split_part(b.g, ' ', 1) = c1_src.w1
+                          AND s.src = c1_src.src)
+        SELECT src AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_probe_bigrams,
+               round(-(CAST(SUM(t_full) AS DOUBLE)) / COUNT(*), 6)
+                 AS xent_full,
+               round(-(CAST(SUM(t_loo) AS DOUBLE)) / COUNT(*), 6)
+                 AS xent_loo,
+               round((-(CAST(SUM(t_loo) AS DOUBLE)) / COUNT(*))
+                     - (-(CAST(SUM(t_full) AS DOUBLE)) / COUNT(*)), 6)
+                 AS influence
+        FROM terms GROUP BY src
+    """
     # Text hygiene: replays the synthetic card injection (same Luhn
     # check-digit list arithmetic), the Luhn-gated redaction decision
     # (counts only — a doc is redacted iff any regex candidate
@@ -8116,6 +8222,67 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) % 1000003) % a.deg),""")
         rw_prev = f"s{r}"
     rw_cte = "".join(rw_steps)
+    # node2vec biased walks: step 1 replays the uniform first-order
+    # pick; steps 2-4 replay the integer cumulative-weight intervals
+    # (1:4:2 return/common/far) with u = md5(walk:step) % total.
+    n2v_steps = []
+    for r in (2, 3, 4):
+        u_expr = (
+            "(CAST('0x' || substr(md5(concat(CAST(walk_id AS VARCHAR), "
+            f"':', '{r}')), 1, 8) AS BIGINT) % 2147483647) % total"
+        )
+        n2v_steps.append(f"""
+        c{r} AS (
+          SELECT f.walk_id, f.prev, f.cur, a.v AS cand,
+                 CASE WHEN a.v = f.prev THEN 1
+                      WHEN pe.pc IS NOT NULL THEN 4
+                      ELSE 2 END AS w
+          FROM f{r - 1} f
+          JOIN adj a ON f.cur = a.u
+          LEFT JOIN (SELECT u AS pu, v AS pv, 1 AS pc FROM r0) pe
+            ON pe.pu = f.prev AND pe.pv = a.v),
+        w{r} AS (
+          SELECT *, SUM(w) OVER (PARTITION BY walk_id
+                                 ORDER BY cand ASC) AS cum,
+                    SUM(w) OVER (PARTITION BY walk_id) AS total
+          FROM c{r}),
+        f{r} AS (
+          SELECT walk_id, cur AS prev, cand AS cur FROM w{r}
+          WHERE {u_expr} >= cum - w AND {u_expr} < cum),""")
+    n2v_cte = "".join(n2v_steps)
+    sql["node2vec_walks"] = f"""
+        WITH
+        b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket
+              FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS id_a, c.vec_id AS id_b
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+          WHERE {cos} >= 0.2),
+        r0 AS MATERIALIZED (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs),
+        adj AS (
+          SELECT u, v,
+                 ROW_NUMBER() OVER (PARTITION BY u ORDER BY v ASC) - 1 AS idx,
+                 COUNT(*) OVER (PARTITION BY u) AS deg
+          FROM r0),
+        f1 AS (
+          SELECT s.walk_id, a.u AS prev, a.v AS cur
+          FROM (SELECT DISTINCT u AS walk_id FROM r0) s
+          JOIN adj a ON s.walk_id = a.u
+          WHERE a.idx = (CAST('0x' || substr(md5(
+                   concat(CAST(s.walk_id AS VARCHAR), ':', '1')), 1, 8)
+                 AS BIGINT) % 1000003) % a.deg),{n2v_cte}
+        all_steps AS (
+          SELECT walk_id, 0 AS step, walk_id AS node
+          FROM (SELECT DISTINCT u AS walk_id FROM r0)
+          UNION ALL SELECT walk_id, 1, cur FROM f1
+          UNION ALL SELECT walk_id, 2, cur FROM f2
+          UNION ALL SELECT walk_id, 3, cur FROM f3
+          UNION ALL SELECT walk_id, 4, cur FROM f4)
+        SELECT walk_id, CAST(step AS INT) AS step, node FROM all_steps
+    """
     sql["random_walks"] = f"""
         WITH
         b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket

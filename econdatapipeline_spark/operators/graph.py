@@ -804,3 +804,115 @@ def random_walks(
         )
         frontier = nxt
     return out
+
+
+def random_walks_biased(
+    edges: DataFrame,
+    walk_len: int = 4,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_far: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016)
+    -> tidy rows (walk_id, step, node).
+
+    The transition out of (prev -> cur) weights each neighbor ``next``
+    by INTEGER weights — w_return if next == prev (node2vec's 1/p),
+    w_common if next also neighbors prev (distance 1: BFS-ish,
+    community-exploring), w_far otherwise (1/q, DFS-ish). Integer
+    weights are the determinism trick: the choice draws
+    u = md5(walk ':' step) % total_weight and picks the neighbor whose
+    cumulative-weight interval [cum - w, cum) contains u — exact
+    integer arithmetic end-to-end, so the same walks come out of any
+    engine (the float-threshold variant would wobble at 1-ulp
+    boundaries). Step 1 has no prev: it follows the first-order
+    uniform rule (md5 % degree over the id-ranked adjacency), exactly
+    ``random_walks``.
+
+    Shape per step: one equi-join of the frontier against the
+    adjacency (keyed by cur), one left-join against the edge set for
+    the common-neighbor test (keyed by (prev, next)), and one
+    walk-partitioned window for the cumulative weights — the state
+    node2vec needs is exactly that (prev, cur) pair, the "square the
+    key" upgrade the first-order docstring promises.
+    """
+    if walk_len < 0:
+        raise ValueError(f"walk_len must be >= 0, got {walk_len}")
+    if min(w_return, w_common, w_far) < 1:
+        raise ValueError("weights must be positive integers")
+    from econdatapipeline_spark.operators.sampling import (  # noqa: PLC0415
+        _md5_bucket,
+    )
+
+    ed = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    w_rank = Window.partitionBy("u").orderBy(F.col("v").asc())
+    adj = (
+        ed.withColumn("idx", F.row_number().over(w_rank) - 1)
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("u")))
+        .localCheckpoint(eager=True)
+    )
+    start = ed.select(F.col("u").alias("walk_id")).distinct()
+    out = start.select(
+        "walk_id", F.lit(0).alias("step"), F.col("walk_id").alias("node")
+    )
+    # step 1: uniform first-order pick (no prev yet)
+    pick1 = _md5_bucket(
+        F.concat_ws(":", F.col("walk_id"), F.lit("1")), 1_000_003
+    )
+    frontier = (
+        start.select("walk_id", F.col("walk_id").alias("node"))
+        .join(adj, F.col("node") == adj.u)
+        .filter(F.col("idx") == pick1 % F.col("deg"))
+        .select(
+            "walk_id", F.col("u").alias("prev"), F.col("v").alias("cur")
+        )
+    )
+    out = out.unionByName(
+        frontier.select(
+            "walk_id", F.lit(1).alias("step"), F.col("cur").alias("node")
+        )
+    )
+    has_edge = ed.select(
+        F.col("u").alias("prev"), F.col("v").alias("cand"),
+        F.lit(1).alias("pc_edge"),
+    )
+    for r in range(2, walk_len + 1):
+        cand = (
+            frontier.join(adj, frontier.cur == adj.u)
+            .select(
+                "walk_id", "prev", "cur", F.col("v").alias("cand")
+            )
+            .join(has_edge, ["prev", "cand"], "left")
+            .withColumn(
+                "w",
+                F.when(F.col("cand") == F.col("prev"), F.lit(w_return))
+                .when(F.col("pc_edge").isNotNull(), F.lit(w_common))
+                .otherwise(F.lit(w_far)),
+            )
+        )
+        ww = Window.partitionBy("walk_id").orderBy(F.col("cand").asc())
+        wt = Window.partitionBy("walk_id")
+        cand = cand.withColumn("cum", F.sum("w").over(ww)).withColumn(
+            "total", F.sum("w").over(wt)
+        )
+        u_int = _md5_bucket(
+            F.concat_ws(":", F.col("walk_id"), F.lit(str(r))), 2_147_483_647
+        ) % F.col("total")
+        nxt = cand.filter(
+            (u_int >= F.col("cum") - F.col("w")) & (u_int < F.col("cum"))
+        ).select(
+            "walk_id", F.col("cur").alias("prev"), F.col("cand").alias("cur")
+        )
+        out = out.unionByName(
+            nxt.select(
+                "walk_id", F.lit(r).alias("step"), F.col("cur").alias("node")
+            )
+        )
+        frontier = nxt
+    return out

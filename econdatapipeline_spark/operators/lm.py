@@ -281,3 +281,161 @@ def perplexity_buckets(
             6,
         ).alias("mean_xent"),
     )
+
+
+def loo_source_influence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_mod: int = 10,
+) -> DataFrame:
+    """Per-source data valuation by leave-one-out LM ablation ->
+    (source, n_probe_bigrams, xent_full, xent_loo, influence).
+
+    The "which sources are worth their bytes" question (the
+    influence/datamodels idea reduced to its cheapest useful form):
+    hold out a probe set (every ``probe_mod``-th document), and for
+    EVERY source s compare the probe's cross-entropy under the full
+    training LM vs the LM trained without s. influence(s) =
+    xent_loo(s) - xent_full: positive means removing s makes the
+    probe less predictable — s carries distribution the probe needs;
+    near zero means s is redundant with the rest.
+
+    The trick that makes |sources| ablations affordable: add-one
+    bigram LMs are COUNT TABLES, and count tables subtract. Train
+    once, grouped by source —
+
+        c2_loo(s) = c2_total - c2_s        (bigram counts)
+        c1_loo(s) = c1_total - c1_s        (context counts)
+        V_loo(s)  = #{w : total(w) > c_s(w)}  (surviving vocab)
+
+    — so the s-th ablated model is pure algebra on the grouped
+    aggregates, never a retrain. Probe scoring joins each probe
+    bigram occurrence against the per-source deltas: cost is
+    O(probe bigrams x sources) with every model relation broadcast,
+    and all log terms are decimal(18,9)-quantized (the lm.py
+    discipline) so the whole influence table is engine-portable.
+
+    Probe documents are excluded from ALL training (full and LOO) —
+    scoring your own training text measures memorization, not
+    transfer.
+
+    Sign caveat: when a source exclusively owns a large vocabulary
+    slice, ablating it also shrinks the add-one smoothing floor
+    (1 / (ctx + V_loo) grows as V_loo falls), which can push xent_loo
+    BELOW xent_full even though counts were lost — the standard
+    smoothed-LM artifact. Influence ranks are meaningful when sources
+    share vocabulary broadly (the real-corpus case); a strongly
+    negative influence on a vocabulary-exclusive source is the
+    smoothing floor talking, not evidence the source hurts.
+    """
+    if probe_mod < 2:
+        raise ValueError(f"probe_mod must be >= 2, got {probe_mod}")
+    probe = df.filter(F.col(id_col) % probe_mod == 0)
+    train = df.filter(F.col(id_col) % probe_mod != 0)
+
+    bg_t = _bigram_occurrences(train, text_col, id_col).join(
+        train.select(F.col(id_col), F.col(source_col).alias("src")), id_col
+    )
+    c2_tot = bg_t.groupBy("g").agg(F.count(F.lit(1)).alias("c2_t"))
+    c2_src = bg_t.groupBy("g", "src").agg(F.count(F.lit(1)).alias("c2_s"))
+    w1 = F.split_part(F.col("g"), F.lit(" "), F.lit(1))
+    c1_tot = bg_t.select(w1.alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1_t")
+    )
+    c1_src = bg_t.select(w1.alias("w1"), "src").groupBy("w1", "src").agg(
+        F.count(F.lit(1)).alias("c1_s")
+    )
+    wc_t = (
+        train.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc_t"))
+    )
+    wc_s = (
+        train.select(
+            F.col(source_col).alias("src"),
+            F.explode(tokenize(F.col(text_col))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w", "src")
+        .agg(F.count(F.lit(1)).alias("wc_s"))
+    )
+    vocab_full = wc_t.agg(F.count(F.lit(1)).alias("v_full"))
+    # V_loo(s): distinct words whose count does not collapse to zero
+    # when s is removed — one join of the per-source counts against
+    # the totals, grouped by source.
+    vocab_loo = (
+        wc_s.join(wc_t, "w")
+        .groupBy("src")
+        .agg(
+            F.sum(F.when(F.col("wc_t") > F.col("wc_s"), 0).otherwise(1)).alias(
+                "lost"
+            )
+        )
+        .crossJoin(F.broadcast(vocab_full))
+        .select("src", (F.col("v_full") - F.col("lost")).alias("v_loo"))
+    )
+    sources = train.select(
+        F.col(source_col).alias("src")
+    ).distinct().join(vocab_loo, "src", "left").crossJoin(
+        F.broadcast(vocab_full)
+    ).select(
+        "src", F.coalesce(F.col("v_loo"), F.col("v_full")).alias("v_loo"),
+        "v_full",
+    ).localCheckpoint(eager=True)
+
+    bg_p = _bigram_occurrences(probe, text_col, id_col).withColumn(
+        "w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1))
+    )
+    scored = (
+        bg_p.crossJoin(F.broadcast(sources))
+        .join(F.broadcast(c2_tot), "g", "left")
+        .join(F.broadcast(c1_tot), "w1", "left")
+        .join(F.broadcast(c2_src), ["g", "src"], "left")
+        .join(F.broadcast(c1_src), ["w1", "src"], "left")
+        .select(
+            "src",
+            F.log(
+                (F.coalesce(F.col("c2_t"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("c1_t"), F.lit(0)) + F.col("v_full")).cast(
+                    "double"
+                )
+            )
+            .cast("decimal(18,9)")
+            .alias("t_full"),
+            F.log(
+                (
+                    F.coalesce(F.col("c2_t"), F.lit(0))
+                    - F.coalesce(F.col("c2_s"), F.lit(0))
+                    + F.lit(1.0)
+                )
+                / (
+                    F.coalesce(F.col("c1_t"), F.lit(0))
+                    - F.coalesce(F.col("c1_s"), F.lit(0))
+                    + F.col("v_loo")
+                ).cast("double")
+            )
+            .cast("decimal(18,9)")
+            .alias("t_loo"),
+        )
+    )
+    return scored.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_bigrams"),
+        F.round(
+            -(F.sum("t_full").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("xent_full"),
+        F.round(
+            -(F.sum("t_loo").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("xent_loo"),
+        F.round(
+            (
+                -(F.sum("t_loo").cast("double")) / F.count(F.lit(1))
+            )
+            - (
+                -(F.sum("t_full").cast("double")) / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("influence"),
+    ).withColumnRenamed("src", source_col)

@@ -364,3 +364,59 @@ def test_random_walks_sink_stops_short(spark):
     # walk_id 2 never starts: node 2 has no outgoing edge, and walks
     # launch from source nodes only
     assert 2 not in by_walk
+
+
+def test_biased_walks_follow_edges_and_are_deterministic(spark):
+    from econdatapipeline_spark.operators.graph import random_walks_biased
+
+    n = 12
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(b, a) for a, b in edges]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = random_walks_biased(df, walk_len=3).collect()
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    walks = {}
+    for r in out:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert len(walks) == n
+    for wid, steps in walks.items():
+        assert steps[0] == wid and sorted(steps) == [0, 1, 2, 3]
+        for s in range(1, 4):
+            assert steps[s] in adj[steps[s - 1]]
+    again = random_walks_biased(df, walk_len=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_biased_walks_prefer_common_neighbors(spark):
+    from econdatapipeline_spark.operators.graph import random_walks_biased
+
+    # triangle 0-1-2 plus pendant 3 attached to 1: out of any
+    # (prev, cur) inside the triangle the third vertex is the common
+    # neighbor; with w_common >> others, step 2 must close the
+    # triangle rather than return or wander to the pendant.
+    tri = [(0, 1), (1, 2), (2, 0), (1, 3)]
+    tri += [(b, a) for a, b in tri]
+    df = spark.createDataFrame(tri, "src long, dst long")
+    out = random_walks_biased(
+        df, walk_len=2, w_return=1, w_common=1000, w_far=1
+    ).collect()
+    steps = {}
+    for r in out:
+        steps.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    w0 = steps[0]
+    # from 0: step1 lands in {1, 2}; the common-neighbor pull closes
+    # the triangle at step 2 (never back to 0, never out to 3)
+    assert w0[1] in (1, 2)
+    assert w0[2] == ({1: 2, 2: 1}[w0[1]])
+
+
+def test_biased_walks_validate_weights(spark):
+    import pytest
+
+    from econdatapipeline_spark.operators.graph import random_walks_biased
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    with pytest.raises(ValueError):
+        random_walks_biased(df, w_return=0)

@@ -120,3 +120,48 @@ def test_perplexity_buckets_excludes_undefined(spark):
     df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
     out = perplexity_buckets(df, n_buckets=2).collect()
     assert sum(r["n_docs"] for r in out) == 2  # doc 2 has no bigrams
+
+
+def test_loo_influence_ranks_unique_source_highest(spark):
+    from econdatapipeline_spark.operators.lm import loo_source_influence
+
+    # probe (doc_id % 2 == 0 via probe_mod=2) speaks "alpha beta";
+    # source A supplies almost all the probe-distribution MASS, while
+    # B and C are identical twins that each mention every word once
+    # (so no source exclusively owns vocabulary — ablation moves
+    # counts, not the smoothing floor; see the docstring caveat).
+    # Removing A must hurt the probe far more than removing B.
+    rows = [
+        (0, "alpha beta alpha beta gamma", "probe_src"),
+        (2, "alpha beta gamma alpha", "probe_src"),
+        (1, "alpha beta alpha beta alpha beta", "A"),
+        (3, "alpha beta gamma alpha beta", "A"),
+        (5, "zz qq ww alpha beta gamma", "B"),
+        (7, "zz qq ww alpha beta gamma", "C"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    out = {
+        r["source"]: r
+        for r in loo_source_influence(df, probe_mod=2).collect()
+    }
+    assert set(out) == {"A", "B", "C"}
+    assert out["A"]["influence"] > 0.1
+    assert out["A"]["influence"] > 5 * abs(out["B"]["influence"])
+    # redundant twins: ablating either leaves the other -> small,
+    # SYMMETRIC effect (identical docs -> identical ablations)
+    assert abs(out["B"]["influence"]) < 0.1
+    assert out["B"]["influence"] == out["C"]["influence"]
+    # full-model xent identical across rows (same probe, same model)
+    assert len({r["xent_full"] for r in out.values()}) == 1
+
+
+def test_loo_influence_validates_probe_mod(spark):
+    import pytest
+
+    from econdatapipeline_spark.operators.lm import loo_source_influence
+
+    df = spark.createDataFrame(
+        [(0, "a b", "s")], "doc_id int, text string, source string"
+    )
+    with pytest.raises(ValueError):
+        loo_source_influence(df, probe_mod=1)
