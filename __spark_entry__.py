@@ -3276,6 +3276,28 @@ def q_text_hygiene(spark, sf_dir):
     )
 
 
+def q_logreg_quality(spark, sf_dir):
+    """Distributed logistic regression (operators/logreg): bag-of-
+    tokens classifier for lang == 'en', 3 full-batch GD iterations on
+    the even-doc_id half — each iteration is two joins + two hash
+    aggregates with the weight vector living as a vocab-sized
+    DataFrame; errors and weights decimal-quantize so the whole
+    trajectory is engine-portable. Held-out confusion on the odd
+    half; decisions compare the EXACT decimal margin to logit(0.5)=0."""
+    from econdatapipeline_spark.operators.logreg import (
+        logreg_evaluate,
+        logreg_train,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    w = logreg_train(train, "y", iters=3, lr=0.5, l2=0.001)
+    return logreg_evaluate(test, w, "y")
+
+
 def q_node2vec_walks(spark, sf_dir):
     """Second-order biased walks (operators/graph.random_walks_biased,
     node2vec): transition out of (prev -> cur) weights return /
@@ -4302,6 +4324,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "text_hygiene": q_text_hygiene,
         "source_influence": q_source_influence,
         "node2vec_walks": q_node2vec_walks,
+        "logreg_quality": q_logreg_quality,
     }
 
 
@@ -7973,6 +7996,67 @@ def oracle_sql() -> dict[str, str]:
         FROM cum, qq
         WHERE cum >= ceil(CAST(q AS DOUBLE) * n)
         GROUP BY "group", q
+    """
+    # Logistic regression: three unrolled GD iterations over weight-
+    # table CTEs from the zero origin; per-doc errors and updated
+    # weights CAST to DECIMAL(18,9) exactly as the engine does, n and
+    # the hyperparameters as CAST(.. AS DOUBLE) literals with the
+    # identical lr * (se/n + l2*w) operation order.
+    lr_iters = []
+    for i in (1, 2, 3):
+        p = f"w{i - 1}"
+        lr_iters.append(f"""
+        m{i} AS (
+          SELECT doc_id, y, SUM(COALESCE(w.w, 0) * c) AS m
+          FROM mat LEFT JOIN {p} w USING (tok) GROUP BY 1, 2),
+        e{i} AS (
+          SELECT doc_id,
+                 CAST(1.0 / (1.0 + exp(-(CAST(m AS DOUBLE)))) - y
+                      AS DECIMAL(18,9)) AS err
+          FROM m{i}),
+        g{i} AS (
+          SELECT tok, SUM(err * c) AS se
+          FROM mat JOIN e{i} USING (doc_id) GROUP BY tok),
+        w{i} AS (
+          SELECT {p}.tok,
+                 CAST(CAST({p}.w AS DOUBLE)
+                      - CAST(0.5 AS DOUBLE)
+                      * (CAST(COALESCE(g{i}.se, 0) AS DOUBLE) / nd.n
+                         + CAST(0.001 AS DOUBLE) * CAST({p}.w AS DOUBLE))
+                      AS DECIMAL(18,9)) AS w
+          FROM {p} LEFT JOIN g{i} USING (tok) CROSS JOIN nd),""")
+    lr_cte = "".join(lr_iters)
+    sql["logreg_quality"] = f"""
+        WITH train AS (
+          SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 {toks} AS toks
+          FROM documents WHERE doc_id % 2 = 0),
+        test AS (
+          SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 {toks} AS toks
+          FROM documents WHERE doc_id % 2 = 1),
+        mat AS MATERIALIZED (
+          SELECT doc_id, y, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT doc_id, y, unnest(toks) AS tok FROM train)
+          WHERE tok <> '' GROUP BY 1, 2, 3
+          UNION ALL
+          SELECT doc_id, y, '__bias__', 1 FROM train),
+        nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM train),
+        w0 AS (SELECT DISTINCT tok, CAST(0 AS DECIMAL(18,9)) AS w
+               FROM mat),{lr_cte}
+        tmat AS (
+          SELECT doc_id, y, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT doc_id, y, unnest(toks) AS tok FROM test)
+          WHERE tok <> '' GROUP BY 1, 2, 3
+          UNION ALL
+          SELECT doc_id, y, '__bias__', 1 FROM test),
+        tm AS (
+          SELECT doc_id, y, SUM(COALESCE(w3.w, 0) * c) AS m
+          FROM tmat LEFT JOIN w3 USING (tok) GROUP BY 1, 2)
+        SELECT y AS actual,
+               CAST(CASE WHEN m > 0 THEN 1 ELSE 0 END AS INT) AS predicted,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM tm GROUP BY 1, 2
     """
     # Source influence: replays the count-table LOO algebra — totals
     # and per-source counts from the same bigram inventory, ablated
