@@ -3276,6 +3276,29 @@ def q_text_hygiene(spark, sf_dir):
     )
 
 
+def q_als_factorize(spark, sf_dir):
+    """ALS matrix factorization (operators/als): customer x part
+    quantity matrix from lineitem ⋈ orders, k=4, two alternating
+    sweeps. Each half-step reduces to per-entity ridge normal
+    equations via ONE join + ONE hash aggregate (K(K+1)/2 + K sum
+    columns); only the tiny K x K solves run in Arrow-batched Python
+    over the aggregated rows. Output = final-sweep training RMSE —
+    rows-only by design (np.linalg float order is not engine-
+    portable); convergence bounds are the pytest contract
+    (tests/test_als.py: rank-1 recovery to < 1% of baseline)."""
+    from econdatapipeline_spark.operators.als import als_factorize
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+        F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
+    ).agg(F.sum("l_quantity").cast("double").alias("r"))
+    _, _, rmse = als_factorize(ratings, k=4, iters=2, track_rmse="final")
+    return spark.createDataFrame(
+        [(2, round(rmse[-1], 4))], "sweep int, rmse double"
+    )
+
+
 def q_logreg_quality(spark, sf_dir):
     """Distributed logistic regression (operators/logreg): bag-of-
     tokens classifier for lang == 'en', 3 full-batch GD iterations on
@@ -4325,6 +4348,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "source_influence": q_source_influence,
         "node2vec_walks": q_node2vec_walks,
         "logreg_quality": q_logreg_quality,
+        "als_factorize": q_als_factorize,
     }
 
 

@@ -1,0 +1,185 @@
+"""Alternating least squares matrix factorization on DataFrames.
+
+The classic distributed-recommender / embedding-training workload
+(Koren et al.; Spark MLlib's flagship algorithm), rebuilt on the
+relational stack so THIS engine owns the whole loop:
+
+    minimize sum_(u,i) (r_ui - x_u . y_i)^2 + lam (|X|^2 + |Y|^2)
+
+Each half-step solves ridge normal equations per entity. The insight
+that keeps it relational: the K x K Gram matrix A_u = sum_i y_i y_i^T
+and the K-vector b_u = sum_i r_ui y_i are SUMS over the entity's
+ratings — so one join (ratings x factors) plus one hash aggregate
+with map-side combine produces every entity's normal equations as
+K*(K+1)/2 + K columns. Only the tiny dense solve (K x K, K ~ 8-64)
+drops to Python — an Arrow-batched mapInPandas over the aggregated
+rows (one row per entity, thousands of floats — the 10-100x cheaper
+side of the UDF boundary), never over the ratings.
+
+Scale shape per sweep: shuffle ratings by the entity being solved
+(twice per iteration, the irreducible ALS exchange), broadcast-join
+the opposite factor table when it fits / sort-merge when it doesn't,
+and localCheckpoint factor tables between sweeps (the iterative
+discipline shared with graph.py). Factor state is (entities x K)
+doubles — millions of rows, never driver-side.
+
+Determinism: init factors derive from md5(entity ':' k) (the
+sampling-family rule, no rand()), aggregation sums are plain doubles
+inside one combine tree — np.linalg.solve and float summation order
+make cross-ENGINE bit-equality unattainable (driver contract is
+rows-only by design), but the pytest contract pins convergence: RMSE
+decreases monotonically and lands under the mean-predictor baseline.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _init_factors(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Deterministic small init: f_ik = (md5(id:k) % 1000)/1000 - 0.5,
+    scaled by 0.1 — the no-rand() rule."""
+    comps = [
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col(id_col), F.lit(str(j)))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000
+            ).cast("double")
+            / 1000.0
+            - 0.5
+        )
+        * 0.1
+        for j in range(k)
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("vec"))
+
+
+def _solve_side(
+    ratings: DataFrame,
+    fixed: DataFrame,
+    solve_col: str,
+    fixed_col: str,
+    k: int,
+    lam: float,
+) -> DataFrame:
+    """One ALS half-step: ridge-solve every ``solve_col`` entity
+    against the ``fixed`` factor table -> (solve_col, vec)."""
+    joined = ratings.join(
+        fixed.select(F.col(fixed_col), F.col("vec").alias("fv")), fixed_col
+    )
+    aggs = []
+    for a in range(k):
+        for b in range(a, k):
+            aggs.append(
+                F.sum(F.col("fv")[a] * F.col("fv")[b]).alias(f"a_{a}_{b}")
+            )
+    for a in range(k):
+        aggs.append(
+            F.sum(F.col("r") * F.col("fv")[a]).alias(f"b_{a}")
+        )
+    eqs = joined.groupBy(solve_col).agg(*aggs)
+
+    def solve(batches):
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in batches:
+            n = len(pdf)
+            vecs = []
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                A = np.zeros((k, k))
+                for a in range(k):
+                    for b in range(a, k):
+                        A[a, b] = A[b, a] = d[f"a_{a}_{b}"]
+                A += lam * np.eye(k)
+                bv = np.array([d[f"b_{a}"] for a in range(k)])
+                vecs.append(np.linalg.solve(A, bv).tolist())
+            yield pd.DataFrame(
+                {solve_col: pdf[solve_col], "vec": vecs}
+            )
+            del n
+
+    out_schema = f"{solve_col} long, vec array<double>"
+    return eqs.mapInPandas(solve, out_schema)
+
+
+def als_factorize(
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "r",
+    k: int = 4,
+    iters: int = 3,
+    lam: float = 0.1,
+    track_rmse: str = "each",
+) -> tuple[DataFrame, DataFrame, list[float]]:
+    """Fit -> (user_factors, item_factors, rmse_list).
+
+    ``track_rmse``: "each" evaluates training RMSE after every sweep
+    (iters entries — the convergence-curve evidence, at one extra
+    aggregate action per sweep); "final" evaluates once after the last
+    sweep (1 entry — the cheap production mode); "none" skips it
+    (empty list).
+    """
+    if track_rmse not in ("each", "final", "none"):
+        raise ValueError(f"bad track_rmse: {track_rmse!r}")
+    if k < 1 or iters < 1:
+        raise ValueError(f"need k >= 1 and iters >= 1, got k={k}, iters={iters}")
+    r = ratings.select(
+        F.col(user_col).cast("long").alias("u"),
+        F.col(item_col).cast("long").alias("i"),
+        F.col(rating_col).cast("double").alias("r"),
+    ).localCheckpoint(eager=True)
+    users = r.select("u").distinct()
+    items = r.select("i").distinct()
+    uf = _init_factors(users, "u", k).localCheckpoint(eager=True)
+    vf = _init_factors(items, "i", k).localCheckpoint(eager=True)
+    rmse = []
+
+    def eval_rmse():
+        pred = (
+            r.join(uf.select(F.col("u"), F.col("vec").alias("xu")), "u")
+            .join(vf.select(F.col("i"), F.col("vec").alias("yi")), "i")
+            .select(
+                (
+                    F.col("r")
+                    - F.aggregate(
+                        F.zip_with("xu", "yi", lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("e")
+            )
+        )
+        row = pred.agg(
+            F.sqrt(F.avg(F.col("e") * F.col("e"))).alias("rmse")
+        ).first()
+        rmse.append(float(row["rmse"]))
+
+    for it in range(iters):
+        uf_new = _solve_side(r, vf, "u", "i", k, lam).localCheckpoint(
+            eager=True
+        )
+        uf.unpersist()
+        uf = uf_new
+        vf_new = _solve_side(
+            r.select(F.col("i"), F.col("u"), F.col("r")), uf, "i", "u", k, lam
+        ).localCheckpoint(eager=True)
+        vf.unpersist()
+        vf = vf_new
+        if track_rmse == "each" or (
+            track_rmse == "final" and it == iters - 1
+        ):
+            eval_rmse()
+    return uf, vf, rmse
