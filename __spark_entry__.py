@@ -3276,6 +3276,19 @@ def q_text_hygiene(spark, sf_dir):
     )
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap CI for mean order value
+    (operators/stats.bootstrap_ci): 40 resamples as md5-derived
+    Poisson(1) integer weights, ALL computed in ONE aggregate pass as
+    80 conditional-sum columns — the distributed bootstrap, no
+    explode, no shuffle, no second scan; interval = nearest-rank
+    quantiles of the 40 exact-decimal resample means."""
+    from econdatapipeline_spark.operators.stats import bootstrap_ci
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return bootstrap_ci(o, "o_totalprice", "o_orderkey", b=40, alpha=0.05)
+
+
 def q_als_factorize(spark, sf_dir):
     """ALS matrix factorization (operators/als): customer x part
     quantity matrix from lineitem ⋈ orders, k=4, two alternating
@@ -4349,6 +4362,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "node2vec_walks": q_node2vec_walks,
         "logreg_quality": q_logreg_quality,
         "als_factorize": q_als_factorize,
+        "bootstrap_ci": q_bootstrap_ci,
     }
 
 
@@ -8020,6 +8034,53 @@ def oracle_sql() -> dict[str, str]:
         FROM cum, qq
         WHERE cum >= ceil(CAST(q AS DOUBLE) * n)
         GROUP BY "group", q
+    """
+    # Poisson bootstrap: the same md5-uniform -> Poisson(1) inverse-CDF
+    # weight per (row, resample), the same 80 sum columns, the same
+    # nearest-rank indexes into the sorted means (DuckDB lists are
+    # 1-based; Spark arrays 0-based — indexes shifted accordingly).
+    from econdatapipeline_spark.operators.stats import _POIS1_CDF
+
+    def _pois_w(j: int) -> str:
+        u = (
+            "(CAST(CAST('0x' || substr(md5(concat(CAST(o_orderkey AS "
+            f"VARCHAR), ':', '{j}')), 1, 8) AS BIGINT) % 1000003 "
+            "AS DOUBLE) / 1000003.0)"
+        )
+        w = str(len(_POIS1_CDF))
+        for k in range(len(_POIS1_CDF) - 1, -1, -1):
+            w = (
+                f"CASE WHEN {u} < CAST({_POIS1_CDF[k]!r} AS DOUBLE) "
+                f"THEN {k} ELSE {w} END"
+            )
+        return w
+
+    bs_sums = ", ".join(
+        f"SUM(x * ({_pois_w(j)})) AS sx{j}, "
+        f"CAST(SUM({_pois_w(j)}) AS BIGINT) AS sw{j}"
+        for j in range(40)
+    )
+    bs_means = ", ".join(
+        f"CAST(sx{j} AS DOUBLE) / CAST(nullif(sw{j}, 0) AS DOUBLE)"
+        for j in range(40)
+    )
+    bs_lo = int(0.025 * 39) + 1
+    bs_hi = int(0.975 * 39) + 1
+    sql["bootstrap_ci"] = f"""
+        WITH src AS (
+          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS x
+          FROM orders),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean,
+                 {bs_sums}
+          FROM src),
+        m AS (SELECT n, mean, list_sort([{bs_means}]) AS means FROM agg)
+        SELECT n, mean,
+               round(means[{bs_lo}], 6) AS ci_lo,
+               round(means[{bs_hi}], 6) AS ci_hi,
+               CAST(40 AS INT) AS b
+        FROM m
     """
     # Logistic regression: three unrolled GD iterations over weight-
     # table CTEs from the zero origin; per-doc errors and updated

@@ -883,3 +883,96 @@ def ordered_cumsum(
                 F.col(f"cum_{c}") + F.coalesce(F.col(f"__off_{c}"), F.lit(0)),
             ).drop(f"__off_{c}")
     return local.drop("__pid")
+
+
+# Poisson(1) inverse-CDF thresholds: P(X <= k) for k = 0..6. Literal
+# doubles shared verbatim with the SQL oracle so both engines draw the
+# identical integer weight from the same md5-uniform.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    b: int = 40,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean -> one row
+    (n, mean, ci_lo, ci_hi, b).
+
+    The distributed bootstrap (Chamandy et al., "Estimating
+    uncertainty for massive data streams"): resampling-with-replacement
+    is unshufflable at scale, but each row's multiplicity in resample
+    j is approximately Poisson(1) INDEPENDENTLY of other rows — so
+    every resample becomes a per-row integer weight drawn from
+    md5(id ':' j), and ALL ``b`` resample means compute in ONE
+    aggregate pass as 2b conditional-sum columns (no explode, no
+    shuffle, no second scan). The md5 derivation is the sampling-family
+    determinism rule: same resamples on any engine or layout.
+
+    Exactness discipline: values quantize to decimal(18,6) before the
+    weighted sums (exact, order-free); each resample mean is then an
+    exact-decimal / integer double. The interval is the empirical
+    [alpha/2, 1-alpha/2] quantile of the b means by the nearest-rank
+    rule (index floor(q*(b-1)) of the sorted means — integer
+    arithmetic, no interpolation ambiguity).
+
+    At 100 TB: cost is one scan regardless of b (columns, not rows);
+    b ~ 40-200 bounds CI noise well below data noise. For grouped CIs
+    run the same aggregate under a groupBy.
+    """
+    if b < 2:
+        raise ValueError(f"b must be >= 2, got {b}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    x = F.col(value_col).cast("decimal(18,6)")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(x).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean"),
+    ]
+    for j in range(b):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col(id_col), F.lit(str(j)))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 1000003
+        ).cast("double") / 1000003.0
+        w = F.lit(len(_POIS1_CDF))
+        for k in range(len(_POIS1_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+        aggs.append(F.sum(x * w).alias(f"sx{j}"))
+        aggs.append(F.sum(w).cast("long").alias(f"sw{j}"))
+    one = df.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.col(f"sx{j}").cast("double")
+                / F.nullif(F.col(f"sw{j}"), F.lit(0)).cast("double")
+                for j in range(b)
+            ]
+        )
+    )
+    lo_i = int((alpha / 2.0) * (b - 1))
+    hi_i = int((1.0 - alpha / 2.0) * (b - 1))
+    return one.select(
+        "n",
+        "mean",
+        F.round(means[lo_i], 6).alias("ci_lo"),
+        F.round(means[hi_i], 6).alias("ci_hi"),
+        F.lit(b).cast("int").alias("b"),
+    )

@@ -446,3 +446,52 @@ def test_ordered_cumsum_empty_and_single(spark):
     one = spark.createDataFrame([(5, 3)], "k int, c int")
     r = ordered_cumsum(one, "k", ["c"], num_partitions=4).collect()[0]
     assert r["cum_c"] == 3
+
+
+def test_bootstrap_ci_covers_true_mean(spark):
+    from econdatapipeline_spark.operators.stats import bootstrap_ci
+
+    rows = [(i, float(100 + (i % 21) - 10)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = bootstrap_ci(df, "v", "id", b=40).first()
+    assert out["n"] == 2000
+    # population mean 100; the interval must cover it and be tight
+    assert out["ci_lo"] <= 100.0 <= out["ci_hi"]
+    assert out["ci_hi"] - out["ci_lo"] < 2.0
+    assert out["ci_lo"] <= out["mean"] <= out["ci_hi"]
+
+
+def test_bootstrap_ci_deterministic_and_layout_free(spark):
+    from econdatapipeline_spark.operators.stats import bootstrap_ci
+
+    rows = [(i, float(i % 13)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    a = bootstrap_ci(df, "v", "id", b=20).first()
+    b = bootstrap_ci(df.repartition(7), "v", "id", b=20).first()
+    assert tuple(a) == tuple(b)
+
+
+def test_bootstrap_ci_width_shrinks_with_n(spark):
+    from econdatapipeline_spark.operators.stats import bootstrap_ci
+
+    small = spark.createDataFrame(
+        [(i, float(i % 40)) for i in range(200)], "id long, v double"
+    )
+    big = spark.createDataFrame(
+        [(i, float(i % 40)) for i in range(5000)], "id long, v double"
+    )
+    ws = bootstrap_ci(small, "v", "id", b=30).first()
+    wb = bootstrap_ci(big, "v", "id", b=30).first()
+    assert (wb["ci_hi"] - wb["ci_lo"]) < (ws["ci_hi"] - ws["ci_lo"])
+
+
+def test_bootstrap_ci_validates(spark):
+    import pytest
+
+    from econdatapipeline_spark.operators.stats import bootstrap_ci
+
+    df = spark.createDataFrame([(0, 1.0)], "id long, v double")
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "v", "id", b=1)
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "v", "id", alpha=0.0)
