@@ -3276,6 +3276,36 @@ def q_text_hygiene(spark, sf_dir):
     )
 
 
+def q_kaplan_meier(spark, sf_dir):
+    """Repeat-purchase survival curve (operators/survival.kaplan_meier):
+    per customer, time from first to second order (event) or to the
+    end of the observation window (censored — the customers naive
+    averages silently drop); product-limit survival via a reverse
+    cumulative at-risk sum and decimal-quantized ln(1 - d/n) running
+    sums on the distinct-times relation."""
+    from econdatapipeline_spark.operators.survival import kaplan_meier
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    # order-date ties need no id tie-break: with equal first dates the
+    # lead() is the twin date, so duration/event are value-determined
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    ranked = o.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nxt", F.lead("o_orderdate").over(w)
+    )
+    first = ranked.filter(F.col("rk") == 1)
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    subjects = first.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.datediff(F.col("nxt"), F.col("o_orderdate")),
+        )
+        .otherwise(F.datediff(F.col("h"), F.col("o_orderdate")))
+        .alias("duration"),
+        F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    return kaplan_meier(subjects)
+
+
 def q_bootstrap_ci(spark, sf_dir):
     """Poisson-bootstrap CI for mean order value
     (operators/stats.bootstrap_ci): 40 resamples as md5-derived
@@ -4363,6 +4393,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "logreg_quality": q_logreg_quality,
         "als_factorize": q_als_factorize,
         "bootstrap_ci": q_bootstrap_ci,
+        "kaplan_meier": q_kaplan_meier,
     }
 
 
@@ -8034,6 +8065,57 @@ def oracle_sql() -> dict[str, str]:
         FROM cum, qq
         WHERE cum >= ceil(CAST(q AS DOUBLE) * n)
         GROUP BY "group", q
+    """
+    # Kaplan-Meier: per-customer first/next order via the same window,
+    # reverse cumulative at-risk, decimal-quantized ln(1 - d/n) running
+    # sums; S drops to exact 0 once a time consumes the whole risk set.
+    sql["kaplan_meier"] = """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        subjects AS (
+          SELECT CASE WHEN nxt IS NOT NULL
+                      THEN date_diff('day', o_orderdate, nxt)
+                      ELSE date_diff('day', o_orderdate, h.h) END AS t,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e
+          FROM ranked CROSS JOIN h WHERE rk = 1),
+        per_t AS (
+          SELECT CAST(t AS BIGINT) AS t,
+                 CAST(SUM(e) AS BIGINT) AS n_events,
+                 CAST(SUM(1 - e) AS BIGINT) AS n_censored
+          FROM subjects GROUP BY 1),
+        risk AS (
+          SELECT *, SUM(n_events + n_censored) OVER (
+                      ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS n_risk
+          FROM per_t),
+        terms AS (
+          SELECT *,
+                 CASE WHEN n_events < n_risk THEN
+                   CAST(ln(CAST(n_risk - n_events AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE)) AS DECIMAL(18,9))
+                 ELSE CAST(0 AS DECIMAL(18,9)) END AS term,
+                 CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS dead
+          FROM risk),
+        curve AS (
+          SELECT t, n_risk, n_events, n_censored,
+                 SUM(term) OVER (ORDER BY t ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ln_s,
+                 MAX(dead) OVER (ORDER BY t ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS died
+          FROM terms)
+        SELECT t, n_risk, n_events, n_censored,
+               CASE WHEN died = 1 THEN 0.0
+                    ELSE round(exp(CAST(ln_s AS DOUBLE)), 6) END AS survival
+        FROM curve
     """
     # Poisson bootstrap: the same md5-uniform -> Poisson(1) inverse-CDF
     # weight per (row, resample), the same 80 sum columns, the same
