@@ -8124,10 +8124,11 @@ def oracle_sql() -> dict[str, str]:
     from econdatapipeline_spark.operators.stats import _POIS1_CDF
 
     def _pois_w(j: int) -> str:
+        block, chunk = divmod(j, 4)
         u = (
             "(CAST(CAST('0x' || substr(md5(concat(CAST(o_orderkey AS "
-            f"VARCHAR), ':', '{j}')), 1, 8) AS BIGINT) % 1000003 "
-            "AS DOUBLE) / 1000003.0)"
+            f"VARCHAR), ':', '{block}')), {1 + 8 * chunk}, 8) "
+            "AS BIGINT) % 1000003 AS DOUBLE) / 1000003.0)"
         )
         w = str(len(_POIS1_CDF))
         for k in range(len(_POIS1_CDF) - 1, -1, -1):
@@ -8138,23 +8139,27 @@ def oracle_sql() -> dict[str, str]:
         return w
 
     bs_sums = ", ".join(
-        f"SUM(x * ({_pois_w(j)})) AS sx{j}, "
+        f"CAST(SUM(x * ({_pois_w(j)})) AS BIGINT) AS sx{j}, "
         f"CAST(SUM({_pois_w(j)}) AS BIGINT) AS sw{j}"
         for j in range(40)
     )
     bs_means = ", ".join(
-        f"CAST(sx{j} AS DOUBLE) / CAST(nullif(sw{j}, 0) AS DOUBLE)"
+        f"(CAST(sx{j} AS DOUBLE) / CAST(nullif(sw{j}, 0) AS DOUBLE))"
+        " / 1000000.0"
         for j in range(40)
     )
     bs_lo = int(0.025 * 39) + 1
     bs_hi = int(0.975 * 39) + 1
     sql["bootstrap_ci"] = f"""
         WITH src AS (
-          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS x
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000
+                      AS BIGINT) AS x
           FROM orders),
         agg AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                 round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean,
+                 round((CAST(SUM(x) AS DOUBLE) / 1000000.0) / COUNT(*), 6)
+                   AS mean,
                  {bs_sums}
           FROM src),
         m AS (SELECT n, mean, list_sort([{bs_means}]) AS means FROM agg)
