@@ -3306,6 +3306,35 @@ def q_kaplan_meier(spark, sf_dir):
     return kaplan_meier(subjects)
 
 
+def q_median_survival(spark, sf_dir):
+    """Median repeat-purchase time (operators/survival.median_survival):
+    the smallest t where the Kaplan-Meier curve reaches S <= 0.5 —
+    null (honest, not extrapolated) if censoring keeps the curve
+    above half."""
+    from econdatapipeline_spark.operators.survival import (
+        kaplan_meier,
+        median_survival,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    ranked = o.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nxt", F.lead("o_orderdate").over(w)
+    )
+    first = ranked.filter(F.col("rk") == 1)
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    subjects = first.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.datediff(F.col("nxt"), F.col("o_orderdate")),
+        )
+        .otherwise(F.datediff(F.col("h"), F.col("o_orderdate")))
+        .alias("duration"),
+        F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    return median_survival(kaplan_meier(subjects))
+
+
 def q_bootstrap_ci(spark, sf_dir):
     """Poisson-bootstrap CI for mean order value
     (operators/stats.bootstrap_ci): 40 resamples as md5-derived
@@ -4394,6 +4423,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "als_factorize": q_als_factorize,
         "bootstrap_ci": q_bootstrap_ci,
         "kaplan_meier": q_kaplan_meier,
+        "median_survival": q_median_survival,
     }
 
 
@@ -8116,6 +8146,18 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN died = 1 THEN 0.0
                     ELSE round(exp(CAST(ln_s AS DOUBLE)), 6) END AS survival
         FROM curve
+    """
+    # Median survival: the KM oracle's curve CTEs, reduced to the
+    # smallest t at or below S = 0.5.
+    km_body = sql["kaplan_meier"]
+    km_core = km_body[: km_body.rindex("SELECT")]
+    sql["median_survival"] = km_core + """
+        SELECT MIN(t) AS median_t FROM (
+          SELECT t,
+                 CASE WHEN died = 1 THEN 0.0
+                      ELSE round(exp(CAST(ln_s AS DOUBLE)), 6) END AS s
+          FROM curve)
+        WHERE s <= 0.5
     """
     # Poisson bootstrap: the same md5-uniform -> Poisson(1) inverse-CDF
     # weight per (row, resample), the same 80 sum columns, the same
