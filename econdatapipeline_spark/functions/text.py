@@ -233,7 +233,7 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
     """MinHash signature as array<long>: one md5 base hash per shingle,
     expanded into the pairwise-independent affine family
-    h_i(x) = (a_i·x + b_i) mod (2^61 − 1) with per-slot coefficients
+    h_i(x) = (a_i·x + b_i) mod (2^31 − 1) with per-slot coefficients
     (``minhash_coeffs``) over the first 32 bits of the md5.
 
     One md5 per shingle (the expensive part), integer math per slot.

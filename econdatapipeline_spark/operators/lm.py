@@ -85,7 +85,15 @@ def lm_score(
     profile); pass ``train_bigram_lm(trusted_corpus)`` for the
     cross-corpus filter. Documents with fewer than two tokens score
     null xent/ppl with n_bigrams = 0.
+
+    Broadcast policy: bigram *types* grow roughly with corpus tokens,
+    so a self-trained model is NOT broadcast-hinted — AQE size-decides
+    at runtime (and still picks broadcast when the model is small).
+    The cross-corpus path (an explicitly passed ``model``, trained on a
+    small trusted corpus per CCNet) keeps the hint. The 1-row vocab
+    relation always broadcasts.
     """
+    hint = F.broadcast if model is not None else (lambda d: d)
     if model is None:
         model = train_bigram_lm(df, text_col, id_col)
     c2, c1, vocab = model
@@ -93,8 +101,8 @@ def lm_score(
         "w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1))
     )
     scored = (
-        bg.join(F.broadcast(c2), "g", "left")
-        .join(F.broadcast(c1), "w1", "left")
+        bg.join(hint(c2), "g", "left")
+        .join(hint(c1), "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
@@ -149,8 +157,10 @@ def dsir_log_ratio(
     deterministic ORDER BY key (dsir_select).
 
     Scale shape: ONE bigram explode of the raw corpus scored against
-    both broadcast models in the same projection — the second model
-    adds two broadcast joins, not a second scan.
+    both models in the same projection — the second model adds two
+    joins, not a second scan. The target model broadcasts (trusted
+    corpus = small); the raw model is corpus-sized, so its joins are
+    left to AQE.
     """
     c2t, c1t, vt = train_bigram_lm(target, text_col, id_col)
     c2r, c1r, vr = train_bigram_lm(df, text_col, id_col)
@@ -173,10 +183,11 @@ def dsir_log_ratio(
             F.broadcast(c1t.withColumnRenamed("c1", "c1_t")), "w1", "left"
         )
         .crossJoin(F.broadcast(vt.withColumnRenamed("vocab", "v_t")))
-        .join(F.broadcast(c2r.withColumnRenamed("c2", "c2_r")), "g", "left")
-        .join(
-            F.broadcast(c1r.withColumnRenamed("c1", "c1_r")), "w1", "left"
-        )
+        # The RAW model is trained on ``df`` itself: bigram types grow
+        # with corpus tokens, so no broadcast hint — AQE size-decides.
+        # The target model stays hinted (trusted corpus = small).
+        .join(c2r.withColumnRenamed("c2", "c2_r"), "g", "left")
+        .join(c1r.withColumnRenamed("c1", "c1_r"), "w1", "left")
         .crossJoin(F.broadcast(vr.withColumnRenamed("vocab", "v_r")))
         .select(
             F.col(id_col),

@@ -345,6 +345,50 @@ def gopher_rules(
     Scale: narrow map-only transform, whole-stage codegen, no shuffle —
     the aggregate report is the caller's groupBy.
     """
+    exprs = gopher_flag_exprs(
+        text_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_word_len=min_word_len,
+        max_word_len=max_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        max_bullet_frac=max_bullet_frac,
+        max_ellipsis_frac=max_ellipsis_frac,
+        min_alpha_frac=min_alpha_frac,
+        min_required_stops=min_required_stops,
+    )
+    return df.select(
+        F.col(id_col), *[v.alias(k) for k, v in exprs.items()]
+    ).withColumn(
+        "gopher_pass",
+        F.col("ok_words")
+        & F.col("ok_word_len")
+        & F.col("ok_symbol")
+        & F.col("ok_bullet")
+        & F.col("ok_ellipsis")
+        & F.col("ok_alpha")
+        & F.col("ok_stops"),
+    )
+
+
+def gopher_flag_exprs(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_required_stops: int = 2,
+) -> dict[str, Column]:
+    """The Gopher battery as NAMED COLUMN EXPRESSIONS (n_words + the
+    seven ok_* flags) over ``text_col`` — the single rule
+    implementation behind gopher_rules (batch select) and the
+    streaming curation gate (withColumns on the live frame, which must
+    not join the stream against itself: a stream-stream join would
+    plan an unbounded state store for what is a stateless map)."""
     t = F.lower(F.trim(F.col(text_col)))
     toks = F.split(t, r"\s+")
     n_words = F.size(toks)
@@ -364,27 +408,15 @@ def gopher_rules(
     n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
     stops = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
     n_stops = F.size(F.array_intersect(toks, stops))
-    return df.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        (n_words.between(min_words, max_words)).alias("ok_words"),
-        (
-            (mean_len >= min_word_len) & (mean_len <= max_word_len)
-        ).alias("ok_word_len"),
-        (symbol_ratio <= max_symbol_ratio).alias("ok_symbol"),
-        (n_bullet / n_lines <= max_bullet_frac).alias("ok_bullet"),
-        (n_ell_end / n_lines <= max_ellipsis_frac).alias("ok_ellipsis"),
-        (
-            n_alpha_words / F.greatest(n_words, F.lit(1)) >= min_alpha_frac
-        ).alias("ok_alpha"),
-        (n_stops >= min_required_stops).alias("ok_stops"),
-    ).withColumn(
-        "gopher_pass",
-        F.col("ok_words")
-        & F.col("ok_word_len")
-        & F.col("ok_symbol")
-        & F.col("ok_bullet")
-        & F.col("ok_ellipsis")
-        & F.col("ok_alpha")
-        & F.col("ok_stops"),
-    )
+    return {
+        "n_words": n_words.cast("long"),
+        "ok_words": n_words.between(min_words, max_words),
+        "ok_word_len": (mean_len >= min_word_len)
+        & (mean_len <= max_word_len),
+        "ok_symbol": symbol_ratio <= max_symbol_ratio,
+        "ok_bullet": n_bullet / n_lines <= max_bullet_frac,
+        "ok_ellipsis": n_ell_end / n_lines <= max_ellipsis_frac,
+        "ok_alpha": n_alpha_words / F.greatest(n_words, F.lit(1))
+        >= min_alpha_frac,
+        "ok_stops": n_stops >= min_required_stops,
+    }

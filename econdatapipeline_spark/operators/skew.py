@@ -8,10 +8,13 @@ partition re-concentrates on the same reducer set.
 
 ``salted_join``: the fact side gets a deterministic per-row salt in
 [0, n); the dim side is exploded n-fold with every salt value. The join
-key becomes (key, salt), spreading each hot key over n reducers. Result
-set is provably identical to the unsalted join (each fact row meets
-exactly the one dim replica carrying its salt). Cost: dim side x n —
-only ever salt against a small-to-medium dim side.
+key becomes (key, salt), spreading each hot key over n reducers. For
+``inner`` and ``left`` joins the result set is provably identical to
+the unsalted join (each fact row meets exactly the one dim replica
+carrying its salt). ``right``/``full`` are rejected: an unmatched dim
+key would surface once per salt replica (n null-extended duplicates) —
+salt the other way around instead. Cost: dim side x n — only ever salt
+against a small-to-medium dim side.
 """
 
 from __future__ import annotations
@@ -37,18 +40,31 @@ def salted_join(
     join key itself XOR'd through xxhash64 with a row-varying component
     is NOT possible without a unique column — pass a unique/quasi-unique
     column for real spreading; key-only salting is a no-op spread).
+
+    ``how`` must be ``inner`` or ``left`` — the fact side keeps every
+    row in both. A right/full variant would emit ``num_salts``
+    duplicate null-extended rows per unmatched dim key (the dim side is
+    exploded n-fold), silently corrupting the result.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "the exploded dim side would duplicate unmatched dim keys "
+            "num_salts times under right/full joins"
+        )
     src = F.col(salt_source) if salt_source else F.spark_partition_id()
     f = fact.withColumn("__salt", F.pmod(F.xxhash64(src), F.lit(num_salts)))
     d = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(num_salts)]))
     )
+    # Qualify the key references through each side's DataFrame: with
+    # same-named fact/dim keys a bare F.col() would be ambiguous.
     joined = f.join(
         d,
-        (f["__salt"] == d["__salt"]) & (F.col(fact_key) == F.col(dim_key)),
+        (f["__salt"] == d["__salt"]) & (f[fact_key] == d[dim_key]),
         how,
     )
-    return joined.drop("__salt")
+    return joined.drop(f["__salt"]).drop(d["__salt"])
 
 
 def top_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:

@@ -667,9 +667,11 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
 
     The robust companion to corr_pairs' Pearson: monotone association
     free of outlier leverage. Each column reduces to its distinct values
-    (one hash aggregate), average ranks come from a window over that
-    small relation — avg_rank = cum_before + (cnt + 1)/2, an exact
-    half-integer — and rho is Pearson on the rank columns. Every
+    (one hash aggregate), average ranks come from a distributed prefix
+    sum over that relation (which for a continuous column is as large
+    as the input — never assume it broadcasts) — avg_rank =
+    cum_before + (cnt + 1)/2, an exact half-integer — and rho is
+    Pearson on the rank columns. Every
     sufficient statistic is a sum of quarter-integers below 2^53, so
     the computation is EXACT in double regardless of partition order
     (no decimal quantization needed); sqrt is IEEE-exact.
@@ -690,10 +692,15 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             ).alias(out),
         )
     ra, rb = ranks(col_a, "rx"), ranks(col_b, "ry")
+    # NO broadcast hint on the rank relations: for a continuous column
+    # distinct values ~ row count, so forcing a broadcast would ship a
+    # table the size of the input to every executor at scale. AQE
+    # size-decides at runtime (it still picks broadcast when the column
+    # is genuinely low-cardinality) — same posture as gini_coefficient.
     joined = (
         df.select(F.col(col_a).alias("va"), F.col(col_b).alias("vb"))
-        .join(F.broadcast(ra.withColumnRenamed("v", "va")), "va")
-        .join(F.broadcast(rb.withColumnRenamed("v", "vb")), "vb")
+        .join(ra.withColumnRenamed("v", "va"), "va")
+        .join(rb.withColumnRenamed("v", "vb"), "vb")
     )
     agg = joined.agg(
         F.count(F.lit(1)).alias("n"),

@@ -19,7 +19,6 @@ via html.unescape, and whitespace collapse.
 
 from __future__ import annotations
 
-import html as _html
 import re
 from html.parser import HTMLParser
 
@@ -95,7 +94,12 @@ def extract_tables(html_text: str) -> list[list[list[str]]]:
     <table>-start ordinal at parse time, so nested tables — which CLOSE
     before their parents — still sort to where they appeared)."""
     p = _TableParser()
-    p.feed(_html.unescape(html_text) if "&" in html_text else html_text)
+    # No pre-feed unescape: HTMLParser(convert_charrefs=True) already
+    # decodes entities in text nodes. Unescaping the whole document
+    # first would turn escaped markup inside cells ("&lt;table&gt;...")
+    # into live tags (phantom nested tables, lost cell text) and
+    # double-decode entities ("&amp;amp;" -> "&").
+    p.feed(html_text)
     p.close()
     return [rows for _, rows in sorted(p.tables)]
 

@@ -24,13 +24,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from econdatapipeline_spark.operators.quality import gopher_rules
+from econdatapipeline_spark.operators.quality import gopher_flag_exprs
 
 
 _RULES = (
     "ok_words", "ok_word_len", "ok_symbol", "ok_bullet",
     "ok_ellipsis", "ok_alpha", "ok_stops",
 )
+
+
+def _flagged(docs: DataFrame, text_col: str, **gopher_overrides) -> DataFrame:
+    """docs + rule flags + gopher_pass, computed as withColumns on the
+    SAME frame — never a join of the stream against a projection of
+    itself, which on a streaming frame would plan a stateful
+    stream-stream join with unbounded state for a stateless map."""
+    exprs = gopher_flag_exprs(text_col, **gopher_overrides)
+    out = docs.withColumns(exprs)
+    return out.withColumn(
+        "gopher_pass",
+        F.col(_RULES[0])
+        & F.col(_RULES[1])
+        & F.col(_RULES[2])
+        & F.col(_RULES[3])
+        & F.col(_RULES[4])
+        & F.col(_RULES[5])
+        & F.col(_RULES[6]),
+    )
 
 
 def curation_gate(
@@ -42,12 +61,11 @@ def curation_gate(
     """Keep only documents passing the Gopher battery -> the original
     columns plus the rule flags (so downstream audits don't recompute).
     Stateless; identical semantics on batch and streaming frames."""
-    flags = gopher_rules(docs, text_col, id_col, **gopher_overrides)
     keep = [c for c in docs.columns if c != id_col]
     return (
-        docs.alias("d")
-        .join(flags.filter(F.col("gopher_pass")).alias("f"), id_col)
-        .select(id_col, *[F.col(f"d.{c}") for c in keep], *_RULES)
+        _flagged(docs, text_col, **gopher_overrides)
+        .filter(F.col("gopher_pass"))
+        .select(id_col, *keep, *_RULES)
     )
 
 
@@ -68,8 +86,9 @@ def quality_monitor(
     stable pass fraction — any single fail_* series spiking is the
     direct pointer to WHAT broke (encoding gone wrong -> fail_alpha;
     a listings site flooding in -> fail_bullet)."""
-    flags = gopher_rules(docs, text_col, id_col, **gopher_overrides)
-    joined = docs.select(F.col(id_col), F.col(ts_col)).join(flags, id_col)
+    joined = _flagged(docs, text_col, **gopher_overrides).select(
+        F.col(id_col), F.col(ts_col), F.col("gopher_pass"), *_RULES
+    )
     if joined.isStreaming:
         joined = joined.withWatermark(ts_col, watermark)
     aggs = [

@@ -92,6 +92,42 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_join_same_named_keys(spark):
+    # Same-named fact/dim key must not be ambiguous — the join keys are
+    # qualified through each side's DataFrame.
+    fact = spark.range(0, 100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("rowid")
+    )
+    dim = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    out = salted_join(fact, dim, "k", "k", num_salts=3).select("rowid", "attr")
+    plain = fact.join(dim.withColumnRenamed("k", "dk"), F.col("k") == F.col("dk"))
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.select("rowid", "attr").collect())
+    )
+
+
+def test_salted_join_left_keeps_unmatched_fact_rows(spark):
+    fact = spark.createDataFrame([(1, 10), (9, 11)], "k long, rowid long")
+    dim = spark.createDataFrame([(1, 100)], "dk long, attr long")
+    out = salted_join(fact, dim, "k", "dk", num_salts=4, how="left")
+    got = sorted((r["rowid"], r["attr"]) for r in out.collect())
+    assert got == [(10, 100), (11, None)]
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    # right/full would emit num_salts null-extended duplicates per
+    # unmatched dim key (the dim side is exploded n-fold).
+    import pytest
+
+    fact = spark.range(3).select(F.col("id").alias("k"))
+    dim = spark.range(3).select(F.col("id").alias("dk"))
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(fact, dim, "k", "dk", how=how)
+
+
 def test_top_keys_diagnostic(spark):
     fact = spark.range(0, 100).select(
         F.when(F.col("id") < 80, F.lit(1)).otherwise(F.col("id")).alias("k")

@@ -51,6 +51,27 @@ def test_colspan_rowspan_expansion(spark):
     assert t[2] == ["x", "1", "2"]
 
 
+def test_escaped_markup_stays_literal_cell_text():
+    # Escaped markup inside a cell must parse as text, not live tags —
+    # a pre-feed html.unescape would materialize a phantom nested
+    # table and lose the cell text.
+    html = (
+        "<table><tr>"
+        "<td>&lt;table&gt;&lt;tr&gt;&lt;td&gt;x&lt;/td&gt;&lt;/tr&gt;&lt;/table&gt;</td>"
+        "<td>ok</td>"
+        "</tr></table>"
+    )
+    tables = extract_tables(html)
+    assert len(tables) == 1
+    assert tables[0] == [["<table><tr><td>x</td></tr></table>", "ok"]]
+
+
+def test_entities_decode_exactly_once():
+    html = "<table><tr><td>&amp;amp;</td><td>a &amp; b</td></tr></table>"
+    t = extract_tables(html)[0]
+    assert t[0] == ["&amp;", "a & b"]
+
+
 def test_ragged_rows_pad_null(spark):
     html = "<table><tr><td>a</td><td>b</td></tr><tr><td>only</td></tr></table>"
     df = read_html_table(spark, html, header=False)

@@ -140,7 +140,20 @@ def test_value_asof_prunes_earlier_revisions(spark):
     # from the plan entirely while batch 2 survives — the plan-time
     # analog of row-group pruning on a real append-only log. The
     # aggregate must stay the no-window min_by shape.
-    plan = plan_of(E.q_value_asof(spark, SF_DIR))
+    # materialize=False: the bench-path fixture caches/persists the
+    # log (an InMemoryRelation would mask the pruning proof); the lazy
+    # build exposes the same plan a real append-only log table yields.
+    from econdatapipeline_spark.operators.scd import value_asof
+    from pyspark.sql import functions as F
+
+    merged, revlog = E._two_batch_log(spark, SF_DIR, materialize=False)
+    rev = revlog.withColumn("okey", F.col("data_date").cast("long"))
+    plan = plan_of(
+        value_asof(
+            merged, rev, F.lit(E.ASOF_MID), key_cols=["okey"],
+            value_col="total",
+        )
+    )
     assert "min_by" in plan
     assert "2025-06-02 00:00:00" in plan        # later batch feeds min_by
     assert "2025-06-01 00:00:00" not in plan    # earlier batch pruned away
@@ -284,11 +297,73 @@ def test_stratified_priority_sample_uses_window_group_limit(spark):
 
 
 def test_lm_score_model_joins_broadcast(spark):
-    """The bigram-LM model relations are vocabulary-sized by
-    construction; scoring must broadcast them onto the occurrence scan
+    """At sf0.001 the self-trained bigram model IS small, so the
+    size-based planner still broadcasts it onto the occurrence scan
     (no sort-merge join shuffles the corpus by bigram key)."""
     plan = plan_of(E.queries()["lm_score"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+@contextlib.contextmanager
+def _no_auto_broadcast(spark):
+    """Disable size-based broadcast so any BroadcastHashJoin left in a
+    plan can only come from a forced F.broadcast() hint."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_spearman_rank_relations_not_force_broadcast(spark):
+    """spearman_corr's rank relations are distinct-value-sized — for a
+    continuous column that is the input's size, so a forced broadcast
+    hint would OOM at 100 TB. With auto-broadcast disabled, a hint
+    would still plan BroadcastHashJoin; its absence proves the join is
+    size-decided (AQE picks broadcast only when genuinely small)."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(E.queries()["spearman"](spark, SF_DIR))
+    # The rank joins (Inner, on the value key) must fall back to SMJ;
+    # the only broadcasts left are ordered_cumsum's |partitions|-sized
+    # offset tables (LeftOuter on __pid), which are bounded by design.
+    assert "SortMergeJoin Inner" in plan
+    assert "BroadcastHashJoin Inner" not in plan
+
+
+def test_lm_score_self_trained_model_not_force_broadcast(spark):
+    """A self-trained bigram model has O(corpus tokens) bigram types;
+    the hint must be absent on the self-trained path (hint-free plans
+    collapse to non-broadcast joins when auto-broadcast is off). The
+    1-row vocab relation legitimately keeps its hint, but that is a
+    cross join (BroadcastNestedLoopJoin); a hinted model equi-join
+    would surface as BroadcastHashJoin."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(E.queries()["lm_score"](spark, SF_DIR))
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_lm_score_explicit_model_keeps_broadcast_hint(spark):
+    """The cross-corpus path (CCNet shape: model trained on a small
+    trusted corpus) SHOULD pin the broadcast — the hint must survive
+    auto-broadcast being disabled."""
+    from econdatapipeline_spark.operators.lm import lm_score, train_bigram_lm
+    from econdatapipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    model = train_bigram_lm(d.limit(50))
+    with _no_auto_broadcast(spark):
+        plan = plan_of(lm_score(d, model))
     assert "BroadcastHashJoin" in plan
 
 
