@@ -2447,7 +2447,7 @@ ASOF_MID = dt.datetime(2025, 6, 1, 12, 0, 0)
 _TWO_BATCH_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 
 
-def _two_batch_log(spark, sf_dir, materialize=True):
+def _two_batch_log(spark, sf_dir, materialize=True, run_ts1=None, run_ts2=None):
     """Two smart_update batches over orders -> (final state, revision log).
 
     Batch 2 perturbs a different key set than batch 1 (including value
@@ -2462,15 +2462,21 @@ def _two_batch_log(spark, sf_dir, materialize=True):
 
     ``materialize=False`` returns the fully lazy plans (no cache, no
     persist) — used by plan tests that prove predicate pruning through
-    the log derivation, which an InMemoryRelation would mask.
+    the log derivation, which an InMemoryRelation would mask. Such
+    tests should also pass distinct ``run_ts1``/``run_ts2`` stamps:
+    with the default literals the lazy plan is fragment-identical to
+    the persisted fixture and Spark's CacheManager silently swaps the
+    InMemoryRelation back in.
     """
+    run_ts1 = run_ts1 or RUN_TS
+    run_ts2 = run_ts2 or RUN_TS2
     key = (id(spark), sf_dir)
     hit = materialize and _TWO_BATCH_CACHE.get(key)
     if hit:
         return hit
     o = _t(spark, sf_dir, "orders")
     existing, incoming = _merge_frames(spark, sf_dir)
-    res1 = smart_update(existing, incoming, ["okey"], ["total"], "orders_sim", run_ts=RUN_TS)
+    res1 = smart_update(existing, incoming, ["okey"], ["total"], "orders_sim", run_ts=run_ts1)
     incoming2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
         F.col("o_orderkey").alias("okey"),
         F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 25.0)
@@ -2487,7 +2493,7 @@ def _two_batch_log(spark, sf_dir, materialize=True):
         m1.count()
     else:
         m1 = res1.merged
-    res2 = smart_update(m1, incoming2, ["okey"], ["total"], "orders_sim", run_ts=RUN_TS2)
+    res2 = smart_update(m1, incoming2, ["okey"], ["total"], "orders_sim", run_ts=run_ts2)
     merged = res2.merged
     revlog = res1.revisions.unionByName(res2.revisions)
     if materialize:
@@ -3036,50 +3042,26 @@ def q_adamic_adar(spark, sf_dir):
     and the ln floor-rounded for engine parity. The qty > 48 edge
     filter is the sparsity guard: a hub supplier with c customers
     costs c^2 pair rows."""
+    from econdatapipeline_spark.operators.graph import adamic_adar
+
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     edges = (
         li.filter(F.col("l_quantity") > 48)
         .join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-        .distinct()
         # No barrier: the broadcast weight subtree and both pair-join
-        # sides end in the IDENTICAL distinct exchange, and AQE stage
-        # reuse shares it across all three within this one action —
-        # an eager persist barrier here measured 3x slower (same
-        # lesson as degrees(); see SCALE.md's materialization ledger).
+        # sides end in the IDENTICAL distinct exchange (the operator
+        # re-distincts), and AQE stage reuse shares it across all
+        # three within this one action — an eager persist barrier here
+        # measured 3x slower (same lesson as degrees(); see SCALE.md's
+        # materialization ledger).
     )
-    deg = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
-    # 1/ln(deg) per supplier, floor-rounded once so both engines sum
-    # identical addends; deg=1 suppliers (ln=0) cannot co-occur in a
-    # pair anyway and are dropped to keep the division total.
-    wgt = deg.filter(F.col("deg") >= 2).select(
-        "supp",
-        (
-            F.floor(
-                (F.lit(1.0) / F.log(F.col("deg").cast("double")))
-                * F.lit(1000000.0)
-                + F.lit(0.5)
-            )
-            / F.lit(1000000.0)
-        ).alias("w"),
-    )
-    ew = edges.join(F.broadcast(wgt), "supp")
-    a, b = ew.alias("a"), ew.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.supp") == F.col("b.supp"))
-            & (F.col("a.cust") < F.col("b.cust")),
-        )
-        .groupBy(
-            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("shared_suppliers"),
-            F.sum(F.col("a.w").cast("decimal(28,12)")).cast("double").alias("aa_score"),
-        )
-        .filter(F.col("shared_suppliers") >= 2)
+    return adamic_adar(edges, node_col="cust", via_col="supp").select(
+        F.col("u").alias("cust_a"),
+        F.col("v").alias("cust_b"),
+        F.col("shared").alias("shared_suppliers"),
+        "aa_score",
     )
 
 

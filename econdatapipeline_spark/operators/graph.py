@@ -602,7 +602,8 @@ def bfs_distances(
 
 
 def degree_assortativity(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    partitioned: bool = False,
 ) -> DataFrame:
     """Degree assortativity coefficient -> one row (n_edges, r).
 
@@ -612,18 +613,25 @@ def degree_assortativity(
     symmetrized edge list, which IS the standard convention: each
     undirected edge contributes both (deg_u, deg_v) orderings, making
     the statistic symmetric without special-casing. One degree
-    aggregate, two broadcast joins onto the edge list, exact integer
+    aggregate, two joins onto the edge list, exact integer
     sufficient statistics (degree products bounded well inside 2^63),
     so r is partition-order exact; only the final divisions and sqrt
     are floating point.
+
+    ``partitioned``: the degree relation is |nodes|-sized; the default
+    broadcast hint is honest to ~10^8 nodes (pagerank's documented
+    ceiling). ``partitioned=True`` drops the hint — the degree joins
+    shuffle on the node key instead, the billion-node mode. Identical
+    output either way (the pagerank twin-mode contract).
     """
+    mb = (lambda d: d) if partitioned else F.broadcast
     ed = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     j = (
-        ed.join(F.broadcast(deg.withColumnRenamed("u", "__a")), ed.u == F.col("__a"))
+        ed.join(mb(deg.withColumnRenamed("u", "__a")), ed.u == F.col("__a"))
         .withColumnRenamed("d", "dx")
         .drop("__a")
-        .join(F.broadcast(deg.withColumnRenamed("u", "__b")), ed.v == F.col("__b"))
+        .join(mb(deg.withColumnRenamed("u", "__b")), ed.v == F.col("__b"))
         .withColumnRenamed("d", "dy")
         .drop("__b")
     )
@@ -644,6 +652,68 @@ def degree_assortativity(
         F.round(
             F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
         ).alias("r"),
+    )
+
+
+def adamic_adar(
+    incidence: DataFrame,
+    node_col: str = "node",
+    via_col: str = "via",
+    min_shared: int = 2,
+    partitioned: bool = False,
+) -> DataFrame:
+    """Adamic-Adar link prediction over a (node, shared-entity)
+    incidence list -> (u, v, shared, aa_score) with u < v.
+
+    AA(u, v) = sum over shared entities s of 1 / ln(deg(s)) — common
+    neighbors, discounted so ubiquitous entities contribute little.
+    Candidate pairs come from the posting-list self-join on ``via_col``
+    (never all-pairs): a shared entity with c incident nodes costs c^2
+    pair rows, so pre-filter hub entities upstream (the sparsity guard
+    every posting join in this repo carries, cf. dedup.ngram_jaccard's
+    max_doc_freq). Each 1/ln(deg) is floor-rounded at 1e-6 once and
+    summed in decimal(28,12), so scores are summation-order-free and
+    engine-portable; deg=1 entities (ln = 0) cannot co-occur in any
+    pair and are dropped before the division.
+
+    ``partitioned``: the weight relation is |entities|-sized — the
+    node-set size class. The default broadcast hint is honest to
+    ~10^8 entities (pagerank's ceiling); ``partitioned=True`` drops it
+    so the weight join shuffles on the entity key (billion-node mode).
+    Identical output either way. The dominant cost is the pair
+    self-join, which always shuffles on ``via_col``.
+    """
+    mb = (lambda d: d) if partitioned else F.broadcast
+    inc = incidence.select(
+        F.col(node_col).alias("n"), F.col(via_col).alias("s")
+    ).distinct()
+    deg = inc.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    wgt = deg.filter(F.col("deg") >= 2).select(
+        "s",
+        (
+            F.floor(
+                (F.lit(1.0) / F.log(F.col("deg").cast("double")))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("w"),
+    )
+    ew = inc.join(mb(wgt), "s")
+    a, b = ew.alias("a"), ew.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.n") < F.col("b.n")),
+        )
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.sum(F.col("a.w").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("aa_score"),
+        )
+        .filter(F.col("shared") >= min_shared)
     )
 
 

@@ -48,39 +48,29 @@ def test_pagerank_isolated_source_gets_teleport_only(spark):
 
 
 def test_adamic_adar_matches_python_reference(spark):
-    """The shared-supplier posting join + floor-rounded 1/ln(deg)
-    weights vs a direct Python computation on a small random bipartite
-    graph (mirrors q_adamic_adar's shape without the TPC-H upstream)."""
+    """operators/graph.adamic_adar (the shared-entity posting join +
+    floor-rounded 1/ln(deg) weights) vs a direct Python computation on
+    a small random bipartite graph (mirrors q_adamic_adar's shape
+    without the TPC-H upstream) — in BOTH transport modes."""
     import math
     import random
 
-    from pyspark.sql import functions as F
+    from econdatapipeline_spark.operators.graph import adamic_adar
 
     rng = random.Random(11)
     edges = sorted({(rng.randint(0, 15), rng.randint(100, 112)) for _ in range(80)})
     df = spark.createDataFrame(edges, "cust long, supp long")
 
-    deg = df.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
-    wgt = deg.filter(F.col("deg") >= 2).select(
-        "supp",
-        (
-            F.floor((F.lit(1.0) / F.log(F.col("deg").cast("double"))) * 1e6 + F.lit(0.5))
-            / F.lit(1e6)
-        ).alias("w"),
-    )
-    ew = df.join(F.broadcast(wgt), "supp")
-    a, b = ew.alias("a"), ew.alias("b")
+    out = adamic_adar(df, node_col="cust", via_col="supp", min_shared=1)
     got = {
-        (r["cust_a"], r["cust_b"]): (r["shared"], r["aa"])
-        for r in a.join(
-            b, (F.col("a.supp") == F.col("b.supp")) & (F.col("a.cust") < F.col("b.cust"))
-        )
-        .groupBy(F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b"))
-        .agg(
-            F.count(F.lit(1)).alias("shared"),
-            F.sum(F.col("a.w").cast("decimal(28,12)")).cast("double").alias("aa"),
-        )
-        .collect()
+        (r["u"], r["v"]): (r["shared"], r["aa_score"]) for r in out.collect()
+    }
+    # partitioned mode (no |entities|-sized broadcast) is bit-identical
+    part = adamic_adar(
+        df, node_col="cust", via_col="supp", min_shared=1, partitioned=True
+    )
+    assert got == {
+        (r["u"], r["v"]): (r["shared"], r["aa_score"]) for r in part.collect()
     }
 
     # python reference
@@ -267,6 +257,9 @@ def test_assortativity_star_negative(spark):
     )
     r = degree_assortativity(edges).collect()[0]
     assert r["r"] == -1.0 and r["n_edges"] == 12
+    # partitioned mode (no |nodes|-sized broadcast) is bit-identical
+    rp = degree_assortativity(edges, partitioned=True).collect()[0]
+    assert (rp["r"], rp["n_edges"]) == (r["r"], r["n_edges"])
 
 
 def test_assortativity_regular_graph_null(spark):

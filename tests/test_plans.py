@@ -146,17 +146,25 @@ def test_value_asof_prunes_earlier_revisions(spark):
     from econdatapipeline_spark.operators.scd import value_asof
     from pyspark.sql import functions as F
 
-    merged, revlog = E._two_batch_log(spark, SF_DIR, materialize=False)
+    # Distinct run_ts stamps: with the default literals the lazy plan
+    # is fragment-identical to the persisted bench fixture and Spark's
+    # CacheManager swaps the InMemoryRelation back in, masking folding.
+    import datetime as dt
+
+    t1 = dt.datetime(2025, 7, 1, 0, 0, 0)
+    t2 = dt.datetime(2025, 7, 2, 0, 0, 0)
+    mid = dt.datetime(2025, 7, 1, 12, 0, 0)
+    merged, revlog = E._two_batch_log(
+        spark, SF_DIR, materialize=False, run_ts1=t1, run_ts2=t2
+    )
     rev = revlog.withColumn("okey", F.col("data_date").cast("long"))
     plan = plan_of(
-        value_asof(
-            merged, rev, F.lit(E.ASOF_MID), key_cols=["okey"],
-            value_col="total",
-        )
+        value_asof(merged, rev, F.lit(mid), key_cols=["okey"],
+                   value_col="total")
     )
     assert "min_by" in plan
-    assert "2025-06-02 00:00:00" in plan        # later batch feeds min_by
-    assert "2025-06-01 00:00:00" not in plan    # earlier batch pruned away
+    assert "2025-07-02 00:00:00" in plan        # later batch feeds min_by
+    assert "2025-07-01 00:00:00" not in plan    # earlier batch pruned away
 
 
 def test_scd2_single_window_pass(spark):
@@ -365,6 +373,34 @@ def test_lm_score_explicit_model_keeps_broadcast_hint(spark):
     with _no_auto_broadcast(spark):
         plan = plan_of(lm_score(d, model))
     assert "BroadcastHashJoin" in plan
+
+
+def test_graph_partitioned_mode_never_broadcasts_node_relations(spark):
+    """The billion-node escape hatch: with partitioned=True,
+    adamic_adar's |entities|-sized weight relation and
+    degree_assortativity's |nodes|-sized degree relation must never
+    carry a broadcast hint (with auto-broadcast off, any
+    BroadcastHashJoin left could only come from a hint)."""
+    from econdatapipeline_spark.operators.graph import (
+        adamic_adar,
+        degree_assortativity,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.range(200).select(
+        (F.col("id") % 40).alias("cust"), (F.col("id") % 23).alias("supp")
+    )
+    with _no_auto_broadcast(spark):
+        aa = plan_of(
+            adamic_adar(edges, node_col="cust", via_col="supp",
+                        partitioned=True)
+        )
+        da = plan_of(
+            degree_assortativity(edges, src="cust", dst="supp",
+                                 partitioned=True)
+        )
+    assert "BroadcastHashJoin" not in aa
+    assert "BroadcastHashJoin" not in da
 
 
 def test_target_encode_table_broadcasts(spark):
