@@ -3233,6 +3233,18 @@ def q_hyperball(spark, sf_dir):
     return hyperball(_neardup_edges(spark, sf_dir), max_radius=4)
 
 
+def q_hyperball_exact(spark, sf_dir):
+    """Integer-exact structural twin of hyperball
+    (operators/graph.hyperball_exact, the ann_ivf_exact pattern): the
+    same per-round edge join + per-node union aggregate and the same
+    early stop, with exact sorted reach sets replacing HLL registers —
+    so radius/pairs/delta/frac all hash-match a recursive-CTE BFS
+    oracle while the sketch variant keeps its pytest accuracy bound."""
+    from econdatapipeline_spark.operators.graph import hyperball_exact
+
+    return hyperball_exact(_neardup_edges(spark, sf_dir), max_radius=4)
+
+
 def q_source_influence(spark, sf_dir):
     """Per-source data valuation (operators/lm.loo_source_influence):
     probe = every 10th doc, held out of ALL training; for each of the
@@ -3869,6 +3881,22 @@ def q_bpe_train(spark, sf_dir):
     return merges_df(spark, bpe_train(d, num_merges=6))
 
 
+def q_bpe_rounds_exact(spark, sf_dir):
+    """Hash-certified structural twin of the bpe_train mechanism
+    (operators/bpe.bpe_round_pairs, the ann_ivf_exact pattern): two
+    merge rounds unrolled into one fully relational plan — top-10 pair
+    counts per round, with round 1's winner applied by the greedy
+    left-to-right fold before round 2 recounts. Certifies the
+    histogram collapse, the freq-weighted pair aggregate, the
+    (count DESC, left, right) tie-break, and the merge-rewrite
+    semantics; the iterative N-round loop itself stays rows-only
+    (pytest-pinned against a pure-Python reference)."""
+    from econdatapipeline_spark.operators.bpe import bpe_round_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_round_pairs(d, rounds=2, top_k=10)
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI distribution-shift monitor (operators/stats.psi_drift):
     1995 vs 1996 order totals over fixed bins — two scan-stage binned
@@ -4408,6 +4436,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "token_entropy": q_token_entropy,
         "psi_drift": q_psi_drift,
         "bpe_train": q_bpe_train,
+        "bpe_rounds_exact": q_bpe_rounds_exact,
         "attribution": q_attribution,
         "random_projection": q_random_projection,
         "ann_project": q_ann_project,
@@ -4427,6 +4456,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "zipf_fit": q_zipf_fit,
         "curation_funnel": q_curation_funnel,
         "hyperball": q_hyperball,
+        "hyperball_exact": q_hyperball_exact,
         "random_walks": q_random_walks,
         "fs_linkage": q_fs_linkage,
         "text_hygiene": q_text_hygiene,
@@ -7489,6 +7519,110 @@ def oracle_sql() -> dict[str, str]:
               SELECT id_b AS u, id_a AS v FROM pairs),{kcore_rounds}
             SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
             FROM r12 GROUP BY u
+        """,
+        # HyperBall exact twin: the same near-dup edge CTE as kcore,
+        # then a recursive-CTE BFS (min distance per pair, capped at
+        # radius 4) reproduces every round's exact ball sizes, the
+        # early-stop row set, and the floor-rounded frac_of_final.
+        "hyperball_exact": f"""
+            WITH RECURSIVE
+            b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket
+                  FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS id_a, c.vec_id AS id_b
+              FROM b q JOIN b c ON q.bucket = c.bucket
+                               AND q.vec_id < c.vec_id
+              WHERE {cos} >= 0.2),
+            ed AS MATERIALIZED (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs),
+            nodes AS (SELECT DISTINCT u AS node FROM
+                       (SELECT u FROM ed UNION ALL SELECT v FROM ed)),
+            step(s, t, d) AS (
+              SELECT node, node, 0 FROM nodes
+              UNION
+              SELECT st.s, e.v, st.d + 1
+              FROM step st JOIN ed e ON e.u = st.t
+              WHERE st.d < 4),
+            mind AS (SELECT s, t, MIN(d) AS d FROM step GROUP BY s, t),
+            per_r AS (
+              SELECT r.r AS radius,
+                     CAST(COUNT(m.s) AS BIGINT) AS pairs
+              FROM range(0, 5) r(r)
+              LEFT JOIN mind m ON m.d <= r.r
+              GROUP BY r.r),
+            cum AS (
+              SELECT radius, pairs,
+                     pairs - COALESCE(LAG(pairs) OVER (ORDER BY radius),
+                                      0) AS delta
+              FROM per_r),
+            stop AS (SELECT COALESCE(MIN(radius), 4) AS rs
+                     FROM cum WHERE radius >= 1 AND delta = 0),
+            kept AS (SELECT c.* FROM cum c CROSS JOIN stop
+                     WHERE c.radius <= stop.rs),
+            fin AS (SELECT MAX(pairs) AS final FROM kept)
+            SELECT CAST(radius AS INTEGER) AS radius,
+                   pairs AS reachable_pairs,
+                   delta AS delta_pairs,
+                   floor(pairs / CAST(final AS DOUBLE) * 1000000 + 0.5)
+                     / 1000000 AS frac_of_final
+            FROM kept CROSS JOIN fin
+        """,
+        # BPE exact twin: round-1 pair counts from char pairs; the
+        # winner is applied with exact greedy-merge semantics by
+        # delimiting each symbol with chr(1) and replacing the
+        # delimited pair (leftmost non-overlapping = the fold), then
+        # round 2 recounts over the rewritten symbol lists.
+        "bpe_rounds_exact": """
+            WITH words AS (
+              SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(regexp_extract_all(lower(text),
+                           '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS tok
+                    FROM documents)
+              WHERE tok <> ''
+              GROUP BY tok),
+            p1 AS (
+              SELECT word[i:i] AS l, word[i+1:i+1] AS r, freq
+              FROM (SELECT word, freq,
+                           unnest(range(1, length(word))) AS i
+                    FROM words WHERE length(word) >= 2)),
+            c1 AS (SELECT l, r, SUM(freq) AS n FROM p1 GROUP BY l, r),
+            r1 AS (SELECT l, r, n,
+                          ROW_NUMBER() OVER (ORDER BY n DESC, l ASC,
+                                             r ASC) AS rank
+                   FROM c1),
+            w1 AS (SELECT l, r FROM r1 WHERE rank = 1),
+            seq AS (
+              SELECT freq,
+                     replace(
+                       chr(1) || array_to_string(
+                         regexp_extract_all(word, '.'),
+                         chr(1) || chr(1)) || chr(1),
+                       chr(1) || w1.l || chr(1) || chr(1) || w1.r
+                         || chr(1),
+                       chr(1) || w1.l || w1.r || chr(1)) AS s
+              FROM words CROSS JOIN w1),
+            syms AS (SELECT freq,
+                            string_split(trim(s, chr(1)),
+                                         chr(1) || chr(1)) AS ss
+                     FROM seq),
+            p2 AS (
+              SELECT ss[i] AS l, ss[i+1] AS r, freq
+              FROM (SELECT freq, ss, unnest(range(1, len(ss))) AS i
+                    FROM syms WHERE len(ss) >= 2)),
+            c2 AS (SELECT l, r, SUM(freq) AS n FROM p2 GROUP BY l, r),
+            r2 AS (SELECT l, r, n,
+                          ROW_NUMBER() OVER (ORDER BY n DESC, l ASC,
+                                             r ASC) AS rank
+                   FROM c2)
+            SELECT CAST(1 AS INTEGER) AS round,
+                   CAST(rank AS INTEGER) AS rank,
+                   l AS left, r AS right, n AS pair_count
+            FROM r1 WHERE rank <= 10
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), CAST(rank AS INTEGER), l, r, n
+            FROM r2 WHERE rank <= 10
         """,
         # ANN recall: both candidate lists replayed exactly (the same
         # CTEs as the ann_lsh / ann_bruteforce oracles), intersected per

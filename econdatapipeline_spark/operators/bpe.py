@@ -31,17 +31,21 @@ from pyspark.sql import functions as F
 from econdatapipeline_spark.functions.text import bpe_ish_tokens
 
 
-def _merge_fold(syms: Column, left: str, right: str) -> Column:
+def _merge_fold(syms: Column, left: str | Column, right: str | Column) -> Column:
     """Greedy left-to-right merge of adjacent (left, right) in a symbol
-    array — the BPE training rewrite, as one aggregate fold."""
-    merged = F.lit(left + right)
+    array — the BPE training rewrite, as one aggregate fold. ``left``/
+    ``right`` may be Columns (bpe_round_pairs chains the winner
+    relation in without a driver collect)."""
+    lc = F.lit(left) if isinstance(left, str) else left
+    rc = F.lit(right) if isinstance(right, str) else right
+    merged = F.concat(lc, rc)
     return F.aggregate(
         syms,
         F.array().cast("array<string>"),
         lambda acc, s: F.when(
             (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (s == F.lit(right)),
+            & (F.element_at(acc, -1) == lc)
+            & (s == rc),
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
         ).otherwise(F.concat(acc, F.array(s))),
     )
@@ -111,6 +115,83 @@ def bpe_train(
             "word", "freq", _merge_fold(F.col("syms"), left, right).alias("syms")
         ).localCheckpoint(eager=True)
     return merges
+
+
+def bpe_round_pairs(
+    df: DataFrame,
+    rounds: int = 2,
+    top_k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hash-certifiable structural twin of the bpe_train mechanism ->
+    (round, rank, left, right, pair_count): the top-k pair counts of
+    the first ``rounds`` merge rounds, fully relational (no driver
+    collect — each round's winner chains in as a 1-row broadcast).
+
+    bpe_train itself is a driver loop (the chosen merge IS the model,
+    so a per-round collect is inherent) and records rows-only with the
+    driver oracle; this twin unrolls a fixed number of rounds into one
+    plan so BOTH engines can agree bit-for-bit on every mechanism the
+    loop relies on: the corpus-to-histogram collapse, the
+    freq-weighted adjacent-pair aggregate, the (count DESC, left ASC,
+    right ASC) tie-break, and the greedy left-to-right merge rewrite
+    (round 2's counts are only right if round 1's winner was applied
+    with exact BPE semantics). The ann_ivf_exact pattern.
+
+    Scale: the ranked relation is symbol-vocabulary²-bounded (NOT
+    corpus-sized), so the global rank window is safe; the rewrite is
+    the same narrow fold bpe_train uses.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    cur = word_histogram(df, text_col).select(
+        "freq", F.split("word", "").alias("syms")
+    )
+    out = None
+    for rnd in range(1, rounds + 1):
+        pair_idx = F.sequence(F.lit(1), F.size("syms") - 1)
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("n"))
+        )
+        w = Window.orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+        ranked = pairs.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= top_k
+        )
+        this = ranked.select(
+            F.lit(rnd).alias("round"),
+            "rank",
+            F.col("l").alias("left"),
+            F.col("r").alias("right"),
+            F.col("n").cast("long").alias("pair_count"),
+        )
+        out = this if out is None else out.unionByName(this)
+        if rnd < rounds:
+            winner = ranked.filter(F.col("rank") == 1).select(
+                F.col("l").alias("__wl"), F.col("r").alias("__wr")
+            )
+            cur = cur.crossJoin(F.broadcast(winner)).select(
+                "freq",
+                _merge_fold(
+                    F.col("syms"), F.col("__wl"), F.col("__wr")
+                ).alias("syms"),
+            )
+    return out
 
 
 def merges_df(spark, merges: list[tuple[str, str, int]]) -> DataFrame:

@@ -812,6 +812,89 @@ def hyperball(
     )
 
 
+def hyperball_exact(
+    edges: DataFrame,
+    max_radius: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-exact structural twin of :func:`hyperball` -> one row
+    per radius r: (radius, reachable_pairs, delta_pairs,
+    frac_of_final).
+
+    Same Pregel rounds — per-round edge join + per-node union
+    aggregate, same early stop when no ball grows — but the per-node
+    state is the EXACT sorted distinct reach set (array_union algebra)
+    instead of HLL registers, so every output value is
+    hash-certifiable against a recursive-CTE BFS oracle (the
+    ann_ivf_exact pattern: the exact twin certifies the mechanism, the
+    sketch variant keeps the pytest accuracy bound). frac_of_final
+    floor-rounds at 1e-6 so both engines emit the identical double.
+
+    Cost honesty: state is the transitive closure within max_radius —
+    O(sum of ball sizes), which is what HyperBall exists to avoid. Use
+    this for certification and small/medium graphs; hyperball for the
+    web-scale neighborhood function.
+    """
+    import math  # noqa: PLC0415
+
+    if max_radius < 0:
+        raise ValueError(f"max_radius must be >= 0, got {max_radius}")
+    spark = edges.sparkSession
+    ed = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = ed.select(F.col("u").alias("node")).union(
+        ed.select(F.col("v").alias("node"))
+    ).distinct()
+    state = nodes.select(
+        "node", F.array("node").alias("reach")
+    ).localCheckpoint(eager=True)
+
+    def total(st: DataFrame) -> int:
+        return int(st.agg(F.sum(F.size("reach")).alias("t")).first()["t"])
+
+    sums = [total(state)]
+    for _ in range(1, max_radius + 1):
+        contrib = ed.join(state, ed.v == state.node).select(
+            F.col("u").alias("node"), "reach"
+        )
+        merged = (
+            state.unionByName(contrib)
+            .groupBy("node")
+            .agg(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("reach")))
+                ).alias("reach")
+            )
+            .localCheckpoint(eager=True)
+        )
+        state.unpersist()
+        state = merged
+        t = total(state)
+        sums.append(t)
+        if t == sums[-2]:  # no ball grew: closure reached
+            break
+    state.unpersist()
+    final = sums[-1]
+    rows = [
+        (
+            r,
+            s,
+            s - (sums[r - 1] if r else 0),
+            (math.floor(s / final * 1e6 + 0.5) / 1e6) if final > 0 else None,
+        )
+        for r, s in enumerate(sums)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "radius int, reachable_pairs bigint, delta_pairs bigint, "
+        "frac_of_final double",
+    )
+
+
 def random_walks(
     edges: DataFrame,
     walk_len: int = 4,

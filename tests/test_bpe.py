@@ -87,6 +87,36 @@ def test_bpe_encode_matches_reference_segmentation(spark):
     assert out[0]["n_bpe_tokens"] < chars
 
 
+def test_bpe_round_pairs_agrees_with_train_loop(spark):
+    """The relational 2-round twin must rank the same winners as the
+    driver-loop trainer: round r's rank-1 pair == bpe_train's r-th
+    merge (same counts), and round-2 counts reflect round 1's rewrite."""
+    from econdatapipeline_spark.operators.bpe import bpe_round_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, num_merges=2)
+    rows = bpe_round_pairs(df, rounds=2, top_k=10).collect()
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["round"], {})[r["rank"]] = r
+    for rnd, (left, right, n) in enumerate(merges, start=1):
+        top = by_round[rnd][1]
+        assert (top["left"], top["right"], top["pair_count"]) == (
+            left, right, n
+        ), rnd
+    # ranks are dense and ordered by (count desc, left, right)
+    for rnd, ranked in by_round.items():
+        ks = sorted(ranked)
+        assert ks == list(range(1, len(ks) + 1))
+        seq = [
+            (-ranked[k]["pair_count"], ranked[k]["left"], ranked[k]["right"])
+            for k in ks
+        ]
+        assert seq == sorted(seq)
+
+
 def test_bpe_train_early_stop_on_rare_pairs(spark):
     df = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
     # every pair occurs once: below min_pair_count=2 -> no merges

@@ -294,6 +294,30 @@ def test_hyperball_cycle_matches_exact_counts(spark):
                out[4]["reachable_pairs"]) < 1e-6
 
 
+def test_hyperball_exact_cycle_and_early_stop(spark):
+    """The integer-exact twin: a 12-cycle's ball sizes are exactly
+    n * min(2r + 1, n); disjoint triangles stop one confirming round
+    after saturation (the hyperball early-stop contract, exactly)."""
+    from econdatapipeline_spark.operators.graph import hyperball_exact
+
+    n = 12
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(b, a) for a, b in edges]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["radius"]: r for r in hyperball_exact(df, max_radius=4).collect()}
+    for r in range(5):
+        assert out[r]["reachable_pairs"] == n * min(2 * r + 1, n), r
+    assert out[4]["frac_of_final"] == 1.0
+    assert sum(out[r]["delta_pairs"] for r in out) == out[4]["reachable_pairs"]
+
+    tri = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    tri += [(b, a) for a, b in tri]
+    rows = hyperball_exact(
+        spark.createDataFrame(tri, "src long, dst long"), max_radius=8
+    ).collect()
+    assert [r["reachable_pairs"] for r in rows] == [6, 18, 18]
+
+
 def test_hyperball_converges_and_stops_early(spark):
     # two disjoint triangles saturate at radius 1; the loop must stop
     # well before max_radius and report a stable final count (~18).
