@@ -3396,6 +3396,24 @@ def q_als_factorize(spark, sf_dir):
     )
 
 
+def q_als_normal_eq(spark, sf_dir):
+    """Integer-exact structural twin of the ALS half-step mechanism
+    (operators/als.als_normal_eq_exact, the ann_ivf_exact pattern):
+    the same ratings x factor join + per-user hash aggregate that
+    feeds the ridge solves, run with md5-derived integer factors so
+    the Gram-trace / upper-triangle / RHS sums hash-match a SQL
+    oracle. The K x K solve (the only float stage) stays rows-only in
+    als_factorize."""
+    from econdatapipeline_spark.operators.als import als_normal_eq_exact
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+        F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
+    ).agg(F.sum("l_quantity").cast("long").alias("r"))
+    return als_normal_eq_exact(ratings, k=4, top_n=25)
+
+
 def q_logreg_quality(spark, sf_dir):
     """Distributed logistic regression (operators/logreg): bag-of-
     tokens classifier for lang == 'en', 3 full-batch GD iterations on
@@ -4464,6 +4482,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "node2vec_walks": q_node2vec_walks,
         "logreg_quality": q_logreg_quality,
         "als_factorize": q_als_factorize,
+        "als_normal_eq": q_als_normal_eq,
         "bootstrap_ci": q_bootstrap_ci,
         "kaplan_meier": q_kaplan_meier,
         "median_survival": q_median_survival,
@@ -7519,6 +7538,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT id_b AS u, id_a AS v FROM pairs),{kcore_rounds}
             SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
             FROM r12 GROUP BY u
+        """,
+        # ALS normal-equation twin: md5-derived integer factors
+        # (y_jk = md5(item:k) % 1000) replayed bit-for-bit; Gram/RHS
+        # sufficient statistics are exact int64 sums.
+        "als_normal_eq": """
+            WITH ratings AS (
+              SELECT o_custkey AS u, l_partkey AS i,
+                     CAST(SUM(l_quantity) AS BIGINT) AS r
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2),
+            iv AS (
+              SELECT i,
+                     [CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                        || j), 1, 8) AS BIGINT) % 1000
+                      FOR j IN ['0', '1', '2', '3']] AS y
+              FROM (SELECT DISTINCT i FROM ratings)),
+            pr AS (
+              SELECT r.u, r.r,
+                     list_sum(iv.y) AS s,
+                     list_sum(list_transform(iv.y, x -> x * x)) AS q
+              FROM ratings r JOIN iv ON r.i = iv.i),
+            agg AS (
+              SELECT u,
+                     CAST(COUNT(*) AS BIGINT) AS n_items,
+                     CAST(SUM(q) AS BIGINT) AS tr_gram,
+                     CAST(SUM((s * s + q) // 2) AS BIGINT) AS upper_gram,
+                     CAST(SUM(r * s) AS BIGINT) AS b_sum
+              FROM pr GROUP BY u)
+            SELECT * FROM agg
+            ORDER BY n_items DESC, u ASC LIMIT 25
         """,
         # HyperBall exact twin: the same near-dup edge CTE as kcore,
         # then a recursive-CTE BFS (min distance per pair, capped at

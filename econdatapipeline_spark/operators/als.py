@@ -114,6 +114,74 @@ def _solve_side(
     return eqs.mapInPandas(solve, out_schema)
 
 
+def als_normal_eq_exact(
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "r",
+    k: int = 4,
+    top_n: int = 25,
+) -> DataFrame:
+    """Integer-exact structural twin of one ALS half-step's
+    normal-equation build -> per heaviest user: (u, n_items, tr_gram,
+    upper_gram, b_sum), all exact int64.
+
+    als_factorize is rows-only by design (np.linalg float order is not
+    engine-portable); this twin certifies the mechanism the solve
+    consumes — the ratings x factor join and the per-entity hash
+    aggregate of Gram/RHS sums — with md5-derived INTEGER factors
+    (y_jk = md5(item:k) % 1000, the deterministic init family without
+    the float scaling), so every sum is order-free integer arithmetic
+    a SQL oracle hash-matches (the ann_ivf_exact pattern).
+
+    Sufficient statistics per user, summed over rated items:
+    tr_gram = sum of y.y (the Gram trace), upper_gram = sum over items
+    of ((sum y)^2 + y.y)/2 (the upper-triangle total, exact because
+    (sum y)^2 and y.y share parity), b_sum = sum of r * (sum y)
+    (the RHS total). Same join + aggregate shape as _solve_side, which
+    certifies exactly the distributed part; the K x K solve stays in
+    the rows-only query. Output bounded to the ``top_n`` heaviest
+    users (n_items DESC, u ASC) — a TakeOrdered plan, not a global
+    sort.
+    """
+    r = ratings.select(
+        F.col(user_col).cast("long").alias("u"),
+        F.col(item_col).cast("long").alias("i"),
+        F.col(rating_col).cast("long").alias("r"),
+    )
+    comps = [
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("i"), F.lit(str(j)))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+        for j in range(k)
+    ]
+    iv = r.select("i").distinct().select(
+        "i", F.array(*comps).alias("y")
+    )
+    zero = F.lit(0).cast("long")
+    ysum = F.aggregate("y", zero, lambda a, x: a + x)
+    ydot = F.aggregate("y", zero, lambda a, x: a + x * x)
+    joined = r.join(iv, "i").select(
+        "u", "r", ysum.alias("s"), ydot.alias("q")
+    )
+    per_user = joined.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("q").cast("long").alias("tr_gram"),
+        # (s^2 + q) is even (s^2 and q share parity), so the halving is
+        # exact integer arithmetic — shiftright avoids float division.
+        F.sum(F.shiftright(F.col("s") * F.col("s") + F.col("q"), 1))
+        .cast("long")
+        .alias("upper_gram"),
+        F.sum(F.col("r") * F.col("s")).cast("long").alias("b_sum"),
+    )
+    return per_user.orderBy(F.desc("n_items"), F.asc("u")).limit(top_n)
+
+
 def als_factorize(
     ratings: DataFrame,
     user_col: str = "user",

@@ -60,3 +60,45 @@ def test_validates_params(spark):
         als_factorize(df, k=0)
     with pytest.raises(ValueError):
         als_factorize(df, iters=0)
+
+
+def test_normal_eq_exact_matches_python(spark):
+    """The integer twin's per-user sufficient statistics vs a direct
+    Python recomputation of the md5 factor init and Gram/RHS sums."""
+    import hashlib
+
+    from econdatapipeline_spark.operators.als import als_normal_eq_exact
+
+    rows = [(u, i, (u * 3 + i) % 7 + 1) for u in range(6) for i in range(u + 2)]
+    df = spark.createDataFrame(rows, "user long, item long, r long")
+    got = {
+        r["u"]: (r["n_items"], r["tr_gram"], r["upper_gram"], r["b_sum"])
+        for r in als_normal_eq_exact(df, k=4, top_n=10).collect()
+    }
+
+    def yvec(i):
+        return [
+            int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16) % 1000
+            for j in range(4)
+        ]
+
+    want = {}
+    for u, i, r in rows:
+        y = yvec(i)
+        s, q = sum(y), sum(x * x for x in y)
+        n, tr, up, b = want.get(u, (0, 0, 0, 0))
+        want[u] = (n + 1, tr + q, up + (s * s + q) // 2, b + r * s)
+    # top_n=10 >= all 6 users here
+    assert got == want
+
+
+def test_normal_eq_partition_invariant(spark):
+    from econdatapipeline_spark.operators.als import als_normal_eq_exact
+
+    rows = [(u % 4, i, (u + i) % 5 + 1) for u in range(20) for i in range(3)]
+    df = spark.createDataFrame(rows, "user long, item long, r long")
+    a = sorted(map(tuple, als_normal_eq_exact(df, top_n=5).collect()))
+    b = sorted(
+        map(tuple, als_normal_eq_exact(df.repartition(7), top_n=5).collect())
+    )
+    assert a == b
