@@ -4184,6 +4184,84 @@ def q_negative_sample(spark, sf_dir):
     return negative_sample(d, k=3, n_buckets=64)
 
 
+def q_ranking_metrics(spark, sf_dir):
+    """Ranking evaluation (operators/ranking.ranking_metrics): NDCG@10,
+    MRR, precision/recall per query over an exact-cosine run
+    (brute_force_topk, 8 query vectors) judged against deterministic
+    label-derived qrels on a sparse pool (vec_id % 7 == 0; rel 2 =
+    same label, 1 = same label parity). Per-position gains are
+    decimal(18,9)-quantized before the DCG/IDCG sums, so the metric
+    arithmetic hash-matches the SQL oracle exactly."""
+    from econdatapipeline_spark.operators.ranking import ranking_metrics
+    from econdatapipeline_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    run = brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    )
+    pool = e.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("doc_id"), F.col("label").alias("dlab")
+    )
+    qrels = (
+        qs.crossJoin(pool)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("dlab") == F.col("qlab"), 2)
+            .when(F.col("dlab") % 2 == F.col("qlab") % 2, 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    return ranking_metrics(run, qrels, k=10).orderBy("query_id")
+
+
+def q_oov_rate(spark, sf_dir):
+    """Vocabulary coverage audit (operators/lm.oov_rate): vocabulary
+    fit on a tiny trusted seed (doc_id < 4, min_count=3 keeps only
+    types the seed repeats), OOV-rate scored on the odd-doc_id half —
+    the "how much of this crawl does my tokenizer cover" question;
+    docs leaning on types outside the seed vocabulary surface as
+    high-OOV rows. One token-keyed hash join, no forced broadcast
+    (token types grow with the corpus; the lm_score round-4 lesson).
+    All outputs are exact int64 counts and one rounded ratio."""
+    from econdatapipeline_spark.operators.lm import oov_rate
+
+    d = _t(spark, sf_dir, "documents")
+    return oov_rate(
+        d.filter(F.col("doc_id") < 4),
+        d.filter(F.col("doc_id") % 2 == 1),
+        min_count=3,
+    ).orderBy("doc_id")
+
+
+def q_cohens_kappa(spark, sf_dir):
+    """Inter-annotator agreement (operators/stats.cohens_kappa): kappa
+    between two deterministic curation gates on documents — a
+    char-length rule (n_chars >= 300) vs an English-only rule — i.e.
+    "do these two filters keep the same documents beyond chance?"
+    (near-zero kappa: the gates are independent, so raw agreement is
+    almost all chance — exactly what the correction must expose).
+    Three hash aggregates + a category-sized marginal join; pe is a
+    decimal-quantized order-free sum, so the chance-corrected
+    agreement hash-matches the oracle."""
+    from econdatapipeline_spark.operators.stats import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") >= 300, "keep").otherwise("drop").alias(
+            "rater_a"
+        ),
+        F.when(F.col("lang") == "en", "keep").otherwise("drop").alias(
+            "rater_b"
+        ),
+    )
+    return cohens_kappa(d, "rater_a", "rater_b")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4486,6 +4564,9 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "bootstrap_ci": q_bootstrap_ci,
         "kaplan_meier": q_kaplan_meier,
         "median_survival": q_median_survival,
+        "ranking_metrics": q_ranking_metrics,
+        "oov_rate": q_oov_rate,
+        "cohens_kappa": q_cohens_kappa,
     }
 
 
@@ -9208,5 +9289,119 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN NOT ok_stops THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_fail_stops
         FROM f GROUP BY lang
+    """
+    # Ranking eval: the run CTE is the ann_bruteforce oracle at depth
+    # 10 over 8 queries; gains are decimal(18,9)-quantized before the
+    # DCG/IDCG sums (order-free on both engines), and the final
+    # divisions run on those identical decimals cast to DOUBLE.
+    sql["ranking_metrics"] = f"""
+        WITH run0 AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS doc_id, {cos} AS cos
+          FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+          WHERE q.vec_id < 8),
+        run AS (
+          SELECT query_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, doc_id ASC) AS rnk
+          FROM run0 QUALIFY rnk <= 10),
+        qr AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                 CASE WHEN c.label = q.label THEN 2
+                      WHEN (c.label % 2) = (q.label % 2) THEN 1
+                      ELSE 0 END AS rel
+          FROM embeddings q
+          JOIN embeddings c ON c.vec_id % 7 = 0 AND c.vec_id != q.vec_id
+          WHERE q.vec_id < 8),
+        scored AS (
+          SELECT r.query_id, r.rnk, COALESCE(qr.rel, 0) AS rel
+          FROM run r LEFT JOIN qr
+            ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id),
+        perq AS (
+          SELECT query_id,
+                 SUM(CAST(((1 << rel) - 1)::DOUBLE
+                          / log2(rnk::DOUBLE + 1.0)
+                          AS DECIMAL(18,9))) AS dcg,
+                 SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hit,
+                 MIN(CASE WHEN rel > 0 THEN rnk END) AS first_hit
+          FROM scored GROUP BY query_id),
+        ideal0 AS (
+          SELECT query_id, rel,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, doc_id ASC) AS irnk
+          FROM qr WHERE rel > 0),
+        ideal AS (
+          SELECT query_id,
+                 SUM(CAST(((1 << rel) - 1)::DOUBLE
+                          / log2(irnk::DOUBLE + 1.0)
+                          AS DECIMAL(18,9))) AS idcg
+          FROM ideal0 WHERE irnk <= 10 GROUP BY query_id),
+        nrel AS (
+          SELECT query_id, COUNT(*) AS n_rel FROM qr
+          WHERE rel > 0 GROUP BY query_id)
+        SELECT p.query_id,
+               CASE WHEN i.idcg IS NOT NULL AND i.idcg != 0
+                    THEN round(p.dcg::DOUBLE / i.idcg::DOUBLE, 6)
+                    ELSE 0.0 END AS ndcg,
+               round(COALESCE(1.0::DOUBLE / p.first_hit, 0.0), 6) AS mrr,
+               round(p.n_hit::DOUBLE / 10.0, 6) AS prec,
+               CASE WHEN nr.n_rel IS NOT NULL
+                    THEN round(p.n_hit::DOUBLE / nr.n_rel::DOUBLE, 6)
+                    ELSE 0.0 END AS recall,
+               CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel,
+               CAST(p.n_hit AS BIGINT) AS n_hit
+        FROM perq p
+        LEFT JOIN ideal i USING (query_id)
+        LEFT JOIN nrel nr USING (query_id)
+        ORDER BY p.query_id
+    """
+    # Vocabulary coverage: exact integer counts + one rounded ratio.
+    sql["oov_rate"] = f"""
+        WITH tr AS (
+          SELECT unnest({toks}) AS token FROM documents
+          WHERE doc_id < 4),
+        v AS (
+          SELECT token FROM tr WHERE token <> ''
+          GROUP BY token HAVING COUNT(*) >= 3),
+        sc AS (
+          SELECT doc_id, unnest({toks}) AS token FROM documents
+          WHERE doc_id % 2 = 1),
+        m AS (
+          SELECT s.doc_id, v.token AS vt
+          FROM sc s LEFT JOIN v ON s.token = v.token
+          WHERE s.token <> '')
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               round(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                     / COUNT(*), 6) AS oov_rate
+        FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+    # Cohen's kappa between the two deterministic curation raters; pe
+    # terms are decimal(18,9)-quantized before the category sum.
+    sql["cohens_kappa"] = f"""
+        WITH r AS (
+          SELECT CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END AS a,
+                 CASE WHEN lang = 'en' THEN 'keep' ELSE 'drop' END AS b
+          FROM documents),
+        tot AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS n_agree
+          FROM r),
+        ma AS (SELECT a, COUNT(*) AS ca FROM r GROUP BY a),
+        mb AS (SELECT b, COUNT(*) AS cb FROM r GROUP BY b),
+        pe AS (
+          SELECT SUM(CAST((ca::DOUBLE / t.n::DOUBLE)
+                          * (cb::DOUBLE / t.n::DOUBLE)
+                          AS DECIMAL(18,9))) AS pe_dec
+          FROM ma JOIN mb ON ma.a = mb.b CROSS JOIN tot t)
+        SELECT CAST(t.n AS BIGINT) AS n,
+               round(t.n_agree::DOUBLE / t.n::DOUBLE, 6) AS po,
+               round(p.pe_dec::DOUBLE, 6) AS pe,
+               CASE WHEN p.pe_dec >= 1.0 THEN 0.0
+                    ELSE round((t.n_agree::DOUBLE / t.n::DOUBLE
+                                - p.pe_dec::DOUBLE)
+                               / (1.0::DOUBLE - p.pe_dec::DOUBLE), 6)
+                    END AS kappa
+        FROM tot t CROSS JOIN pe p
     """
     return sql

@@ -450,3 +450,68 @@ def loo_source_influence(
             6,
         ).alias("influence"),
     ).withColumnRenamed("src", source_col)
+
+
+def oov_rate(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Out-of-vocabulary rate per scored document against a vocabulary
+    fit on ``train`` -> (id, n_tokens, n_oov, oov_rate).
+
+    The tokenizer-coverage audit every corpus swap needs: before
+    pointing a fixed-vocab model (or a KenLM filter, or dsir's bigram
+    profile) at a new crawl, measure how much of it the vocabulary has
+    never seen. ``min_count`` prunes hapax noise from the vocabulary
+    (the standard <unk> threshold).
+
+    Scale shape: the vocabulary is a token-TYPE-sized relation built by
+    one map-side-combinable hash aggregate; scoring is one explode +
+    hash join on the token key + per-doc aggregate. The join is NOT
+    force-broadcast — token types grow ~O(corpus tokens) in web text
+    (the lm_score round-4 lesson), so AQE size-decides; at any scale
+    the join keys by token, never by document, so hot documents cannot
+    skew it (hot *tokens* are exactly what the vocabulary join wants
+    co-located).
+
+    oov_rate = n_oov / n_tokens is a ratio of exact int64 counts,
+    rounded to 6 — engine-portable with no float-sum caveats.
+    """
+    tr = (
+        fan_out(train)
+        .select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = (
+        tr.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("token")
+    )
+    sc = (
+        fan_out(score)
+        .select(
+            F.col(id_col),
+            F.explode(tokenize(F.col(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    marked = sc.join(
+        vocab.withColumn("__in_vocab", F.lit(1)), "token", "left"
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -1038,3 +1038,70 @@ def bootstrap_ci(
         F.round(means[hi_i], 6).alias("ci_hi"),
         F.lit(b).cast("int").alias("b"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cohen's kappa agreement between two categorical raters -> one
+    row (n, po, pe, kappa).
+
+    The inter-annotator agreement check for labeling pipelines (two
+    human raters, or a model judge vs a heuristic rule): chance-
+    corrected agreement
+
+        kappa = (po - pe) / (1 - pe)
+        po    = P(a == b)
+        pe    = sum over categories c of pA(c) * pB(c)
+
+    over the observed category marginals (Cohen 1960). Supports any
+    number of categories.
+
+    Scale shape: three map-side-combinable hash aggregates (joint
+    agreement count + two category marginals) over one scan each; the
+    marginal join is category-cardinality-sized — label taxonomies are
+    small by nature, and AQE broadcasts it unprompted. po is a ratio of
+    exact int64 counts; pe's per-category products pA(c)*pB(c) are
+    computed in double (ca*cb as int64 would overflow past n ~ 3e9) and
+    quantized to decimal(18,9) before the category sum, so pe is an
+    order-free exact decimal on both engines.
+
+    Degenerate guard: pe == 1 (both raters constant and equal) has
+    kappa undefined; emitted as 0.0 with po/pe intact so the caller
+    sees the degeneracy rather than a crash.
+    """
+    base = df.select(
+        F.col(col_a).cast("string").alias("a"),
+        F.col(col_b).cast("string").alias("b"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias(
+            "n_agree"
+        ),
+    )
+    ma = base.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    mb = base.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    pe = (
+        ma.join(mb, ma.a == mb.b)
+        .crossJoin(tot.select("n"))
+        .select(
+            (
+                (F.col("ca").cast("double") / F.col("n").cast("double"))
+                * (F.col("cb").cast("double") / F.col("n").cast("double"))
+            )
+            .cast("decimal(18,9)")
+            .alias("term")
+        )
+        .agg(F.sum("term").alias("pe_dec"))
+    )
+    pe_d = F.col("pe_dec").cast("double")
+    po_d = F.col("n_agree").cast("double") / F.col("n").cast("double")
+    return tot.crossJoin(pe).select(
+        F.col("n").cast("long").alias("n"),
+        F.round(po_d, 6).alias("po"),
+        F.round(pe_d, 6).alias("pe"),
+        F.when(F.col("pe_dec") >= F.lit(1.0), F.lit(0.0))
+        .otherwise(F.round((po_d - pe_d) / (F.lit(1.0) - pe_d), 6))
+        .alias("kappa"),
+    )

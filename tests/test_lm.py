@@ -165,3 +165,34 @@ def test_loo_influence_validates_probe_mod(spark):
     )
     with pytest.raises(ValueError):
         loo_source_influence(df, probe_mod=1)
+
+
+def test_oov_rate_counts_and_vocab_threshold(spark):
+    from econdatapipeline_spark.operators.lm import oov_rate
+
+    train = spark.createDataFrame(
+        [(1, "a a b b c"), (2, "a b d")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(10, "a b c d e"), (11, "e e"), (12, "a a a")],
+        "doc_id long, text string",
+    )
+    # min_count=2: vocab = {a (3x), b (3x)}; c and d are hapax-pruned
+    out = {r["doc_id"]: r for r in oov_rate(train, score, min_count=2).collect()}
+    assert out[10]["n_tokens"] == 5 and out[10]["n_oov"] == 3
+    assert out[10]["oov_rate"] == 0.6
+    assert out[11]["n_oov"] == 2 and out[11]["oov_rate"] == 1.0
+    assert out[12]["n_oov"] == 0 and out[12]["oov_rate"] == 0.0
+
+
+def test_oov_rate_counts_occurrences_not_types(spark):
+    from econdatapipeline_spark.operators.lm import oov_rate
+
+    train = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(10, "y y y x")], "doc_id long, text string"
+    )
+    row = oov_rate(train, score, min_count=1).collect()[0]
+    # three OOV *occurrences* of the single OOV type
+    assert row["n_tokens"] == 4 and row["n_oov"] == 3

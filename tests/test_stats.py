@@ -495,3 +495,39 @@ def test_bootstrap_ci_validates(spark):
         bootstrap_ci(df, "v", "id", b=1)
     with pytest.raises(ValueError):
         bootstrap_ci(df, "v", "id", alpha=0.0)
+
+
+def test_cohens_kappa_hand_computed(spark):
+    from econdatapipeline_spark.operators.stats import cohens_kappa
+
+    # 2x2 table: agree-keep 20, agree-drop 60, a-only 10, b-only 10
+    rows = (
+        [("keep", "keep")] * 20
+        + [("drop", "drop")] * 60
+        + [("keep", "drop")] * 10
+        + [("drop", "keep")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    # po = 0.8; pA(keep)=0.3, pB(keep)=0.3 -> pe = 0.09 + 0.49 = 0.58
+    assert r["n"] == 100
+    assert r["po"] == 0.8
+    assert abs(r["pe"] - 0.58) < 1e-9
+    assert abs(r["kappa"] - (0.8 - 0.58) / (1 - 0.58)) < 1e-6
+
+
+def test_cohens_kappa_multiclass_and_degenerate(spark):
+    from econdatapipeline_spark.operators.stats import cohens_kappa
+
+    # three categories, partial agreement
+    rows = [("x", "x"), ("y", "y"), ("z", "x"), ("x", "y"), ("z", "z")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    po = 3 / 5
+    pe = (2 / 5) * (2 / 5) + (1 / 5) * (2 / 5) + (2 / 5) * (1 / 5)
+    assert abs(r["po"] - po) < 1e-9
+    assert abs(r["pe"] - pe) < 1e-6
+    # degenerate: both raters constant-equal -> pe = 1 -> kappa emitted 0
+    const = spark.createDataFrame([("k", "k")] * 4, "a string, b string")
+    rc = cohens_kappa(const, "a", "b").collect()[0]
+    assert rc["po"] == 1.0 and rc["kappa"] == 0.0
