@@ -4273,6 +4273,56 @@ def q_cohens_kappa(spark, sf_dir):
     return cohens_kappa(d, "rater_a", "rater_b")
 
 
+def q_ece(spark, sf_dir):
+    """Scalar calibration summary (operators/evaluation.
+    expected_calibration_error): bin-weighted |frac_pos - mean_score|
+    over the calibration_bins reliability diagram plus the worst-bin
+    gap (MCE) — the one-number answer to "is this quality scorer's
+    probability output trustworthy". Same single hash aggregate as
+    calibration_bins; the weighted terms decimal-quantize before the
+    10-row sum."""
+    from econdatapipeline_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    return expected_calibration_error(_scored_embeddings(spark, sf_dir), bins=10)
+
+
+def q_mmr_select(spark, sf_dir):
+    """Diversity-aware exemplar selection (operators/diversity.
+    mmr_select): MMR top-10 (lam=0.7) over a 200-candidate retrieval
+    shortlist ranked by cosine relevance to query vector 0. Greedy in
+    k by nature, so the driver runs 10 rounds of one distributed
+    TakeOrdered each against a broadcast selected set — candidates are
+    a SHORTLIST by contract (retrieval runs first, MMR diversifies
+    second; it is never applied to a raw corpus). Rounded-6 cosines,
+    rounded-6 scores, id-ascending ties: the whole greedy trajectory
+    is engine-portable, and the oracle replays it as 10 unrolled
+    CTE rounds."""
+    from econdatapipeline_spark.operators.diversity import mmr_select
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    from econdatapipeline_spark.functions.vectors import dot, norm
+
+    cand = (
+        e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 200))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (norm(F.col("embedding")) * norm(F.col("qv"))),
+                6,
+            ).alias("rel"),
+        )
+    )
+    return mmr_select(cand, k=10, lam=0.7)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4578,6 +4628,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "ranking_metrics": q_ranking_metrics,
         "oov_rate": q_oov_rate,
         "cohens_kappa": q_cohens_kappa,
+        "ece": q_ece,
+        "mmr_select": q_mmr_select,
     }
 
 
@@ -9415,4 +9467,74 @@ def oracle_sql() -> dict[str, str]:
                     END AS kappa
         FROM tot t CROSS JOIN pe p
     """
+    # ECE/MCE over the calibration_bins diagram; weighted terms are
+    # decimal(18,9)-quantized before the 10-row sum.
+    sql["ece"] = """
+        WITH s AS (
+          SELECT (label < 5) AS lbl, (vec_id % 97) / 96.0 AS score
+          FROM embeddings),
+        cb AS (
+          SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 round(CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*), 6) AS mean_score,
+                 round(SUM(CASE WHEN lbl THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos
+          FROM s GROUP BY 1),
+        tot AS (SELECT SUM(n) AS big_n FROM cb)
+        SELECT CAST(t.big_n AS BIGINT) AS n,
+               round(CAST(SUM(CAST(
+                   (cb.n::DOUBLE / t.big_n::DOUBLE)
+                   * abs(cb.frac_pos - cb.mean_score)
+                   AS DECIMAL(18,9))) AS DOUBLE), 6) AS ece,
+               round(MAX(abs(cb.frac_pos - cb.mean_score)), 6) AS mce
+        FROM cb CROSS JOIN tot t GROUP BY t.big_n
+    """
+    # MMR: the greedy trajectory unrolled as 10 CTE rounds (the
+    # pagerank-unroll house style). Teleport-style literal discipline:
+    # the redundancy weight is written (1.0 - 0.7) in DOUBLE arithmetic
+    # because IEEE 1.0-0.7 != nearest-double(0.3), and Spark computes
+    # the former.
+    _mmr_cos = (
+        "round(list_cosine_similarity(a.v, b.v), 6)"
+    )
+    _mmr = [f"""
+        WITH cand AS MATERIALIZED (
+          SELECT c.vec_id AS id,
+                 round(list_cosine_similarity(
+                     CAST(c.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 6) AS rel,
+                 CAST(c.embedding AS DOUBLE[]) AS v
+          FROM embeddings c JOIN embeddings q ON q.vec_id = 0
+          WHERE c.vec_id BETWEEN 1 AND 200),
+        pc AS MATERIALIZED (
+          SELECT a.id AS ia, b.id AS ib, {_mmr_cos} AS cos
+          FROM cand a JOIN cand b ON a.id != b.id),
+        s1 AS MATERIALIZED (
+          SELECT id, rel, round(0.7::DOUBLE * rel, 6) AS mmr_score,
+                 1 AS "rank"
+          FROM cand ORDER BY rel DESC, id ASC LIMIT 1),
+        sel1 AS MATERIALIZED (SELECT * FROM s1)"""]
+    for i in range(2, 11):
+        prev = f"sel{i - 1}"
+        _mmr.append(f""",
+        s{i} AS MATERIALIZED (
+          SELECT c.id, c.rel,
+                 round(0.7::DOUBLE * c.rel
+                       - (1.0::DOUBLE - 0.7::DOUBLE) * MAX(pc.cos), 6)
+                   AS mmr_score
+          FROM cand c
+          JOIN pc ON pc.ia = c.id
+          JOIN {prev} s ON pc.ib = s.id
+          WHERE c.id NOT IN (SELECT id FROM {prev})
+          GROUP BY c.id, c.rel
+          ORDER BY mmr_score DESC, c.id ASC LIMIT 1),
+        sel{i} AS MATERIALIZED (
+          SELECT id, rel, mmr_score, "rank" FROM {prev}
+          UNION ALL
+          SELECT id, rel, mmr_score, {i} AS "rank" FROM s{i})""")
+    _mmr.append("""
+        SELECT "rank", id, rel, mmr_score FROM sel10 ORDER BY "rank"
+    """)
+    sql["mmr_select"] = "".join(_mmr)
     return sql

@@ -247,3 +247,45 @@ def conformal_width(
             ),
         )
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    bins: int = 10,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Scalar calibration summary over :func:`calibration_bins` ->
+    one row (n, ece, mce).
+
+    ECE = sum over bins of (n_b / N) * |frac_pos_b - mean_score_b| —
+    the bin-weighted reliability gap (Naeini et al., AAAI 2015); MCE
+    is the worst single bin's gap. The per-bin inputs are the already-
+    rounded calibration_bins outputs, and each weighted term quantizes
+    to decimal(18,9) before the (<= bins)-row sum, so both scalars are
+    order-free and engine-exact. Cost: the same single hash aggregate
+    as calibration_bins plus a bins-row reduction.
+    """
+    cb = calibration_bins(df, bins=bins, label_col=label_col, score_col=score_col)
+    gap = F.abs(F.col("frac_pos") - F.col("mean_score"))
+    # "total" not "N": Spark's case-insensitive resolution would make
+    # an alias N ambiguous against the per-bin column n after the join
+    tot = cb.agg(F.sum("n").alias("total"))
+    return (
+        cb.crossJoin(tot)
+        .select(
+            F.col("total"),
+            (
+                (F.col("n").cast("double") / F.col("total").cast("double"))
+                * gap
+            )
+            .cast("decimal(18,9)")
+            .alias("term"),
+            gap.alias("gap"),
+        )
+        .agg(
+            F.max("total").cast("long").alias("n"),
+            F.round(F.sum("term").cast("double"), 6).alias("ece"),
+            F.round(F.max("gap"), 6).alias("mce"),
+        )
+    )

@@ -1,0 +1,47 @@
+"""MMR diverse-selection tests (operators/diversity.mmr_select)."""
+
+from __future__ import annotations
+
+import pytest
+
+from econdatapipeline_spark.operators.diversity import mmr_select
+
+
+def _cand(spark):
+    # Three near-identical high-relevance vectors pointing along +x and
+    # one orthogonal lower-relevance vector along +y: plain top-3 takes
+    # the redundant x-cluster; MMR must interleave the y vector.
+    rows = [
+        (1, 0.90, [1.0, 0.0, 0.0]),
+        (2, 0.89, [0.999, 0.01, 0.0]),
+        (3, 0.88, [0.998, 0.02, 0.0]),
+        (4, 0.60, [0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, rel double, embedding array<float>"
+    )
+
+
+def test_mmr_breaks_up_redundant_cluster(spark):
+    out = mmr_select(_cand(spark), k=3, lam=0.5).collect()
+    order = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # pick 1: best rel (id 1). pick 2: ids 2,3 are ~duplicates of 1
+    # (cos ~1 -> score ~0.5*0.89-0.5 ~ -0.05) while id 4 is orthogonal
+    # (score 0.5*0.6-0 = 0.3). MMR must take 4 before 2.
+    assert order[0] == 1 and order[1] == 4
+    assert out[0]["mmr_score"] == round(0.5 * 0.90, 6)
+
+
+def test_plain_relevance_order_when_lam_is_one(spark):
+    out = mmr_select(_cand(spark), k=4, lam=1.0).collect()
+    order = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3, 4]
+
+
+def test_k_larger_than_pool_and_validation(spark):
+    out = mmr_select(_cand(spark), k=10, lam=0.5).collect()
+    assert len(out) == 4  # pool exhausted cleanly
+    with pytest.raises(ValueError):
+        mmr_select(_cand(spark), k=0)
+    with pytest.raises(ValueError):
+        mmr_select(_cand(spark), lam=1.5)

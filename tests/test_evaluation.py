@@ -168,3 +168,31 @@ def test_conformal_width_validates(spark):
     df = spark.createDataFrame([("g", 1.0)], "grp string, resid double")
     with pytest.raises(ValueError):
         conformal_width(df, "grp", "resid", alpha=1.5)
+
+
+def test_expected_calibration_error_hand_computed(spark):
+    from econdatapipeline_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    # two populated bins: [0.0-0.1): scores 0.05 x4, all negative
+    # (gap 0.05); [0.9-1.0]: scores 0.95 x6, 3 positive (gap 0.45)
+    rows = [(False, 0.05)] * 4 + [(True, 0.95)] * 3 + [(False, 0.95)] * 3
+    df = spark.createDataFrame(rows, "label boolean, score double")
+    r = expected_calibration_error(df, bins=10).collect()[0]
+    assert r["n"] == 10
+    exp_ece = 0.4 * 0.05 + 0.6 * 0.45
+    assert abs(r["ece"] - exp_ece) < 1e-6
+    assert abs(r["mce"] - 0.45) < 1e-9
+
+
+def test_ece_zero_for_perfectly_calibrated(spark):
+    from econdatapipeline_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    # bin [0.2, 0.3): score 0.25, exactly 1 of 4 positive... use 0.25
+    rows = [(True, 0.25)] + [(False, 0.25)] * 3
+    df = spark.createDataFrame(rows, "label boolean, score double")
+    r = expected_calibration_error(df, bins=10).collect()[0]
+    assert r["ece"] == 0.0 and r["mce"] == 0.0
