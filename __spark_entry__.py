@@ -4323,6 +4323,22 @@ def q_mmr_select(spark, sf_dir):
     return mmr_select(cand, k=10, lam=0.7)
 
 
+def q_corpus_overlap(spark, sf_dir):
+    """Cross-source corpus overlap matrix (operators/dedup.
+    corpus_overlap): pairwise shingle-set Jaccard + directional
+    containment between the 20 sources, with the max_group_freq=15
+    heavy-hitter guard exercised (grams present in >15 sources are
+    boilerplate and generate almost all pair rows at domain-level
+    grouping). The acquisition question per-document dedup cannot
+    answer: how much of source B is already covered by source A."""
+    from econdatapipeline_spark.operators.dedup import corpus_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_overlap(
+        d, group_col="source", shingle_n=3, max_group_freq=15
+    ).orderBy("group_a", "group_b")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4630,6 +4646,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "cohens_kappa": q_cohens_kappa,
         "ece": q_ece,
         "mmr_select": q_mmr_select,
+        "corpus_overlap": q_corpus_overlap,
     }
 
 
@@ -9537,4 +9554,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT "rank", id, rel, mmr_score FROM sel10 ORDER BY "rank"
     """)
     sql["mmr_select"] = "".join(_mmr)
+    # Cross-source overlap: the oracle joins on gram STRINGS where the
+    # engine joins on xxhash64 struct keys — identical pair sets modulo
+    # the documented 64-bit collision caveat shared with ngram_jaccard.
+    sql["corpus_overlap"] = f"""
+        WITH sh0 AS (
+          SELECT source AS grp, unnest({shingle}) AS gram FROM documents),
+        sh AS (SELECT DISTINCT grp, gram FROM sh0),
+        hot AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) > 15),
+        shf AS (
+          SELECT * FROM sh
+          WHERE gram NOT IN (SELECT gram FROM hot)),
+        sizes AS (
+          SELECT grp, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM shf GROUP BY grp),
+        com AS (
+          SELECT a.grp AS group_a, b.grp AS group_b,
+                 CAST(COUNT(*) AS BIGINT) AS common
+          FROM shf a JOIN shf b ON a.gram = b.gram AND a.grp < b.grp
+          GROUP BY 1, 2)
+        SELECT group_a, group_b, sa.sz AS size_a, sb.sz AS size_b, common,
+               round(common::DOUBLE
+                     / (sa.sz + sb.sz - common)::DOUBLE, 6) AS jaccard,
+               round(common::DOUBLE / sa.sz::DOUBLE, 6) AS containment_a,
+               round(common::DOUBLE / sb.sz::DOUBLE, 6) AS containment_b
+        FROM com
+        JOIN sizes sa ON sa.grp = group_a
+        JOIN sizes sb ON sb.grp = group_b
+        ORDER BY group_a, group_b
+    """
     return sql

@@ -928,3 +928,98 @@ def minhash_estimate_error(
             F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
         )
     )
+
+
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_group_freq: int | None = None,
+) -> DataFrame:
+    """Pairwise shingle-set overlap BETWEEN corpus groups ->
+    (group_a, group_b, size_a, size_b, common, jaccard,
+    containment_a, containment_b).
+
+    The corpus-acquisition diagnostic the per-document dedup family
+    does not answer: before paying to ingest/clean crawl B, measure
+    how much of it is already covered by crawl A (containment_b), and
+    which source pairs are near-mirrors (jaccard). The unit is the
+    GROUP's distinct shingle set, so one boilerplate page repeated a
+    million times in a source counts once.
+
+    Scale shape: distinct (group, gram) is one hash aggregate
+    (vocabulary-like per group, not corpus-sized); the pair stage
+    joins that relation to itself per gram, so generated rows are
+    sum over grams of (groups sharing the gram)^2 — bounded by
+    n_groups^2 per gram for source-level groups (tens), but for
+    DOMAIN-level groups (millions) pass ``max_group_freq`` to drop
+    grams present in more than that many groups, the same
+    heavy-hitter guard as ``_shingle_overlap``'s max_doc_freq
+    (universal boilerplate grams carry no overlap signal and generate
+    almost all the pairs). Join keys are xxhash64 of the shingle
+    struct (whole-stage codegen, 8-byte shuffle keys); the oracle
+    replays the identical pairs joining on the gram STRINGS.
+    """
+    sh = (
+        fan_out(df)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(shingle_structs(F.col(text_col), shingle_n)).alias("g"),
+        )
+        .select(
+            "grp", shingle_struct_hash(F.col("g"), shingle_n).alias("gram")
+        )
+        .distinct()
+    )
+    if max_group_freq is not None:
+        hot = (
+            sh.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__gf"))
+            .filter(F.col("__gf") > max_group_freq)
+            .select("gram")
+        )
+        sh = sh.join(F.broadcast(hot), "gram", "left_anti")
+    sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("group_a"), F.col("b.grp").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("grp").alias("group_a"), F.col("sz").alias("size_a")),
+            "group_a",
+        )
+        .join(
+            sizes.select(F.col("grp").alias("group_b"), F.col("sz").alias("size_b")),
+            "group_b",
+        )
+    )
+    return out.select(
+        "group_a",
+        "group_b",
+        "size_a",
+        "size_b",
+        "common",
+        F.round(
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")).cast(
+                "double"
+            ),
+            6,
+        ).alias("jaccard"),
+        F.round(F.col("common").cast("double") / F.col("size_a"), 6).alias(
+            "containment_a"
+        ),
+        F.round(F.col("common").cast("double") / F.col("size_b"), 6).alias(
+            "containment_b"
+        ),
+    )

@@ -322,3 +322,35 @@ def test_minhash_estimate_exact_on_identical_docs(spark):
     r = out[0]
     assert r["est_jaccard"] == 1.0 and r["exact_jaccard"] == 1.0
     assert r["abs_err"] == 0.0
+
+
+def test_corpus_overlap_hand_computed(spark):
+    from econdatapipeline_spark.operators.dedup import corpus_overlap
+
+    rows = [
+        ("A", 1, "w x y z"),          # shingles: {w x y, x y z}
+        ("B", 2, "w x y"),            # {w x y}
+        ("C", 3, "p q r s"),          # {p q r, q r s}
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {(r["group_a"], r["group_b"]): r for r in corpus_overlap(df).collect()}
+    ab = out[("A", "B")]
+    assert ab["common"] == 1 and ab["size_a"] == 2 and ab["size_b"] == 1
+    assert ab["jaccard"] == 0.5
+    assert ab["containment_a"] == 0.5 and ab["containment_b"] == 1.0
+    assert ("A", "C") not in out and ("B", "C") not in out
+
+
+def test_corpus_overlap_group_freq_cap(spark):
+    from econdatapipeline_spark.operators.dedup import corpus_overlap
+
+    # 'w x y' appears in all 3 groups -> dropped at max_group_freq=2,
+    # leaving A/B overlap only through nothing (B has no other gram)
+    rows = [
+        ("A", 1, "w x y z"),
+        ("B", 2, "w x y"),
+        ("C", 3, "w x y"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = corpus_overlap(df, max_group_freq=2).collect()
+    assert out == []  # the only shared gram was the capped boilerplate
