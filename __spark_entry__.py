@@ -4339,6 +4339,36 @@ def q_corpus_overlap(spark, sf_dir):
     ).orderBy("group_a", "group_b")
 
 
+def q_bootstrap_group(spark, sf_dir):
+    """Per-group Poisson-bootstrap CIs (operators/stats.bootstrap_ci
+    with group_by): mean order value CI per order priority, all five
+    groups' 40 resamples in the SAME single scan as the ungrouped
+    query — the 2b conditional-sum columns just acquire a hash-
+    aggregate key. This is also the documented 100 TB overflow answer:
+    grouping divides n per scaled-long sum."""
+    from econdatapipeline_spark.operators.stats import bootstrap_ci
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return bootstrap_ci(
+        o, "o_totalprice", "o_orderkey", b=40, alpha=0.05,
+        group_by=["o_orderpriority"],
+    ).orderBy("o_orderpriority")
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit (operators/quality.benford_audit) of
+    order totals: first-significant-digit histogram vs log10(1 + 1/d),
+    digits extracted from the decimal STRING rendering (log10/pow
+    boundaries flip digits at exact powers of ten; strings don't).
+    One projection + one 9-group aggregate."""
+    from econdatapipeline_spark.operators.quality import benford_audit
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_audit(o, "o_totalprice").orderBy("digit")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4647,6 +4677,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "ece": q_ece,
         "mmr_select": q_mmr_select,
         "corpus_overlap": q_corpus_overlap,
+        "bootstrap_group": q_bootstrap_group,
+        "benford": q_benford,
     }
 
 
@@ -9582,5 +9614,51 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.grp = group_a
         JOIN sizes sb ON sb.grp = group_b
         ORDER BY group_a, group_b
+    """
+    # Grouped bootstrap: the ungrouped oracle's resample sums under a
+    # GROUP BY key — same md5-uniform weights, same nearest-rank pick.
+    sql["bootstrap_group"] = f"""
+        WITH src AS (
+          SELECT o_orderpriority, o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000
+                      AS BIGINT) AS x
+          FROM orders),
+        agg AS (
+          SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                 round((CAST(SUM(x) AS DOUBLE) / 1000000.0) / COUNT(*), 6)
+                   AS mean,
+                 {bs_sums}
+          FROM src GROUP BY o_orderpriority),
+        m AS (SELECT o_orderpriority, n, mean,
+                     list_sort([{bs_means}]) AS means
+              FROM agg)
+        SELECT o_orderpriority, n, mean,
+               round(means[{bs_lo}], 6) AS ci_lo,
+               round(means[{bs_hi}], 6) AS ci_hi,
+               CAST(40 AS INT) AS b
+        FROM m ORDER BY o_orderpriority
+    """
+    # Benford: digits from the fixed-scale decimal STRING rendering on
+    # both engines; the expectation is computed (ln(1+1/d)/ln(10)),
+    # not hardcoded.
+    sql["benford"] = """
+        WITH s AS (
+          SELECT regexp_extract(
+                   CAST(CAST(abs(o_totalprice) AS DECIMAL(18,6))
+                        AS VARCHAR), '[1-9]') AS ds
+          FROM orders),
+        d AS (SELECT CAST(ds AS INT) AS digit FROM s WHERE ds <> ''),
+        tot AS (SELECT COUNT(*) AS total FROM d),
+        g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+              FROM d GROUP BY digit)
+        SELECT digit, n,
+               round(n::DOUBLE / total::DOUBLE, 6) AS frac,
+               round(ln(1.0::DOUBLE + 1.0::DOUBLE / digit::DOUBLE)
+                     / ln(10.0::DOUBLE), 6) AS benford,
+               round(abs(round(n::DOUBLE / total::DOUBLE, 6)
+                         - round(ln(1.0::DOUBLE
+                                    + 1.0::DOUBLE / digit::DOUBLE)
+                                 / ln(10.0::DOUBLE), 6)), 6) AS abs_dev
+        FROM g CROSS JOIN tot ORDER BY digit
     """
     return sql

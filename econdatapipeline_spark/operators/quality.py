@@ -420,3 +420,49 @@ def gopher_flag_exprs(
         >= min_alpha_frac,
         "ok_stops": n_stops >= min_required_stops,
     }
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law ->
+    (digit, n, frac, benford, abs_dev), one row per digit 1-9.
+
+    The classic fabricated-data / unit-mixup screen for numeric fact
+    columns (Benford 1938; Nigrini's audit practice): naturally
+    occurring multi-scale quantities follow P(d) = log10(1 + 1/d);
+    price columns pasted from a uniform generator, truncated ETL, or a
+    wrong-unit merge bend the curve. One projection + one 9-group hash
+    aggregate — nothing scales past the scan.
+
+    Portability discipline: the first digit is extracted from the
+    decimal(18,6) STRING rendering (both engines render full fixed
+    scale, and regexp first-match of [1-9] is order-identical) — NOT
+    via log10/pow, whose libm boundaries (log10(1000) rounding below
+    3) flip digits at exact powers of ten. The Benford expectation is
+    computed, not hardcoded, as ln(1+1/d)/ln(10) rounded to 6 on both
+    engines. Zero/null values carry no leading digit and are excluded,
+    negatives contribute their magnitude.
+    """
+    s = F.abs(F.col(value_col)).cast("decimal(18,6)").cast("string")
+    d = F.regexp_extract(s, "[1-9]", 0)
+    digits = (
+        df.select(d.alias("ds"))
+        .filter(F.col("ds") != "")
+        .select(F.col("ds").cast("int").alias("digit"))
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("total"))
+    frac = F.col("n").cast("double") / F.col("total").cast("double")
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.log(F.lit(10.0))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(tot)
+        .select(
+            "digit",
+            "n",
+            F.round(frac, 6).alias("frac"),
+            F.round(benford, 6).alias("benford"),
+            F.round(F.abs(F.round(frac, 6) - F.round(benford, 6)), 6).alias(
+                "abs_dev"
+            ),
+        )
+    )

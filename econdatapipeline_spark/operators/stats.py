@@ -912,9 +912,14 @@ def bootstrap_ci(
     id_col: str,
     b: int = 40,
     alpha: float = 0.05,
+    group_by: list[str] | None = None,
 ) -> DataFrame:
     """Poisson-bootstrap confidence interval for the mean -> one row
-    (n, mean, ci_lo, ci_hi, b).
+    (n, mean, ci_lo, ci_hi, b), or one row PER GROUP when ``group_by``
+    is given (same single scan — the per-group CIs are just the same
+    2b conditional-sum columns under a hash-aggregate key, which is
+    also the 100 TB answer to the docstring's overflow headroom note:
+    partitioning the CI by group divides n per sum).
 
     The distributed bootstrap (Chamandy et al., "Estimating
     uncertainty for massive data streams"): resampling-with-replacement
@@ -995,9 +1000,11 @@ def bootstrap_ci(
     # BigDecimal sums at identical exactness. Overflow headroom:
     # n * max|x| * 7 * 10^6 must stay under 2^63 (~9.2e18) — at 100 TB
     # partition the CI by group or drop to a 10^-2 grid.
+    gcols = list(group_by or [])
     proj = (
         fan_out(df)
         .select(
+            *[F.col(g) for g in gcols],
             (F.col(value_col).cast("decimal(18,6)") * F.lit(1000000))
             .cast("long")
             .alias("__x"),
@@ -1016,7 +1023,7 @@ def bootstrap_ci(
     for j in range(b):
         aggs.append(F.sum(F.col("__x") * F.col("__w")[j]).alias(f"sx{j}"))
         aggs.append(F.sum(F.col("__w")[j]).cast("long").alias(f"sw{j}"))
-    one = proj.agg(*aggs)
+    one = proj.groupBy(*gcols).agg(*aggs) if gcols else proj.agg(*aggs)
     means = F.array_sort(
         F.array(
             *[
@@ -1032,6 +1039,7 @@ def bootstrap_ci(
     lo_i = int((alpha / 2.0) * (b - 1))
     hi_i = int((1.0 - alpha / 2.0) * (b - 1))
     return one.select(
+        *gcols,
         "n",
         "mean",
         F.round(means[lo_i], 6).alias("ci_lo"),

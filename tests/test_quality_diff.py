@@ -260,3 +260,20 @@ def test_anonymity_summary_gate(spark):
     assert r2["n_at_risk_rows"] == 2 and r2["min_class"] == 2
     with _pytest.raises(ValueError):
         anonymity_summary(good, [], k=5)
+
+
+def test_benford_audit_known_distribution(spark):
+    from econdatapipeline_spark.operators.quality import benford_audit
+
+    # exponential growth 1.5^i cycles first digits Benford-ishly; the
+    # contract here is exact counting + exclusion rules, not the law
+    rows = [(1.5 ** i,) for i in range(40)] + [(0.0,), (None,), (-250.0,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = {r["digit"]: r for r in benford_audit(df, "x").collect()}
+    assert sum(r["n"] for r in out.values()) == 41  # zero+null excluded
+    # negative magnitude counted under its first digit (2 from -250)
+    assert out[2]["n"] >= 1
+    total = sum(r["n"] for r in out.values())
+    for r in out.values():
+        assert r["frac"] == round(r["n"] / total, 6)
+        assert 0 < r["benford"] < 0.31

@@ -531,3 +531,24 @@ def test_cohens_kappa_multiclass_and_degenerate(spark):
     const = spark.createDataFrame([("k", "k")] * 4, "a string, b string")
     rc = cohens_kappa(const, "a", "b").collect()[0]
     assert rc["po"] == 1.0 and rc["kappa"] == 0.0
+
+
+def test_bootstrap_ci_grouped_matches_ungrouped_per_group(spark):
+    from econdatapipeline_spark.operators.stats import bootstrap_ci
+
+    rows = [(i, "g" + str(i % 2), float(10 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, x double")
+    grouped = {
+        r["grp"]: r
+        for r in bootstrap_ci(df, "x", "id", b=12, group_by=["grp"]).collect()
+    }
+    for g in ("g0", "g1"):
+        solo = bootstrap_ci(
+            df.filter(df.grp == g), "x", "id", b=12
+        ).collect()[0]
+        # identical md5-derived weights -> identical per-group CI
+        assert grouped[g]["n"] == solo["n"] == 100
+        assert grouped[g]["mean"] == solo["mean"]
+        assert grouped[g]["ci_lo"] == solo["ci_lo"]
+        assert grouped[g]["ci_hi"] == solo["ci_hi"]
+        assert grouped[g]["ci_lo"] <= grouped[g]["mean"] <= grouped[g]["ci_hi"]
