@@ -4369,6 +4369,23 @@ def q_benford(spark, sf_dir):
     return benford_audit(o, "o_totalprice").orderBy("digit")
 
 
+def q_acf(spark, sf_dir):
+    """Per-series autocorrelation function (operators/timeseries.acf):
+    monthly order totals per priority, lags 1..6 from ONE band
+    self-join over series positions (<= max_lag rows per position) —
+    the seasonality diagnostic that decides whether seasonal_adjust
+    or differencing is warranted. Input is a series (one row per
+    group-month), so every window here is calendar-bounded."""
+    from econdatapipeline_spark.operators.timeseries import acf
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(_dsum(F.col("o_totalprice")).alias("value"))
+    return acf(monthly, max_lag=6).orderBy("dataset", "lag")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4679,6 +4696,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "corpus_overlap": q_corpus_overlap,
         "bootstrap_group": q_bootstrap_group,
         "benford": q_benford,
+        "acf": q_acf,
     }
 
 
@@ -9660,5 +9678,46 @@ def oracle_sql() -> dict[str, str]:
                                     + 1.0::DOUBLE / digit::DOUBLE)
                                  / ln(10.0::DOUBLE), 6)), 6) AS abs_dev
         FROM g CROSS JOIN tot ORDER BY digit
+    """
+    # ACF: xbar = exact decimal sum / n (one double division);
+    # deviation products are deterministic doubles quantized to
+    # decimal(38,6) before the numerator/denominator sums.
+    sql["acf"] = """
+        WITH monthly AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS value
+          FROM orders GROUP BY 1, 2),
+        base AS (
+          SELECT dataset AS g, CAST(value AS DOUBLE) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY dataset ORDER BY date)
+                   AS pos
+          FROM monthly),
+        st AS (
+          SELECT g,
+                 CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                   AS xbar
+          FROM base GROUP BY g),
+        dev AS (
+          SELECT b.g, b.pos, b.x - st.xbar AS d
+          FROM base b JOIN st USING (g)),
+        den AS (
+          SELECT g, SUM(CAST(d * d AS DECIMAL(38,6))) AS den
+          FROM dev GROUP BY g),
+        num AS (
+          SELECT a.g, b.pos - a.pos AS lag,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 SUM(CAST(a.d * b.d AS DECIMAL(38,6))) AS num
+          FROM dev a JOIN dev b
+            ON a.g = b.g AND b.pos > a.pos AND b.pos <= a.pos + 6
+          GROUP BY 1, 2)
+        SELECT n.g AS dataset, CAST(n.lag AS INT) AS lag, n.n_pairs,
+               CASE WHEN d.den != 0
+                    THEN round(CAST(n.num AS DOUBLE)
+                               / CAST(d.den AS DOUBLE), 6)
+                    ELSE 0.0 END AS acf
+        FROM num n JOIN den d USING (g)
+        ORDER BY dataset, lag
     """
     return sql

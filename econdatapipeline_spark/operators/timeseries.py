@@ -421,3 +421,94 @@ def holt_backtest(
             ).alias("mean_err"),
         )
     )
+
+
+def acf(
+    df: DataFrame,
+    value_col: str = "value",
+    order_col: str = "date",
+    group_col: str = "dataset",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation function per series ->
+    (group, lag, n_pairs, acf) for lags 1..max_lag.
+
+    The seasonality / mean-reversion diagnostic that decides whether
+    seasonal_adjust_monthly or a differencing step is warranted:
+
+        acf_k = sum_(t=1..n-k) (x_t - xbar)(x_(t+k) - xbar)
+                / sum_(t=1..n) (x_t - xbar)^2
+
+    (the standard full-series-variance denominator, so acf_0 = 1 and
+    the values are comparable across k).
+
+    Scale shape: the input is a SERIES — one row per (group, period)
+    produced by an upstream aggregate — so the per-group row_number
+    window is bounded by calendar length, never by fact count (the
+    ewma/gap_fill posture). ALL lags come from ONE band self-join
+    (b.pos between a.pos+1 and a.pos+max_lag), <= max_lag rows per
+    position, then a (group, lag) hash aggregate.
+
+    Determinism: xbar is an exact decimal(28,6) sum divided once in
+    double; deviation products are deterministic IEEE doubles cast to
+    decimal(38,6) before the sums, so numerator and denominator are
+    order-free on both engines.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("x"),
+        F.row_number().over(w).alias("pos"),
+    )
+    stats = base.groupBy("g").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("xbar"),
+    )
+    dev = base.join(stats, "g").select(
+        "g", "pos", (F.col("x") - F.col("xbar")).alias("d")
+    )
+    den = dev.groupBy("g").agg(
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,6)")).alias("den")
+    )
+    a, b = dev.alias("a"), dev.alias("b")
+    num = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") <= F.col("a.pos") + max_lag),
+        )
+        .groupBy(
+            F.col("a.g").alias("g"),
+            (F.col("b.pos") - F.col("a.pos")).alias("lag"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("a.d") * F.col("b.d")).cast("decimal(38,6)")).alias(
+                "num"
+            ),
+        )
+    )
+    return (
+        num.join(den, "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.when(
+                F.col("den") != 0,
+                F.round(
+                    F.col("num").cast("double") / F.col("den").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("acf"),
+        )
+    )

@@ -172,3 +172,30 @@ def test_holt_backtest_validates(spark):
     df = spark.createDataFrame([("g", 1, 1.0)], "grp string, t int, y double")
     with _pytest.raises(ValueError):
         holt_backtest(df, "grp", "t", "y", cutoff=0, horizon=0)
+
+
+def test_acf_hand_computed_and_lag1_sign(spark):
+    from econdatapipeline_spark.operators.timeseries import acf
+    import datetime as dt
+
+    # alternating series: strong negative lag-1, positive lag-2
+    vals = [10.0, 0.0, 10.0, 0.0, 10.0, 0.0, 10.0, 0.0]
+    rows = [
+        ("s", dt.date(2024, 1 + i, 1), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "dataset string, date date, value double")
+    out = {r["lag"]: r for r in acf(df, max_lag=3).collect()}
+    # xbar = 5, dev = +-5; lag1: 7 pairs all -25 -> -175/200
+    assert out[1]["n_pairs"] == 7 and out[1]["acf"] == round(-175 / 200, 6)
+    assert out[2]["n_pairs"] == 6 and out[2]["acf"] == round(150 / 200, 6)
+    assert out[3]["acf"] == round(-125 / 200, 6)
+
+
+def test_acf_constant_series_zero_denominator(spark):
+    from econdatapipeline_spark.operators.timeseries import acf
+    import datetime as dt
+
+    rows = [("s", dt.date(2024, 1 + i, 1), 7.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "dataset string, date date, value double")
+    out = acf(df, max_lag=2).collect()
+    assert all(r["acf"] == 0.0 for r in out)  # degenerate guard
