@@ -4386,6 +4386,140 @@ def q_acf(spark, sf_dir):
     return acf(monthly, max_lag=6).orderBy("dataset", "lag")
 
 
+def _monthly_order_series(spark, sf_dir):
+    """Shared fixture for the series diagnostics (acf / ljung_box /
+    theil_sen): monthly order totals per priority — one row per
+    (priority, month), ~80 points per series."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(_dsum(F.col("o_totalprice")).alias("value"))
+
+
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box white-noise test (operators/timeseries.ljung_box) on
+    the monthly order series — Q = n(n+2) sum acf_k^2/(n-k) over lags
+    1..6, the residual-structure audit downstream of holt_forecast."""
+    from econdatapipeline_spark.operators.timeseries import ljung_box
+
+    return ljung_box(_monthly_order_series(spark, sf_dir), max_lag=6).orderBy(
+        "dataset"
+    )
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend (operators/timeseries.theil_sen): median
+    pairwise slope + median-residual intercept per series — the
+    outlier-immune counterpart of trend_fit's OLS line. All-pairs join
+    is calendar-bounded (n(n-1)/2 for an n-month series)."""
+    from econdatapipeline_spark.operators.timeseries import theil_sen
+
+    return theil_sen(_monthly_order_series(spark, sf_dir)).orderBy("dataset")
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Tie-corrected Mann-Whitney U per line status
+    (operators/stats.mann_whitney): did returned items (R) ship at
+    different prices than kept ones (N)? Reduces to DISTINCT
+    (group, value) rows before the cumulative window (roc_auc posture);
+    U accumulated in exact integer half-units."""
+    from econdatapipeline_spark.operators.stats import mann_whitney
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mann_whitney(
+        li,
+        value_col="l_extendedprice",
+        sample_col="l_returnflag",
+        sample_a="R",
+        sample_b="N",
+        group_col="l_linestatus",
+    ).orderBy("l_linestatus")
+
+
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b between monthly revenue and monthly order count
+    per priority (operators/stats.kendall_tau): are busier months
+    richer months, rank-wise? Pair enumeration is calendar-bounded
+    (n(n-1)/2 per ~80-month series) — the series-sized counterpart of
+    the corpus-scale spearman machinery; all counts exact integers."""
+    from econdatapipeline_spark.operators.stats import kendall_tau
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(
+        _dsum(F.col("o_totalprice")).alias("value"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return kendall_tau(monthly, "value", "n_orders", group_col="dataset").orderBy(
+        "dataset"
+    )
+
+
+def q_jsd_drift(spark, sf_dir):
+    """Jensen-Shannon divergence between the English and Spanish
+    slices' unigram distributions (operators/stats.jsd_drift) — the
+    symmetric, ln(2)-bounded corpus drift monitor next to psi_drift.
+    One vocabulary-sized aggregate; per-token terms decimal-quantized
+    before the order-free sum (the mutual_information pattern)."""
+    from econdatapipeline_spark.operators.stats import jsd_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return jsd_drift(d, split_col="lang", side_a="en", side_b="es")
+
+
+def q_pacf(spark, sf_dir):
+    """Partial autocorrelation per priority series
+    (operators/timeseries.pacf): Durbin-Levinson unrolled into column
+    expressions over the group-sized pivoted acf relation — the AR/MA
+    order-identification diagnostic completing the Box-Jenkins trio
+    (acf, pacf, ljung_box). The oracle replays the byte-identical
+    fixed-order recursion as generated CTE columns."""
+    from econdatapipeline_spark.operators.timeseries import pacf
+
+    return pacf(_monthly_order_series(spark, sf_dir), max_lag=6).orderBy(
+        "dataset", "lag"
+    )
+
+
+def q_rbo(spark, sf_dir):
+    """Rank-biased overlap between the 1994 and 1995 top-25 parts by
+    revenue (operators/retrieval.rbo) — the top-weighted leaderboard
+    churn metric (Webber et al.). Each list is a TakeOrdered top-k with
+    a deterministic (revenue desc, partkey asc) tie-break; the depth
+    sum is a driver-computed k-entry literal weight map, so the whole
+    operator is one <= k-row join + one aggregate."""
+    from econdatapipeline_spark.operators.retrieval import rbo
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(F.year("l_shipdate").isin([1994, 1995]))
+        .groupBy(F.year("l_shipdate").alias("yr"), "l_partkey")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+
+    def topk(y):
+        t = (
+            rev.filter(F.col("yr") == y)
+            .orderBy(F.desc("rev"), F.asc("l_partkey"))
+            .limit(25)
+        )
+        # rank assignment on the already-limited k-row relation: the
+        # unpartitioned window is bounded by k, never by fact count.
+        w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+        return t.select("l_partkey", F.row_number().over(w).alias("rank"))
+
+    return rbo(
+        topk(1994), topk(1995), item_col="l_partkey", rank_col="rank", k=25, p=0.9
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4697,6 +4831,13 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "bootstrap_group": q_bootstrap_group,
         "benford": q_benford,
         "acf": q_acf,
+        "ljung_box": q_ljung_box,
+        "theil_sen": q_theil_sen,
+        "mann_whitney": q_mann_whitney,
+        "kendall_tau": q_kendall_tau,
+        "jsd_drift": q_jsd_drift,
+        "pacf": q_pacf,
+        "rbo": q_rbo,
     }
 
 
@@ -9719,5 +9860,319 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0 END AS acf
         FROM num n JOIN den d USING (g)
         ORDER BY dataset, lag
+    """
+    # Shared series fixture for the diagnostics below (mirrors
+    # _monthly_order_series + the acf oracle's base CTE).
+    _series = """
+        monthly AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS value
+          FROM orders GROUP BY 1, 2),
+        base AS (
+          SELECT dataset AS g, CAST(value AS DOUBLE) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY dataset ORDER BY date)
+                   AS pos
+          FROM monthly)
+    """
+    # Ljung-Box: acf_k is the ROUNDED 6-decimal acf (identical doubles
+    # on both engines); per-lag terms quantized to decimal(38,12)
+    # before the order-free sum.
+    sql["ljung_box"] = f"""
+        WITH {_series},
+        st AS (
+          SELECT g,
+                 CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                   AS xbar
+          FROM base GROUP BY g),
+        dev AS (
+          SELECT b.g, b.pos, b.x - st.xbar AS d
+          FROM base b JOIN st USING (g)),
+        den AS (
+          SELECT g, SUM(CAST(d * d AS DECIMAL(38,6))) AS den
+          FROM dev GROUP BY g),
+        num AS (
+          SELECT a.g, b.pos - a.pos AS lag,
+                 SUM(CAST(a.d * b.d AS DECIMAL(38,6))) AS num
+          FROM dev a JOIN dev b
+            ON a.g = b.g AND b.pos > a.pos AND b.pos <= a.pos + 6
+          GROUP BY 1, 2),
+        rho AS (
+          SELECT n.g, n.lag,
+                 CASE WHEN d.den != 0
+                      THEN round(CAST(n.num AS DOUBLE)
+                                 / CAST(d.den AS DOUBLE), 6)
+                      ELSE 0.0 END AS acf
+          FROM num n JOIN den d USING (g)),
+        slen AS (SELECT g, COUNT(*) AS n FROM base GROUP BY g)
+        SELECT r.g AS dataset, CAST(MAX(r.lag) AS INT) AS h,
+               CAST(MAX(l.n) AS BIGINT) AS n,
+               round(CAST(MAX(l.n) * (MAX(l.n) + 2) AS DOUBLE)
+                     * CAST(SUM(CAST(r.acf * r.acf
+                                     / CAST(l.n - r.lag AS DOUBLE)
+                                     AS DECIMAL(38,12))) AS DOUBLE),
+                     6) AS q_stat
+        FROM rho r JOIN slen l USING (g)
+        GROUP BY r.g ORDER BY dataset
+    """
+    # Theil-Sen: slope median rounded to 6dp BEFORE the residual pass
+    # so both engines compute intercepts from the identical quantized
+    # slope; quantile_cont == Spark percentile (linear interpolation
+    # at p*(n-1)).
+    sql["theil_sen"] = f"""
+        WITH {_series},
+        sl AS (
+          SELECT a.g, (b.x - a.x) / CAST(b.pos - a.pos AS DOUBLE) AS slope
+          FROM base a JOIN base b ON a.g = b.g AND b.pos > a.pos),
+        s AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 round(quantile_cont(slope, 0.5), 6) AS slope
+          FROM sl GROUP BY g),
+        r AS (
+          SELECT base.g, x - s.slope * pos AS r
+          FROM base JOIN s USING (g)),
+        i AS (
+          SELECT g, round(quantile_cont(r, 0.5), 6) AS intercept
+          FROM r GROUP BY g)
+        SELECT s.g AS dataset, s.n_pairs, s.slope, i.intercept
+        FROM s JOIN i USING (g) ORDER BY dataset
+    """
+    # Mann-Whitney: distinct (group, value) reduction, exact integer
+    # half-unit U (u2 = 2U), integer tie sums; floats only in the final
+    # per-group z/auc arithmetic.
+    sql["mann_whitney"] = """
+        WITH f AS (
+          SELECT l_linestatus AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+                 l_returnflag AS s
+          FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        d AS (
+          SELECT g, v,
+                 SUM(CASE WHEN s = 'R' THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN s = 'N' THEN 1 ELSE 0 END) AS nb
+          FROM f GROUP BY g, v),
+        c AS (
+          SELECT g, na, nb,
+                 COALESCE(SUM(nb) OVER (
+                   PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_b
+          FROM d),
+        p AS (
+          SELECT g, CAST(SUM(na) AS BIGINT) AS n_a,
+                 CAST(SUM(nb) AS BIGINT) AS n_b,
+                 CAST(SUM(2 * na * cum_b + na * nb) AS BIGINT) AS u2,
+                 CAST(SUM((na + nb) * (na + nb) * (na + nb) - (na + nb))
+                      AS BIGINT) AS tie3
+          FROM c GROUP BY g)
+        SELECT g AS l_linestatus, n_a, n_b,
+               round(u2 / 2.0, 6) AS u_stat,
+               round((u2 / 2.0) / CAST(n_a * n_b AS DOUBLE), 6) AS auc,
+               round(CASE WHEN CAST(n_a * n_b AS DOUBLE) / 12.0
+                            * (CAST(n_a + n_b + 1 AS DOUBLE)
+                               - CAST(tie3 AS DOUBLE)
+                                 / CAST((n_a + n_b) * (n_a + n_b - 1)
+                                        AS DOUBLE)) > 0
+                     THEN (u2 / 2.0 - CAST(n_a * n_b AS DOUBLE) / 2.0)
+                          / sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+                            * (CAST(n_a + n_b + 1 AS DOUBLE)
+                               - CAST(tie3 AS DOUBLE)
+                                 / CAST((n_a + n_b) * (n_a + n_b - 1)
+                                        AS DOUBLE)))
+                     ELSE 0.0 END, 6) AS z
+        FROM p ORDER BY l_linestatus
+    """
+    # Kendall tau-b: pair enumeration over ROW_NUMBER positions — the
+    # tie-break among identical (x, y) rows differs between engines
+    # but the unordered pair SET (and thus every count) is invariant.
+    sql["kendall_tau"] = """
+        WITH monthly AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS value,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY 1, 2),
+        base AS (
+          SELECT dataset AS g, CAST(value AS DOUBLE) AS x,
+                 CAST(n_orders AS DOUBLE) AS y,
+                 ROW_NUMBER() OVER (PARTITION BY dataset
+                                    ORDER BY value, n_orders) AS pos
+          FROM monthly),
+        pairs AS (
+          SELECT a.g,
+                 CASE WHEN b.x != a.x AND b.y != a.y
+                           AND (b.x - a.x) * (b.y - a.y) > 0
+                      THEN 1 ELSE 0 END AS c,
+                 CASE WHEN b.x != a.x AND b.y != a.y
+                           AND (b.x - a.x) * (b.y - a.y) < 0
+                      THEN 1 ELSE 0 END AS d,
+                 CASE WHEN b.x = a.x AND b.y != a.y THEN 1 ELSE 0 END AS tx,
+                 CASE WHEN b.x != a.x AND b.y = a.y THEN 1 ELSE 0 END AS ty
+          FROM base a JOIN base b ON a.g = b.g AND b.pos > a.pos),
+        counts AS (
+          SELECT g, CAST(SUM(c) AS BIGINT) AS concordant,
+                 CAST(SUM(d) AS BIGINT) AS discordant,
+                 CAST(SUM(tx) AS BIGINT) AS tx,
+                 CAST(SUM(ty) AS BIGINT) AS ty
+          FROM pairs GROUP BY g),
+        slen AS (SELECT dataset AS g, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM monthly GROUP BY 1)
+        SELECT c.g AS dataset, s.n, c.concordant, c.discordant,
+               round(CASE WHEN CAST((c.concordant + c.discordant + c.tx)
+                                    * (c.concordant + c.discordant + c.ty)
+                                    AS DOUBLE) > 0
+                          THEN CAST(c.concordant - c.discordant AS DOUBLE)
+                               / sqrt(CAST((c.concordant + c.discordant
+                                            + c.tx)
+                                           * (c.concordant + c.discordant
+                                              + c.ty) AS DOUBLE))
+                          ELSE 0.0 END, 6) AS tau
+        FROM counts c JOIN slen s USING (g) ORDER BY dataset
+    """
+    # JSD: per-token terms quantized to decimal(28,12) before the sum
+    # (the mutual_information pattern); p/q divisions are long/double
+    # on both engines.
+    sql["jsd_drift"] = """
+        WITH tok AS (
+          SELECT lang AS side,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS token
+          FROM documents WHERE lang IN ('en', 'es')),
+        c AS (
+          SELECT token,
+                 SUM(CASE WHEN side = 'en' THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN side = 'es' THEN 1 ELSE 0 END) AS nb
+          FROM tok WHERE token <> '' GROUP BY token),
+        t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM c),
+        pq AS (
+          SELECT na, nb, na / CAST(ta AS DOUBLE) AS p,
+                 nb / CAST(tb AS DOUBLE) AS q, ta, tb
+          FROM c CROSS JOIN t),
+        terms AS (
+          SELECT CAST(0.5 * (
+                   CASE WHEN na > 0
+                        THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+                   + CASE WHEN nb > 0
+                          THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+                 AS DECIMAL(28,12)) AS tt, ta, tb
+          FROM pq)
+        SELECT round(CAST(SUM(tt) AS DOUBLE), 6) AS jsd,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(MAX(ta) AS BIGINT) AS n_tokens_a,
+               CAST(MAX(tb) AS BIGINT) AS n_tokens_b
+        FROM terms
+    """
+    # PACF: the Durbin-Levinson recursion is GENERATED here with the
+    # exact operand order of the engine's unrolled column expressions
+    # (left-assoc subtraction chains), so every intermediate double is
+    # bit-identical; inputs are the rounded acf values, outputs round
+    # the diagonal only.
+    _h = 6
+    _rcols = ",\n                 ".join(
+        f"COALESCE(MAX(CASE WHEN lag = {k} THEN acf END), 0.0) AS r{k}"
+        for k in range(1, _h + 1)
+    )
+    _ctes = [f"w AS (SELECT g,\n                 {_rcols}\n          FROM rho GROUP BY g)",
+             "k1 AS (SELECT *, r1 AS p_1_1 FROM w)"]
+    _prev = "k1"
+    for k in range(2, _h + 1):
+        num = f"r{k}" + "".join(
+            f" - p_{k-1}_{j} * r{k-j}" for j in range(1, k)
+        )
+        den = "1.0" + "".join(f" - p_{k-1}_{j} * r{j}" for j in range(1, k))
+        _ctes.append(
+            f"k{k}n AS (SELECT *, ({num}) AS num_{k}, ({den}) AS den_{k} "
+            f"FROM {_prev})"
+        )
+        _ctes.append(
+            f"k{k}d AS (SELECT *, CASE WHEN den_{k} != 0 "
+            f"THEN num_{k} / den_{k} ELSE 0.0 END AS p_{k}_{k} FROM k{k}n)"
+        )
+        offs = ", ".join(
+            f"p_{k-1}_{j} - p_{k}_{k} * p_{k-1}_{k-j} AS p_{k}_{j}"
+            for j in range(1, k)
+        )
+        _ctes.append(f"k{k} AS (SELECT *, {offs} FROM k{k}d)")
+        _prev = f"k{k}"
+    _union = "\n        UNION ALL ".join(
+        f"SELECT g AS dataset, CAST({k} AS INT) AS lag, "
+        f"round(p_{k}_{k}, 6) AS pacf FROM {_prev}"
+        for k in range(1, _h + 1)
+    )
+    _cte_block = ",\n        ".join(_ctes)
+    sql["pacf"] = f"""
+        WITH monthly AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS value
+          FROM orders GROUP BY 1, 2),
+        base AS (
+          SELECT dataset AS g, CAST(value AS DOUBLE) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY dataset ORDER BY date)
+                   AS pos
+          FROM monthly),
+        st AS (
+          SELECT g,
+                 CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                   AS xbar
+          FROM base GROUP BY g),
+        dev AS (
+          SELECT b.g, b.pos, b.x - st.xbar AS d
+          FROM base b JOIN st USING (g)),
+        den AS (
+          SELECT g, SUM(CAST(d * d AS DECIMAL(38,6))) AS den
+          FROM dev GROUP BY g),
+        num AS (
+          SELECT a.g, b.pos - a.pos AS lag,
+                 SUM(CAST(a.d * b.d AS DECIMAL(38,6))) AS num
+          FROM dev a JOIN dev b
+            ON a.g = b.g AND b.pos > a.pos AND b.pos <= a.pos + {_h}
+          GROUP BY 1, 2),
+        rho AS (
+          SELECT n.g, n.lag,
+                 CASE WHEN d.den != 0
+                      THEN round(CAST(n.num AS DOUBLE)
+                                 / CAST(d.den AS DOUBLE), 6)
+                      ELSE 0.0 END AS acf
+          FROM num n JOIN den d USING (g)),
+        {_cte_block}
+        {_union}
+        ORDER BY dataset, lag
+    """
+    # RBO: the depth-weight literals are the SAME Python doubles the
+    # engine inlines (rbo_weights), repr'd into the SQL so both engines
+    # sum byte-identical values.
+    from econdatapipeline_spark.operators.retrieval import rbo_weights
+
+    _w = rbo_weights(25, 0.9)
+    _case = "\n                 ".join(
+        f"WHEN {m} THEN {_w[m]!r}" for m in range(1, 26)
+    )
+    sql["rbo"] = f"""
+        WITH rev AS (
+          SELECT CAST(year(l_shipdate) AS INT) AS yr, l_partkey,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(28,6))) AS DOUBLE) AS rev
+          FROM lineitem WHERE year(l_shipdate) IN (1994, 1995)
+          GROUP BY 1, 2),
+        a AS (
+          SELECT l_partkey,
+                 ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS ra
+          FROM (SELECT * FROM rev WHERE yr = 1994
+                ORDER BY rev DESC, l_partkey LIMIT 25)),
+        b AS (
+          SELECT l_partkey,
+                 ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rb
+          FROM (SELECT * FROM rev WHERE yr = 1995
+                ORDER BY rev DESC, l_partkey LIMIT 25)),
+        j AS (
+          SELECT GREATEST(ra, rb) AS m FROM a JOIN b USING (l_partkey))
+        SELECT CAST(COUNT(*) AS BIGINT) AS overlap_k,
+               COALESCE(round(CAST(SUM(CAST(CASE m
+                 {_case}
+                 END AS DECIMAL(28,12))) AS DOUBLE), 6), 0.0) AS rbo
+        FROM j
     """
     return sql

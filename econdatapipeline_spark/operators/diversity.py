@@ -93,6 +93,8 @@ def mmr_select(
             .select(
                 "id",
                 "rel",
+                "v",
+                "vn",
                 F.round(
                     dot(F.col("v"), F.col("sv")) / (F.col("vn") * F.col("svn")),
                     6,
@@ -102,10 +104,18 @@ def mmr_select(
             .agg(
                 F.max("rel").alias("rel"),
                 F.max("cos").alias("max_sim"),
+                # carry the winner's vector through the aggregate so the
+                # round is ONE TakeOrdered job, not TakeOrdered + a
+                # second lookup collect (id is unique in the shortlist,
+                # so first() is exact)
+                F.first("v").alias("v"),
+                F.first("vn").alias("vn"),
             )
             .select(
                 "id",
                 "rel",
+                "v",
+                "vn",
                 F.round(
                     F.lit(lam) * F.col("rel")
                     - F.lit(1.0 - lam) * F.col("max_sim"),
@@ -117,9 +127,8 @@ def mmr_select(
         if not best:
             break
         b = best[0]
-        row = cand.filter(F.col("id") == b["id"]).select("v", "vn").collect()[0]
         picked.append((len(picked) + 1, b["id"], b["rel"], b["mmr_score"]))
-        sel_rows.append((b["id"], row["v"], row["vn"]))
+        sel_rows.append((b["id"], b["v"], b["vn"]))
     return spark.createDataFrame(
         picked, "rank int, id long, rel double, mmr_score double"
     )

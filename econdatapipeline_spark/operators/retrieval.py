@@ -110,3 +110,69 @@ def hybrid_search(
         F.col("sem_rank").cast("long").alias("sem_rank"),
     )
     return fused.orderBy(F.col("rrf").desc(), F.col(doc_id_col).asc()).limit(k)
+
+
+def rbo(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    item_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 25,
+    p: float = 0.9,
+    query_col: str | None = None,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS 2010) between two
+    top-k rankings -> (query?, overlap_k, rbo).
+
+        RBO@k = (1-p) * sum_(d=1..k) p^(d-1) * |A_d n B_d| / d
+
+    The top-weighted ranking-churn metric: "how much did the leaderboard
+    move?" between two retrieval configs (ann_lsh vs exact), two corpus
+    snapshots, or two time periods — overlap near the TOP counts more
+    (geometric weight p^(d-1)), unlike plain overlap_k or ranking
+    correlation over full lists.
+
+    Shuffle shape: both inputs are already bounded top-k lists, so the
+    inner join is <= k rows per query (AQE broadcast-sized). The depth
+    sum never materializes: an item first co-present at depth
+    m = max(rank_a, rank_b) contributes w(m) = sum_(d=m..k) (1-p)
+    p^(d-1)/d — a k-entry literal CASE map computed ONCE driver-side,
+    so the operator is one join + one aggregate.
+
+    Determinism: the w(m) literals are Python doubles inlined into the
+    plan (the oracle inlines the repr of the SAME doubles, so both
+    engines sum identical values); per-item weights are quantized to
+    decimal(28,12) before the order-free sum.
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0,1), got {p}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qcols = [query_col] if query_col else []
+    fa = ranked_a.filter(F.col(rank_col) <= k).select(
+        *qcols, F.col(item_col).alias("item"), F.col(rank_col).alias("ra")
+    )
+    fb = ranked_b.filter(F.col(rank_col) <= k).select(
+        *qcols, F.col(item_col).alias("item"), F.col(rank_col).alias("rb")
+    )
+    weights = rbo_weights(k, p)
+    mr = F.greatest(F.col("ra"), F.col("rb"))
+    wexpr = F.lit(0.0)
+    for m in range(k, 0, -1):
+        wexpr = F.when(mr == m, F.lit(weights[m])).otherwise(wexpr)
+    joined = fa.join(fb, qcols + ["item"])
+    return joined.groupBy(*qcols).agg(
+        F.count(F.lit(1)).cast("long").alias("overlap_k"),
+        F.coalesce(
+            F.round(F.sum(wexpr.cast("decimal(28,12)")).cast("double"), 6),
+            F.lit(0.0),
+        ).alias("rbo"),
+    )
+
+
+def rbo_weights(k: int, p: float) -> dict[int, float]:
+    """w(m) = sum_(d=m..k) (1-p) p^(d-1) / d — the RBO mass an item
+    earns when it first appears in both prefixes at depth m. Exposed so
+    the oracle side can inline the byte-identical literals."""
+    per_depth = [(1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    return {m: sum(per_depth[m - 1:]) for m in range(1, k + 1)}

@@ -1113,3 +1113,222 @@ def cohens_kappa(
         .otherwise(F.round((po_d - pe_d) / (F.lit(1.0) - pe_d), 6))
         .alias("kappa"),
     )
+
+
+def mann_whitney(
+    df: DataFrame,
+    value_col: str,
+    sample_col: str,
+    sample_a: str,
+    sample_b: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (tie-corrected, normal approx)
+    per group -> (group?, n_a, n_b, u_stat, auc, z).
+
+    The nonparametric two-sample location test — "did the treatment
+    shift the distribution?" without two_sample_ztest's normality
+    assumption; ``auc`` = U/(n_a*n_b) is the probability a random A
+    exceeds a random B (the effect size; identical machinery to
+    roc_auc's Mann-Whitney form).
+
+    Scale shape: one hash aggregate reduces the input to DISTINCT
+    (group, value) rows before any cumulation (the roc_auc posture — a
+    quantized metric column bounds distinct values regardless of fact
+    count). Grouped, the cumulative window is PARTITIONED by group —
+    parallel across groups; ungrouped, the cumulation is the
+    distributed two-pass ``ordered_cumsum`` (never an unpartitioned
+    Window.orderBy). Determinism: U is accumulated in HALF-UNITS
+    (2U = 2*n_a*cum_b + n_a*n_b) so every per-row contribution is an
+    exact integer; tie corrections are integer sums; floats appear only
+    in the final one-row-per-group z/auc arithmetic.
+    """
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    tagged = df.filter(F.col(sample_col).isin([sample_a, sample_b]))
+    g = tagged.groupBy(
+        *gcols, F.col(value_col).cast("double").alias("v")
+    ).agg(
+        F.sum(F.when(F.col(sample_col) == sample_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col(sample_col) == sample_b, 1).otherwise(0)).alias("nb"),
+    )
+    if group_col:
+        w = (
+            Window.partitionBy(*gcols)
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        rows = g.select(
+            *gcols,
+            "na",
+            "nb",
+            F.coalesce(F.sum("nb").over(w), F.lit(0)).alias("cum_b"),
+        )
+    else:
+        rows = ordered_cumsum(g, "v", ["nb"], exclusive=True).select(
+            "na", "nb", F.col("cum_nb").alias("cum_b")
+        )
+    t = F.col("na") + F.col("nb")
+    per_group = rows.groupBy(*gcols).agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(
+            2 * F.col("na") * F.col("cum_b") + F.col("na") * F.col("nb")
+        ).cast("long").alias("u2"),
+        F.sum(t * t * t - t).cast("long").alias("tie3"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u = F.col("u2") / F.lit(2.0)
+    mu = (F.col("n_a") * F.col("n_b")).cast("double") / 2.0
+    var = (
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie3").cast("double") / (n * (n - 1)).cast("double")
+        )
+    )
+    return per_group.select(
+        *gcols,
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u_stat"),
+        F.round(u / (F.col("n_a") * F.col("n_b")).cast("double"), 6).alias("auc"),
+        F.round(
+            F.when(var > 0, (u - mu) / F.sqrt(var)).otherwise(0.0), 6
+        ).alias("z"),
+    )
+
+
+def jsd_drift(
+    df: DataFrame,
+    split_col: str,
+    side_a: str,
+    side_b: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpus slices' unigram
+    token distributions -> one row (jsd, vocab, n_tokens_a, n_tokens_b).
+
+        JSD = 1/2 KL(P || M) + 1/2 KL(Q || M),  M = (P+Q)/2, in nats
+
+    — the symmetric, always-finite cousin of psi_drift/category_drift
+    for corpus mixture monitoring (did this crawl snapshot's vocabulary
+    drift from the reference slice?); bounded by ln 2, zero iff the
+    distributions agree exactly.
+
+    Scale shape: one explode + one hash aggregate per token (map-side
+    combinable; output is vocabulary-sized), totals are a broadcast
+    one-row relation. Determinism: the mutual_information pattern —
+    floats only in the per-token term, each quantized to
+    decimal(28,12) before the final order-free sum.
+    """
+    from econdatapipeline_spark.functions.text import tokenize
+
+    tok = (
+        df.filter(F.col(split_col).isin([side_a, side_b]))
+        .select(
+            F.col(split_col).alias("side"),
+            F.explode(tokenize(F.col(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("side") == side_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("side") == side_b, 1).otherwise(0)).alias("nb"),
+    )
+    tot = counts.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    p = F.col("na") / F.col("ta").cast("double")
+    q = F.col("nb") / F.col("tb").cast("double")
+    m = (p + q) / 2.0
+    term = 0.5 * (
+        F.when(F.col("na") > 0, p * F.log(p / m)).otherwise(0.0)
+        + F.when(F.col("nb") > 0, q * F.log(q / m)).otherwise(0.0)
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(term.cast("decimal(28,12)").alias("t"), "ta", "tb")
+        .agg(
+            F.round(F.sum("t").cast("double"), 6).alias("jsd"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.max("ta").cast("long").alias("n_tokens_a"),
+            F.max("tb").cast("long").alias("n_tokens_b"),
+        )
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kendall tau-b rank correlation per group ->
+    (group?, n, concordant, discordant, tau).
+
+        tau_b = (C - D) / sqrt((C + D + Tx) * (C + D + Ty))
+
+    where Tx/Ty count pairs tied ONLY on x / only on y (pairs tied on
+    both count in neither). The ordinal-association cousin of
+    spearman_corr for SERIES-sized relations: spearman ranks a whole
+    fact column (distributed prefix-sum machinery), Kendall enumerates
+    pairs — O(n^2/2) — so this operator is for calendar-bounded series
+    (two aligned indicators, a 50-year monthly series = 179,700 pairs),
+    NOT for corpus-sized columns; it raises nothing but documents the
+    contract, mirroring acf/theil_sen.
+
+    Determinism: concordant/discordant/tie counts are exact integers;
+    the only floats are the final per-group sqrt and one division.
+    """
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    w = Window.partitionBy(*gcols).orderBy(col_x, col_y)
+    base = df.select(
+        *gcols,
+        F.col(col_x).cast("double").alias("x"),
+        F.col(col_y).cast("double").alias("y"),
+        F.row_number().over(w).alias("pos"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("b.pos") > F.col("a.pos")
+    for c in gcols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    dx = F.col("b.x") - F.col("a.x")
+    dy = F.col("b.y") - F.col("a.y")
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{c}").alias(c) for c in gcols],
+        F.when((dx != 0) & (dy != 0) & (dx * dy > 0), 1).otherwise(0).alias("c"),
+        F.when((dx != 0) & (dy != 0) & (dx * dy < 0), 1).otherwise(0).alias("d"),
+        F.when((dx == 0) & (dy != 0), 1).otherwise(0).alias("tx"),
+        F.when((dx != 0) & (dy == 0), 1).otherwise(0).alias("ty"),
+    )
+    counts = pairs.groupBy(*gcols).agg(
+        F.sum("c").cast("long").alias("concordant"),
+        F.sum("d").cast("long").alias("discordant"),
+        F.sum("tx").cast("long").alias("tx"),
+        F.sum("ty").cast("long").alias("ty"),
+    )
+    n = df.groupBy(*[F.col(c) for c in gcols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cd = F.col("concordant") + F.col("discordant")
+    denom = ((cd + F.col("tx")) * (cd + F.col("ty"))).cast("double")
+    joined = counts.join(n, gcols) if gcols else counts.crossJoin(n)
+    return joined.select(
+        *gcols,
+        "n",
+        "concordant",
+        "discordant",
+        F.round(
+            F.when(
+                denom > 0,
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / F.sqrt(denom),
+            ).otherwise(0.0),
+            6,
+        ).alias("tau"),
+    )

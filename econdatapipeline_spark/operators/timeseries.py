@@ -512,3 +512,170 @@ def acf(
             .alias("acf"),
         )
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    value_col: str = "value",
+    order_col: str = "date",
+    group_col: str = "dataset",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test per series ->
+    (group, h, n, q_stat) with
+
+        Q = n (n+2) * sum_(k=1..h) acf_k^2 / (n - k)
+
+    — the standard residual-autocorrelation audit after holt_forecast /
+    seasonal_adjust: under the null of white noise Q ~ chi2(h), so a
+    large Q says the fitted model left structure on the table.
+
+    Scale shape: everything rides on ``acf`` (one band self-join over
+    calendar-bounded series positions) plus one series-length count and
+    a per-group sum of h terms. Determinism: acf_k is acf()'s 6-decimal
+    rounded output, so both engines square the *identical* doubles; the
+    h per-lag terms are quantized to decimal(38,12) before the sum so
+    Q is summation-order-free.
+    """
+    rho = acf(df, value_col, order_col, group_col, max_lag)
+    n = df.groupBy(F.col(group_col)).agg(F.count(F.lit(1)).alias("n"))
+    term = (
+        (F.col("acf") * F.col("acf"))
+        / (F.col("n") - F.col("lag")).cast("double")
+    ).cast("decimal(38,12)")
+    return (
+        rho.join(n, group_col)
+        .select(group_col, "n", "lag", term.alias("t"))
+        .groupBy(group_col)
+        .agg(
+            F.max("lag").cast("int").alias("h"),
+            F.max("n").cast("long").alias("n"),
+            F.round(
+                (F.max("n") * (F.max("n") + 2)).cast("double")
+                * F.sum("t").cast("double"),
+                6,
+            ).alias("q_stat"),
+        )
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    value_col: str = "value",
+    order_col: str = "date",
+    group_col: str = "dataset",
+) -> DataFrame:
+    """Theil-Sen robust trend per series -> (group, n_pairs, slope,
+    intercept): slope = median over all i<j of (y_j - y_i)/(j - i) on
+    the series position axis, intercept = median of (y_i - slope*i).
+
+    Robust alternative to grouped_ols's least-squares trend_fit — a
+    single outlier month (strike, hurricane, data error) moves OLS but
+    not the pairwise-slope median (breakdown point ~29%).
+
+    Scale shape: the input is a SERIES (one row per group-period), so
+    the all-pairs self-join is calendar-bounded — n(n-1)/2 pairs for an
+    n-month series, never fact-count-sized (the acf posture; a 50-year
+    monthly series is 179,700 pairs). Medians are exact percentile
+    aggregates per group — partition-parallel across groups.
+
+    Determinism: the slope median is rounded to 6 decimals BEFORE the
+    residual pass, so both engines compute intercept residuals from the
+    identical quantized slope; pair slopes are deterministic IEEE
+    doubles of (decimal-exact) inputs and both engines interpolate the
+    median identically (linear interpolation at position p*(n-1)).
+    """
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("y"),
+        F.row_number().over(w).alias("pos"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    slopes = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("b.pos") > F.col("a.pos")))
+        .select(
+            F.col("a.g").alias("g"),
+            (
+                (F.col("b.y") - F.col("a.y"))
+                / (F.col("b.pos") - F.col("a.pos")).cast("double")
+            ).alias("slope"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.percentile(F.col("slope"), F.lit(0.5)), 6).alias("slope"),
+        )
+    )
+    resid = base.join(slopes, "g").select(
+        "g", (F.col("y") - F.col("slope") * F.col("pos")).alias("r")
+    )
+    inter = resid.groupBy("g").agg(
+        F.round(F.percentile(F.col("r"), F.lit(0.5)), 6).alias("intercept")
+    )
+    return slopes.join(inter, "g").select(
+        F.col("g").alias(group_col), "n_pairs", "slope", "intercept"
+    )
+
+
+def pacf(
+    df: DataFrame,
+    value_col: str = "value",
+    order_col: str = "date",
+    group_col: str = "dataset",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Partial autocorrelation function per series -> (group, lag,
+    pacf) for lags 1..max_lag, via the Durbin-Levinson recursion
+    UNROLLED into column expressions (no iteration over data):
+
+        phi_(1,1) = rho_1
+        phi_(k,k) = (rho_k - sum_j phi_(k-1,j) rho_(k-j))
+                    / (1 - sum_j phi_(k-1,j) rho_j)
+        phi_(k,j) = phi_(k-1,j) - phi_(k,k) phi_(k-1,k-j)
+
+    Completes the Box-Jenkins identification trio with acf and
+    ljung_box: acf tails off + pacf cuts at p -> AR(p); the reverse ->
+    MA(q).
+
+    Scale shape: rides acf (band self-join over calendar-bounded
+    series positions); the recursion itself runs on the GROUP-SIZED
+    pivoted relation (one row per series, max_lag columns) — pure
+    scalar expressions, no shuffle beyond acf's.
+
+    Determinism: inputs are acf's 6-decimal rounded values; the
+    recursion is fixed-order scalar IEEE arithmetic on them (no
+    data-dependent summation order, no transcendentals), and the
+    oracle replays the byte-identical expression tree, so every
+    intermediate double agrees bit-for-bit. Degenerate denominators
+    (constant series) guard to 0.
+    """
+    h = max_lag
+    rho = acf(df, value_col, order_col, group_col, h)
+    wide = (
+        rho.groupBy(group_col)
+        .pivot("lag", list(range(1, h + 1)))
+        .agg(F.first("acf"))
+    )
+    # short series may lack high lags entirely -> 0 contribution
+    r = {k: F.coalesce(F.col(str(k)), F.lit(0.0)) for k in range(1, h + 1)}
+    phi: dict[tuple[int, int], object] = {(1, 1): r[1]}
+    for k in range(2, h + 1):
+        num = r[k]
+        den = F.lit(1.0)
+        for j in range(1, k):
+            num = num - phi[(k - 1, j)] * r[k - j]
+            den = den - phi[(k - 1, j)] * r[j]
+        phi[(k, k)] = F.when(den != 0, num / den).otherwise(F.lit(0.0))
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    cols = [F.round(phi[(k, k)], 6).alias(f"p{k}") for k in range(1, h + 1)]
+    stack = ", ".join(f"{k}, p{k}" for k in range(1, h + 1))
+    return (
+        wide.select(group_col, *cols)
+        .select(
+            group_col,
+            F.expr(f"stack({h}, {stack}) as (lag, pacf)"),
+        )
+        .select(group_col, F.col("lag").cast("int").alias("lag"), "pacf")
+    )

@@ -75,3 +75,51 @@ def test_hybrid_deterministic(spark, docs, emb):
     a = hybrid_search(docs, emb, ["spark"], query_vec_id=1, k=5).collect()
     b = hybrid_search(docs, emb, ["spark"], query_vec_id=1, k=5).collect()
     assert a == b
+
+
+def test_rbo_identity_disjoint_and_partial(spark):
+    from econdatapipeline_spark.operators.retrieval import rbo, rbo_weights
+    import math
+
+    def ranked(items):
+        return spark.createDataFrame(
+            [(it, i + 1) for i, it in enumerate(items)], "doc_id string, rank int"
+        )
+
+    # identical lists: RBO@k = (1-p) * sum p^(d-1) (X_d = d)
+    a = ranked(["x", "y", "z"])
+    out = rbo(a, ranked(["x", "y", "z"]), k=3, p=0.5).collect()[0]
+    assert out["overlap_k"] == 3 and math.isclose(out["rbo"], 0.875, abs_tol=1e-6)
+
+    # disjoint lists: one row, zero overlap, rbo 0
+    out = rbo(a, ranked(["u", "v", "w"]), k=3, p=0.5).collect()[0]
+    assert out["overlap_k"] == 0 and out["rbo"] == 0.0
+
+    # partial: x at m=1, z at m=max(3,2)=3 -> w(1) + w(3)
+    w = rbo_weights(3, 0.5)
+    out = rbo(a, ranked(["x", "z", "w"]), k=3, p=0.5).collect()[0]
+    assert out["overlap_k"] == 2
+    assert math.isclose(out["rbo"], w[1] + w[3], abs_tol=1e-6)
+
+
+def test_rbo_grouped_and_validation(spark):
+    from econdatapipeline_spark.operators.retrieval import rbo
+    import pytest
+
+    a = spark.createDataFrame(
+        [("q1", "x", 1), ("q1", "y", 2), ("q2", "u", 1)],
+        "qid string, doc_id string, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q1", "x", 1), ("q1", "y", 2), ("q2", "z", 1)],
+        "qid string, doc_id string, rank int",
+    )
+    out = {r["qid"]: r for r in rbo(a, b, k=2, p=0.5, query_col="qid").collect()}
+    assert out["q1"]["overlap_k"] == 2 and out["q1"]["rbo"] > 0.5
+    # q2 has no matched items -> no output row in grouped mode
+    assert "q2" not in out
+
+    with pytest.raises(ValueError):
+        rbo(a, b, k=0)
+    with pytest.raises(ValueError):
+        rbo(a, b, p=1.0)

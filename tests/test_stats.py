@@ -552,3 +552,80 @@ def test_bootstrap_ci_grouped_matches_ungrouped_per_group(spark):
         assert grouped[g]["ci_lo"] == solo["ci_lo"]
         assert grouped[g]["ci_hi"] == solo["ci_hi"]
         assert grouped[g]["ci_lo"] <= grouped[g]["mean"] <= grouped[g]["ci_hi"]
+
+
+def test_mann_whitney_hand_computed_with_ties(spark):
+    from econdatapipeline_spark.operators.stats import mann_whitney
+
+    # A = [1, 2, 2], B = [2, 3]: U_A = #(a>b) + 0.5*#(a==b)
+    #   a=1: 0; a=2: 0.5 each vs b=2 -> 0.5*2 = 1.0 total; U = 1.0
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = mann_whitney(df, "v", "s", "a", "b").collect()[0]
+    assert out["n_a"] == 3 and out["n_b"] == 2
+    assert out["u_stat"] == 1.0
+    assert out["auc"] == round(1.0 / 6.0, 6)
+    # tie term: value 2 has t=3 -> 24; sigma^2 = (6/12)*(6 - 24/20) = 2.4
+    import math
+    z = (1.0 - 3.0) / math.sqrt(2.4)
+    assert out["z"] == round(z, 6)
+
+
+def test_mann_whitney_grouped_and_symmetric(spark):
+    from econdatapipeline_spark.operators.stats import mann_whitney
+
+    rows = [("g1", "a", float(v)) for v in (1, 2, 3)] + [
+        ("g1", "b", float(v)) for v in (4, 5)
+    ] + [("g2", "a", 7.0), ("g2", "b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, s string, v double")
+    out = {r["g"]: r for r in
+           mann_whitney(df, "v", "s", "a", "b", group_col="g").collect()}
+    # g1: complete separation, all b above a -> U=0, auc=0
+    assert out["g1"]["u_stat"] == 0.0 and out["g1"]["auc"] == 0.0
+    # g2: single tied pair -> U=0.5, auc=0.5, var=0 -> z=0
+    assert out["g2"]["u_stat"] == 0.5 and out["g2"]["z"] == 0.0
+
+
+def test_jsd_identical_zero_disjoint_ln2(spark):
+    from econdatapipeline_spark.operators.stats import jsd_drift
+    import math
+
+    same = [("a", "x y z"), ("b", "x y z")]
+    df = spark.createDataFrame(same, "lang string, text string")
+    assert jsd_drift(df, "lang", "a", "b").collect()[0]["jsd"] == 0.0
+
+    disjoint = [("a", "x x y"), ("b", "u v v")]
+    df2 = spark.createDataFrame(disjoint, "lang string, text string")
+    out = jsd_drift(df2, "lang", "a", "b").collect()[0]
+    assert math.isclose(out["jsd"], math.log(2), abs_tol=1e-6)
+    assert out["vocab"] == 4 and out["n_tokens_a"] == 3 and out["n_tokens_b"] == 3
+
+
+def test_kendall_tau_hand_computed_ties_and_inversion(spark):
+    from econdatapipeline_spark.operators.stats import kendall_tau
+    import math
+
+    # x=[1,2,2,3], y=[1,3,2,4]: C=5, D=0, Tx=1, Ty=0
+    rows = [(1.0, 1.0), (2.0, 3.0), (2.0, 2.0), (3.0, 4.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = kendall_tau(df, "x", "y").collect()[0]
+    assert out["concordant"] == 5 and out["discordant"] == 0
+    assert out["tau"] == round(5 / math.sqrt(30), 6)
+
+    # perfect inversion -> tau = -1
+    inv = spark.createDataFrame(
+        [(float(i), float(5 - i)) for i in range(1, 5)], "x double, y double"
+    )
+    assert kendall_tau(inv, "x", "y").collect()[0]["tau"] == -1.0
+
+
+def test_kendall_tau_grouped_constant_column_zero(spark):
+    from econdatapipeline_spark.operators.stats import kendall_tau
+
+    rows = [("g", float(i), 5.0) for i in range(1, 5)] + [
+        ("h", float(i), float(i)) for i in range(1, 4)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in kendall_tau(df, "x", "y", group_col="g").collect()}
+    assert out["g"]["tau"] == 0.0  # all pairs tied on y -> denom 0 guard
+    assert out["h"]["tau"] == 1.0 and out["h"]["n"] == 3

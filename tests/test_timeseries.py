@@ -199,3 +199,99 @@ def test_acf_constant_series_zero_denominator(spark):
     df = spark.createDataFrame(rows, "dataset string, date date, value double")
     out = acf(df, max_lag=2).collect()
     assert all(r["acf"] == 0.0 for r in out)  # degenerate guard
+
+
+def test_ljung_box_white_noise_small_and_trend_large(spark):
+    from econdatapipeline_spark.operators.timeseries import ljung_box
+    import datetime as dt
+
+    # strong alternating structure -> acf_1 ~ -0.875 -> big Q
+    alt = [10.0, 0.0] * 6
+    rows = [("alt", dt.date(2024, 1, 1) + dt.timedelta(days=31 * i), v)
+            for i, v in enumerate(alt)]
+    df = spark.createDataFrame(rows, "dataset string, date date, value double")
+    out = {r["dataset"]: r for r in ljung_box(df, max_lag=3).collect()}
+    assert out["alt"]["n"] == 12 and out["alt"]["h"] == 3
+    # hand-computed: xbar=5, den=300; num1=-275, num2=250, num3=-225
+    import math
+    n = 12
+    rhos = [round(-275 / 300, 6), round(250 / 300, 6), round(-225 / 300, 6)]
+    q = n * (n + 2) * sum(r * r / (n - k) for k, r in enumerate(rhos, 1))
+    assert math.isclose(out["alt"]["q_stat"], q, abs_tol=1e-4)
+
+
+def test_ljung_box_constant_series_zero(spark):
+    from econdatapipeline_spark.operators.timeseries import ljung_box
+    import datetime as dt
+
+    rows = [("c", dt.date(2024, 1 + i, 1), 3.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "dataset string, date date, value double")
+    out = ljung_box(df, max_lag=2).collect()
+    assert len(out) == 1 and out[0]["q_stat"] == 0.0
+
+
+def test_theil_sen_exact_line_and_outlier_immunity(spark):
+    from econdatapipeline_spark.operators.timeseries import theil_sen
+    import datetime as dt
+
+    # exact line y = 2x + 1 on positions 1..9, one wild outlier at pos 5
+    vals = [2 * i + 1 for i in range(1, 10)]
+    vals[4] = 1000.0  # OLS would be dragged; Theil-Sen must stay at 2
+    rows = [("s", dt.date(2024, 1 + i, 1), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "dataset string, date date, value double")
+    out = theil_sen(df).collect()[0]
+    assert out["n_pairs"] == 36
+    assert out["slope"] == 2.0
+    assert out["intercept"] == 1.0
+
+
+def test_pacf_lag1_equals_acf_and_ar1_cutoff(spark):
+    from econdatapipeline_spark.operators.timeseries import acf, pacf
+    import datetime as dt
+
+    # deterministic AR(1)-ish series: pacf(1) == acf(1) always, and for
+    # a linear-recurrence-generated series pacf should collapse after
+    # lag 1 relative to the acf tail.
+    vals, x = [], 50.0
+    for i in range(48):
+        x = 0.8 * x + (7.0 if i % 2 == 0 else -5.0)
+        vals.append(x)
+    rows = [("s", dt.date(2020, 1, 1) + dt.timedelta(days=31 * i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "dataset string, date date, value double")
+    a = {r["lag"]: r["acf"] for r in acf(df, max_lag=4).collect()}
+    p = {r["lag"]: r["pacf"] for r in pacf(df, max_lag=4).collect()}
+    assert p[1] == a[1]
+    assert sorted(p) == [1, 2, 3, 4]
+
+
+def test_pacf_durbin_levinson_hand_recursion(spark):
+    from econdatapipeline_spark.operators.timeseries import acf, pacf
+    import datetime as dt, math
+
+    vals = [3.0, 7.0, 4.0, 9.0, 2.0, 8.0, 5.0, 10.0, 1.0, 6.0]
+    rows = [("s", dt.date(2021, 1 + i, 1) if i < 12 else None, v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "dataset string, date date, value double")
+    r = {row["lag"]: row["acf"] for row in acf(df, max_lag=3).collect()}
+    # replay Durbin-Levinson in python on the same rounded acf values
+    phi = {(1, 1): r[1]}
+    for k in (2, 3):
+        num = r[k] - sum(phi[(k - 1, j)] * r[k - j] for j in range(1, k))
+        den = 1.0 - sum(phi[(k - 1, j)] * r[j] for j in range(1, k))
+        phi[(k, k)] = num / den
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    out = {row["lag"]: row["pacf"] for row in pacf(df, max_lag=3).collect()}
+    for k in (1, 2, 3):
+        assert math.isclose(out[k], round(phi[(k, k)], 6), abs_tol=1e-9), k
+
+
+def test_pacf_constant_series_all_zero(spark):
+    from econdatapipeline_spark.operators.timeseries import pacf
+    import datetime as dt
+
+    rows = [("c", dt.date(2024, 1 + i, 1), 2.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "dataset string, date date, value double")
+    out = pacf(df, max_lag=3).collect()
+    assert len(out) == 3 and all(r["pacf"] == 0.0 for r in out)
