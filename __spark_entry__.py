@@ -4484,6 +4484,76 @@ def q_pacf(spark, sf_dir):
     )
 
 
+def q_log_rank(spark, sf_dir):
+    """Two-sample log-rank test (operators/survival.log_rank): do
+    BUILDING and AUTOMOBILE customers differ in repeat-purchase
+    survival? Same subject construction as kaplan_meier (first->second
+    order gap, right-censored at the horizon) with the market segment
+    as the arm; all counts exact integers, e/v terms
+    decimal(28,12)-quantized."""
+    from econdatapipeline_spark.operators.survival import log_rank
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    ranked = o.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nxt", F.lead("o_orderdate").over(w)
+    )
+    first = ranked.filter(F.col("rk") == 1)
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    subjects = (
+        first.crossJoin(F.broadcast(horizon))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff(F.col("nxt"), F.col("o_orderdate")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("o_orderdate")))
+            .alias("duration"),
+            F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("event"),
+            "c_mktsegment",
+        )
+    )
+    return log_rank(subjects, "c_mktsegment", "BUILDING", "AUTOMOBILE")
+
+
+def q_bh_adjust(spark, sf_dir):
+    """Benjamini-Hochberg FDR gate (operators/stats.bh_adjust) over a
+    per-supplier screening score: the fraction of a supplier's
+    lineitems returned, read as a left-tail signal (low = suspicious).
+    One fact-sized aggregate produces the tests-sized relation; the
+    BH pass itself is bounded by the number of suppliers."""
+    from econdatapipeline_spark.operators.stats import bh_adjust
+
+    li = _t(spark, sf_dir, "lineitem")
+    scores = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("p")
+    )
+    return bh_adjust(scores, "p", ["l_suppkey"], alpha=0.05).orderBy(
+        "l_suppkey"
+    )
+
+
+def q_decile_lift(spark, sf_dir):
+    """Cumulative gains / lift by price decile
+    (operators/evaluation.decile_lift): do expensive lineitems get
+    returned disproportionately? Count-based deciles from the
+    descending ECDF via ordered_cumsum — integer-exact, no quantile
+    interpolation — then a 10-row cumulation."""
+    from econdatapipeline_spark.operators.evaluation import decile_lift
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+        F.col("l_extendedprice").alias("score"),
+    )
+    return decile_lift(li).orderBy("decile")
+
+
 def q_rbo(spark, sf_dir):
     """Rank-biased overlap between the 1994 and 1995 top-25 parts by
     revenue (operators/retrieval.rbo) — the top-weighted leaderboard
@@ -4838,6 +4908,9 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "jsd_drift": q_jsd_drift,
         "pacf": q_pacf,
         "rbo": q_rbo,
+        "log_rank": q_log_rank,
+        "bh_adjust": q_bh_adjust,
+        "decile_lift": q_decile_lift,
     }
 
 

@@ -289,3 +289,94 @@ def expected_calibration_error(
             F.round(F.max("gap"), 6).alias("mce"),
         )
     )
+
+
+def decile_lift(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table by score decile ->
+    (decile, n, n_pos, cum_n, cum_pos, cum_gain, lift), decile 1 =
+    highest scores.
+
+    The campaign-targeting readout next to roc_auc: "if we act on the
+    top 20% by score, what fraction of all positives do we capture
+    (cum_gain), and at what multiple of random (lift)?"
+
+    Scale shape: the roc_auc discipline end-to-end — one hash
+    aggregate reduces facts to DISTINCT scores, the distributed
+    two-pass ordered_cumsum assigns COUNT-based deciles
+    (ceil(B * cum_n / N) on the descending ECDF — integer-exact, no
+    quantile interpolation, no unpartitioned data-sized window), and
+    the final cumulation runs on the B-row bucket relation (window
+    bounded by the literal bucket count, the rbo k-row pattern).
+    Everything is integer until the two final ratios per bucket row.
+    """
+    from econdatapipeline_spark.operators.stats import ordered_cumsum
+
+    g = (
+        df.select(
+            F.col(score_col).cast("double").alias("s"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+        )
+    )
+    cums = ordered_cumsum(g, "s", ["n"], descending=True)
+    tot = g.agg(
+        F.sum("n").cast("long").alias("tot_n"),
+        F.sum("n_pos").cast("long").alias("tot_pos"),
+    )
+    bucketed = cums.crossJoin(F.broadcast(tot)).select(
+        F.ceil(
+            F.lit(n_buckets) * F.col("cum_n") / F.col("tot_n")
+        ).cast("int").alias("decile"),
+        "n",
+        "n_pos",
+        "tot_n",
+        "tot_pos",
+    )
+    per = bucketed.groupBy("decile").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.max("tot_n").alias("tot_n"),
+        F.max("tot_pos").alias("tot_pos"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(w).cast("long").alias("cum_pos"),
+        "tot_n",
+        "tot_pos",
+    ).select(
+        "decile",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        F.round(
+            F.when(
+                F.col("tot_pos") > 0,
+                F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("cum_gain"),
+        F.round(
+            F.when(
+                F.col("tot_pos") > 0,
+                (F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"))
+                / (F.col("tot_pos").cast("double") / F.col("tot_n").cast("double")),
+            ).otherwise(0.0),
+            6,
+        ).alias("lift"),
+    )

@@ -1332,3 +1332,56 @@ def kendall_tau(
             6,
         ).alias("tau"),
     )
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    key_cols: list[str],
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control ->
+    (keys..., p, p_adj, rejected).
+
+    The multiple-testing gate for grouped screens (one mann_whitney /
+    chi-square / drift score per segment, thousands of segments):
+    p_adj_i = min over j >= rank(i) of m * p_(j) / j (clamped to 1),
+    reject iff p_adj <= alpha — the reverse-running-min formulation,
+    which handles tied p-values exactly (tied rows share the same
+    downstream minimum, so no rank tie-break can change any output).
+
+    Scale shape: the input is a TESTS-sized relation by contract (one
+    row per hypothesis — the fact-sized work happened upstream in
+    whatever produced p), so the single ordered window is bounded by
+    the number of segments, not by corpus rows; mirrors the rbo /
+    series-diagnostics boundary documentation. All outputs derive from
+    one sort; candidates m*p/j are deterministic doubles of a long
+    rank.
+    """
+    from pyspark.sql import Window
+
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    w_rank = Window.orderBy(F.col(p_col).asc(), *[F.col(c) for c in key_cols])
+    w_rev = (
+        Window.orderBy(F.col(p_col).desc(), *[F.col(c).desc() for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        df.select(
+            *key_cols,
+            F.col(p_col).cast("double").alias("p"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w_rank))
+    )
+    cand = F.col("m").cast("double") * F.col("p") / F.col("rk").cast("double")
+    adj = ranked.withColumn(
+        "p_adj",
+        F.round(F.least(F.min(cand).over(w_rev), F.lit(1.0)), 6),
+    )
+    return adj.select(
+        *key_cols,
+        F.round(F.col("p"), 6).alias("p"),
+        "p_adj",
+        (F.col("p_adj") <= alpha).alias("rejected"),
+    )

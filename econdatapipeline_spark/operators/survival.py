@@ -98,3 +98,116 @@ def median_survival(curve: DataFrame) -> DataFrame:
     return curve.filter(F.col("survival") <= 0.5).agg(
         F.min("t").alias("median_t")
     )
+
+
+def log_rank(
+    df: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel-Cox) -> one row
+    (n_a, n_b, observed_a, expected_a, chi2).
+
+    The standard companion to kaplan_meier: "are these two survival
+    curves the same?" At each distinct event time t, group A's events
+    d_At are compared with the hypergeometric expectation
+    d_t * n_At / n_t given the pooled risk set:
+
+        chi2 = (sum_t (d_At - e_At))^2 / sum_t v_t
+        v_t  = d_t (n_At/n_t)(n_Bt/n_t)(n_t - d_t)/(n_t - 1)
+
+    Relational shape: the kaplan_meier collapse discipline — one
+    groupBy(t, group) reduces subjects to the distinct-times-per-group
+    relation; a full time x group scaffold (sequence of OBSERVED times
+    cross the two groups) makes the per-group reverse cumulative
+    at-risk sums correct at every pooled event time; everything after
+    the first aggregate is times-sized. Determinism: all counts are
+    exact integers; the per-time e/v terms are deterministic doubles of
+    integer ratios quantized to decimal(28,12) before the order-free
+    sums.
+    """
+    per_tg = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(duration_col).cast("long").alias("t"),
+            F.when(F.col(group_col) == group_a, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("g"),
+            F.col(event_col).cast("int").alias("e"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t", "g")
+        .agg(
+            F.sum("e").cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("subj"),
+        )
+    )
+    # scaffold: every observed time x both groups, so the reverse
+    # cumsum sees a row (possibly 0-subject) at every pooled time
+    times = per_tg.select("t").distinct()
+    grid = times.crossJoin(
+        per_tg.sparkSession.createDataFrame([("a",), ("b",)], "g string")
+    )
+    full = grid.join(per_tg, ["t", "g"], "left").fillna(0, ["d", "subj"])
+    w_rev = (
+        Window.partitionBy("g")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = full.withColumn("n_risk", F.sum("subj").over(w_rev))
+    wide = risk.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == "a", F.col("d")).otherwise(0)).alias("da"),
+        F.sum(F.when(F.col("g") == "b", F.col("d")).otherwise(0)).alias("db"),
+        F.sum(F.when(F.col("g") == "a", F.col("n_risk")).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("g") == "b", F.col("n_risk")).otherwise(0)).alias("nb"),
+    )
+    dt = F.col("da") + F.col("db")
+    nt = F.col("na") + F.col("nb")
+    e_a = dt.cast("double") * F.col("na").cast("double") / nt.cast("double")
+    v_t = F.when(
+        nt > 1,
+        dt.cast("double")
+        * (F.col("na").cast("double") / nt.cast("double"))
+        * (F.col("nb").cast("double") / nt.cast("double"))
+        * (nt - dt).cast("double")
+        / (nt - 1).cast("double"),
+    ).otherwise(0.0)
+    terms = wide.filter(dt > 0).select(
+        F.col("da").alias("oa"),
+        (F.col("da").cast("double") - e_a).cast("decimal(28,12)").alias("diff"),
+        e_a.cast("decimal(28,12)").alias("ea"),
+        v_t.cast("decimal(28,12)").alias("v"),
+    )
+    n_by = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    agg = terms.agg(
+        F.sum("oa").cast("long").alias("observed_a"),
+        F.round(F.sum("ea").cast("double"), 6).alias("expected_a"),
+        F.sum("diff").cast("double").alias("num"),
+        F.sum("v").cast("double").alias("den"),
+    )
+    return agg.crossJoin(F.broadcast(n_by)).select(
+        "n_a",
+        "n_b",
+        "observed_a",
+        "expected_a",
+        F.round(
+            F.when(
+                F.col("den") > 0, F.col("num") * F.col("num") / F.col("den")
+            ).otherwise(0.0),
+            6,
+        ).alias("chi2"),
+    )
