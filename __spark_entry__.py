@@ -4534,9 +4534,15 @@ def q_bh_adjust(spark, sf_dir):
             6,
         ).alias("p")
     )
-    return bh_adjust(scores, "p", ["l_suppkey"], alpha=0.05).orderBy(
-        "l_suppkey"
-    )
+    adj = bh_adjust(scores, "p", ["l_suppkey"], alpha=0.05)
+    # int-typed decision flag: the contract keeps every output column
+    # scalar-numeric/string so the driver's value hash is engine-neutral
+    return adj.select(
+        "l_suppkey",
+        "p",
+        "p_adj",
+        F.col("rejected").cast("int").alias("rejected"),
+    ).orderBy("l_suppkey")
 
 
 def q_decile_lift(spark, sf_dir):
@@ -9815,7 +9821,8 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT id, rel, mmr_score, {i} AS "rank" FROM s{i})""")
     _mmr.append("""
-        SELECT "rank", id, rel, mmr_score FROM sel10 ORDER BY "rank"
+        SELECT "rank", id AS vec_id, rel, mmr_score FROM sel10
+        ORDER BY "rank"
     """)
     sql["mmr_select"] = "".join(_mmr)
     # Cross-source overlap: the oracle joins on gram STRINGS where the
@@ -9876,7 +9883,7 @@ def oracle_sql() -> dict[str, str]:
     sql["benford"] = """
         WITH s AS (
           SELECT regexp_extract(
-                   CAST(CAST(abs(o_totalprice) AS DECIMAL(18,6))
+                   CAST(CAST(abs(o_totalprice) AS DECIMAL(38,6))
                         AS VARCHAR), '[1-9]') AS ds
           FROM orders),
         d AS (SELECT CAST(ds AS INT) AS digit FROM s WHERE ds <> ''),
@@ -10247,5 +10254,165 @@ def oracle_sql() -> dict[str, str]:
                  {_case}
                  END AS DECIMAL(28,12))) AS DOUBLE), 6), 0.0) AS rbo
         FROM j
+    """
+    # Log-rank: same subject construction as the kaplan_meier oracle,
+    # segment arm mapped to a/b, per-group reverse-cumulative risk sets
+    # on the full time x group scaffold, e/v terms quantized to
+    # decimal(28,12) before the order-free sums (operators/survival.py
+    # log_rank mirrored term by term).
+    sql["log_rank"] = """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        subjects AS (
+          SELECT CASE WHEN nxt IS NOT NULL
+                      THEN date_diff('day', o_orderdate, nxt)
+                      ELSE date_diff('day', o_orderdate, h.h) END AS duration,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e,
+                 c_mktsegment AS seg
+          FROM ranked CROSS JOIN h
+          JOIN customer ON o_custkey = c_custkey
+          WHERE rk = 1),
+        flt AS (
+          SELECT CAST(duration AS BIGINT) AS t,
+                 CASE WHEN seg = 'BUILDING' THEN 'a' ELSE 'b' END AS g, e
+          FROM subjects
+          WHERE seg IN ('BUILDING', 'AUTOMOBILE') AND duration IS NOT NULL),
+        per_tg AS (
+          SELECT t, g, CAST(SUM(e) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS subj
+          FROM flt GROUP BY 1, 2),
+        grid AS (
+          SELECT t, g FROM (SELECT DISTINCT t FROM per_tg)
+          CROSS JOIN (SELECT 'a' AS g UNION ALL SELECT 'b' AS g)),
+        filled AS (
+          SELECT grid.t, grid.g, COALESCE(d, 0) AS d,
+                 COALESCE(subj, 0) AS subj
+          FROM grid LEFT JOIN per_tg
+            ON grid.t = per_tg.t AND grid.g = per_tg.g),
+        risk AS (
+          SELECT *, SUM(subj) OVER (PARTITION BY g ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS n_risk
+          FROM filled),
+        wide AS (
+          SELECT t,
+                 SUM(CASE WHEN g = 'a' THEN d ELSE 0 END) AS da,
+                 SUM(CASE WHEN g = 'b' THEN d ELSE 0 END) AS db,
+                 SUM(CASE WHEN g = 'a' THEN n_risk ELSE 0 END) AS na,
+                 SUM(CASE WHEN g = 'b' THEN n_risk ELSE 0 END) AS nb
+          FROM risk GROUP BY t),
+        terms AS (
+          SELECT da AS oa,
+                 CAST(CAST(da AS DOUBLE)
+                      - CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)
+                        / CAST(na + nb AS DOUBLE)
+                      AS DECIMAL(28,12)) AS diff,
+                 CAST(CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)
+                      / CAST(na + nb AS DOUBLE)
+                      AS DECIMAL(28,12)) AS ea,
+                 CAST(CASE WHEN na + nb > 1 THEN
+                        CAST(da + db AS DOUBLE)
+                        * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                        * (CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                        * CAST((na + nb) - (da + db) AS DOUBLE)
+                        / CAST((na + nb) - 1 AS DOUBLE)
+                      ELSE 0.0 END AS DECIMAL(28,12)) AS v
+          FROM wide WHERE da + db > 0),
+        n_by AS (
+          SELECT CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b
+          FROM subjects WHERE seg IN ('BUILDING', 'AUTOMOBILE')),
+        agg AS (
+          SELECT CAST(SUM(oa) AS BIGINT) AS observed_a,
+                 round(CAST(SUM(ea) AS DOUBLE), 6) AS expected_a,
+                 CAST(SUM(diff) AS DOUBLE) AS num,
+                 CAST(SUM(v) AS DOUBLE) AS den
+          FROM terms)
+        SELECT n_a, n_b, observed_a, expected_a,
+               round(CASE WHEN den > 0 THEN num * num / den
+                          ELSE 0.0 END, 6) AS chi2
+        FROM agg CROSS JOIN n_by
+    """
+    # Benjamini-Hochberg: reverse-running-min of m*p/rank, clamped to 1
+    # (operators/stats.bh_adjust mirrored); the decision flag is an int
+    # so the value hash is engine-neutral.
+    sql["bh_adjust"] = """
+        WITH scores AS (
+          SELECT l_suppkey,
+                 round(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS p
+          FROM lineitem GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM scores),
+        ranked AS (
+          SELECT l_suppkey, CAST(p AS DOUBLE) AS p, m,
+                 ROW_NUMBER() OVER (ORDER BY p ASC, l_suppkey ASC) AS rk
+          FROM scores CROSS JOIN tot),
+        adj AS (
+          SELECT *,
+                 round(LEAST(MIN(CAST(m AS DOUBLE) * p / CAST(rk AS DOUBLE))
+                         OVER (ORDER BY p DESC, l_suppkey DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW),
+                       1.0), 6) AS p_adj
+          FROM ranked)
+        SELECT l_suppkey, round(p, 6) AS p, p_adj,
+               CAST(CASE WHEN p_adj <= 0.05 THEN 1 ELSE 0 END AS INT)
+                 AS rejected
+        FROM adj
+    """
+    # Decile lift: distinct-score collapse, descending cumulative count
+    # -> count-based decile, then the 10-row cumulation
+    # (operators/evaluation.decile_lift mirrored).
+    sql["decile_lift"] = """
+        WITH base AS (
+          SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                 CAST(l_extendedprice AS DOUBLE) AS s
+          FROM lineitem),
+        g AS (SELECT s, COUNT(*) AS n, SUM(y) AS n_pos FROM base GROUP BY 1),
+        cums AS (
+          SELECT *, SUM(n) OVER (ORDER BY s DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_n
+          FROM g),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+                       CAST(SUM(n_pos) AS BIGINT) AS tot_pos FROM g),
+        bucketed AS (
+          SELECT CAST(CEIL(10 * cum_n / tot_n) AS INT) AS decile,
+                 n, n_pos, tot_n, tot_pos
+          FROM cums CROSS JOIN tot),
+        per AS (
+          SELECT decile, CAST(SUM(n) AS BIGINT) AS n,
+                 CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+                 MAX(tot_n) AS tot_n, MAX(tot_pos) AS tot_pos
+          FROM bucketed GROUP BY 1),
+        cum2 AS (
+          SELECT *,
+                 CAST(SUM(n) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_n,
+                 CAST(SUM(n_pos) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_pos
+          FROM per)
+        SELECT decile, n, n_pos, cum_n, cum_pos,
+               round(CASE WHEN tot_pos > 0
+                          THEN CAST(cum_pos AS DOUBLE)
+                               / CAST(tot_pos AS DOUBLE)
+                          ELSE 0.0 END, 6) AS cum_gain,
+               round(CASE WHEN tot_pos > 0
+                          THEN (CAST(cum_pos AS DOUBLE)
+                                / CAST(cum_n AS DOUBLE))
+                               / (CAST(tot_pos AS DOUBLE)
+                                  / CAST(tot_n AS DOUBLE))
+                          ELSE 0.0 END, 6) AS lift
+        FROM cum2
     """
     return sql

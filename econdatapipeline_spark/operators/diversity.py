@@ -43,7 +43,7 @@ def mmr_select(
     rel_col: str = "rel",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Greedy MMR top-k -> (rank, id, rel, mmr_score).
+    """Greedy MMR top-k -> (rank, <id_col>, rel, mmr_score).
 
     ``candidates`` carries (id, rel, vec). Round 1 picks the highest
     ``rel`` (ties by id); each later round scores every unselected
@@ -62,6 +62,10 @@ def mmr_select(
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("vn"),
     ).localCheckpoint(eager=True)
+    # id keeps the CALLER's type (string doc ids are typical in
+    # retrieval shortlists) — derived from the input schema, never
+    # assumed long; the output column keeps the caller's name too.
+    id_type = dict(cand.dtypes)["id"]
 
     first = (
         cand.orderBy(F.desc("rel"), F.asc("id"))
@@ -78,57 +82,44 @@ def mmr_select(
         .collect()[0]
     )
     picked = [(1, first["id"], first["rel"], first["ms"])]
-    sel_rows = [(first["id"], first["v"], first["vn"])]
-    vec_type = dict(cand.dtypes)["v"]
+    sel_ids = [first["id"]]
+    # the <= k selected vectors live as PLAN LITERALS (array<double>
+    # columns — dot() casts every element to double anyway, so the
+    # literal path is value-identical to the old broadcast-join path):
+    # each round is ONE projection over the checkpointed shortlist +
+    # one TakeOrdered, with no join, no groupBy shuffle, and no
+    # per-round createDataFrame
+    sel_vecs = [([float(x) for x in first["v"]], float(first["vn"]))]
     for _ in range(1, k):
-        sel = spark.createDataFrame(
-            sel_rows, f"sid long, sv {vec_type}, svn double"
+        cos_exprs = [
+            F.round(
+                dot(F.col("v"), F.lit(sv)) / (F.col("vn") * F.lit(svn)), 6
+            )
+            for sv, svn in sel_vecs
+        ]
+        max_sim = (
+            cos_exprs[0] if len(cos_exprs) == 1 else F.greatest(*cos_exprs)
         )
-        scored = (
-            cand.join(
-                F.broadcast(sel.select(F.collect_set("sid").alias("sids"))
-                            .crossJoin(sel).select("sids", "sv", "svn"))
-            )
-            .filter(~F.array_contains(F.col("sids"), F.col("id")))
-            .select(
-                "id",
-                "rel",
-                "v",
-                "vn",
-                F.round(
-                    dot(F.col("v"), F.col("sv")) / (F.col("vn") * F.col("svn")),
-                    6,
-                ).alias("cos"),
-            )
-            .groupBy("id")
-            .agg(
-                F.max("rel").alias("rel"),
-                F.max("cos").alias("max_sim"),
-                # carry the winner's vector through the aggregate so the
-                # round is ONE TakeOrdered job, not TakeOrdered + a
-                # second lookup collect (id is unique in the shortlist,
-                # so first() is exact)
-                F.first("v").alias("v"),
-                F.first("vn").alias("vn"),
-            )
-            .select(
-                "id",
-                "rel",
-                "v",
-                "vn",
-                F.round(
-                    F.lit(lam) * F.col("rel")
-                    - F.lit(1.0 - lam) * F.col("max_sim"),
-                    6,
-                ).alias("mmr_score"),
-            )
+        scored = cand.filter(~F.col("id").isin(sel_ids)).select(
+            "id",
+            "rel",
+            "v",
+            "vn",
+            F.round(
+                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * max_sim,
+                6,
+            ).alias("mmr_score"),
         )
-        best = scored.orderBy(F.desc("mmr_score"), F.asc("id")).limit(1).collect()
+        best = (
+            scored.orderBy(F.desc("mmr_score"), F.asc("id")).limit(1).collect()
+        )
         if not best:
             break
         b = best[0]
         picked.append((len(picked) + 1, b["id"], b["rel"], b["mmr_score"]))
-        sel_rows.append((b["id"], b["v"], b["vn"]))
+        sel_ids.append(b["id"])
+        sel_vecs.append(([float(x) for x in b["v"]], float(b["vn"])))
     return spark.createDataFrame(
-        picked, "rank int, id long, rel double, mmr_score double"
+        [(r, i, rel, ms) for r, i, rel, ms in picked],
+        f"rank int, `{id_col}` {id_type}, rel double, mmr_score double",
     )

@@ -324,9 +324,14 @@ def loo_source_influence(
     — so the s-th ablated model is pure algebra on the grouped
     aggregates, never a retrain. Probe scoring joins each probe
     bigram occurrence against the per-source deltas: cost is
-    O(probe bigrams x sources) with every model relation broadcast,
-    and all log terms are decimal(18,9)-quantized (the lm.py
-    discipline) so the whole influence table is engine-portable.
+    O(probe bigrams x sources). Only the SOURCES relation (one row
+    per source, by construction tiny) is broadcast; the count tables
+    (c2/c1 totals and per-source) are token-TYPE-sized — they grow
+    ~O(corpus tokens) and must shuffle-join by their gram key, never
+    be forced into executor memory (the lm_score rule: AQE still
+    broadcasts them when the corpus is actually small). All log terms
+    are decimal(18,9)-quantized (the lm.py discipline) so the whole
+    influence table is engine-portable.
 
     Probe documents are excluded from ALL training (full and LOO) —
     scoring your own training text measures memorization, not
@@ -402,10 +407,10 @@ def loo_source_influence(
     )
     scored = (
         bg_p.crossJoin(F.broadcast(sources))
-        .join(F.broadcast(c2_tot), "g", "left")
-        .join(F.broadcast(c1_tot), "w1", "left")
-        .join(F.broadcast(c2_src), ["g", "src"], "left")
-        .join(F.broadcast(c1_src), ["w1", "src"], "left")
+        .join(c2_tot, "g", "left")
+        .join(c1_tot, "w1", "left")
+        .join(c2_src, ["g", "src"], "left")
+        .join(c1_src, ["w1", "src"], "left")
         .select(
             "src",
             F.log(

@@ -434,15 +434,20 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     aggregate — nothing scales past the scan.
 
     Portability discipline: the first digit is extracted from the
-    decimal(18,6) STRING rendering (both engines render full fixed
+    decimal(38,6) STRING rendering (both engines render full fixed
     scale, and regexp first-match of [1-9] is order-identical) — NOT
     via log10/pow, whose libm boundaries (log10(1000) rounding below
-    3) flip digits at exact powers of ten. The Benford expectation is
-    computed, not hardcoded, as ln(1+1/d)/ln(10) rounded to 6 on both
-    engines. Zero/null values carry no leading digit and are excluded,
-    negatives contribute their magnitude.
+    3) flip digits at exact powers of ten. decimal(38,6) keeps
+    magnitudes up to 1e32 in-audit (a decimal(18,6) cast would null
+    out |values| >= 1e12 — silently excluding exactly the
+    large-magnitude rows a fraud screen targets); anything past 1e32
+    still nulls out and is excluded with the zeros, documented here.
+    The Benford expectation is computed, not hardcoded, as
+    ln(1+1/d)/ln(10) rounded to 6 on both engines. Zero/null values
+    carry no leading digit and are excluded, negatives contribute
+    their magnitude.
     """
-    s = F.abs(F.col(value_col)).cast("decimal(18,6)").cast("string")
+    s = F.abs(F.col(value_col)).cast("decimal(38,6)").cast("string")
     d = F.regexp_extract(s, "[1-9]", 0)
     digits = (
         df.select(d.alias("ds"))

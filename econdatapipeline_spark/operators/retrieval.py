@@ -161,12 +161,31 @@ def rbo(
     for m in range(k, 0, -1):
         wexpr = F.when(mr == m, F.lit(weights[m])).otherwise(wexpr)
     joined = fa.join(fb, qcols + ["item"])
-    return joined.groupBy(*qcols).agg(
+    per = joined.groupBy(*qcols).agg(
         F.count(F.lit(1)).cast("long").alias("overlap_k"),
         F.coalesce(
             F.round(F.sum(wexpr.cast("decimal(28,12)")).cast("double"), 6),
             F.lit(0.0),
         ).alias("rbo"),
+    )
+    if not qcols:
+        # global agg on an empty join still yields its one row
+        # (overlap_k=0, rbo coalesced to 0.0) — nothing to seed
+        return per
+    # Grouped: a query whose two lists share NOTHING vanishes from the
+    # inner join — exactly the highest-churn queries the metric exists
+    # to flag. Seed the result with the query universe from BOTH
+    # inputs (each is <= k rows/query, so the distinct is list-sized)
+    # and emit rbo = 0 for the disjoint ones.
+    universe = (
+        fa.select(*qcols).union(fb.select(*qcols)).distinct()
+    )
+    return universe.join(per, qcols, "left").select(
+        *qcols,
+        F.coalesce(F.col("overlap_k"), F.lit(0).cast("long")).alias(
+            "overlap_k"
+        ),
+        F.coalesce(F.col("rbo"), F.lit(0.0)).alias("rbo"),
     )
 
 

@@ -55,37 +55,58 @@ def kaplan_meier(
         )
     )
     # at risk at t = everyone whose duration >= t: reverse cumsum of
-    # (events + censored) over the time-ordered distinct-time relation
-    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # (events + censored). Both cumulations ride the distributed
+    # two-pass ordered_cumsum (no unpartitioned Window.orderBy — the
+    # mann_whitney discipline applied here): the curve relation is
+    # times-sized by contract, but a second-resolution duration column
+    # makes distinct times ~subject count, and the prefix sum must not
+    # funnel that through one task. ordered_cumsum sums longs exactly,
+    # so the decimal(18,9) ln(1 - d/n) terms are carried as the
+    # 1e9-scaled exact integers and divided back at the end — the
+    # decimal value (and therefore the double handed to exp, and the
+    # rounded survival) is bit-identical to the windowed decimal sum.
+    from econdatapipeline_spark.operators.stats import ordered_cumsum
+
+    staged = per_t.withColumn(
+        "tot", (F.col("n_events") + F.col("n_censored")).cast("long")
     )
-    at_risk = per_t.withColumn(
-        "n_risk",
-        F.sum(F.col("n_events") + F.col("n_censored")).over(w_rev),
+    at_risk = ordered_cumsum(staged, "t", ["tot"], descending=True).select(
+        "t", "n_events", "n_censored", F.col("cum_tot").alias("n_risk")
     )
-    term = F.when(
+    term_scaled = F.when(
         F.col("n_events") < F.col("n_risk"),
-        F.log(
-            (F.col("n_risk") - F.col("n_events")).cast("double")
-            / F.col("n_risk").cast("double")
-        ).cast("decimal(18,9)"),
-    ).otherwise(F.lit(0).cast("decimal(18,9)"))
-    dead = F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
-    w_fwd = Window.orderBy(F.col("t").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+        (
+            F.log(
+                (F.col("n_risk") - F.col("n_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            ).cast("decimal(18,9)")
+            * F.lit(1000000000)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    dead = (
+        F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+    ).cast("long")
+    cum = ordered_cumsum(
+        at_risk.withColumn("lnq", term_scaled).withColumn("dead", dead),
+        "t",
+        ["lnq", "dead"],
     )
-    curve = (
-        at_risk.withColumn("ln_s", F.sum(term).over(w_fwd))
-        .withColumn("died", F.max(dead).over(w_fwd))
-        .select(
-            "t",
-            "n_risk",
-            "n_events",
-            "n_censored",
-            F.when(F.col("died") == 1, F.lit(0.0))
-            .otherwise(F.round(F.exp(F.col("ln_s").cast("double")), 6))
-            .alias("survival"),
+    # cum_lnq / 1e9 in double: exact for |cum_lnq| < 2^53, i.e. for
+    # every |ln S| < ~9e6 — far past where exp underflows to 0.0, so
+    # the rounded survival is identical in all regimes.
+    curve = cum.select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(F.col("cum_dead") >= 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(F.col("cum_lnq").cast("double") / F.lit(1000000000.0)),
+                6,
+            )
         )
+        .alias("survival"),
     )
     return curve
 
@@ -146,10 +167,12 @@ def log_rank(
         )
     )
     # scaffold: every observed time x both groups, so the reverse
-    # cumsum sees a row (possibly 0-subject) at every pooled time
-    times = per_tg.select("t").distinct()
-    grid = times.crossJoin(
-        per_tg.sparkSession.createDataFrame([("a",), ("b",)], "g string")
+    # cumsum sees a row (possibly 0-subject) at every pooled time.
+    # explode of a 2-element literal array — a generator on the times
+    # relation itself, no join (a crossJoin against a 2-row local
+    # relation would plan CartesianProduct).
+    grid = per_tg.select("t").distinct().select(
+        "t", F.explode(F.array(F.lit("a"), F.lit("b"))).alias("g")
     )
     full = grid.join(per_tg, ["t", "g"], "left").fillna(0, ["d", "subj"])
     w_rev = (

@@ -24,7 +24,7 @@ def _cand(spark):
 
 def test_mmr_breaks_up_redundant_cluster(spark):
     out = mmr_select(_cand(spark), k=3, lam=0.5).collect()
-    order = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
     # pick 1: best rel (id 1). pick 2: ids 2,3 are ~duplicates of 1
     # (cos ~1 -> score ~0.5*0.89-0.5 ~ -0.05) while id 4 is orthogonal
     # (score 0.5*0.6-0 = 0.3). MMR must take 4 before 2.
@@ -34,8 +34,28 @@ def test_mmr_breaks_up_redundant_cluster(spark):
 
 def test_plain_relevance_order_when_lam_is_one(spark):
     out = mmr_select(_cand(spark), k=4, lam=1.0).collect()
-    order = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert order == [1, 2, 3, 4]
+
+
+def test_mmr_string_ids_and_caller_column_name(spark):
+    # retrieval shortlists typically carry STRING doc ids: the id
+    # schema must derive from the input (never an assumed long) and
+    # the output must keep the caller's column name
+    rows = [
+        ("doc-a", 0.90, [1.0, 0.0]),
+        ("doc-b", 0.89, [0.999, 0.01]),
+        ("doc-c", 0.60, [0.0, 1.0]),
+    ]
+    cand = spark.createDataFrame(
+        rows, "doc_id string, score double, vec array<float>"
+    )
+    out = mmr_select(
+        cand, k=2, lam=0.5, id_col="doc_id", rel_col="score", vec_col="vec"
+    ).collect()
+    assert set(out[0].asDict()) == {"rank", "doc_id", "rel", "mmr_score"}
+    order = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == ["doc-a", "doc-c"]  # orthogonal beats the near-dup
 
 
 def test_k_larger_than_pool_and_validation(spark):

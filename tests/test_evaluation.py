@@ -196,3 +196,36 @@ def test_ece_zero_for_perfectly_calibrated(spark):
     df = spark.createDataFrame(rows, "label boolean, score double")
     r = expected_calibration_error(df, bins=10).collect()[0]
     assert r["ece"] == 0.0 and r["mce"] == 0.0
+
+
+def test_decile_lift_hand_values(spark):
+    from econdatapipeline_spark.operators.evaluation import decile_lift
+
+    # 20 distinct scores descending; positives at the 4 highest scores
+    # and the 2 lowest (6 total). Each decile holds exactly 2 rows.
+    rows = [(1 if i <= 4 or i >= 19 else 0, 21.0 - i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = {r["decile"]: r for r in decile_lift(df).collect()}
+    assert set(out) == set(range(1, 11))
+    assert all(out[d]["n"] == 2 for d in out)
+    assert out[1]["n_pos"] == 2 and out[2]["n_pos"] == 2
+    assert out[10]["n_pos"] == 2 and out[5]["n_pos"] == 0
+    # cumulative gain: top-20% captures 4/6; full depth captures all
+    assert abs(out[2]["cum_gain"] - round(4.0 / 6.0, 6)) < 1e-9
+    assert out[10]["cum_gain"] == 1.0 and abs(out[10]["lift"] - 1.0) < 1e-9
+    # lift at decile 1: (2/2) / (6/20) = 10/3
+    assert abs(out[1]["lift"] - round(10.0 / 3.0, 6)) < 1e-9
+
+
+def test_decile_lift_tied_scores_stay_together(spark):
+    from econdatapipeline_spark.operators.evaluation import decile_lift
+
+    # ALL rows share one score -> a single bucket at decile 10 holding
+    # everything (count-based ceil(B*cum/N) on the distinct-score
+    # relation), never an arbitrary within-tie split
+    rows = [(i % 2, 5.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = decile_lift(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["decile"] == 10 and r["n"] == 8 and r["cum_gain"] == 1.0

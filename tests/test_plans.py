@@ -409,3 +409,16 @@ def test_target_encode_table_broadcasts(spark):
     plan = plan_of(E.queries()["target_encode"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_loo_source_influence_model_relations_not_force_broadcast(spark):
+    """loo_source_influence's count tables (c2/c1 totals and
+    per-source) are token-TYPE-sized — O(corpus tokens) at 100 TB — so
+    none of them may carry a forced broadcast hint (the lm_score rule
+    applied to its sibling). With auto-broadcast disabled the only
+    broadcasts left must be the sources/vocab cross joins
+    (BroadcastNestedLoopJoin, bounded by |sources| and 1 row); a hinted
+    model equi-join would surface as BroadcastHashJoin."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(E.queries()["source_influence"](spark, SF_DIR))
+    assert "BroadcastHashJoin" not in plan

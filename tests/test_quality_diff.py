@@ -277,3 +277,16 @@ def test_benford_audit_known_distribution(spark):
     for r in out.values():
         assert r["frac"] == round(r["n"] / total, 6)
         assert 0 < r["benford"] < 0.31
+
+
+def test_benford_audit_keeps_large_magnitudes(spark):
+    from econdatapipeline_spark.operators.quality import benford_audit
+
+    # |values| >= 1e12 overflow a decimal(18,6) cast to null — a fraud
+    # screen must keep them (decimal(38,6) holds up to 1e32): all ten
+    # rows land on their true first digit
+    rows = [(float(d) * 10.0**15,) for d in range(1, 10)] + [(2.0e20,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = {r["digit"]: r for r in benford_audit(df, "x").collect()}
+    assert sum(r["n"] for r in out.values()) == 10
+    assert out[2]["n"] == 2  # 2e15 and 2e20

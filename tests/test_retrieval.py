@@ -116,8 +116,18 @@ def test_rbo_grouped_and_validation(spark):
     )
     out = {r["qid"]: r for r in rbo(a, b, k=2, p=0.5, query_col="qid").collect()}
     assert out["q1"]["overlap_k"] == 2 and out["q1"]["rbo"] > 0.5
-    # q2 has no matched items -> no output row in grouped mode
-    assert "q2" not in out
+    # q2's two lists share NOTHING — the highest-churn case the metric
+    # exists to flag must be PRESENT with rbo exactly 0, not silently
+    # dropped by the inner join
+    assert out["q2"]["overlap_k"] == 0 and out["q2"]["rbo"] == 0.0
+
+    # a query present in only ONE input still appears in the universe
+    c = spark.createDataFrame(
+        [("q1", "x", 1), ("q3", "m", 1)], "qid string, doc_id string, rank int"
+    )
+    out2 = {r["qid"]: r for r in rbo(a, c, k=2, p=0.5, query_col="qid").collect()}
+    assert set(out2) == {"q1", "q2", "q3"}
+    assert out2["q3"]["overlap_k"] == 0 and out2["q3"]["rbo"] == 0.0
 
     with pytest.raises(ValueError):
         rbo(a, b, k=0)

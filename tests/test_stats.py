@@ -629,3 +629,43 @@ def test_kendall_tau_grouped_constant_column_zero(spark):
     out = {r["g"]: r for r in kendall_tau(df, "x", "y", group_col="g").collect()}
     assert out["g"]["tau"] == 0.0  # all pairs tied on y -> denom 0 guard
     assert out["h"]["tau"] == 1.0 and out["h"]["n"] == 3
+
+
+def test_bh_adjust_hand_values(spark):
+    from econdatapipeline_spark.operators.stats import bh_adjust
+
+    # m=5, p sorted: .01 .02 .03 .04 .5 -> candidates m*p/rank are
+    # .05 .05 .05 .05 .5; reverse running min leaves the first four at
+    # .05 (rejected at alpha=.05) and the last at .5
+    rows = [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04), ("e", 0.5)]
+    df = spark.createDataFrame(rows, "test_id string, p double")
+    out = {r["test_id"]: r for r in bh_adjust(df, "p", ["test_id"]).collect()}
+    for t in "abcd":
+        assert abs(out[t]["p_adj"] - 0.05) < 1e-9 and out[t]["rejected"]
+    assert abs(out["e"]["p_adj"] - 0.5) < 1e-9 and not out["e"]["rejected"]
+
+
+def test_bh_adjust_ties_share_adjusted_p(spark):
+    from econdatapipeline_spark.operators.stats import bh_adjust
+
+    # tied p-values must share the same p_adj regardless of the rank
+    # tie-break: candidates 3*.02/1=.06, 3*.02/2=.03, 3*.1/3=.1 ->
+    # reverse min gives .03 to BOTH tied rows
+    rows = [("a", 0.02), ("b", 0.02), ("c", 0.1)]
+    df = spark.createDataFrame(rows, "test_id string, p double")
+    out = {r["test_id"]: r for r in bh_adjust(df, "p", ["test_id"]).collect()}
+    assert abs(out["a"]["p_adj"] - 0.03) < 1e-9
+    assert out["a"]["p_adj"] == out["b"]["p_adj"]
+    assert abs(out["c"]["p_adj"] - 0.1) < 1e-9
+
+
+def test_bh_adjust_monotone_and_clamped(spark):
+    from econdatapipeline_spark.operators.stats import bh_adjust
+
+    rows = [(str(i), 0.9 + 0.01 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "test_id string, p double")
+    out = bh_adjust(df, "p", ["test_id"]).collect()
+    assert all(r["p_adj"] <= 1.0 for r in out)  # clamp
+    by_p = sorted(out, key=lambda r: r["p"])
+    adjs = [r["p_adj"] for r in by_p]
+    assert adjs == sorted(adjs)  # step-up monotonicity
