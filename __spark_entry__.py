@@ -4647,12 +4647,37 @@ def _driver_recorded() -> set:
             continue
         items = data.get("queries", data) if isinstance(data, dict) else data
         if isinstance(items, dict):
-            recorded.update(k for k in items if isinstance(k, str))
+            for k, row in items.items():
+                if isinstance(k, str) and _row_is_green(row):
+                    recorded.add(k)
         elif isinstance(items, list):
             for it in items:
                 if isinstance(it, dict) and isinstance(it.get("name"), str):
-                    recorded.add(it["name"])
+                    if _row_is_green(it):
+                        recorded.add(it["name"])
     return recorded
+
+
+def _row_is_green(row) -> bool:
+    """A recorded row counts only if it was GREEN: a query whose only
+    artifact row is an error (e.g. validate_samples' r4 unhashable-list
+    failure, fixed the same round) must rotate back to the FRONT so the
+    fix gets a green driver row, not hide behind the red one."""
+    if not isinstance(row, dict):
+        return True  # unknown/legacy shape: assume recorded
+    if row.get("err") == "no_oracle":
+        # rows-only by design: the run itself succeeded (spark_rows is
+        # set); re-fronting it forever would waste window slots
+        return row.get("spark_rows") is not None
+    if row.get("err"):
+        return False
+    hm = row.get("hash_match")
+    if hm is not None:
+        return bool(hm)
+    rm = row.get("rows_match")
+    if rm is not None:
+        return bool(rm)
+    return True
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

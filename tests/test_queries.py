@@ -94,3 +94,28 @@ def test_approx_distinct_error_bound(spark):
         assert abs(r["approx_customers"] - exact) <= max(1, 0.05 * exact), (
             r["o_orderpriority"], r["approx_customers"], exact,
         )
+
+
+def test_sketch_rollup_vs_exact_twin(spark):
+    """The explicit twin-pair certification for the last rows-only
+    mechanism (HLL sketches): q_sketch_rollup and q_distinct_rollup
+    share one rollup topology (per-group + merged '__all__', never a
+    re-scan), so running BOTH on the same table must put every sketch
+    estimate within the documented DataSketches bound of the exact twin
+    (lg_k=12 -> ~1.6% RSE; 5% ~ 3 sigma). This is the certification an
+    oracle cannot provide — estimates are engine-specific — and it
+    pins the SAME contract queries the driver runs, not a synthetic."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["group"]: r["approx_distinct"]
+        for r in E.q_sketch_rollup(spark, sf).collect()
+    }
+    exact = {
+        r["group"]: r["n_distinct"]
+        for r in E.q_distinct_rollup(spark, sf).collect()
+    }
+    assert set(approx) == set(exact) and "__all__" in exact
+    for g, n in exact.items():
+        assert abs(approx[g] - n) <= max(1, 0.05 * n), (g, approx[g], n)
