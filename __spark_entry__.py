@@ -4560,6 +4560,119 @@ def q_decile_lift(spark, sf_dir):
     return decile_lift(li).orderBy("decile")
 
 
+def q_nelson_aalen(spark, sf_dir):
+    """Cumulative-hazard curve for repeat purchase
+    (operators/survival.nelson_aalen): the additive companion to
+    q_kaplan_meier over the identical subject construction — H(t) as a
+    running sum of exact d/n increments carried as 1e9-scaled longs
+    through the distributed prefix sum."""
+    from econdatapipeline_spark.operators.survival import nelson_aalen
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    ranked = o.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nxt", F.lead("o_orderdate").over(w)
+    )
+    first = ranked.filter(F.col("rk") == 1)
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    subjects = first.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.datediff(F.col("nxt"), F.col("o_orderdate")),
+        )
+        .otherwise(F.datediff(F.col("h"), F.col("o_orderdate")))
+        .alias("duration"),
+        F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    return nelson_aalen(subjects).orderBy("t")
+
+
+def q_cramers_v(spark, sf_dir):
+    """Association STRENGTH between order priority and order status
+    (operators/stats.chi_square_test effect_size=True): Cramér's V
+    normalizes chi-square by n·min(R−1, C−1) into [0,1] — at 100 TB
+    chi2 alone flags everything as significant; V is the decision
+    signal. Same three exact hash aggregates as q_chi_square."""
+    from econdatapipeline_spark.operators.stats import chi_square_test
+
+    o = _t(spark, sf_dir, "orders")
+    return chi_square_test(
+        o, "o_orderpriority", "o_orderstatus", effect_size=True
+    )
+
+
+def q_wilcoxon_signed(spark, sf_dir):
+    """Paired shift test (operators/stats.wilcoxon_signed): did
+    per-customer spend change from 1994 to 1995? Each customer is its
+    own control (paired), spends are decimal-exact sums, ranks ride
+    the distinct-|d| collapse + distributed prefix sum with average
+    ranks in exact half-units."""
+    from econdatapipeline_spark.operators.stats import wilcoxon_signed
+
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.filter(F.year("o_orderdate").isin([1994, 1995]))
+        .groupBy("o_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.year("o_orderdate") == 1994,
+                        F.col("o_totalprice").cast("decimal(28,6)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(28,6)"),
+            ).alias("spend_94"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.year("o_orderdate") == 1995,
+                        F.col("o_totalprice").cast("decimal(28,6)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(28,6)"),
+            ).alias("spend_95"),
+        )
+    )
+    return wilcoxon_signed(spend, "spend_95", "spend_94")
+
+
+def q_chao1_vocab(spark, sf_dir):
+    """Vocabulary-richness estimate of the documents corpus
+    (operators/lm.chao1_vocab): Chao1 unseen-type extrapolation plus
+    Good-Turing coverage from singleton/doubleton type counts — the
+    'is this sample big enough to fix the tokenizer vocab' readout.
+    One explode + one type collapse + one aggregate."""
+    from econdatapipeline_spark.operators.lm import chao1_vocab
+
+    return chao1_vocab(_t(spark, sf_dir, "documents"))
+
+
+def q_ohlc_resample(spark, sf_dir):
+    """Monthly OHLC bars over order values
+    (operators/timeseries.ohlc_resample): open/close by lexicographic
+    (date, orderkey) key via map-side-combinable min_by/max_by — ONE
+    hash aggregate, no window, no sort."""
+    from econdatapipeline_spark.operators.timeseries import ohlc_resample
+
+    o = _t(spark, sf_dir, "orders")
+    return ohlc_resample(
+        o, "o_orderdate", "o_totalprice", "o_orderkey"
+    ).orderBy("period")
+
+
+def q_waterfill_budget(spark, sf_dir):
+    """Max-min fair token-budget allocation across document sources
+    (operators/sampling.waterfill_budget): a 100k-char global budget
+    waterfilled over per-source supply — small sources keep all their
+    tokens, large ones cap at the integer water level; allocations are
+    exact longs summing to exactly min(budget, supply)."""
+    from econdatapipeline_spark.operators.sampling import waterfill_budget
+
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return waterfill_budget(d, "source", "n_chars", 100000).orderBy("source")
+
+
 def q_rbo(spark, sf_dir):
     """Rank-biased overlap between the 1994 and 1995 top-25 parts by
     revenue (operators/retrieval.rbo) — the top-weighted leaderboard
@@ -4942,6 +5055,12 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "log_rank": q_log_rank,
         "bh_adjust": q_bh_adjust,
         "decile_lift": q_decile_lift,
+        "nelson_aalen": q_nelson_aalen,
+        "cramers_v": q_cramers_v,
+        "wilcoxon_signed": q_wilcoxon_signed,
+        "chao1_vocab": q_chao1_vocab,
+        "ohlc_resample": q_ohlc_resample,
+        "waterfill_budget": q_waterfill_budget,
     }
 
 
@@ -10439,5 +10558,228 @@ def oracle_sql() -> dict[str, str]:
                                   / CAST(tot_n AS DOUBLE))
                           ELSE 0.0 END, 6) AS lift
         FROM cum2
+    """
+    # Nelson-Aalen: the kaplan_meier oracle's subject CTEs with the
+    # additive hazard cumulation (operators/survival.nelson_aalen
+    # mirrored: d/n quantized to decimal(18,9) before the running sum).
+    sql["nelson_aalen"] = """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        subjects AS (
+          SELECT CASE WHEN nxt IS NOT NULL
+                      THEN date_diff('day', o_orderdate, nxt)
+                      ELSE date_diff('day', o_orderdate, h.h) END AS t,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e
+          FROM ranked CROSS JOIN h WHERE rk = 1),
+        per_t AS (
+          SELECT CAST(t AS BIGINT) AS t,
+                 CAST(SUM(e) AS BIGINT) AS n_events,
+                 CAST(COUNT(*) AS BIGINT) AS n_total
+          FROM subjects GROUP BY 1),
+        risk AS (
+          SELECT t, n_events,
+                 SUM(n_total) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_risk
+          FROM per_t)
+        SELECT t, n_risk, n_events,
+               round(CAST(SUM(CAST(CAST(n_events AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE)
+                                   AS DECIMAL(18,9))) OVER (ORDER BY t ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 6) AS cum_hazard
+        FROM risk
+    """
+    # Cramér's V: the chi_square oracle over orders plus the effect
+    # size from the same rounded chi2 both engines share.
+    sql["cramers_v"] = """
+        WITH joint AS (
+          SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS nxy
+          FROM orders GROUP BY 1, 2),
+        mx AS (SELECT o_orderpriority AS x, COUNT(*) AS nx
+               FROM orders GROUP BY 1),
+        my AS (SELECT o_orderstatus AS y, COUNT(*) AS ny
+               FROM orders GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM orders),
+        kx AS (SELECT COUNT(*) AS kx FROM mx),
+        ky AS (SELECT COUNT(*) AS ky FROM my),
+        cells AS (
+          SELECT mx.x, my.y, mx.nx, my.ny, COALESCE(j.nxy, 0) AS nxy
+          FROM mx CROSS JOIN my
+          LEFT JOIN joint j ON j.x = mx.x AND j.y = my.y),
+        terms AS (
+          SELECT CAST(
+                   (CAST(nxy AS DOUBLE)
+                    - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                      / CAST(n.n AS DOUBLE))
+                   * (CAST(nxy AS DOUBLE)
+                      - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                        / CAST(n.n AS DOUBLE))
+                   / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                      / CAST(n.n AS DOUBLE))
+                 AS DECIMAL(28,12)) AS t, n.n
+          FROM cells CROSS JOIN n),
+        agg AS (
+          SELECT round(CAST(SUM(t) AS DOUBLE), 6) AS chi2,
+                 CAST((first(kx.kx) - 1) * (first(ky.ky) - 1) AS BIGINT)
+                   AS dof,
+                 CAST(first(n) AS BIGINT) AS n,
+                 CAST(LEAST(first(kx.kx) - 1, first(ky.ky) - 1) AS BIGINT)
+                   AS mindim
+          FROM terms CROSS JOIN kx CROSS JOIN ky)
+        SELECT chi2, dof, n,
+               round(CASE WHEN mindim > 0 AND n > 0
+                          THEN sqrt(chi2 / (CAST(n AS DOUBLE)
+                                            * CAST(mindim AS DOUBLE)))
+                          ELSE 0.0 END, 6) AS cramers_v
+        FROM agg
+    """
+    # Wilcoxon signed-rank: distinct-|d| collapse, average ranks in
+    # exact half-units (2W+ = sum pos*(2cum + t + 1)), tie-corrected
+    # normal z (operators/stats.wilcoxon_signed mirrored).
+    sql["wilcoxon_signed"] = """
+        WITH spend AS (
+          SELECT o_custkey,
+                 COALESCE(SUM(CASE WHEN year(o_orderdate) = 1994
+                       THEN CAST(o_totalprice AS DECIMAL(28,6)) END),
+                       0) AS s94,
+                 COALESCE(SUM(CASE WHEN year(o_orderdate) = 1995
+                       THEN CAST(o_totalprice AS DECIMAL(28,6)) END),
+                       0) AS s95
+          FROM orders WHERE year(o_orderdate) IN (1994, 1995)
+          GROUP BY 1),
+        d AS (SELECT CAST(s95 AS DECIMAL(18,6))
+                     - CAST(s94 AS DECIMAL(18,6)) AS d FROM spend),
+        nz AS (SELECT d FROM d WHERE d IS NOT NULL AND d <> 0),
+        per_m AS (
+          SELECT abs(d) AS m, CAST(COUNT(*) AS BIGINT) AS t,
+                 CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pos
+          FROM nz GROUP BY 1),
+        cums AS (
+          SELECT *, CAST(COALESCE(SUM(t) OVER (ORDER BY m ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS cum_t
+          FROM per_m),
+        agg AS (
+          SELECT CAST(SUM(t) AS BIGINT) AS n,
+                 SUM(CAST(pos AS HUGEINT) * (2 * cum_t + t + 1)) AS tw,
+                 SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+          FROM cums)
+        SELECT n,
+               round(CAST(tw AS DOUBLE) / 2.0, 1) AS w_plus,
+               round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0
+                     - CAST(tw AS DOUBLE) / 2.0, 1) AS w_minus,
+               round(CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                               * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                               - CAST(ties AS DOUBLE) / 48.0 > 0
+                          THEN (CAST(tw AS DOUBLE) / 2.0
+                                - CAST(n AS DOUBLE)
+                                  * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+                               / sqrt(CAST(n AS DOUBLE)
+                                      * (CAST(n AS DOUBLE) + 1.0)
+                                      * (2.0 * CAST(n AS DOUBLE) + 1.0)
+                                      / 24.0
+                                      - CAST(ties AS DOUBLE) / 48.0)
+                          ELSE 0.0 END, 6) AS z
+        FROM agg
+    """
+    # Chao1 vocabulary richness + Good-Turing coverage: one type
+    # collapse, exact F1/F2 (operators/lm.chao1_vocab mirrored).
+    sql["chao1_vocab"] = """
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS w
+          FROM documents),
+        types AS (SELECT w, COUNT(*) AS c FROM toks WHERE w <> ''
+                  GROUP BY 1),
+        agg AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f1,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f2
+          FROM types)
+        SELECT n_tokens, vocab, f1, f2,
+               round(CAST(vocab AS DOUBLE)
+                     + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                       / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1,
+               round(CASE WHEN n_tokens > 0
+                          THEN 1.0 - CAST(f1 AS DOUBLE)
+                               / CAST(n_tokens AS DOUBLE)
+                          ELSE 0.0 END, 6) AS coverage
+        FROM agg
+    """
+    # Monthly OHLC: arg_min/arg_max on the same lexicographic
+    # (yyyyMMdd + zero-padded key) string both engines build
+    # (operators/timeseries.ohlc_resample mirrored).
+    sql["ohlc_resample"] = """
+        WITH o AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS period,
+                 strftime(o_orderdate, '%Y%m%d')
+                   || lpad(CAST(o_orderkey AS VARCHAR), 14, '0') AS k,
+                 CAST(o_totalprice AS DOUBLE) AS v
+          FROM orders)
+        SELECT period,
+               arg_min(v, k) AS open,
+               MAX(v) AS high,
+               MIN(v) AS low,
+               arg_max(v, k) AS close,
+               CAST(COUNT(*) AS BIGINT) AS volume,
+               round(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE), 6)
+                 AS total
+        FROM o GROUP BY period
+    """
+    # Waterfilling: integer-exact max-min fair allocation
+    # (operators/sampling.waterfill_budget mirrored: funded iff
+    # cum_excl + supply*(groups remaining) <= budget; capped groups
+    # share remaining as div/mod with the first (mod) getting +1).
+    sql["waterfill_budget"] = """
+        WITH sup AS (
+          SELECT source AS grp, CAST(SUM(n_chars) AS BIGINT) AS supply
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_grp FROM sup),
+        srt AS (
+          SELECT grp, supply,
+                 CAST(ROW_NUMBER() OVER (ORDER BY supply ASC, grp ASC)
+                      AS BIGINT) AS idx,
+                 CAST(SUM(supply) OVER (ORDER BY supply ASC, grp ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_inc
+          FROM sup),
+        marked AS (
+          SELECT s.*, n_grp,
+                 CASE WHEN CAST(cum_inc - supply AS HUGEINT)
+                           + CAST(supply AS HUGEINT)
+                             * (n_grp - idx + 1) <= 100000
+                      THEN 1 ELSE 0 END AS funded
+          FROM srt s CROSS JOIN tot),
+        ft AS (
+          SELECT CAST(COALESCE(MAX(CASE WHEN funded = 1
+                                        THEN cum_inc END), 0) AS BIGINT)
+                   AS full_total,
+                 CAST(SUM(funded) AS BIGINT) AS n_funded
+          FROM marked),
+        outq AS (
+          SELECT grp, supply, funded,
+                 100000 - full_total AS remaining,
+                 n_grp - n_funded AS k,
+                 idx - n_funded AS j
+          FROM marked CROSS JOIN ft)
+        SELECT grp AS source, supply,
+               CAST(CASE WHEN funded = 1 THEN supply
+                         ELSE remaining // k
+                              + (CASE WHEN j <= remaining % k
+                                      THEN 1 ELSE 0 END)
+                    END AS BIGINT) AS allocated,
+               CAST(1 - funded AS INT) AS capped
+        FROM outq
     """
     return sql

@@ -520,3 +520,63 @@ def oov_rate(
             6,
         ).alias("oov_rate"),
     )
+
+
+def chao1_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chao1 vocabulary-richness estimate + Good-Turing coverage ->
+    one row (n_tokens, vocab, f1, f2, chao1, coverage).
+
+    The "how much vocabulary HAVEN'T we seen" readout for a corpus
+    sample (Chao 1984; Good 1953) — the principled answer to "is this
+    crawl slice big enough to fix the tokenizer vocabulary?":
+
+        chao1    = V + F1*(F1-1) / (2*(F2+1))   (bias-corrected form,
+                                                 defined when F2 = 0)
+        coverage = 1 - F1/N                     (Good-Turing: the
+                                                 probability mass of
+                                                 UNSEEN types)
+
+    where V = distinct tokens, F1/F2 = singleton/doubleton type counts,
+    N = total occurrences. A coverage of 0.98 says 2% of future token
+    mass will be types never seen in this sample.
+
+    Relational shape: one explode + one groupBy(token) collapse to the
+    type relation, then ONE hash aggregate over it — nothing scales
+    past the type count, and every input to the two formulas is an
+    exact integer (the ratios are deterministic doubles, rounded 6).
+    """
+    types = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+    return types.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+    ).select(
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(
+            F.col("vocab").cast("double")
+            + F.col("f1").cast("double")
+            * (F.col("f1").cast("double") - 1.0)
+            / (2.0 * (F.col("f2").cast("double") + 1.0)),
+            6,
+        ).alias("chao1"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.lit(1.0)
+                - F.col("f1").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("coverage"),
+    )

@@ -574,3 +574,103 @@ def negative_sample(
         .filter(F.col("rep_id") != F.col("anchor_id"))
         .select("anchor_id", "neg_rank", F.col("rep_id").alias("neg_id"))
     )
+
+
+def waterfill_budget(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Max-min fair (waterfilling) token-budget allocation across
+    sources -> one row per group: (group, supply, allocated, capped).
+
+    The data-mixing planner's core step: given a global training-token
+    budget and each source's available supply, give every source as
+    much as possible subject to a COMMON ceiling (the water level) —
+    small sources keep everything they have, large sources are capped
+    at the level that makes the total exactly the budget. This is the
+    allocation that maximizes the minimum source share (the
+    fair-mixture counterpart of temperature_mixture's power weights).
+
+    Integer-exact formulation (no float level): sort groups by
+    (supply asc, group asc); group i (1-based, n groups, exclusive
+    prefix sum cum) is FULLY FUNDED iff
+
+        cum_i + supply_i * (n - i + 1) <= budget
+
+    (funding it to its full supply still leaves enough for every
+    later group to get at least as much). The capped groups share the
+    remaining budget as base = remaining div k with the first
+    (remaining mod k) capped groups in sort order getting one extra
+    unit — allocations are exact longs and the total is EXACTLY
+    min(budget, total supply), hash-certifiable on any engine.
+
+    Scale shape: one fact-sized hash aggregate collapses to the
+    groups-sized relation; the ordered pass is ordered_cumsum's
+    distributed two-pass prefix sum (no unpartitioned window); the
+    funded-side totals are a second groups-sized aggregate broadcast
+    back. Products are decimal(38,0) — supply * n overflows a long at
+    corpus scale.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from econdatapipeline_spark.operators.stats import ordered_cumsum
+
+    sup = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(weight_col).cast("long").alias("supply")
+    )
+    base = sup.select(
+        "grp",
+        "supply",
+        F.struct(
+            F.col("supply").alias("s"),
+            F.col("grp").cast("string").alias("g"),
+        ).alias("__ord"),
+        F.lit(1).cast("long").alias("__one"),
+    )
+    tot = sup.agg(
+        F.sum("supply").cast("long").alias("tot_supply"),
+        F.count(F.lit(1)).cast("long").alias("n_grp"),
+    )
+    idx_cums = ordered_cumsum(base, "__ord", ["supply", "__one"]).select(
+        "grp",
+        "supply",
+        F.col("cum_supply").alias("cum_inc"),
+        F.col("cum___one").alias("idx"),
+    )
+    staged = idx_cums.crossJoin(F.broadcast(tot))
+    funded = (
+        (F.col("cum_inc") - F.col("supply")).cast("decimal(38,0)")
+        + F.col("supply").cast("decimal(38,0)")
+        * (F.col("n_grp") - F.col("idx") + 1).cast("decimal(38,0)")
+    ) <= F.lit(budget).cast("decimal(38,0)")
+    marked = staged.withColumn("funded", funded.cast("int"))
+    funded_tot = marked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("funded") == 1, F.col("cum_inc"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("full_total"),
+        F.sum("funded").cast("long").alias("n_funded"),
+    )
+    out = marked.crossJoin(F.broadcast(funded_tot)).select(
+        "grp",
+        "supply",
+        "funded",
+        (F.lit(budget) - F.col("full_total")).alias("remaining"),
+        (F.col("n_grp") - F.col("n_funded")).alias("k"),
+        (F.col("idx") - F.col("n_funded")).alias("j"),
+    )
+    alloc = F.when(F.col("funded") == 1, F.col("supply")).otherwise(
+        F.expr("remaining div k")
+        + F.when(
+            F.col("j") <= F.col("remaining") % F.col("k"), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "supply",
+        alloc.cast("long").alias("allocated"),
+        (F.lit(1) - F.col("funded")).alias("capped"),
+    )

@@ -476,9 +476,11 @@ def two_sample_ztest(
     )
 
 
-def chi_square_test(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+def chi_square_test(
+    df: DataFrame, col_x: str, col_y: str, effect_size: bool = False
+) -> DataFrame:
     """Pearson chi-square independence statistic -> one row
-    (chi2, dof, n).
+    (chi2, dof, n[, cramers_v]).
 
     chi² = Σ_cells (observed − expected)² / expected with
     expected = n_x · n_y / n — the categorical companion to
@@ -489,6 +491,12 @@ def chi_square_test(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     cross of observed levels — a zero-observed cell still contributes
     its expected count (the textbook definition; summing observed
     cells only would understate the statistic).
+
+    ``effect_size=True`` adds Cramér's V = sqrt(chi² / (n · min(|x|−1,
+    |y|−1))) — the [0, 1] association strength that chi² alone cannot
+    give (chi² grows with n, so at 100 TB EVERYTHING is "significant";
+    V is what tells a 0.02 association from a 0.6 one). Computed from
+    the same rounded chi2 both engines share.
     """
     joint = df.groupBy(
         F.col(col_x).alias("x"), F.col(col_y).alias("y")
@@ -517,7 +525,7 @@ def chi_square_test(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
         * (F.col("nxy").cast("double") - expected)
         / expected
     )
-    return (
+    base = (
         cells.crossJoin(F.broadcast(n))
         .crossJoin(F.broadcast(nx_levels))
         .crossJoin(F.broadcast(ny_levels))
@@ -531,7 +539,30 @@ def chi_square_test(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             .cast("long")
             .alias("dof"),
             F.first("n").cast("long").alias("n"),
+            F.least(F.first("kx") - 1, F.first("ky") - 1)
+            .cast("long")
+            .alias("__mindim"),
         )
+    )
+    if not effect_size:
+        return base.drop("__mindim")
+    return base.select(
+        "chi2",
+        "dof",
+        "n",
+        F.round(
+            F.when(
+                (F.col("__mindim") > 0) & (F.col("n") > 0),
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * F.col("__mindim").cast("double")
+                    )
+                ),
+            ).otherwise(0.0),
+            6,
+        ).alias("cramers_v"),
     )
 
 
@@ -1331,6 +1362,74 @@ def kendall_tau(
             ).otherwise(0.0),
             6,
         ).alias("tau"),
+    )
+
+
+def wilcoxon_signed(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test for paired samples -> one row
+    (n, w_plus, w_minus, z).
+
+    The paired companion to ``mann_whitney`` (same distinct-value
+    collapse, same distributed prefix sum): "did the same population
+    shift between two conditions?" without assuming normal differences.
+    Differences are quantized to decimal(18,6) (the engine's value
+    tolerance scale), zero differences drop per the standard procedure,
+    and |d| ties take AVERAGE ranks.
+
+    Exactness: ranks are carried in HALF-UNITS — for a tie group of
+    size t starting after cum_before smaller values, each member's
+    2·rank_avg = 2·cum_before + t + 1, so 2·W+ = Σ pos·(2·cum + t + 1)
+    is an exact integer (decimal(38,0) products — pos·cum can pass
+    2^63 at corpus scale). z uses the normal approximation with the
+    standard tie correction Σ(t³−t)/48, a deterministic double of
+    exact integers. Relational shape: one groupBy(|d|) collapse, then
+    ``ordered_cumsum``'s two-pass prefix count — no unpartitioned
+    window on either path.
+    """
+    d_expr = F.col(col_a).cast("decimal(18,6)") - F.col(col_b).cast(
+        "decimal(18,6)"
+    )
+    nz = df.select(d_expr.alias("d")).filter(
+        F.col("d").isNotNull() & (F.col("d") != 0)
+    )
+    per_m = nz.groupBy(F.abs(F.col("d")).alias("m")).agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("pos"),
+    )
+    cums = ordered_cumsum(per_m, "m", ["t"], exclusive=True)
+    two_w_plus = F.sum(
+        F.col("pos").cast("decimal(38,0)")
+        * (2 * F.col("cum_t") + F.col("t") + 1).cast("decimal(38,0)")
+    )
+    tie_sum = F.sum(
+        (
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).cast("decimal(38,0)")
+    )
+    agg = cums.agg(
+        F.sum("t").cast("long").alias("n"),
+        two_w_plus.cast("decimal(38,0)").alias("tw"),
+        tie_sum.cast("decimal(38,0)").alias("ties"),
+    )
+    n_d = F.col("n").cast("double")
+    w_plus = F.col("tw").cast("double") / F.lit(2.0)
+    mean = n_d * (n_d + 1.0) / 4.0
+    var = (
+        n_d * (n_d + 1.0) * (2.0 * n_d + 1.0) / 24.0
+        - F.col("ties").cast("double") / 48.0
+    )
+    return agg.select(
+        "n",
+        F.round(w_plus, 1).alias("w_plus"),
+        F.round(n_d * (n_d + 1.0) / 2.0 - w_plus, 1).alias("w_minus"),
+        F.round(
+            F.when(var > 0, (w_plus - mean) / F.sqrt(var)).otherwise(0.0), 6
+        ).alias("z"),
     )
 
 

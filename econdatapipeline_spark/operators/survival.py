@@ -111,6 +111,61 @@ def kaplan_meier(
     return curve
 
 
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator -> one row per distinct
+    duration: (t, n_risk, n_events, cum_hazard).
+
+        H(t) = sum over t_i <= t of d_i / n_i
+
+    The additive companion to kaplan_meier's multiplicative curve — the
+    standard estimator when hazards themselves are the quantity of
+    interest (exp(-H) is also a serviceable survival estimate with
+    better small-risk-set behavior than the product form). Shares
+    kaplan_meier's relational shape verbatim: ONE groupBy(duration)
+    collapse, then both cumulations on the distributed two-pass
+    ordered_cumsum — the reverse at-risk count as exact longs, the
+    forward hazard sum as 1e9-scaled decimal(18,9) increments carried
+    as exact longs, so the rounded output is engine-portable.
+    """
+    from econdatapipeline_spark.operators.stats import ordered_cumsum
+
+    per_t = (
+        df.select(
+            F.col(duration_col).cast("long").alias("t"),
+            F.col(event_col).cast("int").alias("e"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum("e").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+    )
+    at_risk = ordered_cumsum(per_t, "t", ["n_total"], descending=True).select(
+        "t", "n_events", F.col("cum_n_total").alias("n_risk")
+    )
+    inc = (
+        (
+            F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double")
+        ).cast("decimal(18,9)")
+        * F.lit(1000000000)
+    ).cast("long")
+    cum = ordered_cumsum(at_risk.withColumn("hz", inc), "t", ["hz"])
+    return cum.select(
+        "t",
+        "n_risk",
+        "n_events",
+        F.round(
+            F.col("cum_hz").cast("double") / F.lit(1000000000.0), 6
+        ).alias("cum_hazard"),
+    )
+
+
 def median_survival(curve: DataFrame) -> DataFrame:
     """Median survival time from a kaplan_meier curve -> one row
     (median_t): the smallest t with S(t) <= 0.5, null if the curve

@@ -679,3 +679,53 @@ def pacf(
         )
         .select(group_col, F.col("lag").cast("int").alias("lag"), "pacf")
     )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    freq: str = "month",
+) -> DataFrame:
+    """OHLC bar resampling -> one row per period:
+    (period, open, high, low, close, volume, total).
+
+    The canonical downsample for economic/market series (the reference
+    domain): per calendar period, the FIRST and LAST observation in
+    time order plus the extremes and volume. open/close use min_by/
+    max_by over a lexicographic (yyyyMMdd + zero-padded tiebreak)
+    string key — a total order both engines share (struct ordering
+    keys are not portable to every SQL engine's arg_min), so same-day
+    observations break ties identically everywhere.
+
+    Scale shape: ONE hash aggregate over the scan — min_by/max_by are
+    map-side combinable, so no window, no sort, no shuffle beyond the
+    periods-sized exchange; `total` sums decimal(28,6)-quantized
+    values for order-free exactness.
+    """
+    if freq == "month":
+        period = F.date_format(F.col(date_col), "yyyy-MM")
+    elif freq == "year":
+        period = F.date_format(F.col(date_col), "yyyy")
+    else:
+        raise ValueError(f"freq must be month|year, got {freq}")
+    ordk = F.concat(
+        F.date_format(F.col(date_col), "yyyyMMdd"),
+        F.lpad(F.col(tiebreak_col).cast("string"), 14, "0"),
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.select(period.alias("period"), ordk.alias("__k"), v.alias("__v"))
+        .groupBy("period")
+        .agg(
+            F.min_by("__v", "__k").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max_by("__v", "__k").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+            F.round(
+                F.sum(F.col("__v").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("total"),
+        )
+    )

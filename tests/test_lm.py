@@ -196,3 +196,30 @@ def test_oov_rate_counts_occurrences_not_types(spark):
     row = oov_rate(train, score, min_count=1).collect()[0]
     # three OOV *occurrences* of the single OOV type
     assert row["n_tokens"] == 4 and row["n_oov"] == 3
+
+
+def test_chao1_vocab_hand_values(spark):
+    from econdatapipeline_spark.operators.lm import chao1_vocab
+
+    # corpus: a a a b b c d -> N=7, V=4, F1=2 (c,d), F2=1 (b)
+    # chao1 = 4 + 2*1/(2*2) = 4.5; coverage = 1 - 2/7
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c d")], "doc_id long, text string"
+    )
+    r = chao1_vocab(df).first()
+    assert r["n_tokens"] == 7 and r["vocab"] == 4
+    assert r["f1"] == 2 and r["f2"] == 1
+    assert abs(r["chao1"] - 4.5) < 1e-9
+    assert abs(r["coverage"] - round(1 - 2 / 7, 6)) < 1e-9
+
+
+def test_chao1_vocab_exhaustive_sample_has_full_coverage(spark):
+    from econdatapipeline_spark.operators.lm import chao1_vocab
+
+    # every type seen >= 3 times: F1 = 0 -> chao1 == V, coverage == 1
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y x y")], "doc_id long, text string"
+    )
+    r = chao1_vocab(df).first()
+    assert r["f1"] == 0 and r["chao1"] == float(r["vocab"])
+    assert r["coverage"] == 1.0

@@ -324,3 +324,37 @@ def test_temperature_mixture_rebalances_and_validates(spark):
         temperature_mixture(df, alpha=-1.0)
     with pytest.raises(ValueError, match="target_fraction"):
         temperature_mixture(df, alpha=0.5, target_fraction=1.5)
+
+
+def test_waterfill_budget_hand_values(spark):
+    from econdatapipeline_spark.operators.sampling import waterfill_budget
+
+    # supplies: a=10, b=40, c=100; budget 80 -> a fully funded (10),
+    # remaining 70 over {b, c}: base 35 each (b capped at 35 < 40)
+    rows = [("a", 10), ("b", 40), ("c", 100)]
+    df = spark.createDataFrame(rows, "src string, tok long")
+    out = {r["src"]: r for r in waterfill_budget(df, "src", "tok", 80).collect()}
+    assert out["a"]["allocated"] == 10 and out["a"]["capped"] == 0
+    assert out["b"]["allocated"] == 35 and out["b"]["capped"] == 1
+    assert out["c"]["allocated"] == 35 and out["c"]["capped"] == 1
+    assert sum(r["allocated"] for r in out.values()) == 80
+
+
+def test_waterfill_budget_remainder_and_edges(spark):
+    from econdatapipeline_spark.operators.sampling import waterfill_budget
+
+    # budget 7 over supplies 5,5,5: base 2, remainder 1 -> first in
+    # (supply, group) order gets the extra unit
+    rows = [("x", 5), ("y", 5), ("z", 5)]
+    df = spark.createDataFrame(rows, "src string, tok long")
+    out = {r["src"]: r["allocated"] for r in waterfill_budget(df, "src", "tok", 7).collect()}
+    assert out == {"x": 3, "y": 2, "z": 2}
+    # budget >= total supply: everyone fully funded, nothing capped
+    full = waterfill_budget(df, "src", "tok", 100).collect()
+    assert all(r["allocated"] == r["supply"] and r["capped"] == 0 for r in full)
+    # zero budget: all capped at 0
+    zero = waterfill_budget(df, "src", "tok", 0).collect()
+    assert all(r["allocated"] == 0 for r in zero)
+    import pytest
+    with pytest.raises(ValueError):
+        waterfill_budget(df, "src", "tok", -1)

@@ -669,3 +669,47 @@ def test_bh_adjust_monotone_and_clamped(spark):
     by_p = sorted(out, key=lambda r: r["p"])
     adjs = [r["p_adj"] for r in by_p]
     assert adjs == sorted(adjs)  # step-up monotonicity
+
+
+def test_chi_square_effect_size_cramers_v(spark):
+    from econdatapipeline_spark.operators.stats import chi_square_test
+
+    # perfectly dependent 2x2: chi2 = n, V = 1
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "u string, v string")
+    r = chi_square_test(df, "u", "v", effect_size=True).first()
+    assert abs(r["chi2"] - 10.0) < 1e-6 and r["cramers_v"] == 1.0
+    # independent: chi2 = 0, V = 0
+    rows2 = [(u, v) for u in "ab" for v in "xy" for _ in range(5)]
+    df2 = spark.createDataFrame(rows2, "u string, v string")
+    r2 = chi_square_test(df2, "u", "v", effect_size=True).first()
+    assert r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
+    # default signature unchanged (no cramers_v column)
+    assert "cramers_v" not in chi_square_test(df, "u", "v").columns
+
+
+def test_wilcoxon_signed_hand_values(spark):
+    from econdatapipeline_spark.operators.stats import wilcoxon_signed
+
+    # diffs: +1, +2, -3, +4  -> |d| ranks 1,2,3,4; W+ = 1+2+4 = 7
+    rows = [(2.0, 1.0), (5.0, 3.0), (1.0, 4.0), (9.0, 5.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = wilcoxon_signed(df, "a", "b").first()
+    assert r["n"] == 4 and r["w_plus"] == 7.0 and r["w_minus"] == 3.0
+    # mean = 4*5/4 = 5, var = 4*5*9/24 = 7.5 -> z = 2/sqrt(7.5)
+    import math
+    assert abs(r["z"] - round(2.0 / math.sqrt(7.5), 6)) < 1e-9
+
+
+def test_wilcoxon_signed_ties_and_zero_drop(spark):
+    from econdatapipeline_spark.operators.stats import wilcoxon_signed
+
+    # one zero diff drops (n=4); |d| = 1,1,2,2 -> avg ranks 1.5,1.5,3.5,3.5
+    # positives: one of the 1s and both 2s -> W+ = 1.5 + 3.5 + 3.5 = 8.5
+    rows = [(3.0, 3.0), (2.0, 1.0), (0.0, 1.0), (4.0, 2.0), (5.0, 3.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = wilcoxon_signed(df, "a", "b").first()
+    assert r["n"] == 4 and r["w_plus"] == 8.5 and r["w_minus"] == 1.5
+    # symmetric under swapping a/b
+    r2 = wilcoxon_signed(df, "b", "a").first()
+    assert r2["w_plus"] == 1.5 and r2["w_minus"] == 8.5 and r2["z"] == -r["z"]

@@ -95,3 +95,23 @@ def test_log_rank_censoring_shrinks_risk_sets(spark):
     assert out["observed_a"] == 1
     assert abs(out["expected_a"] - 1.0) < 1e-6
     assert out["chi2"] == 0.0
+
+
+def test_nelson_aalen_textbook(spark):
+    from econdatapipeline_spark.operators.survival import nelson_aalen
+
+    # events at 1,2,4; censor at 3; n=5:
+    # H(1)=1/5; H(2)=1/5+1/4=0.45; H(3)=0.45 (censor only);
+    # H(4)=0.45+1/2=0.95
+    rows = [(1, 1), (2, 1), (3, 0), (4, 1), (5, 0)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r["t"]: r for r in nelson_aalen(df).collect()}
+    assert out[1]["n_risk"] == 5 and abs(out[1]["cum_hazard"] - 0.2) < 1e-6
+    assert abs(out[2]["cum_hazard"] - 0.45) < 1e-6
+    assert abs(out[3]["cum_hazard"] - 0.45) < 1e-6
+    assert abs(out[4]["cum_hazard"] - 0.95) < 1e-6
+    # exp(-H) tracks the KM curve loosely from above
+    curve = {r["t"]: r["survival"] for r in kaplan_meier(df).collect()}
+    import math
+    for t, r in out.items():
+        assert math.exp(-r["cum_hazard"]) >= curve[t] - 1e-9

@@ -295,3 +295,28 @@ def test_pacf_constant_series_all_zero(spark):
     df = spark.createDataFrame(rows, "dataset string, date date, value double")
     out = pacf(df, max_lag=3).collect()
     assert len(out) == 3 and all(r["pacf"] == 0.0 for r in out)
+
+
+def test_ohlc_resample_hand_values(spark):
+    from pyspark.sql import functions as F
+    from econdatapipeline_spark.operators.timeseries import ohlc_resample
+
+    rows = [
+        ("2020-01-05", 2, 10.0),
+        ("2020-01-05", 1, 11.0),  # same day: tiebreak id 1 first
+        ("2020-01-20", 3, 7.0),
+        ("2020-02-01", 4, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "d string, k long, v double").select(
+        F.to_date("d").alias("d"), "k", "v"
+    )
+    out = {r["period"]: r for r in ohlc_resample(df, "d", "v", "k").collect()}
+    jan = out["2020-01"]
+    assert jan["open"] == 11.0 and jan["close"] == 7.0
+    assert jan["high"] == 11.0 and jan["low"] == 7.0
+    assert jan["volume"] == 3 and abs(jan["total"] - 28.0) < 1e-9
+    feb = out["2020-02"]
+    assert feb["open"] == feb["close"] == 5.0 and feb["volume"] == 1
+    import pytest
+    with pytest.raises(ValueError):
+        ohlc_resample(df, "d", "v", "k", freq="week")
