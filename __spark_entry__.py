@@ -4673,6 +4673,84 @@ def q_waterfill_budget(spark, sf_dir):
     return waterfill_budget(d, "source", "n_chars", 100000).orderBy("source")
 
 
+def q_isotonic_calibrate(spark, sf_dir):
+    """Isotonic calibration of return rate by discount
+    (operators/evaluation.isotonic_calibrate): the PAV fit via the
+    order-free MINIMAX closed form — interval means from bins-relation
+    prefix sums, two nested extrema over the bins^3/6 literal-bounded
+    triple grid; one fact-sized hash aggregate, everything after is
+    bounded by the bins constant."""
+    from econdatapipeline_spark.operators.evaluation import isotonic_calibrate
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+        F.col("l_discount").cast("double").alias("score"),
+    )
+    return isotonic_calibrate(li, bins=10, lo=0.0, hi=0.11).orderBy("bin")
+
+
+def q_mutual_nn(spark, sf_dir):
+    """Reciprocal-best-match vector alignment
+    (operators/similarity.mutual_nn): mutual top-1 cosine pairs
+    between two embedding slices — the hub-killing high-precision
+    alignment filter; two brute-force top-1 passes joined on the
+    pair, bucketed-ANN-swappable at cluster scale."""
+    from econdatapipeline_spark.operators.similarity import mutual_nn
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 40)
+    b = e.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 140))
+    return mutual_nn(a, b).orderBy("a_id")
+
+
+def q_did_estimator(spark, sf_dir):
+    """Difference-in-differences on 1994->1995 order values
+    (operators/stats.did_estimator): BUILDING-segment customers as the
+    treated arm, the common year drift netted out by the other
+    segments — one conditional-decimal-sum hash aggregate."""
+    from econdatapipeline_spark.operators.stats import did_estimator
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    panel = (
+        o.filter(F.year("o_orderdate").isin([1994, 1995]))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("treat"),
+            F.when(F.year("o_orderdate") == 1995, 1).otherwise(0).alias(
+                "post"
+            ),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    return did_estimator(panel, "treat", "post", "y")
+
+
+def q_cem_att(spark, sf_dir):
+    """Coarsened-exact-matching ATT of BUILDING membership on order
+    value, balanced on customer account wealth
+    (operators/evaluation.cem_att): stratum-mean matching — one
+    control-side hash aggregate, one bins-bounded broadcast join, one
+    aggregate; overlap violations surface as n_treated − n_matched."""
+    from econdatapipeline_spark.operators.evaluation import cem_att
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    units = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("treat"),
+        F.col("o_totalprice").alias("y"),
+        F.col("c_acctbal").cast("double").alias("score"),
+    )
+    return cem_att(units, "treat", "y", "score", bins=20, lo=-1000.0,
+                   hi=10000.0)
+
+
 def q_rbo(spark, sf_dir):
     """Rank-biased overlap between the 1994 and 1995 top-25 parts by
     revenue (operators/retrieval.rbo) — the top-weighted leaderboard
@@ -5061,6 +5139,10 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "chao1_vocab": q_chao1_vocab,
         "ohlc_resample": q_ohlc_resample,
         "waterfill_budget": q_waterfill_budget,
+        "isotonic_calibrate": q_isotonic_calibrate,
+        "mutual_nn": q_mutual_nn,
+        "did_estimator": q_did_estimator,
+        "cem_att": q_cem_att,
     }
 
 
@@ -10781,5 +10863,153 @@ def oracle_sql() -> dict[str, str]:
                     END AS BIGINT) AS allocated,
                CAST(1 - funded AS INT) AS capped
         FROM outq
+    """
+    # Isotonic calibration: the minimax closed form fit_i =
+    # max_{j<=i} min_{k>=i} mean(y,[j,k]) over bins-relation prefix
+    # sums (operators/evaluation.isotonic_calibrate mirrored).
+    sql["isotonic_calibrate"] = """
+        WITH base AS (
+          SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                 CAST(LEAST(GREATEST(FLOOR(
+                   (CAST(l_discount AS DOUBLE) - 0.0) / 0.11 * 10), 0), 9)
+                   AS INT) AS bin
+          FROM lineitem),
+        binned AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos
+          FROM base GROUP BY 1),
+        pre AS (
+          SELECT bin, n, pos,
+                 SUM(n) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+                 SUM(pos) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+          FROM binned),
+        intervals AS (
+          SELECT j.bin AS jb, k.bin AS kb,
+                 CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+                 / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS mean_jk
+          FROM pre j JOIN pre k ON k.bin >= j.bin),
+        inner_q AS (
+          SELECT i.bin AS ib, t.jb, MIN(t.mean_jk) AS min_k
+          FROM pre i JOIN intervals t
+            ON t.jb <= i.bin AND t.kb >= i.bin
+          GROUP BY 1, 2),
+        fit AS (SELECT ib, round(MAX(min_k), 6) AS fit FROM inner_q
+                GROUP BY 1)
+        SELECT b.bin, b.n, b.pos,
+               round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+                 AS frac_pos,
+               f.fit
+        FROM binned b JOIN fit f ON f.ib = b.bin
+    """
+    # Mutual nearest neighbors: top-1 each direction on the SAME
+    # rounded cosine + ascending-id tie-break as brute_force_topk,
+    # joined on the reciprocal pair.
+    sql["mutual_nn"] = """
+        WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 40),
+        b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id >= 40 AND vec_id < 140),
+        ab AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 round(list_cosine_similarity(a.v, b.v), 6) AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6)
+                     DESC, b.vec_id ASC) AS rk
+          FROM a JOIN b ON a.vec_id != b.vec_id),
+        ba AS (
+          SELECT b.vec_id AS b_id, a.vec_id AS a_id,
+                 ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6)
+                     DESC, a.vec_id ASC) AS rk
+          FROM b JOIN a ON a.vec_id != b.vec_id)
+        SELECT t.a_id, t.b_id, t.cos
+        FROM (SELECT * FROM ab WHERE rk = 1) t
+        JOIN (SELECT * FROM ba WHERE rk = 1) u
+          ON u.a_id = t.a_id AND u.b_id = t.b_id
+    """
+    # Difference-in-differences: four conditional decimal cells in one
+    # aggregate; did from the UNROUNDED means like the engine.
+    sql["did_estimator"] = """
+        WITH panel AS (
+          SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS t,
+                 CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END
+                   AS p,
+                 CAST(o_totalprice AS DECIMAL(28,6)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE year(o_orderdate) IN (1994, 1995)),
+        agg AS (
+          SELECT
+            CAST(SUM(CASE WHEN t=1 AND p=0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_t_pre,
+            CAST(SUM(CASE WHEN t=1 AND p=1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_t_post,
+            CAST(SUM(CASE WHEN t=0 AND p=0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_c_pre,
+            CAST(SUM(CASE WHEN t=0 AND p=1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_c_post,
+            SUM(CASE WHEN t=1 AND p=0 THEN y END) AS s_t_pre,
+            SUM(CASE WHEN t=1 AND p=1 THEN y END) AS s_t_post,
+            SUM(CASE WHEN t=0 AND p=0 THEN y END) AS s_c_pre,
+            SUM(CASE WHEN t=0 AND p=1 THEN y END) AS s_c_post
+          FROM panel),
+        means AS (
+          SELECT *,
+            CASE WHEN n_t_pre > 0 THEN CAST(s_t_pre AS DOUBLE)
+                 / CAST(n_t_pre AS DOUBLE) ELSE 0.0 END AS e_t_pre,
+            CASE WHEN n_t_post > 0 THEN CAST(s_t_post AS DOUBLE)
+                 / CAST(n_t_post AS DOUBLE) ELSE 0.0 END AS e_t_post,
+            CASE WHEN n_c_pre > 0 THEN CAST(s_c_pre AS DOUBLE)
+                 / CAST(n_c_pre AS DOUBLE) ELSE 0.0 END AS e_c_pre,
+            CASE WHEN n_c_post > 0 THEN CAST(s_c_post AS DOUBLE)
+                 / CAST(n_c_post AS DOUBLE) ELSE 0.0 END AS e_c_post
+          FROM agg)
+        SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+               round(e_t_pre, 6) AS mean_t_pre,
+               round(e_t_post, 6) AS mean_t_post,
+               round(e_c_pre, 6) AS mean_c_pre,
+               round(e_c_post, 6) AS mean_c_post,
+               round((e_t_post - e_t_pre) - (e_c_post - e_c_pre), 6)
+                 AS did
+        FROM means
+    """
+    # CEM ATT: stratum-mean matching with per-treated effect terms
+    # quantized to decimal(28,12) before the order-free sum
+    # (operators/evaluation.cem_att mirrored).
+    sql["cem_att"] = """
+        WITH units AS (
+          SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS t,
+                 CAST(o_totalprice AS DECIMAL(28,6)) AS y,
+                 CAST(LEAST(GREATEST(FLOOR(
+                   (CAST(c_acctbal AS DOUBLE) + 1000.0) / 11000.0 * 20),
+                   0), 19) AS INT) AS stratum
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        ctrl AS (
+          SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_ctrl,
+                 CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS ctrl_mean
+          FROM units WHERE t = 0 GROUP BY 1),
+        j AS (
+          SELECT u.y, u.stratum, c.ctrl_mean
+          FROM (SELECT * FROM units WHERE t = 1) u
+          LEFT JOIN ctrl c ON c.stratum = u.stratum)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+               CAST(SUM(CASE WHEN ctrl_mean IS NOT NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_matched,
+               CAST(COUNT(DISTINCT CASE WHEN ctrl_mean IS NOT NULL
+                          THEN stratum END) AS BIGINT)
+                 AS n_strata_matched,
+               round(CASE WHEN SUM(CASE WHEN ctrl_mean IS NOT NULL
+                                        THEN 1 ELSE 0 END) > 0
+                     THEN CAST(SUM(CASE WHEN ctrl_mean IS NOT NULL
+                            THEN CAST(CAST(y AS DOUBLE) - ctrl_mean
+                                      AS DECIMAL(28,12)) END) AS DOUBLE)
+                          / CAST(SUM(CASE WHEN ctrl_mean IS NOT NULL
+                                          THEN 1 ELSE 0 END) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS att
+        FROM j
     """
     return sql

@@ -380,3 +380,200 @@ def decile_lift(
             6,
         ).alias("lift"),
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Isotonic (PAV) probability calibration over score bins ->
+    (bin, n, pos, frac_pos, fit), fit monotone non-decreasing in bin.
+
+    The calibration step platt/temperature scaling cannot do when the
+    miscalibration is non-linear: fit the best monotone step function
+    of the score to the observed positive rates. Instead of the
+    sequential pool-adjacent-violators loop, this uses the MINIMAX
+    closed form of the isotonic fit (Robertson et al. 1988):
+
+        fit_i = max over j <= i of  min over k >= i of  mean(y, [j,k])
+
+    which is order-free pure relational algebra: interval means come
+    from prefix sums over the BINS relation, and the two nested
+    extrema are two aggregates over the (j <= i <= k) triple grid.
+    The grid is bins^3/6 rows — bins is a LITERAL (default 10), so
+    the windows and non-equi joins here are bounded by the contract
+    constant, never by data (the rbo k-literal pattern). The
+    fact-sized work is ONE hash aggregate into the bins.
+
+    Interval means are exact-integer ratios (long sums), so the
+    max/min comparisons see identical doubles on any engine; fit is
+    rounded to 6 at the very end.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got {lo}, {hi}")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.greatest(
+            F.floor((s - F.lit(lo)) / F.lit(hi - lo) * bins), F.lit(0)
+        ),
+        F.lit(bins - 1),
+    ).cast("int")
+    binned = (
+        df.select(b.alias("bin"), F.col(label_col).cast("int").alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    # prefix sums over the bins relation: bounded by the literal bin
+    # count, so the unpartitioned window is contract-bounded (rbo
+    # pattern), not data-sized
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = binned.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    jj = pre.select(
+        F.col("bin").alias("jb"),
+        (F.col("cn") - F.col("n")).alias("cn_excl"),
+        (F.col("cp") - F.col("pos")).alias("cp_excl"),
+    )
+    kk = pre.select(
+        F.col("bin").alias("kb"),
+        F.col("cn").alias("cn_k"),
+        F.col("cp").alias("cp_k"),
+    )
+    intervals = jj.join(kk, F.col("kb") >= F.col("jb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("cp_k") - F.col("cp_excl")).cast("double")
+            / (F.col("cn_k") - F.col("cn_excl")).cast("double")
+        ).alias("mean_jk"),
+    )
+    ii = pre.select(F.col("bin").alias("ib"))
+    inner = (
+        ii.join(
+            intervals,
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("mean_jk").alias("min_k"))
+    )
+    fit = inner.groupBy("ib").agg(
+        F.round(F.max("min_k"), 6).alias("fit")
+    )
+    return (
+        binned.join(fit, binned.bin == fit.ib)
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.round(
+                F.col("pos").cast("double") / F.col("n").cast("double"), 6
+            ).alias("frac_pos"),
+            "fit",
+        )
+    )
+
+
+def cem_att(
+    df: DataFrame,
+    treat_col: str,
+    y_col: str,
+    score_col: str,
+    bins: int = 20,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Coarsened-exact-matching ATT -> one row
+    (n_treated, n_matched, n_strata_matched, att).
+
+    The matching estimator that actually scales (Iacus, King & Porro
+    2012): instead of per-unit nearest-neighbor search (a sequential
+    global sort problem), coarsen the balance score into ``bins``
+    strata and match every treated unit against the CONTROL MEAN of
+    its stratum:
+
+        ATT = mean over matched treated of (y_t − ȳ_control(stratum))
+
+    Treated units in strata with no controls are unmatched and drop
+    out (reported: n_matched vs n_treated — a large gap IS the
+    overlap-violation diagnostic). With-replacement stratum-mean
+    matching is deterministic (no greedy order dependence) and
+    relational: one hash aggregate builds the strata control means,
+    one broadcast-sized join (strata <= bins, a literal) attaches
+    them, one aggregate averages — no window, no global sort.
+    Control means are exact-integer/decimal ratios; att is a
+    deterministic double rounded at the end.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got {lo}, {hi}")
+    s = F.col(score_col).cast("double")
+    stratum = F.least(
+        F.greatest(
+            F.floor((s - F.lit(lo)) / F.lit(hi - lo) * bins), F.lit(0)
+        ),
+        F.lit(bins - 1),
+    ).cast("int")
+    base = df.select(
+        F.col(treat_col).cast("int").alias("t"),
+        F.col(y_col).cast("decimal(28,6)").alias("y"),
+        stratum.alias("stratum"),
+    )
+    ctrl = (
+        base.filter(F.col("t") == 0)
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ctrl"),
+            (
+                F.sum("y").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("ctrl_mean"),
+        )
+    )
+    treated = base.filter(F.col("t") == 1)
+    joined = treated.join(F.broadcast(ctrl), "stratum", "left")
+    matched = F.col("ctrl_mean").isNotNull()
+    # per-treated effect terms quantized to decimal(28,12) BEFORE the
+    # sum — a raw double sum over treated rows would be
+    # summation-order-dependent (the repo-wide exactness rule)
+    term = F.when(
+        matched,
+        (F.col("y").cast("double") - F.col("ctrl_mean")).cast(
+            "decimal(28,12)"
+        ),
+    )
+    n_matched = F.sum(F.when(matched, 1).otherwise(0)).cast("long")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_treated"),
+        n_matched.alias("n_matched"),
+        # distinct strata that actually matched — NOT a per-treated sum
+        # of n_ctrl, which would count shared controls once per treated
+        F.countDistinct(F.when(matched, F.col("stratum")))
+        .cast("long")
+        .alias("n_strata_matched"),
+        F.round(
+            F.when(
+                n_matched > 0,
+                F.sum(term).cast("double") / n_matched.cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("att"),
+    )

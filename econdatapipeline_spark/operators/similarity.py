@@ -309,3 +309,45 @@ def projection_signs(out_dim: int, in_dim: int, seed: str = "proj0") -> list[lis
         ]
         for j in range(out_dim)
     ]
+
+
+def mutual_nn(
+    set_a: DataFrame,
+    set_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual nearest-neighbor pairs between two vector sets ->
+    (a_id, b_id, cos): pairs where b is a's top-1 neighbor in B AND a
+    is b's top-1 neighbor in A.
+
+    The reciprocal-best-match criterion — the standard high-precision
+    alignment filter (bilingual lexicon induction, cross-snapshot
+    entity alignment, near-dup corpus bridging): one-directional top-1
+    matches are polluted by hubs that are "nearest" to everything;
+    mutuality kills hubs by construction.
+
+    Built as two brute_force_topk(k=1) passes (each: query-side
+    broadcast + per-query TakeOrdered, the documented shortlist
+    contract) joined on the (a, b) pair — at cluster scale swap each
+    pass for the bucketed lsh_topk/ivf_topk with the identical
+    mutuality join. Cosines are rounded to 6 with ascending-id
+    tie-breaks inside brute_force_topk, so the pair set is
+    deterministic on any engine.
+    """
+    ab = brute_force_topk(set_b, set_a, k=1, id_col=id_col, vec_col=vec_col)
+    ba = brute_force_topk(set_a, set_b, k=1, id_col=id_col, vec_col=vec_col)
+    return (
+        ab.select(
+            F.col("query_id").alias("a_id"),
+            F.col("neighbor_id").alias("b_id"),
+            "cos",
+        )
+        .join(
+            ba.select(
+                F.col("neighbor_id").alias("a_id"),
+                F.col("query_id").alias("b_id"),
+            ),
+            ["a_id", "b_id"],
+        )
+    )

@@ -1484,3 +1484,48 @@ def bh_adjust(
         "p_adj",
         (F.col("p_adj") <= alpha).alias("rejected"),
     )
+
+
+def did_estimator(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimator -> one row
+    (n_t_pre, n_t_post, n_c_pre, n_c_post, mean_t_pre, mean_t_post,
+    mean_c_pre, mean_c_post, did).
+
+        DiD = (T_post − T_pre) − (C_post − C_pre)
+
+    The workhorse policy-effect estimator for the engine's economic
+    domain: the control group's pre/post drift nets out the common
+    trend, leaving the treatment effect under the parallel-trends
+    assumption. ``treat_col``/``post_col`` are 0/1 indicators.
+
+    ONE hash aggregate over the scan — the four cells are conditional
+    decimal(28,6) sums and counts (map-side combinable, order-free),
+    so the estimate is exact-arithmetic until the four final ratios.
+    """
+    t = F.col(treat_col).cast("int")
+    p = F.col(post_col).cast("int")
+    yv = F.col(y_col).cast("decimal(28,6)")
+
+    def cell(tv: int, pv: int, name: str):
+        cond = (t == tv) & (p == pv)
+        n = F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        s = F.sum(F.when(cond, yv))
+        mean = F.when(
+            n > 0, s.cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+        return n.alias(f"n_{name}"), F.round(mean, 6).alias(f"mean_{name}"), mean
+
+    n_tp_, m_tp_, e_tp = cell(1, 0, "t_pre")
+    n_tq_, m_tq_, e_tq = cell(1, 1, "t_post")
+    n_cp_, m_cp_, e_cp = cell(0, 0, "c_pre")
+    n_cq_, m_cq_, e_cq = cell(0, 1, "c_post")
+    return df.agg(
+        n_tp_, n_tq_, n_cp_, n_cq_,
+        m_tp_, m_tq_, m_cp_, m_cq_,
+        F.round((e_tq - e_tp) - (e_cq - e_cp), 6).alias("did"),
+    )

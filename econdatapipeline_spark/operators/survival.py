@@ -29,6 +29,93 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _risk_forward_cumsum(per_t, tot_col, stage2):
+    """One range shuffle serving BOTH survival cumulations ->
+    stage2's frame + n_risk + exact cum_<c> longs.
+
+    The fused form of two ordered_cumsum calls (measured: each call is
+    ~0.9 s of fixed overhead at sf0.1 — shuffle + eager checkpoint +
+    offsets collect — on a times-sized relation where execution is
+    microseconds). The reverse at-risk count never needs a descending
+    pass: n_risk(t) = grand_total − ascending_inclusive_cum + tot(t).
+    So: range-partition ASCENDING once, checkpoint once (pins layout
+    AND partition ids, as in ordered_cumsum), derive n_risk from the
+    first in-partition prefix + offsets collect, let ``stage2`` build
+    the columns that DEPEND on n_risk, then run the second prefix on
+    the SAME pinned layout with a second (cheap, checkpointed-input)
+    offsets collect. Sums must be exact longs — callers pass
+    1e9-scaled decimal terms (the kaplan_meier rule).
+    """
+    spark = per_t.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    part = (
+        per_t.repartitionByRange(n_parts, F.col("t").asc())
+        .sortWithinPartitions(F.col("t").asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = part.withColumn(
+        "__ct", F.coalesce(F.sum(tot_col).over(w), F.lit(0))
+    )
+    totals = (
+        part.groupBy("__pid").agg(F.sum(tot_col).alias("s")).collect()
+    )
+    offs, run = {}, 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offs[row["__pid"]] = run
+        run += row["s"] or 0
+    grand = run
+    if offs:
+        off_df = spark.createDataFrame(
+            [(p, o) for p, o in offs.items()], "__pid int, __off long"
+        )
+        local = (
+            local.join(F.broadcast(off_df), "__pid", "left")
+            .withColumn(
+                "__ct", F.col("__ct") + F.coalesce(F.col("__off"), F.lit(0))
+            )
+            .drop("__off")
+        )
+    risk = local.withColumn(
+        "n_risk", F.lit(grand) - F.col("__ct") + F.col(tot_col)
+    ).drop("__ct")
+    df2, cum_cols = stage2(risk)
+    local2 = df2
+    for c in cum_cols:
+        local2 = local2.withColumn(
+            f"cum_{c}", F.coalesce(F.sum(c).over(w), F.lit(0))
+        )
+    totals2 = (
+        df2.groupBy("__pid").agg(*[F.sum(c).alias(c) for c in cum_cols])
+        .collect()
+    )
+    offs2 = {}
+    run2 = {c: 0 for c in cum_cols}
+    for row in sorted(totals2, key=lambda r: r["__pid"]):
+        offs2[row["__pid"]] = dict(run2)
+        for c in cum_cols:
+            run2[c] += row[c] or 0
+    if offs2:
+        off_rows = [
+            tuple([pid] + [offs2[pid][c] for c in cum_cols])
+            for pid in offs2
+        ]
+        schema = ", ".join(
+            ["__pid int"] + [f"__o_{c} long" for c in cum_cols]
+        )
+        off2_df = spark.createDataFrame(off_rows, schema)
+        local2 = local2.join(F.broadcast(off2_df), "__pid", "left")
+        for c in cum_cols:
+            local2 = local2.withColumn(
+                f"cum_{c}",
+                F.col(f"cum_{c}") + F.coalesce(F.col(f"__o_{c}"), F.lit(0)),
+            ).drop(f"__o_{c}")
+    return local2.drop("__pid")
+
+
 def kaplan_meier(
     df: DataFrame,
     duration_col: str = "duration",
@@ -54,43 +141,42 @@ def kaplan_meier(
             F.sum(F.lit(1) - F.col("e")).cast("long").alias("n_censored"),
         )
     )
-    # at risk at t = everyone whose duration >= t: reverse cumsum of
-    # (events + censored). Both cumulations ride the distributed
-    # two-pass ordered_cumsum (no unpartitioned Window.orderBy — the
-    # mann_whitney discipline applied here): the curve relation is
-    # times-sized by contract, but a second-resolution duration column
-    # makes distinct times ~subject count, and the prefix sum must not
-    # funnel that through one task. ordered_cumsum sums longs exactly,
-    # so the decimal(18,9) ln(1 - d/n) terms are carried as the
-    # 1e9-scaled exact integers and divided back at the end — the
-    # decimal value (and therefore the double handed to exp, and the
-    # rounded survival) is bit-identical to the windowed decimal sum.
-    from econdatapipeline_spark.operators.stats import ordered_cumsum
-
+    # at risk at t = everyone whose duration >= t. Both cumulations
+    # ride ONE distributed range layout (no unpartitioned
+    # Window.orderBy — the mann_whitney discipline applied here): the
+    # curve relation is times-sized by contract, but a
+    # second-resolution duration column makes distinct times ~subject
+    # count, and the prefix sum must not funnel that through one task.
+    # The fused _risk_forward_cumsum derives the reverse at-risk count
+    # from the grand total minus the ascending prefix, then cumulates
+    # the decimal(18,9) ln(1 - d/n) terms as 1e9-scaled exact longs on
+    # the same pinned layout — the decimal value (and therefore the
+    # double handed to exp, and the rounded survival) is bit-identical
+    # to a windowed decimal sum.
     staged = per_t.withColumn(
         "tot", (F.col("n_events") + F.col("n_censored")).cast("long")
     )
-    at_risk = ordered_cumsum(staged, "t", ["tot"], descending=True).select(
-        "t", "n_events", "n_censored", F.col("cum_tot").alias("n_risk")
-    )
-    term_scaled = F.when(
-        F.col("n_events") < F.col("n_risk"),
-        (
-            F.log(
-                (F.col("n_risk") - F.col("n_events")).cast("double")
-                / F.col("n_risk").cast("double")
-            ).cast("decimal(18,9)")
-            * F.lit(1000000000)
-        ).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
-    dead = (
-        F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
-    ).cast("long")
-    cum = ordered_cumsum(
-        at_risk.withColumn("lnq", term_scaled).withColumn("dead", dead),
-        "t",
-        ["lnq", "dead"],
-    )
+
+    def stage2(risk):
+        term_scaled = F.when(
+            F.col("n_events") < F.col("n_risk"),
+            (
+                F.log(
+                    (F.col("n_risk") - F.col("n_events")).cast("double")
+                    / F.col("n_risk").cast("double")
+                ).cast("decimal(18,9)")
+                * F.lit(1000000000)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        dead = (
+            F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+        ).cast("long")
+        return (
+            risk.withColumn("lnq", term_scaled).withColumn("dead", dead),
+            ["lnq", "dead"],
+        )
+
+    cum = _risk_forward_cumsum(staged, "tot", stage2)
     # cum_lnq / 1e9 in double: exact for |cum_lnq| < 2^53, i.e. for
     # every |ln S| < ~9e6 — far past where exp underflows to 0.0, so
     # the rounded survival is identical in all regimes.
@@ -126,13 +212,12 @@ def nelson_aalen(
     interest (exp(-H) is also a serviceable survival estimate with
     better small-risk-set behavior than the product form). Shares
     kaplan_meier's relational shape verbatim: ONE groupBy(duration)
-    collapse, then both cumulations on the distributed two-pass
-    ordered_cumsum — the reverse at-risk count as exact longs, the
-    forward hazard sum as 1e9-scaled decimal(18,9) increments carried
-    as exact longs, so the rounded output is engine-portable.
+    collapse, then both cumulations on the fused single-shuffle
+    _risk_forward_cumsum — the reverse at-risk count from the grand
+    total minus the ascending prefix, the forward hazard sum as
+    1e9-scaled decimal(18,9) increments carried as exact longs, so
+    the rounded output is engine-portable.
     """
-    from econdatapipeline_spark.operators.stats import ordered_cumsum
-
     per_t = (
         df.select(
             F.col(duration_col).cast("long").alias("t"),
@@ -145,17 +230,18 @@ def nelson_aalen(
             F.count(F.lit(1)).cast("long").alias("n_total"),
         )
     )
-    at_risk = ordered_cumsum(per_t, "t", ["n_total"], descending=True).select(
-        "t", "n_events", F.col("cum_n_total").alias("n_risk")
-    )
-    inc = (
-        (
-            F.col("n_events").cast("double")
-            / F.col("n_risk").cast("double")
-        ).cast("decimal(18,9)")
-        * F.lit(1000000000)
-    ).cast("long")
-    cum = ordered_cumsum(at_risk.withColumn("hz", inc), "t", ["hz"])
+
+    def stage2(risk):
+        inc = (
+            (
+                F.col("n_events").cast("double")
+                / F.col("n_risk").cast("double")
+            ).cast("decimal(18,9)")
+            * F.lit(1000000000)
+        ).cast("long")
+        return risk.withColumn("hz", inc), ["hz"]
+
+    cum = _risk_forward_cumsum(per_t, "n_total", stage2)
     return cum.select(
         "t",
         "n_risk",

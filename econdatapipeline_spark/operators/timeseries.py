@@ -658,21 +658,58 @@ def pacf(
         .agg(F.first("acf"))
     )
     # short series may lack high lags entirely -> 0 contribution
-    r = {k: F.coalesce(F.col(str(k)), F.lit(0.0)) for k in range(1, h + 1)}
-    phi: dict[tuple[int, int], object] = {(1, 1): r[1]}
+    cur = wide.select(
+        group_col,
+        *[
+            F.coalesce(F.col(str(k)), F.lit(0.0)).alias(f"r{k}")
+            for k in range(1, h + 1)
+        ],
+        F.coalesce(F.col("1"), F.lit(0.0)).alias("phi_1_1"),
+    )
+    # The naive fully-unrolled form nests phi_(k-1,*) inside BOTH the
+    # phi_(k,k) ratio and every phi_(k,j) update -> the expression tree
+    # grows ~3^k and Catalyst analysis/codegen dominates wall time
+    # (measured: 140 s at max_lag=6 on sf0.1 where execution is
+    # milliseconds). Materializing each recursion LEVEL as real columns
+    # behind a localCheckpoint keeps every level's expressions O(k)
+    # over plain column references — a plain select() is NOT enough
+    # because Catalyst collapses adjacent projections and re-inlines
+    # the tree. The checkpointed relation is GROUP-sized (one row per
+    # series), so the h-1 tiny jobs are the cost of turning an
+    # exponential plan into a linear one; arithmetic (and therefore
+    # every rounded output and the oracle contract) is unchanged.
     for k in range(2, h + 1):
-        num = r[k]
+        num = F.col(f"r{k}")
         den = F.lit(1.0)
         for j in range(1, k):
-            num = num - phi[(k - 1, j)] * r[k - j]
-            den = den - phi[(k - 1, j)] * r[j]
-        phi[(k, k)] = F.when(den != 0, num / den).otherwise(F.lit(0.0))
-        for j in range(1, k):
-            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
-    cols = [F.round(phi[(k, k)], 6).alias(f"p{k}") for k in range(1, h + 1)]
+            num = num - F.col(f"phi_{k-1}_{j}") * F.col(f"r{k-j}")
+            den = den - F.col(f"phi_{k-1}_{j}") * F.col(f"r{j}")
+        cur = cur.withColumn(
+            f"phi_{k}_{k}",
+            F.when(den != 0, num / den).otherwise(F.lit(0.0)),
+        )
+        cur = cur.select(
+            "*",
+            *[
+                (
+                    F.col(f"phi_{k-1}_{j}")
+                    - F.col(f"phi_{k}_{k}") * F.col(f"phi_{k-1}_{k-j}")
+                ).alias(f"phi_{k}_{j}")
+                for j in range(1, k)
+            ],
+        )
+        # every OTHER level is barrier enough: two uncheckpointed
+        # levels grow the tree ~9x over column refs (fine); three+
+        # start compounding toward the exponential regime again
+        if k % 2 == 0 or k == h:
+            cur = cur.localCheckpoint(eager=True)
+    cols = [
+        F.round(F.col(f"phi_{k}_{k}"), 6).alias(f"p{k}")
+        for k in range(1, h + 1)
+    ]
     stack = ", ".join(f"{k}, p{k}" for k in range(1, h + 1))
     return (
-        wide.select(group_col, *cols)
+        cur.select(group_col, *cols)
         .select(
             group_col,
             F.expr(f"stack({h}, {stack}) as (lag, pacf)"),

@@ -229,3 +229,71 @@ def test_decile_lift_tied_scores_stay_together(spark):
     assert len(out) == 1
     r = out[0]
     assert r["decile"] == 10 and r["n"] == 8 and r["cum_gain"] == 1.0
+
+
+def test_isotonic_calibrate_pools_violators(spark):
+    from econdatapipeline_spark.operators.evaluation import isotonic_calibrate
+
+    # bin rates: 0.2, 0.6, 0.4, 0.8 (bins 0..3, 5 rows each) — the
+    # 0.6/0.4 violation pools to 0.5; ends stay put
+    rows = []
+    rates = [1, 3, 2, 4]  # positives per 5 rows in bins 0..3
+    for b, npos in enumerate(rates):
+        for i in range(5):
+            rows.append((1 if i < npos else 0, (b + 0.5) / 4.0))
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = {r["bin"]: r for r in isotonic_calibrate(df, bins=4).collect()}
+    assert [out[b]["fit"] for b in range(4)] == [0.2, 0.5, 0.5, 0.8]
+    assert out[1]["frac_pos"] == 0.6 and out[2]["frac_pos"] == 0.4
+    # monotone by construction
+    fits = [out[b]["fit"] for b in range(4)]
+    assert fits == sorted(fits)
+
+
+def test_isotonic_calibrate_already_monotone_is_identity(spark):
+    from econdatapipeline_spark.operators.evaluation import isotonic_calibrate
+
+    rows = []
+    for b, npos in enumerate([0, 1, 3, 5]):
+        for i in range(5):
+            rows.append((1 if i < npos else 0, (b + 0.5) / 4.0))
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = {r["bin"]: r for r in isotonic_calibrate(df, bins=4).collect()}
+    for b, npos in enumerate([0, 1, 3, 5]):
+        assert out[b]["fit"] == round(npos / 5.0, 6) == out[b]["frac_pos"]
+
+
+def test_cem_att_hand_values(spark):
+    from econdatapipeline_spark.operators.evaluation import cem_att
+
+    # stratum 0 (score<0.5): controls mean 10; treated y=13 -> effect 3
+    # stratum 1: controls mean 20; treated y=26, 22 -> effects 6, 2
+    # stratum with no control: treated y=99 unmatched
+    rows = [
+        (0, 10.0, 0.2), (0, 10.0, 0.3),
+        (1, 13.0, 0.25),
+        (0, 18.0, 0.7), (0, 22.0, 0.8),
+        (1, 26.0, 0.75), (1, 22.0, 0.6),
+        (1, 99.0, 1.5),  # clamps to top stratum... keep in-range below
+    ]
+    # use bins=2 over [0,1]: 1.5 clamps into stratum 1 (has controls),
+    # so instead put the unmatched treated in its own empty stratum via
+    # bins=4: strata 0,1 hold [0,.25),[.25,.5)...
+    df = spark.createDataFrame(rows[:-1], "t int, y double, s double")
+    r = cem_att(df, "t", "y", "s", bins=2).first()
+    assert r["n_treated"] == 3 and r["n_matched"] == 3
+    assert r["n_strata_matched"] == 2
+    assert abs(r["att"] - round((3 + 6 + 2) / 3.0, 6)) < 1e-9
+
+
+def test_cem_att_unmatched_treated_drop_out(spark):
+    from econdatapipeline_spark.operators.evaluation import cem_att
+
+    rows = [
+        (0, 10.0, 0.1), (1, 12.0, 0.15),  # stratum 0: matched, effect 2
+        (1, 99.0, 0.9),                    # stratum 3: no controls
+    ]
+    df = spark.createDataFrame(rows, "t int, y double, s double")
+    r = cem_att(df, "t", "y", "s", bins=4).first()
+    assert r["n_treated"] == 2 and r["n_matched"] == 1
+    assert r["n_strata_matched"] == 1 and abs(r["att"] - 2.0) < 1e-9

@@ -150,3 +150,28 @@ def test_random_projection_preserves_neighborhoods(spark):
         total += len(mates)
     recall = hits / total
     assert recall >= 0.8, recall  # chance at 10/199 would be ~0.05
+
+
+def test_mutual_nn_kills_hubs(spark):
+    from econdatapipeline_spark.operators.similarity import mutual_nn
+
+    # a1<->b1 mutual; hub b9 is a2's and a3's top-1 but b9's own top-1
+    # is a2 only -> (a2,b9) mutual, (a3,b9) NOT
+    a = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.1]),
+            (3, [0.0, 0.9, 0.3]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [
+            (11, [0.99, 0.05, 0.0]),
+            (19, [0.0, 1.0, 0.12]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r["a_id"], r["b_id"]) for r in mutual_nn(a, b).collect()}
+    assert (1, 11) in out and (2, 19) in out
+    assert (3, 19) not in out and len(out) == 2

@@ -713,3 +713,30 @@ def test_wilcoxon_signed_ties_and_zero_drop(spark):
     # symmetric under swapping a/b
     r2 = wilcoxon_signed(df, "b", "a").first()
     assert r2["w_plus"] == 1.5 and r2["w_minus"] == 8.5 and r2["z"] == -r["z"]
+
+
+def test_did_estimator_hand_values(spark):
+    from econdatapipeline_spark.operators.stats import did_estimator
+
+    # treated: 10 -> 15 (+5); control: 20 -> 22 (+2) -> DiD = 3
+    rows = [
+        (1, 0, 9.0), (1, 0, 11.0),
+        (1, 1, 14.0), (1, 1, 16.0),
+        (0, 0, 19.0), (0, 0, 21.0),
+        (0, 1, 21.0), (0, 1, 23.0),
+    ]
+    df = spark.createDataFrame(rows, "treat int, post int, y double")
+    r = did_estimator(df, "treat", "post", "y").first()
+    assert r["n_t_pre"] == r["n_t_post"] == r["n_c_pre"] == r["n_c_post"] == 2
+    assert r["mean_t_pre"] == 10.0 and r["mean_c_post"] == 22.0
+    assert abs(r["did"] - 3.0) < 1e-9
+
+
+def test_did_nets_out_common_trend(spark):
+    from econdatapipeline_spark.operators.stats import did_estimator
+
+    # identical +7 drift in both arms -> DiD exactly 0
+    rows = [(t, p, 100.0 * t + 7.0 * p) for t in (0, 1) for p in (0, 1)
+            for _ in range(3)]
+    df = spark.createDataFrame(rows, "treat int, post int, y double")
+    assert did_estimator(df, "treat", "post", "y").first()["did"] == 0.0
