@@ -4751,6 +4751,54 @@ def q_cem_att(spark, sf_dir):
                    hi=10000.0)
 
 
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry supplier strength from within-order shipping
+    duels (operators/preference.bradley_terry): in every order, the
+    supplier whose lineitem shipped strictly earlier 'beats' each
+    later one; Hunter's MM iterated 8 driver-bounded rounds over the
+    items-sized theta relation (per-edge terms decimal(28,12),
+    thetas decimal(18,9) per round). Win-RATES would mis-rank
+    suppliers with unbalanced schedules; the fitted thetas do not."""
+    from econdatapipeline_spark.operators.preference import bradley_terry
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        & (F.col("a.l_shipdate") < F.col("b.l_shipdate")),
+    ).select(
+        F.col("a.l_suppkey").alias("winner"),
+        F.col("b.l_suppkey").alias("loser"),
+    )
+    return bradley_terry(pairs, rounds=8).orderBy("item")
+
+
+def q_hhi_concentration(spark, sf_dir):
+    """Supplier revenue concentration (operators/stats.
+    hhi_concentration): Herfindahl index of extended-price share —
+    one fact-sized aggregate + one groups-sized aggregate, squared
+    shares decimal(28,12)-quantized before the order-free sum."""
+    from econdatapipeline_spark.operators.stats import hhi_concentration
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hhi_concentration(li, "l_suppkey", "l_extendedprice")
+
+
+def q_bucket_purity(spark, sf_dir):
+    """Label purity of the ANN path's sign-LSH buckets
+    (operators/similarity.bucket_purity): are the buckets the dedup/
+    retrieval joins rely on label-coherent? Same sign_bucket
+    expression as ann_lsh; all counts exact integers, one ratio."""
+    from econdatapipeline_spark.operators.similarity import bucket_purity
+
+    return bucket_purity(_t(spark, sf_dir, "embeddings"))
+
+
 def q_rbo(spark, sf_dir):
     """Rank-biased overlap between the 1994 and 1995 top-25 parts by
     revenue (operators/retrieval.rbo) — the top-weighted leaderboard
@@ -5143,6 +5191,9 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "mutual_nn": q_mutual_nn,
         "did_estimator": q_did_estimator,
         "cem_att": q_cem_att,
+        "bradley_terry": q_bradley_terry,
+        "hhi_concentration": q_hhi_concentration,
+        "bucket_purity": q_bucket_purity,
     }
 
 
@@ -11011,5 +11062,115 @@ def oracle_sql() -> dict[str, str]:
                                           THEN 1 ELSE 0 END) AS DOUBLE)
                      ELSE 0.0 END, 6) AS att
         FROM j
+    """
+    # Bradley-Terry: Hunter's MM unrolled to 8 MATERIALIZED CTE rounds
+    # (the mmr_select replay technique). Per-edge terms
+    # decimal(28,12), thetas decimal(18,9) after both the MM step and
+    # the renormalization — byte-identical intermediates with
+    # operators/preference.bradley_terry.
+    _bt = ["""
+        WITH pairs AS (
+          SELECT CAST(a.l_suppkey AS VARCHAR) AS i,
+                 CAST(b.l_suppkey AS VARCHAR) AS j
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_suppkey != b.l_suppkey
+           AND a.l_shipdate < b.l_shipdate),
+        w AS MATERIALIZED (
+          SELECT i, j, CAST(COUNT(*) AS BIGINT) AS w
+          FROM pairs GROUP BY 1, 2),
+        n_edges AS MATERIALIZED (
+          SELECT i, j, CAST(SUM(w) AS BIGINT) AS n FROM (
+            SELECT i, j, w FROM w
+            UNION ALL SELECT j AS i, i AS j, w FROM w)
+          GROUP BY 1, 2),
+        winsrel AS (SELECT i, CAST(SUM(w) AS BIGINT) AS wins
+                    FROM w GROUP BY 1),
+        gamesrel AS (SELECT i, CAST(SUM(n) AS BIGINT) AS games
+                     FROM n_edges GROUP BY 1),
+        items AS MATERIALIZED (
+          SELECT e.i AS item, COALESCE(winsrel.wins, 0) AS wins,
+                 COALESCE(gamesrel.games, 0) AS games
+          FROM (SELECT DISTINCT i FROM n_edges) e
+          LEFT JOIN winsrel ON winsrel.i = e.i
+          LEFT JOIN gamesrel ON gamesrel.i = e.i),
+        cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM items),
+        th0 AS MATERIALIZED (
+          SELECT item, 1.0::DOUBLE AS theta FROM items)"""]
+    for r in range(1, 9):
+        _bt.append(f""",
+        d{r} AS MATERIALIZED (
+          SELECT n_edges.i,
+                 SUM(CAST(n_edges.n / (ti.theta + tj.theta)
+                          AS DECIMAL(28,12))) AS denom
+          FROM n_edges
+          JOIN th{r-1} ti ON ti.item = n_edges.i
+          JOIN th{r-1} tj ON tj.item = n_edges.j
+          GROUP BY 1),
+        r{r} AS MATERIALIZED (
+          SELECT items.item,
+                 CAST(CASE WHEN d{r}.denom IS NOT NULL
+                           AND d{r}.denom > 0
+                      THEN CAST(items.wins AS DOUBLE)
+                           / CAST(d{r}.denom AS DOUBLE)
+                      ELSE 0.0 END AS DECIMAL(18,9)) AS tq
+          FROM items LEFT JOIN d{r} ON d{r}.i = items.item),
+        s{r} AS (SELECT SUM(tq) AS s FROM r{r}),
+        th{r} AS MATERIALIZED (
+          SELECT item,
+                 CASE WHEN s.s > 0
+                      THEN CAST(CAST(CAST(tq AS DOUBLE)
+                                     * CAST(cnt.n_items AS DOUBLE)
+                                     / CAST(s.s AS DOUBLE)
+                                     AS DECIMAL(18,9)) AS DOUBLE)
+                      ELSE 0.0 END AS theta
+          FROM r{r} CROSS JOIN s{r} s CROSS JOIN cnt)""")
+    _bt.append("""
+        SELECT items.item, items.wins, items.games,
+               round(th8.theta, 6) AS theta
+        FROM items JOIN th8 ON th8.item = items.item
+    """)
+    sql["bradley_terry"] = "".join(_bt)
+    # HHI: squared shares decimal(28,12)-quantized
+    # (operators/stats.hhi_concentration mirrored).
+    sql["hhi_concentration"] = """
+        WITH sup AS (
+          SELECT l_suppkey AS g,
+                 SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS v
+          FROM lineitem GROUP BY 1),
+        tot AS (SELECT SUM(v) AS tot,
+                       CAST(COUNT(*) AS BIGINT) AS n_groups FROM sup),
+        terms AS (
+          SELECT n_groups, tot,
+                 CAST((CAST(v AS DOUBLE) / CAST(tot AS DOUBLE))
+                      * (CAST(v AS DOUBLE) / CAST(tot AS DOUBLE))
+                      AS DECIMAL(28,12)) AS t2
+          FROM sup CROSS JOIN tot)
+        SELECT first(n_groups) AS n_groups,
+               round(CAST(first(tot) AS DOUBLE), 6) AS total,
+               round(CAST(SUM(t2) AS DOUBLE), 6) AS hhi,
+               round(CASE WHEN first(n_groups) > 1
+                     THEN (CAST(SUM(t2) AS DOUBLE)
+                           - 1.0 / CAST(first(n_groups) AS DOUBLE))
+                          / (1.0 - 1.0 / CAST(first(n_groups) AS DOUBLE))
+                     ELSE 0.0 END, 6) AS hhi_normalized
+        FROM terms
+    """
+    # Bucket purity: the ann_lsh bucket expression, exact counts.
+    sql["bucket_purity"] = f"""
+        WITH b AS (
+          SELECT {bucket_expr} AS bucket, CAST(label AS VARCHAR) AS lbl
+          FROM embeddings),
+        joint AS (SELECT bucket, lbl, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM b GROUP BY 1, 2),
+        per_bucket AS (
+          SELECT bucket, MAX(c) AS top, SUM(c) AS n_b
+          FROM joint GROUP BY 1)
+        SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               round(CAST(SUM(top) AS DOUBLE)
+                     / CAST(SUM(n_b) AS DOUBLE), 6) AS purity,
+               CAST(SUM(top) AS BIGINT) AS majority_correct
+        FROM per_bucket
     """
     return sql

@@ -1,0 +1,140 @@
+"""Pairwise-preference strength estimation (Bradley-Terry).
+
+The preference-data workhorse for RLHF-style corpora: given pairwise
+comparisons (winner, loser) — human preference labels, A/B duels,
+model-vs-model matches — fit a per-item strength theta such that
+P(i beats j) = theta_i / (theta_i + theta_j) (Bradley & Terry 1952).
+The fitted thetas rank items AND calibrate win probabilities, which
+plain win-rates cannot do when the comparison graph is unbalanced
+(an item that only met strong opponents has a deflated win-rate but
+a fair theta).
+
+Fit is Hunter's (2004) MM algorithm:
+
+    theta_i <- W_i / sum over j of n_ij / (theta_i + theta_j)
+
+iterated a fixed ``rounds`` times from theta = 1, renormalized to
+sum to the item count each round. The driver loop is bounded by the
+literal round count (the bpe_train / mmr_select pattern); per-round
+work is one edges-sized join + one items-sized aggregate, with the
+items relation broadcast (items = distinct compared entities, small
+by construction next to the comparisons fact table).
+
+Determinism: per-edge MM terms are decimal(28,12)-quantized before
+the order-free sum; thetas are decimal(18,9)-quantized after both
+the MM step and the renormalization, so every round's relation is
+engine-portable and a SQL oracle replays the loop as unrolled CTEs
+(the mmr_select "replay, don't approximate" technique).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bradley_terry(
+    df: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    rounds: int = 8,
+) -> DataFrame:
+    """Fit Bradley-Terry strengths -> (item, wins, games, theta).
+
+    ``df`` carries one row per comparison outcome. Items appearing
+    only as losers get theta -> 0 (the boundary MLE); ties are not a
+    BT concept — pre-filter or split them upstream.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = df.sparkSession
+    w = (
+        df.groupBy(
+            F.col(winner_col).cast("string").alias("i"),
+            F.col(loser_col).cast("string").alias("j"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    # n_ij: games between i and j regardless of outcome (symmetric)
+    n_edges = (
+        w.select("i", "j", "w")
+        .unionByName(
+            w.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), F.col("w")
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    wins = w.groupBy("i").agg(F.sum("w").cast("long").alias("wins"))
+    games = n_edges.groupBy("i").agg(F.sum("n").cast("long").alias("games"))
+    items = (
+        n_edges.select("i").distinct()
+        .join(wins, "i", "left")
+        .join(games, "i", "left")
+        .select(
+            F.col("i").alias("item"),
+            F.coalesce(F.col("wins"), F.lit(0)).cast("long").alias("wins"),
+            F.coalesce(F.col("games"), F.lit(0)).cast("long").alias("games"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_items = items.count()
+    theta = items.select(
+        "item", F.lit(1.0).alias("theta")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        ti = theta.select(F.col("item").alias("i"), F.col("theta").alias("th_i"))
+        tj = theta.select(F.col("item").alias("j"), F.col("theta").alias("th_j"))
+        denom = (
+            n_edges.join(F.broadcast(ti), "i")
+            .join(F.broadcast(tj), "j")
+            .select(
+                "i",
+                (
+                    F.col("n") / (F.col("th_i") + F.col("th_j"))
+                ).cast("decimal(28,12)").alias("term"),
+            )
+            .groupBy("i")
+            .agg(F.sum("term").alias("denom"))
+        )
+        raw = (
+            items.join(denom, items.item == denom.i, "left")
+            .select(
+                "item",
+                "wins",
+                F.when(
+                    F.col("denom").isNotNull() & (F.col("denom") > 0),
+                    F.col("wins").cast("double")
+                    / F.col("denom").cast("double"),
+                )
+                .otherwise(F.lit(0.0))
+                .cast("decimal(18,9)")
+                .alias("tq"),
+            )
+        )
+        s = raw.agg(F.sum("tq").alias("s"))
+        theta = (
+            raw.crossJoin(F.broadcast(s))
+            .select(
+                "item",
+                F.when(
+                    F.col("s") > 0,
+                    (
+                        F.col("tq").cast("double")
+                        * F.lit(float(n_items))
+                        / F.col("s").cast("double")
+                    ).cast("decimal(18,9)").cast("double"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("theta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return items.join(theta, "item").select(
+        "item",
+        "wins",
+        "games",
+        F.round(F.col("theta"), 6).alias("theta"),
+    )

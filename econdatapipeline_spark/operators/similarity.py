@@ -351,3 +351,43 @@ def mutual_nn(
             ["a_id", "b_id"],
         )
     )
+
+
+def bucket_purity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Label purity of sign-LSH buckets -> one row
+    (n, n_buckets, purity, majority_correct).
+
+    The cheap clustering-quality gate for an embedding column: if the
+    LSH buckets the dedup/ANN path hashes into are label-coherent
+    (purity = Σ_buckets max-label-count / n near 1), bucketed
+    retrieval is trustworthy; purity near the majority-class share
+    means the embedding (or the hash family) carries no signal.
+    ``majority_correct`` is the count the purity ratio is built from,
+    so the readout stays integer-auditable.
+
+    One projection (the same sign_bucket expression the ANN path
+    uses), one (bucket, label) hash aggregate, one bucket-sized max,
+    one row out — all counts exact integers.
+    """
+    b = df.select(
+        sign_bucket(F.col(vec_col)).alias("bucket"),
+        F.col(label_col).cast("string").alias("lbl"),
+    )
+    joint = b.groupBy("bucket", "lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_bucket = joint.groupBy("bucket").agg(
+        F.max("c").alias("top"), F.sum("c").alias("n_b")
+    )
+    return per_bucket.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(
+            F.sum("top").cast("double") / F.sum("n_b").cast("double"), 6
+        ).alias("purity"),
+        F.sum("top").cast("long").alias("majority_correct"),
+    )

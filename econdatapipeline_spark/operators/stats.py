@@ -1529,3 +1529,49 @@ def did_estimator(
         m_tp_, m_tq_, m_cp_, m_cq_,
         F.round((e_tq - e_tp) - (e_cq - e_cp), 6).alias("did"),
     )
+
+
+def hhi_concentration(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index -> one row
+    (n_groups, total, hhi, hhi_normalized).
+
+    The standard market/source-concentration readout (economics:
+    supplier market power; corpus curation: is the training mix
+    dominated by one crawl?): HHI = Σ share_i², 1/n (uniform) .. 1
+    (monopoly); the normalized form rescales to [0, 1] across group
+    counts. One fact-sized hash aggregate to the groups relation, one
+    groups-sized aggregate; shares are deterministic doubles of
+    decimal-exact sums, squared terms decimal(28,12)-quantized before
+    the order-free sum.
+    """
+    sup = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("v")
+    )
+    tot = sup.agg(
+        F.sum("v").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    share = F.col("v").cast("double") / F.col("tot").cast("double")
+    terms = sup.crossJoin(F.broadcast(tot)).select(
+        "n_groups",
+        F.col("tot"),
+        (share * share).cast("decimal(28,12)").alias("t2"),
+    )
+    return terms.groupBy().agg(
+        F.first("n_groups").alias("n_groups"),
+        F.round(F.first("tot").cast("double"), 6).alias("total"),
+        F.round(F.sum("t2").cast("double"), 6).alias("hhi"),
+        F.round(
+            F.when(
+                F.first("n_groups") > 1,
+                (
+                    F.sum("t2").cast("double")
+                    - 1.0 / F.first("n_groups").cast("double")
+                )
+                / (1.0 - 1.0 / F.first("n_groups").cast("double")),
+            ).otherwise(0.0),
+            6,
+        ).alias("hhi_normalized"),
+    )

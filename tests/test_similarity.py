@@ -175,3 +175,24 @@ def test_mutual_nn_kills_hubs(spark):
     out = {(r["a_id"], r["b_id"]) for r in mutual_nn(a, b).collect()}
     assert (1, 11) in out and (2, 19) in out
     assert (3, 19) not in out and len(out) == 2
+
+
+def test_bucket_purity_signal_vs_noise(spark):
+    from econdatapipeline_spark.operators.similarity import bucket_purity
+
+    # labels follow the sign of dim 0 exactly -> every bucket pure
+    import random
+    rnd = random.Random(7)
+    rows = []
+    for i in range(80):
+        v = [rnd.uniform(-1, 1) for _ in range(64)]
+        rows.append((1 if v[0] > 0 else 0, v))
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    r = bucket_purity(df).first()
+    assert r["n"] == 80 and r["purity"] == 1.0
+    # labels independent of the vector -> purity well below 1
+    rows2 = [(i % 2, v) for i, (_, v) in enumerate(rows)]
+    df2 = spark.createDataFrame(rows2, "label int, embedding array<float>")
+    r2 = bucket_purity(df2).first()
+    assert r2["purity"] < 1.0
+    assert r2["majority_correct"] < r2["n"]

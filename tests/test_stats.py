@@ -740,3 +740,20 @@ def test_did_nets_out_common_trend(spark):
             for _ in range(3)]
     df = spark.createDataFrame(rows, "treat int, post int, y double")
     assert did_estimator(df, "treat", "post", "y").first()["did"] == 0.0
+
+
+def test_hhi_concentration_bounds(spark):
+    from econdatapipeline_spark.operators.stats import hhi_concentration
+
+    # uniform 4 groups -> hhi = 1/4, normalized 0
+    rows = [(g, 10.0) for g in "abcd"]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = hhi_concentration(df, "g", "v").first()
+    assert r["n_groups"] == 4 and abs(r["hhi"] - 0.25) < 1e-9
+    assert r["hhi_normalized"] == 0.0
+    # monopoly-ish: one group holds 90%
+    rows2 = [("big", 90.0)] + [(g, 10.0 / 3) for g in "xyz"]
+    r2 = hhi_concentration(
+        spark.createDataFrame(rows2, "g string, v double"), "g", "v"
+    ).first()
+    assert r2["hhi"] > 0.8 and r2["hhi_normalized"] > 0.75
