@@ -4751,6 +4751,50 @@ def q_cem_att(spark, sf_dir):
                    hi=10000.0)
 
 
+def q_adf_test(spark, sf_dir):
+    """Augmented Dickey-Fuller unit-root test on the monthly order
+    series (operators/timeseries.adf_test): dy on (1, y_lag, dy_lag)
+    per priority, nine decimal-exact normal-equation sums in ONE hash
+    aggregate, Cramer's-rule solve + t-ratio as fixed-order scalar
+    doubles (the pacf discipline) — the stationarity gate in front of
+    trend_fit / holt_forecast."""
+    from econdatapipeline_spark.operators.timeseries import adf_test
+
+    return adf_test(_monthly_order_series(spark, sf_dir)).orderBy("dataset")
+
+
+def q_effect_sizes(spark, sf_dir):
+    """Two-sample effect sizes for urgent vs low-priority order values
+    (operators/stats.effect_sizes): Cohen's d from decimal-exact
+    moments + Cliff's delta from mann_whitney's tie-corrected AUC —
+    the magnitude readout that stays meaningful when n makes every
+    test 'significant'."""
+    from econdatapipeline_spark.operators.stats import effect_sizes
+
+    o = _t(spark, sf_dir, "orders")
+    return effect_sizes(
+        o, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
+def q_engle_granger(spark, sf_dir):
+    """Engle-Granger cointegration between the URGENT and HIGH
+    priority monthly revenue series (operators/timeseries.
+    engle_granger): OLS on five decimal-exact sums, then the ADF
+    unit-root test on the residual series — the spurious-regression
+    guard for econ series pairs."""
+    from econdatapipeline_spark.operators.timeseries import engle_granger
+
+    m = _monthly_order_series(spark, sf_dir)
+    x = m.filter(F.col("dataset") == "1-URGENT").select(
+        "date", F.col("value").alias("x")
+    )
+    y = m.filter(F.col("dataset") == "2-HIGH").select(
+        "date", F.col("value").alias("y")
+    )
+    return engle_granger(x.join(y, "date"), "x", "y")
+
+
 def q_bradley_terry(spark, sf_dir):
     """Bradley-Terry supplier strength from within-order shipping
     duels (operators/preference.bradley_terry): in every order, the
@@ -5194,6 +5238,9 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "bradley_terry": q_bradley_terry,
         "hhi_concentration": q_hhi_concentration,
         "bucket_purity": q_bucket_purity,
+        "adf_test": q_adf_test,
+        "effect_sizes": q_effect_sizes,
+        "engle_granger": q_engle_granger,
     }
 
 
@@ -11172,5 +11219,267 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(SUM(n_b) AS DOUBLE), 6) AS purity,
                CAST(SUM(top) AS BIGINT) AS majority_correct
         FROM per_bucket
+    """
+    # ADF: nine decimal-exact normal-equation sums, then the engine's
+    # exact Cramer formula tree on those sums
+    # (operators/timeseries.adf_test mirrored term by term).
+    sql["adf_test"] = """
+        WITH monthly AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS value
+          FROM orders GROUP BY 1, 2),
+        lagged AS (
+          SELECT dataset AS g,
+                 CAST(value AS DECIMAL(18,6)) AS y,
+                 LAG(CAST(value AS DECIMAL(18,6)), 1) OVER (
+                   PARTITION BY dataset ORDER BY date) AS y1,
+                 LAG(CAST(value AS DECIMAL(18,6)), 2) OVER (
+                   PARTITION BY dataset ORDER BY date) AS y2
+          FROM monthly),
+        rws AS (
+          SELECT g,
+                 CAST(y - y1 AS DECIMAL(18,6)) AS z,
+                 CAST(y1 AS DECIMAL(18,6)) AS l,
+                 CAST(y1 - y2 AS DECIMAL(18,6)) AS d
+          FROM lagged WHERE y2 IS NOT NULL),
+        sums AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(l AS DECIMAL(38,12))) AS DOUBLE) AS sl,
+                 CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS sd,
+                 CAST(SUM(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS sz,
+                 CAST(SUM(CAST(l * l AS DECIMAL(38,12))) AS DOUBLE) AS sll,
+                 CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS sdd,
+                 CAST(SUM(CAST(l * d AS DECIMAL(38,12))) AS DOUBLE) AS sld,
+                 CAST(SUM(CAST(z * l AS DECIMAL(38,12))) AS DOUBLE) AS szl,
+                 CAST(SUM(CAST(z * d AS DECIMAL(38,12))) AS DOUBLE) AS szd,
+                 CAST(SUM(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE) AS szz
+          FROM rws GROUP BY g),
+        calc AS (
+          SELECT g, n,
+            CAST(n AS DOUBLE) * (sll * sdd - sld * sld)
+              - sl * (sl * sdd - sld * sd)
+              + sd * (sl * sld - sll * sd) AS det,
+            sz * (sll * sdd - sld * sld)
+              - sl * (szl * sdd - sld * szd)
+              + sd * (szl * sld - sll * szd) AS det_a,
+            CAST(n AS DOUBLE) * (szl * sdd - sld * szd)
+              - sz * (sl * sdd - sld * sd)
+              + sd * (sl * szd - szl * sd) AS det_b,
+            CAST(n AS DOUBLE) * (sll * szd - szl * sld)
+              - sl * (sl * szd - szl * sd)
+              + sz * (sl * sld - sll * sd) AS det_c,
+            sz, szl, szd, szz, sdd, sd
+          FROM sums),
+        fin AS (
+          SELECT g, n, det,
+                 det_b / det AS b_hat,
+                 szz - (det_a / det) * sz - (det_b / det) * szl
+                     - (det_c / det) * szd AS rss,
+                 CAST(n AS DOUBLE) * sdd - sd * sd AS cof_bb
+          FROM calc)
+        SELECT g AS dataset, n,
+               round(CASE WHEN det != 0 THEN b_hat ELSE 0.0 END, 6)
+                 AS beta,
+               round(CASE WHEN det != 0 AND n > 3
+                     THEN sqrt(rss / (CAST(n AS DOUBLE) - 3.0)
+                               * cof_bb / det)
+                     ELSE 0.0 END, 6) AS se,
+               round(CASE WHEN det != 0 AND n > 3
+                          AND sqrt(rss / (CAST(n AS DOUBLE) - 3.0)
+                                   * cof_bb / det) > 0
+                     THEN b_hat / sqrt(rss / (CAST(n AS DOUBLE) - 3.0)
+                                       * cof_bb / det)
+                     ELSE 0.0 END, 6) AS adf_stat
+        FROM fin
+    """
+    # Effect sizes: Cohen's d from decimal-exact moments; Cliff's
+    # delta = 2*auc - 1 from the mann_whitney AUC machinery
+    # (operators/stats.effect_sizes mirrored).
+    sql["effect_sizes"] = """
+        WITH tagged AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v, o_orderpriority AS s
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        g AS (
+          SELECT v,
+                 CAST(SUM(CASE WHEN s = '1-URGENT' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS na,
+                 CAST(SUM(CASE WHEN s = '5-LOW' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nb
+          FROM tagged GROUP BY 1),
+        r AS (
+          SELECT *, CAST(COALESCE(SUM(nb) OVER (ORDER BY v ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS cum_b
+          FROM g),
+        mw AS (
+          SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+                 CAST(SUM(nb) AS BIGINT) AS n_b,
+                 CAST(SUM(2 * na * cum_b + na * nb) AS BIGINT) AS u2
+          FROM r),
+        aucrel AS (
+          SELECT round((u2 / 2.0) / CAST(n_a * n_b AS DOUBLE), 6) AS auc
+          FROM mw),
+        mom AS (
+          SELECT
+            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+            SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS sa,
+            SUM(CASE WHEN o_orderpriority = '5-LOW'
+                THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS sb,
+            SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,6))
+                          * CAST(o_totalprice AS DECIMAL(18,6))
+                          AS DECIMAL(38,12)) END) AS saa,
+            SUM(CASE WHEN o_orderpriority = '5-LOW'
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,6))
+                          * CAST(o_totalprice AS DECIMAL(18,6))
+                          AS DECIMAL(38,12)) END) AS sbb
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        calc AS (
+          SELECT na, nb,
+                 CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                 CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                 (CAST(saa AS DOUBLE)
+                  - CAST(na AS DOUBLE)
+                    * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                    * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+                 / (CAST(na AS DOUBLE) - 1.0) AS va,
+                 (CAST(sbb AS DOUBLE)
+                  - CAST(nb AS DOUBLE)
+                    * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                    * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                 / (CAST(nb AS DOUBLE) - 1.0) AS vb
+          FROM mom)
+        SELECT na AS n_a, nb AS n_b,
+               round(ma, 6) AS mean_a,
+               round(mb, 6) AS mean_b,
+               round(CASE WHEN na > 1 AND nb > 1 AND
+                     sqrt(((CAST(na AS DOUBLE) - 1.0) * va
+                           + (CAST(nb AS DOUBLE) - 1.0) * vb)
+                          / (CAST(na AS DOUBLE)
+                             + CAST(nb AS DOUBLE) - 2.0)) > 0
+                     THEN (ma - mb)
+                          / sqrt(((CAST(na AS DOUBLE) - 1.0) * va
+                                  + (CAST(nb AS DOUBLE) - 1.0) * vb)
+                                 / (CAST(na AS DOUBLE)
+                                    + CAST(nb AS DOUBLE) - 2.0))
+                     ELSE 0.0 END, 6) AS cohens_d,
+               round(2.0 * auc - 1.0, 6) AS cliffs_delta
+        FROM calc CROSS JOIN aucrel
+    """
+    # Engle-Granger: OLS on five decimal-exact sums, residual series
+    # as fixed-order doubles, then the adf_test oracle formula tree on
+    # the residuals (operators/timeseries.engle_granger mirrored).
+    sql["engle_granger"] = """
+        WITH monthly AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS value
+          FROM orders GROUP BY 1, 2),
+        xs AS (SELECT date, value AS x FROM monthly
+               WHERE dataset = '1-URGENT'),
+        ys AS (SELECT date, value AS y FROM monthly
+               WHERE dataset = '2-HIGH'),
+        xy AS (SELECT xs.date, xs.x, ys.y FROM xs JOIN ys USING (date)),
+        sums0 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(18,6))
+                               AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(CAST(y AS DECIMAL(18,6))
+                               AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(18,6))
+                               * CAST(x AS DECIMAL(18,6))
+                               AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(18,6))
+                               * CAST(y AS DECIMAL(18,6))
+                               AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+          FROM xy),
+        coef AS (
+          SELECT n0,
+                 CASE WHEN CAST(n0 AS DOUBLE) * sxx - sx * sx != 0
+                      THEN (CAST(n0 AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(n0 AS DOUBLE) * sxx - sx * sx)
+                      ELSE 0.0 END AS slope,
+                 CASE WHEN CAST(n0 AS DOUBLE) * sxx - sx * sx != 0
+                      THEN (sy - (CAST(n0 AS DOUBLE) * sxy - sx * sy)
+                                 / (CAST(n0 AS DOUBLE) * sxx - sx * sx)
+                                 * sx) / CAST(n0 AS DOUBLE)
+                      ELSE 0.0 END AS intercept
+          FROM sums0),
+        resid AS (
+          SELECT xy.date,
+                 xy.y - coef.intercept - coef.slope * xy.x AS value
+          FROM xy CROSS JOIN coef),
+        lagged AS (
+          SELECT CAST(value AS DECIMAL(18,6)) AS yv,
+                 LAG(CAST(value AS DECIMAL(18,6)), 1)
+                   OVER (ORDER BY date) AS y1,
+                 LAG(CAST(value AS DECIMAL(18,6)), 2)
+                   OVER (ORDER BY date) AS y2
+          FROM resid),
+        rws AS (
+          SELECT CAST(yv - y1 AS DECIMAL(18,6)) AS z,
+                 CAST(y1 AS DECIMAL(18,6)) AS l,
+                 CAST(y1 - y2 AS DECIMAL(18,6)) AS d
+          FROM lagged WHERE y2 IS NOT NULL),
+        sums AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(l AS DECIMAL(38,12))) AS DOUBLE) AS sl,
+                 CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS sd,
+                 CAST(SUM(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS sz,
+                 CAST(SUM(CAST(l * l AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sll,
+                 CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sdd,
+                 CAST(SUM(CAST(l * d AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sld,
+                 CAST(SUM(CAST(z * l AS DECIMAL(38,12))) AS DOUBLE)
+                   AS szl,
+                 CAST(SUM(CAST(z * d AS DECIMAL(38,12))) AS DOUBLE)
+                   AS szd,
+                 CAST(SUM(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE)
+                   AS szz
+          FROM rws),
+        calc AS (
+          SELECT n,
+            CAST(n AS DOUBLE) * (sll * sdd - sld * sld)
+              - sl * (sl * sdd - sld * sd)
+              + sd * (sl * sld - sll * sd) AS det,
+            sz * (sll * sdd - sld * sld)
+              - sl * (szl * sdd - sld * szd)
+              + sd * (szl * sld - sll * szd) AS det_a,
+            CAST(n AS DOUBLE) * (szl * sdd - sld * szd)
+              - sz * (sl * sdd - sld * sd)
+              + sd * (sl * szd - szl * sd) AS det_b,
+            CAST(n AS DOUBLE) * (sll * szd - szl * sld)
+              - sl * (sl * szd - szl * sd)
+              + sz * (sl * sld - sll * sd) AS det_c,
+            sz, szl, szd, szz, sdd, sd
+          FROM sums),
+        fin AS (
+          SELECT n, det,
+                 det_b / det AS b_hat,
+                 szz - (det_a / det) * sz - (det_b / det) * szl
+                     - (det_c / det) * szd AS rss,
+                 CAST(n AS DOUBLE) * sdd - sd * sd AS cof_bb
+          FROM calc)
+        SELECT fin.n,
+               round(coef.slope, 6) AS slope,
+               round(coef.intercept, 6) AS intercept,
+               round(CASE WHEN det != 0 AND n > 3
+                          AND sqrt(rss / (CAST(n AS DOUBLE) - 3.0)
+                                   * cof_bb / det) > 0
+                     THEN b_hat / sqrt(rss / (CAST(n AS DOUBLE) - 3.0)
+                                       * cof_bb / det)
+                     ELSE 0.0 END, 6) AS adf_stat_resid
+        FROM fin CROSS JOIN coef
     """
     return sql

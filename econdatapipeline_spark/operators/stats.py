@@ -1575,3 +1575,77 @@ def hhi_concentration(
             6,
         ).alias("hhi_normalized"),
     )
+
+
+def effect_sizes(
+    df: DataFrame,
+    value_col: str,
+    sample_col: str,
+    sample_a: str,
+    sample_b: str,
+) -> DataFrame:
+    """Two-sample effect sizes -> one row
+    (n_a, n_b, mean_a, mean_b, cohens_d, cliffs_delta).
+
+    The magnitude companion to the repo's significance tests
+    (two_sample_ztest / mann_whitney): at 100 TB everything is
+    "significant", so the decision inputs are the parametric
+    standardized mean difference (Cohen's d, pooled SD) and the
+    nonparametric dominance probability (Cliff's delta = 2·AUC − 1,
+    robust to outliers and any monotone transform).
+
+    cliffs_delta derives from mann_whitney's tie-corrected AUC (the
+    exact half-unit 2U machinery on the distinct-value collapse — no
+    new shuffle shape); moments are one hash aggregate with
+    decimal-exact Σx / Σx², variances in fixed-order doubles.
+    """
+    tagged = df.filter(F.col(sample_col).isin([sample_a, sample_b]))
+    xa = F.when(
+        F.col(sample_col) == sample_a, F.col(value_col).cast("decimal(18,6)")
+    )
+    xb = F.when(
+        F.col(sample_col) == sample_b, F.col(value_col).cast("decimal(18,6)")
+    )
+    moments = tagged.agg(
+        F.sum(F.when(F.col(sample_col) == sample_a, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col(sample_col) == sample_b, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(xa).alias("sa"),
+        F.sum(xb).alias("sb"),
+        F.sum((xa * xa).cast("decimal(38,12)")).alias("saa"),
+        F.sum((xb * xb).cast("decimal(38,12)")).alias("sbb"),
+    )
+    mw = mann_whitney(df, value_col, sample_col, sample_a, sample_b).select(
+        F.col("auc").alias("__auc")
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    mean_a = F.col("sa").cast("double") / na_d
+    mean_b = F.col("sb").cast("double") / nb_d
+    var_a = (F.col("saa").cast("double") - na_d * mean_a * mean_a) / (
+        na_d - 1.0
+    )
+    var_b = (F.col("sbb").cast("double") - nb_d * mean_b * mean_b) / (
+        nb_d - 1.0
+    )
+    pooled = F.sqrt(
+        ((na_d - 1.0) * var_a + (nb_d - 1.0) * var_b)
+        / (na_d + nb_d - 2.0)
+    )
+    return moments.crossJoin(F.broadcast(mw)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(
+            F.when(
+                (F.col("na") > 1) & (F.col("nb") > 1) & (pooled > 0),
+                (mean_a - mean_b) / pooled,
+            ).otherwise(0.0),
+            6,
+        ).alias("cohens_d"),
+        F.round(2.0 * F.col("__auc") - 1.0, 6).alias("cliffs_delta"),
+    )

@@ -766,3 +766,193 @@ def ohlc_resample(
             ).alias("total"),
         )
     )
+
+
+def adf_test(
+    df: DataFrame,
+    value_col: str = "value",
+    order_col: str = "date",
+    group_col: str = "dataset",
+) -> DataFrame:
+    """Augmented Dickey-Fuller unit-root test (one augmentation lag,
+    constant included) per series -> (group, n, beta, se, adf_stat).
+
+    The stationarity gate in front of trend_fit / holt_forecast /
+    acf: regress
+
+        dy_t = a + b*y_(t-1) + c*dy_(t-1) + e_t
+
+    and report b's t-ratio (the Dickey-Fuller statistic; reject the
+    unit root when it is strongly negative — compare to the
+    published DF critical values, e.g. -2.86 at 5% for large n).
+    Differencing decisions made by eye are what this replaces.
+
+    Relational shape: per-series lag windows are PARTITIONED by group
+    (the acf posture: series-sized by contract, fact-sized work is
+    the upstream aggregate that built the series); the regression
+    itself is ONE hash aggregate of the nine normal-equation sums —
+    all decimal-exact products of decimal(18,6)-quantized values —
+    then Cramer's-rule 3x3 solve + t-ratio as FIXED-ORDER scalar
+    doubles on those exact sums (the pacf discipline: no
+    data-dependent float summation anywhere, so an oracle replays
+    the formula tree bit-for-bit).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    y = F.col(value_col).cast("decimal(18,6)")
+    lagged = df.select(
+        F.col(group_col).alias("g"),
+        y.alias("y"),
+        F.lag(y, 1).over(w).alias("y1"),
+        F.lag(y, 2).over(w).alias("y2"),
+    ).filter(F.col("y2").isNotNull())
+    # z = dy_t, l = y_(t-1), d = dy_(t-1) — decimal-exact differences.
+    # Each is re-cast to decimal(18,6): a bare difference is
+    # decimal(19,6) and its square would hit the 38-precision cap,
+    # where Spark and DuckDB reduce scale DIFFERENTLY (silent
+    # rounding); at (18,6) every product is an exact (37,12).
+    rows = lagged.select(
+        "g",
+        (F.col("y") - F.col("y1")).cast("decimal(18,6)").alias("z"),
+        F.col("y1").cast("decimal(18,6)").alias("l"),
+        (F.col("y1") - F.col("y2")).cast("decimal(18,6)").alias("d"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    sums = rows.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("l"))).alias("sl"),
+        F.sum(dec(F.col("d"))).alias("sd"),
+        F.sum(dec(F.col("z"))).alias("sz"),
+        F.sum(dec(F.col("l") * F.col("l"))).alias("sll"),
+        F.sum(dec(F.col("d") * F.col("d"))).alias("sdd"),
+        F.sum(dec(F.col("l") * F.col("d"))).alias("sld"),
+        F.sum(dec(F.col("z") * F.col("l"))).alias("szl"),
+        F.sum(dec(F.col("z") * F.col("d"))).alias("szd"),
+        F.sum(dec(F.col("z") * F.col("z"))).alias("szz"),
+    )
+    n = F.col("n").cast("double")
+    sl = F.col("sl").cast("double")
+    sd = F.col("sd").cast("double")
+    sz = F.col("sz").cast("double")
+    sll = F.col("sll").cast("double")
+    sdd = F.col("sdd").cast("double")
+    sld = F.col("sld").cast("double")
+    szl = F.col("szl").cast("double")
+    szd = F.col("szd").cast("double")
+    szz = F.col("szz").cast("double")
+    # X'X = [[n, sl, sd], [sl, sll, sld], [sd, sld, sdd]]; X'z =
+    # [sz, szl, szd]. Cramer's rule; cof22 is the (l,l) cofactor the
+    # se(beta) needs.
+    det = (
+        n * (sll * sdd - sld * sld)
+        - sl * (sl * sdd - sld * sd)
+        + sd * (sl * sld - sll * sd)
+    )
+    det_a = (
+        sz * (sll * sdd - sld * sld)
+        - sl * (szl * sdd - sld * szd)
+        + sd * (szl * sld - sll * szd)
+    )
+    det_b = (
+        n * (szl * sdd - sld * szd)
+        - sz * (sl * sdd - sld * sd)
+        + sd * (sl * szd - szl * sd)
+    )
+    det_c = (
+        n * (sll * szd - szl * sld)
+        - sl * (sl * szd - szl * sd)
+        + sz * (sl * sld - sll * sd)
+    )
+    a_hat = det_a / det
+    b_hat = det_b / det
+    c_hat = det_c / det
+    rss = szz - a_hat * sz - b_hat * szl - c_hat * szd
+    cof_bb = n * sdd - sd * sd
+    sigma2 = rss / (n - 3.0)
+    se = F.sqrt(sigma2 * cof_bb / det)
+    return sums.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round(
+            F.when(det != 0, b_hat).otherwise(F.lit(0.0)), 6
+        ).alias("beta"),
+        F.round(
+            F.when((det != 0) & (F.col("n") > 3), se).otherwise(F.lit(0.0)),
+            6,
+        ).alias("se"),
+        F.round(
+            F.when(
+                (det != 0) & (F.col("n") > 3) & (se > 0), b_hat / se
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("adf_stat"),
+    )
+
+
+def engle_granger(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    order_col: str = "date",
+) -> DataFrame:
+    """Engle-Granger two-step cointegration test -> one row
+    (n, slope, intercept, adf_stat_resid).
+
+    The "do these two series share a long-run equilibrium" question
+    (Engle & Granger 1987) — the honest precondition for regressing
+    one trending economic series on another (a spurious regression has
+    non-stationary residuals): step 1 fits y = a + b*x by OLS; step 2
+    runs the ADF unit-root test on the residuals. Strongly negative
+    adf_stat_resid (beyond the EG critical values, e.g. -3.34 at 5%)
+    means cointegrated.
+
+    Relational shape: step 1 is ONE hash aggregate of five
+    decimal-exact sums -> (slope, intercept) as fixed-order doubles of
+    exact sums, broadcast back; step 2 is adf_test verbatim on the
+    residual series (residual doubles are deterministic, and adf_test
+    re-quantizes them to decimal(18,6) before its own exact sums).
+    """
+    x = F.col(x_col).cast("decimal(18,6)")
+    y = F.col(y_col).cast("decimal(18,6)")
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    sums = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * x)).alias("sxx"),
+        F.sum(dec(x * y)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    denom = n * sxx - sx * sx
+    coef = sums.select(
+        "n",
+        F.when(denom != 0, (n * sxy - sx * sy) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("slope"),
+        F.when(denom != 0, (sy - (n * sxy - sx * sy) / denom * sx) / n)
+        .otherwise(F.lit(0.0))
+        .alias("intercept"),
+    )
+    resid = df.crossJoin(F.broadcast(coef)).select(
+        F.lit("resid").alias("dataset"),
+        F.col(order_col).alias("date"),
+        (
+            F.col(y_col).cast("double")
+            - F.col("intercept")
+            - F.col("slope") * F.col(x_col).cast("double")
+        ).alias("value"),
+    )
+    stat = adf_test(resid).select(
+        F.col("n"), F.col("adf_stat").alias("adf_stat_resid")
+    )
+    return coef.select(
+        F.round(F.col("slope"), 6).alias("slope"),
+        F.round(F.col("intercept"), 6).alias("intercept"),
+    ).crossJoin(F.broadcast(stat)).select(
+        "n", "slope", "intercept", "adf_stat_resid"
+    )

@@ -757,3 +757,30 @@ def test_hhi_concentration_bounds(spark):
         spark.createDataFrame(rows2, "g string, v double"), "g", "v"
     ).first()
     assert r2["hhi"] > 0.8 and r2["hhi_normalized"] > 0.75
+
+
+def test_effect_sizes_hand_values(spark):
+    from econdatapipeline_spark.operators.stats import effect_sizes
+
+    # A = {10, 12}, B = {7, 9}: means 11 vs 8, var 2 each, pooled sd
+    # sqrt(2) -> d = 3/sqrt(2); all A above all B -> delta = 1
+    rows = [("a", 10.0), ("a", 12.0), ("b", 7.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    r = effect_sizes(df, "v", "s", "a", "b").first()
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert r["mean_a"] == 11.0 and r["mean_b"] == 8.0
+    import math
+    assert abs(r["cohens_d"] - round(3.0 / math.sqrt(2.0), 6)) < 1e-9
+    assert r["cliffs_delta"] == 1.0
+    # symmetric flip
+    r2 = effect_sizes(df, "v", "s", "b", "a").first()
+    assert r2["cliffs_delta"] == -1.0 and abs(r2["cohens_d"] + r["cohens_d"]) < 1e-9
+
+
+def test_effect_sizes_no_effect(spark):
+    from econdatapipeline_spark.operators.stats import effect_sizes
+
+    rows = [(s, float(v)) for s in ("a", "b") for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    r = effect_sizes(df, "v", "s", "a", "b").first()
+    assert r["cohens_d"] == 0.0 and r["cliffs_delta"] == 0.0

@@ -320,3 +320,77 @@ def test_ohlc_resample_hand_values(spark):
     import pytest
     with pytest.raises(ValueError):
         ohlc_resample(df, "d", "v", "k", freq="week")
+
+
+def test_adf_test_matches_numpy_ols(spark):
+    import numpy as np
+    from econdatapipeline_spark.operators.timeseries import adf_test
+
+    # deterministic mean-reverting series; expected stats from a
+    # reference OLS on the same design matrix
+    y = [10.0]
+    for i in range(1, 40):
+        y.append(round(0.5 * y[-1] + 5.0 + 3.0 * ((i * 7) % 5 - 2), 6))
+    rows = [("s", f"2020-{1:02d}-01", v) for v in y]
+    rows = [("s", i, v) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "dataset string, date int, value double")
+    out = adf_test(df).first()
+
+    z = np.array([y[t] - y[t - 1] for t in range(2, len(y))])
+    l = np.array([y[t - 1] for t in range(2, len(y))])
+    d = np.array([y[t - 1] - y[t - 2] for t in range(2, len(y))])
+    X = np.column_stack([np.ones_like(l), l, d])
+    beta, *_ = np.linalg.lstsq(X, z, rcond=None)
+    resid = z - X @ beta
+    sigma2 = (resid @ resid) / (len(z) - 3)
+    cov = sigma2 * np.linalg.inv(X.T @ X)
+    se = float(np.sqrt(cov[1, 1]))
+    assert out["n"] == len(z)
+    assert abs(out["beta"] - beta[1]) < 1e-4
+    assert abs(out["se"] - se) < 1e-4
+    assert abs(out["adf_stat"] - beta[1] / se) < 1e-3
+    # mean reversion: strongly negative DF statistic
+    assert out["adf_stat"] < -2.86
+
+
+def test_adf_random_walk_not_rejected(spark):
+    from econdatapipeline_spark.operators.timeseries import adf_test
+
+    # deterministic near-unit-root walk: small bounded increments
+    y = [100.0]
+    for i in range(1, 60):
+        y.append(y[-1] + ((i * 13) % 7 - 3) * 0.1)
+    df = spark.createDataFrame(
+        [("w", i, v) for i, v in enumerate(y)],
+        "dataset string, date int, value double",
+    )
+    out = adf_test(df).first()
+    # the unit root should NOT be strongly rejected
+    assert out["adf_stat"] > -10  # sanity: finite
+    assert abs(out["beta"]) < 0.5  # coefficient near zero vs -0.5 above
+
+
+def test_engle_granger_cointegrated_vs_not(spark):
+    from econdatapipeline_spark.operators.timeseries import engle_granger
+
+    # x: a trending walk; y = 2x + 5 + bounded stationary wiggle ->
+    # residuals mean-revert hard -> strongly negative ADF stat
+    x = [100.0]
+    for i in range(1, 50):
+        x.append(x[-1] + ((i * 13) % 7 - 3) + 1.0)
+    rows = [
+        (i, x[i], round(2.0 * x[i] + 5.0 + ((i * 7) % 5 - 2) * 0.5, 6))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "date int, x double, y double")
+    out = engle_granger(df, "x", "y", "date").first()
+    assert abs(out["slope"] - 2.0) < 0.05
+    assert out["adf_stat_resid"] < -3.34  # cointegrated at 5%
+    # y2: an independent walk -> residuals keep the unit root
+    y2 = [50.0]
+    for i in range(1, 50):
+        y2.append(y2[-1] + ((i * 11) % 5 - 2) * 3.0)
+    rows2 = [(i, x[i], y2[i]) for i in range(50)]
+    df2 = spark.createDataFrame(rows2, "date int, x double, y double")
+    out2 = engle_granger(df2, "x", "y", "date").first()
+    assert out2["adf_stat_resid"] > out["adf_stat_resid"]
