@@ -11249,12 +11249,12 @@ def oracle_sql() -> dict[str, str]:
                  CAST(SUM(CAST(l AS DECIMAL(38,12))) AS DOUBLE) AS sl,
                  CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS sd,
                  CAST(SUM(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS sz,
-                 CAST(SUM(CAST(l * l AS DECIMAL(38,12))) AS DOUBLE) AS sll,
-                 CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS sdd,
-                 CAST(SUM(CAST(l * d AS DECIMAL(38,12))) AS DOUBLE) AS sld,
-                 CAST(SUM(CAST(z * l AS DECIMAL(38,12))) AS DOUBLE) AS szl,
-                 CAST(SUM(CAST(z * d AS DECIMAL(38,12))) AS DOUBLE) AS szd,
-                 CAST(SUM(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE) AS szz
+                 CAST(SUM(CAST(CAST(l AS DECIMAL(19,6)) * CAST(l AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sll,
+                 CAST(SUM(CAST(CAST(d AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sdd,
+                 CAST(SUM(CAST(CAST(l AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sld,
+                 CAST(SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(l AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS szl,
+                 CAST(SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS szd,
+                 CAST(SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS szz
           FROM rws GROUP BY g),
         calc AS (
           SELECT g, n,
@@ -11333,12 +11333,12 @@ def oracle_sql() -> dict[str, str]:
             SUM(CASE WHEN o_orderpriority = '5-LOW'
                 THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS sb,
             SUM(CASE WHEN o_orderpriority = '1-URGENT'
-                THEN CAST(CAST(o_totalprice AS DECIMAL(18,6))
-                          * CAST(o_totalprice AS DECIMAL(18,6))
+                THEN CAST(CAST(o_totalprice AS DECIMAL(19,6))
+                          * CAST(o_totalprice AS DECIMAL(19,6))
                           AS DECIMAL(38,12)) END) AS saa,
             SUM(CASE WHEN o_orderpriority = '5-LOW'
-                THEN CAST(CAST(o_totalprice AS DECIMAL(18,6))
-                          * CAST(o_totalprice AS DECIMAL(18,6))
+                THEN CAST(CAST(o_totalprice AS DECIMAL(19,6))
+                          * CAST(o_totalprice AS DECIMAL(19,6))
                           AS DECIMAL(38,12)) END) AS sbb
           FROM orders
           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
@@ -11395,11 +11395,11 @@ def oracle_sql() -> dict[str, str]:
                                AS DECIMAL(38,12))) AS DOUBLE) AS sx,
                  CAST(SUM(CAST(CAST(y AS DECIMAL(18,6))
                                AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-                 CAST(SUM(CAST(CAST(x AS DECIMAL(18,6))
-                               * CAST(x AS DECIMAL(18,6))
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(19,6))
+                               * CAST(x AS DECIMAL(19,6))
                                AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-                 CAST(SUM(CAST(CAST(x AS DECIMAL(18,6))
-                               * CAST(y AS DECIMAL(18,6))
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(19,6))
+                               * CAST(y AS DECIMAL(19,6))
                                AS DECIMAL(38,12))) AS DOUBLE) AS sxy
           FROM xy),
         coef AS (
@@ -11435,17 +11435,17 @@ def oracle_sql() -> dict[str, str]:
                  CAST(SUM(CAST(l AS DECIMAL(38,12))) AS DOUBLE) AS sl,
                  CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS sd,
                  CAST(SUM(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS sz,
-                 CAST(SUM(CAST(l * l AS DECIMAL(38,12))) AS DOUBLE)
+                 CAST(SUM(CAST(CAST(l AS DECIMAL(19,6)) * CAST(l AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE)
                    AS sll,
-                 CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE)
+                 CAST(SUM(CAST(CAST(d AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE)
                    AS sdd,
-                 CAST(SUM(CAST(l * d AS DECIMAL(38,12))) AS DOUBLE)
+                 CAST(SUM(CAST(CAST(l AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE)
                    AS sld,
-                 CAST(SUM(CAST(z * l AS DECIMAL(38,12))) AS DOUBLE)
+                 CAST(SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(l AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE)
                    AS szl,
-                 CAST(SUM(CAST(z * d AS DECIMAL(38,12))) AS DOUBLE)
+                 CAST(SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE)
                    AS szd,
-                 CAST(SUM(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE)
+                 CAST(SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE)
                    AS szz
           FROM rws),
         calc AS (
