@@ -4795,6 +4795,45 @@ def q_engle_granger(spark, sf_dir):
     return engle_granger(x.join(y, "date"), "x", "y")
 
 
+def q_vocab_by_source(spark, sf_dir):
+    """Per-source Chao1 vocabulary richness + Good-Turing coverage
+    (operators/lm.chao1_vocab grouped): which crawl slice is
+    under-sampled for tokenizer training? One type collapse under the
+    source key, one aggregate per source."""
+    from econdatapipeline_spark.operators.lm import chao1_vocab
+
+    return chao1_vocab(
+        _t(spark, sf_dir, "documents"), group_col="source"
+    ).orderBy("source")
+
+
+def q_seasonal_strength(spark, sf_dir):
+    """Hyndman seasonal-strength diagnostic per priority series
+    (operators/timeseries.seasonal_strength): max(0, 1 − Var(R)/
+    Var(S·R)) on the multiplicative decomposition — the 'should we
+    even seasonally adjust' gate in front of seasonal_adjust."""
+    from econdatapipeline_spark.operators.timeseries import seasonal_strength
+
+    return seasonal_strength(_monthly_order_series(spark, sf_dir)).orderBy(
+        "dataset"
+    )
+
+
+def q_pca_power(spark, sf_dir):
+    """Top principal component of the embedding space
+    (operators/pca.pca_power): matrix-free power iteration — per
+    round ONE distributed hash aggregate of 64 decimal-quantized
+    column sums against the broadcast-literal direction; the d x d
+    covariance is never materialized. 8 rounds, byte-identical replay
+    on both engines (left-assoc chains + floor half-up quantization),
+    Rayleigh eigenvalue + explained-variance ratio."""
+    from econdatapipeline_spark.operators.pca import pca_power
+
+    return pca_power(
+        _t(spark, sf_dir, "embeddings"), dims=64, rounds=8
+    ).orderBy("dim")
+
+
 def q_bradley_terry(spark, sf_dir):
     """Bradley-Terry supplier strength from within-order shipping
     duels (operators/preference.bradley_terry): in every order, the
@@ -5241,6 +5280,9 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "adf_test": q_adf_test,
         "effect_sizes": q_effect_sizes,
         "engle_granger": q_engle_granger,
+        "vocab_by_source": q_vocab_by_source,
+        "seasonal_strength": q_seasonal_strength,
+        "pca_power": q_pca_power,
     }
 
 
@@ -11482,4 +11524,192 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END, 6) AS adf_stat_resid
         FROM fin CROSS JOIN coef
     """
+    # Grouped Chao1: the chao1_vocab oracle under the source key.
+    sql["vocab_by_source"] = """
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS w
+          FROM documents),
+        types AS (SELECT source, w, COUNT(*) AS c FROM toks
+                  WHERE w <> '' GROUP BY 1, 2),
+        agg AS (
+          SELECT source,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f1,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f2
+          FROM types GROUP BY 1)
+        SELECT source, n_tokens, vocab, f1, f2,
+               round(CAST(vocab AS DOUBLE)
+                     + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                       / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1,
+               round(CASE WHEN n_tokens > 0
+                          THEN 1.0 - CAST(f1 AS DOUBLE)
+                               / CAST(n_tokens AS DOUBLE)
+                          ELSE 0.0 END, 6) AS coverage
+        FROM agg
+    """
+    # Seasonal strength: the seasonal_adjust oracle's decomposition,
+    # then variance-of-ratio sums on the ROUNDED outputs
+    # (operators/timeseries.seasonal_strength mirrored).
+    sql["seasonal_strength"] = """
+        WITH monthly AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS value
+          FROM orders GROUP BY 1, 2),
+        t AS (
+          SELECT dataset, date, value,
+                 (0.5 * lag(value, 6) OVER w
+                  + lag(value, 5) OVER w + lag(value, 4) OVER w
+                  + lag(value, 3) OVER w + lag(value, 2) OVER w
+                  + lag(value, 1) OVER w + value
+                  + lead(value, 1) OVER w + lead(value, 2) OVER w
+                  + lead(value, 3) OVER w + lead(value, 4) OVER w
+                  + lead(value, 5) OVER w
+                  + 0.5 * lead(value, 6) OVER w) / 12.0 AS trend
+          FROM monthly
+          WINDOW w AS (PARTITION BY dataset ORDER BY date)),
+        f AS (
+          SELECT dataset, month(date) AS m,
+                 CAST(SUM(CAST(value / nullif(trend, 0.0)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(value / nullif(trend, 0.0)) AS raw_factor
+          FROM t WHERE trend IS NOT NULL
+          GROUP BY 1, 2),
+        nrm AS (
+          SELECT dataset,
+                 CAST(SUM(CAST(raw_factor AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(raw_factor) AS norm
+          FROM f GROUP BY dataset),
+        fn AS (
+          SELECT f.dataset, f.m, f.raw_factor / nrm.norm AS factor
+          FROM f JOIN nrm USING (dataset)),
+        outq AS (
+          SELECT t.dataset, t.value,
+                 floor(t.trend * 100 + 0.5) / 100 AS trend,
+                 floor(fn.factor * 1000000 + 0.5) / 1000000
+                   AS seasonal_factor,
+                 floor(t.value / fn.factor * 100 + 0.5) / 100 AS adjusted
+          FROM t LEFT JOIN fn
+            ON t.dataset = fn.dataset AND month(t.date) = fn.m),
+        base AS (
+          SELECT dataset AS g, value / trend AS sr,
+                 adjusted / trend AS r
+          FROM outq
+          WHERE trend IS NOT NULL AND trend != 0
+            AND seasonal_factor IS NOT NULL),
+        sums AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(sr AS DECIMAL(28,12))) AS s_sr,
+                 SUM(CAST(sr * sr AS DECIMAL(38,12))) AS s_sr2,
+                 SUM(CAST(r AS DECIMAL(28,12))) AS s_r,
+                 SUM(CAST(r * r AS DECIMAL(38,12))) AS s_r2
+          FROM base GROUP BY g),
+        calc AS (
+          SELECT g, n,
+                 (CAST(s_sr2 AS DOUBLE)
+                  - CAST(n AS DOUBLE)
+                    * (CAST(s_sr AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s_sr AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(n AS DOUBLE) - 1.0) AS var_sr,
+                 (CAST(s_r2 AS DOUBLE)
+                  - CAST(n AS DOUBLE)
+                    * (CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(n AS DOUBLE) - 1.0) AS var_r
+          FROM sums)
+        SELECT g AS dataset, n,
+               round(CASE WHEN n > 1 THEN var_sr ELSE 0.0 END, 6)
+                 AS var_detrended,
+               round(CASE WHEN n > 1 THEN var_r ELSE 0.0 END, 6)
+                 AS var_remainder,
+               round(CASE WHEN n > 1 AND var_sr > 0
+                     THEN GREATEST(0.0, 1.0 - var_r / var_sr)
+                     ELSE 0.0 END, 6) AS strength
+        FROM calc
+    """
+    # PCA power iteration: 8 unrolled rounds, each one scan + 64
+    # decimal-quantized sums; the normalization replays the driver's
+    # left-assoc float chains + floor half-up quantization
+    # (operators/pca.pca_power mirrored term by term).
+    _D, _R = 64, 8
+    _ed = lambda k: f"CAST(embedding[{k}] AS DOUBLE)"  # noqa: E731
+    _pca = ["""
+        WITH st0 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            """ + ",\n            ".join(
+        f"SUM(CAST({_ed(k)} AS DECIMAL(28,12))) AS s{k}"
+        for k in range(1, _D + 1)
+    ) + ",\n            " + ",\n            ".join(
+        f"SUM(CAST({_ed(k)} * {_ed(k)} AS DECIMAL(38,12))) AS q{k}"
+        for k in range(1, _D + 1)
+    ) + """
+          FROM embeddings),
+        mu AS (
+          SELECT n,
+            """ + ",\n            ".join(
+        f"CAST(s{k} AS DOUBLE) / CAST(n AS DOUBLE) AS mu{k}"
+        for k in range(1, _D + 1)
+    ) + ",\n            " + ",\n            ".join(
+        f"q{k}" for k in range(1, _D + 1)
+    ) + """
+          FROM st0),
+        v0 AS (SELECT """ + ", ".join(
+        f"0.125 AS v{k}" for k in range(1, _D + 1)
+    ) + ")"]
+    for r in range(1, _R + 1):
+        wchain = "0.0 " + " ".join(
+            f"+ ({_ed(k)} - mu.mu{k}) * p.v{k}" for k in range(1, _D + 1)
+        )
+        _pca.append(f""",
+        w{r} AS MATERIALIZED (
+          SELECT ({wchain}) AS w, e.embedding AS embedding,
+            """ + ", ".join(f"mu.mu{k}" for k in range(1, _D + 1)) + f"""
+          FROM embeddings e CROSS JOIN mu CROSS JOIN v{r-1} p),
+        s{r} AS MATERIALIZED (
+          SELECT
+            """ + ",\n            ".join(
+            f"SUM(CAST(w * ({_ed(k)} - mu{k}) AS DECIMAL(28,12))) AS s{k}"
+            for k in range(1, _D + 1)
+        ) + f"""
+          FROM w{r}),
+        nr{r} AS (
+          SELECT sqrt(0.0 """ + " ".join(
+            f"+ CAST(s{k} AS DOUBLE) * CAST(s{k} AS DOUBLE)"
+            for k in range(1, _D + 1)
+        ) + f""") AS nrm FROM s{r}),
+        v{r} AS MATERIALIZED (
+          SELECT
+            """ + ",\n            ".join(
+            f"CASE WHEN nrm > 0 THEN floor(CAST(s{k} AS DOUBLE) / nrm"
+            f" * 1000000000.0 + 0.5) / 1000000000.0"
+            f" ELSE p.v{k} END AS v{k}"
+            for k in range(1, _D + 1)
+        ) + f"""
+          FROM s{r} CROSS JOIN nr{r} CROSS JOIN v{r-1} p)""")
+    _tv = "0.0 " + " ".join(
+        f"+ (CAST(q{k} AS DOUBLE) / CAST(n AS DOUBLE) - mu{k} * mu{k})"
+        for k in range(1, _D + 1)
+    )
+    _loading = "CASE d.dim " + " ".join(
+        f"WHEN {k} THEN v.v{k}" for k in range(1, _D + 1)
+    ) + " END"
+    _dimvals = ", ".join(f"({k})" for k in range(1, _D + 1))
+    _pca.append(f""",
+        tv AS (SELECT ({_tv}) AS tv, n FROM mu),
+        lam AS (SELECT nrm / CAST(tv.n AS DOUBLE) AS lam, tv.tv
+                FROM nr{_R} CROSS JOIN tv)
+        SELECT d.dim, {_loading} AS loading,
+               floor(lam * 1000000.0 + 0.5) / 1000000.0 AS eigenvalue,
+               floor((CASE WHEN tv > 0 THEN lam / tv ELSE 0.0 END)
+                     * 1000000.0 + 0.5) / 1000000.0 AS explained
+        FROM (VALUES {_dimvals}) d(dim)
+        CROSS JOIN v{_R} v CROSS JOIN lam
+    """)
+    sql["pca_power"] = "".join(_pca)
     return sql

@@ -522,9 +522,13 @@ def oov_rate(
     )
 
 
-def chao1_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+def chao1_vocab(
+    df: DataFrame, text_col: str = "text", group_col: str | None = None
+) -> DataFrame:
     """Chao1 vocabulary-richness estimate + Good-Turing coverage ->
-    one row (n_tokens, vocab, f1, f2, chao1, coverage).
+    one row (group?, n_tokens, vocab, f1, f2, chao1, coverage) —
+    one global row, or one per ``group_col`` (per-SOURCE coverage is
+    the curation question: which crawl slice is under-sampled?).
 
     The "how much vocabulary HAVEN'T we seen" readout for a corpus
     sample (Chao 1984; Good 1953) — the principled answer to "is this
@@ -545,20 +549,22 @@ def chao1_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     past the type count, and every input to the two formulas is an
     exact integer (the ratios are deterministic doubles, rounded 6).
     """
+    gcols = [group_col] if group_col else []
     types = (
-        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        df.select(*gcols, F.explode(tokenize(F.col(text_col))).alias("w"))
         .filter(F.col("w") != "")
-        .groupBy("w")
+        .groupBy(*gcols, "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
     f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
-    return types.agg(
+    return types.groupBy(*gcols).agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("vocab"),
         f1.alias("f1"),
         f2.alias("f2"),
     ).select(
+        *gcols,
         "n_tokens",
         "vocab",
         "f1",

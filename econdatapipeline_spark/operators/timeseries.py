@@ -956,3 +956,73 @@ def engle_granger(
     ).crossJoin(F.broadcast(stat)).select(
         "n", "slope", "intercept", "adf_stat_resid"
     )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    key_col: str = "dataset",
+    date_col: str = "date",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonal-strength diagnostic per series -> (group, n,
+    var_detrended, var_remainder, strength).
+
+        F_s = max(0, 1 - Var(remainder) / Var(detrended))
+
+    (Hyndman's STL strength measure, on the multiplicative
+    ratio-to-moving-average decomposition seasonal_adjust_monthly
+    already computes): near 1 means the calendar explains most of the
+    detrended variation — seasonally adjust before modeling; near 0
+    means the 'seasonal factors' are fitting noise — do NOT adjust.
+    detrended = value/trend (seasonal x remainder), remainder =
+    adjusted/trend.
+
+    Shape: seasonal_adjust's two windows/joins, then ONE series-sized
+    hash aggregate. Ratios derive from the ROUNDED decomposition
+    outputs (engine-portable by construction); variance sums are
+    decimal(28,12)/(38,12)-quantized per term, variances fixed-order
+    doubles of those exact sums.
+    """
+    adj = seasonal_adjust_monthly(df, key_col, date_col, value_col)
+    base = adj.filter(
+        F.col("trend").isNotNull()
+        & (F.col("trend") != 0)
+        & F.col("seasonal_factor").isNotNull()
+    ).select(
+        F.col(key_col).alias("g"),
+        (F.col(value_col) / F.col("trend")).alias("sr"),
+        (F.col("adjusted") / F.col("trend")).alias("r"),
+    )
+    sums = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("sr").cast("decimal(28,12)")).alias("s_sr"),
+        F.sum((F.col("sr") * F.col("sr")).cast("decimal(38,12)")).alias(
+            "s_sr2"
+        ),
+        F.sum(F.col("r").cast("decimal(28,12)")).alias("s_r"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,12)")).alias(
+            "s_r2"
+        ),
+    )
+    n = F.col("n").cast("double")
+    m_sr = F.col("s_sr").cast("double") / n
+    m_r = F.col("s_r").cast("double") / n
+    var_sr = (F.col("s_sr2").cast("double") - n * m_sr * m_sr) / (n - 1.0)
+    var_r = (F.col("s_r2").cast("double") - n * m_r * m_r) / (n - 1.0)
+    return sums.select(
+        F.col("g").alias(key_col),
+        "n",
+        F.round(
+            F.when(F.col("n") > 1, var_sr).otherwise(0.0), 6
+        ).alias("var_detrended"),
+        F.round(
+            F.when(F.col("n") > 1, var_r).otherwise(0.0), 6
+        ).alias("var_remainder"),
+        F.round(
+            F.when(
+                (F.col("n") > 1) & (var_sr > 0),
+                F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_sr),
+            ).otherwise(0.0),
+            6,
+        ).alias("strength"),
+    )

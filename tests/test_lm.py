@@ -223,3 +223,16 @@ def test_chao1_vocab_exhaustive_sample_has_full_coverage(spark):
     r = chao1_vocab(df).first()
     assert r["f1"] == 0 and r["chao1"] == float(r["vocab"])
     assert r["coverage"] == 1.0
+
+
+def test_chao1_vocab_grouped(spark):
+    from econdatapipeline_spark.operators.lm import chao1_vocab
+
+    df = spark.createDataFrame(
+        [("s1", 1, "a a b"), ("s2", 2, "x y")],
+        "source string, doc_id long, text string",
+    )
+    out = {r["source"]: r for r in chao1_vocab(df, group_col="source").collect()}
+    assert out["s1"]["vocab"] == 2 and out["s1"]["f1"] == 1
+    assert out["s2"]["vocab"] == 2 and out["s2"]["f1"] == 2
+    assert out["s2"]["coverage"] == 0.0  # all singletons: zero coverage

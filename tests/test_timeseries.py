@@ -407,3 +407,22 @@ def test_engle_granger_cointegrated_vs_not(spark):
     out2 = engle_granger(df2, "x", "y", "date").first()
     assert out2["adf_stat_resid"] > -3.34
     assert out2["adf_stat_resid"] > out["adf_stat_resid"] + 1.0
+
+
+def test_seasonal_strength_separates_signal_from_noise(spark):
+    import datetime as dtm
+    from econdatapipeline_spark.operators.timeseries import seasonal_strength
+
+    # strong 12-month cycle vs a flat series with tiny aperiodic noise
+    import hashlib
+    rows = []
+    for i in range(48):
+        d = dtm.date(2018 + i // 12, i % 12 + 1, 1)
+        seasonal = 100.0 + 30.0 * (1 if (i % 12) in (0, 1, 2) else -1)
+        noise = (hashlib.md5(f"n:{i}".encode()).digest()[0] % 7) - 3
+        rows.append(("cyc", d, seasonal))
+        rows.append(("flat", d, 100.0 + noise * 0.5))
+    df = spark.createDataFrame(rows, "dataset string, date date, value double")
+    out = {r["dataset"]: r for r in seasonal_strength(df).collect()}
+    assert out["cyc"]["strength"] > 0.8
+    assert out["flat"]["strength"] < out["cyc"]["strength"]
