@@ -4819,6 +4819,22 @@ def q_seasonal_strength(spark, sf_dir):
     )
 
 
+def q_ips_policy(spark, sf_dir):
+    """Off-policy value of 'always purchase' from logged events
+    (operators/evaluation.ips_policy_value): propensities estimated on
+    the even-id slice, IPS/SNIPS evaluated on the odd-id slice (a
+    same-slice estimate degenerates to the plug-in mean). Two hash
+    aggregates + one-row broadcasts."""
+    from econdatapipeline_spark.operators.evaluation import ips_policy_value
+
+    ev = load_events(spark, sf_dir)
+    behavior = ev.filter(F.col("event_id") % 2 == 0)
+    logged = ev.filter(F.col("event_id") % 2 == 1)
+    return ips_policy_value(
+        behavior, logged, "event_type", "value", "purchase"
+    )
+
+
 def q_pca_power(spark, sf_dir):
     """Top principal component of the embedding space
     (operators/pca.pca_power): matrix-free power iteration — per
@@ -5283,6 +5299,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "vocab_by_source": q_vocab_by_source,
         "seasonal_strength": q_seasonal_strength,
         "pca_power": q_pca_power,
+        "ips_policy": q_ips_policy,
     }
 
 
@@ -11712,4 +11729,38 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN v{_R} v CROSS JOIN lam
     """)
     sql["pca_power"] = "".join(_pca)
+    # IPS off-policy value: propensities on the even-id slice,
+    # evaluation on the odd-id slice
+    # (operators/evaluation.ips_policy_value mirrored).
+    sql["ips_policy"] = """
+        WITH prop AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+          FROM events WHERE event_id % 2 = 0),
+        ev AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+                 SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS r_match,
+                 SUM(CAST(value AS DECIMAL(28,6))) AS r_all
+          FROM events WHERE event_id % 2 = 1)
+        SELECT n_eval, n_match,
+               round(CAST(c_t AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+                 AS p_target,
+               round(CASE WHEN c_t > 0 AND n_eval > 0
+                     THEN COALESCE(CAST(r_match AS DOUBLE), 0.0)
+                          / (CAST(c_t AS DOUBLE) / CAST(n_b AS DOUBLE))
+                          / CAST(n_eval AS DOUBLE)
+                     ELSE 0.0 END, 6) AS ips_value,
+               round(CASE WHEN n_match > 0
+                     THEN COALESCE(CAST(r_match AS DOUBLE), 0.0)
+                          / CAST(n_match AS DOUBLE)
+                     ELSE 0.0 END, 6) AS snips_value,
+               round(CASE WHEN n_eval > 0
+                     THEN CAST(r_all AS DOUBLE) / CAST(n_eval AS DOUBLE)
+                     ELSE 0.0 END, 6) AS logged_value
+        FROM ev CROSS JOIN prop
+    """
     return sql

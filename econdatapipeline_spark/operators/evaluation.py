@@ -577,3 +577,81 @@ def cem_att(
             6,
         ).alias("att"),
     )
+
+
+def ips_policy_value(
+    behavior: DataFrame,
+    logged: DataFrame,
+    action_col: str = "event_type",
+    reward_col: str = "value",
+    target_action: str = "purchase",
+) -> DataFrame:
+    """Inverse-propensity-scored off-policy value -> one row
+    (n_eval, n_match, p_target, ips_value, snips_value, logged_value).
+
+    The counterfactual "what if we always played ``target_action``"
+    estimator for logged interaction data (Horvitz-Thompson / the
+    bandit-replay method): propensities are estimated on the
+    ``behavior`` slice (a DIFFERENT slice than the one evaluated —
+    estimating them on the evaluation rows degenerates IPS into the
+    plug-in mean), and each evaluation row where the logged action
+    matches the target is up-weighted by 1/p(target).
+
+        IPS   = (1/n) Σ r_i · 1[a_i = t] / p(t)
+        SNIPS = Σ r_i w_i / Σ w_i (= the matched-row mean under a
+                deterministic target policy — reported for the
+                diagnostic gap vs IPS: a large gap means the match
+                rate disagrees with the estimated propensity)
+
+    Two hash aggregates + one-row broadcast literals; reward sums are
+    decimal(28,6)-quantized, the estimator arithmetic is fixed-order
+    doubles of exact counts/sums.
+    """
+    prop = behavior.agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum(
+            F.when(F.col(action_col) == target_action, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_t"),
+    )
+    ev = logged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(
+            F.when(F.col(action_col) == target_action, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_match"),
+        F.sum(
+            F.when(
+                F.col(action_col) == target_action,
+                F.col(reward_col).cast("decimal(28,6)"),
+            )
+        ).alias("r_match"),
+        F.sum(F.col(reward_col).cast("decimal(28,6)")).alias("r_all"),
+    )
+    j = ev.crossJoin(F.broadcast(prop))
+    p_t = F.col("c_t").cast("double") / F.col("n_b").cast("double")
+    ips = F.when(
+        (F.col("c_t") > 0) & (F.col("n_eval") > 0),
+        F.coalesce(F.col("r_match").cast("double"), F.lit(0.0))
+        / p_t
+        / F.col("n_eval").cast("double"),
+    ).otherwise(F.lit(0.0))
+    snips = F.when(
+        F.col("n_match") > 0,
+        F.coalesce(F.col("r_match").cast("double"), F.lit(0.0))
+        / F.col("n_match").cast("double"),
+    ).otherwise(F.lit(0.0))
+    logged_v = F.when(
+        F.col("n_eval") > 0,
+        F.col("r_all").cast("double") / F.col("n_eval").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "n_eval",
+        "n_match",
+        F.round(p_t, 6).alias("p_target"),
+        F.round(ips, 6).alias("ips_value"),
+        F.round(snips, 6).alias("snips_value"),
+        F.round(logged_v, 6).alias("logged_value"),
+    )

@@ -297,3 +297,40 @@ def test_cem_att_unmatched_treated_drop_out(spark):
     r = cem_att(df, "t", "y", "s", bins=4).first()
     assert r["n_treated"] == 2 and r["n_matched"] == 1
     assert r["n_strata_matched"] == 1 and abs(r["att"] - 2.0) < 1e-9
+
+
+def test_ips_policy_value_hand_values(spark):
+    from econdatapipeline_spark.operators.evaluation import ips_policy_value
+
+    # behavior slice: purchase shown 1 of 4 times -> p = 0.25
+    behavior = spark.createDataFrame(
+        [("purchase", 0.0), ("view", 0.0), ("view", 0.0), ("click", 0.0)],
+        "event_type string, value double",
+    )
+    # eval slice: 2 of 4 rows matched, rewards 10 and 20
+    logged = spark.createDataFrame(
+        [("purchase", 10.0), ("purchase", 20.0), ("view", 100.0),
+         ("click", 100.0)],
+        "event_type string, value double",
+    )
+    r = ips_policy_value(behavior, logged, target_action="purchase").first()
+    assert r["n_eval"] == 4 and r["n_match"] == 2
+    assert r["p_target"] == 0.25
+    # IPS = (30 / 0.25) / 4 = 30; SNIPS = 30/2 = 15; logged = 230/4
+    assert r["ips_value"] == 30.0
+    assert r["snips_value"] == 15.0
+    assert r["logged_value"] == 57.5
+
+
+def test_ips_policy_no_match_guards(spark):
+    from econdatapipeline_spark.operators.evaluation import ips_policy_value
+
+    behavior = spark.createDataFrame(
+        [("view", 0.0)], "event_type string, value double"
+    )
+    logged = spark.createDataFrame(
+        [("view", 5.0)], "event_type string, value double"
+    )
+    r = ips_policy_value(behavior, logged, target_action="purchase").first()
+    assert r["n_match"] == 0 and r["ips_value"] == 0.0
+    assert r["snips_value"] == 0.0 and r["logged_value"] == 5.0
