@@ -4835,6 +4835,31 @@ def q_ips_policy(spark, sf_dir):
     )
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per source (operators/quality.
+    tokenizer_fertility): BPE-ish subwords per whitespace word + chars
+    per subword — the tokenizer-fairness readout (high-fertility
+    slices pay more compute per word and truncate earlier). One
+    projection + one per-source hash aggregate."""
+    from econdatapipeline_spark.operators.quality import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents")).orderBy(
+        "source"
+    )
+
+
+def q_stream_ohlc(spark, sf_dir):
+    """Batch twin of the streaming OHLC bars
+    (streaming/windows.ohlc_bars): per-hour open/high/low/close of the
+    event value stream — min_by/max_by on a (second-resolution ts +
+    id) lexicographic key, the map-side-combinable shape that runs
+    identically as a watermarked streaming aggregation."""
+    from econdatapipeline_spark.streaming.windows import ohlc_bars
+
+    ev = load_events(spark, sf_dir)
+    return ohlc_bars(ev, "1 hour").orderBy("window_start")
+
+
 def q_pca_power(spark, sf_dir):
     """Top principal component of the embedding space
     (operators/pca.pca_power): matrix-free power iteration — per
@@ -5300,6 +5325,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "seasonal_strength": q_seasonal_strength,
         "pca_power": q_pca_power,
         "ips_policy": q_ips_policy,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "stream_ohlc": q_stream_ohlc,
     }
 
 
@@ -11762,5 +11789,56 @@ def oracle_sql() -> dict[str, str]:
                      THEN CAST(r_all AS DOUBLE) / CAST(n_eval AS DOUBLE)
                      ELSE 0.0 END, 6) AS logged_value
         FROM ev CROSS JOIN prop
+    """
+    # Tokenizer fertility: whitespace words vs the BPE-ish regex
+    # pretokenizer (operators/quality.tokenizer_fertility mirrored;
+    # the regex literal is the bpe_tokens oracle's).
+    sql["tokenizer_fertility"] = """
+        WITH base AS (
+          SELECT source AS g,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text),
+                                                     '\\s+')) END AS w,
+                 len(regexp_extract_all(lower(text),
+                     '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS s,
+                 length(text) AS c
+          FROM documents),
+        agg AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(w) AS BIGINT) AS n_words,
+                 CAST(SUM(s) AS BIGINT) AS n_subwords,
+                 CAST(SUM(c) AS BIGINT) AS n_chars
+          FROM base GROUP BY 1)
+        SELECT g AS source, n_docs, n_words, n_subwords,
+               round(CASE WHEN n_words > 0
+                     THEN CAST(n_subwords AS DOUBLE)
+                          / CAST(n_words AS DOUBLE)
+                     ELSE 0.0 END, 6) AS fertility,
+               round(CASE WHEN n_subwords > 0
+                     THEN CAST(n_chars AS DOUBLE)
+                          / CAST(n_subwords AS DOUBLE)
+                     ELSE 0.0 END, 6) AS chars_per_subword
+        FROM agg
+    """
+    # Streaming OHLC batch twin: hour buckets, arg_min/arg_max on the
+    # shared (second-resolution ts + zero-padded id) string key
+    # (streaming/windows.ohlc_bars mirrored).
+    sql["stream_ohlc"] = """
+        WITH o AS (
+          SELECT date_trunc('hour', ts) AS window_start,
+                 date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                 strftime(ts, '%Y%m%d%H%M%S')
+                   || lpad(CAST(event_id AS VARCHAR), 14, '0') AS k,
+                 CAST(value AS DOUBLE) AS v
+          FROM events)
+        SELECT window_start, window_end,
+               arg_min(v, k) AS open,
+               MAX(v) AS high,
+               MIN(v) AS low,
+               arg_max(v, k) AS close,
+               CAST(COUNT(*) AS BIGINT) AS volume,
+               round(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE), 6)
+                 AS total
+        FROM o GROUP BY 1, 2
     """
     return sql

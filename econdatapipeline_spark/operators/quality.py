@@ -471,3 +471,59 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Tokenizer fertility per corpus slice -> (group, n_docs,
+    n_words, n_subwords, fertility, chars_per_subword).
+
+    Fertility = subword tokens per whitespace word (the BPE-ish regex
+    pretokenizer over the corpus) — THE tokenizer-fairness metric:
+    slices (languages, sources) with fertility far above the corpus
+    norm pay more compute per word and truncate earlier at fixed
+    sequence length; chars_per_subword is the compression view of the
+    same question. One projection + one hash aggregate per slice —
+    all counts exact integers, two final ratios.
+    """
+    from econdatapipeline_spark.functions.text import (
+        bpe_ish_tokens,
+        token_count,
+    )
+
+    t = F.col(text_col)
+    base = df.select(
+        F.col(group_col).alias("g"),
+        token_count(t).cast("long").alias("w"),
+        F.size(bpe_ish_tokens(t)).cast("long").alias("s"),
+        F.length(t).cast("long").alias("c"),
+    )
+    agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("s").cast("long").alias("n_subwords"),
+        F.sum("c").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.when(
+                F.col("n_subwords") > 0,
+                F.col("n_chars").cast("double")
+                / F.col("n_subwords").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("chars_per_subword"),
+    )

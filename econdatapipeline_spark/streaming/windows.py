@@ -131,3 +131,61 @@ def stream_upsert_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ohlc_bars(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-window OHLC bars of the value stream -> (window_start,
+    window_end, open, high, low, close, volume, total).
+
+    The streaming form of operators/timeseries.ohlc_resample: open and
+    close ride min_by/max_by over a lexicographic (second-resolution
+    timestamp + zero-padded tiebreak) string key, which makes the
+    whole aggregate MAP-SIDE COMBINABLE — the precondition for running
+    identically as a watermarked streaming aggregation (append mode
+    emits each bar once, when the watermark closes its window) and as
+    the batch twin the oracle certifies. Same-second events tie-break
+    on the id, the documented contract on both engines.
+    """
+    src = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming
+        else events
+    )
+    k = F.concat(
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmss"),
+        F.lpad(F.col(tiebreak_col).cast("string"), 14, "0"),
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        src.select(
+            F.col(ts_col), k.alias("__k"), v.alias("__v")
+        )
+        .groupBy(F.window(F.col(ts_col), window_size).alias("w"))
+        .agg(
+            F.min_by("__v", "__k").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max_by("__v", "__k").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+            F.round(
+                F.sum(F.col("__v").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "total",
+        )
+    )

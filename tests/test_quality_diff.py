@@ -290,3 +290,19 @@ def test_benford_audit_keeps_large_magnitudes(spark):
     out = {r["digit"]: r for r in benford_audit(df, "x").collect()}
     assert sum(r["n"] for r in out.values()) == 10
     assert out[2]["n"] == 2  # 2e15 and 2e20
+
+
+def test_tokenizer_fertility_hand_values(spark):
+    from econdatapipeline_spark.operators.quality import tokenizer_fertility
+
+    # "ab cd." -> words 2; bpe-ish: ab, cd, '.' -> 3 subwords, 6 chars
+    df = spark.createDataFrame(
+        [("s1", "ab cd."), ("s2", "x1y")],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in tokenizer_fertility(df).collect()}
+    assert out["s1"]["n_words"] == 2 and out["s1"]["n_subwords"] == 3
+    assert out["s1"]["fertility"] == 1.5
+    assert out["s1"]["chars_per_subword"] == 2.0
+    # x1y -> 1 word, 3 subwords (x, 1, y): digit boundaries split
+    assert out["s2"]["n_words"] == 1 and out["s2"]["n_subwords"] == 3

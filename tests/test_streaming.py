@@ -115,3 +115,56 @@ def test_stream_upsert_sink_revisions(spark, tmp_path):
     revs = wh.revisions().collect()
     assert len(revs) == 1
     assert revs[0]["old_value"] == 10.0 and revs[0]["new_value"] == 99.0
+
+
+def test_ohlc_bars_batch_hand_values(spark):
+    events = spark.createDataFrame(
+        [
+            (2, dt.datetime(2024, 1, 1, 10, 5), 7, "c", 20.0, "{}"),
+            (1, dt.datetime(2024, 1, 1, 10, 5), 7, "c", 10.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 10, 50), 7, "c", 5.0, "{}"),
+            (4, dt.datetime(2024, 1, 1, 11, 1), 7, "c", 99.0, "{}"),
+        ],
+        EVENT_SCHEMA,
+    )
+    out = {r["window_start"]: r for r in W.ohlc_bars(events, "1 hour").collect()}
+    bar = out[dt.datetime(2024, 1, 1, 10, 0)]
+    # same-second tie at 10:05 breaks on event_id: open = id 1's 10.0
+    assert bar["open"] == 10.0 and bar["close"] == 5.0
+    assert bar["high"] == 20.0 and bar["low"] == 5.0
+    assert bar["volume"] == 3 and bar["total"] == 35.0
+    assert out[dt.datetime(2024, 1, 1, 11, 0)]["volume"] == 1
+
+
+def test_ohlc_bars_streaming_matches_batch(spark, tmp_path):
+    """Real readStream: the watermark-closed bars must equal the batch
+    twin's bars for the same windows (map-side-combinable aggregate =>
+    identical semantics in both modes)."""
+    src_dir = str(tmp_path / "ohlc_src")
+    events = load_events(spark, SF_DIR).limit(400)
+    events.write.parquet(src_dir)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
+    q = (
+        W.ohlc_bars(stream, "1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("ohlc_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ohlc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: r
+        for r in spark.sql("select * from ohlc_test").collect()
+    }
+    assert got, "append mode emitted no closed windows"
+    batch = {
+        r["window_start"]: r
+        for r in W.ohlc_bars(spark.read.parquet(src_dir), "1 hour").collect()
+    }
+    for ws, r in got.items():
+        b = batch[ws]
+        assert (r["open"], r["high"], r["low"], r["close"], r["volume"]) == (
+            b["open"], b["high"], b["low"], b["close"], b["volume"]
+        ), ws
