@@ -4885,8 +4885,10 @@ def q_bradley_terry(spark, sf_dir):
     suppliers with unbalanced schedules; the fitted thetas do not."""
     from econdatapipeline_spark.operators.preference import bradley_terry
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1996)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
     )
     a = li.alias("a")
     b = li.alias("b")
@@ -11205,7 +11207,8 @@ def oracle_sql() -> dict[str, str]:
         WITH pairs AS (
           SELECT CAST(a.l_suppkey AS VARCHAR) AS i,
                  CAST(b.l_suppkey AS VARCHAR) AS j
-          FROM lineitem a JOIN lineitem b
+          FROM (SELECT * FROM lineitem WHERE year(l_shipdate) = 1996) a
+          JOIN (SELECT * FROM lineitem WHERE year(l_shipdate) = 1996) b
             ON a.l_orderkey = b.l_orderkey
            AND a.l_suppkey != b.l_suppkey
            AND a.l_shipdate < b.l_shipdate),

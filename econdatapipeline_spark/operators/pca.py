@@ -54,50 +54,76 @@ def pca_power(
         raise ValueError(f"dims must be >= 1, got {dims}")
     spark = df.sparkSession
     x = df.select(F.col(vec_col).alias("v")).localCheckpoint(eager=True)
-
-    def e(k: int):  # 1-based element as double
-        return F.element_at(F.col("v"), k).cast("double")
-
-    stats = x.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        *[
-            F.sum(e(k).cast("decimal(28,12)")).alias(f"s{k}")
-            for k in range(1, dims + 1)
-        ],
-        *[
-            F.sum((e(k) * e(k)).cast("decimal(38,12)")).alias(f"q{k}")
-            for k in range(1, dims + 1)
-        ],
-    ).collect()[0]
-    n = stats["n"]
-    if n == 0:
+    # moment sums in the narrow (pos, e) explode form — one ~3-node
+    # hash aggregate instead of a 2d-column wide aggregate (measured:
+    # the wide form spent ~2.5 s in codegen alone at d=64); values are
+    # the identical decimal-quantized per-element sums either way
+    mrows = (
+        x.select(F.posexplode(F.col("v").cast("array<double>")))
+        .select(
+            "pos",
+            F.col("col").cast("decimal(28,12)").alias("e"),
+            (F.col("col") * F.col("col")).cast("decimal(38,12)").alias(
+                "e2"
+            ),
+        )
+        .groupBy("pos")
+        .agg(F.sum("e").alias("s"), F.sum("e2").alias("q"))
+        .collect()
+    )
+    n = x.count()
+    if n == 0 or not mrows:
         return spark.createDataFrame(
             [], "dim int, loading double, eigenvalue double, explained double"
         )
-    mu = [float(stats[f"s{k}"]) / n for k in range(1, dims + 1)]
+    s_by = {r["pos"]: r["s"] for r in mrows}
+    q_by = {r["pos"]: r["q"] for r in mrows}
+    mu = [float(s_by.get(k - 1) or 0) / n for k in range(1, dims + 1)]
     tv = 0.0
     for k in range(1, dims + 1):
-        tv += float(stats[f"q{k}"]) / n - mu[k - 1] * mu[k - 1]
+        tv += float(q_by.get(k - 1) or 0) / n - mu[k - 1] * mu[k - 1]
 
-    def centered(k: int):
-        return e(k) - F.lit(mu[k - 1])
+    # centered vector ONCE per row as an array column; the per-round
+    # dot product is an aggregate/zip_with FOLD over it — the fold is
+    # the SAME left-associative chain ((0 + t1) + t2) + ... the oracle
+    # writes out longhand, but as ~3 expression nodes instead of a
+    # 64-term codegen chain per round (measured: the longhand form
+    # spent ~2 s/round in Catalyst/codegen on a 2000-row input)
+    xc = x.select(
+        F.zip_with(
+            F.col("v").cast("array<double>"),
+            F.lit(mu),
+            lambda a, b: a - b,
+        ).alias("xc")
+    ).localCheckpoint(eager=True)
 
     v = [_q9(1.0 / math.sqrt(dims))] * dims
     norm = 0.0
     for _ in range(rounds):
-        # w = x_c . v as the same left-assoc chain the oracle writes
-        w = F.lit(0.0)
-        for k in range(1, dims + 1):
-            w = w + centered(k) * F.lit(v[k - 1])
-        sums = x.select(w.alias("w"), "v").agg(
-            *[
-                F.sum(
-                    (F.col("w") * centered(k)).cast("decimal(28,12)")
-                ).alias(f"s{k}")
-                for k in range(1, dims + 1)
-            ]
-        ).collect()[0]
-        s = [float(sums[f"s{k}"] or 0) for k in range(1, dims + 1)]
+        w = F.aggregate(
+            F.zip_with(F.col("xc"), F.lit(v), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        # one narrow (pos, term) explode + ONE hash aggregate instead
+        # of d wide aggregate expressions: identical per-term values
+        # and order-free decimal sums, but a ~3-node plan Catalyst
+        # compiles once per round (the d-column agg form spent
+        # ~1 s/round in codegen alone)
+        rows = (
+            xc.select(w.alias("w"), F.posexplode(F.col("xc")))
+            .select(
+                F.col("pos"),
+                (F.col("w") * F.col("col")).cast("decimal(28,12)").alias(
+                    "t"
+                ),
+            )
+            .groupBy("pos")
+            .agg(F.sum("t").alias("s"))
+            .collect()
+        )
+        by_pos = {r["pos"]: r["s"] for r in rows}
+        s = [float(by_pos.get(k - 1) or 0) for k in range(1, dims + 1)]
         acc = 0.0
         for sk in s:
             acc += sk * sk
