@@ -4860,6 +4860,27 @@ def q_stream_ohlc(spark, sf_dir):
     return ohlc_bars(ev, "1 hour").orderBy("window_start")
 
 
+def q_theil_index(spark, sf_dir):
+    """Theil T inequality of per-customer spend, decomposed across
+    market segments (operators/stats.theil_index): the EXACTLY
+    decomposable inequality measure — '__between__' + Σ share·within
+    = '__total__' — answering whether revenue concentration lives
+    between segments or within them. Two shuffles, groups-sized
+    scalars."""
+    from econdatapipeline_spark.operators.stats import theil_index
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(_dsum(F.col("o_totalprice")).alias("spend"))
+    )
+    return theil_index(spend, "spend", "c_mktsegment").orderBy(
+        "c_mktsegment"
+    )
+
+
 def q_pca_power(spark, sf_dir):
     """Top principal component of the embedding space
     (operators/pca.pca_power): matrix-free power iteration — per
@@ -5329,6 +5350,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "ips_policy": q_ips_policy,
         "tokenizer_fertility": q_tokenizer_fertility,
         "stream_ohlc": q_stream_ohlc,
+        "theil_index": q_theil_index,
     }
 
 
@@ -11843,5 +11865,71 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE), 6)
                  AS total
         FROM o GROUP BY 1, 2
+    """
+    # Theil T with exact between/within decomposition
+    # (operators/stats.theil_index mirrored: per-row terms
+    # decimal(28,12)-quantized; '__between__' and '__total__' rows
+    # from the same exact sums).
+    sql["theil_index"] = """
+        WITH spend AS (
+          SELECT c_mktsegment AS g,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                      AS DOUBLE) AS x
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY o_custkey, c_mktsegment),
+        base AS (
+          SELECT g, x, CAST(x AS DECIMAL(28,6)) AS xd
+          FROM spend WHERE x > 0),
+        gsums AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g, SUM(xd) AS s_g
+          FROM base GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, SUM(s_g) AS s
+                FROM gsums),
+        enr AS (
+          SELECT b.g, b.x, gs.n_g, gs.s_g, t.n, t.s
+          FROM base b JOIN gsums gs USING (g) CROSS JOIN tot t),
+        perg AS (
+          SELECT g, first(n_g) AS n_g, first(s_g) AS s_g,
+                 first(s) AS s, first(n) AS n,
+                 SUM(CAST((x / (CAST(s_g AS DOUBLE)
+                                / CAST(n_g AS DOUBLE)))
+                          * ln(x / (CAST(s_g AS DOUBLE)
+                                    / CAST(n_g AS DOUBLE)))
+                          AS DECIMAL(28,12))) AS tw,
+                 SUM(CAST((x / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                          * ln(x / (CAST(s AS DOUBLE)
+                                    / CAST(n AS DOUBLE)))
+                          AS DECIMAL(28,12))) AS ta
+          FROM enr GROUP BY g),
+        rows_g AS (
+          SELECT g AS c_mktsegment, n_g AS n,
+                 round(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6)
+                   AS mean,
+                 round(CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE), 6)
+                   AS share,
+                 round(CAST(tw AS DOUBLE) / CAST(n_g AS DOUBLE), 6)
+                   AS theil_within
+          FROM perg),
+        sc AS (
+          SELECT first(n) AS n, first(s) AS s,
+                 SUM(CAST((CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))
+                          * ln((CAST(s_g AS DOUBLE)
+                                / CAST(n_g AS DOUBLE))
+                               / (CAST(s AS DOUBLE)
+                                  / CAST(n AS DOUBLE)))
+                          AS DECIMAL(28,12))) AS btw,
+                 SUM(ta) AS ta_sum
+          FROM perg)
+        SELECT * FROM rows_g
+        UNION ALL
+        SELECT '__between__', n,
+               round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6), 1.0,
+               round(CAST(btw AS DOUBLE), 6)
+        FROM sc
+        UNION ALL
+        SELECT '__total__', n,
+               round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6), 1.0,
+               round(CAST(ta_sum AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        FROM sc
     """
     return sql

@@ -1649,3 +1649,111 @@ def effect_sizes(
         ).alias("cohens_d"),
         F.round(2.0 * F.col("__auc") - 1.0, 6).alias("cliffs_delta"),
     )
+
+
+def theil_index(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Theil T inequality index with exact between/within
+    decomposition -> one row per group (group, n, mean, share,
+    theil_within) plus '__between__' and '__total__' rows (their
+    theil_within column carries T_between and T_total).
+
+        T       = (1/n) Σ (x_i/μ) ln(x_i/μ)
+        T       = T_between + Σ_g s_g T_g        (exactly)
+        T_betw  = Σ_g s_g ln(μ_g/μ),  s_g = value share of group g
+
+    The decomposable inequality measure (Theil 1967) — unlike Gini,
+    the group decomposition is EXACT, which is what makes it the
+    concentration audit for grouped economic data ("is revenue
+    inequality across customers driven by segment gaps or by spread
+    within segments?") and for corpus curation ("is token-count
+    inequality a between-source or within-source problem?"). Requires
+    strictly positive values; non-positive rows are excluded and
+    reflected in the counts.
+
+    Shape: one groups-sized aggregate (means/shares), a broadcast
+    join back onto the scan, one aggregate of per-row
+    decimal(28,12)-quantized (x/μ)ln(x/μ) terms per group — two
+    shuffles total, nothing scales past the scan. The scalar
+    between/total rows are groups-sized arithmetic on exact sums.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x > 0).select(
+        F.col(group_col).cast("string").alias("g"),
+        x.alias("x"),
+        x.cast("decimal(28,6)").alias("xd"),
+    )
+    gsums = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("xd").alias("s_g"),
+    )
+    tot = gsums.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").alias("s"),
+    )
+    mu_g = F.col("s_g").cast("double") / F.col("n_g").cast("double")
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    enriched = base.join(F.broadcast(gsums), "g").crossJoin(
+        F.broadcast(tot)
+    )
+    t_g_term = (
+        (F.col("x") / mu_g) * F.log(F.col("x") / mu_g)
+    ).cast("decimal(28,12)")
+    t_all_term = (
+        (F.col("x") / mu) * F.log(F.col("x") / mu)
+    ).cast("decimal(28,12)")
+    per_g = enriched.groupBy("g").agg(
+        F.first("n_g").alias("n_g"),
+        F.first("s_g").alias("s_g"),
+        F.first("s").alias("s"),
+        F.first("n").alias("n"),
+        F.sum(t_g_term).alias("tw"),
+        F.sum(t_all_term).alias("ta"),
+    )
+    group_rows = per_g.select(
+        F.col("g").alias(group_col),
+        F.col("n_g").alias("n"),
+        F.round(mu_g, 6).alias("mean"),
+        F.round(
+            F.col("s_g").cast("double") / F.col("s").cast("double"), 6
+        ).alias("share"),
+        F.round(
+            F.col("tw").cast("double") / F.col("n_g").cast("double"), 6
+        ).alias("theil_within"),
+    )
+    # between = sum_g s_share * ln(mu_g / mu); total = (1/n) sum ta —
+    # both from the SAME exact sums (order-free decimal aggregates)
+    btw_term = (
+        (F.col("s_g").cast("double") / F.col("s").cast("double"))
+        * F.log(mu_g / mu)
+    ).cast("decimal(28,12)")
+    scalars = per_g.select(
+        "n_g",
+        "n",
+        "s",
+        btw_term.alias("bt"),
+        "ta",
+    ).agg(
+        F.first("n").alias("n"),
+        F.first("s").alias("s"),
+        F.sum("bt").alias("btw"),
+        F.sum("ta").alias("ta_sum"),
+    )
+    between_row = scalars.select(
+        F.lit("__between__").alias(group_col),
+        F.col("n").alias("n"),
+        F.round(mu, 6).alias("mean"),
+        F.lit(1.0).alias("share"),
+        F.round(F.col("btw").cast("double"), 6).alias("theil_within"),
+    )
+    total_row = scalars.select(
+        F.lit("__total__").alias(group_col),
+        F.col("n").alias("n"),
+        F.round(mu, 6).alias("mean"),
+        F.lit(1.0).alias("share"),
+        F.round(
+            F.col("ta_sum").cast("double") / F.col("n").cast("double"), 6
+        ).alias("theil_within"),
+    )
+    return group_rows.unionByName(between_row).unionByName(total_row)

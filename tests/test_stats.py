@@ -784,3 +784,37 @@ def test_effect_sizes_no_effect(spark):
     df = spark.createDataFrame(rows, "s string, v double")
     r = effect_sizes(df, "v", "s", "a", "b").first()
     assert r["cohens_d"] == 0.0 and r["cliffs_delta"] == 0.0
+
+
+def test_theil_index_decomposition_and_bounds(spark):
+    from econdatapipeline_spark.operators.stats import theil_index
+    import math
+
+    # two groups with within-spread AND a between gap
+    rows = [("a", 10.0), ("a", 30.0), ("b", 100.0), ("b", 300.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in theil_index(df, "v", "g").collect()}
+    # exact decomposition: T_total = T_between + sum share*T_within
+    recon = out["__between__"]["theil_within"] + (
+        out["a"]["share"] * out["a"]["theil_within"]
+        + out["b"]["share"] * out["b"]["theil_within"]
+    )
+    assert abs(out["__total__"]["theil_within"] - recon) < 1e-5
+    assert out["__total__"]["theil_within"] > 0
+    # hand value for group a: mean 20, terms (.5 ln .5 + 1.5 ln 1.5)/2
+    t_a = (0.5 * math.log(0.5) + 1.5 * math.log(1.5)) / 2
+    assert abs(out["a"]["theil_within"] - round(t_a, 6)) < 1e-9
+    # perfectly equal values -> zero everywhere
+    eq = spark.createDataFrame([("a", 5.0)] * 3 + [("b", 5.0)] * 3, "g string, v double")
+    oeq = {r["g"]: r for r in theil_index(eq, "v", "g").collect()}
+    assert oeq["__total__"]["theil_within"] == 0.0
+    assert oeq["__between__"]["theil_within"] == 0.0
+
+
+def test_theil_index_excludes_nonpositive(spark):
+    from econdatapipeline_spark.operators.stats import theil_index
+
+    rows = [("a", 10.0), ("a", 0.0), ("a", -5.0), ("a", 10.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in theil_index(df, "v", "g").collect()}
+    assert out["a"]["n"] == 2 and out["a"]["theil_within"] == 0.0
