@@ -1703,6 +1703,10 @@ def theil_index(
     t_all_term = (
         (F.col("x") / mu) * F.log(F.col("x") / mu)
     ).cast("decimal(28,12)")
+    # per_g is GROUPS-sized and feeds THREE output branches (group
+    # rows, between, total): pin it, or each union branch re-derives
+    # the whole join/aggregate pipeline — the unpinned plan carried 39
+    # exchanges (caught by plan_report)
     per_g = enriched.groupBy("g").agg(
         F.first("n_g").alias("n_g"),
         F.first("s_g").alias("s_g"),
@@ -1710,7 +1714,7 @@ def theil_index(
         F.first("n").alias("n"),
         F.sum(t_g_term).alias("tw"),
         F.sum(t_all_term).alias("ta"),
-    )
+    ).localCheckpoint(eager=True)
     group_rows = per_g.select(
         F.col("g").alias(group_col),
         F.col("n_g").alias("n"),
