@@ -8532,10 +8532,12 @@ def oracle_sql() -> dict[str, str]:
                    FROM c2)
             SELECT CAST(1 AS INTEGER) AS round,
                    CAST(rank AS INTEGER) AS rank,
-                   l AS left, r AS right, n AS pair_count
+                   l AS left, r AS right,
+                   CAST(n AS BIGINT) AS pair_count
             FROM r1 WHERE rank <= 10
             UNION ALL
-            SELECT CAST(2 AS INTEGER), CAST(rank AS INTEGER), l, r, n
+            SELECT CAST(2 AS INTEGER), CAST(rank AS INTEGER), l, r,
+                   CAST(n AS BIGINT)
             FROM r2 WHERE rank <= 10
         """,
         # ANN recall: both candidate lists replayed exactly (the same
@@ -9182,10 +9184,10 @@ def oracle_sql() -> dict[str, str]:
                  CAST(SUM(1 - e) AS BIGINT) AS n_censored
           FROM subjects GROUP BY 1),
         risk AS (
-          SELECT *, SUM(n_events + n_censored) OVER (
+          SELECT *, CAST(SUM(n_events + n_censored) OVER (
                       ORDER BY t DESC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS n_risk
+                    AS BIGINT) AS n_risk
           FROM per_t),
         terms AS (
           SELECT *,
@@ -10874,9 +10876,9 @@ def oracle_sql() -> dict[str, str]:
           FROM subjects GROUP BY 1),
         risk AS (
           SELECT t, n_events,
-                 SUM(n_total) OVER (ORDER BY t DESC
+                 CAST(SUM(n_total) OVER (ORDER BY t DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS n_risk
+                   AS BIGINT) AS n_risk
           FROM per_t)
         SELECT t, n_risk, n_events,
                round(CAST(SUM(CAST(CAST(n_events AS DOUBLE)
@@ -10944,8 +10946,8 @@ def oracle_sql() -> dict[str, str]:
                        0) AS s95
           FROM orders WHERE year(o_orderdate) IN (1994, 1995)
           GROUP BY 1),
-        d AS (SELECT CAST(s95 AS DECIMAL(18,6))
-                     - CAST(s94 AS DECIMAL(18,6)) AS d FROM spend),
+        d AS (SELECT CAST(s95 AS DECIMAL(28,6))
+                     - CAST(s94 AS DECIMAL(28,6)) AS d FROM spend),
         nz AS (SELECT d FROM d WHERE d IS NOT NULL AND d <> 0),
         per_m AS (
           SELECT abs(d) AS m, CAST(COUNT(*) AS BIGINT) AS t,
@@ -11014,7 +11016,7 @@ def oracle_sql() -> dict[str, str]:
         WITH o AS (
           SELECT strftime(o_orderdate, '%Y-%m') AS period,
                  strftime(o_orderdate, '%Y%m%d')
-                   || lpad(CAST(o_orderkey AS VARCHAR), 14, '0') AS k,
+                   || lpad(CAST(o_orderkey AS VARCHAR), 20, '0') AS k,
                  CAST(o_totalprice AS DOUBLE) AS v
           FROM orders)
         SELECT period,
@@ -11166,13 +11168,13 @@ def oracle_sql() -> dict[str, str]:
         means AS (
           SELECT *,
             CASE WHEN n_t_pre > 0 THEN CAST(s_t_pre AS DOUBLE)
-                 / CAST(n_t_pre AS DOUBLE) ELSE 0.0 END AS e_t_pre,
+                 / CAST(n_t_pre AS DOUBLE) END AS e_t_pre,
             CASE WHEN n_t_post > 0 THEN CAST(s_t_post AS DOUBLE)
-                 / CAST(n_t_post AS DOUBLE) ELSE 0.0 END AS e_t_post,
+                 / CAST(n_t_post AS DOUBLE) END AS e_t_post,
             CASE WHEN n_c_pre > 0 THEN CAST(s_c_pre AS DOUBLE)
-                 / CAST(n_c_pre AS DOUBLE) ELSE 0.0 END AS e_c_pre,
+                 / CAST(n_c_pre AS DOUBLE) END AS e_c_pre,
             CASE WHEN n_c_post > 0 THEN CAST(s_c_post AS DOUBLE)
-                 / CAST(n_c_post AS DOUBLE) ELSE 0.0 END AS e_c_post
+                 / CAST(n_c_post AS DOUBLE) END AS e_c_post
           FROM agg)
         SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
                round(e_t_pre, 6) AS mean_t_pre,
@@ -11436,8 +11438,10 @@ def oracle_sql() -> dict[str, str]:
         mom AS (
           SELECT
             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                     AND o_totalprice IS NOT NULL
                      THEN 1 ELSE 0 END) AS BIGINT) AS na,
             CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                     AND o_totalprice IS NOT NULL
                      THEN 1 ELSE 0 END) AS BIGINT) AS nb,
             SUM(CASE WHEN o_orderpriority = '1-URGENT'
                 THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS sa,
@@ -11853,7 +11857,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT date_trunc('hour', ts) AS window_start,
                  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
                  strftime(ts, '%Y%m%d%H%M%S')
-                   || lpad(CAST(event_id AS VARCHAR), 14, '0') AS k,
+                   || lpad(CAST(event_id AS VARCHAR), 20, '0') AS k,
                  CAST(value AS DOUBLE) AS v
           FROM events)
         SELECT window_start, window_end,

@@ -59,3 +59,28 @@ def snake_case(name: str) -> str:
     """
     out = "".join("_" + ch.lower() if ch.isupper() else ch for ch in name)
     return out.lstrip("_")
+
+
+def padded_tiebreak(col: Column, width: int = 20) -> Column:
+    """Fixed-width zero-padded string form of a non-negative integer
+    id, for lexicographic min_by/max_by tie-break keys (ohlc_resample,
+    streaming ohlc_bars).
+
+    Spark's lpad TRUNCATES strings longer than `width`, and '-' (0x2d)
+    sorts before '0' (0x30), so an overflowing or negative id would
+    silently corrupt open/close selection among same-period rows —
+    width 20 holds every non-negative int64 (19 digits), and negatives
+    raise per-row instead of mis-sorting.
+    """
+    s = col.cast("long")
+    bad = (s < 0) | (s.isNull() & col.isNotNull())
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit("padded_tiebreak: tiebreak id must be a "),
+                F.lit("non-negative integer, got "),
+                F.coalesce(col.cast("string"), F.lit("null")),
+            )
+        ),
+    ).otherwise(F.lpad(s.cast("string"), width, "0"))

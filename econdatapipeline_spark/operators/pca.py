@@ -53,7 +53,23 @@ def pca_power(
     if dims < 1:
         raise ValueError(f"dims must be >= 1, got {dims}")
     spark = df.sparkSession
-    x = df.select(F.col(vec_col).alias("v")).localCheckpoint(eager=True)
+    # a vector whose length differs from `dims` would null the
+    # zip_with/aggregate folds below and silently drop out of every
+    # iteration — malformed embeddings fail loudly instead (the
+    # fixed_width raise_error convention)
+    x = df.select(
+        F.when(
+            F.size(F.col(vec_col)) != dims,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pca_power: expected {dims}-dim vector, got "),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            ),
+        )
+        .otherwise(F.col(vec_col))
+        .alias("v")
+    ).localCheckpoint(eager=True)
     # moment sums in the narrow (pos, e) explode form — one ~3-node
     # hash aggregate instead of a 2d-column wide aggregate (measured:
     # the wide form spent ~2.5 s in codegen alone at d=64); values are

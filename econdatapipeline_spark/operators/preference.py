@@ -38,7 +38,8 @@ def bradley_terry(
     winner_col: str = "winner",
     loser_col: str = "loser",
     rounds: int = 8,
-    driver_items: bool = True,
+    driver_items: bool | None = None,
+    driver_items_threshold: int = 100_000,
 ) -> DataFrame:
     """Fit Bradley-Terry strengths -> (item, wins, games, theta).
 
@@ -46,15 +47,22 @@ def bradley_terry(
     only as losers get theta -> 0 (the boundary MLE); ties are not a
     BT concept — pre-filter or split them upstream.
 
-    ``driver_items`` (default True) keeps the items-sized theta vector
-    ON THE DRIVER between rounds: each round is ONE distributed
-    edges-sized aggregate with theta entering the plan as a literal
-    map, then a Python update replaying the engine's exact
-    quantization (floor half-up to 9 decimals; exact-integer sums).
-    Measured 18.7 s -> ~5 s at sf0.1 vs the per-round
-    broadcast-join + checkpoint form, which ``driver_items=False``
-    keeps for item universes too large for plan literals (per-document
-    preference graphs) — both paths produce IDENTICAL thetas.
+    ``driver_items=True`` keeps the items-sized theta vector ON THE
+    DRIVER between rounds: each round is ONE distributed edges-sized
+    aggregate with theta shipped as an items-sized broadcast, then a
+    Python update replaying the engine's exact quantization (floor
+    half-up to 9 decimals; exact-integer sums). Measured 18.7 s ->
+    ~5 s at sf0.1 vs the per-round broadcast-join + checkpoint form,
+    which ``driver_items=False`` keeps for item universes too large
+    for driver state (per-document preference graphs) — both paths
+    produce IDENTICAL thetas (twin-path pytest).
+
+    Default ``driver_items=None`` AUTO-SELECTS on the already-computed
+    distinct item count: driver path iff ``n_items <=
+    driver_items_threshold``. A default that materializes driver state
+    sized by a data-dependent distinct count is a footgun at corpus
+    scale — model-ranking duel tables stay on the fast path, a
+    per-document graph silently gets the distributed one.
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
@@ -92,6 +100,8 @@ def bradley_terry(
         .localCheckpoint(eager=True)
     )
     n_items = items.count()
+    if driver_items is None:
+        driver_items = n_items <= driver_items_threshold
     if driver_items:
         import math  # noqa: PLC0415
 

@@ -1388,8 +1388,11 @@ def wilcoxon_signed(
     ``ordered_cumsum``'s two-pass prefix count — no unpartitioned
     window on either path.
     """
-    d_expr = F.col(col_a).cast("decimal(18,6)") - F.col(col_b).cast(
-        "decimal(18,6)"
+    # decimal(28,6): a (18,6) difference overflows (-> null -> silently
+    # dropped pair) at |d| >= 1e12, well inside money-magnitude sums at
+    # corpus scale; 28,6 holds |values| to 1e22 at the same 1e-6 grid
+    d_expr = F.col(col_a).cast("decimal(28,6)") - F.col(col_b).cast(
+        "decimal(28,6)"
     )
     nz = df.select(d_expr.alias("d")).filter(
         F.col("d").isNotNull() & (F.col("d") != 0)
@@ -1515,9 +1518,10 @@ def did_estimator(
         cond = (t == tv) & (p == pv)
         n = F.sum(F.when(cond, 1).otherwise(0)).cast("long")
         s = F.sum(F.when(cond, yv))
-        mean = F.when(
-            n > 0, s.cast("double") / n.cast("double")
-        ).otherwise(F.lit(0.0))
+        # an empty (treat, post) cell means DiD is undefined — the
+        # mean (and therefore `did`) goes NULL rather than fabricating
+        # a 0.0 cell mean that reads as a real policy-effect number
+        mean = F.when(n > 0, s.cast("double") / n.cast("double"))
         return n.alias(f"n_{name}"), F.round(mean, 6).alias(f"mean_{name}"), mean
 
     n_tp_, m_tp_, e_tp = cell(1, 0, "t_pre")
@@ -1606,11 +1610,14 @@ def effect_sizes(
     xb = F.when(
         F.col(sample_col) == sample_b, F.col(value_col).cast("decimal(18,6)")
     )
+    # counts cover exactly the rows the moment sums cover: a null (or
+    # decimal-overflowing) value_col row must not inflate n and bias
+    # mean/variance/d — count on the same casted expression the sums use
     moments = tagged.agg(
-        F.sum(F.when(F.col(sample_col) == sample_a, 1).otherwise(0))
+        F.sum(F.when(xa.isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("na"),
-        F.sum(F.when(F.col(sample_col) == sample_b, 1).otherwise(0))
+        F.sum(F.when(xb.isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("nb"),
         F.sum(xa).alias("sa"),
@@ -1761,3 +1768,333 @@ def theil_index(
         ).alias("theil_within"),
     )
     return group_rows.unionByName(between_row).unionByName(total_row)
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Wilson score confidence interval for a per-group success rate
+    -> one row per group (group, n, successes, p, lo, hi).
+
+    The interval to report for win rates / defect rates / preference
+    duels at ANY n (the Wald interval collapses to zero width at
+    p=0/1 and goes negative at small n; Wilson stays inside [0,1] and
+    is the standard recommendation, Brown-Cai-DasGupta 2001). Pairs
+    with bradley_terry: strengths rank the items, Wilson widths say
+    which comparisons are still underpowered.
+
+    ONE hash aggregate to (n, s) per group (map-side combinable);
+    the interval is a fixed-order double formula of the two exact
+    integers — sqrt is IEEE correctly-rounded, so both engines agree
+    bit-for-bit (no libm channel).
+    """
+    agg = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col(success_col).cast("boolean"), 1).otherwise(0)
+        ).cast("long").alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    zc = F.lit(float(z))
+    p = F.col("successes").cast("double") / n
+    denom = 1.0 + zc * zc / n
+    center = (p + zc * zc / (2.0 * n)) / denom
+    half = (
+        zc
+        * F.sqrt(p * (1.0 - p) / n + zc * zc / (4.0 * n * n))
+        / denom
+    )
+    return agg.select(
+        "group",
+        "n",
+        "successes",
+        F.round(p, 6).alias("p"),
+        F.round(F.greatest(center - half, F.lit(0.0)), 6).alias("lo"),
+        F.round(F.least(center + half, F.lit(1.0)), 6).alias("hi"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA F statistic -> one row
+    (k, n, ss_between, ss_within, f_stat).
+
+    The k-sample parametric companion to mann_whitney/kruskal_wallis:
+    does the group factor explain variance beyond noise? SSW/SSB come
+    from per-group decimal-exact moment sums (n_g, Σx, Σx²); the
+    per-group contributions are computed as fixed-order doubles of
+    those exact sums and decimal(38,12)-quantized before the
+    order-free total (the hhi/theil discipline — group iteration
+    order must not leak into the hash).
+
+    Shape: one fact-sized hash aggregate to the groups relation, one
+    groups-sized aggregate. Nothing scales past the scan.
+    """
+    x = F.col(value_col).cast("decimal(18,6)")
+    per_g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(x).cast("long").alias("ng"),
+        F.sum(x.cast("decimal(38,12)")).alias("sg"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("qg"),
+    )
+    ng = F.col("ng").cast("double")
+    sg = F.col("sg").cast("double")
+    qg = F.col("qg").cast("double")
+    # per-group pieces as exact-sum doubles, quantized before summing
+    ssw_term = (qg - sg * sg / ng).cast("decimal(38,12)")
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum(ssw_term).alias("ssw"),
+        F.sum((sg * sg / ng).cast("decimal(38,12)")).alias("sqs"),
+    )
+    n_d = F.col("n").cast("double")
+    k_d = F.col("k").cast("double")
+    ssb = F.col("sqs").cast("double") - (
+        F.col("s").cast("double") * F.col("s").cast("double") / n_d
+    )
+    ssw = F.col("ssw").cast("double")
+    f_stat = (ssb / (k_d - 1.0)) / (ssw / (n_d - k_d))
+    return tot.select(
+        "k",
+        "n",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(
+            F.when(
+                (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+                f_stat,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Kruskal-Wallis H test (tie-corrected) -> one row
+    (k, n, h, h_corrected).
+
+    The k-sample generalization of mann_whitney: one-way ANOVA on
+    ranks, assuming nothing about the value distribution. H =
+    12/(N(N+1)) Σ_g R_g²/n_g − 3(N+1), tie-corrected by
+    1 − Σ(t³−t)/(N³−N).
+
+    Exactness discipline (the mann_whitney machinery): values collapse
+    to DISTINCT (value) rows with per-group counts first, average
+    ranks are carried in HALF-UNITS (2·r̄ = 2·cum_before + t + 1 is an
+    exact integer), so each group's doubled rank sum 2R_g is an exact
+    decimal(38,0); floats appear only in the final one-row formula.
+    The cumulation over distinct values is the distributed two-pass
+    ordered_cumsum — never an unpartitioned window.
+    """
+    v = F.col(value_col).cast("double")
+    per_vg = df.groupBy(
+        v.alias("v"), F.col(group_col).alias("g")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_v = per_vg.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+    cums = ordered_cumsum(per_v, "v", ["t"], exclusive=True)
+    joined = per_vg.join(cums.select("v", "t", "cum_t"), "v")
+    # doubled rank sum per group: Σ c·(2·cum_before + t + 1), exact
+    per_g = joined.groupBy("g").agg(
+        F.sum("c").cast("long").alias("ng"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * (2 * F.col("cum_t") + F.col("t") + 1).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("r2g"),
+    )
+    r2 = F.col("r2g").cast("double")
+    ng = F.col("ng").cast("double")
+    ties = per_v.agg(
+        F.sum(
+            (
+                F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+                - F.col("t")
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("tie3")
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        # Σ R_g²/n_g = Σ (2R_g)²/(4·n_g): per-group double of exact
+        # ints, quantized before the order-free sum
+        F.sum(((r2 * r2) / (4.0 * ng)).cast("decimal(38,6)")).alias("rsq"),
+    ).crossJoin(F.broadcast(ties))
+    n_d = F.col("n").cast("double")
+    h = (
+        12.0 / (n_d * (n_d + 1.0)) * F.col("rsq").cast("double")
+        - 3.0 * (n_d + 1.0)
+    )
+    corr = 1.0 - F.col("tie3").cast("double") / (n_d * n_d * n_d - n_d)
+    return tot.select(
+        "k",
+        "n",
+        F.round(h, 6).alias("h"),
+        F.round(
+            F.when((F.col("n") > 1) & (corr > 0), h / corr).otherwise(h),
+            6,
+        ).alias("h_corrected"),
+    )
+
+
+def lorenz_curve(
+    df: DataFrame, value_col: str, points: int = 10
+) -> DataFrame:
+    """Lorenz curve sampled at ``points`` population quantiles -> one
+    row per point (point, pop_share, value_share).
+
+    The curve behind gini_coefficient / theil_index: value_share is
+    the fraction of total value held by the poorest pop_share of
+    units, with exact within-tie-group linear interpolation (every
+    unit inside a tie group holds the same value, so the curve is
+    exactly linear across the group — no approximation).
+
+    Scale shape: collapse to DISTINCT values with (count, value·count)
+    per group, the distributed two-pass ordered_cumsum, then a
+    points-sized broadcast range-join picks each quantile's containing
+    tie group. Nothing after the first aggregate exceeds
+    distinct-values size; the output is points-sized.
+    """
+    spark = df.sparkSession
+    v = F.col(value_col).cast("decimal(18,6)")
+    per_v = df.groupBy(v.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(v.cast("decimal(38,6)")).alias("sv"),
+    )
+    # cum_c: units at or below v; cum_sv needs decimal — carry value
+    # sums as 1e6-scaled exact longs through ordered_cumsum
+    scaled = per_v.select(
+        "v",
+        "c",
+        (F.col("sv") * 1000000).cast("long").alias("s6"),
+    )
+    cums = ordered_cumsum(scaled, "v", ["c", "s6"], exclusive=True)
+    totals = scaled.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("s6").cast("long").alias("tot6"),
+    )
+    pts = spark.createDataFrame(
+        [(i,) for i in range(1, points + 1)], "point int"
+    )
+    # target rank of point i: floor(i·n/points) — exact integer
+    with_t = pts.crossJoin(F.broadcast(totals)).select(
+        "point",
+        "n",
+        "tot6",
+        (F.col("point").cast("long") * F.col("n") / points)
+        .cast("long")
+        .alias("r"),
+    )
+    # containing tie group: cum_before < r <= cum_before + c
+    hit = with_t.join(
+        F.broadcast(cums),
+        (F.col("cum_c") < F.col("r"))
+        & (F.col("r") <= F.col("cum_c") + F.col("c")),
+        "left",
+    )
+    # value share at rank r: (cum_before_value + (r − cum_before_c)·v)
+    # as exact 1e6-scaled longs
+    num6 = F.col("cum_s6") + (
+        (F.col("r") - F.col("cum_c"))
+        * (F.col("v") * 1000000).cast("long")
+    )
+    return hit.select(
+        "point",
+        F.round(
+            F.col("r").cast("double") / F.col("n").cast("double"), 6
+        ).alias("pop_share"),
+        F.round(
+            F.when(
+                F.col("tot6") != 0,
+                num6.cast("double") / F.col("tot6").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("value_share"),
+    ).orderBy("point")
+
+
+def rdd_estimator(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    cutoff: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimator (local linear,
+    rectangular kernel) -> one row
+    (n_l, n_r, intercept_l, intercept_r, slope_l, slope_r, tau).
+
+    The causal companion to did_estimator for threshold-assigned
+    treatments (credit cutoffs, eligibility thresholds, quality-score
+    gates in data curation): fit y ~ a + b·(x − cutoff) separately on
+    each side within ``bandwidth`` and report the limit gap
+    tau = a_right − a_left at the cutoff (Imbens & Lemieux 2008).
+
+    ONE hash aggregate of per-side decimal-exact sums (n, Σu, Σu²,
+    Σy, Σuy with u = x − cutoff quantized to decimal(18,6)); the two
+    2x2 OLS solves are fixed-order doubles of those exact sums.
+    Returns NULL tau when either side has < 2 points or zero variance
+    (the did_estimator rule: never fabricate an effect number).
+    """
+    u = (
+        F.col(x_col).cast("decimal(18,6)")
+        - F.lit(cutoff).cast("decimal(18,6)")
+    ).cast("decimal(18,6)")
+    yv = F.col(y_col).cast("decimal(18,6)")
+    band = df.filter(
+        (F.abs(F.col(x_col).cast("double") - F.lit(float(cutoff))))
+        <= F.lit(float(bandwidth))
+    )
+    right = F.col(x_col).cast("double") >= F.lit(float(cutoff))
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+
+    def side(cond, name):
+        n = F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        su = F.sum(F.when(cond, dec(u)))
+        suu = F.sum(F.when(cond, dec(u * u)))
+        sy = F.sum(F.when(cond, dec(yv)))
+        suy = F.sum(F.when(cond, dec(u * yv)))
+        return {
+            f"n_{name}": n,
+            f"su_{name}": su,
+            f"suu_{name}": suu,
+            f"sy_{name}": sy,
+            f"suy_{name}": suy,
+        }
+
+    cols = {**side(~right, "l"), **side(right, "r")}
+    agg = band.agg(*[c.alias(k) for k, c in cols.items()])
+
+    def fit(name):
+        n = F.col(f"n_{name}").cast("double")
+        su = F.col(f"su_{name}").cast("double")
+        suu = F.col(f"suu_{name}").cast("double")
+        sy = F.col(f"sy_{name}").cast("double")
+        suy = F.col(f"suy_{name}").cast("double")
+        det = n * suu - su * su
+        a = F.when(
+            (F.col(f"n_{name}") >= 2) & (det != 0),
+            (sy * suu - su * suy) / det,
+        )
+        b = F.when(
+            (F.col(f"n_{name}") >= 2) & (det != 0),
+            (n * suy - su * sy) / det,
+        )
+        return a, b
+
+    a_l, b_l = fit("l")
+    a_r, b_r = fit("r")
+    return agg.select(
+        F.col("n_l"),
+        F.col("n_r"),
+        F.round(a_l, 6).alias("intercept_l"),
+        F.round(a_r, 6).alias("intercept_r"),
+        F.round(b_l, 6).alias("slope_l"),
+        F.round(b_r, 6).alias("slope_r"),
+        F.round(a_r - a_l, 6).alias("tau"),
+    )

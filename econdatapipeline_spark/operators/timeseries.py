@@ -747,9 +747,13 @@ def ohlc_resample(
         period = F.date_format(F.col(date_col), "yyyy")
     else:
         raise ValueError(f"freq must be month|year, got {freq}")
+    from econdatapipeline_spark.functions.parsing import (  # noqa: PLC0415
+        padded_tiebreak,
+    )
+
     ordk = F.concat(
         F.date_format(F.col(date_col), "yyyyMMdd"),
-        F.lpad(F.col(tiebreak_col).cast("string"), 14, "0"),
+        padded_tiebreak(F.col(tiebreak_col)),
     )
     v = F.col(value_col).cast("double")
     return (
@@ -1025,4 +1029,159 @@ def seasonal_strength(
             ).otherwise(0.0),
             6,
         ).alias("strength"),
+    )
+
+
+def vwap(
+    df: DataFrame,
+    date_col: str,
+    price_col: str,
+    qty_col: str,
+    freq: str = "month",
+) -> DataFrame:
+    """Volume-weighted average price per period -> one row per period
+    (period, vwap, volume, notional).
+
+    The OHLC family's weighted companion (ohlc_resample gives the
+    bar, VWAP gives the execution benchmark): Σ(p·q)/Σq with the
+    notional carried as decimal-exact products, so the aggregate is
+    ONE map-side-combinable hash aggregate with order-free sums —
+    identical streaming/batch semantics, nothing scales past the
+    scan.
+    """
+    if freq == "month":
+        period = F.date_format(F.col(date_col), "yyyy-MM")
+    elif freq == "year":
+        period = F.date_format(F.col(date_col), "yyyy")
+    else:
+        raise ValueError(f"freq must be month|year, got {freq}")
+    p = F.col(price_col).cast("decimal(18,6)")
+    q = F.col(qty_col).cast("long")
+    return (
+        df.select(
+            period.alias("period"),
+            (p * q).cast("decimal(38,6)").alias("pq"),
+            q.alias("q"),
+        )
+        .groupBy("period")
+        .agg(
+            F.sum("pq").alias("notional6"),
+            F.sum("q").cast("long").alias("volume"),
+        )
+        .select(
+            "period",
+            F.round(
+                F.when(
+                    F.col("volume") > 0,
+                    F.col("notional6").cast("double")
+                    / F.col("volume").cast("double"),
+                ),
+                6,
+            ).alias("vwap"),
+            "volume",
+            F.round(F.col("notional6").cast("double"), 6).alias("notional"),
+        )
+    )
+
+
+def granger_causality(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    order_col: str = "date",
+    group_col: str = "dataset",
+) -> DataFrame:
+    """Granger causality test (one lag) per series pair -> one row per
+    group (group, n, beta_x, f_stat).
+
+    "Do lagged values of x improve the forecast of y beyond y's own
+    lag?" (Granger 1969) — the standard lead/lag screen between
+    economic indicators before any structural claim. Restricted model
+    y_t ~ a + b·y_(t-1); unrestricted adds c·x_(t-1);
+    F = (RSS_r − RSS_u)/(RSS_u/(n − 3)).
+
+    The adf_test discipline verbatim: per-group lag windows
+    (PARTITIONED, never global), both regressions from ONE hash
+    aggregate of decimal-exact normal-equation sums (every product an
+    exact (37,12) of decimal(18,6) re-quantized inputs), Cramer 3x3 /
+    2x2 solves and the F ratio as fixed-order doubles of those exact
+    sums — an oracle replays the formula tree bit-for-bit.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    yq = F.col(y_col).cast("decimal(18,6)")
+    xq = F.col(x_col).cast("decimal(18,6)")
+    lagged = df.select(
+        F.col(group_col).alias("g"),
+        yq.alias("y"),
+        F.lag(yq, 1).over(w).alias("y1"),
+        F.lag(xq, 1).over(w).alias("x1"),
+    ).filter(F.col("y1").isNotNull() & F.col("x1").isNotNull())
+    rows = lagged.select(
+        "g",
+        F.col("y").cast("decimal(18,6)").alias("z"),
+        F.col("y1").cast("decimal(18,6)").alias("l"),
+        F.col("x1").cast("decimal(18,6)").alias("d"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    sums = rows.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("l"))).alias("sl"),
+        F.sum(dec(F.col("d"))).alias("sd"),
+        F.sum(dec(F.col("z"))).alias("sz"),
+        F.sum(dec(F.col("l") * F.col("l"))).alias("sll"),
+        F.sum(dec(F.col("d") * F.col("d"))).alias("sdd"),
+        F.sum(dec(F.col("l") * F.col("d"))).alias("sld"),
+        F.sum(dec(F.col("z") * F.col("l"))).alias("szl"),
+        F.sum(dec(F.col("z") * F.col("d"))).alias("szd"),
+        F.sum(dec(F.col("z") * F.col("z"))).alias("szz"),
+    )
+    n = F.col("n").cast("double")
+    sl = F.col("sl").cast("double")
+    sd = F.col("sd").cast("double")
+    sz = F.col("sz").cast("double")
+    sll = F.col("sll").cast("double")
+    sdd = F.col("sdd").cast("double")
+    sld = F.col("sld").cast("double")
+    szl = F.col("szl").cast("double")
+    szd = F.col("szd").cast("double")
+    szz = F.col("szz").cast("double")
+    # unrestricted: X = [1, y1, x1] — same 3x3 Cramer layout as adf
+    det = (
+        n * (sll * sdd - sld * sld)
+        - sl * (sl * sdd - sld * sd)
+        + sd * (sl * sld - sll * sd)
+    )
+    det_a = (
+        sz * (sll * sdd - sld * sld)
+        - sl * (szl * sdd - sld * szd)
+        + sd * (szl * sld - sll * szd)
+    )
+    det_b = (
+        n * (szl * sdd - sld * szd)
+        - sz * (sl * sdd - sld * sd)
+        + sd * (sl * szd - szl * sd)
+    )
+    det_c = (
+        n * (sll * szd - szl * sld)
+        - sl * (sl * szd - szl * sd)
+        + sz * (sl * sld - sll * sd)
+    )
+    a_u = det_a / det
+    b_u = det_b / det
+    c_u = det_c / det
+    rss_u = szz - a_u * sz - b_u * szl - c_u * szd
+    # restricted: X = [1, y1] — 2x2 solve on the same sums
+    det_r = n * sll - sl * sl
+    a_r = (sz * sll - sl * szl) / det_r
+    b_r = (n * szl - sl * sz) / det_r
+    rss_r = szz - a_r * sz - b_r * szl
+    f_stat = (rss_r - rss_u) / (rss_u / (n - 3.0))
+    ok = (F.col("n") > 3) & (det != 0) & (det_r != 0) & (rss_u > 0)
+    return sums.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round(F.when(ok, c_u), 6).alias("beta_x"),
+        F.round(F.when(ok, f_stat), 6).alias("f_stat"),
     )

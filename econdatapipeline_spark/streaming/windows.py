@@ -158,9 +158,13 @@ def ohlc_bars(
         if events.isStreaming
         else events
     )
+    from econdatapipeline_spark.functions.parsing import (  # noqa: PLC0415
+        padded_tiebreak,
+    )
+
     k = F.concat(
         F.date_format(F.col(ts_col), "yyyyMMddHHmmss"),
-        F.lpad(F.col(tiebreak_col).cast("string"), 14, "0"),
+        padded_tiebreak(F.col(tiebreak_col)),
     )
     v = F.col(value_col).cast("double")
     return (
