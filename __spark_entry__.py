@@ -4991,6 +4991,208 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+
+
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization of the event stream
+    (operators/sessions.sessionize): gaps-and-islands with a 30-minute
+    silence threshold — the batch twin of the streaming session
+    window, built from per-user PARTITIONED windows only (one lag +
+    one running boundary count; no global sort). Per session: span,
+    event count, duration, decimal-exact value total."""
+    from econdatapipeline_spark.operators.sessions import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, "user_id", "ts", gap_minutes=30).orderBy(
+        "user", "session_seq"
+    )
+
+
+def q_vwap(spark, sf_dir):
+    """Monthly volume-weighted average price of shipped lineitems
+    (operators/timeseries.vwap): sum(price*qty)/sum(qty) with the
+    notional carried as decimal-exact products — ONE map-side
+    combinable hash aggregate, the execution-benchmark companion to
+    ohlc_resample's bars."""
+    from econdatapipeline_spark.operators.timeseries import vwap
+
+    li = _t(spark, sf_dir, "lineitem")
+    return vwap(
+        li, "l_shipdate", "l_extendedprice", "l_quantity", freq="month"
+    ).orderBy("period")
+
+
+def q_granger_causality(spark, sf_dir):
+    """Granger causality of monthly order count onto monthly revenue
+    per priority (operators/timeseries.granger_causality): does the
+    lagged order count improve the revenue forecast beyond revenue's
+    own lag? Restricted/unrestricted OLS from ONE hash aggregate of
+    decimal-exact normal-equation sums, F-ratio as fixed-order doubles
+    (the adf_test discipline)."""
+    from econdatapipeline_spark.operators.timeseries import (
+        granger_causality,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(
+        _dsum(F.col("o_totalprice")).alias("y"),
+        F.count(F.lit(1)).cast("long").cast("double").alias("x"),
+    )
+    return granger_causality(monthly, "y", "x").orderBy("dataset")
+
+
+def q_markov_transitions(spark, sf_dir):
+    """Event-type transition matrix per user journey
+    (operators/markov.markov_transitions): consecutive event pairs via
+    a PARTITIONED per-user lag window (event_id tiebreak), one hash
+    aggregate to the states^2-bounded relation, exact-ratio
+    row-normalized probabilities — the credit-migration-matrix shape
+    on the event domain."""
+    from econdatapipeline_spark.operators.markov import markov_transitions
+
+    e = _t(spark, sf_dir, "events")
+    return markov_transitions(
+        e, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    ).orderBy("from_state", "to_state")
+
+
+def q_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the user-journey chain
+    (operators/markov.markov_stationary): 12 unrolled power-iteration
+    rounds of pi' = pi.P on the states-sized relation, transition
+    probabilities decimal(18,9)-quantized exact ratios, per-round mass
+    terms decimal(28,12) before the order-free sum — bit-replayable by
+    an unrolled SQL oracle (the pca_power pattern)."""
+    from econdatapipeline_spark.operators.markov import (
+        markov_stationary,
+        markov_transitions,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    t = markov_transitions(
+        e, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    ).select("from_state", "to_state", "n")
+    return markov_stationary(t, rounds=12).orderBy("state")
+
+
+def q_rdd_estimator(spark, sf_dir):
+    """Sharp regression-discontinuity at a 250k order-value cutoff
+    (operators/stats.rdd_estimator): local linear fits on both sides
+    within a 100k bandwidth from ONE hash aggregate of decimal-exact
+    sums; tau = intercept gap at the cutoff, NULL when a side is
+    unfit (the did_estimator never-fabricate rule)."""
+    from econdatapipeline_spark.operators.stats import rdd_estimator
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "F", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    return rdd_estimator(
+        o, "o_totalprice", "y", cutoff=250000.0, bandwidth=100000.0
+    )
+
+
+def q_wilson_ci(spark, sf_dir):
+    """Wilson score interval for per-priority fill rate
+    (operators/stats.wilson_ci): the small-n-honest CI — one hash
+    aggregate to (n, successes) per group, the interval a fixed-order
+    double formula of two exact integers (sqrt is correctly-rounded
+    IEEE: no libm channel)."""
+    from econdatapipeline_spark.operators.stats import wilson_ci
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").alias("filled"),
+    )
+    return wilson_ci(o, "o_orderpriority", "filled").orderBy("group")
+
+
+def q_anova_oneway(spark, sf_dir):
+    """One-way ANOVA of order value across priorities
+    (operators/stats.anova_oneway): F and eta-squared from per-group
+    decimal-exact moments; the k-sized sg^2/ng list folds in fixed
+    g-order as plain doubles (price^2-magnitude terms cannot survive
+    a portable double->decimal quantization), raw SS deliberately not
+    output."""
+    from econdatapipeline_spark.operators.stats import anova_oneway
+
+    o = _t(spark, sf_dir, "orders")
+    return anova_oneway(o, "o_orderpriority", "o_totalprice")
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis rank test of order value across priorities
+    (operators/stats.kruskal_wallis): the nonparametric companion to
+    q_anova_oneway on the same columns — distinct-value collapse,
+    half-unit average ranks (exact integers), distributed two-pass
+    prefix count, tie-corrected H."""
+    from econdatapipeline_spark.operators.stats import kruskal_wallis
+
+    o = _t(spark, sf_dir, "orders")
+    return kruskal_wallis(o, "o_totalprice", "o_orderpriority")
+
+
+def q_lorenz_curve(spark, sf_dir):
+    """Lorenz curve of per-customer revenue at deciles
+    (operators/stats.lorenz_curve): distinct-value collapse +
+    distributed prefix sums, decile points picked by a 10-row
+    broadcast range join with exact within-tie-group interpolation —
+    the curve behind q_gini's scalar."""
+    from econdatapipeline_spark.operators.stats import lorenz_curve
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        _dsum(F.col("o_totalprice")).alias("revenue")
+    )
+    return lorenz_curve(per_cust, "revenue", points=10)
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch frequency audit over document tokens
+    (operators/cms.cms_heavy_hitters): 4x1024 md5-bucketed counters
+    from the one-pass (token, freq) collapse; top-20 tokens' sketch
+    estimates paired with exact counts — est >= exact always, the
+    minhash_error certify-the-sketch pattern."""
+    from econdatapipeline_spark.operators.cms import cms_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    return cms_heavy_hitters(d, depth=4, width=1024, k=20)
+
+
+def q_editdist_dedup(spark, sf_dir):
+    """Edit-distance near-duplicates within prefix blocks
+    (operators/dedup.editdist_dedup): 24-char normalized-prefix
+    blocking (keyed join, never all-pairs; oversized blocks dropped by
+    the heavy-hitter cap), levenshtein <= 2 on 200-char truncations
+    with a length pre-filter — the character-level complement to
+    ngram_jaccard/minhash."""
+    from econdatapipeline_spark.operators.dedup import editdist_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return editdist_dedup(d, max_dist=2).orderBy("id_a", "id_b")
+
+
+def q_stream_vwap(spark, sf_dir):
+    """Hourly VWAP bars of the event stream
+    (streaming/windows.vwap_bars, batch-twin certified like
+    stream_ohlc): sum(price*qty)/sum(qty) with decimal-exact
+    notionals — two order-free SUMs, map-side combinable, hence
+    watermark-append streamable; qty parsed from the props JSON."""
+    from econdatapipeline_spark.streaming.windows import vwap_bars
+
+    e = _t(spark, sf_dir, "events").select(
+        "ts",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("qty"),
+    )
+    return vwap_bars(e, window_size="1 hour").orderBy("window_start")
+
+
 # The driver's correctness artifact records only the FIRST 50 entries
 # of queries(). Round 2 recorded the original first 50 (the names in
 # CORRECTNESS_r02.json); queries() therefore rotates the not-yet-
@@ -5351,6 +5553,19 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "tokenizer_fertility": q_tokenizer_fertility,
         "stream_ohlc": q_stream_ohlc,
         "theil_index": q_theil_index,
+        "sessionize": q_sessionize,
+        "vwap": q_vwap,
+        "granger_causality": q_granger_causality,
+        "markov_transitions": q_markov_transitions,
+        "markov_stationary": q_markov_stationary,
+        "rdd_estimator": q_rdd_estimator,
+        "wilson_ci": q_wilson_ci,
+        "anova_oneway": q_anova_oneway,
+        "kruskal_wallis": q_kruskal_wallis,
+        "lorenz_curve": q_lorenz_curve,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "editdist_dedup": q_editdist_dedup,
+        "stream_vwap": q_stream_vwap,
     }
 
 
@@ -11935,5 +12150,469 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6), 1.0,
                round(CAST(ta_sum AS DOUBLE) / CAST(n AS DOUBLE), 6)
         FROM sc
+    """
+    # --- round 7 additions ---
+    # Sessionize: gaps-and-islands with the RANGE cumulative frame so
+    # tie order inside an equal-timestamp group cannot leak (Spark's
+    # single sort feeds lag + running count identically).
+    sql["sessionize"] = """
+        WITH base AS (
+          SELECT user_id AS u, ts, CAST(value AS DECIMAL(28,6)) AS v
+          FROM events),
+        lagged AS (
+          SELECT *, LAG(ts) OVER (PARTITION BY u ORDER BY ts) AS prev
+          FROM base),
+        flagged AS (
+          SELECT *, CASE WHEN prev IS NULL
+                         OR date_diff('second', prev, ts) > 1800
+                    THEN 1 ELSE 0 END AS f
+          FROM lagged),
+        seq AS (
+          SELECT *, CAST(SUM(f) OVER (PARTITION BY u ORDER BY ts)
+                    AS BIGINT) AS session_seq
+          FROM flagged)
+        SELECT u AS "user", session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               round(CAST(SUM(v) AS DOUBLE), 6) AS total_value,
+               CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+                 AS duration_s
+        FROM seq GROUP BY 1, 2
+    """
+    # VWAP: decimal-exact notional; quantity is integral by contract
+    # (CAST DOUBLE->BIGINT rounds here vs truncates in Spark — equal
+    # on integral values).
+    sql["vwap"] = """
+        WITH o AS (
+          SELECT strftime(l_shipdate, '%Y-%m') AS period,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,0))
+                      AS DECIMAL(38,6)) AS pq,
+                 CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem)
+        SELECT period,
+               round(CASE WHEN SUM(q) > 0
+                     THEN CAST(SUM(pq) AS DOUBLE)
+                          / CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+                     END, 6) AS vwap,
+               CAST(SUM(q) AS BIGINT) AS volume,
+               round(CAST(SUM(pq) AS DOUBLE), 6) AS notional
+        FROM o GROUP BY 1
+    """
+    # Granger: the adf_test oracle's exact-sum + Cramer replay with
+    # z = y, l = lag(y), d = lag(x), plus the restricted 2x2 fit.
+    sql["granger_causality"] = """
+        WITH monthly AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS y,
+                 CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS x
+          FROM orders GROUP BY 1, 2),
+        lagged AS (
+          SELECT dataset AS g,
+                 CAST(y AS DECIMAL(18,6)) AS yq,
+                 LAG(CAST(y AS DECIMAL(18,6)), 1) OVER (
+                   PARTITION BY dataset ORDER BY date) AS y1,
+                 LAG(CAST(x AS DECIMAL(18,6)), 1) OVER (
+                   PARTITION BY dataset ORDER BY date) AS x1
+          FROM monthly),
+        rws AS (
+          SELECT g,
+                 CAST(yq AS DECIMAL(18,6)) AS z,
+                 CAST(y1 AS DECIMAL(18,6)) AS l,
+                 CAST(x1 AS DECIMAL(18,6)) AS d
+          FROM lagged WHERE y1 IS NOT NULL AND x1 IS NOT NULL),
+        sums AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(l AS DECIMAL(38,12))) AS DOUBLE) AS sl,
+                 CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS sd,
+                 CAST(SUM(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS sz,
+                 CAST(SUM(CAST(CAST(l AS DECIMAL(19,6)) * CAST(l AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sll,
+                 CAST(SUM(CAST(CAST(d AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sdd,
+                 CAST(SUM(CAST(CAST(l AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sld,
+                 CAST(SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(l AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS szl,
+                 CAST(SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS szd,
+                 CAST(SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS szz
+          FROM rws GROUP BY g),
+        calc AS (
+          SELECT g, n,
+            CAST(n AS DOUBLE) * (sll * sdd - sld * sld)
+              - sl * (sl * sdd - sld * sd)
+              + sd * (sl * sld - sll * sd) AS det,
+            sz * (sll * sdd - sld * sld)
+              - sl * (szl * sdd - sld * szd)
+              + sd * (szl * sld - sll * szd) AS det_a,
+            CAST(n AS DOUBLE) * (szl * sdd - sld * szd)
+              - sz * (sl * sdd - sld * sd)
+              + sd * (sl * szd - szl * sd) AS det_b,
+            CAST(n AS DOUBLE) * (sll * szd - szl * sld)
+              - sl * (sl * szd - szl * sd)
+              + sz * (sl * sld - sll * sd) AS det_c,
+            CAST(n AS DOUBLE) * sll - sl * sl AS det_r,
+            sl, sz, szl, szd, szz, sll
+          FROM sums),
+        fin AS (
+          SELECT g, n, det, det_r,
+                 det_c / det AS c_u,
+                 szz - (det_a / det) * sz - (det_b / det) * szl
+                     - (det_c / det) * szd AS rss_u,
+                 szz - ((sz * sll - sl * szl) / det_r) * sz
+                     - ((CAST(n AS DOUBLE) * szl - sl * sz) / det_r) * szl
+                   AS rss_r
+          FROM calc)
+        SELECT g AS dataset, n,
+               round(CASE WHEN n > 3 AND det != 0 AND det_r != 0
+                          AND rss_u > 0 THEN c_u END, 6) AS beta_x,
+               round(CASE WHEN n > 3 AND det != 0 AND det_r != 0
+                          AND rss_u > 0
+                     THEN (rss_r - rss_u)
+                          / (rss_u / (CAST(n AS DOUBLE) - 3.0))
+                     END, 6) AS f_stat
+        FROM fin
+    """
+    # Markov transitions: per-user lag with the event_id tiebreak.
+    sql["markov_transitions"] = """
+        WITH pairs AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS from_state,
+                 event_type AS to_state
+          FROM events),
+        cnt AS (
+          SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pairs WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        tot AS (
+          SELECT from_state, CAST(SUM(n) AS BIGINT) AS t
+          FROM cnt GROUP BY 1)
+        SELECT c.from_state, c.to_state, c.n,
+               round(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS p
+        FROM cnt c JOIN tot t USING (from_state)
+    """
+    # Markov stationary: 12 unrolled power-iteration rounds, each
+    # replaying Spark's quantization chain exactly (double product ->
+    # decimal(28,12) term -> exact sum -> double -> decimal(18,9)).
+    mk_rounds = []
+    for i in range(1, 13):
+        p = f"v{i - 1}"
+        mk_rounds.append(f"""
+        v{i} AS (
+          SELECT j AS s,
+                 CAST(CAST(SUM(CAST(CAST(pi AS DOUBLE) * CAST(p AS DOUBLE)
+                      AS DECIMAL(28,12))) AS DOUBLE) AS DECIMAL(18,9))
+                   AS pi
+          FROM p_full JOIN {p} ON p_full.i = {p}.s GROUP BY j),""")
+    mk_cte = "".join(mk_rounds)
+    sql["markov_stationary"] = f"""
+        WITH pairs AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS from_state,
+                 event_type AS to_state
+          FROM events),
+        cnt AS (
+          SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pairs WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        tot AS (
+          SELECT from_state, CAST(SUM(n) AS BIGINT) AS t
+          FROM cnt GROUP BY 1),
+        p_rel AS (
+          SELECT c.from_state AS i, c.to_state AS j,
+                 CAST(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE)
+                      AS DECIMAL(18,9)) AS p
+          FROM cnt c JOIN tot t USING (from_state)),
+        states AS (
+          SELECT DISTINCT s FROM (
+            SELECT from_state AS s FROM cnt
+            UNION ALL SELECT to_state FROM cnt)),
+        k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+        sinks AS (
+          SELECT s AS i, s AS j, CAST(1.0 AS DECIMAL(18,9)) AS p
+          FROM states WHERE s NOT IN (SELECT DISTINCT i FROM p_rel)),
+        p_full AS (SELECT * FROM p_rel UNION ALL SELECT * FROM sinks),
+        v0 AS (
+          SELECT s, CAST(CAST(1.0 AS DOUBLE) / CAST(k.k AS DOUBLE)
+                    AS DECIMAL(18,9)) AS pi
+          FROM states CROSS JOIN k),{mk_cte}
+        fin AS (SELECT * FROM v12)
+        SELECT states.s AS state,
+               round(COALESCE(CAST(fin.pi AS DOUBLE), 0.0), 6) AS pi
+        FROM states LEFT JOIN fin ON states.s = fin.s
+    """
+    # RDD: per-side decimal-exact sums + 2x2 fits; NULL when unfit.
+    sql["rdd_estimator"] = """
+        WITH band AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,6))
+                      - CAST(250000.0 AS DECIMAL(18,6))
+                      AS DECIMAL(18,6)) AS u,
+                 CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END
+                      AS DECIMAL(18,6)) AS y,
+                 CAST(o_totalprice AS DOUBLE) >= 250000.0 AS r
+          FROM orders
+          WHERE abs(CAST(o_totalprice AS DOUBLE) - 250000.0) <= 100000.0),
+        agg AS (
+          SELECT
+            CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+            CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+            CAST(SUM(CASE WHEN NOT r THEN CAST(u AS DECIMAL(38,12)) END) AS DOUBLE) AS su_l,
+            CAST(SUM(CASE WHEN NOT r THEN CAST(CAST(u AS DECIMAL(19,6)) * CAST(u AS DECIMAL(19,6)) AS DECIMAL(38,12)) END) AS DOUBLE) AS suu_l,
+            CAST(SUM(CASE WHEN NOT r THEN CAST(y AS DECIMAL(38,12)) END) AS DOUBLE) AS sy_l,
+            CAST(SUM(CASE WHEN NOT r THEN CAST(CAST(u AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12)) END) AS DOUBLE) AS suy_l,
+            CAST(SUM(CASE WHEN r THEN CAST(u AS DECIMAL(38,12)) END) AS DOUBLE) AS su_r,
+            CAST(SUM(CASE WHEN r THEN CAST(CAST(u AS DECIMAL(19,6)) * CAST(u AS DECIMAL(19,6)) AS DECIMAL(38,12)) END) AS DOUBLE) AS suu_r,
+            CAST(SUM(CASE WHEN r THEN CAST(y AS DECIMAL(38,12)) END) AS DOUBLE) AS sy_r,
+            CAST(SUM(CASE WHEN r THEN CAST(CAST(u AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12)) END) AS DOUBLE) AS suy_r
+          FROM band),
+        fits AS (
+          SELECT n_l, n_r,
+            CAST(n_l AS DOUBLE) * suu_l - su_l * su_l AS det_l,
+            CAST(n_r AS DOUBLE) * suu_r - su_r * su_r AS det_r,
+            su_l, suu_l, sy_l, suy_l, su_r, suu_r, sy_r, suy_r
+          FROM agg),
+        sol AS (
+          SELECT n_l, n_r,
+            CASE WHEN n_l >= 2 AND det_l != 0
+                 THEN (sy_l * suu_l - su_l * suy_l) / det_l END AS a_l,
+            CASE WHEN n_r >= 2 AND det_r != 0
+                 THEN (sy_r * suu_r - su_r * suy_r) / det_r END AS a_r,
+            CASE WHEN n_l >= 2 AND det_l != 0
+                 THEN (CAST(n_l AS DOUBLE) * suy_l - su_l * sy_l) / det_l
+                 END AS b_l,
+            CASE WHEN n_r >= 2 AND det_r != 0
+                 THEN (CAST(n_r AS DOUBLE) * suy_r - su_r * sy_r) / det_r
+                 END AS b_r
+          FROM fits)
+        SELECT n_l, n_r,
+               round(a_l, 6) AS intercept_l, round(a_r, 6) AS intercept_r,
+               round(b_l, 6) AS slope_l, round(b_r, 6) AS slope_r,
+               round(a_r - a_l, 6) AS tau
+        FROM sol
+    """
+    # Wilson: fixed-order doubles of two exact integers; sqrt is
+    # correctly-rounded IEEE on both engines.
+    sql["wilson_ci"] = """
+        WITH agg AS (
+          SELECT o_orderpriority AS "group",
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS successes
+          FROM orders GROUP BY 1),
+        c AS (
+          SELECT *,
+                 CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                 CAST(1.959964 AS DOUBLE) AS z,
+                 CAST(n AS DOUBLE) AS nd
+          FROM agg)
+        SELECT "group", n, successes,
+               round(p, 6) AS p,
+               round(greatest((p + z * z / (2.0 * nd)) / (1.0 + z * z / nd)
+                     - z * sqrt(p * (1.0 - p) / nd
+                                + z * z / (4.0 * nd * nd))
+                       / (1.0 + z * z / nd), 0.0), 6) AS lo,
+               round(least((p + z * z / (2.0 * nd)) / (1.0 + z * z / nd)
+                     + z * sqrt(p * (1.0 - p) / nd
+                                + z * z / (4.0 * nd * nd))
+                       / (1.0 + z * z / nd), 1.0), 6) AS hi
+        FROM c
+    """
+    # ANOVA: per-group exact moments; group terms quantized before the
+    # order-free total.
+    sql["anova_oneway"] = """
+        WITH perg AS (
+          SELECT o_orderpriority AS g,
+                 CAST(COUNT(o_totalprice) AS BIGINT) AS ng,
+                 SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6))
+                          AS DECIMAL(38,12))) AS sg,
+                 SUM(CAST(CAST(o_totalprice AS DECIMAL(19,6))
+                          * CAST(o_totalprice AS DECIMAL(19,6))
+                          AS DECIMAL(38,12))) AS qg
+          FROM orders GROUP BY 1),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(ng) AS BIGINT) AS n,
+                 CAST(SUM(sg) AS DOUBLE) AS s,
+                 CAST(SUM(qg) AS DOUBLE) AS q,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                          / CAST(ng AS DOUBLE) ORDER BY g)),
+                   (a, b) -> a + b) AS t
+          FROM perg),
+        c AS (
+          SELECT k, n,
+                 q - t AS ssw,
+                 t - s * s / CAST(n AS DOUBLE) AS ssb
+          FROM tot)
+        SELECT k, n,
+               round(CASE WHEN ssb + ssw > 0 THEN ssb / (ssb + ssw)
+                     ELSE 0.0 END, 6) AS eta_sq,
+               round(CASE WHEN k > 1 AND n > k AND ssw > 0
+                     THEN (ssb / (CAST(k AS DOUBLE) - 1.0))
+                          / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                     ELSE 0.0 END, 6) AS f_stat
+        FROM c
+    """
+    # Kruskal-Wallis: half-unit average ranks (exact integers through
+    # HUGEINT intermediates), tie-corrected H.
+    sql["kruskal_wallis"] = """
+        WITH pervg AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                 o_orderpriority AS g,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1, 2),
+        perv AS (
+          SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM pervg GROUP BY 1),
+        cums AS (
+          SELECT *, CAST(COALESCE(SUM(t) OVER (ORDER BY v ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS cum_t
+          FROM perv),
+        perg AS (
+          SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+                 SUM(CAST(c AS HUGEINT)
+                     * (2 * cums.cum_t + cums.t + 1)) AS r2g
+          FROM pervg JOIN cums USING (v) GROUP BY g),
+        ties AS (
+          SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie3 FROM perv),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(ng) AS BIGINT) AS n,
+                 CAST(SUM(CAST(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                      / (4.0 * CAST(ng AS DOUBLE)) AS DECIMAL(38,6)))
+                      AS DOUBLE) AS rsq
+          FROM perg),
+        c AS (
+          SELECT k, n, rsq, CAST(ties.tie3 AS DOUBLE) AS tie3,
+                 CAST(n AS DOUBLE) AS nd
+          FROM tot CROSS JOIN ties),
+        h AS (
+          SELECT k, n,
+                 12.0 / (nd * (nd + 1.0)) * rsq - 3.0 * (nd + 1.0) AS h,
+                 1.0 - tie3 / (nd * nd * nd - nd) AS corr
+          FROM c)
+        SELECT k, n, round(h, 6) AS h,
+               round(CASE WHEN n > 1 AND corr > 0 THEN h / corr
+                     ELSE h END, 6) AS h_corrected
+        FROM h
+    """
+    # Lorenz: exact 1e6-scaled cumulations + integer-division ranks,
+    # tie-group interpolation identical to the operator.
+    sql["lorenz_curve"] = """
+        WITH per_c AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS revenue
+          FROM orders GROUP BY 1),
+        per_v AS (
+          SELECT CAST(revenue AS DECIMAL(18,6)) AS v,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM per_c GROUP BY 1),
+        scaled AS (
+          SELECT v, c,
+                 CAST(CAST(v AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS v6,
+                 CAST(CAST(v AS DECIMAL(28,6)) * 1000000 AS BIGINT) * c
+                   AS s6
+          FROM per_v),
+        cums AS (
+          SELECT *,
+                 CAST(COALESCE(SUM(c) OVER w, 0) AS BIGINT) AS cum_c,
+                 CAST(COALESCE(SUM(s6) OVER w, 0) AS BIGINT) AS cum_s6
+          FROM scaled
+          WINDOW w AS (ORDER BY v ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        tot AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(s6) AS BIGINT) AS tot6
+          FROM scaled),
+        pts AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS point),
+        wt AS (
+          SELECT point, n, tot6,
+                 CAST(point AS BIGINT) * n // 10 AS r
+          FROM pts CROSS JOIN tot)
+        SELECT point,
+               round(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS pop_share,
+               round(CASE WHEN tot6 != 0
+                     THEN CAST(cum_s6 + (r - cum_c) * v6 AS DOUBLE)
+                          / CAST(tot6 AS DOUBLE)
+                     ELSE 0.0 END, 6) AS value_share
+        FROM wt LEFT JOIN cums
+          ON cums.cum_c < wt.r AND wt.r <= cums.cum_c + cums.c
+    """
+    # CMS: md5 row-buckets replayed; estimate = min over depth rows.
+    cms_tok = """(
+          SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS tok
+                FROM documents)
+          WHERE tok <> '' GROUP BY 1)"""
+    cms_bkt = (
+        "CAST('0x' || substr(md5('{r}:' || token), 1, 8) AS BIGINT)"
+        " % 1024"
+    )
+    cms_rows = " UNION ALL ".join(
+        f"SELECT {r} AS rw, {cms_bkt.format(r=r)} AS bucket, freq"
+        " FROM toks" for r in range(4)
+    )
+    cms_probe = " UNION ALL ".join(
+        f"SELECT token, freq, {r} AS rw, {cms_bkt.format(r=r)} AS bucket"
+        " FROM top" for r in range(4)
+    )
+    sql["cms_heavy_hitters"] = f"""
+        WITH toks AS {cms_tok},
+        sk AS (
+          SELECT rw, bucket, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM ({cms_rows}) GROUP BY 1, 2),
+        top AS (
+          SELECT token, freq FROM toks
+          ORDER BY freq DESC, token ASC LIMIT 20),
+        probes AS ({cms_probe}),
+        est AS (
+          SELECT token, freq,
+                 CAST(MIN(cnt) AS BIGINT) AS cms_estimate
+          FROM probes JOIN sk USING (rw, bucket)
+          GROUP BY 1, 2)
+        SELECT token, freq AS exact_count, cms_estimate,
+               CAST(cms_estimate - freq AS BIGINT) AS overestimate
+        FROM est
+    """
+    # Edit-distance dedup: prefix blocks + levenshtein on truncations.
+    sql["editdist_dedup"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 substr(lower(trim(text)), 1, 24) AS blk,
+                 substr(lower(trim(text)), 1, 200) AS txt
+          FROM documents
+          WHERE length(substr(lower(trim(text)), 1, 24)) > 0),
+        hot AS (
+          SELECT blk FROM base GROUP BY blk HAVING COUNT(*) > 1000),
+        b2 AS (
+          SELECT * FROM base
+          WHERE blk NOT IN (SELECT blk FROM hot))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.txt, b.txt) AS INT) AS dist
+        FROM b2 a JOIN b2 b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE abs(length(a.txt) - length(b.txt)) <= 2
+          AND levenshtein(a.txt, b.txt) <= 2
+    """
+    # Streaming VWAP batch twin: hourly windows, decimal-exact
+    # notional, qty from the props JSON.
+    sql["stream_vwap"] = """
+        WITH o AS (
+          SELECT date_trunc('hour', ts) AS window_start,
+                 date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                 CAST(CAST(value AS DECIMAL(18,6))
+                      * CAST(CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT) AS DECIMAL(18,0))
+                      AS DECIMAL(38,6)) AS pq,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS q
+          FROM events)
+        SELECT window_start, window_end,
+               round(CASE WHEN SUM(q) > 0
+                     THEN CAST(SUM(pq) AS DOUBLE)
+                          / CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+                     END, 6) AS vwap,
+               CAST(SUM(q) AS BIGINT) AS volume,
+               round(CAST(SUM(pq) AS DOUBLE), 6) AS notional
+        FROM o GROUP BY 1, 2
     """
     return sql

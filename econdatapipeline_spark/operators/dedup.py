@@ -1023,3 +1023,66 @@ def corpus_overlap(
             "containment_b"
         ),
     )
+
+
+def editdist_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    prefix_len: int = 24,
+    compare_len: int = 200,
+    max_block: int | None = 1000,
+) -> DataFrame:
+    """Edit-distance near-duplicates within prefix blocks ->
+    (id_a, id_b, dist), id_a < id_b, dist <= ``max_dist``.
+
+    The character-level complement to the token-set similarity family
+    (ngram_jaccard/simhash/minhash): levenshtein catches the
+    small-typo / template-variable near-dups whose token sets already
+    diverge. Candidate generation is PREFIX BLOCKING — two docs only
+    compare when their first ``prefix_len`` normalized characters
+    match exactly. That is a recall tradeoff by construction (an edit
+    inside the prefix hides the pair; standard blocking practice for
+    record linkage), bought so the join is keyed and never all-pairs.
+
+    Scale guards: blocks larger than ``max_block`` are dropped from
+    candidate generation entirely (the max_doc_freq heavy-hitter cap —
+    a block of c docs contributes c² compares), and the O(len²)
+    levenshtein compares run on ``compare_len``-truncated text. Both
+    caps are explicit parameters, not silent.
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        F.substring(norm, 1, prefix_len).alias("__blk"),
+        F.substring(norm, 1, compare_len).alias("__txt"),
+    ).filter(F.length("__blk") > 0)
+    if max_block is not None:
+        hot = (
+            base.groupBy("__blk")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > max_block)
+            .select("__blk")
+        )
+        base = base.join(F.broadcast(hot), "__blk", "left_anti")
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__blk") == F.col("b.__blk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    # length pre-filter: |len_a - len_b| > max_dist can never pass —
+    # skips the O(n*m) levenshtein on hopeless pairs inside a block
+    lena = F.length(F.col("a.__txt"))
+    lenb = F.length(F.col("b.__txt"))
+    d = F.levenshtein(F.col("a.__txt"), F.col("b.__txt"))
+    return (
+        pairs.filter(F.abs(lena - lenb) <= max_dist)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            d.cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

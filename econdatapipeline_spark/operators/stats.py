@@ -1820,19 +1820,20 @@ def wilson_ci(
 def anova_oneway(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:
-    """One-way ANOVA F statistic -> one row
-    (k, n, ss_between, ss_within, f_stat).
+    """One-way ANOVA -> one row (k, n, eta_sq, f_stat).
 
     The k-sample parametric companion to mann_whitney/kruskal_wallis:
-    does the group factor explain variance beyond noise? SSW/SSB come
-    from per-group decimal-exact moment sums (n_g, Σx, Σx²); the
-    per-group contributions are computed as fixed-order doubles of
-    those exact sums and decimal(38,12)-quantized before the
-    order-free total (the hhi/theil discipline — group iteration
-    order must not leak into the hash).
+    does the group factor explain variance beyond noise? F is the
+    test, eta² = SSB/(SSB+SSW) the effect size — the two O(1)
+    readouts. Raw sums of squares are deliberately NOT output: at
+    price² magnitudes (~1e14) a 6-decimal rounding needs >15
+    significant digits, past what any two engines' decimal<->double
+    conversions agree on — the ratios are portable, the raw SS are
+    theatrically precise noise.
 
-    Shape: one fact-sized hash aggregate to the groups relation, one
-    groups-sized aggregate. Nothing scales past the scan.
+    Shape: one fact-sized hash aggregate of per-group decimal-exact
+    moments (n_g, Σx, Σx²), one groups-sized aggregate. Nothing
+    scales past the scan.
     """
     x = F.col(value_col).cast("decimal(18,6)")
     per_g = df.groupBy(F.col(group_col).alias("g")).agg(
@@ -1842,28 +1843,39 @@ def anova_oneway(
     )
     ng = F.col("ng").cast("double")
     sg = F.col("sg").cast("double")
-    qg = F.col("qg").cast("double")
-    # per-group pieces as exact-sum doubles, quantized before summing
-    ssw_term = (qg - sg * sg / ng).cast("decimal(38,12)")
+    # Σ sg²/ng is the one non-exact piece: its terms are
+    # price²-magnitude (~1e14), where a double->decimal quantization
+    # is NOT engine-portable (the decimal digits past ~15 significant
+    # are conversion junk the two engines disagree on). Instead the
+    # k-sized term list folds in FIXED g-order as plain doubles — the
+    # identical left-associative IEEE chain on both engines. Q and S
+    # stay exact decimal sums.
     tot = per_g.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("ng").cast("long").alias("n"),
         F.sum("sg").alias("s"),
-        F.sum(ssw_term).alias("ssw"),
-        F.sum((sg * sg / ng).cast("decimal(38,12)")).alias("sqs"),
+        F.sum("qg").alias("q"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("g"), (sg * sg / ng).alias("t")))
+        ).alias("terms"),
+    )
+    t_fold = F.aggregate(
+        F.col("terms"), F.lit(0.0), lambda acc, x_: acc + x_["t"]
     )
     n_d = F.col("n").cast("double")
     k_d = F.col("k").cast("double")
-    ssb = F.col("sqs").cast("double") - (
+    ssb = t_fold - (
         F.col("s").cast("double") * F.col("s").cast("double") / n_d
     )
-    ssw = F.col("ssw").cast("double")
+    ssw = F.col("q").cast("double") - t_fold
     f_stat = (ssb / (k_d - 1.0)) / (ssw / (n_d - k_d))
+    eta = ssb / (ssb + ssw)
     return tot.select(
         "k",
         "n",
-        F.round(ssb, 6).alias("ss_between"),
-        F.round(ssw, 6).alias("ss_within"),
+        F.round(
+            F.when((ssb + ssw) > 0, eta).otherwise(F.lit(0.0)), 6
+        ).alias("eta_sq"),
         F.round(
             F.when(
                 (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
@@ -1962,17 +1974,16 @@ def lorenz_curve(
     """
     spark = df.sparkSession
     v = F.col(value_col).cast("decimal(18,6)")
+    # per distinct value: count + 1e6-scaled exact-long value, so both
+    # cumulations ride ordered_cumsum as exact longs
     per_v = df.groupBy(v.alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("c"),
-        F.sum(v.cast("decimal(38,6)")).alias("sv"),
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    # cum_c: units at or below v; cum_sv needs decimal — carry value
-    # sums as 1e6-scaled exact longs through ordered_cumsum
     scaled = per_v.select(
         "v",
         "c",
-        (F.col("sv") * 1000000).cast("long").alias("s6"),
-    )
+        (F.col("v") * 1000000).cast("long").alias("v6"),
+    ).withColumn("s6", F.col("v6") * F.col("c"))
     cums = ordered_cumsum(scaled, "v", ["c", "s6"], exclusive=True)
     totals = scaled.agg(
         F.sum("c").cast("long").alias("n"),
@@ -1981,14 +1992,14 @@ def lorenz_curve(
     pts = spark.createDataFrame(
         [(i,) for i in range(1, points + 1)], "point int"
     )
-    # target rank of point i: floor(i·n/points) — exact integer
+    # target rank of point i: i·n DIV points — exact INTEGER division
+    # (a double `/` then cast would round vs truncate differently
+    # across engines at .5 fractions)
     with_t = pts.crossJoin(F.broadcast(totals)).select(
         "point",
         "n",
         "tot6",
-        (F.col("point").cast("long") * F.col("n") / points)
-        .cast("long")
-        .alias("r"),
+        F.expr(f"CAST(point AS BIGINT) * n DIV {int(points)}").alias("r"),
     )
     # containing tie group: cum_before < r <= cum_before + c
     hit = with_t.join(
@@ -2000,8 +2011,7 @@ def lorenz_curve(
     # value share at rank r: (cum_before_value + (r − cum_before_c)·v)
     # as exact 1e6-scaled longs
     num6 = F.col("cum_s6") + (
-        (F.col("r") - F.col("cum_c"))
-        * (F.col("v") * 1000000).cast("long")
+        (F.col("r") - F.col("cum_c")) * F.col("v6")
     )
     return hit.select(
         "point",

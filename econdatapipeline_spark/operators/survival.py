@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _risk_forward_cumsum(per_t, tot_col, stage2):
+def _risk_forward_cumsum(per_t, tot_col, stage2, small_threshold=100_000):
     """One range shuffle serving BOTH survival cumulations ->
     stage2's frame + n_risk + exact cum_<c> longs.
 
@@ -45,8 +45,35 @@ def _risk_forward_cumsum(per_t, tot_col, stage2):
     the SAME pinned layout with a second (cheap, checkpointed-input)
     offsets collect. Sums must be exact longs — callers pass
     1e9-scaled decimal terms (the kaplan_meier rule).
+
+    SIZE GATE (VERDICT r6 #6): the two-pass machinery exists for the
+    second-resolution-duration regime where distinct times approach
+    subject count; a daily-resolution curve is a few hundred rows, and
+    the two-pass overhead tripled its local latency (0.54 -> 1.79 s at
+    sf0.1). The relation is checkpointed and counted ONCE: at or below
+    ``small_threshold`` distinct times both cumulations run as plain
+    single-partition windows — exact long sums, therefore
+    BIT-IDENTICAL values to the two-pass path (twin-path pytest) — and
+    above it the distributed path engages.
     """
     spark = per_t.sparkSession
+    per_t = per_t.localCheckpoint(eager=True)
+    n_times = per_t.count()
+    if n_times <= small_threshold:
+        w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        risk = per_t.withColumn("n_risk", F.sum(tot_col).over(w_desc))
+        df2, cum_cols = stage2(risk)
+        w_asc = Window.orderBy(F.col("t").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = df2
+        for c in cum_cols:
+            out = out.withColumn(
+                f"cum_{c}", F.coalesce(F.sum(c).over(w_asc), F.lit(0))
+            )
+        return out
     n_parts = spark.sparkContext.defaultParallelism
     part = (
         per_t.repartitionByRange(n_parts, F.col("t").asc())

@@ -193,3 +193,56 @@ def ohlc_bars(
             "total",
         )
     )
+
+
+def vwap_bars(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    qty_col: str = "qty",
+) -> DataFrame:
+    """Per-window volume-weighted average price -> (window_start,
+    window_end, vwap, volume, notional).
+
+    The streaming form of operators/timeseries.vwap and the weighted
+    companion to ohlc_bars: Σ(p·q)/Σq where the notional rides
+    decimal-exact products, so the aggregate is two order-free SUMs —
+    map-side combinable, append-mode streamable behind a watermark,
+    and bit-identical run as a batch twin (the stream_ohlc
+    certification pattern: same function, both modes).
+    """
+    src = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming
+        else events
+    )
+    p = F.col(price_col).cast("decimal(18,6)")
+    q = F.col(qty_col).cast("long")
+    return (
+        src.select(
+            F.col(ts_col),
+            (p * q).cast("decimal(38,6)").alias("__pq"),
+            q.alias("__q"),
+        )
+        .groupBy(F.window(F.col(ts_col), window_size).alias("w"))
+        .agg(
+            F.sum("__pq").alias("notional6"),
+            F.sum("__q").cast("long").alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.round(
+                F.when(
+                    F.col("volume") > 0,
+                    F.col("notional6").cast("double")
+                    / F.col("volume").cast("double"),
+                ),
+                6,
+            ).alias("vwap"),
+            "volume",
+            F.round(F.col("notional6").cast("double"), 6).alias("notional"),
+        )
+    )

@@ -168,3 +168,63 @@ def test_ohlc_bars_streaming_matches_batch(spark, tmp_path):
         assert (r["open"], r["high"], r["low"], r["close"], r["volume"]) == (
             b["open"], b["high"], b["low"], b["close"], b["volume"]
         ), ws
+
+
+def test_vwap_bars_batch_hand_values(spark):
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 5), 7, "c", 10.0, '{"k": 2}'),
+            (2, dt.datetime(2024, 1, 1, 10, 9), 7, "c", 20.0, '{"k": 3}'),
+            (3, dt.datetime(2024, 1, 1, 10, 50), 7, "c", 5.0, '{"k": 0}'),
+            (4, dt.datetime(2024, 1, 1, 11, 1), 7, "c", 99.0, '{"k": 1}'),
+        ],
+        EVENT_SCHEMA,
+    )
+    src = events.select(
+        "ts", "value",
+        F.get_json_object("props", "$.k").cast("long").alias("qty"),
+    )
+    out = {r["window_start"]: r for r in W.vwap_bars(src, "1 hour").collect()}
+    bar = out[dt.datetime(2024, 1, 1, 10, 0)]
+    # (10*2 + 20*3 + 5*0) / (2 + 3 + 0) = 80/5
+    assert bar["vwap"] == 16.0 and bar["volume"] == 5
+    assert bar["notional"] == 80.0
+    assert out[dt.datetime(2024, 1, 1, 11, 0)]["vwap"] == 99.0
+
+
+def test_vwap_bars_streaming_matches_batch(spark, tmp_path):
+    """Real readStream for the VWAP bars: watermark-closed windows must
+    equal the batch twin (two order-free SUMs => identical semantics
+    in both modes; the stream_ohlc certification pattern)."""
+    src_dir = str(tmp_path / "vwap_src")
+    events = load_events(spark, SF_DIR).limit(400).select(
+        "ts", "value",
+        F.get_json_object("props", "$.k").cast("long").alias("qty"),
+    )
+    events.write.parquet(src_dir)
+    schema = "ts timestamp, value double, qty long"
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        W.vwap_bars(stream, "1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("vwap_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "vwap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: r
+        for r in spark.sql("select * from vwap_test").collect()
+    }
+    assert got, "append mode emitted no closed windows"
+    batch = {
+        r["window_start"]: r
+        for r in W.vwap_bars(spark.read.parquet(src_dir), "1 hour").collect()
+    }
+    for ws, r in got.items():
+        b = batch[ws]
+        assert (r["vwap"], r["volume"], r["notional"]) == (
+            b["vwap"], b["volume"], b["notional"]
+        ), ws

@@ -84,10 +84,12 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only)")
+            sh = rowhash(norm_rows(scols, [tuple(r) for r in srows]))
             report[name] = {
                 "status": "rows_only" if srows else "fail",
                 "rows": len(srows),
-                "hash": rowhash(norm_rows(scols, [tuple(r) for r in srows])),
+                "hash": sh,
+                "spark_hash": sh,
             }
             if not srows:
                 failures.append(name)
@@ -113,10 +115,20 @@ def main() -> int:
             continue
         sn = norm_rows(scols, [tuple(r) for r in srows])
         on = norm_rows(ocols, orows)
+        # both engines' hashes always recorded (VERDICT r6 #4: a
+        # driver-vs-local divergence must be localizable to engine +
+        # query without re-deriving anything)
+        shash, ohash = rowhash(sn), rowhash(on)
         if sn != on:
             failures.append(name)
             ndiff = sum(1 for a, b in zip(sn, on) if a != b)
-            report[name] = {"status": "fail", "rows": len(sn), "error": f"{ndiff}/{len(sn)} rows differ"}
+            report[name] = {
+                "status": "fail",
+                "rows": len(sn),
+                "error": f"{ndiff}/{len(sn)} rows differ",
+                "spark_hash": shash,
+                "oracle_hash": ohash,
+            }
             print(f"FAIL  {name}: {ndiff}/{len(sn)} rows differ")
             for a, b in zip(sn, on):
                 if a != b:
@@ -127,7 +139,9 @@ def main() -> int:
             report[name] = {
                 "status": "hash_match",
                 "rows": len(srows),
-                "hash": rowhash(sn),
+                "hash": shash,
+                "spark_hash": shash,
+                "oracle_hash": ohash,
             }
             print(f"ok    {name}: {len(srows)} rows")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
@@ -145,6 +159,24 @@ def main() -> int:
             json.dump(summary, fh, indent=1, sort_keys=False)
             fh.write("\n")
         print(f"wrote {out_path}")
+    hashes_path = os.environ.get("HASHES_JSON_OUT")
+    if hashes_path:
+        hashes = {
+            name: {
+                "spark_hash": r.get("spark_hash"),
+                "oracle_hash": r.get("oracle_hash"),
+                "rows": r.get("rows"),
+                "status": r["status"],
+            }
+            for name, r in report.items()
+        }
+        with open(hashes_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "queries": hashes}, fh,
+                indent=1, sort_keys=True,
+            )
+            fh.write("\n")
+        print(f"wrote {hashes_path}")
     return 1 if failures else 0
 
 
