@@ -5193,6 +5193,99 @@ def q_stream_vwap(spark, sf_dir):
     return vwap_bars(e, window_size="1 hour").orderBy("window_start")
 
 
+
+
+def q_newey_west(spark, sf_dir):
+    """OLS trend slope of the monthly order series with Newey-West
+    HAC standard errors (operators/timeseries.newey_west): Bartlett-
+    weighted residual autocovariances (4 lags) correct the i.i.d. se
+    that trend_fit would report on autocorrelated residuals. One
+    exact-sum OLS aggregate + per-group lag windows; outputs are
+    ratios of the quantized sums (the engine-parity wall rule)."""
+    from econdatapipeline_spark.operators.timeseries import newey_west
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(_dsum(F.col("o_totalprice")).alias("value"))
+    series = monthly.select(
+        "dataset",
+        "date",
+        F.datediff(F.col("date"), F.lit("1992-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("value"),
+    )
+    return newey_west(series, "value", "x", "date", "dataset").orderBy(
+        "dataset"
+    )
+
+
+def q_rolling_corr(spark, sf_dir):
+    """12-month trailing Pearson correlation between monthly revenue
+    and order count per priority (operators/timeseries.rolling_corr):
+    exact decimal window sums under ONE partitioned window spec, the
+    co-movement drift monitor."""
+    from econdatapipeline_spark.operators.timeseries import rolling_corr
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(
+        _dsum(F.col("o_totalprice")).alias("y"),
+        F.count(F.lit(1)).cast("long").cast("double").alias("x"),
+    )
+    return rolling_corr(monthly, "x", "y", "date", "dataset").orderBy(
+        "dataset", "date"
+    )
+
+
+
+
+def q_cox_ph(spark, sf_dir):
+    """Cox proportional-hazards fit: does BUILDING-segment membership
+    shift the repeat-purchase hazard? (operators/survival.cox_ph) —
+    same subject construction as kaplan_meier plus the binary segment
+    covariate; 4 Newton rounds, each ONE hash aggregate over the
+    static times-sized (d, sx, R0, R1) relation with exp(beta) as a
+    plan literal (the binary-covariate collapse S0 = R0 + eb*R1),
+    at-risk cumsums on the distributed ordered_cumsum."""
+    from econdatapipeline_spark.operators.survival import cox_ph
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("x"),
+    )
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    ranked = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rk"),
+        F.lead("o_orderdate").over(w).alias("nxt"),
+    ).filter(F.col("rk") == 1)
+    subjects = (
+        ranked.crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff("nxt", "o_orderdate"),
+            )
+            .otherwise(F.datediff("h", "o_orderdate"))
+            .cast("long")
+            .alias("duration"),
+            F.col("nxt").isNotNull().cast("int").alias("event"),
+            "x",
+        )
+    )
+    return cox_ph(subjects, "duration", "event", "x", rounds=4)
+
+
 # The driver's correctness artifact records only the FIRST 50 entries
 # of queries(). Round 2 recorded the original first 50 (the names in
 # CORRECTNESS_r02.json); queries() therefore rotates the not-yet-
@@ -5566,6 +5659,9 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "editdist_dedup": q_editdist_dedup,
         "stream_vwap": q_stream_vwap,
+        "newey_west": q_newey_west,
+        "rolling_corr": q_rolling_corr,
+        "cox_ph": q_cox_ph,
     }
 
 
@@ -12614,5 +12710,208 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(q) AS BIGINT) AS volume,
                round(CAST(SUM(pq) AS DOUBLE), 6) AS notional
         FROM o GROUP BY 1, 2
+    """
+    # Newey-West: the granger/adf exact-sum machinery plus Bartlett-
+    # weighted residual autocovariances from lag windows; u_t is the
+    # identical IEEE double expression tree on both engines.
+    sql["newey_west"] = """
+        WITH monthly AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(date_diff('day', DATE '1992-01-01',
+                      CAST(date_trunc('month', o_orderdate) AS DATE))
+                      AS DOUBLE) AS x,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS value
+          FROM orders GROUP BY 1, 2),
+        base AS (
+          SELECT dataset AS g, date AS t,
+                 CAST(x AS DECIMAL(18,6)) AS x,
+                 CAST(value AS DECIMAL(18,6)) AS y
+          FROM monthly),
+        sums AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS syy
+          FROM base GROUP BY g),
+        fit AS (
+          SELECT g, n,
+            (CAST(n AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n AS DOUBLE) * sxx - sx * sx) AS b,
+            (sy * sxx - sx * sxy)
+              / (CAST(n AS DOUBLE) * sxx - sx * sx) AS a,
+            sx / CAST(n AS DOUBLE) AS xbar,
+            sxx - sx * sx / CAST(n AS DOUBLE) AS sxt,
+            syy - (sy * (sy * sxx - sx * sxy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx))
+                - (sxy * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx)) AS rss
+          FROM sums),
+        scored AS (
+          SELECT base.g, base.t, fit.n, fit.b, fit.rss, fit.sxt,
+                 (CAST(base.x AS DOUBLE) - fit.xbar)
+                 * (CAST(base.y AS DOUBLE) - fit.a
+                    - fit.b * CAST(base.x AS DOUBLE)) AS u
+          FROM base JOIN fit ON base.g = fit.g),
+        lagged AS (
+          SELECT *,
+                 LAG(u, 1) OVER (PARTITION BY g ORDER BY t) AS u1,
+                 LAG(u, 2) OVER (PARTITION BY g ORDER BY t) AS u2,
+                 LAG(u, 3) OVER (PARTITION BY g ORDER BY t) AS u3,
+                 LAG(u, 4) OVER (PARTITION BY g ORDER BY t) AS u4
+          FROM scored),
+        hac AS (
+          SELECT g, n, b, rss, sxt,
+                 CAST(SUM(CAST(u * u AS DECIMAL(38,6))) AS DOUBLE) AS g0,
+                 CAST(SUM(CASE WHEN u1 IS NOT NULL
+                          THEN CAST(u * u1 AS DECIMAL(38,6)) END)
+                      AS DOUBLE) AS g1,
+                 CAST(SUM(CASE WHEN u2 IS NOT NULL
+                          THEN CAST(u * u2 AS DECIMAL(38,6)) END)
+                      AS DOUBLE) AS g2,
+                 CAST(SUM(CASE WHEN u3 IS NOT NULL
+                          THEN CAST(u * u3 AS DECIMAL(38,6)) END)
+                      AS DOUBLE) AS g3,
+                 CAST(SUM(CASE WHEN u4 IS NOT NULL
+                          THEN CAST(u * u4 AS DECIMAL(38,6)) END)
+                      AS DOUBLE) AS g4
+          FROM lagged GROUP BY g, n, b, rss, sxt),
+        v AS (
+          SELECT *,
+            g0 + 2.0 * 0.8 * COALESCE(g1, 0.0)
+               + 2.0 * 0.6 * COALESCE(g2, 0.0)
+               + 2.0 * 0.4 * COALESCE(g3, 0.0)
+               + 2.0 * CAST(0.19999999999999996 AS DOUBLE)
+                 * COALESCE(g4, 0.0) AS vhac
+          FROM hac)
+        SELECT g AS dataset, n,
+               round(CASE WHEN n > 2 AND sxt > 0 THEN b END, 6) AS slope,
+               round(CASE WHEN n > 2 AND sxt > 0
+                     THEN sqrt((rss / (CAST(n AS DOUBLE) - 2.0)) / sxt)
+                     END, 6) AS se_ols,
+               round(CASE WHEN n > 2 AND sxt > 0 AND vhac > 0
+                     THEN sqrt(vhac / (sxt * sxt)) END, 6) AS se_hac
+        FROM v
+    """
+    # Rolling correlation: exact decimal window sums over the trailing
+    # 12-row frame; the formula is fixed-order doubles of those sums.
+    sql["rolling_corr"] = """
+        WITH monthly AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS y,
+                 CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS x
+          FROM orders GROUP BY 1, 2),
+        base AS (
+          SELECT dataset AS g, date AS t,
+                 CAST(x AS DECIMAL(18,6)) AS x,
+                 CAST(y AS DECIMAL(18,6)) AS y
+          FROM monthly),
+        win AS (
+          SELECT g, t,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+                 CAST(SUM(CAST(x AS DECIMAL(38,12))) OVER w AS DOUBLE)
+                   AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(38,12))) OVER w AS DOUBLE)
+                   AS sy,
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) OVER w AS DOUBLE) AS syy
+          FROM base
+          WINDOW w AS (PARTITION BY g ORDER BY t
+                       ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+        SELECT g AS dataset, t AS date, n_w,
+               round(CASE WHEN n_w >= 2
+                          AND CAST(n_w AS DOUBLE) * sxx - sx * sx > 0
+                          AND CAST(n_w AS DOUBLE) * syy - sy * sy > 0
+                     THEN (CAST(n_w AS DOUBLE) * sxy - sx * sy)
+                          / sqrt((CAST(n_w AS DOUBLE) * sxx - sx * sx)
+                                 * (CAST(n_w AS DOUBLE) * syy - sy * sy))
+                     END, 6) AS corr
+        FROM win
+    """
+    # Cox PH: the Newton iteration unrolled — each round recomputes
+    # eb = exp(beta) quantized decimal(18,9) (the one libm channel,
+    # ln-class caveat), per-time U/I terms quantized decimal(28,12)
+    # before order-free sums, beta requantized decimal(18,9); the
+    # p-term expression tree mirrors the operator token for token.
+    cox_p = ("((eb * CAST(r1 AS DOUBLE))"
+             " / (CAST(r0 AS DOUBLE) + eb * CAST(r1 AS DOUBLE)))")
+    cox_rounds = []
+    for i in range(1, 5):
+        b = f"b{i - 1}"
+        cox_rounds.append(f"""
+        e{i} AS (SELECT CAST(CAST(exp(beta) AS DECIMAL(18,9)) AS DOUBLE)
+                        AS eb, beta FROM {b}),
+        ui{i} AS (
+          SELECT CAST(SUM(CAST(CAST(sx AS DOUBLE)
+                   - CAST(d AS DOUBLE) * {cox_p}
+                   AS DECIMAL(28,12))) AS DOUBLE) AS u,
+                 CAST(SUM(CAST(CAST(d AS DOUBLE) * {cox_p}
+                   * (1.0 - {cox_p})
+                   AS DECIMAL(28,12))) AS DOUBLE) AS i,
+                 MIN(beta) AS beta
+          FROM riskf CROSS JOIN e{i}),
+        b{i} AS (SELECT CAST(CAST(beta + u / i AS DECIMAL(18,9))
+                        AS DOUBLE) AS beta FROM ui{i}),""")
+    cox_cte = "".join(cox_rounds)
+    sql["cox_ph"] = f"""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        subj AS (
+          SELECT CAST(CASE WHEN nxt IS NOT NULL
+                      THEN date_diff('day', o_orderdate, nxt)
+                      ELSE date_diff('day', o_orderdate, h.h) END
+                      AS BIGINT) AS t,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS x
+          FROM ranked CROSS JOIN h
+          JOIN customer ON o_custkey = c_custkey
+          WHERE rk = 1),
+        per_t AS (
+          SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+                 CAST(SUM(e * x) AS BIGINT) AS sx,
+                 CAST(SUM(1 - x) AS BIGINT) AS c0,
+                 CAST(SUM(x) AS BIGINT) AS c1
+          FROM subj GROUP BY t),
+        riskf AS (
+          SELECT t, d, sx,
+                 CAST(SUM(c0) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS r0,
+                 CAST(SUM(c1) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS r1
+          FROM per_t QUALIFY d >= 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(e) AS BIGINT) AS n_events FROM subj),
+        b0 AS (SELECT CAST(0.0 AS DOUBLE) AS beta),{cox_cte}
+        ef AS (SELECT CAST(CAST(exp(beta) AS DECIMAL(18,9)) AS DOUBLE)
+                      AS eb, beta FROM b4),
+        uif AS (
+          SELECT CAST(SUM(CAST(CAST(d AS DOUBLE) * {cox_p}
+                   * (1.0 - {cox_p})
+                   AS DECIMAL(28,12))) AS DOUBLE) AS i,
+                 MIN(beta) AS beta
+          FROM riskf CROSS JOIN ef)
+        SELECT tot.n, tot.n_events,
+               CAST(round(CAST(beta AS DECIMAL(18,9)), 6) AS DOUBLE)
+                 AS beta,
+               round(CASE WHEN i > 0 THEN exp(beta) END, 6) AS hr,
+               round(CASE WHEN i > 0 THEN 1.0 / sqrt(i) END, 6) AS se,
+               round(CASE WHEN i > 0
+                     THEN beta / (1.0 / sqrt(i)) END, 6) AS z
+        FROM uif CROSS JOIN tot
     """
     return sql

@@ -84,3 +84,4 @@ def sessionize(
             - F.unix_timestamp("session_start")
         ).cast("long"),
     )
+

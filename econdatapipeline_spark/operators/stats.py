@@ -2108,3 +2108,4 @@ def rdd_estimator(
         F.round(b_r, 6).alias("slope_r"),
         F.round(a_r - a_l, 6).alias("tau"),
     )
+

@@ -402,3 +402,150 @@ def log_rank(
             6,
         ).alias("chi2"),
     )
+
+
+def cox_ph(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "x",
+    rounds: int = 4,
+) -> DataFrame:
+    """Cox proportional-hazards fit for a BINARY covariate (Breslow
+    ties) -> one row (n, n_events, beta, hr, se, z).
+
+    The regression member of the survival family (kaplan_meier /
+    nelson_aalen / log_rank quantify; Cox ESTIMATES the effect): the
+    partial-likelihood Newton iteration for hazard ratio
+    exp(beta) between group 1 and group 0. With a binary covariate the
+    weighted risk-set sums collapse to S0(t) = R0(t) + eb*R1(t),
+    S1(t) = eb*R1(t), where R0/R1 are the STATIC reverse cumulative
+    at-risk counts per group — so the whole iteration runs on a
+    times-sized relation computed ONCE (per-time counts + the
+    distributed ordered_cumsum), and each Newton round is ONE hash
+    aggregate with eb entering as a plan literal plus a 1-row collect:
+
+        U(b) = Σ_t [sx_t − d_t·p_t],   I(b) = Σ_t d_t·p_t·(1−p_t),
+        p_t  = eb·R1/(R0 + eb·R1),     b' = b + U/I.
+
+    Engine parity: per-time U/I terms are O(d_t) magnitudes quantized
+    to decimal(28,12) before order-free sums; beta re-quantizes to
+    decimal(18,9) each round; eb = exp(beta) is quantized to
+    decimal(18,9) on both engines (the one libm channel, the
+    documented ln-class 1-ulp caveat). se = 1/sqrt(I(beta_final)),
+    z = beta/se, hr = exp(beta) — O(1) outputs rounded 6.
+
+    Returns NULL beta/hr/se/z when the information is non-positive
+    (single-group input — no contrast to estimate; the did_estimator
+    never-fabricate rule).
+    """
+    import math  # noqa: PLC0415
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = df.sparkSession
+    x = F.col(group_col).cast("int")
+    bad = x.isNotNull() & ~x.isin(0, 1)
+    xchecked = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit("cox_ph: group_col must be binary 0/1, got "),
+                F.col(group_col).cast("string"),
+            )
+        ),
+    ).otherwise(x)
+    subj = df.select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+        xchecked.alias("x"),
+    ).filter(F.col("t").isNotNull() & F.col("x").isNotNull())
+    per_t = subj.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        F.sum(F.col("e") * F.col("x")).cast("long").alias("sx"),
+        F.sum(F.lit(1) - F.col("x")).cast("long").alias("c0"),
+        F.sum("x").cast("long").alias("c1"),
+    )
+    from econdatapipeline_spark.operators.stats import (  # noqa: PLC0415
+        ordered_cumsum,
+    )
+
+    risk = (
+        ordered_cumsum(per_t, "t", ["c0", "c1"], descending=True)
+        .select(
+            "t",
+            "d",
+            "sx",
+            F.col("cum_c0").alias("r0"),
+            F.col("cum_c1").alias("r1"),
+        )
+        .filter(F.col("d") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    totals = subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("e").cast("long").alias("n_events"),
+    ).first()
+
+    q9 = Decimal("0.000000001")
+
+    def d18_9(v: float) -> Decimal:
+        return Decimal(repr(v)).quantize(q9, rounding=ROUND_HALF_UP)
+
+    def ui_at(eb: float):
+        r0 = F.col("r0").cast("double")
+        r1 = F.col("r1").cast("double")
+        d = F.col("d").cast("double")
+        p = (F.lit(eb) * r1) / (r0 + F.lit(eb) * r1)
+        term_u = (F.col("sx").cast("double") - d * p).cast(
+            "decimal(28,12)"
+        )
+        term_i = (d * p * (1.0 - p)).cast("decimal(28,12)")
+        row = risk.agg(
+            F.sum(term_u).alias("u"), F.sum(term_i).alias("i")
+        ).first()
+        return (
+            float(row["u"]) if row["u"] is not None else 0.0,
+            float(row["i"]) if row["i"] is not None else 0.0,
+        )
+
+    beta = 0.0
+    info = 0.0
+    degenerate = False
+    for _ in range(rounds):
+        eb = float(d18_9(math.exp(beta)))
+        u, info = ui_at(eb)
+        if info <= 0:
+            degenerate = True
+            break
+        beta = float(d18_9(beta + u / info))
+    if not degenerate:
+        eb = float(d18_9(math.exp(beta)))
+        _, info = ui_at(eb)
+        degenerate = info <= 0
+    if degenerate:
+        row = (totals["n"], totals["n_events"], None, None, None, None)
+    else:
+        se = 1.0 / math.sqrt(info)
+
+        def r6(v: float) -> float:
+            return float(
+                Decimal(repr(v)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        row = (
+            totals["n"],
+            totals["n_events"],
+            r6(beta),
+            r6(math.exp(beta)),
+            r6(se),
+            r6(beta / se),
+        )
+    return spark.createDataFrame(
+        [row],
+        "n long, n_events long, beta double, hr double, se double,"
+        " z double",
+    )

@@ -1185,3 +1185,188 @@ def granger_causality(
         F.round(F.when(ok, c_u), 6).alias("beta_x"),
         F.round(F.when(ok, f_stat), 6).alias("f_stat"),
     )
+
+
+def newey_west(
+    df: DataFrame,
+    y_col: str = "value",
+    x_col: str = "x",
+    order_col: str = "date",
+    group_col: str = "dataset",
+    lags: int = 4,
+) -> DataFrame:
+    """OLS slope with Newey-West HAC standard errors per series ->
+    (group, n, slope, se_ols, se_hac).
+
+    Economic time series have autocorrelated residuals, so trend_fit's
+    i.i.d. standard error overstates certainty; Newey-West (1987)
+    corrects the slope variance with Bartlett-weighted residual
+    autocovariances: Var(b) = Σ_l w_l γ_l / (Σ x̃²)², w_l = 1−l/(L+1),
+    γ_l = Σ_t u_t u_(t−l) (doubled for l >= 1), u_t = x̃_t e_t.
+
+    Relational shape (the adf_test discipline): the OLS fit is ONE
+    hash aggregate of decimal-exact sums of decimal(18,6)-quantized
+    inputs; u_t is a deterministic IEEE double; the L autocovariance
+    terms come from per-group LAG windows (PARTITIONED — series-sized
+    by contract) with products decimal(38,6)-quantized before the
+    order-free sums. All outputs are O(1)-to-small ratios of the big
+    sums, which is what keeps them inside the engine-parity wall
+    (ORACLE_PARITY.md: ratios of quantized sums are portable; raw
+    big-magnitude sums are not).
+    """
+    if lags < 1:
+        raise ValueError(f"lags must be >= 1, got {lags}")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    xq = F.col(x_col).cast("decimal(18,6)")
+    yq = F.col(y_col).cast("decimal(18,6)")
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("t"),
+        xq.alias("x"),
+        yq.alias("y"),
+    )
+    sums = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    det = n * sxx - sx * sx
+    fit = sums.select(
+        "g",
+        "n",
+        ((n * sxy - sx * sy) / det).alias("b"),
+        ((sy * sxx - sx * sxy) / det).alias("a"),
+        (sx / n).alias("xbar"),
+        (sxx - sx * sx / n).alias("sxt"),
+        (
+            (syy - (sy * (sy * sxx - sx * sxy) / det)
+             - (sxy * (n * sxy - sx * sy) / det))
+        ).alias("rss"),
+    )
+    u = (
+        (F.col("x").cast("double") - F.col("xbar"))
+        * (
+            F.col("y").cast("double")
+            - F.col("a")
+            - F.col("b") * F.col("x").cast("double")
+        )
+    )
+    w = Window.partitionBy("g").orderBy("t")
+    scored = base.join(fit, "g").withColumn("u", u)
+    gcols = [
+        F.sum((F.col("u") * F.col("u")).cast("decimal(38,6)")).alias("g0")
+    ]
+    for lag in range(1, lags + 1):
+        scored = scored.withColumn(
+            f"u{lag}", F.lag(F.col("u"), lag).over(w)
+        )
+        gcols.append(
+            F.sum(
+                F.when(
+                    F.col(f"u{lag}").isNotNull(),
+                    (F.col("u") * F.col(f"u{lag}")).cast("decimal(38,6)"),
+                )
+            ).alias(f"g{lag}")
+        )
+    hac = scored.groupBy(
+        "g", "n", "b", "rss", "sxt"
+    ).agg(*gcols)
+    v = F.col("g0").cast("double")
+    for lag in range(1, lags + 1):
+        wgt = 1.0 - float(lag) / float(lags + 1)
+        v = v + 2.0 * F.lit(wgt) * F.coalesce(
+            F.col(f"g{lag}").cast("double"), F.lit(0.0)
+        )
+    n2 = F.col("n").cast("double")
+    sxt = F.col("sxt")
+    ok = (F.col("n") > 2) & (sxt > 0)
+    return hac.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round(F.when(ok, F.col("b")), 6).alias("slope"),
+        F.round(
+            F.when(ok, F.sqrt((F.col("rss") / (n2 - 2.0)) / sxt)), 6
+        ).alias("se_ols"),
+        F.round(
+            F.when(ok & (v > 0), F.sqrt(v / (sxt * sxt))), 6
+        ).alias("se_hac"),
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    order_col: str = "date",
+    group_col: str = "dataset",
+    window_rows: int = 12,
+) -> DataFrame:
+    """Trailing-window Pearson correlation of two aligned series ->
+    (group, order, n_w, corr).
+
+    The co-movement monitor (rolling beta's symmetric sibling): has
+    the relationship between two indicators drifted? Inputs quantize
+    to decimal(18,6) so every windowed sum (Σx, Σy, Σxy, Σx², Σy²) is
+    an EXACT decimal over the trailing frame — order-free, engine
+    portable; the correlation is a fixed-order double formula of
+    those exact window sums. One window spec PARTITIONED by series
+    key serves all five sums (single sort; the rolling_zscore
+    posture). corr is null until the frame holds >= 2 rows or when
+    either variance is 0.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    xq = F.col(x_col).cast("decimal(18,6)")
+    yq = F.col(y_col).cast("decimal(18,6)")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("t"),
+        xq.alias("x"),
+        yq.alias("y"),
+    )
+    n_w = F.count(F.lit(1)).over(
+        Window.partitionBy("g").orderBy("t").rowsBetween(
+            -(window_rows - 1), 0
+        )
+    )
+    wb = Window.partitionBy("g").orderBy("t").rowsBetween(
+        -(window_rows - 1), 0
+    )
+    sx = F.sum(dec(F.col("x"))).over(wb).cast("double")
+    sy = F.sum(dec(F.col("y"))).over(wb).cast("double")
+    sxy = F.sum(dec(F.col("x") * F.col("y"))).over(wb).cast("double")
+    sxx = F.sum(dec(F.col("x") * F.col("x"))).over(wb).cast("double")
+    syy = F.sum(dec(F.col("y") * F.col("y"))).over(wb).cast("double")
+    nd = n_w.cast("double")
+    cov = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    return base.select(
+        F.col("g").alias(group_col),
+        F.col("t").alias(order_col),
+        n_w.cast("long").alias("n_w"),
+        F.round(
+            F.when(
+                (n_w >= 2) & (vx > 0) & (vy > 0),
+                cov / F.sqrt(vx * vy),
+            ),
+            6,
+        ).alias("corr"),
+    )

@@ -422,3 +422,142 @@ def test_survival_size_gate_paths_identical(spark):
     finally:
         surv._risk_forward_cumsum = orig
     assert small == large
+
+
+def test_newey_west_reference_and_hac_inflation(spark):
+    """Slope/se against a pure-python NW implementation; positively
+    autocorrelated residuals must inflate se_hac above se_ols."""
+    from econdatapipeline_spark.operators.timeseries import newey_west
+
+    rng = random.Random(9)
+    n, rho, lags = 60, 0.8, 4
+    xs = [float(t) for t in range(n)]
+    e, es = 0.0, []
+    for _ in range(n):
+        e = rho * e + rng.gauss(0, 1.0)
+        es.append(e)
+    ys = [round(1.5 * x + 10.0 + ee, 6) for x, ee in zip(xs, es)]
+    rows = [("s", dt.date(2020, 1, 1) + dt.timedelta(days=t), xs[t], ys[t])
+            for t in range(n)]
+    df = spark.createDataFrame(rows, "dataset string, date date, x double, value double")
+    out = newey_west(df, "value", "x", "date", "dataset", lags=lags).first()
+    # pure-python reference
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    xbar = sx / n
+    us = [(x - xbar) * (y - a - b * x) for x, y in zip(xs, ys)]
+    sxt = sxx - sx * sx / n
+    v = sum(u * u for u in us)
+    for lag in range(1, lags + 1):
+        w = 1.0 - lag / (lags + 1)
+        v += 2.0 * w * sum(us[t] * us[t - lag] for t in range(lag, n))
+    se_hac_ref = math.sqrt(v / (sxt * sxt))
+    rss = sum((y - a - b * x) ** 2 for x, y in zip(xs, ys))
+    se_ols_ref = math.sqrt((rss / (n - 2)) / sxt)
+    assert out["slope"] == pytest.approx(b, rel=1e-6)
+    assert out["se_ols"] == pytest.approx(se_ols_ref, rel=1e-4)
+    assert out["se_hac"] == pytest.approx(se_hac_ref, rel=1e-4)
+    assert out["se_hac"] > out["se_ols"]
+
+
+def test_rolling_corr_hand_values(spark):
+    from econdatapipeline_spark.operators.timeseries import rolling_corr
+
+    rows = []
+    for t in range(12):
+        rows.append(("pos", dt.date(2020, 1, 1) + dt.timedelta(days=t),
+                     float(t), 2.0 * t + 1.0))
+        rows.append(("neg", dt.date(2020, 1, 1) + dt.timedelta(days=t),
+                     float(t), -3.0 * t + 40.0))
+    df = spark.createDataFrame(rows, "dataset string, date date, x double, y double")
+    out = rolling_corr(df, "x", "y", "date", "dataset", window_rows=6)
+    last = {r["dataset"]: r for r in out.collect()
+            if r["date"] == dt.date(2020, 1, 12)}
+    assert last["pos"]["corr"] == pytest.approx(1.0, abs=1e-6)
+    assert last["neg"]["corr"] == pytest.approx(-1.0, abs=1e-6)
+    assert last["pos"]["n_w"] == 6
+    first = [r for r in out.collect()
+             if r["date"] == dt.date(2020, 1, 1)][0]
+    assert first["corr"] is None  # single-row frame: undefined
+
+
+def test_cox_ph_reference_newton(spark):
+    """beta/hr/se against an independent full-precision pure-python
+    partial-likelihood Newton fit (Breslow ties) on a synthetic
+    two-group sample with a real hazard gap."""
+    from econdatapipeline_spark.operators.survival import cox_ph
+
+    rng = random.Random(17)
+    rows = []
+    for _ in range(150):          # group 1: ~2x hazard
+        t = max(1, int(-10.0 * math.log(rng.random())))
+        rows.append((t, 1 if rng.random() < 0.8 else 0, 1))
+    for _ in range(150):
+        t = max(1, int(-20.0 * math.log(rng.random())))
+        rows.append((t, 1 if rng.random() < 0.8 else 0, 0))
+    df = spark.createDataFrame(rows, "duration long, event int, x int")
+    out = cox_ph(df, rounds=6).first()
+
+    # independent reference (no quantization, plain floats)
+    from collections import defaultdict
+
+    d = defaultdict(int); sx = defaultdict(int)
+    c0 = defaultdict(int); c1 = defaultdict(int)
+    for t, e, x in rows:
+        if e:
+            d[t] += 1; sx[t] += x
+        (c1 if x else c0)[t] += 1
+    times = sorted(set(d) | set(c0) | set(c1))
+    r0 = r1 = 0
+    R0, R1 = {}, {}
+    for t in reversed(times):
+        r0 += c0.get(t, 0); r1 += c1.get(t, 0)
+        R0[t], R1[t] = r0, r1
+    beta = 0.0
+    for _ in range(6):
+        eb = math.exp(beta)
+        u = i = 0.0
+        for t in times:
+            if d.get(t, 0) < 1:
+                continue
+            p = eb * R1[t] / (R0[t] + eb * R1[t])
+            u += sx[t] - d[t] * p
+            i += d[t] * p * (1 - p)
+        beta += u / i
+    eb = math.exp(beta)
+    info = sum(
+        d[t] * (eb * R1[t] / (R0[t] + eb * R1[t]))
+        * (1 - eb * R1[t] / (R0[t] + eb * R1[t]))
+        for t in times if d.get(t, 0) >= 1
+    )
+    se = 1.0 / math.sqrt(info)
+    assert out["beta"] == pytest.approx(beta, abs=1e-5)
+    assert out["hr"] == pytest.approx(math.exp(beta), abs=1e-4)
+    assert out["se"] == pytest.approx(se, abs=1e-5)
+    assert out["beta"] > 0.4  # group 1 really is higher-hazard
+    assert out["n"] == 300 and out["n_events"] > 200
+
+
+def test_cox_ph_degenerate_single_group(spark):
+    from econdatapipeline_spark.operators.survival import cox_ph
+
+    df = spark.createDataFrame(
+        [(5, 1, 1), (7, 1, 1), (9, 0, 1)], "duration long, event int, x int"
+    )
+    out = cox_ph(df).first()
+    assert out["beta"] is None and out["hr"] is None
+    assert out["n"] == 3
+
+
+def test_cox_ph_rejects_nonbinary_covariate(spark):
+    from econdatapipeline_spark.operators.survival import cox_ph
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(5, 1, 2), (7, 1, 0)], "duration long, event int, x int"
+    )
+    with pytest.raises(Exception, match="binary"):
+        cox_ph(df).collect()
