@@ -5286,6 +5286,38 @@ def q_cox_ph(spark, sf_dir):
     return cox_ph(subjects, "duration", "event", "x", rounds=4)
 
 
+
+
+def q_kmeans_lloyd(spark, sf_dir):
+    """Lloyd's k-means over the embedding space
+    (operators/kmeans.kmeans_lloyd): k=4, 2 rounds, seeds = vectors
+    0..3; centroids live as a (cluster, pos, mu) RELATION, distances
+    as order-free decimal(28,12) sums on the exploded join, centroids
+    requantized per round by the floor rule — bit-replayable as plain
+    unrolled relational CTEs (no generated wide SQL). Semantic
+    bucketing ahead of semdedup / mixture analysis."""
+    from econdatapipeline_spark.operators.kmeans import kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(e, k=4, rounds=2, seed_ids=[0, 1, 2, 3])
+
+
+
+
+def q_dp_group_counts(spark, sf_dir):
+    """Epsilon-DP order counts per priority
+    (operators/quality.dp_group_counts): Laplace(1/eps) noise from the
+    deterministic md5-uniform idiom (bootstrap_ci's randomness
+    contract), one hash aggregate — the release mechanism pairing with
+    k_anonymity's risk report."""
+    from econdatapipeline_spark.operators.quality import dp_group_counts
+
+    o = _t(spark, sf_dir, "orders")
+    return dp_group_counts(o, "o_orderpriority", epsilon=1.0).orderBy(
+        "group"
+    )
+
+
 # The driver's correctness artifact records only the FIRST 50 entries
 # of queries(). Round 2 recorded the original first 50 (the names in
 # CORRECTNESS_r02.json); queries() therefore rotates the not-yet-
@@ -5662,6 +5694,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "newey_west": q_newey_west,
         "rolling_corr": q_rolling_corr,
         "cox_ph": q_cox_ph,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "dp_group_counts": q_dp_group_counts,
     }
 
 
@@ -12913,5 +12947,91 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN i > 0
                      THEN beta / (1.0 / sqrt(i)) END, 6) AS z
         FROM uif CROSS JOIN tot
+    """
+
+    # k-means: the identical relational iteration unrolled — exact
+    # decimal distance sums, floor-quantized centroid means, ties to
+    # the lowest cluster index.
+    sql["kmeans_lloyd"] = """
+        WITH pts AS (
+          SELECT id, i AS pos, CAST(emb[i] AS DOUBLE) AS val
+          FROM (SELECT vec_id AS id, embedding AS emb,
+                       unnest(range(1, 65)) AS i
+                FROM embeddings)),
+        c0 AS (
+          SELECT CASE id WHEN 0 THEN 1 WHEN 1 THEN 2
+                         WHEN 2 THEN 3 WHEN 3 THEN 4 END AS cluster,
+                 pos,
+                 floor(val * 1000000000.0 + 0.5) / 1000000000.0 AS mu
+          FROM pts WHERE id IN (0, 1, 2, 3)),
+        d1 AS (
+          SELECT pts.id, c.cluster,
+                 SUM(CAST((val - mu) * (val - mu) AS DECIMAL(28,12)))
+                   AS dist
+          FROM pts JOIN c0 c USING (pos) GROUP BY 1, 2),
+        a1 AS (
+          SELECT id, cluster, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY dist ASC, cluster ASC) AS rk
+            FROM d1) WHERE rk = 1),
+        c1 AS (
+          SELECT cluster, pos,
+                 floor((CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                        / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE))
+                       * 1000000000.0 + 0.5) / 1000000000.0 AS mu
+          FROM pts JOIN a1 USING (id) GROUP BY 1, 2),
+        d2 AS (
+          SELECT pts.id, c.cluster,
+                 SUM(CAST((val - mu) * (val - mu) AS DECIMAL(28,12)))
+                   AS dist
+          FROM pts JOIN c1 c USING (pos) GROUP BY 1, 2),
+        a2 AS (
+          SELECT id, cluster, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY dist ASC, cluster ASC) AS rk
+            FROM d2) WHERE rk = 1),
+        c2 AS (
+          SELECT cluster, pos,
+                 floor((CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                        / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE))
+                       * 1000000000.0 + 0.5) / 1000000000.0 AS mu
+          FROM pts JOIN a2 USING (id) GROUP BY 1, 2),
+        d3 AS (
+          SELECT pts.id, c.cluster,
+                 SUM(CAST((val - mu) * (val - mu) AS DECIMAL(28,12)))
+                   AS dist
+          FROM pts JOIN c2 c USING (pos) GROUP BY 1, 2),
+        a3 AS (
+          SELECT id, cluster, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY dist ASC, cluster ASC) AS rk
+            FROM d3) WHERE rk = 1),
+        fin AS (SELECT * FROM a3)
+        SELECT CAST(cluster AS INT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               round(CAST(SUM(dist) AS DOUBLE), 6) AS inertia
+        FROM fin GROUP BY cluster
+    """
+
+    # DP group counts: the md5-uniform -> Laplace inverse CDF replayed;
+    # the ln is the shared quantized-ln caveat class.
+    sql["dp_group_counts"] = """
+        WITH agg AS (
+          SELECT o_orderpriority AS "group",
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1),
+        nz AS (
+          SELECT *,
+                 CAST(CAST('0x' || substr(md5('dp:' || "group"), 1, 8)
+                      AS BIGINT) % 1000003 + 1 AS DOUBLE)
+                   / CAST(1000005.0 AS DOUBLE) AS u
+          FROM agg)
+        SELECT "group", n,
+               round(CAST(n AS DOUBLE)
+                     + (-(1.0 / CAST(1.0 AS DOUBLE))
+                        * sign(u - 0.5)
+                        * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS noisy_n,
+               CAST(1.0 AS DOUBLE) AS epsilon
+        FROM nz
     """
     return sql

@@ -1,0 +1,160 @@
+"""Lloyd's k-means over an embedding column, fully relational.
+
+The classic clustering pass a curation pipeline runs over document
+embeddings (semantic bucketing before semdedup; corpus mixture
+analysis). Assignment runs as a MAP-ONLY fold with the k·d centroid
+values as plan literals (the mmr_select/pca_power pattern — zero
+shuffle per round for the n·d·k flops); centroid updates and the
+final inertia stay relational aggregates over the exploded
+(row, pos, val) relation. The oracle replays the RELATIONAL form of
+the same iteration as plain unrolled CTEs — value-identical because
+every distance is carried as 1e12-scaled exact longs of the same
+decimal(28,12)-quantized squared deviations (long sum == decimal sum
+in any order), and the tie-break (array_min over (dist, cluster)
+structs = lexicographic) is exactly the relational ROW_NUMBER order.
+
+Engine parity: centroid components re-quantize each round via
+floor(mu·1e9 + 0.5)/1e9 — a pure double function, the ORACLE_PARITY
+floor rule; the final inertia is recomputed as the relational decimal
+sum over each member's winning centroid only (n·d rows), so its
+decimal -> double conversion is the single-rounding chain the oracle
+performs. Deterministic end-to-end: same seeds, same assignment, same
+centroids on both engines, bit-for-bit (measured: the fold assignment
+cut sf0.1 latency vs the n·d·k join form — see SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    rounds: int = 2,
+    seed_ids: list[int] | None = None,
+) -> DataFrame:
+    """Lloyd iterations -> one row per non-empty cluster
+    (cluster, n_vecs, inertia), inertia = Σ member squared distances.
+
+    Seeds are the vectors at ``seed_ids`` (default ids 0..k-1) in id
+    order — deterministic by construction (k-means++ would demand a
+    random stream both engines share; fixed seeds keep the operator a
+    pure function of its input). A cluster emptied during iteration
+    stays empty (its centroid drops out of the relation), matching the
+    oracle's semantics exactly.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    spark = df.sparkSession
+    seeds = list(seed_ids) if seed_ids is not None else list(range(k))
+    if len(seeds) != k:
+        raise ValueError(f"need exactly {k} seed ids, got {len(seeds)}")
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint(eager=True)
+    pts = (
+        vecs.select("id", F.posexplode(F.col("v")))
+        .select(
+            "id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("val")
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed_map = spark.createDataFrame(
+        [(c + 1, int(i)) for c, i in enumerate(sorted(seeds))],
+        "cluster int, id long",
+    )
+    q9 = F.floor(F.col("mu") * 1000000000.0 + 0.5) / 1000000000.0
+    cents = (
+        pts.join(F.broadcast(seed_map), "id")
+        .select("cluster", "pos", F.col("val").alias("mu"))
+        .select("cluster", "pos", q9.alias("mu"))
+        .localCheckpoint(eager=True)
+    )
+
+    # Assignment fast path: centroids are k·d values — collect them
+    # and fold each distance as a map-only expression over the vector
+    # column, carrying per-term 1e12-SCALED LONGS of the identical
+    # decimal(28,12)-quantized squared deviations (the kaplan_meier
+    # lnq idiom): the long sum IS the decimal sum, so the winner and
+    # every tie-break (array_min over (dist, cluster) structs =
+    # lexicographic = dist asc, cluster asc) are bit-identical to the
+    # relational join the oracle replays — with zero shuffle.
+    def collect_cents(c_rel):
+        by = {}
+        for r in c_rel.collect():
+            by.setdefault(r["cluster"], {})[r["pos"]] = r["mu"]
+        return {
+            c: [m[p] for p in sorted(m)] for c, m in sorted(by.items())
+        }
+
+    def assign_fast(c_by):
+        dists = []
+        for c, mu in sorted(c_by.items()):
+            term = lambda a, b: (
+                ((a - b) * (a - b)).cast("decimal(28,12)")
+                * F.lit(1000000000000)
+            ).cast("long")
+            dl = F.aggregate(
+                F.zip_with(F.col("v"), F.lit(mu), term),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            )
+            dists.append(F.struct(dl.alias("dl"), F.lit(c).alias("cluster")))
+        win = F.array_min(F.array(*dists))
+        return vecs.select(
+            "id",
+            win["cluster"].alias("cluster"),
+            win["dl"].alias("dl"),
+        )
+
+    for _ in range(rounds):
+        a = assign_fast(collect_cents(cents))
+        cents = (
+            pts.join(a.select("id", "cluster"), "id")
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("c"),
+            )
+            .select(
+                "cluster",
+                "pos",
+                (
+                    F.col("s").cast("double") / F.col("c").cast("double")
+                ).alias("mu"),
+            )
+            .select("cluster", "pos", q9.alias("mu"))
+            .localCheckpoint(eager=True)
+        )
+    # Final pass: membership from the fast fold; inertia recomputed as
+    # the RELATIONAL decimal sum over each member's winning centroid
+    # only (n·d rows, not n·d·k), so the output decimal -> double
+    # conversion is the single-rounding chain the oracle performs.
+    final = assign_fast(collect_cents(cents)).localCheckpoint(eager=True)
+    dist = (
+        pts.join(final.select("id", "cluster"), "id")
+        .join(F.broadcast(cents), ["cluster", "pos"])
+        .select(
+            "cluster",
+            (
+                (F.col("val") - F.col("mu"))
+                * (F.col("val") - F.col("mu"))
+            ).cast("decimal(28,12)").alias("sq"),
+        )
+        .groupBy("cluster")
+        .agg(F.round(F.sum("sq").cast("double"), 6).alias("inertia"))
+    )
+    return (
+        final.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .join(dist, "cluster")
+        .select("cluster", "n_vecs", "inertia")
+        .orderBy("cluster")
+    )

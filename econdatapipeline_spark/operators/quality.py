@@ -527,3 +527,66 @@ def tokenizer_fertility(
             6,
         ).alias("chars_per_subword"),
     )
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    salt: str = "dp",
+) -> DataFrame:
+    """Laplace-mechanism differentially-private group counts ->
+    (group, n, noisy_n, epsilon).
+
+    The release mechanism that pairs with k_anonymity's risk report:
+    counts perturbed with Laplace(1/epsilon) noise satisfy
+    epsilon-DP for a count query (sensitivity 1, Dwork et al. 2006).
+    The noise draw is the engine's DETERMINISTIC-randomness idiom
+    (bootstrap_ci's md5-uniform): u = md5(salt ':' group) mapped to
+    (0, 1), then the Laplace inverse CDF
+    -(1/eps)·sign(u−½)·ln(1−2|u−½|). Determinism makes the release
+    reproducible and oracle-checkable; a production deployment MUST
+    re-salt per release (a fixed salt re-queried leaks by averaging —
+    that caveat is the API's documented contract, not a footgun).
+
+    One map-side-combinable hash aggregate; noise is O(1/eps) doubles
+    with the quantized-ln portability caveat shared by every ln-based
+    query. The true count column is included because this is a
+    certification query — drop `n` at an actual release boundary.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    agg = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col("group").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000003
+        + 1
+    ).cast("double") / F.lit(1000005.0)
+    # u in (0, 1) exclusive: (x % 1000003 + 1) / 1000005 <= 0.9999990...
+    half = u - F.lit(0.5)
+    mag = 1.0 - 2.0 * F.abs(half)
+    noise = (
+        -(1.0 / F.lit(float(epsilon)))
+        * F.signum(half)
+        * F.log(mag)
+    )
+    return agg.select(
+        "group",
+        "n",
+        F.round(F.col("n").cast("double") + noise, 6).alias("noisy_n"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )

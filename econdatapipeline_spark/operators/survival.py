@@ -461,12 +461,14 @@ def cox_ph(
         F.col(event_col).cast("int").alias("e"),
         xchecked.alias("x"),
     ).filter(F.col("t").isNotNull() & F.col("x").isNotNull())
+    # materialized once: ordered_cumsum, the risk filter, and the
+    # totals all read this times-sized relation — one subject scan
     per_t = subj.groupBy("t").agg(
         F.sum("e").cast("long").alias("d"),
         F.sum(F.col("e") * F.col("x")).cast("long").alias("sx"),
         F.sum(F.lit(1) - F.col("x")).cast("long").alias("c0"),
         F.sum("x").cast("long").alias("c1"),
-    )
+    ).localCheckpoint(eager=True)
     from econdatapipeline_spark.operators.stats import (  # noqa: PLC0415
         ordered_cumsum,
     )
@@ -483,9 +485,11 @@ def cox_ph(
         .filter(F.col("d") >= 1)
         .localCheckpoint(eager=True)
     )
-    totals = subj.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("e").cast("long").alias("n_events"),
+    # totals derive from the times-sized per_t relation (n = Σ at-risk
+    # arrivals, events = Σ d) — no second subject-table scan
+    totals = per_t.agg(
+        F.sum(F.col("c0") + F.col("c1")).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("n_events"),
     ).first()
 
     q9 = Decimal("0.000000001")

@@ -561,3 +561,106 @@ def test_cox_ph_rejects_nonbinary_covariate(spark):
     )
     with pytest.raises(Exception, match="binary"):
         cox_ph(df).collect()
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated blobs: members cluster together and
+    match an independent pure-python Lloyd run (same seeds, same
+    quantization-free arithmetic — centers far enough apart that the
+    1e-9 centroid quantization cannot flip any assignment)."""
+    from econdatapipeline_spark.operators.kmeans import kmeans_lloyd
+
+    rng = random.Random(31)
+    centers = [(0.0, 0.0), (10.0, 10.0), (-10.0, 8.0)]
+    rows = []
+    vid = 0
+    # seeds must be one per blob: ids 0,1,2 from blobs 0,1,2
+    for cx, cy in centers:
+        rows.append((vid, [cx, cy])); vid += 1
+    for i in range(120):
+        cx, cy = centers[i % 3]
+        rows.append(
+            (vid, [cx + rng.gauss(0, 0.5), cy + rng.gauss(0, 0.5)])
+        )
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["cluster"]: r
+           for r in kmeans_lloyd(df, k=3, rounds=3,
+                                 seed_ids=[0, 1, 2]).collect()}
+    assert len(out) == 3
+    assert sum(r["n_vecs"] for r in out.values()) == 123
+    assert all(r["n_vecs"] == 41 for r in out.values())
+    # pure-python reference inertia
+    pts = {i: v for i, v in rows}
+    cents = {c + 1: list(pts[c]) for c in range(3)}
+    assign = {}
+    for _ in range(3):
+        for i, v in pts.items():
+            assign[i] = min(
+                cents,
+                key=lambda c: (sum((a - b) ** 2
+                               for a, b in zip(v, cents[c])), c),
+            )
+        for c in cents:
+            mem = [pts[i] for i in pts if assign[i] == c]
+            cents[c] = [sum(col) / len(mem) for col in zip(*mem)]
+    for i, v in pts.items():
+        assign[i] = min(
+            cents,
+            key=lambda c: (sum((a - b) ** 2
+                           for a, b in zip(v, cents[c])), c),
+        )
+    inert = {c: 0.0 for c in cents}
+    for i, v in pts.items():
+        inert[assign[i]] += sum(
+            (a - b) ** 2 for a, b in zip(v, cents[assign[i]])
+        )
+    for c in out:
+        assert out[c]["inertia"] == pytest.approx(inert[c], rel=1e-4)
+
+
+def test_kmeans_validates_args(spark):
+    from econdatapipeline_spark.operators.kmeans import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=1)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=2, rounds=0)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=2, seed_ids=[0])
+
+
+def test_dp_group_counts_replays_inverse_cdf(spark):
+    """Noise equals an independent Python replay of the
+    md5-uniform -> Laplace inverse CDF, is deterministic per salt, and
+    changes with the salt."""
+    import hashlib
+
+    from econdatapipeline_spark.operators.quality import dp_group_counts
+
+    rows = [("a",)] * 40 + [("b",)] * 25 + [("c",)] * 11
+    df = spark.createDataFrame(rows, "g string")
+    out = {r["group"]: r for r in dp_group_counts(df, "g", epsilon=0.5).collect()}
+    for g, n in (("a", 40), ("b", 25), ("c", 11)):
+        u = (
+            int(hashlib.md5(f"dp:{g}".encode()).hexdigest()[:8], 16)
+            % 1000003 + 1
+        ) / 1000005.0
+        half = u - 0.5
+        sign = 1.0 if half > 0 else (-1.0 if half < 0 else 0.0)
+        noise = -(1.0 / 0.5) * sign * math.log(1.0 - 2.0 * abs(half))
+        assert out[g]["n"] == n
+        assert out[g]["noisy_n"] == pytest.approx(n + noise, abs=1e-6)
+    # determinism + salt sensitivity
+    again = {r["group"]: r["noisy_n"]
+             for r in dp_group_counts(df, "g", epsilon=0.5).collect()}
+    assert again == {g: r["noisy_n"] for g, r in out.items()}
+    other = {r["group"]: r["noisy_n"]
+             for r in dp_group_counts(df, "g", epsilon=0.5,
+                                      salt="release2").collect()}
+    assert any(other[g] != out[g]["noisy_n"] for g in other)
+    with pytest.raises(ValueError):
+        dp_group_counts(df, "g", epsilon=0.0)
