@@ -664,3 +664,43 @@ def test_dp_group_counts_replays_inverse_cdf(spark):
     assert any(other[g] != out[g]["noisy_n"] for g in other)
     with pytest.raises(ValueError):
         dp_group_counts(df, "g", epsilon=0.0)
+
+
+def test_kmeans_fast_mode_agrees_on_separated_data(spark):
+    """exact=False (double arithmetic) produces the same clustering
+    and n_vecs as the certified exact mode on non-adversarial data."""
+    from econdatapipeline_spark.operators.kmeans import kmeans_lloyd
+
+    rng = random.Random(41)
+    rows = [(0, [0.0, 0.0]), (1, [8.0, 8.0])]
+    vid = 2
+    for i in range(80):
+        cx, cy = [(0.0, 0.0), (8.0, 8.0)][i % 2]
+        rows.append((vid, [cx + rng.gauss(0, 0.4), cy + rng.gauss(0, 0.4)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ex = {r["cluster"]: r["n_vecs"]
+          for r in kmeans_lloyd(df, k=2, rounds=3, seed_ids=[0, 1]).collect()}
+    fa = {r["cluster"]: r["n_vecs"]
+          for r in kmeans_lloyd(df, k=2, rounds=3, seed_ids=[0, 1],
+                                exact=False).collect()}
+    assert ex == fa == {1: 41, 2: 41}
+
+
+def test_kmeans_arrow_mode_agrees(spark):
+    from econdatapipeline_spark.operators.kmeans import kmeans_lloyd
+
+    rng = random.Random(43)
+    rows = [(0, [0.0, 0.0, 0.0]), (1, [9.0, 9.0, 9.0])]
+    vid = 2
+    for i in range(60):
+        c = [(0.0, 0.0, 0.0), (9.0, 9.0, 9.0)][i % 2]
+        rows.append((vid, [a + rng.gauss(0, 0.3) for a in c]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ex = {r["cluster"]: r["n_vecs"]
+          for r in kmeans_lloyd(df, k=2, rounds=2, seed_ids=[0, 1]).collect()}
+    ar = {r["cluster"]: r["n_vecs"]
+          for r in kmeans_lloyd(df, k=2, rounds=2, seed_ids=[0, 1],
+                                use_arrow=True).collect()}
+    assert ex == ar == {1: 31, 2: 31}
