@@ -704,3 +704,37 @@ def test_kmeans_arrow_mode_agrees(spark):
           for r in kmeans_lloyd(df, k=2, rounds=2, seed_ids=[0, 1],
                                 use_arrow=True).collect()}
     assert ex == ar == {1: 31, 2: 31}
+
+
+def test_sessionize_without_value_col(spark):
+    from econdatapipeline_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = sessionize(df, value_col=None).collect()
+    assert len(out) == 1 and "total_value" not in out[0].asDict()
+
+
+def test_padded_tiebreak_rejects_negative_ids(spark):
+    """ohlc tie-break keys raise on negative ids instead of
+    mis-sorting ('-' < '0' lexicographically)."""
+    from econdatapipeline_spark.operators.timeseries import ohlc_resample
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 5.0, -5)], "d date, v double, tid long"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        ohlc_resample(df, "d", "v", "tid").collect()
+    # 19-digit ids (max long) survive the 20-wide pad
+    big = spark.createDataFrame(
+        [
+            (dt.date(2024, 1, 1), 1.0, 9223372036854775806),
+            (dt.date(2024, 1, 1), 2.0, 9223372036854775807),
+            (dt.date(2024, 1, 1), 3.0, 5),
+        ],
+        "d date, v double, tid long",
+    )
+    bar = ohlc_resample(big, "d", "v", "tid").first()
+    assert bar["open"] == 3.0 and bar["close"] == 2.0
