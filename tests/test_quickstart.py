@@ -49,3 +49,15 @@ def test_semantic_curation_runs(spark, capsys):
     out = capsys.readouterr().out
     assert "minhash audit" in out and "ANN recall@5" in out
     assert "classifier AUC" in out
+
+
+def test_econ_analysis_tour_runs(spark, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import econ_analysis_tour
+
+    econ_analysis_tour.main()
+    out = capsys.readouterr().out
+    assert "Granger" in out and "Newey-West" in out
+    assert "median days to repeat purchase" in out
+    assert "hazard ratio" in out
+    assert "econ analysis tour done" in out
