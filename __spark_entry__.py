@@ -5318,6 +5318,44 @@ def q_dp_group_counts(spark, sf_dir):
     )
 
 
+
+
+def q_rmst(spark, sf_dir):
+    """Restricted mean survival time at a one-year horizon
+    (operators/survival.rmst): area under the repeat-purchase KM curve
+    via integration by parts — tau*S(tau) + sum of t*deltaS from the
+    PER-ROW cumulative state, no adjacent-row window; shares
+    kaplan_meier's distributed cumsum machinery and subject
+    construction."""
+    from econdatapipeline_spark.operators.survival import rmst
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    subjects = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            F.row_number().over(w).alias("rk"),
+            F.lead("o_orderdate").over(w).alias("nxt"),
+        )
+        .filter(F.col("rk") == 1)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff("nxt", "o_orderdate"),
+            )
+            .otherwise(F.datediff("h", "o_orderdate"))
+            .cast("long")
+            .alias("duration"),
+            F.col("nxt").isNotNull().cast("int").alias("event"),
+        )
+    )
+    return rmst(subjects, tau=365.0)
+
+
 # The driver's correctness artifact records only the FIRST 50 entries
 # of queries(). Round 2 recorded the original first 50 (the names in
 # CORRECTNESS_r02.json); queries() therefore rotates the not-yet-
@@ -5696,6 +5734,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "cox_ph": q_cox_ph,
         "kmeans_lloyd": q_kmeans_lloyd,
         "dp_group_counts": q_dp_group_counts,
+        "rmst": q_rmst,
     }
 
 
@@ -13033,5 +13072,70 @@ def oracle_sql() -> dict[str, str]:
                         * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS noisy_n,
                CAST(1.0 AS DOUBLE) AS epsilon
         FROM nz
+    """
+
+    # RMST: the kaplan_meier CTE chain extended with per-row term/dead
+    # retained, drops summed by the integration-by-parts identity.
+    sql["rmst"] = """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        subjects AS (
+          SELECT CASE WHEN nxt IS NOT NULL
+                      THEN date_diff('day', o_orderdate, nxt)
+                      ELSE date_diff('day', o_orderdate, h.h) END AS t,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e
+          FROM ranked CROSS JOIN h WHERE rk = 1),
+        per_t AS (
+          SELECT CAST(t AS BIGINT) AS t,
+                 CAST(SUM(e) AS BIGINT) AS n_events,
+                 CAST(SUM(1 - e) AS BIGINT) AS n_censored
+          FROM subjects GROUP BY 1),
+        risk AS (
+          SELECT *, CAST(SUM(n_events + n_censored) OVER (
+                      ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_risk
+          FROM per_t),
+        terms AS (
+          SELECT *,
+                 CASE WHEN n_events < n_risk THEN
+                   CAST(ln(CAST(n_risk - n_events AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE)) AS DECIMAL(18,9))
+                 ELSE CAST(0 AS DECIMAL(18,9)) END AS term,
+                 CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS dead
+          FROM risk),
+        curve AS (
+          SELECT t, term, dead,
+                 SUM(term) OVER (ORDER BY t ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ln_s,
+                 CAST(SUM(dead) OVER (ORDER BY t ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_dead
+          FROM terms),
+        vals AS (
+          SELECT t,
+                 CASE WHEN cum_dead >= 1 THEN 0.0
+                      ELSE exp(CAST(ln_s AS DOUBLE)) END AS s_at,
+                 CASE WHEN cum_dead - dead >= 1 THEN 0.0
+                      ELSE exp(CAST(ln_s - term AS DOUBLE)) END
+                   AS s_before
+          FROM curve WHERE t <= 365.0),
+        agg AS (
+          SELECT SUM(CAST(CAST(t AS DOUBLE) * (s_before - s_at)
+                     AS DECIMAL(28,12))) AS drops,
+                 arg_max(s_at, t) AS s_tau
+          FROM vals)
+        SELECT CAST(365.0 AS DOUBLE) AS tau,
+               round(COALESCE(s_tau, 1.0), 6) AS s_tau,
+               round(CAST(365.0 AS DOUBLE) * COALESCE(s_tau, 1.0)
+                     + COALESCE(CAST(drops AS DOUBLE), 0.0), 6) AS rmst
+        FROM agg
     """
     return sql

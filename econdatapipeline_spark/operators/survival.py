@@ -553,3 +553,100 @@ def cox_ph(
         "n long, n_events long, beta double, hr double, se double,"
         " z double",
     )
+
+
+def rmst(
+    df: DataFrame,
+    tau: float,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Restricted mean survival time -> one row (tau, s_tau, rmst):
+    the area under the Kaplan-Meier curve up to horizon ``tau`` — the
+    clinically/economically meaningful summary when the median never
+    falls (light censoring) or hazards cross: "average event-free days
+    within the first tau days".
+
+    Computed by integration by parts, which needs NO adjacent-row
+    access on the curve:
+
+        RMST = tau·S(tau) + Σ_{t_i <= tau} t_i·(S_{i-1} − S_i)
+
+    Every drop ΔS_i derives from the PER-ROW cumulative state the
+    survival machinery already carries (S_{i-1} = exp((cum_lnq −
+    lnq)/1e9), dead-flag aware), so the whole statistic is the shared
+    distributed cumsum + ONE hash aggregate + one max_by — the same
+    scale posture as kaplan_meier itself (a lead()-based interval sum
+    would reintroduce the adjacent-row window the two-pass machinery
+    exists to avoid). Per-drop terms are decimal(28,12)-quantized
+    before the order-free sum; the exp chain shares kaplan_meier's
+    ln-class caveat.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    per_t = (
+        df.select(
+            F.col(duration_col).cast("long").alias("t"),
+            F.col(event_col).cast("int").alias("e"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum("e").cast("long").alias("n_events"),
+            F.sum(F.lit(1) - F.col("e")).cast("long").alias("n_censored"),
+        )
+    )
+    staged = per_t.withColumn(
+        "tot", (F.col("n_events") + F.col("n_censored")).cast("long")
+    )
+
+    def stage2(risk):
+        term_scaled = F.when(
+            F.col("n_events") < F.col("n_risk"),
+            (
+                F.log(
+                    (F.col("n_risk") - F.col("n_events")).cast("double")
+                    / F.col("n_risk").cast("double")
+                ).cast("decimal(18,9)")
+                * F.lit(1000000000)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        dead = (
+            F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+        ).cast("long")
+        return (
+            risk.withColumn("lnq", term_scaled).withColumn("dead", dead),
+            ["lnq", "dead"],
+        )
+
+    cum = _risk_forward_cumsum(staged, "tot", stage2)
+    s_at = F.when(F.col("cum_dead") >= 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("cum_lnq").cast("double") / F.lit(1000000000.0))
+    )
+    s_before = F.when(
+        (F.col("cum_dead") - F.col("dead")) >= 1, F.lit(0.0)
+    ).otherwise(
+        F.exp(
+            (F.col("cum_lnq") - F.col("lnq")).cast("double")
+            / F.lit(1000000000.0)
+        )
+    )
+    within = cum.filter(F.col("t") <= F.lit(float(tau)))
+    agg = within.agg(
+        F.sum(
+            (F.col("t").cast("double") * (s_before - s_at)).cast(
+                "decimal(28,12)"
+            )
+        ).alias("drops"),
+        F.max_by(s_at, F.col("t")).alias("s_tau"),
+    )
+    return agg.select(
+        F.lit(float(tau)).alias("tau"),
+        F.round(F.coalesce(F.col("s_tau"), F.lit(1.0)), 6).alias("s_tau"),
+        F.round(
+            F.lit(float(tau))
+            * F.coalesce(F.col("s_tau"), F.lit(1.0))
+            + F.coalesce(F.col("drops").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rmst"),
+    )

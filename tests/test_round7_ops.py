@@ -738,3 +738,49 @@ def test_padded_tiebreak_rejects_negative_ids(spark):
     )
     bar = ohlc_resample(big, "d", "v", "tid").first()
     assert bar["open"] == 3.0 and bar["close"] == 2.0
+
+
+def test_rmst_reference_step_integral(spark):
+    """RMST against a direct pure-python KM step-function integral,
+    with and without censoring, horizon inside and past the curve."""
+    from econdatapipeline_spark.operators.survival import rmst
+
+    rng = random.Random(29)
+    rows = [
+        (rng.randint(1, 60), 1 if rng.random() < 0.7 else 0)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "duration long, event int")
+
+    def ref(tau):
+        from collections import Counter
+
+        d = Counter(t for t, e in rows if e)
+        c = Counter(t for t, e in rows if not e)
+        times = sorted(set(d) | set(c))
+        at_risk = len(rows)
+        s = 1.0
+        # step function: value BETWEEN event times
+        pieces = []  # (start, end, s_value)
+        prev = 0
+        for t in times:
+            pieces.append((prev, t, s))
+            dt_ = d.get(t, 0)
+            if dt_:
+                s *= (at_risk - dt_) / at_risk
+            at_risk -= dt_ + c.get(t, 0)
+            prev = t
+        pieces.append((prev, float("inf"), s))
+        area = 0.0
+        for a, b, sv in pieces:
+            lo, hi = min(a, tau), min(b, tau)
+            if hi > lo:
+                area += sv * (hi - lo)
+        return area
+
+    for tau in (30.0, 100.0):
+        out = rmst(df, tau).first()
+        assert out["rmst"] == pytest.approx(ref(tau), abs=1e-3), tau
+        assert 0.0 < out["rmst"] <= tau
+    with pytest.raises(ValueError):
+        rmst(df, 0.0)
