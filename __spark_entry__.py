@@ -5356,6 +5356,21 @@ def q_rmst(spark, sf_dir):
     return rmst(subjects, tau=365.0)
 
 
+
+
+def q_kmeans_silhouette(spark, sf_dir):
+    """Simplified silhouette audit of the k=4 embedding clustering
+    (operators/kmeans.kmeans_silhouette): the same certified Lloyd
+    loop plus one relational distance stage against all final
+    centroids — per-point (b−a)/max(a,b) with exact-decimal ranking,
+    the O(n·k) quality readout pairwise silhouette cannot give at
+    corpus scale."""
+    from econdatapipeline_spark.operators.kmeans import kmeans_silhouette
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_silhouette(e, k=4, rounds=2, seed_ids=[0, 1, 2, 3])
+
+
 # The driver's correctness artifact records only the FIRST 50 entries
 # of queries(). Round 2 recorded the original first 50 (the names in
 # CORRECTNESS_r02.json); queries() therefore rotates the not-yet-
@@ -5735,6 +5750,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "kmeans_lloyd": q_kmeans_lloyd,
         "dp_group_counts": q_dp_group_counts,
         "rmst": q_rmst,
+        "kmeans_silhouette": q_kmeans_silhouette,
     }
 
 
@@ -13137,5 +13153,94 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(365.0 AS DOUBLE) * COALESCE(s_tau, 1.0)
                      + COALESCE(CAST(drops AS DOUBLE), 0.0), 6) AS rmst
         FROM agg
+    """
+
+    # Silhouette: the kmeans CTE chain + one distance stage against
+    # all final centroids, exact-decimal rank, sqrt on the single
+    # decimal->double conversion.
+    sql["kmeans_silhouette"] = """
+        WITH pts AS (
+          SELECT id, i AS pos, CAST(emb[i] AS DOUBLE) AS val
+          FROM (SELECT vec_id AS id, embedding AS emb,
+                       unnest(range(1, 65)) AS i
+                FROM embeddings)),
+        c0 AS (
+          SELECT CASE id WHEN 0 THEN 1 WHEN 1 THEN 2
+                         WHEN 2 THEN 3 WHEN 3 THEN 4 END AS cluster,
+                 pos,
+                 floor(val * 1000000000.0 + 0.5) / 1000000000.0 AS mu
+          FROM pts WHERE id IN (0, 1, 2, 3)),
+        d1 AS (
+          SELECT pts.id, c.cluster,
+                 SUM(CAST((val - mu) * (val - mu) AS DECIMAL(28,12)))
+                   AS dist
+          FROM pts JOIN c0 c USING (pos) GROUP BY 1, 2),
+        a1 AS (
+          SELECT id, cluster, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY dist ASC, cluster ASC) AS rk
+            FROM d1) WHERE rk = 1),
+        c1 AS (
+          SELECT cluster, pos,
+                 floor((CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                        / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE))
+                       * 1000000000.0 + 0.5) / 1000000000.0 AS mu
+          FROM pts JOIN a1 USING (id) GROUP BY 1, 2),
+        d2 AS (
+          SELECT pts.id, c.cluster,
+                 SUM(CAST((val - mu) * (val - mu) AS DECIMAL(28,12)))
+                   AS dist
+          FROM pts JOIN c1 c USING (pos) GROUP BY 1, 2),
+        a2 AS (
+          SELECT id, cluster, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY dist ASC, cluster ASC) AS rk
+            FROM d2) WHERE rk = 1),
+        c2 AS (
+          SELECT cluster, pos,
+                 floor((CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                        / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE))
+                       * 1000000000.0 + 0.5) / 1000000000.0 AS mu
+          FROM pts JOIN a2 USING (id) GROUP BY 1, 2),
+        d3 AS (
+          SELECT pts.id, c.cluster,
+                 SUM(CAST((val - mu) * (val - mu) AS DECIMAL(28,12)))
+                   AS dist
+          FROM pts JOIN c2 c USING (pos) GROUP BY 1, 2),
+        a3 AS (
+          SELECT id, cluster, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY dist ASC, cluster ASC) AS rk
+            FROM d3) WHERE rk = 1),
+        own AS (SELECT id, cluster AS own FROM a3),
+        alld AS (
+          SELECT pts.id, own.own, c.cluster,
+                 SUM(CAST((val - mu) * (val - mu) AS DECIMAL(28,12)))
+                   AS dist
+          FROM pts JOIN own USING (id) JOIN c2 c USING (pos)
+          GROUP BY 1, 2, 3),
+        aown AS (
+          SELECT id, own, dist AS da FROM alld WHERE cluster = own),
+        nearest AS (
+          SELECT id, dist AS db FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY dist ASC, cluster ASC) AS rk2
+            FROM alld WHERE cluster != own) WHERE rk2 = 1),
+        s AS (
+          SELECT own,
+                 CAST(CASE WHEN greatest(sqrt(CAST(da AS DOUBLE)),
+                                         sqrt(CAST(db AS DOUBLE))) > 0
+                      THEN (sqrt(CAST(db AS DOUBLE))
+                            - sqrt(CAST(da AS DOUBLE)))
+                           / greatest(sqrt(CAST(da AS DOUBLE)),
+                                      sqrt(CAST(db AS DOUBLE)))
+                      ELSE 0.0 END AS DECIMAL(28,12)) AS s
+          FROM aown JOIN nearest USING (id))
+        SELECT CAST(own AS INT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               round(CAST(SUM(s) AS DOUBLE)
+                     / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE), 6)
+                 AS mean_silhouette
+        FROM s GROUP BY own
     """
     return sql

@@ -29,42 +29,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def kmeans_lloyd(
+def _fit(
     df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 4,
-    rounds: int = 2,
-    seed_ids: list[int] | None = None,
-    exact: bool = True,
-    use_arrow: bool = False,
-) -> DataFrame:
-    """Lloyd iterations -> one row per non-empty cluster
-    (cluster, n_vecs, inertia), inertia = Σ member squared distances.
-
-    Seeds are the vectors at ``seed_ids`` (default ids 0..k-1) in id
-    order — deterministic by construction (k-means++ would demand a
-    random stream both engines share; fixed seeds keep the operator a
-    pure function of its input). A cluster emptied during iteration
-    stays empty (its centroid drops out of the relation), matching the
-    oracle's semantics exactly.
-
-    ``exact`` selects the cross-engine-certified arithmetic: per-term
-    decimal quantization everywhere, bit-replayable by the SQL oracle
-    but ~4x slower than doubles (BigDecimal per term — measured 193 s
-    for 2M x 64-dim x 2 rounds on local[32]). ``exact=False`` is the
-    PRODUCTION mode: plain double distance folds and double centroid
-    means (measured 51 s on the same input) — same clustering on any
-    non-adversarial input (assignment flips need a distance tie
-    within one double ulp), but not hash-certified. ``use_arrow``
-    (implies inexact) swaps the fold for a vectorized numpy/Arrow
-    ``mapInPandas`` kernel; MEASURED SLOWER than the JVM fold on this
-    shape (109 s vs 51 s: the matmul wins but Arrow pays per-row
-    array<double> serialization both ways) — kept as the documented
-    escape for very large k·d where the fold expression would bloat
-    the plan; argmin's first-minimum rule preserves the
-    lowest-cluster tie-break.
-    """
+    vec_col: str,
+    id_col: str,
+    k: int,
+    rounds: int,
+    seed_ids: list[int] | None,
+    exact: bool,
+    use_arrow: bool,
+):
+    """Shared Lloyd loop -> (final assignment carrying its vector,
+    final centroid relation) — see kmeans_lloyd for the contract."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     if k < 2:
@@ -208,6 +184,48 @@ def kmeans_lloyd(
     # only (n·d rows, not n·d·k), so the output decimal -> double
     # conversion is the single-rounding chain the oracle performs.
     final = assign_fast(collect_cents(cents)).localCheckpoint(eager=True)
+    return final, cents
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    rounds: int = 2,
+    seed_ids: list[int] | None = None,
+    exact: bool = True,
+    use_arrow: bool = False,
+) -> DataFrame:
+    """Lloyd iterations -> one row per non-empty cluster
+    (cluster, n_vecs, inertia), inertia = Σ member squared distances.
+
+    Seeds are the vectors at ``seed_ids`` (default ids 0..k-1) in id
+    order — deterministic by construction (k-means++ would demand a
+    random stream both engines share; fixed seeds keep the operator a
+    pure function of its input). A cluster emptied during iteration
+    stays empty (its centroid drops out of the relation), matching the
+    oracle's semantics exactly.
+
+    ``exact`` selects the cross-engine-certified arithmetic: per-term
+    decimal quantization everywhere, bit-replayable by the SQL oracle
+    but ~4x slower than doubles (BigDecimal per term — measured 193 s
+    for 2M x 64-dim x 2 rounds on local[32]). ``exact=False`` is the
+    PRODUCTION mode: plain double distance folds and double centroid
+    means (measured 51 s on the same input) — same clustering on any
+    non-adversarial input (assignment flips need a distance tie
+    within one double ulp), but not hash-certified. ``use_arrow``
+    (implies inexact) swaps the fold for a vectorized numpy/Arrow
+    ``mapInPandas`` kernel; MEASURED SLOWER than the JVM fold on this
+    shape (109 s vs 51 s: the matmul wins but Arrow pays per-row
+    array<double> serialization both ways) — kept as the documented
+    escape for very large k·d where the fold expression would bloat
+    the plan; argmin's first-minimum rule preserves the
+    lowest-cluster tie-break.
+    """
+    final, cents = _fit(
+        df, vec_col, id_col, k, rounds, seed_ids, exact, use_arrow
+    )
     dist = (
         final.select("cluster", F.posexplode("v"))
         .select(
@@ -238,5 +256,94 @@ def kmeans_lloyd(
         .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
         .join(dist, "cluster")
         .select("cluster", "n_vecs", "inertia")
+        .orderBy("cluster")
+    )
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    rounds: int = 2,
+    seed_ids: list[int] | None = None,
+) -> DataFrame:
+    """Simplified silhouette of the kmeans_lloyd fit -> one row per
+    cluster (cluster, n_vecs, mean_silhouette), plus the quality
+    audit the fit itself cannot provide: s_i = (b−a)/max(a,b) with
+    a = euclidean distance to the OWN centroid and b = the nearest
+    OTHER centroid (the centroid-based simplification — O(n·k), never
+    pairwise O(n²); Rousseeuw's full silhouette is unshufflable at
+    corpus scale).
+
+    Runs the IDENTICAL certified Lloyd loop (same seeds, same
+    quantization), then one relational distance stage against all k
+    final centroids — per-term decimal(28,12) squared deviations
+    summed order-free, rank by (dist, cluster) exact-decimal compare,
+    sqrt on the single decimal->double conversion, per-point s
+    quantized decimal(28,12) before the per-cluster mean. Bit-identical
+    to the SQL oracle, which extends the kmeans CTE chain with the
+    same stage.
+    """
+    final, cents = _fit(
+        df, vec_col, id_col, k, rounds, seed_ids, True, False
+    )
+    d = (
+        final.select("id", F.col("cluster").alias("own"), F.posexplode("v"))
+        .select(
+            "id",
+            "own",
+            (F.col("pos") + 1).alias("pos"),
+            F.col("col").alias("val"),
+        )
+        .join(F.broadcast(cents), "pos")
+        .select(
+            "id",
+            "own",
+            "cluster",
+            (
+                (F.col("val") - F.col("mu"))
+                * (F.col("val") - F.col("mu"))
+            ).cast("decimal(28,12)").alias("sq"),
+        )
+        .groupBy("id", "own", "cluster")
+        .agg(F.sum("sq").alias("dist"))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("dist").asc(), F.col("cluster").asc()
+    )
+    ranked = d.withColumn("rk", F.row_number().over(w))
+    a = ranked.filter(F.col("cluster") == F.col("own")).select(
+        "id", "own", F.col("dist").alias("da")
+    )
+    b = (
+        ranked.filter(F.col("cluster") != F.col("own"))
+        .withColumn(
+            "rk2",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("dist").asc(), F.col("cluster").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk2") == 1)
+        .select("id", F.col("dist").alias("db"))
+    )
+    ad = F.sqrt(F.col("da").cast("double"))
+    bd = F.sqrt(F.col("db").cast("double"))
+    s = F.when(
+        F.greatest(ad, bd) > 0, (bd - ad) / F.greatest(ad, bd)
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "id")
+        .select("own", s.cast("decimal(28,12)").alias("s"))
+        .groupBy(F.col("own").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum("s").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_silhouette"),
+        )
         .orderBy("cluster")
     )

@@ -784,3 +784,60 @@ def test_rmst_reference_step_integral(spark):
         assert 0.0 < out["rmst"] <= tau
     with pytest.raises(ValueError):
         rmst(df, 0.0)
+
+
+def test_kmeans_silhouette_separated_vs_overlapping(spark):
+    """Well-separated blobs score near 1; a single smeared blob split
+    into 2 clusters scores low — plus a pure-python reference of the
+    simplified silhouette on the separated case."""
+    from econdatapipeline_spark.operators.kmeans import (
+        kmeans_lloyd,
+        kmeans_silhouette,
+    )
+
+    rng = random.Random(47)
+    rows = [(0, [0.0, 0.0]), (1, [20.0, 20.0])]
+    vid = 2
+    for i in range(80):
+        cx, cy = [(0.0, 0.0), (20.0, 20.0)][i % 2]
+        rows.append((vid, [cx + rng.gauss(0, 0.5), cy + rng.gauss(0, 0.5)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["cluster"]: r
+           for r in kmeans_silhouette(df, k=2, rounds=3,
+                                      seed_ids=[0, 1]).collect()}
+    assert all(r["mean_silhouette"] > 0.9 for r in out.values())
+    assert sum(r["n_vecs"] for r in out.values()) == 82
+
+    # python reference on the same fit's centroids
+    import math as m
+
+    pts = {i: v for i, v in rows}
+    cents = {1: list(pts[0]), 2: list(pts[1])}
+    assign = {}
+    for _ in range(3):
+        for i, v in pts.items():
+            assign[i] = min(cents, key=lambda c: (
+                sum((a - b) ** 2 for a, b in zip(v, cents[c])), c))
+        for c in cents:
+            mem = [pts[i] for i in pts if assign[i] == c]
+            cents[c] = [sum(col) / len(mem) for col in zip(*mem)]
+    for i, v in pts.items():
+        assign[i] = min(cents, key=lambda c: (
+            sum((a - b) ** 2 for a, b in zip(v, cents[c])), c))
+    ref = {c: [] for c in cents}
+    for i, v in pts.items():
+        ds = {c: m.sqrt(sum((a - b) ** 2 for a, b in zip(v, cents[c])))
+              for c in cents}
+        a_ = ds[assign[i]]
+        b_ = min(d for c, d in ds.items() if c != assign[i])
+        ref[assign[i]].append((b_ - a_) / max(a_, b_) if max(a_, b_) else 0)
+    for c in out:
+        assert out[c]["mean_silhouette"] == pytest.approx(
+            sum(ref[c]) / len(ref[c]), abs=1e-4)
+
+    # one smeared blob split into 2 -> weak structure
+    rows2 = [(i, [rng.gauss(0, 3.0), rng.gauss(0, 3.0)]) for i in range(60)]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    out2 = kmeans_silhouette(df2, k=2, rounds=3, seed_ids=[0, 1]).collect()
+    assert all(r["mean_silhouette"] < 0.6 for r in out2)
