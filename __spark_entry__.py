@@ -5299,7 +5299,7 @@ def q_kmeans_lloyd(spark, sf_dir):
     from econdatapipeline_spark.operators.kmeans import kmeans_lloyd
 
     e = _t(spark, sf_dir, "embeddings")
-    return kmeans_lloyd(e, k=4, rounds=2, seed_ids=[0, 1, 2, 3])
+    return kmeans_lloyd(e, k=4, rounds=2, seed_ids=[0, 1, 2, 3], exact=True)
 
 
 
@@ -5313,9 +5313,9 @@ def q_dp_group_counts(spark, sf_dir):
     from econdatapipeline_spark.operators.quality import dp_group_counts
 
     o = _t(spark, sf_dir, "orders")
-    return dp_group_counts(o, "o_orderpriority", epsilon=1.0).orderBy(
-        "group"
-    )
+    return dp_group_counts(
+        o, "o_orderpriority", epsilon=1.0, salt="dp"
+    ).orderBy("group")
 
 
 
@@ -12715,7 +12715,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT point,
                round(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6)
                  AS pop_share,
-               round(CASE WHEN tot6 != 0
+               round(CASE WHEN r = 0 THEN 0.0
+                     WHEN tot6 != 0
                      THEN CAST(cum_s6 + (r - cum_c) * v6 AS DOUBLE)
                           / CAST(tot6 AS DOUBLE)
                      ELSE 0.0 END, 6) AS value_share
@@ -12995,8 +12996,9 @@ def oracle_sql() -> dict[str, str]:
                  MIN(beta) AS beta
           FROM riskf CROSS JOIN ef)
         SELECT tot.n, tot.n_events,
-               CAST(round(CAST(beta AS DECIMAL(18,9)), 6) AS DOUBLE)
-                 AS beta,
+               CASE WHEN i > 0
+                    THEN CAST(round(CAST(beta AS DECIMAL(18,9)), 6)
+                              AS DOUBLE) END AS beta,
                round(CASE WHEN i > 0 THEN exp(beta) END, 6) AS hr,
                round(CASE WHEN i > 0 THEN 1.0 / sqrt(i) END, 6) AS se,
                round(CASE WHEN i > 0
@@ -13086,7 +13088,7 @@ def oracle_sql() -> dict[str, str]:
                      + (-(1.0 / CAST(1.0 AS DOUBLE))
                         * sign(u - 0.5)
                         * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS noisy_n,
-               CAST(1.0 AS DOUBLE) AS epsilon
+               CAST(1.0 AS DOUBLE) AS claimed_epsilon
         FROM nz
     """
 

@@ -36,8 +36,9 @@ def _fit(
     k: int,
     rounds: int,
     seed_ids: list[int] | None,
-    exact: bool,
+    exact: bool | None,
     use_arrow: bool,
+    exact_threshold: int = 1_000_000,
 ):
     """Shared Lloyd loop -> (final assignment carrying its vector,
     final centroid relation) — see kmeans_lloyd for the contract."""
@@ -55,6 +56,16 @@ def _fit(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).localCheckpoint(eager=True)
+    if exact is None:
+        # AUTO-SELECT (the bradley_terry/markov size-gate pattern,
+        # VERDICT r7 #3): the certified decimal arithmetic is ~4x the
+        # cost of plain doubles (193 s vs 51 s at 2M x 64 on
+        # local[32]) and exists for oracle replay — engage it only at
+        # certification-sized inputs; above the gate the double path
+        # produces the same clustering on any non-adversarial input
+        # (an assignment flip needs a distance tie within one double
+        # ulp — twin-path pytest).
+        exact = vecs.count() <= exact_threshold
     pts = (
         vecs.select("id", F.posexplode(F.col("v")))
         .select(
@@ -123,21 +134,35 @@ def _fit(
     def assign_fast(c_by):
         if use_arrow:
             return assign_arrow(c_by)
+        # Exact-path accumulator is decimal(28,12), NOT a 1e12-scaled
+        # long (ADVICE r7 medium): a long per-term overflows silently
+        # once a squared deviation reaches ~9.2e6 (decimal->long cast
+        # overflows to NULL under non-ANSI Spark, and a NULL dl sorts
+        # first in array_min — corrupted assignments, no error). The
+        # decimal sum carries the IDENTICAL values (same scale-12
+        # quantization, exact order-free addition; the re-cast in the
+        # merge keeps the accumulator type stable and only narrows
+        # integer headroom), so winners/ties/hashes are unchanged,
+        # while the safe domain widens to sum-of-squared-deviations
+        # < 1e16 per (vector, centroid) — i.e. |component| up to ~1e7
+        # at d = 64, far past any embedding-normalized input. Inputs
+        # beyond THAT overflow to NULL dl: documented domain bound.
         dists = []
         for c, mu in sorted(c_by.items()):
             if exact:
-                term = lambda a, b: (
-                    ((a - b) * (a - b)).cast("decimal(28,12)")
-                    * F.lit(1000000000000)
-                ).cast("long")
-                init = F.lit(0).cast("long")
+                term = lambda a, b: ((a - b) * (a - b)).cast(
+                    "decimal(28,12)"
+                )
+                init = F.lit(0).cast("decimal(28,12)")
+                merge = lambda acc, t: (acc + t).cast("decimal(28,12)")
             else:
                 term = lambda a, b: (a - b) * (a - b)
                 init = F.lit(0.0)
+                merge = lambda acc, t: acc + t
             dl = F.aggregate(
                 F.zip_with(F.col("v"), F.lit(mu), term),
                 init,
-                lambda acc, t: acc + t,
+                merge,
             )
             dists.append(F.struct(dl.alias("dl"), F.lit(c).alias("cluster")))
         win = F.array_min(F.array(*dists))
@@ -194,7 +219,7 @@ def kmeans_lloyd(
     k: int = 4,
     rounds: int = 2,
     seed_ids: list[int] | None = None,
-    exact: bool = True,
+    exact: bool | None = None,
     use_arrow: bool = False,
 ) -> DataFrame:
     """Lloyd iterations -> one row per non-empty cluster
@@ -214,7 +239,12 @@ def kmeans_lloyd(
     PRODUCTION mode: plain double distance folds and double centroid
     means (measured 51 s on the same input) — same clustering on any
     non-adversarial input (assignment flips need a distance tie
-    within one double ulp), but not hash-certified. ``use_arrow``
+    within one double ulp), but not hash-certified. The DEFAULT
+    ``exact=None`` AUTO-SELECTS (the bradley_terry/markov pattern):
+    certified mode at or below 1M vectors (certification inputs),
+    double mode above — an oracle-replayed call should pin
+    ``exact=True`` explicitly, a production corpus run gets the fast
+    arithmetic without opting in. ``use_arrow``
     (implies inexact) swaps the fold for a vectorized numpy/Arrow
     ``mapInPandas`` kernel; MEASURED SLOWER than the JVM fold on this
     shape (109 s vs 51 s: the matmul wins but Arrow pays per-row
@@ -309,15 +339,11 @@ def kmeans_silhouette(
         .groupBy("id", "own", "cluster")
         .agg(F.sum("sq").alias("dist"))
     )
-    w = Window.partitionBy("id").orderBy(
-        F.col("dist").asc(), F.col("cluster").asc()
-    )
-    ranked = d.withColumn("rk", F.row_number().over(w))
-    a = ranked.filter(F.col("cluster") == F.col("own")).select(
+    a = d.filter(F.col("cluster") == F.col("own")).select(
         "id", "own", F.col("dist").alias("da")
     )
     b = (
-        ranked.filter(F.col("cluster") != F.col("own"))
+        d.filter(F.col("cluster") != F.col("own"))
         .withColumn(
             "rk2",
             F.row_number().over(

@@ -532,11 +532,11 @@ def tokenizer_fertility(
 def dp_group_counts(
     df: DataFrame,
     group_col: str,
-    epsilon: float = 1.0,
-    salt: str = "dp",
+    epsilon: float,
+    salt: str,
 ) -> DataFrame:
     """Laplace-mechanism differentially-private group counts ->
-    (group, n, noisy_n, epsilon).
+    (group, n, noisy_n, claimed_epsilon).
 
     The release mechanism that pairs with k_anonymity's risk report:
     counts perturbed with Laplace(1/epsilon) noise satisfy
@@ -544,18 +544,25 @@ def dp_group_counts(
     The noise draw is the engine's DETERMINISTIC-randomness idiom
     (bootstrap_ci's md5-uniform): u = md5(salt ':' group) mapped to
     (0, 1), then the Laplace inverse CDF
-    -(1/eps)·sign(u−½)·ln(1−2|u−½|). Determinism makes the release
-    reproducible and oracle-checkable; a production deployment MUST
-    re-salt per release (a fixed salt re-queried leaks by averaging —
-    that caveat is the API's documented contract, not a footgun).
+    -(1/eps)·sign(u−½)·ln(1−2|u−½|).
+
+    THIS IS A CERTIFICATION-ORIENTED MECHANISM, NOT A PRIVATE RELEASE
+    AS-IS: the noise is exactly invertible by anyone who knows salt +
+    mechanism, the true `n` is carried alongside, and the guarantee
+    column is therefore named ``claimed_epsilon``. ``salt`` has NO
+    default — the caller must supply a fresh per-release value (a
+    fixed salt re-queried leaks by averaging; a known salt leaks
+    outright). At a real release boundary: drop `n`, generate the salt
+    from a CSPRNG, and never reuse it.
 
     One map-side-combinable hash aggregate; noise is O(1/eps) doubles
     with the quantized-ln portability caveat shared by every ln-based
-    query. The true count column is included because this is a
-    certification query — drop `n` at an actual release boundary.
+    query.
     """
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    if not salt:
+        raise ValueError("salt is required: supply a fresh per-release value")
     agg = df.groupBy(F.col(group_col).alias("group")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
@@ -588,5 +595,5 @@ def dp_group_counts(
         "group",
         "n",
         F.round(F.col("n").cast("double") + noise, 6).alias("noisy_n"),
-        F.lit(float(epsilon)).alias("epsilon"),
+        F.lit(float(epsilon)).alias("claimed_epsilon"),
     )

@@ -2013,16 +2013,22 @@ def lorenz_curve(
     num6 = F.col("cum_s6") + (
         (F.col("r") - F.col("cum_c")) * F.col("v6")
     )
+    # r = 0 happens when n < points (target rank truncates to 0 for
+    # early points): no tie group contains rank 0, the left join
+    # misses, and value_share would surface as NULL — emit the exact
+    # curve origin (0.0, 0.0) instead (ADVICE r7).
     return hit.select(
         "point",
         F.round(
             F.col("r").cast("double") / F.col("n").cast("double"), 6
         ).alias("pop_share"),
         F.round(
-            F.when(
+            F.when(F.col("r") == 0, F.lit(0.0))
+            .when(
                 F.col("tot6") != 0,
                 num6.cast("double") / F.col("tot6").cast("double"),
-            ).otherwise(F.lit(0.0)),
+            )
+            .otherwise(F.lit(0.0)),
             6,
         ).alias("value_share"),
     ).orderBy("point")

@@ -643,7 +643,8 @@ def test_dp_group_counts_replays_inverse_cdf(spark):
 
     rows = [("a",)] * 40 + [("b",)] * 25 + [("c",)] * 11
     df = spark.createDataFrame(rows, "g string")
-    out = {r["group"]: r for r in dp_group_counts(df, "g", epsilon=0.5).collect()}
+    out = {r["group"]: r
+           for r in dp_group_counts(df, "g", epsilon=0.5, salt="dp").collect()}
     for g, n in (("a", 40), ("b", 25), ("c", 11)):
         u = (
             int(hashlib.md5(f"dp:{g}".encode()).hexdigest()[:8], 16)
@@ -656,14 +657,16 @@ def test_dp_group_counts_replays_inverse_cdf(spark):
         assert out[g]["noisy_n"] == pytest.approx(n + noise, abs=1e-6)
     # determinism + salt sensitivity
     again = {r["group"]: r["noisy_n"]
-             for r in dp_group_counts(df, "g", epsilon=0.5).collect()}
+             for r in dp_group_counts(df, "g", epsilon=0.5, salt="dp").collect()}
     assert again == {g: r["noisy_n"] for g, r in out.items()}
     other = {r["group"]: r["noisy_n"]
              for r in dp_group_counts(df, "g", epsilon=0.5,
                                       salt="release2").collect()}
     assert any(other[g] != out[g]["noisy_n"] for g in other)
     with pytest.raises(ValueError):
-        dp_group_counts(df, "g", epsilon=0.0)
+        dp_group_counts(df, "g", epsilon=0.0, salt="dp")
+    with pytest.raises(ValueError):
+        dp_group_counts(df, "g", epsilon=0.5, salt="")
 
 
 def test_kmeans_fast_mode_agrees_on_separated_data(spark):
