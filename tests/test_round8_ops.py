@@ -73,3 +73,171 @@ def test_kmeans_exact_fold_survives_large_magnitudes(spark):
         ).collect()
     }
     assert out == {1: 10, 2: 10}
+
+
+# ---------------------------------------------------------------------------
+# Multivariate Cox PH
+# ---------------------------------------------------------------------------
+
+def _cox_rows(n=300):
+    rows = []
+    for i in range(n):
+        x = i % 2
+        x2 = (i % 7) / 7.0
+        base = 5 + (i * 37 % 50)
+        dur = max(1, int(base * (1.5 if x else 1.0) - 10 * x2))
+        event = 1 if (i % 5) != 0 else 0
+        rows.append((dur, event, float(x), x2))
+    return rows
+
+
+def _numpy_cox_reference(rows, rounds=4):
+    """The identical iteration (Breslow ties, fixed Newton rounds from
+    0) in plain numpy — no quantization, so agreement is approximate
+    (the operator's decimal(18,9)/(28,12) quantizations)."""
+    import numpy as np
+
+    d = np.array(rows, dtype=float)
+    t, e, X = d[:, 0], d[:, 1], d[:, 2:]
+    p = X.shape[1]
+
+    def ui(beta):
+        w = np.exp(X @ beta)
+        U = np.zeros(p)
+        imat = np.zeros((p, p))
+        for tt in np.unique(t[e == 1]):
+            risk = t >= tt
+            dead = (t == tt) & (e == 1)
+            s0 = w[risk].sum()
+            s1 = (w[risk, None] * X[risk]).sum(0)
+            s2 = (
+                w[risk, None, None]
+                * X[risk][:, :, None]
+                * X[risk][:, None, :]
+            ).sum(0)
+            nd = dead.sum()
+            U += X[dead].sum(0) - nd * s1 / s0
+            imat += nd * (s2 / s0 - np.outer(s1 / s0, s1 / s0))
+        return U, imat
+
+    beta = np.zeros(p)
+    for _ in range(rounds):
+        u, imat = ui(beta)
+        beta = beta + np.linalg.solve(imat, u)
+    _, imat = ui(beta)
+    inv = np.linalg.inv(imat)
+    import math as m
+
+    return beta, [m.sqrt(inv[j][j]) for j in range(p)]
+
+
+def test_cox_ph_multi_matches_numpy_reference(spark):
+    """p=2 fit equals the unquantized numpy replay of the same Breslow
+    Newton iteration to ~1e-5 (the lifelines-twin property,
+    VERDICT r7 #1)."""
+    from econdatapipeline_spark.operators.survival import cox_ph_multi
+
+    rows = _cox_rows()
+    df = spark.createDataFrame(
+        rows, "duration long, event int, x1 double, x2 double"
+    )
+    got = {
+        r["covariate"]: r
+        for r in cox_ph_multi(
+            df, "duration", "event", ["x1", "x2"], rounds=4
+        ).collect()
+    }
+    beta, se = _numpy_cox_reference(rows)
+    for j, c in enumerate(["x1", "x2"]):
+        assert got[c]["beta"] == pytest.approx(beta[j], abs=2e-5)
+        assert got[c]["se"] == pytest.approx(se[j], abs=2e-5)
+        assert got[c]["n"] == 300
+
+
+def test_cox_ph_multi_p1_equals_binary_cox(spark):
+    """A single binary covariate through the p-dim path reproduces
+    cox_ph's collapsed-form fit exactly (same quantization ladder)."""
+    from econdatapipeline_spark.operators.survival import (
+        cox_ph,
+        cox_ph_multi,
+    )
+
+    rows = _cox_rows()
+    df = spark.createDataFrame(
+        rows, "duration long, event int, x1 double, x2 double"
+    )
+    b = cox_ph(df, "duration", "event", "x1", rounds=4).collect()[0]
+    m = cox_ph_multi(df, "duration", "event", ["x1"], rounds=4).collect()[0]
+    assert (m["beta"], m["hr"], m["se"], m["z"]) == (
+        b["beta"], b["hr"], b["se"], b["z"]
+    )
+    assert (m["n"], m["n_events"]) == (b["n"], b["n_events"])
+
+
+def test_cox_ph_multi_degenerate_never_fabricates(spark):
+    """Constant covariate -> singular information -> NULL estimates
+    (the never-fabricate rule), counts still reported."""
+    from econdatapipeline_spark.operators.survival import cox_ph_multi
+
+    rows = [(i + 1, 1, 1.0, 1.0) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "duration long, event int, x1 double, x2 double"
+    )
+    out = cox_ph_multi(df, "duration", "event", ["x1", "x2"]).collect()
+    for r in out:
+        assert r["beta"] is None and r["se"] is None
+        assert r["n"] == 20 and r["n_events"] == 20
+    with pytest.raises(ValueError):
+        cox_ph_multi(df, covariate_cols=[])
+    with pytest.raises(ValueError):
+        cox_ph_multi(df, covariate_cols=[f"c{i}" for i in range(9)])
+
+
+def test_cox_ph_multi_p3_solves(spark):
+    """p=3 exercises the numpy-solve branch; agreement with the numpy
+    reference iteration to ~1e-5."""
+    from econdatapipeline_spark.operators.survival import cox_ph_multi
+
+    rows = [
+        (dur, ev, x1, x2, ((i * 13) % 11) / 11.0)
+        for i, (dur, ev, x1, x2) in enumerate(_cox_rows(200))
+    ]
+    df = spark.createDataFrame(
+        rows, "duration long, event int, x1 double, x2 double, x3 double"
+    )
+    got = {
+        r["covariate"]: r
+        for r in cox_ph_multi(
+            df, "duration", "event", ["x1", "x2", "x3"], rounds=4
+        ).collect()
+    }
+    beta, se = _numpy_cox_reference(rows)
+    for j, c in enumerate(["x1", "x2", "x3"]):
+        assert got[c]["beta"] == pytest.approx(beta[j], abs=2e-5)
+        assert got[c]["se"] == pytest.approx(se[j], abs=2e-5)
+
+
+def test_desc_cumsum_dec_twin_paths_identical(spark):
+    """The distributed descending decimal cumsum is bit-identical to
+    the single-window small path (the _risk_forward_cumsum twin-path
+    contract, now for decimal columns)."""
+    from decimal import Decimal
+
+    from econdatapipeline_spark.operators.survival import _desc_cumsum_dec
+    from pyspark.sql import functions as F
+
+    rows = [
+        (t, Decimal(f"{(t * 37 % 100) / 7:.12f}"))
+        for t in range(1, 501)
+    ]
+    df = spark.createDataFrame(rows, "t long, v decimal(28,12)")
+    small = {
+        r["t"]: r["s_v"]
+        for r in _desc_cumsum_dec(df, ["v"], small_threshold=100_000)
+        .collect()
+    }
+    big = {
+        r["t"]: r["s_v"]
+        for r in _desc_cumsum_dec(df, ["v"], small_threshold=1).collect()
+    }
+    assert small == big
