@@ -5352,6 +5352,23 @@ def q_kmeans_lloyd(spark, sf_dir):
     return kmeans_lloyd(e, k=4, rounds=2, seed_ids=[0, 1, 2, 3], exact=True)
 
 
+def q_kmeans_seedplus(spark, sf_dir):
+    """Lloyd's k-means under deterministic k-means++ seeding
+    (operators/kmeans._kmeanspp_md5_seeds, VERDICT r7 #2): the D²
+    race — first seed maximizes the round-1 md5-uniform, each next
+    seed maximizes ln(u)/D² (Efraimidis-Spirakis weighted sampling)
+    with decimal(18,9) keys and larger-id ties — then the identical
+    certified Lloyd loop. Both engines replay the same seed choice,
+    so the whole fit stays hash-certified while fixing the degenerate
+    ids-0..k-1 initialization."""
+    from econdatapipeline_spark.operators.kmeans import kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(
+        e, k=4, rounds=2, init="kmeanspp_md5", exact=True
+    )
+
+
 
 
 def q_dp_group_counts(spark, sf_dir):
@@ -5798,6 +5815,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "rolling_corr": q_rolling_corr,
         "cox_ph": q_cox_ph,
         "cox_ph_multi": q_cox_ph_multi,
+        "kmeans_seedplus": q_kmeans_seedplus,
         "kmeans_lloyd": q_kmeans_lloyd,
         "dp_group_counts": q_dp_group_counts,
         "rmst": q_rmst,
@@ -13211,6 +13229,105 @@ def oracle_sql() -> dict[str, str]:
                  pos,
                  floor(val * 1000000000.0 + 0.5) / 1000000000.0 AS mu
           FROM pts WHERE id IN (0, 1, 2, 3)),
+        d1 AS (
+          SELECT pts.id, c.cluster,
+                 SUM(CAST((val - mu) * (val - mu) AS DECIMAL(28,12)))
+                   AS dist
+          FROM pts JOIN c0 c USING (pos) GROUP BY 1, 2),
+        a1 AS (
+          SELECT id, cluster, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY dist ASC, cluster ASC) AS rk
+            FROM d1) WHERE rk = 1),
+        c1 AS (
+          SELECT cluster, pos,
+                 floor((CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                        / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE))
+                       * 1000000000.0 + 0.5) / 1000000000.0 AS mu
+          FROM pts JOIN a1 USING (id) GROUP BY 1, 2),
+        d2 AS (
+          SELECT pts.id, c.cluster,
+                 SUM(CAST((val - mu) * (val - mu) AS DECIMAL(28,12)))
+                   AS dist
+          FROM pts JOIN c1 c USING (pos) GROUP BY 1, 2),
+        a2 AS (
+          SELECT id, cluster, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY dist ASC, cluster ASC) AS rk
+            FROM d2) WHERE rk = 1),
+        c2 AS (
+          SELECT cluster, pos,
+                 floor((CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                        / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE))
+                       * 1000000000.0 + 0.5) / 1000000000.0 AS mu
+          FROM pts JOIN a2 USING (id) GROUP BY 1, 2),
+        d3 AS (
+          SELECT pts.id, c.cluster,
+                 SUM(CAST((val - mu) * (val - mu) AS DECIMAL(28,12)))
+                   AS dist
+          FROM pts JOIN c2 c USING (pos) GROUP BY 1, 2),
+        a3 AS (
+          SELECT id, cluster, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY dist ASC, cluster ASC) AS rk
+            FROM d3) WHERE rk = 1),
+        fin AS (SELECT * FROM a3)
+        SELECT CAST(cluster AS INT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               round(CAST(SUM(dist) AS DOUBLE), 6) AS inertia
+        FROM fin GROUP BY cluster
+    """
+
+    # k-means++ seeding: the md5-uniform D² race replayed, then the
+    # identical Lloyd chain seeded from the chosen ids (cluster number
+    # = rank of chosen id, matching the operator's sorted seed_map).
+    kpp_u = (
+        "CAST(CAST('0x' || substr(md5('kpp:{c}:' || CAST(id AS VARCHAR)),"
+        " 1, 8) AS BIGINT) % 1000003 + 1 AS DOUBLE) / 1000005.0"
+    )
+    kpp_sel = [f"""
+        u1 AS (SELECT id, {kpp_u.format(c=1)} AS u
+               FROM (SELECT DISTINCT id FROM pts)),
+        p1 AS (SELECT id FROM u1 ORDER BY u DESC, id DESC LIMIT 1),
+        sd1 AS (SELECT 1 AS sid, pos, val AS mu
+                FROM pts JOIN p1 USING (id)),
+        ch1 AS (SELECT id FROM p1),"""]
+    for c in range(2, 5):
+        prev = c - 1
+        kpp_sel.append(f"""
+        dd{c} AS (
+          SELECT id, MIN(dist) AS w FROM (
+            SELECT pts.id, s.sid,
+                   SUM(CAST((val - mu) * (val - mu) AS DECIMAL(28,12)))
+                     AS dist
+            FROM pts JOIN sd{prev} s USING (pos)
+            GROUP BY 1, 2) pd GROUP BY 1),
+        kk{c} AS (
+          SELECT dd{c}.id,
+                 CAST(ln({kpp_u.format(c=c)}) / CAST(w AS DOUBLE)
+                      AS DECIMAL(18,9)) AS key
+          FROM dd{c} WHERE w > 0),
+        p{c} AS (SELECT id FROM kk{c}
+                 ORDER BY key DESC, id DESC LIMIT 1),
+        sd{c} AS (SELECT sid, pos, mu FROM sd{prev}
+                  UNION ALL
+                  SELECT {c} AS sid, pos, val AS mu
+                  FROM pts JOIN p{c} USING (id)),
+        ch{c} AS (SELECT id FROM ch{prev}
+                  UNION ALL SELECT id FROM p{c}),""")
+    kpp_cte = "".join(kpp_sel)
+    sql["kmeans_seedplus"] = f"""
+        WITH pts AS (
+          SELECT id, i AS pos, CAST(emb[i] AS DOUBLE) AS val
+          FROM (SELECT vec_id AS id, embedding AS emb,
+                       unnest(range(1, 65)) AS i
+                FROM embeddings)),{kpp_cte}
+        c0 AS (
+          SELECT CAST(rk AS INT) AS cluster, pos,
+                 floor(val * 1000000000.0 + 0.5) / 1000000000.0 AS mu
+          FROM (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rk
+                FROM ch4) ch
+          JOIN pts USING (id)),
         d1 AS (
           SELECT pts.id, c.cluster,
                  SUM(CAST((val - mu) * (val - mu) AS DECIMAL(28,12)))

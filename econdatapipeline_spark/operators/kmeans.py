@@ -29,6 +29,78 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _md5_uniform(prefix: str, id_col):
+    """The engine's deterministic-randomness idiom (bootstrap_ci /
+    dp_group_counts): md5(prefix || id) first 8 hex chars -> integer
+    -> exact rational in (0, 1), bit-replayable by the SQL oracle."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), id_col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000003
+        + 1
+    ).cast("double") / F.lit(1000005.0)
+
+
+def _sq_dist_fold(mu):
+    """Exact decimal(28,12) squared distance of the vector column `v`
+    to the literal centroid ``mu`` — the certified assignment fold."""
+    term = lambda a, b: ((a - b) * (a - b)).cast("decimal(28,12)")  # noqa: E731
+    return F.aggregate(
+        F.zip_with(F.col("v"), F.lit(mu), term),
+        F.lit(0).cast("decimal(28,12)"),
+        lambda acc, t: (acc + t).cast("decimal(28,12)"),
+    )
+
+
+def _kmeanspp_md5_seeds(vecs, k: int, salt: str = "kpp") -> list[int]:
+    """Deterministic k-means++ (Arthur & Vassilvitskii 2007 D²
+    sampling) seed ids, certification-replayable on both engines.
+
+    True k-means++ draws each next seed with probability proportional
+    to D²(x) (squared distance to the nearest chosen seed). The draw
+    is made deterministic with the md5-uniform Efraimidis-Spirakis
+    race (weighted sampling by max u^(1/w), equivalently max
+    ln(u)/w): u depends only on (selection round, id), so both
+    engines replay the identical choice. The first seed maximizes the
+    round-1 uniform itself. Keys quantize to decimal(18,9) with ties
+    to the larger id — the ln-class 1-ulp caveat, shared with every
+    ln-based query.
+
+    Scale posture: k−1 rounds, each ONE top-1 TakeOrdered over the
+    vectors with D² as a plan-literal distance fold (the Lloyd
+    assignment shape — zero shuffle) plus a 1-row vector fetch.
+    """
+    u1 = _md5_uniform(f"{salt}:1:", F.col("id"))
+    first = (
+        vecs.select("id", "v", u1.alias("u"))
+        .orderBy(F.col("u").desc(), F.col("id").desc())
+        .first()
+    )
+    chosen = [(int(first["id"]), list(first["v"]))]
+    for c in range(2, k + 1):
+        dls = [_sq_dist_fold(mu) for _, mu in chosen]
+        w = dls[0] if len(dls) == 1 else F.least(*dls)
+        u = _md5_uniform(f"{salt}:{c}:", F.col("id"))
+        key9 = (F.log(u) / w.cast("double")).cast("decimal(18,9)")
+        pick = (
+            vecs.select("id", "v", w.alias("w"), key9.alias("key"))
+            .filter(F.col("w") > 0)
+            .orderBy(F.col("key").desc(), F.col("id").desc())
+            .first()
+        )
+        if pick is None:  # fewer distinct points than k
+            raise ValueError(
+                f"kmeans++ found fewer than {k} distinct vectors"
+            )
+        chosen.append((int(pick["id"]), list(pick["v"])))
+    return [i for i, _ in chosen]
+
+
 def _fit(
     df: DataFrame,
     vec_col: str,
@@ -39,6 +111,7 @@ def _fit(
     exact: bool | None,
     use_arrow: bool,
     exact_threshold: int = 1_000_000,
+    init: str = "fixed",
 ):
     """Shared Lloyd loop -> (final assignment carrying its vector,
     final centroid relation) — see kmeans_lloyd for the contract."""
@@ -47,15 +120,24 @@ def _fit(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     spark = df.sparkSession
-    seeds = list(seed_ids) if seed_ids is not None else list(range(k))
-    if len(seeds) != k:
-        raise ValueError(f"need exactly {k} seed ids, got {len(seeds)}")
+    if init not in ("fixed", "kmeanspp_md5"):
+        raise ValueError(
+            f"init must be fixed|kmeanspp_md5, got {init!r}"
+        )
     if use_arrow:
         exact = False  # the numpy kernel is double arithmetic
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).localCheckpoint(eager=True)
+    if seed_ids is not None:
+        seeds = list(seed_ids)
+    elif init == "kmeanspp_md5":
+        seeds = _kmeanspp_md5_seeds(vecs, k)
+    else:
+        seeds = list(range(k))
+    if len(seeds) != k:
+        raise ValueError(f"need exactly {k} seed ids, got {len(seeds)}")
     if exact is None:
         # AUTO-SELECT (the bradley_terry/markov size-gate pattern,
         # VERDICT r7 #3): the certified decimal arithmetic is ~4x the
@@ -221,16 +303,21 @@ def kmeans_lloyd(
     seed_ids: list[int] | None = None,
     exact: bool | None = None,
     use_arrow: bool = False,
+    init: str = "fixed",
 ) -> DataFrame:
     """Lloyd iterations -> one row per non-empty cluster
     (cluster, n_vecs, inertia), inertia = Σ member squared distances.
 
-    Seeds are the vectors at ``seed_ids`` (default ids 0..k-1) in id
-    order — deterministic by construction (k-means++ would demand a
-    random stream both engines share; fixed seeds keep the operator a
-    pure function of its input). A cluster emptied during iteration
-    stays empty (its centroid drops out of the relation), matching the
-    oracle's semantics exactly.
+    Seeds are the vectors at ``seed_ids`` when given; otherwise
+    ``init`` selects them: ``'fixed'`` takes ids 0..k-1 (pure function
+    of the input, but quality-degenerate when adjacent ids are
+    near-duplicates — VERDICT r7 #2), ``'kmeanspp_md5'`` runs the
+    deterministic k-means++ D² race (_kmeanspp_md5_seeds — the
+    md5-uniform stream BOTH engines replay, so certification is
+    preserved; quality certified by the kmeans_silhouette comparison
+    pytest). A cluster emptied during iteration stays empty (its
+    centroid drops out of the relation), matching the oracle's
+    semantics exactly.
 
     ``exact`` selects the cross-engine-certified arithmetic: per-term
     decimal quantization everywhere, bit-replayable by the SQL oracle
@@ -254,7 +341,8 @@ def kmeans_lloyd(
     lowest-cluster tie-break.
     """
     final, cents = _fit(
-        df, vec_col, id_col, k, rounds, seed_ids, exact, use_arrow
+        df, vec_col, id_col, k, rounds, seed_ids, exact, use_arrow,
+        init=init,
     )
     dist = (
         final.select("cluster", F.posexplode("v"))
@@ -297,6 +385,7 @@ def kmeans_silhouette(
     k: int = 4,
     rounds: int = 2,
     seed_ids: list[int] | None = None,
+    init: str = "fixed",
 ) -> DataFrame:
     """Simplified silhouette of the kmeans_lloyd fit -> one row per
     cluster (cluster, n_vecs, mean_silhouette), plus the quality
@@ -316,7 +405,7 @@ def kmeans_silhouette(
     same stage.
     """
     final, cents = _fit(
-        df, vec_col, id_col, k, rounds, seed_ids, True, False
+        df, vec_col, id_col, k, rounds, seed_ids, True, False, init=init
     )
     d = (
         final.select("id", F.col("cluster").alias("own"), F.posexplode("v"))
