@@ -5044,6 +5044,32 @@ def q_granger_causality(spark, sf_dir):
     return granger_causality(monthly, "y", "x").orderBy("dataset")
 
 
+def q_granger_lags2(spark, sf_dir):
+    """Two-lag Granger causality of monthly order count onto monthly
+    revenue per priority (operators/timeseries.granger_causality,
+    lags=2 — VERDICT r7 #5): restricted y ~ 1 + y1 + y2 vs
+    unrestricted adding x1 + x2, both solved by the generated unrolled
+    Gauss elimination over ONE hash aggregate of decimal-exact
+    normal-equation sums; the oracle chains the IDENTICAL generated
+    (name, expr) step sequence (granger_fragments), so operation
+    order is shared by construction."""
+    from econdatapipeline_spark.operators.timeseries import (
+        granger_causality,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(
+        _dsum(F.col("o_totalprice")).alias("y"),
+        F.count(F.lit(1)).cast("long").cast("double").alias("x"),
+    )
+    return granger_causality(
+        monthly, "y", "x", lags=2
+    ).orderBy("dataset")
+
+
 def q_markov_transitions(spark, sf_dir):
     """Event-type transition matrix per user journey
     (operators/markov.markov_transitions): consecutive event pairs via
@@ -5801,6 +5827,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "sessionize": q_sessionize,
         "vwap": q_vwap,
         "granger_causality": q_granger_causality,
+        "granger_lags2": q_granger_lags2,
         "markov_transitions": q_markov_transitions,
         "markov_stationary": q_markov_stationary,
         "rdd_estimator": q_rdd_estimator,
@@ -12525,6 +12552,67 @@ def oracle_sql() -> dict[str, str]:
                      END, 6) AS f_stat
         FROM fin
     """
+    # Two-lag Granger: the generated fragment chain — the oracle
+    # consumes the SAME aggregate text and (name, expr) step sequence
+    # the Spark operator executes (granger_fragments), guaranteeing
+    # identical operation order by construction.
+    from econdatapipeline_spark.operators.timeseries import (
+        granger_fragments as _gfrag,
+    )
+
+    _g2 = _gfrag(2)
+    _g2_lag_cols = ", ".join(
+        [
+            f"LAG(CAST(y AS DECIMAL(18,6)), {i}) OVER "
+            f"(PARTITION BY dataset ORDER BY date) AS z{i}"
+            for i in range(1, 3)
+        ]
+        + [
+            f"LAG(CAST(x AS DECIMAL(18,6)), {i}) OVER "
+            f"(PARTITION BY dataset ORDER BY date) AS z{2 + i}"
+            for i in range(1, 3)
+        ]
+    )
+    _g2_not_null = " AND ".join(
+        f"z{i} IS NOT NULL" for i in range(1, 5)
+    )
+    _g2_steps = "".join(
+        f",\n        gst{i} AS (SELECT *, {e} AS {nm} FROM "
+        f"{'gsum' if i == 0 else f'gst{i - 1}'})"
+        for i, (nm, e) in enumerate(_g2["steps"])
+    )
+    _g2_last = f"gst{len(_g2['steps']) - 1}"
+    sql["granger_lags2"] = f"""
+        WITH monthly AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS y,
+                 CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS x
+          FROM orders GROUP BY 1, 2),
+        lagged AS (
+          SELECT dataset AS g,
+                 CAST(y AS DECIMAL(18,6)) AS y,
+                 {_g2_lag_cols}
+          FROM monthly),
+        rws AS (
+          -- DECIMAL(19,6) forces DuckDB's int128 multiply (a DECIMAL(18)
+          -- product overflows its int64 path); products then land at
+          -- (38,12) exact, value-identical to Spark's (18,6)->(37,12)
+          SELECT g, CAST(y AS DECIMAL(19,6)) AS y,
+                 {", ".join(f"CAST(z{i} AS DECIMAL(19,6)) AS z{i}" for i in range(1, 5))}
+          FROM lagged WHERE {_g2_not_null}),
+        gsum AS (
+          SELECT g, {", ".join(_g2["aggs"])}
+          FROM rws GROUP BY g){_g2_steps}
+        SELECT g AS dataset, n,
+               round(CASE WHEN {_g2["ok"]}
+                     THEN {_g2["beta_x"]} END, 6) AS beta_x,
+               round(CASE WHEN {_g2["ok"]}
+                     THEN {_g2["f"]} END, 6) AS f_stat
+        FROM {_g2_last}
+    """
+
     # Markov transitions: per-user lag with the event_id tiebreak.
     sql["markov_transitions"] = """
         WITH pairs AS (

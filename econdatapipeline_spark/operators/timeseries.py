@@ -1084,31 +1084,208 @@ def vwap(
     )
 
 
+def _gauss_steps(m: int, a_names: dict, b_names: list, prefix: str):
+    """Unrolled Gaussian elimination (no pivoting — normal-equation
+    matrices are SPD) + back-substitution over NAMED scalar columns ->
+    (steps, beta_names, final_diag_names).
+
+    Each step is (new_name, infix_expr_over_previous_names) — plain
+    double arithmetic valid verbatim in BOTH Spark SQL and DuckDB, so
+    generating the sequence ONCE guarantees the operator and the
+    oracle perform the identical operation order (the engine-parity
+    rule that lets fixed-order doubles of exact decimal sums
+    hash-match)."""
+    # every division is guarded (NULL on zero divisor): Spark 4 runs
+    # ANSI mode where even DOUBLE x/0 raises, and a degenerate group
+    # (constant series, n <= params) must flow to NULL outputs under
+    # the ok-gate, not crash the whole job. The guard text is valid
+    # verbatim in DuckDB and value-identical whenever the divisor is
+    # nonzero, so certified queries are unaffected.
+    def div(a: str, b: str) -> str:
+        return f"CASE WHEN {b} = 0 THEN NULL ELSE ({a}) / {b} END"
+
+    cur = {}
+    for i in range(m):
+        for j in range(m):
+            cur[(i, j)] = a_names[(min(i, j), max(i, j))]
+    curb = list(b_names)
+    steps = []
+    for k in range(m):
+        for i in range(k + 1, m):
+            f = f"{prefix}_f{k}_{i}"
+            steps.append((f, div(cur[(i, k)], cur[(k, k)])))
+            for j in range(k + 1, m):
+                nn = f"{prefix}_a{k}_{i}_{j}"
+                steps.append((nn, f"{cur[(i, j)]} - {f} * {cur[(k, j)]}"))
+                cur[(i, j)] = nn
+            nb = f"{prefix}_b{k}_{i}"
+            steps.append((nb, f"{curb[i]} - {f} * {curb[k]}"))
+            curb[i] = nb
+    betas = [None] * m
+    for i in reversed(range(m)):
+        expr = curb[i]
+        for j in range(i + 1, m):
+            expr = f"({expr} - {cur[(i, j)]} * {prefix}_beta{j})"
+        steps.append((f"{prefix}_beta{i}", div(expr, cur[(i, i)])))
+        betas[i] = f"{prefix}_beta{i}"
+    diag = [cur[(k, k)] for k in range(m)]
+    return steps, betas, diag
+
+
+def granger_fragments(lags: int) -> dict:
+    """Shared Spark/DuckDB SQL fragments for the multi-lag Granger
+    test — the single source of truth both the operator and the
+    oracle consume, so the two engines execute the same text.
+
+    Returns {aggs, steps, beta_x, f, ok, m}: ``aggs`` are the
+    decimal-exact normal-equation aggregate expressions over a
+    relation with columns y (decimal(18,6)) and z1..z2p (y lags then
+    x lags, decimal(18,6)); ``steps`` the named fixed-order double
+    sequence (Gauss solves for both models + RSS + F); ``beta_x`` /
+    ``f`` / ``ok`` the output expressions.
+    """
+    p = lags
+    m = 2 * p + 1
+    zs = list(range(1, 2 * p + 1))
+    aggs = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        "CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy",
+        "CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy",
+    ]
+    for i in zs:
+        aggs.append(
+            f"CAST(SUM(CAST(z{i} AS DECIMAL(38,12))) AS DOUBLE) AS s_{i}"
+        )
+        aggs.append(
+            f"CAST(SUM(CAST(z{i} * y AS DECIMAL(38,12))) AS DOUBLE)"
+            f" AS t_{i}"
+        )
+    for i in zs:
+        for j in zs:
+            if j >= i:
+                aggs.append(
+                    f"CAST(SUM(CAST(z{i} * z{j} AS DECIMAL(38,12)))"
+                    f" AS DOUBLE) AS c_{i}_{j}"
+                )
+    steps = [("nd", "CAST(n AS DOUBLE)")]
+    a_u = {(0, 0): "nd"}
+    for j in zs:
+        a_u[(0, j)] = f"s_{j}"
+    for i in zs:
+        for j in zs:
+            if j >= i:
+                a_u[(i, j)] = f"c_{i}_{j}"
+    b_u = ["sy"] + [f"t_{i}" for i in zs]
+    su, betas_u, diag_u = _gauss_steps(m, a_u, b_u, "u")
+    steps += su
+    a_r = {(0, 0): "nd"}
+    for j in range(1, p + 1):
+        a_r[(0, j)] = f"s_{j}"
+    for i in range(1, p + 1):
+        for j in range(i, p + 1):
+            a_r[(i, j)] = f"c_{i}_{j}"
+    b_r = ["sy"] + [f"t_{i}" for i in range(1, p + 1)]
+    sr, betas_r, diag_r = _gauss_steps(p + 1, a_r, b_r, "r")
+    steps += sr
+    rss_u = "syy"
+    for bn, orig in zip(betas_u, b_u):
+        rss_u = f"({rss_u} - {bn} * {orig})"
+    steps.append(("u_rss", rss_u))
+    rss_r = "syy"
+    for bn, orig in zip(betas_r, b_r):
+        rss_r = f"({rss_r} - {bn} * {orig})"
+    steps.append(("r_rss", rss_r))
+    steps.append(
+        (
+            "gdenom",
+            f"CASE WHEN (nd - CAST({m} AS DOUBLE)) = 0 THEN NULL"
+            f" ELSE u_rss / (nd - CAST({m} AS DOUBLE)) END",
+        )
+    )
+    steps.append(
+        (
+            "gf",
+            f"CASE WHEN gdenom = 0 THEN NULL"
+            f" ELSE ((r_rss - u_rss) / CAST({p} AS DOUBLE)) / gdenom END",
+        )
+    )
+    pivots = " AND ".join(
+        f"{d} > 0" for d in dict.fromkeys(diag_u + diag_r)
+    )
+    ok = f"n > {m} AND u_rss > 0 AND {pivots}"
+    return {
+        "aggs": aggs,
+        "steps": steps,
+        "beta_x": betas_u[p + 1],
+        "f": "gf",
+        "ok": ok,
+        "m": m,
+    }
+
+
 def granger_causality(
     df: DataFrame,
     y_col: str,
     x_col: str,
     order_col: str = "date",
     group_col: str = "dataset",
+    lags: int = 1,
 ) -> DataFrame:
-    """Granger causality test (one lag) per series pair -> one row per
+    """Granger causality test per series pair -> one row per
     group (group, n, beta_x, f_stat).
 
     "Do lagged values of x improve the forecast of y beyond y's own
-    lag?" (Granger 1969) — the standard lead/lag screen between
+    lags?" (Granger 1969) — the standard lead/lag screen between
     economic indicators before any structural claim. Restricted model
-    y_t ~ a + b·y_(t-1); unrestricted adds c·x_(t-1);
-    F = (RSS_r − RSS_u)/(RSS_u/(n − 3)).
+    y_t ~ a + Σ b_i·y_(t-i); unrestricted adds Σ c_i·x_(t-i);
+    F = ((RSS_r − RSS_u)/p)/(RSS_u/(n − (2p+1))).
 
     The adf_test discipline verbatim: per-group lag windows
     (PARTITIONED, never global), both regressions from ONE hash
     aggregate of decimal-exact normal-equation sums (every product an
-    exact (37,12) of decimal(18,6) re-quantized inputs), Cramer 3x3 /
-    2x2 solves and the F ratio as fixed-order doubles of those exact
-    sums — an oracle replays the formula tree bit-for-bit.
+    exact (37,12) of decimal(18,6) re-quantized inputs), fixed-order
+    double solves and the F ratio — an oracle replays the formula tree
+    bit-for-bit. ``lags=1`` keeps the original explicit Cramer 3x3 /
+    2x2 path (hash-stable with prior rounds); ``lags >= 2`` (p <= 4,
+    VERDICT r7 #5) runs the generated unrolled Gauss elimination from
+    granger_fragments — the SAME (name, expr) sequence the SQL oracle
+    chains, so operation order is shared by construction. beta_x is
+    the first x-lag coefficient in both paths.
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
+    if lags < 1 or lags > 4:
+        raise ValueError(f"lags must be in 1..4, got {lags}")
+    if lags >= 2:
+        p = lags
+        frag = granger_fragments(p)
+        w = Window.partitionBy(group_col).orderBy(order_col)
+        yq = F.col(y_col).cast("decimal(18,6)")
+        xq = F.col(x_col).cast("decimal(18,6)")
+        sel = [F.col(group_col).alias("g"), yq.alias("y")]
+        for i in range(1, p + 1):
+            sel.append(F.lag(yq, i).over(w).alias(f"z{i}"))
+        for i in range(1, p + 1):
+            sel.append(F.lag(xq, i).over(w).alias(f"z{p + i}"))
+        lagged = df.select(*sel)
+        keep = F.lit(True)
+        for i in range(1, 2 * p + 1):
+            keep = keep & F.col(f"z{i}").isNotNull()
+        lagged = lagged.filter(keep)
+        cur = lagged.groupBy("g").agg(
+            *[F.expr(a) for a in frag["aggs"]]
+        )
+        for name, e in frag["steps"]:
+            cur = cur.withColumn(name, F.expr(e))
+        ok = F.expr(frag["ok"])
+        return cur.select(
+            F.col("g").alias(group_col),
+            "n",
+            F.round(F.when(ok, F.expr(frag["beta_x"])), 6).alias(
+                "beta_x"
+            ),
+            F.round(F.when(ok, F.expr(frag["f"])), 6).alias("f_stat"),
+        )
     w = Window.partitionBy(group_col).orderBy(order_col)
     yq = F.col(y_col).cast("decimal(18,6)")
     xq = F.col(x_col).cast("decimal(18,6)")
