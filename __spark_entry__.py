@@ -5008,6 +5008,23 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Sessionization through the STREAMING code path run in batch
+    mode (streaming/windows.stream_sessionize — VERDICT r7 #4): the
+    engine's native session_window with the end shifted back by the
+    gap so the output matches the batch gaps-and-islands operator;
+    the stream/batch identity on real readStream input is certified
+    by tests/test_streaming.py::test_stream_sessionize_matches_batch.
+    Oracle replays session_window's right-open break (gap >= 30 min
+    starts a new session)."""
+    from econdatapipeline_spark.streaming.windows import stream_sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return stream_sessionize(e, gap_minutes=30).orderBy(
+        "user", "session_start"
+    )
+
+
 def q_vwap(spark, sf_dir):
     """Monthly volume-weighted average price of shipped lineitems
     (operators/timeseries.vwap): sum(price*qty)/sum(qty) with the
@@ -5201,6 +5218,22 @@ def q_editdist_dedup(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return editdist_dedup(d, max_dist=2).orderBy("id_a", "id_b")
+
+
+def q_editdist_dedup2(spark, sf_dir):
+    """Two-pass blocked edit-distance near-duplicates
+    (operators/dedup.editdist_dedup, blocks=('prefix','suffix') —
+    VERDICT r7 #6): prefix-block pairs unioned with reversed-text
+    suffix-block pairs and deduplicated before the levenshtein filter,
+    closing the early-edit recall blind spot of prefix blocking alone;
+    per-pass heavy-hitter caps keep every join keyed, never
+    all-pairs."""
+    from econdatapipeline_spark.operators.dedup import editdist_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return editdist_dedup(
+        d, max_dist=2, blocks=("prefix", "suffix")
+    ).orderBy("id_a", "id_b")
 
 
 def q_stream_vwap(spark, sf_dir):
@@ -5825,6 +5858,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "stream_ohlc": q_stream_ohlc,
         "theil_index": q_theil_index,
         "sessionize": q_sessionize,
+        "stream_sessionize": q_stream_sessionize,
         "vwap": q_vwap,
         "granger_causality": q_granger_causality,
         "granger_lags2": q_granger_lags2,
@@ -5837,6 +5871,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "lorenz_curve": q_lorenz_curve,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "editdist_dedup": q_editdist_dedup,
+        "editdist_dedup2": q_editdist_dedup2,
         "stream_vwap": q_stream_vwap,
         "newey_west": q_newey_west,
         "rolling_corr": q_rolling_corr,
@@ -12460,6 +12495,36 @@ def oracle_sql() -> dict[str, str]:
                  AS duration_s
         FROM seq GROUP BY 1, 2
     """
+    # Streaming sessionize batch twin: identical gaps-and-islands but
+    # with session_window's right-open break (>= gap splits).
+    sql["stream_sessionize"] = """
+        WITH base AS (
+          SELECT user_id AS u, ts, CAST(value AS DECIMAL(28,6)) AS v
+          FROM events),
+        lagged AS (
+          SELECT *, LAG(ts) OVER (PARTITION BY u ORDER BY ts) AS prev
+          FROM base),
+        flagged AS (
+          -- session_window compares FULL-precision timestamps
+          -- (microseconds), so the break must too — a second-boundary
+          -- count (date_diff) would split 1799.3s gaps that straddle
+          -- 1800 boundaries
+          SELECT *, CASE WHEN prev IS NULL
+                         OR ts - prev >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS f
+          FROM lagged),
+        seq AS (
+          SELECT *, CAST(SUM(f) OVER (PARTITION BY u ORDER BY ts)
+                    AS BIGINT) AS sid
+          FROM flagged)
+        SELECT u AS "user",
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               round(CAST(SUM(v) AS DOUBLE), 6) AS total_value,
+               CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+                 AS duration_s
+        FROM seq GROUP BY u, sid
+    """
     # VWAP: decimal-exact notional; quantity is integral by contract
     # (CAST DOUBLE->BIGINT rounds here vs truncates in Spark — equal
     # on integral values).
@@ -12936,6 +13001,43 @@ def oracle_sql() -> dict[str, str]:
           ON a.blk = b.blk AND a.doc_id < b.doc_id
         WHERE abs(length(a.txt) - length(b.txt)) <= 2
           AND levenshtein(a.txt, b.txt) <= 2
+    """
+    # Two-pass blocked edit distance: prefix pairs UNION suffix
+    # (reversed-text) pairs — SQL UNION is the set dedup — then the
+    # shared length pre-filter + levenshtein threshold.
+    sql["editdist_dedup2"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 substr(lower(trim(text)), 1, 24) AS blkp,
+                 substr(reverse(lower(trim(text))), 1, 24) AS blks,
+                 substr(lower(trim(text)), 1, 200) AS txt
+          FROM documents
+          WHERE length(substr(lower(trim(text)), 1, 24)) > 0),
+        hotp AS (
+          SELECT blkp FROM base GROUP BY blkp HAVING COUNT(*) > 1000),
+        hots AS (
+          SELECT blks FROM base GROUP BY blks HAVING COUNT(*) > 1000),
+        bp AS (
+          SELECT * FROM base
+          WHERE blkp NOT IN (SELECT blkp FROM hotp)),
+        bs AS (
+          SELECT * FROM base
+          WHERE blks NOT IN (SELECT blks FROM hots)),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.txt AS ta, b.txt AS tb
+          FROM bp a JOIN bp b
+            ON a.blkp = b.blkp AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.txt AS ta, b.txt AS tb
+          FROM bs a JOIN bs b
+            ON a.blks = b.blks AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(levenshtein(ta, tb) AS INT) AS dist
+        FROM pairs
+        WHERE abs(length(ta) - length(tb)) <= 2
+          AND levenshtein(ta, tb) <= 2
     """
     # Streaming VWAP batch twin: hourly windows, decimal-exact
     # notional, qty from the props JSON.

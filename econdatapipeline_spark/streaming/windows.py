@@ -96,6 +96,72 @@ def session_counts(
     )
 
 
+def stream_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Sessionization behind F.session_window -> one row per session
+    (user, session_start, session_end, n_events[, total_value],
+    duration_s) — the STREAMING twin of the batch gaps-and-islands
+    operator (operators/sessions.sessionize), certified equal on
+    shared input by tests/test_streaming.py (the stream_vwap
+    certification pattern, VERDICT r7 #4).
+
+    session_window's native end is last-event + gap; it is shifted
+    back by the gap here so the output schema and values match the
+    batch operator exactly (session_end = max event ts, duration_s =
+    span of observed events). session_seq is NOT produced — numbering
+    a user's sessions needs cross-session order, which append-mode
+    streaming cannot provide; the batch operator remains the backfill
+    path for that column.
+
+    ONE documented semantic seam: session_window is right-open, so an
+    event arriving EXACTLY gap after the previous one starts a new
+    session here, while the batch operator's strict `> gap` break
+    keeps it. Off-boundary inputs (any real clock with jitter) agree
+    row-for-row.
+
+    Scale: the engine's native session state store, keyed by user —
+    parallel across users, watermark-bounded state, append output of
+    closed sessions only.
+    """
+    gap = f"{int(gap_minutes)} minutes"
+    src = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming
+        else events
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    if value_col:
+        aggs.append(
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(28,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("total_value")
+        )
+    out = src.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("w"),
+        F.col(user_col).alias("user"),
+    ).agg(*aggs)
+    end = F.col("w.end") - F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    return out.select(
+        "user",
+        F.col("w.start").alias("session_start"),
+        end.alias("session_end"),
+        "n_events",
+        *(["total_value"] if value_col else []),
+        (
+            F.unix_timestamp(end) - F.unix_timestamp(F.col("w.start"))
+        ).cast("long").alias("duration_s"),
+    )
+
+
 def stream_upsert_sink(
     stream: DataFrame,
     wh: Warehouse,

@@ -362,6 +362,51 @@ def test_granger_lags_validation_and_short_series(spark):
         granger_causality(df, "y", "x", lags=5)
 
 
+# ---------------------------------------------------------------------------
+# editdist double blocking
+# ---------------------------------------------------------------------------
+
+def test_editdist_suffix_pass_recovers_early_edits(spark):
+    """Pairs edited INSIDE the 24-char prefix are invisible to prefix
+    blocking but share the suffix key; the two-pass union must find
+    them while prefix-only documents the miss (VERDICT r7 #6)."""
+    from econdatapipeline_spark.operators.dedup import editdist_dedup
+
+    tail = " the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, "alpha document start" + tail),
+        (2, "alpba document start" + tail),   # edit at char 4 (prefix)
+        (3, "some totally unrelated text that matches nothing else"),
+        (4, "shared prefix block AAAA" + tail),
+        (5, "shared prefix block AAAB" + tail),  # edit past char 24? no:
+        # chars 21-24 differ -> still inside prefix; give a late edit:
+        (6, "shared prefix block AAAA" + tail + " x"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pre = {
+        (r["id_a"], r["id_b"])
+        for r in editdist_dedup(df, max_dist=2).collect()
+    }
+    both = {
+        (r["id_a"], r["id_b"])
+        for r in editdist_dedup(
+            df, max_dist=2, blocks=("prefix", "suffix")
+        ).collect()
+    }
+    assert (1, 2) not in pre          # the documented prefix blind spot
+    assert (1, 2) in both             # suffix pass recovers it
+    assert (4, 6) in pre and (4, 6) in both  # prefix pairs retained
+    assert pre <= both                 # union never loses recall
+    # no duplicate pair rows from the two passes
+    rows = editdist_dedup(
+        df, max_dist=2, blocks=("prefix", "suffix")
+    ).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    with pytest.raises(ValueError):
+        editdist_dedup(df, blocks=("middle",))
+
+
 def test_desc_cumsum_dec_twin_paths_identical(spark):
     """The distributed descending decimal cumsum is bit-identical to
     the single-window small path (the _risk_forward_cumsum twin-path

@@ -228,3 +228,68 @@ def test_vwap_bars_streaming_matches_batch(spark, tmp_path):
         assert (r["vwap"], r["volume"], r["notional"]) == (
             b["vwap"], b["volume"], b["notional"]
         ), ws
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Real readStream through stream_sessionize: every watermark-
+    closed session must equal the batch gaps-and-islands operator
+    (operators/sessions.sessionize) row-for-row on shared parquet
+    input — the stream/batch identity certification VERDICT r7 #4
+    asked for (the stream_vwap pattern). The input has no exact
+    30-minute gaps, so the documented right-open boundary seam is
+    not in play."""
+    from econdatapipeline_spark.operators.sessions import sessionize
+
+    src_dir = str(tmp_path / "sess_src")
+    events = load_events(spark, SF_DIR).limit(600).select(
+        "ts", "user_id", "value"
+    )
+    events.write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, value double"
+    ).parquet(src_dir)
+    q = (
+        W.stream_sessionize(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user"], r["session_start"]): r
+        for r in spark.sql("select * from sess_test").collect()
+    }
+    assert got, "append mode emitted no closed sessions"
+    batch = {
+        (r["user"], r["session_start"]): r
+        for r in sessionize(
+            spark.read.parquet(src_dir), "user_id", "ts", gap_minutes=30
+        ).collect()
+    }
+    for key, r in got.items():
+        b = batch[key]
+        assert (
+            r["session_end"], r["n_events"], r["total_value"],
+            r["duration_s"],
+        ) == (
+            b["session_end"], b["n_events"], b["total_value"],
+            b["duration_s"],
+        ), key
+    # the streaming path in batch mode also equals the batch operator
+    sb = {
+        (r["user"], r["session_start"]): r
+        for r in W.stream_sessionize(
+            spark.read.parquet(src_dir), gap_minutes=30
+        ).collect()
+    }
+    assert set(sb) == set(batch)
+    for key, r in sb.items():
+        b = batch[key]
+        assert (r["session_end"], r["n_events"], r["total_value"],
+                r["duration_s"]) == (
+            b["session_end"], b["n_events"], b["total_value"],
+            b["duration_s"],
+        )
