@@ -40,6 +40,7 @@ def pca_power(
     vec_col: str = "embedding",
     dims: int = 64,
     rounds: int = 8,
+    wide_threshold: int = 100_000,
 ) -> DataFrame:
     """Top principal component -> one row per dimension:
     (dim, loading, eigenvalue, explained).
@@ -47,6 +48,19 @@ def pca_power(
     ``eigenvalue`` is the Rayleigh estimate ||X_c^T X_c v|| / n after
     the final round; ``explained`` divides it by the total variance
     (sum of per-dimension variances).
+
+    The per-round / moment aggregates have TWO plan shapes carrying
+    the IDENTICAL decimal-quantized per-term values (order-free sums,
+    so the totals — and therefore every output — are bit-identical;
+    twin-path pytest): at or below ``wide_threshold`` vectors the
+    narrow (pos, term) posexplode form (one ~3-node aggregate;
+    Catalyst codegen for the d-column form costs ~1-2.5 s/round,
+    dominating small inputs), above it the WIDE d-column aggregate —
+    at 2M x 64 the explode materializes 128M rows per round and the
+    wide form is 4.2x faster per round (r8 probe: 41.3 -> 9.9 s/round,
+    full 8-round fit 347 -> 73 s on local[32]). A double-arithmetic
+    escape was probed and REJECTED: the cost is row generation, not
+    BigDecimal (a double variant measured 347.5 s — identical).
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
@@ -70,24 +84,43 @@ def pca_power(
         .otherwise(F.col(vec_col))
         .alias("v")
     ).localCheckpoint(eager=True)
-    # moment sums in the narrow (pos, e) explode form — one ~3-node
-    # hash aggregate instead of a 2d-column wide aggregate (measured:
-    # the wide form spent ~2.5 s in codegen alone at d=64); values are
-    # the identical decimal-quantized per-element sums either way
-    mrows = (
-        x.select(F.posexplode(F.col("v").cast("array<double>")))
-        .select(
-            "pos",
-            F.col("col").cast("decimal(28,12)").alias("e"),
-            (F.col("col") * F.col("col")).cast("decimal(38,12)").alias(
-                "e2"
-            ),
-        )
-        .groupBy("pos")
-        .agg(F.sum("e").alias("s"), F.sum("e2").alias("q"))
-        .collect()
-    )
     n = x.count()
+    use_wide = n > wide_threshold
+    # moment sums: narrow (pos, e) explode below the gate (one ~3-node
+    # hash aggregate; the 2d-column wide form spent ~2.5 s in codegen
+    # alone at d=64), WIDE d-column aggregate above it (the explode
+    # generates n*d rows — the actual cost at corpus scale). Values
+    # are the identical decimal-quantized per-element sums either way.
+    if use_wide:
+        xd = x.select(F.col("v").cast("array<double>").alias("vd"))
+        maggs = []
+        for k in range(dims):
+            ek = F.col("vd")[k]
+            maggs.append(
+                F.sum(ek.cast("decimal(28,12)")).alias(f"s{k}")
+            )
+            maggs.append(
+                F.sum((ek * ek).cast("decimal(38,12)")).alias(f"q{k}")
+            )
+        mrow = xd.agg(*maggs).first()
+        mrows = [
+            {"pos": k, "s": mrow[f"s{k}"], "q": mrow[f"q{k}"]}
+            for k in range(dims)
+        ]
+    else:
+        mrows = (
+            x.select(F.posexplode(F.col("v").cast("array<double>")))
+            .select(
+                "pos",
+                F.col("col").cast("decimal(28,12)").alias("e"),
+                (F.col("col") * F.col("col"))
+                .cast("decimal(38,12)")
+                .alias("e2"),
+            )
+            .groupBy("pos")
+            .agg(F.sum("e").alias("s"), F.sum("e2").alias("q"))
+            .collect()
+        )
     if n == 0 or not mrows:
         return spark.createDataFrame(
             [], "dim int, loading double, eigenvalue double, explained double"
@@ -126,19 +159,33 @@ def pca_power(
         # and order-free decimal sums, but a ~3-node plan Catalyst
         # compiles once per round (the d-column agg form spent
         # ~1 s/round in codegen alone)
-        rows = (
-            xc.select(w.alias("w"), F.posexplode(F.col("xc")))
-            .select(
-                F.col("pos"),
-                (F.col("w") * F.col("col")).cast("decimal(28,12)").alias(
-                    "t"
-                ),
+        if use_wide:
+            staged = xc.select(w.alias("w"), "xc")
+            row = staged.agg(
+                *[
+                    F.sum(
+                        (F.col("w") * F.col("xc")[k]).cast(
+                            "decimal(28,12)"
+                        )
+                    ).alias(f"s{k}")
+                    for k in range(dims)
+                ]
+            ).first()
+            by_pos = {k: row[f"s{k}"] for k in range(dims)}
+        else:
+            rows = (
+                xc.select(w.alias("w"), F.posexplode(F.col("xc")))
+                .select(
+                    F.col("pos"),
+                    (F.col("w") * F.col("col"))
+                    .cast("decimal(28,12)")
+                    .alias("t"),
+                )
+                .groupBy("pos")
+                .agg(F.sum("t").alias("s"))
+                .collect()
             )
-            .groupBy("pos")
-            .agg(F.sum("t").alias("s"))
-            .collect()
-        )
-        by_pos = {r["pos"]: r["s"] for r in rows}
+            by_pos = {r["pos"]: r["s"] for r in rows}
         s = [float(by_pos.get(k - 1) or 0) for k in range(1, dims + 1)]
         acc = 0.0
         for sk in s:

@@ -617,8 +617,13 @@ def waterfill_budget(
         raise ValueError(f"budget must be >= 0, got {budget}")
     from econdatapipeline_spark.operators.stats import ordered_cumsum
 
-    sup = df.groupBy(F.col(group_col).alias("grp")).agg(
-        F.sum(weight_col).cast("long").alias("supply")
+    # pinned: the ordered pass and the totals both read the
+    # groups-sized supply relation — one fact scan, not two (the
+    # theil_index pinning discipline)
+    sup = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.sum(weight_col).cast("long").alias("supply"))
+        .localCheckpoint(eager=True)
     )
     base = sup.select(
         "grp",

@@ -398,16 +398,20 @@ def mutual_information(
     final per-cell term, each quantized to decimal(28,12) before the
     sum so the total is summation-order-free.
     """
-    joint = df.groupBy(
-        F.col(col_x).alias("x"), F.col(col_y).alias("y")
-    ).agg(F.count(F.lit(1)).alias("nxy"))
-    mx = df.groupBy(F.col(col_x).alias("x")).agg(
-        F.count(F.lit(1)).alias("nx")
+    # ONE fact scan: the pinned joint table is cells-sized and every
+    # marginal (nx, ny, n) is an exact integer re-aggregate of it —
+    # the previous form re-scanned df four times (the theil_index
+    # pinning discipline). Local sf0.1 latency is FLAT (measured: the
+    # cells-sized crossJoins dominate, exchanges 14 -> 13) — kept for
+    # the 100 TB reason alone: fact scans 4 -> 1.
+    joint = (
+        df.groupBy(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .localCheckpoint(eager=True)
     )
-    my = df.groupBy(F.col(col_y).alias("y")).agg(
-        F.count(F.lit(1)).alias("ny")
-    )
-    n = df.agg(F.count(F.lit(1)).alias("n"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    n = joint.agg(F.sum("nxy").alias("n"))
     term = (
         F.col("nxy") / F.col("n").cast("double")
     ) * F.log(
@@ -498,16 +502,20 @@ def chi_square_test(
     V is what tells a 0.02 association from a 0.6 one). Computed from
     the same rounded chi2 both engines share.
     """
-    joint = df.groupBy(
-        F.col(col_x).alias("x"), F.col(col_y).alias("y")
-    ).agg(F.count(F.lit(1)).alias("nxy"))
-    mx = df.groupBy(F.col(col_x).alias("x")).agg(
-        F.count(F.lit(1)).alias("nx")
+    # ONE fact scan: the pinned joint table is cells-sized and every
+    # marginal (nx, ny, n) is an exact integer re-aggregate of it —
+    # the previous form re-scanned df four times (the theil_index
+    # pinning discipline). Local sf0.1 latency is FLAT (measured: the
+    # cells-sized crossJoins dominate, exchanges 14 -> 13) — kept for
+    # the 100 TB reason alone: fact scans 4 -> 1.
+    joint = (
+        df.groupBy(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .localCheckpoint(eager=True)
     )
-    my = df.groupBy(F.col(col_y).alias("y")).agg(
-        F.count(F.lit(1)).alias("ny")
-    )
-    n = df.agg(F.count(F.lit(1)).alias("n"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    n = joint.agg(F.sum("nxy").alias("n"))
     nx_levels = mx.agg(F.count(F.lit(1)).alias("kx"))
     ny_levels = my.agg(F.count(F.lit(1)).alias("ky"))
     cells = (

@@ -318,6 +318,13 @@ def log_rank(
     integer ratios quantized to decimal(28,12) before the order-free
     sums.
     """
+    # the (t, g) collapse is PINNED (localCheckpoint): the grid
+    # distinct, the scaffold join, and the group totals all read this
+    # times-sized relation — ONE subject scan total, and the shared
+    # derivation is not re-planned per consumer (the theil_index
+    # pinning discipline; measured at sf0.1: 20 -> 8 exchanges,
+    # median 2.63 -> 2.02 s on a noisy box — the durable win is the
+    # fact-scan count at 100 TB, 2 -> 1)
     per_tg = (
         df.filter(F.col(group_col).isin([group_a, group_b]))
         .select(
@@ -333,6 +340,7 @@ def log_rank(
             F.sum("e").cast("long").alias("d"),
             F.count(F.lit(1)).cast("long").alias("subj"),
         )
+        .localCheckpoint(eager=True)
     )
     # scaffold: every observed time x both groups, so the reverse
     # cumsum sees a row (possibly 0-subject) at every pooled time.
@@ -372,17 +380,16 @@ def log_rank(
         e_a.cast("decimal(28,12)").alias("ea"),
         v_t.cast("decimal(28,12)").alias("v"),
     )
-    n_by = (
-        df.filter(F.col(group_col).isin([group_a, group_b]))
-        .groupBy()
-        .agg(
-            F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
-            .cast("long")
-            .alias("n_a"),
-            F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
-            .cast("long")
-            .alias("n_b"),
-        )
+    # group totals from the pinned collapse — n_g = Σ_t subj(t, g), so
+    # the subject table is scanned exactly once for the whole test (a
+    # second fact scan at 100 TB is the real cost this removes)
+    n_by = per_tg.groupBy().agg(
+        F.sum(F.when(F.col("g") == "a", F.col("subj")).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("g") == "b", F.col("subj")).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
     )
     agg = terms.agg(
         F.sum("oa").cast("long").alias("observed_a"),

@@ -407,6 +407,22 @@ def test_editdist_suffix_pass_recovers_early_edits(spark):
         editdist_dedup(df, blocks=("middle",))
 
 
+# ---------------------------------------------------------------------------
+# pca_power wide-aggregate shape gate
+# ---------------------------------------------------------------------------
+
+def test_pca_power_wide_shape_is_bit_identical(spark):
+    """The corpus-scale WIDE d-column aggregate carries the identical
+    decimal-quantized terms as the narrow posexplode form — order-free
+    sums, so every output row is bit-identical across the gate."""
+    from econdatapipeline_spark.operators.pca import pca_power
+
+    df = _blob_df(spark, [[0.0] * 6, [3.0] * 6], n_per=25, dim=6)
+    narrow = pca_power(df, dims=6, rounds=4).collect()
+    wide = pca_power(df, dims=6, rounds=4, wide_threshold=0).collect()
+    assert [tuple(r) for r in narrow] == [tuple(r) for r in wide]
+
+
 def test_desc_cumsum_dec_twin_paths_identical(spark):
     """The distributed descending decimal cumsum is bit-identical to
     the single-window small path (the _risk_forward_cumsum twin-path
