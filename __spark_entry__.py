@@ -5345,6 +5345,53 @@ def q_cox_ph(spark, sf_dir):
     return cox_ph(subjects, "duration", "event", "x", rounds=4)
 
 
+def q_log_rank_k(spark, sf_dir):
+    """Three-sample log-rank test across market segments
+    (operators/survival.log_rank_k): full-covariance Mantel-Haenszel —
+    Z'V⁻¹Z over the (k−1)-dim contrast with the per-time covariance
+    matrix, NOT the Σ(O−E)²/E approximation; the 2×2 solve is the
+    explicit Cramer quadratic form the oracle replays. One pinned
+    (t, group) collapse, times×3 scaffold, partitioned reverse
+    cumsums, decimal-quantized order-free term sums."""
+    from econdatapipeline_spark.operators.survival import log_rank_k
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    ranked = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rk"),
+        F.lead("o_orderdate").over(w).alias("nxt"),
+    ).filter(F.col("rk") == 1)
+    subjects = (
+        ranked.crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff("nxt", "o_orderdate"),
+            )
+            .otherwise(F.datediff("h", "o_orderdate"))
+            .cast("long")
+            .alias("duration"),
+            F.col("nxt").isNotNull().cast("int").alias("event"),
+            "c_mktsegment",
+        )
+    )
+    return log_rank_k(
+        subjects,
+        "c_mktsegment",
+        ["BUILDING", "AUTOMOBILE", "MACHINERY"],
+        "duration",
+        "event",
+    ).orderBy("grp")
+
+
 def q_cox_ph_multi(spark, sf_dir):
     """Multivariate Cox proportional-hazards fit: BUILDING-segment
     membership AND account balance as joint repeat-purchase hazard
@@ -5395,6 +5442,36 @@ def q_cox_ph_multi(spark, sf_dir):
         ["x_building", "x_acctbal"],
         rounds=4,
     )
+
+
+def q_cuped_adjust(spark, sf_dir):
+    """CUPED variance-reduced experiment readout per priority
+    (operators/evaluation.cuped_adjust): order price residualized on
+    the customer's account balance (the pre-assignment covariate),
+    theta = cov/var from ONE pooled decimal-exact aggregate re-entering
+    as a decimal(18,9) plan literal (the cox_ph channel), then one
+    per-variant pass of decimal(28,12)-quantized adjusted sums — the
+    Deng-Xu-Kohavi-Walker 2013 experimentation standard. Metric and
+    covariate are analyzed in THOUSAND-dollar units: a raw-dollar
+    variance (~1.9e10) sits where the decimal->double conversion ulp
+    (~4e-6) exceeds the 6-dp rounding grain — the ORACLE_PARITY
+    big-magnitude wall; scaling keeps every output deep inside the
+    portable range."""
+    from econdatapipeline_spark.operators.evaluation import cuped_adjust
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_acctbal")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        "o_orderpriority",
+        (F.col("o_totalprice") / 1000.0).alias("y_k"),
+        (F.col("c_acctbal") / 1000.0).alias("x_k"),
+    )
+    return cuped_adjust(
+        joined, "y_k", "x_k", "o_orderpriority"
+    ).orderBy("variant")
 
 
 def q_kmeans_lloyd(spark, sf_dir):
@@ -5878,6 +5955,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "cox_ph": q_cox_ph,
         "cox_ph_multi": q_cox_ph_multi,
         "kmeans_seedplus": q_kmeans_seedplus,
+        "cuped_adjust": q_cuped_adjust,
+        "log_rank_k": q_log_rank_k,
         "kmeans_lloyd": q_kmeans_lloyd,
         "dp_group_counts": q_dp_group_counts,
         "rmst": q_rmst,
@@ -13263,6 +13342,174 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN i > 0
                      THEN beta / (1.0 / sqrt(i)) END, 6) AS z
         FROM uif CROSS JOIN tot
+    """
+
+    # CUPED: pooled theta/xbar as decimal(18,9)-quantized scalars, one
+    # per-variant pass of decimal(28,12) adjusted sums — operation
+    # order mirrors evaluation.cuped_adjust token for token.
+    sql["cuped_adjust"] = """
+        WITH base AS (
+          SELECT o_orderpriority AS variant,
+                 CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS y,
+                 CAST(c_acctbal / 1000.0 AS DECIMAL(18,6)) AS x
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(19,6))
+                      * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+                      AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(19,6))
+                      * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+                      AS DOUBLE) AS sxy
+          FROM base),
+        th AS (
+          SELECT CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                      THEN CAST(CAST((CAST(n AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(n AS DOUBLE) * sxx - sx * sx)
+                           AS DECIMAL(18,9)) AS DOUBLE)
+                      ELSE 0.0 END AS theta,
+                 CASE WHEN n > 0
+                      THEN CAST(CAST(sx / CAST(n AS DOUBLE)
+                           AS DECIMAL(18,9)) AS DOUBLE)
+                      ELSE 0.0 END AS xbar
+          FROM g),
+        pv AS (
+          SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS vy,
+                 CAST(SUM(CAST(CAST(y AS DECIMAL(19,6))
+                      * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+                      AS DOUBLE) AS vyy,
+                 CAST(SUM(CAST(CAST(y AS DOUBLE)
+                      - theta * (CAST(x AS DOUBLE) - xbar)
+                      AS DECIMAL(28,12))) AS DOUBLE) AS va,
+                 CAST(SUM(CAST((CAST(y AS DOUBLE)
+                      - theta * (CAST(x AS DOUBLE) - xbar))
+                      * (CAST(y AS DOUBLE)
+                      - theta * (CAST(x AS DOUBLE) - xbar))
+                      AS DECIMAL(28,12))) AS DOUBLE) AS vaa
+          FROM base CROSS JOIN th GROUP BY variant)
+        SELECT variant, n,
+               round(vy / CAST(n AS DOUBLE), 6) AS mean_raw,
+               round(va / CAST(n AS DOUBLE), 6) AS mean_adj,
+               round(CASE WHEN n > 1
+                     THEN (vyy - vy * vy / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0) END, 6)
+                 AS var_raw,
+               round(CASE WHEN n > 1
+                     THEN (vaa - va * va / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0) END, 6)
+                 AS var_adj,
+               round(CASE WHEN n > 1
+                     AND (vyy - vy * vy / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1.0) > 0
+                     THEN 1.0 - ((vaa - va * va / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0))
+                          / ((vyy - vy * vy / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0)) END, 6)
+                 AS var_reduction
+        FROM pv
+    """
+
+    # k-sample log-rank: full covariance, Cramer quadratic form.
+    _lrk_ct = (
+        "CASE WHEN (n1 + n2 + n3) > 1 THEN CAST(d1 + d2 + d3 AS DOUBLE)"
+        " * CAST((n1 + n2 + n3) - (d1 + d2 + d3) AS DOUBLE)"
+        " / CAST((n1 + n2 + n3) - 1 AS DOUBLE) ELSE 0.0 END"
+    )
+    _lrk_p = lambda i: (  # noqa: E731
+        f"CAST(n{i} AS DOUBLE) / CAST(n1 + n2 + n3 AS DOUBLE)"
+    )
+    _lrk_z = lambda i: (  # noqa: E731
+        f"CAST(SUM(CAST(CAST(d{i} AS DOUBLE)"
+        f" - CAST(d1 + d2 + d3 AS DOUBLE) * CAST(n{i} AS DOUBLE)"
+        f" / CAST(n1 + n2 + n3 AS DOUBLE)"
+        f" AS DECIMAL(28,12))) AS DOUBLE) AS z{i}"
+    )
+    _lrk_v = lambda i, j, delta: (  # noqa: E731
+        f"CAST(SUM(CAST({_lrk_ct} * ({delta} * {_lrk_p(i)}"
+        f" - {_lrk_p(i)} * {_lrk_p(j)})"
+        f" AS DECIMAL(28,12))) AS DOUBLE) AS v{i}{j}"
+    )
+    _lrk_e = lambda i: (  # noqa: E731
+        f"CAST(SUM(CAST(CAST(d1 + d2 + d3 AS DOUBLE)"
+        f" * CAST(n{i} AS DOUBLE) / CAST(n1 + n2 + n3 AS DOUBLE)"
+        f" AS DECIMAL(28,12))) AS DOUBLE) AS e{i}"
+    )
+    _lrk_ok = "(v11 * v22 - v12 * v12) > 0 AND v11 > 0 AND v22 > 0"
+    sql["log_rank_k"] = f"""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        subj AS (
+          SELECT CAST(CASE WHEN nxt IS NOT NULL
+                      THEN date_diff('day', o_orderdate, nxt)
+                      ELSE date_diff('day', o_orderdate, h.h) END
+                      AS BIGINT) AS t,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e,
+                 CASE c_mktsegment WHEN 'BUILDING' THEN 1
+                      WHEN 'AUTOMOBILE' THEN 2
+                      WHEN 'MACHINERY' THEN 3 END AS g
+          FROM ranked CROSS JOIN h
+          JOIN customer ON o_custkey = c_custkey
+          WHERE rk = 1 AND c_mktsegment IN
+                ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+        per_tg AS (
+          SELECT t, g, CAST(SUM(e) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS subj
+          FROM subj GROUP BY 1, 2),
+        grid AS (
+          SELECT t, g
+          FROM (SELECT DISTINCT t FROM per_tg)
+          CROSS JOIN (SELECT unnest([1, 2, 3]) AS g)),
+        fullg AS (
+          SELECT grid.t, grid.g, COALESCE(d, 0) AS d,
+                 COALESCE(subj, 0) AS subj
+          FROM grid LEFT JOIN per_tg USING (t, g)),
+        risk AS (
+          SELECT *, CAST(SUM(subj) OVER (PARTITION BY g ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_risk
+          FROM fullg),
+        wide AS (
+          SELECT t,
+                 SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS d1,
+                 SUM(CASE WHEN g = 2 THEN d ELSE 0 END) AS d2,
+                 SUM(CASE WHEN g = 3 THEN d ELSE 0 END) AS d3,
+                 SUM(CASE WHEN g = 1 THEN n_risk ELSE 0 END) AS n1,
+                 SUM(CASE WHEN g = 2 THEN n_risk ELSE 0 END) AS n2,
+                 SUM(CASE WHEN g = 3 THEN n_risk ELSE 0 END) AS n3
+          FROM risk GROUP BY t),
+        terms AS (SELECT * FROM wide WHERE (d1 + d2 + d3) > 0),
+        ag AS (
+          SELECT {_lrk_z(1)}, {_lrk_z(2)},
+                 {_lrk_v(1, 1, "1.0")}, {_lrk_v(1, 2, "0.0")},
+                 {_lrk_v(2, 2, "1.0")},
+                 {_lrk_e(1)}, {_lrk_e(2)}, {_lrk_e(3)}
+          FROM terms),
+        tot AS (
+          SELECT g, CAST(SUM(subj) AS BIGINT) AS n,
+                 CAST(SUM(d) AS BIGINT) AS observed
+          FROM per_tg GROUP BY g),
+        gl AS (SELECT * FROM (VALUES ('BUILDING', 1),
+               ('AUTOMOBILE', 2), ('MACHINERY', 3)) AS v(grp, g))
+        SELECT gl.grp, COALESCE(tot.n, 0) AS n,
+               COALESCE(tot.observed, 0) AS observed,
+               round(CASE gl.g WHEN 1 THEN e1 WHEN 2 THEN e2
+                     ELSE e3 END, 6) AS expected,
+               round(CASE WHEN {_lrk_ok}
+                     THEN (z1 * (v22 * z1 - v12 * z2)
+                           + z2 * (v11 * z2 - v12 * z1))
+                          / (v11 * v22 - v12 * v12) END, 6) AS chi2,
+               CAST(2 AS INTEGER) AS dof
+        FROM gl LEFT JOIN tot USING (g) CROSS JOIN ag
     """
 
     # Multivariate Cox (p=2): the weighted Newton unrolled. Each round

@@ -655,3 +655,99 @@ def ips_policy_value(
         F.round(snips, 6).alias("snips_value"),
         F.round(logged_v, 6).alias("logged_value"),
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    variant_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout -> one row per
+    variant (variant, n, mean_raw, mean_adj, var_raw, var_adj,
+    var_reduction).
+
+    CUPED (Deng, Xu, Kohavi & Walker, WSDM 2013): regress the
+    experiment metric on a PRE-EXPERIMENT covariate and analyze the
+    residualized metric
+
+        y_adj = y − θ·(x − x̄),   θ = cov(y, x) / var(x)
+
+    (θ and x̄ pooled over all variants — the covariate predates
+    assignment, so the adjustment is unbiased for every variant mean
+    while removing the covariate-explained variance). The standard
+    online-experimentation trick for cutting required sample sizes:
+    var_reduction ≈ corr(x, y)² when the pre-period metric is the
+    covariate.
+
+    Relational shape: TWO fact aggregates total — one pooled pass for
+    the decimal-exact (n, Σx, Σy, Σxx, Σxy) sums, then θ and x̄
+    re-enter as decimal(18,9)-quantized plan literals (the cox_ph
+    channel) for one per-variant pass of decimal(28,12)-quantized
+    adjusted sums. All outputs are fixed-order doubles of exact
+    decimal sums, oracle-replayable. Null metric/covariate rows are
+    excluded from both passes.
+    """
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    yq = F.col(metric_col).cast("decimal(18,6)")
+    xq = F.col(covariate_col).cast("decimal(18,6)")
+    base = df.select(
+        F.col(variant_col).cast("string").alias("variant"),
+        yq.alias("y"),
+        xq.alias("x"),
+    ).filter(F.col("y").isNotNull() & F.col("x").isNotNull())
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    g = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    ).first()
+    n = float(g["n"])
+    sx = float(g["sx"]) if g["sx"] is not None else 0.0
+    sy = float(g["sy"]) if g["sy"] is not None else 0.0
+    sxx = float(g["sxx"]) if g["sxx"] is not None else 0.0
+    sxy = float(g["sxy"]) if g["sxy"] is not None else 0.0
+    den = n * sxx - sx * sx
+
+    q9 = Decimal("0.000000001")
+
+    def d18_9(v: float) -> float:
+        return float(
+            Decimal(repr(v)).quantize(q9, rounding=ROUND_HALF_UP)
+        )
+
+    theta = d18_9((n * sxy - sx * sy) / den) if den > 0 else 0.0
+    xbar = d18_9(sx / n) if n > 0 else 0.0
+    ya = F.col("y").cast("double") - F.lit(theta) * (
+        F.col("x").cast("double") - F.lit(xbar)
+    )
+    d2812 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    per_v = base.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("y"))).alias("vy"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("vyy"),
+        F.sum(d2812(ya)).alias("va"),
+        F.sum(d2812(ya * ya)).alias("vaa"),
+    )
+    nv = F.col("n").cast("double")
+    vy = F.col("vy").cast("double")
+    vyy = F.col("vyy").cast("double")
+    va = F.col("va").cast("double")
+    vaa = F.col("vaa").cast("double")
+    ok = F.col("n") > 1
+    var_raw = (vyy - vy * vy / nv) / (nv - 1.0)
+    var_adj = (vaa - va * va / nv) / (nv - 1.0)
+    return per_v.select(
+        "variant",
+        "n",
+        F.round(vy / nv, 6).alias("mean_raw"),
+        F.round(va / nv, 6).alias("mean_adj"),
+        F.round(F.when(ok, var_raw), 6).alias("var_raw"),
+        F.round(F.when(ok, var_adj), 6).alias("var_adj"),
+        F.round(
+            F.when(ok & (var_raw > 0), 1.0 - var_adj / var_raw), 6
+        ).alias("var_reduction"),
+    )

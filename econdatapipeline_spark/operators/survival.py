@@ -411,6 +411,212 @@ def log_rank(
     )
 
 
+def log_rank_k(
+    df: DataFrame,
+    group_col: str,
+    groups: list,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """k-sample log-rank test (Mantel-Haenszel) -> one row per group
+    (grp, n, observed, expected, chi2, dof) — chi2/dof repeated per
+    row; dof = k−1.
+
+    The k-group generalization of log_rank ("are ANY of these k
+    survival curves different?"), with the FULL covariance matrix —
+    not the Σ(O−E)²/E approximation. At each distinct event time t
+    with d_t pooled events over n_t at risk and n_gt at risk in
+    group g:
+
+        Z_g  = Σ_t [ d_gt − d_t·n_gt/n_t ]            (g = 1..k−1)
+        V_gh = Σ_t c_t·( δ_gh·n_gt/n_t − n_gt·n_ht/n_t² ),
+        c_t  = d_t·(n_t − d_t)/(n_t − 1)
+        chi2 = Z' V⁻¹ Z,  dof = k−1.
+
+    Relational shape: the log_rank discipline — one pinned (t, group)
+    collapse (ONE subject scan; group totals derive from it), the
+    times×k scaffold, per-group PARTITIONED reverse at-risk cumsums,
+    one wide per-time aggregate, then every Z/V term quantized to
+    decimal(28,12) before one order-free aggregate. The (k−1)-dim
+    solve is driver-side O(1): k = 3 uses the EXPLICIT Cramer
+    quadratic-form an SQL oracle replays operation-for-operation
+    (the cox_ph_multi discipline); k ≥ 4 uses numpy (twin-tested).
+    Singular V returns NULL chi2 (never-fabricate).
+    """
+    import math  # noqa: PLC0415 — doc symmetry with cox_ph
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    k = len(groups)
+    if k < 2 or k > 5:
+        raise ValueError(f"need 2..5 groups, got {k}")
+    if len(set(groups)) != k:
+        raise ValueError("groups must be distinct")
+    spark = df.sparkSession
+    gexpr = F.col(group_col)
+    tag = None
+    for i, gv in enumerate(groups, 1):
+        cond = gexpr == gv
+        tag = F.when(cond, F.lit(i)) if tag is None else tag.when(
+            cond, F.lit(i)
+        )
+    per_tg = (
+        df.filter(gexpr.isin(list(groups)))
+        .select(
+            F.col(duration_col).cast("long").alias("t"),
+            tag.alias("g"),
+            F.col(event_col).cast("int").alias("e"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t", "g")
+        .agg(
+            F.sum("e").cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("subj"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grid = per_tg.select("t").distinct().select(
+        "t",
+        F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])).alias(
+            "g"
+        ),
+    )
+    full = grid.join(per_tg, ["t", "g"], "left").fillna(0, ["d", "subj"])
+    w_rev = (
+        Window.partitionBy("g")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = full.withColumn("n_risk", F.sum("subj").over(w_rev))
+    wide = risk.groupBy("t").agg(
+        *[
+            F.sum(
+                F.when(F.col("g") == i, F.col("d")).otherwise(0)
+            ).alias(f"d{i}")
+            for i in range(1, k + 1)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("g") == i, F.col("n_risk")).otherwise(0)
+            ).alias(f"n{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    dt = sum(F.col(f"d{i}") for i in range(1, k + 1))
+    nt = sum(F.col(f"n{i}") for i in range(1, k + 1))
+    ntd = nt.cast("double")
+    dtd = dt.cast("double")
+    ct = F.when(
+        nt > 1,
+        dtd * (nt - dt).cast("double") / (nt - 1).cast("double"),
+    ).otherwise(0.0)
+    aggs = []
+    for i in range(1, k):
+        aggs.append(
+            F.sum(
+                (
+                    F.col(f"d{i}").cast("double")
+                    - dtd * F.col(f"n{i}").cast("double") / ntd
+                ).cast("decimal(28,12)")
+            ).alias(f"z{i}")
+        )
+    for i in range(1, k):
+        for j in range(i, k):
+            pi = F.col(f"n{i}").cast("double") / ntd
+            pj = F.col(f"n{j}").cast("double") / ntd
+            delta = 1.0 if i == j else 0.0
+            aggs.append(
+                F.sum(
+                    (ct * (F.lit(delta) * pi - pi * pj)).cast(
+                        "decimal(28,12)"
+                    )
+                ).alias(f"v{i}{j}")
+            )
+    terms = wide.filter(dt > 0)
+    row = terms.agg(*aggs).first()
+    z = [
+        float(row[f"z{i}"]) if row[f"z{i}"] is not None else 0.0
+        for i in range(1, k)
+    ]
+    m = k - 1
+    vmat = [[0.0] * m for _ in range(m)]
+    for i in range(1, k):
+        for j in range(i, k):
+            v = (
+                float(row[f"v{i}{j}"])
+                if row[f"v{i}{j}"] is not None
+                else 0.0
+            )
+            vmat[i - 1][j - 1] = v
+            vmat[j - 1][i - 1] = v
+    chi2 = None
+    if m == 1:
+        v11 = vmat[0][0]
+        if v11 > 0:
+            chi2 = z[0] * z[0] / v11
+    elif m == 2:
+        v11, v12, v22 = vmat[0][0], vmat[0][1], vmat[1][1]
+        det = v11 * v22 - v12 * v12
+        if det > 0 and v11 > 0 and v22 > 0:
+            chi2 = (
+                z[0] * (v22 * z[0] - v12 * z[1])
+                + z[1] * (v11 * z[1] - v12 * z[0])
+            ) / det
+    else:
+        import numpy as np  # noqa: PLC0415
+
+        a = np.array(vmat, dtype=np.float64)
+        try:
+            sol = np.linalg.solve(a, np.array(z))
+            chi2 = float(np.dot(np.array(z), sol))
+        except np.linalg.LinAlgError:
+            chi2 = None
+    totals = per_tg.groupBy("g").agg(
+        F.sum("subj").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("observed"),
+    )
+    # expected per group: E_g = Σ_t d_t·n_gt/n_t — from the same wide
+    # relation, all k groups this time
+    eaggs = [
+        F.sum(
+            (dtd * F.col(f"n{i}").cast("double") / ntd).cast(
+                "decimal(28,12)"
+            )
+        ).alias(f"e{i}")
+        for i in range(1, k + 1)
+    ]
+    erow = terms.agg(*eaggs).first()
+
+    def r6(v):
+        if v is None:
+            return None
+        return float(
+            Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    tot_by = {r["g"]: r for r in totals.collect()}
+    rows = []
+    for i, gv in enumerate(groups, 1):
+        tr = tot_by.get(i)
+        ev = float(erow[f"e{i}"]) if erow[f"e{i}"] is not None else 0.0
+        rows.append(
+            (
+                str(gv),
+                int(tr["n"]) if tr else 0,
+                int(tr["observed"]) if tr else 0,
+                r6(ev),
+                r6(chi2),
+                k - 1,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "grp string, n long, observed long, expected double,"
+        " chi2 double, dof int",
+    )
+
+
 def cox_ph(
     df: DataFrame,
     duration_col: str = "duration",

@@ -363,6 +363,145 @@ def test_granger_lags_validation_and_short_series(spark):
 
 
 # ---------------------------------------------------------------------------
+# CUPED
+# ---------------------------------------------------------------------------
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    """CUPED readout equals the numpy replay (pooled theta = cov/var,
+    residualized means/variances per variant) and actually removes
+    covariate-explained variance on correlated synthetic data."""
+    import numpy as np
+
+    from econdatapipeline_spark.operators.evaluation import cuped_adjust
+
+    rows = []
+    for i in range(400):
+        v = "treat" if i % 2 == 0 else "ctrl"
+        x = (i * 37 % 100) / 10.0
+        y = 2.0 * x + (0.5 if v == "treat" else 0.0) + ((i * 13) % 7) / 7.0
+        rows.append((v, round(y, 6), round(x, 6)))
+    df = spark.createDataFrame(rows, "variant string, y double, x double")
+    got = {
+        r["variant"]: r
+        for r in cuped_adjust(df, "y", "x", "variant").collect()
+    }
+    d = np.array([(y, x) for _, y, x in rows])
+    y, x = d[:, 0], d[:, 1]
+    theta = np.cov(y, x, ddof=0)[0][1] / np.var(x)
+    ya = y - theta * (x - x.mean())
+    for v in ("treat", "ctrl"):
+        mask = np.array([r[0] == v for r in rows])
+        assert got[v]["mean_raw"] == pytest.approx(y[mask].mean(), abs=1e-5)
+        assert got[v]["mean_adj"] == pytest.approx(ya[mask].mean(), abs=1e-5)
+        assert got[v]["var_raw"] == pytest.approx(
+            y[mask].var(ddof=1), abs=1e-4
+        )
+        assert got[v]["var_adj"] == pytest.approx(
+            ya[mask].var(ddof=1), abs=1e-4
+        )
+        assert got[v]["var_reduction"] > 0.9  # x explains most variance
+    # the treatment contrast survives adjustment
+    raw_lift = got["treat"]["mean_raw"] - got["ctrl"]["mean_raw"]
+    adj_lift = got["treat"]["mean_adj"] - got["ctrl"]["mean_adj"]
+    assert adj_lift == pytest.approx(raw_lift, abs=0.2)
+
+
+# ---------------------------------------------------------------------------
+# k-sample log-rank
+# ---------------------------------------------------------------------------
+
+def _surv_rows(k=3, n_per=120):
+    rows = []
+    for g in range(k):
+        for i in range(n_per):
+            base = 5 + (i * 31 % 60)
+            dur = max(1, int(base * (1.0 + 0.35 * g)))
+            event = 1 if (i % 4) != 0 else 0
+            rows.append((f"g{g}", dur, event))
+    return rows
+
+
+def test_log_rank_k_two_sample_equals_log_rank(spark):
+    """With k=2 the full-covariance statistic reduces exactly to the
+    two-sample log_rank chi2 (V11 = Σ c_t·p_A·p_B, Z1 = Σ(d_A − e_A))."""
+    from econdatapipeline_spark.operators.survival import (
+        log_rank,
+        log_rank_k,
+    )
+
+    rows = _surv_rows(k=2)
+    df = spark.createDataFrame(rows, "grp string, duration long, event int")
+    two = log_rank(df, "grp", "g0", "g1").collect()[0]
+    kk = log_rank_k(df, "grp", ["g0", "g1"]).collect()
+    assert kk[0]["chi2"] == pytest.approx(two["chi2"], abs=2e-6)
+    by = {r["grp"]: r for r in kk}
+    assert by["g0"]["n"] == two["n_a"] and by["g1"]["n"] == two["n_b"]
+    assert by["g0"]["observed"] == two["observed_a"]
+    assert by["g0"]["expected"] == pytest.approx(
+        two["expected_a"], abs=2e-6
+    )
+    assert kk[0]["dof"] == 1
+
+
+def test_log_rank_k_three_sample_matches_python_reference(spark):
+    """k=3 chi2 equals a pure-python full-covariance Mantel-Haenszel
+    replay (the lifelines multivariate_logrank_test formula)."""
+    from econdatapipeline_spark.operators.survival import log_rank_k
+
+    rows = _surv_rows(k=3)
+    df = spark.createDataFrame(rows, "grp string, duration long, event int")
+    out = log_rank_k(df, "grp", ["g0", "g1", "g2"]).collect()
+
+    # python reference
+    import numpy as np
+
+    groups = ["g0", "g1", "g2"]
+    data = [(groups.index(g), d, e) for g, d, e in rows]
+    times = sorted({d for _, d, e in data if e == 1})
+    z = np.zeros(2)
+    vm = np.zeros((2, 2))
+    exp = np.zeros(3)
+    for t in times:
+        at_risk = [r for r in data if r[1] >= t]
+        dead = [r for r in data if r[1] == t and r[2] == 1]
+        n_t = len(at_risk)
+        d_t = len(dead)
+        if d_t == 0:
+            continue
+        ng = np.array(
+            [sum(1 for r in at_risk if r[0] == g) for g in range(3)],
+            dtype=float,
+        )
+        dg = np.array(
+            [sum(1 for r in dead if r[0] == g) for g in range(3)],
+            dtype=float,
+        )
+        p = ng / n_t
+        exp += d_t * p
+        z += dg[:2] - d_t * p[:2]
+        c = d_t * (n_t - d_t) / (n_t - 1) if n_t > 1 else 0.0
+        for i in range(2):
+            for j in range(2):
+                delta = 1.0 if i == j else 0.0
+                vm[i][j] += c * (delta * p[i] - p[i] * p[j])
+    chi2_ref = float(z @ np.linalg.solve(vm, z))
+    assert out[0]["chi2"] == pytest.approx(chi2_ref, abs=2e-5)
+    by = {r["grp"]: r for r in out}
+    for g in range(3):
+        assert by[f"g{g}"]["expected"] == pytest.approx(
+            exp[g], abs=2e-5
+        )
+        assert by[f"g{g}"]["observed"] == sum(
+            1 for gg, d, e in rows if gg == f"g{g}" and e == 1
+        )
+    assert out[0]["dof"] == 2
+    with pytest.raises(ValueError):
+        log_rank_k(df, "grp", ["g0"])
+    with pytest.raises(ValueError):
+        log_rank_k(df, "grp", ["g0", "g0"])
+
+
+# ---------------------------------------------------------------------------
 # editdist double blocking
 # ---------------------------------------------------------------------------
 
