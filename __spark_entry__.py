@@ -5087,6 +5087,45 @@ def q_granger_lags2(spark, sf_dir):
     ).orderBy("dataset")
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test on monthly revenue per
+    priority (operators/timeseries.mann_kendall): S = pairwise sign
+    sum over the calendar-bounded series (the theil_sen posture),
+    tie-corrected variance, continuity-corrected z — every count an
+    exact integer, floats only in the final ratio/sqrt (no
+    quantization channel at all)."""
+    from econdatapipeline_spark.operators.timeseries import mann_kendall
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(_dsum(F.col("o_totalprice")).alias("value"))
+    return mann_kendall(monthly, "value", "date", "dataset").orderBy(
+        "dataset"
+    )
+
+
+def q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch gate over the order-priority 'assignment'
+    (operators/evaluation.srm_check): chi-square goodness-of-fit of
+    observed counts vs a declared uniform 5-way split — ONE hash
+    aggregate, per-variant terms decimal(28,12)-quantized before the
+    order-free sum. The experiment-health check that must pass before
+    any CUPED readout is trusted."""
+    from econdatapipeline_spark.operators.evaluation import srm_check
+
+    o = _t(spark, sf_dir, "orders")
+    weights = {
+        "1-URGENT": 1,
+        "2-HIGH": 1,
+        "3-MEDIUM": 1,
+        "4-NOT SPECIFIED": 1,
+        "5-LOW": 1,
+    }
+    return srm_check(o, "o_orderpriority", weights).orderBy("variant")
+
+
 def q_markov_transitions(spark, sf_dir):
     """Event-type transition matrix per user journey
     (operators/markov.markov_transitions): consecutive event pairs via
@@ -5343,6 +5382,38 @@ def q_cox_ph(spark, sf_dir):
         )
     )
     return cox_ph(subjects, "duration", "event", "x", rounds=4)
+
+
+def q_weibull_fit(spark, sf_dir):
+    """Parametric Weibull fit of the repeat-purchase time-to-event
+    (operators/survival.weibull_fit): censored-MLE profile fixed point
+    — 10 bounded rounds, each ONE subject-table aggregate with the
+    shape k as a decimal(18,9) plan literal and t^k written as
+    exp(k·ln t) (pow() is not cross-engine portable; exp/ln is the
+    documented channel). Completes the survival triad: KM
+    (nonparametric) / Cox (semi-parametric) / Weibull (parametric)."""
+    from econdatapipeline_spark.operators.survival import weibull_fit
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    ranked = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rk"),
+        F.lead("o_orderdate").over(w).alias("nxt"),
+    ).filter(F.col("rk") == 1)
+    subjects = ranked.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("nxt").isNotNull(), F.datediff("nxt", "o_orderdate")
+        )
+        .otherwise(F.datediff("h", "o_orderdate"))
+        .cast("long")
+        .alias("duration"),
+        F.col("nxt").isNotNull().cast("int").alias("event"),
+    )
+    return weibull_fit(subjects, "duration", "event", rounds=10)
 
 
 def q_log_rank_k(spark, sf_dir):
@@ -5957,6 +6028,9 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "kmeans_seedplus": q_kmeans_seedplus,
         "cuped_adjust": q_cuped_adjust,
         "log_rank_k": q_log_rank_k,
+        "mann_kendall": q_mann_kendall,
+        "srm_check": q_srm_check,
+        "weibull_fit": q_weibull_fit,
         "kmeans_lloyd": q_kmeans_lloyd,
         "dp_group_counts": q_dp_group_counts,
         "rmst": q_rmst,
@@ -13411,6 +13485,139 @@ def oracle_sql() -> dict[str, str]:
                           / (CAST(n AS DOUBLE) - 1.0)) END, 6)
                  AS var_reduction
         FROM pv
+    """
+
+    # Mann-Kendall: exact-integer S and tie terms, floats only in the
+    # final ratio/sqrt.
+    sql["mann_kendall"] = """
+        WITH monthly AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS value
+          FROM orders GROUP BY 1, 2),
+        base AS (
+          SELECT dataset AS g, CAST(value AS DECIMAL(18,6)) AS v,
+                 ROW_NUMBER() OVER (PARTITION BY dataset
+                                    ORDER BY date) AS pos
+          FROM monthly),
+        s AS (
+          SELECT a.g,
+                 CAST(SUM(CAST(sign(CAST(b.v - a.v AS DOUBLE))
+                      AS BIGINT)) AS BIGINT) AS s_stat
+          FROM base a JOIN base b
+            ON a.g = b.g AND b.pos > a.pos
+          GROUP BY 1),
+        ties AS (
+          SELECT g,
+                 CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                   AS tie_term,
+                 CAST(SUM(t) AS BIGINT) AS n
+          FROM (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t
+                FROM base GROUP BY 1, 2)
+          GROUP BY g),
+        j AS (
+          SELECT ties.g, n, COALESCE(s_stat, 0) AS s_stat,
+                 CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                   / 18.0 AS vs
+          FROM ties LEFT JOIN s ON ties.g = s.g)
+        SELECT g AS dataset, n, s_stat,
+               round(vs, 6) AS var_s,
+               round(CASE WHEN vs > 0 THEN
+                     CASE WHEN s_stat > 0
+                          THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(vs)
+                          WHEN s_stat < 0
+                          THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(vs)
+                          ELSE 0.0 END END, 6) AS z
+        FROM j
+    """
+
+    # SRM: one count aggregate, terms decimal-quantized before the
+    # order-free chi2 sum; the uniform 0.2 share literal is the exact
+    # double Python computes as 1.0/5.0.
+    sql["srm_check"] = """
+        WITH c AS (
+          SELECT o_orderpriority AS variant,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+        terms AS (
+          SELECT variant, o, CAST(n AS DOUBLE) * 0.2 AS e
+          FROM c CROSS JOIN tot),
+        ag AS (
+          SELECT CAST(SUM(CAST((CAST(o AS DOUBLE) - e)
+                 * (CAST(o AS DOUBLE) - e) / e
+                 AS DECIMAL(28,12))) AS DOUBLE) AS chi2
+          FROM terms)
+        SELECT variant, o AS n_observed,
+               round(e, 6) AS n_expected,
+               round(chi2, 6) AS chi2,
+               CAST(4 AS INTEGER) AS dof
+        FROM terms CROSS JOIN ag
+    """
+
+    # Weibull MLE: the profile fixed point unrolled — t^k as
+    # exp(k*ln t), per-term decimal(28,12) sums, k requantized
+    # decimal(18,9) per round, one extra sum at the final k.
+    _wb_sums = (
+        "SELECT CAST(SUM(CAST(exp(k * ln(t)) AS DECIMAL(28,12)))"
+        " AS DOUBLE) AS stk,"
+        " CAST(SUM(CAST(exp(k * ln(t)) * ln(t) AS DECIMAL(28,12)))"
+        " AS DOUBLE) AS stkl"
+        " FROM wsubj CROSS JOIN wk{prev}"
+    )
+    _wb_rounds = []
+    for i in range(1, 11):
+        _wb_rounds.append(f"""
+        ww{i} AS ({_wb_sums.format(prev=i - 1)}),
+        wk{i} AS (
+          SELECT CAST(CAST(1.0 / (stkl / stk
+                 - (CAST(slne AS DOUBLE) / CAST(d AS DOUBLE)))
+                 AS DECIMAL(18,9)) AS DOUBLE) AS k
+          FROM ww{i} CROSS JOIN wbase),""")
+    _wb_cte = "".join(_wb_rounds)
+    sql["weibull_fit"] = f"""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        wsubj AS (
+          SELECT CAST(CAST(CASE WHEN nxt IS NOT NULL
+                      THEN date_diff('day', o_orderdate, nxt)
+                      ELSE date_diff('day', o_orderdate, h.h) END
+                      AS BIGINT) AS DOUBLE) AS t,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e
+          FROM ranked CROSS JOIN h
+          WHERE rk = 1
+            AND CAST(CASE WHEN nxt IS NOT NULL
+                     THEN date_diff('day', o_orderdate, nxt)
+                     ELSE date_diff('day', o_orderdate, h.h) END
+                     AS BIGINT) > 0),
+        wbase AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(e) AS BIGINT) AS d,
+                 SUM(CAST(CASE WHEN e = 1 THEN ln(t) ELSE 0.0 END
+                     AS DECIMAL(28,12))) AS slne
+          FROM wsubj),
+        wk0 AS (SELECT CAST(1.0 AS DOUBLE) AS k),{_wb_cte}
+        wwf AS ({_wb_sums.format(prev=10)}),
+        wl AS (
+          SELECT k, stk,
+                 exp(ln(stk / CAST(d AS DOUBLE)) / k) AS lam
+          FROM wwf CROSS JOIN wk10 CROSS JOIN wbase)
+        SELECT n, d AS n_events,
+               round(CASE WHEN stk > 0 AND k > 0 THEN k END, 6)
+                 AS shape_k,
+               round(CASE WHEN stk > 0 AND k > 0 THEN lam END, 6)
+                 AS scale_lambda,
+               round(CASE WHEN stk > 0 AND k > 0
+                     THEN lam * exp(ln(ln(2.0)) / k) END, 6)
+                 AS median_t
+        FROM wl CROSS JOIN wbase
     """
 
     # k-sample log-rank: full covariance, Cramer quadratic form.

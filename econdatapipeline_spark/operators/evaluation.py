@@ -751,3 +751,86 @@ def cuped_adjust(
             F.when(ok & (var_raw > 0), 1.0 - var_adj / var_raw), 6
         ).alias("var_reduction"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col: str,
+    expected_weights: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch check -> one row per declared variant
+    (variant, n_observed, n_expected, chi2, dof) — chi2/dof repeated
+    per row; dof = k−1.
+
+    THE first experiment-health gate (run before any readout, CUPED
+    included): a chi-square goodness-of-fit of observed assignment
+    counts against the DECLARED split
+
+        chi2 = Σ_v (o_v − e_v)² / e_v,   e_v = n·w_v / Σw.
+
+    A significant SRM means the assignment or logging pipeline is
+    broken and every downstream metric is untrustworthy (Fabijan et
+    al. 2019). Rows with variants outside the declared set are counted
+    and FAIL the check loudly (a raise) — an undeclared bucket is
+    itself an SRM.
+
+    Relational shape: ONE fact-sized hash aggregate to the k-row
+    variant relation; weights are plan literals; per-variant terms are
+    exact doubles of integer counts and double literals — fixed-order,
+    oracle-replayable with no quantization.
+    """
+    if not expected_weights or len(expected_weights) < 2:
+        raise ValueError("need >= 2 declared variants")
+    if any(w <= 0 for w in expected_weights.values()):
+        raise ValueError("expected weights must be > 0")
+    spark = df.sparkSession
+    k = len(expected_weights)
+    counts = {
+        r["v"]: r["c"]
+        for r in df.groupBy(
+            F.col(variant_col).cast("string").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    }
+    declared = {str(v) for v in expected_weights}
+    undeclared = {v: c for v, c in counts.items() if v not in declared}
+    if undeclared:
+        raise ValueError(
+            f"srm_check: undeclared variants observed: {undeclared}"
+        )
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    n = sum(counts.get(str(v), 0) for v in expected_weights)
+    wsum = float(sum(expected_weights.values()))
+    rows = []
+    per = []
+    q12 = Decimal("0.000000000001")
+    # per-variant terms quantized to decimal(28,12) before the sum —
+    # order-free, so the oracle's SUM() needs no term ordering
+    chi2_d = Decimal(0)
+    for v, wt in expected_weights.items():
+        o = counts.get(str(v), 0)
+        e = float(n) * (float(wt) / wsum)
+        per.append((str(v), o, e))
+        if e > 0:
+            term = (float(o) - e) * (float(o) - e) / e
+            chi2_d += Decimal(repr(term)).quantize(
+                q12, rounding=ROUND_HALF_UP
+            )
+    chi2 = float(chi2_d)
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    for v, o, e in per:
+        rows.append((v, o, r6(e), r6(chi2), k - 1))
+    return spark.createDataFrame(
+        rows,
+        "variant string, n_observed long, n_expected double,"
+        " chi2 double, dof int",
+    )

@@ -1103,6 +1103,126 @@ def cox_ph_multi(
     )
 
 
+def weibull_fit(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    rounds: int = 10,
+) -> DataFrame:
+    """Parametric Weibull survival fit (right-censored MLE) -> one row
+    (n, n_events, shape_k, scale_lambda, median_t).
+
+    Completes the survival triad: kaplan_meier is the nonparametric
+    curve, cox_ph/cox_ph_multi the semi-parametric effect estimate,
+    Weibull the PARAMETRIC model a forecaster extrapolates with —
+    S(t) = exp(−(t/λ)^k), hazard monotone in k (k < 1 infant
+    mortality, k > 1 wear-out). The MLE profile fixed-point
+    (Cohen 1965): with censoring, each round m evaluates
+
+        k_{m+1} = 1 / ( Σ_all t^k ln t / Σ_all t^k − (1/d)·Σ_ev ln t )
+
+    and after the final round λ = (Σ_all t^k / d)^(1/k), median =
+    λ·ln(2)^(1/k). Each of the bounded ``rounds`` is ONE hash
+    aggregate over the subject table with k as a decimal(18,9)
+    plan literal; Σ_ev ln t and d are computed once. Engine parity:
+    t^k = exp(k·ln t) written EXPLICITLY (pow() differs by >1 ulp
+    between engines for fractional exponents; exp/ln is the
+    documented ln-class channel), per-term products quantized to
+    decimal(28,12) before order-free sums, k re-quantized
+    decimal(18,9) per round, outputs rounded 6. Zero/negative
+    durations are excluded (ln domain); returns NULL estimates when
+    no events or a degenerate denominator (never-fabricate).
+    """
+    import math  # noqa: PLC0415
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = df.sparkSession
+    subj = df.select(
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+    ).filter(
+        F.col("t").isNotNull() & (F.col("t") > 0)
+    ).localCheckpoint(eager=True)
+    base = subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("e").cast("long").alias("d"),
+        F.sum(
+            F.when(F.col("e") == 1, F.log(F.col("t")))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(28,12)")
+        ).alias("slne"),
+    ).first()
+    n, d = base["n"], base["d"]
+    slne = float(base["slne"]) if base["slne"] is not None else 0.0
+
+    q9 = Decimal("0.000000001")
+
+    def d18_9(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(q9, rounding=ROUND_HALF_UP))
+
+    def r6(v: float) -> float:
+        return float(
+            Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    if not d or d <= 0:
+        return spark.createDataFrame(
+            [(n, d or 0, None, None, None)],
+            "n long, n_events long, shape_k double,"
+            " scale_lambda double, median_t double",
+        )
+    mean_lne = slne / float(d)
+
+    def sums_at(kq: float):
+        tk_expr = F.exp(F.lit(kq) * F.log(F.col("t")))
+        row = subj.agg(
+            F.sum(tk_expr.cast("decimal(28,12)")).alias("stk"),
+            F.sum(
+                (tk_expr * F.log(F.col("t"))).cast("decimal(28,12)")
+            ).alias("stkl"),
+        ).first()
+        return (
+            float(row["stk"]) if row["stk"] is not None else 0.0,
+            float(row["stkl"]) if row["stkl"] is not None else 0.0,
+        )
+
+    k = 1.0
+    degenerate = False
+    for _ in range(rounds):
+        stk, stkl = sums_at(d18_9(k))
+        if stk <= 0:
+            degenerate = True
+            break
+        den = stkl / stk - mean_lne
+        if den <= 0:
+            degenerate = True
+            break
+        k = 1.0 / den
+    if degenerate or k <= 0:
+        rows = [(n, d, None, None, None)]
+    else:
+        # one more aggregate AT the final k: lambda's sum must be
+        # evaluated at the shape estimate the fit settled on, not the
+        # previous round's literal
+        kf = d18_9(k)
+        stk_f, _ = sums_at(kf)
+        if stk_f <= 0:
+            rows = [(n, d, None, None, None)]
+        else:
+            lam = math.exp(math.log(stk_f / float(d)) / kf)
+            med = lam * math.exp(math.log(math.log(2.0)) / kf)
+            rows = [(n, d, r6(kf), r6(lam), r6(med))]
+    return spark.createDataFrame(
+        rows,
+        "n long, n_events long, shape_k double, scale_lambda double,"
+        " median_t double",
+    )
+
+
 def rmst(
     df: DataFrame,
     tau: float,

@@ -559,6 +559,91 @@ def ljung_box(
     )
 
 
+def mann_kendall(
+    df: DataFrame,
+    value_col: str = "value",
+    order_col: str = "date",
+    group_col: str = "dataset",
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per series -> one row per
+    group (group, n, s_stat, var_s, z).
+
+    The NONPARAMETRIC companion to theil_sen's robust slope (Mann
+    1945, Kendall 1975): S = Σ_{i<j} sgn(x_j − x_i) over time order,
+    with the tie-corrected variance
+
+        Var(S) = [ n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5) ] / 18
+
+    and the continuity-corrected z = (S∓1)/sqrt(Var). The standard
+    trend screen for economic series where outliers poison OLS t-tests
+    and theil_sen gives the magnitude but not the significance.
+
+    Determinism: S and both variance terms are EXACT INTEGERS (signs
+    of exact decimal differences, tie counts); the only floats are one
+    division and one sqrt — no quantization needed anywhere (the
+    kendall_tau discipline). Scale: the pair join is calendar-bounded
+    (series-sized by contract, the theil_sen posture — a 50-year
+    monthly series is 179,700 pairs, never fact-count-sized); ties and
+    n are one hash aggregate each off the same pinned base.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("decimal(18,6)").alias("v"),
+        F.row_number().over(w).alias("pos"),
+    ).localCheckpoint(eager=True)
+    a, b = base.alias("a"), base.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("b.pos") > F.col("a.pos")),
+        )
+        .select(
+            F.col("a.g").alias("g"),
+            F.signum(
+                (F.col("b.v") - F.col("a.v")).cast("double")
+            ).cast("long").alias("sgn"),
+        )
+        .groupBy("g")
+        .agg(F.sum("sgn").cast("long").alias("s_stat"))
+    )
+    ties = (
+        base.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_distinct"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tie_term"),
+            F.sum("t").cast("long").alias("n"),
+        )
+    )
+    j = ties.join(s, "g", "left").fillna(0, ["s_stat"])
+    nn = F.col("n")
+    var_s = (
+        (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")).cast("double")
+        / 18.0
+    )
+    sd = F.col("s_stat").cast("double")
+    z = F.when(
+        var_s > 0,
+        F.when(F.col("s_stat") > 0, (sd - 1.0) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (sd + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    return j.select(
+        F.col("g").alias(group_col),
+        "n",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )
+
+
 def theil_sen(
     df: DataFrame,
     value_col: str = "value",

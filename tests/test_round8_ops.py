@@ -502,6 +502,155 @@ def test_log_rank_k_three_sample_matches_python_reference(spark):
 
 
 # ---------------------------------------------------------------------------
+# Weibull fit
+# ---------------------------------------------------------------------------
+
+def test_weibull_fit_recovers_parameters_and_matches_replay(spark):
+    """Censored MLE recovers (k, lambda) on deterministic
+    Weibull(1.8, 50) data within a few percent, and equals a pure
+    numpy replay of the same profile fixed point to ~1e-5."""
+    import math
+
+    import numpy as np
+
+    from econdatapipeline_spark.operators.survival import weibull_fit
+
+    rows = []
+    for i in range(500):
+        u = ((i * 2654435761 + 12345) % 999983 + 1) / 999984.0
+        t = 50.0 * (-math.log(u)) ** (1 / 1.8)
+        rows.append((60.0, 0) if t > 60 else (round(t, 6), 1))
+    df = spark.createDataFrame(rows, "duration double, event int")
+    out = weibull_fit(df, rounds=10).collect()[0]
+    t = np.array([r[0] for r in rows])
+    e = np.array([r[1] for r in rows])
+    d = e.sum()
+    mean_lne = np.log(t)[e == 1].sum() / d
+    k = 1.0
+    for _ in range(10):
+        tk = t ** k
+        k = 1.0 / ((tk * np.log(t)).sum() / tk.sum() - mean_lne)
+    lam = (sum(t ** k) / d) ** (1 / k)
+    assert out["shape_k"] == pytest.approx(k, abs=2e-5)
+    assert out["scale_lambda"] == pytest.approx(lam, abs=2e-4)
+    assert out["median_t"] == pytest.approx(
+        lam * math.log(2) ** (1 / k), abs=2e-4
+    )
+    assert abs(out["shape_k"] - 1.8) < 0.15  # parameter recovery
+    assert abs(out["scale_lambda"] - 50.0) < 3.0
+    assert out["n"] == 500 and out["n_events"] == int(d)
+
+
+def test_weibull_fit_degenerate_never_fabricates(spark):
+    """All-censored input (no events) and all-equal durations yield
+    NULL estimates, not fabricated parameters."""
+    from econdatapipeline_spark.operators.survival import weibull_fit
+
+    no_events = spark.createDataFrame(
+        [(float(i + 1), 0) for i in range(20)], "duration double, event int"
+    )
+    r = weibull_fit(no_events).collect()[0]
+    assert r["shape_k"] is None and r["scale_lambda"] is None
+    constant = spark.createDataFrame(
+        [(5.0, 1)] * 20, "duration double, event int"
+    )
+    r2 = weibull_fit(constant).collect()[0]
+    assert r2["shape_k"] is None  # zero log-spread -> degenerate den
+    with pytest.raises(ValueError):
+        weibull_fit(constant, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall
+# ---------------------------------------------------------------------------
+
+def test_mann_kendall_matches_python_reference(spark):
+    """S, tie-corrected variance, and continuity-corrected z equal a
+    pure-python replay on a tied, trending series; a flat series gets
+    z = 0; an anti-trend gets negative z."""
+    from econdatapipeline_spark.operators.timeseries import mann_kendall
+
+    rows = []
+    series = {
+        "up": [1.0, 2.0, 2.0, 3.0, 5.0, 4.0, 6.0, 7.0, 7.0, 9.0],
+        "down": [9.0, 8.0, 8.0, 6.0, 5.0, 5.0, 4.0, 2.0, 2.0, 1.0],
+        "flat": [3.0] * 10,
+    }
+    for g, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append((g, i, v))
+    df = spark.createDataFrame(rows, "dataset string, date int, value double")
+    got = {
+        r["dataset"]: r
+        for r in mann_kendall(df, "value", "date", "dataset").collect()
+    }
+    import math
+
+    for g, vals in series.items():
+        n = len(vals)
+        s = sum(
+            (0 if vals[j] == vals[i] else (1 if vals[j] > vals[i] else -1))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(vals).values()
+        )
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        if var > 0:
+            z = (
+                (s - 1) / math.sqrt(var)
+                if s > 0
+                else ((s + 1) / math.sqrt(var) if s < 0 else 0.0)
+            )
+        else:
+            z = None
+        r = got[g]
+        assert r["s_stat"] == s and r["n"] == n
+        assert r["var_s"] == pytest.approx(var, abs=1e-6)
+        if z is None:
+            assert r["z"] is None
+        else:
+            assert r["z"] == pytest.approx(z, abs=1e-6)
+    assert got["up"]["z"] > 2 and got["down"]["z"] < -2
+    assert got["flat"]["z"] is None  # zero variance -> no statistic
+
+
+# ---------------------------------------------------------------------------
+# SRM check
+# ---------------------------------------------------------------------------
+
+def test_srm_check_chi2_and_guards(spark):
+    """chi2 equals the manual goodness-of-fit on a deliberately
+    imbalanced assignment; undeclared variants raise; weight
+    validation raises."""
+    from econdatapipeline_spark.operators.evaluation import srm_check
+
+    rows = [("a",)] * 120 + [("b",)] * 80
+    df = spark.createDataFrame(rows, "v string")
+    out = {r["variant"]: r for r in srm_check(df, "v", {"a": 1, "b": 1}).collect()}
+    # e = 100 each; chi2 = 400/100 + 400/100 = 8
+    assert out["a"]["n_observed"] == 120 and out["b"]["n_observed"] == 80
+    assert out["a"]["n_expected"] == 100.0
+    assert out["a"]["chi2"] == pytest.approx(8.0, abs=1e-6)
+    assert out["a"]["dof"] == 1
+    # 90/10 declared split on the same data: e_a = 180, e_b = 20
+    out2 = srm_check(df, "v", {"a": 9, "b": 1}).collect()[0]
+    assert out2["chi2"] == pytest.approx(
+        (120 - 180) ** 2 / 180 + (80 - 20) ** 2 / 20, abs=1e-6
+    )
+    with pytest.raises(ValueError):
+        srm_check(df, "v", {"a": 1})
+    with pytest.raises(ValueError):
+        srm_check(df, "v", {"a": 1, "b": 0})
+    with pytest.raises(ValueError):
+        srm_check(df, "v", {"a": 1, "c": 1})  # 'b' undeclared
+
+
+# ---------------------------------------------------------------------------
 # editdist double blocking
 # ---------------------------------------------------------------------------
 
