@@ -5384,6 +5384,50 @@ def q_cox_ph(spark, sf_dir):
     return cox_ph(subjects, "duration", "event", "x", rounds=4)
 
 
+def q_cumulative_incidence(spark, sf_dir):
+    """Aalen-Johansen cumulative incidence of the repeat purchase
+    under competing risks (operators/survival.cumulative_incidence):
+    cause = whether the NEXT order is urgent (priority 1-2) vs
+    routine; CIF_j(t) = Σ S(t−)·d_j/n on the shared kaplan_meier
+    cumsum machinery — Σ_j CIF_j == 1 − S exactly (the estimator's
+    defining identity, pytest-pinned). 1 − KM per cause would
+    overstate both risks; this is the correct decomposition."""
+    from econdatapipeline_spark.operators.survival import (
+        cumulative_incidence,
+    )
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    ranked = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rk"),
+        F.lead("o_orderdate").over(w).alias("nxt"),
+        F.lead("o_orderpriority").over(w).alias("nxt_prio"),
+    ).filter(F.col("rk") == 1)
+    subjects = ranked.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("nxt").isNotNull(), F.datediff("nxt", "o_orderdate")
+        )
+        .otherwise(F.datediff("h", "o_orderdate"))
+        .cast("long")
+        .alias("duration"),
+        F.col("nxt").isNotNull().cast("int").alias("event"),
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.when(
+                F.col("nxt_prio").isin("1-URGENT", "2-HIGH"),
+                F.lit("urgent"),
+            ).otherwise(F.lit("routine")),
+        ).alias("cause"),
+    )
+    return cumulative_incidence(
+        subjects, causes=["urgent", "routine"]
+    ).orderBy("t", "cause")
+
+
 def q_weibull_fit(spark, sf_dir):
     """Parametric Weibull fit of the repeat-purchase time-to-event
     (operators/survival.weibull_fit): censored-MLE profile fixed point
@@ -6031,6 +6075,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "mann_kendall": q_mann_kendall,
         "srm_check": q_srm_check,
         "weibull_fit": q_weibull_fit,
+        "cumulative_incidence": q_cumulative_incidence,
         "kmeans_lloyd": q_kmeans_lloyd,
         "dp_group_counts": q_dp_group_counts,
         "rmst": q_rmst,
@@ -13555,6 +13600,90 @@ def oracle_sql() -> dict[str, str]:
                CAST(4 AS INTEGER) AS dof
         FROM terms CROSS JOIN ag
     """
+
+    # Aalen-Johansen CIF: the kaplan_meier chain with per-cause event
+    # counts, S(t-) from the prefix state minus self, decimal CIF
+    # increments, long-form union.
+    sql["cumulative_incidence"] = """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt,
+                 LEAD(o_orderpriority) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC)
+                   AS nxt_prio
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        subjects AS (
+          SELECT CAST(CASE WHEN nxt IS NOT NULL
+                      THEN date_diff('day', o_orderdate, nxt)
+                      ELSE date_diff('day', o_orderdate, h.h) END
+                      AS BIGINT) AS t,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e,
+                 CASE WHEN nxt IS NOT NULL THEN
+                   CASE WHEN nxt_prio IN ('1-URGENT', '2-HIGH')
+                        THEN 'urgent' ELSE 'routine' END END AS c
+          FROM ranked CROSS JOIN h WHERE rk = 1),
+        per_t AS (
+          SELECT t,
+                 CAST(SUM(e) AS BIGINT) AS n_events,
+                 CAST(SUM(1 - e) AS BIGINT) AS n_censored,
+                 CAST(SUM(CASE WHEN e = 1 AND c = 'urgent'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS dc1,
+                 CAST(SUM(CASE WHEN e = 1 AND c = 'routine'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS dc2
+          FROM subjects GROUP BY 1),
+        risk AS (
+          SELECT *, CAST(SUM(n_events + n_censored) OVER (
+                      ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_risk
+          FROM per_t),
+        terms AS (
+          SELECT *,
+                 CASE WHEN n_events < n_risk THEN
+                   CAST(ln(CAST(n_risk - n_events AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE)) AS DECIMAL(18,9))
+                 ELSE CAST(0 AS DECIMAL(18,9)) END AS term,
+                 CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS dead
+          FROM terms0),
+        curve AS (
+          SELECT *,
+                 SUM(term) OVER wa AS ln_s,
+                 CAST(SUM(dead) OVER wa AS BIGINT) AS cum_dead
+          FROM terms
+          WINDOW wa AS (ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+        incs AS (
+          SELECT *,
+                 CAST((CASE WHEN cum_dead - dead >= 1 THEN 0.0
+                       ELSE exp(CAST(ln_s - term AS DOUBLE)) END)
+                      * CAST(dc1 AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                      AS DECIMAL(28,12)) AS inc1,
+                 CAST((CASE WHEN cum_dead - dead >= 1 THEN 0.0
+                       ELSE exp(CAST(ln_s - term AS DOUBLE)) END)
+                      * CAST(dc2 AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                      AS DECIMAL(28,12)) AS inc2
+          FROM curve),
+        cif AS (
+          SELECT t, n_risk, dc1, dc2,
+                 SUM(inc1) OVER wa AS c1,
+                 SUM(inc2) OVER wa AS c2
+          FROM incs
+          WINDOW wa AS (ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW))
+        SELECT t, 'urgent' AS cause, n_risk, dc1 AS d_cause,
+               round(CAST(c1 AS DOUBLE), 6) AS cif
+        FROM cif
+        UNION ALL
+        SELECT t, 'routine' AS cause, n_risk, dc2 AS d_cause,
+               round(CAST(c2 AS DOUBLE), 6) AS cif
+        FROM cif
+    """.replace("FROM terms0", "FROM risk")
 
     # Weibull MLE: the profile fixed point unrolled — t^k as
     # exp(k*ln t), per-term decimal(28,12) sums, k requantized

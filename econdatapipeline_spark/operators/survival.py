@@ -769,18 +769,36 @@ def cox_ph(
 
 
 def _desc_cumsum_dec(per_t, cols, small_threshold=100_000):
-    """Descending-inclusive cumulative sums of DECIMAL columns over a
+    """Descending-inclusive cumulative sums of DECIMAL columns — see
+    _dir_cumsum_dec."""
+    return _dir_cumsum_dec(
+        per_t, cols, descending=True, small_threshold=small_threshold
+    )
+
+
+def _asc_cumsum_dec(per_t, cols, small_threshold=100_000):
+    """Ascending-inclusive cumulative sums of DECIMAL columns — see
+    _dir_cumsum_dec."""
+    return _dir_cumsum_dec(
+        per_t, cols, descending=False, small_threshold=small_threshold
+    )
+
+
+def _dir_cumsum_dec(per_t, cols, descending, small_threshold=100_000):
+    """Directional inclusive cumulative sums of DECIMAL columns over a
     times-sized relation -> input + ``s_<col>`` per column.
 
     The decimal sibling of _risk_forward_cumsum's at-risk derivation,
-    needed by cox_ph_multi where the cumulated quantities are weighted
-    decimal(28,12) sums (not integer counts, so the 1e9-scaled-long
-    trick would reintroduce the overflow ADVICE r7 flagged in kmeans).
+    needed where the cumulated quantities are weighted decimal(28,12)
+    sums (cox_ph_multi risk sums; cumulative_incidence CIF terms) —
+    not integer counts, so the 1e9-scaled-long trick would
+    reintroduce the overflow ADVICE r7 flagged in kmeans.
     Exactness: decimal addition is order-free; the distributed path
-    derives the descending-inclusive sum as grand_total − ascending
-    prefix + self on ONE ascending range layout, with partition
-    offsets carried driver-side as exact Python Decimals — therefore
-    BIT-IDENTICAL to the single-window small path (twin-path pytest).
+    runs ONE ascending range layout in both directions — ascending
+    reads the prefix directly, descending derives grand_total −
+    ascending prefix + self — with partition offsets carried
+    driver-side as exact Python Decimals; therefore BIT-IDENTICAL to
+    the single-window small path (twin-path pytest).
     Size gate: the kaplan_meier rule — at or below ``small_threshold``
     distinct times a plain single-partition window (daily-resolution
     curves are hundreds of rows; the two-pass overhead tripled local
@@ -790,12 +808,13 @@ def _desc_cumsum_dec(per_t, cols, small_threshold=100_000):
     per_t = per_t.localCheckpoint(eager=True)
     n_times = per_t.count()
     if n_times <= small_threshold:
-        w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        key = F.col("t").desc() if descending else F.col("t").asc()
+        w_dir = Window.orderBy(key).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         out = per_t
         for c in cols:
-            out = out.withColumn(f"s_{c}", F.sum(c).over(w_desc))
+            out = out.withColumn(f"s_{c}", F.sum(c).over(w_dir))
         return out
     n_parts = spark.sparkContext.defaultParallelism
     part = (
@@ -833,22 +852,24 @@ def _desc_cumsum_dec(per_t, cols, small_threshold=100_000):
         off_df = spark.createDataFrame(off_rows, schema)
         local = local.join(F.broadcast(off_df), "__pid", "left")
     for c in cols:
-        # desc-inclusive = grand − asc-inclusive + self. Every operand
-        # is cast to decimal(31,12) FIRST so each binary op's result
-        # type stays under precision 38 — a naive lit(Decimal) chain
-        # promotes past 38 and Spark's allowPrecisionLoss silently
-        # REDUCES THE SCALE (measured: scale 12 -> 9), breaking the
-        # bit-identity contract with the small path. |values| < 1e19
-        # is the documented domain (weighted risk sums at w <= 1e9).
+        # every operand is cast to decimal(31,12) FIRST so each binary
+        # op's result type stays under precision 38 — a naive
+        # lit(Decimal) chain promotes past 38 and Spark's
+        # allowPrecisionLoss silently REDUCES THE SCALE (measured:
+        # scale 12 -> 9), breaking the bit-identity contract with the
+        # small path. |values| < 1e19 is the documented domain
+        # (weighted risk sums at w <= 1e9).
         d31 = lambda e: e.cast("decimal(31,12)")  # noqa: E731
         asc_incl = d31(F.col(f"__asc_{c}")) + F.coalesce(
             d31(F.col(f"__off_{c}")), d31(F.lit(0))
         )
+        if descending:
+            # desc-inclusive = grand − asc-inclusive + self
+            val = d31(F.lit(grand[c])) - asc_incl + d31(F.col(c))
+        else:
+            val = asc_incl
         local = (
-            local.withColumn(
-                f"s_{c}",
-                d31(F.lit(grand[c])) - asc_incl + d31(F.col(c)),
-            )
+            local.withColumn(f"s_{c}", val)
             .drop(f"__asc_{c}")
             .drop(f"__off_{c}")
         )
@@ -1100,6 +1121,145 @@ def cox_ph_multi(
         rows,
         "covariate string, n long, n_events long, beta double,"
         " hr double, se double, z double",
+    )
+
+
+def cumulative_incidence(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    cause_col: str = "cause",
+    causes: list | None = None,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks ->
+    one row per (t, cause): (t, cause, n_risk, d_cause, cif).
+
+    When a subject can exit for one of several mutually exclusive
+    causes (churn-to-competitor vs churn-to-inactive; default vs
+    prepay), 1 − KM per cause OVERSTATES every cause's risk (it
+    treats competing events as censoring). The Aalen-Johansen
+    estimator is the correct decomposition:
+
+        CIF_j(t) = Σ_{t_i <= t} S(t_i−)·d_{j,i}/n_i,
+        Σ_j CIF_j(t) = 1 − S(t)  (exactly, the all-cause KM)
+
+    Relational shape: the kaplan_meier machinery verbatim — ONE
+    groupBy(duration) collapse carrying per-cause event counts, the
+    fused _risk_forward_cumsum for n_risk + the all-cause ln-survival
+    prefix — then S(t−) derives from the PER-ROW cumulative state
+    (cum_lnq − lnq, dead-aware: the rmst identity, no adjacent-row
+    window), per-cause increments quantize to decimal(28,12), and one
+    ascending size-gated decimal cumsum (_asc_cumsum_dec) carries all
+    k CIF columns in a single pass. Output is long-form via a k-ary
+    explode — no per-cause re-scan.
+
+    ``causes`` fixes the cause set (k <= 4) so increments are plan
+    columns; event rows whose cause is outside the list raise (a
+    silent drop would re-introduce the 1 − KM bias this estimator
+    exists to avoid).
+    """
+    if not causes or len(causes) > 4:
+        raise ValueError("causes must list 1..4 cause values")
+    if len(set(causes)) != len(causes):
+        raise ValueError("causes must be distinct")
+    known = F.col("c").isin([str(c) for c in causes])
+    bad = (F.col("e") == 1) & ~F.coalesce(known, F.lit(False))
+    subj = df.select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+        F.col(cause_col).cast("string").alias("c"),
+    ).filter(F.col("t").isNotNull())
+    subj = subj.select(
+        "t",
+        "e",
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit("cumulative_incidence: undeclared cause "),
+                    F.col("c"),
+                )
+            ),
+        ).otherwise(F.col("c")).alias("c"),
+    )
+    k = len(causes)
+    per_t = subj.groupBy("t").agg(
+        F.sum("e").cast("long").alias("n_events"),
+        F.sum(F.lit(1) - F.col("e")).cast("long").alias("n_censored"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("e") == 1) & (F.col("c") == str(cv)), 1
+                ).otherwise(0)
+            ).cast("long").alias(f"dc{i}")
+            for i, cv in enumerate(causes, 1)
+        ],
+    )
+    staged = per_t.withColumn(
+        "tot", (F.col("n_events") + F.col("n_censored")).cast("long")
+    )
+
+    def stage2(risk):
+        term_scaled = F.when(
+            F.col("n_events") < F.col("n_risk"),
+            (
+                F.log(
+                    (F.col("n_risk") - F.col("n_events")).cast("double")
+                    / F.col("n_risk").cast("double")
+                ).cast("decimal(18,9)")
+                * F.lit(1000000000)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        dead = (
+            F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+        ).cast("long")
+        return (
+            risk.withColumn("lnq", term_scaled).withColumn("dead", dead),
+            ["lnq", "dead"],
+        )
+
+    cum = _risk_forward_cumsum(staged, "tot", stage2)
+    s_before = F.when(
+        (F.col("cum_dead") - F.col("dead")) >= 1, F.lit(0.0)
+    ).otherwise(
+        F.exp(
+            (F.col("cum_lnq") - F.col("lnq")).cast("double")
+            / F.lit(1000000000.0)
+        )
+    )
+    inc_cols = []
+    terms = cum
+    for i in range(1, k + 1):
+        terms = terms.withColumn(
+            f"inc{i}",
+            (
+                s_before
+                * F.col(f"dc{i}").cast("double")
+                / F.col("n_risk").cast("double")
+            ).cast("decimal(28,12)"),
+        )
+        inc_cols.append(f"inc{i}")
+    cifs = _asc_cumsum_dec(terms, inc_cols)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(str(cv)).alias("cause"),
+                F.col(f"dc{i}").alias("d_cause"),
+                F.round(
+                    F.col(f"s_inc{i}").cast("double"), 6
+                ).alias("cif"),
+            )
+            for i, cv in enumerate(causes, 1)
+        ]
+    )
+    return cifs.select(
+        "t", "n_risk", F.explode(pairs).alias("p")
+    ).select(
+        "t",
+        F.col("p.cause").alias("cause"),
+        "n_risk",
+        F.col("p.d_cause").alias("d_cause"),
+        F.col("p.cif").alias("cif"),
     )
 
 

@@ -502,6 +502,71 @@ def test_log_rank_k_three_sample_matches_python_reference(spark):
 
 
 # ---------------------------------------------------------------------------
+# Aalen-Johansen cumulative incidence
+# ---------------------------------------------------------------------------
+
+def test_cumulative_incidence_identity_and_reference(spark):
+    """Sum of CIFs over causes equals 1 − KM at every time (the
+    estimator's defining identity), values match a pure-python
+    Aalen-Johansen replay, and 1 − per-cause-KM overstates the risk
+    (the bias this estimator exists to remove)."""
+    from econdatapipeline_spark.operators.survival import (
+        cumulative_incidence,
+        kaplan_meier,
+    )
+
+    rows = []
+    for i in range(200):
+        dur = 1 + (i * 37 % 50)
+        ev = 1 if i % 4 != 0 else 0
+        cause = ("a" if i % 3 == 0 else "b") if ev else None
+        rows.append((dur, ev, cause))
+    df = spark.createDataFrame(rows, "duration long, event int, cause string")
+    out = cumulative_incidence(df, causes=["a", "b"]).collect()
+    by_t = {}
+    for r in out:
+        by_t.setdefault(r["t"], {})[r["cause"]] = r["cif"]
+    km = {r["t"]: r["survival"] for r in kaplan_meier(df).collect()}
+    for t, cs in by_t.items():
+        assert sum(cs.values()) == pytest.approx(1 - km[t], abs=3e-6), t
+
+    # python replay
+    times = sorted({d for d, e, c in rows})
+    n = len(rows)
+    s_prev = 1.0
+    cif = {"a": 0.0, "b": 0.0}
+    ref = {}
+    for t in times:
+        at_risk = sum(1 for d, e, c in rows if d >= t)
+        d_t = sum(1 for d, e, c in rows if d == t and e == 1)
+        for cz in ("a", "b"):
+            d_c = sum(
+                1 for d, e, c in rows if d == t and e == 1 and c == cz
+            )
+            cif[cz] += s_prev * d_c / at_risk
+        s_prev *= 1 - d_t / at_risk
+        ref[t] = dict(cif)
+    for t, cs in by_t.items():
+        for cz in ("a", "b"):
+            assert cs[cz] == pytest.approx(ref[t][cz], abs=2e-6), (t, cz)
+    # 1 - cause-specific KM (competing events as censoring) >= CIF
+    only_a = spark.createDataFrame(
+        [(d, 1 if (e == 1 and c == "a") else 0) for d, e, c in rows],
+        "duration long, event int",
+    )
+    km_a = {r["t"]: r["survival"] for r in kaplan_meier(only_a).collect()}
+    tmax = max(by_t)
+    assert 1 - km_a[tmax] > by_t[tmax]["a"]
+    with pytest.raises(ValueError):
+        cumulative_incidence(df, causes=[])
+    with pytest.raises(ValueError):
+        cumulative_incidence(df, causes=["a", "a"])
+    # undeclared cause raises loudly rather than silently biasing
+    with pytest.raises(Exception, match="undeclared cause"):
+        cumulative_incidence(df, causes=["a"]).collect()
+
+
+# ---------------------------------------------------------------------------
 # Weibull fit
 # ---------------------------------------------------------------------------
 
