@@ -5589,6 +5589,32 @@ def q_cuped_adjust(spark, sf_dir):
     ).orderBy("variant")
 
 
+def q_ipw_ate(spark, sf_dir):
+    """Inverse-propensity-weighted ATE of BUILDING-segment membership
+    on order value (operators/evaluation.ipw_ate): logistic IRLS
+    propensity (4 rounds, each ONE subject aggregate with betas as
+    decimal(18,9) plan literals, explicit Cramer 2x2), then the Hájek
+    self-normalized estimator from one weighted pass. Thousand-dollar
+    units (the ORACLE_PARITY big-magnitude rule). Completes the causal
+    family: DiD (trends), CEM (matching), RDD (cutoff), IPW
+    (reweighting)."""
+    from econdatapipeline_spark.operators.evaluation import ipw_ate
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(
+            c.select("c_custkey", "c_acctbal", "c_mktsegment")
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("treat"),
+        (F.col("o_totalprice") / 1000.0).alias("y_k"),
+        (F.col("c_acctbal") / 1000.0).alias("x_k"),
+    )
+    return ipw_ate(joined, "treat", "y_k", "x_k", rounds=4)
+
+
 def q_kmeans_lloyd(spark, sf_dir):
     """Lloyd's k-means over the embedding space
     (operators/kmeans.kmeans_lloyd): k=4, 2 rounds, seeds = vectors
@@ -6076,6 +6102,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "srm_check": q_srm_check,
         "weibull_fit": q_weibull_fit,
         "cumulative_incidence": q_cumulative_incidence,
+        "ipw_ate": q_ipw_ate,
         "kmeans_lloyd": q_kmeans_lloyd,
         "dp_group_counts": q_dp_group_counts,
         "rmst": q_rmst,
@@ -13599,6 +13626,86 @@ def oracle_sql() -> dict[str, str]:
                round(chi2, 6) AS chi2,
                CAST(4 AS INTEGER) AS dof
         FROM terms CROSS JOIN ag
+    """
+
+    # IPW ATE: IRLS logistic propensity unrolled (mu quantized
+    # decimal(18,9), gradient/Hessian terms decimal(28,12), Cramer 2x2
+    # updates), then the Hájek weighted pass — operation order mirrors
+    # evaluation.ipw_ate token for token.
+    _ipw_mu = (
+        "CAST(CAST(1.0 / (1.0 + exp(-(b0 + b1 * CAST(x AS DOUBLE))))"
+        " AS DECIMAL(18,9)) AS DOUBLE)"
+    )
+    _ipw_det = "(h00 * h11 - h01 * h01)"
+    _ipw_rounds = []
+    for i in range(1, 5):
+        prev = f"ib{i - 1}"
+        _ipw_rounds.append(f"""
+        ig{i} AS (
+          SELECT
+            CAST(SUM(CAST(CAST(tr AS DOUBLE) - {_ipw_mu}
+                 AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+            CAST(SUM(CAST((CAST(tr AS DOUBLE) - {_ipw_mu})
+                 * CAST(x AS DOUBLE)
+                 AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+            CAST(SUM(CAST({_ipw_mu} * (1.0 - {_ipw_mu})
+                 AS DECIMAL(28,12))) AS DOUBLE) AS h00,
+            CAST(SUM(CAST({_ipw_mu} * (1.0 - {_ipw_mu})
+                 * CAST(x AS DOUBLE)
+                 AS DECIMAL(28,12))) AS DOUBLE) AS h01,
+            CAST(SUM(CAST(({_ipw_mu} * (1.0 - {_ipw_mu})
+                 * CAST(x AS DOUBLE)) * CAST(x AS DOUBLE)
+                 AS DECIMAL(28,12))) AS DOUBLE) AS h11,
+            MIN(b0) AS b0, MIN(b1) AS b1
+          FROM isubj CROSS JOIN {prev}),
+        ib{i} AS (
+          SELECT CAST(CAST(b0 + (g0 * h11 - g1 * h01) / {_ipw_det}
+                 AS DECIMAL(18,9)) AS DOUBLE) AS b0,
+                 CAST(CAST(b1 + (h00 * g1 - h01 * g0) / {_ipw_det}
+                 AS DECIMAL(18,9)) AS DOUBLE) AS b1
+          FROM ig{i}),""")
+    _ipw_cte = "".join(_ipw_rounds)
+    sql["ipw_ate"] = f"""
+        WITH isubj AS (
+          SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS tr,
+                 CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS y,
+                 CAST(c_acctbal / 1000.0 AS DECIMAL(18,6)) AS x
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL),
+        itot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(tr) AS BIGINT) AS nt FROM isubj),
+        ib0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0,
+                       CAST(0.0 AS DOUBLE) AS b1),{_ipw_cte}
+        iw AS (
+          SELECT
+            CAST(SUM(CASE WHEN tr = 1 AND {_ipw_mu} > 0.0
+                     AND {_ipw_mu} < 1.0
+                     THEN CAST(CAST(y AS DOUBLE) / {_ipw_mu}
+                          AS DECIMAL(28,12)) END) AS DOUBLE) AS sy1,
+            CAST(SUM(CASE WHEN tr = 1 AND {_ipw_mu} > 0.0
+                     AND {_ipw_mu} < 1.0
+                     THEN CAST(1.0 / {_ipw_mu}
+                          AS DECIMAL(28,12)) END) AS DOUBLE) AS sw1,
+            CAST(SUM(CASE WHEN tr = 0 AND {_ipw_mu} > 0.0
+                     AND {_ipw_mu} < 1.0
+                     THEN CAST(CAST(y AS DOUBLE) / (1.0 - {_ipw_mu})
+                          AS DECIMAL(28,12)) END) AS DOUBLE) AS sy0,
+            CAST(SUM(CASE WHEN tr = 0 AND {_ipw_mu} > 0.0
+                     AND {_ipw_mu} < 1.0
+                     THEN CAST(1.0 / (1.0 - {_ipw_mu})
+                          AS DECIMAL(28,12)) END) AS DOUBLE) AS sw0,
+            CAST(SUM(CASE WHEN {_ipw_mu} <= 0.0 OR {_ipw_mu} >= 1.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
+          FROM isubj CROSS JOIN ib4)
+        SELECT n, nt AS n_treated,
+               round(CASE WHEN n_sat = 0 AND sw1 > 0 AND sw0 > 0
+                     THEN sy1 / sw1 - sy0 / sw0 END, 6) AS ate,
+               round(CASE WHEN n_sat = 0 AND sw1 > 0 AND sw0 > 0
+                     THEN sy1 / sw1 END, 6) AS mu_treated,
+               round(CASE WHEN n_sat = 0 AND sw1 > 0 AND sw0 > 0
+                     THEN sy0 / sw0 END, 6) AS mu_control
+        FROM iw CROSS JOIN itot
     """
 
     # Aalen-Johansen CIF: the kaplan_meier chain with per-cause event

@@ -834,3 +834,153 @@ def srm_check(
         "variant string, n_observed long, n_expected double,"
         " chi2 double, dof int",
     )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    covariate_col: str,
+    rounds: int = 4,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect -> one row
+    (n, n_treated, ate, mu_treated, mu_control).
+
+    The propensity-based member of the causal family (did_estimator
+    compares trends, cem_att matches, rdd_estimator exploits a cutoff;
+    IPW reweights): fit e(x) = P(treat | x) by logistic regression,
+    then the Hájek (self-normalized, stabilized-weight) estimator
+
+        mu_1 = Σ_T y/e ÷ Σ_T 1/e,   mu_0 = Σ_C y/(1−e) ÷ Σ_C 1/(1−e),
+        ATE  = mu_1 − mu_0.
+
+    The propensity fit is IRLS Newton with ONE covariate + intercept:
+    each of the bounded ``rounds`` is ONE subject-table hash aggregate
+    — per-subject μ = 1/(1+exp(−η)) with the betas as decimal(18,9)
+    plan literals (η a fixed-order double chain; the exp is the
+    ln-class channel), gradient X'(y−μ) and Hessian X'diag(μ(1−μ))X
+    terms quantized decimal(28,12) before order-free sums, the 2×2
+    solve in the EXPLICIT Cramer order an SQL oracle replays. The
+    final pass computes the four weighted sums the same way. Returns
+    NULL estimates when the Hessian is singular or a propensity
+    saturates to 0/1 (perfect separation — the never-fabricate rule).
+    """
+    import math  # noqa: PLC0415
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = df.sparkSession
+    subj = df.select(
+        F.col(treat_col).cast("int").alias("tr"),
+        F.col(outcome_col).cast("decimal(18,6)").alias("y"),
+        F.col(covariate_col).cast("decimal(18,6)").alias("x"),
+    ).filter(
+        F.col("tr").isNotNull()
+        & F.col("y").isNotNull()
+        & F.col("x").isNotNull()
+    ).localCheckpoint(eager=True)
+    tot = subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("tr").cast("long").alias("nt"),
+    ).first()
+    n, nt = tot["n"], tot["nt"]
+
+    q9 = Decimal("0.000000001")
+
+    def d18_9(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(q9, rounding=ROUND_HALF_UP))
+
+    def r6(v: float) -> float:
+        return float(
+            Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    if not n or not nt or nt == n:
+        return spark.createDataFrame(
+            [(n or 0, nt or 0, None, None, None)],
+            "n long, n_treated long, ate double, mu_treated double,"
+            " mu_control double",
+        )
+
+    def mu_expr(b0: float, b1: float):
+        eta = F.lit(b0) + F.lit(b1) * F.col("x").cast("double")
+        return (
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)))
+            .cast("decimal(18,9)")
+            .cast("double")
+        )
+
+    d2812 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    b0, b1 = 0.0, 0.0
+    degenerate = False
+    for _ in range(rounds):
+        mu = mu_expr(d18_9(b0), d18_9(b1))
+        trd = F.col("tr").cast("double")
+        xd = F.col("x").cast("double")
+        w = mu * (F.lit(1.0) - mu)
+        row = subj.agg(
+            F.sum(d2812(trd - mu)).alias("g0"),
+            F.sum(d2812((trd - mu) * xd)).alias("g1"),
+            F.sum(d2812(w)).alias("h00"),
+            F.sum(d2812(w * xd)).alias("h01"),
+            F.sum(d2812((w * xd) * xd)).alias("h11"),
+        ).first()
+        g0 = float(row["g0"]) if row["g0"] is not None else 0.0
+        g1 = float(row["g1"]) if row["g1"] is not None else 0.0
+        h00 = float(row["h00"]) if row["h00"] is not None else 0.0
+        h01 = float(row["h01"]) if row["h01"] is not None else 0.0
+        h11 = float(row["h11"]) if row["h11"] is not None else 0.0
+        det = h00 * h11 - h01 * h01
+        if det <= 0 or h00 <= 0 or h11 <= 0:
+            degenerate = True
+            break
+        b0 = float(d18_9(b0 + (g0 * h11 - g1 * h01) / det))
+        b1 = float(d18_9(b1 + (h00 * g1 - h01 * g0) / det))
+    if degenerate:
+        rows = [(n, nt, None, None, None)]
+    else:
+        mu = mu_expr(d18_9(b0), d18_9(b1))
+        yd = F.col("y").cast("double")
+        is_t = F.col("tr") == 1
+        ok_e = (mu > 0.0) & (mu < 1.0)
+        wrow = subj.agg(
+            F.sum(
+                F.when(is_t & ok_e, d2812(yd / mu))
+            ).alias("sy1"),
+            F.sum(
+                F.when(is_t & ok_e, d2812(F.lit(1.0) / mu))
+            ).alias("sw1"),
+            F.sum(
+                F.when(
+                    (~is_t) & ok_e, d2812(yd / (F.lit(1.0) - mu))
+                )
+            ).alias("sy0"),
+            F.sum(
+                F.when(
+                    (~is_t) & ok_e, d2812(F.lit(1.0) / (F.lit(1.0) - mu))
+                )
+            ).alias("sw0"),
+            F.sum(
+                F.when(~ok_e, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_sat"),
+        ).first()
+        if (
+            wrow["n_sat"]
+            or wrow["sw1"] is None
+            or wrow["sw0"] is None
+            or float(wrow["sw1"]) <= 0
+            or float(wrow["sw0"]) <= 0
+        ):
+            rows = [(n, nt, None, None, None)]
+        else:
+            mu1 = float(wrow["sy1"]) / float(wrow["sw1"])
+            mu0 = float(wrow["sy0"]) / float(wrow["sw0"])
+            rows = [(n, nt, r6(mu1 - mu0), r6(mu1), r6(mu0))]
+    return spark.createDataFrame(
+        rows,
+        "n long, n_treated long, ate double, mu_treated double,"
+        " mu_control double",
+    )

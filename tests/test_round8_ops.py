@@ -502,6 +502,71 @@ def test_log_rank_k_three_sample_matches_python_reference(spark):
 
 
 # ---------------------------------------------------------------------------
+# IPW ATE
+# ---------------------------------------------------------------------------
+
+def test_ipw_ate_corrects_confounding(spark):
+    """On data where treatment probability rises with a covariate that
+    also raises the outcome, the naive difference is biased upward;
+    IPW recovers the true effect, and matches a pure-python replay of
+    the same IRLS + Hájek computation."""
+    import math
+
+    from econdatapipeline_spark.operators.evaluation import ipw_ate
+
+    rows = []
+    for i in range(800):
+        x = ((i * 37) % 100) / 50.0 - 1.0
+        u = ((i * 2654435761 + 7) % 999983) / 999983.0
+        p = 1.0 / (1.0 + math.exp(-(0.4 + 1.2 * x)))
+        tr = 1 if u < p else 0
+        y = 2.0 + 3.0 * tr + 1.5 * x + ((i * 13) % 7) / 7.0 - 0.4
+        rows.append((tr, round(y, 6), round(x, 6)))
+    df = spark.createDataFrame(rows, "tr int, y double, x double")
+    out = ipw_ate(df, "tr", "y", "x").collect()[0]
+    t = [y for tr, y, x in rows if tr]
+    c = [y for tr, y, x in rows if not tr]
+    naive = sum(t) / len(t) - sum(c) / len(c)
+    assert abs(out["ate"] - 3.0) < abs(naive - 3.0)  # bias reduced
+    assert abs(out["ate"] - 3.0) < 0.15
+
+    # python replay of the same 4-round IRLS + Hájek estimator
+    import numpy as np
+
+    d = np.array(rows, dtype=float)
+    tr, y, x = d[:, 0], d[:, 1], d[:, 2]
+    b = np.zeros(2)
+    z = np.column_stack([np.ones(len(x)), x])
+    for _ in range(4):
+        mu = 1.0 / (1.0 + np.exp(-(z @ b)))
+        g = z.T @ (tr - mu)
+        w = mu * (1 - mu)
+        h = (z * w[:, None]).T @ z
+        b = b + np.linalg.solve(h, g)
+    mu = 1.0 / (1.0 + np.exp(-(z @ b)))
+    mu1 = (y[tr == 1] / mu[tr == 1]).sum() / (1.0 / mu[tr == 1]).sum()
+    mu0 = (y[tr == 0] / (1 - mu[tr == 0])).sum() / (
+        1.0 / (1 - mu[tr == 0])
+    ).sum()
+    assert out["ate"] == pytest.approx(mu1 - mu0, abs=2e-5)
+    assert out["mu_treated"] == pytest.approx(mu1, abs=2e-5)
+    assert out["mu_control"] == pytest.approx(mu0, abs=2e-5)
+
+
+def test_ipw_ate_degenerate_never_fabricates(spark):
+    """All-treated input and perfect separation yield NULL estimates."""
+    from econdatapipeline_spark.operators.evaluation import ipw_ate
+
+    all_t = spark.createDataFrame(
+        [(1, 1.0, float(i)) for i in range(20)], "tr int, y double, x double"
+    )
+    r = ipw_ate(all_t, "tr", "y", "x").collect()[0]
+    assert r["ate"] is None and r["n_treated"] == 20
+    with pytest.raises(ValueError):
+        ipw_ate(all_t, "tr", "y", "x", rounds=0)
+
+
+# ---------------------------------------------------------------------------
 # Aalen-Johansen cumulative incidence
 # ---------------------------------------------------------------------------
 
