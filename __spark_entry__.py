@@ -11517,11 +11517,15 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 0.0 END AS DECIMAL(28,12)) AS v
           FROM wide WHERE da + db > 0),
         n_by AS (
+          -- duration IS NOT NULL mirrors the operator's pinned per_tg
+          -- collapse: n_a/n_b count only analyzable (non-null-duration)
+          -- subjects in BOTH engines (r9 ADVICE parity fix)
           SELECT CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
                       AS BIGINT) AS n_a,
                  CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END)
                       AS BIGINT) AS n_b
-          FROM subjects WHERE seg IN ('BUILDING', 'AUTOMOBILE')),
+          FROM subjects WHERE seg IN ('BUILDING', 'AUTOMOBILE')
+            AND duration IS NOT NULL),
         agg AS (
           SELECT CAST(SUM(oa) AS BIGINT) AS observed_a,
                  round(CAST(SUM(ea) AS DOUBLE), 6) AS expected_a,
@@ -12704,8 +12708,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, LAG(ts) OVER (PARTITION BY u ORDER BY ts) AS prev
           FROM base),
         flagged AS (
+          -- exact microseconds (r9): the operator breaks on
+          -- unix_micros diff > gap, full precision — a truncated
+          -- second count would keep a 1800.8s gap joined
           SELECT *, CASE WHEN prev IS NULL
-                         OR date_diff('second', prev, ts) > 1800
+                         OR epoch_us(ts) - epoch_us(prev) > 1800000000
                     THEN 1 ELSE 0 END AS f
           FROM lagged),
         seq AS (
@@ -13570,29 +13577,49 @@ def oracle_sql() -> dict[str, str]:
           FROM orders GROUP BY 1, 2),
         base AS (
           SELECT dataset AS g, CAST(value AS DECIMAL(18,6)) AS v,
-                 ROW_NUMBER() OVER (PARTITION BY dataset
-                                    ORDER BY date) AS pos
-          FROM monthly),
+                 date AS o
+          FROM monthly
+          WHERE value IS NOT NULL AND date IS NOT NULL),
         s AS (
           SELECT a.g,
                  CAST(SUM(CAST(sign(CAST(b.v - a.v AS DOUBLE))
                       AS BIGINT)) AS BIGINT) AS s_stat
           FROM base a JOIN base b
-            ON a.g = b.g AND b.pos > a.pos
+            ON a.g = b.g AND b.o > a.o
           GROUP BY 1),
         ties AS (
           SELECT g,
                  CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
                    AS tie_term,
+                 CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS t3,
+                 CAST(SUM(t * (t - 1)) AS BIGINT) AS t2,
                  CAST(SUM(t) AS BIGINT) AS n
           FROM (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t
                 FROM base GROUP BY 1, 2)
           GROUP BY g),
+        tties AS (
+          SELECT g,
+                 CAST(SUM(u * (u - 1) * (2 * u + 5)) AS BIGINT)
+                   AS u_term,
+                 CAST(SUM(u * (u - 1) * (u - 2)) AS BIGINT) AS u3,
+                 CAST(SUM(u * (u - 1)) AS BIGINT) AS u2
+          FROM (SELECT g, o, CAST(COUNT(*) AS BIGINT) AS u
+                FROM base GROUP BY 1, 2)
+          GROUP BY g),
         j AS (
           SELECT ties.g, n, COALESCE(s_stat, 0) AS s_stat,
-                 CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
-                   / 18.0 AS vs
-          FROM ties LEFT JOIN s ON ties.g = s.g)
+                 CAST(n * (n - 1) * (2 * n + 5) - tie_term - u_term
+                      AS DOUBLE) / 18.0
+                 + CASE WHEN n > 2 THEN
+                     CAST(t3 * u3 AS DOUBLE)
+                     / (9.0 * CAST(n * (n - 1) * (n - 2) AS DOUBLE))
+                   ELSE 0.0 END
+                 + CASE WHEN n > 1 THEN
+                     CAST(t2 * u2 AS DOUBLE)
+                     / (2.0 * CAST(n * (n - 1) AS DOUBLE))
+                   ELSE 0.0 END AS vs
+          FROM ties JOIN tties ON ties.g = tties.g
+          LEFT JOIN s ON ties.g = s.g)
         SELECT g AS dataset, n, s_stat,
                round(vs, 6) AS var_s,
                round(CASE WHEN vs > 0 THEN

@@ -40,6 +40,16 @@ def sessionize(
     Equal timestamps always land in the same session regardless of
     intra-tie order (gap 0 <= threshold), so the output is
     tie-order-independent.
+
+    The break compares EXACT MICROSECONDS (r9 ADVICE fix): a
+    whole-second ``unix_timestamp`` diff truncates, so a real gap of
+    1800.8 s (unix diff 1800) would stay joined here while the
+    full-precision streaming twin (streaming/windows.stream_sessionize
+    via session_window) splits it. Timestamp subtraction yields an
+    exact day-time interval for BOTH timestamp and timestamp_ntz
+    inputs, so with the interval break the two operators differ ONLY
+    at the exact-at-gap boundary (strict ``>`` here, right-open ``>=``
+    there), as the twin's docstring documents.
     """
     gap_s = int(gap_minutes) * 60
     base = df.select(
@@ -56,8 +66,7 @@ def sessionize(
     new_flag = F.when(
         prev.isNull()
         | (
-            F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(prev)
-            > gap_s
+            F.col("__ts") - prev > F.expr(f"INTERVAL {gap_s} SECOND")
         ),
         1,
     ).otherwise(0)

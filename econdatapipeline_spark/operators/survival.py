@@ -841,13 +841,19 @@ def _dir_cumsum_dec(per_t, cols, descending, small_threshold=100_000):
         for c in cols:
             run[c] += row[c] or Decimal(0)
     grand = run
-    dtypes = dict(part.dtypes)
     if offs:
         off_rows = [
             tuple([pid] + [offs[pid][c] for c in cols]) for pid in offs
         ]
+        # offsets are CROSS-PARTITION running totals, so they can
+        # exceed the input columns' decimal(28,12) capacity (~1e16)
+        # well inside the documented |values| < 1e19 domain — type
+        # them decimal(38,12) (the same width the small path's window
+        # sum carries) so createDataFrame never rejects a value the
+        # small-path twin would have summed fine (r9 ADVICE fix); the
+        # d31 cast below then narrows them inside the domain bound.
         schema = ", ".join(
-            ["__pid int"] + [f"__off_{c} {dtypes[c]}" for c in cols]
+            ["__pid int"] + [f"__off_{c} decimal(38,12)" for c in cols]
         )
         off_df = spark.createDataFrame(off_rows, schema)
         local = local.join(F.broadcast(off_df), "__pid", "left")

@@ -569,37 +569,48 @@ def mann_kendall(
     group (group, n, s_stat, var_s, z).
 
     The NONPARAMETRIC companion to theil_sen's robust slope (Mann
-    1945, Kendall 1975): S = Σ_{i<j} sgn(x_j − x_i) over time order,
-    with the tie-corrected variance
+    1945, Kendall 1975): S = Σ_{time_i<time_j} sgn(x_j − x_i), with
+    the FULL Kendall variance correcting ties in both the value and
+    the time ranking (t = value-tie group sizes, u = time-tie sizes):
 
-        Var(S) = [ n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5) ] / 18
+        Var(S) = [ n(n−1)(2n+5) − Σt(t−1)(2t+5) − Σu(u−1)(2u+5) ]/18
+               + [Σt(t−1)(t−2)]·[Σu(u−1)(u−2)] / (9n(n−1)(n−2))
+               + [Σt(t−1)]·[Σu(u−1)] / (2n(n−1))
 
     and the continuity-corrected z = (S∓1)/sqrt(Var). The standard
     trend screen for economic series where outliers poison OLS t-tests
     and theil_sen gives the magnitude but not the significance.
 
-    Determinism: S and both variance terms are EXACT INTEGERS (signs
-    of exact decimal differences, tie counts); the only floats are one
-    division and one sqrt — no quantization needed anywhere (the
+    Determinism (r9 ADVICE fix): pairs compare the ORDER VALUE itself,
+    not a row_number over it — rows sharing a timestamp form a time-tie
+    group whose pairs contribute 0 to S (and enter Var through the u
+    terms) instead of flipping sign with arbitrary row order. Rows with
+    a null value OR null order key are dropped BEFORE every aggregate,
+    so n, the tie terms, and S count the same population. With unique
+    non-null timestamps every u = 1, both correction terms vanish, and
+    the statistic reduces exactly to the classic value-ties-only form.
+
+    S and all five tie/count terms are EXACT INTEGERS (signs of exact
+    decimal differences, tie counts); the only floats are the final
+    divisions and one sqrt — no quantization needed anywhere (the
     kendall_tau discipline). Scale: the pair join is calendar-bounded
     (series-sized by contract, the theil_sen posture — a 50-year
     monthly series is 179,700 pairs, never fact-count-sized); ties and
     n are one hash aggregate each off the same pinned base.
     """
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    w = Window.partitionBy(group_col).orderBy(order_col)
     base = df.select(
         F.col(group_col).alias("g"),
         F.col(value_col).cast("decimal(18,6)").alias("v"),
-        F.row_number().over(w).alias("pos"),
+        F.col(order_col).alias("o"),
+    ).where(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
     ).localCheckpoint(eager=True)
     a, b = base.alias("a"), base.alias("b")
     s = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
-            & (F.col("b.pos") > F.col("a.pos")),
+            & (F.col("b.o") > F.col("a.o")),
         )
         .select(
             F.col("a.g").alias("g"),
@@ -615,18 +626,55 @@ def mann_kendall(
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
         .groupBy("g")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("_distinct"),
             F.sum(
                 F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
             ).cast("long").alias("tie_term"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (F.col("t") - 2)
+            ).cast("long").alias("t3"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1)
+            ).cast("long").alias("t2"),
             F.sum("t").cast("long").alias("n"),
         )
     )
-    j = ties.join(s, "g", "left").fillna(0, ["s_stat"])
+    tties = (
+        base.groupBy("g", "o")
+        .agg(F.count(F.lit(1)).cast("long").alias("u"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("u") * (F.col("u") - 1) * (2 * F.col("u") + 5)
+            ).cast("long").alias("u_term"),
+            F.sum(
+                F.col("u") * (F.col("u") - 1) * (F.col("u") - 2)
+            ).cast("long").alias("u3"),
+            F.sum(
+                F.col("u") * (F.col("u") - 1)
+            ).cast("long").alias("u2"),
+        )
+    )
+    j = (
+        ties.join(tties, "g")
+        .join(s, "g", "left")
+        .fillna(0, ["s_stat"])
+    )
     nn = F.col("n")
     var_s = (
-        (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")).cast("double")
-        / 18.0
+        (
+            nn * (nn - 1) * (2 * nn + 5)
+            - F.col("tie_term") - F.col("u_term")
+        ).cast("double") / 18.0
+        + F.when(
+            nn > 2,
+            (F.col("t3") * F.col("u3")).cast("double")
+            / (9.0 * (nn * (nn - 1) * (nn - 2)).cast("double")),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            nn > 1,
+            (F.col("t2") * F.col("u2")).cast("double")
+            / (2.0 * (nn * (nn - 1)).cast("double")),
+        ).otherwise(F.lit(0.0))
     )
     sd = F.col("s_stat").cast("double")
     z = F.when(

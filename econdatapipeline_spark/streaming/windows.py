@@ -122,8 +122,10 @@ def stream_sessionize(
     ONE documented semantic seam: session_window is right-open, so an
     event arriving EXACTLY gap after the previous one starts a new
     session here, while the batch operator's strict `> gap` break
-    keeps it. Off-boundary inputs (any real clock with jitter) agree
-    row-for-row.
+    keeps it. Off-boundary inputs agree row-for-row — both operators
+    compare FULL-PRECISION timestamps (the batch break is an exact
+    unix_micros diff since r9; its earlier whole-second truncation
+    kept e.g. a 1800.8 s gap joined that session_window split).
 
     Scale: the engine's native session state store, keyed by user —
     parallel across users, watermark-bounded state, append output of
