@@ -5615,6 +5615,67 @@ def q_ipw_ate(spark, sf_dir):
     return ipw_ate(joined, "treat", "y_k", "x_k", rounds=4)
 
 
+def _ipw_multi_input(spark, sf_dir):
+    """Shared two-covariate IPW subject table: BUILDING membership as
+    treatment, order value (k$) as outcome, account balance (k$) and
+    order date (k-days since 1992-01-01) as confounders."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(
+        F.broadcast(
+            c.select("c_custkey", "c_acctbal", "c_mktsegment")
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("treat"),
+        (F.col("o_totalprice") / 1000.0).alias("y_k"),
+        (F.col("c_acctbal") / 1000.0).alias("x_k"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast(
+                "double"
+            )
+            / 1000.0
+        ).alias("d_k"),
+    )
+
+
+def q_ipw_ate_multi(spark, sf_dir):
+    """TWO-confounder IPW ATE (operators/evaluation.ipw_ate_multi):
+    p-dim logistic IRLS propensity — each round ONE decimal-quantized
+    gradient/Hessian aggregate cross-joined with the previous 1-row
+    betas, the 3x3 Newton solve as the generated fixed-order Gauss
+    step sequence (ipw_fragments) the oracle chains verbatim — then
+    the Hájek pass plus the per-arm propensity overlap report. Zero
+    driver collects; the whole estimator is one lazy plan."""
+    from econdatapipeline_spark.operators.evaluation import ipw_ate_multi
+
+    return ipw_ate_multi(
+        _ipw_multi_input(spark, sf_dir),
+        "treat",
+        "y_k",
+        ["x_k", "d_k"],
+        rounds=4,
+    )
+
+
+def q_ipw_ate_trim(spark, sf_dir):
+    """Overlap-trimmed IPW (same fit as ipw_ate_multi, trim_eps=0.05):
+    subjects with fitted propensity outside [0.05, 0.95] are excluded
+    from the weighted sums and counted in n_excluded instead of
+    silently dominating them — the standard positivity-violation
+    guard (VERDICT r8 #7)."""
+    from econdatapipeline_spark.operators.evaluation import ipw_ate_multi
+
+    return ipw_ate_multi(
+        _ipw_multi_input(spark, sf_dir),
+        "treat",
+        "y_k",
+        ["x_k", "d_k"],
+        rounds=4,
+        trim_eps=0.05,
+    )
+
+
 def q_kmeans_lloyd(spark, sf_dir):
     """Lloyd's k-means over the embedding space
     (operators/kmeans.kmeans_lloyd): k=4, 2 rounds, seeds = vectors
@@ -6103,6 +6164,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "weibull_fit": q_weibull_fit,
         "cumulative_incidence": q_cumulative_incidence,
         "ipw_ate": q_ipw_ate,
+        "ipw_ate_multi": q_ipw_ate_multi,
+        "ipw_ate_trim": q_ipw_ate_trim,
         "kmeans_lloyd": q_kmeans_lloyd,
         "dp_group_counts": q_dp_group_counts,
         "rmst": q_rmst,
@@ -13734,6 +13797,65 @@ def oracle_sql() -> dict[str, str]:
                      THEN sy0 / sw0 END, 6) AS mu_control
         FROM iw CROSS JOIN itot
     """
+
+    # Multivariate IPW: the oracle chains the SAME aggregate text and
+    # fixed-order Gauss (name, expr) step sequence the Spark operator
+    # evaluates (evaluation.ipw_fragments) — operation order shared by
+    # construction, the granger_lags2 discipline.
+    from econdatapipeline_spark.operators.evaluation import (
+        ipw_fragments as _ipwf,
+    )
+
+    def _ipw_multi_sql(trim):
+        frag = _ipwf(2, trim)
+        aggs = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["agg_terms"]
+        )
+        parts = []
+        for r in range(1, 5):
+            parts.append(
+                f",\n        mg{r} AS (SELECT {aggs}"
+                f"\n          FROM msubj CROSS JOIN mb{r - 1})"
+            )
+            last = f"mg{r}"
+            for i, (nm, e) in enumerate(frag["solve_steps"](r)):
+                nxt = f"mg{r}s{i}"
+                parts.append(
+                    f",\n        {nxt} AS (SELECT *, {e} AS {nm}"
+                    f" FROM {last})"
+                )
+                last = nxt
+            sel = ", ".join(f"nb{j} AS b{j}" for j in range(3))
+            parts.append(f",\n        mb{r} AS (SELECT {sel} FROM {last})")
+        fins = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["final_terms"]
+        )
+        outs = ",\n               ".join(
+            f"{e} AS {nm}" for nm, e in frag["outputs"].items()
+        )
+        return f"""
+        WITH msubj AS (
+          SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS tr,
+                 CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS y,
+                 CAST(c_acctbal / 1000.0 AS DECIMAL(18,6)) AS x1,
+                 CAST(CAST(date_diff('day', DATE '1992-01-01',
+                      o_orderdate) AS DOUBLE) / 1000.0
+                      AS DECIMAL(18,6)) AS x2
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL
+            AND o_orderdate IS NOT NULL),
+        mb0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0,
+                       CAST(0.0 AS DOUBLE) AS b1,
+                       CAST(0.0 AS DOUBLE) AS b2){"".join(parts)},
+        mfin AS (SELECT {fins}
+                 FROM msubj CROSS JOIN mb4)
+        SELECT {outs}
+        FROM mfin
+        """
+
+    sql["ipw_ate_multi"] = _ipw_multi_sql(None)
+    sql["ipw_ate_trim"] = _ipw_multi_sql(0.05)
 
     # Aalen-Johansen CIF: the kaplan_meier chain with per-cause event
     # counts, S(t-) from the prefix state minus self, decimal CIF

@@ -984,3 +984,270 @@ def ipw_ate(
         "n long, n_treated long, ate double, mu_treated double,"
         " mu_control double",
     )
+
+
+def ipw_fragments(p: int, trim_eps: float | None = None) -> dict:
+    """Shared Spark/DuckDB SQL fragments for the p-covariate IPW fit —
+    the single source of truth both ipw_ate_multi and its oracle
+    consume, so the two engines execute the same text (the
+    granger_fragments discipline, timeseries.py).
+
+    Expects a subject relation with columns tr (int), y
+    (decimal(18,6)), x1..xp (decimal(18,6)) and a 1-row betas relation
+    b0..bp (doubles). Returns:
+
+    - ``mu``: the propensity expression over b0..bp and x1..xp —
+      sigmoid of the fixed left-to-right linear predictor, quantized
+      decimal(18,9) (the exp is the one libm channel).
+    - ``agg_terms``: (name, expr) aggregate list for one IRLS round —
+      gradient g0..gp and Hessian upper-triangle h{j}_{k} terms, each
+      per-subject double cast to decimal(28,12) before its order-free
+      sum, plus MIN-carried betas.
+    - ``solve_steps(round_idx)``: the named fixed-order double sequence
+      solving H·delta = g via unrolled no-pivot Gaussian elimination
+      (_gauss_steps — H = X'WX is SPD) and emitting nb0..nbp, the
+      decimal(18,9)-requantized updated betas, NULL-gated on every
+      pivot > 0 (the never-fabricate rule; NULL betas then propagate
+      through remaining rounds to NULL outputs).
+    - ``final_terms``: the Hájek weighted sums, the per-arm propensity
+      overlap MIN/MAX report, and the excluded-subject count under
+      ``oke`` (strict 0<e<1 when trim_eps is None, else the
+      [eps, 1-eps] trim band).
+    - ``outputs``: output-column exprs over the final aggregate row.
+    """
+    from .timeseries import _gauss_steps  # noqa: PLC0415
+
+    if p < 1 or p > 8:
+        raise ValueError(f"p must be in 1..8, got {p}")
+    m = p + 1
+    eta = "b0"
+    for j in range(1, m):
+        eta += f" + b{j} * CAST(x{j} AS DOUBLE)"
+    mu = (
+        f"CAST(CAST(1.0 / (1.0 + exp(-({eta})))"
+        " AS DECIMAL(18,9)) AS DOUBLE)"
+    )
+    w = f"{mu} * (1.0 - {mu})"
+    agg_terms = [
+        (
+            "g0",
+            f"CAST(SUM(CAST(CAST(tr AS DOUBLE) - {mu}"
+            " AS DECIMAL(28,12))) AS DOUBLE)",
+        )
+    ]
+    for j in range(1, m):
+        agg_terms.append(
+            (
+                f"g{j}",
+                f"CAST(SUM(CAST((CAST(tr AS DOUBLE) - {mu})"
+                f" * CAST(x{j} AS DOUBLE) AS DECIMAL(28,12)))"
+                " AS DOUBLE)",
+            )
+        )
+    agg_terms.append(
+        (
+            "h0_0",
+            f"CAST(SUM(CAST({w} AS DECIMAL(28,12))) AS DOUBLE)",
+        )
+    )
+    for k in range(1, m):
+        agg_terms.append(
+            (
+                f"h0_{k}",
+                f"CAST(SUM(CAST({w} * CAST(x{k} AS DOUBLE)"
+                " AS DECIMAL(28,12))) AS DOUBLE)",
+            )
+        )
+    for j in range(1, m):
+        for k in range(j, m):
+            agg_terms.append(
+                (
+                    f"h{j}_{k}",
+                    f"CAST(SUM(CAST(({w} * CAST(x{j} AS DOUBLE))"
+                    f" * CAST(x{k} AS DOUBLE) AS DECIMAL(28,12)))"
+                    " AS DOUBLE)",
+                )
+            )
+    for j in range(m):
+        agg_terms.append((f"b{j}", f"MIN(b{j})"))
+
+    def solve_steps(round_idx: int):
+        a_names = {
+            (j, k): f"h{j}_{k}" for j in range(m) for k in range(j, m)
+        }
+        b_names = [f"g{j}" for j in range(m)]
+        steps, deltas, diag = _gauss_steps(
+            m, a_names, b_names, f"s{round_idx}"
+        )
+        ok = " AND ".join(f"{d} > 0" for d in dict.fromkeys(diag))
+        for j in range(m):
+            steps.append(
+                (
+                    f"nb{j}",
+                    f"CASE WHEN {ok} THEN CAST(CAST(b{j} + {deltas[j]}"
+                    " AS DECIMAL(18,9)) AS DOUBLE) ELSE NULL END",
+                )
+            )
+        return steps
+
+    if trim_eps is None:
+        oke = f"{mu} > 0.0 AND {mu} < 1.0"
+    else:
+        e_txt = repr(float(trim_eps))
+        oke = f"{mu} >= {e_txt} AND {mu} <= 1.0 - {e_txt}"
+    final_terms = [
+        ("n", "CAST(COUNT(*) AS BIGINT)"),
+        ("nt", "CAST(COALESCE(SUM(tr), 0) AS BIGINT)"),
+        (
+            "sy1",
+            f"CAST(SUM(CASE WHEN tr = 1 AND {oke} THEN"
+            f" CAST(CAST(y AS DOUBLE) / {mu} AS DECIMAL(28,12))"
+            " END) AS DOUBLE)",
+        ),
+        (
+            "sw1",
+            f"CAST(SUM(CASE WHEN tr = 1 AND {oke} THEN"
+            f" CAST(1.0 / {mu} AS DECIMAL(28,12)) END) AS DOUBLE)",
+        ),
+        (
+            "sy0",
+            f"CAST(SUM(CASE WHEN tr = 0 AND {oke} THEN"
+            f" CAST(CAST(y AS DOUBLE) / (1.0 - {mu})"
+            " AS DECIMAL(28,12)) END) AS DOUBLE)",
+        ),
+        (
+            "sw0",
+            f"CAST(SUM(CASE WHEN tr = 0 AND {oke} THEN"
+            f" CAST(1.0 / (1.0 - {mu}) AS DECIMAL(28,12)) END)"
+            " AS DOUBLE)",
+        ),
+        (
+            "n_excl",
+            f"CAST(COALESCE(SUM(CASE WHEN NOT ({oke}) THEN 1 ELSE 0"
+            " END), 0) AS BIGINT)",
+        ),
+        ("e_min_t", f"MIN(CASE WHEN tr = 1 THEN {mu} END)"),
+        ("e_max_t", f"MAX(CASE WHEN tr = 1 THEN {mu} END)"),
+        ("e_min_c", f"MIN(CASE WHEN tr = 0 THEN {mu} END)"),
+        ("e_max_c", f"MAX(CASE WHEN tr = 0 THEN {mu} END)"),
+    ]
+    if trim_eps is None:
+        valid = (
+            "nt > 0 AND nt < n AND n_excl = 0"
+            " AND sw1 > 0 AND sw0 > 0"
+        )
+    else:
+        valid = "nt > 0 AND nt < n AND sw1 > 0 AND sw0 > 0"
+    outputs = {
+        "n": "n",
+        "n_treated": "nt",
+        "ate": (
+            f"round(CASE WHEN {valid} THEN (sy1 / sw1) - (sy0 / sw0)"
+            " END, 6)"
+        ),
+        "mu_treated": f"round(CASE WHEN {valid} THEN sy1 / sw1 END, 6)",
+        "mu_control": f"round(CASE WHEN {valid} THEN sy0 / sw0 END, 6)",
+        "e_min_treated": "round(e_min_t, 6)",
+        "e_max_treated": "round(e_max_t, 6)",
+        "e_min_control": "round(e_min_c, 6)",
+        "e_max_control": "round(e_max_c, 6)",
+        "n_excluded": "n_excl",
+    }
+    return {
+        "mu": mu,
+        "agg_terms": agg_terms,
+        "solve_steps": solve_steps,
+        "final_terms": final_terms,
+        "outputs": outputs,
+        "m": m,
+    }
+
+
+def ipw_ate_multi(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    covariate_cols: list[str],
+    rounds: int = 4,
+    trim_eps: float | None = None,
+) -> DataFrame:
+    """Inverse-propensity-weighted ATE with a p-COVARIATE propensity
+    fit and an overlap report -> one row (n, n_treated, ate,
+    mu_treated, mu_control, e_min_treated, e_max_treated,
+    e_min_control, e_max_control, n_excluded).
+
+    The causal family's analog of cox_ph -> cox_ph_multi (VERDICT r8
+    #1): real confounding is multivariate, and with one confounder IPW
+    mostly re-derives regression adjustment. The propensity
+    e(x) = P(treat | x1..xp) is logistic-IRLS fit with intercept +
+    p slopes; the estimate is the Hájek (self-normalized) estimator
+
+        mu_1 = Σ_T y/e ÷ Σ_T 1/e,  mu_0 = Σ_C y/(1−e) ÷ Σ_C 1/(1−e).
+
+    Architecture: ONE LAZY PLAN, zero driver collects. Each of the
+    bounded ``rounds`` is one hash aggregate over the checkpointed
+    subject table (gradient + Hessian upper triangle, every term
+    decimal(28,12)-quantized before its order-free sum) cross-joined
+    with the previous 1-row betas relation; the (p+1)-dim Newton solve
+    is the unrolled no-pivot Gaussian elimination of
+    timeseries._gauss_steps evaluated as named column steps — the SQL
+    oracle chains the IDENTICAL (name, expr) text (ipw_fragments), so
+    operation order is shared by construction at any p <= 8 (closing
+    the one-covariate limit of ipw_ate, evaluation.py:839).
+
+    Overlap report (VERDICT r8 #7): min/max fitted propensity per arm
+    is always emitted, so near-saturation is visible instead of
+    silently dominating the weighted sums. ``trim_eps=None`` keeps
+    ipw_ate's strict contract — ANY subject with e(x) saturated to
+    exactly 0/1 NULLs the estimate (never-fabricate); ``trim_eps=e``
+    instead excludes subjects outside [e, 1-e] from the weighted sums
+    (reported as n_excluded) — the standard overlap-trimming
+    estimator. NULL estimates also on singular/indefinite Hessian
+    (pivot gate) or a single-arm population.
+
+    Scale: subject table scanned rounds+1 times, each a map-side
+    combinable aggregate; betas rows broadcast; no window, no join,
+    no driver loop — the plan holds at any corpus size.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if not covariate_cols:
+        raise ValueError("covariate_cols must name at least one column")
+    p = len(covariate_cols)
+    frag = ipw_fragments(p, trim_eps)
+    m = frag["m"]
+    spark = df.sparkSession
+    keep = (
+        F.col(treat_col).isNotNull() & F.col(outcome_col).isNotNull()
+    )
+    for c in covariate_cols:
+        keep = keep & F.col(c).isNotNull()
+    subj = df.filter(keep).select(
+        F.col(treat_col).cast("int").alias("tr"),
+        F.col(outcome_col).cast("decimal(18,6)").alias("y"),
+        *[
+            F.col(c).cast("decimal(18,6)").alias(f"x{j}")
+            for j, c in enumerate(covariate_cols, 1)
+        ],
+    ).localCheckpoint(eager=True)
+    b_cur = spark.range(1).select(
+        *[F.lit(0.0).alias(f"b{j}") for j in range(m)]
+    )
+    for r in range(1, rounds + 1):
+        g = subj.crossJoin(F.broadcast(b_cur)).agg(
+            *[F.expr(e).alias(nm) for nm, e in frag["agg_terms"]]
+        )
+        for nm, e in frag["solve_steps"](r):
+            g = g.withColumn(nm, F.expr(e))
+        b_cur = g.select(
+            *[F.col(f"nb{j}").alias(f"b{j}") for j in range(m)]
+        )
+    fin = subj.crossJoin(F.broadcast(b_cur)).agg(
+        *[F.expr(e).alias(nm) for nm, e in frag["final_terms"]]
+    )
+    return fin.select(
+        *[
+            F.expr(e).alias(nm)
+            for nm, e in frag["outputs"].items()
+        ]
+    )

@@ -1,0 +1,279 @@
+"""Round-9 operator tests: multivariate IPW (+ overlap/trim),
+Mann-Kendall time-tie determinism, exact-microsecond sessionize.
+
+Covers VERDICT r8 next-round items #1/#7 and the four r8 ADVICE
+fixes, in the established twin-test style: a pure-python/numpy replay
+of the same bounded-round fit, plus never-fabricate and determinism
+probes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ipw_ate_multi
+# ---------------------------------------------------------------------------
+
+def _ipw_numpy(tr, y, X, rounds=4):
+    """Unquantized numpy IRLS + Hájek replica (intercept prepended)."""
+    Xd = np.column_stack([np.ones(len(tr))] + [np.asarray(c) for c in X])
+    b = np.zeros(Xd.shape[1])
+    for _ in range(rounds):
+        mu = 1.0 / (1.0 + np.exp(-(Xd @ b)))
+        g = Xd.T @ (tr - mu)
+        h = (Xd * (mu * (1 - mu))[:, None]).T @ Xd
+        b = b + np.linalg.solve(h, g)
+    mu = 1.0 / (1.0 + np.exp(-(Xd @ b)))
+    t, c = tr == 1, tr == 0
+    m1 = np.sum(y[t] / mu[t]) / np.sum(1.0 / mu[t])
+    m0 = np.sum(y[c] / (1 - mu[c])) / np.sum(1.0 / (1 - mu[c]))
+    return m1 - m0, m1, m0, mu
+
+
+def _ipw_fixture(n=800, seed=11):
+    rng = np.random.RandomState(seed)
+    x1 = np.round(rng.normal(0, 1, n), 3)
+    x2 = np.round(rng.normal(0, 1, n), 3)
+    pr = 1.0 / (1.0 + np.exp(-(0.4 + 0.9 * x1 - 0.6 * x2)))
+    tr = (rng.uniform(size=n) < pr).astype(int)
+    y = np.round(
+        2.0 + 1.5 * tr + 0.8 * x1 + 0.3 * x2 + rng.normal(0, 1, n), 3
+    )
+    return tr, y, x1, x2
+
+
+def test_ipw_multi_matches_numpy_reference(spark):
+    """The p=2 decimal-quantized Spark fit agrees with an unquantized
+    numpy IRLS+Hájek replay to well under the rounding grain, and the
+    overlap report brackets every fitted propensity."""
+    from econdatapipeline_spark.operators.evaluation import ipw_ate_multi
+
+    tr, y, x1, x2 = _ipw_fixture()
+    df = spark.createDataFrame(
+        [
+            (int(t), float(a), float(b), float(c))
+            for t, a, b, c in zip(tr, y, x1, x2)
+        ],
+        "treat int, y double, x1 double, x2 double",
+    )
+    row = ipw_ate_multi(df, "treat", "y", ["x1", "x2"]).collect()[0]
+    ate, m1, m0, mu = _ipw_numpy(tr, y, [x1, x2])
+    assert row["n"] == len(tr) and row["n_treated"] == int(tr.sum())
+    assert row["ate"] == pytest.approx(ate, abs=2e-5)
+    assert row["mu_treated"] == pytest.approx(m1, abs=2e-5)
+    assert row["mu_control"] == pytest.approx(m0, abs=2e-5)
+    assert row["n_excluded"] == 0
+    # overlap report brackets the fitted propensities per arm
+    assert row["e_min_treated"] <= mu[tr == 1].min() + 1e-5
+    assert row["e_max_treated"] >= mu[tr == 1].max() - 1e-5
+    assert row["e_min_control"] <= mu[tr == 0].min() + 1e-5
+    assert row["e_max_control"] >= mu[tr == 0].max() - 1e-5
+    # the 2-confounder fit moves the estimate off the naive difference
+    naive = y[tr == 1].mean() - y[tr == 0].mean()
+    assert abs(row["ate"] - 1.5) < abs(naive - 1.5)
+
+
+def test_ipw_multi_p1_reduces_to_ipw_ate(spark):
+    """With one covariate the generalized fit reproduces ipw_ate's
+    certified estimates exactly (same quantization discipline), so the
+    existing contract hashes are untouched by construction."""
+    from econdatapipeline_spark.operators.evaluation import (
+        ipw_ate,
+        ipw_ate_multi,
+    )
+
+    tr, y, x1, _ = _ipw_fixture(n=500, seed=3)
+    df = spark.createDataFrame(
+        [(int(t), float(a), float(b)) for t, a, b in zip(tr, y, x1)],
+        "treat int, y double, x1 double",
+    )
+    old = ipw_ate(df, "treat", "y", "x1").collect()[0]
+    new = ipw_ate_multi(df, "treat", "y", ["x1"]).collect()[0]
+    assert new["ate"] == old["ate"]
+    assert new["mu_treated"] == old["mu_treated"]
+    assert new["mu_control"] == old["mu_control"]
+
+
+def test_ipw_multi_near_separation_nulls_then_trim_recovers(spark):
+    """A covariate that nearly separates treatment saturates fitted
+    propensities to exactly 0/1 under decimal(18,9) quantization: the
+    untrimmed estimator NULLs (never-fabricate) while the overlap
+    report still shows the saturation; trim_eps excludes the
+    off-support subjects, counts them, and returns an estimate."""
+    from econdatapipeline_spark.operators.evaluation import ipw_ate_multi
+
+    rng = np.random.RandomState(5)
+    n = 300
+    # well-overlapped confounded base ...
+    x = np.round(rng.normal(0, 1, n), 3)
+    pr = 1.0 / (1.0 + np.exp(-(0.2 + 1.0 * x)))
+    tr = (rng.uniform(size=n) < pr).astype(int)
+    # ... plus off-support outliers whose fitted eta is so large that
+    # mu quantizes to exactly 1.0 / 0.0 at the decimal(18,9) grain
+    x = np.concatenate([x, [80.0, 85.0, 90.0, -80.0, -85.0, -90.0]])
+    tr = np.concatenate([tr, [1, 1, 1, 0, 0, 0]])
+    y = np.round(1.0 + 2.0 * tr + 0.01 * x + rng.normal(0, 0.1, n + 6), 3)
+    df = spark.createDataFrame(
+        [(int(t), float(a), float(b)) for t, a, b in zip(tr, y, x)],
+        "treat int, y double, x double",
+    )
+    strict = ipw_ate_multi(df, "treat", "y", ["x"]).collect()[0]
+    assert strict["ate"] is None and strict["mu_treated"] is None
+    # the overlap report is the diagnostic that explains the NULL
+    assert strict["e_max_treated"] == 1.0
+    assert strict["e_min_control"] == 0.0
+    trimmed = ipw_ate_multi(
+        df, "treat", "y", ["x"], trim_eps=0.05
+    ).collect()[0]
+    assert trimmed["ate"] is not None
+    assert trimmed["n_excluded"] > 0
+    assert trimmed["ate"] == pytest.approx(2.0, abs=0.5)
+
+
+def test_ipw_multi_degenerate_and_validation(spark):
+    """Constant covariate -> singular Hessian -> NULL estimates with
+    counts intact; single-arm population -> NULL; bad args raise."""
+    from econdatapipeline_spark.operators.evaluation import ipw_ate_multi
+
+    rows = [(i % 2, float(i), 1.0, float(i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "t int, y double, c double, x double")
+    row = ipw_ate_multi(df, "t", "y", ["c", "x"]).collect()[0]
+    assert row["n"] == 40 and row["n_treated"] == 20
+    assert row["ate"] is None
+    one_arm = spark.createDataFrame(
+        [(1, float(i), float(i)) for i in range(10)],
+        "t int, y double, x double",
+    )
+    row = ipw_ate_multi(one_arm, "t", "y", ["x"]).collect()[0]
+    assert row["n_treated"] == 10 and row["ate"] is None
+    with pytest.raises(ValueError):
+        ipw_ate_multi(df, "t", "y", [])
+    with pytest.raises(ValueError):
+        ipw_ate_multi(df, "t", "y", ["x"], rounds=0)
+    with pytest.raises(ValueError):
+        ipw_ate_multi(df, "t", "y", ["x"] * 9)
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall time ties (r8 ADVICE #1)
+# ---------------------------------------------------------------------------
+
+def test_mann_kendall_tied_timestamps_deterministic(spark):
+    """Rows sharing a timestamp contribute 0 to S regardless of input
+    order, and the full Kendall time-tie variance correction applies;
+    null values/timestamps are excluded from every aggregate."""
+    from econdatapipeline_spark.operators.timeseries import mann_kendall
+
+    # series with a time tie at t=2 carrying DIFFERENT values: under
+    # row_number ordering the (5.0, 1.0) pair's sign depended on
+    # arbitrary tie order; now it must contribute 0
+    rows = [
+        ("g", 1, 2.0),
+        ("g", 2, 5.0),
+        ("g", 2, 1.0),
+        ("g", 3, 6.0),
+        ("g", 4, 7.0),
+        ("g", 5, None),  # excluded everywhere
+        ("g", None, 9.0),  # excluded everywhere
+    ]
+    out = {}
+    for tag, perm in (("fwd", rows), ("rev", rows[::-1])):
+        df = spark.createDataFrame(
+            perm, "dataset string, date int, value double"
+        )
+        out[tag] = mann_kendall(df, "value", "date", "dataset").collect()[0]
+    assert out["fwd"] == out["rev"]
+    r = out["fwd"]
+    assert r["n"] == 5  # nulls dropped
+    # S by hand over time-ordered pairs, tied-time pair excluded:
+    # pairs (1,2a)+ (1,2b)- ... compute: values by time:
+    # t1=2, t2={5,1}, t3=6, t4=7
+    # (2,5)+ (2,1)- (2,6)+ (2,7)+ (5,6)+ (5,7)+ (1,6)+ (1,7)+ (6,7)+
+    assert r["s_stat"] == 7
+    # variance: n=5, value ties none (2,5,1,6,7 distinct) -> t terms 0;
+    # time ties one group u=2: u_term = 2*1*9 = 18, u3 = 0, u2 = 2
+    # var = (5*4*15 - 0 - 18)/18 + 0 + 0*... third term t2=0 -> 0
+    var = (5 * 4 * 15 - 18) / 18.0
+    assert r["var_s"] == pytest.approx(var, abs=1e-6)
+    assert r["z"] == pytest.approx((7 - 1) / math.sqrt(var), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# sessionize exact-microsecond break (r8 ADVICE #4)
+# ---------------------------------------------------------------------------
+
+def test_sessionize_subsecond_gap_full_precision(spark):
+    """A real gap of 1800.8s splits (the old whole-second unix diff
+    kept it joined: 1800 > 1800 false); exactly 1800.000000s does NOT
+    split (strict >, the documented seam vs session_window); 1800s +
+    1us splits."""
+    import datetime as dt
+
+    from econdatapipeline_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 500000)
+    rows = [
+        ("a", t0),
+        ("a", t0 + dt.timedelta(seconds=1800, microseconds=300000)),
+        ("b", t0),
+        ("b", t0 + dt.timedelta(seconds=1800)),
+        ("c", t0),
+        ("c", t0 + dt.timedelta(seconds=1800, microseconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        (r["user"], r["session_seq"]): r["n_events"]
+        for r in sessionize(df, value_col=None).collect()
+    }
+    users = {}
+    for (u, _), n in got.items():
+        users.setdefault(u, []).append(n)
+    assert sorted(users["a"]) == [1, 1]  # 1800.3s gap splits
+    assert users["b"] == [2]  # exactly at gap stays (strict >)
+    assert sorted(users["c"]) == [1, 1]  # 1us past gap splits
+
+
+def test_sessionize_matches_streaming_twin_off_boundary(spark):
+    """On sub-second timestamps away from the exact boundary, batch
+    sessionize and the session_window twin now agree row-for-row
+    (the r8 ADVICE #4 seam is closed)."""
+    import datetime as dt
+
+    from econdatapipeline_spark.operators.sessions import sessionize
+    from econdatapipeline_spark.streaming.windows import stream_sessionize
+
+    rng = np.random.RandomState(9)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for u in range(8):
+        t = t0 + dt.timedelta(seconds=float(rng.uniform(0, 50)))
+        for _ in range(30):
+            rows.append(
+                (f"u{u}", t, float(np.round(rng.uniform(1, 5), 2)))
+            )
+            # mix of sub-gap and super-gap steps, never exactly at gap
+            step = float(rng.choice([12.3, 400.7, 1799.2, 1801.9, 2400.4]))
+            t = t + dt.timedelta(seconds=step + float(rng.uniform(0, 0.9)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    batch = {
+        (r["user"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in sessionize(df).collect()
+    }
+    stream = {
+        (r["user"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in stream_sessionize(df).collect()
+    }
+    assert batch == stream
