@@ -5460,6 +5460,60 @@ def q_weibull_fit(spark, sf_dir):
     return weibull_fit(subjects, "duration", "event", rounds=10)
 
 
+def q_weibull_aft(spark, sf_dir):
+    """Weibull ACCELERATED-FAILURE-TIME regression of the
+    repeat-purchase time on BUILDING membership and account balance
+    (operators/survival.weibull_aft): Newton on the right-censored
+    log-likelihood ln T = βX + σW — each of 6 rounds is ONE subject
+    aggregate (score + observed information, decimal-quantized
+    order-free sums) solved by the generated fixed-order Gauss step
+    sequence the oracle chains verbatim (weibull_aft_fragments).
+    Completes the parametric survival side the way cox_ph_multi
+    completed the semi-parametric (VERDICT r8 #3)."""
+    from econdatapipeline_spark.operators.survival import weibull_aft
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", 1.0)
+        .otherwise(0.0)
+        .alias("x_building"),
+        (F.col("c_acctbal") / 10000.0).alias("x_acctbal"),
+    )
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    ranked = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rk"),
+        F.lead("o_orderdate").over(w).alias("nxt"),
+    ).filter(F.col("rk") == 1)
+    subjects = (
+        ranked.crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff("nxt", "o_orderdate"),
+            )
+            .otherwise(F.datediff("h", "o_orderdate"))
+            .cast("long")
+            .alias("duration"),
+            F.col("nxt").isNotNull().cast("int").alias("event"),
+            "x_building",
+            "x_acctbal",
+        )
+    )
+    return weibull_aft(
+        subjects,
+        "duration",
+        "event",
+        ["x_building", "x_acctbal"],
+        rounds=6,
+    ).orderBy("param")
+
+
 def q_log_rank_k(spark, sf_dir):
     """Three-sample log-rank test across market segments
     (operators/survival.log_rank_k): full-covariance Mantel-Haenszel —
@@ -6162,6 +6216,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "mann_kendall": q_mann_kendall,
         "srm_check": q_srm_check,
         "weibull_fit": q_weibull_fit,
+        "weibull_aft": q_weibull_aft,
         "cumulative_incidence": q_cumulative_incidence,
         "ipw_ate": q_ipw_ate,
         "ipw_ate_multi": q_ipw_ate_multi,
@@ -14004,6 +14059,102 @@ def oracle_sql() -> dict[str, str]:
                  AS median_t
         FROM wl CROSS JOIN wbase
     """
+
+    # Weibull AFT: the oracle chains the SAME init/aggregate text and
+    # fixed-order Gauss (name, expr) step sequence the Spark operator
+    # evaluates (survival.weibull_aft_fragments) — operation order
+    # shared by construction, the ipw_ate_multi discipline.
+    from econdatapipeline_spark.operators.survival import (
+        weibull_aft_fragments as _waftf,
+    )
+    from econdatapipeline_spark.operators.timeseries import (
+        _step_levels as _wlvl,
+    )
+
+    def _weibull_aft_sql():
+        frag = _waftf(2, 6)
+        inits = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["init_terms"]
+        )
+        aggs = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["agg_terms"]
+        )
+        parts = []
+        for r in range(1, 7):
+            parts.append(
+                f",\n        wg{r} AS (SELECT {aggs}"
+                f"\n          FROM wasubj CROSS JOIN wab{r - 1})"
+            )
+            last = f"wg{r}"
+            for i, batch in enumerate(_wlvl(frag["solve_steps"](r))):
+                nxt = f"wg{r}s{i}"
+                cols = ", ".join(
+                    f"{e} AS {nm}" for nm, e in batch.items()
+                )
+                parts.append(
+                    f",\n        {nxt} AS (SELECT *, {cols}"
+                    f" FROM {last})"
+                )
+                last = nxt
+            sel = ", ".join(f"n{nm} AS {nm}" for nm in frag["pnames"])
+            parts.append(
+                f",\n        wab{r} AS (SELECT {sel} FROM {last})"
+            )
+        fins = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["final_terms"]
+        )
+        parts.append(
+            f",\n        waf0 AS (SELECT {fins}"
+            "\n          FROM wasubj CROSS JOIN wab6)"
+        )
+        last = "waf0"
+        se_steps, _ = frag["se_steps"]()
+        for i, batch in enumerate(_wlvl(se_steps)):
+            nxt = f"wafs{i}"
+            cols = ", ".join(f"{e} AS {nm}" for nm, e in batch.items())
+            parts.append(
+                f",\n        {nxt} AS (SELECT *, {cols}"
+                f" FROM {last})"
+            )
+            last = nxt
+        labels = ["intercept", "x_building", "x_acctbal", "ln_sigma"]
+        selects = "\n        UNION ALL\n        ".join(
+            f"SELECT '{lbl}' AS param, n, d AS n_events,"
+            f" {o['coef']} AS coef, {o['se']} AS se,"
+            f" {o['z']} AS z FROM {last}"
+            for lbl, o in zip(labels, frag["param_outputs"]())
+        )
+        return f"""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        wasubj AS (
+          SELECT CAST(ln(CAST(dur AS DOUBLE)) AS DECIMAL(18,9)) AS lnt,
+                 e,
+                 CAST(CASE WHEN c_mktsegment = 'BUILDING'
+                      THEN 1.0 ELSE 0.0 END AS DECIMAL(18,6)) AS x1,
+                 CAST(c_acctbal / 10000.0 AS DECIMAL(18,6)) AS x2
+          FROM (
+            SELECT CAST(CASE WHEN nxt IS NOT NULL
+                        THEN date_diff('day', o_orderdate, nxt)
+                        ELSE date_diff('day', o_orderdate, h.h) END
+                        AS BIGINT) AS dur,
+                   CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e,
+                   o_custkey
+            FROM ranked CROSS JOIN h WHERE rk = 1)
+          JOIN customer ON o_custkey = c_custkey
+          WHERE dur > 0),
+        wab0 AS (SELECT {inits}
+                 FROM wasubj){"".join(parts)}
+        {selects}
+        """
+
+    sql["weibull_aft"] = _weibull_aft_sql()
 
     # k-sample log-rank: full covariance, Cramer quadratic form.
     _lrk_ct = (

@@ -1270,6 +1270,30 @@ def _gauss_steps(m: int, a_names: dict, b_names: list, prefix: str):
     return steps, betas, diag
 
 
+def _step_levels(steps):
+    """Group a (name, expr) step sequence into maximal batches where
+    no expr references a name introduced in the SAME batch — so a
+    consumer can apply each batch as one projection (withColumns on
+    the Spark side, one chained CTE on the oracle side) and plan depth
+    stays O(levels) instead of O(steps). Pure regrouping: every step
+    still sees exactly the names earlier steps produced, so the
+    emitted arithmetic is unchanged."""
+    import re  # noqa: PLC0415
+
+    levels: list[dict] = []
+    cur: dict = {}
+    for nm, e in steps:
+        if cur and any(
+            re.search(rf"\b{re.escape(n)}\b", e) for n in cur
+        ):
+            levels.append(cur)
+            cur = {}
+        cur[nm] = e
+    if cur:
+        levels.append(cur)
+    return levels
+
+
 def granger_fragments(lags: int) -> dict:
     """Shared Spark/DuckDB SQL fragments for the multi-lag Granger
     test — the single source of truth both the operator and the

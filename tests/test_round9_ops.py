@@ -277,3 +277,199 @@ def test_sessionize_matches_streaming_twin_off_boundary(spark):
         for r in stream_sessionize(df).collect()
     }
     assert batch == stream
+
+
+# ---------------------------------------------------------------------------
+# weibull_aft
+# ---------------------------------------------------------------------------
+
+def _weibull_aft_numpy(t, e, X, rounds=8):
+    """Unquantized numpy replay of the same Newton in the Burridge
+    (gamma = beta/sigma, a = 1/sigma) parameterization: init gamma0 at
+    the event-mean of ln t, a = 1, a/2 positivity fallback; returns
+    (theta, se) on the AFT scale with theta = (b0..bp, ln_sigma) and
+    delta-method standard errors."""
+    t = np.asarray(t, dtype=float)
+    e = np.asarray(e, dtype=float)
+    Xd = np.column_stack(
+        [np.ones(len(t))] + [np.asarray(c, dtype=float) for c in X]
+    )
+    lnt = np.log(t)
+    q = Xd.shape[1]
+    m = q + 1
+    g = np.zeros(q)
+    g[0] = lnt[e == 1].mean()
+    a = 1.0
+
+    def score_info(g, a):
+        z = a * lnt - Xd @ g
+        ez = np.exp(z)
+        u = np.zeros(m)
+        imat = np.zeros((m, m))
+        for j in range(q):
+            u[j] = (Xd[:, j] * (ez - e)).sum()
+            for k in range(j, q):
+                imat[j, k] = imat[k, j] = (
+                    Xd[:, j] * Xd[:, k] * ez
+                ).sum()
+            imat[j, q] = imat[q, j] = -(Xd[:, j] * lnt * ez).sum()
+        u[q] = (e / a + (e - ez) * lnt).sum()
+        imat[q, q] = (e / a**2 + lnt * lnt * ez).sum()
+        return u, imat
+
+    for _ in range(rounds):
+        u, imat = score_info(g, a)
+        d = np.linalg.solve(imat, u)
+        g = g + d[:q]
+        na = a + d[q]
+        a = na if na > 0 else a / 2.0
+    _, imat = score_info(g, a)
+    cov = np.linalg.inv(imat)
+    th = np.zeros(m)
+    se = np.zeros(m)
+    for j in range(q):
+        th[j] = g[j] / a
+        var = (
+            cov[j, j] / a**2
+            - 2.0 * (g[j] / a**3) * cov[q, j]
+            + (g[j] ** 2 / a**4) * cov[q, q]
+        )
+        se[j] = math.sqrt(var)
+    th[q] = -math.log(a)
+    se[q] = math.sqrt(cov[q, q] / a**2)
+    return th, se
+
+
+def _aft_fixture(n=600, b0=3.0, b1=0.7, b2=-0.4, sigma=0.5, cens=None):
+    """Deterministic Weibull-AFT sample: ln t = b0 + b1 x1 + b2 x2 +
+    sigma * W with W the standard minimum-extreme-value quantile of a
+    fixed uniform grid (no RNG — replayable)."""
+    i = np.arange(n)
+    u = (i + 0.5) / n
+    # decorrelate the grid from the covariates with fixed permutations
+    w = np.log(-np.log(1.0 - u))[(i * 7919) % n]
+    x1 = np.round(((i * 31) % 200) / 100.0 - 1.0, 3)
+    x2 = np.round(((i * 17) % 100) / 50.0 - 1.0, 3)
+    t = np.exp(b0 + b1 * x1 + b2 * x2 + sigma * w)
+    if cens is not None:
+        e = (t <= cens).astype(int)
+        t = np.minimum(t, cens)
+    else:
+        e = np.ones(n, dtype=int)
+    return np.round(t, 6), e, x1, x2
+
+
+def test_weibull_aft_matches_numpy_reference(spark):
+    """The decimal-quantized Spark Newton agrees with the unquantized
+    numpy replay to well under the 6-dp rounding grain, coefs and
+    standard errors both."""
+    from econdatapipeline_spark.operators.survival import weibull_aft
+
+    t, e, x1, x2 = _aft_fixture(cens=60.0)
+    assert 0 < e.sum() < len(t)  # the fixture really is censored
+    df = spark.createDataFrame(
+        [
+            (float(a), int(b), float(c), float(d))
+            for a, b, c, d in zip(t, e, x1, x2)
+        ],
+        "duration double, event int, x1 double, x2 double",
+    )
+    rows = {
+        r["param"]: r
+        for r in weibull_aft(
+            df, "duration", "event", ["x1", "x2"], rounds=8
+        ).collect()
+    }
+    th, se = _weibull_aft_numpy(t, e, [x1, x2], rounds=8)
+    labels = ["intercept", "x1", "x2", "ln_sigma"]
+    for j, lbl in enumerate(labels):
+        r = rows[lbl]
+        assert r["n"] == len(t) and r["n_events"] == int(e.sum())
+        assert r["coef"] == pytest.approx(th[j], abs=2e-5), lbl
+        assert r["se"] == pytest.approx(se[j], abs=2e-5), lbl
+        assert r["z"] == pytest.approx(th[j] / se[j], abs=2e-4), lbl
+
+
+def test_weibull_aft_recovers_simulated_parameters(spark):
+    """Parameter recovery on the deterministic AFT sample: the fitted
+    coefficients land near the generating (b0, b1, b2, ln sigma)."""
+    from econdatapipeline_spark.operators.survival import weibull_aft
+
+    t, e, x1, x2 = _aft_fixture(n=2000)
+    df = spark.createDataFrame(
+        [
+            (float(a), int(b), float(c), float(d))
+            for a, b, c, d in zip(t, e, x1, x2)
+        ],
+        "duration double, event int, x1 double, x2 double",
+    )
+    rows = {
+        r["param"]: r
+        for r in weibull_aft(
+            df, "duration", "event", ["x1", "x2"], rounds=8
+        ).collect()
+    }
+    assert rows["intercept"]["coef"] == pytest.approx(3.0, abs=0.05)
+    assert rows["x1"]["coef"] == pytest.approx(0.7, abs=0.05)
+    assert rows["x2"]["coef"] == pytest.approx(-0.4, abs=0.05)
+    assert rows["ln_sigma"]["coef"] == pytest.approx(
+        math.log(0.5), abs=0.05
+    )
+    # effects are strongly significant on n=2000
+    assert abs(rows["x1"]["z"]) > 10 and abs(rows["x2"]["z"]) > 10
+
+
+def test_weibull_aft_p0_reduces_to_weibull_fit(spark):
+    """With no covariates the AFT Newton and weibull_fit's profile
+    fixed point maximize the SAME likelihood: shape k = 1/sigma and
+    scale lambda = exp(intercept) agree at the shared optimum."""
+    from econdatapipeline_spark.operators.survival import (
+        weibull_aft,
+        weibull_fit,
+    )
+
+    t, e, _, _ = _aft_fixture(n=500, b1=0.0, b2=0.0, cens=40.0)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(t, e)],
+        "duration double, event int",
+    )
+    fit = weibull_fit(df, "duration", "event", rounds=25).collect()[0]
+    rows = {
+        r["param"]: r
+        for r in weibull_aft(df, "duration", "event", rounds=10).collect()
+    }
+    k_aft = 1.0 / math.exp(rows["ln_sigma"]["coef"])
+    lam_aft = math.exp(rows["intercept"]["coef"])
+    assert k_aft == pytest.approx(fit["shape_k"], rel=1e-4)
+    assert lam_aft == pytest.approx(fit["scale_lambda"], rel=1e-4)
+
+
+def test_weibull_aft_never_fabricates(spark):
+    """No events -> NULL estimates on every row; a collinear covariate
+    (constant) -> singular information -> NULL via the pivot gate;
+    zero/negative durations are excluded from n."""
+    from econdatapipeline_spark.operators.survival import weibull_aft
+
+    allcens = spark.createDataFrame(
+        [(float(i + 1), 0, float(i % 3)) for i in range(40)],
+        "duration double, event int, x1 double",
+    )
+    for r in weibull_aft(allcens, covariate_cols=["x1"]).collect():
+        assert r["coef"] is None and r["se"] is None and r["z"] is None
+
+    const = spark.createDataFrame(
+        [(float(i + 1), 1, 2.5) for i in range(40)],
+        "duration double, event int, x1 double",
+    )
+    for r in weibull_aft(const, covariate_cols=["x1"]).collect():
+        assert r["coef"] is None and r["se"] is None
+
+    t, e, x1, _ = _aft_fixture(n=60)
+    rows = [(0.0, 1, 0.5), (-3.0, 1, 0.5)] + [
+        (float(a), int(b), float(c)) for a, b, c in zip(t, e, x1)
+    ]
+    df = spark.createDataFrame(
+        rows, "duration double, event int, x1 double"
+    )
+    out = weibull_aft(df, covariate_cols=["x1"]).collect()
+    assert all(r["n"] == 60 for r in out)
