@@ -5561,6 +5561,64 @@ def q_log_rank_k(spark, sf_dir):
     ).orderBy("grp")
 
 
+def q_grays_test(spark, sf_dir):
+    """Gray's test across market segments for the URGENT repeat
+    purchase under competing risks (operators/survival.grays_test):
+    the subdistribution-hazard k-sample comparison pairing with
+    cumulative_incidence — R_g(t) = Y_g·(1−F̂_g(t−))/Ŝ_g(t−) keeps
+    competing-event subjects at risk, census-weighted; MH covariance
+    on R; 2×2 Cramer quadratic form the oracle replays. An ordinary
+    log-rank here would censor routine purchases and answer the wrong
+    question."""
+    from econdatapipeline_spark.operators.survival import grays_test
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    ranked = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rk"),
+        F.lead("o_orderdate").over(w).alias("nxt"),
+        F.lead("o_orderpriority").over(w).alias("nxt_prio"),
+    ).filter(F.col("rk") == 1)
+    subjects = (
+        ranked.crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff("nxt", "o_orderdate"),
+            )
+            .otherwise(F.datediff("h", "o_orderdate"))
+            .cast("long")
+            .alias("duration"),
+            F.col("nxt").isNotNull().cast("int").alias("event"),
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.when(
+                    F.col("nxt_prio").isin("1-URGENT", "2-HIGH"),
+                    F.lit("urgent"),
+                ).otherwise(F.lit("routine")),
+            ).alias("cause"),
+            "c_mktsegment",
+        )
+    )
+    return grays_test(
+        subjects,
+        "c_mktsegment",
+        ["BUILDING", "AUTOMOBILE", "MACHINERY"],
+        "duration",
+        "event",
+        "cause",
+        "urgent",
+    ).orderBy("grp")
+
+
 def q_cox_ph_multi(spark, sf_dir):
     """Multivariate Cox proportional-hazards fit: BUILDING-segment
     membership AND account balance as joint repeat-purchase hazard
@@ -6213,6 +6271,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "kmeans_seedplus": q_kmeans_seedplus,
         "cuped_adjust": q_cuped_adjust,
         "log_rank_k": q_log_rank_k,
+        "grays_test": q_grays_test,
         "mann_kendall": q_mann_kendall,
         "srm_check": q_srm_check,
         "weibull_fit": q_weibull_fit,
@@ -14253,6 +14312,163 @@ def oracle_sql() -> dict[str, str]:
                           / (v11 * v22 - v12 * v12) END, 6) AS chi2,
                CAST(2 AS INTEGER) AS dof
         FROM gl LEFT JOIN tot USING (g) CROSS JOIN ag
+    """
+
+    # Gray's test: per-group KM/CIF prefixes on the times x k
+    # scaffold (partitioned windows), subdistribution risk set
+    # R_g = Y_g*(1-F(t-))/S(t-), MH covariance on R, Cramer 2x2 —
+    # every double operation in the operator's order; the r-pivot is
+    # MAX(CASE), no floating addition.
+    _gry_rt = "(r1 + r2 + r3)"
+    _gry_dt = "CAST(d1 + d2 + d3 AS DOUBLE)"
+    _gry_ct = (
+        f"CASE WHEN {_gry_rt} > 1.0 THEN {_gry_dt}"
+        f" * ({_gry_rt} - {_gry_dt}) / ({_gry_rt} - 1.0)"
+        " ELSE 0.0 END"
+    )
+    _gry_p = lambda i: f"(r{i} / {_gry_rt})"  # noqa: E731
+    _gry_z = lambda i: (  # noqa: E731
+        f"CAST(SUM(CAST(CAST(d{i} AS DOUBLE)"
+        f" - {_gry_dt} * r{i} / {_gry_rt}"
+        f" AS DECIMAL(28,12))) AS DOUBLE) AS z{i}"
+    )
+    _gry_v = lambda i, j, delta: (  # noqa: E731
+        f"CAST(SUM(CAST({_gry_ct} * ({delta} * {_gry_p(i)}"
+        f" - {_gry_p(i)} * {_gry_p(j)})"
+        f" AS DECIMAL(28,12))) AS DOUBLE) AS v{i}{j}"
+    )
+    _gry_e = lambda i: (  # noqa: E731
+        f"CAST(SUM(CAST({_gry_dt} * r{i} / {_gry_rt}"
+        f" AS DECIMAL(28,12))) AS DOUBLE) AS e{i}"
+    )
+    _gry_ok = "(v11 * v22 - v12 * v12) > 0 AND v11 > 0 AND v22 > 0"
+    _gry_chi = (
+        "(z1 * (v22 * z1 - v12 * z2) + z2 * (v11 * z2 - v12 * z1))"
+        " / (v11 * v22 - v12 * v12)"
+    )
+    sql["grays_test"] = f"""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt,
+                 LEAD(o_orderpriority) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC)
+                   AS nxt_prio
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        gsubj AS (
+          SELECT CAST(CASE WHEN nxt IS NOT NULL
+                      THEN date_diff('day', o_orderdate, nxt)
+                      ELSE date_diff('day', o_orderdate, h.h) END
+                      AS BIGINT) AS t,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e,
+                 CASE WHEN nxt IS NOT NULL THEN
+                      CASE WHEN nxt_prio IN ('1-URGENT', '2-HIGH')
+                           THEN 'urgent' ELSE 'routine' END
+                 END AS c,
+                 CASE c_mktsegment WHEN 'BUILDING' THEN 1
+                      WHEN 'AUTOMOBILE' THEN 2
+                      WHEN 'MACHINERY' THEN 3 END AS g
+          FROM ranked CROSS JOIN h
+          JOIN customer ON o_custkey = c_custkey
+          WHERE rk = 1 AND c_mktsegment IN
+                ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+        gper AS (
+          SELECT t, g,
+                 CAST(SUM(CASE WHEN e = 1 AND c = 'urgent'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                 CAST(SUM(e) AS BIGINT) AS dall,
+                 CAST(COUNT(*) AS BIGINT) AS subj
+          FROM gsubj GROUP BY 1, 2),
+        ggrid AS (
+          SELECT t, g
+          FROM (SELECT DISTINCT t FROM gper)
+          CROSS JOIN (SELECT unnest([1, 2, 3]) AS g)),
+        gfull AS (
+          SELECT ggrid.t, ggrid.g, COALESCE(d1, 0) AS d1,
+                 COALESCE(dall, 0) AS dall, COALESCE(subj, 0) AS subj
+          FROM ggrid LEFT JOIN gper USING (t, g)),
+        grisk AS (
+          SELECT *, CAST(SUM(subj) OVER (PARTITION BY g ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS y
+          FROM gfull),
+        gstaged AS (
+          SELECT *,
+                 CASE WHEN dall < y AND y > 0
+                      THEN CAST(CAST(ln(CAST(y - dall AS DOUBLE)
+                           / CAST(y AS DOUBLE)) AS DECIMAL(18,9))
+                           * 1000000000 AS BIGINT)
+                      ELSE 0 END AS lnq,
+                 CASE WHEN y > 0 AND dall >= y THEN 1 ELSE 0 END AS dead
+          FROM grisk),
+        gcum AS (
+          SELECT *, SUM(lnq) OVER wa AS cum_lnq,
+                 SUM(dead) OVER wa AS cum_dead
+          FROM gstaged
+          WINDOW wa AS (PARTITION BY g ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+        gincs AS (
+          SELECT *,
+                 CASE WHEN cum_dead - dead >= 1 THEN 0.0
+                      ELSE exp(CAST(cum_lnq - lnq AS DOUBLE)
+                           / 1000000000.0) END AS s_before,
+                 CASE WHEN y > 0 THEN
+                      CAST((CASE WHEN cum_dead - dead >= 1 THEN 0.0
+                            ELSE exp(CAST(cum_lnq - lnq AS DOUBLE)
+                                 / 1000000000.0) END)
+                           * CAST(d1 AS DOUBLE) / CAST(y AS DOUBLE)
+                           AS DECIMAL(28,12))
+                      ELSE CAST(0 AS DECIMAL(28,12)) END AS inc1
+          FROM gcum),
+        gcifs AS (
+          SELECT *, SUM(inc1) OVER wa AS f1
+          FROM gincs
+          WINDOW wa AS (PARTITION BY g ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+        gready AS (
+          SELECT t, g, d1,
+                 CASE WHEN s_before > 0
+                      THEN CAST(y AS DOUBLE)
+                           * (1.0 - CAST(f1 - inc1 AS DOUBLE))
+                           / s_before
+                      ELSE 0.0 END AS r
+          FROM gcifs),
+        gwide AS (
+          SELECT t,
+                 SUM(CASE WHEN g = 1 THEN d1 ELSE 0 END) AS d1,
+                 SUM(CASE WHEN g = 2 THEN d1 ELSE 0 END) AS d2,
+                 SUM(CASE WHEN g = 3 THEN d1 ELSE 0 END) AS d3,
+                 MAX(CASE WHEN g = 1 THEN r END) AS r1,
+                 MAX(CASE WHEN g = 2 THEN r END) AS r2,
+                 MAX(CASE WHEN g = 3 THEN r END) AS r3
+          FROM gready GROUP BY t),
+        gterms AS (SELECT * FROM gwide
+                   WHERE (d1 + d2 + d3) > 0 AND {_gry_rt} > 0),
+        gag AS (
+          SELECT {_gry_z(1)}, {_gry_z(2)},
+                 {_gry_v(1, 1, "1.0")}, {_gry_v(1, 2, "0.0")},
+                 {_gry_v(2, 2, "1.0")},
+                 {_gry_e(1)}, {_gry_e(2)}, {_gry_e(3)}
+          FROM gterms),
+        gtot AS (
+          SELECT g, CAST(SUM(subj) AS BIGINT) AS n,
+                 CAST(SUM(d1) AS BIGINT) AS observed
+          FROM gper GROUP BY g),
+        ggl AS (SELECT * FROM (VALUES ('BUILDING', 1),
+                ('AUTOMOBILE', 2), ('MACHINERY', 3)) AS v(grp, g))
+        SELECT ggl.grp, COALESCE(gtot.n, 0) AS n,
+               COALESCE(gtot.observed, 0) AS observed,
+               round(CASE ggl.g WHEN 1 THEN e1 WHEN 2 THEN e2
+                     ELSE e3 END, 6) AS expected,
+               round(CASE WHEN {_gry_ok} THEN {_gry_chi} END, 6)
+                 AS chi2,
+               CAST(2 AS INTEGER) AS dof
+        FROM ggl LEFT JOIN gtot USING (g) CROSS JOIN gag
     """
 
     # Multivariate Cox (p=2): the weighted Newton unrolled. Each round

@@ -1833,3 +1833,285 @@ def weibull_aft(
             F.col("r.z").alias("z"),
         )
     )
+
+
+def grays_test(
+    df: DataFrame,
+    group_col: str,
+    groups: list,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    cause_col: str = "cause",
+    cause=None,
+) -> DataFrame:
+    """Gray's test for a cause-specific cumulative incidence under
+    competing risks -> one row per group
+    (grp, n, observed, expected, chi2, dof) — observed/expected count
+    the TARGET cause's events; chi2/dof repeated per row; dof = k−1.
+
+    The k-group comparison that pairs with cumulative_incidence the
+    way log_rank_k pairs with kaplan_meier (VERDICT r8 #4): under
+    competing risks an ordinary log-rank on the target cause answers
+    the wrong question (it censors competing events, comparing
+    cause-specific hazards, not incidence). Gray (1988)'s rho = 0
+    score compares SUBDISTRIBUTION hazards by keeping subjects who
+    failed of a competing cause in the risk set, census-weighted:
+
+        R_g(t) = Y_g(t) · (1 − F̂_g(t−)) / Ŝ_g(t−)
+        Z_g    = Σ_{t: d_1(t)>0} [ d_1g(t) − R_g(t)·d_1(t)/R(t) ]
+
+    with Y_g the ordinary at-risk count, F̂_g the group's target-cause
+    Aalen-Johansen CIF, Ŝ_g the group's all-cause KM, d_1g the
+    group's target-cause events. The covariance is the
+    Mantel-Haenszel-style form of log_rank_k evaluated on R (the
+    practical subdistribution-log-rank variance), NOT Gray's full
+    asymptotic variance estimator — documented simplification. The
+    REDUCTION is exact by construction: with a single cause
+    1 − F̂_g(t−) = Ŝ_g(t−) so R_g ≡ Y_g (up to the shared ln-class
+    quantization) and the statistic IS log_rank_k (pytest-pinned).
+    Any event row whose cause differs from ``cause`` (including null
+    cause) is a competing event.
+
+    Relational shape: ONE pinned (t, group) collapse carrying
+    (d_target, d_all, arrivals); times×k scaffold; per-group
+    PARTITIONED windows on the times-sized relation derive Y_g, the
+    KM ln-prefix (the kaplan_meier scaled-long lnq idiom), and the
+    CIF prefix (one ascending decimal(28,12) cumsum of
+    S(t−)·d_1/Y increments); one wide per-time pivot; every Z/V term
+    quantized to decimal(28,12) before one order-free aggregate. The
+    (k−1)-dim solve is driver-side O(1): k <= 3 uses the EXPLICIT
+    Cramer quadratic form an SQL oracle replays
+    operation-for-operation; k >= 4 uses the fixed-order Gaussian
+    elimination of timeseries._gauss_solve_fixed (same op order an
+    oracle COULD chain; twin-tested). Singular V returns NULL chi2
+    (never-fabricate).
+    """
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    if cause is None:
+        raise ValueError("cause must name the target cause value")
+    k = len(groups)
+    if k < 2 or k > 5:
+        raise ValueError(f"need 2..5 groups, got {k}")
+    if len(set(groups)) != k:
+        raise ValueError("groups must be distinct")
+    spark = df.sparkSession
+    gexpr = F.col(group_col)
+    tag = None
+    for i, gv in enumerate(groups, 1):
+        cond = gexpr == gv
+        tag = F.when(cond, F.lit(i)) if tag is None else tag.when(
+            cond, F.lit(i)
+        )
+    is_target = (F.col("e") == 1) & (
+        F.col("c").isNotNull() & (F.col("c") == str(cause))
+    )
+    per_tg = (
+        df.filter(gexpr.isin(list(groups)))
+        .select(
+            F.col(duration_col).cast("long").alias("t"),
+            tag.alias("g"),
+            F.col(event_col).cast("int").alias("e"),
+            F.col(cause_col).cast("string").alias("c"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t", "g")
+        .agg(
+            F.sum(F.when(is_target, 1).otherwise(0))
+            .cast("long")
+            .alias("d1"),
+            F.sum("e").cast("long").alias("dall"),
+            F.count(F.lit(1)).cast("long").alias("subj"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grid = per_tg.select("t").distinct().select(
+        "t",
+        F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])).alias(
+            "g"
+        ),
+    )
+    full = grid.join(per_tg, ["t", "g"], "left").fillna(
+        0, ["d1", "dall", "subj"]
+    )
+    w_rev = (
+        Window.partitionBy("g")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.partitionBy("g")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = full.withColumn("y", F.sum("subj").over(w_rev))
+    lnq = F.when(
+        (F.col("dall") < F.col("y")) & (F.col("y") > 0),
+        (
+            F.log(
+                (F.col("y") - F.col("dall")).cast("double")
+                / F.col("y").cast("double")
+            ).cast("decimal(18,9)")
+            * F.lit(1000000000)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    dead = (
+        F.when(
+            (F.col("y") > 0) & (F.col("dall") >= F.col("y")), 1
+        ).otherwise(0)
+    ).cast("long")
+    staged = risk.withColumn("lnq", lnq).withColumn("dead", dead)
+    cum = staged.withColumn(
+        "cum_lnq", F.sum("lnq").over(w_asc)
+    ).withColumn("cum_dead", F.sum("dead").over(w_asc))
+    s_before = F.when(
+        (F.col("cum_dead") - F.col("dead")) >= 1, F.lit(0.0)
+    ).otherwise(
+        F.exp(
+            (F.col("cum_lnq") - F.col("lnq")).cast("double")
+            / F.lit(1000000000.0)
+        )
+    )
+    inc1 = F.when(
+        F.col("y") > 0,
+        (
+            s_before
+            * F.col("d1").cast("double")
+            / F.col("y").cast("double")
+        ).cast("decimal(28,12)"),
+    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+    terms = cum.withColumn("inc1", inc1).withColumn(
+        "f1", F.sum("inc1").over(w_asc)
+    )
+    f_before = (F.col("f1") - F.col("inc1")).cast("double")
+    r_sub = F.when(
+        s_before > 0,
+        F.col("y").cast("double") * (F.lit(1.0) - f_before) / s_before,
+    ).otherwise(F.lit(0.0))
+    ready = terms.withColumn("r", r_sub)
+    wide = ready.groupBy("t").agg(
+        *[
+            F.sum(
+                F.when(F.col("g") == i, F.col("d1")).otherwise(0)
+            ).alias(f"d{i}")
+            for i in range(1, k + 1)
+        ],
+        *[
+            # max, not sum: exactly one row matches g == i, and max
+            # extracts it with NO floating addition — the pivot stays
+            # order-free even though r is a double
+            F.max(
+                F.when(F.col("g") == i, F.col("r"))
+            ).alias(f"r{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    dt = sum(F.col(f"d{i}") for i in range(1, k + 1))
+    rt = sum(F.col(f"r{i}") for i in range(1, k + 1))
+    dtd = dt.cast("double")
+    ct = F.when(
+        rt > 1.0,
+        dtd * (rt - dtd) / (rt - 1.0),
+    ).otherwise(0.0)
+    aggs = []
+    for i in range(1, k):
+        aggs.append(
+            F.sum(
+                (
+                    F.col(f"d{i}").cast("double")
+                    - dtd * F.col(f"r{i}") / rt
+                ).cast("decimal(28,12)")
+            ).alias(f"z{i}")
+        )
+    for i in range(1, k):
+        for j in range(i, k):
+            pi = F.col(f"r{i}") / rt
+            pj = F.col(f"r{j}") / rt
+            delta = 1.0 if i == j else 0.0
+            aggs.append(
+                F.sum(
+                    (ct * (F.lit(delta) * pi - pi * pj)).cast(
+                        "decimal(28,12)"
+                    )
+                ).alias(f"v{i}{j}")
+            )
+    eaggs = [
+        F.sum(
+            (dtd * F.col(f"r{i}") / rt).cast("decimal(28,12)")
+        ).alias(f"e{i}")
+        for i in range(1, k + 1)
+    ]
+    ev_times = wide.filter((dt > 0) & (rt > 0))
+    row = ev_times.agg(*aggs, *eaggs).first()
+    z = [
+        float(row[f"z{i}"]) if row[f"z{i}"] is not None else 0.0
+        for i in range(1, k)
+    ]
+    m = k - 1
+    vmat = [[0.0] * m for _ in range(m)]
+    for i in range(1, k):
+        for j in range(i, k):
+            v = (
+                float(row[f"v{i}{j}"])
+                if row[f"v{i}{j}"] is not None
+                else 0.0
+            )
+            vmat[i - 1][j - 1] = v
+            vmat[j - 1][i - 1] = v
+    chi2 = None
+    if m == 1:
+        v11 = vmat[0][0]
+        if v11 > 0:
+            chi2 = z[0] * z[0] / v11
+    elif m == 2:
+        v11, v12, v22 = vmat[0][0], vmat[0][1], vmat[1][1]
+        det = v11 * v22 - v12 * v12
+        if det > 0 and v11 > 0 and v22 > 0:
+            chi2 = (
+                z[0] * (v22 * z[0] - v12 * z[1])
+                + z[1] * (v11 * z[1] - v12 * z[0])
+            ) / det
+    else:
+        from .timeseries import _gauss_solve_fixed  # noqa: PLC0415
+
+        sols = _gauss_solve_fixed(vmat, [z])
+        if sols is not None:
+            sol = sols[0]
+            acc = 0.0
+            for i in range(m):
+                acc = acc + z[i] * sol[i]
+            chi2 = acc
+    totals = per_tg.groupBy("g").agg(
+        F.sum("subj").cast("long").alias("n"),
+        F.sum("d1").cast("long").alias("observed"),
+    )
+
+    def r6(v):
+        if v is None:
+            return None
+        return float(
+            Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    tot_by = {r["g"]: r for r in totals.collect()}
+    rows = []
+    for i, gv in enumerate(groups, 1):
+        tr = tot_by.get(i)
+        ev = float(row[f"e{i}"]) if row[f"e{i}"] is not None else 0.0
+        rows.append(
+            (
+                str(gv),
+                int(tr["n"]) if tr else 0,
+                int(tr["observed"]) if tr else 0,
+                r6(ev),
+                r6(chi2),
+                k - 1,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "grp string, n long, observed long, expected double,"
+        " chi2 double, dof int",
+    )

@@ -1270,6 +1270,48 @@ def _gauss_steps(m: int, a_names: dict, b_names: list, prefix: str):
     return steps, betas, diag
 
 
+def _gauss_solve_fixed(a, bs):
+    """Driver-side multi-RHS solve replaying EXACTLY the operation
+    order _gauss_steps emits — no pivoting, row updates then RHS
+    update per (k, i), left-nested back-substitution — so a python
+    solve and an SQL-oracle solve of the same system produce
+    bit-identical doubles (the discipline that lets p >= 3 Newton
+    solves stay oracle-certified instead of falling back to numpy's
+    LAPACK, whose pivot order no SQL text can replay).
+
+    ``a`` is a full m x m matrix (list of rows), ``bs`` a list of RHS
+    vectors sharing one elimination. Returns the list of solution
+    vectors, or None when any elimination divisor is zero or any
+    final pivot is non-positive (the SQL ok-gate: SPD contract,
+    never-fabricate).
+    """
+    m = len(a)
+    cur = [[float(a[i][j]) for j in range(m)] for i in range(m)]
+    curbs = [[float(v) for v in b] for b in bs]
+    for k in range(m):
+        for i in range(k + 1, m):
+            if cur[k][k] == 0:
+                return None
+            f = cur[i][k] / cur[k][k]
+            for j in range(k + 1, m):
+                cur[i][j] = cur[i][j] - f * cur[k][j]
+            for b in curbs:
+                b[i] = b[i] - f * b[k]
+    for k in range(m):
+        if not cur[k][k] > 0:
+            return None
+    outs = []
+    for b in curbs:
+        beta = [0.0] * m
+        for i in reversed(range(m)):
+            expr = b[i]
+            for j in range(i + 1, m):
+                expr = expr - cur[i][j] * beta[j]
+            beta[i] = expr / cur[i][i]
+        outs.append(beta)
+    return outs
+
+
 def _step_levels(steps):
     """Group a (name, expr) step sequence into maximal batches where
     no expr references a name introduced in the SAME batch — so a

@@ -473,3 +473,223 @@ def test_weibull_aft_never_fabricates(spark):
     )
     out = weibull_aft(df, covariate_cols=["x1"]).collect()
     assert all(r["n"] == 60 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# grays_test
+# ---------------------------------------------------------------------------
+
+def _grays_numpy(t, e, c, g, groups, cause):
+    """Unquantized pure-python replay of the Gray rho=0 score with the
+    MH covariance on the subdistribution risk set (the operator's
+    documented form)."""
+    import collections
+
+    per = collections.defaultdict(lambda: [0, 0, 0])  # (t,g) -> d1,dall,subj
+    for ti, ei, ci, gi in zip(t, e, c, g):
+        if gi not in groups:
+            continue
+        row = per[(ti, gi)]
+        row[0] += 1 if (ei == 1 and ci == cause) else 0
+        row[1] += ei
+        row[2] += 1
+    times = sorted({ti for ti, _ in per})
+    k = len(groups)
+    Y = {gv: 0 for gv in groups}
+    # reverse cumulative at-risk
+    atrisk = {}
+    for gv in groups:
+        run = 0
+        for ti in reversed(times):
+            run += per.get((ti, gv), [0, 0, 0])[2]
+            atrisk[(ti, gv)] = run
+    # forward KM and CIF prefixes
+    R = {}
+    d1t = {}
+    for gv in groups:
+        s = 1.0
+        f = 0.0
+        for ti in times:
+            d1, dall, _ = per.get((ti, gv), [0, 0, 0])
+            y = atrisk[(ti, gv)]
+            s_before, f_before = s, f
+            if y > 0:
+                f += s_before * d1 / y
+                s *= (y - dall) / y if dall < y else 0.0
+            R[(ti, gv)] = (
+                y * (1.0 - f_before) / s_before if s_before > 0 else 0.0
+            )
+            d1t[(ti, gv)] = d1
+    z = []
+    exp_by = {gv: 0.0 for gv in groups}
+    vmat = [[0.0] * (k - 1) for _ in range(k - 1)]
+    zs = {gv: 0.0 for gv in groups}
+    for ti in times:
+        dtot = sum(d1t[(ti, gv)] for gv in groups)
+        rtot = sum(R[(ti, gv)] for gv in groups)
+        if dtot <= 0 or rtot <= 0:
+            continue
+        ct = dtot * (rtot - dtot) / (rtot - 1.0) if rtot > 1 else 0.0
+        for a, gv in enumerate(groups):
+            p = R[(ti, gv)] / rtot
+            exp_by[gv] += dtot * p
+            zs[gv] += d1t[(ti, gv)] - dtot * p
+        for a in range(k - 1):
+            for b in range(a, k - 1):
+                pa = R[(ti, groups[a])] / rtot
+                pb = R[(ti, groups[b])] / rtot
+                dd = 1.0 if a == b else 0.0
+                vmat[a][b] += ct * (dd * pa - pa * pb)
+                if a != b:
+                    vmat[b][a] = vmat[a][b]
+    z = [zs[gv] for gv in groups[: k - 1]]
+    sol = np.linalg.solve(np.array(vmat), np.array(z))
+    return float(np.dot(z, sol)), exp_by
+
+
+def _competing_fixture(n=400, seed=7):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        g = ["A", "B", "C"][i % 3]
+        t = int(rng.randint(1, 60))
+        e = int(rng.uniform() < 0.85)
+        c = None
+        if e:
+            c = (
+                "target"
+                if rng.uniform() < (0.7 if g == "A" else 0.4)
+                else "other"
+            )
+        rows.append((t, e, c, g))
+    return rows
+
+
+def test_grays_test_matches_python_replay(spark):
+    """The decimal-quantized Spark statistic agrees with an
+    unquantized pure-python replay of the same estimator to well
+    under the rounding grain."""
+    from econdatapipeline_spark.operators.survival import grays_test
+
+    rows = _competing_fixture()
+    df = spark.createDataFrame(
+        rows, "duration long, event int, cause string, grp string"
+    )
+    out = {
+        r["grp"]: r
+        for r in grays_test(
+            df, "grp", ["A", "B", "C"], cause="target"
+        ).collect()
+    }
+    t = [r[0] for r in rows]
+    e = [r[1] for r in rows]
+    c = [r[2] for r in rows]
+    g = [r[3] for r in rows]
+    chi2, exp_by = _grays_numpy(t, e, c, g, ["A", "B", "C"], "target")
+    for gv in ["A", "B", "C"]:
+        assert out[gv]["chi2"] == pytest.approx(chi2, abs=1e-4)
+        assert out[gv]["expected"] == pytest.approx(
+            exp_by[gv], abs=1e-4
+        )
+        assert out[gv]["dof"] == 2
+    # the group with the boosted target-cause rate is over-observed
+    assert out["A"]["observed"] > out["A"]["expected"]
+
+
+def test_grays_test_single_cause_reduces_to_log_rank_k(spark):
+    """With a single cause the subdistribution risk set R_g equals the
+    ordinary at-risk count Y_g (1 - F(t-) == S(t-)), so Gray's test IS
+    the k-sample log-rank — agreement to the shared ln-quantization
+    grain, censoring included."""
+    from econdatapipeline_spark.operators.survival import (
+        grays_test,
+        log_rank_k,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(450):
+        g = ["A", "B", "C"][i % 3]
+        t = int(rng.randint(1, 50) + (6 if g == "B" else 0))
+        e = int(rng.uniform() < 0.75)
+        rows.append((t, e, "only" if e else None, g))
+    df = spark.createDataFrame(
+        rows, "duration long, event int, cause string, grp string"
+    )
+    lr = {
+        r["grp"]: r
+        for r in log_rank_k(df, "grp", ["A", "B", "C"]).collect()
+    }
+    gt = {
+        r["grp"]: r
+        for r in grays_test(
+            df, "grp", ["A", "B", "C"], cause="only"
+        ).collect()
+    }
+    for gv in ["A", "B", "C"]:
+        assert gt[gv]["n"] == lr[gv]["n"]
+        assert gt[gv]["observed"] == lr[gv]["observed"]
+        assert gt[gv]["expected"] == pytest.approx(
+            lr[gv]["expected"], abs=1e-4
+        )
+        assert gt[gv]["chi2"] == pytest.approx(lr[gv]["chi2"], abs=1e-4)
+
+
+def test_grays_test_k4_fixed_gauss_matches_numpy(spark):
+    """k = 4 exercises the fixed-order Gaussian solve
+    (timeseries._gauss_solve_fixed); the quadratic form matches
+    numpy's solve on the same aggregates, and the helper itself is
+    bit-compatible with numpy on an SPD system."""
+    from econdatapipeline_spark.operators.survival import grays_test
+    from econdatapipeline_spark.operators.timeseries import (
+        _gauss_solve_fixed,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(600):
+        g = ["A", "B", "C", "D"][i % 4]
+        t = int(rng.randint(1, 40))
+        e = int(rng.uniform() < 0.8)
+        c = None
+        if e:
+            c = "tgt" if rng.uniform() < (0.3 + 0.15 * (i % 4)) else "oth"
+        rows.append((t, e, c, g))
+    df = spark.createDataFrame(
+        rows, "duration long, event int, cause string, grp string"
+    )
+    out = grays_test(
+        df, "grp", ["A", "B", "C", "D"], cause="tgt"
+    ).collect()
+    t = [r[0] for r in rows]
+    e = [r[1] for r in rows]
+    c = [r[2] for r in rows]
+    g = [r[3] for r in rows]
+    chi2, _ = _grays_numpy(t, e, c, g, ["A", "B", "C", "D"], "tgt")
+    assert out[0]["chi2"] == pytest.approx(chi2, abs=1e-4)
+    assert out[0]["dof"] == 3
+    # helper vs numpy on a random SPD system, multi-RHS
+    a = rng.normal(size=(5, 5))
+    spd = (a @ a.T + 5 * np.eye(5)).tolist()
+    rhs = [list(rng.normal(size=5)) for _ in range(3)]
+    sols = _gauss_solve_fixed(spd, rhs)
+    for got, b in zip(sols, rhs):
+        ref = np.linalg.solve(np.array(spd), np.array(b))
+        assert np.allclose(got, ref, atol=1e-9)
+    # indefinite system -> None (never-fabricate)
+    assert _gauss_solve_fixed([[1.0, 0.0], [0.0, -2.0]], [[1.0, 1.0]]) is None
+
+
+def test_grays_test_validation(spark):
+    from econdatapipeline_spark.operators.survival import grays_test
+
+    df = spark.createDataFrame(
+        [(1, 1, "x", "A")],
+        "duration long, event int, cause string, grp string",
+    )
+    with pytest.raises(ValueError, match="cause"):
+        grays_test(df, "grp", ["A", "B"])
+    with pytest.raises(ValueError, match="2..5"):
+        grays_test(df, "grp", ["A"], cause="x")
+    with pytest.raises(ValueError, match="distinct"):
+        grays_test(df, "grp", ["A", "A"], cause="x")
