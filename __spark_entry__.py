@@ -5671,6 +5671,63 @@ def q_cox_ph_multi(spark, sf_dir):
     )
 
 
+def q_cox_ph_multi3(spark, sf_dir):
+    """THREE-covariate Cox fit (BUILDING dummy, MACHINERY dummy,
+    account balance): pins the p >= 3 solve path of
+    operators/survival.cox_ph_multi — the driver-side fixed-order
+    no-pivot Gaussian elimination (timeseries._gauss_solve_fixed)
+    whose double sequence the generated oracle chains verbatim via
+    _gauss_steps, SE from unit-vector solves of the same elimination.
+    Closes the one previously numpy-only (uncertified) arithmetic
+    branch in the survival family (VERDICT r8 #5)."""
+    from econdatapipeline_spark.operators.survival import cox_ph_multi
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", 1.0)
+        .otherwise(0.0)
+        .alias("x_building"),
+        F.when(F.col("c_mktsegment") == "MACHINERY", 1.0)
+        .otherwise(0.0)
+        .alias("x_machinery"),
+        (F.col("c_acctbal") / 10000.0).alias("x_acctbal"),
+    )
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    ranked = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rk"),
+        F.lead("o_orderdate").over(w).alias("nxt"),
+    ).filter(F.col("rk") == 1)
+    subjects = (
+        ranked.crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff("nxt", "o_orderdate"),
+            )
+            .otherwise(F.datediff("h", "o_orderdate"))
+            .cast("long")
+            .alias("duration"),
+            F.col("nxt").isNotNull().cast("int").alias("event"),
+            "x_building",
+            "x_machinery",
+            "x_acctbal",
+        )
+    )
+    return cox_ph_multi(
+        subjects,
+        "duration",
+        "event",
+        ["x_building", "x_machinery", "x_acctbal"],
+        rounds=4,
+    ).orderBy("covariate")
+
+
 def q_cuped_adjust(spark, sf_dir):
     """CUPED variance-reduced experiment readout per priority
     (operators/evaluation.cuped_adjust): order price residualized on
@@ -6268,6 +6325,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "rolling_corr": q_rolling_corr,
         "cox_ph": q_cox_ph,
         "cox_ph_multi": q_cox_ph_multi,
+        "cox_ph_multi3": q_cox_ph_multi3,
         "kmeans_seedplus": q_kmeans_seedplus,
         "cuped_adjust": q_cuped_adjust,
         "log_rank_k": q_log_rank_k,
@@ -14609,6 +14667,179 @@ def oracle_sql() -> dict[str, str]:
                      6) AS z
         FROM fin CROSS JOIN tot
     """
+
+    # Three-covariate Cox: the p = 3 Newton with the solve as the
+    # generated fixed-order Gauss step sequence (timeseries._gauss_steps)
+    # the operator's driver-side _gauss_solve_fixed replays — identical
+    # double order by construction; SE from unit-vector solves of the
+    # same elimination.
+    from econdatapipeline_spark.operators.timeseries import (
+        _gauss_steps as _cgs,
+    )
+
+    def _cox_multi3_sql():
+        jk = [(j, k) for j in range(1, 4) for k in range(j, 4)]
+        a_names = {(j - 1, k - 1): f"i{j}{k}" for j, k in jk}
+        b_names = ["u1", "u2", "u3"]
+        upd_steps, upd_deltas, upd_diag = _cgs(3, a_names, b_names, "c")
+        upd_ok = " AND ".join(
+            f"{d} > 0" for d in dict.fromkeys(upd_diag)
+        )
+        agg_cols = []
+        for j in range(1, 4):
+            agg_cols.append(
+                f"SUM(CAST(wd * CAST(x{j} AS DOUBLE)"
+                f" AS DECIMAL(28,12))) AS awx{j}"
+            )
+        for j, k in jk:
+            agg_cols.append(
+                f"SUM(CAST((wd * CAST(x{j} AS DOUBLE))"
+                f" * CAST(x{k} AS DOUBLE) AS DECIMAL(28,12)))"
+                f" AS aww{j}{k}"
+            )
+        rk_cols = ["SUM(aw) OVER dw AS s0"] + [
+            f"SUM(awx{j}) OVER dw AS s1x{j}" for j in range(1, 4)
+        ] + [f"SUM(aww{j}{k}) OVER dw AS s{j}{k}" for j, k in jk]
+        mu = lambda j: (  # noqa: E731
+            f"(CAST(s1x{j} AS DOUBLE) / CAST(s0 AS DOUBLE))"
+        )
+        cui_cols = []
+        for j in range(1, 4):
+            cui_cols.append(
+                f"CAST(SUM(CAST(CAST(sx{j} AS DOUBLE)"
+                f" - CAST(d AS DOUBLE) * {mu(j)}"
+                f" AS DECIMAL(28,12))) AS DOUBLE) AS u{j}"
+            )
+        for j, k in jk:
+            cui_cols.append(
+                f"CAST(SUM(CAST(CAST(d AS DOUBLE)"
+                f" * (CAST(s{j}{k} AS DOUBLE) / CAST(s0 AS DOUBLE)"
+                f" - {mu(j)} * {mu(k)})"
+                f" AS DECIMAL(28,12))) AS DOUBLE) AS i{j}{k}"
+            )
+        cui_cols += [f"MIN(b{j}) AS b{j}" for j in range(1, 4)]
+        rounds = []
+        for i in range(1, 6):  # rounds 1..4 update; round 5 = final
+            prev = f"mcb{i - 1}"
+            rounds.append(f"""
+        mw{i} AS (
+          SELECT t, e, x1, x2, x3,
+                 CAST(CAST(exp(0.0 + b1 * CAST(x1 AS DOUBLE)
+                                    + b2 * CAST(x2 AS DOUBLE)
+                                    + b3 * CAST(x3 AS DOUBLE))
+                      AS DECIMAL(18,9)) AS DOUBLE) AS wd
+          FROM msubj CROSS JOIN {prev}),
+        mpt{i} AS (
+          SELECT t, SUM(CAST(wd AS DECIMAL(28,12))) AS aw,
+                 {", ".join(agg_cols)}
+          FROM mw{i} GROUP BY t),
+        mrk{i} AS (
+          SELECT t, {", ".join(rk_cols)}
+          FROM mpt{i}
+          WINDOW dw AS (ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+        mcui{i} AS (
+          SELECT {", ".join(cui_cols)}
+          FROM mrk{i} JOIN mcev USING (t) CROSS JOIN {prev}),""")
+            if i <= 4:
+                last = f"mcui{i}"
+                for s_i, batch in enumerate(_wlvl(upd_steps)):
+                    nxt = f"mcs{i}_{s_i}"
+                    cols = ", ".join(
+                        f"{e} AS {nm}" for nm, e in batch.items()
+                    )
+                    rounds.append(f"""
+        {nxt} AS (SELECT *, {cols} FROM {last}),""")
+                    last = nxt
+                sel = ", ".join(
+                    f"CASE WHEN {upd_ok} THEN"
+                    f" CAST(CAST(b{j} + {upd_deltas[j - 1]}"
+                    f" AS DECIMAL(18,9)) AS DOUBLE) END AS b{j}"
+                    for j in range(1, 4)
+                )
+                rounds.append(f"""
+        mcb{i} AS (SELECT {sel} FROM {last}),""")
+        # final: unit-vector solves for the inverse diagonal
+        se_parts = []
+        last = "mcui5"
+        var_names = []
+        fin_ok = [upd_ok.replace("c_", "q1_")]
+        for j in range(3):
+            rhs = ["1.0" if i == j else "0.0" for i in range(3)]
+            s, betas, diag = _cgs(3, a_names, rhs, f"q{j + 1}")
+            for s_i, batch in enumerate(_wlvl(s)):
+                nxt = f"mse{j}_{s_i}"
+                cols = ", ".join(
+                    f"{e} AS {nm}" for nm, e in batch.items()
+                )
+                se_parts.append(f"""
+        {nxt} AS (SELECT *, {cols} FROM {last}),""")
+                last = nxt
+            se_parts.append(f"""
+        msev{j} AS (SELECT *, {betas[j]} AS var{j + 1} FROM {last}),""")
+            last = f"msev{j}"
+            var_names.append(f"var{j + 1}")
+        okf = (
+            fin_ok[0]
+            + " AND " + " AND ".join(f"{v} > 0" for v in var_names)
+        )
+        outs = []
+        for j, cov in enumerate(
+            ["x_building", "x_machinery", "x_acctbal"], 1
+        ):
+            outs.append(f"""
+        SELECT '{cov}' AS covariate, mtot.n, mtot.n_events,
+               CASE WHEN {okf}
+                    THEN CAST(round(CAST(b{j} AS DECIMAL(18,9)), 6)
+                         AS DOUBLE) END AS beta,
+               round(CASE WHEN {okf} THEN exp(b{j}) END, 6) AS hr,
+               round(CASE WHEN {okf} THEN sqrt(var{j}) END, 6) AS se,
+               round(CASE WHEN {okf}
+                     THEN b{j} / sqrt(var{j}) END, 6) AS z
+        FROM mfin CROSS JOIN mtot""")
+        return f"""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        msubj AS (
+          SELECT CAST(CASE WHEN nxt IS NOT NULL
+                      THEN date_diff('day', o_orderdate, nxt)
+                      ELSE date_diff('day', o_orderdate, h.h) END
+                      AS BIGINT) AS t,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e,
+                 CAST(CASE WHEN c_mktsegment = 'BUILDING'
+                      THEN 1.0 ELSE 0.0 END AS DECIMAL(18,6)) AS x1,
+                 CAST(CASE WHEN c_mktsegment = 'MACHINERY'
+                      THEN 1.0 ELSE 0.0 END AS DECIMAL(18,6)) AS x2,
+                 CAST(c_acctbal / 10000.0 AS DECIMAL(18,6)) AS x3
+          FROM ranked CROSS JOIN h
+          JOIN customer ON o_custkey = c_custkey
+          WHERE rk = 1),
+        mcev AS (
+          SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+                 SUM(CASE WHEN e = 1 THEN x1
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS sx1,
+                 SUM(CASE WHEN e = 1 THEN x2
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS sx2,
+                 SUM(CASE WHEN e = 1 THEN x3
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS sx3
+          FROM msubj GROUP BY t HAVING CAST(SUM(e) AS BIGINT) >= 1),
+        mtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(e) AS BIGINT) AS n_events FROM msubj),
+        mcb0 AS (SELECT CAST(0.0 AS DOUBLE) AS b1,
+                        CAST(0.0 AS DOUBLE) AS b2,
+                        CAST(0.0 AS DOUBLE) AS b3),{"".join(rounds)}{"".join(se_parts)}
+        mfin AS (SELECT * FROM {last})
+        {(chr(10) + "        UNION ALL").join(outs)}
+        """
+
+    sql["cox_ph_multi3"] = _cox_multi3_sql()
 
     # k-means: the identical relational iteration unrolled — exact
     # decimal distance sums, floor-quantized centroid means, ties to

@@ -440,7 +440,9 @@ def log_rank_k(
     decimal(28,12) before one order-free aggregate. The (k−1)-dim
     solve is driver-side O(1): k = 3 uses the EXPLICIT Cramer
     quadratic-form an SQL oracle replays operation-for-operation
-    (the cox_ph_multi discipline); k ≥ 4 uses numpy (twin-tested).
+    (the cox_ph_multi discipline); k ≥ 4 replays the fixed-order
+    Gaussian elimination of timeseries._gauss_solve_fixed — the
+    SQL-replayable operation order (twin-tested).
     Singular V returns NULL chi2 (never-fabricate).
     """
     import math  # noqa: PLC0415 — doc symmetry with cox_ph
@@ -562,14 +564,14 @@ def log_rank_k(
                 + z[1] * (v11 * z[1] - v12 * z[0])
             ) / det
     else:
-        import numpy as np  # noqa: PLC0415
+        from .timeseries import _gauss_solve_fixed  # noqa: PLC0415
 
-        a = np.array(vmat, dtype=np.float64)
-        try:
-            sol = np.linalg.solve(a, np.array(z))
-            chi2 = float(np.dot(np.array(z), sol))
-        except np.linalg.LinAlgError:
-            chi2 = None
+        sols = _gauss_solve_fixed(vmat, [z])
+        if sols is not None:
+            acc = 0.0
+            for zi, si in zip(z, sols[0]):
+                acc = acc + zi * si
+            chi2 = acc
     totals = per_tg.groupBy("g").agg(
         F.sum("subj").cast("long").alias("n"),
         F.sum("d").cast("long").alias("observed"),
@@ -911,8 +913,12 @@ def cox_ph_multi(
     (_desc_cumsum_dec, size-gated distributed), one times-sized U/I
     aggregate, one 1-row collect. The p×p solve is driver-side O(1)
     (p ≤ 8 by contract): p ≤ 2 uses the EXPLICIT Cramer formulas an
-    SQL oracle replays operation-for-operation; p ≥ 3 uses numpy's
-    solve (twin-tested in pytest, not SQL-certified).
+    SQL oracle replays operation-for-operation; p ≥ 3 replays the
+    fixed-order no-pivot Gaussian elimination of
+    timeseries._gauss_solve_fixed — the same double sequence a
+    generated SQL oracle chains via _gauss_steps, so the survival
+    family stays oracle-certified at any p ≤ 8 (q_cox_ph_multi3
+    pins p = 3).
 
     Engine parity: inputs quantize to decimal(18,6); the linear
     predictor is a fixed left-to-right double chain of
@@ -1051,7 +1057,15 @@ def cox_ph_multi(
 
     def solve(imat, u):
         """I⁻¹u plus the diagonal of I⁻¹ — p <= 2 via the EXPLICIT
-        Cramer operation order the SQL oracle replays; p >= 3 numpy."""
+        Cramer operation order the SQL oracle replays (unchanged,
+        hash-pinned); p >= 3 via timeseries._gauss_solve_fixed, the
+        driver-side replay of the _gauss_steps operation order, so a
+        generated SQL oracle chains the IDENTICAL double sequence
+        (closing VERDICT r8 #5 — numpy's LAPACK pivot order was the
+        one uncertified arithmetic branch in the survival family).
+        The per-round gate is the elimination pivots > 0 on both
+        engines; the inverse diagonal feeds the final variance gate.
+        """
         if p == 1:
             i11 = imat[0][0]
             if i11 <= 0:
@@ -1067,20 +1081,15 @@ def cox_ph_multi(
                 (i11 * u[1] - i12 * u[0]) / det,
             ]
             return delta, [i22 / det, i11 / det]
-        import numpy as np  # noqa: PLC0415
+        from .timeseries import _gauss_solve_fixed  # noqa: PLC0415
 
-        a = np.array(imat, dtype=np.float64)
-        try:
-            inv = np.linalg.inv(a)
-        except np.linalg.LinAlgError:
-            return None, None
-        if any(inv[j][j] <= 0 for j in range(p)) or any(
-            a[j][j] <= 0 for j in range(p)
-        ):
-            return None, None
-        return list(np.asarray(inv @ np.array(u))), [
-            float(inv[j][j]) for j in range(p)
+        rhss = [list(u)] + [
+            [1.0 if i == j else 0.0 for i in range(p)] for j in range(p)
         ]
+        sols = _gauss_solve_fixed(imat, rhss)
+        if sols is None:
+            return None, None
+        return sols[0], [sols[1 + j][j] for j in range(p)]
 
     betas = [0.0] * p
     degenerate = False
@@ -1095,7 +1104,9 @@ def cox_ph_multi(
     if not degenerate:
         _, imat = ui_at([float(d18_9(b)) for b in betas])
         _, var_diag = solve(imat, [0.0] * p)
-        degenerate = var_diag is None
+        degenerate = var_diag is None or any(
+            v <= 0 for v in var_diag
+        )
     rows = []
 
     def r6(v: float) -> float:

@@ -693,3 +693,39 @@ def test_grays_test_validation(spark):
         grays_test(df, "grp", ["A"], cause="x")
     with pytest.raises(ValueError, match="distinct"):
         grays_test(df, "grp", ["A", "A"], cause="x")
+
+
+# ---------------------------------------------------------------------------
+# cox_ph_multi p >= 3: fixed-order Gauss replaces numpy (VERDICT r8 #5)
+# ---------------------------------------------------------------------------
+
+def test_cox_ph_multi_p3_matches_numpy_reference(spark):
+    """The p = 3 path now solves via timeseries._gauss_solve_fixed
+    (the SQL-replayable operation order); the fit still equals the
+    unquantized numpy Newton replay to ~1e-5 — same estimates, now
+    oracle-certifiable."""
+    from econdatapipeline_spark.operators.survival import cox_ph_multi
+    from tests.test_round8_ops import _numpy_cox_reference
+
+    rows = []
+    for i in range(300):
+        x1 = float(i % 2)
+        x2 = (i % 7) / 7.0
+        x3 = ((i * 13) % 11) / 11.0 - 0.5
+        base = 5 + (i * 37 % 50)
+        dur = max(1, int(base * (1.5 if x1 else 1.0) - 10 * x2 + 4 * x3))
+        event = 1 if (i % 5) != 0 else 0
+        rows.append((dur, event, x1, x2, x3))
+    df = spark.createDataFrame(
+        rows, "duration long, event int, x1 double, x2 double, x3 double"
+    )
+    got = {
+        r["covariate"]: r
+        for r in cox_ph_multi(
+            df, "duration", "event", ["x1", "x2", "x3"], rounds=4
+        ).collect()
+    }
+    beta, se = _numpy_cox_reference(rows)
+    for j, c in enumerate(["x1", "x2", "x3"]):
+        assert got[c]["beta"] == pytest.approx(beta[j], abs=2e-5), c
+        assert got[c]["se"] == pytest.approx(se[j], abs=2e-5), c
