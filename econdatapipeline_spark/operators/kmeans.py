@@ -101,6 +101,180 @@ def _kmeanspp_md5_seeds(vecs, k: int, salt: str = "kpp") -> list[int]:
     return [i for i, _ in chosen]
 
 
+def _md5_uniform_py(prefix: str, ident) -> float:
+    """Driver-side replica of _md5_uniform — same hash, same rational,
+    so deterministic choices over a SMALL candidate set (the k-means‖
+    finish) use the identical randomness idiom as the corpus races."""
+    import hashlib  # noqa: PLC0415
+
+    h = hashlib.md5(f"{prefix}{ident}".encode()).hexdigest()[:8]
+    return (int(h, 16) % 1000003 + 1) / 1000005.0
+
+
+def _kmeanspar_md5_seeds(
+    vecs,
+    k: int,
+    salt: str = "kpar",
+    ell: int | None = None,
+    rounds: int = 5,
+) -> list[int]:
+    """Deterministic k-means‖ (Bahmani et al. 2012) seed ids — the
+    LARGE-k seeding path (VERDICT r8 #2). _kmeanspp_md5_seeds runs
+    k−1 sequential full-corpus D² races: O(k²·n·d) work and k−1 job
+    barriers, a latency cliff at production k (hundreds+, e.g.
+    semdedup bucketing). k-means‖ OVERSAMPLES instead: each of the
+    bounded ``rounds`` takes the top-ℓ (ℓ = 2k default) points by the
+    same md5-uniform Efraimidis-Spirakis key ln(u)/D² in ONE race,
+    then the ≤ 1+ℓ·rounds candidates are finished driver-side by
+    WEIGHTED k-means++ (weight = corpus points nearest each
+    candidate) using the identical md5 randomness. Corpus passes are
+    ROUNDS-NOT-K: 2 per round (top-ℓ race + carried-min update) plus
+    one weight pass — ~2·rounds+2 total at ANY k (SCALE.md probe).
+
+    The carried min-distance column updates through a vectorized
+    Arrow mapInPandas kernel (x@C.T matmul against the ≤ℓ new
+    candidate rows) — a documented Arrow site: this path exists for
+    large k where the certified decimal fold expression would bloat
+    the plan (ℓ·d literal terms per round); it is NOT
+    oracle-certified (double arithmetic), which is why the k <= 8
+    gate keeps _kmeanspp_md5_seeds as the certified path.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    if ell is None:
+        ell = 2 * k
+    u1 = _md5_uniform(f"{salt}:1:", F.col("id"))
+    first = (
+        vecs.select("id", "v", u1.alias("u"))
+        .orderBy(F.col("u").desc(), F.col("id").desc())
+        .first()
+    )
+    cand_ids = [int(first["id"])]
+    cand_vecs = [list(first["v"])]
+
+    def min_dist_kernel(cmat, carry_w):
+        import pandas as pd  # noqa: PLC0415
+
+        c2 = (cmat * cmat).sum(axis=1)
+
+        def kernel(batches):
+            for pdf in batches:
+                x = np.array(pdf["v"].tolist(), dtype=np.float64)
+                d = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ cmat.T)
+                    + c2[None, :]
+                )
+                dm = np.maximum(d.min(axis=1), 0.0)
+                if carry_w:
+                    dm = np.minimum(
+                        pdf["w"].to_numpy(dtype=np.float64), dm
+                    )
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "v": pdf["v"], "w": dm}
+                )
+
+        return kernel
+
+    cur = vecs.mapInPandas(
+        min_dist_kernel(np.array(cand_vecs), False),
+        "id long, v array<double>, w double",
+    ).localCheckpoint(eager=True)
+    for r in range(2, rounds + 2):
+        u = _md5_uniform(f"{salt}:{r}:", F.col("id"))
+        key = F.log(u) / F.col("w")
+        picks = (
+            cur.filter(F.col("w") > 0)
+            .select("id", "v", key.alias("key"))
+            .orderBy(F.col("key").desc(), F.col("id").desc())
+            .limit(ell)
+            .collect()
+        )
+        if not picks:
+            break
+        new_vecs = np.array([list(p["v"]) for p in picks])
+        cand_ids.extend(int(p["id"]) for p in picks)
+        cand_vecs.extend(list(p["v"]) for p in picks)
+        cur = cur.mapInPandas(
+            min_dist_kernel(new_vecs, True),
+            "id long, v array<double>, w double",
+        ).localCheckpoint(eager=True)
+    if len(cand_ids) < k:
+        raise ValueError(
+            f"k-means|| found fewer than {k} distinct candidates"
+        )
+    # ONE weight pass: corpus points per nearest candidate (ties to
+    # the LOWEST candidate index — numpy argmin's first-minimum rule)
+    cmat = np.array(cand_vecs)
+    c2 = (cmat * cmat).sum(axis=1)
+
+    def weight_kernel(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            d = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ cmat.T)
+                + c2[None, :]
+            )
+            yield pd.DataFrame({"ci": d.argmin(axis=1)})
+
+    wrows = (
+        vecs.mapInPandas(weight_kernel, "ci int")
+        .groupBy("ci")
+        .count()
+        .collect()
+    )
+    weights = {int(r["ci"]): int(r["count"]) for r in wrows}
+    # driver-side weighted k-means++ over the candidate set (<=
+    # 1+ell*rounds rows): the E-S race again, weight*D² sampling,
+    # ties to the larger candidate id
+    order = sorted(
+        range(len(cand_ids)),
+        key=lambda i: (
+            -(
+                (np.log(_md5_uniform_py(f"{salt}:w1:", cand_ids[i])))
+                / max(weights.get(i, 0), 1e-12)
+            ),
+            -cand_ids[i],
+        ),
+    )
+    chosen = [order[0]]
+    for step in range(2, k + 1):
+        best = None
+        best_key = None
+        for i in range(len(cand_ids)):
+            if i in chosen:
+                continue
+            d2 = min(
+                float(((cmat[i] - cmat[j]) ** 2).sum()) for j in chosen
+            )
+            wgt = weights.get(i, 0) * d2
+            if wgt <= 0:
+                continue
+            key = (
+                np.log(
+                    _md5_uniform_py(
+                        f"{salt}:w{step}:", cand_ids[i]
+                    )
+                )
+                / wgt
+            )
+            if (
+                best_key is None
+                or key > best_key
+                or (key == best_key and cand_ids[i] > cand_ids[best])
+            ):
+                best, best_key = i, key
+        if best is None:
+            raise ValueError(
+                f"k-means|| found fewer than {k} distinct candidates"
+            )
+        chosen.append(best)
+    return [cand_ids[i] for i in chosen]
+
+
 def _fit(
     df: DataFrame,
     vec_col: str,
@@ -120,9 +294,10 @@ def _fit(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     spark = df.sparkSession
-    if init not in ("fixed", "kmeanspp_md5"):
+    if init not in ("fixed", "kmeanspp_md5", "kmeanspar_md5"):
         raise ValueError(
-            f"init must be fixed|kmeanspp_md5, got {init!r}"
+            f"init must be fixed|kmeanspp_md5|kmeanspar_md5,"
+            f" got {init!r}"
         )
     if use_arrow:
         exact = False  # the numpy kernel is double arithmetic
@@ -132,8 +307,18 @@ def _fit(
     ).localCheckpoint(eager=True)
     if seed_ids is not None:
         seeds = list(seed_ids)
+    elif init == "kmeanspar_md5":
+        seeds = _kmeanspar_md5_seeds(vecs, k)
     elif init == "kmeanspp_md5":
-        seeds = _kmeanspp_md5_seeds(vecs, k)
+        # AUTO-GATE on k (VERDICT r8 #2, the bradley_terry/markov
+        # pattern): the certified sequential D² race is O(k²·n·d)
+        # with k−1 job barriers — correct at contract k, a latency
+        # cliff at production k. Above the gate the k-means‖
+        # oversampling path runs rounds-not-k corpus passes.
+        if k <= 8:
+            seeds = _kmeanspp_md5_seeds(vecs, k)
+        else:
+            seeds = _kmeanspar_md5_seeds(vecs, k)
     else:
         seeds = list(range(k))
     if len(seeds) != k:
@@ -315,7 +500,11 @@ def kmeans_lloyd(
     deterministic k-means++ D² race (_kmeanspp_md5_seeds — the
     md5-uniform stream BOTH engines replay, so certification is
     preserved; quality certified by the kmeans_silhouette comparison
-    pytest). A cluster emptied during iteration stays empty (its
+    pytest) — AUTO-GATED at k > 8 to ``'kmeanspar_md5'``, the
+    deterministic k-means‖ oversampling path whose corpus passes are
+    rounds-not-k (_kmeanspar_md5_seeds, VERDICT r8 #2; double
+    arithmetic, not oracle-certified — pin k <= 8 or seed_ids for a
+    certified run). A cluster emptied during iteration stays empty (its
     centroid drops out of the relation), matching the oracle's
     semantics exactly.
 
