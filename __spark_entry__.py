@@ -2474,10 +2474,11 @@ def _two_batch_log(spark, sf_dir, materialize=True, run_ts1=None, run_ts2=None):
     ``materialize=False`` returns the fully lazy plans (no cache, no
     persist) — used by plan tests that prove predicate pruning through
     the log derivation, which an InMemoryRelation would mask. Such
-    tests should also pass distinct ``run_ts1``/``run_ts2`` stamps:
-    with the default literals the lazy plan is fragment-identical to
-    the persisted fixture and Spark's CacheManager silently swaps the
-    InMemoryRelation back in.
+    tests should also pass distinct ``run_ts1``/``run_ts2`` stamps
+    (historically the persisted fixture's CacheManager could swap an
+    InMemoryRelation into a fragment-identical lazy plan; the
+    checkpointed fixture no longer registers with the CacheManager,
+    but distinct stamps keep the twin unambiguous).
     """
     run_ts1 = run_ts1 or RUN_TS
     run_ts2 = run_ts2 or RUN_TS2
@@ -2497,21 +2498,25 @@ def _two_batch_log(spark, sf_dir, materialize=True, run_ts1=None, run_ts2=None):
     # Chained merges are the iterative-state pattern: materialize batch
     # 1's output once (it feeds batch 2's anti join, inner join, AND
     # merged union) instead of replanning the first merge per branch.
-    # persist + count keeps the merge's logical plan visible to
-    # explain()/plan tooling (localCheckpoint would blind it).
+    # localCheckpoint (not persist): an InMemoryRelation re-prints its
+    # full child lineage at EVERY reference, so the three SCD
+    # consumers' audited plans each counted the two-merge build 2-3x
+    # over (scd2_join: 64 exchanges / 189 broadcasts in PLANS.md r8 —
+    # the largest remaining plan, VERDICT r8 #6). The checkpoint
+    # truncates lineage to a scan, so each SCD query's plan shows its
+    # OWN operator shape; the merge plan itself stays audited via
+    # merge_inserts/merge_revisions and the materialize=False twin
+    # below (used by the pruning plan tests).
     if materialize:
-        m1 = res1.merged.persist()
-        m1.count()
+        m1 = res1.merged.localCheckpoint(eager=True)
     else:
         m1 = res1.merged
     res2 = smart_update(m1, incoming2, ["okey"], ["total"], "orders_sim", run_ts=run_ts2)
     merged = res2.merged
     revlog = res1.revisions.unionByName(res2.revisions)
     if materialize:
-        merged = merged.persist()
-        revlog = revlog.persist()
-        merged.count()
-        revlog.count()
+        merged = merged.localCheckpoint(eager=True)
+        revlog = revlog.localCheckpoint(eager=True)
         _TWO_BATCH_CACHE[key] = (merged, revlog)
     return merged, revlog
 
