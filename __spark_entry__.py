@@ -3347,6 +3347,34 @@ def q_kaplan_meier(spark, sf_dir):
     return kaplan_meier(subjects)
 
 
+def q_kaplan_meier_ci(spark, sf_dir):
+    """Kaplan-Meier curve WITH Greenwood variance and 95% log-log
+    confidence bands (operators/survival.kaplan_meier_ci): the same
+    fused size-gated cumsum machinery as q_kaplan_meier plus one
+    ascending SCALE-18 decimal cumsum for the Greenwood terms
+    (d/(n(n-d)) ~ 1e-15 at 20M subjects — below the standard scale-12
+    grain). Bands via S^exp(+-z*sigma_theta), always inside (0,1)."""
+    from econdatapipeline_spark.operators.survival import kaplan_meier_ci
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    ranked = o.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nxt", F.lead("o_orderdate").over(w)
+    )
+    first = ranked.filter(F.col("rk") == 1)
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    subjects = first.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.datediff(F.col("nxt"), F.col("o_orderdate")),
+        )
+        .otherwise(F.datediff(F.col("h"), F.col("o_orderdate")))
+        .alias("duration"),
+        F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    return kaplan_meier_ci(subjects)
+
+
 def q_median_survival(spark, sf_dir):
     """Median repeat-purchase time (operators/survival.median_survival):
     the smallest t where the Kaplan-Meier curve reaches S <= 0.5 —
@@ -6267,6 +6295,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "als_normal_eq": q_als_normal_eq,
         "bootstrap_ci": q_bootstrap_ci,
         "kaplan_meier": q_kaplan_meier,
+        "kaplan_meier_ci": q_kaplan_meier_ci,
         "median_survival": q_median_survival,
         "ranking_metrics": q_ranking_metrics,
         "oov_rate": q_oov_rate,
@@ -10207,6 +10236,49 @@ def oracle_sql() -> dict[str, str]:
                     ELSE round(exp(CAST(ln_s AS DOUBLE)), 6) END AS survival
         FROM curve
     """
+    # KM + Greenwood CI: the kaplan_meier chain plus a scale-18
+    # Greenwood cumsum and the log-log band — every double operation
+    # in the operator's order.
+    _kmci_lns = "CAST(ln_s AS DOUBLE)"
+    _kmci_cg = "CAST(cum_g AS DOUBLE)"
+    _kmci_sig = f"(sqrt({_kmci_cg}) / -{_kmci_lns})"
+    sql["kaplan_meier_ci"] = sql["kaplan_meier"][
+        : sql["kaplan_meier"].rindex("curve AS")
+    ] + f"""curve AS (
+          SELECT t, n_risk, n_events, n_censored,
+                 SUM(term) OVER (ORDER BY t ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ln_s,
+                 MAX(dead) OVER (ORDER BY t ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS died,
+                 SUM(CASE WHEN n_events > 0 AND n_events < n_risk THEN
+                       CAST(CAST(n_events AS DOUBLE)
+                            / (CAST(n_risk AS DOUBLE)
+                               * CAST(n_risk - n_events AS DOUBLE))
+                            AS DECIMAL(26,18))
+                     ELSE CAST(0 AS DECIMAL(26,18)) END)
+                   OVER (ORDER BY t ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_g
+          FROM terms)
+        SELECT t, n_risk, n_events, n_censored,
+               CASE WHEN died = 1 THEN 0.0
+                    ELSE round(exp({_kmci_lns}), 6) END AS survival,
+               CASE WHEN died = 1 THEN NULL
+                    ELSE round(exp({_kmci_lns}) * sqrt({_kmci_cg}), 6)
+               END AS se,
+               CASE WHEN died = 1 THEN NULL
+                    WHEN ln_s = 0 THEN 1.0
+                    ELSE round(exp({_kmci_lns}
+                         * exp(1.959964 * {_kmci_sig})), 6) END AS lo,
+               CASE WHEN died = 1 THEN NULL
+                    WHEN ln_s = 0 THEN 1.0
+                    ELSE round(exp({_kmci_lns}
+                         * exp(-1.959964 * {_kmci_sig})), 6) END AS hi
+        FROM curve
+    """
+
     # Median survival: the KM oracle's curve CTEs, reduced to the
     # smallest t at or below S = 0.5.
     km_body = sql["kaplan_meier"]

@@ -778,15 +778,33 @@ def _desc_cumsum_dec(per_t, cols, small_threshold=100_000):
     )
 
 
-def _asc_cumsum_dec(per_t, cols, small_threshold=100_000):
+def _asc_cumsum_dec(
+    per_t,
+    cols,
+    small_threshold=100_000,
+    operand_type="decimal(31,12)",
+    offset_type="decimal(38,12)",
+):
     """Ascending-inclusive cumulative sums of DECIMAL columns — see
     _dir_cumsum_dec."""
     return _dir_cumsum_dec(
-        per_t, cols, descending=False, small_threshold=small_threshold
+        per_t,
+        cols,
+        descending=False,
+        small_threshold=small_threshold,
+        operand_type=operand_type,
+        offset_type=offset_type,
     )
 
 
-def _dir_cumsum_dec(per_t, cols, descending, small_threshold=100_000):
+def _dir_cumsum_dec(
+    per_t,
+    cols,
+    descending,
+    small_threshold=100_000,
+    operand_type="decimal(31,12)",
+    offset_type="decimal(38,12)",
+):
     """Directional inclusive cumulative sums of DECIMAL columns over a
     times-sized relation -> input + ``s_<col>`` per column.
 
@@ -855,7 +873,7 @@ def _dir_cumsum_dec(per_t, cols, descending, small_threshold=100_000):
         # small-path twin would have summed fine (r9 ADVICE fix); the
         # d31 cast below then narrows them inside the domain bound.
         schema = ", ".join(
-            ["__pid int"] + [f"__off_{c} decimal(38,12)" for c in cols]
+            ["__pid int"] + [f"__off_{c} {offset_type}" for c in cols]
         )
         off_df = spark.createDataFrame(off_rows, schema)
         local = local.join(F.broadcast(off_df), "__pid", "left")
@@ -867,7 +885,11 @@ def _dir_cumsum_dec(per_t, cols, descending, small_threshold=100_000):
         # scale 12 -> 9), breaking the bit-identity contract with the
         # small path. |values| < 1e19 is the documented domain
         # (weighted risk sums at w <= 1e9).
-        d31 = lambda e: e.cast("decimal(31,12)")  # noqa: E731
+        # operand_type defaults to the scale-12 channel; the Greenwood
+        # CI passes a scale-18 pair (its terms are ~1e-15 at 20M
+        # subjects — below the scale-12 grain — with cum < 1e8, so the
+        # 38-cap arithmetic still never loses scale)
+        d31 = lambda e: e.cast(operand_type)  # noqa: E731
         asc_incl = d31(F.col(f"__asc_{c}")) + F.coalesce(
             d31(F.col(f"__off_{c}")), d31(F.lit(0))
         )
@@ -2125,4 +2147,125 @@ def grays_test(
         rows,
         "grp string, n long, observed long, expected double,"
         " chi2 double, dof int",
+    )
+
+
+def kaplan_meier_ci(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    z: float = 1.959964,
+) -> DataFrame:
+    """Kaplan-Meier curve with Greenwood variance and log-log
+    pointwise confidence bands -> one row per distinct duration:
+    (t, n_risk, n_events, n_censored, survival, se, lo, hi).
+
+    The estimate a bare kaplan_meier cannot qualify: how UNCERTAIN is
+    the curve at each t? Greenwood (1926):
+
+        Var(Ŝ(t)) = Ŝ(t)² · Σ_{t_i <= t} d_i / (n_i · (n_i − d_i))
+
+    with the log-log ("log cumulative hazard") interval — the
+    standard transform that keeps bands inside (0, 1):
+
+        θ̂ = ln(−ln Ŝ),  σ_θ = sqrt(Σ g_i) / |ln Ŝ|
+        [lo, hi] = Ŝ ^ exp(±z·σ_θ)
+
+    ``z`` is the normal quantile (default 1.959964, the 95% band).
+
+    Relational shape: the kaplan_meier machinery verbatim (ONE
+    collapse, the fused size-gated _risk_forward_cumsum for n_risk +
+    the scaled-long ln-survival prefix), plus one ascending size-gated
+    decimal cumsum for the Greenwood terms. Those terms ride a
+    SCALE-18 decimal channel (decimal(26,18) operands): at 20M
+    subjects a term is d/(n(n−d)) ~ 1e-15 — below the engine's
+    standard scale-12 grain — while the cumulative sum stays < 1e8 by
+    domain, so precision 38 still never loses scale. ln/exp are the
+    documented ln-class channel. Rows where the curve has died
+    (Ŝ = 0) emit NULL se/lo/hi (the variance is undefined there —
+    never-fabricate); rows before the first event emit se = 0 and
+    lo = hi = 1 (zero accumulated variance).
+    """
+    per_t = (
+        df.select(
+            F.col(duration_col).cast("long").alias("t"),
+            F.col(event_col).cast("int").alias("e"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum("e").cast("long").alias("n_events"),
+            F.sum(F.lit(1) - F.col("e")).cast("long").alias("n_censored"),
+        )
+    )
+    staged = per_t.withColumn(
+        "tot", (F.col("n_events") + F.col("n_censored")).cast("long")
+    )
+
+    def stage2(risk):
+        term_scaled = F.when(
+            F.col("n_events") < F.col("n_risk"),
+            (
+                F.log(
+                    (F.col("n_risk") - F.col("n_events")).cast("double")
+                    / F.col("n_risk").cast("double")
+                ).cast("decimal(18,9)")
+                * F.lit(1000000000)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        dead = (
+            F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+        ).cast("long")
+        return (
+            risk.withColumn("lnq", term_scaled).withColumn("dead", dead),
+            ["lnq", "dead"],
+        )
+
+    cum = _risk_forward_cumsum(staged, "tot", stage2)
+    g = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+        (
+            F.col("n_events").cast("double")
+            / (
+                F.col("n_risk").cast("double")
+                * (F.col("n_risk") - F.col("n_events")).cast("double")
+            )
+        ).cast("decimal(26,18)"),
+    ).otherwise(F.lit(0).cast("decimal(26,18)"))
+    terms = cum.withColumn("g", g)
+    cg = _asc_cumsum_dec(
+        terms,
+        ["g"],
+        operand_type="decimal(26,18)",
+        offset_type="decimal(38,18)",
+    )
+    ln_s = F.col("cum_lnq").cast("double") / F.lit(1000000000.0)
+    died = F.col("cum_dead") >= 1
+    s_raw = F.exp(ln_s)
+    cumg = F.col("s_g").cast("double")
+    sig = F.sqrt(cumg) / -ln_s
+    dnull = F.lit(None).cast("double")
+    return cg.select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(died, F.lit(0.0)).otherwise(F.round(s_raw, 6)).alias(
+            "survival"
+        ),
+        F.when(died, dnull)
+        .otherwise(F.round(s_raw * F.sqrt(cumg), 6))
+        .alias("se"),
+        F.when(died, dnull)
+        .when(F.col("cum_lnq") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(F.exp(ln_s * F.exp(F.lit(float(z)) * sig)), 6)
+        )
+        .alias("lo"),
+        F.when(died, dnull)
+        .when(F.col("cum_lnq") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(F.exp(ln_s * F.exp(F.lit(-float(z)) * sig)), 6)
+        )
+        .alias("hi"),
     )

@@ -808,3 +808,115 @@ def test_kmeanspp_auto_gates_to_kmeanspar_above_k8(spark):
     ).localCheckpoint(eager=True)
     spar = _kmeanspar_md5_seeds(vecs, 10)
     assert sorted(s % 10 for s in spar) == list(range(10))
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier_ci (Greenwood + log-log bands)
+# ---------------------------------------------------------------------------
+
+def _km_greenwood_numpy(t, e, z=1.959964):
+    """Unquantized KM + Greenwood + log-log bands, keyed by time."""
+    import collections
+
+    per = collections.defaultdict(lambda: [0, 0])
+    for ti, ei in zip(t, e):
+        per[ti][0] += ei
+        per[ti][1] += 1
+    times = sorted(per)
+    n = sum(v[1] for v in per.values())
+    out = {}
+    s, gsum = 1.0, 0.0
+    at_risk = n
+    for ti in times:
+        d, tot = per[ti]
+        if d > 0 and d < at_risk:
+            s *= (at_risk - d) / at_risk
+            gsum += d / (at_risk * (at_risk - d))
+        elif d >= at_risk:
+            s = 0.0
+        if s <= 0:
+            out[ti] = (0.0, None, None, None)
+        elif gsum == 0:
+            out[ti] = (s, 0.0, 1.0, 1.0)
+        else:
+            se = s * math.sqrt(gsum)
+            sig = math.sqrt(gsum) / -math.log(s)
+            lo = math.exp(math.log(s) * math.exp(z * sig))
+            hi = math.exp(math.log(s) * math.exp(-z * sig))
+            out[ti] = (s, se, lo, hi)
+        at_risk -= tot
+    return out
+
+
+def test_km_ci_matches_numpy_replay(spark):
+    """Survival, Greenwood SE, and both log-log band edges agree with
+    the unquantized replay to under the 6-dp grain, censoring mixed
+    in; bands bracket the estimate and stay inside [0, 1]."""
+    from econdatapipeline_spark.operators.survival import kaplan_meier_ci
+
+    rng = np.random.RandomState(2)
+    t = rng.randint(1, 80, 500).tolist()
+    e = (rng.uniform(size=500) < 0.7).astype(int).tolist()
+    df = spark.createDataFrame(
+        list(zip(t, e)), "duration long, event int"
+    )
+    got = {r["t"]: r for r in kaplan_meier_ci(df).collect()}
+    ref = _km_greenwood_numpy(t, e)
+    assert set(got) == set(ref)
+    for ti, (s, se, lo, hi) in ref.items():
+        r = got[ti]
+        assert r["survival"] == pytest.approx(s, abs=2e-5)
+        if se is None:
+            assert r["se"] is None and r["lo"] is None and r["hi"] is None
+        else:
+            assert r["se"] == pytest.approx(se, abs=2e-5)
+            assert r["lo"] == pytest.approx(lo, abs=2e-4)
+            assert r["hi"] == pytest.approx(hi, abs=2e-4)
+            assert 0.0 <= r["lo"] <= r["survival"] + 1e-9
+            assert r["survival"] - 1e-9 <= r["hi"] <= 1.0
+
+
+def test_km_ci_curve_matches_kaplan_meier(spark):
+    """The survival column is bit-identical to kaplan_meier's (same
+    machinery), so adding the bands cannot drift the curve."""
+    from econdatapipeline_spark.operators.survival import (
+        kaplan_meier,
+        kaplan_meier_ci,
+    )
+
+    rows = [(int(1 + (i * 37) % 60), int(i % 4 != 0)) for i in range(400)]
+    df = spark.createDataFrame(rows, "duration long, event int")
+    km = {(r["t"], r["survival"]) for r in kaplan_meier(df).collect()}
+    ci = {(r["t"], r["survival"]) for r in kaplan_meier_ci(df).collect()}
+    assert km == ci
+
+
+def test_dir_cumsum_dec_scale18_twin_paths(spark):
+    """The parameterized scale-18 channel: small-path window sum and
+    the distributed two-pass path produce bit-identical cumulative
+    sums on terms far below the scale-12 grain."""
+    from decimal import Decimal
+
+    from econdatapipeline_spark.operators.survival import _asc_cumsum_dec
+
+    rows = [
+        (i, Decimal(f"0.0000000000000{(i % 9) + 1}1"))  # ~1e-14 terms
+        for i in range(1, 501)
+    ]
+    df = spark.createDataFrame(rows, "t long, g decimal(26,18)")
+    small = {
+        r["t"]: r["s_g"]
+        for r in _asc_cumsum_dec(
+            df, ["g"], operand_type="decimal(26,18)",
+            offset_type="decimal(38,18)",
+        ).collect()
+    }
+    big = {
+        r["t"]: r["s_g"]
+        for r in _asc_cumsum_dec(
+            df, ["g"], small_threshold=10,
+            operand_type="decimal(26,18)", offset_type="decimal(38,18)",
+        ).collect()
+    }
+    assert small == big
+    assert small[500] == sum(g for _, g in rows)
