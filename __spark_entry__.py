@@ -5761,6 +5761,35 @@ def q_cox_ph_multi3(spark, sf_dir):
     ).orderBy("covariate")
 
 
+def q_poisson_glm(spark, sf_dir):
+    """Poisson regression of per-customer order counts on account
+    balance (k$) and BUILDING membership (operators/glm.poisson_glm):
+    log-link Newton/IRLS — each round ONE decimal-quantized
+    score/Hessian aggregate solved by the generated fixed-order Gauss
+    sequence the oracle chains verbatim (poisson_fragments);
+    exp(coef) is the order-rate ratio. Customers with zero orders
+    stay in (left join) — dropping them would bias the rate model."""
+    from econdatapipeline_spark.operators.glm import poisson_glm
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    counts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    subj = c.join(
+        counts, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("y"),
+        (F.col("c_acctbal") / 1000.0).alias("x_acctbal"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1.0)
+        .otherwise(0.0)
+        .alias("x_building"),
+    )
+    return poisson_glm(
+        subj, "y", ["x_acctbal", "x_building"], rounds=6
+    ).orderBy("param")
+
+
 def q_cuped_adjust(spark, sf_dir):
     """CUPED variance-reduced experiment readout per priority
     (operators/evaluation.cuped_adjust): order price residualized on
@@ -6371,6 +6400,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "cumulative_incidence": q_cumulative_incidence,
         "ipw_ate": q_ipw_ate,
         "ipw_ate_multi": q_ipw_ate_multi,
+        "poisson_glm": q_poisson_glm,
         "ipw_ate_trim": q_ipw_ate_trim,
         "kmeans_lloyd": q_kmeans_lloyd,
         "dp_group_counts": q_dp_group_counts,
@@ -14102,6 +14132,89 @@ def oracle_sql() -> dict[str, str]:
         SELECT {outs}
         FROM mfin
         """
+
+    # Poisson GLM: the oracle chains the SAME init/aggregate text and
+    # fixed-order Gauss step sequence the operator evaluates
+    # (glm.poisson_fragments) — the ipw_ate_multi discipline.
+    from econdatapipeline_spark.operators.glm import (
+        poisson_fragments as _poisf,
+    )
+    from econdatapipeline_spark.operators.timeseries import (
+        _step_levels as _plvl,
+    )
+
+    def _poisson_glm_sql():
+        frag = _poisf(2)
+        inits = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["init_terms"]
+        )
+        aggs = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["agg_terms"]
+        )
+        parts = []
+        for r in range(1, 7):
+            parts.append(
+                f",\n        pg{r} AS (SELECT {aggs}"
+                f"\n          FROM psubj CROSS JOIN pb{r - 1})"
+            )
+            last = f"pg{r}"
+            for i, batch in enumerate(_plvl(frag["solve_steps"](r))):
+                nxt = f"pg{r}s{i}"
+                cols = ", ".join(
+                    f"{e} AS {nm}" for nm, e in batch.items()
+                )
+                parts.append(
+                    f",\n        {nxt} AS (SELECT *, {cols}"
+                    f" FROM {last})"
+                )
+                last = nxt
+            sel = ", ".join(f"nb{j} AS b{j}" for j in range(3))
+            parts.append(
+                f",\n        pb{r} AS (SELECT {sel} FROM {last})"
+            )
+        fins = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["final_terms"]
+        )
+        parts.append(
+            f",\n        pf0 AS (SELECT {fins}"
+            "\n          FROM psubj CROSS JOIN pb6)"
+        )
+        last = "pf0"
+        for i, batch in enumerate(_plvl(frag["se_steps"]())):
+            nxt = f"pfs{i}"
+            cols = ", ".join(f"{e} AS {nm}" for nm, e in batch.items())
+            parts.append(
+                f",\n        {nxt} AS (SELECT *, {cols}"
+                f" FROM {last})"
+            )
+            last = nxt
+        labels = ["intercept", "x_acctbal", "x_building"]
+        selects = []
+        for lbl, o in zip(labels, frag["param_outputs"]()):
+            selects.append(
+                f"SELECT '{lbl}' AS param, n, {o['coef']} AS coef,"
+                f" {o['se']} AS se, {o['z']} AS z,"
+                f" {o['rate_ratio']} AS rate_ratio,"
+                f" round(2.0 * devhalf, 6) AS deviance FROM {last}"
+            )
+        sel_txt = ("\n        UNION ALL\n        ").join(selects)
+        return f"""
+        WITH counts AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_custkey),
+        psubj AS (
+          SELECT CAST(COALESCE(n_orders, 0) AS BIGINT) AS y,
+                 CAST(c_acctbal / 1000.0 AS DECIMAL(18,6)) AS x1,
+                 CAST(CASE WHEN c_mktsegment = 'BUILDING'
+                      THEN 1.0 ELSE 0.0 END AS DECIMAL(18,6)) AS x2
+          FROM customer LEFT JOIN counts ON c_custkey = o_custkey
+          WHERE c_acctbal IS NOT NULL),
+        pb0 AS (SELECT {inits}
+                FROM psubj){"".join(parts)}
+        {sel_txt}
+        """
+
+    sql["poisson_glm"] = _poisson_glm_sql()
 
     sql["ipw_ate_multi"] = _ipw_multi_sql(None)
     sql["ipw_ate_trim"] = _ipw_multi_sql(0.05)

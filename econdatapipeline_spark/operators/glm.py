@@ -1,0 +1,254 @@
+"""Generalized linear models over relational aggregates.
+
+The regression layer the reference's documentation promises for its
+indicator tables (/root/reference/documentation/
+economic_indicators.md:122-126) beyond what the engine already
+covers: logistic propensity (evaluation.ipw_ate_multi), Cox
+(survival.cox_ph_multi), Weibull AFT (survival.weibull_aft). This
+module adds the COUNT-response member — Poisson regression with log
+link — for rate modeling (orders per customer, events per session,
+defects per batch).
+
+Architecture is the ipw_fragments discipline (evaluation.py:989): a
+``*_fragments`` function is the single source of truth for every
+expression BOTH the Spark operator and the DuckDB oracle execute, so
+operation order is shared by construction; the Newton solve is the
+generated fixed-order no-pivot Gaussian elimination of
+timeseries._gauss_steps. The Poisson log-likelihood with log link is
+globally concave in beta, so undamped Newton converges from the
+ln(mean y) intercept seed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def poisson_fragments(p: int) -> dict:
+    """Shared Spark/DuckDB SQL fragments for the p-covariate Poisson
+    GLM. Expects a subject relation with columns y (bigint >= 0) and
+    x1..xp (decimal(18,6)), and a 1-row params relation b0..bp
+    (doubles). Model: y ~ Poisson(mu), ln mu = b0 + sum b_j x_j.
+
+    Returns init_terms / agg_terms / solve_steps(r) / final_terms /
+    se_steps() / outputs — see evaluation.ipw_fragments. The fitted
+    mean quantizes to decimal(18,9) (the one libm exp channel), so
+    every iterate must keep eta <= 20 (mu <= ~4.9e8; beyond it the
+    ANSI decimal cast raises loudly). NULL propagation: no rows or a
+    singular X'WX Hessian NULLs every estimate (never-fabricate).
+    """
+    from .timeseries import _gauss_steps  # noqa: PLC0415
+
+    if p < 1 or p > 7:
+        raise ValueError(f"p must be in 1..7, got {p}")
+    m = p + 1
+    eta = "b0"
+    for j in range(1, m):
+        eta += f" + b{j} * CAST(x{j} AS DOUBLE)"
+    mu = f"CAST(CAST(exp({eta}) AS DECIMAL(18,9)) AS DOUBLE)"
+    yd = "CAST(y AS DOUBLE)"
+
+    def s28(term: str, name: str):
+        return (
+            name,
+            f"CAST(SUM(CAST({term} AS DECIMAL(28,12))) AS DOUBLE)",
+        )
+
+    def xj(j: int) -> str:
+        return "1.0" if j == 0 else f"CAST(x{j} AS DOUBLE)"
+
+    agg_terms = []
+    for j in range(m):
+        agg_terms.append(s28(f"{xj(j)} * ({yd} - {mu})", f"g{j}"))
+    for j in range(m):
+        for k in range(j, m):
+            agg_terms.append(
+                s28(f"({xj(j)} * {xj(k)}) * {mu}", f"h{j}_{k}")
+            )
+    for j in range(m):
+        agg_terms.append((f"b{j}", f"MIN(b{j})"))
+
+    init_terms = [
+        (
+            "b0",
+            "CASE WHEN COUNT(*) > 0 AND SUM(y) > 0 THEN"
+            " CAST(CAST(ln(CAST(SUM(y) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,9))"
+            " AS DOUBLE) END",
+        )
+    ]
+    for j in range(1, m):
+        init_terms.append((f"b{j}", "CAST(0.0 AS DOUBLE)"))
+
+    def _a_names():
+        return {
+            (j, k): f"h{j}_{k}" for j in range(m) for k in range(j, m)
+        }
+
+    pnames = [f"b{j}" for j in range(m)]
+
+    def solve_steps(round_idx: int):
+        # one shared prefix: every round's projection is textually
+        # identical (the weibull_aft codegen-cache discipline)
+        del round_idx
+        b_names = [f"g{j}" for j in range(m)]
+        steps, deltas, diag = _gauss_steps(m, _a_names(), b_names, "p")
+        ok = " AND ".join(f"{d} > 0" for d in dict.fromkeys(diag))
+        for j in range(m):
+            steps.append(
+                (
+                    f"nb{j}",
+                    f"CASE WHEN {ok} THEN CAST(CAST(b{j} + {deltas[j]}"
+                    " AS DECIMAL(18,9)) AS DOUBLE) ELSE NULL END",
+                )
+            )
+        return steps
+
+    dev_term = (
+        f"CASE WHEN y > 0 THEN {yd} * ln({yd} / {mu})"
+        f" - ({yd} - {mu}) ELSE {mu} END"
+    )
+    final_terms = list(agg_terms) + [
+        ("n", "CAST(COUNT(*) AS BIGINT)"),
+        ("ysum", "CAST(COALESCE(SUM(y), 0) AS BIGINT)"),
+        s28(dev_term, "devhalf"),
+    ]
+
+    def se_steps():
+        steps = []
+        for j in range(m):
+            rhs = ["1.0" if i == j else "0.0" for i in range(m)]
+            s, betas, diag = _gauss_steps(m, _a_names(), rhs, f"v{j}")
+            ok = " AND ".join(f"{d} > 0" for d in dict.fromkeys(diag))
+            steps.extend(s)
+            steps.append(
+                (
+                    f"var{j}",
+                    f"CASE WHEN {ok} AND {betas[j]} > 0"
+                    f" THEN {betas[j]} END",
+                )
+            )
+        return steps
+
+    def param_outputs():
+        outs = []
+        for j in range(m):
+            outs.append(
+                {
+                    "coef": f"round(b{j}, 6)",
+                    "se": f"round(sqrt(var{j}), 6)",
+                    "z": f"round(b{j} / sqrt(var{j}), 6)",
+                    "rate_ratio": f"round(exp(b{j}), 6)",
+                }
+            )
+        return outs
+
+    return {
+        "m": m,
+        "init_terms": init_terms,
+        "agg_terms": agg_terms,
+        "solve_steps": solve_steps,
+        "final_terms": final_terms,
+        "se_steps": se_steps,
+        "param_outputs": param_outputs,
+        "pnames": pnames,
+    }
+
+
+def poisson_glm(
+    df: DataFrame,
+    response_col: str,
+    covariate_cols: list[str],
+    rounds: int = 6,
+) -> DataFrame:
+    """Poisson regression (log link, Newton/IRLS MLE) -> one row per
+    parameter (param, n, coef, se, z, rate_ratio, deviance); params
+    are 'intercept' then each covariate; deviance (the GLM
+    goodness-of-fit, 2*[ll_saturated - ll_model]) repeats per row.
+
+    exp(coef_j) is the RATE RATIO per unit x_j — the count-model
+    analog of the logistic odds ratio and the Cox hazard ratio.
+    Negative responses raise at plan time (ANSI guard in the filter);
+    NULL rows are excluded.
+
+    Architecture: the ipw_ate_multi/weibull_aft backbone — each of
+    the bounded ``rounds`` is ONE hash aggregate over the
+    checkpointed subject table (score X'(y−mu) + Hessian X'WX upper
+    triangle, every term decimal(28,12)-quantized before its
+    order-free sum) cross-joined with the previous eagerly
+    checkpointed 1-row params relation, solved by the generated
+    fixed-order Gaussian elimination the SQL oracle chains verbatim
+    (poisson_fragments); SEs from unit-vector solves of the final
+    Hessian. The log-link likelihood is globally concave, so Newton
+    needs no damping; the intercept seeds at ln(mean y). Iterates
+    must keep eta <= 20 (the decimal(18,9) mu domain — loud ANSI
+    failure, never silent corruption).
+
+    Scale: subject table scanned rounds+2 times, each a map-side
+    combinable aggregate; no window, no join, no driver loop.
+    """
+    from .timeseries import _step_levels  # noqa: PLC0415
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if not covariate_cols:
+        raise ValueError("covariate_cols must name at least one column")
+    p = len(covariate_cols)
+    frag = poisson_fragments(p)
+    keep = (
+        F.col(response_col).isNotNull()
+        & (F.col(response_col).cast("long") >= 0)
+    )
+    for c in covariate_cols:
+        keep = keep & F.col(c).isNotNull()
+    subj = df.filter(keep).select(
+        F.col(response_col).cast("long").alias("y"),
+        *[
+            F.col(c).cast("decimal(18,6)").alias(f"x{j}")
+            for j, c in enumerate(covariate_cols, 1)
+        ],
+    ).localCheckpoint(eager=True)
+    b_cur = subj.agg(
+        *[F.expr(e).alias(nm) for nm, e in frag["init_terms"]]
+    )
+    for r in range(1, rounds + 1):
+        g = subj.crossJoin(F.broadcast(b_cur)).agg(
+            *[F.expr(e).alias(nm) for nm, e in frag["agg_terms"]]
+        )
+        for batch in _step_levels(frag["solve_steps"](r)):
+            g = g.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+        b_cur = g.select(
+            *[F.col(f"n{nm}").alias(nm) for nm in frag["pnames"]]
+        ).localCheckpoint(eager=True)
+    fin = subj.crossJoin(F.broadcast(b_cur)).agg(
+        *[F.expr(e).alias(nm) for nm, e in frag["final_terms"]]
+    )
+    for batch in _step_levels(frag["se_steps"]()):
+        fin = fin.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    labels = ["intercept", *covariate_cols]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("param"),
+                F.expr(o["coef"]).alias("coef"),
+                F.expr(o["se"]).alias("se"),
+                F.expr(o["z"]).alias("z"),
+                F.expr(o["rate_ratio"]).alias("rate_ratio"),
+            )
+            for lbl, o in zip(labels, frag["param_outputs"]())
+        ]
+    )
+    return fin.select(
+        "n",
+        F.round(F.lit(2.0) * F.col("devhalf"), 6).alias("deviance"),
+        F.explode(rows).alias("r"),
+    ).select(
+        F.col("r.param").alias("param"),
+        "n",
+        F.col("r.coef").alias("coef"),
+        F.col("r.se").alias("se"),
+        F.col("r.z").alias("z"),
+        F.col("r.rate_ratio").alias("rate_ratio"),
+        "deviance",
+    )
