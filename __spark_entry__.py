@@ -5790,6 +5790,38 @@ def q_poisson_glm(spark, sf_dir):
     ).orderBy("param")
 
 
+def q_msprt_monitor(spark, sf_dir):
+    """Always-valid sequential monitoring of BUILDING vs AUTOMOBILE
+    order value by calendar month (operators/evaluation.msprt_monitor):
+    the mixture-SPRT running ln(Lambda) / always-valid p / running-min
+    p — the peeking-proof readout a fixed-horizon t-test cannot give.
+    One period collapse + the size-gated decimal cumsum + fixed-order
+    double closed forms, oracle-replayed."""
+    from econdatapipeline_spark.operators.evaluation import msprt_monitor
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        "c_mktsegment",
+        F.col("o_orderdate").cast("timestamp").alias("ot"),
+        (F.col("o_totalprice") / 1000.0).alias("y_k"),
+    )
+    return msprt_monitor(
+        joined,
+        "c_mktsegment",
+        "y_k",
+        "ot",
+        control="AUTOMOBILE",
+        treatment="BUILDING",
+        tau=0.1,
+        period="month",
+    ).orderBy("period")
+
+
 def q_cuped_adjust(spark, sf_dir):
     """CUPED variance-reduced experiment readout per priority
     (operators/evaluation.cuped_adjust): order price residualized on
@@ -6391,6 +6423,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "cox_ph_multi3": q_cox_ph_multi3,
         "kmeans_seedplus": q_kmeans_seedplus,
         "cuped_adjust": q_cuped_adjust,
+        "msprt_monitor": q_msprt_monitor,
         "log_rank_k": q_log_rank_k,
         "grays_test": q_grays_test,
         "mann_kendall": q_mann_kendall,
@@ -14132,6 +14165,98 @@ def oracle_sql() -> dict[str, str]:
         SELECT {outs}
         FROM mfin
         """
+
+    # mSPRT monitor: per-month decimal collapse, window cumsums, the
+    # mixture-SPRT closed form and running-min p — the operator's
+    # double order.
+    _msp = {
+        "cnt": "CAST(s_nt AS DOUBLE)",
+        "cnc": "CAST(s_nc AS DOUBLE)",
+        "cst": "CAST(s_st AS DOUBLE)",
+        "csc": "CAST(s_sc AS DOUBLE)",
+        "cqt": "CAST(s_qt AS DOUBLE)",
+        "cqc": "CAST(s_qc AS DOUBLE)",
+    }
+    _msp_mt = f"{_msp['cst']} / {_msp['cnt']}"
+    _msp_mc = f"{_msp['csc']} / {_msp['cnc']}"
+    _msp_diff = f"({_msp_mt} - {_msp_mc})"
+    _msp_s2 = (
+        f"((({_msp['cqt']} - {_msp['cst']} * {_msp['cst']} / {_msp['cnt']})"
+        f" + ({_msp['cqc']} - {_msp['csc']} * {_msp['csc']} / {_msp['cnc']}))"
+        f" / ({_msp['cnt']} + {_msp['cnc']} - 2.0))"
+    )
+    _msp_v = f"({_msp_s2} * (1.0 / {_msp['cnt']} + 1.0 / {_msp['cnc']}))"
+    _msp_ll = (
+        f"(0.5 * ln({_msp_v} / ({_msp_v} + 0.010000000000000002))"
+        f" + 0.010000000000000002 * {_msp_diff} * {_msp_diff}"
+        f" / (2.0 * {_msp_v} * ({_msp_v} + 0.010000000000000002)))"
+    )
+    _msp_ok = (
+        f"{_msp['cnt']} > 1.0 AND {_msp['cnc']} > 1.0 AND {_msp_s2} > 0.0"
+    )
+    _msp_p = f"least(1.0, exp(-{_msp_ll}))"
+    sql["msprt_monitor"] = f"""
+        WITH mbase AS (
+          SELECT CAST(date_trunc('month',
+                      CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP)
+                   AS t,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS tr,
+                 CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+            AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        mper AS (
+          SELECT t,
+                 SUM(CAST(CAST(tr AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+                   AS nt,
+                 SUM(CAST(CAST(1 - tr AS DECIMAL(18,6))
+                     AS DECIMAL(38,12))) AS nc,
+                 SUM(CAST(CASE WHEN tr = 1 THEN y
+                     ELSE CAST(0 AS DECIMAL(18,6)) END
+                     AS DECIMAL(38,12))) AS st,
+                 SUM(CAST(CASE WHEN tr = 0 THEN y
+                     ELSE CAST(0 AS DECIMAL(18,6)) END
+                     AS DECIMAL(38,12))) AS sc,
+                 SUM(CAST(CASE WHEN tr = 1 THEN y * y
+                     ELSE CAST(0 AS DECIMAL(18,6)) END
+                     AS DECIMAL(38,12))) AS qt,
+                 SUM(CAST(CASE WHEN tr = 0 THEN y * y
+                     ELSE CAST(0 AS DECIMAL(18,6)) END
+                     AS DECIMAL(38,12))) AS qc
+          FROM mbase GROUP BY t),
+        mcum AS (
+          SELECT t,
+                 SUM(nt) OVER wa AS s_nt, SUM(nc) OVER wa AS s_nc,
+                 SUM(st) OVER wa AS s_st, SUM(sc) OVER wa AS s_sc,
+                 SUM(qt) OVER wa AS s_qt, SUM(qc) OVER wa AS s_qc
+          FROM mper
+          WINDOW wa AS (ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+        mrows AS (
+          SELECT t AS period,
+                 CAST(s_nt AS BIGINT) AS n_treat,
+                 CAST(s_nc AS BIGINT) AS n_ctrl,
+                 CASE WHEN {_msp['cnt']} > 0
+                      THEN round({_msp_mt}, 6) END AS mean_treat,
+                 CASE WHEN {_msp['cnc']} > 0
+                      THEN round({_msp_mc}, 6) END AS mean_ctrl,
+                 CASE WHEN {_msp['cnt']} > 0 AND {_msp['cnc']} > 0
+                      THEN round({_msp_diff}, 6) + 0.0 END AS diff,
+                 CASE WHEN {_msp_ok} THEN round({_msp_ll}, 6) + 0.0 END
+                   AS ln_lam,
+                 CASE WHEN {_msp_ok} THEN round({_msp_p}, 6) END
+                   AS p_always_valid,
+                 CASE WHEN {_msp_ok} THEN {_msp_p} END AS p_raw
+          FROM mcum)
+        SELECT period, n_treat, n_ctrl, mean_treat, mean_ctrl, diff,
+               ln_lam, p_always_valid,
+               round(MIN(p_raw) OVER (ORDER BY period ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     6) AS p_running
+        FROM mrows
+    """
 
     # Poisson GLM: the oracle chains the SAME init/aggregate text and
     # fixed-order Gauss step sequence the operator evaluates

@@ -1251,3 +1251,132 @@ def ipw_ate_multi(
             for nm, e in frag["outputs"].items()
         ]
     )
+
+
+def msprt_monitor(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    time_col: str,
+    control,
+    treatment,
+    tau: float,
+    period: str = "month",
+) -> DataFrame:
+    """Always-valid sequential experiment monitoring via the mixture
+    SPRT -> one row per calendar period:
+    (period, n_treat, n_ctrl, mean_treat, mean_ctrl, diff, ln_lam,
+    p_always_valid, p_running).
+
+    Fixed-horizon t-tests are invalid under the peeking a real
+    dashboard invites; the mSPRT (Robbins' mixture sequential
+    probability ratio test, the Johari-Koomen-Pekelis-Walsh
+    "always-valid p-value" design) stays a valid test at EVERY
+    interim look. With a N(0, tau^2) mixture over the effect and
+    theta_0 = 0:
+
+        Lambda_n = sqrt(V/(V+tau^2)) * exp(tau^2*diff^2 / (2V(V+tau^2)))
+        p_n = min(1, 1/Lambda_n),  p_running = min_{m<=n} p_m
+
+    where diff is the running mean difference and
+    V = s^2*(1/n_t + 1/n_c) its estimated variance (pooled s^2).
+    ``tau`` sets the prior effect scale (same units as the metric);
+    rejection at alpha reads "p_running <= alpha", valid whenever the
+    experimenter chooses to look. ln(Lambda) is emitted instead of
+    Lambda (which overflows a double once evidence is overwhelming).
+
+    Relational shape: one (period) hash collapse of the fact table
+    carrying decimal-exact per-arm (n, sum, sum-of-squares), the
+    size-gated ascending decimal cumsum (survival._asc_cumsum_dec) for
+    the running sums, then fixed-order double closed forms — all
+    oracle-replayable. The running-min window rides the periods-sized
+    relation (calendar-bounded by construction: sequential monitoring
+    is per-day/week/month, not per-row). Periods with n_t < 2,
+    n_c < 2, or zero pooled variance emit NULL ln_lam/p
+    (never-fabricate); p_running skips NULL looks.
+    """
+    from .survival import _asc_cumsum_dec  # noqa: PLC0415
+
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    vexpr = F.col(variant_col)
+    base = df.filter(
+        vexpr.isin([control, treatment])
+        & F.col(value_col).isNotNull()
+        & F.col(time_col).isNotNull()
+    ).select(
+        F.date_trunc(period, F.col(time_col)).alias("t"),
+        (vexpr == treatment).cast("int").alias("tr"),
+        F.col(value_col).cast("decimal(18,6)").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    per_t = base.groupBy("t").agg(
+        F.sum(dec(F.col("tr").cast("decimal(18,6)"))).alias("nt"),
+        F.sum(dec((1 - F.col("tr")).cast("decimal(18,6)"))).alias("nc"),
+        F.sum(
+            dec(F.when(F.col("tr") == 1, F.col("y")).otherwise(F.lit(0)))
+        ).alias("st"),
+        F.sum(
+            dec(F.when(F.col("tr") == 0, F.col("y")).otherwise(F.lit(0)))
+        ).alias("sc"),
+        F.sum(
+            dec(
+                F.when(
+                    F.col("tr") == 1, F.col("y") * F.col("y")
+                ).otherwise(F.lit(0))
+            )
+        ).alias("qt"),
+        F.sum(
+            dec(
+                F.when(
+                    F.col("tr") == 0, F.col("y") * F.col("y")
+                ).otherwise(F.lit(0))
+            )
+        ).alias("qc"),
+    )
+    cum = _asc_cumsum_dec(
+        per_t,
+        ["nt", "nc", "st", "sc", "qt", "qc"],
+        operand_type="decimal(31,12)",
+        offset_type="decimal(38,12)",
+    )
+    cnt = F.col("s_nt").cast("double")
+    cnc = F.col("s_nc").cast("double")
+    cst = F.col("s_st").cast("double")
+    csc = F.col("s_sc").cast("double")
+    cqt = F.col("s_qt").cast("double")
+    cqc = F.col("s_qc").cast("double")
+    mean_t = cst / cnt
+    mean_c = csc / cnc
+    diff = mean_t - mean_c
+    s2 = (
+        (cqt - cst * cst / cnt) + (cqc - csc * csc / cnc)
+    ) / (cnt + cnc - 2.0)
+    v = s2 * (1.0 / cnt + 1.0 / cnc)
+    t2 = float(tau) * float(tau)
+    ln_lam = 0.5 * F.log(v / (v + F.lit(t2))) + F.lit(t2) * diff * diff / (
+        2.0 * v * (v + F.lit(t2))
+    )
+    ok = (cnt > 1.0) & (cnc > 1.0) & (s2 > 0.0)
+    p = F.least(F.lit(1.0), F.exp(-ln_lam))
+    staged = cum.select(
+        "t",
+        F.col("s_nt").cast("long").alias("n_treat"),
+        F.col("s_nc").cast("long").alias("n_ctrl"),
+        F.when(cnt > 0, F.round(mean_t, 6)).alias("mean_treat"),
+        F.when(cnc > 0, F.round(mean_c, 6)).alias("mean_ctrl"),
+        # + 0.0 collapses IEEE negative zero (round(-1e-9, 6) is
+        # -0.0 in DuckDB, 0.0 in Spark — the one repr divergence)
+        F.when((cnt > 0) & (cnc > 0), F.round(diff, 6) + F.lit(0.0)).alias(
+            "diff"
+        ),
+        F.when(ok, F.round(ln_lam, 6) + F.lit(0.0)).alias("ln_lam"),
+        F.when(ok, F.round(p, 6)).alias("p_always_valid"),
+        F.when(ok, p).alias("__p_raw"),
+    )
+    w_run = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return staged.withColumn(
+        "p_running", F.round(F.min("__p_raw").over(w_run), 6)
+    ).drop("__p_raw").withColumnRenamed("t", "period")

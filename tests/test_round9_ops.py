@@ -1009,3 +1009,117 @@ def test_poisson_glm_gates_and_validation(spark):
         poisson_glm(const, "y", [])
     with pytest.raises(ValueError):
         poisson_glm(const, "y", ["x1"], rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# msprt_monitor (always-valid sequential testing)
+# ---------------------------------------------------------------------------
+
+def _msprt_numpy(rows, tau, periods=None):
+    """Unquantized replay keyed by period: rows = (period, tr, y)."""
+    import collections
+
+    per = collections.defaultdict(lambda: [0.0] * 6)
+    for t, tr, y in rows:
+        a = per[t]
+        if tr:
+            a[0] += 1
+            a[2] += y
+            a[4] += y * y
+        else:
+            a[1] += 1
+            a[3] += y
+            a[5] += y * y
+    out = {}
+    c = [0.0] * 6
+    prun = None
+    t2 = tau * tau
+    for t in sorted(per):
+        c = [a + b for a, b in zip(c, per[t])]
+        nt, nc, st, sc, qt, qc = c
+        if nt > 1 and nc > 1:
+            s2 = ((qt - st * st / nt) + (qc - sc * sc / nc)) / (
+                nt + nc - 2.0
+            )
+            if s2 > 0:
+                v = s2 * (1.0 / nt + 1.0 / nc)
+                diff = st / nt - sc / nc
+                ll = 0.5 * math.log(v / (v + t2)) + t2 * diff * diff / (
+                    2.0 * v * (v + t2)
+                )
+                p = min(1.0, math.exp(-ll))
+                prun = p if prun is None else min(prun, p)
+                out[t] = (ll, p, prun)
+                continue
+        out[t] = (None, None, prun)
+    return out
+
+
+def test_msprt_matches_numpy_and_detects_effect(spark):
+    """ln(Lambda), always-valid p, and the running-min p agree with
+    the unquantized replay; a real 1-sigma effect drives p_running to
+    rejection while it stays non-increasing throughout."""
+    from econdatapipeline_spark.operators.evaluation import msprt_monitor
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for day in range(1, 25):
+        for i in range(40):
+            tr = i % 2
+            y = round(
+                float(rng.normal(10.0 + (1.0 if tr else 0.0), 1.0)), 3
+            )
+            rows.append((f"2026-01-{day:02d} 00:00:00", tr, y))
+    df = spark.createDataFrame(
+        rows, "ts string, tr int, y double"
+    ).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("tr") == 1, "B").otherwise("A").alias("arm"),
+        "y",
+    )
+    out = msprt_monitor(
+        df, "arm", "y", "ts", control="A", treatment="B",
+        tau=0.5, period="day",
+    ).orderBy("period").collect()
+    ref = _msprt_numpy(
+        [(r[0][:10], r[1], r[2]) for r in rows], tau=0.5
+    )
+    assert len(out) == 24
+    prev = 1.0
+    for r in out:
+        key = str(r["period"])[:10]
+        ll, p, prun = ref[key]
+        assert r["ln_lam"] == pytest.approx(ll, abs=2e-5)
+        assert r["p_always_valid"] == pytest.approx(p, abs=2e-5)
+        assert r["p_running"] == pytest.approx(prun, abs=2e-5)
+        assert r["p_running"] <= prev + 1e-9  # never increases
+        prev = r["p_running"]
+    assert out[-1]["p_running"] < 0.001  # the 1-sigma effect is found
+
+
+def test_msprt_null_effect_and_gates(spark):
+    """Identical arms keep the always-valid p near 1; a first period
+    with a single subject per arm emits NULL ln_lam (n < 2 gate);
+    tau <= 0 raises."""
+    from econdatapipeline_spark.operators.evaluation import msprt_monitor
+
+    rows = [("2026-01-01 00:00:00", "A", 5.0),
+            ("2026-01-01 00:00:00", "B", 5.5)]
+    for day in range(2, 12):
+        for i in range(30):
+            rows.append(
+                (f"2026-01-{day:02d} 00:00:00",
+                 "B" if i % 2 else "A",
+                 float(10 + (i * 7 % 13) / 10.0))
+            )
+    df = spark.createDataFrame(rows, "ts string, arm string, y double")
+    df = df.select(F.col("ts").cast("timestamp").alias("ts"), "arm", "y")
+    out = msprt_monitor(
+        df, "arm", "y", "ts", control="A", treatment="B",
+        tau=0.5, period="day",
+    ).orderBy("period").collect()
+    assert out[0]["ln_lam"] is None and out[0]["p_running"] is None
+    # the deterministic identical-arm pattern: no evidence accumulates
+    assert out[-1]["p_running"] > 0.5
+    with pytest.raises(ValueError, match="tau"):
+        msprt_monitor(df, "arm", "y", "ts", "A", "B", tau=0.0)
