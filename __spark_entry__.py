@@ -5547,6 +5547,48 @@ def q_weibull_aft(spark, sf_dir):
     ).orderBy("param")
 
 
+def q_rmst_diff(spark, sf_dir):
+    """Between-segment RMST contrast at a 1-year horizon
+    (operators/survival.rmst_diff): event-free-days gained for
+    BUILDING vs MACHINERY repeat purchasers with the survRM2-style
+    large-sample SE (A_i = integral of S from t_i to tau via ONE
+    descending cumsum of the same drop terms), Wald z and 95% CI —
+    the model-free effect readout when proportional hazards fails."""
+    from econdatapipeline_spark.operators.survival import rmst_diff
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    ranked = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rk"),
+        F.lead("o_orderdate").over(w).alias("nxt"),
+    ).filter(F.col("rk") == 1)
+    subjects = (
+        ranked.crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff("nxt", "o_orderdate"),
+            )
+            .otherwise(F.datediff("h", "o_orderdate"))
+            .cast("long")
+            .alias("duration"),
+            F.col("nxt").isNotNull().cast("int").alias("event"),
+            "c_mktsegment",
+        )
+    )
+    return rmst_diff(
+        subjects, "c_mktsegment", "BUILDING", "MACHINERY", tau=365.0
+    )
+
+
 def q_log_rank_k(spark, sf_dir):
     """Three-sample log-rank test across market segments
     (operators/survival.log_rank_k): full-covariance Mantel-Haenszel —
@@ -6425,6 +6467,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "cuped_adjust": q_cuped_adjust,
         "msprt_monitor": q_msprt_monitor,
         "log_rank_k": q_log_rank_k,
+        "rmst_diff": q_rmst_diff,
         "grays_test": q_grays_test,
         "mann_kendall": q_mann_kendall,
         "srm_check": q_srm_check,
@@ -14685,6 +14728,149 @@ def oracle_sql() -> dict[str, str]:
                           / (v11 * v22 - v12 * v12) END, 6) AS chi2,
                CAST(2 AS INTEGER) AS dof
         FROM gl LEFT JOIN tot USING (g) CROSS JOIN ag
+    """
+
+    # RMST contrast: the rmst chain PARTITIONED by group, plus the
+    # descending drop cumsum for A_i, quantized s_tau re-entering the
+    # variance stage, survRM2-style SE — the operator's double order.
+    sql["rmst_diff"] = """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        rsubj AS (
+          SELECT CAST(CASE WHEN nxt IS NOT NULL
+                      THEN date_diff('day', o_orderdate, nxt)
+                      ELSE date_diff('day', o_orderdate, h.h) END
+                      AS BIGINT) AS t,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 'a'
+                      ELSE 'b' END AS g
+          FROM ranked CROSS JOIN h
+          JOIN customer ON o_custkey = c_custkey
+          WHERE rk = 1
+            AND c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        rper AS (
+          SELECT t, g, CAST(SUM(e) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS subj
+          FROM rsubj GROUP BY 1, 2),
+        rgrid AS (
+          SELECT t, g
+          FROM (SELECT DISTINCT t FROM rper)
+          CROSS JOIN (SELECT unnest(['a', 'b']) AS g)),
+        rfull AS (
+          SELECT rgrid.t, rgrid.g, COALESCE(d, 0) AS d,
+                 COALESCE(subj, 0) AS subj
+          FROM rgrid LEFT JOIN rper USING (t, g)),
+        rrisk AS (
+          SELECT *, CAST(SUM(subj) OVER (PARTITION BY g ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_risk
+          FROM rfull),
+        rterms AS (
+          SELECT *,
+                 CASE WHEN d < n_risk AND n_risk > 0 THEN
+                   CAST(ln(CAST(n_risk - d AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE)) AS DECIMAL(18,9))
+                 ELSE CAST(0 AS DECIMAL(18,9)) END AS term,
+                 CASE WHEN n_risk > 0 AND d >= n_risk THEN 1 ELSE 0 END
+                   AS dead
+          FROM rrisk),
+        rcurve AS (
+          SELECT *,
+                 SUM(term) OVER wa AS ln_s,
+                 CAST(SUM(dead) OVER wa AS BIGINT) AS cum_dead
+          FROM rterms
+          WINDOW wa AS (PARTITION BY g ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+        rvals AS (
+          SELECT *,
+                 CASE WHEN cum_dead >= 1 THEN 0.0
+                      ELSE exp(CAST(ln_s AS DOUBLE)) END AS s_at,
+                 CASE WHEN cum_dead - dead >= 1 THEN 0.0
+                      ELSE exp(CAST(ln_s - term AS DOUBLE)) END
+                   AS s_before
+          FROM rcurve),
+        rdrops AS (
+          SELECT *,
+                 CASE WHEN t <= 365.0 THEN
+                   CAST(CAST(t AS DOUBLE) * (s_before - s_at)
+                        AS DECIMAL(28,12))
+                 ELSE CAST(0 AS DECIMAL(28,12)) END AS drp
+          FROM rvals),
+        rrd AS (
+          SELECT *, SUM(drp) OVER (PARTITION BY g ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS rdrop
+          FROM rdrops),
+        rn AS (
+          SELECT g, CAST(SUM(subj) AS BIGINT) AS n
+          FROM rper GROUP BY g),
+        rbase AS (
+          SELECT g, SUM(drp) AS drops, arg_max(s_at, t) AS s_tau
+          FROM rrd WHERE t <= 365.0 GROUP BY g),
+        rlit AS (
+          SELECT g,
+                 COALESCE(CAST(COALESCE(s_tau, 1.0) AS DECIMAL(18,9)),
+                          CAST(1.0 AS DECIMAL(18,9))) AS s_tau_q,
+                 365.0 * COALESCE(s_tau, 1.0)
+                   + COALESCE(CAST(drops AS DOUBLE), 0.0) AS rmst
+          FROM rbase),
+        rvar AS (
+          SELECT rrd.g,
+                 SUM(CASE WHEN rrd.t <= 365.0 AND rrd.d > 0
+                          AND rrd.d < rrd.n_risk THEN
+                   CAST(((365.0 * CAST(rlit.s_tau_q AS DOUBLE)
+                          - CAST(rrd.t AS DOUBLE) * rrd.s_at
+                          + CAST(rrd.rdrop - rrd.drp AS DOUBLE))
+                         * (365.0 * CAST(rlit.s_tau_q AS DOUBLE)
+                            - CAST(rrd.t AS DOUBLE) * rrd.s_at
+                            + CAST(rrd.rdrop - rrd.drp AS DOUBLE)))
+                        * (CAST(rrd.d AS DOUBLE)
+                           / (CAST(rrd.n_risk AS DOUBLE)
+                              * CAST(rrd.n_risk - rrd.d AS DOUBLE)))
+                        AS DECIMAL(28,12))
+                 ELSE CAST(0 AS DECIMAL(28,12)) END) AS v,
+                 CAST(SUM(CASE WHEN rrd.t <= 365.0 AND rrd.d > 0
+                          AND rrd.d >= rrd.n_risk THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_bad
+          FROM rrd JOIN rlit ON rrd.g = rlit.g GROUP BY rrd.g),
+        pivoted AS (
+          SELECT
+            MAX(CASE WHEN rn.g = 'a' THEN rn.n END) AS na,
+            MAX(CASE WHEN rn.g = 'b' THEN rn.n END) AS nb,
+            MAX(CASE WHEN rlit.g = 'a' THEN rlit.rmst END) AS ra,
+            MAX(CASE WHEN rlit.g = 'b' THEN rlit.rmst END) AS rb,
+            MAX(CASE WHEN rvar.g = 'a'
+                THEN CAST(rvar.v AS DOUBLE) END) AS va,
+            MAX(CASE WHEN rvar.g = 'b'
+                THEN CAST(rvar.v AS DOUBLE) END) AS vb,
+            MAX(CASE WHEN rvar.g = 'a' THEN rvar.n_bad END) AS bada,
+            MAX(CASE WHEN rvar.g = 'b' THEN rvar.n_bad END) AS badb
+          FROM rn
+          LEFT JOIN rlit ON rn.g = rlit.g
+          LEFT JOIN rvar ON rn.g = rvar.g)
+        SELECT CAST(365.0 AS DOUBLE) AS tau,
+               na AS n_treat, nb AS n_ctrl,
+               round(ra, 6) AS rmst_treat,
+               round(rb, 6) AS rmst_ctrl,
+               round(ra - rb, 6) AS diff,
+               CASE WHEN bada = 0 AND badb = 0 AND va + vb > 0 THEN
+                 round(sqrt(va + vb), 6) END AS se,
+               CASE WHEN bada = 0 AND badb = 0 AND va + vb > 0 THEN
+                 round((ra - rb) / sqrt(va + vb), 6) END AS z_stat,
+               CASE WHEN bada = 0 AND badb = 0 AND va + vb > 0 THEN
+                 round((ra - rb) - 1.959964 * sqrt(va + vb), 6) END
+                 AS lo,
+               CASE WHEN bada = 0 AND badb = 0 AND va + vb > 0 THEN
+                 round((ra - rb) + 1.959964 * sqrt(va + vb), 6) END
+                 AS hi
+        FROM pivoted
     """
 
     # Gray's test: per-group KM/CIF prefixes on the times x k

@@ -2269,3 +2269,249 @@ def kaplan_meier_ci(
         )
         .alias("hi"),
     )
+
+
+def rmst_diff(
+    df: DataFrame,
+    group_col: str,
+    group_treat,
+    group_ctrl,
+    tau: float,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    z: float = 1.959964,
+) -> DataFrame:
+    """Between-group restricted-mean-survival-time contrast -> one row
+    (tau, n_treat, n_ctrl, rmst_treat, rmst_ctrl, diff, se, z_stat,
+    lo, hi).
+
+    The model-free effect estimate when proportional hazards fails
+    (crossing curves void the log-rank/Cox premise; RMST differences
+    stay interpretable): "event-free days gained within the first tau
+    days". Per group, RMST = integral of the KM curve on [0, tau] via
+    integration by parts (the rmst identity — no adjacent-row
+    windows), with the standard large-sample variance
+
+        Var(RMST) = sum_{events t_i <= tau} A_i^2 * d_i/(n_i(n_i-d_i))
+        A_i = integral_{t_i}^{tau} S(u) du
+            = tau*S(tau) - t_i*S(t_i) + sum_{t_i < t_j <= tau} t_j*dS_j
+
+    so A_i itself is ONE descending cumsum of the same per-row drop
+    terms t_j*(S(t_j-) - S(t_j)) the point estimate uses. diff =
+    RMST_treat - RMST_ctrl, se = sqrt(V_t + V_c), Wald z and the
+    z-quantile CI (``z`` default 1.959964, the 95% band).
+
+    Relational shape: the log_rank discipline — ONE pinned (t, group)
+    collapse, a times x 2 scaffold, per-group PARTITIONED windows for
+    the at-risk reverse cumsum and the KM ln-prefix (scaled exact
+    longs), per-row decimal(28,12) drop terms cumulated descending
+    per group, then one per-group aggregate for (rmst, variance,
+    S(tau)) and a 2-row collect. The at-risk count uses the FULL
+    timeline (subjects beyond tau still count at risk); only the
+    area/variance terms restrict to t <= tau. NULL se/CI when a group
+    has an undefined variance term (d_i = n_i inside tau with the
+    curve dead — never-fabricate); groups must both be present.
+    """
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    if group_treat == group_ctrl:
+        raise ValueError("groups must differ")
+    spark = df.sparkSession
+    gexpr = F.col(group_col)
+    per_tg = (
+        df.filter(gexpr.isin([group_treat, group_ctrl]))
+        .select(
+            F.col(duration_col).cast("long").alias("t"),
+            F.when(gexpr == group_treat, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("g"),
+            F.col(event_col).cast("int").alias("e"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t", "g")
+        .agg(
+            F.sum("e").cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("subj"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grid = per_tg.select("t").distinct().select(
+        "t", F.explode(F.array(F.lit("a"), F.lit("b"))).alias("g")
+    )
+    full = grid.join(per_tg, ["t", "g"], "left").fillna(0, ["d", "subj"])
+    w_rev = (
+        Window.partitionBy("g")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.partitionBy("g")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = full.withColumn("n_risk", F.sum("subj").over(w_rev))
+    lnq = F.when(
+        (F.col("d") < F.col("n_risk")) & (F.col("n_risk") > 0),
+        (
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            ).cast("decimal(18,9)")
+            * F.lit(1000000000)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    dead = (
+        F.when(
+            (F.col("n_risk") > 0) & (F.col("d") >= F.col("n_risk")), 1
+        ).otherwise(0)
+    ).cast("long")
+    cum = (
+        risk.withColumn("lnq", lnq)
+        .withColumn("dead", dead)
+        .withColumn("cum_lnq", F.sum("lnq").over(w_asc))
+        .withColumn("cum_dead", F.sum("dead").over(w_asc))
+    )
+    s_at = F.when(F.col("cum_dead") >= 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("cum_lnq").cast("double") / F.lit(1000000000.0))
+    )
+    s_before = F.when(
+        (F.col("cum_dead") - F.col("dead")) >= 1, F.lit(0.0)
+    ).otherwise(
+        F.exp(
+            (F.col("cum_lnq") - F.col("lnq")).cast("double")
+            / F.lit(1000000000.0)
+        )
+    )
+    within = F.col("t") <= F.lit(float(tau))
+    drop = F.when(
+        within,
+        (F.col("t").cast("double") * (s_before - s_at)).cast(
+            "decimal(28,12)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+    staged = cum.withColumn("s_at_d", s_at).withColumn("drop", drop)
+    w_desc_g = (
+        Window.partitionBy("g")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rdrops = staged.withColumn("rdrop", F.sum("drop").over(w_desc_g))
+    # A_i needs S(tau) per group BEFORE the variance aggregate — two
+    # small passes: first (rmst, S(tau)) per group, re-entering as
+    # plan literals (the cuped/cox channel), then the variance sum.
+    # group sizes come from the pinned collapse (ALL subjects — the
+    # log_rank rule); area terms come from the within-tau rows only
+    n_by = {
+        r["g"]: int(r["n"])
+        for r in per_tg.groupBy("g")
+        .agg(F.sum("subj").cast("long").alias("n"))
+        .collect()
+    }
+    base = (
+        rdrops.filter(within)
+        .groupBy("g")
+        .agg(
+            F.sum("drop").alias("drops"),
+            F.max_by(F.col("s_at_d"), F.col("t")).alias("s_tau"),
+        )
+        .collect()
+    )
+    q9 = Decimal("0.000000001")
+
+    def d18_9(v: float) -> float:
+        return float(
+            Decimal(repr(v)).quantize(q9, rounding=ROUND_HALF_UP)
+        )
+
+    if "a" not in n_by or "b" not in n_by:
+        raise ValueError("both groups must be present in the input")
+    info = {}
+    for r in base:
+        if r["g"] not in n_by:
+            continue  # scaffold-only group (no real subjects)
+        stau = float(r["s_tau"]) if r["s_tau"] is not None else 1.0
+        drops = float(r["drops"]) if r["drops"] is not None else 0.0
+        info[r["g"]] = {"s_tau": d18_9(stau), "rmst": float(tau) * stau + drops}
+    for g in ("a", "b"):
+        if g not in info:
+            # group exists but has no observation inside tau: the
+            # curve is flat at 1 on [0, tau]
+            info[g] = {"s_tau": 1.0, "rmst": float(tau)}
+    # variance pass: A_i = tau*S(tau) - t_i*S(t_i) + (rdrop_i - drop_i)
+    stau_lit = F.when(
+        F.col("g") == "a", F.lit(info["a"]["s_tau"])
+    ).otherwise(F.lit(info["b"]["s_tau"]))
+    a_i = (
+        F.lit(float(tau)) * stau_lit
+        - F.col("t").cast("double") * F.col("s_at_d")
+        + (F.col("rdrop") - F.col("drop")).cast("double")
+    )
+    vterm = F.when(
+        within & (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        (
+            (a_i * a_i)
+            * (
+                F.col("d").cast("double")
+                / (
+                    F.col("n_risk").cast("double")
+                    * (F.col("n_risk") - F.col("d")).cast("double")
+                )
+            )
+        ).cast("decimal(28,12)"),
+    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+    bad = within & (F.col("d") > 0) & (F.col("d") >= F.col("n_risk"))
+    vrow = rdrops.filter(within).groupBy("g").agg(
+        F.sum(vterm).alias("v"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_bad"),
+    ).collect()
+    vinfo = {
+        r["g"]: (
+            float(r["v"]) if r["v"] is not None else 0.0,
+            int(r["n_bad"]),
+        )
+        for r in vrow
+    }
+
+    def r6(v):
+        if v is None:
+            return None
+        return float(
+            Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    import math  # noqa: PLC0415
+
+    ra, rb = info["a"]["rmst"], info["b"]["rmst"]
+    va, na_bad = vinfo.get("a", (0.0, 0))
+    vb, nb_bad = vinfo.get("b", (0.0, 0))
+    diff = ra - rb
+    if na_bad or nb_bad or (va + vb) <= 0:
+        se = zs = lo = hi = None
+    else:
+        se = math.sqrt(va + vb)
+        zs = diff / se
+        lo = diff - float(z) * se
+        hi = diff + float(z) * se
+    return spark.createDataFrame(
+        [
+            (
+                float(tau),
+                n_by.get("a", 0),
+                n_by.get("b", 0),
+                r6(ra),
+                r6(rb),
+                r6(diff),
+                r6(se),
+                r6(zs),
+                r6(lo),
+                r6(hi),
+            )
+        ],
+        "tau double, n_treat long, n_ctrl long, rmst_treat double,"
+        " rmst_ctrl double, diff double, se double, z_stat double,"
+        " lo double, hi double",
+    )

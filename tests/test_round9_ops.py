@@ -1123,3 +1123,93 @@ def test_msprt_null_effect_and_gates(spark):
     assert out[-1]["p_running"] > 0.5
     with pytest.raises(ValueError, match="tau"):
         msprt_monitor(df, "arm", "y", "ts", "A", "B", tau=0.0)
+
+
+# ---------------------------------------------------------------------------
+# rmst_diff
+# ---------------------------------------------------------------------------
+
+def _rmst_var_numpy(t, e, tau):
+    """Unquantized single-group RMST + survRM2-style variance."""
+    import collections
+
+    per = collections.defaultdict(lambda: [0, 0])
+    for ti, ei in zip(t, e):
+        per[ti][0] += ei
+        per[ti][1] += 1
+    times = sorted(per)
+    n_risk = {}
+    run = sum(v[1] for v in per.values())
+    for ti in times:
+        n_risk[ti] = run
+        run -= per[ti][1]
+    s = 1.0
+    s_at, s_before = {}, {}
+    for ti in times:
+        d = per[ti][0]
+        s_before[ti] = s
+        if d >= n_risk[ti]:
+            s = 0.0
+        elif d > 0:
+            s *= (n_risk[ti] - d) / n_risk[ti]
+        s_at[ti] = s
+    within = [ti for ti in times if ti <= tau]
+    stau = s_at[within[-1]] if within else 1.0
+    drops = {ti: ti * (s_before[ti] - s_at[ti]) for ti in within}
+    rmst_v = tau * stau + sum(drops.values())
+    var = 0.0
+    for i, ti in enumerate(within):
+        d, nr = per[ti][0], n_risk[ti]
+        if d > 0 and d < nr:
+            a = tau * stau - ti * s_at[ti] + sum(
+                drops[tj] for tj in within[i + 1:]
+            )
+            var += a * a * d / (nr * (nr - d))
+    return rmst_v, var
+
+
+def test_rmst_diff_matches_numpy_reference(spark):
+    """Per-group RMST equals the single-group operator exactly, and
+    the SE/z/CI match the unquantized survRM2-style replay."""
+    from econdatapipeline_spark.operators.survival import rmst, rmst_diff
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(600):
+        g = "T" if i % 2 else "C"
+        t = int(rng.exponential(30 if g == "T" else 22)) + 1
+        e = int(rng.uniform() < 0.8)
+        rows.append((t, e, g))
+    df = spark.createDataFrame(rows, "duration long, event int, grp string")
+    out = rmst_diff(df, "grp", "T", "C", tau=40.0).collect()[0]
+    rt = rmst(df.filter("grp = 'T'"), 40.0).collect()[0]["rmst"]
+    rc = rmst(df.filter("grp = 'C'"), 40.0).collect()[0]["rmst"]
+    assert out["rmst_treat"] == rt and out["rmst_ctrl"] == rc
+    tt = [r[0] for r in rows if r[2] == "T"]
+    et = [r[1] for r in rows if r[2] == "T"]
+    tc = [r[0] for r in rows if r[2] == "C"]
+    ec = [r[1] for r in rows if r[2] == "C"]
+    r1, v1 = _rmst_var_numpy(tt, et, 40.0)
+    r0, v0 = _rmst_var_numpy(tc, ec, 40.0)
+    assert out["rmst_treat"] == pytest.approx(r1, abs=2e-5)
+    assert out["rmst_ctrl"] == pytest.approx(r0, abs=2e-5)
+    se = math.sqrt(v1 + v0)
+    assert out["se"] == pytest.approx(se, abs=2e-5)
+    assert out["z_stat"] == pytest.approx((r1 - r0) / se, abs=2e-4)
+    assert out["lo"] == pytest.approx(r1 - r0 - 1.959964 * se, abs=2e-4)
+    assert out["hi"] == pytest.approx(r1 - r0 + 1.959964 * se, abs=2e-4)
+    assert out["n_treat"] == 300 and out["n_ctrl"] == 300
+
+
+def test_rmst_diff_validation(spark):
+    from econdatapipeline_spark.operators.survival import rmst_diff
+
+    df = spark.createDataFrame(
+        [(5, 1, "T")], "duration long, event int, grp string"
+    )
+    with pytest.raises(ValueError, match="tau"):
+        rmst_diff(df, "grp", "T", "C", tau=0.0)
+    with pytest.raises(ValueError, match="differ"):
+        rmst_diff(df, "grp", "T", "T", tau=5.0)
+    with pytest.raises(ValueError, match="both groups"):
+        rmst_diff(df, "grp", "T", "C", tau=5.0).collect()
