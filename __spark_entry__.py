@@ -14757,7 +14757,7 @@ def oracle_sql() -> dict[str, str]:
         rper AS (
           SELECT t, g, CAST(SUM(e) AS BIGINT) AS d,
                  CAST(COUNT(*) AS BIGINT) AS subj
-          FROM rsubj GROUP BY 1, 2),
+          FROM rsubj WHERE t IS NOT NULL GROUP BY 1, 2),
         rgrid AS (
           SELECT t, g
           FROM (SELECT DISTINCT t FROM rper)
@@ -14940,7 +14940,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END) AS BIGINT) AS d1,
                  CAST(SUM(e) AS BIGINT) AS dall,
                  CAST(COUNT(*) AS BIGINT) AS subj
-          FROM gsubj GROUP BY 1, 2),
+          FROM gsubj WHERE t IS NOT NULL GROUP BY 1, 2),
         ggrid AS (
           SELECT t, g
           FROM (SELECT DISTINCT t FROM gper)
