@@ -14547,7 +14547,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     def _weibull_aft_sql():
-        frag = _waftf(2, 6)
+        frag = _waftf(2)
         inits = ",\n                 ".join(
             f"{e} AS {nm}" for nm, e in frag["init_terms"]
         )

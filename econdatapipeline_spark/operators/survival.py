@@ -1519,7 +1519,7 @@ def rmst(
     )
 
 
-def weibull_aft_fragments(p: int, rounds: int = 8) -> dict:
+def weibull_aft_fragments(p: int) -> dict:
     """Shared Spark/DuckDB SQL fragments for the p-covariate Weibull
     accelerated-failure-time fit — the single source of truth both
     weibull_aft and its oracle consume, so the two engines execute the
@@ -1799,7 +1799,7 @@ def weibull_aft(
 
     covariate_cols = list(covariate_cols or [])
     p = len(covariate_cols)
-    frag = weibull_aft_fragments(p, rounds)
+    frag = weibull_aft_fragments(p)
     keep = (
         F.col(duration_col).isNotNull()
         & (F.col(duration_col).cast("double") > 0)
