@@ -1213,3 +1213,47 @@ def test_rmst_diff_validation(spark):
         rmst_diff(df, "grp", "T", "T", tau=5.0)
     with pytest.raises(ValueError, match="both groups"):
         rmst_diff(df, "grp", "T", "C", tau=5.0).collect()
+
+
+def test_gauss_solve_fixed_bit_identical_to_sql_steps():
+    """THE certification claim behind the p >= 3 solves: the python
+    replay (_gauss_solve_fixed) and the generated SQL step text
+    (_gauss_steps) executed by DuckDB produce BIT-IDENTICAL doubles —
+    same elimination order, same back-substitution nesting, same
+    division guards."""
+    import duckdb
+
+    from econdatapipeline_spark.operators.timeseries import (
+        _gauss_solve_fixed,
+        _gauss_steps,
+    )
+
+    rng = np.random.RandomState(17)
+    for m in (3, 4, 5):
+        a = rng.normal(size=(m, m))
+        spd = a @ a.T + m * np.eye(m)
+        rhs = list(rng.normal(size=m))
+        a_names = {
+            (j, k): f"i{j}_{k}" for j in range(m) for k in range(j, m)
+        }
+        b_names = [f"u{j}" for j in range(m)]
+        steps, betas, diag = _gauss_steps(m, a_names, b_names, "t")
+        cols = {f"i{j}_{k}": spd[j][k] for j in range(m) for k in range(j, m)}
+        cols.update({f"u{j}": rhs[j] for j in range(m)})
+        con = duckdb.connect()
+        # inputs go in as NATIVE float64 (registered frame), never as
+        # SQL text: DuckDB parses bare numeric literals through
+        # DECIMAL, which does NOT round-trip a double's last ulp —
+        # real oracles read exact doubles from parquet
+        import pandas as pd
+
+        con.register("s0", pd.DataFrame({k: [v] for k, v in cols.items()}))
+        sql = "WITH s1 AS (SELECT * FROM s0)"
+        last = "s1"
+        for i, (nm, e) in enumerate(steps, 2):
+            sql += f", s{i} AS (SELECT *, {e} AS {nm} FROM {last})"
+            last = f"s{i}"
+        sql += f" SELECT {', '.join(betas)} FROM {last}"
+        got_sql = list(con.execute(sql).fetchone())
+        got_py = _gauss_solve_fixed(spd.tolist(), [rhs])[0]
+        assert got_sql == got_py, f"m={m}: SQL and python solves differ"
