@@ -241,16 +241,19 @@ def _kmeanspar_md5_seeds(
         ),
     )
     chosen = [order[0]]
+    # incremental nearest-chosen distance: one |C|-row update per
+    # selection instead of recomputing min-over-chosen per candidate
+    # per step — O(k·|C|·d) total, so the driver finish stays flat as
+    # k grows (same values: each pairwise distance is the identical
+    # numpy d-vector sum, and min is order-free)
+    dmin = ((cmat - cmat[order[0]]) ** 2).sum(axis=1)
     for step in range(2, k + 1):
         best = None
         best_key = None
         for i in range(len(cand_ids)):
             if i in chosen:
                 continue
-            d2 = min(
-                float(((cmat[i] - cmat[j]) ** 2).sum()) for j in chosen
-            )
-            wgt = weights.get(i, 0) * d2
+            wgt = weights.get(i, 0) * float(dmin[i])
             if wgt <= 0:
                 continue
             key = (
@@ -272,6 +275,7 @@ def _kmeanspar_md5_seeds(
                 f"k-means|| found fewer than {k} distinct candidates"
             )
         chosen.append(best)
+        dmin = np.minimum(dmin, ((cmat - cmat[best]) ** 2).sum(axis=1))
     return [cand_ids[i] for i in chosen]
 
 
