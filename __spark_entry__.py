@@ -5981,6 +5981,62 @@ def q_ipw_ate_trim(spark, sf_dir):
     )
 
 
+def q_aipw_ate(spark, sf_dir):
+    """Doubly-robust AIPW ATE on the shared two-confounder subject
+    table (operators/evaluation.aipw_ate): the ipw_ate_multi IRLS
+    propensity PLUS per-arm OLS outcome models (one further
+    decimal-quantized normal-equation aggregate, same fixed-order
+    Gauss solve text), augmented influence-function pass. Consistent
+    if EITHER model is right — the regression layer the reference's
+    docs promise, fused with the reweighting layer. Same output
+    schema as ipw_ate_multi, so the two estimators are directly
+    comparable row-for-row."""
+    from econdatapipeline_spark.operators.evaluation import aipw_ate
+
+    return aipw_ate(
+        _ipw_multi_input(spark, sf_dir),
+        "treat",
+        "y_k",
+        ["x_k", "d_k"],
+        rounds=4,
+    )
+
+
+def q_iv_2sls(spark, sf_dir):
+    """Per-segment instrumental-variables regression
+    (operators/evaluation.iv_2sls): order value (k$) on account
+    balance (k$) instrumented by order recency (k-days), intercept
+    included — the just-identified Wald/2SLS closed form with IV
+    standard errors and the first-stage F weak-instrument diagnostic.
+    ONE decimal-exact aggregate per segment, then fixed-order double
+    closed forms the oracle replays; completes the causal toolbox
+    (DiD / CEM / RDD / IPW / AIPW / IV)."""
+    from econdatapipeline_spark.operators.evaluation import iv_2sls
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(
+            c.select("c_custkey", "c_acctbal", "c_mktsegment")
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("o_totalprice") / 1000.0).alias("y_k"),
+        (F.col("c_acctbal") / 1000.0).alias("x_k"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast(
+                "double"
+            )
+            / 1000.0
+        ).alias("z_k"),
+    )
+    return (
+        iv_2sls(joined, "y_k", "x_k", "z_k", group_col="seg")
+        .orderBy("seg")
+    )
+
+
 def q_kmeans_lloyd(spark, sf_dir):
     """Lloyd's k-means over the embedding space
     (operators/kmeans.kmeans_lloyd): k=4, 2 rounds, seeds = vectors
@@ -6476,6 +6532,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "cumulative_incidence": q_cumulative_incidence,
         "ipw_ate": q_ipw_ate,
         "ipw_ate_multi": q_ipw_ate_multi,
+        "aipw_ate": q_aipw_ate,
+        "iv_2sls": q_iv_2sls,
         "poisson_glm": q_poisson_glm,
         "ipw_ate_trim": q_ipw_ate_trim,
         "kmeans_lloyd": q_kmeans_lloyd,
@@ -14386,6 +14444,164 @@ def oracle_sql() -> dict[str, str]:
 
     sql["ipw_ate_multi"] = _ipw_multi_sql(None)
     sql["ipw_ate_trim"] = _ipw_multi_sql(0.05)
+
+    # Doubly-robust AIPW: the ipw_ate_multi CTE chain plus ONE
+    # further aggregate carrying both arms' OLS normal equations,
+    # the same fixed-order Gauss step text for the two outcome-model
+    # solves, and the augmented influence-function pass — every
+    # fragment from evaluation.aipw_fragments verbatim.
+    from econdatapipeline_spark.operators.evaluation import (
+        aipw_fragments as _aipwf,
+    )
+
+    def _aipw_sql(trim):
+        frag = _aipwf(2, trim)
+        aggs = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["agg_terms"]
+        )
+        parts = []
+        for r in range(1, 5):
+            parts.append(
+                f",\n        ag{r} AS (SELECT {aggs}"
+                f"\n          FROM asubj CROSS JOIN ab{r - 1})"
+            )
+            last = f"ag{r}"
+            for i, (nm, e) in enumerate(frag["solve_steps"](r)):
+                nxt = f"ag{r}s{i}"
+                parts.append(
+                    f",\n        {nxt} AS (SELECT *, {e} AS {nm}"
+                    f" FROM {last})"
+                )
+                last = nxt
+            sel = ", ".join(f"nb{j} AS b{j}" for j in range(3))
+            parts.append(f",\n        ab{r} AS (SELECT {sel} FROM {last})")
+        olsa = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["ols_terms"]
+        )
+        parts.append(
+            f",\n        aols0 AS (SELECT {olsa}\n          FROM asubj)"
+        )
+        last = "aols0"
+        for i, (nm, e) in enumerate(frag["ols_steps"]()):
+            nxt = f"aolss{i}"
+            parts.append(
+                f",\n        {nxt} AS (SELECT *, {e} AS {nm}"
+                f" FROM {last})"
+            )
+            last = nxt
+        csel = ", ".join(
+            f"c{a}_{j}" for a in (1, 0) for j in range(3)
+        )
+        parts.append(f",\n        acoef AS (SELECT {csel} FROM {last})")
+        parts.append(
+            ",\n        apar AS (SELECT * FROM ab4 CROSS JOIN acoef)"
+        )
+        fins = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["aipw_final_terms"]
+        )
+        outs = ",\n               ".join(
+            f"{e} AS {nm}" for nm, e in frag["aipw_outputs"].items()
+        )
+        return f"""
+        WITH asubj AS (
+          SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS tr,
+                 CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS y,
+                 CAST(c_acctbal / 1000.0 AS DECIMAL(18,6)) AS x1,
+                 CAST(CAST(date_diff('day', DATE '1992-01-01',
+                      o_orderdate) AS DOUBLE) / 1000.0
+                      AS DECIMAL(18,6)) AS x2
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL
+            AND o_orderdate IS NOT NULL),
+        ab0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0,
+                       CAST(0.0 AS DOUBLE) AS b1,
+                       CAST(0.0 AS DOUBLE) AS b2){"".join(parts)},
+        afin AS (SELECT {fins}
+                 FROM asubj CROSS JOIN apar)
+        SELECT {outs}
+        FROM afin
+        """
+
+    sql["aipw_ate"] = _aipw_sql(None)
+
+    # Just-identified 2SLS: one decimal-exact aggregate per segment,
+    # then the operator's fixed-order double closed forms with every
+    # division CASE-guarded (the try_divide twin text).
+    sql["iv_2sls"] = """
+        WITH vbase AS (
+          SELECT c_mktsegment AS seg,
+                 CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS y,
+                 CAST(c_acctbal / 1000.0 AS DECIMAL(18,6)) AS x,
+                 CAST(CAST(date_diff('day', DATE '1992-01-01',
+                      o_orderdate) AS DOUBLE) / 1000.0
+                      AS DECIMAL(18,6)) AS z
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL
+            AND o_orderdate IS NOT NULL),
+        vsums AS (
+          SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS sz,
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS szz,
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS szx,
+                 CAST(SUM(CAST(CAST(z AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS szy
+          FROM vbase GROUP BY seg),
+        vstage AS (
+          SELECT seg, n, CAST(n AS DOUBLE) AS nd,
+                 szx - sz * sx / CAST(n AS DOUBLE) AS czx,
+                 szy - sz * sy / CAST(n AS DOUBLE) AS czy,
+                 szz - sz * sz / CAST(n AS DOUBLE) AS czz,
+                 sxx - sx * sx / CAST(n AS DOUBLE) AS cxx,
+                 sxy - sx * sy / CAST(n AS DOUBLE) AS cxy,
+                 syy - sy * sy / CAST(n AS DOUBLE) AS cyy,
+                 sx / CAST(n AS DOUBLE) AS xbar,
+                 sy / CAST(n AS DOUBLE) AS ybar
+          FROM vsums),
+        vterms AS (
+          SELECT seg, n, nd, czx, czz, cxx, cyy, xbar, ybar,
+                 CASE WHEN czx = 0 THEN NULL ELSE czy / czx END AS b1,
+                 cxx - CASE WHEN czz = 0 THEN NULL
+                       ELSE czx * czx / czz END AS rss1
+          FROM vstage),
+        vterms2 AS (
+          SELECT *,
+                 ybar - b1 * xbar AS b0,
+                 CASE WHEN nd - 2.0 = 0 THEN NULL
+                      ELSE (cyy - 2.0 * b1 * (SELECT s.cxy FROM vstage s
+                            WHERE s.seg = vterms.seg)
+                            + b1 * b1 * cxx) / (nd - 2.0) END AS s2
+          FROM vterms),
+        vfin AS (
+          SELECT seg, n, nd, czx, czz, rss1, b0, b1, s2,
+                 CASE WHEN abs(czx) = 0 THEN NULL
+                      ELSE sqrt(s2 * czz) / abs(czx) END AS se
+          FROM vterms2),
+        vok AS (
+          SELECT *,
+                 (n > 2 AND czz > 0 AND czx <> 0) AS ok1
+          FROM vfin)
+        SELECT seg, n,
+               CASE WHEN ok1 THEN round(b0, 6) + 0.0 END AS beta0,
+               CASE WHEN ok1 THEN round(b1, 6) + 0.0 END AS beta1,
+               CASE WHEN ok1 AND s2 > 0 THEN round(se, 6) END
+                 AS se_beta1,
+               CASE WHEN ok1 AND s2 > 0 THEN round(
+                 CASE WHEN se = 0 THEN NULL ELSE b1 / se END, 6) + 0.0
+                 END AS t_beta1,
+               CASE WHEN ok1 AND rss1 > 0 THEN round(
+                 (CASE WHEN czz = 0 THEN NULL
+                       ELSE czx * czx / czz END)
+                 / (CASE WHEN nd - 2.0 = 0 THEN NULL
+                         ELSE rss1 / (nd - 2.0) END), 6)
+                 END AS f_first_stage
+        FROM vok
+        ORDER BY seg
+    """
 
     # Aalen-Johansen CIF: the kaplan_meier chain with per-cause event
     # counts, S(t-) from the prefix state minus self, decimal CIF

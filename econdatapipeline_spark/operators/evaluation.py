@@ -1380,3 +1380,389 @@ def msprt_monitor(
     return staged.withColumn(
         "p_running", F.round(F.min("__p_raw").over(w_run), 6)
     ).drop("__p_raw").withColumnRenamed("t", "period")
+
+
+def aipw_fragments(p: int, trim_eps: float | None = None) -> dict:
+    """Shared Spark/DuckDB SQL fragments for the doubly-robust AIPW
+    estimator — extends ipw_fragments (whose IRLS propensity rounds it
+    reuses verbatim) with per-arm OLS outcome models and the augmented
+    influence-function pass, so operator and oracle execute identical
+    text (the granger_fragments discipline, timeseries.py).
+
+    Expects the ipw subject relation (tr int, y decimal(18,6),
+    x1..xp decimal(18,6)) plus a 1-row params relation carrying the
+    fitted propensity betas b0..bp AND the two arm-OLS coefficient
+    sets c1_0..c1_p / c0_0..c0_p. Adds to the ipw dict:
+
+    - ``ols_terms``: ONE aggregate emitting both arms' normal
+      equations — X'X upper triangles o{a}_{j}_{k} and X'y vectors
+      t{a}_{j} (X_0 = 1), every per-subject product decimal(28,12)-
+      quantized before its order-free sum.
+    - ``ols_steps``: two _gauss_steps chains (prefix ols1/ols0, SPD,
+      no pivot) emitting the decimal(18,9)-requantized coefficients
+      c{a}_{j}, NULL-gated on every pivot > 0 (never-fabricate; a
+      rank-deficient or undersized arm NULLs the whole estimate).
+    - ``final_terms`` / ``outputs``: the AIPW arm means
+
+        mu_1 = (1/n_kept) Σ [ m1(x) + T (y - m1(x)) / e(x) ]
+        mu_0 = (1/n_kept) Σ [ m0(x) + (1-T)(y - m0(x)) / (1-e(x)) ]
+
+      with m_a(x) the fixed left-to-right arm-a linear predictor and
+      e(x) the ipw propensity; ate = mu_1 - mu_0. Same overlap report
+      and trim/strict-NULL contract as ipw_ate_multi (oke gate), same
+      output schema, so the two estimators are directly comparable.
+
+    Doubly robust: consistent if EITHER the propensity model OR the
+    outcome regressions are correct — the reference's docs promise a
+    regression layer (documentation/economic_indicators.md:123-126);
+    AIPW is that layer fused with the ipw reweighting one.
+    """
+    from .timeseries import _gauss_steps  # noqa: PLC0415
+
+    base = ipw_fragments(p, trim_eps)
+    m = base["m"]
+    mu = base["mu"]
+
+    def xj(j: int) -> str:
+        return "1.0" if j == 0 else f"CAST(x{j} AS DOUBLE)"
+
+    ols_terms = []
+    for a in (1, 0):
+        for j in range(m):
+            for k in range(j, m):
+                ols_terms.append(
+                    (
+                        f"o{a}_{j}_{k}",
+                        f"CAST(SUM(CASE WHEN tr = {a} THEN"
+                        f" CAST({xj(j)} * {xj(k)} AS DECIMAL(28,12))"
+                        " END) AS DOUBLE)",
+                    )
+                )
+        for j in range(m):
+            ols_terms.append(
+                (
+                    f"t{a}_{j}",
+                    f"CAST(SUM(CASE WHEN tr = {a} THEN"
+                    f" CAST({xj(j)} * CAST(y AS DOUBLE)"
+                    " AS DECIMAL(28,12)) END) AS DOUBLE)",
+                )
+            )
+
+    def ols_steps():
+        out = []
+        for a in (1, 0):
+            a_names = {
+                (j, k): f"o{a}_{j}_{k}"
+                for j in range(m)
+                for k in range(j, m)
+            }
+            b_names = [f"t{a}_{j}" for j in range(m)]
+            steps, betas, diag = _gauss_steps(
+                m, a_names, b_names, f"ols{a}"
+            )
+            out.extend(steps)
+            ok = " AND ".join(f"{d} > 0" for d in dict.fromkeys(diag))
+            for j in range(m):
+                out.append(
+                    (
+                        f"c{a}_{j}",
+                        f"CASE WHEN {ok} THEN CAST(CAST({betas[j]}"
+                        " AS DECIMAL(18,9)) AS DOUBLE) ELSE NULL END",
+                    )
+                )
+        return out
+
+    m1 = "c1_0"
+    m0 = "c0_0"
+    for j in range(1, m):
+        m1 += f" + c1_{j} * CAST(x{j} AS DOUBLE)"
+        m0 += f" + c0_{j} * CAST(x{j} AS DOUBLE)"
+    if trim_eps is None:
+        oke = f"{mu} > 0.0 AND {mu} < 1.0"
+    else:
+        e_txt = repr(float(trim_eps))
+        oke = f"{mu} >= {e_txt} AND {mu} <= 1.0 - {e_txt}"
+    t1 = (
+        f"({m1}) + CAST(tr AS DOUBLE)"
+        f" * (CAST(y AS DOUBLE) - ({m1})) / {mu}"
+    )
+    t0 = (
+        f"({m0}) + (1.0 - CAST(tr AS DOUBLE))"
+        f" * (CAST(y AS DOUBLE) - ({m0})) / (1.0 - {mu})"
+    )
+    final_terms = [
+        ("n", "CAST(COUNT(*) AS BIGINT)"),
+        ("nt", "CAST(COALESCE(SUM(tr), 0) AS BIGINT)"),
+        (
+            "nk",
+            f"CAST(COALESCE(SUM(CASE WHEN {oke} THEN 1 ELSE 0 END), 0)"
+            " AS BIGINT)",
+        ),
+        (
+            "s1",
+            f"CAST(SUM(CASE WHEN {oke} THEN"
+            f" CAST({t1} AS DECIMAL(28,12)) END) AS DOUBLE)",
+        ),
+        (
+            "s0",
+            f"CAST(SUM(CASE WHEN {oke} THEN"
+            f" CAST({t0} AS DECIMAL(28,12)) END) AS DOUBLE)",
+        ),
+        (
+            "n_excl",
+            f"CAST(COALESCE(SUM(CASE WHEN NOT ({oke}) THEN 1 ELSE 0"
+            " END), 0) AS BIGINT)",
+        ),
+        ("e_min_t", f"MIN(CASE WHEN tr = 1 THEN {mu} END)"),
+        ("e_max_t", f"MAX(CASE WHEN tr = 1 THEN {mu} END)"),
+        ("e_min_c", f"MIN(CASE WHEN tr = 0 THEN {mu} END)"),
+        ("e_max_c", f"MAX(CASE WHEN tr = 0 THEN {mu} END)"),
+        ("pb", "MIN(b0)"),
+        ("pc1", "MIN(c1_0)"),
+        ("pc0", "MIN(c0_0)"),
+    ]
+    valid = (
+        "pb IS NOT NULL AND pc1 IS NOT NULL AND pc0 IS NOT NULL"
+        " AND nt > 0 AND nt < n AND nk > 0"
+    )
+    if trim_eps is None:
+        valid += " AND n_excl = 0"
+    outputs = {
+        "n": "n",
+        "n_treated": "nt",
+        "ate": (
+            f"round(CASE WHEN {valid} THEN (s1 - s0)"
+            " / CAST(nk AS DOUBLE) END, 6)"
+        ),
+        "mu_treated": (
+            f"round(CASE WHEN {valid} THEN s1 / CAST(nk AS DOUBLE)"
+            " END, 6)"
+        ),
+        "mu_control": (
+            f"round(CASE WHEN {valid} THEN s0 / CAST(nk AS DOUBLE)"
+            " END, 6)"
+        ),
+        "e_min_treated": "round(e_min_t, 6)",
+        "e_max_treated": "round(e_max_t, 6)",
+        "e_min_control": "round(e_min_c, 6)",
+        "e_max_control": "round(e_max_c, 6)",
+        "n_excluded": "n_excl",
+    }
+    return {
+        **base,
+        "ols_terms": ols_terms,
+        "ols_steps": ols_steps,
+        "aipw_final_terms": final_terms,
+        "aipw_outputs": outputs,
+    }
+
+
+def aipw_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    covariate_cols: list[str],
+    rounds: int = 4,
+    trim_eps: float | None = None,
+) -> DataFrame:
+    """Doubly-robust (augmented IPW) ATE -> one row with the
+    ipw_ate_multi output schema (n, n_treated, ate, mu_treated,
+    mu_control, per-arm propensity min/max, n_excluded).
+
+    Completes the causal triad: DiD/CEM (design), IPW (reweighting),
+    AIPW (reweighting x outcome regression). The estimator augments
+    each arm's regression prediction m_a(x) with the inverse-
+    propensity-weighted residual, so it stays consistent if EITHER
+    model is right and attains the semiparametric efficiency bound
+    when both are.
+
+    Architecture: ONE LAZY PLAN, zero driver collects —
+    1. logistic-IRLS propensity, ``rounds`` bounded rounds, each ONE
+       decimal-quantized aggregate over the checkpointed subject
+       table (ipw_fragments verbatim);
+    2. per-arm OLS outcome models from ONE further aggregate (both
+       arms' normal equations as CASE-gated sums) solved by the same
+       fixed-order no-pivot Gauss text (SPD, pivot>0 NULL gate);
+    3. one final augmented pass with the fitted (p+1)+2(p+1) params
+       broadcast as a 1-row relation.
+    Total subject scans: rounds + 2, all map-side combinable — the
+    plan holds at any corpus size. The SQL oracle chains the
+    IDENTICAL fragment text, keeping the estimator hash-certified at
+    any p <= 8.
+
+    ``trim_eps`` as in ipw_ate_multi: None = strict (any saturated
+    propensity NULLs the estimate), eps = overlap-trim band with
+    n_excluded reported.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if not covariate_cols:
+        raise ValueError("covariate_cols must name at least one column")
+    p = len(covariate_cols)
+    frag = aipw_fragments(p, trim_eps)
+    m = frag["m"]
+    spark = df.sparkSession
+    keep = (
+        F.col(treat_col).isNotNull() & F.col(outcome_col).isNotNull()
+    )
+    for c in covariate_cols:
+        keep = keep & F.col(c).isNotNull()
+    subj = df.filter(keep).select(
+        F.col(treat_col).cast("int").alias("tr"),
+        F.col(outcome_col).cast("decimal(18,6)").alias("y"),
+        *[
+            F.col(c).cast("decimal(18,6)").alias(f"x{j}")
+            for j, c in enumerate(covariate_cols, 1)
+        ],
+    ).localCheckpoint(eager=True)
+    b_cur = spark.range(1).select(
+        *[F.lit(0.0).alias(f"b{j}") for j in range(m)]
+    )
+    for r in range(1, rounds + 1):
+        g = subj.crossJoin(F.broadcast(b_cur)).agg(
+            *[F.expr(e).alias(nm) for nm, e in frag["agg_terms"]]
+        )
+        for nm, e in frag["solve_steps"](r):
+            g = g.withColumn(nm, F.expr(e))
+        b_cur = g.select(
+            *[F.col(f"nb{j}").alias(f"b{j}") for j in range(m)]
+        )
+    ols = subj.agg(
+        *[F.expr(e).alias(nm) for nm, e in frag["ols_terms"]]
+    )
+    for nm, e in frag["ols_steps"]():
+        ols = ols.withColumn(nm, F.expr(e))
+    coef = ols.select(
+        *[F.col(f"c1_{j}") for j in range(m)],
+        *[F.col(f"c0_{j}") for j in range(m)],
+    )
+    params = b_cur.crossJoin(coef)
+    fin = subj.crossJoin(F.broadcast(params)).agg(
+        *[F.expr(e).alias(nm) for nm, e in frag["aipw_final_terms"]]
+    )
+    return fin.select(
+        *[
+            F.expr(e).alias(nm)
+            for nm, e in frag["aipw_outputs"].items()
+        ]
+    )
+
+
+def iv_2sls(
+    df: DataFrame,
+    outcome_col: str,
+    endog_col: str,
+    instrument_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Just-identified instrumental-variables regression (2SLS with
+    one endogenous regressor, one instrument, intercept) -> one row
+    per group: (group?, n, beta0, beta1, se_beta1, t_beta1,
+    f_first_stage).
+
+    Completes the causal family's identification toolbox: DiD
+    (trends), CEM (matching), RDD (cutoff), IPW/AIPW (reweighting /
+    doubly robust) all assume no unobserved confounding; IV is the
+    estimator for when the regressor itself is endogenous and an
+    exclusion-restriction instrument z exists. The Wald/2SLS closed
+    form:
+
+        beta1 = cov(z, y) / cov(z, x),   beta0 = ybar - beta1 xbar
+        Var(beta1) = s^2 * S_zz / S_zx^2,  s^2 = RSS_IV / (n - 2)
+
+    plus the weak-instrument diagnostic every applied paper reports:
+    the first-stage F of x on z, F = (S_zx^2 / S_zz) / (RSS_1/(n-2))
+    (rule of thumb: F < 10 = weak instrument, the estimate is
+    unreliable regardless of its t-stat).
+
+    Relational shape (the newey_west/adf_test discipline): ONE hash
+    aggregate of decimal(38,12)-exact sums of decimal(18,6)-quantized
+    inputs per group, then O(1) fixed-order double closed forms —
+    fully oracle-replayable, and the plan is a single map-side
+    combinable aggregate at any corpus size. NULL outputs
+    (never-fabricate) when n <= 2, the instrument is constant
+    (S_zz = 0), cov(z, x) = 0 (no first stage), or residual variance
+    degenerates.
+    """
+    gcols = [group_col] if group_col else []
+    base = df.filter(
+        F.col(outcome_col).isNotNull()
+        & F.col(endog_col).isNotNull()
+        & F.col(instrument_col).isNotNull()
+    ).select(
+        *gcols,
+        F.col(outcome_col).cast("decimal(18,6)").alias("y"),
+        F.col(endog_col).cast("decimal(18,6)").alias("x"),
+        F.col(instrument_col).cast("decimal(18,6)").alias("z"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    sums = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("z"))).alias("sz"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("z") * F.col("z"))).alias("szz"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("z") * F.col("x"))).alias("szx"),
+        F.sum(dec(F.col("z") * F.col("y"))).alias("szy"),
+    )
+    # fixed-order doubles over the exact sums — the oracle replays
+    # this exact expression text (parenthesized association).
+    n = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    czx = d("szx") - d("sz") * d("sx") / n
+    czy = d("szy") - d("sz") * d("sy") / n
+    czz = d("szz") - d("sz") * d("sz") / n
+    cxx = d("sxx") - d("sx") * d("sx") / n
+    cxy = d("sxy") - d("sx") * d("sy") / n
+    cyy = d("syy") - d("sy") * d("sy") / n
+    staged = sums.select(
+        *gcols,
+        "n",
+        n.alias("nd"),
+        czx.alias("czx"),
+        czy.alias("czy"),
+        czz.alias("czz"),
+        cxx.alias("cxx"),
+        cxy.alias("cxy"),
+        cyy.alias("cyy"),
+        (d("sx") / n).alias("xbar"),
+        (d("sy") / n).alias("ybar"),
+    )
+    # every division NULL-guarded (ANSI mode raises on x/0 even for
+    # doubles; degenerate groups must flow to NULL, not crash the job
+    # — the _gauss_steps div discipline). The oracle uses the same
+    # CASE-guard text, value-identical whenever the divisor != 0.
+    dv = F.try_divide
+    ok1 = (
+        (F.col("n") > 2) & (F.col("czz") > 0) & (F.col("czx") != 0)
+    )
+    b1 = dv(F.col("czy"), F.col("czx"))
+    b0 = F.col("ybar") - b1 * F.col("xbar")
+    rss = F.col("cyy") - 2.0 * b1 * F.col("cxy") + b1 * b1 * F.col("cxx")
+    s2 = dv(rss, F.col("nd") - 2.0)
+    se = dv(F.sqrt(s2 * F.col("czz")), F.abs(F.col("czx")))
+    rss1 = F.col("cxx") - dv(
+        F.col("czx") * F.col("czx"), F.col("czz")
+    )
+    fstat = dv(
+        dv(F.col("czx") * F.col("czx"), F.col("czz")),
+        dv(rss1, F.col("nd") - 2.0),
+    )
+    zero = F.lit(0.0)
+    out = staged.select(
+        *gcols,
+        "n",
+        F.when(ok1, F.round(b0, 6) + zero).alias("beta0"),
+        F.when(ok1, F.round(b1, 6) + zero).alias("beta1"),
+        F.when(ok1 & (s2 > 0), F.round(se, 6)).alias("se_beta1"),
+        F.when(ok1 & (s2 > 0), F.round(dv(b1, se), 6) + zero).alias(
+            "t_beta1"
+        ),
+        F.when(ok1 & (rss1 > 0), F.round(fstat, 6)).alias(
+            "f_first_stage"
+        ),
+    )
+    return out

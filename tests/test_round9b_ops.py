@@ -1,0 +1,201 @@
+"""Round-9 continuation operator tests: doubly-robust AIPW ATE,
+instrumental-variables 2SLS, the Cochran-Mantel-Haenszel stratified
+test, and the KPSS stationarity test.
+
+Established twin-test style: a pure-numpy replay of the same bounded
+fit, plus never-fabricate degenerate gates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# aipw_ate
+# ---------------------------------------------------------------------------
+
+def _aipw_numpy(tr, y, X, rounds=4):
+    """Unquantized numpy IRLS propensity + per-arm OLS + AIPW."""
+    tr = np.asarray(tr, dtype=float)
+    y = np.asarray(y, dtype=float)
+    Xd = np.column_stack([np.ones(len(tr))] + [np.asarray(c) for c in X])
+    b = np.zeros(Xd.shape[1])
+    for _ in range(rounds):
+        mu = 1.0 / (1.0 + np.exp(-(Xd @ b)))
+        g = Xd.T @ (tr - mu)
+        h = (Xd * (mu * (1 - mu))[:, None]).T @ Xd
+        b = b + np.linalg.solve(h, g)
+    mu = 1.0 / (1.0 + np.exp(-(Xd @ b)))
+    t, c = tr == 1, tr == 0
+    g1 = np.linalg.solve(Xd[t].T @ Xd[t], Xd[t].T @ y[t])
+    g0 = np.linalg.solve(Xd[c].T @ Xd[c], Xd[c].T @ y[c])
+    m1, m0 = Xd @ g1, Xd @ g0
+    t1 = m1 + tr * (y - m1) / mu
+    t0 = m0 + (1.0 - tr) * (y - m0) / (1.0 - mu)
+    return t1.mean() - t0.mean(), t1.mean(), t0.mean(), mu
+
+
+def _causal_fixture(n=800, seed=11, noise=1.0):
+    rng = np.random.RandomState(seed)
+    x1 = np.round(rng.normal(0, 1, n), 3)
+    x2 = np.round(rng.normal(0, 1, n), 3)
+    pr = 1.0 / (1.0 + np.exp(-(0.4 + 0.9 * x1 - 0.6 * x2)))
+    tr = (rng.uniform(size=n) < pr).astype(int)
+    y = np.round(
+        2.0 + 1.5 * tr + 0.8 * x1 + 0.3 * x2
+        + noise * rng.normal(0, 1, n),
+        3,
+    )
+    return tr, y, x1, x2
+
+
+def _causal_df(spark, tr, y, x1, x2):
+    return spark.createDataFrame(
+        [
+            (int(t), float(a), float(b), float(c))
+            for t, a, b, c in zip(tr, y, x1, x2)
+        ],
+        "treat int, y double, x1 double, x2 double",
+    )
+
+
+def test_aipw_matches_numpy_reference(spark):
+    """The p=2 decimal-quantized Spark AIPW agrees with an unquantized
+    numpy IRLS + per-arm-OLS + augmentation replay to well under the
+    rounding grain."""
+    from econdatapipeline_spark.operators.evaluation import aipw_ate
+
+    tr, y, x1, x2 = _causal_fixture()
+    row = aipw_ate(
+        _causal_df(spark, tr, y, x1, x2), "treat", "y", ["x1", "x2"]
+    ).collect()[0]
+    ate, m1, m0, mu = _aipw_numpy(tr, y, [x1, x2])
+    assert row["n"] == len(tr) and row["n_treated"] == int(tr.sum())
+    assert row["ate"] == pytest.approx(ate, abs=5e-5)
+    assert row["mu_treated"] == pytest.approx(m1, abs=5e-5)
+    assert row["mu_control"] == pytest.approx(m0, abs=5e-5)
+    assert row["n_excluded"] == 0
+    assert row["e_min_treated"] <= mu[tr == 1].min() + 1e-5
+    assert row["e_max_control"] >= mu[tr == 0].max() - 1e-5
+
+
+def test_aipw_exact_linear_outcome_recovers_effect(spark):
+    """With a noiseless linear outcome the arm regressions are exact,
+    every augmentation residual is ~0, and AIPW returns the true
+    effect regardless of the propensity fit — the doubly-robust
+    property made concrete."""
+    from econdatapipeline_spark.operators.evaluation import aipw_ate
+
+    tr, _, x1, x2 = _causal_fixture(n=600, seed=7)
+    y = 2.0 + 1.5 * tr + 0.8 * x1 + 0.3 * x2
+    row = aipw_ate(
+        _causal_df(spark, tr, y, x1, x2), "treat", "y", ["x1", "x2"]
+    ).collect()[0]
+    assert row["ate"] == pytest.approx(1.5, abs=1e-4)
+
+
+def test_aipw_null_gates(spark):
+    """Never-fabricate: a single-arm population and a collinear
+    covariate pair (rank-deficient arm OLS) both NULL the estimate
+    while still reporting n / n_treated."""
+    from econdatapipeline_spark.operators.evaluation import aipw_ate
+
+    tr, y, x1, x2 = _causal_fixture(n=200, seed=5)
+    # single arm
+    one = _causal_df(spark, np.ones_like(tr), y, x1, x2)
+    row = aipw_ate(one, "treat", "y", ["x1", "x2"]).collect()[0]
+    assert row["ate"] is None and row["n_treated"] == row["n"]
+    # collinear covariates: x2 = x1 exactly
+    col = _causal_df(spark, tr, y, x1, x1)
+    row = aipw_ate(col, "treat", "y", ["x1", "x2"]).collect()[0]
+    assert row["ate"] is None and row["mu_treated"] is None
+
+
+def test_aipw_trim_band_excludes_and_reports(spark):
+    """trim_eps excludes off-support subjects from the augmented sums
+    and counts them, mirroring ipw_ate_multi's contract."""
+    from econdatapipeline_spark.operators.evaluation import aipw_ate
+
+    tr, y, x1, x2 = _causal_fixture(n=800, seed=11)
+    df = _causal_df(spark, tr, y, x1, x2)
+    strict = aipw_ate(df, "treat", "y", ["x1", "x2"]).collect()[0]
+    trimmed = aipw_ate(
+        df, "treat", "y", ["x1", "x2"], trim_eps=0.2
+    ).collect()[0]
+    assert trimmed["n_excluded"] > 0
+    assert trimmed["ate"] is not None
+    # strict run keeps everyone (no saturation in this fixture)
+    assert strict["n_excluded"] == 0
+
+
+# ---------------------------------------------------------------------------
+# iv_2sls
+# ---------------------------------------------------------------------------
+
+def _iv_numpy(y, x, z):
+    y, x, z = (np.asarray(a, dtype=float) for a in (y, x, z))
+    n = len(y)
+    zc, xc, yc = z - z.mean(), x - x.mean(), y - y.mean()
+    b1 = (zc @ yc) / (zc @ xc)
+    b0 = y.mean() - b1 * x.mean()
+    e = yc - b1 * xc
+    s2 = (e @ e) / (n - 2)
+    se = np.sqrt(s2 * (zc @ zc)) / abs(zc @ xc)
+    rss1 = xc @ xc - (zc @ xc) ** 2 / (zc @ zc)
+    f = ((zc @ xc) ** 2 / (zc @ zc)) / (rss1 / (n - 2))
+    return b0, b1, se, b1 / se, f
+
+
+def _iv_fixture(n=600, seed=19):
+    """Classic endogeneity: u hits both x and y, z only drives x."""
+    rng = np.random.RandomState(seed)
+    z = np.round(rng.normal(0, 1, n), 3)
+    u = rng.normal(0, 1, n)
+    x = np.round(1.0 + 0.8 * z + 0.9 * u + 0.3 * rng.normal(0, 1, n), 3)
+    y = np.round(3.0 + 2.0 * x + 1.5 * u + 0.5 * rng.normal(0, 1, n), 3)
+    return y, x, z
+
+
+def test_iv_2sls_matches_numpy_and_beats_ols(spark):
+    from econdatapipeline_spark.operators.evaluation import iv_2sls
+
+    y, x, z = _iv_fixture()
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(y, x, z)],
+        "y double, x double, z double",
+    )
+    row = iv_2sls(df, "y", "x", "z").collect()[0]
+    b0, b1, se, t, f = _iv_numpy(y, x, z)
+    assert row["n"] == len(y)
+    assert row["beta1"] == pytest.approx(b1, abs=1e-5)
+    assert row["beta0"] == pytest.approx(b0, abs=1e-5)
+    assert row["se_beta1"] == pytest.approx(se, abs=1e-5)
+    assert row["t_beta1"] == pytest.approx(t, abs=1e-3)
+    assert row["f_first_stage"] == pytest.approx(f, abs=1e-2)
+    # endogeneity bias: OLS slope is pulled up by the confounder, the
+    # IV estimate lands nearer the structural 2.0
+    ols = np.polyfit(x, y, 1)[0]
+    assert abs(row["beta1"] - 2.0) < abs(ols - 2.0)
+    assert row["f_first_stage"] > 10  # strong instrument here
+
+
+def test_iv_2sls_null_gates_and_groups(spark):
+    from econdatapipeline_spark.operators.evaluation import iv_2sls
+
+    y, x, z = _iv_fixture(n=100, seed=3)
+    rows = (
+        [("a", float(a), float(b), float(c)) for a, b, c in zip(y, x, z)]
+        # constant instrument -> czz = 0 -> NULLs
+        + [("b", float(a), float(b), 1.0) for a, b in zip(y, x)]
+        # n <= 2 -> NULLs
+        + [("c", 1.0, 2.0, 3.0), ("c", 2.0, 1.0, 4.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, y double, x double, z double")
+    out = {r["g"]: r for r in iv_2sls(df, "y", "x", "z", "g").collect()}
+    assert out["a"]["beta1"] is not None
+    assert out["b"]["beta1"] is None and out["b"]["n"] == 100
+    assert out["c"]["beta1"] is None and out["c"]["n"] == 2
