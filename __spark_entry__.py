@@ -6037,6 +6037,48 @@ def q_iv_2sls(spark, sf_dir):
     )
 
 
+def q_cmh_test(spark, sf_dir):
+    """Cochran-Mantel-Haenszel stratified 2x2 test
+    (operators/evaluation.cmh_test): does BUILDING-segment membership
+    associate with high-value orders WITHIN order-priority strata —
+    the Simpson's-paradox-proof pooled test plus the Mantel-Haenszel
+    common odds ratio. One fact-sized conditional-count collapse to
+    the strata relation, one decimal-quantized term aggregate, O(1)
+    fixed-order doubles."""
+    from econdatapipeline_spark.operators.evaluation import cmh_test
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("o_orderpriority").alias("stratum"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("tr"),
+        (F.col("o_totalprice") > 150000.0).cast("int").alias("oc"),
+    )
+    return cmh_test(joined, "stratum", "tr", "oc")
+
+
+def q_kpss_test(spark, sf_dir):
+    """KPSS level-stationarity test on the monthly revenue series per
+    order priority (operators/timeseries.kpss_test, M$ units): the
+    confirmatory complement of adf_test — null of stationarity,
+    Bartlett long-run variance (4 lags). All data-dependent sums are
+    exact decimals via the scaled-residual trick E_t = n*y_t - sum(y);
+    the statistic is a fixed-order double ratio the oracle replays."""
+    from econdatapipeline_spark.operators.timeseries import kpss_test
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg((_dsum(F.col("o_totalprice")) / 1e6).alias("value"))
+    return kpss_test(monthly, "value", "date", "dataset").orderBy(
+        "dataset"
+    )
+
+
 def q_kmeans_lloyd(spark, sf_dir):
     """Lloyd's k-means over the embedding space
     (operators/kmeans.kmeans_lloyd): k=4, 2 rounds, seeds = vectors
@@ -6534,6 +6576,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "ipw_ate_multi": q_ipw_ate_multi,
         "aipw_ate": q_aipw_ate,
         "iv_2sls": q_iv_2sls,
+        "cmh_test": q_cmh_test,
+        "kpss_test": q_kpss_test,
         "poisson_glm": q_poisson_glm,
         "ipw_ate_trim": q_ipw_ate_trim,
         "kmeans_lloyd": q_kmeans_lloyd,
@@ -14524,6 +14568,132 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["aipw_ate"] = _aipw_sql(None)
+
+    # CMH stratified 2x2: conditional-count collapse to strata,
+    # decimal(28,12)-quantized per-stratum terms, the operator's
+    # fixed-order double closed forms.
+    sql["cmh_test"] = """
+        WITH cbase AS (
+          SELECT o_orderpriority AS s,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS tr,
+                 CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END
+                   AS oc
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        cstrata AS (
+          SELECT s,
+                 CAST(SUM(CASE WHEN tr = 1 AND oc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN tr = 1 AND oc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN tr = 0 AND oc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN tr = 0 AND oc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM cbase GROUP BY s
+          HAVING (SUM(CASE WHEN tr = 1 AND oc = 1 THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN tr = 1 AND oc = 0 THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN tr = 0 AND oc = 1 THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN tr = 0 AND oc = 0 THEN 1 ELSE 0 END)) >= 2),
+        cterms AS (
+          SELECT a, a + b + c + d AS ni,
+                 CAST(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                      / CAST(a + b + c + d AS DOUBLE)
+                      AS DECIMAL(28,12)) AS e_i,
+                 CAST(CAST(a + b AS DOUBLE)
+                      * (CAST(a + b + c + d AS DOUBLE) - CAST(a + b AS DOUBLE))
+                      * CAST(a + c AS DOUBLE)
+                      * (CAST(a + b + c + d AS DOUBLE) - CAST(a + c AS DOUBLE))
+                      / (CAST(a + b + c + d AS DOUBLE)
+                         * CAST(a + b + c + d AS DOUBLE)
+                         * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+                      AS DECIMAL(28,12)) AS v_i,
+                 CAST(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      / CAST(a + b + c + d AS DOUBLE)
+                      AS DECIMAL(28,12)) AS ad_n,
+                 CAST(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                      / CAST(a + b + c + d AS DOUBLE)
+                      AS DECIMAL(28,12)) AS bc_n
+          FROM cstrata),
+        cagg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                 CAST(SUM(ni) AS BIGINT) AS n,
+                 CAST(SUM(a) AS BIGINT) AS sa,
+                 CAST(SUM(e_i) AS DOUBLE) AS se,
+                 CAST(SUM(v_i) AS DOUBLE) AS sv,
+                 CAST(SUM(ad_n) AS DOUBLE) AS sad,
+                 CAST(SUM(bc_n) AS DOUBLE) AS sbc
+          FROM cterms)
+        SELECT n_strata, n,
+               CASE WHEN sv > 0 THEN round(
+                 (CAST(sa AS DOUBLE) - se) * (CAST(sa AS DOUBLE) - se)
+                 / sv, 6) END AS chi2_cmh,
+               CASE WHEN sbc > 0 AND sad >= 0
+                 THEN round(sad / sbc, 6) END AS or_mh,
+               CASE WHEN sv > 0 THEN
+                 (CAST(sa AS DOUBLE) - se) * (CAST(sa AS DOUBLE) - se)
+                 / sv > 3.841459 END AS reject_5pct
+        FROM cagg
+    """
+
+    # KPSS: the scaled-residual trick E_t = n*y - sum(y) keeps every
+    # data-dependent sum an order-free exact decimal; the statistic
+    # is the operator's fixed-order double ratio.
+    sql["kpss_test"] = """
+        WITH kmonthly AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                      AS DOUBLE) / 1000000.0 AS value
+          FROM orders GROUP BY 1, 2),
+        kbase AS (
+          SELECT dataset AS g, date AS t,
+                 CAST(value AS DECIMAL(18,6)) AS y
+          FROM kmonthly WHERE value IS NOT NULL AND date IS NOT NULL),
+        kgrp AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(y AS DECIMAL(38,6))) AS sy
+          FROM kbase GROUP BY g),
+        krows AS (
+          SELECT b.g, b.t, r.n,
+                 CAST(b.y * CAST(r.n AS DECIMAL(18,0)) - r.sy
+                      AS DECIMAL(18,6)) AS e
+          FROM kbase b JOIN kgrp r ON b.g = r.g),
+        kcum AS (
+          SELECT g, n, e,
+                 CAST(SUM(e) OVER (PARTITION BY g ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DECIMAL(18,6)) AS s,
+                 lag(e, 1) OVER (PARTITION BY g ORDER BY t) AS e1,
+                 lag(e, 2) OVER (PARTITION BY g ORDER BY t) AS e2,
+                 lag(e, 3) OVER (PARTITION BY g ORDER BY t) AS e3,
+                 lag(e, 4) OVER (PARTITION BY g ORDER BY t) AS e4
+          FROM krows),
+        ksums AS (
+          SELECT g, MAX(n) AS n,
+                 SUM(CAST(CAST(s AS DECIMAL(19,6)) * CAST(s AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS ss,
+                 SUM(CAST(CAST(e AS DECIMAL(19,6)) * CAST(e AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS g0,
+                 SUM(CAST(CAST(e AS DECIMAL(19,6)) * CAST(e1 AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS g1,
+                 SUM(CAST(CAST(e AS DECIMAL(19,6)) * CAST(e2 AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS g2,
+                 SUM(CAST(CAST(e AS DECIMAL(19,6)) * CAST(e3 AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS g3,
+                 SUM(CAST(CAST(e AS DECIMAL(19,6)) * CAST(e4 AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS g4
+          FROM kcum GROUP BY g),
+        kfin AS (
+          SELECT g, n,
+                 CAST(ss AS DOUBLE) AS ssd,
+                 CAST(n AS DOUBLE) * (CAST(g0 AS DOUBLE)
+                   + 2.0 * (0.8 * CAST(g1 AS DOUBLE)
+                            + 0.6 * CAST(g2 AS DOUBLE)
+                            + 0.4 * CAST(g3 AS DOUBLE)
+                            + 0.19999999999999996 * CAST(g4 AS DOUBLE)))
+                   AS den
+          FROM ksums)
+        SELECT g AS dataset, n,
+               CASE WHEN n > 5 AND den > 0 THEN round(
+                 CASE WHEN den = 0 THEN NULL ELSE ssd / den END, 6)
+                 END AS kpss_stat,
+               CASE WHEN n > 5 AND den > 0 THEN
+                 (CASE WHEN den = 0 THEN NULL ELSE ssd / den END)
+                 > 0.463 END AS reject_5pct
+        FROM kfin
+        ORDER BY dataset
+    """
 
     # Just-identified 2SLS: one decimal-exact aggregate per segment,
     # then the operator's fixed-order double closed forms with every

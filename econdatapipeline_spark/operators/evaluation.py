@@ -1766,3 +1766,97 @@ def iv_2sls(
         ),
     )
     return out
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 test -> one row
+    (n_strata, n, chi2_cmh, or_mh, reject_5pct).
+
+    The experimentation family's Simpson's-paradox guard: a pooled
+    2x2 chi-square on stratified assignment (by country, platform,
+    cohort...) confounds stratum with treatment; CMH tests the
+    treatment-outcome association WITHIN strata and combines:
+
+        chi2 = (Σ_i a_i − Σ_i E_i)² / Σ_i V_i
+        E_i = n1_i m1_i / n_i
+        V_i = n1_i (n_i−n1_i) m1_i (n_i−m1_i) / (n_i² (n_i−1))
+
+    (no continuity correction, 1 dof) plus the Mantel-Haenszel pooled
+    odds ratio OR = Σ(a_i d_i/n_i) / Σ(b_i c_i/n_i) — the classic
+    common-effect estimate that stays valid with many small strata
+    where per-stratum ORs are undefined. reject_5pct compares chi2 to
+    the 1-dof 5% critical value 3.841459 (the chi_square convention:
+    statistic + decision, no p-value libm channel).
+
+    Relational shape: ONE fact-sized hash aggregate to the strata
+    relation (conditional integer counts — exact), strata with
+    n_i < 2 dropped (V undefined; documented), then ONE further
+    aggregate of decimal(28,12)-quantized per-stratum terms and O(1)
+    fixed-order doubles. Oracle-replayable; map-side combinable at
+    any corpus size. NULL chi2 when ΣV = 0; NULL OR when Σbc/n = 0.
+    """
+    tr = F.col(treat_col).cast("int")
+    oc = F.col(outcome_col).cast("int")
+    base = df.filter(
+        F.col(stratum_col).isNotNull()
+        & tr.isNotNull()
+        & oc.isNotNull()
+    ).select(
+        F.col(stratum_col).alias("s"),
+        tr.alias("tr"),
+        oc.alias("oc"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    strata = base.groupBy("s").agg(
+        cnt((F.col("tr") == 1) & (F.col("oc") == 1)).alias("a"),
+        cnt((F.col("tr") == 1) & (F.col("oc") == 0)).alias("b"),
+        cnt((F.col("tr") == 0) & (F.col("oc") == 1)).alias("c"),
+        cnt((F.col("tr") == 0) & (F.col("oc") == 0)).alias("d"),
+    ).filter((F.col("a") + F.col("b") + F.col("c") + F.col("d")) >= 2)
+    ni = (
+        F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ).cast("double")
+    n1 = (F.col("a") + F.col("b")).cast("double")
+    m1 = (F.col("a") + F.col("c")).cast("double")
+    q = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    terms = strata.select(
+        F.col("a"),
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("ni"),
+        q(n1 * m1 / ni).alias("e_i"),
+        q(
+            n1 * (ni - n1) * m1 * (ni - m1) / (ni * ni * (ni - 1.0))
+        ).alias("v_i"),
+        q(F.col("a").cast("double") * F.col("d").cast("double") / ni).alias(
+            "ad_n"
+        ),
+        q(F.col("b").cast("double") * F.col("c").cast("double") / ni).alias(
+            "bc_n"
+        ),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum(F.col("a")).cast("long").alias("sa"),
+        F.sum(q(F.col("e_i"))).alias("se"),
+        F.sum(q(F.col("v_i"))).alias("sv"),
+        F.sum(q(F.col("ad_n"))).alias("sad"),
+        F.sum(q(F.col("bc_n"))).alias("sbc"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dev = d("sa") - d("se")
+    chi2 = F.try_divide(dev * dev, d("sv"))
+    or_mh = F.try_divide(d("sad"), d("sbc"))
+    return agg.select(
+        "n_strata",
+        "n",
+        F.when(d("sv") > 0, F.round(chi2, 6)).alias("chi2_cmh"),
+        F.when(
+            (d("sbc") > 0) & (d("sad") >= 0), F.round(or_mh, 6)
+        ).alias("or_mh"),
+        F.when(d("sv") > 0, chi2 > 3.841459).alias("reject_5pct"),
+    )

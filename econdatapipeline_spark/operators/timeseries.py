@@ -1751,3 +1751,105 @@ def rolling_corr(
             6,
         ).alias("corr"),
     )
+
+
+def kpss_test(
+    df: DataFrame,
+    value_col: str = "value",
+    order_col: str = "date",
+    group_col: str = "dataset",
+    lags: int = 4,
+) -> DataFrame:
+    """KPSS level-stationarity test per series ->
+    (group, n, kpss_stat, reject_5pct).
+
+    The complement of adf_test: ADF's null is a unit root (reject =
+    evidence of stationarity), KPSS's null is stationarity (reject =
+    evidence of a unit root). Running both is the standard
+    confirmatory protocol — agreement settles the differencing
+    decision, disagreement flags near-integrated series. Statistic
+    (Kwiatkowski-Phillips-Schmidt-Shin 1992, level case):
+
+        eta = n^-2 Σ_t S_t²,  S_t = Σ_{s<=t} e_s,  e_t = y_t − ybar
+        kpss = eta / lrv,  lrv = γ0 + 2 Σ_{l=1..q} (1 − l/(q+1)) γ_l
+
+    with γ_l = n^-1 Σ e_t e_{t−l} (Bartlett weights, the newey_west
+    kernel). reject_5pct compares to the published 5% critical value
+    0.463 (1%: 0.739, 10%: 0.347).
+
+    Decimal-exactness trick: the residual e_t = y_t − sy/n is NOT a
+    decimal, but its scaling E_t = n·y_t − sy IS (exact integer-scaled
+    decimal), as are the partial sums of E and all their products —
+    so every data-dependent sum here is order-free decimal, and the
+    statistic reduces to kpss = ΣS² / (n·(G0 + 2Σ w_l G_l)) in E-units
+    (the n powers cancel), leaving only fixed-order doubles of exact
+    sums for the oracle to replay. Domain: |n·y| and |S| must fit
+    decimal(18,6) (~1e12) — pre-scale big-magnitude series (the
+    ORACLE_PARITY rule), as elsewhere.
+
+    Relational shape: per-series windows are PARTITIONED by group
+    (the adf_test/acf posture — series-sized by contract); the rest
+    is ONE hash aggregate. NULL when n <= lags + 1 or the long-run
+    variance degenerates to <= 0.
+    """
+    if lags < 1:
+        raise ValueError(f"lags must be >= 1, got {lags}")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("t"),
+        F.col(value_col).cast("decimal(18,6)").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    grp = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,6)")).alias("sy"),
+    )
+    w = Window.partitionBy("g").orderBy("t")
+    joined = base.join(F.broadcast(grp), "g")
+    rows = joined.select(
+        "g",
+        "t",
+        "n",
+        (
+            F.col("y") * F.col("n").cast("decimal(18,0)") - F.col("sy")
+        ).cast("decimal(18,6)").alias("e"),
+    )
+    cum = rows.select(
+        "g",
+        "n",
+        F.col("e"),
+        F.sum("e").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("decimal(18,6)").alias("s"),
+        *[
+            F.lag("e", lag).over(w).alias(f"e{lag}")
+            for lag in range(1, lags + 1)
+        ],
+    )
+    sums = cum.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.sum(dec(F.col("s") * F.col("s"))).alias("ss"),
+        F.sum(dec(F.col("e") * F.col("e"))).alias("g0"),
+        *[
+            F.sum(dec(F.col("e") * F.col(f"e{lag}"))).alias(f"g{lag}")
+            for lag in range(1, lags + 1)
+        ],
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    wsum = None
+    for lag in range(1, lags + 1):
+        term = F.lit(1.0 - lag / (lags + 1.0)) * d(f"g{lag}")
+        wsum = term if wsum is None else wsum + term
+    den = F.col("n").cast("double") * (d("g0") + 2.0 * wsum)
+    stat = F.try_divide(d("ss"), den)
+    ok = (F.col("n") > lags + 1) & (den > 0)
+    return sums.select(
+        F.col("g").alias("dataset"),
+        "n",
+        F.when(ok, F.round(stat, 6)).alias("kpss_stat"),
+        F.when(ok, stat > 0.463).alias("reject_5pct"),
+    )

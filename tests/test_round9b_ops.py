@@ -199,3 +199,118 @@ def test_iv_2sls_null_gates_and_groups(spark):
     assert out["a"]["beta1"] is not None
     assert out["b"]["beta1"] is None and out["b"]["n"] == 100
     assert out["c"]["beta1"] is None and out["c"]["n"] == 2
+
+
+# ---------------------------------------------------------------------------
+# cmh_test
+# ---------------------------------------------------------------------------
+
+def _cmh_numpy(strata):
+    """strata: list of (a, b, c, d) 2x2 tables."""
+    sa = se = sv = sad = sbc = 0.0
+    for a, b, c, d in strata:
+        n = a + b + c + d
+        if n < 2:
+            continue
+        n1, m1 = a + b, a + c
+        sa += a
+        se += n1 * m1 / n
+        sv += n1 * (n - n1) * m1 * (n - m1) / (n * n * (n - 1))
+        sad += a * d / n
+        sbc += b * c / n
+    return (sa - se) ** 2 / sv, sad / sbc
+
+
+def test_cmh_matches_numpy_and_beats_pooled(spark):
+    """CMH on a Simpson's-paradox fixture: within-stratum the
+    treatment helps (OR > 1) while the pooled 2x2 flips the sign —
+    CMH recovers the common within-stratum effect."""
+    from econdatapipeline_spark.operators.evaluation import cmh_test
+
+    # stratum A: mostly treated, high base rate; B: mostly control,
+    # low base rate; treatment raises odds ~2x within each.
+    tables = {"A": (80, 40, 30, 30), "B": (20, 40, 25, 100)}
+    rows = []
+    for s, (a, b, c, d) in tables.items():
+        rows += [(s, 1, 1)] * a + [(s, 1, 0)] * b
+        rows += [(s, 0, 1)] * c + [(s, 0, 0)] * d
+    df = spark.createDataFrame(rows, "s string, tr int, oc int")
+    row = cmh_test(df, "s", "tr", "oc").collect()[0]
+    chi2, or_mh = _cmh_numpy(list(tables.values()))
+    assert row["n_strata"] == 2
+    assert row["n"] == sum(sum(t) for t in tables.values())
+    assert row["chi2_cmh"] == pytest.approx(chi2, abs=1e-5)
+    assert row["or_mh"] == pytest.approx(or_mh, abs=1e-5)
+    assert row["or_mh"] > 1.0
+    assert bool(row["reject_5pct"]) == (chi2 > 3.841459)
+
+
+def test_cmh_degenerate_gates(spark):
+    """Strata of size < 2 are dropped; an all-concordant table
+    (zero variance) NULLs chi2; zero b*c NULLs the MH odds ratio."""
+    from econdatapipeline_spark.operators.evaluation import cmh_test
+
+    # single stratum where m1 = n (every subject has the outcome):
+    # V_i = 0 -> chi2 NULL; b = c = 0 -> OR NULL; plus a size-1
+    # stratum that must be dropped from n_strata.
+    rows = [("A", 1, 1)] * 5 + [("A", 0, 1)] * 5 + [("tiny", 1, 1)]
+    df = spark.createDataFrame(rows, "s string, tr int, oc int")
+    row = cmh_test(df, "s", "tr", "oc").collect()[0]
+    assert row["n_strata"] == 1 and row["n"] == 10
+    assert row["chi2_cmh"] is None and row["or_mh"] is None
+
+
+# ---------------------------------------------------------------------------
+# kpss_test
+# ---------------------------------------------------------------------------
+
+def _kpss_numpy(y, lags=4):
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    e = y - y.mean()
+    s = np.cumsum(e)
+    eta = (s @ s) / (n * n)
+    lrv = (e @ e) / n
+    for lag in range(1, lags + 1):
+        w = 1.0 - lag / (lags + 1.0)
+        lrv += 2.0 * w * (e[lag:] @ e[:-lag]) / n
+    return eta / lrv
+
+
+def test_kpss_matches_numpy_and_separates_series(spark):
+    """Spark KPSS agrees with the textbook numpy replica; a
+    stationary AR-ish series accepts the null while a random walk
+    rejects it."""
+    from econdatapipeline_spark.operators.timeseries import kpss_test
+
+    rng = np.random.RandomState(42)
+    n = 300
+    stat_series = np.round(rng.normal(0, 1, n), 3)  # white noise
+    walk = np.round(np.cumsum(rng.normal(0, 1, n)), 3)  # unit root
+    rows = [
+        ("stat", i, float(v)) for i, v in enumerate(stat_series)
+    ] + [("walk", i, float(v)) for i, v in enumerate(walk)]
+    df = spark.createDataFrame(rows, "dataset string, t int, value double")
+    out = {
+        r["dataset"]: r
+        for r in kpss_test(df, "value", "t", "dataset").collect()
+    }
+    assert out["stat"]["kpss_stat"] == pytest.approx(
+        _kpss_numpy(stat_series), abs=1e-4
+    )
+    assert out["walk"]["kpss_stat"] == pytest.approx(
+        _kpss_numpy(walk), abs=1e-4
+    )
+    assert not out["stat"]["reject_5pct"]
+    assert out["walk"]["reject_5pct"]
+
+
+def test_kpss_short_series_nulls(spark):
+    from econdatapipeline_spark.operators.timeseries import kpss_test
+
+    df = spark.createDataFrame(
+        [("s", i, float(i)) for i in range(4)],
+        "dataset string, t int, value double",
+    )
+    row = kpss_test(df, "value", "t", "dataset", lags=4).collect()[0]
+    assert row["kpss_stat"] is None and row["n"] == 4
