@@ -4551,6 +4551,45 @@ def q_log_rank(spark, sf_dir):
     return log_rank(subjects, "c_mktsegment", "BUILDING", "AUTOMOBILE")
 
 
+def q_fleming_harrington(spark, sf_dir):
+    """Fleming-Harrington G(1) weighted log-rank
+    (operators/survival.fleming_harrington): the log_rank contrast
+    re-tested with pooled-KM S(t-) weights emphasizing EARLY curve
+    separation — the non-proportional-hazards companion every
+    survival suite ships. Same subject construction as log_rank;
+    the weight rides the kaplan_meier ln-space exclusive cumsum,
+    requantized decimal(18,9) after the one libm exp."""
+    from econdatapipeline_spark.operators.survival import (
+        fleming_harrington,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    ranked = o.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nxt", F.lead("o_orderdate").over(w)
+    )
+    first = ranked.filter(F.col("rk") == 1)
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    subjects = (
+        first.crossJoin(F.broadcast(horizon))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff(F.col("nxt"), F.col("o_orderdate")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("o_orderdate")))
+            .alias("duration"),
+            F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("event"),
+            "c_mktsegment",
+        )
+    )
+    return fleming_harrington(
+        subjects, "c_mktsegment", "BUILDING", "AUTOMOBILE", rho=1.0
+    )
+
+
 def q_bh_adjust(spark, sf_dir):
     """Benjamini-Hochberg FDR gate (operators/stats.bh_adjust) over a
     per-supplier screening score: the fraction of a supplier's
@@ -5981,6 +6020,57 @@ def q_ipw_ate_trim(spark, sf_dir):
     )
 
 
+def q_logistic_glm(spark, sf_dir):
+    """Logistic regression of high-value-order incidence on account
+    balance (k$) and order recency (k-days)
+    (operators/glm.logistic_glm): logit-link Newton/IRLS with
+    inference — SEs from unit-vector Hessian solves, deviance, and
+    McFadden pseudo-R2 — the binary-response member completing the
+    GLM family next to poisson_glm; exp(coef) is the odds ratio. The
+    oracle chains the identical logistic_fragments text."""
+    from econdatapipeline_spark.operators.glm import logistic_glm
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_acctbal")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        (F.col("o_totalprice") > 150000.0).cast("int").alias("y"),
+        (F.col("c_acctbal") / 1000.0).alias("x_acctbal"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast(
+                "double"
+            )
+            / 1000.0
+        ).alias("x_days"),
+    )
+    return logistic_glm(joined, "y", ["x_acctbal", "x_days"], rounds=6)
+
+
+def q_mde_report(spark, sf_dir):
+    """Minimum-detectable-effect sizing gate
+    (operators/evaluation.mde_report): what relative lift could the
+    BUILDING-vs-AUTOMOBILE order-value contrast actually detect at
+    alpha=0.05 / power=0.8? One decimal-exact per-arm aggregate; the
+    z quantiles are stdlib-NormalDist driver-side literals, so the
+    data path is oracle-replayable with no erf."""
+    from econdatapipeline_spark.operators.evaluation import mde_report
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("variant"),
+        (F.col("o_totalprice") / 1000.0).alias("y_k"),
+    )
+    return mde_report(
+        joined, "variant", "y_k", "AUTOMOBILE", "BUILDING"
+    )
+
+
 def q_aipw_ate(spark, sf_dir):
     """Doubly-robust AIPW ATE on the shared two-confounder subject
     table (operators/evaluation.aipw_ate): the ipw_ate_multi IRLS
@@ -6515,6 +6605,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "pacf": q_pacf,
         "rbo": q_rbo,
         "log_rank": q_log_rank,
+        "fleming_harrington": q_fleming_harrington,
         "bh_adjust": q_bh_adjust,
         "decile_lift": q_decile_lift,
         "nelson_aalen": q_nelson_aalen,
@@ -6577,8 +6668,10 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "aipw_ate": q_aipw_ate,
         "iv_2sls": q_iv_2sls,
         "cmh_test": q_cmh_test,
+        "mde_report": q_mde_report,
         "kpss_test": q_kpss_test,
         "poisson_glm": q_poisson_glm,
+        "logistic_glm": q_logistic_glm,
         "ipw_ate_trim": q_ipw_ate_trim,
         "kmeans_lloyd": q_kmeans_lloyd,
         "dp_group_counts": q_dp_group_counts,
@@ -12057,6 +12150,112 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END, 6) AS chi2
         FROM agg CROSS JOIN n_by
     """
+
+    # Fleming-Harrington G(1): the log_rank chain plus the pooled-KM
+    # ln-space weight — exclusive ascending cumsum of the
+    # decimal(18,9) ln(1-d/n) terms, exp requantized decimal(18,9),
+    # dead flag zeroing post-extinction times (rho > 0).
+    _fh_w = (
+        "(CASE WHEN CAST(s_dead - dead AS DOUBLE) >= 1.0 THEN 0.0"
+        " ELSE CAST(CAST(exp(1.0 * CAST(s_lnq - lnq AS DOUBLE))"
+        " AS DECIMAL(18,9)) AS DOUBLE) END)"
+    )
+    _fh_ea = (
+        "(CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)"
+        " / CAST(na + nb AS DOUBLE))"
+    )
+    _fh_v = (
+        "(CASE WHEN na + nb > 1 THEN CAST(da + db AS DOUBLE)"
+        " * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+        " * (CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+        " * CAST((na + nb) - (da + db) AS DOUBLE)"
+        " / CAST((na + nb) - 1 AS DOUBLE) ELSE 0.0 END)"
+    )
+    sql["fleming_harrington"] = f"""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        subjects AS (
+          SELECT CASE WHEN nxt IS NOT NULL
+                      THEN date_diff('day', o_orderdate, nxt)
+                      ELSE date_diff('day', o_orderdate, h.h) END AS duration,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e,
+                 c_mktsegment AS seg
+          FROM ranked CROSS JOIN h
+          JOIN customer ON o_custkey = c_custkey
+          WHERE rk = 1),
+        flt AS (
+          SELECT CAST(duration AS BIGINT) AS t,
+                 CASE WHEN seg = 'BUILDING' THEN 'a' ELSE 'b' END AS g, e
+          FROM subjects
+          WHERE seg IN ('BUILDING', 'AUTOMOBILE') AND duration IS NOT NULL),
+        per_tg AS (
+          SELECT t, g, CAST(SUM(e) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS subj
+          FROM flt GROUP BY 1, 2),
+        grid AS (
+          SELECT t, g FROM (SELECT DISTINCT t FROM per_tg)
+          CROSS JOIN (SELECT 'a' AS g UNION ALL SELECT 'b' AS g)),
+        filled AS (
+          SELECT grid.t, grid.g, COALESCE(d, 0) AS d,
+                 COALESCE(subj, 0) AS subj
+          FROM grid LEFT JOIN per_tg
+            ON grid.t = per_tg.t AND grid.g = per_tg.g),
+        risk AS (
+          SELECT *, SUM(subj) OVER (PARTITION BY g ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS n_risk
+          FROM filled),
+        wide AS (
+          SELECT t,
+                 SUM(CASE WHEN g = 'a' THEN d ELSE 0 END) AS da,
+                 SUM(CASE WHEN g = 'b' THEN d ELSE 0 END) AS db,
+                 SUM(CASE WHEN g = 'a' THEN n_risk ELSE 0 END) AS na,
+                 SUM(CASE WHEN g = 'b' THEN n_risk ELSE 0 END) AS nb
+          FROM risk GROUP BY t),
+        wstage AS (
+          SELECT *,
+                 CAST(CASE WHEN da + db > 0 AND da + db < na + nb
+                      THEN ln(CAST((na + nb) - (da + db) AS DOUBLE)
+                              / CAST(na + nb AS DOUBLE))
+                      ELSE 0.0 END AS DECIMAL(18,9)) AS lnq,
+                 CAST(CASE WHEN da + db >= na + nb AND da + db > 0
+                      THEN 1 ELSE 0 END AS DECIMAL(18,9)) AS dead
+          FROM wide),
+        wcum AS (
+          SELECT *,
+                 SUM(lnq) OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS s_lnq,
+                 SUM(dead) OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS s_dead
+          FROM wstage),
+        wterms AS (
+          SELECT CAST({_fh_w} * (CAST(da AS DOUBLE) - {_fh_ea})
+                      AS DECIMAL(28,12)) AS wd,
+                 CAST(({_fh_w} * {_fh_w}) * {_fh_v}
+                      AS DECIMAL(28,12)) AS wv
+          FROM wcum WHERE da + db > 0),
+        n_by AS (
+          SELECT CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b
+          FROM subjects WHERE seg IN ('BUILDING', 'AUTOMOBILE')
+            AND duration IS NOT NULL),
+        agg AS (
+          SELECT CAST(SUM(wd) AS DOUBLE) AS num,
+                 CAST(SUM(wv) AS DOUBLE) AS den
+          FROM wterms)
+        SELECT n_a, n_b, CAST(1.0 AS DOUBLE) AS rho,
+               CASE WHEN den > 0
+                    THEN round(num * num / den, 6) END AS chi2
+        FROM agg CROSS JOIN n_by
+    """
     # Benjamini-Hochberg: reverse-running-min of m*p/rank, clamped to 1
     # (operators/stats.bh_adjust mirrored); the decision flag is an int
     # so the value hash is engine-neutral.
@@ -14486,6 +14685,104 @@ def oracle_sql() -> dict[str, str]:
 
     sql["poisson_glm"] = _poisson_glm_sql()
 
+    # Binomial GLM: identical chaining with logistic_fragments, plus
+    # the deviance/McFadden outputs replaying the operator's
+    # fixed-order null-model closed form.
+    from econdatapipeline_spark.operators.glm import (
+        logistic_fragments as _logif,
+    )
+
+    def _logistic_glm_sql():
+        frag = _logif(2)
+        inits = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["init_terms"]
+        )
+        aggs = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["agg_terms"]
+        )
+        parts = []
+        for r in range(1, 7):
+            parts.append(
+                f",\n        lg{r} AS (SELECT {aggs}"
+                f"\n          FROM lsubj CROSS JOIN lb{r - 1})"
+            )
+            last = f"lg{r}"
+            for i, batch in enumerate(_plvl(frag["solve_steps"](r))):
+                nxt = f"lg{r}s{i}"
+                cols = ", ".join(
+                    f"{e} AS {nm}" for nm, e in batch.items()
+                )
+                parts.append(
+                    f",\n        {nxt} AS (SELECT *, {cols}"
+                    f" FROM {last})"
+                )
+                last = nxt
+            sel = ", ".join(f"nb{j} AS b{j}" for j in range(3))
+            parts.append(
+                f",\n        lb{r} AS (SELECT {sel} FROM {last})"
+            )
+        fins = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["final_terms"]
+        )
+        parts.append(
+            f",\n        lf0 AS (SELECT {fins}"
+            "\n          FROM lsubj CROSS JOIN lb6)"
+        )
+        last = "lf0"
+        for i, batch in enumerate(_plvl(frag["se_steps"]())):
+            nxt = f"lfs{i}"
+            cols = ", ".join(f"{e} AS {nm}" for nm, e in batch.items())
+            parts.append(
+                f",\n        {nxt} AS (SELECT *, {cols}"
+                f" FROM {last})"
+            )
+            last = nxt
+        okdev = (
+            "n_sat = 0 AND ysum > 0 AND ysum < n"
+            " AND devhalf IS NOT NULL"
+        )
+        pb = "CAST(ysum AS DOUBLE) / CAST(n AS DOUBLE)"
+        ll0 = (
+            f"CAST(n AS DOUBLE) * ({pb} * ln({pb})"
+            f" + (1.0 - {pb}) * ln(1.0 - {pb}))"
+        )
+        parts.append(
+            f",\n        lout AS (SELECT *,"
+            f"\n          CASE WHEN {okdev} THEN"
+            " round(2.0 * devhalf, 6) END AS deviance,"
+            f"\n          CASE WHEN {okdev} THEN"
+            f" round(1.0 - (0.0 - devhalf) / ({ll0}), 6) END"
+            f" AS mcfadden_r2 FROM {last})"
+        )
+        last = "lout"
+        labels = ["intercept", "x_acctbal", "x_days"]
+        selects = []
+        for lbl, o in zip(labels, frag["param_outputs"]()):
+            selects.append(
+                f"SELECT '{lbl}' AS param, n, {o['coef']} AS coef,"
+                f" {o['se']} AS se, {o['z']} AS z,"
+                f" {o['odds_ratio']} AS odds_ratio,"
+                f" deviance, mcfadden_r2 FROM {last}"
+            )
+        sel_txt = ("\n        UNION ALL\n        ").join(selects)
+        return f"""
+        WITH lsubj AS (
+          SELECT CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END
+                   AS y,
+                 CAST(c_acctbal / 1000.0 AS DECIMAL(18,6)) AS x1,
+                 CAST(CAST(date_diff('day', DATE '1992-01-01',
+                      o_orderdate) AS DOUBLE) / 1000.0
+                      AS DECIMAL(18,6)) AS x2
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_acctbal IS NOT NULL AND o_orderdate IS NOT NULL
+            AND o_totalprice IS NOT NULL),
+        lb0 AS (SELECT {inits}
+                FROM lsubj){"".join(parts)}
+        {sel_txt}
+        """
+
+    sql["logistic_glm"] = _logistic_glm_sql()
+
     sql["ipw_ate_multi"] = _ipw_multi_sql(None)
     sql["ipw_ate_trim"] = _ipw_multi_sql(0.05)
 
@@ -14568,6 +14865,78 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["aipw_ate"] = _aipw_sql(None)
+
+    # MDE report: one per-arm decimal collapse + fixed-order double
+    # closed forms; z literals match the operator's stdlib
+    # NormalDist quantiles exactly.
+    sql["mde_report"] = """
+        WITH mdbase AS (
+          SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS tr,
+                 CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+            AND o_totalprice IS NOT NULL),
+        mdsums AS (
+          SELECT SUM(CAST(CAST(tr AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+                   AS nt,
+                 SUM(CAST(CAST(1 - tr AS DECIMAL(18,6))
+                     AS DECIMAL(38,12))) AS nc,
+                 SUM(CAST(CASE WHEN tr = 1 THEN y
+                     ELSE CAST(0 AS DECIMAL(18,6)) END
+                     AS DECIMAL(38,12))) AS st,
+                 SUM(CAST(CASE WHEN tr = 0 THEN y
+                     ELSE CAST(0 AS DECIMAL(18,6)) END
+                     AS DECIMAL(38,12))) AS sc,
+                 SUM(CASE WHEN tr = 1 THEN
+                     CAST(CAST(y AS DECIMAL(19,6))
+                          * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))
+                     ELSE CAST(0 AS DECIMAL(38,12)) END) AS qt,
+                 SUM(CASE WHEN tr = 0 THEN
+                     CAST(CAST(y AS DECIMAL(19,6))
+                          * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))
+                     ELSE CAST(0 AS DECIMAL(38,12)) END) AS qc
+          FROM mdbase),
+        mdd AS (
+          SELECT COALESCE(CAST(nt AS DOUBLE), 0.0) AS nt,
+                 COALESCE(CAST(nc AS DOUBLE), 0.0) AS nc,
+                 COALESCE(CAST(st AS DOUBLE), 0.0) AS st,
+                 COALESCE(CAST(sc AS DOUBLE), 0.0) AS sc,
+                 COALESCE(CAST(qt AS DOUBLE), 0.0) AS qt,
+                 COALESCE(CAST(qc AS DOUBLE), 0.0) AS qc
+          FROM mdsums),
+        mdfin AS (
+          SELECT nt, nc, sc,
+                 CASE WHEN nt + nc - 2.0 = 0 THEN NULL ELSE
+                   ((qt - CASE WHEN nt = 0 THEN NULL
+                          ELSE st * st / nt END)
+                  + (qc - CASE WHEN nc = 0 THEN NULL
+                          ELSE sc * sc / nc END))
+                   / (nt + nc - 2.0) END AS s2,
+                 CASE WHEN nc = 0 THEN NULL ELSE sc / nc END AS mean_c
+          FROM mdd),
+        mdse AS (
+          SELECT *,
+                 sqrt(s2 * ((CASE WHEN nt = 0 THEN NULL
+                             ELSE 1.0 / nt END)
+                          + (CASE WHEN nc = 0 THEN NULL
+                             ELSE 1.0 / nc END))) AS se
+          FROM mdfin)
+        SELECT CAST(nt AS BIGINT) AS n_treat,
+               CAST(nc AS BIGINT) AS n_ctrl,
+               CASE WHEN nc > 0.0 THEN round(mean_c, 6) END
+                 AS mean_ctrl,
+               CASE WHEN nt > 1.0 AND nc > 1.0 AND s2 > 0.0
+                 THEN round(se, 6) END AS se_diff,
+               CASE WHEN nt > 1.0 AND nc > 1.0 AND s2 > 0.0
+                 THEN round(2.801585218112968 * se, 6) END AS mde_abs,
+               CASE WHEN nt > 1.0 AND nc > 1.0 AND s2 > 0.0
+                    AND mean_c <> 0.0
+                 THEN round(CASE WHEN abs(mean_c) = 0 THEN NULL
+                      ELSE 2.801585218112968 * se / abs(mean_c) END, 6)
+                 END AS mde_rel
+        FROM mdse
+    """
 
     # CMH stratified 2x2: conditional-count collapse to strata,
     # decimal(28,12)-quantized per-stratum terms, the operator's

@@ -1860,3 +1860,102 @@ def cmh_test(
         ).alias("or_mh"),
         F.when(d("sv") > 0, chi2 > 3.841459).alias("reject_5pct"),
     )
+
+
+def mde_report(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control,
+    treatment,
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """Minimum-detectable-effect report for a two-arm experiment ->
+    one row (n_treat, n_ctrl, mean_ctrl, se_diff, mde_abs, mde_rel).
+
+    The pre-readout sizing gate that pairs with srm_check and
+    msprt_monitor: BEFORE interpreting a non-significant difference,
+    check what effect the experiment could actually have detected.
+    With pooled variance s² and the standard normal approximation,
+
+        se_diff = sqrt(s² (1/n_t + 1/n_c))
+        mde_abs = (z_{1−α/2} + z_{power}) · se_diff
+        mde_rel = mde_abs / mean_ctrl
+
+    A "flat" readout whose mde_rel is 20% says nothing about a 2%
+    effect — that is the inference this row prevents.
+
+    The z quantiles are resolved DRIVER-SIDE (stdlib NormalDist
+    inverse CDF — a deterministic rational approximation) and enter
+    the plan as double literals, so the data path needs no erf/Phi:
+    it is ONE decimal-exact per-arm aggregate (n, Σy, Σy²) and
+    fixed-order double closed forms — oracle-replayable verbatim,
+    map-side combinable at any corpus size. NULLs (never-fabricate)
+    when either arm has n < 2 or pooled variance degenerates.
+    """
+    from statistics import NormalDist  # noqa: PLC0415
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    if not 0 < power < 1:
+        raise ValueError(f"power must be in (0,1), got {power}")
+    z_alpha = NormalDist().inv_cdf(1.0 - alpha / 2.0)
+    z_power = NormalDist().inv_cdf(power)
+    zsum = F.lit(z_alpha + z_power)
+    vexpr = F.col(variant_col)
+    base = df.filter(
+        vexpr.isin([control, treatment]) & F.col(value_col).isNotNull()
+    ).select(
+        (vexpr == treatment).cast("int").alias("tr"),
+        F.col(value_col).cast("decimal(18,6)").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(18,6)")
+    sums = base.agg(
+        F.sum(dec(F.col("tr").cast("decimal(18,6)"))).alias("nt"),
+        F.sum(dec((1 - F.col("tr")).cast("decimal(18,6)"))).alias("nc"),
+        F.sum(
+            dec(F.when(F.col("tr") == 1, F.col("y")).otherwise(zero))
+        ).alias("st"),
+        F.sum(
+            dec(F.when(F.col("tr") == 0, F.col("y")).otherwise(zero))
+        ).alias("sc"),
+        F.sum(
+            dec(
+                F.when(
+                    F.col("tr") == 1, F.col("y") * F.col("y")
+                ).otherwise(zero)
+            )
+        ).alias("qt"),
+        F.sum(
+            dec(
+                F.when(
+                    F.col("tr") == 0, F.col("y") * F.col("y")
+                ).otherwise(zero)
+            )
+        ).alias("qc"),
+    )
+    d = lambda c: F.coalesce(F.col(c).cast("double"), F.lit(0.0))  # noqa: E731
+    nt, nc = d("nt"), d("nc")
+    st, sc, qt, qc = d("st"), d("sc"), d("qt"), d("qc")
+    s2 = F.try_divide(
+        (qt - F.try_divide(st * st, nt))
+        + (qc - F.try_divide(sc * sc, nc)),
+        nt + nc - 2.0,
+    )
+    se = F.sqrt(s2 * (F.try_divide(F.lit(1.0), nt) + F.try_divide(F.lit(1.0), nc)))
+    mean_c = F.try_divide(sc, nc)
+    mde = zsum * se
+    ok = (nt > 1.0) & (nc > 1.0) & (s2 > 0.0)
+    return sums.select(
+        F.col("nt").cast("long").alias("n_treat"),
+        F.col("nc").cast("long").alias("n_ctrl"),
+        F.when(nc > 0.0, F.round(mean_c, 6)).alias("mean_ctrl"),
+        F.when(ok, F.round(se, 6)).alias("se_diff"),
+        F.when(ok, F.round(mde, 6)).alias("mde_abs"),
+        F.when(
+            ok & (mean_c != 0.0),
+            F.round(F.try_divide(mde, F.abs(mean_c)), 6),
+        ).alias("mde_rel"),
+    )

@@ -252,3 +252,265 @@ def poisson_glm(
         F.col("r.rate_ratio").alias("rate_ratio"),
         "deviance",
     )
+
+
+def logistic_fragments(p: int) -> dict:
+    """Shared Spark/DuckDB SQL fragments for the p-covariate binomial
+    GLM (logistic regression with logit link). Expects a subject
+    relation with columns y (int 0/1) and x1..xp (decimal(18,6)), and
+    a 1-row params relation b0..bp (doubles). Model:
+    y ~ Bernoulli(mu), logit mu = b0 + sum b_j x_j.
+
+    Same contract as poisson_fragments: init_terms / agg_terms /
+    solve_steps(r) / final_terms / se_steps() / param_outputs. The
+    fitted probability quantizes to decimal(18,9) (the one libm exp
+    channel, the ipw_fragments text); |eta| beyond ~21 saturates mu
+    to exactly 0/1 — those subjects stop contributing to the score
+    and Hessian (w = mu(1-mu) = 0) and any saturation NULLs the
+    deviance/McFadden outputs via the n_sat counter (never-fabricate
+    on a degenerate likelihood; coefficients still emit where the
+    Hessian stays positive-definite).
+    """
+    from .timeseries import _gauss_steps  # noqa: PLC0415
+
+    if p < 1 or p > 7:
+        raise ValueError(f"p must be in 1..7, got {p}")
+    m = p + 1
+    eta = "b0"
+    for j in range(1, m):
+        eta += f" + b{j} * CAST(x{j} AS DOUBLE)"
+    mu = (
+        f"CAST(CAST(1.0 / (1.0 + exp(-({eta})))"
+        " AS DECIMAL(18,9)) AS DOUBLE)"
+    )
+    w = f"{mu} * (1.0 - {mu})"
+    yd = "CAST(y AS DOUBLE)"
+
+    def s28(term: str, name: str):
+        return (
+            name,
+            f"CAST(SUM(CAST({term} AS DECIMAL(28,12))) AS DOUBLE)",
+        )
+
+    def xj(j: int) -> str:
+        return "1.0" if j == 0 else f"CAST(x{j} AS DOUBLE)"
+
+    agg_terms = []
+    for j in range(m):
+        agg_terms.append(s28(f"{xj(j)} * ({yd} - {mu})", f"g{j}"))
+    for j in range(m):
+        for k in range(j, m):
+            agg_terms.append(
+                s28(f"({xj(j)} * {xj(k)}) * {w}", f"h{j}_{k}")
+            )
+    for j in range(m):
+        agg_terms.append((f"b{j}", f"MIN(b{j})"))
+
+    init_terms = [
+        (
+            "b0",
+            "CASE WHEN SUM(y) > 0 AND SUM(y) < COUNT(*) THEN"
+            " CAST(CAST(ln((CAST(SUM(y) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE))"
+            " / (1.0 - CAST(SUM(y) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE))) AS DECIMAL(18,9))"
+            " AS DOUBLE) END",
+        )
+    ]
+    for j in range(1, m):
+        init_terms.append((f"b{j}", "CAST(0.0 AS DOUBLE)"))
+
+    def _a_names():
+        return {
+            (j, k): f"h{j}_{k}" for j in range(m) for k in range(j, m)
+        }
+
+    pnames = [f"b{j}" for j in range(m)]
+
+    def solve_steps(round_idx: int):
+        del round_idx
+        b_names = [f"g{j}" for j in range(m)]
+        steps, deltas, diag = _gauss_steps(m, _a_names(), b_names, "p")
+        ok = " AND ".join(f"{d} > 0" for d in dict.fromkeys(diag))
+        for j in range(m):
+            steps.append(
+                (
+                    f"nb{j}",
+                    f"CASE WHEN {ok} THEN CAST(CAST(b{j} + {deltas[j]}"
+                    " AS DECIMAL(18,9)) AS DOUBLE) ELSE NULL END",
+                )
+            )
+        return steps
+
+    dev_term = (
+        f"CASE WHEN y = 1 THEN 0.0 - ln({mu})"
+        f" ELSE 0.0 - ln(1.0 - {mu}) END"
+    )
+    final_terms = list(agg_terms) + [
+        ("n", "CAST(COUNT(*) AS BIGINT)"),
+        ("ysum", "CAST(COALESCE(SUM(y), 0) AS BIGINT)"),
+        (
+            "devhalf",
+            f"CAST(SUM(CASE WHEN {mu} > 0.0 AND {mu} < 1.0 THEN"
+            f" CAST({dev_term} AS DECIMAL(28,12)) END) AS DOUBLE)",
+        ),
+        (
+            "n_sat",
+            f"CAST(COALESCE(SUM(CASE WHEN {mu} <= 0.0 OR {mu} >= 1.0"
+            " THEN 1 ELSE 0 END), 0) AS BIGINT)",
+        ),
+    ]
+
+    def se_steps():
+        steps = []
+        for j in range(m):
+            rhs = ["1.0" if i == j else "0.0" for i in range(m)]
+            s, betas, diag = _gauss_steps(m, _a_names(), rhs, f"v{j}")
+            ok = " AND ".join(f"{d} > 0" for d in dict.fromkeys(diag))
+            steps.extend(s)
+            steps.append(
+                (
+                    f"var{j}",
+                    f"CASE WHEN {ok} AND {betas[j]} > 0"
+                    f" THEN {betas[j]} END",
+                )
+            )
+        return steps
+
+    def param_outputs():
+        outs = []
+        for j in range(m):
+            outs.append(
+                {
+                    "coef": f"round(b{j}, 6)",
+                    "se": f"round(sqrt(var{j}), 6)",
+                    "z": f"round(b{j} / sqrt(var{j}), 6)",
+                    "odds_ratio": f"round(exp(b{j}), 6)",
+                }
+            )
+        return outs
+
+    return {
+        "m": m,
+        "init_terms": init_terms,
+        "agg_terms": agg_terms,
+        "solve_steps": solve_steps,
+        "final_terms": final_terms,
+        "se_steps": se_steps,
+        "param_outputs": param_outputs,
+        "pnames": pnames,
+    }
+
+
+def logistic_glm(
+    df: DataFrame,
+    response_col: str,
+    covariate_cols: list[str],
+    rounds: int = 6,
+) -> DataFrame:
+    """Binomial GLM (logistic regression, Newton/IRLS MLE) -> one row
+    per parameter (param, n, coef, se, z, odds_ratio, deviance,
+    mcfadden_r2); params are 'intercept' then each covariate;
+    deviance and McFadden pseudo-R2 repeat per row.
+
+    Completes the GLM family the reference's documentation promises
+    (economic_indicators.md:122-126): Poisson for counts
+    (glm.poisson_glm), logistic for binary outcomes — the
+    classification workhorse behind quality filters and churn/flag
+    models. exp(coef_j) is the ODDS RATIO per unit x_j.
+
+    The propensity step inside ipw_ate_multi/aipw_ate is this same
+    fit; here it is exposed standalone WITH inference (SEs from
+    unit-vector solves of the final Hessian), deviance, and
+    McFadden's R2 = 1 - ll/ll0 against the base-rate-only model.
+
+    Architecture: the poisson_glm backbone verbatim — bounded
+    ``rounds``, each ONE decimal(28,12)-quantized score/Hessian
+    aggregate over the checkpointed subject table, the generated
+    fixed-order no-pivot Gauss solve (logit likelihood is globally
+    concave), logit(ybar) intercept seed. Saturated fitted
+    probabilities (|eta| > ~21 under decimal(18,9)) NULL the
+    deviance/McFadden outputs via n_sat. Subject table scanned
+    rounds+2 times, each map-side combinable; no window, no join, no
+    driver loop.
+    """
+    from .timeseries import _step_levels  # noqa: PLC0415
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if not covariate_cols:
+        raise ValueError("covariate_cols must name at least one column")
+    p = len(covariate_cols)
+    frag = logistic_fragments(p)
+    keep = F.col(response_col).isNotNull()
+    for c in covariate_cols:
+        keep = keep & F.col(c).isNotNull()
+    subj = df.filter(keep).select(
+        F.col(response_col).cast("int").alias("y"),
+        *[
+            F.col(c).cast("decimal(18,6)").alias(f"x{j}")
+            for j, c in enumerate(covariate_cols, 1)
+        ],
+    ).localCheckpoint(eager=True)
+    b_cur = subj.agg(
+        *[F.expr(e).alias(nm) for nm, e in frag["init_terms"]]
+    )
+    for r in range(1, rounds + 1):
+        g = subj.crossJoin(F.broadcast(b_cur)).agg(
+            *[F.expr(e).alias(nm) for nm, e in frag["agg_terms"]]
+        )
+        for batch in _step_levels(frag["solve_steps"](r)):
+            g = g.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+        b_cur = g.select(
+            *[F.col(f"n{nm}").alias(nm) for nm in frag["pnames"]]
+        ).localCheckpoint(eager=True)
+    fin = subj.crossJoin(F.broadcast(b_cur)).agg(
+        *[F.expr(e).alias(nm) for nm, e in frag["final_terms"]]
+    )
+    for batch in _step_levels(frag["se_steps"]()):
+        fin = fin.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    # null-model log-likelihood from (n, ysum): fixed-order doubles.
+    nd = F.col("n").cast("double")
+    pb = F.col("ysum").cast("double") / nd
+    ll0 = nd * (
+        pb * F.log(pb) + (1.0 - pb) * F.log(1.0 - pb)
+    )
+    okdev = (
+        (F.col("n_sat") == 0)
+        & (F.col("ysum") > 0)
+        & (F.col("ysum") < F.col("n"))
+        & F.col("devhalf").isNotNull()
+    )
+    labels = ["intercept", *covariate_cols]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("param"),
+                F.expr(o["coef"]).alias("coef"),
+                F.expr(o["se"]).alias("se"),
+                F.expr(o["z"]).alias("z"),
+                F.expr(o["odds_ratio"]).alias("odds_ratio"),
+            )
+            for lbl, o in zip(labels, frag["param_outputs"]())
+        ]
+    )
+    return fin.select(
+        "n",
+        F.when(okdev, F.round(F.lit(2.0) * F.col("devhalf"), 6)).alias(
+            "deviance"
+        ),
+        F.when(
+            okdev,
+            F.round(1.0 - (F.lit(0.0) - F.col("devhalf")) / ll0, 6),
+        ).alias("mcfadden_r2"),
+        F.explode(rows).alias("r"),
+    ).select(
+        F.col("r.param").alias("param"),
+        "n",
+        F.col("r.coef").alias("coef"),
+        F.col("r.se").alias("se"),
+        F.col("r.z").alias("z"),
+        F.col("r.odds_ratio").alias("odds_ratio"),
+        "deviance",
+        "mcfadden_r2",
+    )

@@ -2515,3 +2515,143 @@ def rmst_diff(
         " rmst_ctrl double, diff double, se double, z_stat double,"
         " lo double, hi double",
     )
+
+
+def fleming_harrington(
+    df: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    rho: float = 1.0,
+) -> DataFrame:
+    """Fleming-Harrington G(rho) weighted log-rank test -> one row
+    (n_a, n_b, rho, chi2).
+
+    log_rank weighs every event time equally, which makes it most
+    powerful against PROPORTIONAL-hazards alternatives; when curves
+    separate late (immunotherapy-style) or early (toxicity-style) a
+    weighted test wins. G(rho) weighs time t by S(t-)^rho, the pooled
+    Kaplan-Meier survival just BEFORE t: rho = 0 IS the log-rank
+    (weight 1 everywhere, 0^0 = 1 by the FH limit convention);
+    rho = 1 (Peto-Prentice flavor) emphasizes EARLY differences where
+    S is still near 1; larger rho sharpens that further.
+
+        chi2 = (Σ_t w_t (d_At − e_At))² / Σ_t w_t² v_t,
+        w_t = S_pool(t−)^rho
+
+    Relational shape: the log_rank collapse verbatim (one pinned
+    subject scan to the times-per-group relation, scaffold, reverse
+    at-risk cumsum), plus the kaplan_meier ln-space discipline for
+    the weight: ln(1 − d/n) quantized decimal(18,9), EXCLUSIVE
+    ascending cumsum via _asc_cumsum_dec (inclusive minus own term —
+    exact decimal subtraction), weight = exp(rho·lnS) requantized
+    decimal(18,9) (the one libm channel), a dead flag zeroing weights
+    after the pooled curve hits 0 (except rho = 0, where the
+    log-rank convention keeps w = 1). Both weighted sums are
+    decimal(28,12)-quantized before their order-free aggregate.
+    """
+    per_tg = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(duration_col).cast("long").alias("t"),
+            F.when(F.col(group_col) == group_a, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("g"),
+            F.col(event_col).cast("int").alias("e"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t", "g")
+        .agg(
+            F.sum("e").cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("subj"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grid = per_tg.select("t").distinct().select(
+        "t", F.explode(F.array(F.lit("a"), F.lit("b"))).alias("g")
+    )
+    full = grid.join(per_tg, ["t", "g"], "left").fillna(0, ["d", "subj"])
+    w_rev = (
+        Window.partitionBy("g")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = full.withColumn("n_risk", F.sum("subj").over(w_rev))
+    wide = risk.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == "a", F.col("d")).otherwise(0)).alias("da"),
+        F.sum(F.when(F.col("g") == "b", F.col("d")).otherwise(0)).alias("db"),
+        F.sum(F.when(F.col("g") == "a", F.col("n_risk")).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("g") == "b", F.col("n_risk")).otherwise(0)).alias("nb"),
+    )
+    dt = F.col("da") + F.col("db")
+    nt = F.col("na") + F.col("nb")
+    staged = wide.withColumn(
+        "lnq",
+        F.when(
+            (dt > 0) & (dt < nt),
+            F.log(
+                (nt - dt).cast("double") / nt.cast("double")
+            ).cast("decimal(18,9)"),
+        ).otherwise(F.lit(0).cast("decimal(18,9)")),
+    ).withColumn(
+        "dead",
+        F.when((dt >= nt) & (dt > 0), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("decimal(18,9)"),
+    )
+    cum = _asc_cumsum_dec(staged, ["lnq", "dead"])
+    ln_excl = (F.col("s_lnq") - F.col("lnq")).cast("double")
+    dead_excl = (F.col("s_dead") - F.col("dead")).cast("double")
+    rho_f = float(rho)
+    w_expr = F.when(
+        dead_excl >= 1.0, F.lit(1.0 if rho_f == 0.0 else 0.0)
+    ).otherwise(
+        F.exp(F.lit(rho_f) * ln_excl)
+        .cast("decimal(18,9)")
+        .cast("double")
+    )
+    dt2 = F.col("da") + F.col("db")
+    nt2 = F.col("na") + F.col("nb")
+    e_a = (
+        dt2.cast("double") * F.col("na").cast("double")
+        / nt2.cast("double")
+    )
+    v_t = F.when(
+        nt2 > 1,
+        dt2.cast("double")
+        * (F.col("na").cast("double") / nt2.cast("double"))
+        * (F.col("nb").cast("double") / nt2.cast("double"))
+        * (nt2 - dt2).cast("double")
+        / (nt2 - 1).cast("double"),
+    ).otherwise(0.0)
+    terms = cum.filter(dt2 > 0).select(
+        (w_expr * (F.col("da").cast("double") - e_a))
+        .cast("decimal(28,12)")
+        .alias("wd"),
+        ((w_expr * w_expr) * v_t).cast("decimal(28,12)").alias("wv"),
+    )
+    n_by = per_tg.groupBy().agg(
+        F.sum(F.when(F.col("g") == "a", F.col("subj")).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("g") == "b", F.col("subj")).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    agg = terms.agg(
+        F.sum("wd").cast("double").alias("num"),
+        F.sum("wv").cast("double").alias("den"),
+    )
+    return agg.crossJoin(F.broadcast(n_by)).select(
+        "n_a",
+        "n_b",
+        F.lit(rho_f).alias("rho"),
+        F.when(
+            F.col("den") > 0,
+            F.round(
+                F.col("num") * F.col("num") / F.col("den"), 6
+            ),
+        ).alias("chi2"),
+    )

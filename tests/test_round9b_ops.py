@@ -314,3 +314,174 @@ def test_kpss_short_series_nulls(spark):
     )
     row = kpss_test(df, "value", "t", "dataset", lags=4).collect()[0]
     assert row["kpss_stat"] is None and row["n"] == 4
+
+
+# ---------------------------------------------------------------------------
+# logistic_glm
+# ---------------------------------------------------------------------------
+
+def _logit_numpy(y, X, rounds=6):
+    y = np.asarray(y, dtype=float)
+    Xd = np.column_stack([np.ones(len(y))] + [np.asarray(c) for c in X])
+    pbar = y.mean()
+    b = np.zeros(Xd.shape[1])
+    b[0] = np.log(pbar / (1 - pbar))
+    for _ in range(rounds):
+        mu = 1.0 / (1.0 + np.exp(-(Xd @ b)))
+        g = Xd.T @ (y - mu)
+        h = (Xd * (mu * (1 - mu))[:, None]).T @ Xd
+        b = b + np.linalg.solve(h, g)
+    mu = 1.0 / (1.0 + np.exp(-(Xd @ b)))
+    dev = 2.0 * np.sum(np.where(y == 1, -np.log(mu), -np.log(1 - mu)))
+    ll0 = len(y) * (pbar * np.log(pbar) + (1 - pbar) * np.log(1 - pbar))
+    se = np.sqrt(np.diag(np.linalg.inv(h)))
+    return b, se, dev, 1.0 - (-dev / 2.0) / ll0
+
+
+def test_logistic_glm_matches_numpy(spark):
+    from econdatapipeline_spark.operators.glm import logistic_glm
+
+    tr, y, x1, x2 = _causal_fixture(n=700, seed=23)
+    # binary response driven by both covariates
+    rng = np.random.RandomState(99)
+    pr = 1.0 / (1.0 + np.exp(-(-0.3 + 1.1 * x1 - 0.7 * x2)))
+    yy = (rng.uniform(size=len(x1)) < pr).astype(int)
+    df = spark.createDataFrame(
+        [(int(a), float(b), float(c)) for a, b, c in zip(yy, x1, x2)],
+        "y int, x1 double, x2 double",
+    )
+    out = {
+        r["param"]: r
+        for r in logistic_glm(df, "y", ["x1", "x2"]).collect()
+    }
+    b, se, dev, mcf = _logit_numpy(yy, [x1, x2])
+    assert out["intercept"]["coef"] == pytest.approx(b[0], abs=2e-5)
+    assert out["x1"]["coef"] == pytest.approx(b[1], abs=2e-5)
+    assert out["x2"]["coef"] == pytest.approx(b[2], abs=2e-5)
+    assert out["x1"]["se"] == pytest.approx(se[1], abs=2e-5)
+    assert out["x1"]["z"] == pytest.approx(b[1] / se[1], abs=1e-3)
+    assert out["x1"]["odds_ratio"] == pytest.approx(
+        np.exp(b[1]), abs=1e-4
+    )
+    assert out["x1"]["deviance"] == pytest.approx(dev, abs=1e-3)
+    assert out["x1"]["mcfadden_r2"] == pytest.approx(mcf, abs=1e-5)
+    assert out["x1"]["n"] == len(yy)
+
+
+def test_logistic_glm_null_gates(spark):
+    """All-one response (no variation) NULLs everything via the
+    init/Hessian gates; a separated covariate NULLs deviance via
+    n_sat while the run completes."""
+    from econdatapipeline_spark.operators.glm import logistic_glm
+
+    df = spark.createDataFrame(
+        [(1, float(i)) for i in range(50)], "y int, x1 double"
+    )
+    rows = logistic_glm(df, "y", ["x1"]).collect()
+    assert all(r["coef"] is None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# fleming_harrington
+# ---------------------------------------------------------------------------
+
+def _fh_numpy(t, e, g, rho):
+    """Textbook FH G(rho) replay: pooled KM S(t-) weights."""
+    t, e, g = np.asarray(t), np.asarray(e), np.asarray(g)
+    times = np.sort(np.unique(t))
+    s_prev, num, den = 1.0, 0.0, 0.0
+    for tt in times:
+        at = t == tt
+        n_t = int((t >= tt).sum())
+        na = int(((t >= tt) & (g == "a")).sum())
+        nb = n_t - na
+        d_t = int(e[at].sum())
+        da = int(e[at & (g == "a")].sum())
+        if d_t > 0:
+            w = s_prev**rho if (s_prev > 0 or rho == 0) else 0.0
+            ea = d_t * na / n_t
+            v = (
+                d_t * (na / n_t) * (nb / n_t) * (n_t - d_t) / (n_t - 1)
+                if n_t > 1
+                else 0.0
+            )
+            num += w * (da - ea)
+            den += w * w * v
+            s_prev *= 1.0 - d_t / n_t
+    return num * num / den
+
+
+def _surv_fixture(n=400, seed=31):
+    rng = np.random.RandomState(seed)
+    g = np.where(rng.uniform(size=n) < 0.5, "a", "b")
+    # arm a has better EARLY survival; curves converge late
+    base = rng.exponential(30, n)
+    t = np.where(g == "a", base + rng.exponential(10, n), base)
+    t = np.ceil(t).astype(int) + 1
+    e = (rng.uniform(size=n) < 0.8).astype(int)
+    return t, e, g
+
+
+def test_fh_matches_numpy_and_rho0_is_logrank(spark):
+    from econdatapipeline_spark.operators.survival import (
+        fleming_harrington,
+        log_rank,
+    )
+
+    t, e, g = _surv_fixture()
+    df = spark.createDataFrame(
+        [(int(a), int(b), str(c)) for a, b, c in zip(t, e, g)],
+        "duration int, event int, grp string",
+    )
+    for rho in (0.0, 1.0):
+        row = fleming_harrington(
+            df, "grp", "a", "b", rho=rho
+        ).collect()[0]
+        ref = _fh_numpy(t, e, g, rho)
+        assert row["chi2"] == pytest.approx(ref, abs=1e-4), rho
+        assert row["rho"] == rho
+        assert row["n_a"] == int((g == "a").sum())
+    # rho = 0 reproduces the log-rank statistic exactly
+    fh0 = fleming_harrington(df, "grp", "a", "b", rho=0.0).collect()[0]
+    lr = log_rank(df, "grp", "a", "b").collect()[0]
+    assert fh0["chi2"] == lr["chi2"]
+
+
+# ---------------------------------------------------------------------------
+# mde_report
+# ---------------------------------------------------------------------------
+
+def test_mde_report_matches_numpy(spark):
+    from statistics import NormalDist
+
+    from econdatapipeline_spark.operators.evaluation import mde_report
+
+    rng = np.random.RandomState(77)
+    yc = np.round(rng.normal(10, 2, 400), 3)
+    yt = np.round(rng.normal(10.1, 2, 500), 3)
+    rows = [("c", float(v)) for v in yc] + [("t", float(v)) for v in yt]
+    df = spark.createDataFrame(rows, "variant string, y double")
+    row = mde_report(df, "variant", "y", "c", "t").collect()[0]
+    nt, nc = len(yt), len(yc)
+    s2 = (
+        ((yt - yt.mean()) ** 2).sum() + ((yc - yc.mean()) ** 2).sum()
+    ) / (nt + nc - 2)
+    se = np.sqrt(s2 * (1 / nt + 1 / nc))
+    z = NormalDist().inv_cdf(0.975) + NormalDist().inv_cdf(0.8)
+    assert row["n_treat"] == nt and row["n_ctrl"] == nc
+    assert row["mean_ctrl"] == pytest.approx(yc.mean(), abs=1e-5)
+    assert row["se_diff"] == pytest.approx(se, abs=1e-5)
+    assert row["mde_abs"] == pytest.approx(z * se, abs=1e-5)
+    assert row["mde_rel"] == pytest.approx(z * se / yc.mean(), abs=1e-6)
+    # sanity: this experiment cannot detect a 1% effect
+    assert row["mde_rel"] > 0.01
+
+
+def test_mde_report_degenerate(spark):
+    from econdatapipeline_spark.operators.evaluation import mde_report
+
+    df = spark.createDataFrame(
+        [("c", 1.0), ("t", 2.0)], "variant string, y double"
+    )
+    row = mde_report(df, "variant", "y", "c", "t").collect()[0]
+    assert row["mde_abs"] is None and row["n_treat"] == 1
