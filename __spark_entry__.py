@@ -1121,6 +1121,17 @@ def q_roc_auc(spark, sf_dir):
     return roc_auc(_scored_embeddings(spark, sf_dir))
 
 
+def q_roc_auc_ci(spark, sf_dir):
+    """AUC with the DeLong standard error and 95% CI
+    (operators/evaluation.roc_auc_ci): placements are constant within
+    a score group, so both variance components reduce to sums over
+    the distinct-score relation — same posture as roc_auc, plus one
+    broadcast of the (P, N, AUC) row back onto the pinned groups."""
+    from econdatapipeline_spark.operators.evaluation import roc_auc_ci
+
+    return roc_auc_ci(_scored_embeddings(spark, sf_dir))
+
+
 def q_pr_curve(spark, sf_dir):
     """Precision/recall/F1 at every distinct score threshold
     (operators/evaluation.pr_curve): cumulative integer counts over the
@@ -6048,6 +6059,25 @@ def q_logistic_glm(spark, sf_dir):
     return logistic_glm(joined, "y", ["x_acctbal", "x_days"], rounds=6)
 
 
+def q_vif(spark, sf_dir):
+    """Variance-inflation factors over lineitem pricing covariates
+    (operators/glm.vif): quantity, extended price (built FROM
+    quantity, so heavily collinear), and discount — the pre-fit
+    multicollinearity gate for every Newton regression in the
+    engine. One decimal-exact aggregate + p unit-vector solves of
+    the inverse correlation matrix (fragments shared with the
+    oracle)."""
+    from econdatapipeline_spark.operators.glm import vif
+
+    li = _t(spark, sf_dir, "lineitem")
+    subj = li.select(
+        F.col("l_quantity").alias("x_qty"),
+        (F.col("l_extendedprice") / 1000.0).alias("x_price_k"),
+        F.col("l_discount").alias("x_disc"),
+    )
+    return vif(subj, ["x_qty", "x_price_k", "x_disc"])
+
+
 def q_mde_report(spark, sf_dir):
     """Minimum-detectable-effect sizing gate
     (operators/evaluation.mde_report): what relative lift could the
@@ -6432,6 +6462,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "dup_spans": q_dup_spans,
         "lm_score": q_lm_score,
         "roc_auc": q_roc_auc,
+        "roc_auc_ci": q_roc_auc_ci,
         "pr_curve": q_pr_curve,
         "confusion_matrix": q_confusion_matrix,
         "calibration_bins": q_calibration_bins,
@@ -6669,6 +6700,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "iv_2sls": q_iv_2sls,
         "cmh_test": q_cmh_test,
         "mde_report": q_mde_report,
+        "vif": q_vif,
         "kpss_test": q_kpss_test,
         "poisson_glm": q_poisson_glm,
         "logistic_glm": q_logistic_glm,
@@ -7635,6 +7667,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_pos) AS BIGINT) AS n_pos,
                    CAST(SUM(n_neg) AS BIGINT) AS n_neg
             FROM c
+        """,
+        "roc_auc_ci": """
+            WITH s AS (
+              SELECT (label < 5) AS lbl, (vec_id % 97) / 96.0 AS score
+              FROM embeddings),
+            g AS (
+              SELECT score,
+                     SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS n_pos,
+                     SUM(CASE WHEN lbl THEN 0 ELSE 1 END) AS n_neg
+              FROM s GROUP BY score),
+            cums AS (
+              SELECT score, n_pos, n_neg,
+                     COALESCE(SUM(n_pos) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_n_pos,
+                     COALESCE(SUM(n_neg) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_n_neg
+              FROM g),
+            tot AS (
+              SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+                     CAST(SUM(n_neg) AS BIGINT) AS n,
+                     SUM(CAST(n_pos * (CAST(cum_n_neg AS DOUBLE)
+                         + 0.5 * n_neg) AS DECIMAL(28,12))) AS c
+              FROM cums),
+            tota AS (
+              SELECT *,
+                     CASE WHEN CAST(p AS DOUBLE) * CAST(n AS DOUBLE) = 0
+                          THEN NULL
+                          ELSE CAST(c AS DOUBLE)
+                               / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE))
+                          END AS auc_raw
+              FROM tot),
+            vt AS (
+              SELECT p, n, auc_raw,
+                CAST(CAST(n_pos AS DOUBLE) *
+                  (((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL
+                      ELSE (CAST(cum_n_neg AS DOUBLE) + 0.5 * n_neg)
+                           / CAST(n AS DOUBLE) END) - auc_raw)
+                 * ((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL
+                      ELSE (CAST(cum_n_neg AS DOUBLE) + 0.5 * n_neg)
+                           / CAST(n AS DOUBLE) END) - auc_raw))
+                  AS DECIMAL(28,12)) AS t10,
+                CAST(CAST(n_neg AS DOUBLE) *
+                  (((CASE WHEN CAST(p AS DOUBLE) = 0 THEN NULL
+                      ELSE (CAST(p - cum_n_pos - n_pos AS DOUBLE)
+                            + 0.5 * n_pos)
+                           / CAST(p AS DOUBLE) END) - auc_raw)
+                 * ((CASE WHEN CAST(p AS DOUBLE) = 0 THEN NULL
+                      ELSE (CAST(p - cum_n_pos - n_pos AS DOUBLE)
+                            + 0.5 * n_pos)
+                           / CAST(p AS DOUBLE) END) - auc_raw))
+                  AS DECIMAL(28,12)) AS t01
+              FROM cums CROSS JOIN tota),
+            vagg AS (
+              SELECT p, n, auc_raw,
+                     CAST(SUM(t10) AS DOUBLE) AS s10,
+                     CAST(SUM(t01) AS DOUBLE) AS s01
+              FROM vt GROUP BY p, n, auc_raw),
+            vfin AS (
+              SELECT *,
+                     sqrt((CASE WHEN CAST(p AS DOUBLE) - 1.0 = 0
+                           THEN NULL ELSE s10 / (CAST(p AS DOUBLE) - 1.0)
+                           END) / CAST(p AS DOUBLE)
+                        + (CASE WHEN CAST(n AS DOUBLE) - 1.0 = 0
+                           THEN NULL ELSE s01 / (CAST(n AS DOUBLE) - 1.0)
+                           END) / CAST(n AS DOUBLE)) AS se
+              FROM vagg)
+            SELECT round(auc_raw, 6) AS auc,
+                   CASE WHEN p > 1 AND n > 1 THEN round(se, 6) END AS se,
+                   CASE WHEN p > 1 AND n > 1 THEN round(
+                     greatest(0.0, auc_raw - 1.9599639845400536 * se), 6)
+                     END AS ci_lo,
+                   CASE WHEN p > 1 AND n > 1 THEN round(
+                     least(1.0, auc_raw + 1.9599639845400536 * se), 6)
+                     END AS ci_hi,
+                   p AS n_pos, n AS n_neg
+            FROM vfin
         """,
         "pr_curve": """
             WITH s AS (
@@ -14782,6 +14892,57 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["logistic_glm"] = _logistic_glm_sql()
+
+    # VIF: same fragment chaining — one aggregate, fixed-order
+    # correlation entries, p unit-vector Gauss solves.
+    from econdatapipeline_spark.operators.glm import (
+        vif_fragments as _viff,
+    )
+
+    def _vif_sql():
+        frag = _viff(3)
+        aggs = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["agg_terms"]
+        )
+        parts = []
+        last = "vagg"
+        for i, (nm, e) in enumerate(frag["corr_steps"]):
+            nxt = f"vc{i}"
+            parts.append(
+                f",\n        {nxt} AS (SELECT *, {e} AS {nm}"
+                f" FROM {last})"
+            )
+            last = nxt
+        for i, batch in enumerate(_plvl(frag["solve_steps"]())):
+            nxt = f"vs{i}"
+            cols = ", ".join(f"{e} AS {nm}" for nm, e in batch.items())
+            parts.append(
+                f",\n        {nxt} AS (SELECT *, {cols}"
+                f" FROM {last})"
+            )
+            last = nxt
+        labels = ["x_qty", "x_price_k", "x_disc"]
+        selects = []
+        for lbl, o in zip(labels, frag["outputs"]()):
+            selects.append(
+                f"SELECT '{lbl}' AS param, n, {o['vif']} AS vif,"
+                f" {o['r_squared']} AS r_squared FROM {last}"
+            )
+        sel_txt = ("\n        UNION ALL\n        ").join(selects)
+        return f"""
+        WITH vifsubj AS (
+          SELECT CAST(l_quantity AS DECIMAL(18,6)) AS x1,
+                 CAST(l_extendedprice / 1000.0 AS DECIMAL(18,6)) AS x2,
+                 CAST(l_discount AS DECIMAL(18,6)) AS x3
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL),
+        vagg AS (SELECT {aggs}
+                 FROM vifsubj){"".join(parts)}
+        {sel_txt}
+        """
+
+    sql["vif"] = _vif_sql()
 
     sql["ipw_ate_multi"] = _ipw_multi_sql(None)
     sql["ipw_ate_trim"] = _ipw_multi_sql(0.05)

@@ -1959,3 +1959,101 @@ def mde_report(
             F.round(F.try_divide(mde, F.abs(mean_c)), 6),
         ).alias("mde_rel"),
     )
+
+
+def roc_auc_ci(
+    df: DataFrame, label_col: str = "label", score_col: str = "score"
+) -> DataFrame:
+    """Tie-corrected AUC with the DeLong standard error and 95% CI ->
+    one row (auc, se, ci_lo, ci_hi, n_pos, n_neg).
+
+    roc_auc emits the point estimate; comparing two classifiers (or
+    one against 0.5) needs its sampling variance. DeLong et al. 1988:
+    with midrank placements V10_i = (neg below pos i + ½ ties)/N and
+    V01_j symmetric,
+
+        Var(AUC) = S10/P + S01/N,
+        S10 = Σ_pos (V10 − AUC)²/(P−1),  S01 symmetric.
+
+    Crucially the placements are CONSTANT WITHIN A SCORE GROUP, so
+    both variance components reduce to sums over the distinct-score
+    relation — the roc_auc posture exactly: a 100 TB corpus with a
+    6-decimal score reduces to <= 2e6 rows before any window, and the
+    distributed two-pass ordered_cumsum (no single-partition window)
+    does the ranking. Each (V − AUC)² group term is
+    decimal(28,12)-quantized before its order-free sum; the z
+    quantile is the stdlib literal (the mde_report rule). NULL
+    se/CI when either class has < 2 members (never-fabricate).
+    """
+    from .stats import ordered_cumsum  # noqa: PLC0415
+
+    z95 = 1.9599639845400536  # NormalDist().inv_cdf(0.975)
+    g = ordered_cumsum(
+        _score_groups(df, label_col, score_col),
+        "score",
+        ["n_pos", "n_neg"],
+        exclusive=True,
+    ).localCheckpoint(eager=True)
+    tot = g.agg(
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum("n_neg").cast("long").alias("n"),
+        F.sum(
+            (
+                F.col("n_pos")
+                * (F.col("cum_n_neg").cast("double") + 0.5 * F.col("n_neg"))
+            ).cast("decimal(28,12)")
+        ).alias("c"),
+    )
+    pd_ = F.col("p").cast("double")
+    nd_ = F.col("n").cast("double")
+    auc_raw = F.try_divide(F.col("c").cast("double"), pd_ * nd_)
+    joined = g.crossJoin(
+        F.broadcast(tot.withColumn("auc_raw", auc_raw))
+    )
+    v10 = F.try_divide(
+        F.col("cum_n_neg").cast("double") + 0.5 * F.col("n_neg"),
+        F.col("n").cast("double"),
+    )
+    pos_above = (
+        F.col("p") - F.col("cum_n_pos") - F.col("n_pos")
+    ).cast("double")
+    v01 = F.try_divide(
+        pos_above + 0.5 * F.col("n_pos"), F.col("p").cast("double")
+    )
+    a = F.col("auc_raw")
+    var_terms = joined.select(
+        "p",
+        "n",
+        "auc_raw",
+        (
+            F.col("n_pos").cast("double") * ((v10 - a) * (v10 - a))
+        ).cast("decimal(28,12)").alias("t10"),
+        (
+            F.col("n_neg").cast("double") * ((v01 - a) * (v01 - a))
+        ).cast("decimal(28,12)").alias("t01"),
+    )
+    agg = var_terms.groupBy("p", "n", "auc_raw").agg(
+        F.sum("t10").cast("double").alias("s10"),
+        F.sum("t01").cast("double").alias("s01"),
+    )
+    ok = (F.col("p") > 1) & (F.col("n") > 1)
+    pd2 = F.col("p").cast("double")
+    nd2 = F.col("n").cast("double")
+    var = F.try_divide(F.col("s10"), pd2 - 1.0) / pd2 + F.try_divide(
+        F.col("s01"), nd2 - 1.0
+    ) / nd2
+    se = F.sqrt(var)
+    return agg.select(
+        F.round(F.col("auc_raw"), 6).alias("auc"),
+        F.when(ok, F.round(se, 6)).alias("se"),
+        F.when(
+            ok,
+            F.round(F.greatest(F.lit(0.0), F.col("auc_raw") - F.lit(z95) * se), 6),
+        ).alias("ci_lo"),
+        F.when(
+            ok,
+            F.round(F.least(F.lit(1.0), F.col("auc_raw") + F.lit(z95) * se), 6),
+        ).alias("ci_hi"),
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+    )

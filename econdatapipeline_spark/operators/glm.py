@@ -514,3 +514,158 @@ def logistic_glm(
         "deviance",
         "mcfadden_r2",
     )
+
+
+def vif_fragments(p: int) -> dict:
+    """Shared Spark/DuckDB fragments for variance-inflation factors.
+    Expects a subject relation with x1..xp (decimal(18,6)). Returns
+    agg_terms (decimal-exact sums), corr_steps (named fixed-order
+    correlation-matrix entries), solve_steps() (one unit-vector
+    _gauss_steps chain per covariate over the correlation matrix —
+    VIF_j is the j-th diagonal of R^-1), and per-covariate outputs.
+    """
+    from .timeseries import _gauss_steps  # noqa: PLC0415
+
+    if p < 2 or p > 8:
+        raise ValueError(f"p must be in 2..8, got {p}")
+
+    def xj(j: int) -> str:
+        return f"CAST(x{j} AS DOUBLE)"
+
+    agg_terms = [("n", "CAST(COUNT(*) AS BIGINT)")]
+    for j in range(1, p + 1):
+        agg_terms.append(
+            (
+                f"s{j}",
+                f"CAST(SUM(CAST(x{j} AS DECIMAL(38,12))) AS DOUBLE)",
+            )
+        )
+    for j in range(1, p + 1):
+        for k in range(j, p + 1):
+            agg_terms.append(
+                (
+                    f"s{j}_{k}",
+                    f"CAST(SUM(CAST({xj(j)} * {xj(k)}"
+                    " AS DECIMAL(28,12))) AS DOUBLE)",
+                )
+            )
+
+    corr_steps = []
+    for j in range(1, p + 1):
+        for k in range(j, p + 1):
+            corr_steps.append(
+                (
+                    f"c{j}_{k}",
+                    f"s{j}_{k} - s{j} * s{k} / CAST(n AS DOUBLE)",
+                )
+            )
+    for j in range(1, p + 1):
+        for k in range(j + 1, p + 1):
+            corr_steps.append(
+                (
+                    f"r{j}_{k}",
+                    f"CASE WHEN c{j}_{j} > 0 AND c{k}_{k} > 0 THEN"
+                    f" c{j}_{k} / sqrt(c{j}_{j} * c{k}_{k})"
+                    " ELSE NULL END",
+                )
+            )
+
+    def solve_steps():
+        a_names = {}
+        for j in range(p):
+            for k in range(j, p):
+                a_names[(j, k)] = (
+                    "1.0" if j == k else f"r{j + 1}_{k + 1}"
+                )
+        steps = []
+        for j in range(p):
+            rhs = ["1.0" if i == j else "0.0" for i in range(p)]
+            s, betas, diag = _gauss_steps(p, a_names, rhs, f"w{j}")
+            ok = " AND ".join(f"{d} > 0" for d in dict.fromkeys(diag))
+            steps.extend(s)
+            steps.append(
+                (
+                    f"vif{j + 1}",
+                    f"CASE WHEN {ok} AND {betas[j]} >= 1.0"
+                    f" THEN {betas[j]} END",
+                )
+            )
+        return steps
+
+    def outputs():
+        outs = []
+        for j in range(1, p + 1):
+            outs.append(
+                {
+                    "vif": f"round(vif{j}, 6)",
+                    "r_squared": f"round(1.0 - 1.0 / vif{j}, 6)",
+                }
+            )
+        return outs
+
+    return {
+        "agg_terms": agg_terms,
+        "corr_steps": corr_steps,
+        "solve_steps": solve_steps,
+        "outputs": outputs,
+    }
+
+
+def vif(df: DataFrame, covariate_cols: list[str]) -> DataFrame:
+    """Variance-inflation factors -> one row per covariate
+    (param, n, vif, r_squared).
+
+    THE pre-fit multicollinearity diagnostic for every regression in
+    the engine (logistic_glm, poisson_glm, ipw_ate_multi, aipw_ate,
+    cox_ph_multi, weibull_aft): VIF_j = 1/(1 − R²_j) where R²_j is
+    from regressing x_j on the other covariates — equivalently the
+    j-th diagonal of the inverse correlation matrix, which is how it
+    is computed here (rule of thumb: VIF > 10 = problematic;
+    r_squared emits the implied R²_j). A near-singular design that
+    would NULL a downstream Newton fit through its pivot gate shows
+    up HERE first, with a per-covariate culprit.
+
+    Relational shape: ONE decimal-exact aggregate (Σx_j, Σx_j x_k),
+    fixed-order correlation entries, then p unit-vector solves of the
+    generated no-pivot Gaussian elimination (correlation matrices are
+    SPD short of exact collinearity; non-PD pivots or VIF < 1 from
+    degenerate arithmetic NULL that covariate's row). Fragments are
+    shared with the SQL oracle verbatim (vif_fragments). Map-side
+    combinable at any corpus size; no window, no join.
+    """
+    from .timeseries import _step_levels  # noqa: PLC0415
+
+    p = len(covariate_cols)
+    frag = vif_fragments(p)
+    keep = F.lit(True)
+    for c in covariate_cols:
+        keep = keep & F.col(c).isNotNull()
+    subj = df.filter(keep).select(
+        *[
+            F.col(c).cast("decimal(18,6)").alias(f"x{j}")
+            for j, c in enumerate(covariate_cols, 1)
+        ]
+    )
+    g = subj.agg(
+        *[F.expr(e).alias(nm) for nm, e in frag["agg_terms"]]
+    )
+    for nm, e in frag["corr_steps"]:
+        g = g.withColumn(nm, F.expr(e))
+    for batch in _step_levels(frag["solve_steps"]()):
+        g = g.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("param"),
+                F.expr(o["vif"]).alias("vif"),
+                F.expr(o["r_squared"]).alias("r_squared"),
+            )
+            for lbl, o in zip(covariate_cols, frag["outputs"]())
+        ]
+    )
+    return g.select("n", F.explode(rows).alias("r")).select(
+        F.col("r.param").alias("param"),
+        "n",
+        F.col("r.vif").alias("vif"),
+        F.col("r.r_squared").alias("r_squared"),
+    )

@@ -485,3 +485,107 @@ def test_mde_report_degenerate(spark):
     )
     row = mde_report(df, "variant", "y", "c", "t").collect()[0]
     assert row["mde_abs"] is None and row["n_treat"] == 1
+
+
+# ---------------------------------------------------------------------------
+# vif
+# ---------------------------------------------------------------------------
+
+def test_vif_matches_numpy(spark):
+    from econdatapipeline_spark.operators.glm import vif
+
+    rng = np.random.RandomState(5)
+    n = 500
+    x1 = np.round(rng.normal(0, 1, n), 3)
+    x2 = np.round(0.8 * x1 + 0.6 * rng.normal(0, 1, n), 3)
+    x3 = np.round(rng.normal(0, 1, n), 3)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, x3)],
+        "x1 double, x2 double, x3 double",
+    )
+    out = {
+        r["param"]: r for r in vif(df, ["x1", "x2", "x3"]).collect()
+    }
+    X = np.column_stack([x1, x2, x3])
+    R = np.corrcoef(X, rowvar=False)
+    expected = np.diag(np.linalg.inv(R))
+    for j, c in enumerate(["x1", "x2", "x3"]):
+        assert out[c]["vif"] == pytest.approx(expected[j], abs=1e-4)
+        assert out[c]["r_squared"] == pytest.approx(
+            1 - 1 / expected[j], abs=1e-4
+        )
+    # correlated pair inflated, independent covariate near 1
+    assert out["x1"]["vif"] > 1.5 and out["x2"]["vif"] > 1.5
+    assert out["x3"]["vif"] < 1.1
+
+
+def test_vif_collinear_nulls(spark):
+    from econdatapipeline_spark.operators.glm import vif
+
+    x = [float(i) for i in range(50)]
+    df = spark.createDataFrame(
+        [(a, 2.0 * a) for a in x], "x1 double, x2 double"
+    )
+    rows = vif(df, ["x1", "x2"]).collect()
+    assert all(r["vif"] is None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# roc_auc_ci
+# ---------------------------------------------------------------------------
+
+def _delong_numpy(y, s):
+    """Textbook per-observation DeLong replay (midrank placements)."""
+    y, s = np.asarray(y), np.asarray(s, dtype=float)
+    pos, neg = s[y == 1], s[y == 0]
+    P, N = len(pos), len(neg)
+    v10 = np.array(
+        [((neg < x).sum() + 0.5 * (neg == x).sum()) / N for x in pos]
+    )
+    v01 = np.array(
+        [((pos > x).sum() + 0.5 * (pos == x).sum()) / P for x in neg]
+    )
+    auc = v10.mean()
+    s10 = ((v10 - auc) ** 2).sum() / (P - 1)
+    s01 = ((v01 - auc) ** 2).sum() / (N - 1)
+    return auc, np.sqrt(s10 / P + s01 / N)
+
+
+def test_roc_auc_ci_matches_delong(spark):
+    from econdatapipeline_spark.operators.evaluation import (
+        roc_auc,
+        roc_auc_ci,
+    )
+
+    rng = np.random.RandomState(13)
+    n = 600
+    y = (rng.uniform(size=n) < 0.4).astype(int)
+    # discrete scores -> real ties exercise the midrank path
+    s = np.round(rng.normal(0, 1, n) + 1.2 * y, 1)
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, s)],
+        "label int, score double",
+    )
+    row = roc_auc_ci(df, "label", "score").collect()[0]
+    auc, se = _delong_numpy(y, s)
+    assert row["auc"] == pytest.approx(auc, abs=1e-5)
+    assert row["se"] == pytest.approx(se, abs=1e-5)
+    assert row["ci_lo"] == pytest.approx(
+        max(0.0, auc - 1.9599639845400536 * se), abs=1e-5
+    )
+    assert row["ci_hi"] == pytest.approx(
+        min(1.0, auc + 1.9599639845400536 * se), abs=1e-5
+    )
+    assert row["n_pos"] == int(y.sum())
+    # point estimate agrees with the certified roc_auc
+    assert roc_auc(df, "label", "score").collect()[0]["auc"] == row["auc"]
+
+
+def test_roc_auc_ci_degenerate(spark):
+    from econdatapipeline_spark.operators.evaluation import roc_auc_ci
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (0, 0.1), (0, 0.2)], "label int, score double"
+    )
+    row = roc_auc_ci(df, "label", "score").collect()[0]
+    assert row["se"] is None and row["auc"] == 1.0
