@@ -6059,6 +6059,100 @@ def q_logistic_glm(spark, sf_dir):
     return logistic_glm(joined, "y", ["x_acctbal", "x_days"], rounds=6)
 
 
+def q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test on per-priority order values (k$)
+    (operators/stats.jarque_bera): third/fourth power sums as
+    fixed-order doubles quantized decimal(28,12) (exact decimal x3
+    would blow the 38-precision cap where engines reduce scale
+    differently), O(1) moment closed forms. Order values are heavily
+    right-skewed — the reject flag should fire on every priority."""
+    from econdatapipeline_spark.operators.stats import jarque_bera
+
+    o = _t(spark, sf_dir, "orders")
+    return jarque_bera(
+        o.select(
+            F.col("o_orderpriority").alias("g"),
+            (F.col("o_totalprice") / 1000.0).alias("v"),
+        ),
+        "v",
+        "g",
+    ).orderBy("g")
+
+
+def q_chow_test(spark, sf_dir):
+    """Chow structural-break test (operators/timeseries.chow_test):
+    did the order-value ~ recency relationship change at 1995-01-01?
+    CASE-gated decimal-exact sums for both regimes in ONE aggregate,
+    RSS closed forms, F(2, n-4). Per-priority rows."""
+    from econdatapipeline_spark.operators.timeseries import chow_test
+
+    o = _t(spark, sf_dir, "orders")
+    subj = o.select(
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_orderdate") >= F.lit("1995-01-01")).cast("int").alias(
+            "rg"
+        ),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast(
+                "double"
+            )
+            / 1000.0
+        ).alias("x"),
+        (F.col("o_totalprice") / 1000.0).alias("y"),
+    )
+    return chow_test(subj, "y", "x", "rg", "g").orderBy("g")
+
+
+def q_breusch_pagan(spark, sf_dir):
+    """Breusch-Pagan heteroskedasticity test
+    (operators/timeseries.breusch_pagan) on extended price (k$) vs
+    quantity: price fans out with quantity by construction, so the
+    LM statistic should reject loudly — the gate that routes OLS
+    readouts to robust errors. Two-pass: decimal-exact OLS fit,
+    broadcast params, quantized residual-square sums."""
+    from econdatapipeline_spark.operators.timeseries import (
+        breusch_pagan,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return breusch_pagan(
+        li.select(
+            F.col("l_quantity").cast("double").alias("x"),
+            (F.col("l_extendedprice") / 1000.0).alias("y"),
+        ),
+        "y",
+        "x",
+    )
+
+
+def q_durbin_watson(spark, sf_dir):
+    """Durbin-Watson serial-correlation gate
+    (operators/timeseries.durbin_watson) on the monthly revenue
+    trend per priority (M$ on k-days): DW ~ 2 means trend_fit's SEs
+    are usable, DW << 2 routes to newey_west. Two-pass fit +
+    partitioned lag window, both quadratic sums quantized."""
+    from econdatapipeline_spark.operators.timeseries import (
+        durbin_watson,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("g"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg((_dsum(F.col("o_totalprice")) / 1e6).alias("y"))
+    series = monthly.select(
+        "g",
+        "date",
+        (
+            F.datediff(F.col("date"), F.lit("1992-01-01").cast("date"))
+            .cast("double")
+            / 1000.0
+        ).alias("x"),
+        "y",
+    )
+    return durbin_watson(series, "y", "x", "date", "g").orderBy("g")
+
+
 def q_vif(spark, sf_dir):
     """Variance-inflation factors over lineitem pricing covariates
     (operators/glm.vif): quantity, extended price (built FROM
@@ -6701,6 +6795,10 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "cmh_test": q_cmh_test,
         "mde_report": q_mde_report,
         "vif": q_vif,
+        "jarque_bera": q_jarque_bera,
+        "chow_test": q_chow_test,
+        "breusch_pagan": q_breusch_pagan,
+        "durbin_watson": q_durbin_watson,
         "kpss_test": q_kpss_test,
         "poisson_glm": q_poisson_glm,
         "logistic_glm": q_logistic_glm,
@@ -15223,6 +15321,244 @@ def oracle_sql() -> dict[str, str]:
                  > 0.463 END AS reject_5pct
         FROM kfin
         ORDER BY dataset
+    """
+
+    # Jarque-Bera: power sums (x^3/x^4 as fixed-order doubles
+    # quantized decimal(28,12)), O(1) moment closed forms.
+    sql["jarque_bera"] = """
+        WITH jb AS (
+          SELECT o_orderpriority AS g,
+                 CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS x
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        jsums AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+                 CAST(SUM(CAST((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS s3,
+                 CAST(SUM(CAST(((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * CAST(x AS DOUBLE)) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS s4
+          FROM jb GROUP BY g),
+        jm AS (
+          SELECT g, n, s1, s2, s3, s4,
+                 CAST(n AS DOUBLE) AS nd,
+                 s1 / CAST(n AS DOUBLE) AS m
+          FROM jsums),
+        jmom AS (
+          SELECT g, n, nd, m,
+                 s2 / nd - m * m AS m2,
+                 s3 / nd - 3.0 * m * (s2 / nd)
+                   + 2.0 * ((m * m) * m) AS m3,
+                 s4 / nd - 4.0 * m * (s3 / nd)
+                   + 6.0 * (m * m) * (s2 / nd)
+                   - 3.0 * (((m * m) * m) * m) AS m4
+          FROM jm),
+        jsk AS (
+          SELECT g, n, nd, m2,
+                 CASE WHEN sqrt((m2 * m2) * m2) = 0 THEN NULL
+                      ELSE m3 / sqrt((m2 * m2) * m2) END AS skew,
+                 (CASE WHEN m2 * m2 = 0 THEN NULL
+                       ELSE m4 / (m2 * m2) END) - 3.0 AS kurt
+          FROM jmom),
+        jfin AS (
+          SELECT g, n, m2, skew, kurt,
+                 (nd / 6.0) * (skew * skew + (kurt * kurt) / 4.0)
+                   AS jbs
+          FROM jsk)
+        SELECT g, n,
+               CASE WHEN n > 3 AND m2 > 0
+                 THEN round(skew, 6) + 0.0 END AS skewness,
+               CASE WHEN n > 3 AND m2 > 0
+                 THEN round(kurt, 6) + 0.0 END AS kurtosis_excess,
+               CASE WHEN n > 3 AND m2 > 0
+                 THEN round(jbs, 6) END AS jb_stat,
+               CASE WHEN n > 3 AND m2 > 0
+                 THEN jbs > 5.991465 END AS reject_5pct
+        FROM jfin ORDER BY g
+    """
+
+    # Chow test: CASE-gated per-regime decimal sums in one aggregate,
+    # RSS closed forms with the operator's guarded divisions.
+    sql["chow_test"] = """
+        WITH cwb AS (
+          SELECT o_orderpriority AS g,
+                 CASE WHEN o_orderdate >= DATE '1995-01-01'
+                      THEN 1 ELSE 0 END AS rg,
+                 CAST(CAST(date_diff('day', DATE '1992-01-01',
+                      o_orderdate) AS DOUBLE) / 1000.0
+                      AS DECIMAL(18,6)) AS x,
+                 CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS y
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        cws AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN rg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+            CAST(SUM(CAST(CASE WHEN rg = 0 THEN x ELSE CAST(0 AS DECIMAL(18,6)) END AS DECIMAL(38,12))) AS DOUBLE) AS sx0,
+            CAST(SUM(CAST(CASE WHEN rg = 0 THEN y ELSE CAST(0 AS DECIMAL(18,6)) END AS DECIMAL(38,12))) AS DOUBLE) AS sy0,
+            CAST(SUM(CASE WHEN rg = 0 THEN CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS sxx0,
+            CAST(SUM(CASE WHEN rg = 0 THEN CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS sxy0,
+            CAST(SUM(CASE WHEN rg = 0 THEN CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS syy0,
+            CAST(SUM(CASE WHEN rg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CAST(CASE WHEN rg = 1 THEN x ELSE CAST(0 AS DECIMAL(18,6)) END AS DECIMAL(38,12))) AS DOUBLE) AS sx1,
+            CAST(SUM(CAST(CASE WHEN rg = 1 THEN y ELSE CAST(0 AS DECIMAL(18,6)) END AS DECIMAL(38,12))) AS DOUBLE) AS sy1,
+            CAST(SUM(CASE WHEN rg = 1 THEN CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS sxx1,
+            CAST(SUM(CASE WHEN rg = 1 THEN CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS sxy1,
+            CAST(SUM(CASE WHEN rg = 1 THEN CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS syy1
+          FROM cwb GROUP BY g),
+        cwr AS (
+          SELECT *,
+            CAST(n0 AS DOUBLE) AS n0d, CAST(n1 AS DOUBLE) AS n1d,
+            CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) AS npd,
+            sxx0 - (CASE WHEN CAST(n0 AS DOUBLE) = 0 THEN NULL ELSE sx0 * sx0 / CAST(n0 AS DOUBLE) END) AS cxx0,
+            sxy0 - (CASE WHEN CAST(n0 AS DOUBLE) = 0 THEN NULL ELSE sx0 * sy0 / CAST(n0 AS DOUBLE) END) AS cxy0,
+            syy0 - (CASE WHEN CAST(n0 AS DOUBLE) = 0 THEN NULL ELSE sy0 * sy0 / CAST(n0 AS DOUBLE) END) AS cyy0,
+            sxx1 - (CASE WHEN CAST(n1 AS DOUBLE) = 0 THEN NULL ELSE sx1 * sx1 / CAST(n1 AS DOUBLE) END) AS cxx1,
+            sxy1 - (CASE WHEN CAST(n1 AS DOUBLE) = 0 THEN NULL ELSE sx1 * sy1 / CAST(n1 AS DOUBLE) END) AS cxy1,
+            syy1 - (CASE WHEN CAST(n1 AS DOUBLE) = 0 THEN NULL ELSE sy1 * sy1 / CAST(n1 AS DOUBLE) END) AS cyy1,
+            (sxx0 + sxx1) - (CASE WHEN CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) = 0 THEN NULL ELSE (sx0 + sx1) * (sx0 + sx1) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) END) AS cxxp,
+            (sxy0 + sxy1) - (CASE WHEN CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) = 0 THEN NULL ELSE (sx0 + sx1) * (sy0 + sy1) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) END) AS cxyp,
+            (syy0 + syy1) - (CASE WHEN CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) = 0 THEN NULL ELSE (sy0 + sy1) * (sy0 + sy1) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) END) AS cyyp
+          FROM cws),
+        cwf AS (
+          SELECT *,
+            cyy0 - (CASE WHEN cxx0 = 0 THEN NULL ELSE cxy0 * cxy0 / cxx0 END) AS rss0,
+            cyy1 - (CASE WHEN cxx1 = 0 THEN NULL ELSE cxy1 * cxy1 / cxx1 END) AS rss1,
+            cyyp - (CASE WHEN cxxp = 0 THEN NULL ELSE cxyp * cxyp / cxxp END) AS rssp
+          FROM cwr),
+        cwg AS (
+          SELECT *,
+            greatest(0.0, rssp - (rss0 + rss1)) / 2.0 AS num,
+            CASE WHEN npd - 4.0 = 0 THEN NULL
+                 ELSE (rss0 + rss1) / (npd - 4.0) END AS den
+          FROM cwf)
+        SELECT g, n0 AS n1_regime0, n1 AS n2_regime1,
+               CASE WHEN n0 > 2 AND n1 > 2 AND cxx0 > 0 AND cxx1 > 0
+                         AND cxxp > 0 AND den > 0
+                 THEN round(CASE WHEN den = 0 THEN NULL
+                            ELSE num / den END, 6) END AS f_stat,
+               CAST(n - 4 AS BIGINT) AS df2
+        FROM cwg ORDER BY g
+    """
+
+    # Breusch-Pagan: two-pass — decimal-exact OLS fit quantized
+    # decimal(18,9), residual-square sums quantized decimal(28,12).
+    sql["breusch_pagan"] = """
+        WITH bpb AS (
+          SELECT CAST(l_quantity AS DECIMAL(18,6)) AS x,
+                 CAST(l_extendedprice / 1000.0 AS DECIMAL(18,6)) AS y
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        bps AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+          FROM bpb),
+        bpp AS (
+          SELECT n,
+            CAST(CAST(
+              (sy / CAST(n AS DOUBLE))
+              - (CASE WHEN (sxx - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE sx * sx / CAST(n AS DOUBLE) END)) = 0 THEN NULL
+                      ELSE (sxy - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE sx * sy / CAST(n AS DOUBLE) END))
+                           / (sxx - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE sx * sx / CAST(n AS DOUBLE) END)) END)
+                * (sx / CAST(n AS DOUBLE))
+              AS DECIMAL(18,9)) AS DOUBLE) AS a,
+            CAST(CAST(
+              (CASE WHEN (sxx - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE sx * sx / CAST(n AS DOUBLE) END)) = 0 THEN NULL
+                    ELSE (sxy - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE sx * sy / CAST(n AS DOUBLE) END))
+                         / (sxx - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE sx * sx / CAST(n AS DOUBLE) END)) END)
+              AS DECIMAL(18,9)) AS DOUBLE) AS b
+          FROM bps),
+        bpe AS (
+          SELECT n, x,
+                 CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE) AS e
+          FROM bpb CROSS JOIN bpp),
+        bp2 AS (
+          SELECT MAX(n) AS n,
+            SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS px,
+            SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS pxx,
+            SUM(CAST(e * e AS DECIMAL(28,12))) AS pe2,
+            SUM(CAST(CAST(x AS DOUBLE) * (e * e) AS DECIMAL(28,12))) AS pxe2,
+            SUM(CAST((e * e) * (e * e) AS DECIMAL(28,12))) AS pe4
+          FROM bpe),
+        bpf AS (
+          SELECT n, CAST(n AS DOUBLE) AS nd,
+            CAST(pxx AS DOUBLE) - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE CAST(px AS DOUBLE) * CAST(px AS DOUBLE) / CAST(n AS DOUBLE) END) AS cxx2,
+            CAST(pxe2 AS DOUBLE) - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE CAST(px AS DOUBLE) * CAST(pe2 AS DOUBLE) / CAST(n AS DOUBLE) END) AS ce2x,
+            CAST(pe4 AS DOUBLE) - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE CAST(pe2 AS DOUBLE) * CAST(pe2 AS DOUBLE) / CAST(n AS DOUBLE) END) AS ve2
+          FROM bp2),
+        bpl AS (
+          SELECT n, nd, cxx2, ve2,
+            nd * (CASE WHEN cxx2 * ve2 = 0 THEN NULL
+                  ELSE (ce2x * ce2x) / (cxx2 * ve2) END) AS lm
+          FROM bpf)
+        SELECT n,
+               CASE WHEN n > 3 AND cxx2 > 0 AND ve2 > 0
+                 THEN round(lm, 6) END AS lm_stat,
+               CASE WHEN n > 3 AND cxx2 > 0 AND ve2 > 0
+                 THEN lm > 3.841459 END AS reject_5pct
+        FROM bpl
+    """
+
+    # Durbin-Watson: the BP two-pass + a partitioned lag window on
+    # the monthly series.
+    sql["durbin_watson"] = """
+        WITH dwm AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                      AS DOUBLE) / 1000000.0 AS value
+          FROM orders GROUP BY 1, 2),
+        dwb AS (
+          SELECT g, date AS t,
+                 CAST(CAST(date_diff('day', DATE '1992-01-01', date)
+                      AS DOUBLE) / 1000.0 AS DECIMAL(18,6)) AS x,
+                 CAST(value AS DECIMAL(18,6)) AS y
+          FROM dwm WHERE value IS NOT NULL AND date IS NOT NULL),
+        dws AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+          FROM dwb GROUP BY g),
+        dwp AS (
+          SELECT g, n,
+            CAST(CAST(
+              (sy / CAST(n AS DOUBLE))
+              - (CASE WHEN (sxx - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE sx * sx / CAST(n AS DOUBLE) END)) = 0 THEN NULL
+                      ELSE (sxy - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE sx * sy / CAST(n AS DOUBLE) END))
+                           / (sxx - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE sx * sx / CAST(n AS DOUBLE) END)) END)
+                * (sx / CAST(n AS DOUBLE))
+              AS DECIMAL(18,9)) AS DOUBLE) AS a,
+            CAST(CAST(
+              (CASE WHEN (sxx - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE sx * sx / CAST(n AS DOUBLE) END)) = 0 THEN NULL
+                    ELSE (sxy - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE sx * sy / CAST(n AS DOUBLE) END))
+                         / (sxx - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE sx * sx / CAST(n AS DOUBLE) END)) END)
+              AS DECIMAL(18,9)) AS DOUBLE) AS b
+          FROM dws),
+        dwe AS (
+          SELECT dwb.g, dwp.n, t,
+                 CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE) AS e
+          FROM dwb JOIN dwp ON dwb.g = dwp.g),
+        dwl AS (
+          SELECT g, n, e,
+                 lag(e) OVER (PARTITION BY g ORDER BY t) AS e1
+          FROM dwe),
+        dwa AS (
+          SELECT g, MAX(n) AS n,
+            CAST(SUM(CAST(e * e AS DECIMAL(28,12))) AS DOUBLE) AS see,
+            CAST(SUM(CAST((e - e1) * (e - e1) AS DECIMAL(28,12)))
+                 AS DOUBLE) AS sdd
+          FROM dwl GROUP BY g)
+        SELECT g, n,
+               CASE WHEN n > 2 AND see > 0 THEN round(
+                 CASE WHEN see = 0 THEN NULL ELSE sdd / see END, 6)
+                 END AS dw_stat,
+               CASE WHEN n > 2 AND see > 0 THEN round(
+                 1.0 - (CASE WHEN see = 0 THEN NULL
+                        ELSE sdd / see END) / 2.0, 6) + 0.0
+                 END AS rho_approx
+        FROM dwa ORDER BY g
     """
 
     # Just-identified 2SLS: one decimal-exact aggregate per segment,

@@ -2123,3 +2123,64 @@ def rdd_estimator(
         F.round(a_r - a_l, 6).alias("tau"),
     )
 
+
+
+def jarque_bera(
+    df: DataFrame, value_col: str, group_col: str | None = None
+) -> DataFrame:
+    """Jarque-Bera normality test -> one row per group
+    (group?, n, skewness, kurtosis_excess, jb_stat, reject_5pct).
+
+    The moment-based normality check every parametric readout in the
+    engine implicitly assumes (t-intervals, mSPRT, MDE, OLS
+    inference): JB = n/6 · (S² + (K−3)²/4) with S, K the sample
+    skewness and kurtosis, asymptotically chi-square(2) — the 5%
+    critical value 5.991465 drives reject_5pct.
+
+    Relational shape: ONE hash aggregate of the first four power
+    sums. Σx and Σx² are exact decimal sums of the decimal(18,6)
+    input; Σx³ and Σx⁴ CANNOT stay decimal (the (18,6)³ precision
+    blows past 38, where the two engines reduce scale differently) —
+    each per-row power is instead a fixed-order IEEE double quantized
+    decimal(28,12) BEFORE its order-free sum (the ipw_fragments
+    rule). Domain: |x| < ~2e3 so x⁴ fits the quantizer — pre-scale
+    big-magnitude series (the ORACLE_PARITY rule). Central moments
+    and the statistic are O(1) fixed-order doubles. NULLs when n < 4
+    or the variance degenerates.
+    """
+    gcols = [group_col] if group_col else []
+    x = F.col(value_col).cast("decimal(18,6)")
+    xd = x.cast("double")
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    q28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    sums = df.filter(F.col(value_col).isNotNull()).groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(x)).alias("s1"),
+        F.sum(dec(x * x)).alias("s2"),
+        F.sum(q28((xd * xd) * xd)).alias("s3"),
+        F.sum(q28(((xd * xd) * xd) * xd)).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m = d("s1") / n
+    m2 = d("s2") / n - m * m
+    m3 = d("s3") / n - 3.0 * m * (d("s2") / n) + 2.0 * ((m * m) * m)
+    m4 = (
+        d("s4") / n
+        - 4.0 * m * (d("s3") / n)
+        + 6.0 * (m * m) * (d("s2") / n)
+        - 3.0 * (((m * m) * m) * m)
+    )
+    skew = F.try_divide(m3, F.sqrt((m2 * m2) * m2))
+    kurt = F.try_divide(m4, m2 * m2) - 3.0
+    jb = (n / 6.0) * (skew * skew + (kurt * kurt) / 4.0)
+    ok = (F.col("n") > 3) & (m2 > 0)
+    zero = F.lit(0.0)
+    return sums.select(
+        *gcols,
+        "n",
+        F.when(ok, F.round(skew, 6) + zero).alias("skewness"),
+        F.when(ok, F.round(kurt, 6) + zero).alias("kurtosis_excess"),
+        F.when(ok, F.round(jb, 6)).alias("jb_stat"),
+        F.when(ok, jb > 5.991465).alias("reject_5pct"),
+    )

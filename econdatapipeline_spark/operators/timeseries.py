@@ -1853,3 +1853,289 @@ def kpss_test(
         F.when(ok, F.round(stat, 6)).alias("kpss_stat"),
         F.when(ok, stat > 0.463).alias("reject_5pct"),
     )
+
+
+def chow_test(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    regime_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Chow structural-break test at a KNOWN break -> one row per
+    group (group?, n1, n2, f_stat, df2).
+
+    Did the y~x relationship change between two regimes (pre/post a
+    policy date, an algorithm launch, a redefinition)? With simple
+    OLS per regime and pooled,
+
+        F = ((RSS_p − RSS_1 − RSS_2) / 2) / ((RSS_1 + RSS_2)/(n−4))
+
+    ~ F(2, n−4) under no break. ``regime_col`` is the caller-built
+    0/1 indicator (e.g. date >= break). df2 = n−4 is emitted so the
+    caller can look up the critical value; the statistic itself is
+    the portable output (the anova_oneway rule — no data-dependent
+    quantile approximations in the engine).
+
+    Relational shape: ONE hash aggregate of CASE-gated decimal-exact
+    sums (both regimes + implicit pooled via their sums), then O(1)
+    fixed-order double closed forms RSS = cyy − cxy²/cxx per piece.
+    NULLs when either regime has n < 3, any cxx degenerates, or
+    pooled RSS < split RSS by rounding (clamped at 0 numerator).
+    """
+    gcols = [group_col] if group_col else []
+    r = F.col(regime_col).cast("int")
+    base = df.filter(
+        F.col(y_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & r.isNotNull()
+    ).select(
+        *gcols,
+        r.alias("rg"),
+        F.col(x_col).cast("decimal(18,6)").alias("x"),
+        F.col(y_col).cast("decimal(18,6)").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    zero6 = F.lit(0).cast("decimal(18,6)")
+
+    def rsum(regime, expr):
+        return F.sum(
+            dec(F.when(F.col("rg") == regime, expr).otherwise(zero6))
+        )
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for rg in (0, 1):
+        aggs += [
+            F.sum(F.when(F.col("rg") == rg, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{rg}"),
+            rsum(rg, F.col("x")).alias(f"sx{rg}"),
+            rsum(rg, F.col("y")).alias(f"sy{rg}"),
+            rsum(rg, F.col("x") * F.col("x")).alias(f"sxx{rg}"),
+            rsum(rg, F.col("x") * F.col("y")).alias(f"sxy{rg}"),
+            rsum(rg, F.col("y") * F.col("y")).alias(f"syy{rg}"),
+        ]
+    sums = base.groupBy(*gcols).agg(*aggs)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+
+    def rss(nn, sx, sy, sxx, sxy, syy):
+        cxx = sxx - dv(sx * sx, nn)
+        cxy = sxy - dv(sx * sy, nn)
+        cyy = syy - dv(sy * sy, nn)
+        return cyy - dv(cxy * cxy, cxx), cxx
+
+    n0, n1 = d("n0"), d("n1")
+    rss0, cxx0 = rss(
+        n0, d("sx0"), d("sy0"), d("sxx0"), d("sxy0"), d("syy0")
+    )
+    rss1, cxx1 = rss(
+        n1, d("sx1"), d("sy1"), d("sxx1"), d("sxy1"), d("syy1")
+    )
+    nP = n0 + n1
+    rssP, cxxP = rss(
+        nP,
+        d("sx0") + d("sx1"),
+        d("sy0") + d("sy1"),
+        d("sxx0") + d("sxx1"),
+        d("sxy0") + d("sxy1"),
+        d("syy0") + d("syy1"),
+    )
+    num = F.greatest(F.lit(0.0), rssP - (rss0 + rss1)) / 2.0
+    den = dv(rss0 + rss1, nP - 4.0)
+    fstat = dv(num, den)
+    ok = (
+        (F.col("n0") > 2)
+        & (F.col("n1") > 2)
+        & (cxx0 > 0)
+        & (cxx1 > 0)
+        & (cxxP > 0)
+        & (den > 0)
+    )
+    return sums.select(
+        *gcols,
+        F.col("n0").alias("n1_regime0"),
+        F.col("n1").alias("n2_regime1"),
+        F.when(ok, F.round(fstat, 6)).alias("f_stat"),
+        (F.col("n") - 4).cast("long").alias("df2"),
+    )
+
+
+def breusch_pagan(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity test (Koenker studentized
+    form) -> one row per group (group?, n, lm_stat, reject_5pct).
+
+    OLS inference (trend_fit, newey_west's base fit, chow_test)
+    assumes constant residual variance; BP regresses the squared
+    residuals on x and reports LM = n·R², asymptotically
+    chi-square(1) for one regressor (5% critical value 3.841459).
+    Fan-shaped revenue series — the normal state of economic data —
+    fail this loudly and should route to newey_west/robust errors.
+
+    Relational shape: TWO aggregates (the aipw two-pass rule). Pass
+    one fits OLS from decimal-exact sums and broadcasts (a, b) as a
+    1-row relation; pass two computes e² = (y − a − bx)² per row as
+    a fixed-order double, quantizes e², x·e², e⁴ to decimal(28,12),
+    and reduces. R² of e² on x comes from those sums as O(1)
+    fixed-order doubles. Domain: |e²| < ~1e16 quantizer capacity —
+    pre-scale big-magnitude series. NULLs when n < 4 or either
+    variance degenerates.
+    """
+    gcols = [group_col] if group_col else []
+    base = df.filter(
+        F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(
+        *gcols,
+        F.col(x_col).cast("decimal(18,6)").alias("x"),
+        F.col(y_col).cast("decimal(18,6)").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    sums = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    nn = d("n")
+    cxx = d("sxx") - dv(d("sx") * d("sx"), nn)
+    cxy = d("sxy") - dv(d("sx") * d("sy"), nn)
+    b = dv(cxy, cxx)
+    a = dv(d("sy"), nn) - b * dv(d("sx"), nn)
+    params = sums.select(
+        *gcols,
+        F.col("n"),
+        a.cast("decimal(18,9)").cast("double").alias("a"),
+        b.cast("decimal(18,9)").cast("double").alias("b"),
+    )
+    if gcols:
+        joined = base.join(F.broadcast(params), gcols)
+    else:
+        joined = base.crossJoin(F.broadcast(params))
+    xd = F.col("x").cast("double")
+    e = F.col("y").cast("double") - F.col("a") - F.col("b") * xd
+    e2 = e * e
+    q28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    pass2 = joined.groupBy(*gcols).agg(
+        F.max("n").alias("n"),
+        F.sum(q28(F.col("x").cast("double"))).alias("px"),
+        F.sum(q28(xd * xd)).alias("pxx"),
+        F.sum(q28(e2)).alias("pe2"),
+        F.sum(q28(xd * e2)).alias("pxe2"),
+        F.sum(q28(e2 * e2)).alias("pe4"),
+    )
+    n2 = F.col("n").cast("double")
+    d2 = lambda c: F.col(c).cast("double")  # noqa: E731
+    cxx2 = d2("pxx") - dv(d2("px") * d2("px"), n2)
+    ce2x = d2("pxe2") - dv(d2("px") * d2("pe2"), n2)
+    ve2 = d2("pe4") - dv(d2("pe2") * d2("pe2"), n2)
+    r2 = dv(ce2x * ce2x, cxx2 * ve2)
+    lm = n2 * r2
+    ok = (F.col("n") > 3) & (cxx2 > 0) & (ve2 > 0)
+    return pass2.select(
+        *gcols,
+        "n",
+        F.when(ok, F.round(lm, 6)).alias("lm_stat"),
+        F.when(ok, lm > 3.841459).alias("reject_5pct"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    order_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation test on OLS
+    residuals -> one row per group (group?, n, dw_stat, rho_approx).
+
+    The quick serial-correlation gate in front of any per-series OLS
+    readout: DW = Σ(e_t − e_{t−1})² / Σe², ~2 under independence,
+    →0 under positive AR(1), →4 under negative; rho_approx =
+    1 − DW/2. DW < ~1.5 says trend_fit's plain SEs are untrustworthy
+    — use newey_west.
+
+    Relational shape: the breusch_pagan two-pass — OLS params from
+    ONE decimal-exact aggregate, broadcast back, residuals as
+    fixed-order doubles, then a PARTITIONED lag window (the
+    adf_test/acf posture: series-sized by contract) with both
+    quadratic sums decimal(28,12)-quantized. NULLs when n < 3 or
+    zero residual variance.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    gcols = [group_col] if group_col else []
+    base = df.filter(
+        F.col(y_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(order_col).isNotNull()
+    ).select(
+        *gcols,
+        F.col(order_col).alias("t"),
+        F.col(x_col).cast("decimal(18,6)").alias("x"),
+        F.col(y_col).cast("decimal(18,6)").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    sums = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    nn = d("n")
+    cxx = d("sxx") - dv(d("sx") * d("sx"), nn)
+    cxy = d("sxy") - dv(d("sx") * d("sy"), nn)
+    b = dv(cxy, cxx)
+    a = dv(d("sy"), nn) - b * dv(d("sx"), nn)
+    params = sums.select(
+        *gcols,
+        F.col("n"),
+        a.cast("decimal(18,9)").cast("double").alias("a"),
+        b.cast("decimal(18,9)").cast("double").alias("b"),
+    )
+    if gcols:
+        joined = base.join(F.broadcast(params), gcols)
+        w = Window.partitionBy(*gcols).orderBy("t")
+    else:
+        joined = base.crossJoin(F.broadcast(params))
+        w = Window.partitionBy(F.lit(1)).orderBy("t")
+    e = (
+        F.col("y").cast("double")
+        - F.col("a")
+        - F.col("b") * F.col("x").cast("double")
+    )
+    staged = joined.select(
+        *gcols, F.col("n"), F.col("t"), e.alias("e")
+    ).withColumn("e1", F.lag("e").over(w))
+    q28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    agg = staged.groupBy(*gcols).agg(
+        F.max("n").alias("n"),
+        F.sum(q28(F.col("e") * F.col("e"))).alias("see"),
+        F.sum(
+            q28(
+                (F.col("e") - F.col("e1")) * (F.col("e") - F.col("e1"))
+            )
+        ).alias("sdd"),
+    )
+    dw = dv(F.col("sdd").cast("double"), F.col("see").cast("double"))
+    ok = (F.col("n") > 2) & (F.col("see").cast("double") > 0)
+    zero = F.lit(0.0)
+    return agg.select(
+        *gcols,
+        "n",
+        F.when(ok, F.round(dw, 6)).alias("dw_stat"),
+        F.when(ok, F.round(1.0 - dw / 2.0, 6) + zero).alias(
+            "rho_approx"
+        ),
+    )

@@ -589,3 +589,113 @@ def test_roc_auc_ci_degenerate(spark):
     )
     row = roc_auc_ci(df, "label", "score").collect()[0]
     assert row["se"] is None and row["auc"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# jarque_bera / chow_test / breusch_pagan / durbin_watson
+# ---------------------------------------------------------------------------
+
+def test_jarque_bera_separates_normal_from_skewed(spark):
+    from econdatapipeline_spark.operators.stats import jarque_bera
+
+    rng = np.random.RandomState(8)
+    n = 2000
+    normal = np.round(rng.normal(0, 1, n), 3)
+    skewed = np.round(rng.exponential(1, n), 3)
+    rows = [("norm", float(v)) for v in normal] + [
+        ("skew", float(v)) for v in skewed
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r for r in jarque_bera(df, "v", "g").collect()
+    }
+
+    def jb_ref(x):
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        s, k = m3 / m2**1.5, m4 / m2**2 - 3
+        return s, k, len(x) / 6 * (s * s + k * k / 4)
+
+    for g, x in (("norm", normal), ("skew", skewed)):
+        s, k, jb = jb_ref(x)
+        assert out[g]["skewness"] == pytest.approx(s, abs=1e-4)
+        assert out[g]["kurtosis_excess"] == pytest.approx(k, abs=1e-4)
+        assert out[g]["jb_stat"] == pytest.approx(jb, rel=1e-4)
+    assert not out["norm"]["reject_5pct"]
+    assert out["skew"]["reject_5pct"]
+
+
+def test_chow_detects_break(spark):
+    from econdatapipeline_spark.operators.timeseries import chow_test
+
+    rng = np.random.RandomState(17)
+    n = 200
+    x = np.round(rng.uniform(0, 10, 2 * n), 3)
+    # slope doubles in regime 1
+    y0 = np.round(1 + 2 * x[:n] + rng.normal(0, 0.5, n), 3)
+    y1 = np.round(1 + 4 * x[n:] + rng.normal(0, 0.5, n), 3)
+    rows = [(0, float(a), float(b)) for a, b in zip(x[:n], y0)] + [
+        (1, float(a), float(b)) for a, b in zip(x[n:], y1)
+    ]
+    df = spark.createDataFrame(rows, "rg int, x double, y double")
+    row = chow_test(df, "y", "x", "rg").collect()[0]
+    assert row["f_stat"] is not None and row["f_stat"] > 100
+    assert row["df2"] == 2 * n - 4
+    # no break -> small F
+    rows2 = [(int(i >= n), float(a), float(b))
+             for i, (a, b) in enumerate(zip(x, np.round(1 + 2 * x + rng.normal(0, 0.5, 2 * n), 3)))]
+    df2 = spark.createDataFrame(rows2, "rg int, x double, y double")
+    row2 = chow_test(df2, "y", "x", "rg").collect()[0]
+    assert row2["f_stat"] < 5
+
+
+def test_breusch_pagan_detects_fan(spark):
+    from econdatapipeline_spark.operators.timeseries import breusch_pagan
+
+    rng = np.random.RandomState(29)
+    n = 1000
+    x = np.round(rng.uniform(1, 10, n), 3)
+    homo = np.round(2 + 3 * x + rng.normal(0, 1, n), 3)
+    hetero = np.round(2 + 3 * x + x * rng.normal(0, 1, n), 3)
+    rows = [("homo", float(a), float(b)) for a, b in zip(x, homo)] + [
+        ("fan", float(a), float(b)) for a, b in zip(x, hetero)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {
+        r["g"]: r
+        for r in breusch_pagan(df, "y", "x", "g").collect()
+    }
+    assert not out["homo"]["reject_5pct"]
+    assert out["fan"]["reject_5pct"]
+    assert out["fan"]["lm_stat"] > out["homo"]["lm_stat"]
+
+
+def test_durbin_watson_detects_ar1(spark):
+    from econdatapipeline_spark.operators.timeseries import durbin_watson
+
+    rng = np.random.RandomState(41)
+    n = 500
+    x = np.arange(n, dtype=float) / 100.0
+    # independent residuals -> DW ~ 2
+    e_ind = rng.normal(0, 1, n)
+    # AR(1) residuals, rho = 0.8 -> DW ~ 0.4
+    e_ar = np.zeros(n)
+    for i in range(1, n):
+        e_ar[i] = 0.8 * e_ar[i - 1] + rng.normal(0, 0.6)
+    rows = []
+    for g, e in (("ind", e_ind), ("ar", e_ar)):
+        y = np.round(1 + 0.5 * x + e, 3)
+        rows += [
+            (g, int(i), float(a), float(b))
+            for i, (a, b) in enumerate(zip(x, y))
+        ]
+    df = spark.createDataFrame(rows, "g string, t int, x double, y double")
+    out = {
+        r["g"]: r
+        for r in durbin_watson(df, "y", "x", "t", "g").collect()
+    }
+    assert 1.7 < out["ind"]["dw_stat"] < 2.3
+    assert out["ar"]["dw_stat"] < 1.0
+    assert out["ar"]["rho_approx"] > 0.5
