@@ -6059,6 +6059,46 @@ def q_logistic_glm(spark, sf_dir):
     return logistic_glm(joined, "y", ["x_acctbal", "x_days"], rounds=6)
 
 
+def q_synthetic_control(spark, sf_dir):
+    """Synthetic control (operators/synth.synthetic_control): build a
+    synthetic BRAZIL from the other AMERICA nations' monthly revenue
+    (M$) matched on the pre-1995H2 window, and read the post-period
+    gap. The convex-weight QP is a fixed-step line-search Frank-Wolfe
+    UNROLLED as named column steps over the 1-row Gram relation (the
+    ipw_fragments discipline applied to a constrained QP) — weights,
+    fit diagnostics, and ATT all hash-certified."""
+    from econdatapipeline_spark.operators.synth import synthetic_control
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    panel = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("unit"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("t"),
+        )
+        .agg((_dsum(F.col("o_totalprice")) / 1e6).alias("v"))
+    )
+    return synthetic_control(
+        panel,
+        "unit",
+        "t",
+        "v",
+        "BRAZIL",
+        ["ARGENTINA", "CANADA", "PERU", "UNITED STATES"],
+        pre_end="1995-06-01",
+        iters=12,
+    )
+
+
 def q_jarque_bera(spark, sf_dir):
     """Jarque-Bera normality test on per-priority order values (k$)
     (operators/stats.jarque_bera): third/fourth power sums as
@@ -6796,6 +6836,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "mde_report": q_mde_report,
         "vif": q_vif,
         "jarque_bera": q_jarque_bera,
+        "synthetic_control": q_synthetic_control,
         "chow_test": q_chow_test,
         "breusch_pagan": q_breusch_pagan,
         "durbin_watson": q_durbin_watson,
@@ -15322,6 +15363,130 @@ def oracle_sql() -> dict[str, str]:
         FROM kfin
         ORDER BY dataset
     """
+
+    # Synthetic control: monthly-panel pivot, decimal-exact Gram
+    # aggregate, the operator's unrolled line-search Frank-Wolfe
+    # (synth_fragments verbatim), weighted gap reduction.
+    from econdatapipeline_spark.operators.synth import (
+        synth_fragments as _synthf,
+    )
+
+    def _synth_sql():
+        donors = ["ARGENTINA", "CANADA", "PERU", "UNITED STATES"]
+        J = len(donors)
+        frag = _synthf(J, 12)
+        gram_terms = []
+        for j in range(1, J + 1):
+            for k in range(j, J + 1):
+                gram_terms.append(
+                    f"CAST(SUM(CASE WHEN pre = 1 THEN"
+                    f" CAST(CAST(u{j} AS DECIMAL(19,6))"
+                    f" * CAST(u{k} AS DECIMAL(19,6)) AS DECIMAL(38,12))"
+                    " ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)"
+                    f" AS h{j}_{k}"
+                )
+        for j in range(1, J + 1):
+            gram_terms.append(
+                f"CAST(SUM(CASE WHEN pre = 1 THEN"
+                f" CAST(CAST(y AS DECIMAL(19,6))"
+                f" * CAST(u{j} AS DECIMAL(19,6)) AS DECIMAL(38,12))"
+                " ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)"
+                f" AS c{j}"
+            )
+        parts = []
+        last = "sgram"
+        for i, batch in enumerate(_plvl(frag["steps"])):
+            nxt = f"sw{i}"
+            cols = ", ".join(f"{e} AS {nm}" for nm, e in batch.items())
+            parts.append(
+                f",\n        {nxt} AS (SELECT *, {cols} FROM {last})"
+            )
+            last = nxt
+        wsel = ", ".join(
+            f"{e} AS {nm}" for nm, e in frag["final"].items()
+        )
+        parts.append(f",\n        swt AS (SELECT {wsel} FROM {last})")
+        synth = " + ".join(
+            f"w{j} * CAST(u{j} AS DOUBLE)" for j in range(1, J + 1)
+        )
+        gap = f"(CAST(y AS DOUBLE) - ({synth}))"
+        parts.append(
+            f""",
+        sred AS (
+          SELECT CAST(SUM(pre) AS BIGINT) AS n_pre,
+                 CAST(SUM(1 - pre) AS BIGINT) AS n_post,
+                 CAST(SUM(CAST(CASE WHEN pre = 0 THEN {gap}
+                      ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE)
+                   AS gap_post,
+                 CAST(SUM(CAST(CASE WHEN pre = 1 THEN {gap} * {gap}
+                      ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE)
+                   AS gg_pre,
+                 CAST(SUM(CAST(CASE WHEN pre = 0 THEN {gap} * {gap}
+                      ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE)
+                   AS gg_post,
+                 {', '.join(f'MIN(w{j}) AS w{j}' for j in range(1, J + 1))}
+          FROM spanel CROSS JOIN swt)"""
+        )
+        selects = [
+            f"SELECT 'w_{u}' AS param, round(w{j}, 6) AS value"
+            " FROM sred"
+            for j, u in enumerate(donors, 1)
+        ] + [
+            "SELECT 'n_pre' AS param, CAST(n_pre AS DOUBLE) AS value"
+            " FROM sred",
+            "SELECT 'n_post' AS param, CAST(n_post AS DOUBLE) AS value"
+            " FROM sred",
+            "SELECT 'att' AS param, CASE WHEN n_post > 0 THEN"
+            " round(gap_post / CAST(n_post AS DOUBLE), 6) + 0.0 END"
+            " AS value FROM sred",
+            "SELECT 'pre_rmspe' AS param, CASE WHEN n_pre > 0 THEN"
+            " round(sqrt(gg_pre / CAST(n_pre AS DOUBLE)), 6) END"
+            " AS value FROM sred",
+            "SELECT 'post_rmspe' AS param, CASE WHEN n_post > 0 THEN"
+            " round(sqrt(gg_post / CAST(n_post AS DOUBLE)), 6) END"
+            " AS value FROM sred",
+        ]
+        sel_txt = ("\n        UNION ALL\n        ").join(selects)
+        ucols = ",\n                 ".join(
+            f"CAST(MAX(CASE WHEN unit = '{u}' THEN v END)"
+            f" AS DECIMAL(18,6)) AS u{j}"
+            for j, u in enumerate(donors, 1)
+        )
+        notnull = " AND ".join(
+            ["y IS NOT NULL"]
+            + [f"u{j} IS NOT NULL" for j in range(1, J + 1)]
+        )
+        donor_list = ", ".join(f"'{u}'" for u in donors)
+        gram_txt = ",\n                 ".join(gram_terms)
+        return f"""
+        WITH smon AS (
+          SELECT n_name AS unit,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS t,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                      AS DOUBLE) / 1000000.0 AS v
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_name IN ('BRAZIL', {donor_list})
+            AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+          GROUP BY 1, 2),
+        spiv AS (
+          SELECT t,
+                 CAST(MAX(CASE WHEN unit = 'BRAZIL' THEN v END)
+                      AS DECIMAL(18,6)) AS y,
+                 {ucols}
+          FROM smon GROUP BY t),
+        spanel AS (
+          SELECT *, CASE WHEN t <= DATE '1995-06-01'
+                         THEN 1 ELSE 0 END AS pre
+          FROM spiv WHERE {notnull}),
+        sgram AS (
+          SELECT {gram_txt}
+          FROM spanel){"".join(parts)}
+        {sel_txt}
+        """
+
+    sql["synthetic_control"] = _synth_sql()
 
     # Jarque-Bera: power sums (x^3/x^4 as fixed-order doubles
     # quantized decimal(28,12)), O(1) moment closed forms.

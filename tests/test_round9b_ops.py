@@ -699,3 +699,72 @@ def test_durbin_watson_detects_ar1(spark):
     assert 1.7 < out["ind"]["dw_stat"] < 2.3
     assert out["ar"]["dw_stat"] < 1.0
     assert out["ar"]["rho_approx"] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# synthetic_control
+# ---------------------------------------------------------------------------
+
+def _fw_numpy(A, b, iters):
+    """Line-search Frank-Wolfe replay: e_1 start, first-minimal-index
+    tie-break, closed-form clamped step — the operator's schedule."""
+    J = A.shape[1]
+    H, c = A.T @ A, A.T @ b
+    w = np.zeros(J)
+    w[0] = 1.0
+    for _ in range(iters):
+        hw = H @ w
+        g = hw - c
+        j = int(np.argmin(g))  # numpy argmin = first minimal index
+        num = float(g @ w) - g[j]
+        den = H[j, j] - 2 * hw[j] + float(w @ hw)
+        gamma = 0.0 if den <= 0 else min(1.0, max(0.0, num / den))
+        w = (1 - gamma) * w + gamma * np.eye(J)[j]
+    return w
+
+
+def test_synthetic_control_recovers_known_mixture(spark):
+    """Treated unit built as 0.6*d1 + 0.4*d2 (+0 of d3) pre-period;
+    a level shift of +5 lands post. Weights approach the true
+    mixture and att approaches the shift."""
+    from econdatapipeline_spark.operators.synth import synthetic_control
+
+    rng = np.random.RandomState(3)
+    T = 60
+    d1 = np.round(10 + np.sin(np.arange(T) / 5) * 3 + rng.normal(0, 0.1, T), 3)
+    d2 = np.round(20 + np.cos(np.arange(T) / 7) * 2 + rng.normal(0, 0.1, T), 3)
+    d3 = np.round(5 + rng.normal(0, 0.1, T), 3)
+    y = np.round(0.6 * d1 + 0.4 * d2, 3)
+    y[40:] += 5.0  # treatment at t = 40
+    rows = []
+    for t in range(T):
+        rows += [
+            ("treated", t, float(y[t])),
+            ("d1", t, float(d1[t])),
+            ("d2", t, float(d2[t])),
+            ("d3", t, float(d3[t])),
+        ]
+    df = spark.createDataFrame(rows, "unit string, t int, v double")
+    out = {
+        r["param"]: r["value"]
+        for r in synthetic_control(
+            df, "unit", "t", "v", "treated", ["d1", "d2", "d3"],
+            pre_end=39, iters=12,
+        ).collect()
+    }
+    assert out["n_pre"] == 40 and out["n_post"] == 20
+    assert abs(out["w_d1"] - 0.6) < 0.1
+    assert abs(out["w_d2"] - 0.4) < 0.1
+    assert out["w_d3"] < 0.1
+    assert abs(out["att"] - 5.0) < 0.5
+    assert out["pre_rmspe"] < 0.5
+    assert out["post_rmspe"] > 4.0
+    # weights are a convex combination
+    s = out["w_d1"] + out["w_d2"] + out["w_d3"]
+    assert abs(s - 1.0) < 1e-6
+    # matches the numpy Frank-Wolfe replay of the same schedule
+    A = np.column_stack([d1[:40], d2[:40], d3[:40]])
+    w_ref = _fw_numpy(A, y[:40], 12)
+    assert abs(out["w_d1"] - w_ref[0]) < 1e-4
+    assert abs(out["w_d2"] - w_ref[1]) < 1e-4
+    assert abs(out["w_d3"] - w_ref[2]) < 1e-4
