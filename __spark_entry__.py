@@ -6059,10 +6059,52 @@ def q_logistic_glm(spark, sf_dir):
     return logistic_glm(joined, "y", ["x_acctbal", "x_days"], rounds=6)
 
 
+def q_atkinson_index(spark, sf_dir):
+    """Atkinson inequality A(0.5) of positive account balances (k$)
+    per market segment (operators/stats.atkinson_index): the
+    normative member completing gini/theil/hhi/lorenz — x^(1-eps)
+    written exp(p ln x) for cross-engine portability, quantized
+    before the order-free sum."""
+    from econdatapipeline_spark.operators.stats import atkinson_index
+
+    c = _t(spark, sf_dir, "customer")
+    return atkinson_index(
+        c.select(
+            F.col("c_mktsegment").alias("g"),
+            (F.col("c_acctbal") / 1000.0).alias("v"),
+        ),
+        "v",
+        0.5,
+        "g",
+    ).orderBy("g")
+
+
+def q_event_study(spark, sf_dir):
+    """Event study / dynamic DiD (operators/evaluation.event_study):
+    the BUILDING-vs-rest order-value gap by year relative to 1998,
+    normalized to the last pre-year — flat pre-event coefficients
+    are the parallel-trends evidence did_estimator assumes. One
+    fact-sized collapse to (period x arm) decimal moments, base row
+    broadcast back, Welch se per period."""
+    from econdatapipeline_spark.operators.evaluation import event_study
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        (F.year("o_orderdate") - F.lit(1998)).alias("r"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("tr"),
+        (F.col("o_totalprice") / 1000.0).alias("y"),
+    )
+    return event_study(joined, "tr", "r", "y").orderBy("rel_period")
+
+
 def q_synthetic_control(spark, sf_dir):
     """Synthetic control (operators/synth.synthetic_control): build a
     synthetic BRAZIL from the other AMERICA nations' monthly revenue
-    (M$) matched on the pre-1995H2 window, and read the post-period
+    (M$) matched on the pre-1998H2 window, and read the post-period
     gap. The convex-weight QP is a fixed-step line-search Frank-Wolfe
     UNROLLED as named column steps over the 1-row Gram relation (the
     ipw_fragments discipline applied to a constrained QP) — weights,
@@ -6094,7 +6136,7 @@ def q_synthetic_control(spark, sf_dir):
         "v",
         "BRAZIL",
         ["ARGENTINA", "CANADA", "PERU", "UNITED STATES"],
-        pre_end="1995-06-01",
+        pre_end="1998-06-01",
         iters=12,
     )
 
@@ -6121,7 +6163,7 @@ def q_jarque_bera(spark, sf_dir):
 
 def q_chow_test(spark, sf_dir):
     """Chow structural-break test (operators/timeseries.chow_test):
-    did the order-value ~ recency relationship change at 1995-01-01?
+    did the order-value ~ recency relationship change at 1998-01-01?
     CASE-gated decimal-exact sums for both regimes in ONE aggregate,
     RSS closed forms, F(2, n-4). Per-priority rows."""
     from econdatapipeline_spark.operators.timeseries import chow_test
@@ -6129,7 +6171,7 @@ def q_chow_test(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     subj = o.select(
         F.col("o_orderpriority").alias("g"),
-        (F.col("o_orderdate") >= F.lit("1995-01-01")).cast("int").alias(
+        (F.col("o_orderdate") >= F.lit("1998-01-01")).cast("int").alias(
             "rg"
         ),
         (
@@ -6837,6 +6879,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "vif": q_vif,
         "jarque_bera": q_jarque_bera,
         "synthetic_control": q_synthetic_control,
+        "atkinson_index": q_atkinson_index,
+        "event_study": q_event_study,
         "chow_test": q_chow_test,
         "breusch_pagan": q_breusch_pagan,
         "durbin_watson": q_durbin_watson,
@@ -15364,6 +15408,99 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY dataset
     """
 
+    # Atkinson index: one aggregate, exp(p ln x) power channel.
+    sql["atkinson_index"] = """
+        WITH akb AS (
+          SELECT c_mktsegment AS g,
+                 CAST(c_acctbal / 1000.0 AS DOUBLE) AS x,
+                 CAST(CAST(c_acctbal / 1000.0 AS DOUBLE)
+                      AS DECIMAL(28,6)) AS xd
+          FROM customer
+          WHERE CAST(c_acctbal / 1000.0 AS DOUBLE) > 0),
+        aks AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(xd AS DECIMAL(38,12))) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(exp(0.5 * ln(x)) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS sp
+          FROM akb GROUP BY g),
+        akm AS (
+          SELECT g, n,
+                 CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL
+                      ELSE s / CAST(n AS DOUBLE) END AS mu,
+                 CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL
+                      ELSE sp / CAST(n AS DOUBLE) END AS mp
+          FROM aks)
+        SELECT g, n,
+               CASE WHEN n > 0 THEN round(mu, 6) END AS mean,
+               CASE WHEN n > 0 AND mu > 0 AND mp > 0 THEN
+                 round(1.0 - (CASE WHEN mu = 0 THEN NULL
+                       ELSE exp(2.0 * ln(mp)) / mu END), 6) + 0.0
+                 END AS atkinson
+        FROM akm ORDER BY g
+    """
+
+    # Event study: (period x arm) decimal moments, base-period row
+    # cross-joined back, Welch se per period.
+    sql["event_study"] = """
+        WITH evb AS (
+          SELECT CAST(year(o_orderdate) - 1998 AS BIGINT) AS r,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS tr,
+                 CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        evp AS (
+          SELECT r,
+            CAST(SUM(tr) AS BIGINT) AS nt,
+            CAST(SUM(1 - tr) AS BIGINT) AS nc,
+            CAST(SUM(CAST(CASE WHEN tr = 1 THEN y
+                 ELSE CAST(0 AS DECIMAL(18,6)) END AS DECIMAL(38,12)))
+                 AS DOUBLE) AS st,
+            CAST(SUM(CAST(CASE WHEN tr = 0 THEN y
+                 ELSE CAST(0 AS DECIMAL(18,6)) END AS DECIMAL(38,12)))
+                 AS DOUBLE) AS sc,
+            CAST(SUM(CASE WHEN tr = 1 THEN
+                 CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))
+                 ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS qt,
+            CAST(SUM(CASE WHEN tr = 0 THEN
+                 CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))
+                 ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS qc
+          FROM evb GROUP BY r),
+        evd AS (
+          SELECT *,
+            (CASE WHEN CAST(nt AS DOUBLE) = 0 THEN NULL
+                  ELSE st / CAST(nt AS DOUBLE) END)
+          - (CASE WHEN CAST(nc AS DOUBLE) = 0 THEN NULL
+                  ELSE sc / CAST(nc AS DOUBLE) END) AS diff_raw,
+            CASE WHEN CAST(nt AS DOUBLE) - 1.0 = 0 THEN NULL
+                 ELSE (qt - (CASE WHEN CAST(nt AS DOUBLE) = 0 THEN NULL
+                             ELSE st * st / CAST(nt AS DOUBLE) END))
+                      / (CAST(nt AS DOUBLE) - 1.0) END AS vt,
+            CASE WHEN CAST(nc AS DOUBLE) - 1.0 = 0 THEN NULL
+                 ELSE (qc - (CASE WHEN CAST(nc AS DOUBLE) = 0 THEN NULL
+                             ELSE sc * sc / CAST(nc AS DOUBLE) END))
+                      / (CAST(nc AS DOUBLE) - 1.0) END AS vc
+          FROM evp),
+        evbase AS (
+          SELECT diff_raw AS base_diff FROM evd WHERE r = -1)
+        SELECT r AS rel_period, nt AS n_treat, nc AS n_ctrl,
+               CASE WHEN nt > 0 AND nc > 0
+                 THEN round(diff_raw, 6) + 0.0 END AS diff,
+               CASE WHEN nt > 0 AND nc > 0 AND base_diff IS NOT NULL
+                 THEN round(diff_raw - base_diff, 6) + 0.0 END AS coef,
+               CASE WHEN nt > 1 AND nc > 1 AND vt >= 0 AND vc >= 0
+                 THEN round(sqrt(
+                   (CASE WHEN CAST(nt AS DOUBLE) = 0 THEN NULL
+                         ELSE vt / CAST(nt AS DOUBLE) END)
+                 + (CASE WHEN CAST(nc AS DOUBLE) = 0 THEN NULL
+                         ELSE vc / CAST(nc AS DOUBLE) END)), 6)
+                 END AS se_diff
+        FROM evd CROSS JOIN evbase
+        ORDER BY rel_period
+    """
+
     # Synthetic control: monthly-panel pivot, decimal-exact Gram
     # aggregate, the operator's unrolled line-search Frank-Wolfe
     # (synth_fragments verbatim), weighted gap reduction.
@@ -15477,7 +15614,7 @@ def oracle_sql() -> dict[str, str]:
                  {ucols}
           FROM smon GROUP BY t),
         spanel AS (
-          SELECT *, CASE WHEN t <= DATE '1995-06-01'
+          SELECT *, CASE WHEN t <= DATE '1998-06-01'
                          THEN 1 ELSE 0 END AS pre
           FROM spiv WHERE {notnull}),
         sgram AS (
@@ -15545,7 +15682,7 @@ def oracle_sql() -> dict[str, str]:
     sql["chow_test"] = """
         WITH cwb AS (
           SELECT o_orderpriority AS g,
-                 CASE WHEN o_orderdate >= DATE '1995-01-01'
+                 CASE WHEN o_orderdate >= DATE '1998-01-01'
                       THEN 1 ELSE 0 END AS rg,
                  CAST(CAST(date_diff('day', DATE '1992-01-01',
                       o_orderdate) AS DOUBLE) / 1000.0

@@ -2057,3 +2057,94 @@ def roc_auc_ci(
         F.col("p").alias("n_pos"),
         F.col("n").alias("n_neg"),
     )
+
+
+def event_study(
+    df: DataFrame,
+    treat_col: str,
+    rel_period_col: str,
+    value_col: str,
+    base_period: int = -1,
+) -> DataFrame:
+    """Event-study (dynamic difference-in-differences) -> one row per
+    relative period: (rel_period, n_treat, n_ctrl, diff, coef,
+    se_diff).
+
+    did_estimator collapses treatment into one pre/post contrast;
+    the event study is its per-period expansion and the modern DiD
+    diagnostic: coef_r = (mean_T − mean_C)_r − (mean_T − mean_C)_base
+    normalizes the treated-control gap to the base period (default
+    −1, the last pre-period). Flat coefs BEFORE the event are the
+    parallel-trends evidence; the post-event path is the dynamic
+    effect. se_diff is the per-period two-sample standard error of
+    the raw gap (Welch form), emitted so pre-trend flatness can be
+    judged against noise.
+
+    Relational shape: ONE fact-sized hash aggregate to the
+    periods-sized relation (per period x arm decimal-exact n, Σy,
+    Σy²), the base-period row broadcast back, O(1) fixed-order
+    double closed forms per row. NULL coef when the base period is
+    missing; NULL se when either arm has n < 2 in that period.
+    """
+    tr = F.col(treat_col).cast("int")
+    base = df.filter(
+        tr.isNotNull()
+        & F.col(rel_period_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(rel_period_col).cast("long").alias("r"),
+        tr.alias("tr"),
+        F.col(value_col).cast("decimal(18,6)").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    zero6 = F.lit(0).cast("decimal(18,6)")
+    per = base.groupBy("r").agg(
+        F.sum(F.col("tr")).cast("long").alias("nt"),
+        F.sum(1 - F.col("tr")).cast("long").alias("nc"),
+        F.sum(
+            dec(F.when(F.col("tr") == 1, F.col("y")).otherwise(zero6))
+        ).alias("st"),
+        F.sum(
+            dec(F.when(F.col("tr") == 0, F.col("y")).otherwise(zero6))
+        ).alias("sc"),
+        F.sum(
+            dec(
+                F.when(F.col("tr") == 1, F.col("y") * F.col("y"))
+                .otherwise(zero6)
+            )
+        ).alias("qt"),
+        F.sum(
+            dec(
+                F.when(F.col("tr") == 0, F.col("y") * F.col("y"))
+                .otherwise(zero6)
+            )
+        ).alias("qc"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    nt, nc = d("nt"), d("nc")
+    mt = dv(d("st"), nt)
+    mc = dv(d("sc"), nc)
+    diff = mt - mc
+    vt = dv(d("qt") - dv(d("st") * d("st"), nt), nt - 1.0)
+    vc = dv(d("qc") - dv(d("sc") * d("sc"), nc), nc - 1.0)
+    se = F.sqrt(dv(vt, nt) + dv(vc, nc))
+    staged = per.withColumn("diff_raw", diff)
+    b = staged.filter(F.col("r") == base_period).select(
+        F.col("diff_raw").alias("base_diff")
+    )
+    joined = staged.crossJoin(F.broadcast(b))
+    okd = (F.col("nt") > 0) & (F.col("nc") > 0)
+    okse = (F.col("nt") > 1) & (F.col("nc") > 1) & (vt >= 0) & (vc >= 0)
+    zero = F.lit(0.0)
+    return joined.select(
+        F.col("r").alias("rel_period"),
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_ctrl"),
+        F.when(okd, F.round(F.col("diff_raw"), 6) + zero).alias("diff"),
+        F.when(
+            okd & F.col("base_diff").isNotNull(),
+            F.round(F.col("diff_raw") - F.col("base_diff"), 6) + zero,
+        ).alias("coef"),
+        F.when(okse, F.round(se, 6)).alias("se_diff"),
+    )

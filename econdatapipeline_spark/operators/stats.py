@@ -2184,3 +2184,70 @@ def jarque_bera(
         F.when(ok, F.round(jb, 6)).alias("jb_stat"),
         F.when(ok, jb > 5.991465).alias("reject_5pct"),
     )
+
+
+def atkinson_index(
+    df: DataFrame,
+    value_col: str,
+    epsilon: float = 0.5,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Atkinson inequality index A(epsilon) -> one row per group
+    (group?, n, mean, atkinson).
+
+    Completes the inequality family (gini_coefficient, theil_index,
+    hhi, lorenz_curve) with the NORMATIVE member: epsilon is explicit
+    inequality aversion, and A reads as "the share of total income
+    society would give up to reach equal shares at current welfare".
+
+        A = 1 − (1/μ) · ( (1/n) Σ x^(1−ε) )^(1/(1−ε)),  ε ≠ 1
+        A = 1 − geomean(x)/μ,                            ε = 1
+
+    Strictly positive values only; non-positive rows are excluded
+    (reflected in n). Relational shape: ONE hash aggregate — Σx as
+    exact decimal, Σ x^(1−ε) (or Σ ln x for ε = 1) as fixed-order
+    doubles quantized decimal(28,12) before the order-free sum, with
+    x^p written exp(p·ln x) for cross-engine portability (the
+    weibull_fit rule); then O(1) closed forms. NULL when n = 0.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    gcols = [group_col] if group_col else []
+    x = F.col(value_col).cast("double")
+    base = df.filter(x > 0).select(
+        *gcols,
+        x.alias("x"),
+        x.cast("decimal(28,6)").alias("xd"),
+    )
+    q28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    eps = float(epsilon)
+    if eps == 1.0:
+        pw = F.log(F.col("x"))
+    else:
+        p = repr(1.0 - eps)
+        pw = F.expr(f"exp({p} * ln(x))")
+    sums = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("xd").cast("decimal(38,12)")).alias("s"),
+        F.sum(q28(pw)).alias("sp"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.try_divide(F.col("s").cast("double"), n)
+    mp = F.try_divide(F.col("sp").cast("double"), n)
+    if eps == 1.0:
+        ede = F.exp(mp)
+    else:
+        inv = repr(1.0 / (1.0 - eps))
+        ede = F.expr(f"exp({inv} * ln(__mp))")
+    staged = sums.withColumn("__mu", mu).withColumn("__mp", mp)
+    atk = 1.0 - F.try_divide(
+        ede if eps == 1.0 else F.expr(f"exp({repr(1.0 / (1.0 - eps))} * ln(__mp))"),
+        F.col("__mu"),
+    )
+    ok = (F.col("n") > 0) & (F.col("__mu") > 0) & (F.col("__mp") > 0)
+    return staged.select(
+        *gcols,
+        "n",
+        F.when(F.col("n") > 0, F.round(F.col("__mu"), 6)).alias("mean"),
+        F.when(ok, F.round(atk, 6) + F.lit(0.0)).alias("atkinson"),
+    )

@@ -768,3 +768,59 @@ def test_synthetic_control_recovers_known_mixture(spark):
     assert abs(out["w_d1"] - w_ref[0]) < 1e-4
     assert abs(out["w_d2"] - w_ref[1]) < 1e-4
     assert abs(out["w_d3"] - w_ref[2]) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# atkinson_index / event_study
+# ---------------------------------------------------------------------------
+
+def test_atkinson_matches_numpy_and_orders_inequality(spark):
+    from econdatapipeline_spark.operators.stats import atkinson_index
+
+    rng = np.random.RandomState(10)
+    equal = np.full(500, 10.0)
+    unequal = np.round(rng.lognormal(2, 1, 500), 3)
+    rows = [("eq", float(v)) for v in equal] + [
+        ("uneq", float(v)) for v in unequal
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r
+        for r in atkinson_index(df, "v", 0.5, "g").collect()
+    }
+
+    def atk_ref(x, eps=0.5):
+        mu = x.mean()
+        return 1 - (np.mean(x ** (1 - eps))) ** (1 / (1 - eps)) / mu
+
+    assert out["eq"]["atkinson"] == pytest.approx(0.0, abs=1e-6)
+    assert out["uneq"]["atkinson"] == pytest.approx(
+        atk_ref(unequal), abs=1e-5
+    )
+    assert 0 < out["uneq"]["atkinson"] < 1
+
+
+def test_event_study_flat_pre_and_effect_post(spark):
+    from econdatapipeline_spark.operators.evaluation import event_study
+
+    rng = np.random.RandomState(55)
+    rows = []
+    for r in range(-4, 5):
+        eff = 3.0 if r >= 0 else 0.0
+        for _ in range(150):
+            rows.append((r, 1, float(np.round(10 + eff + rng.normal(0, 1), 3))))
+            rows.append((r, 0, float(np.round(10 + rng.normal(0, 1), 3))))
+    df = spark.createDataFrame(rows, "r int, tr int, y double")
+    out = {
+        row["rel_period"]: row
+        for row in event_study(df, "tr", "r", "y").collect()
+    }
+    # base period coef is exactly 0
+    assert out[-1]["coef"] == 0.0
+    # pre-period coefs are statistically flat
+    for r in (-4, -3, -2):
+        assert abs(out[r]["coef"]) < 3 * out[r]["se_diff"] + 0.2
+    # post-period coefs near the true +3
+    for r in (0, 1, 2, 3, 4):
+        assert abs(out[r]["coef"] - 3.0) < 0.5
+    assert out[0]["n_treat"] == 150 and out[0]["n_ctrl"] == 150
