@@ -824,3 +824,27 @@ def test_event_study_flat_pre_and_effect_post(spark):
     for r in (0, 1, 2, 3, 4):
         assert abs(out[r]["coef"] - 3.0) < 0.5
     assert out[0]["n_treat"] == 150 and out[0]["n_ctrl"] == 150
+
+
+# ---------------------------------------------------------------------------
+# oracle literal exactness (the ORACLE_PARITY "never inject a
+# full-precision double" rule: these ARE injected, so pin that each
+# one parses bit-exact through DuckDB's decimal literal path)
+# ---------------------------------------------------------------------------
+
+def test_injected_oracle_literals_parse_exact_in_duckdb():
+    import struct
+
+    import duckdb
+
+    literals = {
+        # mde_report / roc_auc_ci z quantiles (stdlib NormalDist)
+        "1.9599639845400536": 1.9599639845400536,
+        "2.801585218112968": 2.801585218112968,
+        # kpss Bartlett weight 1 - 4/5 (NOT 0.2 in IEEE)
+        "0.19999999999999996": 0.19999999999999996,
+    }
+    con = duckdb.connect()
+    for txt, py in literals.items():
+        d = con.execute(f"SELECT CAST({txt} AS DOUBLE)").fetchone()[0]
+        assert struct.pack("<d", d) == struct.pack("<d", py), txt
