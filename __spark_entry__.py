@@ -5467,6 +5467,48 @@ def q_cox_ph(spark, sf_dir):
     return cox_ph(subjects, "duration", "event", "x", rounds=4)
 
 
+def q_cox_ph_check(spark, sf_dir):
+    """Proportional-hazards diagnostic on the cox_ph contrast
+    (operators/survival.cox_ph_check): Grambsch-Therneau one-step
+    score test of Schoenfeld residuals against time — the gate that
+    says whether cox_ph's single hazard ratio is an honest summary
+    or a time-averaged fiction. Same fit, ONE further times-sized
+    quantized aggregate."""
+    from pyspark.sql import Window as W
+
+    from econdatapipeline_spark.operators.survival import cox_ph_check
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("x"),
+    )
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    ranked = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rk"),
+        F.lead("o_orderdate").over(w).alias("nxt"),
+    ).filter(F.col("rk") == 1)
+    subjects = (
+        ranked.crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff("nxt", "o_orderdate"),
+            )
+            .otherwise(F.datediff("h", "o_orderdate"))
+            .cast("long")
+            .alias("duration"),
+            F.col("nxt").isNotNull().cast("int").alias("event"),
+            "x",
+        )
+    )
+    return cox_ph_check(subjects, "duration", "event", "x", rounds=4)
+
+
 def q_cumulative_incidence(spark, sf_dir):
     """Aalen-Johansen cumulative incidence of the repeat purchase
     under competing risks (operators/survival.cumulative_incidence):
@@ -6857,6 +6899,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "newey_west": q_newey_west,
         "rolling_corr": q_rolling_corr,
         "cox_ph": q_cox_ph,
+        "cox_ph_check": q_cox_ph_check,
         "cox_ph_multi": q_cox_ph_multi,
         "cox_ph_multi3": q_cox_ph_multi3,
         "kmeans_seedplus": q_kmeans_seedplus,
@@ -14507,6 +14550,91 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN i > 0
                      THEN beta / (1.0 / sqrt(i)) END, 6) AS z
         FROM uif CROSS JOIN tot
+    """
+
+    # PH diagnostic: the cox_ph chain + one further times-sized
+    # quantized score aggregate with g = t/1000 (expanded moments so
+    # gbar needs no second pass).
+    _phk_g = "CAST(t AS DOUBLE) / 1000.0"
+    _phk_r = f"(CAST(sx AS DOUBLE) - CAST(d AS DOUBLE) * {cox_p})"
+    _phk_v = f"(CAST(d AS DOUBLE) * {cox_p} * (1.0 - {cox_p}))"
+    sql["cox_ph_check"] = f"""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC) AS rk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC) AS nxt
+          FROM orders),
+        h AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        subj AS (
+          SELECT CAST(CASE WHEN nxt IS NOT NULL
+                      THEN date_diff('day', o_orderdate, nxt)
+                      ELSE date_diff('day', o_orderdate, h.h) END
+                      AS BIGINT) AS t,
+                 CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS x
+          FROM ranked CROSS JOIN h
+          JOIN customer ON o_custkey = c_custkey
+          WHERE rk = 1),
+        per_t AS (
+          SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+                 CAST(SUM(e * x) AS BIGINT) AS sx,
+                 CAST(SUM(1 - x) AS BIGINT) AS c0,
+                 CAST(SUM(x) AS BIGINT) AS c1
+          FROM subj GROUP BY t),
+        riskf AS (
+          SELECT t, d, sx,
+                 CAST(SUM(c0) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS r0,
+                 CAST(SUM(c1) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS r1
+          FROM per_t QUALIFY d >= 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(e) AS BIGINT) AS n_events FROM subj),
+        b0 AS (SELECT CAST(0.0 AS DOUBLE) AS beta),{cox_cte}
+        ef AS (SELECT CAST(CAST(exp(beta) AS DECIMAL(18,9)) AS DOUBLE)
+                      AS eb, beta FROM b4),
+        phs AS (
+          SELECT
+            CAST(SUM(CAST(CAST(d AS DOUBLE) AS DECIMAL(28,12)))
+                 AS DOUBLE) AS sd,
+            CAST(SUM(CAST(CAST(d AS DOUBLE) * ({_phk_g})
+                 AS DECIMAL(28,12))) AS DOUBLE) AS sdg,
+            CAST(SUM(CAST({_phk_r} AS DECIMAL(28,12))) AS DOUBLE)
+              AS sr,
+            CAST(SUM(CAST(({_phk_g}) * {_phk_r} AS DECIMAL(28,12)))
+                 AS DOUBLE) AS sgr,
+            CAST(SUM(CAST({_phk_v} AS DECIMAL(28,12))) AS DOUBLE)
+              AS sv,
+            CAST(SUM(CAST(({_phk_g}) * {_phk_v} AS DECIMAL(28,12)))
+                 AS DOUBLE) AS sgv,
+            CAST(SUM(CAST((({_phk_g}) * ({_phk_g})) * {_phk_v}
+                 AS DECIMAL(28,12))) AS DOUBLE) AS sggv,
+            MIN(beta) AS beta
+          FROM riskf CROSS JOIN ef),
+        phf AS (
+          SELECT *,
+                 CASE WHEN sd = 0 THEN NULL ELSE sdg / sd END AS gbar
+          FROM phs),
+        phg AS (
+          SELECT *,
+                 sgr - gbar * sr AS num,
+                 sggv - 2.0 * gbar * sgv + (gbar * gbar) * sv AS den
+          FROM phf)
+        SELECT tot.n, tot.n_events,
+               CASE WHEN sd > 0
+                    THEN CAST(round(CAST(beta AS DECIMAL(18,9)), 6)
+                              AS DOUBLE) END AS beta,
+               CASE WHEN sd > 0 AND den > 0
+                    THEN round((num * num) / den, 6) END AS chi2_ph,
+               CASE WHEN sd > 0 AND den > 0
+                    THEN (num * num) / den > 3.841459 END
+                 AS reject_5pct
+        FROM phg CROSS JOIN tot
     """
 
     # CUPED: pooled theta/xbar as decimal(18,9)-quantized scalars, one

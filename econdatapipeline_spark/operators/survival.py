@@ -2655,3 +2655,165 @@ def fleming_harrington(
             ),
         ).alias("chi2"),
     )
+
+
+def cox_ph_check(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "x",
+    rounds: int = 4,
+) -> DataFrame:
+    """Proportional-hazards diagnostic for the binary-covariate Cox
+    fit -> one row (n, n_events, beta, chi2_ph, reject_5pct).
+
+    cox_ph's hazard ratio is only meaningful if the hazards are
+    actually proportional; this is the Grambsch-Therneau score test
+    in its one-step form: Schoenfeld residuals against time. With a
+    binary covariate and Breslow ties the per-time residual sum is
+    r_t = sx_t − d_t·p_t and the per-time variance V_t =
+    d_t·p_t(1−p_t) (exactly cox_ph's U and I terms), and
+
+        chi2 = [Σ_t (g_t − ḡ) r_t]² / [Σ_t (g_t − ḡ)² V_t],
+        ḡ = Σ_t d_t g_t / Σ_t d_t,  g_t = t/1000 (identity
+        transform, k-scaled so g²V terms stay inside the
+        decimal(28,12) quantizer at multi-million-day horizons)
+
+    ~ chi-square(1) under proportionality; reject_5pct at 3.841459.
+    A rejection says the hazard ratio DRIFTS with time — report
+    stratified or time-interacted effects instead of one hr.
+
+    Architecture: the cox_ph skeleton verbatim — one subject scan to
+    the pinned times-sized relation, the distributed ordered_cumsum
+    at-risk derivation, the identical driver-side Newton for beta
+    (decimal(18,9)-quantized rounds) — plus ONE further times-sized
+    aggregate of decimal(28,12)-quantized score terms with eb as a
+    plan literal. Expanded-moment form (Σgr, Σg²V, ...) so ḡ needs
+    no second pass. NULL outputs on the cox_ph degenerate contract
+    (single-group input, non-positive information).
+    """
+    import math  # noqa: PLC0415
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = df.sparkSession
+    x = F.col(group_col).cast("int")
+    subj = df.select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+        x.alias("x"),
+    ).filter(F.col("t").isNotNull() & F.col("x").isNotNull())
+    per_t = subj.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        F.sum(F.col("e") * F.col("x")).cast("long").alias("sx"),
+        F.sum(F.lit(1) - F.col("x")).cast("long").alias("c0"),
+        F.sum("x").cast("long").alias("c1"),
+    ).localCheckpoint(eager=True)
+    from econdatapipeline_spark.operators.stats import (  # noqa: PLC0415
+        ordered_cumsum,
+    )
+
+    risk = (
+        ordered_cumsum(per_t, "t", ["c0", "c1"], descending=True)
+        .select(
+            "t",
+            "d",
+            "sx",
+            F.col("cum_c0").alias("r0"),
+            F.col("cum_c1").alias("r1"),
+        )
+        .filter(F.col("d") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    totals = per_t.agg(
+        F.sum(F.col("c0") + F.col("c1")).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("n_events"),
+    ).first()
+    q9 = Decimal("0.000000001")
+
+    def d18_9(v: float) -> Decimal:
+        return Decimal(repr(v)).quantize(q9, rounding=ROUND_HALF_UP)
+
+    def ui_at(eb: float):
+        r0 = F.col("r0").cast("double")
+        r1 = F.col("r1").cast("double")
+        d = F.col("d").cast("double")
+        p = (F.lit(eb) * r1) / (r0 + F.lit(eb) * r1)
+        term_u = (F.col("sx").cast("double") - d * p).cast(
+            "decimal(28,12)"
+        )
+        term_i = (d * p * (1.0 - p)).cast("decimal(28,12)")
+        row = risk.agg(
+            F.sum(term_u).alias("u"), F.sum(term_i).alias("i")
+        ).first()
+        return (
+            float(row["u"]) if row["u"] is not None else 0.0,
+            float(row["i"]) if row["i"] is not None else 0.0,
+        )
+
+    beta = 0.0
+    degenerate = False
+    for _ in range(rounds):
+        eb = float(d18_9(math.exp(beta)))
+        u, info = ui_at(eb)
+        if info <= 0:
+            degenerate = True
+            break
+        beta = float(d18_9(beta + u / info))
+    if degenerate:
+        return spark.createDataFrame(
+            [(totals["n"], totals["n_events"], None, None, None)],
+            "n long, n_events long, beta double, chi2_ph double,"
+            " reject_5pct boolean",
+        )
+    eb = float(d18_9(math.exp(beta)))
+    r0 = F.col("r0").cast("double")
+    r1 = F.col("r1").cast("double")
+    d = F.col("d").cast("double")
+    g = F.col("t").cast("double") / 1000.0
+    p = (F.lit(eb) * r1) / (r0 + F.lit(eb) * r1)
+    r = F.col("sx").cast("double") - d * p
+    v = d * p * (1.0 - p)
+    q28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    row = risk.agg(
+        F.sum(q28(d)).alias("sd"),
+        F.sum(q28(d * g)).alias("sdg"),
+        F.sum(q28(r)).alias("sr"),
+        F.sum(q28(g * r)).alias("sgr"),
+        F.sum(q28(v)).alias("sv"),
+        F.sum(q28(g * v)).alias("sgv"),
+        F.sum(q28((g * g) * v)).alias("sggv"),
+    ).first()
+    sd = float(row["sd"]) if row["sd"] is not None else 0.0
+    if sd <= 0:
+        chi2 = None
+    else:
+        gbar = float(row["sdg"]) / sd
+        num = float(row["sgr"]) - gbar * float(row["sr"])
+        den = (
+            float(row["sggv"])
+            - 2.0 * gbar * float(row["sgv"])
+            + (gbar * gbar) * float(row["sv"])
+        )
+        chi2 = (num * num) / den if den > 0 else None
+
+    def r6(v2: float) -> float:
+        return float(
+            Decimal(repr(v2)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    out = (
+        totals["n"],
+        totals["n_events"],
+        r6(beta),
+        r6(chi2) if chi2 is not None else None,
+        (chi2 > 3.841459) if chi2 is not None else None,
+    )
+    return spark.createDataFrame(
+        [out],
+        "n long, n_events long, beta double, chi2_ph double,"
+        " reject_5pct boolean",
+    )

@@ -848,3 +848,87 @@ def test_injected_oracle_literals_parse_exact_in_duckdb():
     for txt, py in literals.items():
         d = con.execute(f"SELECT CAST({txt} AS DOUBLE)").fetchone()[0]
         assert struct.pack("<d", d) == struct.pack("<d", py), txt
+
+
+# ---------------------------------------------------------------------------
+# cox_ph_check
+# ---------------------------------------------------------------------------
+
+def _coxfit_numpy(t, e, x, rounds=4):
+    """Breslow binary-covariate Cox Newton (cox_ph's schedule,
+    unquantized) + the one-step GT score test with g = t/1000."""
+    t, e, x = np.asarray(t), np.asarray(e), np.asarray(x)
+    times = np.sort(np.unique(t[e == 1]))
+    beta = 0.0
+    for _ in range(rounds):
+        eb = np.exp(beta)
+        u = i = 0.0
+        for tt in times:
+            at = (t == tt) & (e == 1)
+            d = at.sum()
+            sx = x[at].sum()
+            r1 = int(x[t >= tt].sum())
+            r0 = int((t >= tt).sum()) - r1
+            p = eb * r1 / (r0 + eb * r1)
+            u += sx - d * p
+            i += d * p * (1 - p)
+        beta += u / i
+    eb = np.exp(beta)
+    sd = sdg = sr = sgr = sv = sgv = sggv = 0.0
+    for tt in times:
+        at = (t == tt) & (e == 1)
+        d = at.sum()
+        sx = x[at].sum()
+        r1 = int(x[t >= tt].sum())
+        r0 = int((t >= tt).sum()) - r1
+        p = eb * r1 / (r0 + eb * r1)
+        g = tt / 1000.0
+        r = sx - d * p
+        v = d * p * (1 - p)
+        sd += d; sdg += d * g; sr += r; sgr += g * r
+        sv += v; sgv += g * v; sggv += g * g * v
+    gbar = sdg / sd
+    num = sgr - gbar * sr
+    den = sggv - 2 * gbar * sgv + gbar * gbar * sv
+    return beta, num * num / den
+
+
+def test_cox_ph_check_matches_numpy_and_detects_drift(spark):
+    from econdatapipeline_spark.operators.survival import cox_ph_check
+
+    rng = np.random.RandomState(61)
+    n = 600
+    # proportional arm: constant hazard ratio
+    x = (rng.uniform(size=n) < 0.5).astype(int)
+    t_prop = np.ceil(rng.exponential(np.where(x == 1, 20, 30))).astype(int) + 1
+    e = (rng.uniform(size=n) < 0.85).astype(int)
+    df_prop = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(t_prop, e, x)],
+        "duration int, event int, x int",
+    )
+    row = cox_ph_check(df_prop, "duration", "event", "x").collect()[0]
+    beta_ref, chi2_ref = _coxfit_numpy(t_prop, e, x)
+    assert row["beta"] == pytest.approx(beta_ref, abs=1e-4)
+    assert row["chi2_ph"] == pytest.approx(chi2_ref, abs=1e-2)
+    assert not row["reject_5pct"]
+    # drifting arm: effect reverses over time -> PH violated
+    early = rng.exponential(np.where(x == 1, 8, 30))
+    late = rng.exponential(np.where(x == 1, 60, 30))
+    t_drift = np.ceil(np.where(early < 15, early, 15 + late)).astype(int) + 1
+    df_drift = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(t_drift, e, x)],
+        "duration int, event int, x int",
+    )
+    row2 = cox_ph_check(df_drift, "duration", "event", "x").collect()[0]
+    assert row2["reject_5pct"]
+    assert row2["chi2_ph"] > row["chi2_ph"]
+
+
+def test_cox_ph_check_degenerate(spark):
+    from econdatapipeline_spark.operators.survival import cox_ph_check
+
+    df = spark.createDataFrame(
+        [(5, 1, 1), (7, 1, 1), (9, 0, 1)], "duration int, event int, x int"
+    )
+    row = cox_ph_check(df, "duration", "event", "x").collect()[0]
+    assert row["chi2_ph"] is None and row["beta"] is None
