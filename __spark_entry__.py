@@ -6101,6 +6101,61 @@ def q_logistic_glm(spark, sf_dir):
     return logistic_glm(joined, "y", ["x_acctbal", "x_days"], rounds=6)
 
 
+def q_levene_test(spark, sf_dir):
+    """Brown-Forsythe equal-variance gate across priorities
+    (operators/stats.levene_test): one-way ANOVA on |x − group
+    median| (certified exact-percentile channel + the anova_oneway
+    machinery verbatim) — the assumption check in front of every
+    pooled-variance readout."""
+    from econdatapipeline_spark.operators.stats import levene_test
+
+    o = _t(spark, sf_dir, "orders")
+    return levene_test(
+        o.select(
+            F.col("o_orderpriority").alias("g"),
+            (F.col("o_totalprice") / 1000.0).alias("v"),
+        ),
+        "v",
+        "g",
+    )
+
+
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage dose-response trend
+    (operators/stats.cochran_armitage): does the return rate move
+    monotonically with the discount tier? One collapse to the 11
+    discount levels, decimal-quantized score terms, the 1-dof trend
+    chi-square."""
+    from econdatapipeline_spark.operators.stats import cochran_armitage
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cochran_armitage(
+        li.select(
+            F.col("l_discount").alias("dose"),
+            (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        ),
+        "dose",
+        "y",
+    )
+
+
+def q_partial_corr(spark, sf_dir):
+    """Partial correlations over the vif covariates
+    (operators/glm.partial_corr): quantity-price marginal
+    correlation vs the same pair controlling for discount — the
+    common-driver diagnostic, read off the SAME inverse-correlation
+    solves vif runs (vif_fragments verbatim)."""
+    from econdatapipeline_spark.operators.glm import partial_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    subj = li.select(
+        F.col("l_quantity").alias("x_qty"),
+        (F.col("l_extendedprice") / 1000.0).alias("x_price_k"),
+        F.col("l_discount").alias("x_disc"),
+    )
+    return partial_corr(subj, ["x_qty", "x_price_k", "x_disc"])
+
+
 def q_atkinson_index(spark, sf_dir):
     """Atkinson inequality A(0.5) of positive account balances (k$)
     per market segment (operators/stats.atkinson_index): the
@@ -6924,6 +6979,9 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "synthetic_control": q_synthetic_control,
         "atkinson_index": q_atkinson_index,
         "event_study": q_event_study,
+        "levene_test": q_levene_test,
+        "cochran_armitage": q_cochran_armitage,
+        "partial_corr": q_partial_corr,
         "chow_test": q_chow_test,
         "breusch_pagan": q_breusch_pagan,
         "durbin_watson": q_durbin_watson,
@@ -15535,6 +15593,164 @@ def oracle_sql() -> dict[str, str]:
         FROM kfin
         ORDER BY dataset
     """
+
+    # Brown-Forsythe: exact group medians (quantile_cont twin), the
+    # anova_oneway oracle text on z = |x - median|.
+    sql["levene_test"] = """
+        WITH lvb AS (
+          SELECT o_orderpriority AS g,
+                 CAST(o_totalprice / 1000.0 AS DOUBLE) AS x
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        lvm AS (
+          SELECT g, quantile_cont(x, 0.5) AS med FROM lvb GROUP BY g),
+        lvz AS (
+          SELECT lvb.g AS g, abs(x - med) AS z
+          FROM lvb JOIN lvm ON lvb.g = lvm.g),
+        perg AS (
+          SELECT g,
+                 CAST(COUNT(z) AS BIGINT) AS ng,
+                 SUM(CAST(CAST(z AS DECIMAL(18,6))
+                          AS DECIMAL(38,12))) AS sg,
+                 SUM(CAST(CAST(CAST(z AS DECIMAL(18,6)) AS DECIMAL(19,6))
+                          * CAST(CAST(z AS DECIMAL(18,6)) AS DECIMAL(19,6))
+                          AS DECIMAL(38,12))) AS qg
+          FROM lvz GROUP BY 1),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(ng) AS BIGINT) AS n,
+                 CAST(SUM(sg) AS DOUBLE) AS s,
+                 CAST(SUM(qg) AS DOUBLE) AS q,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                          / CAST(ng AS DOUBLE) ORDER BY g)),
+                   (a, b) -> a + b) AS t
+          FROM perg),
+        c AS (
+          SELECT k, n,
+                 q - t AS ssw,
+                 t - s * s / CAST(n AS DOUBLE) AS ssb
+          FROM tot)
+        SELECT k, n,
+               round(CASE WHEN ssb + ssw > 0 THEN ssb / (ssb + ssw)
+                     ELSE 0.0 END, 6) AS eta_sq,
+               round(CASE WHEN k > 1 AND n > k AND ssw > 0
+                     THEN (ssb / (CAST(k AS DOUBLE) - 1.0))
+                          / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                     ELSE 0.0 END, 6) AS f_stat
+        FROM c
+    """
+
+    # Cochran-Armitage: dose-level collapse, quantized score terms,
+    # 1-dof trend chi-square.
+    sql["cochran_armitage"] = """
+        WITH cab AS (
+          SELECT CAST(l_discount AS DECIMAL(18,6)) AS t,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+          FROM lineitem
+          WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+        cap AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS nk,
+                 CAST(SUM(y) AS BIGINT) AS rk
+          FROM cab GROUP BY t),
+        caa AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(nk) AS BIGINT) AS n,
+                 CAST(SUM(rk) AS BIGINT) AS r,
+                 CAST(SUM(CAST(CAST(t AS DOUBLE) * CAST(rk AS DOUBLE)
+                      AS DECIMAL(28,12))) AS DOUBLE) AS str_,
+                 CAST(SUM(CAST(CAST(t AS DOUBLE) * CAST(nk AS DOUBLE)
+                      AS DECIMAL(28,12))) AS DOUBLE) AS stn,
+                 CAST(SUM(CAST((CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+                      * CAST(nk AS DOUBLE) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS sttn
+          FROM cap),
+        caf AS (
+          SELECT k, n,
+                 CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL
+                      ELSE CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+                      END AS pbar,
+                 str_, stn, sttn
+          FROM caa),
+        cag AS (
+          SELECT k, n, pbar,
+                 str_ - pbar * stn AS num,
+                 (pbar * (1.0 - pbar))
+                   * (sttn - (CASE WHEN CAST(n AS DOUBLE) = 0
+                              THEN NULL
+                              ELSE stn * stn / CAST(n AS DOUBLE) END))
+                   AS den
+          FROM caf)
+        SELECT k, n,
+               CASE WHEN pbar > 0 AND pbar < 1 AND den > 0
+                 THEN round(CASE WHEN den = 0 THEN NULL
+                            ELSE (num * num) / den END, 6)
+                 END AS chi2_trend,
+               CASE WHEN pbar > 0 AND pbar < 1 AND den > 0
+                 THEN (CASE WHEN den = 0 THEN NULL
+                       ELSE (num * num) / den END) > 3.841459
+                 END AS reject_5pct
+        FROM cag
+    """
+
+    # Partial correlations: the vif fragment chain, off-diagonals of
+    # the inverse correlation matrix.
+    def _pcorr_sql():
+        frag = _viff(3)
+        aggs = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["agg_terms"]
+        )
+        parts = []
+        last = "pcagg"
+        for i, (nm, e) in enumerate(frag["corr_steps"]):
+            nxt = f"pcc{i}"
+            parts.append(
+                f",\n        {nxt} AS (SELECT *, {e} AS {nm}"
+                f" FROM {last})"
+            )
+            last = nxt
+        for i, batch in enumerate(_plvl(frag["solve_steps"]())):
+            nxt = f"pcs{i}"
+            cols = ", ".join(f"{e} AS {nm}" for nm, e in batch.items())
+            parts.append(
+                f",\n        {nxt} AS (SELECT *, {cols}"
+                f" FROM {last})"
+            )
+            last = nxt
+        labels = ["x_qty", "x_price_k", "x_disc"]
+        selects = []
+        for j in range(1, 4):
+            for k in range(j + 1, 4):
+                inv_jk = f"w{j - 1}_beta{k - 1}"
+                inv_jj = f"w{j - 1}_beta{j - 1}"
+                inv_kk = f"w{k - 1}_beta{k - 1}"
+                ok = (
+                    f"vif{j} IS NOT NULL AND vif{k} IS NOT NULL"
+                    f" AND {inv_jj} > 0 AND {inv_kk} > 0"
+                )
+                selects.append(
+                    f"SELECT '{labels[j - 1]}' AS var1,"
+                    f" '{labels[k - 1]}' AS var2,"
+                    f" round(r{j}_{k}, 6) + 0.0 AS corr,"
+                    f" CASE WHEN {ok} THEN round((0.0 - {inv_jk})"
+                    f" / sqrt({inv_jj} * {inv_kk}), 6) + 0.0"
+                    f" ELSE NULL END AS partial_corr FROM {last}"
+                )
+        sel_txt = ("\n        UNION ALL\n        ").join(selects)
+        return f"""
+        WITH pcsubj AS (
+          SELECT CAST(l_quantity AS DECIMAL(18,6)) AS x1,
+                 CAST(l_extendedprice / 1000.0 AS DECIMAL(18,6)) AS x2,
+                 CAST(l_discount AS DECIMAL(18,6)) AS x3
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL),
+        pcagg AS (SELECT {aggs}
+                  FROM pcsubj){"".join(parts)}
+        {sel_txt}
+        """
+
+    sql["partial_corr"] = _pcorr_sql()
 
     # Atkinson index: one aggregate, exp(p ln x) power channel.
     sql["atkinson_index"] = """

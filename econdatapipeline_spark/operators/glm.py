@@ -669,3 +669,81 @@ def vif(df: DataFrame, covariate_cols: list[str]) -> DataFrame:
         F.col("r.vif").alias("vif"),
         F.col("r.r_squared").alias("r_squared"),
     )
+
+
+def partial_corr(
+    df: DataFrame, covariate_cols: list[str]
+) -> DataFrame:
+    """Partial correlations for every covariate pair -> one row per
+    unordered pair (var1, var2, corr, partial_corr).
+
+    corr_matrix answers "do x_j and x_k move together?"; the partial
+    correlation answers the sharper question — do they move together
+    AFTER controlling for every other covariate? From the inverse
+    correlation matrix: pcorr_jk = −inv_jk / sqrt(inv_jj · inv_kk).
+    A large marginal corr with a near-zero partial corr is the
+    classic "common driver" signature; the reverse is a masked
+    direct relationship.
+
+    Relational shape: the vif machinery verbatim (vif_fragments —
+    one decimal-exact aggregate, fixed-order correlation entries, p
+    unit-vector solves of the generated no-pivot Gauss chain give
+    the FULL inverse, column j as w{j}_beta{i}); this operator just
+    reads the off-diagonals too. NULL rows when the correlation
+    matrix is not positive-definite (exact collinearity) — the vif
+    pivot gate.
+    """
+    from .timeseries import _step_levels  # noqa: PLC0415
+
+    p = len(covariate_cols)
+    frag = vif_fragments(p)
+    keep = F.lit(True)
+    for c in covariate_cols:
+        keep = keep & F.col(c).isNotNull()
+    subj = df.filter(keep).select(
+        *[
+            F.col(c).cast("decimal(18,6)").alias(f"x{j}")
+            for j, c in enumerate(covariate_cols, 1)
+        ]
+    )
+    g = subj.agg(
+        *[F.expr(e).alias(nm) for nm, e in frag["agg_terms"]]
+    )
+    for nm, e in frag["corr_steps"]:
+        g = g.withColumn(nm, F.expr(e))
+    for batch in _step_levels(frag["solve_steps"]()):
+        g = g.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    entries = []
+    for j in range(1, p + 1):
+        for k in range(j + 1, p + 1):
+            # inverse entries: column j of R^-1 is w{j-1}_beta{i}
+            inv_jk = f"w{j - 1}_beta{k - 1}"
+            inv_jj = f"w{j - 1}_beta{j - 1}"
+            inv_kk = f"w{k - 1}_beta{k - 1}"
+            ok = (
+                f"vif{j} IS NOT NULL AND vif{k} IS NOT NULL"
+                f" AND {inv_jj} > 0 AND {inv_kk} > 0"
+            )
+            pc = (
+                f"CASE WHEN {ok} THEN round((0.0 - {inv_jk})"
+                f" / sqrt({inv_jj} * {inv_kk}), 6) + 0.0"
+                " ELSE NULL END"
+            )
+            entries.append(
+                F.struct(
+                    F.lit(covariate_cols[j - 1]).alias("var1"),
+                    F.lit(covariate_cols[k - 1]).alias("var2"),
+                    F.expr(
+                        f"round(r{j}_{k}, 6) + 0.0"
+                    ).alias("corr"),
+                    F.expr(pc).alias("partial_corr"),
+                )
+            )
+    return g.select(
+        F.explode(F.array(*entries)).alias("e")
+    ).select(
+        F.col("e.var1").alias("var1"),
+        F.col("e.var2").alias("var2"),
+        F.col("e.corr").alias("corr"),
+        F.col("e.partial_corr").alias("partial_corr"),
+    )

@@ -2251,3 +2251,99 @@ def atkinson_index(
         F.when(F.col("n") > 0, F.round(F.col("__mu"), 6)).alias("mean"),
         F.when(ok, F.round(atk, 6) + F.lit(0.0)).alias("atkinson"),
     )
+
+
+def levene_test(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of equal
+    variances -> one row (k, n, eta_sq, f_stat).
+
+    The assumption gate in front of anova_oneway and every pooled-s²
+    readout (mde_report, msprt_monitor, t-intervals): are the group
+    variances even comparable? Brown-Forsythe runs one-way ANOVA on
+    the absolute deviations from each GROUP MEDIAN — the
+    median-centered form is robust to the heavy tails economic data
+    actually has (plain Levene's mean-centering is fooled by
+    skewness). A large f_stat says pooled-variance machinery is
+    lying; route to Welch forms.
+
+    Relational shape: one exact-percentile collapse to the k group
+    medians (the certified percentile channel), broadcast back, then
+    anova_oneway verbatim on z = |x − median| quantized
+    decimal(18,6). Two fact scans by construction (median, then
+    deviations); everything else is k-sized.
+    """
+    x = F.col(value_col).cast("double")
+    meds = df.filter(x.isNotNull()).groupBy(
+        F.col(group_col).alias("g")
+    ).agg(F.percentile(x, 0.5).alias("med"))
+    joined = df.filter(x.isNotNull()).select(
+        F.col(group_col).alias("g"), x.alias("x")
+    ).join(F.broadcast(meds), "g")
+    zdf = joined.select(
+        "g", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    return anova_oneway(zdf, "g", "z")
+
+
+def cochran_armitage(
+    df: DataFrame, dose_col: str, outcome_col: str
+) -> DataFrame:
+    """Cochran-Armitage trend test -> one row
+    (k, n, chi2_trend, reject_5pct).
+
+    chi_square asks "is outcome associated with group at all?";
+    Cochran-Armitage asks the sharper dose-response question — does
+    the success rate move MONOTONICALLY with an ordered exposure
+    (discount tier, delay bucket, price band)? One lost degree of
+    freedom buys real power against ordered alternatives:
+
+        chi2 = [Σ_k t_k (r_k − n_k p̄)]²
+               / [p̄(1−p̄)(Σ n_k t_k² − (Σ n_k t_k)²/N)]
+
+    with t_k the dose scores, r_k/n_k per-dose successes/totals,
+    p̄ = R/N; ~chi-square(1), 5% critical value 3.841459.
+
+    Relational shape: ONE fact-sized hash aggregate to the dose
+    relation (exact integer counts, decimal(18,6) scores), one
+    k-sized aggregate of decimal(28,12)-quantized score terms, O(1)
+    fixed-order doubles. NULL when p̄ degenerates (all 0 / all 1) or
+    the scores are constant.
+    """
+    t = F.col(dose_col).cast("decimal(18,6)")
+    y = F.col(outcome_col).cast("int")
+    per = df.filter(t.isNotNull() & y.isNotNull()).groupBy(
+        t.alias("t")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum(y).cast("long").alias("rk"),
+    )
+    td = F.col("t").cast("double")
+    q28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("nk").cast("long").alias("n"),
+        F.sum("rk").cast("long").alias("r"),
+        F.sum(q28(td * F.col("rk").cast("double"))).alias("str_"),
+        F.sum(q28(td * F.col("nk").cast("double"))).alias("stn"),
+        F.sum(
+            q28((td * td) * F.col("nk").cast("double"))
+        ).alias("sttn"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    nn = d("n")
+    pbar = dv(d("r"), nn)
+    num = d("str_") - pbar * d("stn")
+    den = (pbar * (1.0 - pbar)) * (
+        d("sttn") - dv(d("stn") * d("stn"), nn)
+    )
+    chi2 = dv(num * num, den)
+    ok = (pbar > 0) & (pbar < 1) & (den > 0)
+    return agg.select(
+        "k",
+        "n",
+        F.when(ok, F.round(chi2, 6)).alias("chi2_trend"),
+        F.when(ok, chi2 > 3.841459).alias("reject_5pct"),
+    )

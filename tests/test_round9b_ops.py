@@ -932,3 +932,95 @@ def test_cox_ph_check_degenerate(spark):
     )
     row = cox_ph_check(df, "duration", "event", "x").collect()[0]
     assert row["chi2_ph"] is None and row["beta"] is None
+
+
+# ---------------------------------------------------------------------------
+# levene_test / cochran_armitage / partial_corr
+# ---------------------------------------------------------------------------
+
+def test_levene_detects_unequal_variances(spark):
+    from econdatapipeline_spark.operators.stats import levene_test
+
+    rng = np.random.RandomState(71)
+    rows = (
+        [("a", float(v)) for v in np.round(rng.normal(0, 1, 400), 3)]
+        + [("b", float(v)) for v in np.round(rng.normal(0, 1, 400), 3)]
+        + [("c", float(v)) for v in np.round(rng.normal(0, 4, 400), 3)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = levene_test(df, "v", "g").collect()[0]
+    assert row["k"] == 3 and row["n"] == 1200
+    assert row["f_stat"] > 50  # c's variance is 16x a/b
+    # equal-variance groups -> small F
+    rows2 = [
+        (g, float(v))
+        for g in ("a", "b", "c")
+        for v in np.round(rng.normal(0, 1, 400), 3)
+    ]
+    row2 = levene_test(
+        spark.createDataFrame(rows2, "g string, v double"), "v", "g"
+    ).collect()[0]
+    assert row2["f_stat"] < 5
+
+
+def test_cochran_armitage_matches_closed_form(spark):
+    from econdatapipeline_spark.operators.stats import cochran_armitage
+
+    # dose-response: success rate rises with dose
+    cfg = [(0.0, 200, 20), (1.0, 200, 35), (2.0, 200, 52), (3.0, 200, 70)]
+    rows = []
+    for t, n, r in cfg:
+        rows += [(float(t), 1)] * r + [(float(t), 0)] * (n - r)
+    df = spark.createDataFrame(rows, "dose double, y int")
+    row = cochran_armitage(df, "dose", "y").collect()[0]
+    N = sum(n for _, n, _ in cfg)
+    R = sum(r for _, _, r in cfg)
+    pbar = R / N
+    num = sum(t * r for t, _, r in cfg) - pbar * sum(
+        t * n for t, n, _ in cfg
+    )
+    stn = sum(t * n for t, n, _ in cfg)
+    den = pbar * (1 - pbar) * (
+        sum(t * t * n for t, n, _ in cfg) - stn * stn / N
+    )
+    assert row["chi2_trend"] == pytest.approx(num * num / den, abs=1e-4)
+    assert row["reject_5pct"]
+    # shuffled (non-monotone) rates -> much weaker trend
+    cfg2 = [(0.0, 200, 52), (1.0, 200, 20), (2.0, 200, 70), (3.0, 200, 35)]
+    rows2 = []
+    for t, n, r in cfg2:
+        rows2 += [(float(t), 1)] * r + [(float(t), 0)] * (n - r)
+    row2 = cochran_armitage(
+        spark.createDataFrame(rows2, "dose double, y int"), "dose", "y"
+    ).collect()[0]
+    assert row2["chi2_trend"] < row["chi2_trend"] / 3
+
+
+def test_partial_corr_unmasks_common_driver(spark):
+    from econdatapipeline_spark.operators.glm import partial_corr
+
+    rng = np.random.RandomState(83)
+    n = 800
+    z = rng.normal(0, 1, n)
+    x1 = np.round(z + 0.4 * rng.normal(0, 1, n), 3)
+    x2 = np.round(z + 0.4 * rng.normal(0, 1, n), 3)  # common driver z
+    x3 = np.round(z, 3)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, x3)],
+        "x1 double, x2 double, x3 double",
+    )
+    out = {
+        (r["var1"], r["var2"]): r
+        for r in partial_corr(df, ["x1", "x2", "x3"]).collect()
+    }
+    X = np.column_stack([x1, x2, x3])
+    R = np.corrcoef(X, rowvar=False)
+    inv = np.linalg.inv(R)
+    for (j, k), key in [((0, 1), ("x1", "x2")), ((0, 2), ("x1", "x3")),
+                        ((1, 2), ("x2", "x3"))]:
+        ref = -inv[j, k] / np.sqrt(inv[j, j] * inv[k, k])
+        assert out[key]["partial_corr"] == pytest.approx(ref, abs=1e-4)
+        assert out[key]["corr"] == pytest.approx(R[j, k], abs=1e-4)
+    # x1-x2 marginal corr is high, but controlling for z kills it
+    assert out[("x1", "x2")]["corr"] > 0.7
+    assert abs(out[("x1", "x2")]["partial_corr"]) < 0.2
