@@ -6101,6 +6101,27 @@ def q_logistic_glm(spark, sf_dir):
     return logistic_glm(joined, "y", ["x_acctbal", "x_days"], rounds=6)
 
 
+def q_hurst_exponent(spark, sf_dir):
+    """Hurst exponent of the daily revenue series per priority
+    (operators/timeseries.hurst_exponent, M$ units): aggregated-
+    variance method over dyadic block sizes — the long-memory
+    diagnostic completing adf (unit root) and kpss (stationarity).
+    Block means quantized decimal(28,12); ln through the
+    decimal(18,9) libm quantizer; fixed-level-order OLS fold."""
+    from econdatapipeline_spark.operators.timeseries import (
+        hurst_exponent,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.col("o_orderdate").cast("date").alias("t"),
+    ).agg((_dsum(F.col("o_totalprice")) / 1e6).alias("value"))
+    return hurst_exponent(daily, "value", "t", "dataset").orderBy(
+        "dataset"
+    )
+
+
 def q_levene_test(spark, sf_dir):
     """Brown-Forsythe equal-variance gate across priorities
     (operators/stats.levene_test): one-way ANOVA on |x − group
@@ -6980,6 +7001,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "atkinson_index": q_atkinson_index,
         "event_study": q_event_study,
         "levene_test": q_levene_test,
+        "hurst_exponent": q_hurst_exponent,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
         "chow_test": q_chow_test,
@@ -15592,6 +15614,91 @@ def oracle_sql() -> dict[str, str]:
                  > 0.463 END AS reject_5pct
         FROM kfin
         ORDER BY dataset
+    """
+
+    # Hurst: dyadic block collapse (complete blocks only), quantized
+    # block-mean moments, ln through the decimal(18,9) quantizer,
+    # fixed-level-order OLS fold.
+    sql["hurst_exponent"] = """
+        WITH hdaily AS (
+          SELECT o_orderpriority AS g,
+                 CAST(o_orderdate AS DATE) AS t,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                      AS DOUBLE) / 1000000.0 AS value
+          FROM orders GROUP BY 1, 2),
+        hbase AS (
+          SELECT g, CAST(value AS DECIMAL(18,6)) AS y,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) - 1
+                   AS rn
+          FROM hdaily WHERE value IS NOT NULL AND t IS NOT NULL),
+        hlev AS (
+          SELECT g, y, rn, lvl,
+                 CAST(floor(rn / (1 << lvl)) AS BIGINT) AS blk
+          FROM hbase CROSS JOIN
+               (SELECT unnest(range(0, 7)) AS lvl)),
+        hblk AS (
+          SELECT g, lvl, blk,
+                 CAST(COUNT(*) AS BIGINT) AS cnt,
+                 SUM(CAST(y AS DECIMAL(38,12))) AS bs
+          FROM hlev GROUP BY 1, 2, 3
+          HAVING COUNT(*) = (1 << lvl)),
+        hlvl AS (
+          SELECT g, lvl,
+                 CAST(COUNT(*) AS BIGINT) AS nb,
+                 CAST(SUM(CAST(CAST(bs AS DOUBLE)
+                      / CAST((1 << lvl) AS DOUBLE)
+                      AS DECIMAL(28,12))) AS DOUBLE) AS sm,
+                 CAST(SUM(CAST((CAST(bs AS DOUBLE)
+                      / CAST((1 << lvl) AS DOUBLE))
+                      * (CAST(bs AS DOUBLE)
+                      / CAST((1 << lvl) AS DOUBLE))
+                      AS DECIMAL(28,12))) AS DOUBLE) AS smm
+          FROM hblk GROUP BY 1, 2),
+        hvar AS (
+          SELECT g, lvl, nb,
+                 (CASE WHEN CAST(nb AS DOUBLE) = 0 THEN NULL
+                       ELSE smm / CAST(nb AS DOUBLE) END)
+               - ((CASE WHEN CAST(nb AS DOUBLE) = 0 THEN NULL
+                        ELSE sm / CAST(nb AS DOUBLE) END)
+                * (CASE WHEN CAST(nb AS DOUBLE) = 0 THEN NULL
+                        ELSE sm / CAST(nb AS DOUBLE) END)) AS var
+          FROM hlvl),
+        hpts AS (
+          SELECT g, lvl,
+                 CAST(CAST(ln(CAST((1 << lvl) AS DOUBLE))
+                      AS DECIMAL(18,9)) AS DOUBLE) AS lx,
+                 CAST(CAST(ln(var) AS DECIMAL(18,9)) AS DOUBLE) AS ly
+          FROM hvar WHERE nb > 1 AND var > 0),
+        hfold AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS k,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(lx ORDER BY lvl)), (a, b) -> a + b) AS sx,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(ly ORDER BY lvl)), (a, b) -> a + b) AS sy,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(lx * ly ORDER BY lvl)), (a, b) -> a + b)
+                   AS sxy,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(lx * lx ORDER BY lvl)), (a, b) -> a + b)
+                   AS sxx
+          FROM hpts GROUP BY g),
+        hn AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+          FROM hbase GROUP BY g),
+        hs AS (
+          SELECT hfold.g AS g, n, k,
+                 CASE WHEN CAST(k AS DOUBLE) * sxx - sx * sx = 0
+                      THEN NULL
+                      ELSE (CAST(k AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(k AS DOUBLE) * sxx - sx * sx)
+                      END AS slope
+          FROM hfold JOIN hn ON hfold.g = hn.g)
+        SELECT g AS dataset, n, k AS levels_used,
+               CASE WHEN k >= 3
+                 THEN round(slope, 6) + 0.0 END AS slope,
+               CASE WHEN k >= 3
+                 THEN round(1.0 + slope / 2.0, 6) + 0.0 END AS hurst
+        FROM hs ORDER BY dataset
     """
 
     # Brown-Forsythe: exact group medians (quantile_cont twin), the

@@ -2139,3 +2139,125 @@ def durbin_watson(
             "rho_approx"
         ),
     )
+
+
+def hurst_exponent(
+    df: DataFrame,
+    value_col: str = "value",
+    order_col: str = "date",
+    group_col: str = "dataset",
+    max_level: int = 6,
+) -> DataFrame:
+    """Hurst exponent by the aggregated-variance method -> one row
+    per series (group, n, levels_used, slope, hurst).
+
+    The long-memory diagnostic completing the stationarity pair
+    (adf_test: unit root; kpss_test: level stationarity): H ~ 0.5 is
+    short-memory noise, H > 0.5 persistent long-range dependence
+    (shocks echo — vol clustering, demand persistence), H < 0.5
+    anti-persistent mean reversion. Input should be INCREMENTS /
+    returns, not levels (a random walk's levels trivially read
+    H ~ 1). Method: block the series at sizes s = 2^0..2^max_level,
+    variance of block means scales as s^(2H-2); H = 1 + slope/2 from
+    the ln var vs ln s regression.
+
+    Relational shape: one PARTITIONED row_number (the adf posture:
+    series-sized by contract), a level explode (max_level+1 copies —
+    a bounded constant, not a corpus blowup), one (g, level, block)
+    decimal collapse keeping only COMPLETE blocks, one (g, level)
+    moment aggregate (block means quantized decimal(28,12)), then a
+    fixed-level-order OLS fold over <= max_level+1 points per group
+    (the anova_oneway list-fold rule). ln goes through the
+    decimal(18,9) libm quantizer on both engines. NULL when fewer
+    than 3 usable levels (need a line, not a point).
+    """
+    if not 1 <= max_level <= 12:
+        raise ValueError(f"max_level must be in 1..12, got {max_level}")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("decimal(18,6)").alias("y"),
+        (F.row_number().over(w) - 1).alias("rn"),
+    )
+    lev = base.select(
+        "g",
+        "y",
+        "rn",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(max_level))
+        ).alias("lvl"),
+    ).withColumn(
+        "blk",
+        (F.col("rn") / F.expr("shiftleft(1, lvl)")).cast("long"),
+    )
+    per_blk = lev.groupBy("g", "lvl", "blk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("y").cast("decimal(38,12)")).alias("bs"),
+    ).filter(F.col("cnt") == F.expr("shiftleft(1, lvl)"))
+    s_d = F.expr("shiftleft(1, lvl)").cast("double")
+    m = F.col("bs").cast("double") / s_d
+    q28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    per_lvl = per_blk.groupBy("g", "lvl").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum(q28(m)).alias("sm"),
+        F.sum(q28(m * m)).alias("smm"),
+    )
+    nb = F.col("nb").cast("double")
+    var = F.try_divide(F.col("smm").cast("double"), nb) - (
+        F.try_divide(F.col("sm").cast("double"), nb)
+        * F.try_divide(F.col("sm").cast("double"), nb)
+    )
+    q9d = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+    pts = per_lvl.withColumn("var", var).filter(
+        (F.col("nb") > 1) & (F.col("var") > 0)
+    ).select(
+        "g",
+        "lvl",
+        "nb",
+        q9d(
+            F.log(F.expr("shiftleft(1, lvl)").cast("double"))
+        ).alias("lx"),
+        q9d(F.log(F.col("var"))).alias("ly"),
+    )
+    folded = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("lvl"),
+                    F.col("lx"),
+                    F.col("ly"),
+                )
+            )
+        ).alias("ps"),
+    )
+    zero = F.lit(0.0)
+    fold = lambda expr: F.aggregate(  # noqa: E731
+        F.col("ps"), zero, lambda acc, p: acc + expr(p)
+    )
+    sx = fold(lambda p: p["lx"])
+    sy = fold(lambda p: p["ly"])
+    sxy = fold(lambda p: p["lx"] * p["ly"])
+    sxx = fold(lambda p: p["lx"] * p["lx"])
+    k_d = F.col("k").cast("double")
+    slope = F.try_divide(
+        k_d * sxy - sx * sy, k_d * sxx - sx * sx
+    )
+    n_tot = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    out = folded.join(n_tot, "g")
+    ok = F.col("k") >= 3
+    return out.select(
+        F.col("g").alias("dataset"),
+        "n",
+        F.col("k").alias("levels_used"),
+        F.when(ok, F.round(slope, 6) + zero).alias("slope"),
+        F.when(ok, F.round(1.0 + slope / 2.0, 6) + zero).alias(
+            "hurst"
+        ),
+    )

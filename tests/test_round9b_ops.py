@@ -1024,3 +1024,52 @@ def test_partial_corr_unmasks_common_driver(spark):
     # x1-x2 marginal corr is high, but controlling for z kills it
     assert out[("x1", "x2")]["corr"] > 0.7
     assert abs(out[("x1", "x2")]["partial_corr"]) < 0.2
+
+
+# ---------------------------------------------------------------------------
+# hurst_exponent
+# ---------------------------------------------------------------------------
+
+def test_hurst_separates_noise_persistence_reversion(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        hurst_exponent,
+    )
+
+    rng = np.random.RandomState(91)
+    n = 4096
+    noise = np.round(rng.normal(0, 1, n), 4)
+    # persistent increments: long moving-average of noise (H > 0.5)
+    base = rng.normal(0, 1, n + 64)
+    persistent = np.round(
+        np.convolve(base, np.ones(64) / 64, mode="valid")[:n], 5
+    )
+    # anti-persistent: strong negative lag-1 dependence (H < 0.5)
+    anti = np.round(np.diff(rng.normal(0, 1, n + 1)), 4)
+    rows = []
+    for g, series in (("noise", noise), ("pers", persistent), ("anti", anti)):
+        rows += [
+            (g, int(i), float(v)) for i, v in enumerate(series)
+        ]
+    df = spark.createDataFrame(rows, "dataset string, t int, value double")
+    out = {
+        r["dataset"]: r
+        for r in hurst_exponent(df, "value", "t", "dataset").collect()
+    }
+    assert 0.4 < out["noise"]["hurst"] < 0.6
+    assert out["pers"]["hurst"] > 0.75
+    assert out["anti"]["hurst"] < 0.4
+    assert out["noise"]["levels_used"] >= 5
+    assert out["noise"]["n"] == n
+
+
+def test_hurst_short_series_nulls(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        hurst_exponent,
+    )
+
+    df = spark.createDataFrame(
+        [("s", i, float(i % 2)) for i in range(3)],
+        "dataset string, t int, value double",
+    )
+    row = hurst_exponent(df, "value", "t", "dataset").collect()[0]
+    assert row["hurst"] is None
