@@ -6395,6 +6395,34 @@ def q_mde_report(spark, sf_dir):
     )
 
 
+def q_quasipoisson_glm(spark, sf_dir):
+    """Quasi-Poisson regression on the poisson_glm input
+    (operators/glm.quasipoisson_glm): identical point estimates
+    (same Newton rounds — coef/rate_ratio/deviance match poisson_glm
+    hash-for-hash), inference scaled by the Pearson dispersion. The
+    standard overdispersion remedy; dispersion >> 1 says
+    poisson_glm's SEs were fiction."""
+    from econdatapipeline_spark.operators.glm import quasipoisson_glm
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    counts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    subj = c.join(
+        counts, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("y"),
+        (F.col("c_acctbal") / 1000.0).alias("x_acctbal"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1.0)
+        .otherwise(0.0)
+        .alias("x_building"),
+    )
+    return quasipoisson_glm(
+        subj, "y", ["x_acctbal", "x_building"], rounds=6
+    )
+
+
 def q_aipw_ate(spark, sf_dir):
     """Doubly-robust AIPW ATE on the shared two-confounder subject
     table (operators/evaluation.aipw_ate): the ipw_ate_multi IRLS
@@ -7009,6 +7037,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "durbin_watson": q_durbin_watson,
         "kpss_test": q_kpss_test,
         "poisson_glm": q_poisson_glm,
+        "quasipoisson_glm": q_quasipoisson_glm,
         "logistic_glm": q_logistic_glm,
         "ipw_ate_trim": q_ipw_ate_trim,
         "kmeans_lloyd": q_kmeans_lloyd,
@@ -15185,6 +15214,109 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["poisson_glm"] = _poisson_glm_sql()
+
+    # Quasi-Poisson: the identical poisson chain + one Pearson term;
+    # SEs scaled by sqrt(phi) in the operator's expression order.
+    def _quasipoisson_sql():
+        frag = _poisf(2)
+        m = 3
+        inits = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["init_terms"]
+        )
+        aggs = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["agg_terms"]
+        )
+        parts = []
+        for r in range(1, 7):
+            parts.append(
+                f",\n        qg{r} AS (SELECT {aggs}"
+                f"\n          FROM qsubj CROSS JOIN qb{r - 1})"
+            )
+            last = f"qg{r}"
+            for i, batch in enumerate(_plvl(frag["solve_steps"](r))):
+                nxt = f"qg{r}s{i}"
+                cols = ", ".join(
+                    f"{e} AS {nm}" for nm, e in batch.items()
+                )
+                parts.append(
+                    f",\n        {nxt} AS (SELECT *, {cols}"
+                    f" FROM {last})"
+                )
+                last = nxt
+            sel = ", ".join(f"nb{j} AS b{j}" for j in range(3))
+            parts.append(
+                f",\n        qb{r} AS (SELECT {sel} FROM {last})"
+            )
+        eta = "b0"
+        for j in range(1, m):
+            eta += f" + b{j} * CAST(x{j} AS DOUBLE)"
+        mu = f"CAST(CAST(exp({eta}) AS DECIMAL(18,9)) AS DOUBLE)"
+        pearson = (
+            f"CAST(SUM(CASE WHEN {mu} > 0.0 THEN"
+            f" CAST(((CAST(y AS DOUBLE) - {mu})"
+            f" * (CAST(y AS DOUBLE) - {mu})) / {mu}"
+            " AS DECIMAL(28,12)) END) AS DOUBLE)"
+        )
+        fins = ",\n                 ".join(
+            [f"{e} AS {nm}" for nm, e in frag["final_terms"]]
+            + [f"{pearson} AS pearson"]
+        )
+        parts.append(
+            f",\n        qf0 AS (SELECT {fins}"
+            "\n          FROM qsubj CROSS JOIN qb6)"
+        )
+        last = "qf0"
+        for i, batch in enumerate(_plvl(frag["se_steps"]())):
+            nxt = f"qfs{i}"
+            cols = ", ".join(f"{e} AS {nm}" for nm, e in batch.items())
+            parts.append(
+                f",\n        {nxt} AS (SELECT *, {cols}"
+                f" FROM {last})"
+            )
+            last = nxt
+        parts.append(
+            f""",
+        qph AS (SELECT *,
+          CASE WHEN n > {m} AND (CASE WHEN CAST(n AS DOUBLE)
+               - {float(m)!r} = 0 THEN NULL ELSE pearson
+               / (CAST(n AS DOUBLE) - {float(m)!r}) END) > 0
+          THEN (CASE WHEN CAST(n AS DOUBLE) - {float(m)!r} = 0
+                THEN NULL ELSE pearson
+                / (CAST(n AS DOUBLE) - {float(m)!r}) END)
+          END AS phi FROM {last})"""
+        )
+        last = "qph"
+        labels = ["intercept", "x_acctbal", "x_building"]
+        selects = []
+        for j, (lbl, o) in enumerate(
+            zip(labels, frag["param_outputs"]())
+        ):
+            selects.append(
+                f"SELECT '{lbl}' AS param, n, {o['coef']} AS coef,"
+                f" round(sqrt(var{j}) * sqrt(phi), 6) AS se,"
+                f" round(b{j} / (sqrt(var{j}) * sqrt(phi)), 6) AS z,"
+                f" {o['rate_ratio']} AS rate_ratio,"
+                " round(2.0 * devhalf, 6) AS deviance,"
+                f" round(phi, 6) AS dispersion FROM {last}"
+            )
+        sel_txt = ("\n        UNION ALL\n        ").join(selects)
+        return f"""
+        WITH counts AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_custkey),
+        qsubj AS (
+          SELECT CAST(COALESCE(n_orders, 0) AS BIGINT) AS y,
+                 CAST(c_acctbal / 1000.0 AS DECIMAL(18,6)) AS x1,
+                 CAST(CASE WHEN c_mktsegment = 'BUILDING'
+                      THEN 1.0 ELSE 0.0 END AS DECIMAL(18,6)) AS x2
+          FROM customer LEFT JOIN counts ON c_custkey = o_custkey
+          WHERE c_acctbal IS NOT NULL),
+        qb0 AS (SELECT {inits}
+                FROM qsubj){"".join(parts)}
+        {sel_txt}
+        """
+
+    sql["quasipoisson_glm"] = _quasipoisson_sql()
 
     # Binomial GLM: identical chaining with logistic_fragments, plus
     # the deviance/McFadden outputs replaying the operator's
