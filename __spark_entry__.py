@@ -16067,7 +16067,8 @@ def oracle_sql() -> dict[str, str]:
                       / (CAST(nc AS DOUBLE) - 1.0) END AS vc
           FROM evp),
         evbase AS (
-          SELECT diff_raw AS base_diff FROM evd WHERE r = -1)
+          SELECT MIN(CASE WHEN r = -1 THEN diff_raw END) AS base_diff
+          FROM evd)
         SELECT r AS rel_period, nt AS n_treat, nc AS n_ctrl,
                CASE WHEN nt > 0 AND nc > 0
                  THEN round(diff_raw, 6) + 0.0 END AS diff,

@@ -2130,8 +2130,13 @@ def event_study(
     vc = dv(d("qc") - dv(d("sc") * d("sc"), nc), nc - 1.0)
     se = F.sqrt(dv(vt, nt) + dv(vc, nc))
     staged = per.withColumn("diff_raw", diff)
-    b = staged.filter(F.col("r") == base_period).select(
-        F.col("diff_raw").alias("base_diff")
+    # 1-row aggregate, NOT a filter: a missing base period must yield
+    # NULL coefs, not an empty result (the crossJoin-with-empty trap
+    # caught on the first anchor of this operator's contract query)
+    b = staged.agg(
+        F.min(
+            F.when(F.col("r") == base_period, F.col("diff_raw"))
+        ).alias("base_diff")
     )
     joined = staged.crossJoin(F.broadcast(b))
     okd = (F.col("nt") > 0) & (F.col("nc") > 0)

@@ -1116,3 +1116,14 @@ def test_quasipoisson_scales_inference_not_estimates(spark):
     mu = np.exp(b0 + b1 * x1)
     phi_ref = np.sum((y - mu) ** 2 / mu) / (n - 2)
     assert phi == pytest.approx(phi_ref, rel=5e-3)
+
+
+def test_event_study_missing_base_yields_null_coefs(spark):
+    from econdatapipeline_spark.operators.evaluation import event_study
+
+    rows = [(r, tr, 1.0) for r in (0, 1) for tr in (0, 1) for _ in range(3)]
+    df = spark.createDataFrame(rows, "r int, tr int, y double")
+    out = event_study(df, "tr", "r", "y", base_period=-1).collect()
+    assert len(out) == 2  # rows survive
+    assert all(r["coef"] is None for r in out)
+    assert all(r["diff"] is not None for r in out)
