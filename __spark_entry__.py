@@ -6101,6 +6101,34 @@ def q_logistic_glm(spark, sf_dir):
     return logistic_glm(joined, "y", ["x_acctbal", "x_days"], rounds=6)
 
 
+def q_huber_regression(spark, sf_dir):
+    """Huber robust trend of monthly revenue (M$) on time (k-days)
+    per priority (operators/timeseries.huber_regression): OLS seed,
+    3 IRLS rounds of MAD-scaled clipped weights through the
+    certified percentile channel — the middle road between
+    trend_fit's fragility and theil_sen's pairwise cost, with the
+    n_downweighted influence audit."""
+    from econdatapipeline_spark.operators.timeseries import (
+        huber_regression,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("g"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg((_dsum(F.col("o_totalprice")) / 1e6).alias("y"))
+    series = monthly.select(
+        "g",
+        (
+            F.datediff(F.col("date"), F.lit("1992-01-01").cast("date"))
+            .cast("double")
+            / 1000.0
+        ).alias("x"),
+        "y",
+    )
+    return huber_regression(series, "y", "x", "g").orderBy("g")
+
+
 def q_hurst_exponent(spark, sf_dir):
     """Hurst exponent of the daily revenue series per priority
     (operators/timeseries.hurst_exponent, M$ units): aggregated-
@@ -7030,6 +7058,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "event_study": q_event_study,
         "levene_test": q_levene_test,
         "hurst_exponent": q_hurst_exponent,
+        "huber_regression": q_huber_regression,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
         "chow_test": q_chow_test,
@@ -15747,6 +15776,112 @@ def oracle_sql() -> dict[str, str]:
         FROM kfin
         ORDER BY dataset
     """
+
+    # Huber IRLS: OLS seed + 3 unrolled rounds, each a quantile_cont
+    # MAD CTE and a quantized weighted normal-equation aggregate;
+    # params decimal(18,9)-requantized per round.
+    def _huber_sql():
+        guard = lambda a, b: (  # noqa: E731
+            f"(CASE WHEN {b} = 0 THEN NULL ELSE {a} / {b} END)"
+        )
+        e_txt = "CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE)"
+        w_txt = (
+            "CASE WHEN s > 0 AND abs(e) > 1.345 * s THEN"
+            " (CASE WHEN abs(e) = 0 THEN NULL"
+            " ELSE 1.345 * s / abs(e) END) ELSE 1.0 END"
+        )
+        parts = []
+        prev = "hp0"
+        for r in range(1, 4):
+            parts.append(f""",
+        hm{r} AS (
+          SELECT hb.g AS g, MAX(n) AS n, MAX(a) AS a, MAX(b) AS b,
+                 CAST(CAST(quantile_cont(abs({e_txt}), 0.5) * 1.4826
+                      AS DECIMAL(18,9)) AS DOUBLE) AS s
+          FROM hb JOIN {prev} ON hb.g = {prev}.g GROUP BY hb.g),
+        he{r} AS (
+          SELECT hb.g AS g, n, s, x, y, {e_txt} AS e
+          FROM hb JOIN hm{r} ON hb.g = hm{r}.g),
+        hw{r} AS (
+          SELECT g, MAX(n) AS n, MAX(s) AS s,
+            CAST(SUM(CAST({w_txt} AS DECIMAL(28,12))) AS DOUBLE) AS sw,
+            CAST(SUM(CAST(({w_txt}) * CAST(x AS DOUBLE)
+                 AS DECIMAL(28,12))) AS DOUBLE) AS swx,
+            CAST(SUM(CAST(({w_txt}) * CAST(y AS DOUBLE)
+                 AS DECIMAL(28,12))) AS DOUBLE) AS swy,
+            CAST(SUM(CAST((({w_txt}) * CAST(x AS DOUBLE))
+                 * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+              AS swxx,
+            CAST(SUM(CAST((({w_txt}) * CAST(x AS DOUBLE))
+                 * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+              AS swxy,
+            CAST(SUM(CASE WHEN s > 0 AND abs(e) > 1.345 * s
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ndw
+          FROM he{r} GROUP BY g),
+        hp{r} AS (
+          SELECT g, n, s, ndw,
+            CAST(CAST(
+              {guard("swy", "sw")}
+              - ({guard(
+                  f"(swxy - {guard('swx * swy', 'sw')})",
+                  f"(swxx - {guard('swx * swx', 'sw')})")})
+                * {guard("swx", "sw")}
+              AS DECIMAL(18,9)) AS DOUBLE) AS a,
+            CAST(CAST(
+              {guard(
+                  f"(swxy - {guard('swx * swy', 'sw')})",
+                  f"(swxx - {guard('swx * swx', 'sw')})")}
+              AS DECIMAL(18,9)) AS DOUBLE) AS b
+          FROM hw{r})""")
+            prev = f"hp{r}"
+        return f"""
+        WITH hmon AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                      AS DOUBLE) / 1000000.0 AS yv
+          FROM orders GROUP BY 1, 2),
+        hb AS (
+          SELECT g,
+                 CAST(CAST(date_diff('day', DATE '1992-01-01', date)
+                      AS DOUBLE) / 1000.0 AS DECIMAL(18,6)) AS x,
+                 CAST(yv AS DECIMAL(18,6)) AS y,
+                 CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n0
+          FROM hmon WHERE yv IS NOT NULL AND date IS NOT NULL),
+        hs AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+          FROM hb GROUP BY g),
+        hp0 AS (
+          SELECT g, n,
+            CAST(CAST(
+              (sy / CAST(n AS DOUBLE))
+              - ({guard(
+                  f"(sxy - {guard('sx * sy', 'CAST(n AS DOUBLE)')})",
+                  f"(sxx - {guard('sx * sx', 'CAST(n AS DOUBLE)')})")})
+                * (sx / CAST(n AS DOUBLE))
+              AS DECIMAL(18,9)) AS DOUBLE) AS a,
+            CAST(CAST(
+              {guard(
+                  f"(sxy - {guard('sx * sy', 'CAST(n AS DOUBLE)')})",
+                  f"(sxx - {guard('sx * sx', 'CAST(n AS DOUBLE)')})")}
+              AS DECIMAL(18,9)) AS DOUBLE) AS b
+          FROM hs){"".join(parts)}
+        SELECT g, n,
+               CASE WHEN n > 2 AND a IS NOT NULL
+                 THEN round(a, 6) + 0.0 END AS intercept,
+               CASE WHEN n > 2 AND a IS NOT NULL
+                 THEN round(b, 6) + 0.0 END AS slope,
+               CASE WHEN n > 2 AND a IS NOT NULL
+                 THEN round(s, 6) END AS scale_mad,
+               ndw AS n_downweighted
+        FROM hp3 ORDER BY g
+        """
+
+    sql["huber_regression"] = _huber_sql()
 
     # Hurst: dyadic block collapse (complete blocks only), quantized
     # block-mean moments, ln through the decimal(18,9) quantizer,

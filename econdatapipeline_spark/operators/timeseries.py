@@ -2261,3 +2261,146 @@ def hurst_exponent(
             "hurst"
         ),
     )
+
+
+def huber_regression(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_col: str | None = None,
+    delta: float = 1.345,
+    rounds: int = 3,
+) -> DataFrame:
+    """Huber robust simple regression -> one row per group
+    (group?, n, intercept, slope, scale_mad, n_downweighted).
+
+    Between trend_fit (OLS — one wild revision wrecks the slope) and
+    theil_sen (median slope — robust but pairwise-quadratic per
+    series), Huber IRLS is the standard middle road: quadratic loss
+    near zero, linear in the tails, 95% Gaussian efficiency at
+    delta = 1.345. Residual scale is re-estimated each round by the
+    normalized MAD (1.4826·median|e|, the robust_zscore constant);
+    weights w = min(1, delta·s/|e|); refit by weighted least
+    squares. n_downweighted counts |e| > delta·s at the final fit —
+    the influence audit.
+
+    Relational shape: an OLS seed plus ``rounds`` bounded IRLS
+    rounds, each TWO fact passes — an exact-percentile MAD (the
+    certified quantile channel) and one weighted normal-equation
+    aggregate with every term decimal(28,12)-quantized — with the
+    (a, b, s) params re-entering as a decimal(18,9)-quantized
+    groups-sized broadcast relation (the breusch_pagan two-pass
+    pattern, per-group aware; zero driver collects). NULLs on
+    degenerate variance / n < 3; zero-MAD groups (over half the
+    residuals identical) fall back to unit weights, documented OLS
+    behavior.
+    """
+    if rounds < 1 or rounds > 8:
+        raise ValueError(f"rounds must be in 1..8, got {rounds}")
+    if delta <= 0:
+        raise ValueError(f"delta must be > 0, got {delta}")
+    gcols = [group_col] if group_col else []
+    base = df.filter(
+        F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(
+        *gcols,
+        F.col(x_col).cast("decimal(18,6)").alias("x"),
+        F.col(y_col).cast("decimal(18,6)").alias("y"),
+    ).localCheckpoint(eager=True)
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    q28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    q9 = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+    dv = F.try_divide
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def _join(params):
+        if gcols:
+            return base.join(F.broadcast(params), gcols)
+        return base.crossJoin(F.broadcast(params))
+
+    # OLS seed
+    sums = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    nn = d("n")
+    cxx = d("sxx") - dv(d("sx") * d("sx"), nn)
+    cxy = d("sxy") - dv(d("sx") * d("sy"), nn)
+    b = dv(cxy, cxx)
+    a = dv(d("sy"), nn) - b * dv(d("sx"), nn)
+    params = sums.select(
+        *gcols, F.col("n"), q9(a).alias("a"), q9(b).alias("b")
+    )
+    dl = float(delta)
+    for _ in range(rounds):
+        joined = _join(params)
+        e = (
+            F.col("y").cast("double")
+            - F.col("a")
+            - F.col("b") * F.col("x").cast("double")
+        )
+        # normalized MAD through the certified percentile channel
+        mads = joined.groupBy(*gcols).agg(
+            q9(
+                F.percentile(F.abs(e), 0.5) * F.lit(1.4826)
+            ).alias("s"),
+            F.max("n").alias("n"),
+            F.max("a").alias("a"),
+            F.max("b").alias("b"),
+        )
+        j2 = _join(
+            mads.select(*gcols, "n", "a", "b", "s")
+        )
+        e2 = (
+            F.col("y").cast("double")
+            - F.col("a")
+            - F.col("b") * F.col("x").cast("double")
+        )
+        w = F.when(
+            (F.col("s") > 0) & (F.abs(e2) > F.lit(dl) * F.col("s")),
+            dv(F.lit(dl) * F.col("s"), F.abs(e2)),
+        ).otherwise(F.lit(1.0))
+        xd = F.col("x").cast("double")
+        yd = F.col("y").cast("double")
+        wsums = j2.groupBy(*gcols).agg(
+            F.max("n").alias("n"),
+            F.max("s").alias("s"),
+            F.sum(q28(w)).alias("sw"),
+            F.sum(q28(w * xd)).alias("swx"),
+            F.sum(q28(w * yd)).alias("swy"),
+            F.sum(q28((w * xd) * xd)).alias("swxx"),
+            F.sum(q28((w * xd) * yd)).alias("swxy"),
+            F.sum(
+                F.when(
+                    (F.col("s") > 0)
+                    & (F.abs(e2) > F.lit(dl) * F.col("s")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("ndw"),
+        )
+        sw = d("sw")
+        cwxx = d("swxx") - dv(d("swx") * d("swx"), sw)
+        cwxy = d("swxy") - dv(d("swx") * d("swy"), sw)
+        nb = dv(cwxy, cwxx)
+        na = dv(d("swy"), sw) - nb * dv(d("swx"), sw)
+        params = wsums.select(
+            *gcols,
+            F.col("n"),
+            q9(na).alias("a"),
+            q9(nb).alias("b"),
+            F.col("s"),
+            F.col("ndw"),
+        )
+    ok = (F.col("n") > 2) & F.col("a").isNotNull()
+    zero = F.lit(0.0)
+    return params.select(
+        *gcols,
+        "n",
+        F.when(ok, F.round(F.col("a"), 6) + zero).alias("intercept"),
+        F.when(ok, F.round(F.col("b"), 6) + zero).alias("slope"),
+        F.when(ok, F.round(F.col("s"), 6)).alias("scale_mad"),
+        F.col("ndw").alias("n_downweighted"),
+    )

@@ -1127,3 +1127,57 @@ def test_event_study_missing_base_yields_null_coefs(spark):
     assert len(out) == 2  # rows survive
     assert all(r["coef"] is None for r in out)
     assert all(r["diff"] is not None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# huber_regression
+# ---------------------------------------------------------------------------
+
+def _huber_numpy(y, x, delta=1.345, rounds=3):
+    """Replay of the operator's IRLS schedule (OLS seed, MAD scale,
+    clipped weights, weighted refit), unquantized."""
+    y, x = np.asarray(y, float), np.asarray(x, float)
+    n = len(y)
+    cxx = (x * x).sum() - x.sum() ** 2 / n
+    cxy = (x * y).sum() - x.sum() * y.sum() / n
+    b = cxy / cxx
+    a = y.mean() - b * x.mean()
+    for _ in range(rounds):
+        e = y - a - b * x
+        s = np.median(np.abs(e)) * 1.4826
+        w = np.where(
+            (s > 0) & (np.abs(e) > delta * s),
+            delta * s / np.abs(e),
+            1.0,
+        )
+        sw, swx, swy = w.sum(), (w * x).sum(), (w * y).sum()
+        swxx, swxy = (w * x * x).sum(), (w * x * y).sum()
+        cwxx = swxx - swx * swx / sw
+        cwxy = swxy - swx * swy / sw
+        b = cwxy / cwxx
+        a = swy / sw - b * swx / sw
+    return a, b, s
+
+
+def test_huber_resists_outliers(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        huber_regression,
+    )
+
+    rng = np.random.RandomState(47)
+    n = 400
+    x = np.round(rng.uniform(0, 10, n), 3)
+    y = np.round(2.0 + 1.5 * x + rng.normal(0, 0.5, n), 3)
+    y[:8] += 200.0  # gross outliers
+    df = spark.createDataFrame(
+        [("s", float(a), float(b)) for a, b in zip(x, y)],
+        "g string, x double, y double",
+    )
+    row = huber_regression(df, "y", "x", "g").collect()[0]
+    a_ref, b_ref, s_ref = _huber_numpy(y, x)
+    assert row["slope"] == pytest.approx(b_ref, abs=1e-4)
+    assert row["intercept"] == pytest.approx(a_ref, abs=1e-4)
+    assert row["scale_mad"] == pytest.approx(s_ref, abs=1e-4)
+    assert row["n_downweighted"] >= 8
+    # huber lands near the true slope where OLS is dragged away
+    assert abs(row["slope"] - 1.5) < 0.1
