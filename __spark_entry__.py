@@ -6101,6 +6101,45 @@ def q_logistic_glm(spark, sf_dir):
     return logistic_glm(joined, "y", ["x_acctbal", "x_days"], rounds=6)
 
 
+def q_rake_weights(spark, sf_dir):
+    """Raking / iterative proportional fitting
+    (operators/sampling.rake_weights): reweight the segment x
+    priority cells of the order table to a skewed target segment
+    margin and a uniform priority margin — the survey
+    post-stratification / training-mix balancing workhorse. 8
+    Deming-Stephan rounds, each two cells-sized aggregate-joins with
+    decimal(18,9)-requantized scalings; the oracle unrolls the
+    identical schedule."""
+    from econdatapipeline_spark.operators.sampling import rake_weights
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    t1 = {
+        "AUTOMOBILE": 0.3,
+        "BUILDING": 0.25,
+        "FURNITURE": 0.2,
+        "HOUSEHOLD": 0.15,
+        "MACHINERY": 0.1,
+    }
+    t2 = {
+        "1-URGENT": 0.2,
+        "2-HIGH": 0.2,
+        "3-MEDIUM": 0.2,
+        "4-NOT SPECIFIED": 0.2,
+        "5-LOW": 0.2,
+    }
+    return rake_weights(joined, "seg", "pri", t1, t2, rounds=8).orderBy(
+        "dim1", "dim2"
+    )
+
+
 def q_huber_regression(spark, sf_dir):
     """Huber robust trend of monthly revenue (M$) on time (k-days)
     per priority (operators/timeseries.huber_regression): OLS seed,
@@ -7059,6 +7098,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "levene_test": q_levene_test,
         "hurst_exponent": q_hurst_exponent,
         "huber_regression": q_huber_regression,
+        "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
         "chow_test": q_chow_test,
@@ -15776,6 +15816,77 @@ def oracle_sql() -> dict[str, str]:
         FROM kfin
         ORDER BY dataset
     """
+
+    # Raking: 8 unrolled IPF rounds over the cells relation, each a
+    # margin aggregate + join with the decimal(18,9) requantized
+    # scaling, targets as exact-decimal share literals.
+    def _rake_sql():
+        t1 = {
+            "AUTOMOBILE": "0.3",
+            "BUILDING": "0.25",
+            "FURNITURE": "0.2",
+            "HOUSEHOLD": "0.15",
+            "MACHINERY": "0.1",
+        }
+        t2 = {
+            "1-URGENT": "0.2",
+            "2-HIGH": "0.2",
+            "3-MEDIUM": "0.2",
+            "4-NOT SPECIFIED": "0.2",
+            "5-LOW": "0.2",
+        }
+
+        def case(col, targets):
+            whens = " ".join(
+                f"WHEN '{k}' THEN {v}"
+                for k, v in sorted(targets.items())
+            )
+            return f"(CASE {col} {whens} END)"
+
+        tx1 = f"{case('d1', t1)} * CAST(ntot AS DOUBLE)"
+        tx2 = f"{case('d2', t2)} * CAST(ntot AS DOUBLE)"
+        parts = []
+        prev = "rc0"
+        for r in range(1, 9):
+            parts.append(f""",
+        rr{r} AS (SELECT d1 AS rd1, SUM(m) AS rm FROM {prev} GROUP BY d1),
+        rx{r} AS MATERIALIZED (
+          SELECT d1, d2, n, ntot,
+                 CAST(CAST(m * (CASE WHEN rm = 0 THEN NULL
+                      ELSE ({tx1}) / rm END) AS DECIMAL(18,9))
+                      AS DOUBLE) AS m
+          FROM {prev} JOIN rr{r} ON d1 = rd1),
+        rq{r} AS (SELECT d2 AS cd2, SUM(m) AS cm FROM rx{r} GROUP BY d2),
+        rc{r} AS MATERIALIZED (
+          SELECT d1, d2, n, ntot,
+                 CAST(CAST(m * (CASE WHEN cm = 0 THEN NULL
+                      ELSE ({tx2}) / cm END) AS DECIMAL(18,9))
+                      AS DOUBLE) AS m
+          FROM rx{r} JOIN rq{r} ON d2 = cd2)""")
+            prev = f"rc{r}"
+        seg_list = ", ".join(f"'{k}'" for k in t1)
+        pri_list = ", ".join(f"'{k}'" for k in t2)
+        return f"""
+        WITH rbase AS (
+          SELECT c_mktsegment AS d1, o_orderpriority AS d2
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IN ({seg_list})
+            AND o_orderpriority IN ({pri_list})),
+        rcells AS (
+          SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS n
+          FROM rbase GROUP BY 1, 2),
+        rtot AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM rcells),
+        rc0 AS MATERIALIZED (
+          SELECT d1, d2, n, ntot, CAST(n AS DOUBLE) AS m
+          FROM rcells CROSS JOIN rtot){"".join(parts)}
+        SELECT d1 AS dim1, d2 AS dim2, n,
+               round(m, 6) AS raked_total,
+               round(CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL
+                     ELSE m / CAST(n AS DOUBLE) END, 6) AS unit_weight
+        FROM rc8 ORDER BY dim1, dim2
+        """
+
+    sql["rake_weights"] = _rake_sql()
 
     # Huber IRLS: OLS seed + 3 unrolled rounds, each a quantile_cont
     # MAD CTE and a quantized weighted normal-equation aggregate;

@@ -679,3 +679,106 @@ def waterfill_budget(
         alloc.cast("long").alias("allocated"),
         (F.lit(1) - F.col("funded")).alias("capped"),
     )
+
+
+def rake_weights(
+    df: DataFrame,
+    dim1_col: str,
+    dim2_col: str,
+    targets1: dict,
+    targets2: dict,
+    rounds: int = 8,
+) -> DataFrame:
+    """Raking (iterative proportional fitting) -> one row per
+    observed cell: (dim1, dim2, n, raked_total, unit_weight).
+
+    The survey-statistics / training-mix balancing workhorse: given
+    target MARGINAL shares on two dimensions (region x segment,
+    source x language), find multiplicative cell weights whose row
+    and column totals match both margins — without needing the
+    unknowable joint target. Deming-Stephan IPF: alternately scale
+    cells to the dim1 margin then the dim2 margin; converges
+    geometrically for strictly positive tables. unit_weight =
+    raked_total / n is the per-row weight a downstream weighted
+    aggregate applies.
+
+    Determinism: cell totals are exact integer counts; each scaling
+    is a fixed-order double ratio requantized decimal(18,9) (the
+    betas rule), targets enter as exact-decimal share literals, and
+    rounds are bounded — the oracle unrolls the identical schedule.
+
+    Scale: ONE fact-sized hash aggregate to the cells relation
+    (|dim1|x|dim2| — plan-sized by the categorical contract); every
+    round is two cells-sized aggregate-joins; nothing rescans the
+    fact table. Rows outside the target categories are EXCLUDED and
+    do not receive weights (document the frame). Unreachable margins
+    (an all-zero target row among observed cells) NULL that row's
+    weights via the division guard rather than fabricating mass.
+    Domain: raked totals must stay under ~1e9 (decimal(18,9)).
+    """
+    if rounds < 1 or rounds > 30:
+        raise ValueError(f"rounds must be in 1..30, got {rounds}")
+    if not targets1 or not targets2:
+        raise ValueError("both target margins must be non-empty")
+    for nm, t in (("targets1", targets1), ("targets2", targets2)):
+        s = sum(t.values())
+        if abs(s - 1.0) > 1e-9:
+            raise ValueError(f"{nm} shares must sum to 1, got {s}")
+
+    def share_expr(col, targets):
+        e = None
+        for k, v in sorted(targets.items(), key=lambda kv: str(kv[0])):
+            cond = F.col(col) == k
+            e = (
+                F.when(cond, F.lit(float(v)))
+                if e is None
+                else e.when(cond, F.lit(float(v)))
+            )
+        return e
+
+    cells = (
+        df.filter(
+            F.col(dim1_col).isin(list(targets1))
+            & F.col(dim2_col).isin(list(targets2))
+        )
+        .groupBy(
+            F.col(dim1_col).alias("d1"), F.col(dim2_col).alias("d2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("ntot"))
+    cur = cells.crossJoin(F.broadcast(tot)).withColumn(
+        "m", F.col("n").cast("double")
+    )
+    q9 = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+    t1 = share_expr("d1", targets1) * F.col("ntot").cast("double")
+    t2 = share_expr("d2", targets2) * F.col("ntot").cast("double")
+    for _ in range(rounds):
+        # each half-round reads cur TWICE (margin aggregate + join);
+        # without a pin the lazy plan doubles per round (2^rounds
+        # analysis blowup) — eager-checkpoint the cells-sized relation
+        # every round instead (the cox_ph/poisson params discipline)
+        rsum = cur.groupBy("d1").agg(F.sum("m").alias("rm"))
+        cur = (
+            cur.join(F.broadcast(rsum), "d1")
+            .withColumn("m", q9(F.col("m") * F.try_divide(t1, F.col("rm"))))
+            .drop("rm")
+            .localCheckpoint(eager=True)
+        )
+        csum = cur.groupBy("d2").agg(F.sum("m").alias("cm"))
+        cur = (
+            cur.join(F.broadcast(csum), "d2")
+            .withColumn("m", q9(F.col("m") * F.try_divide(t2, F.col("cm"))))
+            .drop("cm")
+            .localCheckpoint(eager=True)
+        )
+    return cur.select(
+        F.col("d1").alias("dim1"),
+        F.col("d2").alias("dim2"),
+        "n",
+        F.round(F.col("m"), 6).alias("raked_total"),
+        F.round(
+            F.try_divide(F.col("m"), F.col("n").cast("double")), 6
+        ).alias("unit_weight"),
+    )

@@ -1181,3 +1181,57 @@ def test_huber_resists_outliers(spark):
     assert row["n_downweighted"] >= 8
     # huber lands near the true slope where OLS is dragged away
     assert abs(row["slope"] - 1.5) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# rake_weights
+# ---------------------------------------------------------------------------
+
+def test_rake_weights_hits_both_margins(spark):
+    from econdatapipeline_spark.operators.sampling import rake_weights
+
+    rng = np.random.RandomState(53)
+    d1s = ["a", "b", "c"]
+    d2s = ["x", "y"]
+    rows = [
+        (d1s[i % 3] if r < 0.7 else d1s[0], d2s[i % 2])
+        for i, r in enumerate(rng.uniform(size=3000))
+    ]
+    df = spark.createDataFrame(rows, "d1 string, d2 string")
+    t1 = {"a": 0.5, "b": 0.3, "c": 0.2}
+    t2 = {"x": 0.6, "y": 0.4}
+    out = rake_weights(df, "d1", "d2", t1, t2, rounds=10).collect()
+    n_tot = sum(r["n"] for r in out)
+    # raked totals reproduce both target margins
+    for k, share in t1.items():
+        got = sum(r["raked_total"] for r in out if r["dim1"] == k)
+        assert got == pytest.approx(share * n_tot, rel=1e-4), k
+    for k, share in t2.items():
+        got = sum(r["raked_total"] for r in out if r["dim2"] == k)
+        assert got == pytest.approx(share * n_tot, rel=1e-4), k
+    # total mass preserved, weights positive
+    assert sum(r["raked_total"] for r in out) == pytest.approx(
+        n_tot, rel=1e-6
+    )
+    assert all(r["unit_weight"] > 0 for r in out)
+    # matches a numpy IPF replay of the same schedule
+    import itertools
+
+    cells = {
+        (a, b): sum(1 for r in rows if r == (a, b))
+        for a, b in itertools.product(d1s, d2s)
+    }
+    m = {k: float(v) for k, v in cells.items()}
+    for _ in range(10):
+        for a in d1s:
+            rm = sum(m[(a, b)] for b in d2s)
+            for b in d2s:
+                m[(a, b)] *= t1[a] * n_tot / rm
+        for b in d2s:
+            cm = sum(m[(a, b)] for a in d1s)
+            for a in d1s:
+                m[(a, b)] *= t2[b] * n_tot / cm
+    for r in out:
+        assert r["raked_total"] == pytest.approx(
+            m[(r["dim1"], r["dim2"])], rel=1e-5
+        )
