@@ -6101,6 +6101,37 @@ def q_logistic_glm(spark, sf_dir):
     return logistic_glm(joined, "y", ["x_acctbal", "x_days"], rounds=6)
 
 
+
+def q_quantile_regression(spark, sf_dir):
+    """Conditional 0.75-quantile trend of monthly revenue (M$) on
+    time (k-days) per priority
+    (operators/timeseries.quantile_regression): OLS seed, ONE
+    tau-quantile residual shift through the certified percentile
+    channel, 6 IRLS rounds of asymmetric pinball weights — the
+    distribution-tail member of the trend family (trend_fit /
+    theil_sen / huber_regression), with the pinball-loss fit audit
+    and the below-line calibration count."""
+    from econdatapipeline_spark.operators.timeseries import (
+        quantile_regression,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("g"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg((_dsum(F.col("o_totalprice")) / 1e6).alias("y"))
+    series = monthly.select(
+        "g",
+        (
+            F.datediff(F.col("date"), F.lit("1992-01-01").cast("date"))
+            .cast("double")
+            / 1000.0
+        ).alias("x"),
+        "y",
+    )
+    return quantile_regression(series, "y", "x", tau=0.75, group_col="g").orderBy("g")
+
+
 def q_rake_weights(spark, sf_dir):
     """Raking / iterative proportional fitting
     (operators/sampling.rake_weights): reweight the segment x
@@ -7098,6 +7129,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "levene_test": q_levene_test,
         "hurst_exponent": q_hurst_exponent,
         "huber_regression": q_huber_regression,
+        "quantile_regression": q_quantile_regression,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -15993,6 +16025,128 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["huber_regression"] = _huber_sql()
+
+    def _qr_sql():
+        guard = lambda a, b: (  # noqa: E731
+            f"(CASE WHEN {b} = 0 THEN NULL ELSE {a} / {b} END)"
+        )
+        e_txt = "CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE)"
+        # tau = 0.75 exactly (binary-exact literal); eps = 0.001
+        w_txt = (
+            "(CASE WHEN e < 0 THEN 0.25 ELSE 0.75 END)"
+            " / greatest(abs(e), CAST(0.001 AS DOUBLE))"
+        )
+        parts = []
+        prev = "qp0s"
+        for r in range(1, 7):
+            parts.append(f""",
+        qe{r} AS (
+          SELECT qb.g AS g, n, x, y, {e_txt} AS e
+          FROM qb JOIN {prev} ON qb.g = {prev}.g),
+        qw{r} AS (
+          SELECT g, MAX(n) AS n,
+            CAST(SUM(CAST({w_txt} AS DECIMAL(28,12))) AS DOUBLE) AS sw,
+            CAST(SUM(CAST(({w_txt}) * CAST(x AS DOUBLE)
+                 AS DECIMAL(28,12))) AS DOUBLE) AS swx,
+            CAST(SUM(CAST(({w_txt}) * CAST(y AS DOUBLE)
+                 AS DECIMAL(28,12))) AS DOUBLE) AS swy,
+            CAST(SUM(CAST((({w_txt}) * CAST(x AS DOUBLE))
+                 * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+              AS swxx,
+            CAST(SUM(CAST((({w_txt}) * CAST(x AS DOUBLE))
+                 * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+              AS swxy
+          FROM qe{r} GROUP BY g),
+        qp{r} AS (
+          SELECT g, n,
+            CAST(CAST(
+              {guard("swy", "sw")}
+              - ({guard(
+                  f"(swxy - {guard('swx * swy', 'sw')})",
+                  f"(swxx - {guard('swx * swx', 'sw')})")})
+                * {guard("swx", "sw")}
+              AS DECIMAL(18,9)) AS DOUBLE) AS a,
+            CAST(CAST(
+              {guard(
+                  f"(swxy - {guard('swx * swy', 'sw')})",
+                  f"(swxx - {guard('swx * swx', 'sw')})")}
+              AS DECIMAL(18,9)) AS DOUBLE) AS b
+          FROM qw{r})""")
+            prev = f"qp{r}"
+        return f"""
+        WITH qmon AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                      AS DOUBLE) / 1000000.0 AS yv
+          FROM orders GROUP BY 1, 2),
+        qb AS (
+          SELECT g,
+                 CAST(CAST(date_diff('day', DATE '1992-01-01', date)
+                      AS DOUBLE) / 1000.0 AS DECIMAL(18,6)) AS x,
+                 CAST(yv AS DECIMAL(18,6)) AS y,
+                 CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n0
+          FROM qmon WHERE yv IS NOT NULL AND date IS NOT NULL),
+        qs AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+          FROM qb GROUP BY g),
+        qp0 AS (
+          SELECT g, n,
+            CAST(CAST(
+              (sy / CAST(n AS DOUBLE))
+              - ({guard(
+                  f"(sxy - {guard('sx * sy', 'CAST(n AS DOUBLE)')})",
+                  f"(sxx - {guard('sx * sx', 'CAST(n AS DOUBLE)')})")})
+                * (sx / CAST(n AS DOUBLE))
+              AS DECIMAL(18,9)) AS DOUBLE) AS a,
+            CAST(CAST(
+              {guard(
+                  f"(sxy - {guard('sx * sy', 'CAST(n AS DOUBLE)')})",
+                  f"(sxx - {guard('sx * sx', 'CAST(n AS DOUBLE)')})")}
+              AS DECIMAL(18,9)) AS DOUBLE) AS b
+          FROM qs),
+        qsh AS (
+          SELECT qb.g AS g, MAX(n) AS n, MAX(a) AS a, MAX(b) AS b,
+                 quantile_cont({e_txt}, 0.75) AS dq
+          FROM qb JOIN qp0 ON qb.g = qp0.g GROUP BY qb.g),
+        qp0s AS (
+          SELECT g, n,
+                 CAST(CAST(a + dq AS DECIMAL(18,9)) AS DOUBLE) AS a, b
+          FROM qsh){"".join(parts)},
+        qf AS (
+          SELECT qb.g AS g, n, {e_txt} AS e
+          FROM qb JOIN qp6 ON qb.g = qp6.g),
+        qfin AS (
+          SELECT g, MAX(n) AS n,
+            CAST(CAST(
+              CAST(SUM(CAST(CASE WHEN e >= 0 THEN 0.75 * e
+                   ELSE -0.25 * e END AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(MAX(n) AS DOUBLE)
+            AS DECIMAL(18,9)) AS DOUBLE) AS pl,
+            CAST(SUM(CASE WHEN e < 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS nb
+          FROM qf GROUP BY g),
+        qj AS (
+          SELECT qfin.g AS g, qfin.n AS n, qp6.a AS a, qp6.b AS b,
+                 pl, nb
+          FROM qfin JOIN qp6 ON qfin.g = qp6.g)
+        SELECT g, n,
+               CASE WHEN n > 2 AND a IS NOT NULL
+                 THEN round(a, 6) + 0.0 END AS intercept,
+               CASE WHEN n > 2 AND a IS NOT NULL
+                 THEN round(b, 6) + 0.0 END AS slope,
+               CASE WHEN n > 2 AND a IS NOT NULL
+                 THEN round(pl, 6) + 0.0 END AS pinball_loss,
+               nb AS n_below
+        FROM qj ORDER BY g
+        """
+
+    sql["quantile_regression"] = _qr_sql()
+
 
     # Hurst: dyadic block collapse (complete blocks only), quantized
     # block-mean moments, ln through the decimal(18,9) quantizer,

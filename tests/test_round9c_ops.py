@@ -1,0 +1,115 @@
+"""Round-9 third-session operator tests: quantile regression (IRLS
+pinball), the Engle ARCH LM test, Yule-Walker AR(p) fit, Fleiss'
+kappa, association rules, Yuen's trimmed t-test, TOST equivalence,
+HITS hubs/authorities, and grid DBSCAN.
+
+Established twin-test style: a pure-numpy replay of the same bounded
+fit, plus never-fabricate degenerate gates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# quantile_regression
+# ---------------------------------------------------------------------------
+
+def _qr_numpy(y, x, tau, rounds=6, eps=1e-3):
+    """Unquantized numpy replay of the same IRLS schedule."""
+    y = np.asarray(y, dtype=float)
+    x = np.asarray(x, dtype=float)
+    n = len(y)
+    # OLS seed
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    cxx = sxx - sx * sx / n
+    cxy = sxy - sx * sy / n
+    b = cxy / cxx
+    a = sy / n - b * sx / n
+    # tau-quantile residual seed shift (operator's certified
+    # percentile pass; np 'linear' == quantile_cont interpolation)
+    a += np.quantile(y - a - b * x, tau, method="linear")
+    for _ in range(rounds):
+        e = y - a - b * x
+        w = np.where(e < 0, 1.0 - tau, tau) / np.maximum(np.abs(e), eps)
+        sw = w.sum()
+        swx, swy = (w * x).sum(), (w * y).sum()
+        swxx, swxy = (w * x * x).sum(), (w * x * y).sum()
+        cwxx = swxx - swx * swx / sw
+        cwxy = swxy - swx * swy / sw
+        b = cwxy / cwxx
+        a = swy / sw - b * swx / sw
+    e = y - a - b * x
+    pin = np.where(e >= 0, tau * e, (tau - 1.0) * e).mean()
+    return a, b, pin, int((e < 0).sum())
+
+
+def test_quantile_regression_matches_numpy_replay(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        quantile_regression,
+    )
+
+    rng = np.random.RandomState(31)
+    n = 500
+    x = np.round(rng.uniform(0, 10, n), 3)
+    # heteroscedastic: spread grows with x, so quantile lines fan out
+    y = np.round(1.0 + 2.0 * x + (0.2 + 0.3 * x) * rng.normal(0, 1, n), 3)
+    df = spark.createDataFrame(
+        [("s", float(a), float(b)) for a, b in zip(x, y)],
+        "g string, x double, y double",
+    )
+    for tau in (0.25, 0.5, 0.9):
+        row = quantile_regression(df, "y", "x", tau=tau, group_col="g").collect()[0]
+        a_ref, b_ref, pin_ref, nb_ref = _qr_numpy(y, x, tau)
+        assert row["intercept"] == pytest.approx(a_ref, abs=5e-4), tau
+        assert row["slope"] == pytest.approx(b_ref, abs=5e-4), tau
+        assert row["pinball_loss"] == pytest.approx(pin_ref, abs=1e-4), tau
+        assert abs(row["n_below"] - nb_ref) <= 1, tau
+
+
+def test_quantile_regression_calibration_and_ordering(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        quantile_regression,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 1000
+    x = np.round(rng.uniform(0, 5, n), 3)
+    y = np.round(3.0 + 1.0 * x + rng.normal(0, 1.0, n), 3)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)],
+        "x double, y double",
+    )
+    lines = {}
+    for tau in (0.1, 0.5, 0.9):
+        row = quantile_regression(df, "y", "x", tau=tau).collect()[0]
+        lines[tau] = (row["intercept"], row["slope"], row["n_below"])
+        # residual share below the line ~ tau (IRLS approximation:
+        # generous band)
+        assert abs(row["n_below"] / n - tau) < 0.02, tau
+    # quantile lines are ordered at the domain midpoint
+    mid = 2.5
+    v = {t: a + b * mid for t, (a, b, _) in lines.items()}
+    assert v[0.1] < v[0.5] < v[0.9]
+
+
+def test_quantile_regression_degenerate_nulls(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        quantile_regression,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 1.0, 3.0)], "g string, x double, y double"
+    )
+    row = quantile_regression(df, "y", "x", group_col="g").collect()[0]
+    assert row["intercept"] is None and row["slope"] is None
+
+    with pytest.raises(ValueError):
+        quantile_regression(df, "y", "x", tau=0.0)
+    with pytest.raises(ValueError):
+        quantile_regression(df, "y", "x", rounds=0)
