@@ -4846,6 +4846,25 @@ def q_adf_test(spark, sf_dir):
     return adf_test(_monthly_order_series(spark, sf_dir)).orderBy("dataset")
 
 
+
+def q_arch_test(spark, sf_dir):
+    """Engle ARCH LM test on the monthly order series (M$) per
+    priority (operators/timeseries.arch_test): demean via the
+    decimal-exact groups-sized mean relation, squared residuals
+    through partitioned lag windows, ONE hash aggregate of exact
+    normal-equation sums, arch_fragments fixed-order solve — the
+    conditional-heteroskedasticity screen in front of the
+    homoskedastic trend family."""
+    from econdatapipeline_spark.operators.timeseries import arch_test
+
+    series = _monthly_order_series(spark, sf_dir).select(
+        "dataset", "date", (F.col("value") / 1e6).alias("value")
+    )
+    return arch_test(series, "value", "date", "dataset", lags=1).orderBy(
+        "dataset"
+    )
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7130,6 +7149,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "hurst_exponent": q_hurst_exponent,
         "huber_regression": q_huber_regression,
         "quantile_regression": q_quantile_regression,
+        "arch_test": q_arch_test,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16146,6 +16166,70 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # ARCH LM: the granger fragments discipline — fragments generated
+    # once, chained as named steps both engines execute verbatim.
+    from econdatapipeline_spark.operators.timeseries import (
+        arch_fragments as _afrag,
+    )
+
+    _a1 = _afrag(1)
+    _a1_steps = "".join(
+        f",\n        ast{i} AS (SELECT *, {e} AS {nm} FROM "
+        f"{'asum' if i == 0 else f'ast{i - 1}'})"
+        for i, (nm, e) in enumerate(_a1["steps"])
+    )
+    _a1_last = f"ast{len(_a1['steps']) - 1}"
+    sql["arch_test"] = f"""
+        WITH amon AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   / 1000000.0 AS value
+          FROM orders GROUP BY 1, 2),
+        ab AS (
+          -- floor-based half-up quantize as a pure double chain (the
+          -- operator's _q6): portable across engines at .xxxxxx50
+          -- midpoints where a direct double->decimal cast is not
+          SELECT dataset AS g, date AS o,
+                 CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS v
+          FROM amon WHERE value IS NOT NULL),
+        am AS (
+          SELECT g, CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+                 CAST(COUNT(*) AS BIGINT) AS nv
+          FROM ab GROUP BY g),
+        au AS (
+          SELECT ab.g AS g, o,
+                 CAST(floor(
+                   (CAST(v AS DOUBLE) - sv / CAST(nv AS DOUBLE))
+                   * (CAST(v AS DOUBLE) - sv / CAST(nv AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0
+                   AS DECIMAL(18,6)) AS u
+          FROM ab JOIN am ON ab.g = am.g),
+        alag AS (
+          SELECT g, u,
+                 LAG(u, 1) OVER (PARTITION BY g ORDER BY o) AS z1
+          FROM au),
+        arws AS (
+          -- DECIMAL(19,6) forces DuckDB's int128 multiply (the
+          -- granger_lags2 note); products land (38,12) exact
+          SELECT g, CAST(u AS DECIMAL(19,6)) AS u,
+                 CAST(z1 AS DECIMAL(19,6)) AS z1
+          FROM alag WHERE z1 IS NOT NULL),
+        asum AS (
+          SELECT g, {", ".join(_a1["aggs"])}
+          FROM arws GROUP BY g){_a1_steps}
+        SELECT g AS dataset, n,
+               round(CASE WHEN {_a1["ok"]} THEN {_a1["lm"]} END, 6)
+                 AS lm_stat,
+               round(CASE WHEN {_a1["ok"]} THEN {_a1["r2"]} END, 6)
+                 AS r2,
+               CASE WHEN {_a1["ok"]}
+                 THEN {_a1["lm"]} > 3.841459 END AS reject_5pct
+        FROM {_a1_last} ORDER BY dataset
+    """
+
 
 
     # Hurst: dyadic block collapse (complete blocks only), quantized

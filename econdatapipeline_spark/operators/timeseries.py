@@ -2574,3 +2574,176 @@ def quantile_regression(
         ),
         F.col("nb").alias("n_below"),
     )
+
+
+_CHI2_CRIT_5PCT = {
+    1: 3.841459,
+    2: 5.991465,
+    3: 7.814728,
+    4: 9.487729,
+}
+
+
+def arch_fragments(lags: int) -> dict:
+    """Shared Spark/DuckDB SQL fragments for Engle's ARCH LM test —
+    the granger_fragments discipline: one aggregate over a relation
+    with columns u (squared residual, decimal(18,6)) and z1..zq (its
+    lags, decimal(18,6)), then a named fixed-order double sequence
+    (Gauss solve of the auxiliary regression + RSS/TSS + LM) both
+    engines execute verbatim.
+
+    Returns {aggs, steps, lm, r2, ok, m}.
+    """
+    q = lags
+    m = q + 1
+    zs = list(range(1, q + 1))
+    aggs = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        "CAST(SUM(CAST(u AS DECIMAL(38,12))) AS DOUBLE) AS su",
+        "CAST(SUM(CAST(u * u AS DECIMAL(38,12))) AS DOUBLE) AS suu",
+    ]
+    for i in zs:
+        aggs.append(
+            f"CAST(SUM(CAST(z{i} AS DECIMAL(38,12))) AS DOUBLE) AS s_{i}"
+        )
+        aggs.append(
+            f"CAST(SUM(CAST(z{i} * u AS DECIMAL(38,12))) AS DOUBLE)"
+            f" AS t_{i}"
+        )
+    for i in zs:
+        for j in zs:
+            if j >= i:
+                aggs.append(
+                    f"CAST(SUM(CAST(z{i} * z{j} AS DECIMAL(38,12)))"
+                    f" AS DOUBLE) AS c_{i}_{j}"
+                )
+    steps = [("nd", "CAST(n AS DOUBLE)")]
+    a_u = {(0, 0): "nd"}
+    for j in zs:
+        a_u[(0, j)] = f"s_{j}"
+    for i in zs:
+        for j in zs:
+            if j >= i:
+                a_u[(i, j)] = f"c_{i}_{j}"
+    b_u = ["su"] + [f"t_{i}" for i in zs]
+    su_steps, betas, diag = _gauss_steps(m, a_u, b_u, "a")
+    steps += su_steps
+    rss = "suu"
+    for bn, orig in zip(betas, b_u):
+        rss = f"({rss} - {bn} * {orig})"
+    steps.append(("a_rss", rss))
+    steps.append(
+        ("a_tss", "(suu - CASE WHEN nd = 0 THEN NULL ELSE su * su / nd END)")
+    )
+    steps.append(
+        (
+            "a_r2",
+            "CASE WHEN a_tss = 0 THEN NULL"
+            " ELSE 1.0 - a_rss / a_tss END",
+        )
+    )
+    steps.append(("a_lm", "nd * a_r2"))
+    pivots = " AND ".join(f"{d} > 0" for d in dict.fromkeys(diag))
+    ok = f"n > {m} AND a_tss > 0 AND {pivots}"
+    return {
+        "aggs": aggs,
+        "steps": steps,
+        "lm": "a_lm",
+        "r2": "a_r2",
+        "ok": ok,
+        "m": m,
+    }
+
+
+def arch_test(
+    df: DataFrame,
+    value_col: str,
+    order_col: str = "date",
+    group_col: str = "dataset",
+    lags: int = 1,
+) -> DataFrame:
+    """Engle's ARCH LM test per series -> one row per group
+    (group, n, lm_stat, r2, reject_5pct).
+
+    "Is today's volatility predicted by yesterday's?" (Engle 1982) —
+    the standard conditional-heteroskedasticity screen an economist
+    runs before trusting homoskedastic standard errors on a series.
+    Residuals from the constant-mean model e_t = v_t − v̄ (the
+    classic presentation; run it on your own model's residuals for a
+    full mean equation), then the auxiliary regression
+    e²_t ~ a + Σ b_i·e²_(t−i); LM = n·R² ~ chi2(lags) under H0.
+
+    The granger/adf discipline verbatim: ONE groups-sized mean
+    relation joined back broadcast (decimal-exact sum / n — never a
+    float-order-dependent AVG), squared residuals quantized
+    decimal(18,6), per-group PARTITIONED lag windows, one hash
+    aggregate of exact normal-equation sums, and the
+    arch_fragments fixed-order double sequence both engines share.
+    reject_5pct compares LM to the literal chi2 5% critical value
+    (3.841459 / 5.991465 / 7.814728 / 9.487729 for lags 1..4).
+    NULLs on degenerate variance / n <= lags + 1.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if lags < 1 or lags > 4:
+        raise ValueError(f"lags must be in 1..4, got {lags}")
+    frag = arch_fragments(lags)
+    crit = _CHI2_CRIT_5PCT[lags]
+
+    # floor-based half-up quantize (pure double chain) BEFORE the
+    # decimal cast: money-scale inputs land exactly on .xxxxxx50
+    # midpoints where Spark's string-HALF_UP and DuckDB's binary
+    # rounding disagree (ORACLE_PARITY "round() is not portable");
+    # after the floor the double is ~nearest a 1e-6 grid point and
+    # both engines cast it to the SAME decimal. Domain: |x| < ~1e9.
+    def _q6(c):
+        return (
+            F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)")
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        _q6(F.col(value_col).cast("double")).alias("v"),
+    )
+    means = base.groupBy("g").agg(
+        F.sum(F.col("v").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sv"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    with_mean = base.join(F.broadcast(means), "g").withColumn(
+        "u",
+        _q6(
+            (
+                F.col("v").cast("double")
+                - F.col("sv") / F.col("nv").cast("double")
+            )
+            * (
+                F.col("v").cast("double")
+                - F.col("sv") / F.col("nv").cast("double")
+            )
+        ),
+    )
+    w = Window.partitionBy("g").orderBy("o")
+    sel = [F.col("g"), F.col("u")]
+    for i in range(1, lags + 1):
+        sel.append(F.lag(F.col("u"), i).over(w).alias(f"z{i}"))
+    lagged = with_mean.select(*sel)
+    keep = F.lit(True)
+    for i in range(1, lags + 1):
+        keep = keep & F.col(f"z{i}").isNotNull()
+    lagged = lagged.filter(keep)
+    cur = lagged.groupBy("g").agg(*[F.expr(a) for a in frag["aggs"]])
+    for name, e in frag["steps"]:
+        cur = cur.withColumn(name, F.expr(e))
+    ok = F.expr(frag["ok"])
+    return cur.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.when(ok, F.round(F.expr(frag["lm"]), 6)).alias("lm_stat"),
+        F.when(ok, F.round(F.expr(frag["r2"]), 6)).alias("r2"),
+        F.when(ok, F.expr(frag["lm"]) > F.lit(crit)).alias(
+            "reject_5pct"
+        ),
+    )

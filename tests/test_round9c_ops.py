@@ -113,3 +113,88 @@ def test_quantile_regression_degenerate_nulls(spark):
         quantile_regression(df, "y", "x", tau=0.0)
     with pytest.raises(ValueError):
         quantile_regression(df, "y", "x", rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# arch_test
+# ---------------------------------------------------------------------------
+
+def _arch_numpy(v, lags):
+    """Float replay of the ARCH LM schedule (demean -> u -> aux OLS)."""
+    v = np.asarray(v, dtype=float)
+    e = v - v.sum() / len(v)
+    u = np.round(e * e, 6)
+    n = len(u) - lags
+    Y = u[lags:]
+    X = np.column_stack(
+        [np.ones(n)] + [u[lags - i : len(u) - i] for i in range(1, lags + 1)]
+    )
+    beta = np.linalg.solve(X.T @ X, X.T @ Y)
+    r = Y - X @ beta
+    rss = (r * r).sum()
+    tss = ((Y - Y.mean()) ** 2).sum()
+    r2 = 1.0 - rss / tss
+    return n, n * r2, r2
+
+
+def _series_df(spark, values, g="s"):
+    return spark.createDataFrame(
+        [(g, i, float(x)) for i, x in enumerate(values)],
+        "dataset string, date long, value double",
+    )
+
+
+def test_arch_detects_volatility_clustering(spark):
+    from econdatapipeline_spark.operators.timeseries import arch_test
+
+    rng = np.random.RandomState(3)
+    n = 600
+    # ARCH(1): sigma2_t = 0.2 + 0.7 * e_{t-1}^2
+    e = np.zeros(n)
+    prev = 0.0
+    for t in range(n):
+        sig2 = 0.2 + 0.7 * prev
+        e[t] = np.sqrt(sig2) * rng.normal()
+        prev = e[t] * e[t]
+    arch = np.round(e, 3)
+    white = np.round(rng.normal(0, 1, n), 3)
+    df = _series_df(spark, arch, "arch").union(_series_df(spark, white, "white"))
+    rows = {r["dataset"]: r for r in arch_test(df, "value", "date", "dataset", lags=1).collect()}
+    assert rows["arch"]["reject_5pct"] is True
+    assert rows["white"]["reject_5pct"] is False
+    n_ref, lm_ref, r2_ref = _arch_numpy(arch, 1)
+    assert rows["arch"]["n"] == n_ref
+    assert rows["arch"]["lm_stat"] == pytest.approx(lm_ref, abs=1e-3)
+    assert rows["arch"]["r2"] == pytest.approx(r2_ref, abs=1e-6)
+
+
+def test_arch_multilag_matches_replay(spark):
+    from econdatapipeline_spark.operators.timeseries import arch_test
+
+    rng = np.random.RandomState(9)
+    n = 400
+    e = np.zeros(n)
+    p1, p2 = 0.0, 0.0
+    for t in range(n):
+        sig2 = 0.3 + 0.4 * p1 + 0.3 * p2
+        e[t] = np.sqrt(sig2) * rng.normal()
+        p2, p1 = p1, e[t] * e[t]
+    v = np.round(e, 3)
+    df = _series_df(spark, v)
+    for lags in (2, 3):
+        row = arch_test(df, "value", "date", "dataset", lags=lags).collect()[0]
+        n_ref, lm_ref, r2_ref = _arch_numpy(v, lags)
+        assert row["n"] == n_ref, lags
+        assert row["lm_stat"] == pytest.approx(lm_ref, abs=1e-3), lags
+        assert row["reject_5pct"] is True, lags
+
+
+def test_arch_degenerate_nulls(spark):
+    from econdatapipeline_spark.operators.timeseries import arch_test
+
+    df = _series_df(spark, [5.0] * 50)  # constant: zero variance
+    row = arch_test(df, "value", "date", "dataset").collect()[0]
+    assert row["lm_stat"] is None and row["reject_5pct"] is None
+
+    with pytest.raises(ValueError):
+        arch_test(df, "value", lags=0)
