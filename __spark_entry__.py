@@ -4865,6 +4865,23 @@ def q_arch_test(spark, sf_dir):
     )
 
 
+
+def q_ar_fit(spark, sf_dir):
+    """Yule-Walker AR(2) fit of the monthly order series (M$) per
+    priority (operators/timeseries.ar_fit): floor-quantized inputs,
+    partitioned lag windows, ONE exact-sum aggregate, Toeplitz solve
+    as ar_fragments fixed-order doubles — parameterizes the series
+    the acf/pacf diagnostics describe."""
+    from econdatapipeline_spark.operators.timeseries import ar_fit
+
+    series = _monthly_order_series(spark, sf_dir).select(
+        "dataset", "date", (F.col("value") / 1e6).alias("value")
+    )
+    return ar_fit(series, "value", "date", "dataset", order=2).orderBy(
+        "dataset"
+    )
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7150,6 +7167,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "huber_regression": q_huber_regression,
         "quantile_regression": q_quantile_regression,
         "arch_test": q_arch_test,
+        "ar_fit": q_ar_fit,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16229,6 +16247,55 @@ def oracle_sql() -> dict[str, str]:
                  THEN {_a1["lm"]} > 3.841459 END AS reject_5pct
         FROM {_a1_last} ORDER BY dataset
     """
+
+
+    from econdatapipeline_spark.operators.timeseries import (
+        ar_fragments as _yfrag,
+    )
+
+    _y2 = _yfrag(2)
+    _y2_steps = "".join(
+        f",\n        yst{i} AS (SELECT *, {e} AS {nm} FROM "
+        f"{'ysum' if i == 0 else f'yst{i - 1}'})"
+        for i, (nm, e) in enumerate(_y2["steps"])
+    )
+    _y2_last = f"yst{len(_y2['steps']) - 1}"
+    _y2_phis = ", ".join(
+        f"round(CASE WHEN {_y2['ok']} THEN {ph} END, 6) AS phi_{k}"
+        for k, ph in enumerate(_y2["phis"], start=1)
+    )
+    sql["ar_fit"] = f"""
+        WITH ymon AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   / 1000000.0 AS value
+          FROM ymon_src GROUP BY 1, 2),
+        yb AS (
+          SELECT dataset AS g, date AS o,
+                 CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS z0
+          FROM ymon WHERE value IS NOT NULL),
+        ylag AS (
+          SELECT g, z0,
+                 LAG(z0, 1) OVER (PARTITION BY g ORDER BY o) AS z1,
+                 LAG(z0, 2) OVER (PARTITION BY g ORDER BY o) AS z2
+          FROM yb),
+        yrws AS (
+          SELECT g, CAST(z0 AS DECIMAL(19,6)) AS z0,
+                 CAST(z1 AS DECIMAL(19,6)) AS z1,
+                 CAST(z2 AS DECIMAL(19,6)) AS z2
+          FROM ylag),
+        ysum AS (
+          SELECT g, {", ".join(_y2["aggs"])}
+          FROM yrws GROUP BY g){_y2_steps}
+        SELECT g AS dataset, n, {_y2_phis},
+               round(CASE WHEN {_y2["ok"]} THEN {_y2["sigma2"]} END, 6)
+                 AS sigma2,
+               round(CASE WHEN {_y2["ok"]}
+                     THEN 1.0 - {_y2["sigma2"]} / cc_0 END, 6) AS r2
+        FROM {_y2_last} ORDER BY dataset
+    """.replace("ymon_src", "orders")
 
 
 

@@ -2747,3 +2747,137 @@ def arch_test(
             "reject_5pct"
         ),
     )
+
+
+def ar_fragments(order: int) -> dict:
+    """Shared Spark/DuckDB fragments for the Yule-Walker AR(p) fit —
+    aggregates over a relation with columns z0 (x_t, decimal(18,6))
+    and z1..zp (x_{t-k} lags), then a named fixed-order double
+    sequence: autocovariances c_0..c_p from exact sums, the p x p
+    Toeplitz solve via the unrolled SPD Gauss elimination, and the
+    innovation variance. Returns {aggs, steps, phis, sigma2, ok}.
+    """
+    p = order
+    aggs = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        "CAST(SUM(CAST(z0 AS DECIMAL(38,12))) AS DOUBLE) AS sx",
+        "CAST(SUM(CAST(z0 * z0 AS DECIMAL(38,12))) AS DOUBLE) AS sxx",
+    ]
+    for k in range(1, p + 1):
+        aggs += [
+            f"CAST(SUM(CASE WHEN z{k} IS NOT NULL THEN"
+            f" CAST(z0 * z{k} AS DECIMAL(38,12)) END) AS DOUBLE)"
+            f" AS sp_{k}",
+            f"CAST(SUM(CASE WHEN z{k} IS NOT NULL THEN"
+            f" CAST(z0 AS DECIMAL(38,12)) END) AS DOUBLE) AS sa_{k}",
+            f"CAST(SUM(CAST(z{k} AS DECIMAL(38,12))) AS DOUBLE)"
+            f" AS sb_{k}",
+            f"CAST(COUNT(z{k}) AS BIGINT) AS nk_{k}",
+        ]
+    steps = [
+        ("nd", "CAST(n AS DOUBLE)"),
+        ("xm", "CASE WHEN nd = 0 THEN NULL ELSE sx / nd END"),
+        (
+            "cc_0",
+            "CASE WHEN nd = 0 THEN NULL ELSE"
+            " (sxx - 2.0 * xm * sx + nd * xm * xm) / nd END",
+        ),
+    ]
+    for k in range(1, p + 1):
+        steps.append(
+            (
+                f"cc_{k}",
+                f"CASE WHEN nd = 0 THEN NULL ELSE"
+                f" (sp_{k} - xm * (sa_{k} + sb_{k})"
+                f" + CAST(nk_{k} AS DOUBLE) * xm * xm) / nd END",
+            )
+        )
+    a = {}
+    for i in range(p):
+        for j in range(i, p):
+            a[(i, j)] = f"cc_{j - i}"
+    b = [f"cc_{k}" for k in range(1, p + 1)]
+    g_steps, phis, diag = _gauss_steps(p, a, b, "w")
+    steps += g_steps
+    s2 = "cc_0"
+    for k, ph in enumerate(phis, start=1):
+        s2 = f"({s2} - {ph} * cc_{k})"
+    steps.append(("w_s2", s2))
+    pivots = " AND ".join(f"{d} > 0" for d in dict.fromkeys(diag))
+    ok = f"n > {p + 1} AND cc_0 > 0 AND {pivots}"
+    return {
+        "aggs": aggs,
+        "steps": steps,
+        "phis": phis,
+        "sigma2": "w_s2",
+        "ok": ok,
+    }
+
+
+def ar_fit(
+    df: DataFrame,
+    value_col: str,
+    order_col: str = "date",
+    group_col: str = "dataset",
+    order: int = 2,
+) -> DataFrame:
+    """Yule-Walker AR(p) fit per series -> one row per group
+    (group, n, phi_1..phi_p, sigma2, r2).
+
+    The classical autoregression estimate: autocovariances
+    c_k = (1/n) sum (x_t - xbar)(x_{t-k} - xbar) from the biased
+    (positive-definite) estimator, then the Toeplitz system
+    R phi = r. Completes the series-diagnostics family (acf/pacf
+    describe, adf gates, ar_fit parameterizes) and feeds residual
+    screens (ljung_box, arch_test) a mean equation. r2 = 1 -
+    sigma2/c0, the in-sample one-step explanatory share.
+
+    Discipline: floor-quantized decimal(18,6) inputs (portable at
+    money midpoints), per-group PARTITIONED lag windows, ONE hash
+    aggregate of exact normal-equation sums (per-lag alignment via
+    conditional sums, never a second scan), ar_fragments fixed-order
+    doubles both engines execute verbatim. NULLs on constant series /
+    n <= p + 1 / non-PD sample autocovariance.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if order < 1 or order > 4:
+        raise ValueError(f"order must be in 1..4, got {order}")
+    frag = ar_fragments(order)
+
+    def _q6(c):
+        return (
+            F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)")
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        _q6(F.col(value_col).cast("double")).alias("z0"),
+    )
+    w = Window.partitionBy("g").orderBy("o")
+    sel = [F.col("g"), F.col("z0")]
+    for k in range(1, order + 1):
+        sel.append(F.lag(F.col("z0"), k).over(w).alias(f"z{k}"))
+    lagged = base.select(*sel)
+    cur = lagged.groupBy("g").agg(*[F.expr(a) for a in frag["aggs"]])
+    for name, e in frag["steps"]:
+        cur = cur.withColumn(name, F.expr(e))
+    ok = F.expr(frag["ok"])
+    out = [F.col("g").alias(group_col), "n"]
+    for k, ph in enumerate(frag["phis"], start=1):
+        out.append(
+            F.when(ok, F.round(F.expr(ph), 6)).alias(f"phi_{k}")
+        )
+    out.append(
+        F.when(ok, F.round(F.expr(frag["sigma2"]), 6)).alias("sigma2")
+    )
+    out.append(
+        F.when(
+            ok,
+            F.round(
+                F.lit(1.0) - F.expr(frag["sigma2"]) / F.col("cc_0"), 6
+            ),
+        ).alias("r2")
+    )
+    return cur.select(*out)

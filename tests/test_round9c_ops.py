@@ -198,3 +198,64 @@ def test_arch_degenerate_nulls(spark):
 
     with pytest.raises(ValueError):
         arch_test(df, "value", lags=0)
+
+
+# ---------------------------------------------------------------------------
+# ar_fit (Yule-Walker)
+# ---------------------------------------------------------------------------
+
+def _yw_numpy(v, p):
+    """Float replay: biased autocovariances -> Toeplitz solve."""
+    x = np.floor(np.asarray(v, dtype=float) * 1e6 + 0.5) / 1e6
+    n = len(x)
+    m = x.sum() / n
+    d = x - m
+    c = [(d[k:] * d[: n - k]).sum() / n for k in range(p + 1)]
+    R = np.array([[c[abs(i - j)] for j in range(p)] for i in range(p)])
+    r = np.array(c[1 : p + 1])
+    phi = np.linalg.solve(R, r)
+    s2 = c[0] - float(phi @ r)
+    return phi, s2, 1.0 - s2 / c[0]
+
+
+def test_ar_fit_recovers_ar2(spark):
+    from econdatapipeline_spark.operators.timeseries import ar_fit
+
+    rng = np.random.RandomState(21)
+    n = 3000
+    x = np.zeros(n)
+    for t in range(2, n):
+        x[t] = 0.6 * x[t - 1] - 0.3 * x[t - 2] + rng.normal()
+    v = np.round(x, 3)
+    df = _series_df(spark, v)
+    row = ar_fit(df, "value", "date", "dataset", order=2).collect()[0]
+    phi, s2, r2 = _yw_numpy(v, 2)
+    assert row["phi_1"] == pytest.approx(phi[0], abs=1e-5)
+    assert row["phi_2"] == pytest.approx(phi[1], abs=1e-5)
+    assert row["sigma2"] == pytest.approx(s2, abs=1e-4)
+    assert row["r2"] == pytest.approx(r2, abs=1e-5)
+    # parameter recovery: near the generating process
+    assert abs(row["phi_1"] - 0.6) < 0.06
+    assert abs(row["phi_2"] + 0.3) < 0.06
+
+
+def test_ar_fit_white_noise_low_r2(spark):
+    from econdatapipeline_spark.operators.timeseries import ar_fit
+
+    rng = np.random.RandomState(4)
+    v = np.round(rng.normal(0, 1, 1500), 3)
+    row = ar_fit(_series_df(spark, v), "value", "date", "dataset", order=3).collect()[0]
+    assert row["r2"] is not None and row["r2"] < 0.01
+    phi, s2, r2 = _yw_numpy(v, 3)
+    for k in range(3):
+        assert row[f"phi_{k + 1}"] == pytest.approx(phi[k], abs=1e-5)
+
+
+def test_ar_fit_degenerate_nulls(spark):
+    from econdatapipeline_spark.operators.timeseries import ar_fit
+
+    df = _series_df(spark, [2.0] * 40)
+    row = ar_fit(df, "value", "date", "dataset", order=2).collect()[0]
+    assert row["phi_1"] is None and row["sigma2"] is None
+    with pytest.raises(ValueError):
+        ar_fit(df, "value", order=5)
