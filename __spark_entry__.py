@@ -4882,6 +4882,42 @@ def q_ar_fit(spark, sf_dir):
     )
 
 
+
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa over the 4-line orders: each order is a subject,
+    its four lineitems are "raters" assigning the l_returnflag
+    category (operators/stats.fleiss_kappa) — the k-category n-rater
+    agreement gate a labeling fleet runs before its labels feed
+    training; exact integer sums end-to-end, ragged orders dropped
+    and counted."""
+    from econdatapipeline_spark.operators.stats import fleiss_kappa
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("subject"),
+        F.col("l_returnflag").alias("label"),
+    )
+    return fleiss_kappa(li, "subject", "label", n_raters=4)
+
+
+def q_association_rules(spark, sf_dir):
+    """Directed brand association rules over order baskets
+    (operators/rules.association_rules): distinct (order, brand)
+    posting list, sum(basket^2)-bounded pair join with the mega-basket
+    guard, exact integer supports, confidence + lift ratios — the
+    Agrawal readout on top of basket_pairs' co-occurrence counts."""
+    from econdatapipeline_spark.operators.rules import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bi = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("p_brand").alias("item"),
+    )
+    return association_rules(
+        bi, "basket", "item", min_pair_support=50
+    ).orderBy("antecedent", "consequent")
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7168,6 +7204,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "quantile_regression": q_quantile_regression,
         "arch_test": q_arch_test,
         "ar_fit": q_ar_fit,
+        "fleiss_kappa": q_fleiss_kappa,
+        "association_rules": q_association_rules,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16184,6 +16222,83 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # Fleiss' kappa: exact integer sums end-to-end; only the final
+    # ratios are doubles, mirrored operation-for-operation.
+    sql["fleiss_kappa"] = """
+        WITH cell AS (
+          SELECT l_orderkey AS s, l_returnflag AS c,
+                 CAST(COUNT(*) AS BIGINT) AS nij
+          FROM lineitem GROUP BY 1, 2),
+        per AS (
+          SELECT s, CAST(SUM(nij) AS BIGINT) AS n_i,
+                 CAST(SUM(nij * nij) AS BIGINT) AS sq_i
+          FROM cell GROUP BY s),
+        qual AS (SELECT s, (n_i = 4) AS ok, sq_i FROM per),
+        marg AS (
+          SELECT CAST(SUM(m_j * m_j) AS BIGINT) AS sq_m
+          FROM (
+            SELECT c, CAST(SUM(nij) AS BIGINT) AS m_j
+            FROM cell JOIN (SELECT s FROM qual WHERE ok) q USING (s)
+            GROUP BY c)),
+        tot AS (
+          SELECT
+            CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_subj,
+            CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dropped,
+            CAST(SUM(CASE WHEN ok THEN sq_i ELSE 0 END) AS BIGINT)
+              AS sq_tot
+          FROM qual),
+        fin AS (
+          SELECT n_subj, n_dropped,
+            (CAST(sq_tot AS DOUBLE) - CAST(n_subj AS DOUBLE) * 4.0)
+              / (CAST(n_subj AS DOUBLE) * 4.0 * (4.0 - 1.0)) AS p_bar,
+            CAST(sq_m AS DOUBLE)
+              / ((CAST(n_subj AS DOUBLE) * 4.0)
+                 * (CAST(n_subj AS DOUBLE) * 4.0)) AS p_e
+          FROM tot CROSS JOIN marg)
+        SELECT n_subj AS n_subjects, CAST(4 AS BIGINT) AS n_raters,
+               n_dropped,
+               CASE WHEN n_subj > 0 THEN round(p_bar, 6) END AS p_bar,
+               CASE WHEN n_subj > 0 THEN round(p_e, 6) END AS p_e,
+               CASE WHEN n_subj > 0 AND 1.0 - p_e <> 0.0
+                 THEN round((p_bar - p_e) / (1.0 - p_e), 6) END
+                 AS kappa
+        FROM fin
+    """
+
+    # Association rules: exact integer counts; confidence/lift are the
+    # only doubles, same operation order as the operator.
+    sql["association_rules"] = """
+        WITH bi AS (
+          SELECT DISTINCT l_orderkey AS b, p_brand AS i
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        sz AS (SELECT b FROM bi GROUP BY b HAVING COUNT(*) <= 64),
+        kept AS (SELECT bi.b, bi.i FROM bi JOIN sz ON bi.b = sz.b),
+        nrel AS (
+          SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS nb FROM kept),
+        supp AS (
+          SELECT i, CAST(COUNT(*) AS BIGINT) AS s
+          FROM kept GROUP BY i),
+        pairs AS (
+          SELECT a.i AS antecedent, p.i AS consequent,
+                 CAST(COUNT(*) AS BIGINT) AS n_pair
+          FROM kept a JOIN kept p ON a.b = p.b AND a.i <> p.i
+          GROUP BY 1, 2 HAVING COUNT(*) >= 50)
+        SELECT antecedent, consequent, n_pair,
+               sa.s AS n_ante, sc.s AS n_cons,
+               round(CAST(n_pair AS DOUBLE) / CAST(sa.s AS DOUBLE), 6)
+                 AS confidence,
+               round((CAST(n_pair AS DOUBLE) / CAST(sa.s AS DOUBLE))
+                     / (CAST(sc.s AS DOUBLE) / nb), 6) AS lift
+        FROM pairs
+        JOIN supp sa ON antecedent = sa.i
+        JOIN supp sc ON consequent = sc.i
+        CROSS JOIN nrel
+        ORDER BY antecedent, consequent
+    """
+
 
     # ARCH LM: the granger fragments discipline — fragments generated
     # once, chained as named steps both engines execute verbatim.

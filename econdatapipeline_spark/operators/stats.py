@@ -2347,3 +2347,102 @@ def cochran_armitage(
         F.when(ok, F.round(chi2, 6)).alias("chi2_trend"),
         F.when(ok, chi2 > 3.841459).alias("reject_5pct"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    subject_col: str,
+    category_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' kappa multi-rater agreement -> ONE row
+    (n_subjects, n_raters, n_dropped, p_bar, p_e, kappa).
+
+    The k-category, n-rater generalization of cohens_kappa — the
+    standard agreement gate on LLM/human labeling fleets before the
+    labels feed training: kappa ~ 0 means the raters are noise,
+    kappa > 0.6 is conventionally "substantial". Each input row is
+    one rating (subject, category); subjects must carry exactly
+    ``n_raters`` ratings — others are dropped whole and counted in
+    ``n_dropped`` (Fleiss' statistic is undefined on ragged panels;
+    the drop is the honest gate, never a silent reweight).
+
+    P_i = (sum_j n_ij^2 - n) / (n(n-1)); p_bar = mean_i P_i;
+    p_e = sum_j (sum_i n_ij / (N n))^2; kappa = (p_bar - p_e) /
+    (1 - p_e). Everything until the final ratios is EXACT integer
+    arithmetic (sums of squared counts), so both engines replay the
+    doubles bit-for-bit — no quantization needed. NULL kappa when
+    p_e = 1 (all raters always pick one category).
+
+    Shape: two hash aggregates (subject x category counts, then the
+    global fold) + one tiny category margin — map-side combinable,
+    no windows, no joins wider than the category margin.
+    """
+    if n_raters < 2:
+        raise ValueError(f"n_raters must be >= 2, got {n_raters}")
+    cell = (
+        df.filter(
+            F.col(subject_col).isNotNull()
+            & F.col(category_col).isNotNull()
+        )
+        .groupBy(
+            F.col(subject_col).alias("s"),
+            F.col(category_col).alias("c"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+    per_subj = cell.groupBy("s").agg(
+        F.sum("nij").cast("long").alias("n_i"),
+        F.sum(F.col("nij") * F.col("nij")).cast("long").alias("sq_i"),
+    )
+    n = int(n_raters)
+    qual = per_subj.withColumn(
+        "ok", F.col("n_i") == F.lit(n)
+    )
+    # category margins over qualifying subjects only
+    margins = (
+        cell.join(
+            qual.filter("ok").select("s"), "s"
+        )
+        .groupBy("c")
+        .agg(F.sum("nij").cast("long").alias("m_j"))
+        .agg(
+            F.sum(F.col("m_j") * F.col("m_j"))
+            .cast("long")
+            .alias("sq_m"),
+            F.count(F.lit(1)).cast("long").alias("k_cats"),
+        )
+    )
+    totals = qual.agg(
+        F.sum(F.when(F.col("ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_subj"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("ok"), F.col("sq_i")).otherwise(0))
+        .cast("long")
+        .alias("sq_tot"),
+    )
+    j = totals.crossJoin(F.broadcast(margins))
+    nd = F.col("n_subj").cast("double")
+    nn = F.lit(float(n))
+    # try_divide: ANSI mode raises on double /0; empty panels must
+    # flow to NULL outputs, not crash the job
+    p_bar = F.try_divide(
+        F.col("sq_tot").cast("double") - nd * nn,
+        nd * nn * (nn - F.lit(1.0)),
+    )
+    p_e = F.try_divide(
+        F.col("sq_m").cast("double"), (nd * nn) * (nd * nn)
+    )
+    ok = (F.col("n_subj") > 0) & (F.lit(1.0) - p_e != F.lit(0.0))
+    kappa = F.try_divide(p_bar - p_e, F.lit(1.0) - p_e)
+    return j.select(
+        F.col("n_subj").alias("n_subjects"),
+        F.lit(n).cast("long").alias("n_raters"),
+        F.col("n_dropped"),
+        F.when(F.col("n_subj") > 0, F.round(p_bar, 6)).alias("p_bar"),
+        F.when(F.col("n_subj") > 0, F.round(p_e, 6)).alias("p_e"),
+        F.when(ok, F.round(kappa, 6)).alias("kappa"),
+    )

@@ -259,3 +259,125 @@ def test_ar_fit_degenerate_nulls(spark):
     assert row["phi_1"] is None and row["sigma2"] is None
     with pytest.raises(ValueError):
         ar_fit(df, "value", order=5)
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa
+# ---------------------------------------------------------------------------
+
+_FLEISS_TABLE = [  # Fleiss (1971) worked example: N=10, n=14, k=5
+    [0, 0, 0, 0, 14],
+    [0, 2, 6, 4, 2],
+    [0, 0, 3, 5, 6],
+    [0, 3, 9, 2, 0],
+    [2, 2, 8, 1, 1],
+    [7, 7, 0, 0, 0],
+    [3, 2, 6, 3, 0],
+    [2, 5, 3, 2, 2],
+    [6, 5, 2, 1, 0],
+    [0, 2, 2, 3, 7],
+]
+
+
+def _fleiss_rows(table):
+    rows = []
+    for si, counts in enumerate(table):
+        for cat, c in enumerate(counts):
+            rows.extend((si, f"c{cat}") for _ in range(c))
+    return rows
+
+
+def test_fleiss_kappa_classic_example(spark):
+    from econdatapipeline_spark.operators.stats import fleiss_kappa
+
+    df = spark.createDataFrame(
+        _fleiss_rows(_FLEISS_TABLE), "subject long, label string"
+    )
+    row = fleiss_kappa(df, "subject", "label", n_raters=14).collect()[0]
+    assert row["n_subjects"] == 10 and row["n_dropped"] == 0
+    # published values for the 1971 example
+    assert row["p_bar"] == pytest.approx(0.378, abs=5e-4)
+    assert row["p_e"] == pytest.approx(0.213, abs=5e-4)
+    assert row["kappa"] == pytest.approx(0.210, abs=5e-4)
+    # exact replay from the integer formula
+    import itertools
+    N, n = 10, 14
+    sq_tot = sum(c * c for r in _FLEISS_TABLE for c in r)
+    p_bar = (sq_tot - N * n) / (N * n * (n - 1))
+    m = [sum(r[j] for r in _FLEISS_TABLE) for j in range(5)]
+    p_e = sum(x * x for x in m) / (N * n) ** 2
+    assert row["kappa"] == pytest.approx((p_bar - p_e) / (1 - p_e), abs=1e-6)
+
+
+def test_fleiss_kappa_ragged_and_degenerate(spark):
+    from econdatapipeline_spark.operators.stats import fleiss_kappa
+
+    rows = _fleiss_rows(_FLEISS_TABLE) + [(99, "c0"), (99, "c1"), (99, "c1")]
+    df = spark.createDataFrame(rows, "subject long, label string")
+    row = fleiss_kappa(df, "subject", "label", n_raters=14).collect()[0]
+    assert row["n_subjects"] == 10 and row["n_dropped"] == 1
+    assert row["kappa"] == pytest.approx(0.210, abs=5e-4)
+
+    # unanimous single category: p_e = 1 -> NULL kappa, p_bar = 1
+    uni = spark.createDataFrame(
+        [(s, "only") for s in range(4) for _ in range(3)],
+        "subject long, label string",
+    )
+    r2 = fleiss_kappa(uni, "subject", "label", n_raters=3).collect()[0]
+    assert r2["p_bar"] == 1.0 and r2["kappa"] is None
+
+    with pytest.raises(ValueError):
+        fleiss_kappa(df, "subject", "label", n_raters=1)
+
+
+# ---------------------------------------------------------------------------
+# association_rules
+# ---------------------------------------------------------------------------
+
+def test_association_rules_hand_example(spark):
+    from econdatapipeline_spark.operators.rules import association_rules
+
+    baskets = {
+        1: ["beer", "chips"],
+        2: ["beer", "chips", "salsa"],
+        3: ["beer", "salsa"],
+        4: ["chips", "salsa"],
+        5: ["beer", "chips"],
+        6: ["milk"],
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "basket", "item").collect()
+    }
+    # beer -> chips: pair=3, beer=4, chips=4, N=6
+    r = out[("beer", "chips")]
+    assert r["n_pair"] == 3 and r["n_ante"] == 4 and r["n_cons"] == 4
+    assert r["confidence"] == pytest.approx(3 / 4)
+    assert r["lift"] == pytest.approx((3 / 4) / (4 / 6))
+    # both directions emitted
+    assert ("chips", "beer") in out
+    # min support pruning: singleton pairs gone at threshold 2
+    assert ("beer", "salsa") in out  # pair=2 survives
+    df2 = association_rules(df, "basket", "item", min_pair_support=3)
+    keys = {(r["antecedent"], r["consequent"]) for r in df2.collect()}
+    assert ("beer", "salsa") not in keys and ("beer", "chips") in keys
+
+
+def test_association_rules_mega_basket_dropped(spark):
+    from econdatapipeline_spark.operators.rules import association_rules
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    rows += [(9, f"i{k}") for k in range(10)]  # over the cap
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = association_rules(
+        df, "basket", "item", min_pair_support=1, max_basket_size=5
+    ).collect()
+    # only baskets 1,2 qualify -> N=2; a->b pair=2, supports 2
+    r = {(x["antecedent"], x["consequent"]): x for x in out}
+    assert set(r) == {("a", "b"), ("b", "a")}
+    assert r[("a", "b")]["lift"] == pytest.approx(1.0)
+
+    with pytest.raises(ValueError):
+        association_rules(df, "basket", "item", min_pair_support=0)
