@@ -4918,6 +4918,44 @@ def q_association_rules(spark, sf_dir):
     ).orderBy("antecedent", "consequent")
 
 
+
+def q_yuen_ttest(spark, sf_dir):
+    """Yuen trimmed-means t-test, URGENT vs LOW order values (k$)
+    (operators/evaluation.yuen_ttest): one rank window + one
+    conditional aggregate of decimal-exact interior sums and the two
+    boundary order statistics; winsorized variance from g-copy tail
+    arithmetic — the robust companion to effect_sizes when tails make
+    the plain z lie."""
+    from econdatapipeline_spark.operators.evaluation import yuen_ttest
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice") / 1000.0).alias("v"),
+    )
+    return yuen_ttest(
+        o, "v", "o_orderpriority", "1-URGENT", "5-LOW", trim=0.2
+    )
+
+
+def q_tost_equivalence(spark, sf_dir):
+    """TOST equivalence of URGENT vs HIGH order values (k$) at a
+    +-5 k$ margin (operators/evaluation.tost_equivalence): ONE
+    decimal-exact conditional aggregate, two one-sided Welch z tests
+    — the readout that can CONFIRM "no meaningful difference" where a
+    non-significant ab_ztest cannot."""
+    from econdatapipeline_spark.operators.evaluation import (
+        tost_equivalence,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice") / 1000.0).alias("v"),
+    )
+    return tost_equivalence(
+        o, "v", "o_orderpriority", "1-URGENT", "2-HIGH", margin=5.0
+    )
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7206,6 +7244,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "ar_fit": q_ar_fit,
         "fleiss_kappa": q_fleiss_kappa,
         "association_rules": q_association_rules,
+        "yuen_ttest": q_yuen_ttest,
+        "tost_equivalence": q_tost_equivalence,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16222,6 +16262,173 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # Yuen trimmed t: rank window + conditional decimal sums; the
+    # winsorized tail is a fixed double chain (matches the operator).
+    sql["yuen_ttest"] = """
+        WITH yu0 AS (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 'a' ELSE 'b' END AS g,
+                 CAST(floor((o_totalprice / 1000.0) * 1000000.0 + 0.5)
+                      / 1000000.0 AS DECIMAL(18,6)) AS v
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            AND o_totalprice IS NOT NULL),
+        yr AS (
+          SELECT g, v,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rk,
+                 CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+          FROM yu0),
+        yg AS (
+          SELECT g, v, rk, n,
+                 CAST(floor(CAST(0.2 AS DOUBLE) * CAST(n AS DOUBLE))
+                      AS BIGINT) AS gt
+          FROM yr),
+        yp AS (
+          SELECT g, MAX(n) AS n, MAX(gt) AS gt,
+            CAST(SUM(CASE WHEN rk > gt AND rk <= n - gt
+                 THEN CAST(v AS DECIMAL(38,12)) END) AS DOUBLE)
+              AS s_int,
+            CAST(SUM(CASE WHEN rk > gt AND rk <= n - gt
+                 THEN CAST(CAST(v AS DECIMAL(19,6))
+                      * CAST(v AS DECIMAL(19,6)) AS DECIMAL(38,12))
+                 END) AS DOUBLE) AS s2_int,
+            CAST(MAX(CASE WHEN rk = gt + 1 THEN v END) AS DOUBLE)
+              AS lo,
+            CAST(MAX(CASE WHEN rk = n - gt THEN v END) AS DOUBLE)
+              AS hi
+          FROM yg GROUP BY g),
+        ys AS (
+          SELECT g, n,
+                 CAST(n AS DOUBLE) AS nd, CAST(gt AS DOUBLE) AS gd,
+                 CAST(n AS DOUBLE) - 2.0 * CAST(gt AS DOUBLE) AS h,
+                 s_int, s2_int, lo, hi
+          FROM yp),
+        yt AS (
+          SELECT g, n, h,
+            (CASE WHEN h = 0 THEN NULL ELSE (s_int) / h END) AS tm,
+            (s_int + gd * (lo + hi)) AS sw,
+            (s2_int + gd * (lo * lo + hi * hi)) AS sww,
+            nd
+          FROM ys),
+        yd AS (
+          SELECT g, n, h, tm,
+            (CASE WHEN (h * (h - 1.0)) = 0 THEN NULL ELSE
+              ((nd - 1.0) * (CASE WHEN (nd - 1.0) = 0 THEN NULL ELSE ((sww - (CASE WHEN nd = 0 THEN NULL ELSE (sw * sw) / nd END))) / (nd - 1.0) END))
+              / (h * (h - 1.0)) END) AS dt
+          FROM yt),
+        yone AS (
+          SELECT
+            MAX(CASE WHEN g = 'a' THEN n END) AS n_a,
+            MAX(CASE WHEN g = 'b' THEN n END) AS n_b,
+            MAX(CASE WHEN g = 'a' THEN h END) AS h_a,
+            MAX(CASE WHEN g = 'b' THEN h END) AS h_b,
+            MAX(CASE WHEN g = 'a' THEN tm END) AS tm_a,
+            MAX(CASE WHEN g = 'b' THEN tm END) AS tm_b,
+            MAX(CASE WHEN g = 'a' THEN dt END) AS dt_a,
+            MAX(CASE WHEN g = 'b' THEN dt END) AS dt_b
+          FROM yd),
+        yfin AS (
+          SELECT *, (tm_a - tm_b) AS diff, (dt_a + dt_b) AS se2,
+            (CASE WHEN sqrt(dt_a + dt_b) = 0 THEN NULL
+              ELSE (tm_a - tm_b) / sqrt(dt_a + dt_b) END) AS t,
+            (CASE WHEN ((CASE WHEN (h_a - 1.0) = 0 THEN NULL
+                    ELSE (dt_a * dt_a) / (h_a - 1.0) END)
+                  + (CASE WHEN (h_b - 1.0) = 0 THEN NULL
+                    ELSE (dt_b * dt_b) / (h_b - 1.0) END)) = 0
+              THEN NULL
+              ELSE ((dt_a + dt_b) * (dt_a + dt_b))
+                / ((CASE WHEN (h_a - 1.0) = 0 THEN NULL
+                    ELSE (dt_a * dt_a) / (h_a - 1.0) END)
+                  + (CASE WHEN (h_b - 1.0) = 0 THEN NULL
+                    ELSE (dt_b * dt_b) / (h_b - 1.0) END)) END)
+              AS dfree,
+            (h_a > 1 AND h_b > 1 AND dt_a IS NOT NULL
+             AND dt_b IS NOT NULL AND (dt_a + dt_b) > 0) AS ok
+          FROM yone)
+        SELECT n_a, n_b,
+               CAST(h_a AS BIGINT) AS h_a, CAST(h_b AS BIGINT) AS h_b,
+               CASE WHEN ok THEN round(tm_a, 6) END AS tmean_a,
+               CASE WHEN ok THEN round(tm_b, 6) END AS tmean_b,
+               CASE WHEN ok THEN round(diff, 6) END AS diff,
+               CASE WHEN ok THEN round(t, 6) END AS t_stat,
+               CASE WHEN ok THEN round(dfree, 6) END AS df,
+               CASE WHEN ok THEN abs(t) > 1.959964 END AS reject_5pct
+        FROM yfin
+    """
+
+    # TOST equivalence: one conditional decimal-exact aggregate.
+    sql["tost_equivalence"] = """
+        WITH t0 AS (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 'a' ELSE 'b' END AS g,
+                 CAST(floor((o_totalprice / 1000.0) * 1000000.0 + 0.5)
+                      / 1000000.0 AS DECIMAL(18,6)) AS v
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            AND o_totalprice IS NOT NULL),
+        ta AS (
+          SELECT
+            CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_a,
+            CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_b,
+            CAST(SUM(CASE WHEN g = 'a'
+                 THEN CAST(v AS DECIMAL(38,12)) END) AS DOUBLE) AS s_a,
+            CAST(SUM(CASE WHEN g = 'b'
+                 THEN CAST(v AS DECIMAL(38,12)) END) AS DOUBLE) AS s_b,
+            CAST(SUM(CASE WHEN g = 'a'
+                 THEN CAST(CAST(v AS DECIMAL(19,6))
+                      * CAST(v AS DECIMAL(19,6)) AS DECIMAL(38,12))
+                 END) AS DOUBLE) AS q_a,
+            CAST(SUM(CASE WHEN g = 'b'
+                 THEN CAST(CAST(v AS DECIMAL(19,6))
+                      * CAST(v AS DECIMAL(19,6)) AS DECIMAL(38,12))
+                 END) AS DOUBLE) AS q_b
+          FROM t0),
+        tm AS (
+          SELECT *,
+            (CASE WHEN CAST(n_a AS DOUBLE) = 0 THEN NULL
+              ELSE s_a / CAST(n_a AS DOUBLE) END) AS m_a,
+            (CASE WHEN CAST(n_b AS DOUBLE) = 0 THEN NULL
+              ELSE s_b / CAST(n_b AS DOUBLE) END) AS m_b,
+            (CASE WHEN (CAST(n_a AS DOUBLE) - 1.0) = 0 THEN NULL
+              ELSE (q_a - (CASE WHEN CAST(n_a AS DOUBLE) = 0 THEN NULL
+                    ELSE (s_a * s_a) / CAST(n_a AS DOUBLE) END))
+                / (CAST(n_a AS DOUBLE) - 1.0) END) AS v_a,
+            (CASE WHEN (CAST(n_b AS DOUBLE) - 1.0) = 0 THEN NULL
+              ELSE (q_b - (CASE WHEN CAST(n_b AS DOUBLE) = 0 THEN NULL
+                    ELSE (s_b * s_b) / CAST(n_b AS DOUBLE) END))
+                / (CAST(n_b AS DOUBLE) - 1.0) END) AS v_b
+          FROM ta),
+        tz AS (
+          SELECT *, (m_a - m_b) AS diff,
+            sqrt((CASE WHEN CAST(n_a AS DOUBLE) = 0 THEN NULL
+                   ELSE v_a / CAST(n_a AS DOUBLE) END)
+               + (CASE WHEN CAST(n_b AS DOUBLE) = 0 THEN NULL
+                   ELSE v_b / CAST(n_b AS DOUBLE) END)) AS se
+          FROM tm),
+        tf AS (
+          SELECT *,
+            (CASE WHEN se = 0 THEN NULL
+              ELSE (diff + 5.0) / se END) AS z_lo,
+            (CASE WHEN se = 0 THEN NULL
+              ELSE (5.0 - diff) / se END) AS z_hi,
+            (n_a > 1 AND n_b > 1 AND se > 0) AS ok
+          FROM tz)
+        SELECT n_a, n_b,
+               CASE WHEN ok THEN round(m_a, 6) END AS mean_a,
+               CASE WHEN ok THEN round(m_b, 6) END AS mean_b,
+               CASE WHEN ok THEN round(diff, 6) END AS diff,
+               CASE WHEN ok THEN round(se, 6) END AS se,
+               CASE WHEN ok THEN round(z_lo, 6) END AS z_lower,
+               CASE WHEN ok THEN round(z_hi, 6) END AS z_upper,
+               CASE WHEN ok
+                 THEN z_lo > 1.644854 AND z_hi > 1.644854 END
+                 AS equivalent_5pct
+        FROM tf
+    """
+
 
     # Fleiss' kappa: exact integer sums end-to-end; only the final
     # ratios are doubles, mirrored operation-for-operation.

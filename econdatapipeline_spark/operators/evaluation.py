@@ -2153,3 +2153,250 @@ def event_study(
         ).alias("coef"),
         F.when(okse, F.round(se, 6)).alias("se_diff"),
     )
+
+
+def yuen_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    trim: float = 0.2,
+) -> DataFrame:
+    """Yuen's trimmed-means t-test -> ONE row (n_a, n_b, h_a, h_b,
+    tmean_a, tmean_b, diff, t_stat, df, reject_5pct).
+
+    The robust two-sample location test (Yuen 1974): compare
+    gamma-trimmed means with winsorized-variance standard errors —
+    what a careful experimenter reaches for when effect_sizes shows
+    heavy tails that make the plain t/z read off outliers. g =
+    floor(trim*n) observations are trimmed from EACH side; variance
+    uses the winsorized sample; df is Welch-Satterthwaite on the
+    trimmed counts h = n - 2g. reject_5pct uses the normal 1.959964
+    critical value (documented approximation, accurate for h > 30 —
+    the regime any warehouse-scale experiment lives in).
+
+    Relational shape: ONE rank window per group (row_number + count —
+    tie order provably cannot change any output: boundary order
+    statistics and interior sums are multiset functions) feeding ONE
+    conditional aggregate of decimal-exact interior sums plus the two
+    boundary order statistics; winsorized sums are then g*lo + g*hi
+    arithmetic on exact decimals — no second scan, no winsorized
+    materialization. Inputs floor-quantized decimal(18,6) (portable
+    at money midpoints). NULLs when h <= 1 on either side.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+
+    def _q6(c):
+        return (
+            F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)")
+
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.when(F.col(group_col) == F.lit(group_a), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("g"),
+        _q6(F.col(value_col).cast("double")).alias("v"),
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    ranked = base.select(
+        "g",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("g"))
+        .alias("n"),
+    ).withColumn(
+        "gt", F.floor(F.lit(float(trim)) * F.col("n")).cast("long")
+    )
+    interior = (F.col("rk") > F.col("gt")) & (
+        F.col("rk") <= F.col("n") - F.col("gt")
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    per_g = ranked.groupBy("g").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("gt").alias("gt"),
+        F.sum(F.when(interior, dec(F.col("v")))).alias("s_int"),
+        F.sum(
+            F.when(interior, dec(F.col("v") * F.col("v")))
+        ).alias("s2_int"),
+        F.max(
+            F.when(F.col("rk") == F.col("gt") + 1, F.col("v"))
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rk") == F.col("n") - F.col("gt"), F.col("v")
+            )
+        ).alias("hi"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    gd = d("gt")
+    nd = d("n")
+    hd = nd - F.lit(2.0) * gd
+    # winsorized sums: interior (decimal-exact) + g copies of each
+    # boundary, tail arithmetic in a FIXED double chain — decimal
+    # long-x-decimal scale rules differ between engines, doubles are
+    # IEEE-identical
+    d_lo = F.col("lo").cast("double")
+    d_hi = F.col("hi").cast("double")
+    sw = F.col("s_int").cast("double") + gd * (d_lo + d_hi)
+    sww = F.col("s2_int").cast("double") + gd * (
+        d_lo * d_lo + d_hi * d_hi
+    )
+    tmean = dv(d("s_int"), hd)
+    var_w = dv(sww - dv(sw * sw, nd), nd - F.lit(1.0))
+    dterm = dv((nd - F.lit(1.0)) * var_w, hd * (hd - F.lit(1.0)))
+    stats = per_g.select(
+        "g",
+        F.col("n"),
+        hd.alias("h"),
+        tmean.alias("tm"),
+        dterm.alias("dt"),
+    )
+    one = stats.groupBy().agg(
+        F.max(F.when(F.col("g") == "a", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("g") == "b", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("g") == "a", F.col("h"))).alias("h_a"),
+        F.max(F.when(F.col("g") == "b", F.col("h"))).alias("h_b"),
+        F.max(F.when(F.col("g") == "a", F.col("tm"))).alias("tm_a"),
+        F.max(F.when(F.col("g") == "b", F.col("tm"))).alias("tm_b"),
+        F.max(F.when(F.col("g") == "a", F.col("dt"))).alias("dt_a"),
+        F.max(F.when(F.col("g") == "b", F.col("dt"))).alias("dt_b"),
+    )
+    diff = F.col("tm_a") - F.col("tm_b")
+    se2 = F.col("dt_a") + F.col("dt_b")
+    t = dv(diff, F.sqrt(se2))
+    dfree = dv(
+        se2 * se2,
+        dv(
+            F.col("dt_a") * F.col("dt_a"), F.col("h_a") - F.lit(1.0)
+        )
+        + dv(
+            F.col("dt_b") * F.col("dt_b"), F.col("h_b") - F.lit(1.0)
+        ),
+    )
+    ok = (
+        (F.col("h_a") > 1)
+        & (F.col("h_b") > 1)
+        & F.col("dt_a").isNotNull()
+        & F.col("dt_b").isNotNull()
+        & (se2 > 0)
+    )
+    return one.select(
+        "n_a",
+        "n_b",
+        F.col("h_a").cast("long").alias("h_a"),
+        F.col("h_b").cast("long").alias("h_b"),
+        F.when(ok, F.round(F.col("tm_a"), 6)).alias("tmean_a"),
+        F.when(ok, F.round(F.col("tm_b"), 6)).alias("tmean_b"),
+        F.when(ok, F.round(diff, 6)).alias("diff"),
+        F.when(ok, F.round(t, 6)).alias("t_stat"),
+        F.when(ok, F.round(dfree, 6)).alias("df"),
+        F.when(ok, F.abs(t) > F.lit(1.959964)).alias("reject_5pct"),
+    )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    margin: float,
+) -> DataFrame:
+    """TOST equivalence test -> ONE row (n_a, n_b, mean_a, mean_b,
+    diff, se, z_lower, z_upper, equivalent_5pct).
+
+    Two One-Sided Tests (Schuirmann 1987): the experiment readout
+    that can CONFIRM "no meaningful difference" — a non-significant
+    ab_ztest never does. H0: |mu_a − mu_b| >= margin; equivalence is
+    declared when BOTH one-sided z statistics clear the one-sided 5%
+    normal critical 1.644854: z_lower = (diff + margin)/se and
+    z_upper = (margin − diff)/se, Welch se. The standard gate for
+    "the cheap variant is as good" decisions.
+
+    ONE decimal-exact aggregate (n, Σv, Σv² per arm, conditional) —
+    map-side combinable, no windows, no joins; fixed-order doubles
+    after. NULLs when either arm has n < 2 or zero variance on both.
+    """
+    if margin <= 0:
+        raise ValueError(f"margin must be > 0, got {margin}")
+
+    def _q6(c):
+        return (
+            F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)")
+
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.when(F.col(group_col) == F.lit(group_a), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("g"),
+        _q6(F.col(value_col).cast("double")).alias("v"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    agg = base.groupBy().agg(
+        *[
+            F.sum(
+                F.when(F.col("g") == arm, F.lit(1)).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"n_{arm}")
+            for arm in ("a", "b")
+        ],
+        *[
+            F.sum(
+                F.when(F.col("g") == arm, dec(F.col("v")))
+            ).alias(f"s_{arm}")
+            for arm in ("a", "b")
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.col("g") == arm, dec(F.col("v") * F.col("v"))
+                )
+            ).alias(f"q_{arm}")
+            for arm in ("a", "b")
+        ],
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    out = {}
+    for arm in ("a", "b"):
+        nd = d(f"n_{arm}")
+        out[f"m_{arm}"] = dv(d(f"s_{arm}"), nd)
+        out[f"v_{arm}"] = dv(
+            d(f"q_{arm}") - dv(d(f"s_{arm}") * d(f"s_{arm}"), nd),
+            nd - F.lit(1.0),
+        )
+    diff = out["m_a"] - out["m_b"]
+    se = F.sqrt(
+        dv(out["v_a"], d("n_a")) + dv(out["v_b"], d("n_b"))
+    )
+    mg = F.lit(float(margin))
+    z_lo = dv(diff + mg, se)
+    z_hi = dv(mg - diff, se)
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, F.round(out["m_a"], 6)).alias("mean_a"),
+        F.when(ok, F.round(out["m_b"], 6)).alias("mean_b"),
+        F.when(ok, F.round(diff, 6)).alias("diff"),
+        F.when(ok, F.round(se, 6)).alias("se"),
+        F.when(ok, F.round(z_lo, 6)).alias("z_lower"),
+        F.when(ok, F.round(z_hi, 6)).alias("z_upper"),
+        F.when(
+            ok,
+            (z_lo > F.lit(1.644854)) & (z_hi > F.lit(1.644854)),
+        ).alias("equivalent_5pct"),
+    )

@@ -381,3 +381,100 @@ def test_association_rules_mega_basket_dropped(spark):
 
     with pytest.raises(ValueError):
         association_rules(df, "basket", "item", min_pair_support=0)
+
+
+# ---------------------------------------------------------------------------
+# yuen_ttest
+# ---------------------------------------------------------------------------
+
+def _yuen_numpy(a, b, trim=0.2):
+    """Float replay of Yuen's schedule (floor-quantized inputs)."""
+    res = []
+    for v in (a, b):
+        x = np.sort(np.floor(np.asarray(v, float) * 1e6 + 0.5) / 1e6)
+        n = len(x)
+        g = int(np.floor(trim * n))
+        h = n - 2 * g
+        interior = x[g : n - g]
+        tm = interior.sum() / h
+        wx = np.concatenate([[x[g]] * g, interior, [x[n - g - 1]] * g])
+        sw, sww = wx.sum(), (wx * wx).sum()
+        var_w = (sww - sw * sw / n) / (n - 1)
+        dt = (n - 1) * var_w / (h * (h - 1))
+        res.append((n, h, tm, dt))
+    (na, ha, ta, da), (nb, hb, tb, db) = res
+    t = (ta - tb) / np.sqrt(da + db)
+    dfree = (da + db) ** 2 / (da * da / (ha - 1) + db * db / (hb - 1))
+    return ta, tb, t, dfree
+
+
+def test_yuen_resists_outliers_and_matches_replay(spark):
+    from econdatapipeline_spark.operators.evaluation import yuen_ttest
+
+    rng = np.random.RandomState(13)
+    a = np.round(rng.normal(10.0, 1.0, 300), 3)
+    b = np.round(rng.normal(10.1, 1.0, 280), 3)
+    b[:6] += 500.0  # gross outliers inflate the raw mean of b
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "arm string, v double")
+    row = yuen_ttest(df, "v", "arm", "a", "b").collect()[0]
+    ta, tb, t_ref, df_ref = _yuen_numpy(a, b)
+    assert row["tmean_a"] == pytest.approx(ta, abs=1e-5)
+    assert row["tmean_b"] == pytest.approx(tb, abs=1e-5)
+    assert row["t_stat"] == pytest.approx(t_ref, abs=1e-4)
+    assert row["df"] == pytest.approx(df_ref, abs=1e-3)
+    # trimmed means ignore the outliers: tmean_b stays ~10.1
+    assert abs(row["tmean_b"] - 10.1) < 0.2
+    assert row["n_b"] == 280 and row["h_b"] == 280 - 2 * 56
+
+
+def test_yuen_degenerate_and_validation(spark):
+    from econdatapipeline_spark.operators.evaluation import yuen_ttest
+
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "arm string, v double"
+    )
+    row = yuen_ttest(tiny, "v", "arm", "a", "b").collect()[0]
+    assert row["t_stat"] is None  # h_b = 1
+    with pytest.raises(ValueError):
+        yuen_ttest(tiny, "v", "arm", "a", "b", trim=0.5)
+
+
+# ---------------------------------------------------------------------------
+# tost_equivalence
+# ---------------------------------------------------------------------------
+
+def test_tost_confirms_and_denies_equivalence(spark):
+    from econdatapipeline_spark.operators.evaluation import (
+        tost_equivalence,
+    )
+
+    rng = np.random.RandomState(29)
+    a = np.round(rng.normal(5.0, 1.0, 2000), 3)
+    b_same = np.round(rng.normal(5.02, 1.0, 2000), 3)
+    b_diff = np.round(rng.normal(5.6, 1.0, 2000), 3)
+
+    def _run(b):
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "arm string, v double")
+        return tost_equivalence(df, "v", "arm", "a", "b", margin=0.2).collect()[0]
+
+    r1 = _run(b_same)
+    assert r1["equivalent_5pct"] is True
+    # z replay
+    qa = np.floor(a * 1e6 + 0.5) / 1e6
+    qb = np.floor(b_same * 1e6 + 0.5) / 1e6
+    se = np.sqrt(qa.var(ddof=1) / len(qa) + qb.var(ddof=1) / len(qb))
+    diff = qa.mean() - qb.mean()
+    assert r1["se"] == pytest.approx(se, abs=1e-6)
+    assert r1["z_lower"] == pytest.approx((diff + 0.2) / se, abs=1e-4)
+    assert r1["z_upper"] == pytest.approx((0.2 - diff) / se, abs=1e-4)
+
+    r2 = _run(b_diff)
+    assert r2["equivalent_5pct"] is False
+
+    with pytest.raises(ValueError):
+        _ = tost_equivalence(
+            spark.createDataFrame([("a", 1.0)], "arm string, v double"),
+            "v", "arm", "a", "b", margin=0.0,
+        )
