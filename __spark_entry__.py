@@ -1793,6 +1793,29 @@ def _node_label():
     )
 
 
+
+def q_hits(spark, sf_dir):
+    """Fixed-iteration HITS over the DIRECTED customer->supplier trade
+    graph (operators/graph.hits): customers are hubs ("buys from good
+    suppliers"), suppliers are authorities — the two rankings
+    pagerank's single score conflates. Sum-normalized half-rounds
+    with decimal-exact normalizers, unrolled-CTE replayable."""
+    from econdatapipeline_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    out = hits(pairs, "src", "dst", iterations=2)
+    return out.select(_node_label().alias("node"), "authority", "hub")
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the symmetrized customer-supplier
     trade graph (distinct pairs from lineitem x orders). Iterative join +
@@ -7246,6 +7269,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "association_rules": q_association_rules,
         "yuen_ttest": q_yuen_ttest,
         "tost_equivalence": q_tost_equivalence,
+        "hits": q_hits,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16262,6 +16286,59 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # HITS: unrolled half-rounds, decimal-exact L1 normalizers, the
+    # markov_stationary quantization channel between rounds.
+    def _hits_half(name, prev, key_from, key_to):
+        return f"""
+        {name}_raw AS (
+          SELECT e.{key_to} AS node,
+                 CAST(SUM(CAST(r.v AS DECIMAL(28,12))) AS DOUBLE) AS v
+          FROM ed e JOIN {prev} r ON e.{key_from} = r.node
+          GROUP BY e.{key_to}),
+        {name}_full AS (
+          SELECT n.node, COALESCE(x.v, 0.0) AS v
+          FROM hnodes n LEFT JOIN {name}_raw x ON n.node = x.node),
+        {name}_tot AS (
+          SELECT CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+            AS tot FROM {name}_full),
+        {name} AS (
+          SELECT node,
+                 CAST(CAST(CASE WHEN tot = 0 THEN NULL
+                      ELSE v / tot END AS DECIMAL(18,9)) AS DOUBLE)
+                   AS v
+          FROM {name}_full CROSS JOIN {name}_tot)"""
+
+    sql["hits"] = f"""
+        WITH ed AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        hnodes AS (
+          SELECT DISTINCT src AS node FROM ed
+          UNION SELECT DISTINCT dst FROM ed),
+        a1_raw AS (
+          SELECT dst AS node,
+                 CAST(SUM(CAST(1.0 AS DECIMAL(28,12))) AS DOUBLE) AS v
+          FROM ed GROUP BY dst),
+        a1_full AS (
+          SELECT n.node, COALESCE(x.v, 0.0) AS v
+          FROM hnodes n LEFT JOIN a1_raw x ON n.node = x.node),
+        a1_tot AS (
+          SELECT CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+            AS tot FROM a1_full),
+        a1 AS (
+          SELECT node,
+                 CAST(CAST(CASE WHEN tot = 0 THEN NULL
+                      ELSE v / tot END AS DECIMAL(18,9)) AS DOUBLE)
+                   AS v
+          FROM a1_full CROSS JOIN a1_tot),{_hits_half("h1", "a1", "dst", "src")},{_hits_half("a2", "h1", "src", "dst")},{_hits_half("h2", "a2", "dst", "src")}
+        SELECT CASE WHEN a2.node % 2 = 0 THEN 'C' || (a2.node // 2)
+                    ELSE 'S' || ((a2.node - 1) // 2) END AS node,
+               round(a2.v, 6) AS authority,
+               round(h2.v, 6) AS hub
+        FROM a2 JOIN h2 ON a2.node = h2.node
+    """
+
 
     # Yuen trimmed t: rank window + conditional decimal sums; the
     # winsorized tail is a fixed double chain (matches the operator).

@@ -1069,3 +1069,107 @@ def random_walks_biased(
         )
         frontier = nxt
     return out
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    partitioned: bool = False,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) -> (node, authority, hub).
+
+    The hubs-and-authorities companion to pagerank: a(v) = sum of
+    h(u) over in-edges, h(u) = sum of a(v) over out-edges,
+    SUM-normalized each half-round (the L1 choice keeps the
+    normalizer a decimal-exact aggregate an oracle replays; the
+    classic L2 only changes scores by a per-round constant factor, so
+    rankings are identical). Hub scores separate "links to good
+    pages" from "is a good page" — on a citation or reference graph
+    the two rankings answer different questions, which is why this is
+    not redundant with pagerank.
+
+    Plan shape per round: two keyed joins of the |nodes|-sized score
+    relation against the cached degree-annotated edges + two hash
+    aggregates + two 1-row normalizer crossjoins. ``partitioned``
+    mirrors pagerank's billion-node escape: scores SHUFFLE onto the
+    pinned hash(src) edge layout instead of broadcasting. Scores are
+    quantized decimal(18,9) between rounds (the markov_stationary
+    channel), so both modes and both engines are bit-identical.
+    Nodes with no in-edges carry authority 0; no out-edges, hub 0.
+    Executes eagerly and releases its working sets (_finish).
+    """
+    if iterations < 1:
+        raise ValueError("hits needs iterations >= 1")
+    ed = _edge_relation(edges, src, dst, partitioned)
+    mb = (lambda df: df) if partitioned else F.broadcast
+    dec_sum = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    q9 = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+
+    nodes = (
+        ed.select(F.col("e_src").alias("node"))
+        .union(ed.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+
+    def _norm(scores: DataFrame, col: str) -> DataFrame:
+        tot = scores.agg(
+            F.sum(F.col(col).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("_tot")
+        )
+        return scores.crossJoin(F.broadcast(tot)).select(
+            "node",
+            q9(F.try_divide(F.col(col), F.col("_tot"))).alias(col),
+        )
+
+    # round 1 shortcut: h_0 = 1 everywhere, so the first authority
+    # aggregate is just the in-degree
+    a_raw = ed.groupBy(F.col("e_dst").alias("node")).agg(
+        dec_sum(F.lit(1.0)).alias("authority")
+    )
+    auth = _norm(
+        nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce("authority", F.lit(0.0)).alias("authority")
+        ),
+        "authority",
+    )
+    hub = None
+    for it in range(iterations):
+        h_raw = (
+            ed.join(mb(auth), ed.e_dst == auth.node)
+            .select(F.col("e_src").alias("node"), F.col("authority").alias("c"))
+            .groupBy("node")
+            .agg(dec_sum(F.col("c")).alias("hub"))
+        )
+        hub = _norm(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+        if it == iterations - 1:
+            break
+        a_raw = (
+            ed.join(mb(hub), ed.e_src == hub.node)
+            .select(F.col("e_dst").alias("node"), F.col("hub").alias("c"))
+            .groupBy("node")
+            .agg(dec_sum(F.col("c")).alias("authority"))
+        )
+        auth = _norm(
+            nodes.join(a_raw, "node", "left").select(
+                "node",
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            ),
+            "authority",
+        )
+    out = auth.join(hub, "node").select(
+        "node",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    ).localCheckpoint(eager=True)
+    ed.unpersist()
+    nodes.unpersist()
+    return out

@@ -478,3 +478,67 @@ def test_tost_confirms_and_denies_equivalence(spark):
             spark.createDataFrame([("a", 1.0)], "arm string, v double"),
             "v", "arm", "a", "b", margin=0.0,
         )
+
+
+# ---------------------------------------------------------------------------
+# hits
+# ---------------------------------------------------------------------------
+
+def _hits_numpy(edges, iterations=3):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[idx[u], idx[v]] = 1.0
+    h = np.ones(n)
+    a = A.T @ h
+    a = a / a.sum()
+    for it in range(iterations):
+        h = A @ a
+        h = h / h.sum()
+        if it == iterations - 1:
+            break
+        a = A.T @ h
+        a = a / a.sum()
+    return {nodes[i]: (a[i], h[i]) for i in range(n)}
+
+
+def test_hits_matches_replay_and_separates_roles(spark):
+    from econdatapipeline_spark.operators.graph import hits
+
+    # two portals (p1, p2) linking to three content pages; c1 also
+    # links onward, so it has a small hub score too
+    edges = [
+        ("p1", "c1"), ("p1", "c2"), ("p1", "c3"),
+        ("p2", "c1"), ("p2", "c2"),
+        ("c1", "c2"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = {r["node"]: r for r in hits(df, "src", "dst", iterations=3).collect()}
+    ref = _hits_numpy(edges, 3)
+    for n, (a_ref, h_ref) in ref.items():
+        assert rows[n]["authority"] == pytest.approx(a_ref, abs=1e-5), n
+        assert rows[n]["hub"] == pytest.approx(h_ref, abs=1e-5), n
+    # portals are hubs, content pages are authorities
+    assert rows["p1"]["hub"] > rows["c2"]["hub"]
+    assert rows["c2"]["authority"] > rows["p1"]["authority"]
+    # pure hub has zero authority; pure authority has zero hub
+    assert rows["p1"]["authority"] == 0.0
+    assert rows["c3"]["hub"] == 0.0
+
+
+def test_hits_partitioned_twin(spark):
+    from econdatapipeline_spark.operators.graph import hits
+
+    rng = np.random.RandomState(8)
+    edges = list({(int(rng.randint(0, 40)), int(rng.randint(0, 40)))
+                  for _ in range(200)})
+    edges = [(f"n{u}", f"n{v}") for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(hits(df, iterations=2).collect())
+    b = sorted(hits(df, iterations=2, partitioned=True).collect())
+    assert a == b  # bit-identical across modes
+
+    with pytest.raises(ValueError):
+        hits(df, iterations=0)
