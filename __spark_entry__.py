@@ -1816,6 +1816,84 @@ def q_hits(spark, sf_dir):
     return out.select(_node_label().alias("node"), "authority", "hub")
 
 
+
+def q_price_index(spark, sf_dir):
+    """Bilateral price indices of the part catalog by ship year vs
+    the 1995 base (operators/econ.price_index): matched-model join,
+    decimal-exact expenditure sums for Laspeyres/Paasche/Fisher, the
+    quantized-ln channel for Tornqvist — the index-number readout the
+    reference's price series assume upstream."""
+    from econdatapipeline_spark.operators.econ import price_index
+
+    li = _t(spark, sf_dir, "lineitem")
+    pq = li.groupBy(
+        F.col("l_partkey").alias("item"),
+        F.year("l_shipdate").cast("long").alias("t"),
+    ).agg(
+        F.try_divide(
+            _dsum(F.col("l_extendedprice")), _dsum(F.col("l_quantity"))
+        ).alias("p"),
+        _dsum(F.col("l_quantity")).alias("q"),
+    )
+    return price_index(pq, "item", "t", "p", "q", base_period=1995).orderBy(
+        "t"
+    )
+
+
+def q_shift_share(spark, sf_dir):
+    """Shift-share decomposition of 1995->2000 revenue growth (k$) by
+    customer nation x part manufacturer (operators/econ.shift_share):
+    national tide, industry mix, and local competitiveness — three
+    effects that sum exactly to each cell's change."""
+    from econdatapipeline_spark.operators.econ import shift_share
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pt = _t(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        / 1000.0
+    )
+    yr = F.year("o_orderdate")
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(pt, li.l_partkey == pt.p_partkey)
+        .filter(yr.isin([1995, 2000]))
+        .select(
+            F.col("n_name").alias("region"),
+            F.col("p_brand").alias("industry"),
+            F.when(yr == 1995, rev).otherwise(F.lit(0.0)).alias("vb"),
+            F.when(yr == 2000, rev).otherwise(F.lit(0.0)).alias("ve"),
+        )
+    )
+    return shift_share(rows, "region", "industry", "vb", "ve").orderBy(
+        "region", "industry"
+    )
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation census (operators/econ.rfm_segments):
+    recency/frequency/monetary quintile scores against exact global
+    quantile thresholds through the certified percentile channel —
+    never a single-partition ntile sort — then the segment grid with
+    its average spend (k$)."""
+    from econdatapipeline_spark.operators.econ import rfm_segments
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_totalprice") / 1000.0).alias("v"),
+    )
+    return rfm_segments(
+        o, "o_custkey", "o_orderdate", "v", "1998-12-31", n_bins=5
+    ).orderBy("r_score", "f_score", "m_score")
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the symmetrized customer-supplier
     trade graph (distinct pairs from lineitem x orders). Iterative join +
@@ -7270,6 +7348,9 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "yuen_ttest": q_yuen_ttest,
         "tost_equivalence": q_tost_equivalence,
         "hits": q_hits,
+        "price_index": q_price_index,
+        "shift_share": q_shift_share,
+        "rfm_segments": q_rfm_segments,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16286,6 +16367,143 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # Price indices: matched-model join, exact expenditure sums,
+    # quantized-ln Tornqvist terms.
+    sql["price_index"] = """
+        WITH pipq AS (
+          SELECT l_partkey AS i,
+                 CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS t,
+                 CAST(floor(((CASE WHEN CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) = 0 THEN NULL ELSE (CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)) / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) END)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS p,
+                 CAST(floor((CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS q
+          FROM lineitem GROUP BY 1, 2),
+        pib AS (
+          SELECT i, p AS p0, q AS q0 FROM pipq WHERE t = 1995),
+        pij AS (
+          SELECT c.t, c.p, c.q, b.p0, b.q0
+          FROM pipq c JOIN pib b ON c.i = b.i WHERE c.t <> 1995),
+        pis AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS n_matched,
+            CAST(SUM(CAST(CAST(p AS DECIMAL(19,6)) * CAST(q0 AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS ptq0,
+            CAST(SUM(CAST(CAST(p0 AS DECIMAL(19,6)) * CAST(q0 AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS p0q0,
+            CAST(SUM(CAST(CAST(p AS DECIMAL(19,6)) * CAST(q AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS ptqt,
+            CAST(SUM(CAST(CAST(p0 AS DECIMAL(19,6)) * CAST(q AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS p0qt,
+            MAX(CASE WHEN p <= 0 OR p0 <= 0 THEN 1 ELSE 0 END)
+              AS bad_price
+          FROM pij GROUP BY t),
+        pitot AS (SELECT t, p0q0 AS e0, ptqt AS et FROM pis),
+        pitorn AS (
+          SELECT j.t,
+            CAST(SUM(CAST(
+              (0.5 * ((CASE WHEN e0 = 0 THEN NULL ELSE (CAST(p0 AS DOUBLE) * CAST(q0 AS DOUBLE)) / e0 END)
+                      + (CASE WHEN et = 0 THEN NULL ELSE (CAST(p AS DOUBLE) * CAST(q AS DOUBLE)) / et END)))
+              * ln((CASE WHEN CAST(p0 AS DOUBLE) = 0 THEN NULL ELSE (CAST(p AS DOUBLE)) / CAST(p0 AS DOUBLE) END))
+              AS DECIMAL(28,12))) AS DOUBLE) AS lnt
+          FROM pij j JOIN pitot ON j.t = pitot.t GROUP BY j.t)
+        SELECT s.t AS t, n_matched,
+               CASE WHEN n_matched > 0
+                 THEN round((CASE WHEN p0q0 = 0 THEN NULL ELSE (ptq0) / p0q0 END), 6) END AS laspeyres,
+               CASE WHEN n_matched > 0
+                 THEN round((CASE WHEN p0qt = 0 THEN NULL ELSE (ptqt) / p0qt END), 6) END AS paasche,
+               CASE WHEN n_matched > 0
+                 THEN round(sqrt((CASE WHEN p0q0 = 0 THEN NULL ELSE (ptq0) / p0q0 END) * (CASE WHEN p0qt = 0 THEN NULL ELSE (ptqt) / p0qt END)), 6)
+                 END AS fisher,
+               CASE WHEN n_matched > 0 AND bad_price = 0
+                 THEN round(exp(lnt), 6) END AS tornqvist
+        FROM pis s JOIN pitorn ON s.t = pitorn.t
+        ORDER BY t
+    """
+
+    # Shift-share: cell/industry/national margins, exact decomposition.
+    sql["shift_share"] = """
+        WITH ssrows AS (
+          SELECT n_name AS r, p_brand AS ind,
+            CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+              THEN l_extendedprice * (1.0 - l_discount) / 1000.0
+              ELSE 0.0 END AS vb,
+            CASE WHEN EXTRACT(year FROM o_orderdate) = 2000
+              THEN l_extendedprice * (1.0 - l_discount) / 1000.0
+              ELSE 0.0 END AS ve
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN part ON l_partkey = p_partkey
+          WHERE EXTRACT(year FROM o_orderdate) IN (1995, 2000)),
+        sscell AS (
+          SELECT r, ind,
+            CAST(SUM(CAST(floor((vb) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE) AS vb,
+            CAST(SUM(CAST(floor((ve) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE) AS ve
+          FROM ssrows GROUP BY r, ind),
+        ssind AS (
+          SELECT ind,
+            CAST(SUM(CAST(vb AS DECIMAL(28,6))) AS DOUBLE) AS ib,
+            CAST(SUM(CAST(ve AS DECIMAL(28,6))) AS DOUBLE) AS ie
+          FROM sscell GROUP BY ind),
+        ssnat AS (
+          SELECT
+            CAST(SUM(CAST(vb AS DECIMAL(28,6))) AS DOUBLE) AS nb,
+            CAST(SUM(CAST(ve AS DECIMAL(28,6))) AS DOUBLE) AS ne
+          FROM sscell)
+        SELECT c.r AS region, c.ind AS industry,
+               round(c.vb, 6) AS v_base, round(c.ve, 6) AS v_end,
+               round(c.vb * (CASE WHEN nb = 0 THEN NULL ELSE ((ne - nb)) / nb END), 6) AS national_effect,
+               round(c.vb * ((CASE WHEN ib = 0 THEN NULL ELSE ((ie - ib)) / ib END) - (CASE WHEN nb = 0 THEN NULL ELSE ((ne - nb)) / nb END)), 6)
+                 AS mix_effect,
+               round(c.vb * ((CASE WHEN c.vb = 0 THEN NULL ELSE ((c.ve - c.vb)) / c.vb END) - (CASE WHEN ib = 0 THEN NULL ELSE ((ie - ib)) / ib END)), 6)
+                 AS competitive_effect
+        FROM sscell c JOIN ssind ON c.ind = ssind.ind CROSS JOIN ssnat
+        ORDER BY region, industry
+    """
+
+    # RFM census: certified quantile thresholds, never a global ntile.
+    sql["rfm_segments"] = """
+        WITH rfc AS (
+          SELECT o_custkey AS c,
+                 CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                      DATE '1998-12-31') AS DOUBLE) AS rec,
+                 CAST(COUNT(*) AS DOUBLE) AS freq,
+                 CAST(SUM(CAST(floor((o_totalprice / 1000.0) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE) AS mon
+          FROM orders GROUP BY o_custkey),
+        rft AS (
+          SELECT
+            quantile_cont(rec, 0.2) AS rec_0,
+            quantile_cont(rec, 0.4) AS rec_1,
+            quantile_cont(rec, 0.6) AS rec_2,
+            quantile_cont(rec, 0.8) AS rec_3,
+            quantile_cont(freq, 0.2) AS freq_0,
+            quantile_cont(freq, 0.4) AS freq_1,
+            quantile_cont(freq, 0.6) AS freq_2,
+            quantile_cont(freq, 0.8) AS freq_3,
+            quantile_cont(mon, 0.2) AS mon_0,
+            quantile_cont(mon, 0.4) AS mon_1,
+            quantile_cont(mon, 0.6) AS mon_2,
+            quantile_cont(mon, 0.8) AS mon_3
+          FROM rfc),
+        rfs AS (
+          SELECT
+            1 + (CASE WHEN rec < rec_0 THEN 1 ELSE 0 END)
+              + (CASE WHEN rec < rec_1 THEN 1 ELSE 0 END)
+              + (CASE WHEN rec < rec_2 THEN 1 ELSE 0 END)
+              + (CASE WHEN rec < rec_3 THEN 1 ELSE 0 END) AS r_score,
+            1 + (CASE WHEN freq > freq_0 THEN 1 ELSE 0 END)
+              + (CASE WHEN freq > freq_1 THEN 1 ELSE 0 END)
+              + (CASE WHEN freq > freq_2 THEN 1 ELSE 0 END)
+              + (CASE WHEN freq > freq_3 THEN 1 ELSE 0 END) AS f_score,
+            1 + (CASE WHEN mon > mon_0 THEN 1 ELSE 0 END)
+              + (CASE WHEN mon > mon_1 THEN 1 ELSE 0 END)
+              + (CASE WHEN mon > mon_2 THEN 1 ELSE 0 END)
+              + (CASE WHEN mon > mon_3 THEN 1 ELSE 0 END) AS m_score,
+            mon
+          FROM rfc CROSS JOIN rft)
+        SELECT r_score, f_score, m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               round((CASE WHEN CAST(COUNT(*) AS DOUBLE) = 0 THEN NULL ELSE (CAST(SUM(CAST(mon AS DECIMAL(28,6))) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) END), 6)
+                 AS avg_monetary
+        FROM rfs GROUP BY 1, 2, 3
+        ORDER BY r_score, f_score, m_score
+    """
+
 
     # HITS: unrolled half-rounds, decimal-exact L1 normalizers, the
     # markov_stationary quantization channel between rounds.

@@ -542,3 +542,121 @@ def test_hits_partitioned_twin(spark):
 
     with pytest.raises(ValueError):
         hits(df, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# price_index
+# ---------------------------------------------------------------------------
+
+def test_price_index_known_basket(spark):
+    from econdatapipeline_spark.operators.econ import price_index
+
+    # two items; prices double for a, halve for b; quantities shift
+    rows = [
+        ("a", 0, 10.0, 100.0), ("b", 0, 20.0, 50.0),
+        ("a", 1, 20.0, 80.0), ("b", 1, 10.0, 70.0),
+        ("c", 1, 99.0, 1.0),  # enters in period 1: excluded (unmatched)
+    ]
+    df = spark.createDataFrame(rows, "item string, t long, p double, q double")
+    r = price_index(df, "item", "t", "p", "q", base_period=0).collect()[0]
+    assert r["n_matched"] == 2
+    # L = (20*100 + 10*50) / (10*100 + 20*50) = 2500/2000
+    assert r["laspeyres"] == pytest.approx(1.25)
+    # P = (20*80 + 10*70) / (10*80 + 20*70) = 2300/2200
+    assert r["paasche"] == pytest.approx(2300 / 2200, abs=1e-6)
+    assert r["fisher"] == pytest.approx(np.sqrt(1.25 * 2300 / 2200), abs=1e-6)
+    # Tornqvist replay
+    e0, et = 2000.0, 2300.0
+    w = lambda p0, q0, pt, qt: 0.5 * ((p0 * q0) / e0 + (pt * qt) / et)
+    lnt = w(10, 100, 20, 80) * np.log(2.0) + w(20, 50, 10, 70) * np.log(0.5)
+    assert r["tornqvist"] == pytest.approx(np.exp(lnt), abs=1e-6)
+
+
+def test_price_index_identity_and_zero_price(spark):
+    from econdatapipeline_spark.operators.econ import price_index
+
+    # unchanged prices -> all indices exactly 1
+    rows = [("a", 0, 5.0, 10.0), ("a", 1, 5.0, 99.0),
+            ("b", 0, 3.0, 4.0), ("b", 1, 3.0, 1.0)]
+    df = spark.createDataFrame(rows, "item string, t long, p double, q double")
+    r = price_index(df, "item", "t", "p", "q", base_period=0).collect()[0]
+    for c in ("laspeyres", "paasche", "fisher", "tornqvist"):
+        assert r[c] == pytest.approx(1.0), c
+
+    # zero price: L/P/F survive, tornqvist nulls
+    rows2 = rows + [("z", 0, 0.0, 5.0), ("z", 1, 1.0, 5.0)]
+    df2 = spark.createDataFrame(rows2, "item string, t long, p double, q double")
+    r2 = price_index(df2, "item", "t", "p", "q", base_period=0).collect()[0]
+    assert r2["laspeyres"] is not None
+    assert r2["tornqvist"] is None
+
+
+# ---------------------------------------------------------------------------
+# shift_share
+# ---------------------------------------------------------------------------
+
+def test_shift_share_identity(spark):
+    from econdatapipeline_spark.operators.econ import shift_share
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for r in ("north", "south", "west"):
+        for i in ("steel", "tech", "farm"):
+            vb = float(np.round(rng.uniform(50, 150), 2))
+            ve = float(np.round(vb * rng.uniform(0.7, 1.6), 2))
+            rows.append((r, i, vb, ve))
+    df = spark.createDataFrame(rows, "region string, industry string, vb double, ve double")
+    out = shift_share(df, "region", "industry", "vb", "ve").collect()
+    assert len(out) == 9
+    by = {(r["region"], r["industry"]): r for r in out}
+    for (reg, ind, vb, ve) in rows:
+        r = by[(reg, ind)]
+        total = r["national_effect"] + r["mix_effect"] + r["competitive_effect"]
+        # the three effects sum exactly to the absolute change
+        assert total == pytest.approx(ve - vb, abs=1e-4), (reg, ind)
+    # uniform growth -> zero mix and competitive effects
+    uni = [(r, i, 100.0, 120.0) for r in ("a", "b") for i in ("x", "y")]
+    df2 = spark.createDataFrame(uni, "region string, industry string, vb double, ve double")
+    for r in shift_share(df2, "region", "industry", "vb", "ve").collect():
+        assert r["national_effect"] == pytest.approx(20.0)
+        assert r["mix_effect"] == pytest.approx(0.0)
+        assert r["competitive_effect"] == pytest.approx(0.0)
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments
+# ---------------------------------------------------------------------------
+
+def test_rfm_segments_census(spark):
+    from econdatapipeline_spark.operators.econ import rfm_segments
+
+    rng = np.random.RandomState(41)
+    rows = []
+    for c in range(200):
+        n_orders = 1 + int(rng.randint(0, 10))
+        for _ in range(n_orders):
+            day = int(rng.randint(0, 365))
+            rows.append(
+                (c, f"2024-{1 + day // 31:02d}-{1 + day % 28:02d}",
+                 float(np.round(rng.uniform(10, 500), 2)))
+            )
+    df = spark.createDataFrame(rows, "cust long, d string, v double").select(
+        "cust", F.col("d").cast("date").alias("d"), "v"
+    )
+    out = rfm_segments(df, "cust", "d", "v", "2025-01-01", n_bins=5).collect()
+    # census covers every customer exactly once
+    assert sum(r["n_customers"] for r in out) == 200
+    # scores live in 1..5
+    for r in out:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5, r
+    # top-monetary cell outspends bottom cell
+    top = [r for r in out if r["m_score"] == 5]
+    bot = [r for r in out if r["m_score"] == 1]
+    avg = lambda rs: sum(r["avg_monetary"] * r["n_customers"] for r in rs) / sum(
+        r["n_customers"] for r in rs
+    )
+    assert avg(top) > avg(bot)
+
+    with pytest.raises(ValueError):
+        rfm_segments(df, "cust", "d", "v", "2025-01-01", n_bins=1)
