@@ -5057,6 +5057,76 @@ def q_tost_equivalence(spark, sf_dir):
     )
 
 
+
+def q_within_estimator(spark, sf_dir):
+    """One-way fixed-effects panel regression of monthly customer
+    spend (k$) on monthly order count
+    (operators/evaluation.within_estimator): per-entity exact means
+    swept out, one quantized demeaned-product aggregate — the panel
+    workhorse did_estimator special-cases to two groups."""
+    from econdatapipeline_spark.operators.evaluation import (
+        within_estimator,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    panel = o.groupBy(
+        F.col("o_custkey").alias("entity"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("t"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        (_dsum(F.col("o_totalprice")) / 1000.0).alias("y"),
+    )
+    return within_estimator(panel, "y", "x", "entity")
+
+
+def q_mediation_sobel(spark, sf_dir):
+    """Baron-Kenny/Sobel mediation: does quantity move discounted
+    revenue THROUGH gross price? (operators/evaluation.
+    mediation_sobel) x = l_quantity, m = gross price (k$), y =
+    discounted revenue (hundreds $ — a 6-decimal-exact unit). ONE
+    ten-moment decimal-exact aggregate, Cramer 2x2 fixed-order
+    doubles."""
+    from econdatapipeline_spark.operators.evaluation import (
+        mediation_sobel,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        (F.col("l_extendedprice") / 1000.0).alias("m"),
+        (
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            / 100.0
+        ).alias("y"),
+    )
+    return mediation_sobel(li, "x", "m", "y")
+
+
+def q_oaxaca_blinder(spark, sf_dir):
+    """Oaxaca-Blinder decomposition of the URGENT-vs-LOW order value
+    gap (k$) into composition (lineitem count) vs structure
+    (operators/evaluation.oaxaca_blinder): one conditional
+    decimal-exact aggregate, two-fold split from B's coefficients,
+    explained + unexplained == gap by construction."""
+    from econdatapipeline_spark.operators.evaluation import (
+        oaxaca_blinder,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cnt = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    j = o.join(cnt, o.o_orderkey == cnt.l_orderkey).select(
+        "o_orderpriority",
+        "x",
+        (F.col("o_totalprice") / 1000.0).alias("y"),
+    )
+    return oaxaca_blinder(
+        j, "y", "x", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7351,6 +7421,9 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "price_index": q_price_index,
         "shift_share": q_shift_share,
         "rfm_segments": q_rfm_segments,
+        "within_estimator": q_within_estimator,
+        "mediation_sobel": q_mediation_sobel,
+        "oaxaca_blinder": q_oaxaca_blinder,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16367,6 +16440,202 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # Within estimator: per-entity exact means, quantized demeaned
+    # products, fixed-order formula tree.
+    sql["within_estimator"] = """
+        WITH wrows AS (
+          SELECT o_custkey AS e,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS t,
+                 CAST(COUNT(*) AS DOUBLE) AS xx,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                      AS DOUBLE) / 1000.0 AS yy
+          FROM orders GROUP BY 1, 2),
+        wb AS (
+          SELECT e, CAST(xx AS DECIMAL(18,6)) AS x,
+                 CAST(yy AS DECIMAL(18,6)) AS y
+          FROM wrows WHERE xx IS NOT NULL AND yy IS NOT NULL),
+        went AS (
+          SELECT e, CAST(COUNT(*) AS BIGINT) AS ne,
+            CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sxe,
+            CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sye
+          FROM wb GROUP BY e),
+        wd AS (
+          SELECT wb.e AS e,
+            CAST(x AS DOUBLE) - sxe / CAST(ne AS DOUBLE) AS xd,
+            CAST(y AS DOUBLE) - sye / CAST(ne AS DOUBLE) AS yd
+          FROM wb JOIN went ON wb.e = went.e),
+        wagg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(DISTINCT e) AS BIGINT) AS k,
+            CAST(SUM(CAST(xd * xd AS DECIMAL(28,12))) AS DOUBLE)
+              AS sxx,
+            CAST(SUM(CAST(xd * yd AS DECIMAL(28,12))) AS DOUBLE)
+              AS sxy,
+            CAST(SUM(CAST(yd * yd AS DECIMAL(28,12))) AS DOUBLE)
+              AS syy
+          FROM wd),
+        wfin AS (
+          SELECT n, k, sxx, syy,
+            (CASE WHEN sxx = 0 THEN NULL ELSE (sxy) / sxx END) AS beta,
+            (syy - (CASE WHEN sxx = 0 THEN NULL ELSE (sxy) / sxx END) * sxy) AS rss,
+            (CAST(n AS DOUBLE) - CAST(k AS DOUBLE) - 1.0) AS dof
+          FROM wagg)
+        SELECT n, k AS n_entities,
+          CASE WHEN sxx > 0 AND syy > 0 AND dof > 0
+            THEN round(beta, 6) END AS beta,
+          CASE WHEN sxx > 0 AND syy > 0 AND dof > 0
+            THEN round(sqrt((CASE WHEN sxx = 0 THEN NULL ELSE ((CASE WHEN dof = 0 THEN NULL ELSE (rss) / dof END)) / sxx END)), 6) END AS se,
+          CASE WHEN sxx > 0 AND syy > 0 AND dof > 0
+            THEN round(1.0 - (CASE WHEN syy = 0 THEN NULL ELSE (rss) / syy END), 6) END AS within_r2
+        FROM wfin
+    """
+
+    # Mediation: one ten-moment aggregate + Cramer 2x2.
+    sql["mediation_sobel"] = """
+        WITH mb AS (
+          SELECT CAST(l_quantity AS DECIMAL(18,6)) AS x,
+                 CAST(l_extendedprice / 1000.0 AS DECIMAL(18,6)) AS m,
+                 CAST(l_extendedprice * (1.0 - l_discount) / 100.0
+                      AS DECIMAL(18,6)) AS y
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL
+            AND l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL),
+        ma AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE) AS sm,
+            CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(CAST(m AS DECIMAL(19,6)) * CAST(m AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS smm,
+            CAST(SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+            CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(m AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxm,
+            CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(CAST(m AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS smy
+          FROM mb),
+        mc AS (
+          SELECT n, CAST(n AS DOUBLE) AS nd,
+            sxx, smm, syy, sxm, sxy, smy, sx, sm, sy
+          FROM ma),
+        md AS (
+          SELECT n, nd,
+            (sxx - (CASE WHEN nd = 0 THEN NULL ELSE (sx * sx) / nd END)) AS cxx, (smm - (CASE WHEN nd = 0 THEN NULL ELSE (sm * sm) / nd END)) AS cmm, (syy - (CASE WHEN nd = 0 THEN NULL ELSE (sy * sy) / nd END)) AS cyy,
+            (sxm - (CASE WHEN nd = 0 THEN NULL ELSE (sx * sm) / nd END)) AS cxm, (sxy - (CASE WHEN nd = 0 THEN NULL ELSE (sx * sy) / nd END)) AS cxy, (smy - (CASE WHEN nd = 0 THEN NULL ELSE (sm * sy) / nd END)) AS cmy
+          FROM mc),
+        me AS (
+          SELECT n, nd, cxx, cmm, cyy, cxm, cxy, cmy,
+            (CASE WHEN cxx = 0 THEN NULL ELSE (cxm) / cxx END) AS a,
+            (cxx * cmm - cxm * cxm) AS det
+          FROM md),
+        mf AS (
+          SELECT *,
+            (cmm - a * cxm) AS rss_a,
+            (CASE WHEN det = 0 THEN NULL ELSE ((cxy * cmm - cmy * cxm)) / det END) AS c_prime,
+            (CASE WHEN det = 0 THEN NULL ELSE ((cmy * cxx - cxy * cxm)) / det END) AS b,
+            (CASE WHEN cxx = 0 THEN NULL ELSE (cxy) / cxx END) AS c_tot
+          FROM me),
+        mg AS (
+          SELECT *,
+            (CASE WHEN cxx = 0 THEN NULL ELSE ((CASE WHEN (nd - 2.0) = 0 THEN NULL ELSE (rss_a) / (nd - 2.0) END)) / cxx END) AS va,
+            (CASE WHEN (nd - 3.0) = 0 THEN NULL ELSE ((cyy - c_prime * cxy - b * cmy)) / (nd - 3.0) END)
+              AS sig2
+          FROM mf),
+        mh AS (
+          SELECT *, (CASE WHEN det = 0 THEN NULL ELSE ((sig2 * cxx)) / det END) AS vb,
+            (a * b) AS indirect,
+            (n > 3 AND cxx > 0 AND det > 0 AND a IS NOT NULL
+             AND b IS NOT NULL) AS ok
+          FROM mg)
+        SELECT n,
+          CASE WHEN ok THEN round(a, 6) END AS a,
+          CASE WHEN ok THEN round(b, 6) END AS b,
+          CASE WHEN ok THEN round(c_tot, 6) END AS c_total,
+          CASE WHEN ok THEN round(c_prime, 6) END AS c_prime,
+          CASE WHEN ok THEN round(indirect, 6) END AS indirect,
+          CASE WHEN ok THEN round((CASE WHEN sqrt(b * b * va + a * a * vb) = 0 THEN NULL ELSE (indirect) / sqrt(b * b * va + a * a * vb) END), 6) END AS sobel_z,
+          CASE WHEN ok THEN round((CASE WHEN c_tot = 0 THEN NULL ELSE (indirect) / c_tot END), 6) END
+            AS prop_mediated
+        FROM mh
+    """
+
+    # Oaxaca-Blinder: one conditional aggregate, two-fold split.
+    sql["oaxaca_blinder"] = """
+        WITH ocnt AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS xx
+          FROM lineitem GROUP BY l_orderkey),
+        ob AS (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 'a' ELSE 'b' END AS gg,
+                 CAST(xx AS DECIMAL(18,6)) AS x,
+                 CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS y
+          FROM orders JOIN ocnt ON o_orderkey = l_orderkey
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            AND o_totalprice IS NOT NULL),
+        oagg AS (
+          SELECT
+            CAST(SUM(CASE WHEN gg = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_a,
+            CAST(SUM(CASE WHEN gg = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_b,
+            CAST(SUM(CASE WHEN gg = 'a'
+                 THEN CAST(x AS DECIMAL(38,12)) END) AS DOUBLE)
+              AS sx_a,
+            CAST(SUM(CASE WHEN gg = 'a'
+                 THEN CAST(y AS DECIMAL(38,12)) END) AS DOUBLE)
+              AS sy_a,
+            CAST(SUM(CASE WHEN gg = 'a' THEN CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12)) END)
+                 AS DOUBLE) AS sxx_a,
+            CAST(SUM(CASE WHEN gg = 'a' THEN CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12)) END)
+                 AS DOUBLE) AS sxy_a,
+            CAST(SUM(CASE WHEN gg = 'b'
+                 THEN CAST(x AS DECIMAL(38,12)) END) AS DOUBLE)
+              AS sx_b,
+            CAST(SUM(CASE WHEN gg = 'b'
+                 THEN CAST(y AS DECIMAL(38,12)) END) AS DOUBLE)
+              AS sy_b,
+            CAST(SUM(CASE WHEN gg = 'b' THEN CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12)) END)
+                 AS DOUBLE) AS sxx_b,
+            CAST(SUM(CASE WHEN gg = 'b' THEN CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12)) END)
+                 AS DOUBLE) AS sxy_b
+          FROM ob),
+        oc AS (
+          SELECT n_a, n_b,
+            (sxx_a - (CASE WHEN CAST(n_a AS DOUBLE) = 0 THEN NULL ELSE (sx_a * sx_a) / CAST(n_a AS DOUBLE) END))
+              AS cxx_a,
+            (sxy_a - (CASE WHEN CAST(n_a AS DOUBLE) = 0 THEN NULL ELSE (sx_a * sy_a) / CAST(n_a AS DOUBLE) END))
+              AS cxy_a,
+            (sxx_b - (CASE WHEN CAST(n_b AS DOUBLE) = 0 THEN NULL ELSE (sx_b * sx_b) / CAST(n_b AS DOUBLE) END))
+              AS cxx_b,
+            (sxy_b - (CASE WHEN CAST(n_b AS DOUBLE) = 0 THEN NULL ELSE (sx_b * sy_b) / CAST(n_b AS DOUBLE) END))
+              AS cxy_b,
+            (CASE WHEN CAST(n_a AS DOUBLE) = 0 THEN NULL ELSE (sx_a) / CAST(n_a AS DOUBLE) END) AS xbar_a,
+            (CASE WHEN CAST(n_a AS DOUBLE) = 0 THEN NULL ELSE (sy_a) / CAST(n_a AS DOUBLE) END) AS ybar_a,
+            (CASE WHEN CAST(n_b AS DOUBLE) = 0 THEN NULL ELSE (sx_b) / CAST(n_b AS DOUBLE) END) AS xbar_b,
+            (CASE WHEN CAST(n_b AS DOUBLE) = 0 THEN NULL ELSE (sy_b) / CAST(n_b AS DOUBLE) END) AS ybar_b
+          FROM oagg),
+        od AS (
+          SELECT *, (CASE WHEN cxx_a = 0 THEN NULL ELSE (cxy_a) / cxx_a END) AS beta_a,
+                 (CASE WHEN cxx_b = 0 THEN NULL ELSE (cxy_b) / cxx_b END) AS beta_b,
+                 (ybar_a - ybar_b) AS gap,
+                 (n_a > 2 AND n_b > 2 AND cxx_a > 0 AND cxx_b > 0)
+                   AS ok
+          FROM oc)
+        SELECT n_a, n_b,
+          CASE WHEN ok THEN round(gap, 6) END AS gap,
+          CASE WHEN ok
+            THEN round((xbar_a - xbar_b) * beta_b, 6) END
+            AS explained,
+          CASE WHEN ok
+            THEN round(gap - (xbar_a - xbar_b) * beta_b, 6) END
+            AS unexplained,
+          CASE WHEN ok THEN round(beta_a, 6) END AS beta_a,
+          CASE WHEN ok THEN round(beta_b, 6) END AS beta_b,
+          CASE WHEN ok THEN round(xbar_a, 6) END AS xbar_a,
+          CASE WHEN ok THEN round(xbar_b, 6) END AS xbar_b
+        FROM od
+    """
+
 
     # Price indices: matched-model join, exact expenditure sums,
     # quantized-ln Tornqvist terms.

@@ -2400,3 +2400,257 @@ def tost_equivalence(
             (z_lo > F.lit(1.644854)) & (z_hi > F.lit(1.644854)),
         ).alias("equivalent_5pct"),
     )
+
+
+def within_estimator(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    entity_col: str,
+) -> DataFrame:
+    """One-way fixed-effects (within) estimator -> ONE row
+    (n, n_entities, beta, se, within_r2).
+
+    The workhorse panel regression: sweep out every entity's
+    time-invariant level by demeaning within entity, then OLS on the
+    deviations — identical to OLS with entity dummies but without
+    materializing them (the Frisch-Waugh-Lovell shortcut, exact for
+    one-way FE on any unbalanced panel). What did_estimator assumes
+    in two groups, this estimates from the full panel. se is the
+    conventional (homoskedastic) within SE with the n - n_entities -
+    1 degree-of-freedom correction; pair with newey_west residuals
+    when serial correlation matters.
+
+    Shape: ONE per-entity aggregate of decimal-exact (n, Σx, Σy)
+    joined back (AQE picks broadcast vs shuffle — the entity relation
+    is |entities|-sized), then ONE global aggregate of
+    decimal(28,12)-quantized demeaned products; fixed-order doubles
+    after. The demeaned values are double arithmetic on exact-sum
+    means — both engines execute the identical chain. NULLs when
+    every entity is a singleton (no within variance) or degenerate x.
+    """
+    base = df.filter(
+        F.col(y_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(entity_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("e"),
+        F.col(x_col).cast("decimal(18,6)").alias("x"),
+        F.col(y_col).cast("decimal(18,6)").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    q28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    ent = base.groupBy("e").agg(
+        F.count(F.lit(1)).cast("long").alias("ne"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sxe"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sye"),
+    )
+    j = base.join(ent, "e")
+    xd = F.col("x").cast("double") - F.col("sxe") / F.col("ne").cast(
+        "double"
+    )
+    yd = F.col("y").cast("double") - F.col("sye") / F.col("ne").cast(
+        "double"
+    )
+    agg = j.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct(F.col("e")).cast("long").alias("k"),
+        F.sum(q28(xd * xd)).cast("double").alias("sxx"),
+        F.sum(q28(xd * yd)).cast("double").alias("sxy"),
+        F.sum(q28(yd * yd)).cast("double").alias("syy"),
+    )
+    beta = dv(d("sxy"), d("sxx"))
+    rss = d("syy") - beta * d("sxy")
+    dof = d("n") - d("k") - F.lit(1.0)
+    se = F.sqrt(dv(dv(rss, dof), d("sxx")))
+    r2 = F.lit(1.0) - dv(rss, d("syy"))
+    ok = (F.col("sxx") > 0) & (F.col("syy") > 0) & (dof > 0)
+    return agg.select(
+        "n",
+        F.col("k").alias("n_entities"),
+        F.when(ok, F.round(beta, 6)).alias("beta"),
+        F.when(ok, F.round(se, 6)).alias("se"),
+        F.when(ok, F.round(r2, 6)).alias("within_r2"),
+    )
+
+
+def mediation_sobel(
+    df: DataFrame,
+    x_col: str,
+    m_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Baron-Kenny mediation with the Sobel test -> ONE row
+    (n, a, b, c_total, c_prime, indirect, sobel_z, prop_mediated).
+
+    "Does X move Y *through* M?" — the standard three-equation
+    decomposition: a from M ~ X, (c_prime, b) from Y ~ X + M, total
+    c from Y ~ X; indirect = a*b with Sobel's SE
+    sqrt(b^2 Va + a^2 Vb). prop_mediated = indirect / c_total (NULL
+    when c_total = 0). The causal-family companion to did/ipw: those
+    estimate THAT X moves Y, this splits the channel.
+
+    ONE decimal-exact aggregate of the ten cross-moments (n, Σx, Σm,
+    Σy, Σxx, Σmm, Σyy, Σxm, Σxy, Σmy), then a fixed-order double
+    formula tree (Cramer 2x2 for the two-covariate fit) both engines
+    replay. NULLs on collinear X/M or n < 4.
+    """
+    base = df.filter(
+        F.col(x_col).isNotNull()
+        & F.col(m_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("decimal(18,6)").alias("x"),
+        F.col(m_col).cast("decimal(18,6)").alias("m"),
+        F.col(y_col).cast("decimal(18,6)").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    agg = base.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("m"))).alias("sm"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("m") * F.col("m"))).alias("smm"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x") * F.col("m"))).alias("sxm"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("m") * F.col("y"))).alias("smy"),
+    )
+    nd = d("n")
+    cxx = d("sxx") - dv(d("sx") * d("sx"), nd)
+    cmm = d("smm") - dv(d("sm") * d("sm"), nd)
+    cyy = d("syy") - dv(d("sy") * d("sy"), nd)
+    cxm = d("sxm") - dv(d("sx") * d("sm"), nd)
+    cxy = d("sxy") - dv(d("sx") * d("sy"), nd)
+    cmy = d("smy") - dv(d("sm") * d("sy"), nd)
+    # M ~ X
+    a = dv(cxm, cxx)
+    rss_a = cmm - a * cxm
+    va = dv(dv(rss_a, nd - F.lit(2.0)), cxx)
+    # Y ~ X + M (centered Cramer 2x2)
+    det = cxx * cmm - cxm * cxm
+    c_prime = dv(cxy * cmm - cmy * cxm, det)
+    b = dv(cmy * cxx - cxy * cxm, det)
+    rss_y = cyy - c_prime * cxy - b * cmy
+    sig2 = dv(rss_y, nd - F.lit(3.0))
+    vb = dv(sig2 * cxx, det)
+    # Y ~ X (total)
+    c_tot = dv(cxy, cxx)
+    indirect = a * b
+    sobel_se = F.sqrt(b * b * va + a * a * vb)
+    ok = (
+        (F.col("n") > 3)
+        & (cxx > 0)
+        & (det > 0)
+        & a.isNotNull()
+        & b.isNotNull()
+    )
+    return agg.select(
+        "n",
+        F.when(ok, F.round(a, 6)).alias("a"),
+        F.when(ok, F.round(b, 6)).alias("b"),
+        F.when(ok, F.round(c_tot, 6)).alias("c_total"),
+        F.when(ok, F.round(c_prime, 6)).alias("c_prime"),
+        F.when(ok, F.round(indirect, 6)).alias("indirect"),
+        F.when(ok, F.round(dv(indirect, sobel_se), 6)).alias(
+            "sobel_z"
+        ),
+        F.when(ok, F.round(dv(indirect, c_tot), 6)).alias(
+            "prop_mediated"
+        ),
+    )
+
+
+def oaxaca_blinder(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Oaxaca-Blinder gap decomposition -> ONE row (n_a, n_b, gap,
+    explained, unexplained, beta_a, beta_b, xbar_a, xbar_b).
+
+    The classic labor-econ question: how much of the A-vs-B outcome
+    gap is composition (different X) vs structure (different returns
+    to X)? Using B's coefficients as the reference (the standard
+    two-fold split from B's viewpoint):
+
+        gap = ybar_a - ybar_b
+        explained   = (xbar_a - xbar_b) * beta_b
+        unexplained = gap - explained
+
+    ONE conditional decimal-exact aggregate (both groups' five sums
+    in one pass), fixed-order doubles after. The two-fold identity
+    explained + unexplained = gap holds by construction (tested).
+    NULLs on degenerate x-variance in either group or n < 3.
+    """
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(y_col).isNotNull()
+        & F.col(x_col).isNotNull()
+    ).select(
+        F.when(F.col(group_col) == F.lit(group_a), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("g"),
+        F.col(x_col).cast("decimal(18,6)").alias("x"),
+        F.col(y_col).cast("decimal(18,6)").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    aggs = []
+    for arm in ("a", "b"):
+        w = F.col("g") == arm
+        aggs += [
+            F.sum(F.when(w, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{arm}"),
+            F.sum(F.when(w, dec(F.col("x")))).alias(f"sx_{arm}"),
+            F.sum(F.when(w, dec(F.col("y")))).alias(f"sy_{arm}"),
+            F.sum(F.when(w, dec(F.col("x") * F.col("x")))).alias(
+                f"sxx_{arm}"
+            ),
+            F.sum(F.when(w, dec(F.col("x") * F.col("y")))).alias(
+                f"sxy_{arm}"
+            ),
+        ]
+    agg = base.groupBy().agg(*aggs)
+    out = {}
+    for arm in ("a", "b"):
+        nd = d(f"n_{arm}")
+        cxx = d(f"sxx_{arm}") - dv(
+            d(f"sx_{arm}") * d(f"sx_{arm}"), nd
+        )
+        cxy = d(f"sxy_{arm}") - dv(
+            d(f"sx_{arm}") * d(f"sy_{arm}"), nd
+        )
+        out[f"beta_{arm}"] = dv(cxy, cxx)
+        out[f"xbar_{arm}"] = dv(d(f"sx_{arm}"), nd)
+        out[f"ybar_{arm}"] = dv(d(f"sy_{arm}"), nd)
+        out[f"cxx_{arm}"] = cxx
+    gap = out["ybar_a"] - out["ybar_b"]
+    explained = (out["xbar_a"] - out["xbar_b"]) * out["beta_b"]
+    ok = (
+        (F.col("n_a") > 2)
+        & (F.col("n_b") > 2)
+        & (out["cxx_a"] > 0)
+        & (out["cxx_b"] > 0)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, F.round(gap, 6)).alias("gap"),
+        F.when(ok, F.round(explained, 6)).alias("explained"),
+        F.when(ok, F.round(gap - explained, 6)).alias("unexplained"),
+        F.when(ok, F.round(out["beta_a"], 6)).alias("beta_a"),
+        F.when(ok, F.round(out["beta_b"], 6)).alias("beta_b"),
+        F.when(ok, F.round(out["xbar_a"], 6)).alias("xbar_a"),
+        F.when(ok, F.round(out["xbar_b"], 6)).alias("xbar_b"),
+    )

@@ -660,3 +660,169 @@ def test_rfm_segments_census(spark):
 
     with pytest.raises(ValueError):
         rfm_segments(df, "cust", "d", "v", "2025-01-01", n_bins=1)
+
+
+# ---------------------------------------------------------------------------
+# within_estimator
+# ---------------------------------------------------------------------------
+
+def test_within_estimator_sweeps_entity_effects(spark):
+    from econdatapipeline_spark.operators.evaluation import (
+        within_estimator,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = []
+    true_beta = 1.7
+    for e in range(50):
+        alpha = float(rng.normal(0, 10))  # big entity effects
+        for _ in range(12):
+            x = float(np.round(rng.uniform(0, 4) + alpha / 5, 3))
+            y = float(np.round(alpha + true_beta * x + rng.normal(0, 0.5), 3))
+            rows.append((f"e{e}", x, y))
+    df = spark.createDataFrame(rows, "entity string, x double, y double")
+    row = within_estimator(df, "y", "x", "entity").collect()[0]
+    assert row["n"] == 600 and row["n_entities"] == 50
+    # entity effects correlate with x, so pooled OLS is badly biased;
+    # the within estimator recovers the truth
+    assert abs(row["beta"] - true_beta) < 0.1
+    xs = np.array([r[1] for r in rows]); ys = np.array([r[2] for r in rows])
+    pooled = np.cov(xs, ys)[0, 1] / np.var(xs)
+    assert abs(pooled - true_beta) > 0.5
+    # numpy replay of the demeaned regression
+    import collections
+    ent = collections.defaultdict(list)
+    for e, x, y in rows:
+        ent[e].append((x, y))
+    xd, yd = [], []
+    for vals in ent.values():
+        mx = sum(v[0] for v in vals) / len(vals)
+        my = sum(v[1] for v in vals) / len(vals)
+        xd += [v[0] - mx for v in vals]
+        yd += [v[1] - my for v in vals]
+    xd, yd = np.array(xd), np.array(yd)
+    beta_ref = (xd * yd).sum() / (xd * xd).sum()
+    assert row["beta"] == pytest.approx(beta_ref, abs=1e-5)
+    rss = ((yd - beta_ref * xd) ** 2).sum()
+    se_ref = np.sqrt(rss / (600 - 50 - 1) / (xd * xd).sum())
+    assert row["se"] == pytest.approx(se_ref, abs=1e-5)
+
+
+def test_within_estimator_singleton_entities_null(spark):
+    from econdatapipeline_spark.operators.evaluation import (
+        within_estimator,
+    )
+
+    df = spark.createDataFrame(
+        [(f"e{i}", float(i), float(i * 2)) for i in range(10)],
+        "entity string, x double, y double",
+    )
+    row = within_estimator(df, "y", "x", "entity").collect()[0]
+    assert row["beta"] is None  # all singletons: zero within variance
+
+
+# ---------------------------------------------------------------------------
+# mediation_sobel
+# ---------------------------------------------------------------------------
+
+def test_mediation_full_and_none(spark):
+    from econdatapipeline_spark.operators.evaluation import (
+        mediation_sobel,
+    )
+
+    rng = np.random.RandomState(23)
+    n = 2000
+    x = np.round(rng.normal(0, 1, n), 3)
+    # full mediation: X -> M -> Y, no direct path
+    m = np.round(0.8 * x + rng.normal(0, 0.5, n), 3)
+    y = np.round(1.2 * m + rng.normal(0, 0.5, n), 3)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, m, y)],
+        "x double, m double, y double",
+    )
+    r = mediation_sobel(df, "x", "m", "y").collect()[0]
+    assert abs(r["a"] - 0.8) < 0.06
+    assert abs(r["b"] - 1.2) < 0.06
+    assert abs(r["c_prime"]) < 0.06          # direct path ~ 0
+    assert r["sobel_z"] > 10                  # strongly significant
+    assert r["prop_mediated"] > 0.9
+    assert r["indirect"] == pytest.approx(
+        round(r["a"] * r["b"], 2), abs=0.05
+    )
+    # no mediation: M independent of X
+    m2 = np.round(rng.normal(0, 1, n), 3)
+    y2 = np.round(1.0 * x + rng.normal(0, 0.5, n), 3)
+    df2 = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, m2, y2)],
+        "x double, m double, y double",
+    )
+    r2 = mediation_sobel(df2, "x", "m", "y").collect()[0]
+    assert abs(r2["sobel_z"]) < 2.5
+    assert abs(r2["c_prime"] - 1.0) < 0.06
+
+
+def test_mediation_matches_statsmodels_free_replay(spark):
+    from econdatapipeline_spark.operators.evaluation import (
+        mediation_sobel,
+    )
+
+    rng = np.random.RandomState(77)
+    n = 500
+    x = np.round(rng.normal(0, 1, n), 3)
+    m = np.round(0.5 * x + rng.normal(0, 1, n), 3)
+    y = np.round(0.4 * m + 0.3 * x + rng.normal(0, 1, n), 3)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, m, y)],
+        "x double, m double, y double",
+    )
+    r = mediation_sobel(df, "x", "m", "y").collect()[0]
+    X1 = np.column_stack([np.ones(n), x])
+    a_hat = np.linalg.lstsq(X1, m, rcond=None)[0][1]
+    X2 = np.column_stack([np.ones(n), x, m])
+    cb = np.linalg.lstsq(X2, y, rcond=None)[0]
+    assert r["a"] == pytest.approx(a_hat, abs=1e-4)
+    assert r["c_prime"] == pytest.approx(cb[1], abs=1e-4)
+    assert r["b"] == pytest.approx(cb[2], abs=1e-4)
+    # Sobel variance replay
+    e_a = m - X1 @ np.linalg.lstsq(X1, m, rcond=None)[0]
+    va = (e_a @ e_a / (n - 2)) / ((x - x.mean()) @ (x - x.mean()))
+    e_y = y - X2 @ cb
+    sig2 = e_y @ e_y / (n - 3)
+    xc = x - x.mean(); mc = m - m.mean()
+    det = (xc @ xc) * (mc @ mc) - (xc @ mc) ** 2
+    vb = sig2 * (xc @ xc) / det
+    z_ref = a_hat * cb[2] / np.sqrt(cb[2] ** 2 * va + a_hat ** 2 * vb)
+    assert r["sobel_z"] == pytest.approx(z_ref, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# oaxaca_blinder
+# ---------------------------------------------------------------------------
+
+def test_oaxaca_identity_and_known_split(spark):
+    from econdatapipeline_spark.operators.evaluation import (
+        oaxaca_blinder,
+    )
+
+    rng = np.random.RandomState(61)
+    # group a: higher x AND higher returns
+    xa = np.round(rng.uniform(2, 6, 800), 3)
+    ya = np.round(1.0 + 2.0 * xa + rng.normal(0, 0.3, 800), 3)
+    xb = np.round(rng.uniform(1, 5, 900), 3)
+    yb = np.round(1.0 + 1.5 * xb + rng.normal(0, 0.3, 900), 3)
+    rows = [("a", float(x), float(y)) for x, y in zip(xa, ya)]
+    rows += [("b", float(x), float(y)) for x, y in zip(xb, yb)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = oaxaca_blinder(df, "y", "x", "g", "a", "b").collect()[0]
+    # two-fold identity
+    assert r["explained"] + r["unexplained"] == pytest.approx(
+        r["gap"], abs=2e-6
+    )
+    assert r["beta_a"] == pytest.approx(2.0, abs=0.05)
+    assert r["beta_b"] == pytest.approx(1.5, abs=0.05)
+    # explained part = (xbar gap) * beta_b
+    assert r["explained"] == pytest.approx(
+        (xa.mean() - xb.mean()) * r["beta_b"], abs=0.02
+    )
+    # both components positive here: composition AND structure favor a
+    assert r["explained"] > 0 and r["unexplained"] > 0
