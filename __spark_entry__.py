@@ -5127,6 +5127,41 @@ def q_oaxaca_blinder(spark, sf_dir):
     )
 
 
+
+def q_periodogram(spark, sf_dir):
+    """Schuster periodogram of the monthly order series (M$) per
+    priority at harmonics 1..12 (operators/timeseries.periodogram):
+    integer-exact angle reduction (2*pi*((k*t) mod n)/n), quantized
+    cos/sin terms, ONE aggregate over the bounded k-grid — the
+    spectral twin of seasonal_strength."""
+    from econdatapipeline_spark.operators.timeseries import periodogram
+
+    series = _monthly_order_series(spark, sf_dir).select(
+        "dataset", "date", (F.col("value") / 1e6).alias("value")
+    )
+    return periodogram(
+        series, "value", "date", "dataset", max_k=12
+    ).orderBy("dataset", "k")
+
+
+def q_brier_decompose(spark, sf_dir):
+    """Murphy decomposition of a quantity-based return-probability
+    forecast (operators/evaluation.brier_decompose): reliability /
+    resolution / uncertainty with the exact binned identity — the
+    probabilistic-forecast report card beside ece and roc_auc."""
+    from econdatapipeline_spark.operators.evaluation import (
+        brier_decompose,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .alias("y"),
+        (F.col("l_quantity") / 50.0).alias("p"),
+    )
+    return brier_decompose(li, "y", "p", n_bins=10)
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7424,6 +7459,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "within_estimator": q_within_estimator,
         "mediation_sobel": q_mediation_sobel,
         "oaxaca_blinder": q_oaxaca_blinder,
+        "periodogram": q_periodogram,
+        "brier_decompose": q_brier_decompose,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16440,6 +16477,118 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # Periodogram: integer-exact angle reduction keeps libm args in
+    # [0, 2*pi); cos/sin terms quantized decimal(28,12).
+    sql["periodogram"] = """
+        WITH pgm AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS o,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                      AS DOUBLE) / 1000000.0 AS value
+          FROM orders GROUP BY 1, 2),
+        pgb AS (
+          SELECT g, o,
+                 CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS v
+          FROM pgm WHERE value IS NOT NULL),
+        pgr AS (
+          SELECT g, v,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY o)
+                      - 1 AS BIGINT) AS t,
+                 CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+          FROM pgb),
+        pgmn AS (
+          SELECT g,
+            CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+            MAX(n) AS nn
+          FROM pgr GROUP BY g),
+        pgc AS (
+          SELECT pgr.g AS g, t, n,
+            CAST(v AS DOUBLE) - sv / CAST(nn AS DOUBLE) AS x
+          FROM pgr JOIN pgmn ON pgr.g = pgmn.g),
+        pgg AS (
+          SELECT g, t, n, x, CAST(k AS BIGINT) AS k
+          FROM pgc CROSS JOIN
+            (SELECT UNNEST(generate_series(1, 12)) AS k)),
+        pga AS (
+          SELECT g, k, MAX(n) AS n,
+            CAST(SUM(CAST(x * cos(2.0 * pi()
+                 * (CAST((k * t) % n AS DOUBLE) / CAST(n AS DOUBLE)))
+                 AS DECIMAL(28,12))) AS DOUBLE) AS sc,
+            CAST(SUM(CAST(x * sin(2.0 * pi()
+                 * (CAST((k * t) % n AS DOUBLE) / CAST(n AS DOUBLE)))
+                 AS DECIMAL(28,12))) AS DOUBLE) AS ss
+          FROM pgg GROUP BY g, k)
+        SELECT g AS dataset, k, n,
+               round((CASE WHEN CAST(k AS DOUBLE) = 0 THEN NULL ELSE (CAST(n AS DOUBLE)) / CAST(k AS DOUBLE) END), 6)
+                 AS period,
+               CASE WHEN n >= 24 THEN
+                 round((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE ((sc * sc + ss * ss)) / CAST(n AS DOUBLE) END), 6)
+               END AS power
+        FROM pga ORDER BY dataset, k
+    """
+
+    # Brier/Murphy decomposition: exact counts, quantized prob sums.
+    sql["brier_decompose"] = """
+        WITH bb AS (
+          SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                      AS DOUBLE) AS y,
+                 l_quantity / 50.0 AS p,
+                 least(CAST(floor((l_quantity / 50.0) * 10) AS BIGINT),
+                       9) AS b
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL
+            AND l_quantity / 50.0 >= 0.0
+            AND l_quantity / 50.0 <= 1.0),
+        bbin AS (
+          SELECT b, CAST(COUNT(*) AS BIGINT) AS nb_,
+            CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) AS sp,
+            CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS sy,
+            CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(28,12)))
+                 AS DOUBLE) AS sq
+          FROM bb GROUP BY b),
+        btot AS (
+          SELECT CAST(SUM(nb_) AS BIGINT) AS n,
+            CAST(SUM(sy) AS BIGINT) AS sy_tot,
+            CAST(SUM(CAST(sq AS DECIMAL(28,12))) AS DOUBLE)
+              AS brier_sum
+          FROM bbin),
+        bper AS (
+          SELECT b, nb_, n, sy_tot, brier_sum,
+            (CASE WHEN CAST(nb_ AS DOUBLE) = 0 THEN NULL ELSE (sp) / CAST(nb_ AS DOUBLE) END) AS pbar,
+            (CASE WHEN CAST(nb_ AS DOUBLE) = 0 THEN NULL ELSE (CAST(sy AS DOUBLE)) / CAST(nb_ AS DOUBLE) END) AS ybar_b,
+            (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (CAST(sy_tot AS DOUBLE)) / CAST(n AS DOUBLE) END) AS ybar
+          FROM bbin CROSS JOIN btot),
+        bfin AS (
+          SELECT MAX(n) AS n, MAX(ybar) AS ybar,
+            MAX(brier_sum) AS brier_sum,
+            CAST(SUM(CAST(CAST(nb_ AS DOUBLE) * (pbar - ybar_b)
+                 * (pbar - ybar_b) AS DECIMAL(28,12))) AS DOUBLE)
+              AS rel_sum,
+            CAST(SUM(CAST(CAST(nb_ AS DOUBLE) * (ybar_b - ybar)
+                 * (ybar_b - ybar) AS DECIMAL(28,12))) AS DOUBLE)
+              AS res_sum
+          FROM bper)
+        SELECT n,
+          CASE WHEN n > 0 THEN
+            round((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (brier_sum) / CAST(n AS DOUBLE) END), 6) END
+            AS brier,
+          CASE WHEN n > 0 THEN
+            round((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (rel_sum) / CAST(n AS DOUBLE) END), 6) END
+            AS reliability,
+          CASE WHEN n > 0 THEN
+            round((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (res_sum) / CAST(n AS DOUBLE) END), 6) END
+            AS resolution,
+          CASE WHEN n > 0 THEN
+            round(ybar * (1.0 - ybar), 6) END AS uncertainty,
+          CASE WHEN n > 0 THEN
+            round((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (rel_sum) / CAST(n AS DOUBLE) END)
+                  - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (res_sum) / CAST(n AS DOUBLE) END)
+                  + ybar * (1.0 - ybar), 6) END AS brier_binned
+        FROM bfin
+    """
+
 
     # Within estimator: per-entity exact means, quantized demeaned
     # products, fixed-order formula tree.

@@ -2654,3 +2654,103 @@ def oaxaca_blinder(
         F.when(ok, F.round(out["xbar_a"], 6)).alias("xbar_a"),
         F.when(ok, F.round(out["xbar_b"], 6)).alias("xbar_b"),
     )
+
+
+def brier_decompose(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score -> ONE row
+    (n, brier, reliability, resolution, uncertainty, brier_binned).
+
+    The forecast-quality split every probabilistic model report
+    should carry: brier = reliability - resolution + uncertainty,
+    where reliability is calibration error (ece's quadratic cousin),
+    resolution is how much the forecast separates outcomes, and
+    uncertainty = ybar(1 - ybar) is the no-skill floor. The identity
+    holds exactly for bin-mean forecasts (emitted as brier_binned);
+    ``brier`` is the raw mean squared error of the unbinned
+    probabilities (the within-bin variance gap between the two is the
+    binning loss).
+
+    ONE pass to bin (floor(p * n_bins), top edge clamped), one
+    bin-level aggregate (exact counts + decimal-quantized prob sums),
+    one global fold — map-side combinable throughout. NULLs on empty
+    input; probabilities outside [0, 1] raise at plan level via an
+    ANSI-safe filter (they are dropped and counted is the caller's
+    job upstream — this operator asserts on nothing it cannot see).
+    """
+    if n_bins < 2 or n_bins > 100:
+        raise ValueError(f"n_bins must be in 2..100, got {n_bins}")
+    nb = F.lit(int(n_bins))
+    base = df.filter(
+        F.col(label_col).isNotNull()
+        & F.col(prob_col).isNotNull()
+        & (F.col(prob_col) >= 0.0)
+        & (F.col(prob_col) <= 1.0)
+    ).select(
+        F.col(label_col).cast("double").alias("y"),
+        F.col(prob_col).cast("double").alias("p"),
+        F.least(
+            F.floor(F.col(prob_col) * nb).cast("long"),
+            (nb - F.lit(1)).cast("long"),
+        ).alias("b"),
+    )
+    q12 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    bins = base.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("nb_"),
+        F.sum(q12(F.col("p"))).cast("double").alias("sp"),
+        F.sum(F.col("y")).cast("long").alias("sy"),
+        F.sum(q12((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))))
+        .cast("double")
+        .alias("sq"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    tot = bins.groupBy().agg(
+        F.sum("nb_").cast("long").alias("n"),
+        F.sum(F.col("sy")).cast("long").alias("sy_tot"),
+        F.sum(q12(d("sq"))).cast("double").alias("brier_sum"),
+    )
+    per_bin = bins.crossJoin(F.broadcast(tot)).select(
+        "b",
+        "nb_",
+        "n",
+        "sy_tot",
+        "brier_sum",
+        dv(d("sp"), d("nb_")).alias("pbar"),
+        dv(d("sy"), d("nb_")).alias("ybar_b"),
+        dv(d("sy_tot"), d("n")).alias("ybar"),
+    )
+    rel_t = (
+        F.col("nb_").cast("double")
+        * (F.col("pbar") - F.col("ybar_b"))
+        * (F.col("pbar") - F.col("ybar_b"))
+    )
+    res_t = (
+        F.col("nb_").cast("double")
+        * (F.col("ybar_b") - F.col("ybar"))
+        * (F.col("ybar_b") - F.col("ybar"))
+    )
+    fin = per_bin.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("ybar").alias("ybar"),
+        F.max("brier_sum").alias("brier_sum"),
+        F.sum(q12(rel_t)).cast("double").alias("rel_sum"),
+        F.sum(q12(res_t)).cast("double").alias("res_sum"),
+    )
+    nd = d("n")
+    rel = dv(d("rel_sum"), nd)
+    res = dv(d("res_sum"), nd)
+    unc = F.col("ybar") * (F.lit(1.0) - F.col("ybar"))
+    ok = F.col("n") > 0
+    return fin.select(
+        "n",
+        F.when(ok, F.round(dv(d("brier_sum"), nd), 6)).alias("brier"),
+        F.when(ok, F.round(rel, 6)).alias("reliability"),
+        F.when(ok, F.round(res, 6)).alias("resolution"),
+        F.when(ok, F.round(unc, 6)).alias("uncertainty"),
+        F.when(ok, F.round(rel - res + unc, 6)).alias("brier_binned"),
+    )

@@ -2881,3 +2881,110 @@ def ar_fit(
         ).alias("r2")
     )
     return cur.select(*out)
+
+
+def periodogram(
+    df: DataFrame,
+    value_col: str,
+    order_col: str = "date",
+    group_col: str = "dataset",
+    max_k: int = 12,
+) -> DataFrame:
+    """Schuster periodogram at the first ``max_k`` Fourier
+    frequencies -> (group, k, n, period, power).
+
+    The spectral view of a series: power at harmonic k concentrates
+    when the series cycles every n/k observations — the direct test
+    for "is there an annual cycle" that seasonal_strength infers from
+    autocorrelations. I(f_k) = (1/n)[(sum x_t cos(2*pi*k*t/n))^2 +
+    (sum x_t sin(2*pi*k*t/n))^2] over the demeaned series.
+
+    Engine-parity discipline: t and k stay INTEGERS and the angle is
+    2*pi*((k*t) mod n)/n — the modulus keeps libm's argument in
+    [0, 2*pi) so neither engine pays large-argument reduction, and
+    pi enters as each engine's correctly-rounded double (identical).
+    cos/sin terms are quantized decimal(28,12) before the sum (the
+    ln/entropy channel). The mean is the decimal-exact sum / n.
+    Shape: one rank window per group (order_col must be unique per
+    group), a bounded k-grid explode (rows = n * max_k), ONE hash
+    aggregate. NULL power when n < 2*max_k (frequencies above
+    Nyquist).
+    """
+    import math  # noqa: PLC0415
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if max_k < 1 or max_k > 64:
+        raise ValueError(f"max_k must be in 1..64, got {max_k}")
+
+    # floor-based half-up quantize (portable at money midpoints —
+    # the arch_test note)
+    def _q6(c):
+        return (
+            F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)")
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        _q6(F.col(value_col).cast("double")).alias("v"),
+    )
+    w = Window.partitionBy("g").orderBy("o")
+    ranked = base.select(
+        "g",
+        "v",
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("t"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("g"))
+        .cast("long")
+        .alias("n"),
+    )
+    means = ranked.groupBy("g").agg(
+        F.sum(F.col("v").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sv"),
+        F.max("n").alias("nn"),
+    )
+    centered = ranked.join(F.broadcast(means), "g").select(
+        "g",
+        "t",
+        "n",
+        (
+            F.col("v").cast("double")
+            - F.col("sv") / F.col("nn").cast("double")
+        ).alias("x"),
+    )
+    grid = centered.select(
+        "g",
+        "t",
+        "n",
+        "x",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(max_k)))
+        ).alias("k0"),
+    ).withColumn("k", F.col("k0").cast("long")).drop("k0")
+    two_pi = F.lit(2.0) * F.lit(math.pi)
+    ang = two_pi * (
+        ((F.col("k") * F.col("t")) % F.col("n")).cast("double")
+        / F.col("n").cast("double")
+    )
+    q28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    sums = grid.groupBy("g", "k").agg(
+        F.max("n").alias("n"),
+        F.sum(q28(F.col("x") * F.cos(ang))).cast("double").alias("sc"),
+        F.sum(q28(F.col("x") * F.sin(ang))).cast("double").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    power = F.try_divide(
+        F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"), nd
+    )
+    ok = F.col("n") >= F.lit(2 * int(max_k))
+    return sums.select(
+        F.col("g").alias(group_col),
+        "k",
+        "n",
+        F.round(F.try_divide(nd, F.col("k").cast("double")), 6).alias(
+            "period"
+        ),
+        F.when(ok, F.round(power, 6)).alias("power"),
+    )

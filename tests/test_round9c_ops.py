@@ -826,3 +826,82 @@ def test_oaxaca_identity_and_known_split(spark):
     )
     # both components positive here: composition AND structure favor a
     assert r["explained"] > 0 and r["unexplained"] > 0
+
+
+# ---------------------------------------------------------------------------
+# periodogram
+# ---------------------------------------------------------------------------
+
+def test_periodogram_finds_planted_cycle(spark):
+    from econdatapipeline_spark.operators.timeseries import periodogram
+
+    n = 120
+    t = np.arange(n)
+    # strong 12-period cycle (k = n/12 = 10) + noise
+    rng = np.random.RandomState(2)
+    v = np.round(5.0 + 3.0 * np.sin(2 * np.pi * t / 12) + rng.normal(0, 0.3, n), 3)
+    df = _series_df(spark, v)
+    out = {r["k"]: r for r in periodogram(df, "value", "date", "dataset", max_k=15).collect()}
+    peak = max(out.values(), key=lambda r: r["power"])
+    assert peak["k"] == 10 and peak["period"] == pytest.approx(12.0)
+    # planted power dominates: ~ n * amp^2 / 4
+    assert peak["power"] > 10 * sorted(r["power"] for r in out.values())[-2]
+    # numpy replay at the peak
+    x = v - v.mean()
+    ang = 2 * np.pi * ((10 * t) % n) / n
+    p_ref = ((x * np.cos(ang)).sum() ** 2 + (x * np.sin(ang)).sum() ** 2) / n
+    assert peak["power"] == pytest.approx(p_ref, abs=1e-3)
+
+
+def test_periodogram_short_series_nulls(spark):
+    from econdatapipeline_spark.operators.timeseries import periodogram
+
+    df = _series_df(spark, list(np.arange(10.0)))
+    out = periodogram(df, "value", "date", "dataset", max_k=8).collect()
+    assert all(r["power"] is None for r in out)  # n < 2*max_k
+    with pytest.raises(ValueError):
+        periodogram(df, "value", max_k=0)
+
+
+# ---------------------------------------------------------------------------
+# brier_decompose
+# ---------------------------------------------------------------------------
+
+def test_brier_decomposition_identity_and_skill(spark):
+    from econdatapipeline_spark.operators.evaluation import (
+        brier_decompose,
+    )
+
+    rng = np.random.RandomState(19)
+    n = 5000
+    p_true = np.round(rng.uniform(0.05, 0.95, n), 2)
+    y = (rng.uniform(size=n) < p_true).astype(int)
+
+    # calibrated forecaster: p == true rate
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, p_true)],
+        "y long, p double",
+    )
+    r = brier_decompose(df, "y", "p").collect()[0]
+    assert r["n"] == n
+    # reliability ~ 0 for the calibrated forecaster; resolution > 0
+    assert r["reliability"] < 0.005
+    assert r["resolution"] > 0.02
+    # Murphy identity holds exactly for the binned score
+    assert r["brier_binned"] == pytest.approx(
+        r["reliability"] - r["resolution"] + r["uncertainty"], abs=2e-6
+    )
+    # raw brier replay
+    assert r["brier"] == pytest.approx(((p_true - y) ** 2).mean(), abs=1e-4)
+
+    # no-skill forecaster: constant base rate -> zero resolution
+    base = float(np.round(y.mean(), 2))
+    df2 = spark.createDataFrame(
+        [(int(a), base) for a in y], "y long, p double"
+    )
+    r2 = brier_decompose(df2, "y", "p").collect()[0]
+    assert r2["resolution"] == pytest.approx(0.0, abs=1e-4)
+    assert r2["brier"] == pytest.approx(r2["uncertainty"], abs=1e-3)
+
+    with pytest.raises(ValueError):
+        brier_decompose(df, "y", "p", n_bins=1)
