@@ -5162,6 +5162,56 @@ def q_brier_decompose(spark, sf_dir):
     return brier_decompose(li, "y", "p", n_bins=10)
 
 
+
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha over the 4-line orders: line slots 1..4 are
+    the "items", line price (k$) the score
+    (operators/stats.cronbach_alpha) — the multi-item reliability
+    gate beside fleiss_kappa, decimal-exact variances end-to-end."""
+    from econdatapipeline_spark.operators.stats import cronbach_alpha
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("subject"),
+        F.col("l_linenumber").alias("item"),
+        (F.col("l_extendedprice") / 1000.0).alias("score"),
+    )
+    return cronbach_alpha(li, "subject", "item", "score", n_items=4)
+
+
+def q_friedman_test(spark, sf_dir):
+    """Friedman rank test: do the five order priorities rank the same
+    within every customer nation? (operators/stats.friedman_test)
+    blocks = nations, treatments = priorities, value = revenue (k$);
+    exact half-integer average ranks (the wilcoxon channel), Conover
+    tie-robust Q vs the chi2(4) literal."""
+    from econdatapipeline_spark.operators.stats import friedman_test
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+            (F.col("o_totalprice") / 1000.0).alias("v"),
+        )
+    )
+    return friedman_test(j, "blk", "trt", "v", n_treatments=5)
+
+
+def q_diversity_index(spark, sf_dir):
+    """Language diversity per document source
+    (operators/stats.diversity_index): Shannon / Simpson / evenness
+    from exact counts with quantized-ln terms — the composition
+    dashboard beside vocab_by_source and chao1_vocab."""
+    from econdatapipeline_spark.operators.stats import diversity_index
+
+    d = _t(spark, sf_dir, "documents")
+    return diversity_index(d, "source", "lang").orderBy("source")
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7461,6 +7511,9 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "oaxaca_blinder": q_oaxaca_blinder,
         "periodogram": q_periodogram,
         "brier_decompose": q_brier_decompose,
+        "cronbach_alpha": q_cronbach_alpha,
+        "friedman_test": q_friedman_test,
+        "diversity_index": q_diversity_index,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16477,6 +16530,149 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # Cronbach's alpha: cell pass, item/total variances, global fold.
+    sql["cronbach_alpha"] = """
+        WITH cac AS (
+          SELECT l_orderkey AS s, l_linenumber AS i,
+                 CAST(SUM(CAST(l_extendedprice / 1000.0
+                      AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+          GROUP BY 1, 2),
+        caps AS (
+          SELECT s, CAST(COUNT(*) AS BIGINT) AS ki,
+                 CAST(SUM(CAST(v AS DECIMAL(38,12)))
+                      AS DECIMAL(38,12)) AS tot
+          FROM cac GROUP BY s),
+        cagood AS (SELECT s, tot FROM caps WHERE ki = 4),
+        cadrop AS (
+          SELECT CAST(SUM(CASE WHEN ki <> 4 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dropped
+          FROM caps),
+        cait AS (
+          SELECT CAST(SUM(CAST(var_i AS DECIMAL(28,12))) AS DOUBLE)
+            AS sum_var_i
+          FROM (
+            SELECT (CASE WHEN (CAST(ni AS DOUBLE) - 1.0) = 0 THEN NULL ELSE ((svv - (CASE WHEN CAST(ni AS DOUBLE) = 0 THEN NULL ELSE (sv * sv) / CAST(ni AS DOUBLE) END))) / (CAST(ni AS DOUBLE) - 1.0) END) AS var_i
+            FROM (
+              SELECT i, CAST(COUNT(*) AS BIGINT) AS ni,
+                CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+                CAST(SUM(CAST(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS svv
+              FROM cac JOIN cagood USING (s) GROUP BY i))),
+        catot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_subj,
+            CAST(SUM(tot) AS DOUBLE) AS st,
+            CAST(SUM(CAST(tot * tot AS DECIMAL(38,12))) AS DOUBLE)
+              AS stt
+          FROM cagood),
+        cafin AS (
+          SELECT n_subj, n_dropped, sum_var_i,
+            (CASE WHEN (CAST(n_subj AS DOUBLE) - 1.0) = 0 THEN NULL ELSE ((stt - (CASE WHEN CAST(n_subj AS DOUBLE) = 0 THEN NULL ELSE (st * st) / CAST(n_subj AS DOUBLE) END))) / (CAST(n_subj AS DOUBLE) - 1.0) END) AS var_t
+          FROM catot CROSS JOIN cait CROSS JOIN cadrop)
+        SELECT n_subj AS n_subjects, CAST(4 AS BIGINT) AS k_items,
+               n_dropped,
+               CASE WHEN n_subj > 1 AND var_t > 0
+                 THEN round(sum_var_i, 6) END AS sum_item_var,
+               CASE WHEN n_subj > 1 AND var_t > 0
+                 THEN round(var_t, 6) END AS total_var,
+               CASE WHEN n_subj > 1 AND var_t > 0
+                 THEN round(4.0 / (4.0 - 1.0)
+                      * (1.0 - (CASE WHEN var_t = 0 THEN NULL ELSE (sum_var_i) / var_t END)), 6) END
+                 AS alpha
+        FROM cafin
+    """
+
+    # Friedman: exact half-integer average ranks, Conover Q.
+    sql["friedman_test"] = """
+        WITH frc AS (
+          SELECT n_name AS blk, o_orderpriority AS trt,
+                 CAST(SUM(CAST(o_totalprice / 1000.0
+                      AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE o_totalprice IS NOT NULL
+          GROUP BY 1, 2),
+        frs AS (
+          SELECT blk, CAST(COUNT(*) AS BIGINT) AS kb
+          FROM frc GROUP BY blk),
+        frq AS (
+          SELECT frc.blk AS blk, trt, v
+          FROM frc JOIN frs ON frc.blk = frs.blk WHERE kb = 5),
+        frdrop AS (
+          SELECT CAST(SUM(CASE WHEN kb <> 5 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dropped
+          FROM frs),
+        frr AS (
+          SELECT blk, trt,
+            (CAST(RANK() OVER (PARTITION BY blk ORDER BY v)
+                  AS DOUBLE)
+             + (6.0 - CAST(RANK() OVER (PARTITION BY blk
+                  ORDER BY v DESC) AS DOUBLE))) / 2.0 AS r
+          FROM frq),
+        frt AS (
+          SELECT trt, SUM(r) AS rj FROM frr GROUP BY trt),
+        fra AS (
+          SELECT SUM(r * r) AS a,
+                 CAST(COUNT(*) // 5 AS BIGINT) AS n
+          FROM frr),
+        frdev AS (
+          SELECT MAX(n) AS n, MAX(a) AS a,
+            SUM((rj - CAST(n AS DOUBLE) * (5.0 + 1.0) / 2.0)
+                * (rj - CAST(n AS DOUBLE) * (5.0 + 1.0) / 2.0))
+              AS sdev
+          FROM frt CROSS JOIN fra),
+        frfin AS (
+          SELECT n, a, sdev,
+            (CAST(n AS DOUBLE) * 5.0 * (5.0 + 1.0) * (5.0 + 1.0)
+             / 4.0) AS c_term
+          FROM frdev)
+        SELECT n AS n_blocks, CAST(5 AS BIGINT) AS k, n_dropped,
+          CASE WHEN n > 1 AND (a - c_term) > 0
+            THEN round((CASE WHEN (a - c_term) = 0 THEN NULL ELSE ((5.0 - 1.0) * sdev) / (a - c_term) END), 6)
+            END AS q_stat,
+          CASE WHEN n > 1 AND (a - c_term) > 0
+            THEN (CASE WHEN (a - c_term) = 0 THEN NULL ELSE ((5.0 - 1.0) * sdev) / (a - c_term) END) > 9.487729
+            END AS reject_5pct
+        FROM frfin CROSS JOIN frdrop
+    """
+
+    # Diversity: exact counts + quantized-ln entropy terms.
+    sql["diversity_index"] = """
+        WITH dcell AS (
+          SELECT source AS g, lang AS c,
+                 CAST(COUNT(*) AS BIGINT) AS nc
+          FROM documents
+          WHERE source IS NOT NULL AND lang IS NOT NULL
+          GROUP BY 1, 2),
+        dtot AS (
+          SELECT g, CAST(SUM(nc) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS rich
+          FROM dcell GROUP BY g),
+        dper AS (
+          SELECT dcell.g AS g, MAX(n) AS n, MAX(rich) AS richness,
+            - CAST(SUM(CAST(
+                (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+                * ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+              AS DECIMAL(28,12))) AS DOUBLE) AS shannon,
+            1.0 - CAST(SUM(CAST(
+                (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+              AS DECIMAL(28,12))) AS DOUBLE) AS simpson
+          FROM dcell JOIN dtot ON dcell.g = dtot.g
+          GROUP BY dcell.g)
+        SELECT g AS source, n, richness,
+               round(shannon, 6) AS shannon,
+               round(simpson, 6) AS simpson,
+               CASE WHEN richness > 1 THEN
+                 round(CASE WHEN ln(CAST(richness AS DOUBLE)) = 0
+                       THEN NULL ELSE shannon
+                         / ln(CAST(richness AS DOUBLE)) END, 6)
+               END AS evenness
+        FROM dper ORDER BY source
+    """
+
 
     # Periodogram: integer-exact angle reduction keeps libm args in
     # [0, 2*pi); cos/sin terms quantized decimal(28,12).

@@ -2446,3 +2446,313 @@ def fleiss_kappa(
         F.when(F.col("n_subj") > 0, F.round(p_e, 6)).alias("p_e"),
         F.when(ok, F.round(kappa, 6)).alias("kappa"),
     )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    score_col: str,
+    n_items: int,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability -> ONE row
+    (n_subjects, k_items, n_dropped, sum_item_var, total_var, alpha).
+
+    The standard "do these k items measure one construct" gate on any
+    multi-item score (survey scales, rubric-scored LLM evals) before
+    the items are averaged into a single metric:
+
+        alpha = k/(k-1) * (1 - sum_i var_i / var_total)
+
+    with var_i the per-item sample variance across subjects and
+    var_total the variance of subject total scores. Subjects must
+    carry exactly ``n_items`` distinct items; incomplete subjects are
+    dropped whole and counted (the fleiss_kappa panel contract).
+
+    Shape: one (subject, item) cell pass, one per-item variance
+    aggregate + one per-subject total aggregate (both decimal-exact),
+    one global fold. NULL alpha when var_total = 0 or fewer than 2
+    qualifying subjects.
+    """
+    if n_items < 2:
+        raise ValueError(f"n_items must be >= 2, got {n_items}")
+    cell = (
+        df.filter(
+            F.col(subject_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & F.col(score_col).isNotNull()
+        )
+        .groupBy(
+            F.col(subject_col).alias("s"), F.col(item_col).alias("i")
+        )
+        .agg(
+            F.sum(F.col(score_col).cast("decimal(18,6)")).alias("v")
+        )
+    )
+    per_subj = cell.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("ki"),
+        F.sum(F.col("v").cast("decimal(38,12)")).alias("tot"),
+    )
+    k = int(n_items)
+    qual = per_subj.select(
+        "s", (F.col("ki") == F.lit(k)).alias("ok"), "tot"
+    )
+    good = qual.filter("ok").select("s", "tot")
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    # per-item variance over qualifying subjects
+    items = (
+        cell.join(good.select("s"), "s")
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ni"),
+            F.sum(dec(F.col("v"))).cast("double").alias("sv"),
+            F.sum(dec(F.col("v") * F.col("v")))
+            .cast("double")
+            .alias("svv"),
+        )
+        .select(
+            dv(
+                F.col("svv")
+                - dv(F.col("sv") * F.col("sv"), d("ni")),
+                d("ni") - F.lit(1.0),
+            ).alias("var_i")
+        )
+        .agg(
+            F.sum(F.col("var_i").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sum_var_i")
+        )
+    )
+    # subject-total variance
+    totals = good.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subj"),
+        F.sum(F.col("tot")).cast("double").alias("st"),
+        F.sum(
+            (F.col("tot") * F.col("tot")).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("stt"),
+    )
+    dropped = qual.agg(
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped")
+    )
+    j = totals.crossJoin(F.broadcast(items)).crossJoin(
+        F.broadcast(dropped)
+    )
+    nd = d("n_subj")
+    var_t = dv(
+        d("stt") - dv(d("st") * d("st"), nd), nd - F.lit(1.0)
+    )
+    kd = F.lit(float(k))
+    alpha = (
+        kd
+        / (kd - F.lit(1.0))
+        * (F.lit(1.0) - dv(d("sum_var_i"), var_t))
+    )
+    ok = (F.col("n_subj") > 1) & (var_t > 0)
+    return j.select(
+        F.col("n_subj").alias("n_subjects"),
+        F.lit(k).cast("long").alias("k_items"),
+        F.col("n_dropped"),
+        F.when(ok, F.round(d("sum_var_i"), 6)).alias("sum_item_var"),
+        F.when(ok, F.round(var_t, 6)).alias("total_var"),
+        F.when(ok, F.round(alpha, 6)).alias("alpha"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    n_treatments: int,
+) -> DataFrame:
+    """Friedman rank test for k related treatments -> ONE row
+    (n_blocks, k, n_dropped, q_stat, reject_5pct).
+
+    The repeated-measures companion to kruskal_wallis: each block
+    (subject) ranks the k treatments; under H0 every treatment has
+    the same rank distribution. Uses Conover's tie-robust form
+
+        Q = (k-1) * sum_j (R_j - n(k+1)/2)^2 / (A - C)
+
+    with R_j the treatment rank sums, A = sum of squared ranks and
+    C = n k (k+1)^2 / 4 — reduces to the classic 12/(nk(k+1)) formula
+    when no ties. Average ranks over value ties (the wilcoxon
+    half-unit channel: ranks are exact half-integers, so every sum is
+    EXACT in double — no quantization needed). Blocks without exactly
+    ``n_treatments`` distinct treatments are dropped whole and
+    counted. reject_5pct vs the chi2(k-1) literal (k <= 5).
+
+    Shape: one rank window per block (k-sized partitions), one
+    treatment aggregate, one global fold.
+    """
+    if n_treatments < 2 or n_treatments > 5:
+        raise ValueError(
+            f"n_treatments must be in 2..5, got {n_treatments}"
+        )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from econdatapipeline_spark.operators.timeseries import (  # noqa: PLC0415
+        _CHI2_CRIT_5PCT,
+    )
+
+    k = int(n_treatments)
+    crit = _CHI2_CRIT_5PCT[k - 1]
+    cell = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("blk"),
+            F.col(treatment_col).alias("trt"),
+        )
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("v")
+        )
+    )
+    sizes = cell.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("long").alias("kb")
+    )
+    qual = cell.join(
+        sizes.filter(F.col("kb") == F.lit(k)).select("blk"), "blk"
+    )
+    n_dropped = sizes.agg(
+        F.sum(F.when(F.col("kb") != F.lit(k), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped")
+    )
+    # average ranks within block: (rank + rank_end) / 2 via the
+    # min/max rank trick — exact half-integers
+    wlo = Window.partitionBy("blk").orderBy("v")
+    whi = Window.partitionBy("blk").orderBy(F.col("v").desc())
+    ranked = qual.select(
+        "blk",
+        "trt",
+        (
+            (
+                F.rank().over(wlo).cast("double")
+                + (
+                    F.lit(float(k + 1))
+                    - F.rank().over(whi).cast("double")
+                )
+            )
+            / F.lit(2.0)
+        ).alias("r"),
+    )
+    per_trt = ranked.groupBy("trt").agg(
+        F.sum("r").alias("rj"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    a_tot = ranked.agg(
+        F.sum(F.col("r") * F.col("r")).alias("a"),
+        (F.count(F.lit(1)) / F.lit(k)).cast("long").alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    kd = F.lit(float(k))
+    fold = per_trt.crossJoin(F.broadcast(a_tot)).select(
+        "trt",
+        "rj",
+        "a",
+        "n",
+        (
+            (
+                F.col("rj")
+                - d("n") * (kd + F.lit(1.0)) / F.lit(2.0)
+            )
+            * (
+                F.col("rj")
+                - d("n") * (kd + F.lit(1.0)) / F.lit(2.0)
+            )
+        ).alias("dev2"),
+    )
+    fin = fold.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("a").alias("a"),
+        F.sum("dev2").alias("sdev"),
+    )
+    c_term = (
+        d("n")
+        * kd
+        * (kd + F.lit(1.0))
+        * (kd + F.lit(1.0))
+        / F.lit(4.0)
+    )
+    q = dv((kd - F.lit(1.0)) * F.col("sdev"), F.col("a") - c_term)
+    ok = (F.col("n") > 1) & ((F.col("a") - c_term) > 0)
+    out = fin.crossJoin(F.broadcast(n_dropped))
+    return out.select(
+        F.col("n").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_dropped"),
+        F.when(ok, F.round(q, 6)).alias("q_stat"),
+        F.when(ok, q > F.lit(crit)).alias("reject_5pct"),
+    )
+
+
+def diversity_index(
+    df: DataFrame,
+    group_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Category diversity per group -> (group, n, richness, shannon,
+    simpson, evenness).
+
+    The ecology trio every corpus-composition dashboard wants next to
+    vocab_by_source: Shannon entropy H = -sum p ln p (information per
+    draw), Simpson's 1 - sum p^2 (probability two draws differ), and
+    Pielou evenness H / ln(richness). Exact counts; the only
+    irrational terms are the ln's, quantized decimal(28,12) before
+    the sum (the entropy channel). Evenness is NULL for single-
+    category groups (ln 1 = 0).
+
+    Shape: one (group, category) count, one per-group fold —
+    map-side combinable, no windows.
+    """
+    cell = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(category_col).isNotNull()
+        )
+        .groupBy(
+            F.col(group_col).alias("g"),
+            F.col(category_col).alias("c"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    )
+    tot = cell.groupBy("g").agg(
+        F.sum("nc").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("rich"),
+    )
+    j = cell.join(tot, "g")
+    p = F.col("nc").cast("double") / F.col("n").cast("double")
+    q28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    per_g = j.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max("rich").alias("richness"),
+        (-F.sum(q28(p * F.log(p))).cast("double")).alias("shannon"),
+        (
+            F.lit(1.0) - F.sum(q28(p * p)).cast("double")
+        ).alias("simpson"),
+    )
+    ev = F.try_divide(
+        F.col("shannon"),
+        F.log(F.col("richness").cast("double")),
+    )
+    return per_g.select(
+        F.col("g").alias(group_col),
+        "n",
+        "richness",
+        F.round("shannon", 6).alias("shannon"),
+        F.round("simpson", 6).alias("simpson"),
+        F.when(F.col("richness") > 1, F.round(ev, 6)).alias(
+            "evenness"
+        ),
+    )

@@ -905,3 +905,121 @@ def test_brier_decomposition_identity_and_skill(spark):
 
     with pytest.raises(ValueError):
         brier_decompose(df, "y", "p", n_bins=1)
+
+
+# ---------------------------------------------------------------------------
+# cronbach_alpha
+# ---------------------------------------------------------------------------
+
+def test_cronbach_alpha_known_reliability(spark):
+    from econdatapipeline_spark.operators.stats import cronbach_alpha
+
+    rng = np.random.RandomState(3)
+    n, k = 400, 4
+    latent = rng.normal(0, 1, n)
+    rows = []
+    for s in range(n):
+        for i in range(k):
+            # each item = latent + noise -> high alpha
+            rows.append((s, f"i{i}", float(np.round(latent[s] + 0.5 * rng.normal(), 3))))
+    rows.append((9999, "i0", 1.0))  # incomplete subject -> dropped
+    df = spark.createDataFrame(rows, "subject long, item string, score double")
+    r = cronbach_alpha(df, "subject", "item", "score", n_items=4).collect()[0]
+    assert r["n_subjects"] == n and r["n_dropped"] == 1
+    # numpy replay
+    X = np.zeros((n, k))
+    idx = 0
+    for s in range(n):
+        for i in range(k):
+            X[s, i] = rows[idx][2]; idx += 1
+    var_i = X.var(axis=0, ddof=1).sum()
+    var_t = X.sum(axis=1).var(ddof=1)
+    alpha_ref = k / (k - 1) * (1 - var_i / var_t)
+    assert r["alpha"] == pytest.approx(alpha_ref, abs=1e-5)
+    assert r["alpha"] > 0.7
+
+    # independent items -> alpha near 0
+    rows2 = [(s, f"i{i}", float(np.round(rng.normal(), 3)))
+             for s in range(300) for i in range(4)]
+    df2 = spark.createDataFrame(rows2, "subject long, item string, score double")
+    r2 = cronbach_alpha(df2, "subject", "item", "score", n_items=4).collect()[0]
+    assert abs(r2["alpha"]) < 0.25
+
+    with pytest.raises(ValueError):
+        cronbach_alpha(df, "subject", "item", "score", n_items=1)
+
+
+# ---------------------------------------------------------------------------
+# friedman_test
+# ---------------------------------------------------------------------------
+
+def test_friedman_detects_treatment_shift(spark):
+    from econdatapipeline_spark.operators.stats import friedman_test
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for b in range(60):
+        base = rng.normal(0, 1)
+        rows.append((b, "t1", float(np.round(base + rng.normal(0, 0.3), 3))))
+        rows.append((b, "t2", float(np.round(base + 0.8 + rng.normal(0, 0.3), 3))))
+        rows.append((b, "t3", float(np.round(base - 0.2 + rng.normal(0, 0.3), 3))))
+    df = spark.createDataFrame(rows, "blk long, trt string, v double")
+    r = friedman_test(df, "blk", "trt", "v", n_treatments=3).collect()[0]
+    assert r["n_blocks"] == 60 and r["reject_5pct"] is True
+    # scipy-free replay (no ties in this fixture)
+    import collections
+    byb = collections.defaultdict(dict)
+    for b, t, v in rows:
+        byb[b][t] = v
+    rj = collections.defaultdict(float)
+    for b, d in byb.items():
+        order = sorted(d, key=lambda t: d[t])
+        for pos, t in enumerate(order, start=1):
+            rj[t] += pos
+    n, k = 60, 3
+    q_ref = 12.0 / (n * k * (k + 1)) * sum(v * v for v in rj.values()) - 3 * n * (k + 1)
+    assert r["q_stat"] == pytest.approx(q_ref, abs=1e-4)
+
+    # identical treatments -> no rejection
+    rows2 = [(b, t, float(np.round(rng.normal(), 3)))
+             for b in range(60) for t in ("t1", "t2", "t3")]
+    df2 = spark.createDataFrame(rows2, "blk long, trt string, v double")
+    r2 = friedman_test(df2, "blk", "trt", "v", n_treatments=3).collect()[0]
+    assert r2["reject_5pct"] is False
+
+
+def test_friedman_ragged_blocks_dropped(spark):
+    from econdatapipeline_spark.operators.stats import friedman_test
+
+    rows = [(b, t, float(b + len(t))) for b in range(10) for t in ("a", "bb", "ccc")]
+    rows.append((99, "a", 1.0))
+    df = spark.createDataFrame(rows, "blk long, trt string, v double")
+    r = friedman_test(df, "blk", "trt", "v", n_treatments=3).collect()[0]
+    assert r["n_blocks"] == 10 and r["n_dropped"] == 1
+    with pytest.raises(ValueError):
+        friedman_test(df, "blk", "trt", "v", n_treatments=9)
+
+
+# ---------------------------------------------------------------------------
+# diversity_index
+# ---------------------------------------------------------------------------
+
+def test_diversity_index_known_values(spark):
+    from econdatapipeline_spark.operators.stats import diversity_index
+
+    rows = [("even", f"c{i % 4}") for i in range(400)]
+    rows += [("skew", "c0")] * 97 + [("skew", "c1")] * 1 + [("skew", "c2")] * 1 + [("skew", "c3")] * 1
+    rows += [("mono", "only")] * 50
+    df = spark.createDataFrame(rows, "g string, cat string")
+    out = {r["g"]: r for r in diversity_index(df, "g", "cat").collect()}
+    # uniform over 4: shannon = ln 4, simpson = 0.75, evenness = 1
+    assert out["even"]["shannon"] == pytest.approx(np.log(4), abs=1e-6)
+    assert out["even"]["simpson"] == pytest.approx(0.75, abs=1e-9)
+    assert out["even"]["evenness"] == pytest.approx(1.0, abs=1e-6)
+    # skewed: much lower diversity
+    assert out["skew"]["shannon"] < 0.25
+    assert out["skew"]["richness"] == 4
+    # single category: zero diversity, NULL evenness
+    assert out["mono"]["shannon"] == 0.0
+    assert out["mono"]["simpson"] == 0.0
+    assert out["mono"]["evenness"] is None
