@@ -2155,6 +2155,108 @@ def event_study(
     )
 
 
+def _yuen_threshold(base: DataFrame, trim: float) -> DataFrame:
+    """yuen_ttest's scale path: percentile-threshold trim/winsorize.
+
+    TWO aggregates, zero windows: one per-arm percentile pass (the
+    certified exact-interpolation channel) for the lo/hi fences, one
+    conditional pass for interior sums + clamp counts. Winsorized
+    moments use the fence VALUES for the clamped tails, so all sums
+    are decimal-quantized per term; the trimmed count h is whatever
+    the fences leave inside (differs from rank-trim by boundary
+    ties/interpolation only).
+    """
+    tl = float(trim)
+    fences = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile(F.col("v").cast("double"), tl).alias("lo"),
+        F.percentile(F.col("v").cast("double"), 1.0 - tl).alias("hi"),
+    )
+    j = base.join(F.broadcast(fences), "g")
+    vd = F.col("v").cast("double")
+    interior = (vd >= F.col("lo")) & (vd <= F.col("hi"))
+    q28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    per_g = j.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum(F.when(interior, 1).otherwise(0))
+        .cast("long")
+        .alias("h"),
+        F.sum(F.when(vd < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lo"),
+        F.sum(F.when(vd > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hi"),
+        F.sum(F.when(interior, q28(vd))).cast("double").alias("s_int"),
+        F.sum(F.when(interior, q28(vd * vd)))
+        .cast("double")
+        .alias("s2_int"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    nd = d("n")
+    hd = d("h")
+    sw = d("s_int") + d("n_lo") * F.col("lo") + d("n_hi") * F.col("hi")
+    sww = (
+        d("s2_int")
+        + d("n_lo") * F.col("lo") * F.col("lo")
+        + d("n_hi") * F.col("hi") * F.col("hi")
+    )
+    tmean = dv(d("s_int"), hd)
+    var_w = dv(sww - dv(sw * sw, nd), nd - F.lit(1.0))
+    dterm = dv((nd - F.lit(1.0)) * var_w, hd * (hd - F.lit(1.0)))
+    stats = per_g.select(
+        "g",
+        F.col("n"),
+        hd.alias("h"),
+        tmean.alias("tm"),
+        dterm.alias("dt"),
+    )
+    one = stats.groupBy().agg(
+        F.max(F.when(F.col("g") == "a", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("g") == "b", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("g") == "a", F.col("h"))).alias("h_a"),
+        F.max(F.when(F.col("g") == "b", F.col("h"))).alias("h_b"),
+        F.max(F.when(F.col("g") == "a", F.col("tm"))).alias("tm_a"),
+        F.max(F.when(F.col("g") == "b", F.col("tm"))).alias("tm_b"),
+        F.max(F.when(F.col("g") == "a", F.col("dt"))).alias("dt_a"),
+        F.max(F.when(F.col("g") == "b", F.col("dt"))).alias("dt_b"),
+    )
+    diff = F.col("tm_a") - F.col("tm_b")
+    se2 = F.col("dt_a") + F.col("dt_b")
+    t = F.try_divide(diff, F.sqrt(se2))
+    dfree = F.try_divide(
+        se2 * se2,
+        F.try_divide(
+            F.col("dt_a") * F.col("dt_a"), F.col("h_a") - F.lit(1.0)
+        )
+        + F.try_divide(
+            F.col("dt_b") * F.col("dt_b"), F.col("h_b") - F.lit(1.0)
+        ),
+    )
+    ok = (
+        (F.col("h_a") > 1)
+        & (F.col("h_b") > 1)
+        & F.col("dt_a").isNotNull()
+        & F.col("dt_b").isNotNull()
+        & (se2 > 0)
+    )
+    return one.select(
+        "n_a",
+        "n_b",
+        F.col("h_a").cast("long").alias("h_a"),
+        F.col("h_b").cast("long").alias("h_b"),
+        F.when(ok, F.round(F.col("tm_a"), 6)).alias("tmean_a"),
+        F.when(ok, F.round(F.col("tm_b"), 6)).alias("tmean_b"),
+        F.when(ok, F.round(diff, 6)).alias("diff"),
+        F.when(ok, F.round(t, 6)).alias("t_stat"),
+        F.when(ok, F.round(dfree, 6)).alias("df"),
+        F.when(ok, F.abs(t) > F.lit(1.959964)).alias("reject_5pct"),
+    )
+
+
 def yuen_ttest(
     df: DataFrame,
     value_col: str,
@@ -2162,6 +2264,7 @@ def yuen_ttest(
     group_a,
     group_b,
     trim: float = 0.2,
+    method: str | None = None,
 ) -> DataFrame:
     """Yuen's trimmed-means t-test -> ONE row (n_a, n_b, h_a, h_b,
     tmean_a, tmean_b, diff, t_stat, df, reject_5pct).
@@ -2184,11 +2287,23 @@ def yuen_ttest(
     arithmetic on exact decimals — no second scan, no winsorized
     materialization. Inputs floor-quantized decimal(18,6) (portable
     at money midpoints). NULLs when h <= 1 on either side.
+
+    ``method``: "rank" (the certified path above — but its per-arm
+    rank window is ONE sort partition per arm, a wall at warehouse
+    scale), "threshold" (the scale path: trim/winsorize against the
+    exact interpolated percentiles at trim and 1-trim through the
+    certified percentile channel — no window anywhere; counts drop
+    #(v < lo)/#(v > hi) instead of exactly floor(trim*n) per side, so
+    boundary ties shift h by O(ties) and the statistics by O(1/n)),
+    or None (default): auto-gate to "threshold" above 2,000,000 input
+    rows — the bradley_terry/markov size-gate pattern.
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
     if not 0.0 <= trim < 0.5:
         raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    if method not in (None, "rank", "threshold"):
+        raise ValueError(f"unknown method {method!r}")
 
     def _q6(c):
         return (
@@ -2204,6 +2319,10 @@ def yuen_ttest(
         .alias("g"),
         _q6(F.col(value_col).cast("double")).alias("v"),
     )
+    if method is None:
+        method = "threshold" if base.count() > 2_000_000 else "rank"
+    if method == "threshold":
+        return _yuen_threshold(base, trim)
     w = Window.partitionBy("g").orderBy("v")
     ranked = base.select(
         "g",

@@ -1023,3 +1023,26 @@ def test_diversity_index_known_values(spark):
     assert out["mono"]["shannon"] == 0.0
     assert out["mono"]["simpson"] == 0.0
     assert out["mono"]["evenness"] is None
+
+
+def test_yuen_threshold_path_agrees_on_continuous_data(spark):
+    from econdatapipeline_spark.operators.evaluation import yuen_ttest
+
+    rng = np.random.RandomState(83)
+    a = np.round(rng.normal(10.0, 2.0, 4000), 3)
+    b = np.round(rng.normal(10.4, 2.0, 4000), 3)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "arm string, v double")
+    r_rank = yuen_ttest(df, "v", "arm", "a", "b", method="rank").collect()[0]
+    r_thr = yuen_ttest(df, "v", "arm", "a", "b", method="threshold").collect()[0]
+    # same decision, near-identical statistics (boundary handling
+    # differs by interpolation only on continuous data)
+    assert r_rank["reject_5pct"] == r_thr["reject_5pct"]
+    assert r_thr["tmean_a"] == pytest.approx(r_rank["tmean_a"], abs=5e-3)
+    assert r_thr["t_stat"] == pytest.approx(r_rank["t_stat"], rel=0.02)
+    assert abs(r_thr["h_a"] - r_rank["h_a"]) <= 3
+    # threshold trim counts ~ floor(trim*n) per side
+    assert abs(r_thr["h_a"] - (4000 - 2 * 800)) <= 3
+
+    with pytest.raises(ValueError):
+        yuen_ttest(df, "v", "arm", "a", "b", method="exactish")
