@@ -72,7 +72,7 @@ def price_index(
         & F.col("t").isNotNull()
         & F.col("p").isNotNull()
         & F.col("q").isNotNull()
-    )
+    ).localCheckpoint(eager=True)  # pinned: base + current + torn
     base = pq.filter(F.col("t") == F.lit(base_period)).select(
         F.col("i"),
         F.col("p").alias("p0"),
@@ -184,6 +184,10 @@ def shift_share(
             .cast("double")
             .alias("ve"),
         )
+        # pinned cells relation: industry margin, national margin and
+        # the final join each re-derived the fact pipeline (20
+        # exchanges at plan audit)
+        .localCheckpoint(eager=True)
     )
     ind = cell.groupBy("ind").agg(
         F.sum(F.col("vb").cast("decimal(28,6)"))

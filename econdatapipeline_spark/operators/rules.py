@@ -54,9 +54,13 @@ def association_rules(
         .distinct()
     )
     sizes = bi.groupBy("b").agg(F.count(F.lit(1)).alias("sz"))
+    # pin the qualified posting list: four consumers (N, supports,
+    # both pair sides) would each re-derive the distinct + size join
+    # (40 exchanges at plan audit); one eager checkpoint cuts that to
+    # a single materialization every branch reads
     kept = bi.join(
         sizes.filter(F.col("sz") <= max_basket_size).select("b"), "b"
-    )
+    ).localCheckpoint(eager=True)
     # N as a 1-row relation (plan-side, no driver action)
     n_rel = kept.agg(
         F.countDistinct("b").cast("double").alias("nb_total")

@@ -2390,6 +2390,8 @@ def fleiss_kappa(
             F.col(category_col).alias("c"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+        # pinned: three consumers (per-subject fold, margins, totals)
+        .localCheckpoint(eager=True)
     )
     per_subj = cell.groupBy("s").agg(
         F.sum("nij").cast("long").alias("n_i"),
@@ -2488,6 +2490,8 @@ def cronbach_alpha(
         .agg(
             F.sum(F.col(score_col).cast("decimal(18,6)")).alias("v")
         )
+        # pinned: reused by the subject fold and the item variances
+        .localCheckpoint(eager=True)
     )
     per_subj = cell.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("ki"),
@@ -2616,6 +2620,9 @@ def friedman_test(
         .agg(
             F.sum(F.col(value_col).cast("decimal(18,6)")).alias("v")
         )
+        # pinned blocks-x-treatments relation (the theil_index
+        # discipline): sizes/qual/ranks would re-derive it
+        .localCheckpoint(eager=True)
     )
     sizes = cell.groupBy("blk").agg(
         F.count(F.lit(1)).cast("long").alias("kb")
