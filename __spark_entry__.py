@@ -5212,6 +5212,26 @@ def q_diversity_index(spark, sf_dir):
     return diversity_index(d, "source", "lang").orderBy("source")
 
 
+
+def q_binseg_changepoints(spark, sf_dir):
+    """Binary-segmentation changepoints in the monthly order series
+    (M$) per priority (operators/timeseries.binseg_changepoints):
+    two rounds of standardized-CUSUM argmax (quantized stat + min-tau
+    tiebreak — no engine-specific arg_max), exact window prefix sums,
+    segment relabel between rounds — the multi-shift extension of
+    cusum_changepoint."""
+    from econdatapipeline_spark.operators.timeseries import (
+        binseg_changepoints,
+    )
+
+    series = _monthly_order_series(spark, sf_dir).select(
+        "dataset", "date", (F.col("value") / 1e6).alias("value")
+    )
+    return binseg_changepoints(
+        series, "dataset", "date", "value", depth=2, min_gain=1.0
+    )
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7514,6 +7534,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "cronbach_alpha": q_cronbach_alpha,
         "friedman_test": q_friedman_test,
         "diversity_index": q_diversity_index,
+        "binseg_changepoints": q_binseg_changepoints,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16530,6 +16551,106 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # Binseg changepoints: two unrolled rounds, quantized-stat argmax
+    # with the min-tau tiebreak, segment relabel between rounds.
+    sql["binseg_changepoints"] = """
+        WITH bsm AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS o,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                      AS DOUBLE) / 1000000.0 AS value
+          FROM orders GROUP BY 1, 2),
+        bs0 AS (
+          SELECT g, o,
+                 CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS v,
+                 CAST(0 AS BIGINT) AS seg
+          FROM bsm WHERE value IS NOT NULL),
+        bs1r AS (
+          SELECT g, seg, o, v,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY g, seg
+                      ORDER BY o) AS BIGINT) AS t,
+                 CAST(COUNT(*) OVER (PARTITION BY g, seg)
+                      AS BIGINT) AS n,
+                 CAST(SUM(CAST(v AS DECIMAL(38,12))) OVER (
+                      PARTITION BY g, seg ORDER BY o
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) AS p,
+                 CAST(SUM(CAST(v AS DECIMAL(38,12))) OVER (
+                      PARTITION BY g, seg) AS DOUBLE) AS s
+          FROM bs0),
+        bs1c AS (
+          SELECT g, seg, o, t,
+                 CAST(CAST(abs(((CASE WHEN CAST(t AS DOUBLE) = 0 THEN NULL ELSE (p) / CAST(t AS DOUBLE) END) - (CASE WHEN (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) = 0 THEN NULL ELSE ((s - p)) / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) END)) * sqrt((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE ((CAST(t AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)))) / CAST(n AS DOUBLE) END))) AS DECIMAL(18,9)) AS DOUBLE)
+                   AS cq
+          FROM bs1r
+          WHERE t >= 5 AND n - t >= 5),
+        bs1m AS (
+          SELECT g, seg, MAX(cq) AS mx
+          FROM bs1c GROUP BY g, seg),
+        bs1b AS (
+          SELECT c.g AS g, c.seg AS seg,
+                 MIN(t) AS tau, MAX(mx) AS cstat
+          FROM bs1c c JOIN bs1m m
+            ON c.g = m.g AND c.seg = m.seg
+          WHERE c.cq = m.mx AND m.mx >= 1.0
+          GROUP BY c.g, c.seg),
+        bs1s AS (
+          SELECT c.g AS g, c.seg AS seg,
+                 CAST(1 AS BIGINT) AS round,
+                 c.o AS order_at,
+                 round(b.cstat, 6) AS cstat, b.tau AS tau
+          FROM bs1c c JOIN bs1b b
+            ON c.g = b.g AND c.seg = b.seg AND c.t = b.tau),
+        bs1rel AS (
+          SELECT r.g AS g, r.o AS o, r.v AS v,
+                 CASE WHEN b.tau IS NOT NULL AND r.t > b.tau
+                      THEN r.seg * 2 + 1 ELSE r.seg * 2 END AS seg
+          FROM bs1r r LEFT JOIN bs1s b
+            ON r.g = b.g AND r.seg = b.seg),
+        bs2r AS (
+          SELECT g, seg, o, v,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY g, seg
+                      ORDER BY o) AS BIGINT) AS t,
+                 CAST(COUNT(*) OVER (PARTITION BY g, seg)
+                      AS BIGINT) AS n,
+                 CAST(SUM(CAST(v AS DECIMAL(38,12))) OVER (
+                      PARTITION BY g, seg ORDER BY o
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) AS p,
+                 CAST(SUM(CAST(v AS DECIMAL(38,12))) OVER (
+                      PARTITION BY g, seg) AS DOUBLE) AS s
+          FROM bs1rel),
+        bs2c AS (
+          SELECT g, seg, o, t,
+                 CAST(CAST(abs(((CASE WHEN CAST(t AS DOUBLE) = 0 THEN NULL ELSE (p) / CAST(t AS DOUBLE) END) - (CASE WHEN (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) = 0 THEN NULL ELSE ((s - p)) / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) END)) * sqrt((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE ((CAST(t AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)))) / CAST(n AS DOUBLE) END))) AS DECIMAL(18,9)) AS DOUBLE)
+                   AS cq
+          FROM bs2r
+          WHERE t >= 5 AND n - t >= 5),
+        bs2m AS (
+          SELECT g, seg, MAX(cq) AS mx
+          FROM bs2c GROUP BY g, seg),
+        bs2b AS (
+          SELECT c.g AS g, c.seg AS seg,
+                 MIN(t) AS tau, MAX(mx) AS cstat
+          FROM bs2c c JOIN bs2m m
+            ON c.g = m.g AND c.seg = m.seg
+          WHERE c.cq = m.mx AND m.mx >= 1.0
+          GROUP BY c.g, c.seg),
+        bs2s AS (
+          SELECT c.g AS g, c.seg AS seg,
+                 CAST(2 AS BIGINT) AS round,
+                 c.o AS order_at,
+                 round(b.cstat, 6) AS cstat, b.tau AS tau
+          FROM bs2c c JOIN bs2b b
+            ON c.g = b.g AND c.seg = b.seg AND c.t = b.tau)
+        SELECT g AS dataset, round, order_at, cstat FROM bs1s
+        UNION ALL
+        SELECT g AS dataset, round, order_at, cstat FROM bs2s
+        ORDER BY dataset, round, order_at
+    """
+
 
     # Cronbach's alpha: cell pass, item/total variances, global fold.
     sql["cronbach_alpha"] = """

@@ -2988,3 +2988,158 @@ def periodogram(
         ),
         F.when(ok, F.round(power, 6)).alias("power"),
     )
+
+
+def binseg_changepoints(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    depth: int = 2,
+    min_gain: float = 3.0,
+    min_size: int = 5,
+) -> DataFrame:
+    """Binary-segmentation level-shift changepoints per series ->
+    (group, round, order_at, cstat) — one row per ACCEPTED split.
+
+    Where cusum_changepoint raises a single alarm, this finds
+    MULTIPLE mean shifts: each round scans every active segment for
+    the split tau maximizing the standardized two-sample CUSUM
+
+        C_tau = (mean_left - mean_right) * sqrt(tau*(n-tau)/n)
+
+    accepts it when |C_tau| >= min_gain (raw value units — calibrate
+    to ~z * sigma of the series noise), then recurses into both
+    halves up to ``depth`` rounds (Scott & Knott 1974 / standard
+    binseg). order_at is the order key of the LAST point of the left
+    segment.
+
+    Determinism & parity: prefix sums of floor-quantized
+    decimal(18,6) values are exact window sums; C is a fixed double
+    chain; the argmax is "max of the decimal(18,9)-quantized |C|,
+    then the SMALLEST tau among maximizers" — two portable
+    aggregates, no engine-specific arg_max tie semantics anywhere.
+    Splits respect ``min_size`` on both halves.
+
+    Shape per round: one sort per (series, segment) partition key
+    (the same single shuffle at scale — segment ids ride the series
+    key), one segment aggregate, one broadcast-sized relabel join.
+    Rounds are bounded by ``depth`` (<= 4).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if depth < 1 or depth > 4:
+        raise ValueError(f"depth must be in 1..4, got {depth}")
+    if min_size < 2:
+        raise ValueError(f"min_size must be >= 2, got {min_size}")
+    if min_gain <= 0:
+        raise ValueError(f"min_gain must be > 0, got {min_gain}")
+
+    def _q6(c):
+        return (
+            F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)")
+
+    q9 = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+    dv = F.try_divide
+    work = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        _q6(F.col(value_col).cast("double")).alias("v"),
+        F.lit(0).cast("long").alias("seg"),
+    ).localCheckpoint(eager=True)
+    gain = F.lit(float(min_gain))
+    msize = int(min_size)
+    splits = None
+    for rnd in range(1, depth + 1):
+        w = Window.partitionBy("g", "seg").orderBy("o")
+        wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wall = Window.partitionBy("g", "seg")
+        ranked = work.select(
+            "g",
+            "seg",
+            "o",
+            "v",
+            F.row_number().over(w).cast("long").alias("t"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(38,12)"))
+            .over(wcum)
+            .cast("double")
+            .alias("p"),
+            F.sum(F.col("v").cast("decimal(38,12)"))
+            .over(wall)
+            .cast("double")
+            .alias("s"),
+        )
+        td = F.col("t").cast("double")
+        nd = F.col("n").cast("double")
+        c = (
+            dv(F.col("p"), td)
+            - dv(F.col("s") - F.col("p"), nd - td)
+        ) * F.sqrt(dv(td * (nd - td), nd))
+        cand = ranked.filter(
+            (F.col("t") >= F.lit(msize))
+            & (F.col("n") - F.col("t") >= F.lit(msize))
+        ).select(
+            "g", "seg", "o", "t", q9(F.abs(c)).alias("cq")
+        )
+        mx = cand.groupBy("g", "seg").agg(F.max("cq").alias("mx"))
+        best = (
+            cand.join(mx, ["g", "seg"])
+            .filter((F.col("cq") == F.col("mx")) & (F.col("mx") >= gain))
+            .groupBy("g", "seg")
+            .agg(
+                F.min("t").alias("tau"),
+                F.max("mx").alias("cstat"),
+            )
+        )
+        # order key at the split = the o where t == tau
+        split_rows = (
+            cand.join(best, ["g", "seg"])
+            .filter(F.col("t") == F.col("tau"))
+            .select(
+                "g",
+                "seg",
+                F.lit(rnd).cast("long").alias("round"),
+                F.col("o").alias("order_at"),
+                F.round(F.col("cstat"), 6).alias("cstat"),
+                "tau",
+            )
+        ).localCheckpoint(eager=True)
+        splits = (
+            split_rows
+            if splits is None
+            else splits.unionByName(split_rows)
+        )
+        if rnd == depth:
+            break
+        # relabel: accepted segments split into 2*seg / 2*seg + 1
+        ranked_t = work.select("g", "seg", "o", "v").join(
+            F.broadcast(
+                split_rows.select("g", "seg", "tau")
+            ),
+            ["g", "seg"],
+            "left",
+        )
+        w2 = Window.partitionBy("g", "seg").orderBy("o")
+        work = ranked_t.select(
+            "g",
+            "seg",
+            "o",
+            "v",
+            "tau",
+            F.row_number().over(w2).cast("long").alias("t2"),
+        ).select(
+            "g",
+            "o",
+            "v",
+            F.when(
+                F.col("tau").isNotNull() & (F.col("t2") > F.col("tau")),
+                F.col("seg") * 2 + 1,
+            )
+            .otherwise(F.col("seg") * 2)
+            .alias("seg"),
+        )
+    return splits.select(
+        F.col("g").alias(group_col), "round", "order_at", "cstat"
+    ).orderBy(group_col, "round", "order_at")

@@ -1046,3 +1046,60 @@ def test_yuen_threshold_path_agrees_on_continuous_data(spark):
 
     with pytest.raises(ValueError):
         yuen_ttest(df, "v", "arm", "a", "b", method="exactish")
+
+
+# ---------------------------------------------------------------------------
+# binseg_changepoints
+# ---------------------------------------------------------------------------
+
+def test_binseg_finds_two_level_shifts(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        binseg_changepoints,
+    )
+
+    rng = np.random.RandomState(37)
+    v = np.concatenate([
+        rng.normal(0.0, 0.5, 60),
+        rng.normal(4.0, 0.5, 50),
+        rng.normal(-2.0, 0.5, 70),
+    ])
+    v = np.round(v, 3)
+    df = _series_df(spark, v)
+    out = binseg_changepoints(
+        df, "dataset", "date", "value", depth=2, min_gain=3.0
+    ).collect()
+    found = sorted(r["order_at"] for r in out)
+    # both true breaks located within a few points
+    assert len(found) == 2
+    assert abs(found[0] - 59) <= 3
+    assert abs(found[1] - 109) <= 3
+    # round 1 finds the single best split, round 2 the other
+    assert {r["round"] for r in out} == {1, 2}
+    # the round-1 stat is the global max CUSUM: replay in numpy
+    x = np.floor(v * 1e6 + 0.5) / 1e6
+    n = len(x)
+    P = np.cumsum(x)
+    taus = np.arange(5, n - 4)
+    C = np.abs(
+        (P[taus - 1] / taus - (P[-1] - P[taus - 1]) / (n - taus))
+        * np.sqrt(taus * (n - taus) / n)
+    )
+    r1 = [r for r in out if r["round"] == 1][0]
+    assert r1["cstat"] == pytest.approx(C.max(), abs=1e-4)
+    assert r1["order_at"] == taus[C.argmax()] - 1  # o is 0-indexed
+
+
+def test_binseg_flat_series_no_splits(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        binseg_changepoints,
+    )
+
+    rng = np.random.RandomState(53)
+    v = np.round(rng.normal(5.0, 0.4, 150), 3)
+    df = _series_df(spark, v)
+    out = binseg_changepoints(
+        df, "dataset", "date", "value", depth=2, min_gain=3.0
+    ).collect()
+    assert out == []
+    with pytest.raises(ValueError):
+        binseg_changepoints(df, "dataset", "date", "value", depth=0)
