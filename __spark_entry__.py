@@ -1894,6 +1894,27 @@ def q_rfm_segments(spark, sf_dir):
     ).orderBy("r_score", "f_score", "m_score")
 
 
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality of five customer seeds on the symmetrized
+    trade graph (operators/graph.harmonic_centrality): one
+    multi-source BFS tracking (seed, node) pairs, 1/d harmonics
+    folded decimal-quantized — the distance-grounded importance
+    readout beside pagerank's flow-grounded one."""
+    from econdatapipeline_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    out = harmonic_centrality(
+        _trade_edges(spark, sf_dir),
+        sources=[0, 2, 4, 6, 8],  # customers C0, C1, C2, C3, C4
+        max_hops=4,
+    )
+    return out.select(
+        _node_label().alias("node"), "n_reached", "harmonic"
+    ).orderBy("node")
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the symmetrized customer-supplier
     trade graph (distinct pairs from lineitem x orders). Iterative join +
@@ -7535,6 +7556,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "friedman_test": q_friedman_test,
         "diversity_index": q_diversity_index,
         "binseg_changepoints": q_binseg_changepoints,
+        "harmonic_centrality": q_harmonic_centrality,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16551,6 +16573,83 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # Harmonic centrality: unrolled multi-source BFS, quantized 1/d
+    # fold, seeds re-joined so isolated seeds emit zeros.
+    sql["harmonic_centrality"] = """
+        WITH hcpairs AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS su
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        hced AS (
+          SELECT c AS src, su AS dst FROM hcpairs
+          UNION ALL SELECT su, c FROM hcpairs),
+        hseed AS (
+          SELECT UNNEST([0, 2, 4, 6, 8]) AS s),
+        hv0 AS (
+          SELECT s, CAST(s AS BIGINT) AS node, CAST(0 AS BIGINT)
+            AS dist FROM hseed),
+        hf0 AS (SELECT s, node, dist FROM hv0),
+        hn1 AS (
+          SELECT DISTINCT f.s AS s, e.dst AS node
+          FROM hced e JOIN hf0 f ON e.src = f.node),
+        hf1 AS (
+          SELECT s, node, CAST(1 AS BIGINT) AS dist
+          FROM hn1
+          WHERE NOT EXISTS (
+            SELECT 1 FROM hv0 v
+            WHERE v.s = hn1.s AND v.node = hn1.node)),
+        hv1 AS (
+          SELECT s, node, dist FROM hv0
+          UNION ALL SELECT s, node, dist FROM hf1),
+        hn2 AS (
+          SELECT DISTINCT f.s AS s, e.dst AS node
+          FROM hced e JOIN hf1 f ON e.src = f.node),
+        hf2 AS (
+          SELECT s, node, CAST(2 AS BIGINT) AS dist
+          FROM hn2
+          WHERE NOT EXISTS (
+            SELECT 1 FROM hv1 v
+            WHERE v.s = hn2.s AND v.node = hn2.node)),
+        hv2 AS (
+          SELECT s, node, dist FROM hv1
+          UNION ALL SELECT s, node, dist FROM hf2),
+        hn3 AS (
+          SELECT DISTINCT f.s AS s, e.dst AS node
+          FROM hced e JOIN hf2 f ON e.src = f.node),
+        hf3 AS (
+          SELECT s, node, CAST(3 AS BIGINT) AS dist
+          FROM hn3
+          WHERE NOT EXISTS (
+            SELECT 1 FROM hv2 v
+            WHERE v.s = hn3.s AND v.node = hn3.node)),
+        hv3 AS (
+          SELECT s, node, dist FROM hv2
+          UNION ALL SELECT s, node, dist FROM hf3),
+        hn4 AS (
+          SELECT DISTINCT f.s AS s, e.dst AS node
+          FROM hced e JOIN hf3 f ON e.src = f.node),
+        hf4 AS (
+          SELECT s, node, CAST(4 AS BIGINT) AS dist
+          FROM hn4
+          WHERE NOT EXISTS (
+            SELECT 1 FROM hv3 v
+            WHERE v.s = hn4.s AND v.node = hn4.node)),
+        hv4 AS (
+          SELECT s, node, dist FROM hv3
+          UNION ALL SELECT s, node, dist FROM hf4),
+        hagg AS (
+          SELECT s, CAST(COUNT(*) AS BIGINT) AS n_reached,
+            CAST(SUM(CAST(1.0 / CAST(dist AS DOUBLE)
+                 AS DECIMAL(28,12))) AS DOUBLE) AS h
+          FROM hv4 WHERE dist > 0 GROUP BY s)
+        SELECT CASE WHEN hseed.s % 2 = 0 THEN 'C' || (hseed.s // 2)
+                    ELSE 'S' || ((hseed.s - 1) // 2) END AS node,
+               COALESCE(n_reached, 0) AS n_reached,
+               round(COALESCE(h, 0.0), 6) AS harmonic
+        FROM hseed LEFT JOIN hagg ON hseed.s = hagg.s
+        ORDER BY node
+    """
+
 
     # Binseg changepoints: two unrolled rounds, quantized-stat argmax
     # with the min-tau tiebreak, segment relabel between rounds.

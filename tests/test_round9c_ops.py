@@ -1103,3 +1103,42 @@ def test_binseg_flat_series_no_splits(spark):
     assert out == []
     with pytest.raises(ValueError):
         binseg_changepoints(df, "dataset", "date", "value", depth=0)
+
+
+# ---------------------------------------------------------------------------
+# harmonic_centrality
+# ---------------------------------------------------------------------------
+
+def test_harmonic_centrality_path_graph(spark):
+    from econdatapipeline_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    # path 0-1-2-3-4, symmetrized
+    pairs = [(i, i + 1) for i in range(4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    rows = {r["node"]: r for r in harmonic_centrality(
+        edges, sources=[0, 2], max_hops=6
+    ).collect()}
+    # center of the path beats the end
+    assert rows[2]["harmonic"] == pytest.approx(1 + 1 + 0.5 + 0.5)
+    assert rows[0]["harmonic"] == pytest.approx(1 + 0.5 + 1 / 3 + 0.25, abs=1e-6)
+    assert rows[2]["harmonic"] > rows[0]["harmonic"]
+    assert rows[0]["n_reached"] == 4
+
+    # truncation: max_hops=1 counts direct neighbors only
+    r1 = {r["node"]: r for r in harmonic_centrality(
+        edges, sources=[0], max_hops=1
+    ).collect()}
+    assert r1[0]["harmonic"] == pytest.approx(1.0)
+
+    # isolated seed: zero centrality, present in output
+    r2 = {r["node"]: r for r in harmonic_centrality(
+        edges, sources=[99], max_hops=3
+    ).collect()}
+    assert r2[99]["harmonic"] == 0.0 and r2[99]["n_reached"] == 0
+
+    with pytest.raises(ValueError):
+        harmonic_centrality(edges, sources=[0], max_hops=0)
