@@ -5253,6 +5253,36 @@ def q_binseg_changepoints(spark, sf_dir):
     )
 
 
+
+def q_mahalanobis_outliers(spark, sf_dir):
+    """Top-20 multivariate order outliers by Mahalanobis distance
+    over (value k$, line count, total quantity)
+    (operators/stats.mahalanobis_scores): decimal-exact moments, the
+    precision matrix from unit-rhs unrolled Gauss solves shared
+    verbatim with the oracle, fixed-order quadratic form — catches
+    correlation-breakers the per-axis z screen cannot."""
+    from econdatapipeline_spark.operators.stats import (
+        mahalanobis_scores,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    feats = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("nl"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("qty"),
+    )
+    j = o.join(feats, o.o_orderkey == feats.l_orderkey).select(
+        F.col("o_orderkey").alias("rid"),
+        (F.col("o_totalprice") / 1000.0).alias("val"),
+        "nl",
+        "qty",
+    )
+    out = mahalanobis_scores(j, "rid", ["val", "nl", "qty"])
+    return out.orderBy(F.col("md2").desc(), "rid").limit(20)
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7557,6 +7587,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "diversity_index": q_diversity_index,
         "binseg_changepoints": q_binseg_changepoints,
         "harmonic_centrality": q_harmonic_centrality,
+        "mahalanobis_outliers": q_mahalanobis_outliers,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16573,6 +16604,95 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # Mahalanobis: moments + unit-rhs Gauss precision matrix, text
+    # shared verbatim via mahalanobis_fragments.
+    sql["mahalanobis_outliers"] = """
+        WITH mfeat AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS nl,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                      AS DOUBLE) AS qty
+          FROM lineitem GROUP BY l_orderkey),
+        mbase AS (
+          SELECT o_orderkey AS rid,
+                 CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS x0,
+                 CAST(nl AS DECIMAL(18,6)) AS x1,
+                 CAST(qty AS DECIMAL(18,6)) AS x2
+          FROM orders JOIN mfeat ON o_orderkey = l_orderkey
+          WHERE o_totalprice IS NOT NULL AND nl IS NOT NULL
+            AND qty IS NOT NULL),
+        mrws AS (
+          SELECT rid, CAST(x0 AS DECIMAL(19,6)) AS x0,
+                 CAST(x1 AS DECIMAL(19,6)) AS x1,
+                 CAST(x2 AS DECIMAL(19,6)) AS x2
+          FROM mbase),
+        msum AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(x0 AS DECIMAL(38,12))) AS DOUBLE) AS s_0, CAST(SUM(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE) AS s_1, CAST(SUM(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) AS s_2, CAST(SUM(CAST(x0 * x0 AS DECIMAL(38,12))) AS DOUBLE) AS c_0_0, CAST(SUM(CAST(x0 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS c_0_1, CAST(SUM(CAST(x0 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS c_0_2, CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS c_1_1, CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS c_1_2, CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS c_2_2
+          FROM mrws),
+        mst0 AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM msum),
+        mst1 AS (SELECT *, CASE WHEN nd = 0 THEN NULL ELSE s_0 / nd END AS mu_0 FROM mst0),
+        mst2 AS (SELECT *, CASE WHEN nd = 0 THEN NULL ELSE s_1 / nd END AS mu_1 FROM mst1),
+        mst3 AS (SELECT *, CASE WHEN nd = 0 THEN NULL ELSE s_2 / nd END AS mu_2 FROM mst2),
+        mst4 AS (SELECT *, CASE WHEN (nd - 1.0) = 0 THEN NULL ELSE (c_0_0 - (CASE WHEN nd = 0 THEN NULL ELSE s_0 * s_0 / nd END)) / (nd - 1.0) END AS v_0_0 FROM mst3),
+        mst5 AS (SELECT *, CASE WHEN (nd - 1.0) = 0 THEN NULL ELSE (c_0_1 - (CASE WHEN nd = 0 THEN NULL ELSE s_0 * s_1 / nd END)) / (nd - 1.0) END AS v_0_1 FROM mst4),
+        mst6 AS (SELECT *, CASE WHEN (nd - 1.0) = 0 THEN NULL ELSE (c_0_2 - (CASE WHEN nd = 0 THEN NULL ELSE s_0 * s_2 / nd END)) / (nd - 1.0) END AS v_0_2 FROM mst5),
+        mst7 AS (SELECT *, CASE WHEN (nd - 1.0) = 0 THEN NULL ELSE (c_1_1 - (CASE WHEN nd = 0 THEN NULL ELSE s_1 * s_1 / nd END)) / (nd - 1.0) END AS v_1_1 FROM mst6),
+        mst8 AS (SELECT *, CASE WHEN (nd - 1.0) = 0 THEN NULL ELSE (c_1_2 - (CASE WHEN nd = 0 THEN NULL ELSE s_1 * s_2 / nd END)) / (nd - 1.0) END AS v_1_2 FROM mst7),
+        mst9 AS (SELECT *, CASE WHEN (nd - 1.0) = 0 THEN NULL ELSE (c_2_2 - (CASE WHEN nd = 0 THEN NULL ELSE s_2 * s_2 / nd END)) / (nd - 1.0) END AS v_2_2 FROM mst8),
+        mst10 AS (SELECT *, CASE WHEN v_0_0 = 0 THEN NULL ELSE (v_0_1) / v_0_0 END AS mi0_f0_1 FROM mst9),
+        mst11 AS (SELECT *, v_1_1 - mi0_f0_1 * v_0_1 AS mi0_a0_1_1 FROM mst10),
+        mst12 AS (SELECT *, v_1_2 - mi0_f0_1 * v_0_2 AS mi0_a0_1_2 FROM mst11),
+        mst13 AS (SELECT *, 0.0 - mi0_f0_1 * 1.0 AS mi0_b0_1 FROM mst12),
+        mst14 AS (SELECT *, CASE WHEN v_0_0 = 0 THEN NULL ELSE (v_0_2) / v_0_0 END AS mi0_f0_2 FROM mst13),
+        mst15 AS (SELECT *, v_1_2 - mi0_f0_2 * v_0_1 AS mi0_a0_2_1 FROM mst14),
+        mst16 AS (SELECT *, v_2_2 - mi0_f0_2 * v_0_2 AS mi0_a0_2_2 FROM mst15),
+        mst17 AS (SELECT *, 0.0 - mi0_f0_2 * 1.0 AS mi0_b0_2 FROM mst16),
+        mst18 AS (SELECT *, CASE WHEN mi0_a0_1_1 = 0 THEN NULL ELSE (mi0_a0_2_1) / mi0_a0_1_1 END AS mi0_f1_2 FROM mst17),
+        mst19 AS (SELECT *, mi0_a0_2_2 - mi0_f1_2 * mi0_a0_1_2 AS mi0_a1_2_2 FROM mst18),
+        mst20 AS (SELECT *, mi0_b0_2 - mi0_f1_2 * mi0_b0_1 AS mi0_b1_2 FROM mst19),
+        mst21 AS (SELECT *, CASE WHEN mi0_a1_2_2 = 0 THEN NULL ELSE (mi0_b1_2) / mi0_a1_2_2 END AS mi0_beta2 FROM mst20),
+        mst22 AS (SELECT *, CASE WHEN mi0_a0_1_1 = 0 THEN NULL ELSE ((mi0_b0_1 - mi0_a0_1_2 * mi0_beta2)) / mi0_a0_1_1 END AS mi0_beta1 FROM mst21),
+        mst23 AS (SELECT *, CASE WHEN v_0_0 = 0 THEN NULL ELSE (((1.0 - v_0_1 * mi0_beta1) - v_0_2 * mi0_beta2)) / v_0_0 END AS mi0_beta0 FROM mst22),
+        mst24 AS (SELECT *, CASE WHEN v_0_0 = 0 THEN NULL ELSE (v_0_1) / v_0_0 END AS mi1_f0_1 FROM mst23),
+        mst25 AS (SELECT *, v_1_1 - mi1_f0_1 * v_0_1 AS mi1_a0_1_1 FROM mst24),
+        mst26 AS (SELECT *, v_1_2 - mi1_f0_1 * v_0_2 AS mi1_a0_1_2 FROM mst25),
+        mst27 AS (SELECT *, 1.0 - mi1_f0_1 * 0.0 AS mi1_b0_1 FROM mst26),
+        mst28 AS (SELECT *, CASE WHEN v_0_0 = 0 THEN NULL ELSE (v_0_2) / v_0_0 END AS mi1_f0_2 FROM mst27),
+        mst29 AS (SELECT *, v_1_2 - mi1_f0_2 * v_0_1 AS mi1_a0_2_1 FROM mst28),
+        mst30 AS (SELECT *, v_2_2 - mi1_f0_2 * v_0_2 AS mi1_a0_2_2 FROM mst29),
+        mst31 AS (SELECT *, 0.0 - mi1_f0_2 * 0.0 AS mi1_b0_2 FROM mst30),
+        mst32 AS (SELECT *, CASE WHEN mi1_a0_1_1 = 0 THEN NULL ELSE (mi1_a0_2_1) / mi1_a0_1_1 END AS mi1_f1_2 FROM mst31),
+        mst33 AS (SELECT *, mi1_a0_2_2 - mi1_f1_2 * mi1_a0_1_2 AS mi1_a1_2_2 FROM mst32),
+        mst34 AS (SELECT *, mi1_b0_2 - mi1_f1_2 * mi1_b0_1 AS mi1_b1_2 FROM mst33),
+        mst35 AS (SELECT *, CASE WHEN mi1_a1_2_2 = 0 THEN NULL ELSE (mi1_b1_2) / mi1_a1_2_2 END AS mi1_beta2 FROM mst34),
+        mst36 AS (SELECT *, CASE WHEN mi1_a0_1_1 = 0 THEN NULL ELSE ((mi1_b0_1 - mi1_a0_1_2 * mi1_beta2)) / mi1_a0_1_1 END AS mi1_beta1 FROM mst35),
+        mst37 AS (SELECT *, CASE WHEN v_0_0 = 0 THEN NULL ELSE (((0.0 - v_0_1 * mi1_beta1) - v_0_2 * mi1_beta2)) / v_0_0 END AS mi1_beta0 FROM mst36),
+        mst38 AS (SELECT *, CASE WHEN v_0_0 = 0 THEN NULL ELSE (v_0_1) / v_0_0 END AS mi2_f0_1 FROM mst37),
+        mst39 AS (SELECT *, v_1_1 - mi2_f0_1 * v_0_1 AS mi2_a0_1_1 FROM mst38),
+        mst40 AS (SELECT *, v_1_2 - mi2_f0_1 * v_0_2 AS mi2_a0_1_2 FROM mst39),
+        mst41 AS (SELECT *, 0.0 - mi2_f0_1 * 0.0 AS mi2_b0_1 FROM mst40),
+        mst42 AS (SELECT *, CASE WHEN v_0_0 = 0 THEN NULL ELSE (v_0_2) / v_0_0 END AS mi2_f0_2 FROM mst41),
+        mst43 AS (SELECT *, v_1_2 - mi2_f0_2 * v_0_1 AS mi2_a0_2_1 FROM mst42),
+        mst44 AS (SELECT *, v_2_2 - mi2_f0_2 * v_0_2 AS mi2_a0_2_2 FROM mst43),
+        mst45 AS (SELECT *, 1.0 - mi2_f0_2 * 0.0 AS mi2_b0_2 FROM mst44),
+        mst46 AS (SELECT *, CASE WHEN mi2_a0_1_1 = 0 THEN NULL ELSE (mi2_a0_2_1) / mi2_a0_1_1 END AS mi2_f1_2 FROM mst45),
+        mst47 AS (SELECT *, mi2_a0_2_2 - mi2_f1_2 * mi2_a0_1_2 AS mi2_a1_2_2 FROM mst46),
+        mst48 AS (SELECT *, mi2_b0_2 - mi2_f1_2 * mi2_b0_1 AS mi2_b1_2 FROM mst47),
+        mst49 AS (SELECT *, CASE WHEN mi2_a1_2_2 = 0 THEN NULL ELSE (mi2_b1_2) / mi2_a1_2_2 END AS mi2_beta2 FROM mst48),
+        mst50 AS (SELECT *, CASE WHEN mi2_a0_1_1 = 0 THEN NULL ELSE ((mi2_b0_1 - mi2_a0_1_2 * mi2_beta2)) / mi2_a0_1_1 END AS mi2_beta1 FROM mst49),
+        mst51 AS (SELECT *, CASE WHEN v_0_0 = 0 THEN NULL ELSE (((0.0 - v_0_1 * mi2_beta1) - v_0_2 * mi2_beta2)) / v_0_0 END AS mi2_beta0 FROM mst50),
+        mmom AS (
+          SELECT (n > 3 AND v_0_0 > 0 AND mi0_a0_1_1 > 0 AND mi0_a1_2_2 > 0 AND mi1_a0_1_1 > 0 AND mi1_a1_2_2 > 0 AND mi2_a0_1_1 > 0 AND mi2_a1_2_2 > 0) AS ok, CAST(CAST(mu_0 AS DECIMAL(18,9)) AS DOUBLE) AS mu_0, CAST(CAST(mu_1 AS DECIMAL(18,9)) AS DOUBLE) AS mu_1, CAST(CAST(mu_2 AS DECIMAL(18,9)) AS DOUBLE) AS mu_2, CAST(CAST(mi0_beta0 AS DECIMAL(18,9)) AS DOUBLE) AS w_0_0, CAST(CAST(mi1_beta0 AS DECIMAL(18,9)) AS DOUBLE) AS w_0_1, CAST(CAST(mi2_beta0 AS DECIMAL(18,9)) AS DOUBLE) AS w_0_2, CAST(CAST(mi0_beta1 AS DECIMAL(18,9)) AS DOUBLE) AS w_1_0, CAST(CAST(mi1_beta1 AS DECIMAL(18,9)) AS DOUBLE) AS w_1_1, CAST(CAST(mi2_beta1 AS DECIMAL(18,9)) AS DOUBLE) AS w_1_2, CAST(CAST(mi0_beta2 AS DECIMAL(18,9)) AS DOUBLE) AS w_2_0, CAST(CAST(mi1_beta2 AS DECIMAL(18,9)) AS DOUBLE) AS w_2_1, CAST(CAST(mi2_beta2 AS DECIMAL(18,9)) AS DOUBLE) AS w_2_2 FROM mst51),
+        mscored AS (
+          SELECT rid,
+                 CASE WHEN ok THEN round((CAST(x0 AS DOUBLE) - mu_0) * w_0_0 * (CAST(x0 AS DOUBLE) - mu_0) + (CAST(x0 AS DOUBLE) - mu_0) * w_0_1 * (CAST(x1 AS DOUBLE) - mu_1) + (CAST(x0 AS DOUBLE) - mu_0) * w_0_2 * (CAST(x2 AS DOUBLE) - mu_2) + (CAST(x1 AS DOUBLE) - mu_1) * w_1_0 * (CAST(x0 AS DOUBLE) - mu_0) + (CAST(x1 AS DOUBLE) - mu_1) * w_1_1 * (CAST(x1 AS DOUBLE) - mu_1) + (CAST(x1 AS DOUBLE) - mu_1) * w_1_2 * (CAST(x2 AS DOUBLE) - mu_2) + (CAST(x2 AS DOUBLE) - mu_2) * w_2_0 * (CAST(x0 AS DOUBLE) - mu_0) + (CAST(x2 AS DOUBLE) - mu_2) * w_2_1 * (CAST(x1 AS DOUBLE) - mu_1) + (CAST(x2 AS DOUBLE) - mu_2) * w_2_2 * (CAST(x2 AS DOUBLE) - mu_2), 6) END AS md2,
+                 CASE WHEN ok THEN ((CAST(x0 AS DOUBLE) - mu_0) * w_0_0 * (CAST(x0 AS DOUBLE) - mu_0) + (CAST(x0 AS DOUBLE) - mu_0) * w_0_1 * (CAST(x1 AS DOUBLE) - mu_1) + (CAST(x0 AS DOUBLE) - mu_0) * w_0_2 * (CAST(x2 AS DOUBLE) - mu_2) + (CAST(x1 AS DOUBLE) - mu_1) * w_1_0 * (CAST(x0 AS DOUBLE) - mu_0) + (CAST(x1 AS DOUBLE) - mu_1) * w_1_1 * (CAST(x1 AS DOUBLE) - mu_1) + (CAST(x1 AS DOUBLE) - mu_1) * w_1_2 * (CAST(x2 AS DOUBLE) - mu_2) + (CAST(x2 AS DOUBLE) - mu_2) * w_2_0 * (CAST(x0 AS DOUBLE) - mu_0) + (CAST(x2 AS DOUBLE) - mu_2) * w_2_1 * (CAST(x1 AS DOUBLE) - mu_1) + (CAST(x2 AS DOUBLE) - mu_2) * w_2_2 * (CAST(x2 AS DOUBLE) - mu_2)) > 7.814728 END
+                   AS is_outlier_5pct
+          FROM mbase CROSS JOIN mmom)
+        SELECT rid, md2, is_outlier_5pct
+        FROM mscored ORDER BY md2 DESC, rid LIMIT 20
+    """
+
 
     # Harmonic centrality: unrolled multi-source BFS, quantized 1/d
     # fold, seeds re-joined so isolated seeds emit zeros.

@@ -2763,3 +2763,140 @@ def diversity_index(
             "evenness"
         ),
     )
+
+
+def mahalanobis_fragments(d: int) -> dict:
+    """Shared Spark/DuckDB fragments for Mahalanobis scoring — the
+    arch/granger discipline. Over a moments relation with columns n,
+    s_i (exact sums), c_i_j (exact cross-product sums, j >= i):
+    means, sample covariances, the d unit-rhs Gauss solves that build
+    the precision matrix, all as named fixed-order double steps.
+    Returns {aggs, steps, mu, inv, ok} where mu[i] / inv[(i, j)] are
+    output column names and ``aggs`` expects row columns x0..x{d-1}
+    typed decimal(18,6).
+    """
+    from econdatapipeline_spark.operators.timeseries import (  # noqa: PLC0415
+        _gauss_steps,
+    )
+
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i in range(d):
+        aggs.append(
+            f"CAST(SUM(CAST(x{i} AS DECIMAL(38,12))) AS DOUBLE)"
+            f" AS s_{i}"
+        )
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(
+                f"CAST(SUM(CAST(x{i} * x{j} AS DECIMAL(38,12)))"
+                f" AS DOUBLE) AS c_{i}_{j}"
+            )
+    steps = [("nd", "CAST(n AS DOUBLE)")]
+    mu = []
+    for i in range(d):
+        steps.append(
+            (
+                f"mu_{i}",
+                f"CASE WHEN nd = 0 THEN NULL ELSE s_{i} / nd END",
+            )
+        )
+        mu.append(f"mu_{i}")
+    cov = {}
+    for i in range(d):
+        for j in range(i, d):
+            steps.append(
+                (
+                    f"v_{i}_{j}",
+                    f"CASE WHEN (nd - 1.0) = 0 THEN NULL ELSE"
+                    f" (c_{i}_{j} - (CASE WHEN nd = 0 THEN NULL"
+                    f" ELSE s_{i} * s_{j} / nd END)) / (nd - 1.0)"
+                    f" END",
+                )
+            )
+            cov[(i, j)] = f"v_{i}_{j}"
+    inv = {}
+    diag_all = []
+    for col in range(d):
+        b = ["1.0" if r == col else "0.0" for r in range(d)]
+        g_steps, betas, diag = _gauss_steps(d, cov, b, f"mi{col}")
+        steps += g_steps
+        diag_all += diag
+        for r in range(d):
+            inv[(r, col)] = betas[r]
+    pivots = " AND ".join(
+        f"{x} > 0" for x in dict.fromkeys(diag_all)
+    )
+    ok = f"n > {d} AND {pivots}"
+    return {"aggs": aggs, "steps": steps, "mu": mu, "inv": inv, "ok": ok}
+
+
+def mahalanobis_scores(
+    df: DataFrame,
+    id_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Mahalanobis distance per row -> (id, md2, is_outlier_5pct).
+
+    The multivariate outlier screen anomaly_zscore cannot be: a point
+    can sit within 2 sigma on every axis yet be wildly inconsistent
+    with the correlation structure. md2 = (x - mu)' Sigma^{-1}
+    (x - mu) ~ chi2(d) under multivariate normality; is_outlier_5pct
+    flags md2 over the chi2(d) 5% literal (d <= 4).
+
+    Discipline: ONE decimal-exact moments aggregate, the precision
+    matrix from d unit-rhs unrolled SPD Gauss solves
+    (mahalanobis_fragments — identical text both engines), the 1-row
+    moments relation broadcast back, and the quadratic form expanded
+    in fixed (i, j) order with decimal(18,9)-quantized means and
+    precision entries. Rows with any NULL column are dropped. NULL
+    scores on a singular covariance (the ok-gate).
+    """
+    from econdatapipeline_spark.operators.timeseries import (  # noqa: PLC0415
+        _CHI2_CRIT_5PCT,
+    )
+
+    d = len(cols)
+    if d < 2 or d > 4:
+        raise ValueError(f"need 2..4 columns, got {d}")
+    frag = mahalanobis_fragments(d)
+    crit = _CHI2_CRIT_5PCT[d]
+    keep = F.lit(True)
+    for c in cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.filter(keep).select(
+        F.col(id_col).alias("rid"),
+        *[
+            F.col(c).cast("decimal(18,6)").alias(f"x{i}")
+            for i, c in enumerate(cols)
+        ],
+    )
+    cur = base.groupBy().agg(*[F.expr(a) for a in frag["aggs"]])
+    for name, e in frag["steps"]:
+        cur = cur.withColumn(name, F.expr(e))
+    q9 = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+    mom = cur.select(
+        F.expr(frag["ok"]).alias("ok"),
+        *[q9(F.col(m)).alias(m) for m in frag["mu"]],
+        *[
+            q9(F.col(frag["inv"][(i, j)])).alias(f"w_{i}_{j}")
+            for i in range(d)
+            for j in range(d)
+        ],
+    )
+    j = base.crossJoin(F.broadcast(mom))
+    dev = {
+        i: F.col(f"x{i}").cast("double") - F.col(f"mu_{i}")
+        for i in range(d)
+    }
+    md2 = None
+    for i in range(d):
+        for jj in range(d):
+            term = dev[i] * F.col(f"w_{i}_{jj}") * dev[jj]
+            md2 = term if md2 is None else md2 + term
+    return j.select(
+        F.col("rid").alias(id_col),
+        F.when(F.col("ok"), F.round(md2, 6)).alias("md2"),
+        F.when(F.col("ok"), md2 > F.lit(crit)).alias(
+            "is_outlier_5pct"
+        ),
+    )

@@ -1142,3 +1142,52 @@ def test_harmonic_centrality_path_graph(spark):
 
     with pytest.raises(ValueError):
         harmonic_centrality(edges, sources=[0], max_hops=0)
+
+
+# ---------------------------------------------------------------------------
+# mahalanobis_scores
+# ---------------------------------------------------------------------------
+
+def test_mahalanobis_catches_correlation_breaker(spark):
+    from econdatapipeline_spark.operators.stats import mahalanobis_scores
+
+    rng = np.random.RandomState(71)
+    n = 1000
+    x = np.round(rng.normal(0, 1, n), 3)
+    y = np.round(0.9 * x + 0.3 * rng.normal(0, 1, n), 3)  # strongly correlated
+    # row 0: within 2-sigma on BOTH axes but breaks the correlation
+    x[0], y[0] = 1.5, -1.5
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(x, y))],
+        "rid long, x double, y double",
+    )
+    rows = {r["rid"]: r for r in mahalanobis_scores(df, "rid", ["x", "y"]).collect()}
+    assert rows[0]["is_outlier_5pct"] is True
+    # numpy twin
+    X = np.column_stack([x, y])
+    mu = X.mean(axis=0)
+    S = np.cov(X.T, ddof=1)
+    P = np.linalg.inv(S)
+    d0 = X[0] - mu
+    md2_ref = float(d0 @ P @ d0)
+    assert rows[0]["md2"] == pytest.approx(md2_ref, rel=1e-3)
+    # the axis-wise z-screen misses it (both |z| < 2)
+    assert abs((1.5 - x.mean()) / x.std()) < 2.0
+    assert abs((-1.5 - y.mean()) / y.std()) < 2.0
+    # overall flag rate is near the nominal 5%
+    rate = sum(1 for r in rows.values() if r["is_outlier_5pct"]) / n
+    assert 0.02 < rate < 0.09
+
+
+def test_mahalanobis_degenerate_and_validation(spark):
+    from econdatapipeline_spark.operators.stats import mahalanobis_scores
+
+    # perfectly collinear -> singular covariance -> NULLs
+    df = spark.createDataFrame(
+        [(i, float(i), float(2 * i)) for i in range(50)],
+        "rid long, x double, y double",
+    )
+    rows = mahalanobis_scores(df, "rid", ["x", "y"]).collect()
+    assert all(r["md2"] is None for r in rows)
+    with pytest.raises(ValueError):
+        mahalanobis_scores(df, "rid", ["x"])
