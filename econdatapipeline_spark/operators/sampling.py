@@ -782,3 +782,72 @@ def rake_weights(
             F.try_divide(F.col("m"), F.col("n").cast("double")), 6
         ).alias("unit_weight"),
     )
+
+
+def svy_mean(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Design-weighted mean with Taylor-linearized SE -> ONE row
+    (n, n_eff, mean_w, se, deff_kish).
+
+    The estimator rake_weights' output feeds: the Hajek weighted mean
+    sum(w y)/sum(w), its ratio-estimator standard error
+
+        se^2 = n/(n-1) * sum(w_i (y_i - mean_w))^2 / (sum w)^2
+
+    Kish's effective sample size n_eff = (sum w)^2 / sum w^2 and the
+    unequal-weighting design effect deff = n / n_eff — how much
+    precision the weighting spent. One decimal-exact aggregate for
+    the w/wy/wy^2/w^2 sums, a second pass for the squared weighted
+    residuals against the decimal(18,9)-quantized mean (the
+    breusch_pagan two-pass pattern). Weights must be positive; rows
+    with w <= 0 or NULLs are dropped. NULLs when n < 2.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    ).select(
+        F.col(value_col).cast("decimal(18,6)").alias("y"),
+        F.col(weight_col).cast("decimal(18,6)").alias("w"),
+    ).localCheckpoint(eager=True)
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    q9 = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+    s1 = base.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("w"))).cast("double").alias("sw"),
+        F.sum(dec(F.col("w") * F.col("y"))).cast("double").alias("swy"),
+        F.sum(dec(F.col("w") * F.col("w"))).cast("double").alias("sww"),
+    )
+    mean_rel = s1.select(
+        "n", "sw", "sww", q9(dv(d("swy"), d("sw"))).alias("m")
+    )
+    j = base.crossJoin(F.broadcast(mean_rel))
+    resid = F.col("w").cast("double") * (
+        F.col("y").cast("double") - F.col("m")
+    )
+    q12 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    s2 = j.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("sw").alias("sw"),
+        F.max("sww").alias("sww"),
+        F.max("m").alias("m"),
+        F.sum(q12(resid * resid)).cast("double").alias("sr2"),
+    )
+    nd = d("n")
+    var = dv(nd, nd - F.lit(1.0)) * dv(
+        d("sr2"), d("sw") * d("sw")
+    )
+    n_eff = dv(d("sw") * d("sw"), d("sww"))
+    ok = F.col("n") > 1
+    return s2.select(
+        "n",
+        F.when(ok, F.round(n_eff, 6)).alias("n_eff"),
+        F.when(ok, F.round(F.col("m"), 6)).alias("mean_w"),
+        F.when(ok, F.round(F.sqrt(var), 6)).alias("se"),
+        F.when(ok, F.round(dv(nd, n_eff), 6)).alias("deff_kish"),
+    )

@@ -2900,3 +2900,97 @@ def mahalanobis_scores(
             "is_outlier_5pct"
         ),
     )
+
+
+def eb_shrink_rates(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) rate shrinkage -> one row per
+    group (group, n, k, rate_raw, rate_shrunk, alpha, beta).
+
+    The small-sample leaderboard fix: a 2/2 seller should not outrank
+    a 950/1000 one. Method-of-moments beta-binomial: the prior's mean
+    is the unweighted mean of group rates, its variance the observed
+    between-group variance MINUS the average binomial noise
+    E[r(1-r)/n]; then alpha = mu*K, beta = (1-mu)*K with
+    K = mu(1-mu)/s2_true - 1 and
+
+        rate_shrunk = (k + alpha) / (n + K)
+
+    — groups with little data collapse toward the prior, big groups
+    barely move. When the noise estimate swallows the between-group
+    variance (s2_true <= 0, or K <= 0: no evidence of real
+    heterogeneity) every group shrinks fully to mu and alpha/beta are
+    NULL — documented, not fabricated.
+
+    Shape: one per-group count aggregate, one tiny moments fold over
+    the groups relation, broadcast back. Exact integer counts; the
+    prior moments are fixed-order doubles.
+    """
+    per_g = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col(label_col).cast("double") != 0.0, 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    r = dv(d("k"), d("n"))
+    q12 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    mom = per_g.select(
+        "g", "n", "k", r.alias("r")
+    ).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("gcnt"),
+        F.sum(q12(F.col("r"))).cast("double").alias("sr"),
+        F.sum(q12(F.col("r") * F.col("r"))).cast("double").alias("srr"),
+        F.sum(
+            q12(
+                dv(
+                    F.col("r") * (F.lit(1.0) - F.col("r")),
+                    F.col("n").cast("double"),
+                )
+            )
+        )
+        .cast("double")
+        .alias("snoise"),
+    )
+    gd = d("gcnt")
+    mu = dv(d("sr"), gd)
+    s2_obs = dv(d("srr") - dv(d("sr") * d("sr"), gd), gd - F.lit(1.0))
+    noise = dv(d("snoise"), gd)
+    s2_true = s2_obs - noise
+    kk = dv(mu * (F.lit(1.0) - mu), s2_true) - F.lit(1.0)
+    prior = mom.select(
+        mu.alias("mu"),
+        F.when((s2_true > 0) & (kk > 0), kk).alias("kk"),
+        F.col("gcnt"),
+    )
+    j = per_g.crossJoin(F.broadcast(prior))
+    alpha = F.col("mu") * F.col("kk")
+    shrunk = F.when(
+        F.col("kk").isNotNull(),
+        dv(d("k") + alpha, d("n") + F.col("kk")),
+    ).otherwise(F.col("mu"))
+    return j.select(
+        F.col("g").alias(group_col),
+        "n",
+        "k",
+        F.round(dv(d("k"), d("n")), 6).alias("rate_raw"),
+        F.round(shrunk, 6).alias("rate_shrunk"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(
+            (F.lit(1.0) - F.col("mu")) * F.col("kk"), 6
+        ).alias("beta"),
+    )

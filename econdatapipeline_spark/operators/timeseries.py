@@ -2889,6 +2889,7 @@ def periodogram(
     order_col: str = "date",
     group_col: str = "dataset",
     max_k: int = 12,
+    assume_indexed: bool = False,
 ) -> DataFrame:
     """Schuster periodogram at the first ``max_k`` Fourier
     frequencies -> (group, k, n, period, power).
@@ -2909,6 +2910,12 @@ def periodogram(
     group), a bounded k-grid explode (rows = n * max_k), ONE hash
     aggregate. NULL power when n < 2*max_k (frequencies above
     Nyquist).
+
+    ``assume_indexed``: the rank window sorts each series in ONE
+    partition — measured 65 s of the 2M-point probe. When order_col
+    is ALREADY a dense 0-based integer index per group (the usual
+    contract for a series this long), pass True: t = order_col
+    directly, n from a per-group aggregate, zero windows anywhere.
     """
     import math  # noqa: PLC0415
 
@@ -2929,16 +2936,24 @@ def periodogram(
         F.col(order_col).alias("o"),
         _q6(F.col(value_col).cast("double")).alias("v"),
     )
-    w = Window.partitionBy("g").orderBy("o")
-    ranked = base.select(
-        "g",
-        "v",
-        (F.row_number().over(w) - F.lit(1)).cast("long").alias("t"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("g"))
-        .cast("long")
-        .alias("n"),
-    )
+    if assume_indexed:
+        counts = base.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        ranked = base.join(counts, "g").select(
+            "g", "v", F.col("o").cast("long").alias("t"), "n"
+        )
+    else:
+        w = Window.partitionBy("g").orderBy("o")
+        ranked = base.select(
+            "g",
+            "v",
+            (F.row_number().over(w) - F.lit(1)).cast("long").alias("t"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("g"))
+            .cast("long")
+            .alias("n"),
+        )
     means = ranked.groupBy("g").agg(
         F.sum(F.col("v").cast("decimal(38,12)"))
         .cast("double")

@@ -1191,3 +1191,76 @@ def test_mahalanobis_degenerate_and_validation(spark):
     assert all(r["md2"] is None for r in rows)
     with pytest.raises(ValueError):
         mahalanobis_scores(df, "rid", ["x"])
+
+
+# ---------------------------------------------------------------------------
+# eb_shrink_rates
+# ---------------------------------------------------------------------------
+
+def test_eb_shrink_orders_small_groups_sensibly(spark):
+    from econdatapipeline_spark.operators.stats import eb_shrink_rates
+
+    rng = np.random.RandomState(6)
+    rows = []
+    true = {}
+    for g in range(40):
+        p = float(rng.uniform(0.2, 0.8))
+        n = 2 if g < 5 else 500  # five tiny groups
+        true[f"g{g}"] = p
+        for _ in range(n):
+            rows.append((f"g{g}", int(rng.uniform() < p)))
+    rows += [("tiny_perfect", 1), ("tiny_perfect", 1)]  # 2/2
+    df = spark.createDataFrame(rows, "g string, y long")
+    out = {r["g"]: r for r in eb_shrink_rates(df, "g", "y").collect()}
+    # the 2/2 group must NOT keep rate 1.0
+    r = out["tiny_perfect"]
+    assert r["rate_raw"] == 1.0 and r["rate_shrunk"] < 0.9
+    # big groups barely move
+    big = out["g10"]
+    assert abs(big["rate_shrunk"] - big["rate_raw"]) < 0.02
+    # shrunk rates lie between raw and the prior mean
+    mu = np.mean([v["rate_raw"] for v in out.values()])
+    for v in out.values():
+        lo, hi = sorted([v["rate_raw"], mu])
+        assert lo - 0.02 <= v["rate_shrunk"] <= hi + 0.02
+
+    # homogeneous groups: no real heterogeneity -> full shrink, NULL prior
+    rows2 = [(f"h{g}", int(rng.uniform() < 0.5))
+             for g in range(30) for _ in range(20)]
+    df2 = spark.createDataFrame(rows2, "g string, y long")
+    out2 = eb_shrink_rates(df2, "g", "y").collect()
+    if out2[0]["alpha"] is None:  # noise swallowed the variance
+        assert len({r["rate_shrunk"] for r in out2}) == 1
+
+
+# ---------------------------------------------------------------------------
+# svy_mean
+# ---------------------------------------------------------------------------
+
+def test_svy_mean_weighted_estimates(spark):
+    from econdatapipeline_spark.operators.sampling import svy_mean
+
+    rng = np.random.RandomState(44)
+    n = 3000
+    y = np.round(rng.normal(50, 10, n), 3)
+    w = np.round(rng.uniform(0.5, 3.0, n), 3)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, w)], "y double, w double"
+    )
+    r = svy_mean(df, "y", "w").collect()[0]
+    mean_ref = (w * y).sum() / w.sum()
+    assert r["mean_w"] == pytest.approx(mean_ref, abs=1e-4)
+    # Kish effective n and design effect
+    neff_ref = w.sum() ** 2 / (w * w).sum()
+    assert r["n_eff"] == pytest.approx(neff_ref, abs=0.01)
+    assert r["deff_kish"] == pytest.approx(n / neff_ref, abs=1e-4)
+    assert r["deff_kish"] > 1.0
+    # Taylor SE replay
+    m9 = np.round(mean_ref, 9)
+    se_ref = np.sqrt(n / (n - 1) * ((w * (y - m9)) ** 2).sum() / w.sum() ** 2)
+    assert r["se"] == pytest.approx(se_ref, abs=1e-5)
+    # equal weights: deff = 1, se = classic sem
+    df2 = spark.createDataFrame([(float(a), 1.0) for a in y], "y double, w double")
+    r2 = svy_mean(df2, "y", "w").collect()[0]
+    assert r2["deff_kish"] == pytest.approx(1.0)
+    assert r2["se"] == pytest.approx(y.std(ddof=0) / np.sqrt(n - 1), rel=1e-3)

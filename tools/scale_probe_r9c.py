@@ -181,6 +181,23 @@ def probe_periodogram(spark):
     return time.monotonic() - t0, "one 2M-point series, 24M-row k-grid"
 
 
+def probe_periodogram_indexed(spark):
+    from econdatapipeline_spark.operators.timeseries import periodogram
+
+    df = spark.range(2_000_000).select(
+        F.lit("s").alias("dataset"),
+        F.col("id").alias("date"),
+        (
+            ((F.col("id") * 48271 + 3) % 9973).cast("double") / 100.0
+        ).alias("value"),
+    )
+    t0 = time.monotonic()
+    periodogram(
+        df, "value", "date", "dataset", max_k=12, assume_indexed=True
+    ).write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0, "same 2M series, dense index, zero windows"
+
+
 PROBES = {
     "quantile_regression": probe_quantile_regression,
     "arch_test": probe_arch_test,
@@ -191,6 +208,7 @@ PROBES = {
     "fleiss_kappa": probe_fleiss_kappa,
     "rfm_segments": probe_rfm_segments,
     "periodogram": probe_periodogram,
+    "periodogram_indexed": probe_periodogram_indexed,
 }
 
 
