@@ -5283,6 +5283,40 @@ def q_mahalanobis_outliers(spark, sf_dir):
     return out.orderBy(F.col("md2").desc(), "rid").limit(20)
 
 
+
+def q_eb_shrink_rates(spark, sf_dir):
+    """Empirical-Bayes return-rate shrinkage per part
+    (operators/stats.eb_shrink_rates): method-of-moments
+    beta-binomial prior from the groups relation, small parts
+    collapse toward the prior — the leaderboard fix beside
+    target_encode's smoothing."""
+    from econdatapipeline_spark.operators.stats import eb_shrink_rates
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("g"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    return eb_shrink_rates(li, "g", "y").orderBy("g")
+
+
+def q_svy_mean(spark, sf_dir):
+    """Design-weighted mean order value (k$) weighted by line count
+    (operators/sampling.svy_mean): Hajek mean, Taylor-linearized SE,
+    Kish effective n and design effect — the estimator rake_weights'
+    output feeds."""
+    from econdatapipeline_spark.operators.sampling import svy_mean
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cnt = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    j = o.join(cnt, o.o_orderkey == cnt.l_orderkey).select(
+        (F.col("o_totalprice") / 1000.0).alias("v"), "w"
+    )
+    return svy_mean(j, "v", "w")
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7588,6 +7622,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "binseg_changepoints": q_binseg_changepoints,
         "harmonic_centrality": q_harmonic_centrality,
         "mahalanobis_outliers": q_mahalanobis_outliers,
+        "eb_shrink_rates": q_eb_shrink_rates,
+        "svy_mean": q_svy_mean,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16604,6 +16640,97 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # EB shrinkage: per-group counts, MoM prior fold, broadcast back.
+    sql["eb_shrink_rates"] = """
+        WITH ebg AS (
+          SELECT l_partkey AS g, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1
+                      ELSE 0 END) AS BIGINT) AS k
+          FROM lineitem GROUP BY l_partkey),
+        ebm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS gcnt,
+            CAST(SUM(CAST((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (CAST(k AS DOUBLE)) / CAST(n AS DOUBLE) END)
+                 AS DECIMAL(28,12))) AS DOUBLE) AS sr,
+            CAST(SUM(CAST(((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (CAST(k AS DOUBLE)) / CAST(n AS DOUBLE) END))
+                 * ((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (CAST(k AS DOUBLE)) / CAST(n AS DOUBLE) END))
+                 AS DECIMAL(28,12))) AS DOUBLE) AS srr,
+            CAST(SUM(CAST(
+              (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE
+                ((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (CAST(k AS DOUBLE)) / CAST(n AS DOUBLE) END))
+                * (1.0 - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (CAST(k AS DOUBLE)) / CAST(n AS DOUBLE) END))
+                / CAST(n AS DOUBLE) END)
+              AS DECIMAL(28,12))) AS DOUBLE) AS snoise
+          FROM ebg),
+        ebp AS (
+          SELECT gcnt,
+            (CASE WHEN CAST(gcnt AS DOUBLE) = 0 THEN NULL ELSE (sr) / CAST(gcnt AS DOUBLE) END) AS mu,
+            ((CASE WHEN (CAST(gcnt AS DOUBLE) - 1.0) = 0 THEN NULL ELSE ((srr - (CASE WHEN CAST(gcnt AS DOUBLE) = 0 THEN NULL ELSE (sr * sr) / CAST(gcnt AS DOUBLE) END))) / (CAST(gcnt AS DOUBLE) - 1.0) END)
+             - (CASE WHEN CAST(gcnt AS DOUBLE) = 0 THEN NULL ELSE (snoise) / CAST(gcnt AS DOUBLE) END)) AS s2_true
+          FROM ebm),
+        ebk AS (
+          SELECT mu,
+            CASE WHEN s2_true > 0
+                 AND ((CASE WHEN s2_true = 0 THEN NULL ELSE (mu * (1.0 - mu)) / s2_true END) - 1.0) > 0
+              THEN (CASE WHEN s2_true = 0 THEN NULL ELSE (mu * (1.0 - mu)) / s2_true END) - 1.0 END AS kk
+          FROM ebp)
+        SELECT g, n, k,
+          round((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (CAST(k AS DOUBLE)) / CAST(n AS DOUBLE) END), 6)
+            AS rate_raw,
+          round(CASE WHEN kk IS NOT NULL THEN
+            (CASE WHEN (CAST(n AS DOUBLE) + kk) = 0 THEN NULL ELSE ((CAST(k AS DOUBLE) + mu * kk)) / (CAST(n AS DOUBLE) + kk) END)
+            ELSE mu END, 6) AS rate_shrunk,
+          round(mu * kk, 6) AS alpha,
+          round((1.0 - mu) * kk, 6) AS beta
+        FROM ebg CROSS JOIN ebk ORDER BY g
+    """
+
+    # Survey mean: two-pass Hajek/Taylor with the quantized mean.
+    sql["svy_mean"] = """
+        WITH svw AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS w
+          FROM lineitem GROUP BY l_orderkey),
+        svb AS (
+          SELECT CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)) AS y,
+                 CAST(w AS DECIMAL(18,6)) AS w
+          FROM orders JOIN svw ON o_orderkey = l_orderkey
+          WHERE o_totalprice IS NOT NULL AND w > 0),
+        sv1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+            CAST(SUM(CAST(CAST(w AS DECIMAL(19,6))
+                 * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+                 AS DOUBLE) AS swy,
+            CAST(SUM(CAST(CAST(w AS DECIMAL(19,6))
+                 * CAST(w AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+                 AS DOUBLE) AS sww
+          FROM svb),
+        sv2 AS (
+          SELECT n, sw, sww,
+            CAST(CAST((CASE WHEN sw = 0 THEN NULL ELSE (swy) / sw END) AS DECIMAL(18,9)) AS DOUBLE)
+              AS m
+          FROM sv1),
+        sv3 AS (
+          SELECT MAX(n) AS n, MAX(sw) AS sw, MAX(sww) AS sww,
+            MAX(m) AS m,
+            CAST(SUM(CAST(
+              (CAST(w AS DOUBLE) * (CAST(y AS DOUBLE) - m))
+              * (CAST(w AS DOUBLE) * (CAST(y AS DOUBLE) - m))
+              AS DECIMAL(28,12))) AS DOUBLE) AS sr2
+          FROM svb CROSS JOIN sv2)
+        SELECT n,
+          CASE WHEN n > 1
+            THEN round((CASE WHEN sww = 0 THEN NULL ELSE (sw * sw) / sww END), 6) END AS n_eff,
+          CASE WHEN n > 1 THEN round(m, 6) END AS mean_w,
+          CASE WHEN n > 1 THEN round(sqrt(
+            ((CASE WHEN (CAST(n AS DOUBLE) - 1.0) = 0 THEN NULL ELSE (CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) END))
+            * ((CASE WHEN (sw * sw) = 0 THEN NULL ELSE (sr2) / (sw * sw) END))), 6) END AS se,
+          CASE WHEN n > 1 THEN round(
+            (CASE WHEN (CASE WHEN sww = 0 THEN NULL ELSE (sw * sw) / sww END) = 0 THEN NULL ELSE (CAST(n AS DOUBLE)) / (CASE WHEN sww = 0 THEN NULL ELSE (sw * sw) / sww END) END), 6) END
+            AS deff_kish
+        FROM sv3
+    """
+
 
     # Mahalanobis: moments + unit-rhs Gauss precision matrix, text
     # shared verbatim via mahalanobis_fragments.
