@@ -5317,6 +5317,24 @@ def q_svy_mean(spark, sf_dir):
     return svy_mean(j, "v", "w")
 
 
+
+def q_qini_curve(spark, sf_dir):
+    """Qini uplift curve: does quantity 'target' the discount's
+    effect on returns? (operators/evaluation.qini_curve) treat =
+    discounted line, outcome = returned, score = quantity; global
+    quantile bins through the certified percentile channel, exact
+    integer counts, n_bins-row cumulative fold — the uplift analog
+    of decile_lift."""
+    from econdatapipeline_spark.operators.evaluation import qini_curve
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") > 0.05).alias("t"),
+        (F.col("l_returnflag") == "R").alias("y"),
+        F.col("l_quantity").cast("double").alias("s"),
+    )
+    return qini_curve(li, "t", "y", "s", n_bins=10)
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7624,6 +7642,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "mahalanobis_outliers": q_mahalanobis_outliers,
         "eb_shrink_rates": q_eb_shrink_rates,
         "svy_mean": q_svy_mean,
+        "qini_curve": q_qini_curve,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16640,6 +16659,52 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # Qini: global quantile bins, exact counts, 10-row cum fold.
+    sql["qini_curve"] = """
+        WITH qnb AS (
+          SELECT (l_discount > 0.05) AS t,
+                 (l_returnflag = 'R') AS y,
+                 CAST(l_quantity AS DOUBLE) AS s
+          FROM lineitem
+          WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+            AND l_quantity IS NOT NULL),
+        qth AS (SELECT quantile_cont(s, 0.9) AS th_0, quantile_cont(s, 0.8) AS th_1, quantile_cont(s, 0.7) AS th_2, quantile_cont(s, 0.6) AS th_3, quantile_cont(s, 0.5) AS th_4, quantile_cont(s, 0.4) AS th_5, quantile_cont(s, 0.30000000000000004) AS th_6, quantile_cont(s, 0.19999999999999996) AS th_7, quantile_cont(s, 0.09999999999999998) AS th_8 FROM qnb),
+        qbin AS (
+          SELECT CAST(CASE WHEN s > th_0 THEN 1 WHEN s > th_1 THEN 2 WHEN s > th_2 THEN 3 WHEN s > th_3 THEN 4 WHEN s > th_4 THEN 5 WHEN s > th_5 THEN 6 WHEN s > th_6 THEN 7 WHEN s > th_7 THEN 8 WHEN s > th_8 THEN 9 ELSE 10 END AS BIGINT) AS bin, t, y
+          FROM qnb CROSS JOIN qth),
+        qagg AS (
+          SELECT bin,
+            CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_t,
+            CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_c,
+            CAST(SUM(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT)
+              AS resp_t,
+            CAST(SUM(CASE WHEN (NOT t) AND y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS resp_c
+          FROM qbin GROUP BY bin),
+        qcum AS (
+          SELECT bin, n_t, n_c, resp_t, resp_c,
+            CAST(SUM(n_t) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS DOUBLE) AS cnt,
+            CAST(SUM(n_c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS DOUBLE) AS cnc,
+            CAST(SUM(resp_t) OVER (ORDER BY bin ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              AS crt,
+            CAST(SUM(resp_c) OVER (ORDER BY bin ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              AS crc
+          FROM qagg)
+        SELECT bin, n_t, n_c, resp_t, resp_c,
+          round((CASE WHEN CAST(n_t AS DOUBLE) = 0 THEN NULL ELSE (CAST(resp_t AS DOUBLE)) / CAST(n_t AS DOUBLE) END)
+                - (CASE WHEN CAST(n_c AS DOUBLE) = 0 THEN NULL ELSE (CAST(resp_c AS DOUBLE)) / CAST(n_c AS DOUBLE) END),
+                6) AS uplift,
+          round(crt - crc * (CASE WHEN cnc = 0 THEN NULL ELSE (cnt) / cnc END), 6) AS qini
+        FROM qcum ORDER BY bin
+    """
+
 
     # EB shrinkage: per-group counts, MoM prior fold, broadcast back.
     sql["eb_shrink_rates"] = """

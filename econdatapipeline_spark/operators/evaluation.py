@@ -2873,3 +2873,97 @@ def brier_decompose(
         F.when(ok, F.round(unc, 6)).alias("uncertainty"),
         F.when(ok, F.round(rel - res + unc, 6)).alias("brier_binned"),
     )
+
+
+def qini_curve(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Qini curve by score decile -> one row per bin, top-scored
+    first: (bin, n_t, n_c, resp_t, resp_c, uplift, qini).
+
+    THE uplift-model evaluation (Radcliffe 2007): target by the
+    model's score and ask how many INCREMENTAL conversions the
+    treated top-k% show over the control baseline scaled to the same
+    size: qini_k = cumRt_k - cumRc_k * cumNt_k / cumNc_k. A useless
+    score gives a straight line to the endpoint; a good one bulges
+    above it. ``uplift`` is the per-bin treated-minus-control rate
+    (the decile_lift reading); ``qini`` is the cumulative curve the
+    coefficient integrates.
+
+    Scale discipline: bins come from GLOBAL score quantiles through
+    the certified percentile channel (the rfm_segments pattern —
+    never an ntile sort); per-bin counts are exact integers in ONE
+    conditional aggregate; the cumulative fold is a window over the
+    n_bins-row relation. Ties at bin edges land deterministically
+    (strictly-greater comparison) in both engines.
+    """
+    if n_bins < 2 or n_bins > 20:
+        raise ValueError(f"n_bins must be in 2..20, got {n_bins}")
+    base = df.filter(
+        F.col(treat_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    ).select(
+        (F.col(treat_col).cast("double") != 0.0).alias("t"),
+        (F.col(outcome_col).cast("double") != 0.0).alias("y"),
+        F.col(score_col).cast("double").alias("s"),
+    )
+    probs = [k / float(n_bins) for k in range(1, n_bins)]
+    th = base.agg(
+        *[
+            F.percentile(F.col("s"), 1.0 - p).alias(f"th_{k}")
+            for k, p in enumerate(probs)
+        ]
+    )
+    scored = base.crossJoin(F.broadcast(th))
+    # bin 1 = top scores; s > th_0 -> bin 1, else s > th_1 -> 2, ...
+    b = F.lit(n_bins)
+    for k in reversed(range(len(probs))):
+        b = F.when(F.col("s") > F.col(f"th_{k}"), F.lit(k + 1)).otherwise(b)
+    bins = scored.select(b.cast("long").alias("bin"), "t", "y").groupBy(
+        "bin"
+    ).agg(
+        F.sum(F.when(F.col("t"), 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(~F.col("t"), 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("t") & F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("resp_t"),
+        F.sum(F.when(~F.col("t") & F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("resp_c"),
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    cum = bins.select(
+        "bin",
+        "n_t",
+        "n_c",
+        "resp_t",
+        "resp_c",
+        F.sum("n_t").over(w).cast("double").alias("cnt"),
+        F.sum("n_c").over(w).cast("double").alias("cnc"),
+        F.sum("resp_t").over(w).cast("double").alias("crt"),
+        F.sum("resp_c").over(w).cast("double").alias("crc"),
+    )
+    uplift = dv(d("resp_t"), d("n_t")) - dv(d("resp_c"), d("n_c"))
+    qini = F.col("crt") - F.col("crc") * dv(
+        F.col("cnt"), F.col("cnc")
+    )
+    return cum.select(
+        "bin",
+        "n_t",
+        "n_c",
+        "resp_t",
+        "resp_c",
+        F.round(uplift, 6).alias("uplift"),
+        F.round(qini, 6).alias("qini"),
+    ).orderBy("bin")

@@ -1264,3 +1264,48 @@ def test_svy_mean_weighted_estimates(spark):
     r2 = svy_mean(df2, "y", "w").collect()[0]
     assert r2["deff_kish"] == pytest.approx(1.0)
     assert r2["se"] == pytest.approx(y.std(ddof=0) / np.sqrt(n - 1), rel=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# qini_curve
+# ---------------------------------------------------------------------------
+
+def test_qini_good_score_bulges_random_flatlines(spark):
+    from econdatapipeline_spark.operators.evaluation import qini_curve
+
+    rng = np.random.RandomState(9)
+    n = 20000
+    x = rng.uniform(0, 1, n)              # true uplift driver
+    t = (rng.uniform(size=n) < 0.5)
+    base_p = 0.10
+    p = base_p + np.where(t, 0.25 * x, 0.0)   # treatment helps high-x only
+    y = rng.uniform(size=n) < p
+
+    def _run(score):
+        df = spark.createDataFrame(
+            [(bool(a), bool(b), float(c)) for a, b, c in zip(t, y, score)],
+            "t boolean, y boolean, s double",
+        )
+        return qini_curve(df, "t", "y", "s").collect()
+
+    good = _run(np.round(x, 4))
+    rand = _run(np.round(rng.uniform(0, 1, n), 4))
+    # monotone-ish uplift for the good score: top bin >> bottom bin
+    assert good[0]["uplift"] > good[-1]["uplift"] + 0.1
+    # final qini equals total incremental conversions for both
+    tot = lambda rows: rows[-1]["qini"]
+    assert tot(good) == pytest.approx(tot(rand), rel=0.25)
+    # the good curve dominates the straight line at the midpoint
+    mid_good = good[4]["qini"]
+    line = tot(good) * sum(r["n_t"] + r["n_c"] for r in good[:5]) / n
+    assert mid_good > line * 1.2
+    # replay the qini fold for the good score
+    crt = sum(r["resp_t"] for r in good[:5])
+    crc = sum(r["resp_c"] for r in good[:5])
+    cnt = sum(r["n_t"] for r in good[:5])
+    cnc = sum(r["n_c"] for r in good[:5])
+    assert mid_good == pytest.approx(crt - crc * cnt / cnc, abs=1e-3)
+
+    with pytest.raises(ValueError):
+        qini_curve(spark.createDataFrame([(True, True, 1.0)],
+                   "t boolean, y boolean, s double"), "t", "y", "s", n_bins=1)
