@@ -5335,6 +5335,22 @@ def q_qini_curve(spark, sf_dir):
     return qini_curve(li, "t", "y", "s", n_bins=10)
 
 
+
+def q_arch_lags2(spark, sf_dir):
+    """The ARCH LM test at lags=2 (operators/timeseries.arch_test):
+    certifies the generated arch_fragments Gauss path beyond the
+    single-lag contract — the granger_lags2 pattern for the new
+    fragments family."""
+    from econdatapipeline_spark.operators.timeseries import arch_test
+
+    series = _monthly_order_series(spark, sf_dir).select(
+        "dataset", "date", (F.col("value") / 1e6).alias("value")
+    )
+    return arch_test(series, "value", "date", "dataset", lags=2).orderBy(
+        "dataset"
+    )
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7643,6 +7659,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "eb_shrink_rates": q_eb_shrink_rates,
         "svy_mean": q_svy_mean,
         "qini_curve": q_qini_curve,
+        "arch_lags2": q_arch_lags2,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -18009,6 +18026,61 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN {_a1["ok"]}
                  THEN {_a1["lm"]} > 3.841459 END AS reject_5pct
         FROM {_a1_last} ORDER BY dataset
+    """
+
+
+    _a2 = _afrag(2)
+    _a2_steps = "".join(
+        f",\n        a2st{i} AS (SELECT *, {e} AS {nm} FROM "
+        f"{'a2sum' if i == 0 else f'a2st{i - 1}'})"
+        for i, (nm, e) in enumerate(_a2["steps"])
+    )
+    _a2_last = f"a2st{len(_a2['steps']) - 1}"
+    sql["arch_lags2"] = f"""
+        WITH amon AS (
+          SELECT o_orderpriority AS dataset,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   / 1000000.0 AS value
+          FROM orders GROUP BY 1, 2),
+        ab AS (
+          SELECT dataset AS g, date AS o,
+                 CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS v
+          FROM amon WHERE value IS NOT NULL),
+        am AS (
+          SELECT g, CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+                 CAST(COUNT(*) AS BIGINT) AS nv
+          FROM ab GROUP BY g),
+        au AS (
+          SELECT ab.g AS g, o,
+                 CAST(floor(
+                   (CAST(v AS DOUBLE) - sv / CAST(nv AS DOUBLE))
+                   * (CAST(v AS DOUBLE) - sv / CAST(nv AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0
+                   AS DECIMAL(18,6)) AS u
+          FROM ab JOIN am ON ab.g = am.g),
+        alag AS (
+          SELECT g, u,
+                 LAG(u, 1) OVER (PARTITION BY g ORDER BY o) AS z1,
+                 LAG(u, 2) OVER (PARTITION BY g ORDER BY o) AS z2
+          FROM au),
+        arws AS (
+          SELECT g, CAST(u AS DECIMAL(19,6)) AS u,
+                 CAST(z1 AS DECIMAL(19,6)) AS z1,
+                 CAST(z2 AS DECIMAL(19,6)) AS z2
+          FROM alag WHERE z1 IS NOT NULL AND z2 IS NOT NULL),
+        a2sum AS (
+          SELECT g, {", ".join(_a2["aggs"])}
+          FROM arws GROUP BY g){_a2_steps}
+        SELECT g AS dataset, n,
+               round(CASE WHEN {_a2["ok"]} THEN {_a2["lm"]} END, 6)
+                 AS lm_stat,
+               round(CASE WHEN {_a2["ok"]} THEN {_a2["r2"]} END, 6)
+                 AS r2,
+               CASE WHEN {_a2["ok"]}
+                 THEN {_a2["lm"]} > 5.991465 END AS reject_5pct
+        FROM {_a2_last} ORDER BY dataset
     """
 
 
