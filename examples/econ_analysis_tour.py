@@ -139,6 +139,72 @@ def main() -> None:
         f"hr={cox['hr']} beta={cox['beta']} z={cox['z']} "
         f"(n={cox['n']}, events={cox['n_events']})"
     )
+    # --- round-9 additions: trend tails, volatility, structure ---
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast(
+                "double"
+            )
+            / 1e6
+        ).alias("value")
+    )
+
+    from econdatapipeline_spark.operators.timeseries import (
+        arch_test,
+        ar_fit,
+        binseg_changepoints,
+        periodogram,
+        quantile_regression,
+    )
+
+    series = monthly.select(
+        "dataset",
+        "date",
+        (
+            F.datediff(F.col("date"), F.lit("1992-01-01").cast("date"))
+            .cast("double")
+            / 1000.0
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    q90 = quantile_regression(
+        series, "y", "x", tau=0.9, group_col="dataset"
+    ).orderBy("dataset").first()
+    print(
+        f"90th-percentile revenue trend ({q90['dataset']}): "
+        f"slope={q90['slope']} pinball={q90['pinball_loss']}"
+    )
+    arch = arch_test(monthly, "value", "date", "dataset").orderBy(
+        "dataset"
+    ).first()
+    print(
+        f"ARCH LM ({arch['dataset']}): lm={arch['lm_stat']} "
+        f"volatility clustering rejected at 5%: {arch['reject_5pct']}"
+    )
+    ar2 = ar_fit(monthly, "value", "date", "dataset", order=2).orderBy(
+        "dataset"
+    ).first()
+    print(
+        f"AR(2) fit ({ar2['dataset']}): phi1={ar2['phi_1']} "
+        f"phi2={ar2['phi_2']} r2={ar2['r2']}"
+    )
+    pk = (
+        periodogram(monthly, "value", "date", "dataset", max_k=12)
+        .orderBy(F.col("power").desc_nulls_last())
+        .first()
+    )
+    print(
+        f"dominant cycle ({pk['dataset']}): period={pk['period']} "
+        f"months (k={pk['k']}, power={pk['power']})"
+    )
+    breaks = binseg_changepoints(
+        monthly, "dataset", "date", "value", depth=2, min_gain=1.0
+    ).collect()
+    print(f"level shifts found across priorities: {len(breaks)}")
+
     print("econ analysis tour done")
 
 

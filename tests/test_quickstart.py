@@ -58,6 +58,9 @@ def test_econ_analysis_tour_runs(spark, capsys):
     econ_analysis_tour.main()
     out = capsys.readouterr().out
     assert "Granger" in out and "Newey-West" in out
+    assert "90th-percentile revenue trend" in out
+    assert "ARCH LM" in out and "AR(2) fit" in out
+    assert "dominant cycle" in out and "level shifts found" in out
     assert "median days to repeat purchase" in out
     assert "hazard ratio" in out
     assert "econ analysis tour done" in out
