@@ -6429,6 +6429,35 @@ def q_poisson_glm(spark, sf_dir):
     ).orderBy("param")
 
 
+
+def q_negbin_glm(spark, sf_dir):
+    """NB2 negative-binomial regression on the poisson_glm fixture at
+    alpha = 0.5 (operators/glm.negbin_glm): overdispersion IN the
+    likelihood — Fisher scoring with (1 + alpha*mu) weights, the
+    lgamma-free NB deviance, the same generated fixed-order Gauss
+    chain the oracle replays (negbin_fragments). Completes the count
+    triad with poisson_glm / quasipoisson_glm."""
+    from econdatapipeline_spark.operators.glm import negbin_glm
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    counts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    subj = c.join(
+        counts, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("y"),
+        (F.col("c_acctbal") / 1000.0).alias("x_acctbal"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1.0)
+        .otherwise(0.0)
+        .alias("x_building"),
+    )
+    return negbin_glm(
+        subj, "y", ["x_acctbal", "x_building"], alpha=0.5, rounds=6
+    ).orderBy("param")
+
+
 def q_msprt_monitor(spark, sf_dir):
     """Always-valid sequential monitoring of BUILDING vs AUTOMOBILE
     order value by calendar month (operators/evaluation.msprt_monitor):
@@ -7660,6 +7689,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "svy_mean": q_svy_mean,
         "qini_curve": q_qini_curve,
         "arch_lags2": q_arch_lags2,
+        "negbin_glm": q_negbin_glm,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -15767,6 +15797,7 @@ def oracle_sql() -> dict[str, str]:
     # fixed-order Gauss step sequence the operator evaluates
     # (glm.poisson_fragments) — the ipw_ate_multi discipline.
     from econdatapipeline_spark.operators.glm import (
+        negbin_fragments as _nbf,
         poisson_fragments as _poisf,
     )
     from econdatapipeline_spark.operators.timeseries import (
@@ -15845,6 +15876,80 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["poisson_glm"] = _poisson_glm_sql()
+
+    # NB2 GLM: the identical chain with negbin_fragments(2, 0.5).
+    def _negbin_glm_sql():
+        frag = _nbf(2, 0.5)
+        inits = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["init_terms"]
+        )
+        aggs = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["agg_terms"]
+        )
+        parts = []
+        for r in range(1, 7):
+            parts.append(
+                f",\n        nbg{r} AS (SELECT {aggs}"
+                f"\n          FROM nbsubj CROSS JOIN nbb{r - 1})"
+            )
+            last = f"nbg{r}"
+            for i, batch in enumerate(_plvl(frag["solve_steps"](r))):
+                nxt = f"nbg{r}s{i}"
+                cols = ", ".join(
+                    f"{e} AS {nm}" for nm, e in batch.items()
+                )
+                parts.append(
+                    f",\n        {nxt} AS (SELECT *, {cols}"
+                    f" FROM {last})"
+                )
+                last = nxt
+            sel = ", ".join(f"nb{j} AS b{j}" for j in range(3))
+            parts.append(
+                f",\n        nbb{r} AS (SELECT {sel} FROM {last})"
+            )
+        fins = ",\n                 ".join(
+            f"{e} AS {nm}" for nm, e in frag["final_terms"]
+        )
+        parts.append(
+            f",\n        nbf0 AS (SELECT {fins}"
+            "\n          FROM nbsubj CROSS JOIN nbb6)"
+        )
+        last = "nbf0"
+        for i, batch in enumerate(_plvl(frag["se_steps"]())):
+            nxt = f"nbfs{i}"
+            cols = ", ".join(f"{e} AS {nm}" for nm, e in batch.items())
+            parts.append(
+                f",\n        {nxt} AS (SELECT *, {cols}"
+                f" FROM {last})"
+            )
+            last = nxt
+        labels = ["intercept", "x_acctbal", "x_building"]
+        selects = []
+        for lbl, o in zip(labels, frag["param_outputs"]()):
+            selects.append(
+                f"SELECT '{lbl}' AS param, n, {o['coef']} AS coef,"
+                f" {o['se']} AS se, {o['z']} AS z,"
+                f" {o['rate_ratio']} AS rate_ratio,"
+                f" round(2.0 * devhalf, 6) AS deviance FROM {last}"
+            )
+        sel_txt = ("\n        UNION ALL\n        ").join(selects)
+        return f"""
+        WITH counts AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_custkey),
+        nbsubj AS (
+          SELECT CAST(COALESCE(n_orders, 0) AS BIGINT) AS y,
+                 CAST(c_acctbal / 1000.0 AS DECIMAL(18,6)) AS x1,
+                 CAST(CASE WHEN c_mktsegment = 'BUILDING'
+                      THEN 1.0 ELSE 0.0 END AS DECIMAL(18,6)) AS x2
+          FROM customer LEFT JOIN counts ON c_custkey = o_custkey
+          WHERE c_acctbal IS NOT NULL),
+        nbb0 AS (SELECT {inits}
+                FROM nbsubj){"".join(parts)}
+        {sel_txt}
+        """
+
+    sql["negbin_glm"] = _negbin_glm_sql()
 
     # Quasi-Poisson: the identical poisson chain + one Pearson term;
     # SEs scaled by sqrt(phi) in the operator's expression order.

@@ -869,3 +869,234 @@ def quasipoisson_glm(
         "deviance",
         "dispersion",
     )
+
+
+def negbin_fragments(p: int, alpha: float) -> dict:
+    """Shared Spark/DuckDB SQL fragments for the p-covariate NB2
+    negative-binomial GLM with KNOWN dispersion ``alpha``. Same
+    contract as poisson_fragments; model y ~ NB2(mu, alpha) with
+    Var = mu + alpha*mu^2, ln mu = b0 + sum b_j x_j. Fisher scoring:
+    score x_j (y - mu)/(1 + alpha*mu), information
+    x_j x_k mu/(1 + alpha*mu) — alpha = 0 IS Poisson, so the Poisson
+    chain falls out as the reduction test. The alpha literal is
+    injected verbatim into both engines' text — keep it binary-exact
+    (0.5, 0.25, 1.0) for hash-certified contracts.
+
+    NB2 deviance (no lgamma needed): 2*sum of
+      y>0: y ln(y/mu) - (y + 1/alpha) ln((1+alpha y)/(1+alpha mu))
+      y=0: (1/alpha) ln(1+alpha mu)
+    """
+    from .timeseries import _gauss_steps  # noqa: PLC0415
+
+    if p < 1 or p > 7:
+        raise ValueError(f"p must be in 1..7, got {p}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    a = repr(float(alpha))
+    m = p + 1
+    eta = "b0"
+    for j in range(1, m):
+        eta += f" + b{j} * CAST(x{j} AS DOUBLE)"
+    mu = f"CAST(CAST(exp({eta}) AS DECIMAL(18,9)) AS DOUBLE)"
+    den = f"(1.0 + {a} * {mu})"
+    yd = "CAST(y AS DOUBLE)"
+
+    def s28(term: str, name: str):
+        return (
+            name,
+            f"CAST(SUM(CAST({term} AS DECIMAL(28,12))) AS DOUBLE)",
+        )
+
+    def xj(j: int) -> str:
+        return "1.0" if j == 0 else f"CAST(x{j} AS DOUBLE)"
+
+    agg_terms = []
+    for j in range(m):
+        agg_terms.append(
+            s28(f"{xj(j)} * (({yd} - {mu}) / {den})", f"g{j}")
+        )
+    for j in range(m):
+        for k in range(j, m):
+            agg_terms.append(
+                s28(f"({xj(j)} * {xj(k)}) * ({mu} / {den})", f"h{j}_{k}")
+            )
+    for j in range(m):
+        agg_terms.append((f"b{j}", f"MIN(b{j})"))
+
+    init_terms = [
+        (
+            "b0",
+            "CASE WHEN COUNT(*) > 0 AND SUM(y) > 0 THEN"
+            " CAST(CAST(ln(CAST(SUM(y) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,9))"
+            " AS DOUBLE) END",
+        )
+    ]
+    for j in range(1, m):
+        init_terms.append((f"b{j}", "CAST(0.0 AS DOUBLE)"))
+
+    def _a_names():
+        return {
+            (j, k): f"h{j}_{k}" for j in range(m) for k in range(j, m)
+        }
+
+    pnames = [f"b{j}" for j in range(m)]
+
+    def solve_steps(round_idx: int):
+        del round_idx
+        b_names = [f"g{j}" for j in range(m)]
+        steps, deltas, diag = _gauss_steps(m, _a_names(), b_names, "p")
+        ok = " AND ".join(f"{d} > 0" for d in dict.fromkeys(diag))
+        for j in range(m):
+            steps.append(
+                (
+                    f"nb{j}",
+                    f"CASE WHEN {ok} THEN CAST(CAST(b{j} + {deltas[j]}"
+                    " AS DECIMAL(18,9)) AS DOUBLE) ELSE NULL END",
+                )
+            )
+        return steps
+
+    dev_term = (
+        f"CASE WHEN y > 0 THEN {yd} * ln({yd} / {mu})"
+        f" - ({yd} + 1.0 / {a})"
+        f" * ln((1.0 + {a} * {yd}) / (1.0 + {a} * {mu}))"
+        f" ELSE (1.0 / {a}) * ln(1.0 + {a} * {mu}) END"
+    )
+    final_terms = list(agg_terms) + [
+        ("n", "CAST(COUNT(*) AS BIGINT)"),
+        ("ysum", "CAST(COALESCE(SUM(y), 0) AS BIGINT)"),
+        s28(dev_term, "devhalf"),
+    ]
+
+    def se_steps():
+        steps = []
+        for j in range(m):
+            rhs = ["1.0" if i == j else "0.0" for i in range(m)]
+            s, betas, diag = _gauss_steps(m, _a_names(), rhs, f"v{j}")
+            ok = " AND ".join(f"{d} > 0" for d in dict.fromkeys(diag))
+            steps.extend(s)
+            steps.append(
+                (
+                    f"var{j}",
+                    f"CASE WHEN {ok} AND {betas[j]} > 0"
+                    f" THEN {betas[j]} END",
+                )
+            )
+        return steps
+
+    def param_outputs():
+        outs = []
+        for j in range(m):
+            outs.append(
+                {
+                    "coef": f"round(b{j}, 6)",
+                    "se": f"round(sqrt(var{j}), 6)",
+                    "z": f"round(b{j} / sqrt(var{j}), 6)",
+                    "rate_ratio": f"round(exp(b{j}), 6)",
+                }
+            )
+        return outs
+
+    return {
+        "m": m,
+        "init_terms": init_terms,
+        "agg_terms": agg_terms,
+        "solve_steps": solve_steps,
+        "final_terms": final_terms,
+        "se_steps": se_steps,
+        "param_outputs": param_outputs,
+        "pnames": pnames,
+    }
+
+
+def negbin_glm(
+    df: DataFrame,
+    response_col: str,
+    covariate_cols: list[str],
+    alpha: float = 0.5,
+    rounds: int = 6,
+) -> DataFrame:
+    """NB2 negative-binomial regression with known dispersion ->
+    one row per parameter (param, n, coef, se, z, rate_ratio,
+    deviance).
+
+    Completes the count triad: poisson_glm assumes Var = mu (its SEs
+    collapse under real-world clumping), quasipoisson_glm rescales
+    them post hoc, negbin_glm puts the overdispersion IN the
+    likelihood — Var = mu + alpha*mu^2 — so both the coefficients'
+    weighting and the deviance are overdispersion-aware. ``alpha``
+    is supplied (estimate it upstream from quasipoisson's Pearson
+    phi: alpha ~ (phi - 1)/mean(mu) as a method-of-moments seed);
+    alpha -> 0 recovers Poisson exactly (tested).
+
+    Plumbing is poisson_glm's verbatim: Fisher scoring where every
+    round is ONE decimal-quantized aggregate over the checkpointed
+    subject table crossJoined with the 1-row params relation;
+    negbin_fragments shares the step text with the oracle. Keep
+    alpha binary-exact for hash-certified use.
+    """
+    from .timeseries import _step_levels  # noqa: PLC0415
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if not covariate_cols:
+        raise ValueError("covariate_cols must name at least one column")
+    p = len(covariate_cols)
+    frag = negbin_fragments(p, alpha)
+    keep = (
+        F.col(response_col).isNotNull()
+        & (F.col(response_col).cast("long") >= 0)
+    )
+    for c in covariate_cols:
+        keep = keep & F.col(c).isNotNull()
+    subj = df.filter(keep).select(
+        F.col(response_col).cast("long").alias("y"),
+        *[
+            F.col(c).cast("decimal(18,6)").alias(f"x{j}")
+            for j, c in enumerate(covariate_cols, 1)
+        ],
+    ).localCheckpoint(eager=True)
+    b_cur = subj.agg(
+        *[F.expr(e).alias(nm) for nm, e in frag["init_terms"]]
+    )
+    for r in range(1, rounds + 1):
+        g = subj.crossJoin(F.broadcast(b_cur)).agg(
+            *[F.expr(e).alias(nm) for nm, e in frag["agg_terms"]]
+        )
+        for batch in _step_levels(frag["solve_steps"](r)):
+            g = g.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+        b_cur = g.select(
+            *[F.col(f"n{nm}").alias(nm) for nm in frag["pnames"]]
+        ).localCheckpoint(eager=True)
+    fin = subj.crossJoin(F.broadcast(b_cur)).agg(
+        *[F.expr(e).alias(nm) for nm, e in frag["final_terms"]]
+    )
+    for batch in _step_levels(frag["se_steps"]()):
+        fin = fin.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    labels = ["intercept", *covariate_cols]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("param"),
+                F.expr(o["coef"]).alias("coef"),
+                F.expr(o["se"]).alias("se"),
+                F.expr(o["z"]).alias("z"),
+                F.expr(o["rate_ratio"]).alias("rate_ratio"),
+            )
+            for lbl, o in zip(labels, frag["param_outputs"]())
+        ]
+    )
+    return fin.select(
+        "n",
+        F.round(F.lit(2.0) * F.col("devhalf"), 6).alias("deviance"),
+        F.explode(rows).alias("r"),
+    ).select(
+        F.col("r.param").alias("param"),
+        "n",
+        F.col("r.coef").alias("coef"),
+        F.col("r.se").alias("se"),
+        F.col("r.z").alias("z"),
+        F.col("r.rate_ratio").alias("rate_ratio"),
+        "deviance",
+    )
