@@ -5351,6 +5351,22 @@ def q_arch_lags2(spark, sf_dir):
     )
 
 
+
+def q_adstock_transform(spark, sf_dir):
+    """Geometric adstock carryover of monthly revenue (M$) per
+    priority, decay 0.5 over 6 lags (operators/econ.adstock_transform)
+    — the media-mix preprocessing feature as one partitioned lag
+    window with literal decay weights both engines share."""
+    from econdatapipeline_spark.operators.econ import adstock_transform
+
+    series = _monthly_order_series(spark, sf_dir).select(
+        "dataset", "date", (F.col("value") / 1e6).alias("value")
+    )
+    return adstock_transform(
+        series, "value", "date", "dataset", decay=0.5, max_lag=6
+    ).orderBy("dataset", "date")
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7690,6 +7706,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "qini_curve": q_qini_curve,
         "arch_lags2": q_arch_lags2,
         "negbin_glm": q_negbin_glm,
+        "adstock_transform": q_adstock_transform,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16781,6 +16798,26 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # Adstock: literal decay weights, fixed-order double fold.
+    sql["adstock_transform"] = """
+        WITH adm AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS o,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                      AS DOUBLE) / 1000000.0 AS value
+          FROM orders GROUP BY 1, 2),
+        adb AS (
+          SELECT g, o,
+                 CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS v
+          FROM adm WHERE value IS NOT NULL)
+        SELECT g AS dataset, o AS date,
+               CAST(v AS DOUBLE) AS value,
+               round(CAST(v AS DOUBLE) * 1.0 + COALESCE(LAG(CAST(v AS DOUBLE), 1) OVER (PARTITION BY g ORDER BY o), 0.0) * 0.5 + COALESCE(LAG(CAST(v AS DOUBLE), 2) OVER (PARTITION BY g ORDER BY o), 0.0) * 0.25 + COALESCE(LAG(CAST(v AS DOUBLE), 3) OVER (PARTITION BY g ORDER BY o), 0.0) * 0.125 + COALESCE(LAG(CAST(v AS DOUBLE), 4) OVER (PARTITION BY g ORDER BY o), 0.0) * 0.0625 + COALESCE(LAG(CAST(v AS DOUBLE), 5) OVER (PARTITION BY g ORDER BY o), 0.0) * 0.03125 + COALESCE(LAG(CAST(v AS DOUBLE), 6) OVER (PARTITION BY g ORDER BY o), 0.0) * 0.015625, 6) AS adstock
+        FROM adb ORDER BY dataset, date
+    """
+
 
     # Qini: global quantile bins, exact counts, 10-row cum fold.
     sql["qini_curve"] = """

@@ -318,3 +318,57 @@ def rfm_segments(
             ).alias("avg_monetary"),
         )
     )
+
+
+def adstock_transform(
+    df: DataFrame,
+    value_col: str,
+    order_col: str = "date",
+    group_col: str = "dataset",
+    decay: float = 0.5,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Geometric-decay carryover (adstock) feature -> (group, order,
+    value, adstock).
+
+    The standard media-mix-model preprocessing: this period's
+    effective pressure is adstock_t = sum_{k=0..L} decay^k * x_{t-k}
+    — spend keeps working after the period it lands in. The
+    infinite-memory recursion is truncated at ``max_lag`` (decay^L of
+    the weight; at 0.5^6 that is 1.6% — the bounded form every lag
+    window can compute with NO sequential fold). Feed the transformed
+    column to trend_fit / within_estimator to estimate saturation-
+    free carryover response.
+
+    Parity: the decay^k weights are Python-float literals injected
+    into both engines verbatim (keep ``decay`` binary-exact — 0.5,
+    0.25, 0.75 — for hash-certified use); inputs floor-quantized
+    decimal(18,6); the weighted sum folds in fixed k order as plain
+    doubles (k+1 terms, left-associated). Missing leading lags
+    contribute zero (the cold-start convention). One partitioned lag
+    window — the same single shuffle as every series operator.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0,1), got {decay}")
+    if max_lag < 1 or max_lag > 24:
+        raise ValueError(f"max_lag must be in 1..24, got {max_lag}")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        _q6(F.col(value_col).cast("double")).alias("v"),
+    )
+    w = Window.partitionBy("g").orderBy("o")
+    weights = [float(decay) ** k for k in range(max_lag + 1)]
+    acc = F.col("v").cast("double") * F.lit(weights[0])
+    for k in range(1, max_lag + 1):
+        acc = acc + F.coalesce(
+            F.lag(F.col("v").cast("double"), k).over(w), F.lit(0.0)
+        ) * F.lit(weights[k])
+    return base.select(
+        F.col("g").alias(group_col),
+        F.col("o").alias(order_col),
+        F.col("v").cast("double").alias("value"),
+        F.round(acc, 6).alias("adstock"),
+    )

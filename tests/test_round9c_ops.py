@@ -1384,3 +1384,33 @@ def test_negbin_small_alpha_matches_poisson(spark):
 
     with pytest.raises(ValueError):
         negbin_glm(df, "y", ["x"], alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# adstock_transform
+# ---------------------------------------------------------------------------
+
+def test_adstock_matches_truncated_convolution(spark):
+    from econdatapipeline_spark.operators.econ import adstock_transform
+
+    rng = np.random.RandomState(14)
+    v = np.round(rng.uniform(0, 100, 50), 3)
+    df = _series_df(spark, v)
+    out = {r["date"]: r["adstock"] for r in adstock_transform(
+        df, "value", "date", "dataset", decay=0.5, max_lag=6
+    ).collect()}
+    vq = np.floor(v * 1e6 + 0.5) / 1e6
+    for t in (0, 3, 20, 49):
+        ref = sum(0.5 ** k * (vq[t - k] if t - k >= 0 else 0.0)
+                  for k in range(7))
+        assert out[t] == pytest.approx(ref, abs=1e-5), t
+    # an impulse decays geometrically
+    imp = np.zeros(20); imp[5] = 8.0
+    o2 = {r["date"]: r["adstock"] for r in adstock_transform(
+        _series_df(spark, imp), "value", "date", "dataset", decay=0.5, max_lag=6
+    ).collect()}
+    assert o2[5] == 8.0 and o2[6] == 4.0 and o2[8] == 1.0
+    assert o2[12] == 0.0  # beyond the truncation window
+
+    with pytest.raises(ValueError):
+        adstock_transform(df, "value", decay=1.0)
