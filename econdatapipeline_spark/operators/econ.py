@@ -49,8 +49,10 @@ def price_index(
         F = sqrt(L * P)                      (Fisher ideal)
         ln T = sum 0.5*(w_0 + w_t) ln(p_t/p_0)   (Tornqvist)
 
-    with w the expenditure shares WITHIN the matched set. L and P are
-    ratios of decimal-exact sums; the Tornqvist log terms are
+    with w the expenditure shares WITHIN the matched set. Input
+    contract: ONE row per (item, period) — pre-aggregate duplicates
+    upstream (a duplicated item would silently multiply through the
+    matched join). L and P are ratios of decimal-exact sums; the Tornqvist log terms are
     quantized decimal(28,12) before the sum (the entropy/ln channel —
     ORACLE_PARITY "genuinely irrational terms"). Inputs are
     floor-quantized decimal(18,6). NULL indices where a denominator
