@@ -5367,6 +5367,50 @@ def q_adstock_transform(spark, sf_dir):
     ).orderBy("dataset", "date")
 
 
+
+def q_two_by_two(spark, sf_dir):
+    """2x2 association of discounting and returns
+    (operators/stats.two_by_two): risk ratio + odds ratio with Woolf
+    log-scale Wald intervals off ONE conditional integer aggregate —
+    the crude-table primitive underneath cmh_test's strata."""
+    from econdatapipeline_spark.operators.stats import two_by_two
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") > 0.05).alias("e"),
+        (F.col("l_returnflag") == "R").alias("y"),
+    )
+    return two_by_two(li, "e", "y")
+
+
+def q_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture estimate of the part catalog from
+    two ship-year "sightings" (operators/stats.capture_recapture):
+    1996 and 1997 shipment part lists overlap -> bias-corrected N
+    with Seber CI — the dedup-QA companion to chao1_vocab."""
+    from econdatapipeline_spark.operators.stats import capture_recapture
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.year("l_shipdate") == 1996).select("l_partkey")
+    b = li.filter(F.year("l_shipdate") == 1997).select("l_partkey")
+    return capture_recapture(a, b, "l_partkey")
+
+
+def q_good_turing(spark, sf_dir):
+    """Good-Turing count-of-counts over the document token stream
+    (operators/stats.good_turing): unseen-token mass n1/N and
+    smoothed r* per count class — the coverage view beside
+    chao1_vocab's richness estimate."""
+    from econdatapipeline_spark.operators.stats import good_turing
+
+    from econdatapipeline_spark.functions.text import tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(tokenize(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    return good_turing(toks, "token", max_r=5)
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7707,6 +7751,9 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "arch_lags2": q_arch_lags2,
         "negbin_glm": q_negbin_glm,
         "adstock_transform": q_adstock_transform,
+        "two_by_two": q_two_by_two,
+        "capture_recapture": q_capture_recapture,
+        "good_turing": q_good_turing,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16798,6 +16845,122 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # 2x2 measures: exact counts + Woolf log-scale intervals.
+    sql["two_by_two"] = """
+        WITH tb AS (
+          SELECT (l_discount > 0.05) AS e, (l_returnflag = 'R') AS y
+          FROM lineitem
+          WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+        tc AS (
+          SELECT
+            CAST(SUM(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT)
+              AS a,
+            CAST(SUM(CASE WHEN e AND NOT y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN (NOT e) AND y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN (NOT e) AND NOT y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d
+          FROM tb),
+        tf AS (
+          SELECT *,
+            (CASE WHEN (CASE WHEN (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) = 0 THEN NULL ELSE (CAST(c AS DOUBLE)) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) END) = 0 THEN NULL ELSE ((CASE WHEN (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) = 0 THEN NULL ELSE (CAST(a AS DOUBLE)) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) END)) / (CASE WHEN (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) = 0 THEN NULL ELSE (CAST(c AS DOUBLE)) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) END) END)
+              AS rr,
+            (CASE WHEN CAST(b AS DOUBLE) * CAST(c AS DOUBLE) = 0 THEN NULL ELSE (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)) / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END)
+              AS orr,
+            sqrt((CASE WHEN CAST(a AS DOUBLE) = 0 THEN NULL ELSE (1.0) / CAST(a AS DOUBLE) END)
+                 - (CASE WHEN (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) = 0 THEN NULL ELSE (1.0) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) END)
+                 + (CASE WHEN CAST(c AS DOUBLE) = 0 THEN NULL ELSE (1.0) / CAST(c AS DOUBLE) END)
+                 - (CASE WHEN (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) = 0 THEN NULL ELSE (1.0) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) END))
+              AS se_rr,
+            sqrt((CASE WHEN CAST(a AS DOUBLE) = 0 THEN NULL ELSE (1.0) / CAST(a AS DOUBLE) END)
+                 + (CASE WHEN CAST(b AS DOUBLE) = 0 THEN NULL ELSE (1.0) / CAST(b AS DOUBLE) END)
+                 + (CASE WHEN CAST(c AS DOUBLE) = 0 THEN NULL ELSE (1.0) / CAST(c AS DOUBLE) END)
+                 + (CASE WHEN CAST(d AS DOUBLE) = 0 THEN NULL ELSE (1.0) / CAST(d AS DOUBLE) END)) AS se_or,
+            (a > 0 AND c > 0 AND b >= 0) AS ok_rr,
+            (a > 0 AND b > 0 AND c > 0 AND d > 0) AS ok_or
+          FROM tc)
+        SELECT a, b, c, d,
+          CASE WHEN ok_rr THEN round(rr, 6) END AS risk_ratio,
+          CASE WHEN ok_rr
+            THEN round(exp(ln(rr) - 1.959964 * se_rr), 6) END AS rr_lo,
+          CASE WHEN ok_rr
+            THEN round(exp(ln(rr) + 1.959964 * se_rr), 6) END AS rr_hi,
+          CASE WHEN ok_or THEN round(orr, 6) END AS odds_ratio,
+          CASE WHEN ok_or
+            THEN round(exp(ln(orr) - 1.959964 * se_or), 6) END
+            AS or_lo,
+          CASE WHEN ok_or
+            THEN round(exp(ln(orr) + 1.959964 * se_or), 6) END
+            AS or_hi
+        FROM tf
+    """
+
+    # Capture-recapture: exact membership counts, Chapman + Seber.
+    sql["capture_recapture"] = """
+        WITH cra AS (
+          SELECT DISTINCT l_partkey AS k FROM lineitem
+          WHERE EXTRACT(year FROM l_shipdate) = 1996
+            AND l_partkey IS NOT NULL),
+        crb AS (
+          SELECT DISTINCT l_partkey AS k FROM lineitem
+          WHERE EXTRACT(year FROM l_shipdate) = 1997
+            AND l_partkey IS NOT NULL),
+        crc AS (
+          SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cra) AS n_a,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM crb) AS n_b,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM cra JOIN crb USING (k)) AS n_both),
+        crf AS (
+          SELECT *,
+            ((CASE WHEN (CAST(n_both AS DOUBLE) + 1.0) = 0 THEN NULL ELSE ((CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)) / (CAST(n_both AS DOUBLE) + 1.0) END) - 1.0) AS n_hat,
+            (CASE WHEN (CAST(n_both AS DOUBLE) + 1.0) * (CAST(n_both AS DOUBLE) + 1.0) * (CAST(n_both AS DOUBLE) + 2.0) = 0 THEN NULL ELSE ((CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0) * (CAST(n_a AS DOUBLE) - CAST(n_both AS DOUBLE)) * (CAST(n_b AS DOUBLE) - CAST(n_both AS DOUBLE))) / ((CAST(n_both AS DOUBLE) + 1.0) * (CAST(n_both AS DOUBLE) + 1.0) * (CAST(n_both AS DOUBLE) + 2.0)) END) AS var
+          FROM crc)
+        SELECT n_a, n_b, n_both,
+          round(n_hat, 6) AS n_hat,
+          CASE WHEN n_both > 0 THEN round(sqrt(var), 6) END AS se,
+          CASE WHEN n_both > 0
+            THEN round(n_hat - 1.959964 * sqrt(var), 6) END AS ci_lo,
+          CASE WHEN n_both > 0
+            THEN round(n_hat + 1.959964 * sqrt(var), 6) END AS ci_hi
+        FROM crf
+    """
+
+    # Good-Turing: exact count-of-counts, r = 0..5 grid.
+    sql["good_turing"] = """
+        WITH gtt AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                 '\\s+')) AS token
+          FROM documents WHERE text IS NOT NULL),
+        gtc AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS r
+          FROM gtt WHERE token <> '' GROUP BY token),
+        gth AS (
+          SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+          FROM gtc GROUP BY r),
+        gtn AS (SELECT CAST(SUM(r) AS BIGINT) AS n_total FROM gtc),
+        gtg AS (SELECT UNNEST(generate_series(0, 5)) AS r),
+        gtj AS (
+          SELECT CAST(gtg.r AS BIGINT) AS r,
+            CAST(COALESCE(h.n_r, 0) AS BIGINT) AS n_r,
+            CAST(COALESCE(h1.n_r, 0) AS BIGINT) AS n_r1,
+            n_total
+          FROM gtg
+          LEFT JOIN gth h ON gtg.r = h.r
+          LEFT JOIN gth h1 ON gtg.r + 1 = h1.r
+          CROSS JOIN gtn)
+        SELECT r, n_r,
+          CASE WHEN r > 0 AND n_r > 0 THEN
+            round((CASE WHEN CAST(n_r AS DOUBLE) = 0 THEN NULL ELSE ((CAST(r AS DOUBLE) + 1.0) * CAST(n_r1 AS DOUBLE)) / CAST(n_r AS DOUBLE) END), 6)
+          END AS r_star,
+          round(CASE WHEN r = 0
+            THEN (CASE WHEN CAST(n_total AS DOUBLE) = 0 THEN NULL ELSE (CAST(n_r1 AS DOUBLE)) / CAST(n_total AS DOUBLE) END)
+            ELSE (CASE WHEN CAST(n_total AS DOUBLE) = 0 THEN NULL ELSE (((CASE WHEN CAST(n_r AS DOUBLE) = 0 THEN NULL ELSE ((CAST(r AS DOUBLE) + 1.0) * CAST(n_r1 AS DOUBLE)) / CAST(n_r AS DOUBLE) END)) * CAST(n_r AS DOUBLE)) / CAST(n_total AS DOUBLE) END) END, 6) AS p_class
+        FROM gtj ORDER BY r
+    """
+
 
     # Adstock: literal decay weights, fixed-order double fold.
     sql["adstock_transform"] = """

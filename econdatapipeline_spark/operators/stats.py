@@ -2994,3 +2994,216 @@ def eb_shrink_rates(
             (F.lit(1.0) - F.col("mu")) * F.col("kk"), 6
         ).alias("beta"),
     )
+
+
+def two_by_two(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """2x2 association measures -> ONE row (a, b, c, d, risk_ratio,
+    rr_lo, rr_hi, odds_ratio, or_lo, or_hi).
+
+    The epidemiology/experiment primitive underneath cmh_test's
+    strata: a = exposed cases, b = exposed non-cases, c = unexposed
+    cases, d = unexposed non-cases; RR = (a/(a+b))/(c/(c+d)),
+    OR = ad/bc, with Wald 95% intervals on the log scale (Woolf):
+    se(ln RR) = sqrt(1/a - 1/(a+b) + 1/c - 1/(c+d)),
+    se(ln OR) = sqrt(1/a + 1/b + 1/c + 1/d). Exact integer counts
+    from ONE conditional aggregate; the only doubles are the final
+    ratios/logs. NULL estimates when any margin needed is zero
+    (never-fabricate — use cmh_test/continuity-corrected tools for
+    sparse tables).
+    """
+    base = df.filter(
+        F.col(exposure_col).isNotNull() & F.col(outcome_col).isNotNull()
+    ).select(
+        (F.col(exposure_col).cast("double") != 0.0).alias("e"),
+        (F.col(outcome_col).cast("double") != 0.0).alias("y"),
+    )
+    agg = base.groupBy().agg(
+        F.sum(F.when(F.col("e") & F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("e") & ~F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("e") & F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~F.col("e") & ~F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    rr = dv(dv(dd("a"), dd("a") + dd("b")), dv(dd("c"), dd("c") + dd("d")))
+    orr = dv(dd("a") * dd("d"), dd("b") * dd("c"))
+    se_rr = F.sqrt(
+        dv(F.lit(1.0), dd("a"))
+        - dv(F.lit(1.0), dd("a") + dd("b"))
+        + dv(F.lit(1.0), dd("c"))
+        - dv(F.lit(1.0), dd("c") + dd("d"))
+    )
+    se_or = F.sqrt(
+        dv(F.lit(1.0), dd("a"))
+        + dv(F.lit(1.0), dd("b"))
+        + dv(F.lit(1.0), dd("c"))
+        + dv(F.lit(1.0), dd("d"))
+    )
+    z = F.lit(1.959964)
+    ok_rr = (F.col("a") > 0) & (F.col("c") > 0) & (F.col("b") >= 0)
+    ok_or = (
+        (F.col("a") > 0)
+        & (F.col("b") > 0)
+        & (F.col("c") > 0)
+        & (F.col("d") > 0)
+    )
+    return agg.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(ok_rr, F.round(rr, 6)).alias("risk_ratio"),
+        F.when(ok_rr, F.round(F.exp(F.log(rr) - z * se_rr), 6)).alias(
+            "rr_lo"
+        ),
+        F.when(ok_rr, F.round(F.exp(F.log(rr) + z * se_rr), 6)).alias(
+            "rr_hi"
+        ),
+        F.when(ok_or, F.round(orr, 6)).alias("odds_ratio"),
+        F.when(ok_or, F.round(F.exp(F.log(orr) - z * se_or), 6)).alias(
+            "or_lo"
+        ),
+        F.when(ok_or, F.round(F.exp(F.log(orr) + z * se_or), 6)).alias(
+            "or_hi"
+        ),
+    )
+
+
+def capture_recapture(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Chapman capture-recapture population estimate -> ONE row
+    (n_a, n_b, n_both, n_hat, se, ci_lo, ci_hi).
+
+    How many items exist that NEITHER list saw? Two independent
+    sightings of the same population (two dedup passes, two crawler
+    snapshots, two vendor lists) estimate the total as Chapman's
+    bias-corrected N = (n_a+1)(n_b+1)/(m+1) - 1 with m the overlap;
+    the dedup-QA companion to chao1_vocab (which needs per-item
+    frequencies; this needs only membership). Wald CI from Seber's
+    variance. NULL se/CI when m = 0 (the lists certify nothing about
+    each other). Exact integer counts: one distinct per side + one
+    join for the overlap.
+    """
+    a = df_a.select(F.col(key_col).alias("k")).filter(
+        F.col("k").isNotNull()
+    ).distinct()
+    b = df_b.select(F.col(key_col).alias("k")).filter(
+        F.col("k").isNotNull()
+    ).distinct()
+    counts = (
+        a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).cast("long").alias("n_b")))
+        .crossJoin(
+            a.join(b, "k").agg(
+                F.count(F.lit(1)).cast("long").alias("n_both")
+            )
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    n_hat = dv(
+        (d("n_a") + F.lit(1.0)) * (d("n_b") + F.lit(1.0)),
+        d("n_both") + F.lit(1.0),
+    ) - F.lit(1.0)
+    var = dv(
+        (d("n_a") + F.lit(1.0))
+        * (d("n_b") + F.lit(1.0))
+        * (d("n_a") - d("n_both"))
+        * (d("n_b") - d("n_both")),
+        (d("n_both") + F.lit(1.0))
+        * (d("n_both") + F.lit(1.0))
+        * (d("n_both") + F.lit(2.0)),
+    )
+    z = F.lit(1.959964)
+    ok = F.col("n_both") > 0
+    return counts.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(n_hat, 6).alias("n_hat"),
+        F.when(ok, F.round(F.sqrt(var), 6)).alias("se"),
+        F.when(ok, F.round(n_hat - z * F.sqrt(var), 6)).alias("ci_lo"),
+        F.when(ok, F.round(n_hat + z * F.sqrt(var), 6)).alias("ci_hi"),
+    )
+
+
+def good_turing(
+    df: DataFrame,
+    token_col: str,
+    max_r: int = 5,
+) -> DataFrame:
+    """Good-Turing frequency report -> one row per count class
+    r = 1..max_r plus the r = 0 unseen row:
+    (r, n_r, r_star, p_class).
+
+    The coverage question every corpus/vocab pipeline should answer
+    before claiming completeness: the probability the NEXT token is
+    unseen is n_1/N (Turing's estimate — r = 0 row, p_class), and
+    observed counts deflate to r* = (r+1) n_{r+1}/n_r. Pairs with
+    chao1_vocab (richness) — this is the mass view. Exact integer
+    count-of-counts from TWO hash aggregates (token counts, then
+    count histogram); NULL r_star where n_{r+1} or n_r is 0.
+    """
+    if max_r < 1 or max_r > 20:
+        raise ValueError(f"max_r must be in 1..20, got {max_r}")
+    counts = (
+        df.filter(F.col(token_col).isNotNull())
+        .groupBy(F.col(token_col).alias("tok"))
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    hist = counts.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    tot = counts.agg(
+        F.sum("r").cast("long").alias("n_total"),
+    )
+    spark = df.sparkSession
+    grid = spark.range(0, max_r + 1).select(
+        F.col("id").cast("long").alias("r")
+    )
+    nxt = hist.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    j = (
+        grid.join(hist, "r", "left")
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            F.coalesce("n_r", F.lit(0)).cast("long").alias("n_r"),
+            F.coalesce("n_r1", F.lit(0)).cast("long").alias("n_r1"),
+            "n_total",
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    r_star = dv((d("r") + F.lit(1.0)) * d("n_r1"), d("n_r"))
+    # class mass: r = 0 gets the Turing unseen estimate n_1/N; classes
+    # r >= 1 carry their smoothed mass r* n_r / N
+    p_class = F.when(
+        F.col("r") == 0, dv(d("n_r1"), d("n_total"))
+    ).otherwise(dv(r_star * d("n_r"), d("n_total")))
+    return j.select(
+        "r",
+        "n_r",
+        F.when(
+            (F.col("r") > 0) & (F.col("n_r") > 0),
+            F.round(r_star, 6),
+        ).alias("r_star"),
+        F.round(p_class, 6).alias("p_class"),
+    ).orderBy("r")

@@ -1414,3 +1414,86 @@ def test_adstock_matches_truncated_convolution(spark):
 
     with pytest.raises(ValueError):
         adstock_transform(df, "value", decay=1.0)
+
+
+# ---------------------------------------------------------------------------
+# two_by_two
+# ---------------------------------------------------------------------------
+
+def test_two_by_two_textbook_table(spark):
+    from econdatapipeline_spark.operators.stats import two_by_two
+
+    # a=20 b=80, c=10 d=90: RR = 0.2/0.1 = 2, OR = 20*90/(80*10) = 2.25
+    rows = ([(1, 1)] * 20 + [(1, 0)] * 80 + [(0, 1)] * 10 + [(0, 0)] * 90)
+    df = spark.createDataFrame(rows, "e long, y long")
+    r = two_by_two(df, "e", "y").collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (20, 80, 10, 90)
+    assert r["risk_ratio"] == pytest.approx(2.0)
+    assert r["odds_ratio"] == pytest.approx(2.25)
+    se_rr = np.sqrt(1 / 20 - 1 / 100 + 1 / 10 - 1 / 100)
+    assert r["rr_lo"] == pytest.approx(np.exp(np.log(2) - 1.959964 * se_rr), abs=1e-4)
+    assert r["rr_hi"] == pytest.approx(np.exp(np.log(2) + 1.959964 * se_rr), abs=1e-4)
+    assert r["rr_lo"] < 2.0 < r["rr_hi"]
+    # zero cell: OR nulls, RR survives when b = 0? (a>0, c>0 needed)
+    rows2 = [(1, 1)] * 5 + [(0, 1)] * 3 + [(0, 0)] * 7
+    r2 = two_by_two(spark.createDataFrame(rows2, "e long, y long"), "e", "y").collect()[0]
+    assert r2["odds_ratio"] is None  # b = 0
+
+
+# ---------------------------------------------------------------------------
+# capture_recapture
+# ---------------------------------------------------------------------------
+
+def test_capture_recapture_estimates_population(spark):
+    from econdatapipeline_spark.operators.stats import capture_recapture
+
+    rng = np.random.RandomState(3)
+    N = 5000
+    pop = np.arange(N)
+    a = rng.choice(pop, 1200, replace=False)
+    b = rng.choice(pop, 900, replace=False)
+    df_a = spark.createDataFrame([(int(k),) for k in a], "k long")
+    df_b = spark.createDataFrame([(int(k),) for k in b], "k long")
+    r = capture_recapture(df_a, df_b, "k").collect()[0]
+    m = len(set(a) & set(b))
+    assert r["n_both"] == m
+    chap = (1201 * 901) / (m + 1) - 1
+    assert r["n_hat"] == pytest.approx(chap, abs=1e-3)
+    # the truth sits inside the 95% CI
+    assert r["ci_lo"] < N < r["ci_hi"]
+    # disjoint lists: estimate exists, CI nulls
+    df_c = spark.createDataFrame([(int(k + 10 * N),) for k in b], "k long")
+    r2 = capture_recapture(df_a, df_c, "k").collect()[0]
+    assert r2["n_both"] == 0 and r2["se"] is None
+
+
+# ---------------------------------------------------------------------------
+# good_turing
+# ---------------------------------------------------------------------------
+
+def test_good_turing_mass_accounting(spark):
+    from econdatapipeline_spark.operators.stats import good_turing
+
+    rng = np.random.RandomState(8)
+    # zipf-ish token stream
+    toks = [f"t{int(rng.zipf(1.6))}" for _ in range(20000)]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    out = {r["r"]: r for r in good_turing(df, "tok", max_r=5).collect()}
+    import collections
+    cnt = collections.Counter(toks)
+    hist = collections.Counter(cnt.values())
+    N = len(toks)
+    # unseen mass = singletons / N
+    assert out[0]["p_class"] == pytest.approx(hist[1] / N, abs=1e-6)
+    assert out[0]["n_r"] == 0 or out[0]["n_r"] >= 0
+    # r* replay at r = 1, 2
+    for r in (1, 2):
+        rs = (r + 1) * hist[r + 1] / hist[r]
+        assert out[r]["r_star"] == pytest.approx(rs, abs=1e-5), r
+        assert out[r]["n_r"] == hist[r]
+        assert out[r]["p_class"] == pytest.approx(rs * hist[r] / N, abs=1e-6)
+    # smoothed counts deflate: r* < r for heavy-tailed data at r = 1
+    assert out[1]["r_star"] < 1.0
+
+    with pytest.raises(ValueError):
+        good_turing(df, "tok", max_r=0)
