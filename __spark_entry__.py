@@ -5411,6 +5411,37 @@ def q_good_turing(spark, sf_dir):
     return good_turing(toks, "token", max_r=5)
 
 
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the monthly order series (M$) per
+    priority (operators/timeseries.runs_test): above/below-median
+    sign runs via one percentile pass + one partitioned lag window —
+    the sign-level randomness check beside ljung_box's linear acf."""
+    from econdatapipeline_spark.operators.timeseries import runs_test
+
+    series = _monthly_order_series(spark, sf_dir).select(
+        "dataset", "date", (F.col("value") / 1e6).alias("value")
+    )
+    return runs_test(series, "value", "date", "dataset").orderBy(
+        "dataset"
+    )
+
+
+def q_mcnemar_test(spark, sf_dir):
+    """McNemar's paired test: do the discount flag and the return
+    flag shift each other's margins on the same lineitems?
+    (operators/stats.mcnemar_test) Discordant-cell chi2 off one
+    conditional integer aggregate — the paired complement to
+    chi_square."""
+    from econdatapipeline_spark.operators.stats import mcnemar_test
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") > 0.05).alias("a"),
+        (F.col("l_returnflag") == "R").alias("b"),
+    )
+    return mcnemar_test(li, "a", "b")
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7754,6 +7785,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "two_by_two": q_two_by_two,
         "capture_recapture": q_capture_recapture,
         "good_turing": q_good_turing,
+        "runs_test": q_runs_test,
+        "mcnemar_test": q_mcnemar_test,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16845,6 +16878,80 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # Runs test: median via quantile_cont, sign-change window.
+    sql["runs_test"] = """
+        WITH rtm AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS o,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                      AS DOUBLE) / 1000000.0 AS v
+          FROM orders GROUP BY 1, 2),
+        rtmed AS (
+          SELECT g, quantile_cont(v, 0.5) AS md FROM rtm GROUP BY g),
+        rts AS (
+          SELECT rtm.g AS g, o, (v > md) AS s
+          FROM rtm JOIN rtmed ON rtm.g = rtmed.g
+          WHERE v <> md),
+        rtr AS (
+          SELECT g, s,
+            CASE WHEN LAG(s) OVER (PARTITION BY g ORDER BY o) IS NULL
+                  OR LAG(s) OVER (PARTITION BY g ORDER BY o) <> s
+                 THEN 1 ELSE 0 END AS new_run
+          FROM rts),
+        rta AS (
+          SELECT g,
+            CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pos,
+            CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_neg,
+            CAST(SUM(new_run) AS BIGINT) AS n_runs
+          FROM rtr GROUP BY g),
+        rtf AS (
+          SELECT *,
+            ((CASE WHEN CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE) = 0 THEN NULL ELSE (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) END)
+             + 1.0) AS mu,
+            (CASE WHEN ((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))) * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE) - 1.0) = 0 THEN NULL ELSE ((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) * (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) - (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)))) / (((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))) * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE) - 1.0)) END) AS var
+          FROM rta)
+        SELECT g AS dataset, n_pos, n_neg, n_runs,
+          CASE WHEN n_pos > 0 AND n_neg > 0 AND var > 0 THEN
+            round((CASE WHEN sqrt(var) = 0 THEN NULL ELSE (CAST(n_runs AS DOUBLE) - mu) / (sqrt(var)) END), 6)
+          END AS z,
+          CASE WHEN n_pos > 0 AND n_neg > 0 AND var > 0 THEN
+            abs((CASE WHEN sqrt(var) = 0 THEN NULL ELSE (CAST(n_runs AS DOUBLE) - mu) / (sqrt(var)) END))
+              > 1.959964
+          END AS reject_5pct
+        FROM rtf ORDER BY dataset
+    """
+
+    # McNemar: discordant-cell chi2, exact counts.
+    sql["mcnemar_test"] = """
+        WITH mnb AS (
+          SELECT (l_discount > 0.05) AS p, (l_returnflag = 'R') AS q
+          FROM lineitem
+          WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+        mna AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN (NOT p) AND (NOT q) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_00,
+            CAST(SUM(CASE WHEN (NOT p) AND q THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_01,
+            CAST(SUM(CASE WHEN p AND (NOT q) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_10,
+            CAST(SUM(CASE WHEN p AND q THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_11
+          FROM mnb)
+        SELECT n, n_00, n_01, n_10, n_11,
+          CASE WHEN n_01 + n_10 > 0 THEN round(
+            (CASE WHEN CAST(n_01 AS DOUBLE) + CAST(n_10 AS DOUBLE) = 0 THEN NULL ELSE ((CAST(n_01 AS DOUBLE) - CAST(n_10 AS DOUBLE)) * (CAST(n_01 AS DOUBLE) - CAST(n_10 AS DOUBLE))) / (CAST(n_01 AS DOUBLE) + CAST(n_10 AS DOUBLE)) END), 6)
+          END AS chi2,
+          CASE WHEN n_01 + n_10 > 0 THEN
+            (CASE WHEN CAST(n_01 AS DOUBLE) + CAST(n_10 AS DOUBLE) = 0 THEN NULL ELSE ((CAST(n_01 AS DOUBLE) - CAST(n_10 AS DOUBLE)) * (CAST(n_01 AS DOUBLE) - CAST(n_10 AS DOUBLE))) / (CAST(n_01 AS DOUBLE) + CAST(n_10 AS DOUBLE)) END)
+              > 3.841459
+          END AS reject_5pct
+        FROM mna
+    """
+
 
     # 2x2 measures: exact counts + Woolf log-scale intervals.
     sql["two_by_two"] = """

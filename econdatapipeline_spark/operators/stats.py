@@ -3207,3 +3207,59 @@ def good_turing(
         ).alias("r_star"),
         F.round(p_class, 6).alias("p_class"),
     ).orderBy("r")
+
+
+def mcnemar_test(
+    df: DataFrame,
+    first_col: str,
+    second_col: str,
+) -> DataFrame:
+    """McNemar's paired-binary test -> ONE row (n, n_00, n_01, n_10,
+    n_11, chi2, reject_5pct).
+
+    Did the SAME subjects flip between two binary measurements (model
+    A vs model B verdicts on one eval set, before/after a change)?
+    Only the discordant cells carry information: chi2 = (b - c)^2 /
+    (b + c) with b = n_01, c = n_10, ~ chi2(1) under exchangeability
+    — the paired complement to chi_square's independent-samples
+    reading (and of cohens_kappa, which measures agreement rather
+    than marginal shift). Uses the uncorrected statistic (document
+    and prefer exact binomial below ~25 discordant pairs). Exact
+    integer counts from ONE conditional aggregate. NULL chi2 when
+    b + c = 0.
+    """
+    base = df.filter(
+        F.col(first_col).isNotNull() & F.col(second_col).isNotNull()
+    ).select(
+        (F.col(first_col).cast("double") != 0.0).alias("p"),
+        (F.col(second_col).cast("double") != 0.0).alias("q"),
+    )
+    agg = base.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(~F.col("p") & ~F.col("q"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_00"),
+        F.sum(F.when(~F.col("p") & F.col("q"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_01"),
+        F.sum(F.when(F.col("p") & ~F.col("q"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_10"),
+        F.sum(F.when(F.col("p") & F.col("q"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_11"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    b = d("n_01")
+    c = d("n_10")
+    chi2 = F.try_divide((b - c) * (b - c), b + c)
+    ok = (F.col("n_01") + F.col("n_10")) > 0
+    return agg.select(
+        "n",
+        "n_00",
+        "n_01",
+        "n_10",
+        "n_11",
+        F.when(ok, F.round(chi2, 6)).alias("chi2"),
+        F.when(ok, chi2 > F.lit(3.841459)).alias("reject_5pct"),
+    )

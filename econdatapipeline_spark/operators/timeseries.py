@@ -3158,3 +3158,85 @@ def binseg_changepoints(
     return splits.select(
         F.col("g").alias(group_col), "round", "order_at", "cstat"
     ).orderBy(group_col, "round", "order_at")
+
+
+def runs_test(
+    df: DataFrame,
+    value_col: str,
+    order_col: str = "date",
+    group_col: str = "dataset",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per series -> one row per group
+    (group, n_pos, n_neg, n_runs, z, reject_5pct).
+
+    The sign-pattern randomness check: values are classified above /
+    below the series MEDIAN (the exact percentile channel; ties-at-
+    median dropped, the standard convention), runs of equal signs are
+    counted, and too FEW runs (trending) or too MANY (oscillating)
+    reject randomness: z = (R - mu)/sigma with mu = 2 n1 n2 / n + 1.
+    Catches structure ljung_box's linear acf misses (sign-level
+    dependence with zero correlation).
+
+    Shape: one percentile pass for the median (broadcast back), one
+    partitioned lag window for sign changes, one aggregate. Exact
+    integer run counts; only the final z is floating point. NULLs
+    when either sign class is empty.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    med = base.groupBy("g").agg(
+        F.percentile(F.col("v"), 0.5).alias("md")
+    )
+    signed = (
+        base.join(F.broadcast(med), "g")
+        .filter(F.col("v") != F.col("md"))
+        .select(
+            "g", "o", (F.col("v") > F.col("md")).alias("s")
+        )
+    )
+    w = Window.partitionBy("g").orderBy("o")
+    runs = signed.select(
+        "g",
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull()
+            | (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.groupBy("g").agg(
+        F.sum(F.when(F.col("s"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(~F.col("s"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dv = F.try_divide
+    n1 = d("n_pos")
+    n2 = d("n_neg")
+    nn = n1 + n2
+    mu = dv(F.lit(2.0) * n1 * n2, nn) + F.lit(1.0)
+    var = dv(
+        (F.lit(2.0) * n1 * n2) * (F.lit(2.0) * n1 * n2 - nn),
+        (nn * nn) * (nn - F.lit(1.0)),
+    )
+    z = dv(d("n_runs") - mu, F.sqrt(var))
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0) & (var > 0)
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, F.abs(z) > F.lit(1.959964)).alias("reject_5pct"),
+    )

@@ -1497,3 +1497,57 @@ def test_good_turing_mass_accounting(spark):
 
     with pytest.raises(ValueError):
         good_turing(df, "tok", max_r=0)
+
+
+# ---------------------------------------------------------------------------
+# runs_test
+# ---------------------------------------------------------------------------
+
+def test_runs_test_separates_trend_noise_oscillation(spark):
+    from econdatapipeline_spark.operators.timeseries import runs_test
+
+    rng = np.random.RandomState(27)
+    noise = np.round(rng.normal(0, 1, 300), 3)
+    trend = np.round(np.linspace(-3, 3, 300) + 0.3 * rng.normal(0, 1, 300), 3)
+    osc = np.round(np.array([1.0, -1.0] * 150) + 0.1 * rng.normal(0, 1, 300), 3)
+    df = (_series_df(spark, noise, "noise")
+          .union(_series_df(spark, trend, "trend"))
+          .union(_series_df(spark, osc, "osc")))
+    out = {r["dataset"]: r for r in runs_test(df, "value", "date", "dataset").collect()}
+    assert out["noise"]["reject_5pct"] is False
+    assert out["trend"]["reject_5pct"] is True and out["trend"]["z"] < 0
+    assert out["osc"]["reject_5pct"] is True and out["osc"]["z"] > 0
+    # z replay for the noise series
+    md = np.median(noise)
+    s = noise[noise != md] > md
+    R = 1 + int((s[1:] != s[:-1]).sum())
+    n1, n2 = int(s.sum()), int((~s).sum())
+    n = n1 + n2
+    mu = 2 * n1 * n2 / n + 1
+    var = (2 * n1 * n2) * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    assert out["noise"]["n_runs"] == R
+    assert out["noise"]["z"] == pytest.approx((R - mu) / np.sqrt(var), abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_test
+# ---------------------------------------------------------------------------
+
+def test_mcnemar_detects_marginal_shift(spark):
+    from econdatapipeline_spark.operators.stats import mcnemar_test
+
+    # model B flips 40 negatives to positive, A flips only 10 back
+    rows = ([(0, 0)] * 400 + [(1, 1)] * 300 + [(0, 1)] * 40 + [(1, 0)] * 10)
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert (r["n_01"], r["n_10"]) == (40, 10)
+    assert r["chi2"] == pytest.approx((40 - 10) ** 2 / 50)
+    assert r["reject_5pct"] is True
+    # symmetric discordance: no shift
+    rows2 = [(0, 1)] * 25 + [(1, 0)] * 25 + [(1, 1)] * 100
+    r2 = mcnemar_test(spark.createDataFrame(rows2, "a long, b long"), "a", "b").collect()[0]
+    assert r2["chi2"] == 0.0 and r2["reject_5pct"] is False
+    # no discordant pairs: NULL
+    rows3 = [(1, 1)] * 50 + [(0, 0)] * 50
+    r3 = mcnemar_test(spark.createDataFrame(rows3, "a long, b long"), "a", "b").collect()[0]
+    assert r3["chi2"] is None
