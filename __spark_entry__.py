@@ -5442,6 +5442,28 @@ def q_mcnemar_test(spark, sf_dir):
     return mcnemar_test(li, "a", "b")
 
 
+
+def q_breslow_day(spark, sf_dir):
+    """Breslow-Day/Tarone homogeneity of the BUILDING-vs-high-value
+    odds ratio across priority strata
+    (operators/evaluation.breslow_day): the gate on cmh_test's
+    common-OR assumption — margin-preserving quadratic fit per
+    stratum, range-selected root, Tarone-corrected chi2(K-1)."""
+    from econdatapipeline_spark.operators.evaluation import breslow_day
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("o_orderpriority").alias("stratum"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("tr"),
+        (F.col("o_totalprice") > 150000.0).cast("int").alias("oc"),
+    )
+    return breslow_day(joined, "stratum", "tr", "oc")
+
+
 def q_effect_sizes(spark, sf_dir):
     """Two-sample effect sizes for urgent vs low-priority order values
     (operators/stats.effect_sizes): Cohen's d from decimal-exact
@@ -7787,6 +7809,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "good_turing": q_good_turing,
         "runs_test": q_runs_test,
         "mcnemar_test": q_mcnemar_test,
+        "breslow_day": q_breslow_day,
         "rake_weights": q_rake_weights,
         "cochran_armitage": q_cochran_armitage,
         "partial_corr": q_partial_corr,
@@ -16878,6 +16901,116 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["quantile_regression"] = _qr_sql()
+
+    # Breslow-Day: cmh strata + pooled R + margin-preserving
+    # quadratic, Tarone correction — expression order mirrored.
+    sql["breslow_day"] = """
+        WITH bdb AS (
+          SELECT o_orderpriority AS s,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0
+                   END AS tr,
+                 CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0
+                   END AS oc
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        bds AS (
+          SELECT s,
+            CAST(SUM(CASE WHEN tr = 1 AND oc = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN tr = 1 AND oc = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN tr = 0 AND oc = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN tr = 0 AND oc = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d
+          FROM bdb GROUP BY s
+          HAVING (SUM(CASE WHEN tr = 1 AND oc = 1 THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN tr = 1 AND oc = 0 THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN tr = 0 AND oc = 1 THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN tr = 0 AND oc = 0 THEN 1 ELSE 0 END))
+                >= 2),
+        bdp AS (
+          SELECT
+            CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) AS DECIMAL(28,12)))
+              AS DOUBLE) AS sad,
+            CAST(SUM(CAST(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) AS DECIMAL(28,12)))
+              AS DOUBLE) AS sbc
+          FROM bds),
+        bdr AS (
+          SELECT CASE WHEN sbc > 0 THEN
+            CAST(CAST((CASE WHEN sbc = 0 THEN NULL ELSE (sad) / (sbc) END) AS DECIMAL(18,9)) AS DOUBLE)
+          END AS rr FROM bdp),
+        bdq AS (
+          SELECT bds.*, rr,
+            (1.0 - rr) AS aa,
+            (((CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) - (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))) + rr * ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) + (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)))) AS bb,
+            (-rr * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))) AS cc,
+            greatest(0.0, (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) - (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) AS lo,
+            least((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)), (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))) AS hi,
+            (CASE WHEN (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) + (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) = 0 THEN NULL ELSE ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))) / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) + (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) END) AS indep
+          FROM bds CROSS JOIN bdr),
+        bdq2 AS (
+          SELECT *,
+            sqrt(bb * bb - 4.0 * aa * cc) AS disc
+          FROM bdq),
+        bdq3 AS (
+          SELECT *,
+            (CASE WHEN 2.0 * aa = 0 THEN NULL ELSE (-bb + disc) / (2.0 * aa) END) AS r1,
+            (CASE WHEN 2.0 * aa = 0 THEN NULL ELSE (-bb - disc) / (2.0 * aa) END) AS r2
+          FROM bdq2),
+        bdfit AS (
+          SELECT *,
+            CASE WHEN abs(aa) < 1e-12 THEN indep
+                 WHEN r1 > lo AND r1 < hi THEN r1
+                 WHEN r2 > lo AND r2 < hi THEN r2
+            END AS a_fit
+          FROM bdq3),
+        bdcell AS (
+          SELECT *,
+            ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) - a_fit) AS b_fit,
+            ((CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) - a_fit) AS c_fit,
+            ((CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) - (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) + a_fit) AS d_fit
+          FROM bdfit),
+        bdv AS (
+          SELECT *,
+            (CASE WHEN (CASE WHEN a_fit = 0 THEN NULL ELSE (1.0) / (a_fit) END) + (CASE WHEN b_fit = 0 THEN NULL ELSE (1.0) / (b_fit) END) + (CASE WHEN c_fit = 0 THEN NULL ELSE (1.0) / (c_fit) END) + (CASE WHEN d_fit = 0 THEN NULL ELSE (1.0) / (d_fit) END) = 0 THEN NULL ELSE (1.0) / ((CASE WHEN a_fit = 0 THEN NULL ELSE (1.0) / (a_fit) END) + (CASE WHEN b_fit = 0 THEN NULL ELSE (1.0) / (b_fit) END) + (CASE WHEN c_fit = 0 THEN NULL ELSE (1.0) / (c_fit) END) + (CASE WHEN d_fit = 0 THEN NULL ELSE (1.0) / (d_fit) END)) END)
+              AS v_fit,
+            (a_fit IS NOT NULL AND a_fit > 0 AND ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) - a_fit) > 0
+             AND ((CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) - a_fit) > 0 AND ((CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) - (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) + a_fit) > 0)
+              AS usable
+          FROM bdcell),
+        bdt AS (
+          SELECT (a + b + c + d) AS ni, rr,
+            CASE WHEN usable THEN CAST((CASE WHEN v_fit = 0 THEN NULL ELSE ((CAST(a AS DOUBLE) - a_fit) * (CAST(a AS DOUBLE) - a_fit)) / (v_fit) END) AS DECIMAL(28,12))
+            END AS bd_t,
+            CASE WHEN usable
+              THEN CAST((CAST(a AS DOUBLE) - a_fit) AS DECIMAL(28,12)) END AS dev_t,
+            CASE WHEN usable THEN CAST(v_fit AS DECIMAL(28,12)) END AS v_t,
+            CASE WHEN usable THEN 1 ELSE 0 END AS used
+          FROM bdv),
+        bdf AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+            CAST(SUM(ni) AS BIGINT) AS n,
+            MAX(rr) AS rr,
+            CAST(SUM(used) AS BIGINT) AS k_used,
+            CAST(SUM(CAST(bd_t AS DECIMAL(28,12))) AS DOUBLE) AS s_bd,
+            CAST(SUM(CAST(dev_t AS DECIMAL(28,12))) AS DOUBLE) AS s_dev,
+            CAST(SUM(CAST(v_t AS DECIMAL(28,12))) AS DOUBLE) AS s_v
+          FROM bdt)
+        SELECT n_strata, n, round(rr, 6) AS or_mh,
+          CASE WHEN k_used > 1 AND s_v > 0 THEN
+            round(s_bd - (CASE WHEN s_v = 0 THEN NULL ELSE (s_dev * s_dev) / (s_v) END), 6) END
+            AS bd_chi2,
+          CASE WHEN k_used > 1 AND s_v > 0
+            THEN CAST(k_used - 1 AS BIGINT) END AS dof,
+          CASE WHEN k_used > 1 AND s_v > 0 AND k_used - 1 <= 4 THEN
+            (s_bd - (CASE WHEN s_v = 0 THEN NULL ELSE (s_dev * s_dev) / (s_v) END)) >
+            (CASE k_used - 1 WHEN 1 THEN 3.841459
+                  WHEN 2 THEN 5.991465 WHEN 3 THEN 7.814728
+                  WHEN 4 THEN 9.487729 END)
+          END AS reject_5pct
+        FROM bdf
+    """
+
 
     # Runs test: median via quantile_cont, sign-change window.
     sql["runs_test"] = """

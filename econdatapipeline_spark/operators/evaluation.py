@@ -2967,3 +2967,161 @@ def qini_curve(
         F.round(uplift, 6).alias("uplift"),
         F.round(qini, 6).alias("qini"),
     ).orderBy("bin")
+
+
+def breslow_day(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Breslow-Day (Tarone-corrected) homogeneity test of the odds
+    ratio across strata -> ONE row (n_strata, n, or_mh, bd_chi2, dof,
+    reject_5pct).
+
+    cmh_test ASSUMES one common odds ratio and pools; this is the
+    gate on that assumption — "is the treatment effect actually the
+    same in every stratum, or is the pooled OR averaging away real
+    heterogeneity?" Under the common-OR null the fitted count a~_i
+    solves the margin-preserving quadratic
+
+        a~^2 (1 - R) + a~ [(n0 - m1) + R (n1 + m1)] - R n1 m1 = 0
+
+    (R = the Mantel-Haenszel pooled OR; the root inside
+    [max(0, m1-n0), min(n1, m1)] is taken — both roots are computed
+    and range-selected, identical CASE logic in both engines; R
+    within 1e-12 of 1 falls back to the independence fit n1 m1 / n).
+    Then BD = sum (a_i - a~_i)^2 / V~_i with V~ the harmonic cell
+    variance, minus Tarone's (sum(a - a~))^2 / sum V~ correction,
+    ~ chi2(K-1). reject_5pct uses the literal critical value for
+    dof <= 4 and is NULL beyond (the repo's no-libm-p-value
+    convention). Strata where any margin zeroes the fitted table are
+    excluded from the sum and from dof (documented, never fabricated).
+
+    Shape: cmh_test's strata collapse verbatim, ONE 1-row pooled-R
+    aggregate broadcast back, one per-stratum expression block, one
+    final fold — exact integer counts, decimal-quantized term sums,
+    fixed-order doubles.
+    """
+    tr = F.col(treat_col).cast("int")
+    oc = F.col(outcome_col).cast("int")
+    base = df.filter(
+        F.col(stratum_col).isNotNull()
+        & tr.isNotNull()
+        & oc.isNotNull()
+    ).select(
+        F.col(stratum_col).alias("s"),
+        tr.alias("tr"),
+        oc.alias("oc"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    strata = base.groupBy("s").agg(
+        cnt((F.col("tr") == 1) & (F.col("oc") == 1)).alias("a"),
+        cnt((F.col("tr") == 1) & (F.col("oc") == 0)).alias("b"),
+        cnt((F.col("tr") == 0) & (F.col("oc") == 1)).alias("c"),
+        cnt((F.col("tr") == 0) & (F.col("oc") == 0)).alias("d"),
+    ).filter(
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")) >= 2
+    ).localCheckpoint(eager=True)
+    ni = (
+        F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ).cast("double")
+    q = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    pooled = strata.select(
+        q(
+            F.col("a").cast("double") * F.col("d").cast("double") / ni
+        ).alias("ad_n"),
+        q(
+            F.col("b").cast("double") * F.col("c").cast("double") / ni
+        ).alias("bc_n"),
+    ).agg(
+        F.sum(q(F.col("ad_n"))).cast("double").alias("sad"),
+        F.sum(q(F.col("bc_n"))).cast("double").alias("sbc"),
+    )
+    dv = F.try_divide
+    r_rel = pooled.select(
+        F.when(
+            F.col("sbc") > 0,
+            dv(F.col("sad"), F.col("sbc"))
+            .cast("decimal(18,9)")
+            .cast("double"),
+        ).alias("rr")
+    )
+    j = strata.crossJoin(F.broadcast(r_rel))
+    n1 = (F.col("a") + F.col("b")).cast("double")
+    n0 = (F.col("c") + F.col("d")).cast("double")
+    m1 = (F.col("a") + F.col("c")).cast("double")
+    rr = F.col("rr")
+    aa = F.lit(1.0) - rr
+    bb = (n0 - m1) + rr * (n1 + m1)
+    cc = -rr * n1 * m1
+    disc = F.sqrt(bb * bb - F.lit(4.0) * aa * cc)
+    r1 = dv(-bb + disc, F.lit(2.0) * aa)
+    r2 = dv(-bb - disc, F.lit(2.0) * aa)
+    lo = F.greatest(F.lit(0.0), m1 - n0)
+    hi = F.least(n1, m1)
+    in_range = lambda x: (x > lo) & (x < hi)  # noqa: E731
+    indep = dv(n1 * m1, n1 + n0)
+    a_fit = F.when(F.abs(aa) < F.lit(1e-12), indep).otherwise(
+        F.when(in_range(r1), r1).otherwise(
+            F.when(in_range(r2), r2)
+        )
+    )
+    b_fit = n1 - a_fit
+    c_fit = m1 - a_fit
+    d_fit = n0 - m1 + a_fit
+    v_fit = dv(
+        F.lit(1.0),
+        dv(F.lit(1.0), a_fit)
+        + dv(F.lit(1.0), b_fit)
+        + dv(F.lit(1.0), c_fit)
+        + dv(F.lit(1.0), d_fit),
+    )
+    usable = (
+        a_fit.isNotNull()
+        & (a_fit > 0)
+        & (b_fit > 0)
+        & (c_fit > 0)
+        & (d_fit > 0)
+    )
+    ad = F.col("a").cast("double") - a_fit
+    per = j.select(
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias(
+            "ni"
+        ),
+        F.col("rr"),
+        F.when(usable, q(dv(ad * ad, v_fit))).alias("bd_t"),
+        F.when(usable, q(ad)).alias("dev_t"),
+        F.when(usable, q(v_fit)).alias("v_t"),
+        F.when(usable, 1).otherwise(0).alias("used"),
+    )
+    fin = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("ni").cast("long").alias("n"),
+        F.max("rr").alias("rr"),
+        F.sum(F.col("used")).cast("long").alias("k_used"),
+        F.sum(q(F.col("bd_t"))).cast("double").alias("s_bd"),
+        F.sum(q(F.col("dev_t"))).cast("double").alias("s_dev"),
+        F.sum(q(F.col("v_t"))).cast("double").alias("s_v"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    tarone = dv(d_("s_dev") * d_("s_dev"), d_("s_v"))
+    bd = d_("s_bd") - tarone
+    dof = F.col("k_used") - F.lit(1)
+    crit = (
+        F.when(dof == 1, F.lit(3.841459))
+        .when(dof == 2, F.lit(5.991465))
+        .when(dof == 3, F.lit(7.814728))
+        .when(dof == 4, F.lit(9.487729))
+    )
+    ok = (F.col("k_used") > 1) & (d_("s_v") > 0)
+    return fin.select(
+        "n_strata",
+        "n",
+        F.round(F.col("rr"), 6).alias("or_mh"),
+        F.when(ok, F.round(bd, 6)).alias("bd_chi2"),
+        F.when(ok, dof.cast("long")).alias("dof"),
+        F.when(ok & crit.isNotNull(), bd > crit).alias(
+            "reject_5pct"
+        ),
+    )

@@ -1551,3 +1551,72 @@ def test_mcnemar_detects_marginal_shift(spark):
     rows3 = [(1, 1)] * 50 + [(0, 0)] * 50
     r3 = mcnemar_test(spark.createDataFrame(rows3, "a long, b long"), "a", "b").collect()[0]
     assert r3["chi2"] is None
+
+
+# ---------------------------------------------------------------------------
+# breslow_day
+# ---------------------------------------------------------------------------
+
+def _bd_numpy(tables):
+    """Float replay: MH pooled OR + Tarone-corrected Breslow-Day."""
+    sad = sum(a * d / (a + b + c + d) for a, b, c, d in tables)
+    sbc = sum(b * c / (a + b + c + d) for a, b, c, d in tables)
+    R = round(sad / sbc, 9)
+    s_bd = s_dev = s_v = 0.0
+    k = 0
+    for a, b, c, d in tables:
+        n1, n0, m1 = a + b, c + d, a + c
+        A, B, C = 1 - R, (n0 - m1) + R * (n1 + m1), -R * n1 * m1
+        if abs(A) < 1e-12:
+            af = n1 * m1 / (n1 + n0)
+        else:
+            disc = np.sqrt(B * B - 4 * A * C)
+            roots = [(-B + disc) / (2 * A), (-B - disc) / (2 * A)]
+            lo, hi = max(0.0, m1 - n0), min(n1, m1)
+            af = next((r for r in roots if lo < r < hi), None)
+        bf, cf, df_ = n1 - af, m1 - af, n0 - m1 + af
+        if not (af > 0 and bf > 0 and cf > 0 and df_ > 0):
+            continue
+        v = 1.0 / (1 / af + 1 / bf + 1 / cf + 1 / df_)
+        s_bd += (a - af) ** 2 / v
+        s_dev += a - af
+        s_v += v
+        k += 1
+    return R, s_bd - s_dev * s_dev / s_v, k - 1
+
+
+def _bd_rows(tables):
+    rows = []
+    for si, (a, b, c, d) in enumerate(tables):
+        rows += [(si, 1, 1)] * a + [(si, 1, 0)] * b
+        rows += [(si, 0, 1)] * c + [(si, 0, 0)] * d
+    return rows
+
+
+def test_breslow_day_homogeneous_accepts_heterogeneous_rejects(spark):
+    from econdatapipeline_spark.operators.evaluation import breslow_day
+
+    rng = np.random.RandomState(18)
+    # homogeneous: OR ~ 2 in every stratum
+    homo = []
+    for _ in range(4):
+        c_ = int(rng.randint(80, 120)); d_ = int(rng.randint(150, 250))
+        b_ = int(rng.randint(100, 200))
+        a_ = int(round(2.0 * b_ * c_ / d_))
+        homo.append((a_, b_, c_, d_))
+    df = spark.createDataFrame(_bd_rows(homo), "s long, tr long, oc long")
+    r = breslow_day(df, "s", "tr", "oc").collect()[0]
+    R_ref, bd_ref, dof_ref = _bd_numpy(homo)
+    assert r["n_strata"] == 4 and r["dof"] == dof_ref
+    assert r["or_mh"] == pytest.approx(R_ref, abs=1e-4)
+    assert r["bd_chi2"] == pytest.approx(bd_ref, abs=1e-3)
+    assert r["reject_5pct"] is False
+
+    # heterogeneous: OR 4 in one stratum, 0.5 in another
+    het = [(200, 100, 50, 100), (50, 100, 100, 100),
+           (120, 80, 60, 90), (90, 60, 70, 110)]
+    df2 = spark.createDataFrame(_bd_rows(het), "s long, tr long, oc long")
+    r2 = breslow_day(df2, "s", "tr", "oc").collect()[0]
+    R2, bd2, _ = _bd_numpy(het)
+    assert r2["bd_chi2"] == pytest.approx(bd2, abs=1e-3)
+    assert r2["reject_5pct"] is True
