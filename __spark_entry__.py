@@ -5055,7 +5055,8 @@ def q_yuen_ttest(spark, sf_dir):
         (F.col("o_totalprice") / 1000.0).alias("v"),
     )
     return yuen_ttest(
-        o, "v", "o_orderpriority", "1-URGENT", "5-LOW", trim=0.2
+        o, "v", "o_orderpriority", "1-URGENT", "5-LOW", trim=0.2,
+        method="rank",  # pinned: no silent size-gate in certified use
     )
 
 
@@ -17197,6 +17198,7 @@ def oracle_sql() -> dict[str, str]:
           END AS r_star,
           round(CASE WHEN r = 0
             THEN (CASE WHEN CAST(n_total AS DOUBLE) = 0 THEN NULL ELSE (CAST(n_r1 AS DOUBLE)) / CAST(n_total AS DOUBLE) END)
+            WHEN n_r = 0 THEN 0.0
             ELSE (CASE WHEN CAST(n_total AS DOUBLE) = 0 THEN NULL ELSE (((CASE WHEN CAST(n_r AS DOUBLE) = 0 THEN NULL ELSE ((CAST(r AS DOUBLE) + 1.0) * CAST(n_r1 AS DOUBLE)) / CAST(n_r AS DOUBLE) END)) * CAST(n_r AS DOUBLE)) / CAST(n_total AS DOUBLE) END) END, 6) AS p_class
         FROM gtj ORDER BY r
     """
@@ -17831,6 +17833,11 @@ def oracle_sql() -> dict[str, str]:
           WHERE l_quantity IS NOT NULL
             AND l_quantity / 50.0 >= 0.0
             AND l_quantity / 50.0 <= 1.0),
+        bdrop AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL
+            AND (l_quantity / 50.0 < 0.0 OR l_quantity / 50.0 > 1.0)),
         bbin AS (
           SELECT b, CAST(COUNT(*) AS BIGINT) AS nb_,
             CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) AS sp,
@@ -17861,6 +17868,7 @@ def oracle_sql() -> dict[str, str]:
               AS res_sum
           FROM bper)
         SELECT n,
+          n_dropped,
           CASE WHEN n > 0 THEN
             round((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (brier_sum) / CAST(n AS DOUBLE) END), 6) END
             AS brier,
@@ -17876,7 +17884,7 @@ def oracle_sql() -> dict[str, str]:
             round((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (rel_sum) / CAST(n AS DOUBLE) END)
                   - (CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (res_sum) / CAST(n AS DOUBLE) END)
                   + ybar * (1.0 - ybar), 6) END AS brier_binned
-        FROM bfin
+        FROM bfin CROSS JOIN bdrop
     """
 
 
@@ -18171,7 +18179,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
                       DATE '1998-12-31') AS DOUBLE) AS rec,
                  CAST(COUNT(*) AS DOUBLE) AS freq,
-                 CAST(SUM(CAST(floor((o_totalprice / 1000.0) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE) AS mon
+                 COALESCE(CAST(SUM(CAST(floor((o_totalprice / 1000.0) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS mon
           FROM orders GROUP BY o_custkey),
         rft AS (
           SELECT
@@ -18356,7 +18364,8 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN ok THEN round(diff, 6) END AS diff,
                CASE WHEN ok THEN round(t, 6) END AS t_stat,
                CASE WHEN ok THEN round(dfree, 6) END AS df,
-               CASE WHEN ok THEN abs(t) > 1.959964 END AS reject_5pct
+               CASE WHEN ok THEN abs(t) > 1.959964 END AS reject_5pct,
+               'rank' AS method
         FROM yfin
     """
 

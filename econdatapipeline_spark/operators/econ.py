@@ -250,6 +250,13 @@ def rfm_segments(
     monetary/frequency (higher = better), reversed for recency
     (lower days = better). r_score uses strict '<' and f/m use '<='
     so every boundary value lands deterministically in both engines.
+
+    NULL monetary contract (ADVICE r9): per-value NULLs are ignored
+    by the sum as usual, and a customer whose values are ALL NULL
+    gets mon = 0.0 explicitly — they score against the thresholds as
+    genuine zero spenders (and the zeros participate in the monetary
+    quantiles), instead of NULL comparisons silently dumping them
+    into m_score = 1 while excluding them from the thresholds.
     """
     if n_bins < 2 or n_bins > 10:
         raise ValueError(f"n_bins must be in 2..10, got {n_bins}")
@@ -267,11 +274,12 @@ def rfm_segments(
             .cast("double")
             .alias("rec"),
             F.count(F.lit(1)).cast("double").alias("freq"),
-            F.sum(
-                _q6(F.col(value_col).cast("double"))
-            )
-            .cast("double")
-            .alias("mon"),
+            F.coalesce(
+                F.sum(
+                    _q6(F.col(value_col).cast("double"))
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("mon"),
         )
     )
     probs = [k / float(n_bins) for k in range(1, n_bins)]

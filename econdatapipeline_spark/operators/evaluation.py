@@ -2321,8 +2321,16 @@ def yuen_ttest(
     )
     if method is None:
         method = "threshold" if base.count() > 2_000_000 else "rank"
+    # The chosen kernel is emitted as an output column: with the
+    # auto-gate, statistically (slightly) different h/t/df come out of
+    # the two algorithms purely as a function of input SIZE — silent
+    # switching is a trap for anyone diffing results across scales.
+    # Hash-certified contract use should pass method explicitly (the
+    # contract query pins "rank"), which also skips the gate's count().
     if method == "threshold":
-        return _yuen_threshold(base, trim)
+        return _yuen_threshold(base, trim).withColumn(
+            "method", F.lit("threshold")
+        )
     w = Window.partitionBy("g").orderBy("v")
     ranked = base.select(
         "g",
@@ -2419,6 +2427,7 @@ def yuen_ttest(
         F.when(ok, F.round(t, 6)).alias("t_stat"),
         F.when(ok, F.round(dfree, 6)).alias("df"),
         F.when(ok, F.abs(t) > F.lit(1.959964)).alias("reject_5pct"),
+        F.lit("rank").alias("method"),
     )
 
 
@@ -2782,7 +2791,8 @@ def brier_decompose(
     n_bins: int = 10,
 ) -> DataFrame:
     """Murphy decomposition of the Brier score -> ONE row
-    (n, brier, reliability, resolution, uncertainty, brier_binned).
+    (n, n_dropped, brier, reliability, resolution, uncertainty,
+    brier_binned).
 
     The forecast-quality split every probabilistic model report
     should carry: brier = reliability - resolution + uncertainty,
@@ -2796,26 +2806,35 @@ def brier_decompose(
 
     ONE pass to bin (floor(p * n_bins), top edge clamped), one
     bin-level aggregate (exact counts + decimal-quantized prob sums),
-    one global fold — map-side combinable throughout. NULLs on empty
-    input; probabilities outside [0, 1] raise at plan level via an
-    ANSI-safe filter (they are dropped and counted is the caller's
-    job upstream — this operator asserts on nothing it cannot see).
+    one global fold — map-side combinable throughout. Statistic
+    columns are NULL on empty/fully-dropped input (n and n_dropped
+    stay exact). Probabilities outside [0, 1] are EXCLUDED from every
+    statistic and surfaced in ``n_dropped`` — silent loss is not an
+    option for a calibration report.
     """
     if n_bins < 2 or n_bins > 100:
         raise ValueError(f"n_bins must be in 2..100, got {n_bins}")
     nb = F.lit(int(n_bins))
+    # Out-of-range probabilities land in sentinel bin -1: they are
+    # EXCLUDED from every statistic but COUNTED (n_dropped output) —
+    # silent row loss was invisible before (ADVICE r9), unlike sibling
+    # operators (fleiss_kappa, cronbach_alpha) that emit n_dropped.
+    in_range = (F.col(prob_col) >= 0.0) & (F.col(prob_col) <= 1.0)
     base = df.filter(
         F.col(label_col).isNotNull()
         & F.col(prob_col).isNotNull()
-        & (F.col(prob_col) >= 0.0)
-        & (F.col(prob_col) <= 1.0)
     ).select(
         F.col(label_col).cast("double").alias("y"),
         F.col(prob_col).cast("double").alias("p"),
-        F.least(
-            F.floor(F.col(prob_col) * nb).cast("long"),
-            (nb - F.lit(1)).cast("long"),
-        ).alias("b"),
+        F.when(
+            in_range,
+            F.least(
+                F.floor(F.col(prob_col) * nb).cast("long"),
+                (nb - F.lit(1)).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(-1).cast("long"))
+        .alias("b"),
     )
     q12 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
     bins = base.groupBy("b").agg(
@@ -2828,17 +2847,23 @@ def brier_decompose(
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     dv = F.try_divide
+    kept = F.col("b") >= 0
     tot = bins.groupBy().agg(
-        F.sum("nb_").cast("long").alias("n"),
-        F.sum(F.col("sy")).cast("long").alias("sy_tot"),
-        F.sum(q12(d("sq"))).cast("double").alias("brier_sum"),
+        F.sum(F.when(kept, F.col("nb_")).otherwise(0))
+        .cast("long")
+        .alias("n"),
+        F.sum(F.when(~kept, F.col("nb_")).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(kept, F.col("sy"))).cast("long").alias("sy_tot"),
+        F.sum(F.when(kept, q12(d("sq"))))
+        .cast("double")
+        .alias("brier_sum"),
     )
-    per_bin = bins.crossJoin(F.broadcast(tot)).select(
+    per_bin = bins.filter(kept).crossJoin(F.broadcast(tot)).select(
         "b",
         "nb_",
         "n",
-        "sy_tot",
-        "brier_sum",
         dv(d("sp"), d("nb_")).alias("pbar"),
         dv(d("sy"), d("nb_")).alias("ybar_b"),
         dv(d("sy_tot"), d("n")).alias("ybar"),
@@ -2853,13 +2878,14 @@ def brier_decompose(
         * (F.col("ybar_b") - F.col("ybar"))
         * (F.col("ybar_b") - F.col("ybar"))
     )
-    fin = per_bin.groupBy().agg(
-        F.max("n").alias("n"),
+    fin_bins = per_bin.groupBy().agg(
         F.max("ybar").alias("ybar"),
-        F.max("brier_sum").alias("brier_sum"),
         F.sum(q12(rel_t)).cast("double").alias("rel_sum"),
         F.sum(q12(res_t)).cast("double").alias("res_sum"),
     )
+    # tot (always one row, even when every input row was dropped)
+    # carries n / n_dropped; fin_bins carries the bin-level folds.
+    fin = tot.crossJoin(F.broadcast(fin_bins))
     nd = d("n")
     rel = dv(d("rel_sum"), nd)
     res = dv(d("res_sum"), nd)
@@ -2867,6 +2893,9 @@ def brier_decompose(
     ok = F.col("n") > 0
     return fin.select(
         "n",
+        F.coalesce(F.col("n_dropped"), F.lit(0))
+        .cast("long")
+        .alias("n_dropped"),
         F.when(ok, F.round(dv(d("brier_sum"), nd), 6)).alias("brier"),
         F.when(ok, F.round(rel, 6)).alias("reliability"),
         F.when(ok, F.round(res, 6)).alias("resolution"),

@@ -951,6 +951,12 @@ def random_walks(
             frontier.join(adj, frontier.node == adj.u)
             .filter(F.col("idx") == pick % F.col("deg"))
             .select("walk_id", F.col("v").alias("node"))
+            # Per-step materialization (the hits half-round discipline):
+            # without it, step r's plan replays steps 1..r-1's joins and
+            # the final plan carries O(walk_len^2) exchanges (39 at
+            # walk_len=4 on the node2vec twin). Values are unchanged —
+            # the md5 picks are deterministic.
+            .localCheckpoint(eager=True)
         )
         out = out.unionByName(
             nxt.select("walk_id", F.lit(r).alias("step"), "node")
@@ -1025,6 +1031,7 @@ def random_walks_biased(
         .select(
             "walk_id", F.col("u").alias("prev"), F.col("v").alias("cur")
         )
+        .localCheckpoint(eager=True)
     )
     out = out.unionByName(
         frontier.select(
@@ -1061,7 +1068,10 @@ def random_walks_biased(
             (u_int >= F.col("cum") - F.col("w")) & (u_int < F.col("cum"))
         ).select(
             "walk_id", F.col("cur").alias("prev"), F.col("cand").alias("cur")
-        )
+        ).localCheckpoint(eager=True)
+        # ^ per-step materialization, exactly random_walks: each round's
+        # (prev, cur) state is pinned so round r+1 never replays rounds
+        # 1..r's join+window chain (36 exchanges at walk_len=4 before).
         out = out.unionByName(
             nxt.select(
                 "walk_id", F.lit(r).alias("step"), F.col("cur").alias("node")

@@ -71,8 +71,8 @@ def smart_update(
     key_cols: list[str],
     value_cols: list[str],
     dataset: str,
+    run_ts: datetime,
     tolerance: float = DEFAULT_TOLERANCE,
-    run_ts: datetime | None = None,
     broadcast: bool | None = None,
 ) -> MergeResult:
     """MERGE incoming into existing, capturing revisions for changed values.
@@ -90,8 +90,14 @@ def smart_update(
     incoming side (only safe when the caller knows the batch is small);
     False suppresses any hint from this function (Catalyst may still
     auto-broadcast under its threshold).
+
+    ``run_ts`` is REQUIRED: one pinned timestamp per batch, generated
+    once at the pipeline/sink entry point — never inside this operator.
+    The reference stamps utcnow() per ROW (azure_data_tracker.py:119),
+    which makes revision rows nondeterministic under retries; a
+    defaulted utcnow() here would quietly re-introduce that (SURVEY §7)
+    and datetime.utcnow() is deprecated besides.
     """
-    run_ts = run_ts or datetime.utcnow()
     out_cols = key_cols + value_cols
     src = incoming.select(*out_cols)
     if broadcast:

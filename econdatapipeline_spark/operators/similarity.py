@@ -31,12 +31,34 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_expr_queries: int = 256,
 ) -> DataFrame:
     """Exact cosine top-k for every query vector.
 
     Output: (query_id, neighbor_id, cos) with rank <= k, neighbors
     exclude the query itself; deterministic tie-break on neighbor id.
+
+    SMALL-QUERY-SIDE CONTRACT: the query relation is broadcast whole
+    (and, on the Arrow path, collected to the driver as a dense
+    matrix), so it must fit in driver + executor memory — budget
+    ~(n_queries x dims x 8) bytes; thousands of queries is fine,
+    a fact-table-sized query side is not (bucket with lsh_topk /
+    operators/ivf instead). Within the contract, a size gate (the
+    yuen_ttest/bradley_terry pattern) picks the kernel: up to
+    ``max_expr_queries`` query rows, the pure column-expression
+    cosine (JVM-side, zero Python); above it, the Arrow/BLAS twin
+    (``brute_force_topk_arrow``), whose per-pair cost is vectorized —
+    the expression path evaluates the fold interpreted per element
+    and loses badly once n_queries x corpus pairs dominate. Both
+    paths share one output contract (ties broken by neighbor id);
+    cos agrees to the 6-dp rounding. The gate costs one count() of
+    the (small) query side; pass max_expr_queries explicitly to pin
+    a kernel for hash-certified use.
     """
+    if max_expr_queries >= 0 and queries.count() > max_expr_queries:
+        return brute_force_topk_arrow(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+        )
     # norms are per-ROW quantities: computing them once before the join
     # (instead of inside cosine() per PAIR) drops two of the three
     # 128-element folds from the pair stage, bit-identically — the fold

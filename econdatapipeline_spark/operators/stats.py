@@ -3194,10 +3194,16 @@ def good_turing(
     dv = F.try_divide
     r_star = dv((d("r") + F.lit(1.0)) * d("n_r1"), d("n_r"))
     # class mass: r = 0 gets the Turing unseen estimate n_1/N; classes
-    # r >= 1 carry their smoothed mass r* n_r / N
+    # r >= 1 carry their smoothed mass r* n_r / N. An EMPTY class
+    # (n_r = 0, so r_star is NULL) carries mass 0, not NULL — NULL
+    # would silently poison any downstream SUM(p_class) mass account.
     p_class = F.when(
         F.col("r") == 0, dv(d("n_r1"), d("n_total"))
-    ).otherwise(dv(r_star * d("n_r"), d("n_total")))
+    ).otherwise(
+        F.when(
+            F.col("n_r") > 0, dv(r_star * d("n_r"), d("n_total"))
+        ).otherwise(F.lit(0.0))
+    )
     return j.select(
         "r",
         "n_r",

@@ -20,7 +20,7 @@ import json
 import os
 import time
 from collections.abc import Callable
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -66,7 +66,7 @@ def run_dataset(
     Exceptions are isolated per dataset (C2): the result carries
     status='failed' plus the error instead of propagating.
     """
-    run_ts = run_ts or datetime.utcnow()
+    run_ts = run_ts or datetime.now(timezone.utc).replace(tzinfo=None)
     result: dict = {"dataset": spec.name, "status": FAILED}
     try:
         if not force and not wh.should_update(spec.name, update_frequency_hours, now=run_ts):
@@ -115,7 +115,7 @@ def run_pipeline(
     Warehouse by a write lock. Result order matches spec order either
     way, and per-dataset failures stay isolated (C2 status taxonomy).
     """
-    run_ts = run_ts or datetime.utcnow()
+    run_ts = run_ts or datetime.now(timezone.utc).replace(tzinfo=None)
     start = time.monotonic()
     wh.initialize([s.name for s in specs])
     todo = [s for s in specs if s.source in fetchers]
@@ -153,7 +153,7 @@ def save_run_summary(wh: Warehouse, summary: dict) -> str:
     """JSON log sink (S9): logs/run_summary_<ts>.json under the warehouse."""
     logs_dir = os.path.join(wh.root, "logs")
     os.makedirs(logs_dir, exist_ok=True)
-    ts = summary.get("run_ts", datetime.utcnow().isoformat()).replace(":", "-")
+    ts = summary.get("run_ts", datetime.now(timezone.utc).replace(tzinfo=None).isoformat()).replace(":", "-")
     path = os.path.join(logs_dir, f"run_summary_{ts}.json")
     with open(path, "w") as f:
         json.dump(summary, f, indent=2, default=str)

@@ -23,7 +23,7 @@ import os
 import shutil
 import threading
 import uuid
-from datetime import datetime, timedelta
+from datetime import datetime, timezone, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -536,7 +536,7 @@ class Warehouse:
         return os.path.join(self.path(METADATA_TABLE), f"dataset={dataset}")
 
     def update_last_run(self, dataset: str, ts: datetime | None = None) -> None:
-        ts = ts or datetime.utcnow()
+        ts = ts or datetime.now(timezone.utc).replace(tzinfo=None)
         final = self._watermark_path(dataset)
         # unique staging per writer: concurrent updaters of the SAME
         # dataset must not share a staging dir; the metadata-only
@@ -588,5 +588,5 @@ class Warehouse:
         last = self.get_last_run(dataset)
         if last is None:
             return True
-        now = now or datetime.utcnow()
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
         return (now - last) >= timedelta(hours=update_frequency_hours)

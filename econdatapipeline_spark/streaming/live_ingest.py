@@ -50,6 +50,11 @@ def start_fred_live_ingest(
     )
 
     def sink(batch_df, _batch_id):
+        # ONE pinned timestamp per micro-batch, shared by every spec's
+        # merge (smart_update requires run_ts; see merge.py docstring).
+        from datetime import datetime, timezone  # noqa: PLC0415
+
+        batch_ts = datetime.now(timezone.utc).replace(tzinfo=None)
         batch_df = batch_df.localCheckpoint(eager=True)  # scanned once per spec
         for sid, spec in by_series.items():
             part = batch_df.filter(F.col("series_id") == sid)
@@ -63,6 +68,7 @@ def start_fred_live_ingest(
                 key_cols=["date"],
                 value_cols=list(spec.value_columns),
                 dataset=spec.name,
+                run_ts=batch_ts,
             )
             wh.apply_merge(merge, spec.name)
             wh.update_last_run(spec.name)

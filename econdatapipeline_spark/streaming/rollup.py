@@ -20,7 +20,7 @@ merge's existing side prunes to touched buckets via the key join.
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -62,6 +62,8 @@ def refresh_rollup(
     deltas) and merges: unseen buckets insert; restated buckets update
     and emit revision rows keyed by the bucket.
     """
+    # ONE pinned timestamp per refresh (smart_update requires run_ts).
+    run_ts = run_ts or datetime.now(timezone.utc).replace(tzinfo=None)
     deltas = bucket_aggregate(new_events, every=every)
     value_cols = ["n_events", "sum_value"]
     existing = wh.read_or_empty(table, deltas.schema)

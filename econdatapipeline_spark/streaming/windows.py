@@ -182,6 +182,12 @@ def stream_upsert_sink(
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # ONE pinned timestamp per micro-batch (smart_update requires
+        # it): every revision row in the batch carries the same
+        # revision_date, deterministic within the batch.
+        from datetime import datetime, timezone  # noqa: PLC0415
+
+        batch_ts = datetime.now(timezone.utc).replace(tzinfo=None)
         schema_df = batch_df.select(*key_cols, *value_cols)
         existing = wh.read_or_empty(table, schema_df.schema)
         res = smart_update(
@@ -190,6 +196,7 @@ def stream_upsert_sink(
             key_cols=key_cols,
             value_cols=value_cols,
             dataset=table,
+            run_ts=batch_ts,
         )
         wh.apply_merge(res, table)
 

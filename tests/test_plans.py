@@ -202,13 +202,18 @@ def test_smart_update_large_incoming_sort_merges(spark):
             "o_orderkey as date", "o_totalprice as value"
         )
         inc = ex.selectExpr("date", "value + 1.0 as value")
-        res = smart_update(ex, inc, ["date"], ["value"], "big")
+        import datetime as _dt
+
+        run_ts = _dt.datetime(2024, 1, 1)
+        res = smart_update(ex, inc, ["date"], ["value"], "big", run_ts=run_ts)
         plan = plan_of(res.merged, "simple")
         assert "SortMergeJoin" in plan
         assert "BroadcastHashJoin" not in plan
         # The anti-join (inserts) cannot build its left side, so the
         # pinned hint is asserted on the inner-join branch (updates).
-        pinned = smart_update(ex, inc.limit(10), ["date"], ["value"], "small", broadcast=True)
+        pinned = smart_update(
+            ex, inc.limit(10), ["date"], ["value"], "small", run_ts=run_ts, broadcast=True
+        )
         assert "BroadcastHashJoin" in plan_of(pinned.updates, "simple")
     finally:
         spark.conf.set(bcast, old)

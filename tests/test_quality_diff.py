@@ -115,7 +115,10 @@ def test_snapshot_diff_agrees_with_smart_update(spark):
     old = spark.createDataFrame(old_rows, "date date, value double")
     new = spark.createDataFrame(new_rows, "date date, value double")
 
-    mr = smart_update(old, new, key_cols=["date"], value_cols=["value"], dataset="x")
+    mr = smart_update(
+        old, new, key_cols=["date"], value_cols=["value"], dataset="x",
+        run_ts=dt.datetime(2024, 1, 1, 0, 0, 0),
+    )
     counts = mr.counts()
 
     diff = {

@@ -436,6 +436,14 @@ def test_yuen_degenerate_and_validation(spark):
     )
     row = yuen_ttest(tiny, "v", "arm", "a", "b").collect()[0]
     assert row["t_stat"] is None  # h_b = 1
+    # The chosen kernel is visible in the output (ADVICE r9): the
+    # auto-gate picks "rank" below 2M rows, and an explicit method
+    # is honored and echoed.
+    assert row["method"] == "rank"
+    forced = yuen_ttest(
+        tiny, "v", "arm", "a", "b", method="threshold"
+    ).collect()[0]
+    assert forced["method"] == "threshold"
     with pytest.raises(ValueError):
         yuen_ttest(tiny, "v", "arm", "a", "b", trim=0.5)
 
@@ -662,8 +670,28 @@ def test_rfm_segments_census(spark):
         rfm_segments(df, "cust", "d", "v", "2025-01-01", n_bins=1)
 
 
-# ---------------------------------------------------------------------------
-# within_estimator
+def test_rfm_segments_all_null_monetary_is_zero_spender(spark):
+    """ADVICE r9: a customer whose values are ALL NULL must score as
+    an explicit zero spender (mon = 0.0 participates in thresholds),
+    not fall through NULL comparisons into m_score = 1 by accident."""
+    from econdatapipeline_spark.operators.econ import rfm_segments
+
+    rows = [
+        (1, "2024-06-01", None),
+        (1, "2024-07-01", None),  # all-NULL customer -> mon = 0
+        (2, "2024-06-01", 100.0),
+        (3, "2024-06-01", 200.0),
+        (4, "2024-06-01", 300.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "cust long, d string, v double"
+    ).select("cust", F.col("d").cast("date").alias("d"), "v")
+    out = rfm_segments(df, "cust", "d", "v", "2025-01-01", n_bins=2)
+    rows_out = out.collect()
+    assert sum(r["n_customers"] for r in rows_out) == 4  # nobody dropped
+    # the zero spender is the unique m_score=1 cell with avg 0.0
+    low = [r for r in rows_out if r["avg_monetary"] == 0.0]
+    assert len(low) == 1 and low[0]["m_score"] == 1
 # ---------------------------------------------------------------------------
 
 def test_within_estimator_sweeps_entity_effects(spark):
@@ -905,6 +933,30 @@ def test_brier_decomposition_identity_and_skill(spark):
 
     with pytest.raises(ValueError):
         brier_decompose(df, "y", "p", n_bins=1)
+
+
+def test_brier_decompose_counts_dropped_out_of_range(spark):
+    """ADVICE r9: out-of-range probabilities are excluded from the
+    statistics but surfaced in n_dropped — never silently lost."""
+    from econdatapipeline_spark.operators.evaluation import (
+        brier_decompose,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.8), (0, 0.2), (1, 1.5), (0, -0.1), (1, None)],
+        "y long, p double",
+    )
+    r = brier_decompose(df, "y", "p").collect()[0]
+    assert r["n"] == 2  # the two valid rows
+    assert r["n_dropped"] == 2  # 1.5 and -0.1; the NULL is not "dropped"
+    # statistics computed over the valid rows only
+    assert r["brier"] == pytest.approx(((0.8 - 1) ** 2 + 0.2**2) / 2, abs=1e-6)
+
+    # fully-dropped input: counts stay exact, statistics are NULL
+    df_bad = spark.createDataFrame([(1, 2.0), (0, -3.0)], "y long, p double")
+    r2 = brier_decompose(df_bad, "y", "p").collect()[0]
+    assert r2["n"] == 0 and r2["n_dropped"] == 2
+    assert r2["brier"] is None
 
 
 # ---------------------------------------------------------------------------
@@ -1497,6 +1549,24 @@ def test_good_turing_mass_accounting(spark):
 
     with pytest.raises(ValueError):
         good_turing(df, "tok", max_r=0)
+
+
+def test_good_turing_empty_class_mass_is_zero(spark):
+    """An empty count class (n_r = 0) carries mass 0, not NULL
+    (ADVICE r9): counts {a:1, b:1, c:3} leave r = 2 empty, and the
+    total emitted mass must still sum cleanly (no NULL poisoning)."""
+    from econdatapipeline_spark.operators.stats import good_turing
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("c",), ("c",)], "tok string"
+    )
+    out = {r["r"]: r for r in good_turing(df, "tok", max_r=4).collect()}
+    assert out[2]["n_r"] == 0
+    assert out[2]["r_star"] is None
+    assert out[2]["p_class"] == 0.0
+    assert out[4]["p_class"] == 0.0  # empty above max observed count
+    total = sum(r["p_class"] for r in out.values())
+    assert total == total  # no NULL/NaN leaked into the sum
 
 
 # ---------------------------------------------------------------------------
