@@ -7420,6 +7420,107 @@ def _driver_recorded() -> set:
     return recorded
 
 
+# ---------------------------------------------------------------------------
+# Round 10: trend-cycle, VAR system, AR(1) GLS (VERDICT r9 #3/#4/#5)
+# ---------------------------------------------------------------------------
+
+def q_hp_filter(spark, sf_dir):
+    """Hodrick-Prescott trend-cycle split of quarterly revenue ($M)
+    per priority at lam=1600 (operators/timeseries.hp_filter): the
+    exact pentadiagonal LDL' solve runs as ONE sequential Arrow
+    kernel per series while the five series decompose in parallel;
+    the oracle replays the identical IEEE-double recursion as a
+    recursive CTE — trend + cycle for the canonical econ filter the
+    reference's analysis layer promises."""
+    from econdatapipeline_spark.operators.timeseries import hp_filter
+
+    o = _t(spark, sf_dir, "orders")
+    q = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("date"),
+    ).agg((_dsum(F.col("o_totalprice")) / F.lit(1000000.0)).alias("v"))
+    return hp_filter(q, "v", lam=1600.0).orderBy("dataset", "date")
+
+
+def _r10_monthly3(spark, sf_dir):
+    """Shared 3-series monthly relation for var_fit: per priority,
+    (revenue k$, order count, avg price k$) — every series floor-
+    quantized to exactly-6dp doubles BEFORE the operator so its
+    decimal(18,6) cast is exact in both engines (the arch_test
+    midpoint note)."""
+    o = _t(spark, sf_dir, "orders")
+    q6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    return o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(
+        q6(_dsum(F.col("o_totalprice")) / F.lit(1000.0)).alias("rev"),
+        F.count(F.lit(1)).cast("long").cast("double").alias("cnt"),
+        q6(
+            _dsum(F.col("o_totalprice"))
+            / F.lit(1000.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgp"),
+    )
+
+
+def q_var_fit(spark, sf_dir):
+    """VAR(2) system over (revenue, count, avg price) monthly series
+    per priority (operators/timeseries.var_fit): one shared lag
+    matrix, ONE decimal-exact normal-equation aggregate, one shared
+    unrolled Gauss elimination with per-equation back-substitution,
+    coefficient matrix + residual covariance out as an exploded
+    3-struct array — the multi-indicator step past granger/ar_fit."""
+    from econdatapipeline_spark.operators.timeseries import var_fit
+
+    m = _r10_monthly3(spark, sf_dir)
+    return var_fit(
+        m, ["rev", "cnt", "avgp"], order_col="date", lags=2
+    ).orderBy("dataset", "equation")
+
+
+def _r10_monthly_xy(spark, sf_dir):
+    """Monthly (y = revenue k$, x = order count) per priority for the
+    AR(1)-GLS pair; revenue floor-quantized to 6dp."""
+    o = _t(spark, sf_dir, "orders")
+    q6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    return o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(
+        q6(_dsum(F.col("o_totalprice")) / F.lit(1000.0)).alias("y"),
+        F.count(F.lit(1)).cast("long").cast("double").alias("x"),
+    )
+
+
+def q_cochrane_orcutt(spark, sf_dir):
+    """Cochrane-Orcutt AR(1)-corrected regression of monthly revenue
+    on order count per priority (operators/timeseries.
+    cochrane_orcutt): rho from the EXPANDED residual lag-moments,
+    quasi-differenced GLS from the same single aggregate — the
+    efficiency companion to newey_west's HAC band-aid."""
+    from econdatapipeline_spark.operators.timeseries import (
+        cochrane_orcutt,
+    )
+
+    m = _r10_monthly_xy(spark, sf_dir)
+    return cochrane_orcutt(m, "y", "x").orderBy("dataset")
+
+
+def q_prais_winsten(spark, sf_dir):
+    """Prais-Winsten variant of q_cochrane_orcutt: observation 1 kept
+    with weight sqrt(1 - rho^2) — the short-series-preferred AR(1)
+    GLS (operators/timeseries.cochrane_orcutt prais_winsten=True)."""
+    from econdatapipeline_spark.operators.timeseries import (
+        cochrane_orcutt,
+    )
+
+    m = _r10_monthly_xy(spark, sf_dir)
+    return cochrane_orcutt(
+        m, "y", "x", prais_winsten=True
+    ).orderBy("dataset")
+
+
 def _row_is_green(row) -> bool:
     """A recorded row counts only if it was GREEN: a query whose only
     artifact row is an error (e.g. validate_samples' r4 unhashable-list
@@ -7826,6 +7927,10 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "dp_group_counts": q_dp_group_counts,
         "rmst": q_rmst,
         "kmeans_silhouette": q_kmeans_silhouette,
+        "hp_filter": q_hp_filter,
+        "var_fit": q_var_fit,
+        "cochrane_orcutt": q_cochrane_orcutt,
+        "prais_winsten": q_prais_winsten,
     }
 
 
@@ -20758,4 +20863,240 @@ def oracle_sql() -> dict[str, str]:
                  AS mean_silhouette
         FROM s GROUP BY own
     """
+    # ------------------------------------------------------------------
+    # Round 10: hp_filter / var_fit / cochrane_orcutt / prais_winsten
+    # ------------------------------------------------------------------
+
+    # Hodrick-Prescott: the oracle replays _hp_pentadiag_solve's banded
+    # LDL' recursion (operators/timeseries.py) as a recursive CTE —
+    # identical IEEE-double ops in identical left-associated order,
+    # sentinel d[-1]=1.0 / z[-1]=0.0, band values from the same
+    # all-n indicator sums. CAST({lam} AS DOUBLE) keeps every band in
+    # double (DuckDB would otherwise fold the literals as DECIMAL and
+    # round d to 2 places — measured, not hypothetical).
+    _hp_lam = repr(1600.0)
+    sql["hp_filter"] = f"""
+        WITH RECURSIVE qser AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('quarter', o_orderdate) AS DATE) AS o,
+                 CAST(CAST(floor((CAST(SUM(CAST(o_totalprice
+                        AS DECIMAL(28,6))) AS DOUBLE) / 1000000.0)
+                        * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS DOUBLE) AS y
+          FROM orders GROUP BY 1, 2),
+        serN AS (
+          SELECT g, o, y,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY o) - 1
+                      AS BIGINT) AS i,
+                 CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+          FROM qser),
+        bands AS (
+          SELECT *,
+            1.0 + CAST({_hp_lam} AS DOUBLE)
+              * ((CASE WHEN i <= n-3 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN i >= 1 AND i-1 <= n-3 THEN 4.0 ELSE 0.0 END)
+                + (CASE WHEN i >= 2 THEN 1.0 ELSE 0.0 END)) AS a0,
+            CAST({_hp_lam} AS DOUBLE)
+              * ((CASE WHEN i >= 2 AND i-2 <= n-3 THEN -2.0 ELSE 0.0 END)
+                + (CASE WHEN i >= 1 AND i-1 <= n-3 THEN -2.0 ELSE 0.0 END))
+              AS a1m
+          FROM serN),
+        fwd AS (
+          SELECT g, i, n, y, a0 AS d, CAST(0.0 AS DOUBLE) AS e,
+                 CAST(0.0 AS DOUBLE) AS f, y AS z,
+                 CAST(1.0 AS DOUBLE) AS dp, CAST(0.0 AS DOUBLE) AS zp
+          FROM bands WHERE i = 0
+          UNION ALL
+          SELECT q.g, q.i, q.n, q.y,
+                 q.a0 - q.e2 * q.e2 * q.d1 - q.f2 * q.f2 * q.d2 AS d,
+                 q.e2 AS e, q.f2 AS f,
+                 q.y - q.e2 * q.z1 - q.f2 * q.z2 AS z,
+                 q.d1 AS dp, q.z1 AS zp
+          FROM (
+            SELECT b.g, b.i, b.n, b.y, b.a0,
+                   p.d AS d1, p.dp AS d2, p.z AS z1, p.zp AS z2,
+                   CASE WHEN b.i >= 2
+                        THEN CAST({_hp_lam} AS DOUBLE) / p.dp
+                        ELSE 0.0 END AS f2,
+                   (b.a1m - (CASE WHEN b.i >= 2
+                             THEN CAST({_hp_lam} AS DOUBLE) / p.dp
+                             ELSE 0.0 END) * p.e * p.dp) / p.d AS e2
+            FROM fwd p JOIN bands b ON b.g = p.g AND b.i = p.i + 1
+          ) q
+        ),
+        bwd AS (
+          SELECT g, i, n, z / d AS x, CAST(0.0 AS DOUBLE) AS xn,
+                 e AS ecur, f AS fcur, CAST(0.0 AS DOUBLE) AS fn
+          FROM fwd WHERE i = n - 1
+          UNION ALL
+          SELECT r.g, r.i, r.n,
+                 r.z / r.d - p.ecur * p.x - p.fn * p.xn AS x,
+                 p.x AS xn, r.e AS ecur, r.f AS fcur, p.fcur AS fn
+          FROM bwd p JOIN fwd r ON r.g = p.g AND r.i = p.i - 1
+        )
+        SELECT s.g AS dataset, s.o AS date, s.y AS value,
+               round(b.x, 6) AS trend,
+               round(s.y - b.x, 6) AS cycle
+        FROM serN s JOIN bwd b ON b.g = s.g AND b.i = s.i
+        ORDER BY dataset, date
+    """
+
+    # VAR(2) over 3 series: the oracle chains the IDENTICAL generated
+    # (name, expr) sequence the Spark operator executes
+    # (timeseries.var_fragments / _gauss_steps_multi) — shared Gauss
+    # elimination, per-equation back-substitution, residual
+    # cross-moments in the pinned (e <= f) orientation.
+    from econdatapipeline_spark.operators.timeseries import (
+        var_fragments as _vfrag,
+    )
+
+    _v = _vfrag(3, 2)
+    _v_names = ["rev", "cnt", "avgp"]
+    _v_q6 = (
+        "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    )
+    _v_rev = _v_q6.format(
+        x="CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)"
+        " / 1000.0"
+    )
+    _v_avgp = _v_q6.format(
+        x="CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)"
+        " / 1000.0 / CAST(COUNT(*) AS DOUBLE)"
+    )
+    _v_lag_cols = ", ".join(
+        f"LAG(y_{e}, {l}) OVER (PARTITION BY g ORDER BY o)"
+        f" AS z{(e - 1) * 2 + l}"
+        for e in range(1, 4)
+        for l in range(1, 3)
+    )
+    _v_not_null = " AND ".join(f"z{i} IS NOT NULL" for i in range(1, 7))
+    _v_steps = "".join(
+        f",\n        vst{i} AS (SELECT *, {e} AS {nm} FROM "
+        f"{'vsum' if i == 0 else f'vst{i - 1}'})"
+        for i, (nm, e) in enumerate(_v["steps"])
+    )
+    _v_last = f"vst{len(_v['steps']) - 1}"
+
+    def _v_eq_select(e):
+        # floor-quantize outputs (NOT round): matches the operator's
+        # _r6 chain — money-scale covariances coin-flip round()'s last
+        # digit between engines (see var_fit source comment)
+        def _vr6(x):
+            return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+        betas = _v["betas"][e - 1]
+        cols = [
+            f"'{_v_names[e - 1]}' AS equation",
+            "n",
+            f"CASE WHEN {_v['ok']} THEN {_vr6(betas[0])} END"
+            " AS const",
+        ]
+        for sidx in range(1, 4):
+            for l in range(1, 3):
+                cols.append(
+                    f"CASE WHEN {_v['ok']} THEN"
+                    f" {_vr6(betas[(sidx - 1) * 2 + l])} END"
+                    f" AS {_v_names[sidx - 1]}_l{l}"
+                )
+        cov = _v["cov"]
+        cols.append(
+            f"CASE WHEN {_v['ok']} THEN"
+            f" {_vr6(cov[(e, e)])} END AS sigma2"
+        )
+        for sidx in range(1, 4):
+            key = (min(e, sidx), max(e, sidx))
+            cols.append(
+                f"CASE WHEN {_v['ok']} THEN"
+                f" {_vr6(cov[key])} END"
+                f" AS resid_cov_{_v_names[sidx - 1]}"
+            )
+        return (
+            "SELECT g AS dataset, "
+            + ", ".join(cols)
+            + f" FROM {_v_last}"
+        )
+
+    sql["var_fit"] = f"""
+        WITH monthly AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS o,
+                 CAST({_v_rev} AS DECIMAL(18,6)) AS y_1,
+                 CAST(CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
+                      AS DECIMAL(18,6)) AS y_2,
+                 CAST({_v_avgp} AS DECIMAL(18,6)) AS y_3
+          FROM orders GROUP BY 1, 2),
+        lagged AS (
+          SELECT g, y_1, y_2, y_3, {_v_lag_cols}
+          FROM monthly),
+        rws AS (
+          -- DECIMAL(19,6) forces DuckDB's int128 multiply (granger note)
+          SELECT g,
+                 {", ".join(f"CAST(y_{e} AS DECIMAL(19,6)) AS y_{e}" for e in range(1, 4))},
+                 {", ".join(f"CAST(z{i} AS DECIMAL(19,6)) AS z{i}" for i in range(1, 7))}
+          FROM lagged WHERE {_v_not_null}),
+        vsum AS (
+          SELECT g, {", ".join(_v["aggs"])}
+          FROM rws GROUP BY g){_v_steps}
+        {_v_eq_select(1)}
+        UNION ALL
+        {_v_eq_select(2)}
+        UNION ALL
+        {_v_eq_select(3)}
+    """
+
+    # Cochrane-Orcutt / Prais-Winsten: identical generated step text
+    # (timeseries.co_fragments) over the monthly (y = revenue k$,
+    # x = order count) relation.
+    from econdatapipeline_spark.operators.timeseries import (
+        co_fragments as _cofrag,
+    )
+
+    _co_q6y = _v_q6.format(
+        x="CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)"
+        " / 1000.0"
+    )
+    for _co_name, _co_pw in (
+        ("cochrane_orcutt", False),
+        ("prais_winsten", True),
+    ):
+        _co = _cofrag(_co_pw)
+        _co_steps = "".join(
+            f",\n        cst{i} AS (SELECT *, {e} AS {nm} FROM "
+            f"{'csum' if i == 0 else f'cst{i - 1}'})"
+            for i, (nm, e) in enumerate(_co["steps"])
+        )
+        _co_last = f"cst{len(_co['steps']) - 1}"
+        _co_outs = ", ".join(
+            f"round(CASE WHEN {_co['ok']} THEN {expr} END, 6) AS {nm}"
+            for nm, expr in _co["out"].items()
+        )
+        sql[_co_name] = f"""
+        WITH monthly AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS o,
+                 CAST({_co_q6y} AS DECIMAL(18,6)) AS y,
+                 CAST(CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
+                      AS DECIMAL(18,6)) AS x
+          FROM orders GROUP BY 1, 2),
+        lagged AS (
+          SELECT g,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY o) AS rn,
+                 y, x,
+                 LAG(y, 1) OVER (PARTITION BY g ORDER BY o) AS yl,
+                 LAG(x, 1) OVER (PARTITION BY g ORDER BY o) AS xl
+          FROM monthly),
+        rws AS (
+          SELECT g, rn,
+                 CAST(y AS DECIMAL(19,6)) AS y,
+                 CAST(x AS DECIMAL(19,6)) AS x,
+                 CAST(yl AS DECIMAL(19,6)) AS yl,
+                 CAST(xl AS DECIMAL(19,6)) AS xl
+          FROM lagged),
+        csum AS (
+          SELECT g, {", ".join(_co["aggs"])}
+          FROM rws GROUP BY g){_co_steps}
+        SELECT g AS dataset, n, {_co_outs}
+        FROM {_co_last}
+    """
+
     return sql

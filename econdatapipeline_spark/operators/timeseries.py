@@ -3240,3 +3240,628 @@ def runs_test(
         F.when(ok, F.round(z, 6)).alias("z"),
         F.when(ok, F.abs(z) > F.lit(1.959964)).alias("reject_5pct"),
     )
+
+
+def _gauss_steps_multi(
+    m: int, a_names: dict, bs_names: list[list[str]], prefix: str
+):
+    """Multi-RHS variant of _gauss_steps: ONE shared elimination of
+    the SPD matrix (row updates then EVERY RHS update per (k, i) —
+    the exact operation order _gauss_solve_fixed replays for its
+    ``bs`` list), then an independent left-nested back-substitution
+    per RHS. Returns (steps, betas_per_rhs, diag). Used where several
+    regressions share one design matrix (VAR: k equations, one X'X),
+    so the elimination text is emitted once instead of k times.
+    """
+
+    def div(a: str, b: str) -> str:
+        return f"CASE WHEN {b} = 0 THEN NULL ELSE ({a}) / {b} END"
+
+    cur = {}
+    for i in range(m):
+        for j in range(m):
+            cur[(i, j)] = a_names[(min(i, j), max(i, j))]
+    curbs = [list(b) for b in bs_names]
+    steps = []
+    for k in range(m):
+        for i in range(k + 1, m):
+            f = f"{prefix}_f{k}_{i}"
+            steps.append((f, div(cur[(i, k)], cur[(k, k)])))
+            for j in range(k + 1, m):
+                nn = f"{prefix}_a{k}_{i}_{j}"
+                steps.append(
+                    (nn, f"{cur[(i, j)]} - {f} * {cur[(k, j)]}")
+                )
+                cur[(i, j)] = nn
+            for q, curb in enumerate(curbs):
+                nb = f"{prefix}{q}_b{k}_{i}"
+                steps.append((nb, f"{curb[i]} - {f} * {curb[k]}"))
+                curb[i] = nb
+    betas_all = []
+    for q, curb in enumerate(curbs):
+        betas = [None] * m
+        for i in reversed(range(m)):
+            expr = curb[i]
+            for j in range(i + 1, m):
+                expr = f"({expr} - {cur[(i, j)]} * {prefix}{q}_beta{j})"
+            steps.append(
+                (f"{prefix}{q}_beta{i}", div(expr, cur[(i, i)]))
+            )
+            betas[i] = f"{prefix}{q}_beta{i}"
+        betas_all.append(betas)
+    diag = [cur[(k, k)] for k in range(m)]
+    return steps, betas_all, diag
+
+
+def var_fragments(k: int, p: int) -> dict:
+    """Shared Spark/DuckDB fragments for the VAR(p) system fit over k
+    series — aggregates over a relation with columns y_1..y_k (the
+    current values, decimal(18,6)) and z_1..z_{k*p} (the lag matrix,
+    z_{(e-1)*p + l} = lag l of series e), then one shared unrolled
+    Gauss elimination (the design matrix [1, z_1..z_q] is common to
+    every equation) and per-equation back-substitutions.
+
+    Returns {aggs, steps, betas (per equation, const first), cov
+    (names keyed (e, f), 1-based, e <= f), ok, m}. Residual
+    cross-moments use the normal-equation identity
+    S_ef = sum(y_e y_f) - sum_a beta_e[a] * b_f[a] (the granger rss
+    form) with the (e <= f) orientation pinned, so both engines fold
+    the identical tree; cov_ef = S_ef / (n - m).
+    """
+    q = k * p
+    m = q + 1
+    # Decimal sums leave for double via STRING (exact decimal text ->
+    # one correctly-rounded IEEE parse, identical on any engine):
+    # DuckDB's direct DECIMAL(38,12)->DOUBLE cast converts the int128
+    # then divides by 1e12 — TWO roundings, measured one ulp off
+    # Spark's BigDecimal path on 13 of this fragment's 55 sums.
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for e in range(1, k + 1):
+        aggs.append(
+            f"CAST(CAST(SUM(CAST(y_{e} AS DECIMAL(38,12))) AS STRING)"
+            f" AS DOUBLE) AS sy_{e}"
+        )
+    for e in range(1, k + 1):
+        for f_ in range(e, k + 1):
+            aggs.append(
+                f"CAST(CAST(SUM(CAST(y_{e} * y_{f_} AS DECIMAL(38,12)))"
+                f" AS STRING) AS DOUBLE) AS syy_{e}_{f_}"
+            )
+    for i in range(1, q + 1):
+        aggs.append(
+            f"CAST(CAST(SUM(CAST(z{i} AS DECIMAL(38,12))) AS STRING)"
+            f" AS DOUBLE) AS s_{i}"
+        )
+    for e in range(1, k + 1):
+        for i in range(1, q + 1):
+            aggs.append(
+                f"CAST(CAST(SUM(CAST(z{i} * y_{e} AS DECIMAL(38,12)))"
+                f" AS STRING) AS DOUBLE) AS t_{e}_{i}"
+            )
+    for i in range(1, q + 1):
+        for j in range(i, q + 1):
+            aggs.append(
+                f"CAST(CAST(SUM(CAST(z{i} * z{j} AS DECIMAL(38,12)))"
+                f" AS STRING) AS DOUBLE) AS c_{i}_{j}"
+            )
+    steps = [("nd", "CAST(n AS DOUBLE)")]
+    a = {(0, 0): "nd"}
+    for j in range(1, q + 1):
+        a[(0, j)] = f"s_{j}"
+    for i in range(1, q + 1):
+        for j in range(i, q + 1):
+            a[(i, j)] = f"c_{i}_{j}"
+    bs = [
+        [f"sy_{e}"] + [f"t_{e}_{i}" for i in range(1, q + 1)]
+        for e in range(1, k + 1)
+    ]
+    gs, betas_all, diag = _gauss_steps_multi(m, a, bs, "v")
+    steps += gs
+    cov = {}
+    for e in range(1, k + 1):
+        for f_ in range(e, k + 1):
+            s = f"syy_{e}_{f_}"
+            for bn, orig in zip(betas_all[e - 1], bs[f_ - 1]):
+                s = f"({s} - {bn} * {orig})"
+            steps.append((f"v_s_{e}_{f_}", s))
+            steps.append(
+                (
+                    f"v_cov_{e}_{f_}",
+                    f"CASE WHEN (nd - {float(m)}) = 0 THEN NULL"
+                    f" ELSE v_s_{e}_{f_} / (nd - {float(m)}) END",
+                )
+            )
+            cov[(e, f_)] = f"v_cov_{e}_{f_}"
+    pivots = " AND ".join(f"{d} > 0" for d in dict.fromkeys(diag))
+    ok = f"n > {m + 1} AND {pivots}"
+    return {
+        "aggs": aggs,
+        "steps": steps,
+        "betas": betas_all,
+        "cov": cov,
+        "ok": ok,
+        "m": m,
+    }
+
+
+def var_fit(
+    df: DataFrame,
+    value_cols: list[str],
+    order_col: str = "date",
+    group_col: str = "dataset",
+    lags: int = 1,
+) -> DataFrame:
+    """VAR(p) system estimation per group -> one row per (group,
+    equation): (group, equation, n, const, <series>_l<lag>...,
+    sigma2, resid_cov_<series>...).
+
+    The multi-equation step past granger_causality/ar_fit: every
+    series is regressed on p lags of EVERY series (per-equation OLS
+    is the MLE for a VAR with unrestricted covariance), giving the
+    coefficient matrix macro analysis reads lead/lag structure from
+    and the residual covariance that turns it into impulse responses.
+    The reference's analysis layer promises exactly this multi-
+    indicator view (documentation/economic_indicators.md:123
+    "variable selection, seasonal decomposition, component analysis"
+    over the 26-indicator table).
+
+    Shape (the granger_fragments discipline, widened): per-group
+    PARTITIONED lag windows build the shared lag matrix once; ONE
+    hash aggregate collects every decimal-exact normal-equation sum
+    (m = k*p + 1 unknowns, all k RHS vectors, all residual
+    cross-moments); the shared Gauss elimination is generated text
+    both engines execute verbatim (_gauss_steps_multi); equations
+    leave as an explode of a k-element struct array — no per-equation
+    re-scan, no second shuffle. Thousands of groups fit their VARs in
+    parallel; a single aggregate row per group is all that moves.
+    NULLs under the SPD ok-gate (n <= m + 1 or singular design).
+    Bounds: 2 <= k <= 3 series, 1 <= p <= 2 (m <= 7; the unrolled
+    elimination text grows O(m^3) — the cox_ph_multi3 budget).
+    """
+    k = len(value_cols)
+    if k < 2 or k > 3:
+        raise ValueError(f"need 2..3 value_cols, got {k}")
+    if lags < 1 or lags > 2:
+        raise ValueError(f"lags must be in 1..2, got {lags}")
+    p = lags
+    q = k * p
+    frag = var_fragments(k, p)
+    w2 = Window.partitionBy("g").orderBy(F.col("__o"))
+    lagged = df.select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("__o"),
+        *[
+            F.col(c).cast("decimal(18,6)").alias(f"y_{e}")
+            for e, c in enumerate(value_cols, start=1)
+        ],
+    )
+    zcols = []
+    for e in range(1, k + 1):
+        for l_ in range(1, p + 1):
+            zcols.append(
+                F.lag(F.col(f"y_{e}"), l_)
+                .over(w2)
+                .alias(f"z{(e - 1) * p + l_}")
+            )
+    rel = lagged.select(
+        "g", *[f"y_{e}" for e in range(1, k + 1)], *zcols
+    )
+    keep = F.lit(True)
+    for i in range(1, q + 1):
+        keep = keep & F.col(f"z{i}").isNotNull()
+    rel = rel.filter(keep)
+    cur = rel.groupBy("g").agg(*[F.expr(a) for a in frag["aggs"]])
+    for batch in _step_levels(frag["steps"]):
+        cur = cur.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    ok = F.expr(frag["ok"])
+
+    def _covname(e: int, f_: int) -> str:
+        return frag["cov"][(min(e, f_), max(e, f_))]
+
+    # Outputs pass through the floor-quantize chain, NOT F.round:
+    # residual (co)variances of money-scale series reach 1e6+ where
+    # 6-dp rounding sits at double's repr noise floor and Spark's
+    # shortest-string HALF_UP vs DuckDB's binary rounding coin-flip
+    # the last digit (ORACLE_PARITY midpoint note). floor(x*1e6+0.5)
+    # / 1e6 is pure double arithmetic — bit-identical on any engine.
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    structs = []
+    for e in range(1, k + 1):
+        betas = frag["betas"][e - 1]
+        fields = [
+            F.lit(value_cols[e - 1]).alias("equation"),
+            F.when(ok, _r6(F.expr(betas[0]))).alias("const"),
+        ]
+        for s in range(1, k + 1):
+            for l_ in range(1, p + 1):
+                fields.append(
+                    F.when(
+                        ok,
+                        _r6(F.expr(betas[(s - 1) * p + l_])),
+                    ).alias(f"{value_cols[s - 1]}_l{l_}")
+                )
+        fields.append(
+            F.when(ok, _r6(F.expr(_covname(e, e)))).alias(
+                "sigma2"
+            )
+        )
+        for s in range(1, k + 1):
+            fields.append(
+                F.when(ok, _r6(F.expr(_covname(e, s)))).alias(
+                    f"resid_cov_{value_cols[s - 1]}"
+                )
+            )
+        structs.append(F.struct(*fields))
+    exploded = cur.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.explode(F.array(*structs)).alias("__eq"),
+    )
+    return exploded.select(
+        group_col,
+        F.col("__eq.equation").alias("equation"),
+        "n",
+        *[
+            F.col(f"__eq.{f.name}").alias(f.name)
+            for f in exploded.schema["__eq"].dataType.fields
+            if f.name != "equation"
+        ],
+    )
+
+
+def co_fragments(prais_winsten: bool) -> dict:
+    """Shared Spark/DuckDB fragments for the AR(1)-corrected simple
+    regression (Cochrane-Orcutt two-step; Prais-Winsten keeps the
+    first observation weighted sqrt(1 - rho^2)).
+
+    Aggregates run over a relation with columns rn (1-based row
+    number per group), y, x (decimal(18,6)) and yl, xl (lag-1
+    values); everything downstream is a named fixed-order double
+    sequence both engines execute verbatim: OLS slope/intercept ->
+    rho from the EXPANDED residual lag-moment (u_t u_{t-1} and
+    u_{t-1}^2 written out in the level cross-sums, so no residual
+    materialization, no second scan) -> quasi-differenced normal
+    equations, again expanded in the same sums. Returns {aggs,
+    steps, out, ok}.
+    """
+    dec = "DECIMAL(38,12)"
+    lagged = "yl IS NOT NULL"
+    aggs = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        f"CAST(SUM(CAST(x AS {dec})) AS DOUBLE) AS sx",
+        f"CAST(SUM(CAST(y AS {dec})) AS DOUBLE) AS sy",
+        f"CAST(SUM(CAST(x * x AS {dec})) AS DOUBLE) AS sxx",
+        f"CAST(SUM(CAST(x * y AS {dec})) AS DOUBLE) AS sxy",
+        f"CAST(SUM(CAST(y * y AS {dec})) AS DOUBLE) AS syy",
+        f"CAST(COUNT(CASE WHEN {lagged} THEN 1 END) AS BIGINT) AS n1",
+    ]
+    cond = {
+        "sy_c": "y", "sx_c": "x",
+        "syy_c": "y * y", "sxx_c": "x * x", "sxy_c": "x * y",
+        "sy_l": "yl", "sx_l": "xl",
+        "syy_l": "yl * yl", "sxx_l": "xl * xl", "sxy_l": "xl * yl",
+        "s_ycyl": "y * yl", "s_ycxl": "y * xl",
+        "s_xcyl": "x * yl", "s_xcxl": "x * xl",
+    }
+    for nm, term in cond.items():
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {lagged} THEN"
+            f" CAST({term} AS {dec}) END) AS DOUBLE) AS {nm}"
+        )
+    aggs.append(
+        "CAST(MAX(CASE WHEN rn = 1 THEN CAST(y AS DOUBLE) END)"
+        " AS DOUBLE) AS y1v"
+    )
+    aggs.append(
+        "CAST(MAX(CASE WHEN rn = 1 THEN CAST(x AS DOUBLE) END)"
+        " AS DOUBLE) AS x1v"
+    )
+
+    def div(a: str, b: str) -> str:
+        # parenthesized denominator: b here can be a compound
+        # expression ("nt - 2.0"), unlike the single pivot names
+        # _gauss_steps feeds its own div
+        return f"CASE WHEN ({b}) = 0 THEN NULL ELSE ({a}) / ({b}) END"
+
+    pw = prais_winsten
+    steps = [
+        ("nd", "CAST(n AS DOUBLE)"),
+        ("n1d", "CAST(n1 AS DOUBLE)"),
+        ("det_o", "nd * sxx - sx * sx"),
+        ("b_ols", div("nd * sxy - sx * sy", "det_o")),
+        ("a_ols", div("sy - b_ols * sx", "nd")),
+        (
+            "rnum",
+            "s_ycyl - a_ols * (sy_c + sy_l)"
+            " - b_ols * (s_ycxl + s_xcyl)"
+            " + n1d * (a_ols * a_ols)"
+            " + (a_ols * b_ols) * (sx_c + sx_l)"
+            " + (b_ols * b_ols) * s_xcxl",
+        ),
+        (
+            "rden",
+            "syy_l - 2.0 * a_ols * sy_l - 2.0 * b_ols * sxy_l"
+            " + n1d * (a_ols * a_ols)"
+            " + 2.0 * (a_ols * b_ols) * sx_l"
+            " + (b_ols * b_ols) * sxx_l",
+        ),
+        ("rho", div("rnum", "rden")),
+        ("cc", "1.0 - rho"),
+        ("w2", "1.0 - rho * rho"),
+        (
+            "szz",
+            "n1d * (cc * cc)" + (" + w2" if pw else ""),
+        ),
+        (
+            "szx",
+            "cc * (sx_c - rho * sx_l)"
+            + (" + w2 * x1v" if pw else ""),
+        ),
+        (
+            "szy",
+            "cc * (sy_c - rho * sy_l)"
+            + (" + w2 * y1v" if pw else ""),
+        ),
+        (
+            "sxxs",
+            "sxx_c - 2.0 * rho * s_xcxl + (rho * rho) * sxx_l"
+            + (" + w2 * (x1v * x1v)" if pw else ""),
+        ),
+        (
+            "sxys",
+            "sxy_c - rho * s_xcyl - rho * s_ycxl"
+            " + (rho * rho) * sxy_l"
+            + (" + w2 * (x1v * y1v)" if pw else ""),
+        ),
+        (
+            "syys",
+            "syy_c - 2.0 * rho * s_ycyl + (rho * rho) * syy_l"
+            + (" + w2 * (y1v * y1v)" if pw else ""),
+        ),
+        ("det_g", "szz * sxxs - szx * szx"),
+        ("a_gls", div("szy * sxxs - szx * sxys", "det_g")),
+        ("b_gls", div("szz * sxys - szx * szy", "det_g")),
+        ("co_rss", "(syys - a_gls * szy) - b_gls * sxys"),
+        ("nt", "n1d" + (" + 1.0" if pw else "")),
+        ("co_s2", div("co_rss", "nt - 2.0")),
+        (
+            "se_b",
+            "CASE WHEN co_s2 * szz / det_g >= 0"
+            " THEN sqrt(co_s2 * szz / det_g) END",
+        ),
+    ]
+    ok = (
+        "n > 3 AND det_o > 0 AND rden > 0 AND abs(rho) < 1.0"
+        " AND det_g > 0 AND co_rss >= 0"
+    )
+    return {
+        "aggs": aggs,
+        "steps": steps,
+        "out": {
+            "rho": "rho",
+            "beta_ols": "b_ols",
+            "beta_gls": "b_gls",
+            "alpha_gls": "a_gls",
+            "se_beta_gls": "se_b",
+        },
+        "ok": ok,
+    }
+
+
+def cochrane_orcutt(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    order_col: str = "date",
+    group_col: str = "dataset",
+    prais_winsten: bool = False,
+) -> DataFrame:
+    """AR(1)-corrected regression per series (Cochrane-Orcutt 1949;
+    Prais-Winsten 1954 with ``prais_winsten=True``) -> one row per
+    group: (group, n, rho, beta_ols, beta_gls, alpha_gls,
+    se_beta_gls).
+
+    The GLS companion to newey_west: when the regression residual is
+    AR(1) (the usual state of a macro level-on-level fit), OLS
+    standard errors lie and OLS itself is inefficient. Two-step CO:
+    rho from the lag-1 autocorrelation of the OLS residuals, then OLS
+    on the quasi-differences y_t - rho y_{t-1} ~ (1-rho) + x_t -
+    rho x_{t-1}. Prais-Winsten keeps observation 1, weighted
+    sqrt(1 - rho^2) — preferred on short series where dropping a row
+    costs real information. The structural intercept alpha_gls comes
+    out directly because the "intercept" regressor is the transformed
+    constant column, not 1.
+
+    Scale discipline: ONE per-group lag window builds (y, x, lags,
+    rn); ONE hash aggregate collects every decimal-exact sum (the
+    residual lag-moments are EXPANDED into level cross-sums — no
+    residual column, no second pass); co_fragments' fixed-order
+    double chain is the shared text both engines run. NULLs under the
+    ok-gate (n <= 3, constant x, degenerate residuals, |rho| >= 1).
+    """
+    frag = co_fragments(prais_winsten)
+    w = Window.partitionBy("g").orderBy("__o")
+    base = df.filter(
+        F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("__o"),
+        F.col(y_col).cast("decimal(18,6)").alias("y"),
+        F.col(x_col).cast("decimal(18,6)").alias("x"),
+    )
+    rel = base.select(
+        "g",
+        F.row_number().over(w).alias("rn"),
+        "y",
+        "x",
+        F.lag("y", 1).over(w).alias("yl"),
+        F.lag("x", 1).over(w).alias("xl"),
+    )
+    cur = rel.groupBy("g").agg(*[F.expr(a) for a in frag["aggs"]])
+    for batch in _step_levels(frag["steps"]):
+        cur = cur.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    ok = F.expr(frag["ok"])
+    return cur.select(
+        F.col("g").alias(group_col),
+        "n",
+        *[
+            F.when(ok, F.round(F.expr(expr), 6)).alias(nm)
+            for nm, expr in frag["out"].items()
+        ],
+    )
+
+
+def _hp_pentadiag_solve(y: list, lam: float) -> list:
+    """Exact Hodrick-Prescott trend: solve (I + lam * D'D) x = y for
+    the second-difference matrix D via the banded LDL' factorization
+    (bandwidth 2), forward then backward substitution — O(n), exact
+    to the factorization's rounding (agrees with a dense
+    numpy.linalg.solve to ~1e-9 on economic magnitudes).
+
+    PARITY-PINNED: every formula below is mirrored, operation for
+    operation, by the recursive-CTE oracle (__spark_entry__
+    hp_filter SQL) — plain IEEE-double arithmetic in identical
+    left-associated order, sentinel d[-1] = 1.0 / z[-1] = 0.0 so the
+    i = 1 step runs the uniform formulas with exact no-op terms
+    (x - 0.0 * a * b is exact). Touch one side only with the other
+    open. Band values come from indicator sums valid for EVERY n
+    (n <= 2 degenerates to trend = y exactly: D has no rows, A = I).
+    """
+    n = len(y)
+    if n == 0:
+        return []
+    d = [0.0] * n
+    e = [0.0] * n
+    f = [0.0] * n
+    z = [0.0] * n
+
+    def a0(i: int) -> float:
+        w = 0.0
+        if i <= n - 3:
+            w += 1.0
+        if i >= 1 and i - 1 <= n - 3:
+            w += 4.0
+        if i >= 2:
+            w += 1.0
+        return 1.0 + lam * w
+
+    def a1m(i: int) -> float:  # A[i, i-1]
+        w = 0.0
+        if i >= 2 and i - 2 <= n - 3:
+            w += -2.0
+        if i >= 1 and i - 1 <= n - 3:
+            w += -2.0
+        return lam * w
+
+    d[0] = a0(0)
+    z[0] = y[0]
+    dp, zp = 1.0, 0.0  # sentinels d[-1], z[-1]
+    for i in range(1, n):
+        d1, d2 = d[i - 1], dp
+        e1, z1, z2 = e[i - 1], z[i - 1], zp
+        fi = lam / d2 if i >= 2 else 0.0
+        ei = (a1m(i) - fi * e1 * d2) / d1
+        di = a0(i) - ei * ei * d1 - fi * fi * d2
+        zi = y[i] - ei * z1 - fi * z2
+        f[i], e[i], d[i], z[i] = fi, ei, di, zi
+        dp, zp = d1, z1
+    x = [0.0] * n
+    x[n - 1] = z[n - 1] / d[n - 1]
+    xn, fn = 0.0, 0.0  # sentinels x[n], f[n]
+    for i in range(n - 2, -1, -1):
+        xi = z[i] / d[i] - e[i + 1] * x[i + 1] - fn * xn
+        xn, fn = x[i + 1], f[i + 1]
+        x[i] = xi
+    return x
+
+
+def hp_filter(
+    df: DataFrame,
+    value_col: str,
+    order_col: str = "date",
+    group_col: str = "dataset",
+    lam: float = 1600.0,
+    max_len: int = 100_000,
+) -> DataFrame:
+    """Hodrick-Prescott trend-cycle decomposition per series -> one
+    row per input row: (group, order, value, trend, cycle).
+
+    THE econ trend filter (Hodrick & Prescott 1997; lam = 1600 for
+    quarterly, 129600 monthly, 6.25 annual): trend minimizes
+    sum (y_t - tau_t)^2 + lam * sum (d2 tau_t)^2 — the missing
+    member of the decomposition family (seasonal_adjust_monthly
+    removes seasonality, holt_linear levels, hp_filter extracts the
+    smooth trend the reference's analysis layer promises,
+    documentation/economic_indicators.md:123-124 "seasonal
+    decomposition, component analysis").
+
+    Execution shape: the normal equations (I + lam D'D) tau = y are
+    pentadiagonal; the exact O(n) banded LDL' solve is an inherently
+    SEQUENTIAL two-pass recursion no engine parallelizes WITHIN a
+    series — so it runs as one Arrow-batched applyInPandas kernel
+    PER GROUP (_hp_pentadiag_solve: plain IEEE doubles, mirrored
+    op-for-op by the recursive-CTE oracle), while thousands of
+    series decompose in parallel across executors — the multimodal
+    decode posture: vectorized boundary, per-series state bounded by
+    the series, never a driver collect. ``max_len`` guards the
+    SERIES-sized contract (the theil_sen posture): a group longer
+    than it fails loudly rather than absorbing an unbounded
+    single-task sort. Inputs floor-quantized decimal(18,6) then
+    DOUBLE (the portable money channel); trend/cycle rounded 6dp in
+    column expressions AFTER the kernel. n <= 2 series return
+    trend = value, cycle = 0 exactly (A = I).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    if lam <= 0:
+        raise ValueError(f"lam must be > 0, got {lam}")
+    if max_len < 3:
+        raise ValueError(f"max_len must be >= 3, got {max_len}")
+    lam = float(lam)
+    cap = int(max_len)
+
+    def _q6(c):
+        return (
+            F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)")
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        _q6(F.col(value_col).cast("double"))
+        .cast("double")
+        .alias("v"),
+    )
+    g_t = base.schema["g"].dataType.simpleString()
+    o_t = base.schema["o"].dataType.simpleString()
+    schema = f"g {g_t}, o {o_t}, v double, trend_raw double"
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("o", kind="mergesort")
+        y = [float(v) for v in pdf["v"].tolist()]
+        if len(y) > cap:
+            raise ValueError(
+                f"hp_filter: series of {len(y)} rows exceeds the"
+                f" max_len={cap} series-sized contract; aggregate"
+                " first or raise max_len deliberately"
+            )
+        x = _hp_pentadiag_solve(y, lam)
+        return pd.DataFrame(
+            {
+                "g": pdf["g"].to_numpy(),
+                "o": pdf["o"].to_numpy(),
+                "v": y,
+                "trend_raw": x,
+            }
+        )
+
+    out = base.groupBy("g").applyInPandas(kernel, schema)
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("o").alias(order_col),
+        F.col("v").alias("value"),
+        F.round(F.col("trend_raw"), 6).alias("trend"),
+        F.round(F.col("v") - F.col("trend_raw"), 6).alias("cycle"),
+    )
