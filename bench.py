@@ -17,6 +17,15 @@ min and max alongside so a reader can see machine noise directly —
 median>>min across many queries means a loaded box, not a regression.
 The headline `value`/`queries` fields keep their old meaning (seconds,
 per-query) so rounds stay comparable.
+
+Throttle-drift instrumentation (VERDICT r9 #1): a fixed-cost
+calibration sentinel (JVM range-sum + one pinned parquet aggregate,
+median of 3) is timed at bench start / middle / end and recorded in
+both JSON outputs; `queries_norm` / `total_norm` report every query
+normalized by its nearest sentinel relative to the run-median
+sentinel, so VM throttle shows up as sentinel spread while normalized
+times stay flat — and an engine regression stays visible after
+normalization.
 """
 
 from __future__ import annotations
@@ -60,11 +69,44 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
+    # Calibration sentinel (VERDICT r9 #1): a fixed-cost probe timed at
+    # bench start / middle / end so a reader can separate machine
+    # throttle drift from engine regression. Two components, both
+    # pinned: a pure-JVM shuffle-free fold (range sum) and one parquet
+    # aggregate (lineitem revenue sum — footer + scan + hash agg).
+    # Each query's time is also reported NORMALIZED by the nearest
+    # sentinel relative to the run's median sentinel: if the box slows
+    # 1.4x mid-run, the sentinel slows 1.4x and the normalized query
+    # time stays flat — a real regression stays visible after
+    # normalization.
+    def _sentinel() -> float:
+        reps = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            spark.range(50_000_000).selectExpr("sum(id)").collect()
+            try:
+                (
+                    entry.load_table(spark, sf_dir, "lineitem")
+                    .selectExpr("sum(l_extendedprice)", "count(*)")
+                    .collect()
+                )
+            except Exception:  # noqa: BLE001 — sentinel never fails bench
+                pass
+            reps.append(time.monotonic() - t0)
+        return round(statistics.median(reps), 4)
+
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     t_min: dict[str, float] = {}
     t_max: dict[str, float] = {}
-    for name, fn in entry.queries().items():
+    sentinels: dict[str, float] = {"start": _sentinel()}
+    names_all = list(entry.queries())
+    mid_at = len(names_all) // 2
+    q_index: dict[str, int] = {}
+    for qi, (name, fn) in enumerate(entry.queries().items()):
+        q_index[name] = qi
+        if qi == mid_at:
+            sentinels["middle"] = _sentinel()
         runs: list[float] = []
         for _ in range(n_runs):
             start = time.monotonic()
@@ -106,7 +148,22 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — hygiene only, never fail bench
             pass
 
+    sentinels["end"] = _sentinel()
+    # normalized per-query times: nearest sentinel / run-median sentinel
+    s_med = statistics.median(sentinels.values()) or 1.0
+    s_pos = {"start": 0, "middle": mid_at, "end": len(names_all)}
+
+    def _norm(name: str, t: float) -> float:
+        if t < 0:
+            return t
+        qi = q_index.get(name, 0)
+        near = min(s_pos, key=lambda k: abs(s_pos[k] - qi))
+        factor = (sentinels[near] / s_med) if s_med else 1.0
+        return round(t / factor, 4) if factor > 0 else t
+
+    queries_norm = {name: _norm(name, t) for name, t in timings.items()}
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    total_norm = round(sum(t for t in queries_norm.values() if t >= 0), 4)
     total_min = round(sum(t for t in t_min.values() if t >= 0), 4)
     # The driver keeps only the LAST ~2000 chars of stdout and tries to
     # json-parse the line — a 252-query map can never fit (r3-r5 all
@@ -125,6 +182,9 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": t_min,
                 "queries_max": t_max,
+                "queries_norm": queries_norm,
+                "sentinels": sentinels,
+                "total_norm": total_norm,
                 "total_min": total_min,
                 "runs_per_query": n_runs,
                 "sf": sf,
@@ -145,6 +205,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "total_min": total_min,
+                "total_norm": total_norm,
+                "sentinels": sentinels,
                 "runs_per_query": n_runs,
                 "sf": sf,
                 "cpus": cpus,
