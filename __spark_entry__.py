@@ -7442,6 +7442,25 @@ def q_hp_filter(spark, sf_dir):
     return hp_filter(q, "v", lam=1600.0).orderBy("dataset", "date")
 
 
+def q_whittaker_level(spark, sf_dir):
+    """Order-1 Whittaker (local-level) smoothing of monthly revenue
+    (k$) per priority at lam=16 (operators/timeseries.
+    whittaker_level): hp_filter's first-difference sibling — the
+    random-walk-plus-noise fixed-interval smoother, same sequential
+    Arrow kernel per series / recursive-CTE oracle, tridiagonal so
+    the shared recursion's f-terms vanish as exact no-ops."""
+    from econdatapipeline_spark.operators.timeseries import (
+        whittaker_level,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg((_dsum(F.col("o_totalprice")) / F.lit(1000.0)).alias("v"))
+    return whittaker_level(m, "v", lam=16.0).orderBy("dataset", "date")
+
+
 def _r10_monthly3(spark, sf_dir):
     """Shared 3-series monthly relation for var_fit: per priority,
     (revenue k$, order count, avg price k$) — every series floor-
@@ -7477,6 +7496,20 @@ def q_var_fit(spark, sf_dir):
     return var_fit(
         m, ["rev", "cnt", "avgp"], order_col="date", lags=2
     ).orderBy("dataset", "equation")
+
+
+def q_var_irf(spark, sf_dir):
+    """Reduced-form impulse responses of the VAR(2) from q_var_fit
+    (operators/timeseries.var_irf): Phi_0 = I, Phi_1 = A1,
+    Phi_2 = A1 A1 + A2 as named fixed-order steps on the SAME single
+    aggregate — how a one-unit innovation in revenue/count/avg-price
+    propagates across the system over two months."""
+    from econdatapipeline_spark.operators.timeseries import var_irf
+
+    m = _r10_monthly3(spark, sf_dir)
+    return var_irf(
+        m, ["rev", "cnt", "avgp"], order_col="date", lags=2, horizons=2
+    ).orderBy("dataset", "h", "shock", "response")
 
 
 def _r10_monthly_xy(spark, sf_dir):
@@ -7931,6 +7964,8 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "var_fit": q_var_fit,
         "cochrane_orcutt": q_cochrane_orcutt,
         "prais_winsten": q_prais_winsten,
+        "whittaker_level": q_whittaker_level,
+        "var_irf": q_var_irf,
     }
 
 
@@ -20874,16 +20909,40 @@ def oracle_sql() -> dict[str, str]:
     # all-n indicator sums. CAST({lam} AS DOUBLE) keeps every band in
     # double (DuckDB would otherwise fold the literals as DECIMAL and
     # round d to 2 places — measured, not hypothetical).
-    _hp_lam = repr(1600.0)
-    sql["hp_filter"] = f"""
-        WITH RECURSIVE qser AS (
-          SELECT o_orderpriority AS g,
-                 CAST(date_trunc('quarter', o_orderdate) AS DATE) AS o,
-                 CAST(CAST(floor((CAST(SUM(CAST(o_totalprice
-                        AS DECIMAL(28,6))) AS DOUBLE) / 1000000.0)
-                        * 1000000.0 + 0.5) / 1000000.0
-                      AS DECIMAL(18,6)) AS DOUBLE) AS y
-          FROM orders GROUP BY 1, 2),
+    def _whittaker_cte(series_sql, lam, order, smooth_name, resid_name):
+        """Recursive-CTE mirror of timeseries._hp_pentadiag_solve at
+        the given penalty order: band expressions replay the kernel's
+        indicator sums, a2lit = lam (order 2, pentadiagonal) or 0.0
+        (order 1, tridiagonal — f stays an exact 0 through the shared
+        recursion). Every literal CAST to DOUBLE (DuckDB folds bare
+        decimal literals into rounding DECIMAL arithmetic)."""
+        lam_d = f"CAST({repr(float(lam))} AS DOUBLE)"
+        if order == 2:
+            a0 = (
+                f"1.0 + {lam_d}"
+                " * ((CASE WHEN i <= n-3 THEN 1.0 ELSE 0.0 END)"
+                " + (CASE WHEN i >= 1 AND i-1 <= n-3 THEN 4.0 ELSE 0.0 END)"
+                " + (CASE WHEN i >= 2 THEN 1.0 ELSE 0.0 END))"
+            )
+            a1m = (
+                f"{lam_d}"
+                " * ((CASE WHEN i >= 2 AND i-2 <= n-3 THEN -2.0 ELSE 0.0 END)"
+                " + (CASE WHEN i >= 1 AND i-1 <= n-3 THEN -2.0 ELSE 0.0 END))"
+            )
+            a2lit = lam_d
+        else:
+            a0 = (
+                f"1.0 + {lam_d}"
+                " * ((CASE WHEN i <= n-2 THEN 1.0 ELSE 0.0 END)"
+                " + (CASE WHEN i >= 1 THEN 1.0 ELSE 0.0 END))"
+            )
+            a1m = (
+                f"{lam_d}"
+                " * ((CASE WHEN i >= 1 AND i-1 <= n-2 THEN -1.0 ELSE 0.0 END))"
+            )
+            a2lit = "CAST(0.0 AS DOUBLE)"
+        return f"""
+        WITH RECURSIVE qser AS ({series_sql}),
         serN AS (
           SELECT g, o, y,
                  CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY o) - 1
@@ -20891,15 +20950,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
           FROM qser),
         bands AS (
-          SELECT *,
-            1.0 + CAST({_hp_lam} AS DOUBLE)
-              * ((CASE WHEN i <= n-3 THEN 1.0 ELSE 0.0 END)
-                + (CASE WHEN i >= 1 AND i-1 <= n-3 THEN 4.0 ELSE 0.0 END)
-                + (CASE WHEN i >= 2 THEN 1.0 ELSE 0.0 END)) AS a0,
-            CAST({_hp_lam} AS DOUBLE)
-              * ((CASE WHEN i >= 2 AND i-2 <= n-3 THEN -2.0 ELSE 0.0 END)
-                + (CASE WHEN i >= 1 AND i-1 <= n-3 THEN -2.0 ELSE 0.0 END))
-              AS a1m
+          SELECT *, {a0} AS a0, {a1m} AS a1m
           FROM serN),
         fwd AS (
           SELECT g, i, n, y, a0 AS d, CAST(0.0 AS DOUBLE) AS e,
@@ -20916,10 +20967,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.g, b.i, b.n, b.y, b.a0,
                    p.d AS d1, p.dp AS d2, p.z AS z1, p.zp AS z2,
                    CASE WHEN b.i >= 2
-                        THEN CAST({_hp_lam} AS DOUBLE) / p.dp
+                        THEN {a2lit} / p.dp
                         ELSE 0.0 END AS f2,
                    (b.a1m - (CASE WHEN b.i >= 2
-                             THEN CAST({_hp_lam} AS DOUBLE) / p.dp
+                             THEN {a2lit} / p.dp
                              ELSE 0.0 END) * p.e * p.dp) / p.d AS e2
             FROM fwd p JOIN bands b ON b.g = p.g AND b.i = p.i + 1
           ) q
@@ -20935,11 +20986,48 @@ def oracle_sql() -> dict[str, str]:
           FROM bwd p JOIN fwd r ON r.g = p.g AND r.i = p.i - 1
         )
         SELECT s.g AS dataset, s.o AS date, s.y AS value,
-               round(b.x, 6) AS trend,
-               round(s.y - b.x, 6) AS cycle
+               round(b.x, 6) AS {smooth_name},
+               round(s.y - b.x, 6) AS {resid_name}
         FROM serN s JOIN bwd b ON b.g = s.g AND b.i = s.i
         ORDER BY dataset, date
     """
+
+    # Hodrick-Prescott (order 2, lam=1600, quarterly $M): the oracle
+    # replays _hp_pentadiag_solve's banded LDL' recursion bit-exactly
+    # (see _whittaker_cte and the kernel docstring's mirror contract).
+    sql["hp_filter"] = _whittaker_cte(
+        """
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('quarter', o_orderdate) AS DATE) AS o,
+                 CAST(CAST(floor((CAST(SUM(CAST(o_totalprice
+                        AS DECIMAL(28,6))) AS DOUBLE) / 1000000.0)
+                        * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS DOUBLE) AS y
+          FROM orders GROUP BY 1, 2
+        """,
+        1600.0,
+        2,
+        "trend",
+        "cycle",
+    )
+
+    # Whittaker local-level (order 1, lam=16, monthly k$): tridiagonal
+    # twin through the same builder.
+    sql["whittaker_level"] = _whittaker_cte(
+        """
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS o,
+                 CAST(CAST(floor((CAST(SUM(CAST(o_totalprice
+                        AS DECIMAL(28,6))) AS DOUBLE) / 1000.0)
+                        * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS DOUBLE) AS y
+          FROM orders GROUP BY 1, 2
+        """,
+        16.0,
+        1,
+        "level",
+        "noise",
+    )
 
     # VAR(2) over 3 series: the oracle chains the IDENTICAL generated
     # (name, expr) sequence the Spark operator executes
@@ -21042,6 +21130,57 @@ def oracle_sql() -> dict[str, str]:
         {_v_eq_select(2)}
         UNION ALL
         {_v_eq_select(3)}
+    """
+
+    # VAR impulse responses: identical scaffolding to sql["var_fit"]
+    # but the step chain comes from var_irf_fragments (base fit steps
+    # + companion-power IRF steps); rows leave as a 27-way UNION ALL
+    # over (h, shock, response) single-value selects.
+    from econdatapipeline_spark.operators.timeseries import (
+        var_irf_fragments as _vifrag,
+    )
+
+    _vi = _vifrag(3, 2, 2)
+    _vi_steps = "".join(
+        f",\n        wst{i} AS (SELECT *, {e} AS {nm} FROM "
+        f"{'vsum' if i == 0 else f'wst{i - 1}'})"
+        for i, (nm, e) in enumerate(_vi["steps"])
+    )
+    _vi_last = f"wst{len(_vi['steps']) - 1}"
+    _vi_rows = []
+    for _h in range(0, 3):
+        for _e in range(1, 4):
+            for _s in range(1, 4):
+                _expr = _vi["irf"][(_h, _e, _s)]
+                _vi_rows.append(
+                    f"SELECT g AS dataset, {_h} AS h,"
+                    f" '{_v_names[_s - 1]}' AS shock,"
+                    f" '{_v_names[_e - 1]}' AS response,"
+                    f" CASE WHEN {_vi['ok']} THEN"
+                    f" floor(({_expr}) * 1000000.0 + 0.5) / 1000000.0"
+                    f" END AS irf FROM {_vi_last}"
+                )
+    sql["var_irf"] = f"""
+        WITH monthly AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS o,
+                 CAST({_v_rev} AS DECIMAL(18,6)) AS y_1,
+                 CAST(CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
+                      AS DECIMAL(18,6)) AS y_2,
+                 CAST({_v_avgp} AS DECIMAL(18,6)) AS y_3
+          FROM orders GROUP BY 1, 2),
+        lagged AS (
+          SELECT g, y_1, y_2, y_3, {_v_lag_cols}
+          FROM monthly),
+        rws AS (
+          SELECT g,
+                 {", ".join(f"CAST(y_{e} AS DECIMAL(19,6)) AS y_{e}" for e in range(1, 4))},
+                 {", ".join(f"CAST(z{i} AS DECIMAL(19,6)) AS z{i}" for i in range(1, 7))}
+          FROM lagged WHERE {_v_not_null}),
+        vsum AS (
+          SELECT g, {", ".join(_vi["aggs"])}
+          FROM rws GROUP BY g){_vi_steps}
+        {" UNION ALL ".join(_vi_rows)}
     """
 
     # Cochrane-Orcutt / Prais-Winsten: identical generated step text

@@ -3713,7 +3713,7 @@ def cochrane_orcutt(
     )
 
 
-def _hp_pentadiag_solve(y: list, lam: float) -> list:
+def _hp_pentadiag_solve(y: list, lam: float, order: int = 2) -> list:
     """Exact Hodrick-Prescott trend: solve (I + lam * D'D) x = y for
     the second-difference matrix D via the banded LDL' factorization
     (bandwidth 2), forward then backward substitution — O(n), exact
@@ -3732,28 +3732,51 @@ def _hp_pentadiag_solve(y: list, lam: float) -> list:
     n = len(y)
     if n == 0:
         return []
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2, got {order}")
     d = [0.0] * n
     e = [0.0] * n
     f = [0.0] * n
     z = [0.0] * n
 
-    def a0(i: int) -> float:
-        w = 0.0
-        if i <= n - 3:
-            w += 1.0
-        if i >= 1 and i - 1 <= n - 3:
-            w += 4.0
-        if i >= 2:
-            w += 1.0
-        return 1.0 + lam * w
+    if order == 2:
 
-    def a1m(i: int) -> float:  # A[i, i-1]
-        w = 0.0
-        if i >= 2 and i - 2 <= n - 3:
-            w += -2.0
-        if i >= 1 and i - 1 <= n - 3:
-            w += -2.0
-        return lam * w
+        def a0(i: int) -> float:
+            w = 0.0
+            if i <= n - 3:
+                w += 1.0
+            if i >= 1 and i - 1 <= n - 3:
+                w += 4.0
+            if i >= 2:
+                w += 1.0
+            return 1.0 + lam * w
+
+        def a1m(i: int) -> float:  # A[i, i-1]
+            w = 0.0
+            if i >= 2 and i - 2 <= n - 3:
+                w += -2.0
+            if i >= 1 and i - 1 <= n - 3:
+                w += -2.0
+            return lam * w
+
+        a2lit = lam  # A[i, i-2] = lam wherever defined
+    else:  # order 1: D is first differences, A is TRIdiagonal
+
+        def a0(i: int) -> float:
+            w = 0.0
+            if i <= n - 2:
+                w += 1.0
+            if i >= 1:
+                w += 1.0
+            return 1.0 + lam * w
+
+        def a1m(i: int) -> float:  # A[i, i-1]
+            w = 0.0
+            if i >= 1 and i - 1 <= n - 2:
+                w += -1.0
+            return lam * w
+
+        a2lit = 0.0  # no second off-diagonal: f stays exactly 0
 
     d[0] = a0(0)
     z[0] = y[0]
@@ -3761,7 +3784,7 @@ def _hp_pentadiag_solve(y: list, lam: float) -> list:
     for i in range(1, n):
         d1, d2 = d[i - 1], dp
         e1, z1, z2 = e[i - 1], z[i - 1], zp
-        fi = lam / d2 if i >= 2 else 0.0
+        fi = a2lit / d2 if i >= 2 else 0.0
         ei = (a1m(i) - fi * e1 * d2) / d1
         di = a0(i) - ei * ei * d1 - fi * fi * d2
         zi = y[i] - ei * z1 - fi * z2
@@ -3775,6 +3798,73 @@ def _hp_pentadiag_solve(y: list, lam: float) -> list:
         xn, fn = x[i + 1], f[i + 1]
         x[i] = xi
     return x
+
+
+def _penalized_smooth(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str,
+    lam: float,
+    max_len: int,
+    order: int,
+) -> DataFrame:
+    """Shared Whittaker-smoother engine: order-2 = hp_filter,
+    order-1 = whittaker_level (see the public wrappers for the
+    full scale/parity contract)."""
+
+    import pandas as pd  # noqa: PLC0415
+
+    if lam <= 0:
+        raise ValueError(f"lam must be > 0, got {lam}")
+    if max_len < 3:
+        raise ValueError(f"max_len must be >= 3, got {max_len}")
+    lam = float(lam)
+    cap = int(max_len)
+
+    def _q6(c):
+        return (
+            F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)")
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        _q6(F.col(value_col).cast("double"))
+        .cast("double")
+        .alias("v"),
+    )
+    g_t = base.schema["g"].dataType.simpleString()
+    o_t = base.schema["o"].dataType.simpleString()
+    schema = f"g {g_t}, o {o_t}, v double, trend_raw double"
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("o", kind="mergesort")
+        y = [float(v) for v in pdf["v"].tolist()]
+        if len(y) > cap:
+            raise ValueError(
+                f"hp_filter: series of {len(y)} rows exceeds the"
+                f" max_len={cap} series-sized contract; aggregate"
+                " first or raise max_len deliberately"
+            )
+        x = _hp_pentadiag_solve(y, lam, order)
+        return pd.DataFrame(
+            {
+                "g": pdf["g"].to_numpy(),
+                "o": pdf["o"].to_numpy(),
+                "v": y,
+                "trend_raw": x,
+            }
+        )
+
+    out = base.groupBy("g").applyInPandas(kernel, schema)
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("o").alias(order_col),
+        F.col("v").alias("value"),
+        F.round(F.col("trend_raw"), 6).alias("trend"),
+        F.round(F.col("v") - F.col("trend_raw"), 6).alias("cycle"),
+    )
 
 
 def hp_filter(
@@ -3813,55 +3903,182 @@ def hp_filter(
     column expressions AFTER the kernel. n <= 2 series return
     trend = value, cycle = 0 exactly (A = I).
     """
-    import pandas as pd  # noqa: PLC0415
-
-    if lam <= 0:
-        raise ValueError(f"lam must be > 0, got {lam}")
-    if max_len < 3:
-        raise ValueError(f"max_len must be >= 3, got {max_len}")
-    lam = float(lam)
-    cap = int(max_len)
-
-    def _q6(c):
-        return (
-            F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-        ).cast("decimal(18,6)")
-
-    base = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(group_col).alias("g"),
-        F.col(order_col).alias("o"),
-        _q6(F.col(value_col).cast("double"))
-        .cast("double")
-        .alias("v"),
+    return _penalized_smooth(
+        df, value_col, order_col, group_col, lam, max_len, order=2
     )
-    g_t = base.schema["g"].dataType.simpleString()
-    o_t = base.schema["o"].dataType.simpleString()
-    schema = f"g {g_t}, o {o_t}, v double, trend_raw double"
 
-    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("o", kind="mergesort")
-        y = [float(v) for v in pdf["v"].tolist()]
-        if len(y) > cap:
-            raise ValueError(
-                f"hp_filter: series of {len(y)} rows exceeds the"
-                f" max_len={cap} series-sized contract; aggregate"
-                " first or raise max_len deliberately"
-            )
-        x = _hp_pentadiag_solve(y, lam)
-        return pd.DataFrame(
-            {
-                "g": pdf["g"].to_numpy(),
-                "o": pdf["o"].to_numpy(),
-                "v": y,
-                "trend_raw": x,
-            }
-        )
 
-    out = base.groupBy("g").applyInPandas(kernel, schema)
+def whittaker_level(
+    df: DataFrame,
+    value_col: str,
+    order_col: str = "date",
+    group_col: str = "dataset",
+    lam: float = 16.0,
+    max_len: int = 100_000,
+) -> DataFrame:
+    """Order-1 Whittaker smoother (the local-level / random-walk-plus-
+    noise smoother) per series -> (group, order, value, level, noise).
+
+    hp_filter's first-difference sibling: level minimizes
+    sum (y_t - mu_t)^2 + lam * sum (d1 mu_t)^2 — exactly the
+    fixed-interval smoother of the local-level state-space model with
+    signal-to-noise 1/lam (Whittaker 1923; Durbin & Koopman's LLM).
+    Where HP extracts a smooth TREND (penalizing curvature), this
+    tracks a drifting LEVEL (penalizing change) — the right filter
+    for noisy rate/flow series where the mean relocates.
+
+    Same execution and parity shape as hp_filter: banded (here
+    TRIdiagonal — the second off-diagonal is exactly 0 and the shared
+    LDL' recursion's f-terms vanish as exact no-ops) LDL' solve in
+    one sequential Arrow kernel per series, series in parallel,
+    max_len loud-gate, recursive-CTE oracle mirroring every double
+    op. n = 1 returns level = value.
+    """
+    out = _penalized_smooth(
+        df, value_col, order_col, group_col, lam, max_len, order=1
+    )
     return out.select(
+        group_col,
+        order_col,
+        "value",
+        F.col("trend").alias("level"),
+        F.col("cycle").alias("noise"),
+    )
+
+
+def var_irf_fragments(k: int, p: int, horizons: int = 2) -> dict:
+    """var_fragments plus reduced-form impulse responses: Phi_0 = I,
+    Phi_h = sum_{j=1..min(h,p)} A_j Phi_{h-j} (the companion-matrix
+    power unrolled as named fixed-order double steps). Identity
+    entries enter as literal 1.0/0.0 — exact multiplicative no-ops in
+    both engines. Returns var_fragments' dict plus {"irf": {(h, e, s)
+    -> name-or-literal}, "horizons": horizons}; e = response
+    equation, s = shocked series, both 1-based.
+    """
+    if horizons < 1 or horizons > 3:
+        raise ValueError(f"horizons must be in 1..3, got {horizons}")
+    frag = var_fragments(k, p)
+    steps = list(frag["steps"])
+    betas = frag["betas"]
+
+    def coef(l_: int, e: int, s_: int) -> str:
+        # coefficient of (series s_, lag l_) in equation e
+        return betas[e - 1][(s_ - 1) * p + l_]
+
+    irf: dict = {}
+    for e in range(1, k + 1):
+        for s_ in range(1, k + 1):
+            irf[(0, e, s_)] = "1.0" if e == s_ else "0.0"
+            irf[(1, e, s_)] = coef(1, e, s_)
+    for h in range(2, horizons + 1):
+        for e in range(1, k + 1):
+            for s_ in range(1, k + 1):
+                terms = []
+                for j in range(1, min(h, p) + 1):
+                    inner = None
+                    for m in range(1, k + 1):
+                        t = f"{coef(j, e, m)} * {irf[(h - j, m, s_)]}"
+                        inner = t if inner is None else f"({inner} + {t})"
+                    terms.append(inner)
+                expr = terms[0]
+                for t in terms[1:]:
+                    expr = f"({expr} + {t})"
+                nm = f"irf_{h}_{e}_{s_}"
+                steps.append((nm, expr))
+                irf[(h, e, s_)] = nm
+    out = dict(frag)
+    out["steps"] = steps
+    out["irf"] = irf
+    out["horizons"] = horizons
+    return out
+
+
+def var_irf(
+    df: DataFrame,
+    value_cols: list[str],
+    order_col: str = "date",
+    group_col: str = "dataset",
+    lags: int = 1,
+    horizons: int = 2,
+) -> DataFrame:
+    """Reduced-form impulse responses from a VAR(p) fit -> one row
+    per (group, h, shock, response): (group, h, shock, response,
+    irf). irf[h, e, s] = d E[y_e(t+h)] / d eps_s(t) — how a one-unit
+    reduced-form innovation in series s propagates into series e
+    after h periods; h = 0 is the identity, horizon 1 is A_1, higher
+    horizons the companion power. The standard readout of var_fit's
+    coefficient matrix (orthogonalized IRFs would add a Cholesky
+    rotation of the residual covariance — deliberately out of scope:
+    shock ordering is an analyst's modeling choice, not an engine's).
+
+    Same single-aggregate shape as var_fit: the IRF steps are pure
+    arithmetic on the solved coefficients (var_irf_fragments), so the
+    marginal cost over the fit is zero shuffles — rows leave as one
+    exploded (horizons+1) * k * k struct array. NULLs under the same
+    SPD ok-gate.
+    """
+    k = len(value_cols)
+    if k < 2 or k > 3:
+        raise ValueError(f"need 2..3 value_cols, got {k}")
+    if lags < 1 or lags > 2:
+        raise ValueError(f"lags must be in 1..2, got {lags}")
+    p = lags
+    q = k * p
+    frag = var_irf_fragments(k, p, horizons)
+    w2 = Window.partitionBy("g").orderBy(F.col("__o"))
+    lagged = df.select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("__o"),
+        *[
+            F.col(c).cast("decimal(18,6)").alias(f"y_{e}")
+            for e, c in enumerate(value_cols, start=1)
+        ],
+    )
+    zcols = []
+    for e in range(1, k + 1):
+        for l_ in range(1, p + 1):
+            zcols.append(
+                F.lag(F.col(f"y_{e}"), l_)
+                .over(w2)
+                .alias(f"z{(e - 1) * p + l_}")
+            )
+    rel = lagged.select(
+        "g", *[f"y_{e}" for e in range(1, k + 1)], *zcols
+    )
+    keep = F.lit(True)
+    for i in range(1, q + 1):
+        keep = keep & F.col(f"z{i}").isNotNull()
+    rel = rel.filter(keep)
+    cur = rel.groupBy("g").agg(*[F.expr(a) for a in frag["aggs"]])
+    for batch in _step_levels(frag["steps"]):
+        cur = cur.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    ok = F.expr(frag["ok"])
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    structs = []
+    for h in range(0, frag["horizons"] + 1):
+        for e in range(1, k + 1):
+            for s_ in range(1, k + 1):
+                structs.append(
+                    F.struct(
+                        F.lit(h).alias("h"),
+                        F.lit(value_cols[s_ - 1]).alias("shock"),
+                        F.lit(value_cols[e - 1]).alias("response"),
+                        F.when(
+                            ok, _r6(F.expr(frag["irf"][(h, e, s_)]))
+                        ).alias("irf"),
+                    )
+                )
+    exploded = cur.select(
         F.col("g").alias(group_col),
-        F.col("o").alias(order_col),
-        F.col("v").alias("value"),
-        F.round(F.col("trend_raw"), 6).alias("trend"),
-        F.round(F.col("v") - F.col("trend_raw"), 6).alias("cycle"),
+        F.explode(F.array(*structs)).alias("__r"),
+    )
+    return exploded.select(
+        group_col,
+        F.col("__r.h").alias("h"),
+        F.col("__r.shock").alias("shock"),
+        F.col("__r.response").alias("response"),
+        F.col("__r.irf").alias("irf"),
     )

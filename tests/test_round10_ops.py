@@ -92,6 +92,45 @@ def test_hp_filter_degenerate_and_validation(spark):
 
 
 # ---------------------------------------------------------------------------
+# whittaker_level (order-1 sibling through the same kernel)
+# ---------------------------------------------------------------------------
+
+
+def _whittaker1_dense(y: np.ndarray, lam: float) -> np.ndarray:
+    n = len(y)
+    D = np.zeros((max(n - 1, 0), n))
+    for k in range(n - 1):
+        D[k, k], D[k, k + 1] = 1.0, -1.0
+    A = np.eye(n) + lam * (D.T @ D)
+    return np.linalg.solve(A, y)
+
+
+def test_whittaker_level_matches_dense_and_tracks_level_shift(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        whittaker_level,
+    )
+
+    rng = np.random.RandomState(31)
+    n = 80
+    mu = np.where(np.arange(n) < 40, 10.0, 14.0)  # level relocation
+    y = np.round(mu + rng.normal(0, 0.5, n), 4)
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(y)],
+        "dataset string, date long, v double",
+    )
+    out = whittaker_level(df, "v", lam=16.0).orderBy("date").collect()
+    assert out[0].asDict().keys() >= {"value", "level", "noise"}
+    got = np.array([r["level"] for r in out])
+    ref = _whittaker1_dense(y, 16.0)
+    assert np.max(np.abs(got - ref)) < 1e-5
+    # the smoothed level finds both regimes
+    assert abs(got[:30].mean() - 10.0) < 0.3
+    assert abs(got[55:].mean() - 14.0) < 0.3
+    for r in out:
+        assert r["value"] == pytest.approx(r["level"] + r["noise"], abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
 # var_fit
 # ---------------------------------------------------------------------------
 
@@ -152,6 +191,51 @@ def test_var_fit_matches_numpy_ols_and_residual_cov(spark):
     # symmetry of the covariance readout across equations
     assert out["a"]["resid_cov_b"] == out["b"]["resid_cov_a"]
     assert out["a"]["resid_cov_c"] == out["c"]["resid_cov_a"]
+
+
+def test_var_irf_matches_numpy_companion_powers(spark):
+    from econdatapipeline_spark.operators.timeseries import var_irf
+
+    n = 240
+    Y = _var_sim(n, 7)
+    df = spark.createDataFrame(
+        [
+            ("g", t, float(Y[t, 0]), float(Y[t, 1]), float(Y[t, 2]))
+            for t in range(n)
+        ],
+        "dataset string, date long, a double, b double, c double",
+    )
+    out = {
+        (r["h"], r["shock"], r["response"]): r["irf"]
+        for r in var_irf(
+            df, ["a", "b", "c"], order_col="date", lags=2, horizons=2
+        ).collect()
+    }
+    assert len(out) == 27
+    # numpy twin: per-equation OLS -> A1/A2 -> Phi_2 = A1 A1 + A2
+    X = np.column_stack(
+        [np.ones(n - 2)]
+        + [Y[2 - l : n - l, e] for e in range(3) for l in (1, 2)]
+    )
+    A1 = np.zeros((3, 3))
+    A2 = np.zeros((3, 3))
+    for e in range(3):
+        beta, *_ = np.linalg.lstsq(X, Y[2:, e], rcond=None)
+        for s_ in range(3):
+            A1[e, s_] = beta[1 + s_ * 2]
+            A2[e, s_] = beta[2 + s_ * 2]
+    names = ("a", "b", "c")
+    for e in range(3):
+        for s_ in range(3):
+            assert out[(0, names[s_], names[e])] == (1.0 if e == s_ else 0.0)
+            assert out[(1, names[s_], names[e])] == pytest.approx(
+                A1[e, s_], abs=1e-4
+            )
+            assert out[(2, names[s_], names[e])] == pytest.approx(
+                (A1 @ A1 + A2)[e, s_], abs=1e-4
+            )
+    with pytest.raises(ValueError):
+        var_irf(df, ["a", "b", "c"], lags=2, horizons=4)
 
 
 def test_var_fit_validation_and_degenerate(spark):
