@@ -53,11 +53,28 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     spark = get_spark(app_name="parity", master="local[8]", shuffle_partitions=8)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+
+    # A single DuckDB connection accumulated enough working memory
+    # across ~380 oracle executions to OOM the box mid-run (r10:
+    # 36 late-position oracles died on 16KB allocations while the JVM
+    # held 8g). Three guards: a hard memory_limit with disk spill, a
+    # bounded thread pool, and a FRESH connection every RECONNECT
+    # queries (views re-registered) so nothing can leak run-long.
+    RECONNECT = 25
+
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute("PRAGMA memory_limit='24GB'")
+        c.execute("PRAGMA threads=8")
+        c.execute("PRAGMA temp_directory='/tmp/duckdb_parity_spill'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return c
+
+    con = fresh_con()
+    since_reconnect = 0
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -73,6 +90,18 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        since_reconnect += 1
+        if since_reconnect >= RECONNECT:
+            con.close()
+            con = fresh_con()
+            since_reconnect = 0
+            import gc
+
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+            except Exception:  # noqa: BLE001 — hygiene only
+                pass
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
