@@ -3451,8 +3451,19 @@ def var_fit(
         keep = keep & F.col(f"z{i}").isNotNull()
     rel = rel.filter(keep)
     cur = rel.groupBy("g").agg(*[F.expr(a) for a in frag["aggs"]])
-    for batch in _step_levels(frag["steps"]):
+    # persist() barriers every few step levels: Catalyst's project
+    # collapse otherwise inlines every referenced back-substitution
+    # name into a combinatorially deep tree (measured: 30s of pure
+    # analysis+codegen at m=7 when 36 outputs are demanded, vs ~1s
+    # with barriers). persist is LAZY — construction stays job-free
+    # until the output checkpoint below; intermediates are unpersisted
+    # right after it materializes.
+    persisted = []
+    for i, batch in enumerate(_step_levels(frag["steps"])):
         cur = cur.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+        if (i + 1) % 6 == 0:
+            cur = cur.persist()
+            persisted.append(cur)
     ok = F.expr(frag["ok"])
 
     def _covname(e: int, f_: int) -> str:
@@ -3467,34 +3478,61 @@ def var_fit(
     def _r6(c):
         return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
-    structs = []
+    # Materialization boundary BEFORE the struct/explode stage:
+    # without it, Catalyst's project collapse inlines the ENTIRE
+    # unrolled Gauss tree (plus the ok-gate over every pivot) into
+    # EVERY struct field — measured 30s vs 3s at 10k groups, all
+    # codegen. The checkpointed relation is k*(k*p+2)+2 scalars per
+    # group; values (and hashes) are unchanged — the rounding happens
+    # before the boundary exactly as it did inline.
+    flat_cols = [F.col("g"), F.col("n")]
     for e in range(1, k + 1):
         betas = frag["betas"][e - 1]
+        flat_cols.append(
+            F.when(ok, _r6(F.expr(betas[0]))).alias(f"__c0_{e}")
+        )
+        for s in range(1, k + 1):
+            for l_ in range(1, p + 1):
+                flat_cols.append(
+                    F.when(
+                        ok,
+                        _r6(F.expr(betas[(s - 1) * p + l_])),
+                    ).alias(f"__b_{e}_{s}_{l_}")
+                )
+        flat_cols.append(
+            F.when(ok, _r6(F.expr(_covname(e, e)))).alias(f"__s2_{e}")
+        )
+        for s in range(1, k + 1):
+            flat_cols.append(
+                F.when(ok, _r6(F.expr(_covname(e, s)))).alias(
+                    f"__cv_{e}_{s}"
+                )
+            )
+    flat = cur.select(*flat_cols).localCheckpoint(eager=True)
+    for p_ in persisted:
+        p_.unpersist()
+    structs = []
+    for e in range(1, k + 1):
         fields = [
             F.lit(value_cols[e - 1]).alias("equation"),
-            F.when(ok, _r6(F.expr(betas[0]))).alias("const"),
+            F.col(f"__c0_{e}").alias("const"),
         ]
         for s in range(1, k + 1):
             for l_ in range(1, p + 1):
                 fields.append(
-                    F.when(
-                        ok,
-                        _r6(F.expr(betas[(s - 1) * p + l_])),
-                    ).alias(f"{value_cols[s - 1]}_l{l_}")
+                    F.col(f"__b_{e}_{s}_{l_}").alias(
+                        f"{value_cols[s - 1]}_l{l_}"
+                    )
                 )
-        fields.append(
-            F.when(ok, _r6(F.expr(_covname(e, e)))).alias(
-                "sigma2"
-            )
-        )
+        fields.append(F.col(f"__s2_{e}").alias("sigma2"))
         for s in range(1, k + 1):
             fields.append(
-                F.when(ok, _r6(F.expr(_covname(e, s)))).alias(
+                F.col(f"__cv_{e}_{s}").alias(
                     f"resid_cov_{value_cols[s - 1]}"
                 )
             )
         structs.append(F.struct(*fields))
-    exploded = cur.select(
+    exploded = flat.select(
         F.col("g").alias(group_col),
         "n",
         F.explode(F.array(*structs)).alias("__eq"),
@@ -4050,13 +4088,31 @@ def var_irf(
         keep = keep & F.col(f"z{i}").isNotNull()
     rel = rel.filter(keep)
     cur = rel.groupBy("g").agg(*[F.expr(a) for a in frag["aggs"]])
-    for batch in _step_levels(frag["steps"]):
+    # same persist-barrier discipline as var_fit (see comment there)
+    persisted = []
+    for i, batch in enumerate(_step_levels(frag["steps"])):
         cur = cur.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+        if (i + 1) % 6 == 0:
+            cur = cur.persist()
+            persisted.append(cur)
     ok = F.expr(frag["ok"])
 
     def _r6(c):
         return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
+    # Same materialization boundary as var_fit (see comment there).
+    flat_cols = [F.col("g")]
+    for h in range(0, frag["horizons"] + 1):
+        for e in range(1, k + 1):
+            for s_ in range(1, k + 1):
+                flat_cols.append(
+                    F.when(
+                        ok, _r6(F.expr(frag["irf"][(h, e, s_)]))
+                    ).alias(f"__irf_{h}_{e}_{s_}")
+                )
+    flat = cur.select(*flat_cols).localCheckpoint(eager=True)
+    for p_ in persisted:
+        p_.unpersist()
     structs = []
     for h in range(0, frag["horizons"] + 1):
         for e in range(1, k + 1):
@@ -4066,12 +4122,10 @@ def var_irf(
                         F.lit(h).alias("h"),
                         F.lit(value_cols[s_ - 1]).alias("shock"),
                         F.lit(value_cols[e - 1]).alias("response"),
-                        F.when(
-                            ok, _r6(F.expr(frag["irf"][(h, e, s_)]))
-                        ).alias("irf"),
+                        F.col(f"__irf_{h}_{e}_{s_}").alias("irf"),
                     )
                 )
-    exploded = cur.select(
+    exploded = flat.select(
         F.col("g").alias(group_col),
         F.explode(F.array(*structs)).alias("__r"),
     )
