@@ -3390,6 +3390,7 @@ def var_fit(
     order_col: str = "date",
     group_col: str = "dataset",
     lags: int = 1,
+    many_groups: bool = False,
 ) -> DataFrame:
     """VAR(p) system estimation per group -> one row per (group,
     equation): (group, equation, n, const, <series>_l<lag>...,
@@ -3451,17 +3452,23 @@ def var_fit(
         keep = keep & F.col(f"z{i}").isNotNull()
     rel = rel.filter(keep)
     cur = rel.groupBy("g").agg(*[F.expr(a) for a in frag["aggs"]])
-    # persist() barriers every few step levels: Catalyst's project
-    # collapse otherwise inlines every referenced back-substitution
-    # name into a combinatorially deep tree (measured: 30s of pure
-    # analysis+codegen at m=7 when 36 outputs are demanded, vs ~1s
-    # with barriers). persist is LAZY — construction stays job-free
-    # until the output checkpoint below; intermediates are unpersisted
-    # right after it materializes.
+    # ``many_groups`` picks the physical strategy for the step chain.
+    # Default (False): plain withColumns — Catalyst collapses the
+    # whole chain into one projection whose 36 output trees are
+    # combinatorially deep (codegen falls back past 64KB, so each
+    # ROW pays an interpreted walk of the giant tree) — ideal while
+    # groups are few (the per-plan cost is ~1s and rows are few).
+    # True (the 10k-systems shape): lazy persist() barriers every 6
+    # step-levels stop the collapse (InMemoryRelation boundary), and
+    # a flat localCheckpoint precedes the struct/explode stage —
+    # measured 40.7 -> 21.1s at 10k systems / 2M rows, while the
+    # SAME barriers cost 2-3x at 5 groups (13 extra tiny jobs), which
+    # is why this is a mode, not a default. Values are identical on
+    # both paths (re-certified).
     persisted = []
     for i, batch in enumerate(_step_levels(frag["steps"])):
         cur = cur.withColumns({nm: F.expr(e) for nm, e in batch.items()})
-        if (i + 1) % 6 == 0:
+        if many_groups and (i + 1) % 6 == 0:
             cur = cur.persist()
             persisted.append(cur)
     ok = F.expr(frag["ok"])
@@ -3508,9 +3515,12 @@ def var_fit(
                     f"__cv_{e}_{s}"
                 )
             )
-    flat = cur.select(*flat_cols).localCheckpoint(eager=True)
-    for p_ in persisted:
-        p_.unpersist()
+    if many_groups:
+        flat = cur.select(*flat_cols).localCheckpoint(eager=True)
+        for p_ in persisted:
+            p_.unpersist()
+    else:
+        flat = cur.select(*flat_cols)
     structs = []
     for e in range(1, k + 1):
         fields = [
@@ -4038,6 +4048,7 @@ def var_irf(
     group_col: str = "dataset",
     lags: int = 1,
     horizons: int = 2,
+    many_groups: bool = False,
 ) -> DataFrame:
     """Reduced-form impulse responses from a VAR(p) fit -> one row
     per (group, h, shock, response): (group, h, shock, response,
@@ -4088,11 +4099,11 @@ def var_irf(
         keep = keep & F.col(f"z{i}").isNotNull()
     rel = rel.filter(keep)
     cur = rel.groupBy("g").agg(*[F.expr(a) for a in frag["aggs"]])
-    # same persist-barrier discipline as var_fit (see comment there)
+    # same many_groups strategy switch as var_fit (see comment there)
     persisted = []
     for i, batch in enumerate(_step_levels(frag["steps"])):
         cur = cur.withColumns({nm: F.expr(e) for nm, e in batch.items()})
-        if (i + 1) % 6 == 0:
+        if many_groups and (i + 1) % 6 == 0:
             cur = cur.persist()
             persisted.append(cur)
     ok = F.expr(frag["ok"])
@@ -4110,9 +4121,12 @@ def var_irf(
                         ok, _r6(F.expr(frag["irf"][(h, e, s_)]))
                     ).alias(f"__irf_{h}_{e}_{s_}")
                 )
-    flat = cur.select(*flat_cols).localCheckpoint(eager=True)
-    for p_ in persisted:
-        p_.unpersist()
+    if many_groups:
+        flat = cur.select(*flat_cols).localCheckpoint(eager=True)
+        for p_ in persisted:
+            p_.unpersist()
+    else:
+        flat = cur.select(*flat_cols)
     structs = []
     for h in range(0, frag["horizons"] + 1):
         for e in range(1, k + 1):

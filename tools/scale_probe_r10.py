@@ -61,8 +61,8 @@ panel = (
         ((F.hash("id", F.lit(2)) % 1000) / 100.0 + 1.0).alias("c"),
     )
 )
-timed("var_fit 10k systems", var_fit(panel, ["a", "b", "c"], order_col="date", lags=2))
-timed("var_irf 10k systems", var_irf(panel, ["a", "b", "c"], order_col="date", lags=2))
+timed("var_fit 10k systems", var_fit(panel, ["a", "b", "c"], order_col="date", lags=2, many_groups=True))
+timed("var_irf 10k systems", var_irf(panel, ["a", "b", "c"], order_col="date", lags=2, many_groups=True))
 timed(
     "cochrane_orcutt 10k systems",
     cochrane_orcutt(panel, "a", "b", order_col="date"),
