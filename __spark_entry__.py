@@ -7461,6 +7461,26 @@ def q_whittaker_level(spark, sf_dir):
     return whittaker_level(m, "v", lam=16.0).orderBy("dataset", "date")
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of monthly revenue (k$) per
+    priority (operators/timeseries.seasonal_decompose): HP trend at
+    the Ravn-Uhlig monthly lam=129600, exact per-month seasonal index
+    re-centered to sum zero, remainder closing the identity — the
+    reference docs' 'component analysis' as one certified query."""
+    from econdatapipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg((_dsum(F.col("o_totalprice")) / F.lit(1000.0)).alias("v"))
+    return seasonal_decompose(
+        m, "v", lam=129600.0, period="month"
+    ).orderBy("dataset", "date")
+
+
 def _r10_monthly3(spark, sf_dir):
     """Shared 3-series monthly relation for var_fit: per priority,
     (revenue k$, order count, avg price k$) — every series floor-
@@ -7966,6 +7986,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "prais_winsten": q_prais_winsten,
         "whittaker_level": q_whittaker_level,
         "var_irf": q_var_irf,
+        "seasonal_decompose": q_seasonal_decompose,
     }
 
 
@@ -20909,13 +20930,24 @@ def oracle_sql() -> dict[str, str]:
     # all-n indicator sums. CAST({lam} AS DOUBLE) keeps every band in
     # double (DuckDB would otherwise fold the literals as DECIMAL and
     # round d to 2 places — measured, not hypothetical).
-    def _whittaker_cte(series_sql, lam, order, smooth_name, resid_name):
+    def _whittaker_cte(series_sql, lam, order, smooth_name, resid_name,
+                       tail=None):
         """Recursive-CTE mirror of timeseries._hp_pentadiag_solve at
         the given penalty order: band expressions replay the kernel's
         indicator sums, a2lit = lam (order 2, pentadiagonal) or 0.0
         (order 1, tridiagonal — f stays an exact 0 through the shared
         recursion). Every literal CAST to DOUBLE (DuckDB folds bare
         decimal literals into rounding DECIMAL arithmetic)."""
+        if tail is None:
+            tail = (
+                "\n        SELECT s.g AS dataset, s.o AS date,"
+                " s.y AS value,\n"
+                f"               round(b.x, 6) AS {smooth_name},\n"
+                f"               round(s.y - b.x, 6) AS {resid_name}\n"
+                "        FROM serN s JOIN bwd b"
+                " ON b.g = s.g AND b.i = s.i\n"
+                "        ORDER BY dataset, date"
+            )
         lam_d = f"CAST({repr(float(lam))} AS DOUBLE)"
         if order == 2:
             a0 = (
@@ -20985,11 +21017,7 @@ def oracle_sql() -> dict[str, str]:
                  p.x AS xn, r.e AS ecur, r.f AS fcur, p.fcur AS fn
           FROM bwd p JOIN fwd r ON r.g = p.g AND r.i = p.i - 1
         )
-        SELECT s.g AS dataset, s.o AS date, s.y AS value,
-               round(b.x, 6) AS {smooth_name},
-               round(s.y - b.x, 6) AS {resid_name}
-        FROM serN s JOIN bwd b ON b.g = s.g AND b.i = s.i
-        ORDER BY dataset, date
+        {tail}
     """
 
     # Hodrick-Prescott (order 2, lam=1600, quarterly $M): the oracle
@@ -21182,6 +21210,57 @@ def oracle_sql() -> dict[str, str]:
           FROM rws GROUP BY g){_vi_steps}
         {" UNION ALL ".join(_vi_rows)}
     """
+
+    # Seasonal decomposition: the hp CTE (monthly lam=129600) plus the
+    # exact-mean seasonal index and floor-quantized centering, all as
+    # trailing CTEs on the same recursive scaffold.
+    _sd_seasonal = (
+        "floor((sq.s_q - ctr.c) * 1000000.0 + 0.5) / 1000000.0"
+    )
+    sql["seasonal_decompose"] = _whittaker_cte(
+        """
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS o,
+                 CAST(CAST(floor((CAST(SUM(CAST(o_totalprice
+                        AS DECIMAL(28,6))) AS DOUBLE) / 1000.0)
+                        * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS DOUBLE) AS y
+          FROM orders GROUP BY 1, 2
+        """,
+        129600.0,
+        2,
+        "trend",
+        "cycle",
+        tail=f""", hp AS (
+          SELECT s.g, s.o, s.y, round(b.x, 6) AS trend,
+                 round(s.y - b.x, 6) AS cycle,
+                 month(s.o) AS per
+          FROM serN s JOIN bwd b ON b.g = s.g AND b.i = s.i),
+        sidx AS (
+          SELECT g, per,
+                 (CASE WHEN CAST(COUNT(*) AS DOUBLE) = 0 THEN NULL
+                  ELSE CAST(SUM(CAST(cycle AS DECIMAL(28,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) END) AS s_raw
+          FROM hp GROUP BY 1, 2),
+        sq AS (
+          SELECT g, per,
+                 floor(s_raw * 1000000.0 + 0.5) / 1000000.0 AS s_q
+          FROM sidx),
+        ctr AS (
+          SELECT g,
+                 (CASE WHEN CAST(COUNT(*) AS DOUBLE) = 0 THEN NULL
+                  ELSE CAST(SUM(CAST(s_q AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) END) AS c
+          FROM sq GROUP BY 1)
+        SELECT hp.g AS dataset, hp.o AS date, hp.y AS value, hp.trend,
+               {_sd_seasonal} AS seasonal,
+               floor((hp.cycle - ({_sd_seasonal})) * 1000000.0 + 0.5)
+                 / 1000000.0 AS remainder
+        FROM hp
+        JOIN sq ON sq.g = hp.g AND sq.per = hp.per
+        JOIN ctr ON ctr.g = hp.g
+        ORDER BY dataset, date""",
+    )
 
     # Cochrane-Orcutt / Prais-Winsten: identical generated step text
     # (timeseries.co_fragments) over the monthly (y = revenue k$,

@@ -4150,3 +4150,82 @@ def var_irf(
         F.col("__r.response").alias("response"),
         F.col("__r.irf").alias("irf"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str,
+    order_col: str = "date",
+    group_col: str = "dataset",
+    lam: float = 129600.0,
+    period: str = "month",
+    max_len: int = 100_000,
+) -> DataFrame:
+    """Classical additive decomposition per series -> one row per
+    input row: (group, order, value, trend, seasonal, remainder),
+    value = trend + seasonal + remainder to the 6-dp output grid.
+
+    The component analysis the reference's docs promise
+    (documentation/economic_indicators.md:123-124), assembled from
+    certified parts: trend is the HP filter at ``lam`` (129600 =
+    Ravn-Uhlig monthly; pass 1600 with period="quarter"), the
+    seasonal index is the exact per-period mean of the detrended
+    series re-centered to sum zero across periods (the classical
+    seasonal-means step), and the remainder closes the identity.
+    Complements seasonal_adjust_monthly (which REMOVES seasonality in
+    one step) by exposing all three components side by side.
+
+    Shape: hp_filter's kernel (one sequential Arrow task per series,
+    series in parallel) + two tiny exact-mean aggregates + one
+    broadcast join of the <=12-row-per-group index — nothing beyond
+    the trend pass touches more than |periods| rows per group.
+    Parity: period means via decimal-exact sums of the 6-dp cycle;
+    the index is floor-quantized before the centering sum so the
+    cross-period fold is order-free; outputs leave through the
+    floor-quantize chain.
+    """
+    if period not in ("month", "quarter"):
+        raise ValueError(f"period must be month|quarter, got {period}")
+    t = hp_filter(
+        df, value_col, order_col, group_col, lam=lam, max_len=max_len
+    )
+    perf = F.month if period == "month" else F.quarter
+    base = t.select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        "value",
+        "trend",
+        "cycle",
+        perf(F.col(order_col)).alias("per"),
+    )
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    sidx = base.groupBy("g", "per").agg(
+        F.try_divide(
+            F.sum(F.col("cycle").cast("decimal(28,6)")).cast("double"),
+            F.count(F.lit(1)).cast("double"),
+        ).alias("s_raw")
+    )
+    sq = sidx.select("g", "per", _r6(F.col("s_raw")).alias("s_q"))
+    ctr = sq.groupBy("g").agg(
+        F.try_divide(
+            F.sum(F.col("s_q").cast("decimal(18,6)")).cast("double"),
+            F.count(F.lit(1)).cast("double"),
+        ).alias("c")
+    )
+    seasonal = _r6(F.col("s_q") - F.col("c"))
+    out = (
+        base.join(F.broadcast(sq), ["g", "per"])
+        .join(F.broadcast(ctr), "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("o").alias(order_col),
+            "value",
+            "trend",
+            seasonal.alias("seasonal"),
+            _r6(F.col("cycle") - seasonal).alias("remainder"),
+        )
+    )
+    return out

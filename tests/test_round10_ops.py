@@ -130,6 +130,46 @@ def test_whittaker_level_matches_dense_and_tracks_level_shift(spark):
         assert r["value"] == pytest.approx(r["level"] + r["noise"], abs=2e-6)
 
 
+def test_seasonal_decompose_identity_and_recovery(spark):
+    """Planted components: linear trend + fixed monthly pattern +
+    noise. The decomposition must (a) close the additive identity on
+    the 6-dp grid, (b) re-center the seasonal to ~zero mean, and
+    (c) recover the planted month effects up to a constant."""
+    import datetime as dt
+
+    from econdatapipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    rng = np.random.RandomState(3)
+    months = 96
+    season = {m: float(np.round(4.0 * np.sin(2 * np.pi * m / 12), 3)) for m in range(12)}
+    rows = []
+    for i in range(months):
+        d = dt.date(2015 + i // 12, 1 + i % 12, 1)
+        v = 100.0 + 0.5 * i + season[i % 12] + float(rng.normal(0, 0.3))
+        rows.append(("g", d, round(v, 4)))
+    df = spark.createDataFrame(rows, "dataset string, date date, v double")
+    out = seasonal_decompose(df, "v", lam=129600.0).orderBy("date").collect()
+    assert len(out) == months
+    for r in out:
+        assert r["value"] == pytest.approx(
+            r["trend"] + r["seasonal"] + r["remainder"], abs=3e-6
+        )
+    # seasonal indexes sum to ~0 across the 12 months
+    per_month = {}
+    for r in out:
+        per_month.setdefault(r["date"].month, r["seasonal"])
+    assert sum(per_month.values()) == pytest.approx(0.0, abs=1e-4)
+    # recovered pattern correlates with the planted one (up to level)
+    planted = np.array([season[(m - 1) % 12] for m in sorted(per_month)])
+    got = np.array([per_month[m] for m in sorted(per_month)])
+    corr = np.corrcoef(planted - planted.mean(), got - got.mean())[0, 1]
+    assert corr > 0.98
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "v", period="week")
+
+
 # ---------------------------------------------------------------------------
 # var_fit
 # ---------------------------------------------------------------------------
