@@ -205,6 +205,80 @@ def main() -> None:
     ).collect()
     print(f"level shifts found across priorities: {len(breaks)}")
 
+    # --- round-10 additions: decomposition and the system view ---
+    from econdatapipeline_spark.operators.timeseries import (
+        cochrane_orcutt,
+        hp_filter,
+        seasonal_decompose,
+        var_fit,
+    )
+
+    # Hodrick-Prescott trend-cycle: the canonical econ filter, exact
+    # banded solve per series (quarterly revenue, lam=1600).
+    quarterly = (
+        orders
+        .groupBy(
+            F.col("o_orderpriority").alias("dataset"),
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("date"),
+        )
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double") / 1e6).alias("rev_m"))
+    )
+    hp = hp_filter(quarterly, "rev_m", lam=1600.0).orderBy("dataset", "date")
+    last = hp.filter(F.col("dataset") == "1-URGENT").orderBy(F.col("date").desc()).first()
+    print(
+        f"HP(1600) {last['dataset']} {last['date']}: value={last['value']:.2f}M "
+        f"trend={last['trend']:.2f}M cycle={last['cycle']:+.2f}M"
+    )
+
+    # Classical additive decomposition (trend + seasonal + remainder).
+    sd = seasonal_decompose(monthly, "value", lam=129600.0)
+    amp = (
+        sd.groupBy("dataset")
+        .agg((F.max("seasonal") - F.min("seasonal")).alias("seasonal_amplitude"))
+        .orderBy(F.col("seasonal_amplitude").desc())
+        .first()
+    )
+    print(
+        f"largest seasonal amplitude: {amp['dataset']} "
+        f"({amp['seasonal_amplitude']:.2f} k$ peak-to-trough)"
+    )
+
+    # AR(1)-corrected regression: rho and the GLS slope vs plain OLS.
+    xy = orders.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double") / 1e3).alias("y"),
+        F.count(F.lit(1)).cast("double").alias("x"),
+    )
+    co = cochrane_orcutt(xy, "y", "x").orderBy("dataset").first()
+    print(
+        f"Cochrane-Orcutt ({co['dataset']}): rho={co['rho']} "
+        f"beta OLS={co['beta_ols']} -> GLS={co['beta_gls']}"
+    )
+
+    # VAR(2) over three co-moving monthly series, per priority.
+    m3 = (
+        orders
+        .groupBy(
+            F.col("o_orderpriority").alias("dataset"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double") / 1e3).alias("rev"),
+            F.count(F.lit(1)).cast("double").alias("cnt"),
+            (F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double") / 1e3
+             / F.count(F.lit(1))).alias("avgp"),
+        )
+    )
+    vf = var_fit(m3, ["rev", "cnt", "avgp"], lags=2).filter(
+        (F.col("dataset") == "1-URGENT") & (F.col("equation") == "rev")
+    ).first()
+    print(
+        f"VAR(2) rev equation ({vf['dataset']}): "
+        f"rev_l1={vf['rev_l1']} cnt_l1={vf['cnt_l1']} sigma2={vf['sigma2']}"
+    )
+
     print("econ analysis tour done")
 
 
