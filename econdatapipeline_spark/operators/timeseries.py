@@ -3859,7 +3859,14 @@ def _penalized_smooth(
 ) -> DataFrame:
     """Shared Whittaker-smoother engine: order-2 = hp_filter,
     order-1 = whittaker_level (see the public wrappers for the
-    full scale/parity contract)."""
+    full scale/parity contract).
+
+    ``order_col`` must be UNIQUE per group (the standard series
+    contract, as for periodogram's rank window): the kernel's stable
+    sort can only pin a total order when keys don't tie — duplicate
+    keys would make the recursion's input order, and therefore the
+    trend, depend on partition layout.
+    """
 
     import pandas as pd  # noqa: PLC0415
 
