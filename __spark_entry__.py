@@ -18028,7 +18028,7 @@ def oracle_sql() -> dict[str, str]:
                  * (ybar_b - ybar) AS DECIMAL(28,12))) AS DOUBLE)
               AS res_sum
           FROM bper)
-        SELECT n,
+        SELECT COALESCE(CAST(n AS BIGINT), 0) AS n,
           n_dropped,
           CASE WHEN n > 0 THEN
             round((CASE WHEN CAST(n AS DOUBLE) = 0 THEN NULL ELSE (brier_sum) / CAST(n AS DOUBLE) END), 6) END

@@ -2892,7 +2892,7 @@ def brier_decompose(
     unc = F.col("ybar") * (F.lit(1.0) - F.col("ybar"))
     ok = F.col("n") > 0
     return fin.select(
-        "n",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.coalesce(F.col("n_dropped"), F.lit(0))
         .cast("long")
         .alias("n_dropped"),

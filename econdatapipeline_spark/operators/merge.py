@@ -71,6 +71,7 @@ def smart_update(
     key_cols: list[str],
     value_cols: list[str],
     dataset: str,
+    *,
     run_ts: datetime,
     tolerance: float = DEFAULT_TOLERANCE,
     broadcast: bool | None = None,
@@ -91,7 +92,10 @@ def smart_update(
     False suppresses any hint from this function (Catalyst may still
     auto-broadcast under its threshold).
 
-    ``run_ts`` is REQUIRED: one pinned timestamp per batch, generated
+    ``run_ts`` is REQUIRED and KEYWORD-ONLY (a legacy positional
+    caller passing tolerance sixth would otherwise silently bind a
+    float to run_ts — Spark casts it to 1970-era timestamps without
+    error, corrupting revision_date): one pinned timestamp per batch, generated
     once at the pipeline/sink entry point — never inside this operator.
     The reference stamps utcnow() per ROW (azure_data_tracker.py:119),
     which makes revision rows nondeterministic under retries; a

@@ -3582,7 +3582,6 @@ def co_fragments(prais_winsten: bool) -> dict:
         f"CAST(SUM(CAST(y AS {dec})) AS DOUBLE) AS sy",
         f"CAST(SUM(CAST(x * x AS {dec})) AS DOUBLE) AS sxx",
         f"CAST(SUM(CAST(x * y AS {dec})) AS DOUBLE) AS sxy",
-        f"CAST(SUM(CAST(y * y AS {dec})) AS DOUBLE) AS syy",
         f"CAST(COUNT(CASE WHEN {lagged} THEN 1 END) AS BIGINT) AS n1",
     ]
     cond = {
@@ -3856,6 +3855,7 @@ def _penalized_smooth(
     lam: float,
     max_len: int,
     order: int,
+    op_name: str = "hp_filter",
 ) -> DataFrame:
     """Shared Whittaker-smoother engine: order-2 = hp_filter,
     order-1 = whittaker_level (see the public wrappers for the
@@ -3898,7 +3898,7 @@ def _penalized_smooth(
         y = [float(v) for v in pdf["v"].tolist()]
         if len(y) > cap:
             raise ValueError(
-                f"hp_filter: series of {len(y)} rows exceeds the"
+                f"{op_name}: series of {len(y)} rows exceeds the"
                 f" max_len={cap} series-sized contract; aggregate"
                 " first or raise max_len deliberately"
             )
@@ -3959,7 +3959,8 @@ def hp_filter(
     trend = value, cycle = 0 exactly (A = I).
     """
     return _penalized_smooth(
-        df, value_col, order_col, group_col, lam, max_len, order=2
+        df, value_col, order_col, group_col, lam, max_len, order=2,
+        op_name="hp_filter",
     )
 
 
@@ -3990,7 +3991,8 @@ def whittaker_level(
     op. n = 1 returns level = value.
     """
     out = _penalized_smooth(
-        df, value_col, order_col, group_col, lam, max_len, order=1
+        df, value_col, order_col, group_col, lam, max_len, order=1,
+        op_name="whittaker_level",
     )
     return out.select(
         group_col,
@@ -4170,7 +4172,10 @@ def seasonal_decompose(
 ) -> DataFrame:
     """Classical additive decomposition per series -> one row per
     input row: (group, order, value, trend, seasonal, remainder),
-    value = trend + seasonal + remainder to the 6-dp output grid.
+    value = trend + seasonal + remainder within 1e-6 (trend and the
+    detrended cycle are rounded to the 6-dp grid independently from
+    trend_raw, so the three-way sum can sit one output-grid ulp off
+    value when trend_raw lands near a half-grid midpoint).
 
     The component analysis the reference's docs promise
     (documentation/economic_indicators.md:123-124), assembled from
