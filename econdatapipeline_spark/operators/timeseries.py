@@ -4188,9 +4188,16 @@ def seasonal_decompose(
     one step) by exposing all three components side by side.
 
     Shape: hp_filter's kernel (one sequential Arrow task per series,
-    series in parallel) + two tiny exact-mean aggregates + one
-    broadcast join of the <=12-row-per-group index — nothing beyond
-    the trend pass touches more than |periods| rows per group.
+    series in parallel), PINNED via eager localCheckpoint because two
+    plan branches consume it (the per-period mean aggregate and the
+    final join's fact side) — without the pin Catalyst re-executes
+    the sequential LDL' kernel once per branch (r10 PLANS showed
+    arrow=3). Then two tiny exact-mean aggregates joined SMALL-side
+    first (index x centering -> one |groups x periods|-row relation)
+    and ONE fact-side join, unhinted: AQE broadcasts the index when
+    it is small and falls back to a shuffle join when the group count
+    makes a broadcast driver-hostile — a forced hint here would ship
+    a group-count-proportional table through the driver at scale.
     Parity: period means via decimal-exact sums of the 6-dp cycle;
     the index is floor-quantized before the centering sum so the
     cross-period fold is order-free; outputs leave through the
@@ -4200,7 +4207,7 @@ def seasonal_decompose(
         raise ValueError(f"period must be month|quarter, got {period}")
     t = hp_filter(
         df, value_col, order_col, group_col, lam=lam, max_len=max_len
-    )
+    ).localCheckpoint(eager=True)
     perf = F.month if period == "month" else F.quarter
     base = t.select(
         F.col(group_col).alias("g"),
@@ -4227,17 +4234,19 @@ def seasonal_decompose(
             F.count(F.lit(1)).cast("double"),
         ).alias("c")
     )
-    seasonal = _r6(F.col("s_q") - F.col("c"))
-    out = (
-        base.join(F.broadcast(sq), ["g", "per"])
-        .join(F.broadcast(ctr), "g")
-        .select(
-            F.col("g").alias(group_col),
-            F.col("o").alias(order_col),
-            "value",
-            "trend",
-            seasonal.alias("seasonal"),
-            _r6(F.col("cycle") - seasonal).alias("remainder"),
-        )
+    # Small-side first: |groups x periods| rows joined to |groups|
+    # rows — the fact relation then meets ONE pre-assembled seasonal
+    # index, not two separate joins. No broadcast hints: AQE picks
+    # broadcast from actual sizes (safe at millions of groups).
+    seas = sq.join(ctr, "g").select(
+        "g", "per", _r6(F.col("s_q") - F.col("c")).alias("seasonal")
+    )
+    out = base.join(seas, ["g", "per"]).select(
+        F.col("g").alias(group_col),
+        F.col("o").alias(order_col),
+        "value",
+        "trend",
+        "seasonal",
+        _r6(F.col("cycle") - F.col("seasonal")).alias("remainder"),
     )
     return out

@@ -427,3 +427,20 @@ def test_loo_source_influence_model_relations_not_force_broadcast(spark):
     with _no_auto_broadcast(spark):
         plan = plan_of(E.queries()["source_influence"](spark, SF_DIR))
     assert "BroadcastHashJoin" not in plan
+
+
+def test_seasonal_decompose_trend_pinned_and_unhinted(spark):
+    """seasonal_decompose's sequential trend kernel must execute
+    exactly ONCE: the hp_filter relation is eagerly localCheckpoint'ed
+    before the per-period aggregate and the fact join both consume it
+    (r10 PLANS measured arrow=3 without the pin — the LDL' kernel ran
+    per consumer). The returned plan therefore reads a checkpoint scan
+    and carries NO Arrow stage; and the seasonal-index joins must not
+    be force-broadcast (group-count-proportional at 100 TB), so with
+    auto-broadcast off they fall back to shuffle joins."""
+    plan = plan_of(E.queries()["seasonal_decompose"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ExistingRDD" in plan
+    with _no_auto_broadcast(spark):
+        plan = plan_of(E.queries()["seasonal_decompose"](spark, SF_DIR))
+    assert "BroadcastHashJoin" not in plan
