@@ -10866,12 +10866,12 @@ def oracle_sql() -> dict[str, str]:
             FROM a
         """,
         "holt_forecast": """
-            WITH RECURSIVE daily AS (
+            WITH RECURSIVE daily AS MATERIALIZED (
               SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS d,
                      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
                        AS total
               FROM orders GROUP BY 1, 2),
-            series AS (
+            series AS MATERIALIZED (
               SELECT g, total AS v,
                      row_number() OVER (PARTITION BY g ORDER BY d) AS rn
               FROM daily),
@@ -11049,12 +11049,12 @@ def oracle_sql() -> dict[str, str]:
         # level/trend (the fit's public contract) to the first 7 post-
         # cutoff actuals per group.
         "forecast_backtest": """
-            WITH RECURSIVE daily AS (
+            WITH RECURSIVE daily AS MATERIALIZED (
               SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS d,
                      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
                        AS total
               FROM orders GROUP BY 1, 2),
-            series AS (
+            series AS MATERIALIZED (
               SELECT g, total AS v,
                      row_number() OVER (PARTITION BY g ORDER BY d) AS rn
               FROM daily WHERE d <= DATE '1997-06-30'),
@@ -15065,7 +15065,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE)
                       AS DECIMAL(18,9)) AS p
           FROM cnt c JOIN tot t USING (from_state)),
-        states AS (
+        states AS MATERIALIZED (
           SELECT DISTINCT s FROM (
             SELECT from_state AS s FROM cnt
             UNION ALL SELECT to_state FROM cnt)),
@@ -15073,7 +15073,7 @@ def oracle_sql() -> dict[str, str]:
         sinks AS (
           SELECT s AS i, s AS j, CAST(1.0 AS DECIMAL(18,9)) AS p
           FROM states WHERE s NOT IN (SELECT DISTINCT i FROM p_rel)),
-        p_full AS (SELECT * FROM p_rel UNION ALL SELECT * FROM sinks),
+        p_full AS MATERIALIZED (SELECT * FROM p_rel UNION ALL SELECT * FROM sinks),
         v0 AS (
           SELECT s, CAST(CAST(1.0 AS DOUBLE) / CAST(k.k AS DOUBLE)
                     AS DECIMAL(18,9)) AS pi
@@ -20547,7 +20547,7 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY o_orderdate ASC) AS nxt
           FROM orders),
         h AS (SELECT MAX(o_orderdate) AS h FROM orders),
-        msubj AS (
+        msubj AS MATERIALIZED (
           SELECT CAST(CASE WHEN nxt IS NOT NULL
                       THEN date_diff('day', o_orderdate, nxt)
                       ELSE date_diff('day', o_orderdate, h.h) END
@@ -20561,7 +20561,7 @@ def oracle_sql() -> dict[str, str]:
           FROM ranked CROSS JOIN h
           JOIN customer ON o_custkey = c_custkey
           WHERE rk = 1),
-        mcev AS (
+        mcev AS MATERIALIZED (
           SELECT t, CAST(SUM(e) AS BIGINT) AS d,
                  SUM(CASE WHEN e = 1 THEN x1
                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS sx1,
@@ -20570,7 +20570,7 @@ def oracle_sql() -> dict[str, str]:
                  SUM(CASE WHEN e = 1 THEN x3
                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS sx3
           FROM msubj GROUP BY t HAVING CAST(SUM(e) AS BIGINT) >= 1),
-        mtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        mtot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                         CAST(SUM(e) AS BIGINT) AS n_events FROM msubj),
         mcb0 AS (SELECT CAST(0.0 AS DOUBLE) AS b1,
                         CAST(0.0 AS DOUBLE) AS b2,
@@ -20937,7 +20937,18 @@ def oracle_sql() -> dict[str, str]:
         indicator sums, a2lit = lam (order 2, pentadiagonal) or 0.0
         (order 1, tridiagonal — f stays an exact 0 through the shared
         recursion). Every literal CAST to DOUBLE (DuckDB folds bare
-        decimal literals into rounding DECIMAL arithmetic)."""
+        decimal literals into rounding DECIMAL arithmetic).
+
+        MEMORY CONTRACT (r10 driver OOM postmortem): every CTE the
+        recursions re-reference is AS MATERIALIZED, and bwd reads fwd
+        through the non-recursive fwd_m alias — without these hints
+        DuckDB 1.0 re-evaluates the whole upstream chain per
+        recursion iteration in allocations its memory_limit does not
+        track (measured: whittaker_level 62s / +1.8GB RSS bare vs
+        0.16s / +115MB materialized at sf0.01), which OOM'd the
+        driver's shared single connection and took five unrelated
+        queries with it. Hints change evaluation only: hashes are
+        re-certified unchanged."""
         if tail is None:
             tail = (
                 "\n        SELECT s.g AS dataset, s.o AS date,"
@@ -20975,13 +20986,13 @@ def oracle_sql() -> dict[str, str]:
             a2lit = "CAST(0.0 AS DOUBLE)"
         return f"""
         WITH RECURSIVE qser AS ({series_sql}),
-        serN AS (
+        serN AS MATERIALIZED (
           SELECT g, o, y,
                  CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY o) - 1
                       AS BIGINT) AS i,
                  CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
           FROM qser),
-        bands AS (
+        bands AS MATERIALIZED (
           SELECT *, {a0} AS a0, {a1m} AS a1m
           FROM serN),
         fwd AS (
@@ -21007,15 +21018,16 @@ def oracle_sql() -> dict[str, str]:
             FROM fwd p JOIN bands b ON b.g = p.g AND b.i = p.i + 1
           ) q
         ),
+        fwd_m AS MATERIALIZED (SELECT * FROM fwd),
         bwd AS (
           SELECT g, i, n, z / d AS x, CAST(0.0 AS DOUBLE) AS xn,
                  e AS ecur, f AS fcur, CAST(0.0 AS DOUBLE) AS fn
-          FROM fwd WHERE i = n - 1
+          FROM fwd_m WHERE i = n - 1
           UNION ALL
           SELECT r.g, r.i, r.n,
                  r.z / r.d - p.ecur * p.x - p.fn * p.xn AS x,
                  p.x AS xn, r.e AS ecur, r.f AS fcur, p.fcur AS fn
-          FROM bwd p JOIN fwd r ON r.g = p.g AND r.i = p.i - 1
+          FROM bwd p JOIN fwd_m r ON r.g = p.g AND r.i = p.i - 1
         )
         {tail}
     """
@@ -21086,8 +21098,16 @@ def oracle_sql() -> dict[str, str]:
         for l in range(1, 3)
     )
     _v_not_null = " AND ".join(f"z{i} IS NOT NULL" for i in range(1, 7))
+    # The final step CTE is referenced once per output SELECT (3 for
+    # var_fit, 27 for var_irf); without AS MATERIALIZED DuckDB 1.0
+    # inlines the ENTIRE step chain per reference (measured: var_irf
+    # 15.7s / +897MB RSS bare vs 0.5s / +157MB with vsum + last step
+    # materialized) — the r10 driver-OOM contributor beside the
+    # recursive CTEs. Hints change evaluation only; hashes unchanged.
     _v_steps = "".join(
-        f",\n        vst{i} AS (SELECT *, {e} AS {nm} FROM "
+        f",\n        vst{i} AS "
+        f"{'MATERIALIZED ' if i == len(_v['steps']) - 1 else ''}"
+        f"(SELECT *, {e} AS {nm} FROM "
         f"{'vsum' if i == 0 else f'vst{i - 1}'})"
         for i, (nm, e) in enumerate(_v["steps"])
     )
@@ -21150,7 +21170,7 @@ def oracle_sql() -> dict[str, str]:
                  {", ".join(f"CAST(y_{e} AS DECIMAL(19,6)) AS y_{e}" for e in range(1, 4))},
                  {", ".join(f"CAST(z{i} AS DECIMAL(19,6)) AS z{i}" for i in range(1, 7))}
           FROM lagged WHERE {_v_not_null}),
-        vsum AS (
+        vsum AS MATERIALIZED (
           SELECT g, {", ".join(_v["aggs"])}
           FROM rws GROUP BY g){_v_steps}
         {_v_eq_select(1)}
@@ -21170,7 +21190,9 @@ def oracle_sql() -> dict[str, str]:
 
     _vi = _vifrag(3, 2, 2)
     _vi_steps = "".join(
-        f",\n        wst{i} AS (SELECT *, {e} AS {nm} FROM "
+        f",\n        wst{i} AS "
+        f"{'MATERIALIZED ' if i == len(_vi['steps']) - 1 else ''}"
+        f"(SELECT *, {e} AS {nm} FROM "
         f"{'vsum' if i == 0 else f'wst{i - 1}'})"
         for i, (nm, e) in enumerate(_vi["steps"])
     )
@@ -21205,7 +21227,7 @@ def oracle_sql() -> dict[str, str]:
                  {", ".join(f"CAST(y_{e} AS DECIMAL(19,6)) AS y_{e}" for e in range(1, 4))},
                  {", ".join(f"CAST(z{i} AS DECIMAL(19,6)) AS z{i}" for i in range(1, 7))}
           FROM lagged WHERE {_v_not_null}),
-        vsum AS (
+        vsum AS MATERIALIZED (
           SELECT g, {", ".join(_vi["aggs"])}
           FROM rws GROUP BY g){_vi_steps}
         {" UNION ALL ".join(_vi_rows)}
@@ -21231,7 +21253,7 @@ def oracle_sql() -> dict[str, str]:
         2,
         "trend",
         "cycle",
-        tail=f""", hp AS (
+        tail=f""", hp AS MATERIALIZED (
           SELECT s.g, s.o, s.y, round(b.x, 6) AS trend,
                  round(s.y - b.x, 6) AS cycle,
                  month(s.o) AS per
