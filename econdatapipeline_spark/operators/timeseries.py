@@ -1336,6 +1336,112 @@ def _step_levels(steps):
     return levels
 
 
+def _apply_steps_one_sql(cur: DataFrame, steps, keep) -> DataFrame:
+    """Apply a (name, expr) step chain as ONE spark.sql call of
+    liveness-pruned nested SELECTs instead of per-level withColumns.
+
+    Two fixed Catalyst costs die here (measured on var_fit at sf0.1,
+    the 49-level / 264-column Gauss chain):
+
+    - withColumns re-analyzes the whole growing plan per call
+      (sum-of-prefixes work) and every level carries EVERY column;
+      one SQL string is a single parse + analysis of the same tree.
+    - ``keep`` (the names the caller's final projection reads) drives
+      a backward liveness pass: each nested SELECT lists only the
+      columns some LATER level or the final output still references,
+      and steps whose name is never live are dropped outright — so
+      analysis width shrinks instead of growing monotonically.
+
+    The emitted arithmetic for every surviving step is the fragment
+    text verbatim — values, columns, and parity hashes are unchanged
+    (the oracle keeps its own full SELECT * CTE chain; pruning is a
+    Spark-plan concern). Used on the default (few-groups) path;
+    many_groups keeps withColumns + persist barriers where barrier
+    placement is the point.
+    """
+    import re  # noqa: PLC0415
+
+    levels = _step_levels_topo(steps)
+    known = set(cur.columns) | {nm for nm, _ in steps}
+
+    def refs(expr: str) -> set:
+        return {
+            t
+            for t in re.findall(r"\b[A-Za-z_]\w*\b", expr)
+            if t in known
+        }
+
+    # Backward liveness: out_i = columns level i must output. keep
+    # may be raw expression text tokens; only known names count.
+    need = {t for t in keep if t in known}
+    plans = []  # (passthrough_cols, {nm: expr}) per level, reversed
+    for batch in reversed(levels):
+        out = set(need)
+        emitted = {nm: e for nm, e in batch.items() if nm in out}
+        passthrough = out - set(emitted)
+        need = set(passthrough)
+        for e in emitted.values():
+            need |= refs(e)
+        plans.append((sorted(passthrough), emitted))
+    plans.reverse()
+    base_cols = sorted(need)
+    text = f"SELECT {', '.join(base_cols)} FROM {{cur}}"
+    # A LAZY checkpoint barrier every BARRIER levels: CollapseProject
+    # would otherwise inline the whole chain into one projection
+    # whose trees grow ~branching^depth, and the OPTIMIZER walk of
+    # that tree (not codegen — measured ~3.2s even with
+    # factoryMode=NO_CODEGEN) dominates the query. Depth-capped
+    # segments keep every tree small; each barrier costs one
+    # |groups|-row micro-job at action time and nothing at
+    # explain()/plan-audit time.
+    BARRIER = 8
+    for i, (passthrough, emitted) in enumerate(plans):
+        cols = ", ".join(
+            passthrough + [f"{e} AS {nm}" for nm, e in emitted.items()]
+        )
+        text = f"SELECT {cols} FROM ({text})"
+        if (i + 1) % BARRIER == 0 and (i + 1) < len(plans):
+            cur = cur.sparkSession.sql(text, cur=cur).localCheckpoint(
+                eager=False
+            )
+            text = "SELECT * FROM {cur}"
+    return cur.sparkSession.sql(text, cur=cur)
+
+
+def _step_levels_topo(steps):
+    """Topological variant of _step_levels: level(step) = 1 + max
+    level of the names it references, so independent steps share a
+    level regardless of their textual position (the var Gauss chain
+    packs 209 steps into 22 levels vs the greedy splitter's 49 —
+    half the nested projections to analyze and optimize). Requires
+    UNIQUE step names (asserted): a redefinition would make "which
+    definition does this reference mean" order-dependent, which is
+    why the greedy splitter remains the default (weibull's se chain
+    redefines names). Same guarantee as _step_levels: every expr
+    only ever references names from strictly earlier levels, so the
+    emitted arithmetic is unchanged."""
+    import re  # noqa: PLC0415
+
+    names = [nm for nm, _ in steps]
+    assert len(names) == len(set(names)), "topo levels need unique names"
+    depth: dict = {}
+    levels: list[dict] = []
+    for nm, e in steps:
+        d = 1 + max(
+            (
+                depth[t]
+                for t in re.findall(r"\b[A-Za-z_]\w*\b", e)
+                if t in depth
+            ),
+            default=0,
+        )
+        depth[nm] = d
+        while len(levels) < d:
+            levels.append({})
+        levels[d - 1][nm] = e
+    return levels
+
+
 def granger_fragments(lags: int) -> dict:
     """Shared Spark/DuckDB SQL fragments for the multi-lag Granger
     test — the single source of truth both the operator and the
@@ -3466,11 +3572,34 @@ def var_fit(
     # is why this is a mode, not a default. Values are identical on
     # both paths (re-certified).
     persisted = []
-    for i, batch in enumerate(_step_levels(frag["steps"])):
-        cur = cur.withColumns({nm: F.expr(e) for nm, e in batch.items()})
-        if many_groups and (i + 1) % 6 == 0:
-            cur = cur.persist()
-            persisted.append(cur)
+    if many_groups:
+        for i, batch in enumerate(_step_levels(frag["steps"])):
+            cur = cur.withColumns(
+                {nm: F.expr(e) for nm, e in batch.items()}
+            )
+            if (i + 1) % 6 == 0:
+                cur = cur.persist()
+                persisted.append(cur)
+    else:
+        # One liveness-pruned spark.sql for the whole 49-level chain
+        # (see _apply_steps_one_sql) — cuts this query's fixed
+        # Catalyst cost, values bit-identical.
+        import re as _re  # noqa: PLC0415
+
+        keep = {"g", "n"}
+        keep.update(_re.findall(r"\b[A-Za-z_]\w*\b", frag["ok"]))
+        keep.update(n_ for bl in frag["betas"] for n_ in bl)
+        keep.update(frag["cov"].values())
+        cur = _apply_steps_one_sql(cur, frag["steps"], keep)
+        # LAZY checkpoint barrier between the solved chain and the
+        # output projection: without it CollapseProject inlines the
+        # full Gauss tree into every one of the 36 struct fields and
+        # the OPTIMIZER itself (not codegen — measured via
+        # factoryMode=NO_CODEGEN still ~3.2s) walks a combinatorial
+        # tree every call. The barrier costs one ~|groups|-row
+        # micro-job at action time; lazy, so explain()/plan audits
+        # never execute it. var_fit+var_irf at sf0.1: 8.3s -> ~4s.
+        cur = cur.localCheckpoint(eager=False)
     ok = F.expr(frag["ok"])
 
     def _covname(e: int, f_: int) -> str:
@@ -4110,11 +4239,24 @@ def var_irf(
     cur = rel.groupBy("g").agg(*[F.expr(a) for a in frag["aggs"]])
     # same many_groups strategy switch as var_fit (see comment there)
     persisted = []
-    for i, batch in enumerate(_step_levels(frag["steps"])):
-        cur = cur.withColumns({nm: F.expr(e) for nm, e in batch.items()})
-        if many_groups and (i + 1) % 6 == 0:
-            cur = cur.persist()
-            persisted.append(cur)
+    if many_groups:
+        for i, batch in enumerate(_step_levels(frag["steps"])):
+            cur = cur.withColumns(
+                {nm: F.expr(e) for nm, e in batch.items()}
+            )
+            if (i + 1) % 6 == 0:
+                cur = cur.persist()
+                persisted.append(cur)
+    else:
+        import re as _re  # noqa: PLC0415
+
+        keep = {"g"}
+        keep.update(_re.findall(r"\b[A-Za-z_]\w*\b", frag["ok"]))
+        for v in frag["irf"].values():
+            keep.update(_re.findall(r"\b[A-Za-z_]\w*\b", v))
+        cur = _apply_steps_one_sql(cur, frag["steps"], keep)
+        # same lazy barrier as var_fit (see comment there)
+        cur = cur.localCheckpoint(eager=False)
     ok = F.expr(frag["ok"])
 
     def _r6(c):
