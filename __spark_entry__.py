@@ -7532,6 +7532,26 @@ def q_var_irf(spark, sf_dir):
     ).orderBy("dataset", "h", "shock", "response")
 
 
+def q_var_irf_orth(spark, sf_dir):
+    """Orthogonalized impulse responses + cumulative FEVD shares of
+    the q_var_fit system (operators/timeseries.var_irf_orth):
+    Cholesky-rotate the residual covariance so shocks are
+    uncorrelated unit-variance innovations (ordering = rev, cnt,
+    avgp — the recursive-identification choice), then report each
+    shock's share of every response's forecast-error variance at
+    horizons 0..2 — the "which indicator drives which" readout the
+    reference's analysis layer promises
+    (documentation/economic_indicators.md:123-126)."""
+    from econdatapipeline_spark.operators.timeseries import (
+        var_irf_orth,
+    )
+
+    m = _r10_monthly3(spark, sf_dir)
+    return var_irf_orth(
+        m, ["rev", "cnt", "avgp"], order_col="date", lags=2, horizons=2
+    ).orderBy("dataset", "h", "shock", "response")
+
+
 def _r10_monthly_xy(spark, sf_dir):
     """Monthly (y = revenue k$, x = order count) per priority for the
     AR(1)-GLS pair; revenue floor-quantized to 6dp."""
@@ -7986,6 +8006,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "prais_winsten": q_prais_winsten,
         "whittaker_level": q_whittaker_level,
         "var_irf": q_var_irf,
+        "var_irf_orth": q_var_irf_orth,
         "seasonal_decompose": q_seasonal_decompose,
     }
 
@@ -21231,6 +21252,63 @@ def oracle_sql() -> dict[str, str]:
           SELECT g, {", ".join(_vi["aggs"])}
           FROM rws GROUP BY g){_vi_steps}
         {" UNION ALL ".join(_vi_rows)}
+    """
+
+    # Orthogonalized IRF + FEVD: the var_irf scaffolding with the
+    # Cholesky/theta/variance-share steps appended
+    # (timeseries.var_irf_orth_fragments) — same shared generated
+    # text, same MATERIALIZED vsum + final step (CTE re-evaluation
+    # rule, ORACLE_PARITY.md Round 11; 54 UNION arms here).
+    from econdatapipeline_spark.operators.timeseries import (
+        var_irf_orth_fragments as _vofrag,
+    )
+
+    _vo = _vofrag(3, 2, 2)
+    _vo_steps = "".join(
+        f",\n        ost{i} AS "
+        f"{'MATERIALIZED ' if i == len(_vo['steps']) - 1 else ''}"
+        f"(SELECT *, {e} AS {nm} FROM "
+        f"{'vsum' if i == 0 else f'ost{i - 1}'})"
+        for i, (nm, e) in enumerate(_vo["steps"])
+    )
+    _vo_last = f"ost{len(_vo['steps']) - 1}"
+    _vo_rows = []
+    for _h in range(0, 3):
+        for _e in range(1, 4):
+            for _s in range(1, 4):
+                _th, _sh = _vo["orth"][(_h, _e, _s)]
+                _vo_rows.append(
+                    f"SELECT g AS dataset, {_h} AS h,"
+                    f" '{_v_names[_s - 1]}' AS shock,"
+                    f" '{_v_names[_e - 1]}' AS response,"
+                    f" CASE WHEN {_vo['ok_orth']} THEN"
+                    f" floor(({_th}) * 1000000.0 + 0.5) / 1000000.0"
+                    f" END AS irf_orth,"
+                    f" CASE WHEN {_vo['ok_orth']} THEN"
+                    f" floor(({_sh}) * 1000000.0 + 0.5) / 1000000.0"
+                    f" END AS fevd_share FROM {_vo_last}"
+                )
+    sql["var_irf_orth"] = f"""
+        WITH monthly AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS o,
+                 CAST({_v_rev} AS DECIMAL(18,6)) AS y_1,
+                 CAST(CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
+                      AS DECIMAL(18,6)) AS y_2,
+                 CAST({_v_avgp} AS DECIMAL(18,6)) AS y_3
+          FROM orders GROUP BY 1, 2),
+        lagged AS (
+          SELECT g, y_1, y_2, y_3, {_v_lag_cols}
+          FROM monthly),
+        rws AS (
+          SELECT g,
+                 {", ".join(f"CAST(y_{e} AS DECIMAL(19,6)) AS y_{e}" for e in range(1, 4))},
+                 {", ".join(f"CAST(z{i} AS DECIMAL(19,6)) AS z{i}" for i in range(1, 7))}
+          FROM lagged WHERE {_v_not_null}),
+        vsum AS MATERIALIZED (
+          SELECT g, {", ".join(_vo["aggs"])}
+          FROM rws GROUP BY g){_vo_steps}
+        {" UNION ALL ".join(_vo_rows)}
     """
 
     # Seasonal decomposition: the hp CTE (monthly lam=129600) plus the

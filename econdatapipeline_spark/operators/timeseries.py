@@ -4303,6 +4303,269 @@ def var_irf(
     )
 
 
+def var_irf_orth_fragments(k: int, p: int, horizons: int = 2) -> dict:
+    """var_irf_fragments plus the orthogonalized readout: a Cholesky
+    factor L of the residual covariance (lower-triangular, generated
+    closed-form for k <= 3), Theta_h = Phi_h L, and the cumulative
+    forecast-error variance decomposition
+    share_{h,e,s} = sum_{j<=h} theta_{j,e,s}^2 / sum_{s'} sum_{j<=h}
+    theta_{j,e,s'}^2 (Luetkepohl ch. 2; shocks ordered as
+    ``value_cols`` — the ordering IS the identification assumption).
+
+    Everything is named fixed-order double steps both engines run
+    verbatim: sqrt() is IEEE correctly-rounded on both (bit-identical
+    on the same operand); each Cholesky pivot is guarded by a
+    positive-squared-pivot term that also extends the ok-gate, and
+    every generated division parenthesizes its denominator (the
+    co_fragments precedence rule). Returns the var dict plus
+    {"orth": {(h, e, s) -> (theta name-or-literal, share name)},
+    "ok_orth", "horizons"}.
+    """
+    frag = var_irf_fragments(k, p, horizons)
+    steps = list(frag["steps"])
+    cov = frag["cov"]
+
+    def covn(a: int, b: int) -> str:
+        return cov[(min(a, b), max(a, b))]
+
+    # Cholesky: for s = 1..k, pivot ch_s_s_sq then column below it.
+    ok_terms = []
+    for s_ in range(1, k + 1):
+        piv = covn(s_, s_)
+        for t in range(1, s_):
+            piv = f"({piv} - ch_{s_}_{t} * ch_{s_}_{t})"
+        steps.append((f"ch_{s_}_{s_}_sq", piv))
+        ok_terms.append(f"ch_{s_}_{s_}_sq > 0")
+        steps.append(
+            (
+                f"ch_{s_}_{s_}",
+                f"CASE WHEN ch_{s_}_{s_}_sq > 0"
+                f" THEN sqrt(ch_{s_}_{s_}_sq) ELSE 0.0 END",
+            )
+        )
+        for m in range(s_ + 1, k + 1):
+            num = covn(s_, m)
+            for t in range(1, s_):
+                num = f"({num} - ch_{m}_{t} * ch_{s_}_{t})"
+            steps.append(
+                (
+                    f"ch_{m}_{s_}",
+                    f"CASE WHEN (ch_{s_}_{s_}) = 0 THEN 0.0"
+                    f" ELSE {num} / (ch_{s_}_{s_}) END",
+                )
+            )
+    ok_orth = f"{frag['ok']} AND {' AND '.join(ok_terms)}"
+
+    # Theta_h = Phi_h L: theta_{h,e,s} = sum_{m>=s} phi_{h,e,m} ch_m_s.
+    # Literal phis (the h=0 identity) simplify at GENERATION time so
+    # both engines fold the same text.
+    irf = frag["irf"]
+    theta: dict = {}
+    for h in range(0, horizons + 1):
+        for e in range(1, k + 1):
+            for s_ in range(1, k + 1):
+                terms = []
+                for m in range(s_, k + 1):
+                    phi = irf[(h, e, m)]
+                    if phi == "0.0":
+                        continue
+                    if phi == "1.0":
+                        terms.append(f"ch_{m}_{s_}")
+                    else:
+                        terms.append(f"{phi} * ch_{m}_{s_}")
+                if not terms:
+                    theta[(h, e, s_)] = "0.0"
+                    continue
+                expr = terms[0]
+                for t in terms[1:]:
+                    expr = f"({expr} + {t})"
+                nm = f"th_{h}_{e}_{s_}"
+                steps.append((nm, expr))
+                theta[(h, e, s_)] = nm
+
+    # Cumulative FEVD: fv (running sum of squares), den, share.
+    orth: dict = {}
+    for h in range(0, horizons + 1):
+        for e in range(1, k + 1):
+            for s_ in range(1, k + 1):
+                t_ = theta[(h, e, s_)]
+                sq = "0.0" if t_ == "0.0" else f"{t_} * {t_}"
+                if h == 0:
+                    steps.append((f"fv_{h}_{e}_{s_}", sq))
+                else:
+                    steps.append(
+                        (
+                            f"fv_{h}_{e}_{s_}",
+                            f"(fv_{h - 1}_{e}_{s_} + {sq})",
+                        )
+                    )
+            den = f"fv_{h}_{e}_1"
+            for s_ in range(2, k + 1):
+                den = f"({den} + fv_{h}_{e}_{s_})"
+            steps.append((f"fvden_{h}_{e}", den))
+            for s_ in range(1, k + 1):
+                steps.append(
+                    (
+                        f"sh_{h}_{e}_{s_}",
+                        f"CASE WHEN (fvden_{h}_{e}) = 0 THEN NULL"
+                        f" ELSE fv_{h}_{e}_{s_} / (fvden_{h}_{e}) END",
+                    )
+                )
+                orth[(h, e, s_)] = (
+                    theta[(h, e, s_)],
+                    f"sh_{h}_{e}_{s_}",
+                )
+    out = dict(frag)
+    out["steps"] = steps
+    out["orth"] = orth
+    out["ok_orth"] = ok_orth
+    return out
+
+
+def var_irf_orth(
+    df: DataFrame,
+    value_cols: list[str],
+    order_col: str = "date",
+    group_col: str = "dataset",
+    lags: int = 1,
+    horizons: int = 2,
+    many_groups: bool = False,
+) -> DataFrame:
+    """Orthogonalized impulse responses + forecast-error variance
+    decomposition per group -> one row per (group, h, shock,
+    response): (group, h, shock, response, irf_orth, fevd_share).
+
+    The causal readout var_irf deliberately stops short of: rotate
+    the reduced-form responses by the Cholesky factor of var_fit's
+    residual covariance so shocks are mutually uncorrelated unit-
+    variance innovations, and report each shock's cumulative share of
+    every response's forecast-error variance at each horizon. This is
+    the "which indicator drives which" analysis the reference's docs
+    promise for the multi-indicator table
+    (documentation/economic_indicators.md:123-126 "forecasting,
+    variable selection, component analysis"); the shock ordering is
+    ``value_cols`` order — an explicit identification choice the
+    caller makes, per the recursive-identification convention.
+
+    Shape: identical to var_irf — ONE per-group hash aggregate, a
+    generated step chain (Gauss solve + companion powers + Cholesky
+    + variance folds) behind the depth-capped lazy-barrier path, rows
+    leaving as one exploded struct array. fevd_share rows for a group
+    sum to 1 across shocks at every (h, response) when the ok-gate
+    passes; all outputs NULL when the design is singular or the
+    residual covariance is not positive-definite.
+    """
+    k = len(value_cols)
+    if k < 2 or k > 3:
+        raise ValueError(f"need 2..3 value_cols, got {k}")
+    if lags < 1 or lags > 2:
+        raise ValueError(f"lags must be in 1..2, got {lags}")
+    if horizons < 1 or horizons > 3:
+        raise ValueError(f"horizons must be in 1..3, got {horizons}")
+    p = lags
+    q = k * p
+    frag = var_irf_orth_fragments(k, p, horizons)
+    w2 = Window.partitionBy("g").orderBy(F.col("__o"))
+    lagged = df.select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("__o"),
+        *[
+            F.col(c).cast("decimal(18,6)").alias(f"y_{e}")
+            for e, c in enumerate(value_cols, start=1)
+        ],
+    )
+    zcols = []
+    for e in range(1, k + 1):
+        for l_ in range(1, p + 1):
+            zcols.append(
+                F.lag(F.col(f"y_{e}"), l_)
+                .over(w2)
+                .alias(f"z{(e - 1) * p + l_}")
+            )
+    rel = lagged.select(
+        "g", *[f"y_{e}" for e in range(1, k + 1)], *zcols
+    )
+    keep = F.lit(True)
+    for i in range(1, q + 1):
+        keep = keep & F.col(f"z{i}").isNotNull()
+    rel = rel.filter(keep)
+    cur = rel.groupBy("g").agg(*[F.expr(a) for a in frag["aggs"]])
+    persisted = []
+    if many_groups:
+        for i, batch in enumerate(_step_levels(frag["steps"])):
+            cur = cur.withColumns(
+                {nm: F.expr(e) for nm, e in batch.items()}
+            )
+            if (i + 1) % 6 == 0:
+                cur = cur.persist()
+                persisted.append(cur)
+    else:
+        import re as _re  # noqa: PLC0415
+
+        keepcols = {"g"}
+        keepcols.update(
+            _re.findall(r"\b[A-Za-z_]\w*\b", frag["ok_orth"])
+        )
+        for t_, s_ in frag["orth"].values():
+            keepcols.update(_re.findall(r"\b[A-Za-z_]\w*\b", t_))
+            keepcols.update(_re.findall(r"\b[A-Za-z_]\w*\b", s_))
+        cur = _apply_steps_one_sql(cur, frag["steps"], keepcols)
+        cur = cur.localCheckpoint(eager=False)
+    ok = F.expr(frag["ok_orth"])
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    flat_cols = [F.col("g")]
+    for h in range(0, frag["horizons"] + 1):
+        for e in range(1, k + 1):
+            for s_ in range(1, k + 1):
+                t_, sh = frag["orth"][(h, e, s_)]
+                flat_cols.append(
+                    F.when(ok, _r6(F.expr(t_))).alias(
+                        f"__th_{h}_{e}_{s_}"
+                    )
+                )
+                flat_cols.append(
+                    F.when(ok, _r6(F.expr(sh))).alias(
+                        f"__sh_{h}_{e}_{s_}"
+                    )
+                )
+    if many_groups:
+        flat = cur.select(*flat_cols).localCheckpoint(eager=True)
+        for p_ in persisted:
+            p_.unpersist()
+    else:
+        flat = cur.select(*flat_cols)
+    structs = []
+    for h in range(0, frag["horizons"] + 1):
+        for e in range(1, k + 1):
+            for s_ in range(1, k + 1):
+                structs.append(
+                    F.struct(
+                        F.lit(h).alias("h"),
+                        F.lit(value_cols[s_ - 1]).alias("shock"),
+                        F.lit(value_cols[e - 1]).alias("response"),
+                        F.col(f"__th_{h}_{e}_{s_}").alias("irf_orth"),
+                        F.col(f"__sh_{h}_{e}_{s_}").alias(
+                            "fevd_share"
+                        ),
+                    )
+                )
+    exploded = flat.select(
+        F.col("g").alias(group_col),
+        F.explode(F.array(*structs)).alias("__r"),
+    )
+    return exploded.select(
+        group_col,
+        F.col("__r.h").alias("h"),
+        F.col("__r.shock").alias("shock"),
+        F.col("__r.response").alias("response"),
+        F.col("__r.irf_orth").alias("irf_orth"),
+        F.col("__r.fevd_share").alias("fevd_share"),
+    )
+
+
 def seasonal_decompose(
     df: DataFrame,
     value_col: str,

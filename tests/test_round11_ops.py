@@ -1,0 +1,139 @@
+"""Round-11 operators: var_irf_orth (+FEVD), bk_filter,
+seasonal_decompose multiplicative mode.
+
+House pattern: replay each operator against an independent numpy twin
+on seeded data (the twin computes the textbook form, not the
+operator's expanded generated steps, so agreement cross-validates the
+algebra), plus validation and degenerate-input gates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+NAMES = ("a", "b", "c")
+
+
+def _var_sim3(n: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    A1 = np.array([[0.5, 0.1, 0.0], [0.0, 0.4, 0.1], [0.1, 0.0, 0.3]])
+    A2 = np.eye(3) * 0.1
+    Y = np.zeros((n, 3))
+    for t in range(2, n):
+        Y[t] = (
+            A1 @ Y[t - 1]
+            + A2 @ Y[t - 2]
+            + rng.normal(0, 1, 3)
+            + [0.2, 0.1, 0.3]
+        )
+    return np.round(Y, 6)
+
+
+def _np_orth(Y: np.ndarray):
+    """Textbook twin: per-equation OLS -> Phi_h -> Cholesky ->
+    Theta_h = Phi_h L -> cumulative FEVD shares."""
+    n = len(Y)
+    X = np.column_stack(
+        [np.ones(n - 2)]
+        + [Y[2 - l : n - l, e] for e in range(3) for l in (1, 2)]
+    )
+    B = np.column_stack(
+        [np.linalg.lstsq(X, Y[2:, e], rcond=None)[0] for e in range(3)]
+    )
+    E = Y[2:] - X @ B
+    S = E.T @ E / (n - 2 - 7)
+    L = np.linalg.cholesky(S)
+    A1 = np.zeros((3, 3))
+    A2 = np.zeros((3, 3))
+    for e in range(3):
+        for s in range(3):
+            A1[e, s] = B[1 + s * 2, e]
+            A2[e, s] = B[2 + s * 2, e]
+    Phi = [np.eye(3), A1, A1 @ A1 + A2]
+    Th = [P @ L for P in Phi]
+    shares = []
+    for h in range(3):
+        num = sum(Th[j] ** 2 for j in range(h + 1))
+        shares.append(num / num.sum(axis=1, keepdims=True))
+    return Th, shares
+
+
+def test_var_irf_orth_matches_numpy_cholesky_rotation(spark):
+    from econdatapipeline_spark.operators.timeseries import var_irf_orth
+
+    n = 240
+    Y = _var_sim3(n)
+    df = spark.createDataFrame(
+        [
+            ("g", t, float(Y[t, 0]), float(Y[t, 1]), float(Y[t, 2]))
+            for t in range(n)
+        ],
+        "dataset string, date long, a double, b double, c double",
+    )
+    out = {
+        (r["h"], r["shock"], r["response"]): (
+            r["irf_orth"],
+            r["fevd_share"],
+        )
+        for r in var_irf_orth(
+            df, ["a", "b", "c"], order_col="date", lags=2, horizons=2
+        ).collect()
+    }
+    assert len(out) == 27
+    Th, shares = _np_orth(Y)
+    for h in range(3):
+        for e in range(3):
+            for s in range(3):
+                th, sh = out[(h, NAMES[s], NAMES[e])]
+                assert th == pytest.approx(Th[h][e, s], abs=1e-4), (
+                    h,
+                    e,
+                    s,
+                )
+                assert sh == pytest.approx(
+                    shares[h][e, s], abs=1e-4
+                ), (h, e, s)
+    # shares across shocks sum to 1 for every (h, response)
+    for h in range(3):
+        for e in range(3):
+            tot = sum(out[(h, NAMES[s], NAMES[e])][1] for s in range(3))
+            assert tot == pytest.approx(1.0, abs=3e-6)
+    # h=0 identification: response e cannot load on a later-ordered
+    # shock s > e (lower-triangular impact matrix)
+    for e in range(3):
+        for s in range(e + 1, 3):
+            assert out[(0, NAMES[s], NAMES[e])][0] == 0.0
+            assert out[(0, NAMES[s], NAMES[e])][1] == 0.0
+
+
+def test_var_irf_orth_validation_and_degenerate(spark):
+    from econdatapipeline_spark.operators.timeseries import var_irf_orth
+
+    Y = _var_sim3(60)
+    df = spark.createDataFrame(
+        [
+            ("g", t, float(Y[t, 0]), float(Y[t, 1]), float(Y[t, 2]))
+            for t in range(60)
+        ],
+        "dataset string, date long, a double, b double, c double",
+    )
+    with pytest.raises(ValueError):
+        var_irf_orth(df, ["a"], lags=1)
+    with pytest.raises(ValueError):
+        var_irf_orth(df, ["a", "b", "c"], lags=3)
+    with pytest.raises(ValueError):
+        var_irf_orth(df, ["a", "b", "c"], lags=2, horizons=4)
+    # collinear series -> singular design -> every output NULL, rows kept
+    dup = spark.createDataFrame(
+        [("g", t, 1.0 * t, 2.0 * t, 3.0 * t) for t in range(40)],
+        "dataset string, date long, a double, b double, c double",
+    )
+    rows = var_irf_orth(
+        dup, ["a", "b", "c"], order_col="date", lags=2, horizons=2
+    ).collect()
+    assert len(rows) == 27
+    assert all(
+        r["irf_orth"] is None and r["fevd_share"] is None for r in rows
+    )
