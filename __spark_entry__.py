@@ -7552,6 +7552,24 @@ def q_var_irf_orth(spark, sf_dir):
     ).orderBy("dataset", "h", "shock", "response")
 
 
+def q_bk_filter(spark, sf_dir):
+    """Baxter-King band-pass cycle of monthly revenue per priority
+    (operators/timeseries.bk_filter): the 6..32-observation band at
+    K=12, a fixed +-K window of zero-sum lag/lead weights — the
+    business-cycle cross-check on hp_filter's trend-cycle split,
+    pure JVM window expressions (no kernel, no recursion). First and
+    last K rows per series are NULL by construction."""
+    from econdatapipeline_spark.operators.timeseries import bk_filter
+
+    o = _t(spark, sf_dir, "orders")
+    q6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(q6(_dsum(F.col("o_totalprice")) / F.lit(1000.0)).alias("y"))
+    return bk_filter(m, "y").orderBy("dataset", "date")
+
+
 def _r10_monthly_xy(spark, sf_dir):
     """Monthly (y = revenue k$, x = order count) per priority for the
     AR(1)-GLS pair; revenue floor-quantized to 6dp."""
@@ -8007,6 +8025,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "whittaker_level": q_whittaker_level,
         "var_irf": q_var_irf,
         "var_irf_orth": q_var_irf_orth,
+        "bk_filter": q_bk_filter,
         "seasonal_decompose": q_seasonal_decompose,
     }
 
@@ -21309,6 +21328,47 @@ def oracle_sql() -> dict[str, str]:
           SELECT g, {", ".join(_vo["aggs"])}
           FROM rws GROUP BY g){_vo_steps}
         {" UNION ALL ".join(_vo_rows)}
+    """
+
+    # Baxter-King: the zero-sum weights come from the SAME
+    # timeseries.bk_weights floats the operator uses; each enters the
+    # oracle as CAST('<repr>' AS DOUBLE) (one correctly-rounded
+    # string->double parse — a bare decimal literal would fold to
+    # DECIMAL and round twice), folded j=-K..K in the operator's
+    # left-associated order over lag/lead windows.
+    from econdatapipeline_spark.operators.timeseries import (
+        bk_weights as _bkw,
+    )
+
+    _bk_k = 12
+    _bk_w = _bkw(6, 32, _bk_k)
+    _bk_terms = []
+    for _j in range(-_bk_k, _bk_k + 1):
+        _lit = f"CAST('{_bk_w[_j + _bk_k]!r}' AS DOUBLE)"
+        if _j < 0:
+            _sh = f"lag(v, {-_j}) OVER bkw"
+        elif _j > 0:
+            _sh = f"lead(v, {_j}) OVER bkw"
+        else:
+            _sh = "v"
+        _bk_terms.append(f"{_lit} * {_sh}")
+    sql["bk_filter"] = f"""
+        WITH ser AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS o,
+                 CAST(CAST(floor((CAST(SUM(CAST(o_totalprice
+                        AS DECIMAL(28,6))) AS DOUBLE) / 1000.0)
+                        * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS DOUBLE) AS v
+          FROM orders GROUP BY 1, 2),
+        filt AS (
+          SELECT g, o, v,
+                 {" + ".join(_bk_terms)} AS c
+          FROM ser
+          WINDOW bkw AS (PARTITION BY g ORDER BY o))
+        SELECT g AS dataset, o AS date, v AS value,
+               floor(c * 1000000.0 + 0.5) / 1000000.0 AS cycle
+        FROM filt ORDER BY dataset, date
     """
 
     # Seasonal decomposition: the hp CTE (monthly lam=129600) plus the

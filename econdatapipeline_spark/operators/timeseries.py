@@ -4303,6 +4303,105 @@ def var_irf(
     )
 
 
+def bk_weights(p_low: int, p_high: int, trunc: int) -> list[float]:
+    """Baxter-King (1999) symmetric band-pass weights a_{-K..K} for
+    cycles of period p_low..p_high observations, truncated at K =
+    ``trunc`` and re-centered so the weights sum to exactly zero (the
+    BK correction that makes the filter annihilate constants and,
+    by symmetry, linear trends).
+
+    Pure driver-side floats shared by the operator (F.lit) and the
+    oracle (CAST(repr AS DOUBLE) literals), so both engines multiply
+    by bit-identical coefficients.
+    """
+    import math  # noqa: PLC0415
+
+    if p_low < 2 or p_high <= p_low:
+        raise ValueError(
+            f"need 2 <= p_low < p_high, got ({p_low}, {p_high})"
+        )
+    if trunc < 1 or trunc > 120:
+        raise ValueError(f"trunc must be in 1..120, got {trunc}")
+    w_h = 2.0 * math.pi / float(p_low)
+    w_l = 2.0 * math.pi / float(p_high)
+    b = [(w_h - w_l) / math.pi]
+    for j in range(1, trunc + 1):
+        b.append(
+            (math.sin(w_h * j) - math.sin(w_l * j)) / (math.pi * j)
+        )
+    # zero-sum correction over the FULL -K..K window
+    theta = (b[0] + 2.0 * sum(b[1:])) / (2.0 * trunc + 1.0)
+    a = [bj - theta for bj in b]
+    return [a[abs(j)] for j in range(-trunc, trunc + 1)]
+
+
+def bk_filter(
+    df: DataFrame,
+    value_col: str,
+    order_col: str = "date",
+    group_col: str = "dataset",
+    p_low: int = 6,
+    p_high: int = 32,
+    trunc: int = 12,
+) -> DataFrame:
+    """Baxter-King band-pass filter per series -> one row per input
+    row: (group, order, value, cycle). ``cycle`` isolates
+    fluctuations with period between p_low and p_high OBSERVATIONS
+    (the classical business-cycle setting: 6..32 quarters, K=12);
+    the first and last K rows of each series are NULL by
+    construction — BK's defining edge behavior, never extrapolated.
+
+    Completes the trend-cycle family next to hp_filter (curvature
+    penalty) and whittaker_level (drift penalty): where HP fits a
+    trend and calls the remainder cycle, BK passes ONLY the chosen
+    frequency band — the standard cross-check on HP cycles over the
+    reference's indicator table
+    (documentation/economic_indicators.md:123-124).
+
+    Shape: a fixed +-K window of lag/lead terms folded in one
+    left-associated column expression — pure JVM window functions
+    over the per-group partition, no Arrow kernel, no recursion, ONE
+    shuffle (the window partition). The zero-sum weights come from
+    bk_weights; the sum runs j = -K..K in fixed order so the oracle
+    (same literals, same order) folds the identical doubles.
+    ``order_col`` must be unique per group (the series contract).
+    """
+    w = bk_weights(p_low, p_high, trunc)
+    win = Window.partitionBy("g").orderBy("o")
+
+    def _q6(c):
+        return (
+            F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)")
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        _q6(F.col(value_col).cast("double")).cast("double").alias("v"),
+    )
+
+    def term(j: int):
+        if j < 0:
+            shifted = F.lag(F.col("v"), -j).over(win)
+        elif j > 0:
+            shifted = F.lead(F.col("v"), j).over(win)
+        else:
+            shifted = F.col("v")
+        return F.lit(w[j + trunc]) * shifted
+
+    acc = term(-trunc)
+    for j in range(-trunc + 1, trunc + 1):
+        acc = acc + term(j)
+    out = base.withColumn("__c", acc)
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("o").alias(order_col),
+        F.col("v").alias("value"),
+        (F.floor(F.col("__c") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("cycle"),
+    )
+
+
 def var_irf_orth_fragments(k: int, p: int, horizons: int = 2) -> dict:
     """var_irf_fragments plus the orthogonalized readout: a Cholesky
     factor L of the residual covariance (lower-triangular, generated

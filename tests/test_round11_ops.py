@@ -137,3 +137,94 @@ def test_var_irf_orth_validation_and_degenerate(spark):
     assert all(
         r["irf_orth"] is None and r["fevd_share"] is None for r in rows
     )
+
+
+# ---------------------------------------------------------------------------
+# bk_filter
+# ---------------------------------------------------------------------------
+
+
+def test_bk_weights_zero_sum_and_symmetry():
+    from econdatapipeline_spark.operators.timeseries import bk_weights
+
+    w = bk_weights(6, 32, 12)
+    assert len(w) == 25
+    assert abs(sum(w)) < 1e-15
+    assert w == w[::-1]
+    with pytest.raises(ValueError):
+        bk_weights(1, 32, 12)
+    with pytest.raises(ValueError):
+        bk_weights(32, 6, 12)
+    with pytest.raises(ValueError):
+        bk_weights(6, 32, 0)
+
+
+def _bk_df(spark, vals):
+    return spark.createDataFrame(
+        [("g", t, float(v)) for t, v in enumerate(vals)],
+        "dataset string, date long, y double",
+    )
+
+
+def test_bk_filter_annihilates_constant_and_linear_trend(spark):
+    from econdatapipeline_spark.operators.timeseries import bk_filter
+
+    n, K = 60, 12
+    for series in ([100.0] * n, [5.0 + 0.25 * t for t in range(n)]):
+        rows = (
+            bk_filter(_bk_df(spark, series), "y", order_col="date")
+            .orderBy("date")
+            .collect()
+        )
+        assert len(rows) == n
+        for t, r in enumerate(rows):
+            if t < K or t >= n - K:
+                assert r["cycle"] is None, t
+            else:
+                # zero-sum kills constants; symmetry kills the slope
+                assert abs(r["cycle"]) < 1e-6, (t, r["cycle"])
+
+
+def test_bk_filter_linearity_and_band_pass(spark):
+    import math
+
+    from econdatapipeline_spark.operators.timeseries import (
+        bk_filter,
+        bk_weights,
+    )
+
+    n, K = 120, 12
+    x = [math.sin(2.0 * math.pi * t / 12.0) for t in range(n)]  # in band
+    y = [math.sin(2.0 * math.pi * t / 2.5) for t in range(n)]  # too fast
+    z = [0.1 * t for t in range(n)]
+    cx = {
+        r["date"]: r["cycle"]
+        for r in bk_filter(_bk_df(spark, x), "y", order_col="date").collect()
+    }
+    cy = {
+        r["date"]: r["cycle"]
+        for r in bk_filter(_bk_df(spark, y), "y", order_col="date").collect()
+    }
+    cxyz = {
+        r["date"]: r["cycle"]
+        for r in bk_filter(
+            _bk_df(spark, [a + b + c for a, b, c in zip(x, y, z)]),
+            "y",
+            order_col="date",
+        ).collect()
+    }
+    interior = range(K, n - K)
+    # linearity: filter(x+y+trend) == filter(x) + filter(y) on the grid
+    for t in interior:
+        assert cxyz[t] == pytest.approx(cx[t] + cy[t], abs=3e-6), t
+    # band-pass: the 12-period sine passes ~unity, the 2.5-period one
+    # is strongly attenuated
+    gx = max(abs(cx[t]) for t in interior)
+    gy = max(abs(cy[t]) for t in interior)
+    assert gx > 0.8
+    assert gy < 0.15
+    # exact twin: the interior cycle is the literal weighted sum
+    w = bk_weights(6, 32, 12)
+    t0 = 40
+    ref = sum(w[j + K] * x[t0 + j] for j in range(-K, K + 1))
+    assert cx[t0] == pytest.approx(ref, abs=1e-6)
