@@ -7481,6 +7481,28 @@ def q_seasonal_decompose(spark, sf_dir):
     ).orderBy("dataset", "date")
 
 
+def q_seasonal_decompose_mult(spark, sf_dir):
+    """Multiplicative decomposition of the same monthly revenue
+    (operators/timeseries.seasonal_decompose, model=
+    "multiplicative"): ratio-to-HP-trend per-month index
+    re-normalized to mean 1, remainder closing value = trend *
+    seasonal * remainder — the variant for level series whose
+    seasonal amplitude grows with the level; non-positive trends
+    NULL-gate (never a fabricated factor)."""
+    from econdatapipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg((_dsum(F.col("o_totalprice")) / F.lit(1000.0)).alias("v"))
+    return seasonal_decompose(
+        m, "v", lam=129600.0, period="month", model="multiplicative"
+    ).orderBy("dataset", "date")
+
+
 def _r10_monthly3(spark, sf_dir):
     """Shared 3-series monthly relation for var_fit: per priority,
     (revenue k$, order count, avg price k$) — every series floor-
@@ -8027,6 +8049,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "var_irf_orth": q_var_irf_orth,
         "bk_filter": q_bk_filter,
         "seasonal_decompose": q_seasonal_decompose,
+        "seasonal_decompose_mult": q_seasonal_decompose_mult,
     }
 
 
@@ -21416,6 +21439,69 @@ def oracle_sql() -> dict[str, str]:
                {_sd_seasonal} AS seasonal,
                floor((hp.cycle - ({_sd_seasonal})) * 1000000.0 + 0.5)
                  / 1000000.0 AS remainder
+        FROM hp
+        JOIN sq ON sq.g = hp.g AND sq.per = hp.per
+        JOIN ctr ON ctr.g = hp.g
+        ORDER BY dataset, date""",
+    )
+
+    # Multiplicative decomposition: the same recursive scaffold, but
+    # the index averages the 6-dp RATIO to a strictly positive trend
+    # (NULL otherwise), normalizes to mean 1 over non-NULL labels
+    # (COUNT(col), not COUNT(*)), and the remainder divides — every
+    # division guarded exactly like the operator's try_divide gates.
+    _sdm_seasonal = (
+        "CASE WHEN ctr.c > 0 THEN CASE WHEN (ctr.c) = 0 THEN NULL"
+        " ELSE floor((sq.s_q / (ctr.c)) * 1000000.0 + 0.5)"
+        " / 1000000.0 END END"
+    )
+    sql["seasonal_decompose_mult"] = _whittaker_cte(
+        """
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS o,
+                 CAST(CAST(floor((CAST(SUM(CAST(o_totalprice
+                        AS DECIMAL(28,6))) AS DOUBLE) / 1000.0)
+                        * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS DOUBLE) AS y
+          FROM orders GROUP BY 1, 2
+        """,
+        129600.0,
+        2,
+        "trend",
+        "cycle",
+        tail=f""", hp AS MATERIALIZED (
+          SELECT s.g, s.o, s.y, round(b.x, 6) AS trend,
+                 CASE WHEN round(b.x, 6) > 0 THEN
+                   CASE WHEN (round(b.x, 6)) = 0 THEN NULL
+                   ELSE floor((s.y / (round(b.x, 6))) * 1000000.0
+                        + 0.5) / 1000000.0 END
+                 END AS ratio,
+                 month(s.o) AS per
+          FROM serN s JOIN bwd b ON b.g = s.g AND b.i = s.i),
+        sidx AS (
+          SELECT g, per,
+                 (CASE WHEN CAST(COUNT(ratio) AS DOUBLE) = 0 THEN NULL
+                  ELSE CAST(SUM(CAST(ratio AS DECIMAL(28,6))) AS DOUBLE)
+                       / CAST(COUNT(ratio) AS DOUBLE) END) AS s_raw,
+                 COUNT(ratio) AS s_n
+          FROM hp GROUP BY 1, 2),
+        sq AS (
+          SELECT g, per,
+                 CASE WHEN s_n >= 1 THEN
+                   floor(s_raw * 1000000.0 + 0.5) / 1000000.0
+                 END AS s_q
+          FROM sidx),
+        ctr AS (
+          SELECT g,
+                 (CASE WHEN CAST(COUNT(s_q) AS DOUBLE) = 0 THEN NULL
+                  ELSE CAST(SUM(CAST(s_q AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(s_q) AS DOUBLE) END) AS c
+          FROM sq GROUP BY 1)
+        SELECT hp.g AS dataset, hp.o AS date, hp.y AS value, hp.trend,
+               {_sdm_seasonal} AS seasonal,
+               CASE WHEN ({_sdm_seasonal}) = 0 THEN NULL
+               ELSE floor((hp.ratio / ({_sdm_seasonal})) * 1000000.0
+                    + 0.5) / 1000000.0 END AS remainder
         FROM hp
         JOIN sq ON sq.g = hp.g AND sq.per = hp.per
         JOIN ctr ON ctr.g = hp.g

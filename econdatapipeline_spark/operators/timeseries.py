@@ -4673,13 +4673,32 @@ def seasonal_decompose(
     lam: float = 129600.0,
     period: str = "month",
     max_len: int = 100_000,
+    model: str = "additive",
+    min_cycles: int = 1,
 ) -> DataFrame:
-    """Classical additive decomposition per series -> one row per
-    input row: (group, order, value, trend, seasonal, remainder),
-    value = trend + seasonal + remainder within 1e-6 (trend and the
-    detrended cycle are rounded to the 6-dp grid independently from
-    trend_raw, so the three-way sum can sit one output-grid ulp off
-    value when trend_raw lands near a half-grid midpoint).
+    """Classical decomposition per series -> one row per input row:
+    (group, order, value, trend, seasonal, remainder). Additive
+    (default): value = trend + seasonal + remainder within 1e-6
+    (trend and the detrended cycle are rounded to the 6-dp grid
+    independently from trend_raw, so the three-way sum can sit one
+    output-grid ulp off value when trend_raw lands near a half-grid
+    midpoint). ``model="multiplicative"``: value = trend * seasonal
+    * remainder to the same tolerance — the ratio-to-trend index
+    re-normalized to mean 1 — for level series whose seasonal swing
+    grows with the level (CPI-style); rows where the HP trend is not
+    strictly positive get NULL seasonal/remainder (a ratio to a
+    non-positive trend is not a seasonal factor — the NULL-gate
+    discipline, never a silent fabrication).
+
+    PERIOD-COVERAGE CONTRACT: the seasonal index for a period label
+    is the mean over that label's observations; a series covering
+    fewer than ``min_cycles`` occurrences of a label (e.g. an
+    8-month series has single-observation labels) absorbs trend
+    curvature into the "index". Labels with fewer than ``min_cycles``
+    observations therefore emit NULL seasonal/remainder; the
+    centering (or mean-1 normalization) runs over the surviving
+    labels only. The default min_cycles=1 keeps every label and is
+    output-identical to the pre-gate operator.
 
     The component analysis the reference's docs promise
     (documentation/economic_indicators.md:123-124), assembled from
@@ -4709,48 +4728,89 @@ def seasonal_decompose(
     """
     if period not in ("month", "quarter"):
         raise ValueError(f"period must be month|quarter, got {period}")
+    if model not in ("additive", "multiplicative"):
+        raise ValueError(
+            f"model must be additive|multiplicative, got {model}"
+        )
+    if min_cycles < 1:
+        raise ValueError(f"min_cycles must be >= 1, got {min_cycles}")
     t = hp_filter(
         df, value_col, order_col, group_col, lam=lam, max_len=max_len
     ).localCheckpoint(eager=True)
     perf = F.month if period == "month" else F.quarter
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    # comp: the detrended component the index averages — the cycle
+    # itself (additive) or the 6-dp ratio to a strictly positive
+    # trend (multiplicative; non-positive trend -> NULL, a ratio to
+    # a non-positive trend is not a seasonal factor).
+    if model == "additive":
+        comp = F.col("cycle")
+    else:
+        comp = F.when(
+            F.col("trend") > 0,
+            _r6(F.try_divide(F.col("value"), F.col("trend"))),
+        )
     base = t.select(
         F.col(group_col).alias("g"),
         F.col(order_col).alias("o"),
         "value",
         "trend",
-        "cycle",
         perf(F.col(order_col)).alias("per"),
+        comp.alias("comp"),
     )
-
-    def _r6(c):
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-
+    # Per-period exact mean + the PERIOD-COVERAGE gate: labels seen
+    # fewer than min_cycles times emit a NULL index, and both the
+    # centering and the final join then propagate the NULL.
     sidx = base.groupBy("g", "per").agg(
         F.try_divide(
-            F.sum(F.col("cycle").cast("decimal(28,6)")).cast("double"),
-            F.count(F.lit(1)).cast("double"),
-        ).alias("s_raw")
+            F.sum(F.col("comp").cast("decimal(28,6)")).cast("double"),
+            F.count(F.col("comp")).cast("double"),
+        ).alias("s_raw"),
+        F.count(F.col("comp")).alias("s_n"),
     )
-    sq = sidx.select("g", "per", _r6(F.col("s_raw")).alias("s_q"))
+    sq = sidx.select(
+        "g",
+        "per",
+        F.when(
+            F.col("s_n") >= F.lit(int(min_cycles)),
+            _r6(F.col("s_raw")),
+        ).alias("s_q"),
+    )
     ctr = sq.groupBy("g").agg(
         F.try_divide(
             F.sum(F.col("s_q").cast("decimal(18,6)")).cast("double"),
-            F.count(F.lit(1)).cast("double"),
+            F.count(F.col("s_q")).cast("double"),
         ).alias("c")
     )
     # Small-side first: |groups x periods| rows joined to |groups|
     # rows — the fact relation then meets ONE pre-assembled seasonal
     # index, not two separate joins. No broadcast hints: AQE picks
     # broadcast from actual sizes (safe at millions of groups).
+    if model == "additive":
+        seasonal_expr = _r6(F.col("s_q") - F.col("c"))
+    else:
+        seasonal_expr = F.when(
+            F.col("c") > 0,
+            _r6(F.try_divide(F.col("s_q"), F.col("c"))),
+        )
     seas = sq.join(ctr, "g").select(
-        "g", "per", _r6(F.col("s_q") - F.col("c")).alias("seasonal")
+        "g", "per", seasonal_expr.alias("seasonal")
     )
+    if model == "additive":
+        remainder_expr = _r6(F.col("comp") - F.col("seasonal"))
+    else:
+        remainder_expr = _r6(
+            F.try_divide(F.col("comp"), F.col("seasonal"))
+        )
     out = base.join(seas, ["g", "per"]).select(
         F.col("g").alias(group_col),
         F.col("o").alias(order_col),
         "value",
         "trend",
         "seasonal",
-        _r6(F.col("cycle") - F.col("seasonal")).alias("remainder"),
+        remainder_expr.alias("remainder"),
     )
     return out

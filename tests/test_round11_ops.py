@@ -228,3 +228,121 @@ def test_bk_filter_linearity_and_band_pass(spark):
     t0 = 40
     ref = sum(w[j + K] * x[t0 + j] for j in range(-K, K + 1))
     assert cx[t0] == pytest.approx(ref, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose: multiplicative mode + period-coverage gate
+# ---------------------------------------------------------------------------
+
+
+def _amp_growing(n=96):
+    """Monthly level series whose seasonal swing grows with the level
+    — the multiplicative-model fixture."""
+    import math
+
+    base = [100.0 * (1.02 ** (t / 12.0)) for t in range(n)]
+    seas = [1.0 + 0.2 * math.sin(2.0 * math.pi * t / 12.0) for t in range(n)]
+    return [round(b * s, 6) for b, s in zip(base, seas)]
+
+
+def _sd_df(spark, vals):
+    import datetime
+
+    rows = [
+        (
+            "g",
+            datetime.date(2000 + t // 12, t % 12 + 1, 1),
+            float(v),
+        )
+        for t, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "dataset string, date date, v double")
+
+
+def test_seasonal_decompose_mult_identity_and_recovery(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    vals = _amp_growing()
+    out = (
+        seasonal_decompose(
+            _sd_df(spark, vals), "v", period="month", model="multiplicative"
+        )
+        .orderBy("date")
+        .collect()
+    )
+    assert len(out) == len(vals)
+    # identity: value = trend * seasonal * remainder (within grid noise)
+    for r in out:
+        prod = r["trend"] * r["seasonal"] * r["remainder"]
+        assert prod == pytest.approx(r["value"], rel=2e-5), r
+    # the 12 monthly indices renormalize to mean ~1 and recover the
+    # planted multiplicative swing's ordering (peak month > trough)
+    idx = {}
+    for r in out:
+        idx[r["date"].month] = r["seasonal"]
+    assert sum(idx.values()) / 12.0 == pytest.approx(1.0, abs=5e-3)
+    assert idx[4] > 1.05  # sin peak near month 4 (t%12 == 3)
+    assert idx[10] < 0.95  # trough near month 10
+    # additive on the same fixture: seasonal sums to ~0 instead
+    add = (
+        seasonal_decompose(_sd_df(spark, vals), "v", period="month")
+        .orderBy("date")
+        .collect()
+    )
+    months = {}
+    for r in add:
+        months[r["date"].month] = r["seasonal"]
+    assert abs(sum(months.values())) < 1e-3
+
+
+def test_seasonal_decompose_mult_null_gates_nonpositive_trend(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    # a series oscillating around zero drives the HP trend through 0:
+    # non-positive-trend rows must NULL out, never fabricate a factor
+    vals = [(-1.0) ** t * 5.0 - 0.01 * t for t in range(48)]
+    out = seasonal_decompose(
+        _sd_df(spark, vals), "v", period="month", model="multiplicative"
+    ).collect()
+    assert len(out) == 48
+    for r in out:
+        if r["trend"] is not None and r["trend"] <= 0:
+            assert r["remainder"] is None
+
+
+def test_seasonal_decompose_min_cycles_gate_and_validation(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    with pytest.raises(ValueError):
+        seasonal_decompose(_sd_df(spark, [1.0]), "v", model="median")
+    with pytest.raises(ValueError):
+        seasonal_decompose(_sd_df(spark, [1.0]), "v", min_cycles=0)
+    # 8-month series: every month label has ONE observation, so the
+    # "index" is pure trend-curvature absorption — min_cycles=2 NULLs
+    # every seasonal/remainder instead of fabricating it
+    vals = [100.0 + 3.0 * t for t in range(8)]
+    gated = seasonal_decompose(
+        _sd_df(spark, vals), "v", period="month", min_cycles=2
+    ).collect()
+    assert len(gated) == 8
+    assert all(r["seasonal"] is None and r["remainder"] is None for r in gated)
+    # trend/value survive the gate untouched
+    assert all(r["trend"] is not None and r["value"] is not None for r in gated)
+    # default min_cycles=1 keeps the (absorbing) index — the
+    # documented pre-gate behavior, unchanged
+    ungated = seasonal_decompose(
+        _sd_df(spark, vals), "v", period="month"
+    ).collect()
+    assert all(r["seasonal"] is not None for r in ungated)
+    # 36 months: labels have 3 cycles each, min_cycles=3 passes
+    vals3 = _amp_growing(36)
+    full = seasonal_decompose(
+        _sd_df(spark, vals3), "v", period="month", min_cycles=3
+    ).collect()
+    assert all(r["seasonal"] is not None for r in full)
