@@ -279,6 +279,62 @@ def main() -> None:
         f"rev_l1={vf['rev_l1']} cnt_l1={vf['cnt_l1']} sigma2={vf['sigma2']}"
     )
 
+    # --- round-11 additions: the causal readout + the cycle band ---
+    from econdatapipeline_spark.operators.timeseries import (
+        bk_filter,
+        var_irf_orth,
+    )
+
+    # Which shock drives revenue? Cholesky ordering rev->cnt->avgp,
+    # cumulative FEVD shares at horizon 2.
+    fevd = (
+        var_irf_orth(m3, ["rev", "cnt", "avgp"], lags=2, horizons=2)
+        .filter(
+            (F.col("dataset") == "1-URGENT")
+            & (F.col("response") == "rev")
+            & (F.col("h") == 2)
+        )
+        .orderBy("shock")
+        .collect()
+    )
+    shares = ", ".join(
+        f"{r['shock']}={r['fevd_share']}" for r in fevd
+    )
+    print(f"FEVD of rev at h=2 (1-URGENT): {shares}")
+
+    # Band-pass business-cycle component (6..32-month band, K=12):
+    # the BK cross-check on the HP cycle.
+    bk = bk_filter(monthly, "value")
+    swing = (
+        bk.filter(F.col("cycle").isNotNull())
+        .groupBy("dataset")
+        .agg((F.max("cycle") - F.min("cycle")).alias("band_swing"))
+        .orderBy(F.col("band_swing").desc())
+        .first()
+    )
+    print(
+        f"largest 6-32mo band-pass swing: {swing['dataset']} "
+        f"({swing['band_swing']:.2f} k$ peak-to-trough)"
+    )
+
+    # Multiplicative decomposition: the seasonal FACTOR view (mean-1
+    # index) of the same monthly revenue.
+    sdm = seasonal_decompose(monthly, "value", model="multiplicative")
+    fac = (
+        sdm.filter(F.col("seasonal").isNotNull())
+        .groupBy("dataset")
+        .agg(
+            F.max("seasonal").alias("peak_factor"),
+            F.min("seasonal").alias("trough_factor"),
+        )
+        .orderBy(F.col("peak_factor").desc())
+        .first()
+    )
+    print(
+        f"multiplicative seasonal factors ({fac['dataset']}): "
+        f"peak x{fac['peak_factor']} trough x{fac['trough_factor']}"
+    )
+
     print("econ analysis tour done")
 
 
