@@ -7592,6 +7592,27 @@ def q_bk_filter(spark, sf_dir):
     return bk_filter(m, "y").orderBy("dataset", "date")
 
 
+def q_hamilton_filter(spark, sf_dir):
+    """Hamilton (2018) regression filter of monthly revenue per
+    priority (operators/timeseries.hamilton_filter, h=24, p=4): the
+    h-step-ahead own-history projection is the trend, its residual
+    the cycle — the modern no-spurious-cycles alternative closing
+    the trend-cycle family (HP / Whittaker / BK / Hamilton). One
+    decimal-exact aggregate through the shared k=1 Gauss fragments;
+    first h+p-1 rows per series NULL by construction."""
+    from econdatapipeline_spark.operators.timeseries import (
+        hamilton_filter,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    q6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("dataset"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("date"),
+    ).agg(q6(_dsum(F.col("o_totalprice")) / F.lit(1000.0)).alias("y"))
+    return hamilton_filter(m, "y", h=24, p=4).orderBy("dataset", "date")
+
+
 def _r10_monthly_xy(spark, sf_dir):
     """Monthly (y = revenue k$, x = order count) per priority for the
     AR(1)-GLS pair; revenue floor-quantized to 6dp."""
@@ -8048,6 +8069,7 @@ def _queries_in_declaration_order() -> dict[str, Callable[[SparkSession, str], D
         "var_irf": q_var_irf,
         "var_irf_orth": q_var_irf_orth,
         "bk_filter": q_bk_filter,
+        "hamilton_filter": q_hamilton_filter,
         "seasonal_decompose": q_seasonal_decompose,
         "seasonal_decompose_mult": q_seasonal_decompose_mult,
     }
@@ -21444,6 +21466,62 @@ def oracle_sql() -> dict[str, str]:
         JOIN ctr ON ctr.g = hp.g
         ORDER BY dataset, date""",
     )
+
+    # Hamilton filter: the shared k=1 Gauss fragments
+    # (timeseries.var_fragments(1, 4)) over the h=24-shifted lag
+    # block; fitted values compose the ROUNDED public betas exactly
+    # like the operator (left-associated), joined back to the fact.
+    from econdatapipeline_spark.operators.timeseries import (
+        var_fragments as _hamfrag_fn,
+    )
+
+    _ham = _hamfrag_fn(1, 4)
+    _ham_steps = "".join(
+        f",\n        hst{i} AS "
+        f"{'MATERIALIZED ' if i == len(_ham['steps']) - 1 else ''}"
+        f"(SELECT *, {e} AS {nm} FROM "
+        f"{'hsum' if i == 0 else f'hst{i - 1}'})"
+        for i, (nm, e) in enumerate(_ham["steps"])
+    )
+    _ham_last = f"hst{len(_ham['steps']) - 1}"
+    _ham_betas = ", ".join(
+        f"CASE WHEN {_ham['ok']} THEN"
+        f" floor(({b}) * 1000000.0 + 0.5) / 1000000.0 END AS b{i}"
+        for i, b in enumerate(_ham["betas"][0])
+    )
+    _ham_fit = "b0 + b1 * z1 + b2 * z2 + b3 * z3 + b4 * z4"
+    sql["hamilton_filter"] = f"""
+        WITH ser AS (
+          SELECT o_orderpriority AS g,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS o,
+                 CAST(CAST(floor((CAST(SUM(CAST(o_totalprice
+                        AS DECIMAL(28,6))) AS DOUBLE) / 1000.0)
+                        * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS DOUBLE) AS v
+          FROM orders GROUP BY 1, 2),
+        hlag AS MATERIALIZED (
+          SELECT g, o, v,
+                 {", ".join(f"lag(v, {24 + j - 1}) OVER hw AS z{j}" for j in range(1, 5))}
+          FROM ser
+          WINDOW hw AS (PARTITION BY g ORDER BY o)),
+        hrws AS (
+          SELECT g, CAST(v AS DECIMAL(19,6)) AS y_1,
+                 {", ".join(f"CAST(z{j} AS DECIMAL(19,6)) AS z{j}" for j in range(1, 5))}
+          FROM hlag
+          WHERE {" AND ".join(f"z{j} IS NOT NULL" for j in range(1, 5))}),
+        hsum AS MATERIALIZED (
+          SELECT g, {", ".join(_ham["aggs"])}
+          FROM hrws GROUP BY g){_ham_steps},
+        hfit AS MATERIALIZED (
+          SELECT g, {_ham_betas} FROM {_ham_last})
+        SELECT l.g AS dataset, l.o AS date, l.v AS value,
+               floor(({_ham_fit}) * 1000000.0 + 0.5) / 1000000.0
+                 AS trend,
+               floor((l.v - ({_ham_fit})) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cycle
+        FROM hlag l LEFT JOIN hfit USING (g)
+        ORDER BY dataset, date
+    """
 
     # Multiplicative decomposition: the same recursive scaffold, but
     # the index averages the 6-dp RATIO to a strictly positive trend

@@ -4402,6 +4402,123 @@ def bk_filter(
     )
 
 
+def hamilton_filter(
+    df: DataFrame,
+    value_col: str,
+    order_col: str = "date",
+    group_col: str = "dataset",
+    h: int = 24,
+    p: int = 4,
+    many_groups: bool = False,
+) -> DataFrame:
+    """Hamilton (2018) regression filter per series -> one row per
+    input row: (group, order, value, trend, cycle). ``trend`` is the
+    h-step-ahead linear projection of y_t on [1, y_{t-h}, ...,
+    y_{t-h-p+1}]; ``cycle`` is the projection residual — "the part
+    of y_t that could not be predicted from the series' own history
+    h periods earlier". value = trend + cycle within 1e-6 (the two
+    outputs round independently). Defaults h=24, p=4 are Hamilton's
+    monthly convention (8 and 4 for quarterly data).
+
+    The modern alternative to hp_filter ("Why You Should Never Use
+    the Hodrick-Prescott Filter"): no filter-induced spurious cycles,
+    no end-point revisions — completing the trend-cycle family (HP
+    curvature / Whittaker drift / BK band-pass / Hamilton projection)
+    over the reference's indicator table
+    (documentation/economic_indicators.md:123-124).
+
+    Shape: per-group lag windows build the h-shifted regressor block,
+    ONE decimal-exact hash aggregate collects the m = p+1 normal-
+    equation sums (var_fragments at k=1 — the identical shared Gauss
+    text), the solved chain runs behind the depth-capped lazy-barrier
+    path, and the |groups|-row ROUNDED-beta relation joins back to
+    the fact unhinted (AQE broadcasts when small). The first h+p-1
+    rows per series and all rows of singular/short groups emit NULL
+    trend/cycle under the fragments' ok-gate — never an extrapolated
+    edge.
+    """
+    if h < 1 or h > 120:
+        raise ValueError(f"h must be in 1..120, got {h}")
+    if p < 1 or p > 6:
+        raise ValueError(f"p must be in 1..6, got {p}")
+    frag = var_fragments(1, p)
+    win = Window.partitionBy("g").orderBy("o")
+
+    def _q6(c):
+        return (
+            F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)")
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        _q6(F.col(value_col).cast("double")).cast("double").alias("v"),
+    )
+    lagged = base.select(
+        "g",
+        "o",
+        "v",
+        *[
+            F.lag("v", h + j - 1).over(win).alias(f"z{j}")
+            for j in range(1, p + 1)
+        ],
+    )
+    keep = F.lit(True)
+    for j in range(1, p + 1):
+        keep = keep & F.col(f"z{j}").isNotNull()
+    rel = lagged.filter(keep).select(
+        "g",
+        F.col("v").cast("decimal(18,6)").alias("y_1"),
+        *[
+            F.col(f"z{j}").cast("decimal(18,6)").alias(f"z{j}")
+            for j in range(1, p + 1)
+        ],
+    )
+    cur = rel.groupBy("g").agg(*[F.expr(a) for a in frag["aggs"]])
+    if many_groups:
+        for i, batch in enumerate(_step_levels(frag["steps"])):
+            cur = cur.withColumns(
+                {nm: F.expr(e) for nm, e in batch.items()}
+            )
+    else:
+        import re as _re  # noqa: PLC0415
+
+        keepcols = {"g"}
+        keepcols.update(_re.findall(r"\b[A-Za-z_]\w*\b", frag["ok"]))
+        keepcols.update(frag["betas"][0])
+        cur = _apply_steps_one_sql(cur, frag["steps"], keepcols)
+        cur = cur.localCheckpoint(eager=False)
+    ok = F.expr(frag["ok"])
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    betas = frag["betas"][0]
+    fit = cur.select(
+        "g",
+        *[
+            F.when(ok, _r6(F.expr(b))).alias(f"b{i}")
+            for i, b in enumerate(betas)
+        ],
+    )
+    # fact x |groups|-row fit LEFT join (a group too short to fit any
+    # regression row has no fit row at all — its series rows must
+    # still come back, NULL-gated), unhinted (the seasonal_decompose
+    # broadcast discipline). Fitted value composes the PUBLIC rounded
+    # betas left-associated, so the oracle folds identical doubles.
+    tr = F.col("b0")
+    for j in range(1, p + 1):
+        tr = tr + F.col(f"b{j}") * F.col(f"z{j}")
+    out = lagged.join(fit, "g", "left").select(
+        F.col("g").alias(group_col),
+        F.col("o").alias(order_col),
+        F.col("v").alias("value"),
+        _r6(tr).alias("trend"),
+        _r6(F.col("v") - tr).alias("cycle"),
+    )
+    return out
+
+
 def var_irf_orth_fragments(k: int, p: int, horizons: int = 2) -> dict:
     """var_irf_fragments plus the orthogonalized readout: a Cholesky
     factor L of the residual covariance (lower-triangular, generated

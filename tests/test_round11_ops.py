@@ -346,3 +346,75 @@ def test_seasonal_decompose_min_cycles_gate_and_validation(spark):
         _sd_df(spark, vals3), "v", period="month", min_cycles=3
     ).collect()
     assert all(r["seasonal"] is not None for r in full)
+
+
+# ---------------------------------------------------------------------------
+# hamilton_filter
+# ---------------------------------------------------------------------------
+
+
+def test_hamilton_filter_matches_numpy_projection(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        hamilton_filter,
+    )
+
+    rng = np.random.RandomState(3)
+    n, h, p = 200, 24, 4
+    y = np.round(np.cumsum(rng.normal(0.2, 1.0, n)) + 100.0, 6)
+    df = spark.createDataFrame(
+        [("g", t, float(y[t])) for t in range(n)],
+        "dataset string, date long, v double",
+    )
+    out = (
+        hamilton_filter(df, "v", order_col="date", h=h, p=p)
+        .orderBy("date")
+        .collect()
+    )
+    assert len(out) == n
+    edge = h + p - 1
+    # numpy twin: OLS of y_t on [1, y_{t-h}, ..., y_{t-h-p+1}]
+    X = np.column_stack(
+        [np.ones(n - edge)]
+        + [y[edge - h - j : n - h - j] for j in range(p)]
+    )
+    beta, *_ = np.linalg.lstsq(X, y[edge:], rcond=None)
+    for t in range(n):
+        r = out[t]
+        assert r["value"] == pytest.approx(y[t], abs=1e-6)
+        if t < edge:
+            assert r["trend"] is None and r["cycle"] is None, t
+            continue
+        fit = beta[0] + sum(beta[1 + j] * y[t - h - j] for j in range(p))
+        # tolerance reflects the 6-dp public-beta composition
+        assert r["trend"] == pytest.approx(fit, abs=2e-4), t
+        assert r["cycle"] == pytest.approx(y[t] - fit, abs=2e-4), t
+        assert r["trend"] + r["cycle"] == pytest.approx(
+            y[t], abs=2e-6
+        ), t
+
+
+def test_hamilton_filter_validation_and_degenerate(spark):
+    from econdatapipeline_spark.operators.timeseries import (
+        hamilton_filter,
+    )
+
+    df = spark.createDataFrame(
+        [("g", t, float(t)) for t in range(10)],
+        "dataset string, date long, v double",
+    )
+    with pytest.raises(ValueError):
+        hamilton_filter(df, "v", h=0)
+    with pytest.raises(ValueError):
+        hamilton_filter(df, "v", p=7)
+    # series shorter than h+p: no regression rows -> all NULL outputs
+    short = hamilton_filter(df, "v", order_col="date", h=24, p=4).collect()
+    assert len(short) == 10
+    assert all(r["trend"] is None and r["cycle"] is None for r in short)
+    # constant regressors (constant series) -> singular -> NULL gate
+    const = spark.createDataFrame(
+        [("g", t, 5.0) for t in range(80)],
+        "dataset string, date long, v double",
+    )
+    rows = hamilton_filter(const, "v", order_col="date", h=24, p=4).collect()
+    assert len(rows) == 80
+    assert all(r["trend"] is None and r["cycle"] is None for r in rows)
