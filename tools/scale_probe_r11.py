@@ -21,13 +21,15 @@ spark.range(1_000_000).selectExpr("sum(id)").collect()
 
 
 def timed(label, build):
-    # time CONSTRUCTION + count: the many_groups path materializes
-    # eagerly inside the operator, so building the DataFrame is where
-    # its work happens.
+    # time CONSTRUCTION + a noop-sink write: eager paths work at build
+    # time, and the noop sink materializes EVERY output column —
+    # count() would let Catalyst prune projection-only work (bk_filter
+    # "ran" in 0.4s under count because the window never executed).
     t0 = time.monotonic()
-    n = build().count()
+    df = build()
+    df.write.format("noop").mode("overwrite").save()
     dt = time.monotonic() - t0
-    print(f"{label}: {n} rows in {dt:.1f}s", flush=True)
+    print(f"{label}: in {dt:.1f}s", flush=True)
 
 
 panel = (
@@ -45,3 +47,40 @@ for mg in (True, False):
           lambda mg=mg: var_fit(panel, ["a", "b", "c"], order_col="date", lags=2, many_groups=mg))
     timed(f"var_irf 10k systems many_groups={mg}",
           lambda mg=mg: var_irf(panel, ["a", "b", "c"], order_col="date", lags=2, many_groups=mg))
+
+# --- round-11 additions at the 2M-row shapes -----------------------------
+from econdatapipeline_spark.operators.timeseries import (  # noqa: E402
+    bk_filter,
+    hamilton_filter,
+    var_irf_orth,
+)
+
+series = (
+    spark.range(2_000_000)
+    .select(
+        (F.col("id") % 20).cast("string").alias("dataset"),
+        (F.col("id") / F.lit(20)).cast("long").alias("date"),
+        (
+            F.sin(F.col("id") / 5000.0) * 10.0
+            + (F.hash("id") % 1000) / 100.0
+        ).alias("v"),
+    )
+)
+timed("bk_filter 20x100k", lambda: bk_filter(series, "v"))
+timed(
+    "hamilton_filter 20x100k",
+    lambda: hamilton_filter(series, "v", h=24, p=4),
+)
+timed(
+    "var_irf_orth 10k systems many_groups=True",
+    lambda: var_irf_orth(
+        panel, ["a", "b", "c"], order_col="date", lags=2, horizons=2,
+        many_groups=True,
+    ),
+)
+timed(
+    "var_irf_orth 10k systems default",
+    lambda: var_irf_orth(
+        panel, ["a", "b", "c"], order_col="date", lags=2, horizons=2,
+    ),
+)
