@@ -871,6 +871,11 @@ def ipw_ate(
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     spark = df.sparkSession
+    # Repartition BEFORE the checkpoint: the subject relation is
+    # re-scanned every solve round and inherits the source's
+    # partitioning — a single-file input would serialize each round
+    # onto one task (the glm.py lesson). Per-round decimal sums are
+    # exact, so row order cannot move a value.
     subj = df.select(
         F.col(treat_col).cast("int").alias("tr"),
         F.col(outcome_col).cast("decimal(18,6)").alias("y"),
@@ -879,6 +884,8 @@ def ipw_ate(
         F.col("tr").isNotNull()
         & F.col("y").isNotNull()
         & F.col("x").isNotNull()
+    ).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     ).localCheckpoint(eager=True)
     tot = subj.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1222,6 +1229,11 @@ def ipw_ate_multi(
     )
     for c in covariate_cols:
         keep = keep & F.col(c).isNotNull()
+    # Repartition BEFORE the checkpoint: the subject relation is
+    # re-scanned every solve round and inherits the source's
+    # partitioning — a single-file input would serialize each round
+    # onto one task (the glm.py lesson). Per-round decimal sums are
+    # exact, so row order cannot move a value.
     subj = df.filter(keep).select(
         F.col(treat_col).cast("int").alias("tr"),
         F.col(outcome_col).cast("decimal(18,6)").alias("y"),
@@ -1229,6 +1241,8 @@ def ipw_ate_multi(
             F.col(c).cast("decimal(18,6)").alias(f"x{j}")
             for j, c in enumerate(covariate_cols, 1)
         ],
+    ).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     ).localCheckpoint(eager=True)
     b_cur = spark.range(1).select(
         *[F.lit(0.0).alias(f"b{j}") for j in range(m)]
@@ -1607,6 +1621,11 @@ def aipw_ate(
     )
     for c in covariate_cols:
         keep = keep & F.col(c).isNotNull()
+    # Repartition BEFORE the checkpoint: the subject relation is
+    # re-scanned every solve round and inherits the source's
+    # partitioning — a single-file input would serialize each round
+    # onto one task (the glm.py lesson). Per-round decimal sums are
+    # exact, so row order cannot move a value.
     subj = df.filter(keep).select(
         F.col(treat_col).cast("int").alias("tr"),
         F.col(outcome_col).cast("decimal(18,6)").alias("y"),
@@ -1614,6 +1633,8 @@ def aipw_ate(
             F.col(c).cast("decimal(18,6)").alias(f"x{j}")
             for j, c in enumerate(covariate_cols, 1)
         ],
+    ).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     ).localCheckpoint(eager=True)
     b_cur = spark.range(1).select(
         *[F.lit(0.0).alias(f"b{j}") for j in range(m)]

@@ -188,7 +188,7 @@ def poisson_glm(
     Scale: subject table scanned rounds+2 times, each a map-side
     combinable aggregate; no window, no join, no driver loop.
     """
-    from .timeseries import _step_levels  # noqa: PLC0415
+    from .timeseries import _apply_steps_one_sql  # noqa: PLC0415
 
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
@@ -202,12 +202,20 @@ def poisson_glm(
     )
     for c in covariate_cols:
         keep = keep & F.col(c).isNotNull()
+    # Repartition BEFORE the checkpoint: the subject relation is
+    # scanned rounds+2 times and inherits the source's partitioning —
+    # a single-file bench input would make every IRLS round a
+    # single-task aggregate (measured 1.9s/round over 150k rows on
+    # one core). The per-round decimal sums are EXACT, so the row
+    # order change cannot move a value (hashes re-certified).
     subj = df.filter(keep).select(
         F.col(response_col).cast("long").alias("y"),
         *[
             F.col(c).cast("decimal(18,6)").alias(f"x{j}")
             for j, c in enumerate(covariate_cols, 1)
         ],
+    ).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     ).localCheckpoint(eager=True)
     b_cur = subj.agg(
         *[F.expr(e).alias(nm) for nm, e in frag["init_terms"]]
@@ -216,16 +224,21 @@ def poisson_glm(
         g = subj.crossJoin(F.broadcast(b_cur)).agg(
             *[F.expr(e).alias(nm) for nm, e in frag["agg_terms"]]
         )
-        for batch in _step_levels(frag["solve_steps"](r)):
-            g = g.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+        g = _apply_steps_one_sql(
+            g,
+            frag["solve_steps"](r),
+            keep={f"n{nm}" for nm in frag["pnames"]},
+            barrier_every=None,
+        )
         b_cur = g.select(
             *[F.col(f"n{nm}").alias(nm) for nm in frag["pnames"]]
         ).localCheckpoint(eager=True)
     fin = subj.crossJoin(F.broadcast(b_cur)).agg(
         *[F.expr(e).alias(nm) for nm, e in frag["final_terms"]]
     )
-    for batch in _step_levels(frag["se_steps"]()):
-        fin = fin.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    fin = _apply_steps_one_sql(
+        fin, frag["se_steps"](), keep=None, barrier_every=None
+    )
     labels = ["intercept", *covariate_cols]
     rows = F.array(
         *[
@@ -434,7 +447,7 @@ def logistic_glm(
     rounds+2 times, each map-side combinable; no window, no join, no
     driver loop.
     """
-    from .timeseries import _step_levels  # noqa: PLC0415
+    from .timeseries import _apply_steps_one_sql  # noqa: PLC0415
 
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
@@ -445,12 +458,20 @@ def logistic_glm(
     keep = F.col(response_col).isNotNull()
     for c in covariate_cols:
         keep = keep & F.col(c).isNotNull()
+    # Repartition BEFORE the checkpoint: the subject relation is
+    # scanned rounds+2 times and inherits the source's partitioning —
+    # a single-file bench input would make every IRLS round a
+    # single-task aggregate (measured 1.9s/round over 150k rows on
+    # one core). The per-round decimal sums are EXACT, so the row
+    # order change cannot move a value (hashes re-certified).
     subj = df.filter(keep).select(
         F.col(response_col).cast("int").alias("y"),
         *[
             F.col(c).cast("decimal(18,6)").alias(f"x{j}")
             for j, c in enumerate(covariate_cols, 1)
         ],
+    ).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     ).localCheckpoint(eager=True)
     b_cur = subj.agg(
         *[F.expr(e).alias(nm) for nm, e in frag["init_terms"]]
@@ -459,16 +480,21 @@ def logistic_glm(
         g = subj.crossJoin(F.broadcast(b_cur)).agg(
             *[F.expr(e).alias(nm) for nm, e in frag["agg_terms"]]
         )
-        for batch in _step_levels(frag["solve_steps"](r)):
-            g = g.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+        g = _apply_steps_one_sql(
+            g,
+            frag["solve_steps"](r),
+            keep={f"n{nm}" for nm in frag["pnames"]},
+            barrier_every=None,
+        )
         b_cur = g.select(
             *[F.col(f"n{nm}").alias(nm) for nm in frag["pnames"]]
         ).localCheckpoint(eager=True)
     fin = subj.crossJoin(F.broadcast(b_cur)).agg(
         *[F.expr(e).alias(nm) for nm, e in frag["final_terms"]]
     )
-    for batch in _step_levels(frag["se_steps"]()):
-        fin = fin.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    fin = _apply_steps_one_sql(
+        fin, frag["se_steps"](), keep=None, barrier_every=None
+    )
     # null-model log-likelihood from (n, ysum): fixed-order doubles.
     nd = F.col("n").cast("double")
     pb = F.col("ysum").cast("double") / nd
@@ -633,7 +659,7 @@ def vif(df: DataFrame, covariate_cols: list[str]) -> DataFrame:
     shared with the SQL oracle verbatim (vif_fragments). Map-side
     combinable at any corpus size; no window, no join.
     """
-    from .timeseries import _step_levels  # noqa: PLC0415
+    from .timeseries import _apply_steps_one_sql  # noqa: PLC0415
 
     p = len(covariate_cols)
     frag = vif_fragments(p)
@@ -651,8 +677,9 @@ def vif(df: DataFrame, covariate_cols: list[str]) -> DataFrame:
     )
     for nm, e in frag["corr_steps"]:
         g = g.withColumn(nm, F.expr(e))
-    for batch in _step_levels(frag["solve_steps"]()):
-        g = g.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    g = _apply_steps_one_sql(
+        g, frag["solve_steps"](), keep=None, barrier_every=None
+    )
     rows = F.array(
         *[
             F.struct(
@@ -693,7 +720,7 @@ def partial_corr(
     matrix is not positive-definite (exact collinearity) — the vif
     pivot gate.
     """
-    from .timeseries import _step_levels  # noqa: PLC0415
+    from .timeseries import _apply_steps_one_sql  # noqa: PLC0415
 
     p = len(covariate_cols)
     frag = vif_fragments(p)
@@ -711,8 +738,9 @@ def partial_corr(
     )
     for nm, e in frag["corr_steps"]:
         g = g.withColumn(nm, F.expr(e))
-    for batch in _step_levels(frag["solve_steps"]()):
-        g = g.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    g = _apply_steps_one_sql(
+        g, frag["solve_steps"](), keep=None, barrier_every=None
+    )
     entries = []
     for j in range(1, p + 1):
         for k in range(j + 1, p + 1):
@@ -779,7 +807,7 @@ def quasipoisson_glm(
     doubles. Same NULL gates, plus NULL se/z/dispersion when
     n <= m (no residual dof).
     """
-    from .timeseries import _step_levels  # noqa: PLC0415
+    from .timeseries import _apply_steps_one_sql  # noqa: PLC0415
 
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
@@ -794,12 +822,20 @@ def quasipoisson_glm(
     )
     for c in covariate_cols:
         keep = keep & F.col(c).isNotNull()
+    # Repartition BEFORE the checkpoint: the subject relation is
+    # scanned rounds+2 times and inherits the source's partitioning —
+    # a single-file bench input would make every IRLS round a
+    # single-task aggregate (measured 1.9s/round over 150k rows on
+    # one core). The per-round decimal sums are EXACT, so the row
+    # order change cannot move a value (hashes re-certified).
     subj = df.filter(keep).select(
         F.col(response_col).cast("long").alias("y"),
         *[
             F.col(c).cast("decimal(18,6)").alias(f"x{j}")
             for j, c in enumerate(covariate_cols, 1)
         ],
+    ).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     ).localCheckpoint(eager=True)
     b_cur = subj.agg(
         *[F.expr(e).alias(nm) for nm, e in frag["init_terms"]]
@@ -808,8 +844,12 @@ def quasipoisson_glm(
         g = subj.crossJoin(F.broadcast(b_cur)).agg(
             *[F.expr(e).alias(nm) for nm, e in frag["agg_terms"]]
         )
-        for batch in _step_levels(frag["solve_steps"](r)):
-            g = g.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+        g = _apply_steps_one_sql(
+            g,
+            frag["solve_steps"](r),
+            keep={f"n{nm}" for nm in frag["pnames"]},
+            barrier_every=None,
+        )
         b_cur = g.select(
             *[F.col(f"n{nm}").alias(nm) for nm in frag["pnames"]]
         ).localCheckpoint(eager=True)
@@ -828,8 +868,9 @@ def quasipoisson_glm(
         *[F.expr(e).alias(nm) for nm, e in frag["final_terms"]],
         F.expr(pearson).alias("pearson"),
     )
-    for batch in _step_levels(frag["se_steps"]()):
-        fin = fin.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    fin = _apply_steps_one_sql(
+        fin, frag["se_steps"](), keep=None, barrier_every=None
+    )
     nd = F.col("n").cast("double")
     phi = F.try_divide(F.col("pearson"), nd - float(m))
     fin = fin.withColumn(
@@ -1036,7 +1077,7 @@ def negbin_glm(
     negbin_fragments shares the step text with the oracle. Keep
     alpha binary-exact for hash-certified use.
     """
-    from .timeseries import _step_levels  # noqa: PLC0415
+    from .timeseries import _apply_steps_one_sql  # noqa: PLC0415
 
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
@@ -1050,12 +1091,20 @@ def negbin_glm(
     )
     for c in covariate_cols:
         keep = keep & F.col(c).isNotNull()
+    # Repartition BEFORE the checkpoint: the subject relation is
+    # scanned rounds+2 times and inherits the source's partitioning —
+    # a single-file bench input would make every IRLS round a
+    # single-task aggregate (measured 1.9s/round over 150k rows on
+    # one core). The per-round decimal sums are EXACT, so the row
+    # order change cannot move a value (hashes re-certified).
     subj = df.filter(keep).select(
         F.col(response_col).cast("long").alias("y"),
         *[
             F.col(c).cast("decimal(18,6)").alias(f"x{j}")
             for j, c in enumerate(covariate_cols, 1)
         ],
+    ).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     ).localCheckpoint(eager=True)
     b_cur = subj.agg(
         *[F.expr(e).alias(nm) for nm, e in frag["init_terms"]]
@@ -1064,16 +1113,21 @@ def negbin_glm(
         g = subj.crossJoin(F.broadcast(b_cur)).agg(
             *[F.expr(e).alias(nm) for nm, e in frag["agg_terms"]]
         )
-        for batch in _step_levels(frag["solve_steps"](r)):
-            g = g.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+        g = _apply_steps_one_sql(
+            g,
+            frag["solve_steps"](r),
+            keep={f"n{nm}" for nm in frag["pnames"]},
+            barrier_every=None,
+        )
         b_cur = g.select(
             *[F.col(f"n{nm}").alias(nm) for nm in frag["pnames"]]
         ).localCheckpoint(eager=True)
     fin = subj.crossJoin(F.broadcast(b_cur)).agg(
         *[F.expr(e).alias(nm) for nm, e in frag["final_terms"]]
     )
-    for batch in _step_levels(frag["se_steps"]()):
-        fin = fin.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    fin = _apply_steps_one_sql(
+        fin, frag["se_steps"](), keep=None, barrier_every=None
+    )
     labels = ["intercept", *covariate_cols]
     rows = F.array(
         *[

@@ -83,6 +83,11 @@ def pca_power(
         )
         .otherwise(F.col(vec_col))
         .alias("v")
+    ).repartition(
+        # the power-iteration aggregate re-scans this relation every
+        # round; a single-file source would serialize each round onto
+        # one task (the glm.py lesson). Decimal sums are order-free.
+        df.sparkSession.sparkContext.defaultParallelism
     ).localCheckpoint(eager=True)
     n = x.count()
     use_wide = n > wide_threshold

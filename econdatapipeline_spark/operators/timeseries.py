@@ -1336,7 +1336,9 @@ def _step_levels(steps):
     return levels
 
 
-def _apply_steps_one_sql(cur: DataFrame, steps, keep) -> DataFrame:
+def _apply_steps_one_sql(
+    cur: DataFrame, steps, keep=None, barrier_every: int | None = 8
+) -> DataFrame:
     """Apply a (name, expr) step chain as ONE spark.sql call of
     liveness-pruned nested SELECTs instead of per-level withColumns.
 
@@ -1373,7 +1375,13 @@ def _apply_steps_one_sql(cur: DataFrame, steps, keep) -> DataFrame:
 
     # Backward liveness: out_i = columns level i must output. keep
     # may be raw expression text tokens; only known names count.
-    need = {t for t in keep if t in known}
+    # keep=None disables pruning (every name survives) — right when
+    # the caller consumes most of the chain or hasn't enumerated its
+    # reads; the one-parse/one-analysis win still applies.
+    # barrier_every=None disables the lazy checkpoint barriers —
+    # right for short chains consumed ONCE (no fan-out duplication to
+    # stop, and each barrier costs a micro-job per executed plan).
+    need = known if keep is None else {t for t in keep if t in known}
     plans = []  # (passthrough_cols, {nm: expr}) per level, reversed
     for batch in reversed(levels):
         out = set(need)
@@ -1385,7 +1393,11 @@ def _apply_steps_one_sql(cur: DataFrame, steps, keep) -> DataFrame:
         plans.append((sorted(passthrough), emitted))
     plans.reverse()
     base_cols = sorted(need)
-    text = f"SELECT {', '.join(base_cols)} FROM {{cur}}"
+    text = (
+        f"SELECT {', '.join(base_cols)} FROM {{cur}}"
+        if base_cols
+        else "SELECT * FROM {cur}"
+    )
     # A LAZY checkpoint barrier every BARRIER levels: CollapseProject
     # would otherwise inline the whole chain into one projection
     # whose trees grow ~branching^depth, and the OPTIMIZER walk of
@@ -1394,13 +1406,17 @@ def _apply_steps_one_sql(cur: DataFrame, steps, keep) -> DataFrame:
     # segments keep every tree small; each barrier costs one
     # |groups|-row micro-job at action time and nothing at
     # explain()/plan-audit time.
-    BARRIER = 8
     for i, (passthrough, emitted) in enumerate(plans):
         cols = ", ".join(
             passthrough + [f"{e} AS {nm}" for nm, e in emitted.items()]
         )
-        text = f"SELECT {cols} FROM ({text})"
-        if (i + 1) % BARRIER == 0 and (i + 1) < len(plans):
+        if cols:  # a fully-dead level projects nothing — skip it
+            text = f"SELECT {cols} FROM ({text})"
+        if (
+            barrier_every
+            and (i + 1) % barrier_every == 0
+            and (i + 1) < len(plans)
+        ):
             cur = cur.sparkSession.sql(text, cur=cur).localCheckpoint(
                 eager=False
             )
