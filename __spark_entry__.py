@@ -18407,12 +18407,16 @@ def oracle_sql() -> dict[str, str]:
             CAST(SUM(CAST(vb AS DECIMAL(28,6))) AS DOUBLE) AS nb,
             CAST(SUM(CAST(ve AS DECIMAL(28,6))) AS DOUBLE) AS ne
           FROM sscell)
+        -- 0.0 + : DuckDB's round keeps IEEE -0.0 (a zero base times a
+        -- negative growth rate), Spark's round goes through BigDecimal
+        -- which has no signed zero — normalize so both emit +0.0
+        -- (surfaced at sf0.001, where national growth is negative).
         SELECT c.r AS region, c.ind AS industry,
                round(c.vb, 6) AS v_base, round(c.ve, 6) AS v_end,
-               round(c.vb * (CASE WHEN nb = 0 THEN NULL ELSE ((ne - nb)) / nb END), 6) AS national_effect,
-               round(c.vb * ((CASE WHEN ib = 0 THEN NULL ELSE ((ie - ib)) / ib END) - (CASE WHEN nb = 0 THEN NULL ELSE ((ne - nb)) / nb END)), 6)
+               0.0 + round(c.vb * (CASE WHEN nb = 0 THEN NULL ELSE ((ne - nb)) / nb END), 6) AS national_effect,
+               0.0 + round(c.vb * ((CASE WHEN ib = 0 THEN NULL ELSE ((ie - ib)) / ib END) - (CASE WHEN nb = 0 THEN NULL ELSE ((ne - nb)) / nb END)), 6)
                  AS mix_effect,
-               round(c.vb * ((CASE WHEN c.vb = 0 THEN NULL ELSE ((c.ve - c.vb)) / c.vb END) - (CASE WHEN ib = 0 THEN NULL ELSE ((ie - ib)) / ib END)), 6)
+               0.0 + round(c.vb * ((CASE WHEN c.vb = 0 THEN NULL ELSE ((c.ve - c.vb)) / c.vb END) - (CASE WHEN ib = 0 THEN NULL ELSE ((ie - ib)) / ib END)), 6)
                  AS competitive_effect
         FROM sscell c JOIN ssind ON c.ind = ssind.ind CROSS JOIN ssnat
         ORDER BY region, industry
