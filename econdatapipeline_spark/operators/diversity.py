@@ -35,6 +35,130 @@ from pyspark.sql import functions as F
 from econdatapipeline_spark.functions.vectors import dot, norm
 
 
+def _r6(x):
+    """Replay Spark's Round(col, 6) on a double: BigDecimal.valueOf
+    (shortest decimal repr — Python ``repr`` emits the identical
+    shortest round-trip digits) setScale(6, HALF_UP); NaN/Inf pass
+    through, as in Spark's RoundBase."""
+    import math  # noqa: PLC0415
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    if x is None or math.isnan(x) or math.isinf(x):
+        return x
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _ieee_div(a, b):
+    """Double division with Spark/Java IEEE semantics (x/0 -> signed
+    Inf, 0/0 -> NaN) — Python raises where Java does not."""
+    import math  # noqa: PLC0415
+
+    if b == 0.0:
+        if math.isnan(a) or a == 0.0:
+            return float("nan")
+        neg = (math.copysign(1.0, a) * math.copysign(1.0, b)) < 0
+        return float("-inf") if neg else float("inf")
+    return a / b
+
+
+def _key_desc(x):
+    """Sort key replaying Spark desc ordering on a nullable double:
+    nulls LAST, NaN greater than everything (so first under desc)."""
+    import math  # noqa: PLC0415
+
+    if x is None:
+        return (1, 0, 0.0)
+    if math.isnan(x):
+        return (0, 0, 0.0)
+    return (0, 1, -x)
+
+
+def _key_id_asc(i):
+    """Spark asc ordering on the id: nulls FIRST."""
+    return (0,) if i is None else (1, i)
+
+
+def _mmr_greedy_driver(rows, k, lam):
+    """Replay mmr_select's exact greedy trajectory over collected
+    shortlist rows -> [(rank, id, rel, mmr_score)].
+
+    Every arithmetic step mirrors the distributed form operation for
+    operation: dot/norm are the same sequential left folds in double
+    (functions/vectors.py), rounding is _r6, greatest skips nulls and
+    treats NaN as largest, ties break by ascending id with Spark's
+    null ordering."""
+    import math  # noqa: PLC0415
+
+    cand = [(r["id"], r["rel"], r["v"], r["vn"]) for r in rows]
+    if not cand:
+        return []
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                return None
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def _cos(v, vn, sv, svn):
+        if v is None or sv is None or vn is None or svn is None:
+            return None
+        d = _dot(v, sv)
+        if d is None:
+            return None
+        return _r6(_ieee_div(d, vn * svn))
+
+    def _greatest(vals):
+        vs = [x for x in vals if x is not None]
+        if not vs:
+            return None
+        if any(math.isnan(x) for x in vs):
+            return float("nan")
+        return max(vs)
+
+    first = min(cand, key=lambda c: (_key_desc(c[1]), _key_id_asc(c[0])))
+    ms1 = None if first[1] is None else _r6(lam * first[1])
+    picked = [(1, first[0], first[1], ms1)]
+    selected = [(first[2], first[3])]
+    # ~id.isin(sel_ids) drops null-id rows (NULL predicate) once
+    # anything is selected, and drops EVERY row once a null id is in
+    # the selected list — replay both SQL three-valued-logic corners.
+    remaining = (
+        []
+        if first[0] is None
+        else [c for c in cand if c[0] is not None and c[0] != first[0]]
+    )
+    while len(picked) < k and remaining:
+        best = None
+        best_key = None
+        best_ms = None
+        for cid, rel, v, vn in remaining:
+            sim = _greatest(
+                [_cos(v, vn, sv, svn) for sv, svn in selected]
+            )
+            ms = (
+                None
+                if rel is None or sim is None
+                else _r6(lam * rel - (1.0 - lam) * sim)
+            )
+            key = (_key_desc(ms), _key_id_asc(cid))
+            if best_key is None or key < best_key:
+                best, best_key, best_ms = (cid, rel, v, vn), key, ms
+        picked.append((len(picked) + 1, best[0], best[1], best_ms))
+        selected.append((best[2], best[3]))
+        remaining = (
+            []
+            if best[0] is None
+            else [c for c in remaining if c[0] != best[0]]
+        )
+    return picked
+
+
 def mmr_select(
     candidates: DataFrame,
     k: int = 10,
@@ -42,6 +166,8 @@ def mmr_select(
     id_col: str = "vec_id",
     rel_col: str = "rel",
     vec_col: str = "embedding",
+    driver_shortlist: bool | None = None,
+    driver_shortlist_threshold: int = 100_000,
 ) -> DataFrame:
     """Greedy MMR top-k -> (rank, <id_col>, rel, mmr_score).
 
@@ -50,6 +176,18 @@ def mmr_select(
     candidate against the current selected set and takes the best
     rounded MMR score (ties by id). ``mmr_score`` for rank 1 is
     lam * rel (no redundancy term yet) — the standard convention.
+
+    ``driver_shortlist=True`` collects the shortlist ONCE and replays
+    the identical greedy trajectory in Python — same left-fold dot /
+    norm order, same HALF_UP rounding via the shortest-repr decimal
+    (the bradley_terry driver-replay discipline) — removing the k
+    per-round TakeOrdered jobs whose fixed cost dominates a
+    thousands-row shortlist. Default ``None`` auto-selects the driver
+    path iff the candidate count <= ``driver_shortlist_threshold``
+    (candidates are a retrieval SHORTLIST by contract, so this is the
+    common case); pass False to force the distributed rounds for
+    oversized inputs. Both paths produce IDENTICAL rows (twin-path
+    pytest).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -66,6 +204,14 @@ def mmr_select(
     # retrieval shortlists) — derived from the input schema, never
     # assumed long; the output column keeps the caller's name too.
     id_type = dict(cand.dtypes)["id"]
+    if driver_shortlist is None:
+        driver_shortlist = cand.count() <= driver_shortlist_threshold
+    if driver_shortlist:
+        picked = _mmr_greedy_driver(cand.collect(), k, lam)
+        return spark.createDataFrame(
+            picked,
+            f"rank int, `{id_col}` {id_type}, rel double, mmr_score double",
+        )
 
     first = (
         cand.orderBy(F.desc("rel"), F.asc("id"))

@@ -48,13 +48,16 @@ def bradley_terry(
     BT concept — pre-filter or split them upstream.
 
     ``driver_items=True`` keeps the items-sized theta vector ON THE
-    DRIVER between rounds: each round is ONE distributed edges-sized
-    aggregate with theta shipped as an items-sized broadcast, then a
-    Python update replaying the engine's exact quantization (floor
-    half-up to 9 decimals; exact-integer sums). Measured 18.7 s ->
-    ~5 s at sf0.1 vs the per-round broadcast-join + checkpoint form,
-    which ``driver_items=False`` keeps for item universes too large
-    for driver state (per-document preference graphs) — both paths
+    DRIVER between rounds: the edge relation is pre-grouped once into
+    an items-sized adjacency with dense theta indices, each round is
+    ONE shuffle-free fold over it with theta shipped as a 1-row
+    broadcast array, then a Python update replaying the engine's
+    exact quantization (floor half-up to 9 decimals; exact-integer
+    sums). Measured 18.7 s -> ~5 s at sf0.1 for the driver loop vs
+    the per-round broadcast-join + checkpoint form (and the adjacency
+    fold removes the remaining per-round join+shuffle), which
+    ``driver_items=False`` keeps for item universes too large for
+    driver state (per-document preference graphs) — both paths
     produce IDENTICAL thetas (twin-path pytest).
 
     Default ``driver_items=None`` AUTO-SELECTS on the already-computed
@@ -108,69 +111,115 @@ def bradley_terry(
         item_rows = items.collect()
         wins_by = {r["item"]: r["wins"] for r in item_rows}
         theta_by = {r["item"]: 1.0 for r in item_rows}
-        for _ in range(rounds):
-            # theta ships as an items-sized broadcast relation (a
-            # literal map of |items| entries is NOT constant-folded —
-            # Spark rebuilds it per edge row; measured 3x SLOWER than
-            # the joins it replaced)
-            th_df = spark.createDataFrame(
-                sorted(theta_by.items()), "item string, th double"
-            )
-            denoms = (
-                n_edges.join(
-                    F.broadcast(
-                        th_df.select(
-                            F.col("item").alias("i"),
-                            F.col("th").alias("th_i"),
-                        )
-                    ),
-                    "i",
-                )
-                .join(
-                    F.broadcast(
-                        th_df.select(
-                            F.col("item").alias("j"),
-                            F.col("th").alias("th_j"),
-                        )
-                    ),
-                    "j",
-                )
-                .select(
-                    "i",
-                    (
-                        F.col("n") / (F.col("th_i") + F.col("th_j"))
-                    ).cast("decimal(28,12)").alias("term"),
-                )
-                .groupBy("i")
-                .agg(F.sum("term").alias("denom"))
-                .collect()
-            )
-            den_by = {r["i"]: r["denom"] for r in denoms}
-            # replay the engine quantization exactly: tq =
-            # decimal(18,9) HALF_UP of wins/denom, carried as the
-            # exact integer k = tq * 1e9 so the normalizing sum is
-            # exact (the pca_power driver discipline)
-            ks = {}
-            for it in theta_by:
-                d = den_by.get(it)
-                if d is not None and d > 0:
-                    ks[it] = math.floor(
-                        wins_by[it] / float(d) * 1e9 + 0.5
+        # Pre-group the edge relation ONCE into an items-sized
+        # adjacency (i, i_ix, list<(j_ix, n)>) carrying DENSE indices
+        # into a theta array. Each MM round then ships theta as ONE
+        # 1-row broadcast array<double> and folds every denominator in
+        # a single shuffle-free job over the pinned adjacency — the
+        # per-round pair of broadcast joins plus the per-round groupBy
+        # exchange of the old form (16 broadcast builds + 8 shuffles at
+        # rounds=8) collapse into one setup shuffle. The fold's
+        # arithmetic is the old column expression verbatim — n [long]
+        # / (th_i + th_j) [double] quantized decimal(28,12), summed
+        # exactly at scale 12 — so denominators are bit-identical.
+        # (A literal map/array EXPRESSION of |items| entries is NOT the
+        # same thing: Catalyst re-analyzes the |items|-wide tree every
+        # round — measured 3x slower than the joins it replaced. The
+        # 1-row broadcast relation keeps the plan constant-size.)
+        order = sorted(theta_by)
+        idx_df = spark.createDataFrame(
+            [(it, ix) for ix, it in enumerate(order)],
+            "item string, ix int",
+        )
+        adj = (
+            n_edges.join(
+                F.broadcast(
+                    idx_df.select(
+                        F.col("item").alias("i"), F.col("ix").alias("i_ix")
                     )
+                ),
+                "i",
+            )
+            .join(
+                F.broadcast(
+                    idx_df.select(
+                        F.col("item").alias("j"), F.col("ix").alias("j_ix")
+                    )
+                ),
+                "j",
+            )
+            .groupBy("i", "i_ix")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col("j_ix").alias("jx"), F.col("n").alias("n"))
+                ).alias("adj")
+            )
+            .localCheckpoint(eager=True)
+        )
+        # The fold must accumulate at scale 12 exactly like F.sum over
+        # decimal(28,12): under the default allowPrecisionLoss=true,
+        # decimal(38,12) + decimal(28,12) promotes to decimal(38,11) —
+        # one quantization digit LOST per add. Scoped to this loop,
+        # allowPrecisionLoss=false keeps the + at scale 12 with the
+        # same 26-integer-digit headroom (and the same loud ANSI
+        # overflow) as SUM's decimal(38,12) accumulator.
+        prec_key = "spark.sql.decimalOperations.allowPrecisionLoss"
+        prec_old = spark.conf.get(prec_key, "true")
+        spark.conf.set(prec_key, "false")
+        try:
+            for _ in range(rounds):
+                th_df = spark.createDataFrame(
+                    [([theta_by[it] for it in order],)], "th array<double>"
+                )
+                denoms = (
+                    adj.crossJoin(F.broadcast(th_df))
+                    .select(
+                        "i",
+                        F.aggregate(
+                            "adj",
+                            F.lit(0).cast("decimal(38,12)"),
+                            lambda acc, e: acc
+                            + (
+                                e["n"]
+                                / (
+                                    F.element_at(
+                                        F.col("th"), F.col("i_ix") + 1
+                                    )
+                                    + F.element_at(F.col("th"), e["jx"] + 1)
+                                )
+                            ).cast("decimal(28,12)"),
+                        ).alias("denom"),
+                    )
+                    .collect()
+                )
+                den_by = {r["i"]: r["denom"] for r in denoms}
+                # replay the engine quantization exactly: tq =
+                # decimal(18,9) HALF_UP of wins/denom, carried as the
+                # exact integer k = tq * 1e9 so the normalizing sum is
+                # exact (the pca_power driver discipline)
+                ks = {}
+                for it in theta_by:
+                    d = den_by.get(it)
+                    if d is not None and d > 0:
+                        ks[it] = math.floor(
+                            wins_by[it] / float(d) * 1e9 + 0.5
+                        )
+                    else:
+                        ks[it] = 0
+                s_total = sum(ks.values())
+                if s_total > 0:
+                    s_d = s_total / 1e9
+                    theta_by = {
+                        it: math.floor(
+                            (k / 1e9) * float(n_items) / s_d * 1e9 + 0.5
+                        )
+                        / 1e9
+                        for it, k in ks.items()
+                    }
                 else:
-                    ks[it] = 0
-            s_total = sum(ks.values())
-            if s_total > 0:
-                s_d = s_total / 1e9
-                theta_by = {
-                    it: math.floor(
-                        (k / 1e9) * float(n_items) / s_d * 1e9 + 0.5
-                    )
-                    / 1e9
-                    for it, k in ks.items()
-                }
-            else:
-                theta_by = {it: 0.0 for it in theta_by}
+                    theta_by = {it: 0.0 for it in theta_by}
+        finally:
+            spark.conf.set(prec_key, prec_old)
         out = [
             (
                 r["item"],

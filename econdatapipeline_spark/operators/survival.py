@@ -1686,7 +1686,11 @@ def weibull_aft_fragments(p: int) -> dict:
             s, betas, diag = _gauss_steps(m, _a_names(), rhs, f"v{j}")
             ok = " AND ".join(f"{d} > 0" for d in dict.fromkeys(diag))
             steps.extend(s)
-            for i in (j, m - 1):
+            # dict.fromkeys dedupes i when j == m-1 (the old duplicate
+            # cov3_3 step carried an identical expr and was a no-op
+            # overwrite under withColumns; unique names let the chain
+            # run through _apply_steps_one_sql's topological leveling)
+            for i in dict.fromkeys((j, m - 1)):
                 nm = f"cov{i}_{j}"
                 steps.append(
                     (nm, f"CASE WHEN {ok} THEN {betas[i]} END")
@@ -1795,7 +1799,7 @@ def weibull_aft(
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    from .timeseries import _step_levels  # noqa: PLC0415
+    from .timeseries import _apply_steps_one_sql  # noqa: PLC0415
 
     covariate_cols = list(covariate_cols or [])
     p = len(covariate_cols)
@@ -1824,8 +1828,21 @@ def weibull_aft(
         g = subj.crossJoin(F.broadcast(b_cur)).agg(
             *[F.expr(e).alias(nm) for nm, e in frag["agg_terms"]]
         )
-        for batch in _step_levels(frag["solve_steps"](r)):
-            g = g.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+        # ONE liveness-pruned spark.sql per round instead of per-level
+        # withColumns (the var_fit/glm discipline —
+        # timeseries._apply_steps_one_sql): a single parse + analysis
+        # of the whole Gauss chain, nested SELECTs carrying only
+        # still-live columns. The emitted arithmetic is the fragment
+        # text verbatim, so round iterates and hashes are unchanged.
+        # The per-round text stays identical across rounds, preserving
+        # the codegen cache hit. No barriers: the chain is consumed
+        # once (no fan-out duplication to stop).
+        g = _apply_steps_one_sql(
+            g,
+            frag["solve_steps"](r),
+            keep=[f"n{nm}" for nm in frag["pnames"]],
+            barrier_every=None,
+        )
         # eager 1-ROW checkpoint per round: without it round r's plan
         # nests r broadcast subtrees and analysis/codegen cost grows
         # superlinearly in rounds (measured ~9 s fixed overhead at 8
@@ -1838,8 +1855,16 @@ def weibull_aft(
         *[F.expr(e).alias(nm) for nm, e in frag["final_terms"]]
     )
     se_steps, _ = frag["se_steps"]()
-    for batch in _step_levels(se_steps):
-        fin = fin.withColumns({nm: F.expr(e) for nm, e in batch.items()})
+    # The m-RHS covariance chain is the long one (m full eliminations);
+    # liveness keep = every name the param outputs read, so dead betas
+    # drop out; keep the default depth-capped lazy barriers for it.
+    import re  # noqa: PLC0415
+
+    keep = {"n", "d"}
+    for o in frag["param_outputs"]():
+        for e in o.values():
+            keep |= set(re.findall(r"\b[A-Za-z_]\w*\b", e))
+    fin = _apply_steps_one_sql(fin, se_steps, keep=sorted(keep))
     labels = ["intercept", *covariate_cols, "ln_sigma"]
     outs = frag["param_outputs"]()
     rows = F.array(

@@ -199,13 +199,21 @@ def synthetic_control(
             .cast("double")
             .alias(f"c{j}")
         )
-    from .timeseries import _step_levels  # noqa: PLC0415
+    from .timeseries import _apply_steps_one_sql  # noqa: PLC0415
 
     gram = panel.agg(*aggs)
-    for batch in _step_levels(frag["steps"]):
-        gram = gram.withColumns(
-            {nm: F.expr(e) for nm, e in batch.items()}
-        )
+    # ONE liveness-pruned spark.sql for the whole unrolled Frank-Wolfe
+    # chain instead of per-level withColumns (the var_fit/glm
+    # discipline): a single parse + analysis, each nested SELECT
+    # carrying only columns a later step or the final projection still
+    # reads. Emitted arithmetic is the fragment text verbatim — the
+    # trajectory and hashes are unchanged.
+    import re  # noqa: PLC0415
+
+    keep = set()
+    for e in frag["final"].values():
+        keep |= set(re.findall(r"\b[A-Za-z_]\w*\b", e))
+    gram = _apply_steps_one_sql(gram, frag["steps"], keep=sorted(keep))
     wrow = gram.select(
         *[F.expr(e).alias(nm) for nm, e in frag["final"].items()]
     )
