@@ -37,6 +37,8 @@ def main() -> int:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     # bench.py warmup
@@ -71,10 +73,25 @@ def main() -> int:
     if not os.path.exists(path):
         cands = [os.path.join(evdir, f) for f in os.listdir(evdir)]
         path = max(cands, key=os.path.getmtime)
+    if os.path.isdir(path):
+        # Spark 4 rolling event log: a directory of events_* part files.
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.startswith("events_")
+        )
+    else:
+        parts = [path]
+
+    def _lines():
+        for p in parts:
+            with open(p) as fh:
+                yield from fh
+
     jobs = {}
     stage_info = {}
-    with open(path) as fh:
-        for line in fh:
+    if True:
+        for line in _lines():
             ev = json.loads(line)
             e = ev.get("Event")
             if e == "SparkListenerJobStart":
