@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from econdatapipeline_spark.sources.tables import fan_out
+
 
 def _md5_uniform(prefix: str, id_col):
     """The engine's deterministic-randomness idiom (bootstrap_ci /
@@ -305,9 +307,18 @@ def _fit(
         )
     if use_arrow:
         exact = False  # the numpy kernel is double arithmetic
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    # fan_out BEFORE the checkpoint: the embeddings table often scans
+    # as ONE parquet split, and localCheckpoint pins that layout — so
+    # every per-round assignment fold (the n·d·k flops) would run as a
+    # single task. The repartition is a one-time KB..MB shuffle; the
+    # fold, the posexplode, and the final inertia stage all inherit
+    # the parallel layout. Results-neutral: assignment is row-wise and
+    # every aggregate downstream is order-free (guide §2.4).
+    vecs = fan_out(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     ).localCheckpoint(eager=True)
     if seed_ids is not None:
         seeds = list(seed_ids)
