@@ -1763,9 +1763,18 @@ def _trade_edges(spark, sf_dir):
     output — 8-byte join/agg keys, not strings, on the hot path.
     Symmetrize with one explode instead of a self-union: a union of
     two projections of `pairs` plans the expensive join + distinct
-    once per branch, an inline explode scans it once."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
+    once per branch, an inline explode scans it once.
+
+    fan_out + early projection on the fact side: the lineitem scan
+    arrives as ONE parquet split, which would serialize the join +
+    partial-distinct map stage onto a single core; projecting to the
+    two join keys first keeps the repartition a ~10 MB shuffle."""
+    from econdatapipeline_spark.sources.tables import fan_out
+
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
