@@ -770,11 +770,12 @@ def cox_ph(
     )
 
 
-def _desc_cumsum_dec(per_t, cols, small_threshold=100_000):
+def _desc_cumsum_dec(per_t, cols, small_threshold=100_000, n_times=None):
     """Descending-inclusive cumulative sums of DECIMAL columns — see
     _dir_cumsum_dec."""
     return _dir_cumsum_dec(
-        per_t, cols, descending=True, small_threshold=small_threshold
+        per_t, cols, descending=True, small_threshold=small_threshold,
+        n_times=n_times,
     )
 
 
@@ -804,6 +805,7 @@ def _dir_cumsum_dec(
     small_threshold=100_000,
     operand_type="decimal(31,12)",
     offset_type="decimal(38,12)",
+    n_times=None,
 ):
     """Directional inclusive cumulative sums of DECIMAL columns over a
     times-sized relation -> input + ``s_<col>`` per column.
@@ -823,10 +825,19 @@ def _dir_cumsum_dec(
     distinct times a plain single-partition window (daily-resolution
     curves are hundreds of rows; the two-pass overhead tripled local
     latency there), above it the distributed form.
+
+    ``n_times``: a caller that already knows the relation's row count
+    (cox_ph_multi's Newton loop calls this once PER ROUND over the
+    same static time set) passes it to skip the per-call eager
+    checkpoint + count — two driver actions per round otherwise. The
+    small path is then fully lazy (the window consumes ``per_t``
+    exactly once, so there is no fan-out to pin), and the whole round
+    collapses into one job chain.
     """
     spark = per_t.sparkSession
-    per_t = per_t.localCheckpoint(eager=True)
-    n_times = per_t.count()
+    if n_times is None:
+        per_t = per_t.localCheckpoint(eager=True)
+        n_times = per_t.count()
     if n_times <= small_threshold:
         key = F.col("t").desc() if descending else F.col("t").asc()
         w_dir = Window.orderBy(key).rowsBetween(
@@ -979,6 +990,10 @@ def cox_ph_multi(
         ],
     ).filter(keep).localCheckpoint(eager=True)
     # static event-time relation: d_t and the per-covariate event sums
+    # (measured alternative: folding these into each round's per-t
+    # aggregate removes the per-round broadcast join but re-pays p+1
+    # conditional decimal sums over the subject relation every round —
+    # net slower; the once-checkpointed static relation wins)
     ev = (
         subj.groupBy("t")
         .agg(
@@ -999,6 +1014,11 @@ def cox_ph_multi(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("e").cast("long").alias("n_events"),
     ).first()
+    # The Newton rounds all cumsum over the SAME static time set —
+    # count it once here so each round's _desc_cumsum_dec skips its
+    # per-call eager checkpoint + count (two driver actions per round)
+    # and the round runs as one lazy job chain.
+    n_times = subj.select("t").distinct().count()
 
     q9 = Decimal("0.000000001")
 
@@ -1032,7 +1052,7 @@ def cox_ph_multi(
         pt = subj.select("t", *terms).groupBy("t").agg(
             *[F.sum(c).alias(c) for c in cols]
         )
-        risk = _desc_cumsum_dec(pt, cols)
+        risk = _desc_cumsum_dec(pt, cols, n_times=n_times)
         joined = risk.join(ev, "t")
         s0 = F.col("s_aw").cast("double")
         mu = {
