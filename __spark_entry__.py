@@ -1918,6 +1918,10 @@ def q_harmonic_centrality(spark, sf_dir):
         _trade_edges(spark, sf_dir),
         sources=[0, 2, 4, 6, 8],  # customers C0, C1, C2, C3, C4
         max_hops=4,
+        # _trade_edges emits distinct pairs by construction (distinct
+        # (c,s) join output, symmetrized into disjoint id spaces), so
+        # the operator's defensive dedup shuffle is skippable
+        assume_distinct=True,
     )
     return out.select(
         _node_label().alias("node"), "n_reached", "harmonic"

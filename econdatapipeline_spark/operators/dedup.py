@@ -1112,10 +1112,15 @@ def editdist_dedup(
         # came from — dedup is deterministic
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
     # length pre-filter: |len_a - len_b| > max_dist can never pass —
-    # skips the O(n*m) levenshtein on hopeless pairs inside a block
+    # skips the levenshtein on hopeless pairs inside a block
     lena = F.length(F.col("__ta"))
     lenb = F.length(F.col("__tb"))
-    d = F.levenshtein(F.col("__ta"), F.col("__tb"))
+    # banded levenshtein: the threshold form runs the O(len·max_dist)
+    # diagonal band with early exit instead of the full O(len²) table,
+    # returning the EXACT distance when <= max_dist and -1 otherwise —
+    # so the >= 0 guard makes the survivors (and their dist values)
+    # identical to the unbanded filter.
+    d = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
     return (
         pairs.filter(F.abs(lena - lenb) <= max_dist)
         .select(
@@ -1123,5 +1128,5 @@ def editdist_dedup(
             "id_b",
             d.cast("int").alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )

@@ -76,7 +76,10 @@ def fuzzy_name_pairs(
         )
         .distinct()
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # banded form (threshold=1): exact distance when <= 1, -1 above —
+    # the >= 0 guard keeps survivors identical to the unbanded filter
+    # at O(len) per compare instead of O(len²).
+    dist = F.levenshtein("name_a", "name_b", 1)
     return cand.select(
         "name_a", "name_b", "n_a", "n_b", dist.alias("distance")
-    ).filter(F.col("distance") <= 1)
+    ).filter((F.col("distance") >= 0) & (F.col("distance") <= 1))

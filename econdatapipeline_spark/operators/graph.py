@@ -1224,6 +1224,7 @@ def harmonic_centrality(
     max_hops: int = 6,
     src: str = "src",
     dst: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Harmonic centrality of a seed set -> one row per source
     (node, n_reached, harmonic).
@@ -1246,11 +1247,19 @@ def harmonic_centrality(
     if max_hops < 1:
         raise ValueError(f"max_hops must be >= 1, got {max_hops}")
     spark = edges.sparkSession
-    ed = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # assume_distinct: a caller whose edge derivation already
+    # guarantees distinct (src, dst) pairs (e.g. a distinct-pairs join
+    # symmetrized by explode) skips the dedup — otherwise that is one
+    # full extra shuffle of the edge list before the first hop. The
+    # fan_out matters either way: the checkpoint otherwise pins the
+    # AQE-coalesced (often single-partition) layout, serializing every
+    # hop's expansion probe.
+    ed = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not assume_distinct:
+        ed = ed.distinct()
+    from econdatapipeline_spark.sources.tables import fan_out  # noqa: PLC0415
+
+    ed = fan_out(ed).localCheckpoint(eager=True)
     seed = spark.createDataFrame(
         [(int(s),) for s in sources], "s long"
     ).distinct()

@@ -351,33 +351,46 @@ def loo_source_influence(
     probe = df.filter(F.col(id_col) % probe_mod == 0)
     train = df.filter(F.col(id_col) % probe_mod != 0)
 
-    bg_t = _bigram_occurrences(train, text_col, id_col).join(
-        train.select(F.col(id_col), F.col(source_col).alias("src")), id_col
+    # ONE tokenize+explode pass for the bigram tables: src rides the
+    # explode (no id-join back to train), the (g, src) aggregate is
+    # pinned once, and every other count table is COUNT ALGEBRA on it —
+    # c2_tot / c1_src / c1_tot are exact long sums over the per-source
+    # counts, so values are identical to independent re-aggregations
+    # while the corpus is scanned once instead of four times. Same for
+    # the unigram tables: one tokenize pass, wc_t = sum over src.
+    bg_t = (
+        fan_out(train)
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("g"),
+        )
+        .filter(F.col("g").contains(" "))
     )
-    c2_tot = bg_t.groupBy("g").agg(F.count(F.lit(1)).alias("c2_t"))
-    c2_src = bg_t.groupBy("g", "src").agg(F.count(F.lit(1)).alias("c2_s"))
+    c2_src = (
+        bg_t.groupBy("g", "src")
+        .agg(F.count(F.lit(1)).alias("c2_s"))
+        .localCheckpoint(eager=True)
+    )
+    c2_tot = c2_src.groupBy("g").agg(F.sum("c2_s").alias("c2_t"))
     w1 = F.split_part(F.col("g"), F.lit(" "), F.lit(1))
-    c1_tot = bg_t.select(w1.alias("w1")).groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c1_t")
+    c1_src = (
+        c2_src.select(w1.alias("w1"), "src", "c2_s")
+        .groupBy("w1", "src")
+        .agg(F.sum("c2_s").alias("c1_s"))
     )
-    c1_src = bg_t.select(w1.alias("w1"), "src").groupBy("w1", "src").agg(
-        F.count(F.lit(1)).alias("c1_s")
-    )
-    wc_t = (
-        train.select(F.explode(tokenize(F.col(text_col))).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wc_t"))
-    )
+    c1_tot = c1_src.groupBy("w1").agg(F.sum("c1_s").alias("c1_t"))
     wc_s = (
-        train.select(
+        fan_out(train)
+        .select(
             F.col(source_col).alias("src"),
             F.explode(tokenize(F.col(text_col))).alias("w"),
         )
         .filter(F.col("w") != "")
         .groupBy("w", "src")
         .agg(F.count(F.lit(1)).alias("wc_s"))
+        .localCheckpoint(eager=True)
     )
+    wc_t = wc_s.groupBy("w").agg(F.sum("wc_s").alias("wc_t"))
     vocab_full = wc_t.agg(F.count(F.lit(1)).alias("v_full"))
     # V_loo(s): distinct words whose count does not collapse to zero
     # when s is removed — one join of the per-source counts against
@@ -405,10 +418,15 @@ def loo_source_influence(
     bg_p = _bigram_occurrences(probe, text_col, id_col).withColumn(
         "w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1))
     )
+    # totals join BEFORE the x|sources| fan-out: c2_t/c1_t are keyed by
+    # g/w1 alone, so left-joining them on the probe-sized relation and
+    # THEN cross-joining sources produces identical rows while the two
+    # total joins process |sources|x fewer rows (guide: prune before
+    # the exploding join, not after).
     scored = (
-        bg_p.crossJoin(F.broadcast(sources))
-        .join(c2_tot, "g", "left")
+        bg_p.join(c2_tot, "g", "left")
         .join(c1_tot, "w1", "left")
+        .crossJoin(F.broadcast(sources))
         .join(c2_src, ["g", "src"], "left")
         .join(c1_src, ["w1", "src"], "left")
         .select(

@@ -38,12 +38,25 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Size-based coalescing (not parallelism-first): tiny shuffle
-        # stages — iterative-loop state, dimension aggregates — collapse
-        # to few tasks instead of fanning out to full width. 32 MB
-        # advisory keeps genuinely large stages wide.
+        # Size-based coalescing (not parallelism-first) with a LATENCY-
+        # oriented advisory size. AQE coalescing only ever MERGES
+        # post-shuffle partitions up to the advisory target, so large
+        # stages are bounded by spark.sql.shuffle.partitions under any
+        # value; the advisory only decides how far SMALL stages
+        # collapse. The engine's operators are aggregation/join chains
+        # whose sub-32MB shuffle stages are CPU-dense (decimal sums,
+        # dedup, windows) — bytes badly underestimate their compute —
+        # and a 32 MB advisory serialized them onto 1 task. 1 MB keeps
+        # them parallel: paired sweep over 18 contract queries measured
+        # 0.62-0.99x (median ~0.85x), zero regressions
+        # (OPTIMIZATION_r11.md). Throughput-oriented clusters running
+        # multi-GB stages can raise it via SPARK_GRAFT_ADVISORY_MB —
+        # the coalesce floor, not the stage width, is what changes.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(32 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(int(os.environ.get("SPARK_GRAFT_ADVISORY_MB", "1")) * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
