@@ -1920,8 +1920,11 @@ def q_harmonic_centrality(spark, sf_dir):
         max_hops=4,
         # _trade_edges emits distinct pairs by construction (distinct
         # (c,s) join output, symmetrized into disjoint id spaces), so
-        # the operator's defensive dedup shuffle is skippable
+        # the operator's defensive dedup shuffle is skippable; the
+        # symmetrization also makes the graph undirected, so the BFS
+        # dedup only needs the last two frontiers
         assume_distinct=True,
+        undirected=True,
     )
     return out.select(
         _node_label().alias("node"), "n_reached", "harmonic"

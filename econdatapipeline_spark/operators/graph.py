@@ -1225,6 +1225,7 @@ def harmonic_centrality(
     src: str = "src",
     dst: str = "dst",
     assume_distinct: bool = False,
+    undirected: bool = False,
 ) -> DataFrame:
     """Harmonic centrality of a seed set -> one row per source
     (node, n_reached, harmonic).
@@ -1263,27 +1264,48 @@ def harmonic_centrality(
     seed = spark.createDataFrame(
         [(int(s),) for s in sources], "s long"
     ).distinct()
-    visited = seed.select(
+    seed0 = seed.select(
         "s", F.col("s").alias("node"), F.lit(0).alias("dist")
     ).localCheckpoint(eager=True)
-    frontier = visited
+    # ``undirected=True`` is the caller's guarantee that every edge has
+    # its reverse (the pagerank `symmetric` contract): a BFS neighbor
+    # of frontier_d then sits at distance d-1, d, or d+1, so the
+    # dedup anti-join needs only the LAST TWO frontiers instead of the
+    # whole accumulated visited set — the growing per-hop
+    # union+checkpoint of visited disappears and the anti-join's build
+    # side stays frontier-sized at any depth. Identical output on any
+    # genuinely undirected input; pass False (default) for digraphs.
+    frontiers = [seed0]
+    frontier, prev = seed0, None
     for hop in range(1, max_hops + 1):
+        if undirected:
+            excl = (
+                frontier
+                if prev is None
+                else frontier.unionByName(prev)
+            ).select("s", "node")
+        else:
+            excl = None  # full visited, built below
+        if excl is None:
+            visited = frontiers[0]
+            for fr in frontiers[1:]:
+                visited = visited.unionByName(fr)
+            excl = visited.select("s", "node")
         nxt = (
             ed.join(frontier, ed.u == frontier.node)
             .select("s", F.col("v").alias("node"))
             .distinct()
-            .join(
-                visited.select("s", "node"),
-                ["s", "node"],
-                "left_anti",
-            )
+            .join(excl, ["s", "node"], "left_anti")
             .select("s", "node", F.lit(hop).alias("dist"))
             .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        prev, frontier = frontier, nxt
+        frontiers.append(nxt)
+    visited = frontiers[0]
+    for fr in frontiers[1:]:
+        visited = visited.unionByName(fr)
     reached = visited.filter(F.col("dist") > 0)
     out = reached.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("n_reached"),

@@ -1196,6 +1196,32 @@ def test_harmonic_centrality_path_graph(spark):
         harmonic_centrality(edges, sources=[0], max_hops=0)
 
 
+def test_harmonic_centrality_undirected_twin(spark):
+    """undirected=True (two-frontier BFS dedup) must be row-identical
+    to the default full-visited dedup on any symmetrized edge list —
+    exercised on a graph WITH cycles so re-reach pressure is real."""
+    from econdatapipeline_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    # 6-cycle + a chord + a pendant, symmetrized
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (1, 4), (3, 6)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    kw = dict(sources=[0, 3], max_hops=5)
+    base = sorted(
+        tuple(r) for r in harmonic_centrality(edges, **kw).collect()
+    )
+    fast = sorted(
+        tuple(r)
+        for r in harmonic_centrality(
+            edges, undirected=True, assume_distinct=True, **kw
+        ).collect()
+    )
+    assert base == fast
+
+
 # ---------------------------------------------------------------------------
 # mahalanobis_scores
 # ---------------------------------------------------------------------------
