@@ -2108,13 +2108,19 @@ def breusch_pagan(
     pre-scale big-magnitude series. NULLs when n < 4 or either
     variance degenerates.
     """
+    from econdatapipeline_spark.sources.tables import fan_out  # noqa: PLC0415
+
     gcols = [group_col] if group_col else []
-    base = df.filter(
-        F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
-    ).select(
-        *gcols,
-        F.col(x_col).cast("decimal(18,6)").alias("x"),
-        F.col(y_col).cast("decimal(18,6)").alias("y"),
+    # fan_out: both Breusch-Pagan passes re-scan this projection and a
+    # single-split source would serialize their decimal-sum map sides
+    base = fan_out(
+        df.filter(
+            F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+        ).select(
+            *gcols,
+            F.col(x_col).cast("decimal(18,6)").alias("x"),
+            F.col(y_col).cast("decimal(18,6)").alias("y"),
+        )
     )
     dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
     sums = base.groupBy(*gcols).agg(
