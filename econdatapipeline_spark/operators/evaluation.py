@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..sources.tables import fan_out as _fan_out_capped
 
 
 def _score_groups(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
@@ -692,6 +693,9 @@ def cuped_adjust(
 
     yq = F.col(metric_col).cast("decimal(18,6)")
     xq = F.col(covariate_col).cast("decimal(18,6)")
+    # NOT fanned out: probed fan_out here (the vif idiom) and measured
+    # 1.05x WORSE — unlike vif's p^2 decimal matrix, these two scalar
+    # sum passes are too cheap to pay an extra exchange for (r12 A/B).
     base = df.select(
         F.col(variant_col).cast("string").alias("variant"),
         yq.alias("y"),
@@ -871,11 +875,14 @@ def ipw_ate(
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     spark = df.sparkSession
-    # Repartition BEFORE the checkpoint: the subject relation is
-    # re-scanned every solve round and inherits the source's
-    # partitioning — a single-file input would serialize each round
-    # onto one task (the glm.py lesson). Per-round decimal sums are
-    # exact, so row order cannot move a value.
+    # fan_out (row-capped ~16) BEFORE the checkpoint: the subject
+    # relation is re-scanned every solve round and inherits the
+    # source's partitioning — a single-file input would serialize
+    # each round onto one task (the glm.py lesson), while an uncapped
+    # defaultParallelism width was over-parallelism on this KB..MB
+    # working set (driver scaling: 8 cores beat 32 on ipw/pca).
+    # Per-round decimal sums are exact, so row order cannot move a
+    # value.
     subj = df.select(
         F.col(treat_col).cast("int").alias("tr"),
         F.col(outcome_col).cast("decimal(18,6)").alias("y"),
@@ -884,9 +891,7 @@ def ipw_ate(
         F.col("tr").isNotNull()
         & F.col("y").isNotNull()
         & F.col("x").isNotNull()
-    ).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
+    ).transform(_fan_out_capped).localCheckpoint(eager=True)
     tot = subj.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("tr").cast("long").alias("nt"),
@@ -1229,11 +1234,14 @@ def ipw_ate_multi(
     )
     for c in covariate_cols:
         keep = keep & F.col(c).isNotNull()
-    # Repartition BEFORE the checkpoint: the subject relation is
-    # re-scanned every solve round and inherits the source's
-    # partitioning — a single-file input would serialize each round
-    # onto one task (the glm.py lesson). Per-round decimal sums are
-    # exact, so row order cannot move a value.
+    # fan_out (row-capped ~16) BEFORE the checkpoint: the subject
+    # relation is re-scanned every solve round and inherits the
+    # source's partitioning — a single-file input would serialize
+    # each round onto one task (the glm.py lesson), while an uncapped
+    # defaultParallelism width was over-parallelism on this KB..MB
+    # working set (driver scaling: 8 cores beat 32 on ipw/pca).
+    # Per-round decimal sums are exact, so row order cannot move a
+    # value.
     subj = df.filter(keep).select(
         F.col(treat_col).cast("int").alias("tr"),
         F.col(outcome_col).cast("decimal(18,6)").alias("y"),
@@ -1241,9 +1249,7 @@ def ipw_ate_multi(
             F.col(c).cast("decimal(18,6)").alias(f"x{j}")
             for j, c in enumerate(covariate_cols, 1)
         ],
-    ).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
+    ).transform(_fan_out_capped).localCheckpoint(eager=True)
     b_cur = spark.range(1).select(
         *[F.lit(0.0).alias(f"b{j}") for j in range(m)]
     )
@@ -1314,6 +1320,9 @@ def msprt_monitor(
     if tau <= 0:
         raise ValueError(f"tau must be > 0, got {tau}")
     vexpr = F.col(variant_col)
+    # NOT fanned out: probed fan_out on the period collapse (the vif
+    # idiom) and measured it confounded-worse in the r12 A/B — the
+    # collapse is one narrow groupBy, not a p^2 decimal matrix.
     base = df.filter(
         vexpr.isin([control, treatment])
         & F.col(value_col).isNotNull()
@@ -1353,6 +1362,11 @@ def msprt_monitor(
         ["nt", "nc", "st", "sc", "qt", "qc"],
         operand_type="decimal(31,12)",
         offset_type="decimal(38,12)",
+        # the period collapse is calendar-bounded by construction
+        # (sequential monitoring is per-day/week/month — even 30 years
+        # of daily looks is ~11k rows), so skip the size-gate's eager
+        # checkpoint + count: the whole query is ONE lazy job chain
+        assume_small=True,
     )
     cnt = F.col("s_nt").cast("double")
     cnc = F.col("s_nc").cast("double")
@@ -1624,8 +1638,12 @@ def aipw_ate(
     # Repartition BEFORE the checkpoint: the subject relation is
     # re-scanned every solve round and inherits the source's
     # partitioning — a single-file input would serialize each round
-    # onto one task (the glm.py lesson). Per-round decimal sums are
-    # exact, so row order cannot move a value.
+    # onto one task (the glm.py lesson). Kept UNCAPPED here (unlike
+    # ipw/glm/pca): aipw is the one estimator the driver's scaling
+    # block shows benefiting from full width (ratio 1.23), and the
+    # row-capped fan_out measured 1.04-1.11x WORSE in the r12 A/B.
+    # Per-round decimal sums are exact, so row order cannot move a
+    # value.
     subj = df.filter(keep).select(
         F.col(treat_col).cast("int").alias("tr"),
         F.col(outcome_col).cast("decimal(18,6)").alias("y"),
@@ -3055,6 +3073,9 @@ def breslow_day(
     """
     tr = F.col(treat_col).cast("int")
     oc = F.col(outcome_col).cast("int")
+    # NOT fanned out: probed fan_out on the strata collapse (the vif
+    # idiom) and measured 1.12x WORSE (r12 A/B) — the collapse's long
+    # counts are too cheap to pay the extra exchange for.
     base = df.filter(
         F.col(stratum_col).isNotNull()
         & tr.isNotNull()

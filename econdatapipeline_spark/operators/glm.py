@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..sources.tables import fan_out as _fan_out_capped
 
 
 def poisson_fragments(p: int) -> dict:
@@ -202,21 +203,22 @@ def poisson_glm(
     )
     for c in covariate_cols:
         keep = keep & F.col(c).isNotNull()
-    # Repartition BEFORE the checkpoint: the subject relation is
+    # fan_out BEFORE the checkpoint: the subject relation is
     # scanned rounds+2 times and inherits the source's partitioning —
     # a single-file bench input would make every IRLS round a
     # single-task aggregate (measured 1.9s/round over 150k rows on
-    # one core). The per-round decimal sums are EXACT, so the row
-    # order change cannot move a value (hashes re-certified).
+    # one core). Row-CAPPED (fan_out, ~16): an uncapped
+    # defaultParallelism width was over-parallelism on the KB..MB
+    # working set (driver scaling: 8 cores beat 32 on ipw/pca). The
+    # per-round decimal sums are EXACT, so the row order change
+    # cannot move a value (hashes re-certified).
     subj = df.filter(keep).select(
         F.col(response_col).cast("long").alias("y"),
         *[
             F.col(c).cast("decimal(18,6)").alias(f"x{j}")
             for j, c in enumerate(covariate_cols, 1)
         ],
-    ).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
+    ).transform(_fan_out_capped).localCheckpoint(eager=True)
     b_cur = subj.agg(
         *[F.expr(e).alias(nm) for nm, e in frag["init_terms"]]
     )
@@ -458,21 +460,22 @@ def logistic_glm(
     keep = F.col(response_col).isNotNull()
     for c in covariate_cols:
         keep = keep & F.col(c).isNotNull()
-    # Repartition BEFORE the checkpoint: the subject relation is
+    # fan_out BEFORE the checkpoint: the subject relation is
     # scanned rounds+2 times and inherits the source's partitioning —
     # a single-file bench input would make every IRLS round a
     # single-task aggregate (measured 1.9s/round over 150k rows on
-    # one core). The per-round decimal sums are EXACT, so the row
-    # order change cannot move a value (hashes re-certified).
+    # one core). Row-CAPPED (fan_out, ~16): an uncapped
+    # defaultParallelism width was over-parallelism on the KB..MB
+    # working set (driver scaling: 8 cores beat 32 on ipw/pca). The
+    # per-round decimal sums are EXACT, so the row order change
+    # cannot move a value (hashes re-certified).
     subj = df.filter(keep).select(
         F.col(response_col).cast("int").alias("y"),
         *[
             F.col(c).cast("decimal(18,6)").alias(f"x{j}")
             for j, c in enumerate(covariate_cols, 1)
         ],
-    ).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
+    ).transform(_fan_out_capped).localCheckpoint(eager=True)
     b_cur = subj.agg(
         *[F.expr(e).alias(nm) for nm, e in frag["init_terms"]]
     )
@@ -838,21 +841,22 @@ def quasipoisson_glm(
     )
     for c in covariate_cols:
         keep = keep & F.col(c).isNotNull()
-    # Repartition BEFORE the checkpoint: the subject relation is
+    # fan_out BEFORE the checkpoint: the subject relation is
     # scanned rounds+2 times and inherits the source's partitioning —
     # a single-file bench input would make every IRLS round a
     # single-task aggregate (measured 1.9s/round over 150k rows on
-    # one core). The per-round decimal sums are EXACT, so the row
-    # order change cannot move a value (hashes re-certified).
+    # one core). Row-CAPPED (fan_out, ~16): an uncapped
+    # defaultParallelism width was over-parallelism on the KB..MB
+    # working set (driver scaling: 8 cores beat 32 on ipw/pca). The
+    # per-round decimal sums are EXACT, so the row order change
+    # cannot move a value (hashes re-certified).
     subj = df.filter(keep).select(
         F.col(response_col).cast("long").alias("y"),
         *[
             F.col(c).cast("decimal(18,6)").alias(f"x{j}")
             for j, c in enumerate(covariate_cols, 1)
         ],
-    ).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
+    ).transform(_fan_out_capped).localCheckpoint(eager=True)
     b_cur = subj.agg(
         *[F.expr(e).alias(nm) for nm, e in frag["init_terms"]]
     )
@@ -1107,21 +1111,22 @@ def negbin_glm(
     )
     for c in covariate_cols:
         keep = keep & F.col(c).isNotNull()
-    # Repartition BEFORE the checkpoint: the subject relation is
+    # fan_out BEFORE the checkpoint: the subject relation is
     # scanned rounds+2 times and inherits the source's partitioning —
     # a single-file bench input would make every IRLS round a
     # single-task aggregate (measured 1.9s/round over 150k rows on
-    # one core). The per-round decimal sums are EXACT, so the row
-    # order change cannot move a value (hashes re-certified).
+    # one core). Row-CAPPED (fan_out, ~16): an uncapped
+    # defaultParallelism width was over-parallelism on the KB..MB
+    # working set (driver scaling: 8 cores beat 32 on ipw/pca). The
+    # per-round decimal sums are EXACT, so the row order change
+    # cannot move a value (hashes re-certified).
     subj = df.filter(keep).select(
         F.col(response_col).cast("long").alias("y"),
         *[
             F.col(c).cast("decimal(18,6)").alias(f"x{j}")
             for j, c in enumerate(covariate_cols, 1)
         ],
-    ).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
+    ).transform(_fan_out_capped).localCheckpoint(eager=True)
     b_cur = subj.agg(
         *[F.expr(e).alias(nm) for nm, e in frag["init_terms"]]
     )

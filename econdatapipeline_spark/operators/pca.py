@@ -29,6 +29,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..sources.tables import fan_out as _fan_out_capped
 
 
 def _q9(x: float) -> float:
@@ -83,11 +84,13 @@ def pca_power(
         )
         .otherwise(F.col(vec_col))
         .alias("v")
-    ).repartition(
+    ).transform(
         # the power-iteration aggregate re-scans this relation every
         # round; a single-file source would serialize each round onto
-        # one task (the glm.py lesson). Decimal sums are order-free.
-        df.sparkSession.sparkContext.defaultParallelism
+        # one task (the glm.py lesson) — but 32 tasks on a KB..MB
+        # working set is over-parallelism (driver scaling ratio 0.66:
+        # 8 cores beat 32). Row-capped fan_out, decimal sums order-free.
+        _fan_out_capped
     ).localCheckpoint(eager=True)
     n = x.count()
     use_wide = n > wide_threshold

@@ -502,6 +502,12 @@ def log_rank_k(
             ).alias(f"n{i}")
             for i in range(1, k + 1)
         ],
+        *[
+            F.sum(
+                F.when(F.col("g") == i, F.col("subj")).otherwise(0)
+            ).alias(f"subj{i}")
+            for i in range(1, k + 1)
+        ],
     )
     dt = sum(F.col(f"d{i}") for i in range(1, k + 1))
     nt = sum(F.col(f"n{i}") for i in range(1, k + 1))
@@ -511,14 +517,25 @@ def log_rank_k(
         nt > 1,
         dtd * (nt - dt).cast("double") / (nt - 1).cast("double"),
     ).otherwise(0.0)
+    # ONE aggregate serves the Z/V terms, the per-group expectations
+    # AND the group totals (r12: three tail jobs — two of which re-ran
+    # the whole grid->window->pivot chain — merged into one). The
+    # event-time restriction (d_t > 0) moves from a filter into each
+    # term's WHEN guard: SUM skips the NULLs, so the decimal addends
+    # are identical; totals stay unguarded (they sum ALL times, and
+    # the grid's fillna-0 rows add exact zeros).
+    ev_t = dt > 0
     aggs = []
     for i in range(1, k):
         aggs.append(
             F.sum(
-                (
-                    F.col(f"d{i}").cast("double")
-                    - dtd * F.col(f"n{i}").cast("double") / ntd
-                ).cast("decimal(28,12)")
+                F.when(
+                    ev_t,
+                    (
+                        F.col(f"d{i}").cast("double")
+                        - dtd * F.col(f"n{i}").cast("double") / ntd
+                    ).cast("decimal(28,12)"),
+                )
             ).alias(f"z{i}")
         )
     for i in range(1, k):
@@ -528,13 +545,32 @@ def log_rank_k(
             delta = 1.0 if i == j else 0.0
             aggs.append(
                 F.sum(
-                    (ct * (F.lit(delta) * pi - pi * pj)).cast(
-                        "decimal(28,12)"
+                    F.when(
+                        ev_t,
+                        (ct * (F.lit(delta) * pi - pi * pj)).cast(
+                            "decimal(28,12)"
+                        ),
                     )
                 ).alias(f"v{i}{j}")
             )
-    terms = wide.filter(dt > 0)
-    row = terms.agg(*aggs).first()
+    for i in range(1, k + 1):
+        aggs.append(
+            F.sum(
+                F.when(
+                    ev_t,
+                    (dtd * F.col(f"n{i}").cast("double") / ntd).cast(
+                        "decimal(28,12)"
+                    ),
+                )
+            ).alias(f"e{i}")
+        )
+        aggs.append(
+            F.sum(F.col(f"subj{i}")).cast("long").alias(f"tot_n{i}")
+        )
+        aggs.append(
+            F.sum(F.col(f"d{i}")).cast("long").alias(f"tot_d{i}")
+        )
+    row = wide.agg(*aggs).first()
     z = [
         float(row[f"z{i}"]) if row[f"z{i}"] is not None else 0.0
         for i in range(1, k)
@@ -572,22 +608,6 @@ def log_rank_k(
             for zi, si in zip(z, sols[0]):
                 acc = acc + zi * si
             chi2 = acc
-    totals = per_tg.groupBy("g").agg(
-        F.sum("subj").cast("long").alias("n"),
-        F.sum("d").cast("long").alias("observed"),
-    )
-    # expected per group: E_g = Σ_t d_t·n_gt/n_t — from the same wide
-    # relation, all k groups this time
-    eaggs = [
-        F.sum(
-            (dtd * F.col(f"n{i}").cast("double") / ntd).cast(
-                "decimal(28,12)"
-            )
-        ).alias(f"e{i}")
-        for i in range(1, k + 1)
-    ]
-    erow = terms.agg(*eaggs).first()
-
     def r6(v):
         if v is None:
             return None
@@ -597,16 +617,14 @@ def log_rank_k(
             )
         )
 
-    tot_by = {r["g"]: r for r in totals.collect()}
     rows = []
     for i, gv in enumerate(groups, 1):
-        tr = tot_by.get(i)
-        ev = float(erow[f"e{i}"]) if erow[f"e{i}"] is not None else 0.0
+        ev = float(row[f"e{i}"]) if row[f"e{i}"] is not None else 0.0
         rows.append(
             (
                 str(gv),
-                int(tr["n"]) if tr else 0,
-                int(tr["observed"]) if tr else 0,
+                int(row[f"tot_n{i}"] or 0),
+                int(row[f"tot_d{i}"] or 0),
                 r6(ev),
                 r6(chi2),
                 k - 1,
@@ -785,6 +803,7 @@ def _asc_cumsum_dec(
     small_threshold=100_000,
     operand_type="decimal(31,12)",
     offset_type="decimal(38,12)",
+    assume_small=False,
 ):
     """Ascending-inclusive cumulative sums of DECIMAL columns — see
     _dir_cumsum_dec."""
@@ -795,6 +814,7 @@ def _asc_cumsum_dec(
         small_threshold=small_threshold,
         operand_type=operand_type,
         offset_type=offset_type,
+        assume_small=assume_small,
     )
 
 
@@ -806,6 +826,7 @@ def _dir_cumsum_dec(
     operand_type="decimal(31,12)",
     offset_type="decimal(38,12)",
     n_times=None,
+    assume_small=False,
 ):
     """Directional inclusive cumulative sums of DECIMAL columns over a
     times-sized relation -> input + ``s_<col>`` per column.
@@ -833,8 +854,17 @@ def _dir_cumsum_dec(
     small path is then fully lazy (the window consumes ``per_t``
     exactly once, so there is no fan-out to pin), and the whole round
     collapses into one job chain.
+
+    ``assume_small``: a caller whose relation is CALENDAR-BOUNDED by
+    construction (msprt_monitor's per-period collapse: sequential
+    monitoring is per-day/week/month, so even 30 years of daily looks
+    is ~11k rows — far under the gate) passes True to take the
+    single-window small path with NO checkpoint and NO count: the
+    whole query stays one lazy job chain.
     """
     spark = per_t.sparkSession
+    if assume_small and n_times is None:
+        n_times = 0
     if n_times is None:
         per_t = per_t.localCheckpoint(eager=True)
         n_times = per_t.count()
@@ -2091,6 +2121,12 @@ def grays_test(
         rt > 1.0,
         dtd * (rt - dtd) / (rt - 1.0),
     ).otherwise(0.0)
+    # NOT merged with the totals job: probed the log_rank_k-style
+    # single-aggregate fold here (WHEN-guarded terms + totals riding
+    # the pivot) and measured 1.07-1.08x WORSE twice (r12 A/B) —
+    # unlike log_rank_k this aggregate was already merged, so the
+    # extra pivot columns only fattened the heavy stage to save one
+    # cheap totals job over the pinned collapse.
     aggs = []
     for i in range(1, k):
         aggs.append(
@@ -2442,27 +2478,36 @@ def rmst_diff(
         .orderBy(F.col("t").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    rdrops = staged.withColumn("rdrop", F.sum("drop").over(w_desc_g))
+    # The times×2 cumulated relation feeds BOTH tail aggregates (the
+    # rmst/S(tau) pass and, after S(tau) re-enters as a literal, the
+    # variance pass) — checkpoint it ONCE so the grid→window chain is
+    # derived a single time instead of once per collect (r12).
+    rdrops = staged.withColumn(
+        "rdrop", F.sum("drop").over(w_desc_g)
+    ).localCheckpoint(eager=True)
     # A_i needs S(tau) per group BEFORE the variance aggregate — two
     # small passes: first (rmst, S(tau)) per group, re-entering as
     # plan literals (the cuped/cox channel), then the variance sum.
-    # group sizes come from the pinned collapse (ALL subjects — the
-    # log_rank rule); area terms come from the within-tau rows only
-    n_by = {
-        r["g"]: int(r["n"])
-        for r in per_tg.groupBy("g")
-        .agg(F.sum("subj").cast("long").alias("n"))
-        .collect()
-    }
+    # Group sizes ride the SAME aggregate (r12: the separate per_tg
+    # totals job folded in): subj sums over ALL times equal the pinned
+    # collapse's totals because the grid's fillna-0 rows add exact
+    # zeros; likewise `drop` is an exact decimal 0 outside tau, so the
+    # unfiltered sum matches the old within-tau filtered one, and the
+    # max_by WHEN guards null out beyond-tau rows (max_by skips null
+    # keys) exactly as the filter did.
     base = (
-        rdrops.filter(within)
-        .groupBy("g")
+        rdrops.groupBy("g")
         .agg(
             F.sum("drop").alias("drops"),
-            F.max_by(F.col("s_at_d"), F.col("t")).alias("s_tau"),
+            F.max_by(
+                F.when(within, F.col("s_at_d")),
+                F.when(within, F.col("t")),
+            ).alias("s_tau"),
+            F.sum("subj").cast("long").alias("n"),
         )
         .collect()
     )
+    n_by = {r["g"]: int(r["n"]) for r in base if int(r["n"] or 0) > 0}
     q9 = Decimal("0.000000001")
 
     def d18_9(v: float) -> float:
