@@ -788,6 +788,14 @@ def cox_ph(
     )
 
 
+# cox_ph_multi's one-SQL Newton round covers the single-window small
+# path only; past this many distinct event times it falls back to the
+# DataFrame chain whose _desc_cumsum_dec goes distributed (same gate
+# value as _dir_cumsum_dec's small_threshold). Module-level so the
+# twin-path test can force either branch.
+_COX_SQL_GATE = 100_000
+
+
 def _desc_cumsum_dec(per_t, cols, small_threshold=100_000, n_times=None):
     """Descending-inclusive cumulative sums of DECIMAL columns — see
     _dir_cumsum_dec."""
@@ -873,10 +881,15 @@ def _dir_cumsum_dec(
         w_dir = Window.orderBy(key).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        out = per_t
-        for c in cols:
-            out = out.withColumn(f"s_{c}", F.sum(c).over(w_dir))
-        return out
+        # ONE select, not a withColumn loop: every withColumn call
+        # re-analyzes the whole growing plan eagerly (sum-of-prefixes
+        # Catalyst work per caller round — cox_ph_multi3 stacks ten
+        # cumsum columns here every Newton round). Same window spec,
+        # same column order (appended after the inputs), identical
+        # values.
+        return per_t.select(
+            "*", *[F.sum(c).over(w_dir).alias(f"s_{c}") for c in cols]
+        )
     n_parts = spark.sparkContext.defaultParallelism
     part = (
         per_t.repartitionByRange(n_parts, F.col("t").asc())
@@ -1011,6 +1024,10 @@ def cox_ph_multi(
     keep = F.col("t").isNotNull()
     for x in xs:
         keep = keep & F.col(x).isNotNull()
+    # NOT fanned out (probed in r12: fan_out before this checkpoint
+    # measured 1.21-1.43x WORSE — the per-round 10-term aggregate is
+    # arithmetic-light enough that extra map tasks only add AQE and
+    # scheduling overhead; cox rounds are driver/Catalyst-bound).
     subj = df.select(
         F.col(duration_col).cast("long").alias("t"),
         F.col(event_col).cast("int").alias("e"),
@@ -1056,62 +1073,138 @@ def cox_ph_multi(
         return Decimal(repr(v)).quantize(q9, rounding=ROUND_HALF_UP)
 
     jk_pairs = [(j, k) for j in range(1, p + 1) for k in range(j, p + 1)]
+    cols = ["aw"] + [f"awx{j}" for j in range(1, p + 1)] + [
+        f"aww{j}{k}" for j, k in jk_pairs
+    ]
 
-    def ui_at(betas):
-        # fixed left-to-right dot product, betas as plan literals
-        dot = F.lit(0.0)
+    def _round_sql(betas) -> str:
+        """The whole Newton round as ONE SQL string (r12, guide §1.3:
+        the per-round DataFrame chain paid 5 eager Catalyst analyses
+        of growing trees per round — select, groupBy.agg, window
+        select, join, agg — measured as a ~0.4 s driver gap per round;
+        one spark.sql call is one parse + one analysis of the same
+        tree). Every emitted expression mirrors the DataFrame form
+        operation-for-operation: CAST('<repr>' AS DOUBLE) beta
+        literals (Java parseDouble round-trips repr exactly), the
+        fixed left-to-right dot product, exp -> decimal(18,9) ->
+        double, decimal(28,12) term casts, descending-inclusive
+        window cumsum, USING(t) inner join, and the same U/I
+        aggregate arithmetic — so the values are bit-identical
+        (twin-path pytest pins this)."""
+        dot = "CAST(0.0 AS DOUBLE)"
         for b, x in zip(betas, xs):
-            dot = dot + F.lit(b) * F.col(x).cast("double")
-        wd = F.exp(dot).cast("decimal(18,9)").cast("double")
-        d2812 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
-        terms = [d2812(wd).alias("aw")]
+            dot = f"{dot} + CAST('{b!r}' AS DOUBLE) * CAST({x} AS DOUBLE)"
+        wd = f"CAST(CAST(EXP({dot}) AS DECIMAL(18,9)) AS DOUBLE)"
+        terms = [f"CAST({wd} AS DECIMAL(28,12)) AS aw"]
         for j, x in enumerate(xs, 1):
             terms.append(
-                d2812(wd * F.col(x).cast("double")).alias(f"awx{j}")
+                f"CAST({wd} * CAST({x} AS DOUBLE) AS DECIMAL(28,12))"
+                f" AS awx{j}"
             )
         for j, k in jk_pairs:
             terms.append(
-                d2812(
-                    (wd * F.col(xs[j - 1]).cast("double"))
-                    * F.col(xs[k - 1]).cast("double")
-                ).alias(f"aww{j}{k}")
+                f"CAST(({wd} * CAST({xs[j - 1]} AS DOUBLE))"
+                f" * CAST({xs[k - 1]} AS DOUBLE) AS DECIMAL(28,12))"
+                f" AS aww{j}{k}"
             )
-        cols = ["aw"] + [f"awx{j}" for j in range(1, p + 1)] + [
-            f"aww{j}{k}" for j, k in jk_pairs
-        ]
-        pt = subj.select("t", *terms).groupBy("t").agg(
-            *[F.sum(c).alias(c) for c in cols]
+        gsums = ", ".join(f"SUM({c}) AS {c}" for c in cols)
+        wsums = ", ".join(
+            f"SUM({c}) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED"
+            f" PRECEDING AND CURRENT ROW) AS s_{c}"
+            for c in cols
         )
-        risk = _desc_cumsum_dec(pt, cols, n_times=n_times)
-        joined = risk.join(ev, "t")
-        s0 = F.col("s_aw").cast("double")
+        s0 = "CAST(s_aw AS DOUBLE)"
+        dd = "CAST(d AS DOUBLE)"
         mu = {
-            j: F.col(f"s_awx{j}").cast("double") / s0
+            j: f"(CAST(s_awx{j} AS DOUBLE) / {s0})"
             for j in range(1, p + 1)
         }
-        dd = F.col("d").cast("double")
         aggs = []
         for j in range(1, p + 1):
             aggs.append(
-                F.sum(
-                    (F.col(f"sx{j}").cast("double") - dd * mu[j]).cast(
-                        "decimal(28,12)"
-                    )
-                ).alias(f"u{j}")
+                f"SUM(CAST(CAST(sx{j} AS DOUBLE) - {dd} * {mu[j]}"
+                f" AS DECIMAL(28,12))) AS u{j}"
             )
         for j, k in jk_pairs:
             aggs.append(
-                F.sum(
-                    (
-                        dd
-                        * (
-                            F.col(f"s_aww{j}{k}").cast("double") / s0
-                            - mu[j] * mu[k]
-                        )
-                    ).cast("decimal(28,12)")
-                ).alias(f"i{j}{k}")
+                f"SUM(CAST({dd} * (CAST(s_aww{j}{k} AS DOUBLE) / {s0}"
+                f" - {mu[j]} * {mu[k]}) AS DECIMAL(28,12))) AS i{j}{k}"
             )
-        row = joined.agg(*aggs).first()
+        # BROADCAST(e): ev is a checkpointed ExistingRDD, so Spark has
+        # no size stats and plans a SortMergeJoin (4 exchanges/round);
+        # the relation is times-sized (event times with d>=1), far
+        # under any broadcast threshold. Join strategy cannot move a
+        # value (inner equi-join).
+        return (
+            f"SELECT {', '.join(aggs)} FROM ("
+            f"SELECT /*+ BROADCAST(e) */ * FROM ("
+            f"SELECT *, {wsums} FROM ("
+            f"SELECT t, {gsums} FROM ("
+            f"SELECT t, {', '.join(terms)} FROM {{subj}}"
+            f") GROUP BY t"
+            f")"
+            f") r JOIN {{ev}} e USING (t)"
+            f")"
+        )
+
+    def ui_at(betas):
+        if n_times <= _COX_SQL_GATE:
+            row = spark.sql(_round_sql(betas), subj=subj, ev=ev).first()
+        else:
+            # distributed fallback for times-counts past the window
+            # small path: the original DataFrame chain
+            dot = F.lit(0.0)
+            for b, x in zip(betas, xs):
+                dot = dot + F.lit(b) * F.col(x).cast("double")
+            wd = F.exp(dot).cast("decimal(18,9)").cast("double")
+            d2812 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+            terms = [d2812(wd).alias("aw")]
+            for j, x in enumerate(xs, 1):
+                terms.append(
+                    d2812(wd * F.col(x).cast("double")).alias(f"awx{j}")
+                )
+            for j, k in jk_pairs:
+                terms.append(
+                    d2812(
+                        (wd * F.col(xs[j - 1]).cast("double"))
+                        * F.col(xs[k - 1]).cast("double")
+                    ).alias(f"aww{j}{k}")
+                )
+            pt = subj.select("t", *terms).groupBy("t").agg(
+                *[F.sum(c).alias(c) for c in cols]
+            )
+            risk = _desc_cumsum_dec(pt, cols, n_times=n_times)
+            # broadcast: ev is times-sized; the checkpointed
+            # ExistingRDD has no size stats, so Spark would SMJ
+            joined = risk.join(F.broadcast(ev), "t")
+            s0 = F.col("s_aw").cast("double")
+            mu = {
+                j: F.col(f"s_awx{j}").cast("double") / s0
+                for j in range(1, p + 1)
+            }
+            dd = F.col("d").cast("double")
+            aggs = []
+            for j in range(1, p + 1):
+                aggs.append(
+                    F.sum(
+                        (F.col(f"sx{j}").cast("double") - dd * mu[j]).cast(
+                            "decimal(28,12)"
+                        )
+                    ).alias(f"u{j}")
+                )
+            for j, k in jk_pairs:
+                aggs.append(
+                    F.sum(
+                        (
+                            dd
+                            * (
+                                F.col(f"s_aww{j}{k}").cast("double") / s0
+                                - mu[j] * mu[k]
+                            )
+                        ).cast("decimal(28,12)")
+                    ).alias(f"i{j}{k}")
+                )
+            row = joined.agg(*aggs).first()
         u = [
             float(row[f"u{j}"]) if row[f"u{j}"] is not None else 0.0
             for j in range(1, p + 1)
